@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** View-analytics aggregations — the engine's equivalent of the
+  * reference's Redis counters and HyperLogLog sketches
+  * (reference: services/document/app/db/cache.py:81-101 `INCR
+  * views:{id}` / `PFADD unique_views:{id}`, readout
+  * services/document/app/main.py:162-168).
+  *
+  * The reference keeps this state incrementally in Redis; Spark-first
+  * the same result is one hash aggregate with a map-side partial —
+  * `groupBy(key).agg(count, countDistinct)` compiles to
+  * partial_count + partial_distinct before the single shuffle on the
+  * group key, so at 100 TB each executor reduces its own split first
+  * and only per-key partials move. The approximate variant uses
+  * HLL++ (`approx_count_distinct`), which is the direct analogue of
+  * Redis PFADD/PFCOUNT and shuffles O(groups · sketch) bytes
+  * regardless of visitor cardinality.
+  */
+object StatsOps {
+
+  /** The `events.props` JSON carries the viewed-document key `k`
+    * (TESTDATA events.props = {"k": <int>}); user_id plays client_ip.
+    */
+  def docKey(props: Column): Column =
+    get_json_object(props, "$.k").cast("long")
+
+  /** A1+A2+A3: per-document total views + exact unique visitors. */
+  def viewStats(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "view")
+      .select(docKey(col("props")).as("doc_id"), col("user_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total_views"),
+        countDistinct(col("user_id")).as("unique_views"))
+      .orderBy(col("doc_id"))
+
+  /** A2 approximate variant — mergeable-sketch parity with Redis HLL.
+    * No DuckDB oracle (approx ≠ approx across engines); its ScalaTest
+    * spec asserts relative error vs the exact count instead.
+    */
+  def viewStatsApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .filter(col("event_type") === "view")
+      .select(docKey(col("props")).as("doc_id"), col("user_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("total_views"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_unique_views"))
+      .orderBy(col("doc_id"))
+
+  /** A1/A3 over all event types: per-type event counts + value sum
+    * (exact-decimal sum so the DuckDB oracle hash-matches bit-for-bit
+    * regardless of float summation order).
+    */
+  def eventTypeRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+}
