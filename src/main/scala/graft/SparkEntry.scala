@@ -2,7 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.functions.TextFunctions
 import graft.ops._
+import graft.quality.RuleBasedScorer
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +53,45 @@ object SparkEntry {
     "q_revenue_by_region" -> ((s, d) => RelationalOps.revenueByRegion(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d))),
+    // §2.9 U1 + §2.4 A4 — rule-based quality scorer
+    "q_quality_scores" -> ((s, d) =>
+      RuleBasedScorer.score(Tables.documents(s, d), "text")
+        .select("doc_id", "lang", "completeness", "consistency",
+          "pii_detection", "language_quality", "quality_score",
+          "quality_is_valid", "has_pii")
+        .orderBy("doc_id")),
+    // §2.7 F15 — issue array construction + explode (UDTF-style)
+    "q_quality_issues" -> ((s, d) => RuleBasedScorer.issues(
+      RuleBasedScorer.score(Tables.documents(s, d), "text"), "doc_id")),
+    // §2.2 P7 — BLOCK_LOW_QUALITY gate, rolled up per language
+    "q_quality_gate" -> ((s, d) =>
+      RuleBasedScorer.qualityGate(
+        RuleBasedScorer.score(Tables.documents(s, d), "text"), block = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_valid"))
+        .orderBy(col("lang"))),
+    // §2.1 S7 + §2.2 P1-P4 — CDC envelope encode→decode→filter→flatten
+    "q_cdc_pipeline" -> ((s, d) =>
+      Cdc.pipeline(Cdc.syntheticEnvelopes(Tables.documents(s, d)))
+        .select("op", "doc_id", "lang", "content_size", "status",
+          "version", "s3_key", "ts_ms")
+        .orderBy("doc_id")),
+    // §2.2 P8 + §2.7 F1/F12 — validation predicates as columns
+    "q_validation" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.isValidTitle(col("text")).as("valid_title"),
+        TextFunctions.withinSizeLimit(col("text"), 500).as("within_limit"),
+        TextFunctions.isValidEmail(concat(col("source"), lit("@example.com")))
+          .as("valid_email"))
+        .orderBy("doc_id")),
+    // §2.7 F9 — deterministic uuid7-style time-ordered ids
+    "q_uuid7" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.uuid7((col("doc_id") * 1000L + 1700000000000L),
+          col("source")).as("uid"))
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,5 +167,74 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1 ORDER BY r_name""",
+    "q_quality_scores" -> (qualityScoreCte +
+      """SELECT doc_id, lang, completeness, consistency, pii_detection,
+         language_quality,
+         (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
+         (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0 AS quality_is_valid,
+         pii_detection = 0 AS has_pii
+         FROM s ORDER BY doc_id"""),
+    "q_quality_issues" -> (qualityScoreCte +
+      """SELECT * FROM (
+           SELECT doc_id, 'completeness' AS issue_type, 'medium' AS severity, 'content' AS field FROM s WHERE completeness < 50
+           UNION ALL
+           SELECT doc_id, 'consistency', 'low', 'content' FROM s WHERE consistency < 40
+           UNION ALL
+           SELECT doc_id, 'pii', 'high', 'content' FROM s WHERE pii_detection = 0
+           UNION ALL
+           SELECT doc_id, 'language_quality', 'low', 'content' FROM s WHERE language_quality < 30
+         ) ORDER BY doc_id, issue_type"""),
+    "q_quality_gate" -> (qualityScoreCte +
+      """SELECT lang, count(*) AS n_valid FROM s
+         WHERE (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0
+         GROUP BY lang ORDER BY lang"""),
+    "q_cdc_pipeline" ->
+      """WITH e AS (
+           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
+                       WHEN doc_id % 20 = 1 THEN 'r'
+                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
+                  doc_id, lang, n_chars AS content_size,
+                  'created' AS status, 1 AS version,
+                  doc_id || '/content' AS s3_key, doc_id * 1000 AS ts_ms
+           FROM documents)
+         SELECT * FROM e WHERE op NOT IN ('r', 'd') ORDER BY doc_id""",
+    "q_validation" ->
+      """SELECT doc_id,
+         length(text) BETWEEN 1 AND 255 AS valid_title,
+         strlen(text) <= 500 AS within_limit,
+         regexp_matches(source || '@example.com',
+           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS valid_email
+         FROM documents ORDER BY doc_id""",
+    "q_uuid7" ->
+      """WITH u AS (
+           SELECT doc_id,
+             lpad(hex(doc_id * 1000 + 1700000000000), 12, '0') AS ts_hex,
+             md5(concat_ws('|', doc_id * 1000 + 1700000000000, source)) AS h
+           FROM documents)
+         SELECT doc_id,
+           substring(ts_hex,1,8) || '-' || substring(ts_hex,9,4) || '-7' ||
+           substring(h,1,3) || '-' || substring(h,4,4) || '-' || substring(h,8,12) AS uid
+         FROM u ORDER BY doc_id""",
   )
+
+  /** Shared CTE replicating RuleBasedScorer's integer rubric in
+    * DuckDB (sub-scores only; overall derived per query).
+    */
+  private val qualityScoreCte: String =
+    """WITH w AS (
+         SELECT doc_id, lang, substring(text, 1, 1024) AS tx,
+                string_split(substring(text, 1, 1024), ' ') AS ws
+         FROM documents),
+       s AS (
+         SELECT doc_id, lang,
+           CAST(least(100, floor(length(tx)/5)) AS BIGINT) AS completeness,
+           CAST(CASE WHEN len(ws) < 3 THEN 0
+                ELSE floor(len(list_distinct(ws)) * 100 / len(ws)) END AS BIGINT) AS consistency,
+           CAST(CASE WHEN regexp_matches(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                       OR regexp_matches(tx, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
+                       OR regexp_matches(tx, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
+                  THEN 0 ELSE 100 END AS BIGINT) AS pii_detection,
+           CAST(least(100, floor(len(list_filter(ws, x -> x IN ('the','a'))) * 1000 / len(ws))) AS BIGINT) AS language_quality
+         FROM w)
+    """
 }
