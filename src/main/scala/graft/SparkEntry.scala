@@ -92,6 +92,15 @@ object SparkEntry {
         TextFunctions.uuid7((col("doc_id") * 1000L + 1700000000000L),
           col("source")).as("uid"))
         .orderBy("doc_id")),
+    // §2.10 GET /search — scored search + filters + total + page
+    "q_search" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
+      "merge", lang = Some("en"), minChars = Some(100L), size = 10)),
+    // §2.7 F3 — fuzziness AUTO via per-token levenshtein
+    "q_search_fuzzy" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
+      "mergee", fuzzy = true, size = 20)),
+    // §2.7 F4 — highlight
+    "q_search_highlight" -> ((s, d) =>
+      SearchOps.searchWithHighlight(Tables.documents(s, d), "window", 10)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -215,6 +224,33 @@ object SparkEntry {
            substring(ts_hex,1,8) || '-' || substring(ts_hex,9,4) || '-7' ||
            substring(h,1,3) || '-' || substring(h,4,4) || '-' || substring(h,8,12) AS uid
          FROM u ORDER BY doc_id""",
+    "q_search" ->
+      """WITH m AS (
+           SELECT doc_id, lang, n_chars,
+             2 * CAST((length(source) - length(replace(source,'merge','')))/5 AS BIGINT)
+               + CAST((length(text) - length(replace(text,'merge','')))/5 AS BIGINT) AS score
+           FROM documents WHERE lang = 'en' AND n_chars >= 100)
+         SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
+         FROM m WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_search_fuzzy" ->
+      """WITH m AS (
+           SELECT doc_id, lang, n_chars,
+             2 * len(list_filter(string_split(source,' '), x -> levenshtein(x,'mergee') <= 2))
+               + len(list_filter(string_split(text,' '), x -> levenshtein(x,'mergee') <= 2)) AS score
+           FROM documents)
+         SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
+         FROM m WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
+    "q_search_highlight" ->
+      """WITH m AS (
+           SELECT doc_id,
+             2 * CAST((length(source) - length(replace(source,'window','')))/6 AS BIGINT)
+               + CAST((length(text) - length(replace(text,'window','')))/6 AS BIGINT) AS score,
+             replace(substring(text,1,80), 'window', '<em>window</em>') AS snippet
+           FROM documents)
+         SELECT doc_id, score, snippet FROM m WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
   )
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir)
+
+  test("title hits outrank body hits (title^2 boost)") {
+    val df = Seq(
+      (1L, "merge", "nothing relevant here", "en", 20L),
+      (2L, "other", "merge once", "en", 10L)
+    ).toDF("doc_id", "source", "text", "lang", "n_chars")
+    val r = SearchOps.search(df, "merge").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // 2 pts beats 1 pt
+    assert(r(0).getAs[Long]("score") === 2L)
+  }
+
+  test("fuzziness AUTO thresholds") {
+    assert(SearchOps.autoFuzziness("ab") === 0)
+    assert(SearchOps.autoFuzziness("abc") === 1)
+    assert(SearchOps.autoFuzziness("abcdef") === 2)
+  }
+
+  test("fuzzy search matches within edit distance, exact does not") {
+    val exact = SearchOps.search(docs, "mergee", size = 100).count()
+    val fuzzy = SearchOps.search(docs, "mergee", fuzzy = true, size = 100).count()
+    assert(exact === 0) // 'mergee' never appears literally
+    assert(fuzzy > 0)   // but 'merge' is 1 edit away
+  }
+
+  test("pagination disjoint; total_hits constant across pages") {
+    val p1 = SearchOps.search(docs, "merge", from = 0, size = 5).collect()
+    val p2 = SearchOps.search(docs, "merge", from = 5, size = 5).collect()
+    assert(p1.map(_.getLong(0)).toSet.intersect(p2.map(_.getLong(0)).toSet).isEmpty)
+    val totals = (p1 ++ p2).map(_.getAs[Long]("total_hits")).toSet
+    assert(totals.size === 1)
+  }
+
+  test("filters restrict the match set") {
+    val all = SearchOps.search(docs, "merge", size = 1000).count()
+    val en = SearchOps.search(docs, "merge", lang = Some("en"), size = 1000).count()
+    assert(en <= all && en > 0)
+  }
+
+  test("highlight wraps the matched term") {
+    val r = SearchOps.searchWithHighlight(docs, "window", 5).collect()
+    assert(r.nonEmpty)
+    assert(r.exists(_.getAs[String]("snippet").contains("<em>window</em>")))
+  }
+}
