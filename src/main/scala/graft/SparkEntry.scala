@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.Cdc
+import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.ops._
 import graft.quality.RuleBasedScorer
@@ -101,7 +102,49 @@ object SparkEntry {
     // §2.7 F4 — highlight
     "q_search_highlight" -> ((s, d) =>
       SearchOps.searchWithHighlight(Tables.documents(s, d), "window", 10)),
+    // Dedup: exact duplicate groups via 16-byte digest shuffle
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(Tables.events(s, d), "event_id",
+        Seq("user_id", "event_type")).orderBy(col("dup_key"))),
+    // Dedup: deterministic drop (keep min id), rolled up per type
+    "q_dedup_drop" -> ((s, d) =>
+      Dedup.dropExactDuplicates(Tables.events(s, d), "event_id",
+        Seq("user_id", "event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("event_type"))),
+    // Dedup: word-bigram Jaccard on adjacent doc pairs (exact)
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(
+            Dedup.shingles(col("text_a"), 2),
+            Dedup.shingles(col("text_b"), 2)), 4).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+    // Dedup: MinHash+LSH near-dups over a planted-perturbation corpus
+    "q_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
+    // Dedup: SimHash banding near-dups over the same corpus
+    "q_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
   )
+
+  /** documents ∪ deterministic near-copies (every 5th doc, last two
+    * words dropped, id + 1_000_000) — gives the near-dup detectors a
+    * known planted signal to recover.
+    */
+  private def plantedCorpus(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val ws = split(col("text"), " ", -1)
+    val perturbed = docs
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+    docs.unionByName(perturbed)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_view_stats" ->
@@ -251,6 +294,26 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, score, snippet FROM m WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_dedup_exact" ->
+      """SELECT md5(concat_ws(' ', user_id, event_type)) AS dup_key,
+         count(*) AS n_copies, min(event_id) AS keep_id
+         FROM events GROUP BY user_id, event_type
+         HAVING count(*) > 1 ORDER BY dup_key""",
+    "q_dedup_drop" ->
+      """SELECT event_type, count(*) AS n_kept FROM (
+           SELECT user_id, event_type, min(event_id) AS event_id
+           FROM events GROUP BY 1, 2)
+         GROUP BY 1 ORDER BY event_type""",
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams)) /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+         ORDER BY id_a""",
   )
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in

@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.words
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), word-shingle Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one shuffle on a fixed-width digest — group on
+  *    md5(text), not text itself, so shuffle rows carry 16 bytes
+  *    instead of whole documents.
+  *  - MinHash/LSH replaces the O(n²) all-pairs join with bucket
+  *    joins: only documents sharing a (band, band-hash) bucket are
+  *    compared, and signatures (k=16 longs) are what shuffles, never
+  *    the text. Candidate verification re-reads shingles only for
+  *    the candidate set. Hot buckets (boilerplate docs) are the skew
+  *    risk — AQE skew-join handles moderate cases; degenerate
+  *    buckets should be capped upstream.
+  *  - SimHash is a narrow projection (one 64-bit fingerprint per
+  *    doc); banding its 16-bit quarters gives Hamming-≤3 candidate
+  *    recall with 4 shuffle-light bucket joins.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------
+
+  /** Exact duplicate groups by digest of `keyCols`: one row per
+    * duplicated key with its cardinality + representative (min id).
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(md5(concat_ws(" ", keyCols.map(col): _*)).as("dup_key"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Drop exact duplicates deterministically: keep the min-id row per
+    * key (Spark's dropDuplicates keeps an arbitrary row; training
+    * pipelines need reproducible retention).
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, keyCols :+ idCol, "left_semi")
+  }
+
+  // ---------------------------------------------------------------
+  // Shingles + Jaccard
+  // ---------------------------------------------------------------
+
+  /** Distinct word n-gram (shingle) set of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    array_distinct(
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------
+
+  /** k-permutation MinHash signature over a shingle set: element i is
+    * min over shingles of xxhash64(i, shingle) — the classic
+    * min-of-independent-hashes estimator (Broder '97).
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
+
+  /** LSH band hashes: signature split into `bands` rows of
+    * k/bands values, each hashed to a bucket id.
+    */
+  def bandHashes(signature: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(signature, b * r + lit(1), lit(r)), b))
+  }
+
+  /** Candidate near-duplicate pairs via LSH bucket join, verified
+    * with exact shingle Jaccard ≥ `threshold`.
+    *
+    * df must carry (idCol, textCol). Pipeline: shingle → signature →
+    * explode bands → bucket self-join (only same-bucket pairs) →
+    * distinct candidates → verify.
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), n))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val buckets = base
+      .select(col("id"), posexplode(bandHashes(col("sig"), k, bands)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val sh = base.select(col("id"), col("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  /** 64-bit SimHash as four 16-bit band values (array<long>, bands
+    * low→high). Keeping quarters separate doubles as the LSH
+    * banding: docs within Hamming distance ≤3 share ≥1 identical
+    * band (pigeonhole). Majority vote per bit over xxhash64(token)
+    * (Charikar '02), built from array exprs — no UDF. Shift amounts
+    * are lambda-bound columns, so this goes through call_function to
+    * reach the Catalyst ShiftRight/ShiftLeft that accept them.
+    */
+  def simhashBands(text: Column): Column = {
+    val ws = words(text)
+    val total = size(ws)
+    transform(sequence(lit(0), lit(3)), band =>
+      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
+        val bitIdx = (band * 16 + j).cast("int")
+        val ones = size(filter(ws, w =>
+          call_function("shiftright", xxhash64(w), bitIdx)
+            .bitwiseAND(lit(1L)) === lit(1L)))
+        val bit = when(ones * 2 >= total, lit(1L)).otherwise(lit(0L))
+        acc + bit * call_function("shiftleft", lit(1L), j)
+      }))
+  }
+
+  /** Hamming distance between two simhash band arrays. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, d) => acc + d)
+
+  /** SimHash near-duplicates: docs sharing any identical 16-bit band
+    * are candidates (recall ≥ Hamming-3 pairs); verified by full
+    * Hamming distance ≤ `maxDist`.
+    */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", simhashBands(col("text")))
+    val buckets = base.select(col("id"), col("sh"),
+        posexplode(col("sh")).as(Seq("band", "value")))
+    val candidates = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.value") === col("r.value") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

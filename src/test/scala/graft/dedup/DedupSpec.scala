@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "another unrelated text mentioning vectors and embeddings only")
+  )
+  lazy val df = corpus.toDF("doc_id", "text")
+
+  test("exact dedup groups exact copies, keeps min id") {
+    val groups = Dedup.exactDuplicateGroups(df, "doc_id", Seq("text")).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("n_copies") === 2)
+    assert(groups(0).getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", Seq("text"))
+    assert(kept.count() === 4)
+    assert(kept.filter($"doc_id" === 4).count() === 0)
+  }
+
+  test("dropExactDuplicates is idempotent") {
+    val once = Dedup.dropExactDuplicates(df, "doc_id", Seq("text"))
+    val twice = Dedup.dropExactDuplicates(once, "doc_id", Seq("text"))
+    assert(once.count() === twice.count())
+  }
+
+  test("jaccard: identical=1, near-dup high, unrelated low") {
+    val sh = df.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+    def j(a: Long, b: Long): Double = {
+      val ra = sh.filter($"doc_id" === a).select("sh").head.getSeq[String](0)
+      val rb = sh.filter($"doc_id" === b).select("sh").head.getSeq[String](0)
+      ra.toSet.intersect(rb.toSet).size.toDouble / ra.toSet.union(rb.toSet).size
+    }
+    assert(j(1, 4) === 1.0)
+    assert(j(1, 2) > 0.8)
+    assert(j(1, 3) < 0.1)
+  }
+
+  test("minhash LSH recovers planted near-dups, skips unrelated") {
+    val pairs = Dedup.minhashNearDuplicates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always caught
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("minhash signature of identical text is identical") {
+    val sigs = df.filter($"doc_id".isin(1L, 4L))
+      .select(Dedup.minhashSignature(Dedup.shingles($"text", 2), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("simhash: identical text → distance 0; near-dup close; unrelated far") {
+    val sh = df.select($"doc_id", Dedup.simhashBands($"text").as("sh"))
+    def bands(id: Long) = sh.filter($"doc_id" === id).head.getSeq[Long](1)
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(ham(bands(1), bands(4)) === 0)
+    assert(ham(bands(1), bands(2)) < ham(bands(1), bands(3)))
+  }
+
+  test("simhash near-dup pipeline finds exact + near pairs") {
+    val pairs = Dedup.simhashNearDuplicates(df, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}
