@@ -9,6 +9,7 @@ import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.ops._
 import graft.quality.RuleBasedScorer
+import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -130,6 +131,22 @@ object SparkEntry {
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
+    // Similarity: exact brute-force cosine top-k (broadcast query)
+    "q_knn_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    // Similarity: batched multi-query top-k via window ranking
+    "q_knn_multi" -> ((s, d) =>
+      Similarity.multiQueryTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 5)),
+    // Similarity: SRP-LSH ANN top-k (bucket-pruned scan; recall spec'd)
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
+    // Similarity: embedding-cosine near-dup over planted copies
+    "q_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999)
+    }),
   )
 
   /** documents ∪ deterministic near-copies (every 5th doc, last two
@@ -314,6 +331,24 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
+    "q_knn_brute" ->
+      """SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_knn_multi" ->
+      """WITH p AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+           FROM embeddings e,
+                (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2)) q)
+         SELECT * FROM (
+           SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM p) WHERE rank <= 5
+         ORDER BY query_id, rank""",
   )
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in

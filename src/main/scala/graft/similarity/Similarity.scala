@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scale design (100 TB):
+  *  - Brute-force cosine is the exact baseline: a broadcast of the
+  *    query vector(s) + one narrow pass + TakeOrdered(k). No shuffle
+  *    of the embedding table, ever — only (id, score) pairs move.
+  *  - Multi-query batches broadcast the whole query set and rank
+  *    per-query with a window over (query, score) — one shuffle of
+  *    candidate pairs, never of raw vectors.
+  *  - The ANN path is sign-random-projection LSH: vectors hash to a
+  *    small bucket id (sign bits against deterministic hyperplanes),
+  *    so at scale the table can be written partitioned by bucket and
+  *    a query scans only its probe buckets (partition pruning), at a
+  *    documented recall trade-off. Hyperplanes derive from
+  *    xxhash64(plane, dim) — no RNG state, reproducible across runs.
+  *  - All arithmetic in double: float inputs are widened first so
+  *    scores are deterministic and engine-comparable.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one stored vector (query joined in
+    * as a broadcast single-row frame). Scores rounded to 4 places
+    * before ranking so tie order is engine-stable.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batched exact top-k: one pass of the table scores every query in
+    * the broadcast set; row_number ranks within each query.
+    */
+  def multiQueryTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val qs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    embeddings
+      .crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic hyperplane component: xxhash64(plane, dim) mapped
+    * to [-0.5, 0.5). Fixed given (plane, dim) — no RNG state.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(1000)).cast("double") / 1000.0) - 0.5
+
+  /** Sign-random-projection bucket id: bit p = sign of <v, plane_p>. */
+  def srpBucket(v: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val d = aggregate(
+          zip_with(asDouble(v), sequence(lit(0), size(v) - 1),
+            (x, j) => x * planeComponent(p, j)),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc + b)
+
+  /** ANN top-k: candidates = rows in the query's SRP bucket, ranked
+    * exactly within. At scale the bucket is a partition-pruned scan;
+    * recall vs brute force is the documented trade (see spec).
+    */
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", srpBucket(col("embedding"), nPlanes))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    bucketed
+      .join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket join prunes
+    * candidates, exact cosine ≥ threshold verifies. The classic
+    * near-dup shape for embedding-deduped training corpora.
+    */
+  def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    val b = embeddings
+      .select(col("vec_id"), col("embedding"),
+        srpBucket(col("embedding"), nPlanes).as("bucket"))
+    b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(cosine(col("l.embedding"), col("r.embedding")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

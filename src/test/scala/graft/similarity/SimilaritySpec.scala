@@ -1,0 +1,57 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("self-similarity is 1.0 and tops the ranking") {
+    val top = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+    assert(top(0).getLong(0) === 0L)
+    assert(top(0).getDouble(1) === 1.0)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sorted(Ordering[Double].reverse).toSeq === sims.toSeq)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("multi-query returns k rows per query, rank 1 = self") {
+    val r = Similarity.multiQueryTopK(emb, Seq(0L, 1L, 2L), 5).collect()
+    assert(r.length === 15)
+    val byQuery = r.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === 5)
+      val first = rows.minBy(_.getInt(3))
+      assert(first.getLong(1) === q) // self is rank 1
+    }
+  }
+
+  test("SRP buckets are deterministic and bounded") {
+    val b1 = emb.select(Similarity.srpBucket($"embedding", 4).as("b"))
+      .agg(min("b"), max("b")).head
+    assert(b1.getLong(0) >= 0L && b1.getLong(1) <= 15L)
+    val a = emb.select(Similarity.srpBucket($"embedding", 4)).collect().map(_.getLong(0))
+    val b = emb.select(Similarity.srpBucket($"embedding", 4)).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("ANN recall: query's own bucket contains it; results subset of brute") {
+    val ann = Similarity.annTopK(emb, 0L, 10, nPlanes = 4).collect()
+    assert(ann.nonEmpty)
+    assert(ann(0).getLong(0) === 0L) // self always survives bucketing
+    val brute = Similarity.bruteForceTopK(emb, 0L, 100).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every ANN score agrees with the exact score
+    ann.foreach(r => assert(brute.get(r.getLong(0)).forall(_ === r.getDouble(1))))
+  }
+
+  test("embedding near-dup finds planted exact copies at cos=1") {
+    val planted = emb.select($"vec_id", $"embedding").limit(20)
+      .union(emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding").limit(20))
+    val pairs = Similarity.embeddingNearDuplicates(planted, 0.999).collect()
+    assert(pairs.length >= 20)
+    pairs.take(20).foreach(r => assert(r.getDouble(2) >= 0.999))
+  }
+}
