@@ -10,6 +10,7 @@ import graft.functions.TextFunctions
 import graft.ops._
 import graft.quality.RuleBasedScorer
 import graft.similarity.Similarity
+import graft.textanalysis.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -147,6 +148,12 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999)
     }),
+    // Text analysis: per-doc token counts, ratios, language ID
+    "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
+    // Text analysis: per-language corpus rollup
+    "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
+    // Text analysis: rolling-hash + md5 document fingerprints
+    "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
   )
 
   /** documents ∪ deterministic near-copies (every 5th doc, last two
@@ -349,6 +356,41 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
            FROM p) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_text_stats" ->
+      """WITH w AS (
+           SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         sc AS (
+           SELECT doc_id, text, ws,
+             len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+             len(list_filter(ws, x -> x IN ('el','los','las','es','y'))) AS s_es,
+             len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS s_de
+           FROM w)
+         SELECT doc_id,
+           len(ws) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+           CAST(ceil(length(text)/4.0) AS BIGINT) AS est_llm_tokens,
+           round(length(replace(text,' ',''))/len(ws), 4) AS avg_word_len,
+           round(len(list_filter(ws, x -> x IN ('the','a')))/len(ws), 4) AS stopword_ratio,
+           CASE WHEN s_en > 0 AND s_en = greatest(s_en,s_fr,s_es,s_de) THEN 'en'
+                WHEN s_fr > 0 AND s_fr = greatest(s_en,s_fr,s_es,s_de) THEN 'fr'
+                WHEN s_es > 0 AND s_es = greatest(s_en,s_fr,s_es,s_de) THEN 'es'
+                WHEN s_de > 0 AND s_de = greatest(s_en,s_fr,s_es,s_de) THEN 'de'
+                ELSE 'und' END AS detected_lang
+         FROM sc ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         sum(len(string_split(text, ' '))) AS total_tokens,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "q_fingerprints" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+           (acc, x) -> (acc*31 + x) % 1000000007) AS rolling_hash,
+         md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
   )
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in

@@ -1,0 +1,132 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{words, stopwordCount, wordCount}
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * token counting, readability/quality statistics, and document
+  * fingerprinting. All are narrow, codegen'd column expressions —
+  * at 100 TB these run at parquet-scan speed with zero shuffle; only
+  * the per-corpus rollups aggregate (partial/final hash agg).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------
+  // Token counting
+  // ---------------------------------------------------------------
+
+  /** Whitespace token count (single-space split — oracle-exact). */
+  def tokenCount(text: Column): Column = wordCount(text).cast("long")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, and
+    * single other non-space symbols each count as one token — the
+    * shape of a byte-pair tokenizer's pre-tokenization split.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
+  /** Cheap LLM-token estimate: chars/4, ceiling. */
+  def estimatedLlmTokens(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  // ---------------------------------------------------------------
+  // Language identification
+  // ---------------------------------------------------------------
+
+  /** Function-word profiles per language — the classic cheap lang-ID
+    * heuristic (score = distinctive-stopword hits; argmax wins, 'und'
+    * when nothing matches).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, sw) => lang -> stopwordCount(text, sw) }
+
+  /** Predicted language: argmax profile score, ties broken by profile
+    * order, 'und' if all scores are 0.
+    */
+  def detectLang(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    coalesce(
+      scores.map { case (lang, s) => when(s > 0 && s === best, lit(lang)) } :+
+        lit("und"): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Quality / readability statistics
+  // ---------------------------------------------------------------
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))) /
+      length(text)
+
+  def avgWordLength(text: Column): Column =
+    length(replace(text, lit(" "), lit(""))) / wordCount(text)
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords) / wordCount(text)
+
+  /** Per-document text statistics frame. Ratios rounded to 4 places
+    * for engine-stable hashing.
+    */
+  def textStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+      estimatedLlmTokens(col("text")).as("est_llm_tokens"),
+      round(avgWordLength(col("text")), 4).as("avg_word_len"),
+      round(stopwordRatio(col("text"), Seq("the", "a")), 4).as("stopword_ratio"),
+      detectLang(col("text")).as("detected_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus rollup per labeled language: volume + token totals. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(tokenCount(col("text"))).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  // ---------------------------------------------------------------
+  // Fingerprinting
+  // ---------------------------------------------------------------
+
+  val FpMod = 1000000007L
+
+  /** Karp-Rabin rolling polynomial hash of the whole document —
+    * content-defined 64-bit-safe fingerprint, reproducible in any
+    * engine with integer folds (no md5 dependence).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= ""),
+        c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => pmod(acc * 31 + x, lit(FpMod)))
+
+  /** Bottom-k sketch of word-bigram hashes (winnowing-style document
+    * signature): the k smallest xxhash64 values of the shingle set.
+    * Two documents' sketches overlap ∝ their Jaccard similarity.
+    */
+  def bottomKSketch(shingleSet: Column, k: Int): Column =
+    slice(array_sort(transform(shingleSet, s => xxhash64(s))), 1, k)
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      rollingHash(col("text")).as("rolling_hash"),
+      md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,66 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.dedup.Dedup
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs bpe-ish vs estimate") {
+    val df = Seq((1L, "hello world, it's 42 degrees!")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeishTokenCount($"text"),
+      TextAnalysis.estimatedLlmTokens($"text")).head
+    assert(r.getLong(0) === 5)
+    // hello|world|,|it|'|s|42|degrees|! = 9
+    assert(r.getLong(1) === 9)
+    assert(r.getLong(2) === math.ceil(29 / 4.0).toLong)
+  }
+
+  test("language detection picks the profile with most hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is a friend of mine"),
+      (2L, "le chat et la maison des amis les voisins"),
+      (3L, "der hund und die katze das ist gut"),
+      (4L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val langs = df.select($"doc_id", TextAnalysis.detectLang($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) === "en")
+    assert(langs(2L) === "fr")
+    assert(langs(3L) === "de")
+    assert(langs(4L) === "und")
+  }
+
+  test("rolling hash: deterministic, order-sensitive, bounded") {
+    val df = Seq((1L, "abc"), (2L, "acb"), (3L, "abc")).toDF("doc_id", "text")
+    val h = df.select(TextAnalysis.rollingHash($"text")).collect().map(_.getLong(0))
+    assert(h(0) === h(2))
+    assert(h(0) !== h(1)) // order matters — not a bag hash
+    assert(h.forall(v => v >= 0 && v < TextAnalysis.FpMod))
+    // matches the direct fold
+    val expected = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % TextAnalysis.FpMod)
+    assert(h(0) === expected)
+  }
+
+  test("bottom-k sketch overlap tracks similarity") {
+    val a = Dedup.shingles(lit("the quick brown fox jumps over the lazy dog"), 2)
+    val b = Dedup.shingles(lit("the quick brown fox jumps over the lazy cat"), 2)
+    val c = Dedup.shingles(lit("entirely different words in this sentence here"), 2)
+    val r = spark.range(1).select(
+      TextAnalysis.bottomKSketch(a, 4).as("sa"),
+      TextAnalysis.bottomKSketch(b, 4).as("sb"),
+      TextAnalysis.bottomKSketch(c, 4).as("sc")).head
+    val (sa, sb, sc) = (r.getSeq[Long](0).toSet, r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet)
+    assert(sa.intersect(sb).size > sa.intersect(sc).size)
+  }
+
+  test("corpus stats partition the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val stats = TextAnalysis.corpusStats(docs).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    stats.foreach(r => assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars")))
+  }
+}
