@@ -154,6 +154,13 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     // Text analysis: rolling-hash + md5 document fingerprints
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    // §2.8 ST1 — the full quality pipeline (CDC → enrich), batch
+    // parity twin of the streaming transform (same functions)
+    "q_enrichment_pipeline" -> ((s, d) =>
+      graft.streaming.Pipelines.enrichedProjection(
+        graft.streaming.Pipelines.qualityEnrich(
+          Cdc.syntheticEnvelopes(Tables.documents(s, d))))
+        .orderBy("doc_id")),
   )
 
   /** documents ∪ deterministic near-copies (every 5th doc, last two
@@ -391,6 +398,37 @@ object SparkEntry {
            (acc, x) -> (acc*31 + x) % 1000000007) AS rolling_hash,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "q_enrichment_pipeline" ->
+      """WITH e AS (
+           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
+                       WHEN doc_id % 20 = 1 THEN 'r'
+                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
+                  doc_id, text, lang, n_chars
+           FROM documents),
+         k AS (SELECT * FROM e WHERE op NOT IN ('r','d')),
+         w AS (
+           SELECT doc_id, lang, n_chars, substring(text, 1, 1024) AS tx,
+                  string_split(substring(text, 1, 1024), ' ') AS ws
+           FROM k),
+         s AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(least(100, floor(length(tx)/5)) AS BIGINT) AS completeness,
+             CAST(CASE WHEN len(ws) < 3 THEN 0
+                  ELSE floor(len(list_distinct(ws)) * 100 / len(ws)) END AS BIGINT) AS consistency,
+             CAST(CASE WHEN regexp_matches(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                         OR regexp_matches(tx, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
+                         OR regexp_matches(tx, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
+                    THEN 0 ELSE 100 END AS BIGINT) AS pii_detection,
+             CAST(least(100, floor(len(list_filter(ws, x -> x IN ('the','a'))) * 1000 / len(ws))) AS BIGINT) AS language_quality
+           FROM w)
+         SELECT doc_id, lang, n_chars AS content_size,
+           'created' AS status, 1 AS version,
+           (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
+           (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0 AS quality_is_valid,
+           pii_detection = 0 AS has_pii,
+           completeness, consistency, pii_detection, language_quality,
+           'rule-based' AS quality_provider, 'graft-v1' AS quality_model
+         FROM s ORDER BY doc_id""",
   )
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in

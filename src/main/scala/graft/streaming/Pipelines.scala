@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Cdc
+import graft.quality.RuleBasedScorer
+
+/** The reference's two stream processors re-expressed as Structured
+  * Streaming (SURVEY.md §2.8 ST1-ST8):
+  *
+  *   cdc.documents ─(quality enrich)→ quality.checks ─(index upsert)→ "ES"
+  *
+  * Every transform here is the *same function* applied in batch mode
+  * by SparkEntry queries (transform parity, SURVEY §7.5.5): a
+  * streaming DataFrame flows through Cdc.pipeline / enrich unchanged.
+  * Sources/sinks are injected (MemoryStream in tests, Kafka in prod —
+  * options are config, not code, matching the reference's env-driven
+  * wiring).
+  *
+  * Scale notes:
+  *  - The enrichment stage is stateless + narrow → scales with
+  *    partition count, no state store involved (reference ST4: its
+  *    processors are stateless too).
+  *  - View-stats is a stateful streaming aggregation in update mode —
+  *    the Spark-native form of the reference's Redis INCR/PFADD
+  *    counters; state is per-key (doc_id), compact, RocksDB-backed on
+  *    a real cluster.
+  *  - The upsert sink dedups each micro-batch by key before merging
+  *    (ST7 last-write-wins by version, then ts) — idempotent under
+  *    replay, which is what makes checkpoint recovery exactly-once.
+  */
+object Pipelines {
+
+  /** Stage 1 (data-quality service): CDC envelope JSON → op/payload
+    * filter → flatten → rule-based quality enrichment
+    * (reference services/data-quality/app/main.py:206-244).
+    */
+  def qualityEnrich(envelopes: DataFrame, block: Boolean = false): DataFrame = {
+    val flat = Cdc.pipeline(envelopes)
+    val scored = RuleBasedScorer.score(flat, "text")
+    RuleBasedScorer.qualityGate(scored, block)
+      .withColumn("quality_provider", lit("rule-based"))
+      .withColumn("quality_model", lit("graft-v1"))
+  }
+
+  /** The enriched projection shared by batch + streaming (FIXTURES §4
+    * flat shape; struct-free so engines hash it identically).
+    */
+  def enrichedProjection(enriched: DataFrame): DataFrame =
+    enriched.select("doc_id", "lang", "content_size", "status", "version",
+      "quality_score", "quality_is_valid", "has_pii",
+      "completeness", "consistency", "pii_detection", "language_quality",
+      "quality_provider", "quality_model")
+
+  /** Stage 2 (event-processor): keyed upsert into the "search index"
+    * table — last write per doc wins, ordered by (version, ts_ms)
+    * (reference services/event/app/main.py:71-77: ES doc id = record
+    * id). Pure function over (current index, new batch) so the same
+    * merge serves foreachBatch and batch backfills.
+    */
+  def upsertByKey(index: DataFrame, batch: DataFrame, key: String,
+      versionCols: Seq[String]): DataFrame = {
+    val all = index.unionByName(batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(versionCols.map(c => col(c).desc) :+ col(key).asc: _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Attach the streaming index sink: micro-batches merge into a
+    * parquet directory via upsertByKey. At cluster scale the sink
+    * target is a Delta/Iceberg table and this merge is its MERGE
+    * INTO; parquet-rewrite keeps the local harness dependency-free.
+    */
+  def startIndexSink(enriched: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    enriched.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(indexDir)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = upsertByKey(existing, batch, "doc_id",
+          Seq("version", "ts_ms"))
+        // rewrite via temp dir: the upsert target is also the source
+        val tmp = indexDir + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(indexDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+
+  /** ST4: the Redis counter/HLL state as a stateful streaming agg —
+    * per-doc view totals + approximate unique visitors, update mode.
+    */
+  def viewStatsStream(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "view")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("doc_id"),
+        col("user_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_views"),
+        approx_count_distinct(col("user_id")).as("unique_views"))
+
+  /** Beyond-reference extension (ST5 notes): event-time tumbling
+    * window with watermarked late-data handling.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, "10 minutes")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+}
