@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.dedup.Dedup
 import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
 import graft.ops._
 import graft.quality.RuleBasedScorer
 import graft.similarity.Similarity
@@ -161,6 +162,25 @@ object SparkEntry {
         graft.streaming.Pipelines.qualityEnrich(
           Cdc.syntheticEnvelopes(Tables.documents(s, d))))
         .orderBy("doc_id")),
+    // Multimodal: typed-metadata rollup over the binary asset table
+    "q_media_metadata" -> ((s, d) =>
+      Multimodal.metadataStats(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))),
+    // Multimodal: per-partition codec pass → byte-histogram features
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticAssets(Tables.documents(s, d)))
+        .toDF()
+        .select(col("asset_id"), col("n_bytes"),
+          round(element_at(col("histogram"), 1), 4).as("h0"))
+        .orderBy("asset_id")),
+    // Multimodal: frame sampling (row explosion), frames per video
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.syntheticAssets(Tables.documents(s, d)), 1000L)
+        .toDF()
+        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy("asset_id")),
   )
 
   /** documents ∪ deterministic near-copies (every 5th doc, last two
@@ -429,6 +449,23 @@ object SparkEntry {
            completeness, consistency, pii_detection, language_quality,
            'rule-based' AS quality_provider, 'graft-v1' AS quality_model
          FROM s ORDER BY doc_id""",
+    "q_media_metadata" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         count(*) AS n_assets,
+         sum(strlen(text)) AS total_bytes,
+         sum(CASE WHEN doc_id % 3 = 0 THEN 0
+                  ELSE 1000 + (doc_id % 60) * 1000 END) AS total_duration_ms,
+         max(CAST(640 + (doc_id % 4) * 160 AS INT)) AS max_width
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    "q_media_features" ->
+      """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         round(len(list_filter([ascii(c) % 16 for c in string_split(text, '')],
+                               x -> x = 0)) / strlen(text), 4) AS h0
+         FROM documents ORDER BY asset_id""",
+    "q_frame_sample" ->
+      """SELECT doc_id AS asset_id, 1 + doc_id % 60 AS n_frames
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""",
   )
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in
