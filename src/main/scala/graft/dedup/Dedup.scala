@@ -92,17 +92,31 @@ object Dedup {
     * distinct candidates → verify.
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+    // signatures computed ONCE and persisted: the frame feeds both
+    // sides of the bucket join plus candidate verification — without
+    // this, Catalyst re-derives shingles+minhash per reference
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), n))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), col("sh"), col("sig"))
+      .persist()
     val buckets = base
       .select(col("id"), posexplode(bandHashes(col("sig"), k, bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    val candidates = buckets.as("l")
-      .join(buckets.as("r"),
+    // skew guard: a bucket holding b docs yields b² candidate pairs;
+    // boilerplate-heavy corpora produce degenerate buckets — cap them
+    // (the capped docs still pair through their other bands)
+    val small = buckets
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val candidates = small.as("l")
+      .join(small.as("r"),
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
@@ -130,14 +144,20 @@ object Dedup {
     * are lambda-bound columns, so this goes through call_function to
     * reach the Catalyst ShiftRight/ShiftLeft that accept them.
     */
-  def simhashBands(text: Column): Column = {
-    val ws = words(text)
-    val total = size(ws)
+  def simhashBands(text: Column): Column =
+    simhashBandsFromHashes(transform(words(text), w => xxhash64(w)))
+
+  /** Bands from pre-computed token hashes — callers materialize the
+    * hash array as a column first so tokens hash ONCE, not once per
+    * bit (64× difference in the hot path).
+    */
+  def simhashBandsFromHashes(hs: Column): Column = {
+    val total = size(hs)
     transform(sequence(lit(0), lit(3)), band =>
       aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
         val bitIdx = (band * 16 + j).cast("int")
-        val ones = size(filter(ws, w =>
-          call_function("shiftright", xxhash64(w), bitIdx)
+        val ones = size(filter(hs, h =>
+          call_function("shiftright", h, bitIdx)
             .bitwiseAND(lit(1L)) === lit(1L)))
         val bit = when(ones * 2 >= total, lit(1L)).otherwise(lit(0L))
         acc + bit * call_function("shiftleft", lit(1L), j)
@@ -154,20 +174,31 @@ object Dedup {
     * Hamming distance ≤ `maxDist`.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 100): DataFrame = {
+    // tokens hashed once, fingerprint persisted (feeds both join
+    // sides + verification)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", simhashBands(col("text")))
-    val buckets = base.select(col("id"), col("sh"),
+      .withColumn("hs", transform(words(col("text")), w => xxhash64(w)))
+      .select(col("id"), simhashBandsFromHashes(col("hs")).as("sh"))
+      .persist()
+    val buckets = base.select(col("id"),
         posexplode(col("sh")).as(Seq("band", "value")))
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("value"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
     val candidates = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") &&
         col("l.value") === col("r.value") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    val sh = base.select(col("id"), col("sh"))
     candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))

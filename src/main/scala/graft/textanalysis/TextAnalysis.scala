@@ -75,18 +75,31 @@ object TextAnalysis {
     stopwordCount(text, stopwords) / wordCount(text)
 
   /** Per-document text statistics frame. Ratios rounded to 4 places
-    * for engine-stable hashing.
+    * for engine-stable hashing. The token array is materialized once
+    * as a column and every statistic reads it — one split per row,
+    * not one per metric (the naive form re-tokenizes 7×).
     */
-  def textStats(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
-      estimatedLlmTokens(col("text")).as("est_llm_tokens"),
-      round(avgWordLength(col("text")), 4).as("avg_word_len"),
-      round(stopwordRatio(col("text"), Seq("the", "a")), 4).as("stopword_ratio"),
-      detectLang(col("text")).as("detected_lang"))
+  def textStats(documents: DataFrame): DataFrame = {
+    def hits(sw: Seq[String]) =
+      size(filter(col("ws"), w => w.isin(sw.map(lit): _*)))
+    val scores = LangProfiles.map { case (lang, sw) => lang -> hits(sw) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = coalesce(
+      scores.map { case (l, s) => when(s > 0 && s === best, lit(l)) } :+
+        lit("und"): _*)
+    documents
+      .withColumn("ws", words(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        estimatedLlmTokens(col("text")).as("est_llm_tokens"),
+        round(length(replace(col("text"), lit(" "), lit(""))) / size(col("ws")), 4)
+          .as("avg_word_len"),
+        round(hits(Seq("the", "a")) / size(col("ws")), 4).as("stopword_ratio"),
+        lang.as("detected_lang"))
       .orderBy(col("doc_id"))
+  }
 
   /** Corpus rollup per labeled language: volume + token totals. */
   def corpusStats(documents: DataFrame): DataFrame =
