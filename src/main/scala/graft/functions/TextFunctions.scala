@@ -43,6 +43,25 @@ object TextFunctions {
   def isoFormat(ts: Column): Column =
     date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
+  /** F7: epoch-millis ↔ timestamp acceptance (ES date format
+    * `strict_date_optional_time||epoch_millis`, event/app/main.py:94-101).
+    */
+  def fromEpochMillis(ms: Column): Column = timestamp_millis(ms)
+  def toEpochMillis(ts: Column): Column = unix_millis(ts)
+
+  /** The driver events table reads ts as epoch-NANO long
+    * (nanosAsLong); convert to a real timestamp column.
+    */
+  def eventTs(tsNanos: Column): Column =
+    timestamp_micros((tsNanos / 1000).cast("long"))
+
+  /** F10: UUID shape validation (path params typed UUID,
+    * main.py:103).
+    */
+  val UuidPattern =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+  def isValidUuid(c: Column): Column = c.rlike(UuidPattern)
+
   /** F16: client-IP fallback chain (main.py:108). */
   def clientIp(ipAddress: Column, clientHost: Column): Column =
     coalesce(ipAddress, clientHost, lit("unknown"))

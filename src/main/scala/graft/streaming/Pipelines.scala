@@ -100,6 +100,27 @@ object Pipelines {
       }
       .start()
 
+  /** J2: enrichment lookup — the stream joins the static blob/content
+    * table by s3_key (reference data-quality/app/main.py:99-116
+    * fetches MinIO content per event). Stream-static left join: the
+    * static side broadcasts when small; no state store involved.
+    */
+  def enrichWithContent(flattened: DataFrame, content: DataFrame): DataFrame =
+    flattened
+      .join(content.select(col("s3_key").as("c_key"),
+        col("content").as("blob_content")),
+        flattened("s3_key") === col("c_key"), "left")
+      .drop("c_key")
+      .withColumn("has_content", col("blob_content").isNotNull)
+
+  /** S9: Kafka JSON sink projection — the record re-serialized as the
+    * (key, value) pair a Kafka writer expects (reference
+    * data-quality/app/main.py:217-233 value_serializer="json").
+    */
+  def toKafkaJson(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** ST4: the Redis counter/HLL state as a stateful streaming agg —
     * per-doc view totals + approximate unique visitors, update mode.
     */

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops._
+
+/** Physical-plan assertions: the properties that make these operators
+  * scale are load-bearing, so they're tested like behavior. If a
+  * refactor turns a broadcast join into a shuffle or breaks filter
+  * pushdown, these fail before a cluster run would.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  lazy val orders = Tables.orders(spark, sfDir)
+  lazy val customer = Tables.customer(spark, sfDir)
+  lazy val lineitem = Tables.lineitem(spark, sfDir)
+
+  test("point lookup pushes the key predicate into the parquet scan") {
+    val p = plan(RelationalOps.pointLookup(orders, 42L))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"), p)
+  }
+
+  test("status lookup prunes to exactly the needed columns") {
+    val p = plan(RelationalOps.statusLookup(orders, 42L))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>"), p)
+  }
+
+  test("semi-join broadcasts the filtered dimension side") {
+    val p = plan(RelationalOps.semiJoinExists(orders, customer, "BUILDING"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the segment filter is pushed to the customer scan, not applied post-join
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("top-k compiles to TakeOrdered, not a global sort") {
+    val p = plan(RelationalOps.topCustomers(orders, 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val p2 = plan(SearchOps.search(Tables.documents(spark, sfDir), "merge"))
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val p = plan(RelationalOps.pricingSummary(lineitem))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("revenue query broadcasts all dimension joins, shuffles only the fact join") {
+    val p = plan(RelationalOps.revenueByRegion(lineitem, orders, customer,
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    // lineitem scan reads only the 3 needed columns of 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("quality scorer stays in one codegen stage (no shuffle)") {
+    val scored = graft.quality.RuleBasedScorer.score(
+      Tables.documents(spark, sfDir), "text")
+    val p = plan(scored)
+    assert(!p.contains("Exchange"), p) // narrow end-to-end
+  }
+}
