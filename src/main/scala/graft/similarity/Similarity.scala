@@ -91,6 +91,7 @@ object Similarity {
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
       nPlanes: Int = 8): DataFrame = {
     val bucketed = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .withColumn("bucket", srpBucket(col("embedding"), nPlanes))
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
@@ -109,8 +110,10 @@ object Similarity {
   def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 8): DataFrame = {
     val b = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         srpBucket(col("embedding"), nPlanes).as("bucket"))
+      .persist()
     b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
