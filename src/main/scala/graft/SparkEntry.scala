@@ -162,6 +162,15 @@ object SparkEntry {
         graft.streaming.Pipelines.qualityEnrich(
           Cdc.syntheticEnvelopes(Tables.documents(s, d))))
         .orderBy("doc_id")),
+    // §2.10 GET /search over the enriched index: quality + PII filters
+    "q_search_enriched" -> ((s, d) =>
+      SearchOps.searchEnriched(
+        graft.streaming.Pipelines.qualityEnrich(
+          Cdc.syntheticEnvelopes(Tables.documents(s, d))),
+        "merge", minQualityScore = 50.0, excludePii = true, size = 20)),
+    // §2.4 A2 — mergeable HLL sketches (PFADD/PFMERGE parity)
+    "q_view_stats_sketch" -> ((s, d) =>
+      StatsOps.viewStatsSketched(Tables.events(s, d))),
     // Multimodal: typed-metadata rollup over the binary asset table
     "q_media_metadata" -> ((s, d) =>
       Multimodal.metadataStats(
@@ -449,6 +458,40 @@ object SparkEntry {
            completeness, consistency, pii_detection, language_quality,
            'rule-based' AS quality_provider, 'graft-v1' AS quality_model
          FROM s ORDER BY doc_id""",
+    "q_search_enriched" ->
+      """WITH e AS (
+           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
+                       WHEN doc_id % 20 = 1 THEN 'r'
+                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
+                  doc_id, text, source, n_chars
+           FROM documents),
+         k AS (SELECT * FROM e WHERE op NOT IN ('r','d')),
+         w AS (
+           SELECT doc_id, text, source, substring(text, 1, 1024) AS tx,
+                  string_split(substring(text, 1, 1024), ' ') AS ws
+           FROM k),
+         s AS (
+           SELECT doc_id, text, source,
+             CAST(least(100, floor(length(tx)/5)) AS BIGINT) AS completeness,
+             CAST(CASE WHEN len(ws) < 3 THEN 0
+                  ELSE floor(len(list_distinct(ws)) * 100 / len(ws)) END AS BIGINT) AS consistency,
+             CAST(CASE WHEN regexp_matches(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                         OR regexp_matches(tx, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
+                         OR regexp_matches(tx, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
+                    THEN 0 ELSE 100 END AS BIGINT) AS pii_detection,
+             CAST(least(100, floor(len(list_filter(ws, x -> x IN ('the','a'))) * 1000 / len(ws))) AS BIGINT) AS language_quality
+           FROM w),
+         f AS (
+           SELECT doc_id,
+             (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
+             2 * CAST((length(source) - length(replace(source,'merge','')))/5 AS BIGINT)
+               + CAST((length(text) - length(replace(text,'merge','')))/5 AS BIGINT) AS score
+           FROM s
+           WHERE (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0
+             AND pii_detection != 0)
+         SELECT doc_id, quality_score, score, count(*) OVER () AS total_hits
+         FROM f WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 20""",
     "q_media_metadata" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

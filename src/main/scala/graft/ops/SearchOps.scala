@@ -76,6 +76,29 @@ object SearchOps {
       .limit(size)
   }
 
+  /** The reference's full GET /search semantics over the ENRICHED
+    * corpus (search/app/main.py:100-109): text match + quality-score
+    * range filter (P6) + PII exclusion (P5) + top-k page + total.
+    * Runs against the quality pipeline's output — the engine's
+    * equivalent of querying the ES index the pipeline maintains.
+    */
+  def searchEnriched(enriched: DataFrame, q: String,
+      minQualityScore: Double, excludePii: Boolean,
+      from: Int = 0, size: Int = 10): DataFrame = {
+    val base = enriched
+      .filter(col("quality_score") >= minQualityScore)
+    val piiFiltered = if (excludePii) base.filter(!col("has_pii")) else base
+    piiFiltered
+      .withColumn("score", score(col("source"), col("text"), q))
+      .filter(col("score") > 0)
+      .withColumn("total_hits", count(lit(1)).over(Window.partitionBy()))
+      .select(col("doc_id"), col("quality_score"), col("score"),
+        col("total_hits"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .offset(from)
+      .limit(size)
+  }
+
   /** F4: highlight matched terms — presentation-level, regex-free. */
   def highlight(c: Column, q: String): Column =
     replace(c, lit(q), lit(s"<em>$q</em>"))

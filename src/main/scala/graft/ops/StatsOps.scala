@@ -52,6 +52,29 @@ object StatsOps {
         approx_count_distinct(col("user_id"), rsd).as("approx_unique_views"))
       .orderBy(col("doc_id"))
 
+  /** A2 with full Redis-PFMERGE parity: mergeable HLL sketches.
+    * Each half of the traffic builds its own sketch (hll_sketch_agg);
+    * hll_union_agg merges them — the estimate must equal building
+    * one sketch over everything (associative state, like PFADD
+    * shards merged with PFMERGE). At 100 TB this is what makes
+    * distinct counting embarrassingly parallel: partials merge, raw
+    * visitor ids never re-shuffle.
+    */
+  def viewStatsSketched(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(docKey(col("props")).as("doc_id"), col("user_id"))
+    val halves = views
+      .withColumn("shard", col("user_id") % 2)
+      .groupBy(col("doc_id"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    halves
+      .groupBy(col("doc_id"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("unique_views_merged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A1/A3 over all event types: per-type event counts + value sum
     * (exact-decimal sum so the DuckDB oracle hash-matches bit-for-bit
     * regardless of float summation order).
