@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "128k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(spark)
     // untimed warmup: JVM/codegen/scheduler spin-up should not be
     // attributed to whichever query happens to run first
     try {

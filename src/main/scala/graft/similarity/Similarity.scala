@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.GraftFunctions
+
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Scale design (100 TB):
@@ -34,6 +36,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Session-aware cosine: uses the native fused-loop Catalyst
+    * expression (graft.plans.CosineSimilarity) when registered —
+    * bit-identical results, one array walk instead of four.
+    */
+  private def cosineFor(df: DataFrame)(a: Column, b: Column): Column =
+    if (GraftFunctions.isRegistered(df.sparkSession))
+      call_function(GraftFunctions.CosineName, asDouble(a), asDouble(b))
+    else cosine(a, b)
+
   /** Exact top-k by cosine against one stored vector (query joined in
     * as a broadcast single-row frame). Scores rounded to 4 places
     * before ranking so tie order is engine-stable.
@@ -44,7 +55,7 @@ object Similarity {
     embeddings
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -60,7 +71,7 @@ object Similarity {
     embeddings
       .crossJoin(broadcast(qs))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
@@ -98,7 +109,7 @@ object Similarity {
     bucketed
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -118,7 +129,7 @@ object Similarity {
         col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        round(cosine(col("l.embedding"), col("r.embedding")), 4).as("cos_sim"))
+        round(cosineFor(embeddings)(col("l.embedding"), col("r.embedding")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }

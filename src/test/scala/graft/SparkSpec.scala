@@ -22,6 +22,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.register(s)
     s
   }
 }

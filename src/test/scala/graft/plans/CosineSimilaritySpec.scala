@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.similarity.Similarity
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("native expression is registered in the session") {
+    assert(GraftFunctions.isRegistered(spark))
+  }
+
+  test("native cosine ≡ composed cosine bitwise on real embeddings") {
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      $"vec_id",
+      Similarity.cosine($"embedding", $"q_emb").as("composed"),
+      call_function(GraftFunctions.CosineName,
+        $"embedding".cast("array<double>"), $"q_emb".cast("array<double>"))
+        .as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("native expression participates in whole-stage codegen") {
+    // AQE's unfinalized wrapper reports no codegen subtrees; disable
+    // it for the plan inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_emb"))
+      val df = emb.crossJoin(broadcast(q)).select(
+        call_function(GraftFunctions.CosineName,
+          $"embedding".cast("array<double>"), $"q_emb".cast("array<double>")))
+      // CodegenMode actually generates the java source — a fallback
+      // expression would produce zero codegen'd subtrees here
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen"), p.take(500))
+      assert(p.contains("cosinesimilarity"), p.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("known values: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 2.0), Array(1.0, 2.0)),
+      (Array(1.0, 0.0), Array(-1.0, 0.0))
+    ).toDF("a", "b")
+    val r = df.select(call_function(GraftFunctions.CosineName, $"a", $"b"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) === 0.0)
+    assert(math.abs(r(1) - 1.0) < 1e-15)
+    assert(r(2) === -1.0)
+  }
+
+  test("type check rejects non-double arrays") {
+    val df = Seq((Array("x"), Array("y"))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(call_function(GraftFunctions.CosineName, $"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
