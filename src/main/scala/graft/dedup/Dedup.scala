@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.words
+import graft.plans.TextHashFunctions
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (hash-groupBy), word-shingle Jaccard, MinHash+LSH, SimHash.
@@ -105,11 +106,18 @@ object Dedup {
     // Explicit repartition first: scan parallelism follows input
     // BYTES, but signature cost follows ROWS — a small file would
     // otherwise hash everything on one core.
+    val sigExpr =
+      if (TextHashFunctions.isRegistered(df.sparkSession))
+        // native fused loop (graft.plans.ShingleMinHash): bit-identical
+        // to the composed form, ~10x less per-row overhead
+        call_function(TextHashFunctions.MinHashName,
+          words(col("text")), lit(n), lit(k))
+      else minhashSignature(col("sh"), k)
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("sh", shingles(col("text"), n))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", sigExpr)
       .select(col("id"), col("sh"), col("sig"))
       .persist()
     val buckets = base
@@ -186,10 +194,13 @@ object Dedup {
       maxDist: Int = 3, maxBucketSize: Int = 100): DataFrame = {
     // tokens hashed once, fingerprint persisted (feeds both join
     // sides + verification); repartition for row-proportional CPU
+    val bandsExpr =
+      if (TextHashFunctions.isRegistered(df.sparkSession))
+        call_function(TextHashFunctions.SimHashName, words(col("text")))
+      else simhashBands(col("text"))
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("hs", transform(words(col("text")), w => xxhash64(w)))
-      .select(col("id"), simhashBandsFromHashes(col("hs")).as("sh"))
+      .select(col("id"), bandsExpr.as("sh"))
       .persist()
     val buckets = base.select(col("id"),
         posexplode(col("sh")).as(Seq("band", "value")))

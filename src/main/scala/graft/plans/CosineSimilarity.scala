@@ -89,9 +89,11 @@ object GraftFunctions {
     * Callers (Verify/Bench/tests) invoke this once; Similarity picks
     * the native path up automatically when present.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    TextHashFunctions.register(spark)
+  }
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry

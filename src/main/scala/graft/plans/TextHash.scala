@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.array.ByteArrayMethods
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hot loops for MinHash and SimHash.
+  *
+  * Spark's higher-order array functions (transform/filter/aggregate)
+  * evaluate their lambdas interpreted — the composed MinHash spends
+  * its time boxing per-element hash calls (~30M per bench run).
+  * These expressions do the same math in tight primitive loops and
+  * produce BYTE-IDENTICAL results to the composed forms (same XXH64
+  * seeds and iteration order — asserted by spec), so they're a
+  * drop-in physical optimization, not a semantic fork.
+  */
+object TextHashUtil {
+
+  private val SEED = 42L // XxHash64 expression default seed
+
+  /** MinHash signature straight from the token array: for each of
+    * the k permutations, min over word n-grams of
+    * hashLong(hashUnsafeBytes(ngram_bytes), hashInt(i)) — exactly
+    * xxhash64(i, xxhash64(ngram_string)). N-gram bytes are built in
+    * a reusable buffer (words joined by 0x20), no String churn.
+    * Duplicates don't affect a min, so no distinct step is needed.
+    */
+  def shingleMinHash(words: ArrayData, n: Int, k: Int): ArrayData = {
+    val nWords = words.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val permSeeds = new Array[Long](k)
+    var p = 0
+    while (p < k) { permSeeds(p) = XXH64.hashInt(p, SEED); p += 1 }
+    var buf = new Array[Byte](64)
+    var i = 0
+    val last = nWords - n
+    while (i <= last) {
+      // build the n-gram bytes: words[i..i+n-1] joined with ' '
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val w = words.getUTF8String(i + j)
+        val wb = w.numBytes()
+        if (len + wb + 1 > buf.length) {
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + wb + 1))
+        }
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+        len += wb
+        j += 1
+      }
+      val base = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SEED)
+      p = 0
+      while (p < k) {
+        val h = XXH64.hashLong(base, permSeeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** 64-bit SimHash as four 16-bit bands in one pass: per-token
+    * xxhash64, majority vote per bit — identical to the composed
+    * Dedup.simhashBands (same hash, same ones*2 >= total rule).
+    */
+  def simHashBands(words: ArrayData): ArrayData = {
+    val nWords = words.numElements()
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < nWords) {
+      val w = words.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), SEED)
+      var j = 0
+      while (j < 64) {
+        ones(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        if (ones(b * 16 + j) * 2 >= nWords) v += (1L << j)
+        j += 1
+      }
+      bands(b) = v
+      b += 1
+    }
+    ArrayData.toArrayData(bands)
+  }
+}
+
+abstract class TextHashExpression extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<string>, got ${t.sql}")
+  }
+}
+
+case class ShingleMinHash(child: Expression, n: Int, k: Int)
+    extends TextHashExpression {
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.shingleMinHash(v.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHashUtil.shingleMinHash($c, $n, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHashBands64(child: Expression) extends TextHashExpression {
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.simHashBands(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHashUtil.simHashBands($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+  val MinHashName = "graft_minhash"
+  val SimHashName = "graft_simhash"
+
+  private def intLit(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashName,
+      exprs => ShingleMinHash(exprs(0), intLit(exprs(1)), intLit(exprs(2))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashName, exprs => SimHashBands64(exprs(0)), "scala_udf")
+  }
+
+  def isRegistered(spark: SparkSession): Boolean =
+    spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(MinHashName))
+}

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.dedup.Dedup
+import graft.functions.TextFunctions.words
+
+class TextHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfDir).limit(50)
+
+  test("native minhash ≡ composed minhash bitwise") {
+    val both = docs.select(
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 16).as("composed"),
+      call_function(TextHashFunctions.MinHashName,
+        words($"text"), lit(3), lit(16)).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("native simhash ≡ composed simhash bitwise") {
+    val both = docs.select(
+      Dedup.simhashBands($"text").as("composed"),
+      call_function(TextHashFunctions.SimHashName, words($"text")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("minhash estimates jaccard: similar docs share more signature slots") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "utterly different material covering spark catalyst internals today")
+    ).toDF("id", "text")
+    val sigs = df.select($"id",
+      call_function(TextHashFunctions.MinHashName, words($"text"), lit(2), lit(64)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)))
+  }
+
+  test("long words grow the shingle buffer correctly") {
+    val long = ("a" * 200 + " ") * 5
+    val df = Seq((1L, long.trim)).toDF("id", "text")
+    val native = df.select(call_function(TextHashFunctions.MinHashName,
+      words($"text"), lit(3), lit(16))).head.getSeq[Long](0)
+    val composed = df.select(
+      Dedup.minhashSignature(Dedup.shingles($"text", 3), 16)).head.getSeq[Long](0)
+    assert(native === composed)
+  }
+}
