@@ -105,3 +105,37 @@ object RuleBasedScorer extends QualityScorer {
   def qualityGate(scored: DataFrame, block: Boolean): DataFrame =
     if (block) scored.filter(col("quality_is_valid")) else scored
 }
+
+/** U2: the provider-factory seam (reference
+  * llm/LLMProviderFactory.py:11-22 creates scorers by name). The
+  * trait keeps scoring backends swappable without touching the
+  * pipeline; an unknown name fails fast like the reference's
+  * ValueError.
+  */
+object QualityScorerFactory {
+  def create(name: String): QualityScorer = name match {
+    case "rule-based" => RuleBasedScorer
+    case "length-only" => LengthOnlyScorer
+    case other => throw new IllegalArgumentException(
+      s"unknown quality provider: $other")
+  }
+}
+
+/** Minimal alternative provider proving the seam: every sub-score
+  * derives from content volume alone.
+  */
+object LengthOnlyScorer extends QualityScorer {
+  def score(df: DataFrame, textCol: String): DataFrame = {
+    val s = least(lit(100), floor(length(col(textCol)) / 5)).cast("long")
+    df.withColumn("completeness", s)
+      .withColumn("consistency", s)
+      .withColumn("pii_detection", lit(100L))
+      .withColumn("language_quality", s)
+      .withColumn("quality_score",
+        RuleBasedScorer.overall(col("completeness"), col("consistency"),
+          col("pii_detection"), col("language_quality")))
+      .withColumn("quality_is_valid",
+        col("quality_score") >= RuleBasedScorer.MinQualityScore)
+      .withColumn("has_pii", lit(false))
+  }
+}

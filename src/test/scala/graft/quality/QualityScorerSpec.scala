@@ -54,4 +54,16 @@ class QualityScorerSpec extends SparkSpec {
     assert(issues.contains("language_quality"))
     assert(!issues.contains("pii"))
   }
+
+  test("provider factory swaps scorers; unknown name fails fast (U2)") {
+    val df = Seq((1L, "some reasonably long content with words repeated words")).toDF("doc_id", "text")
+    val rule = QualityScorerFactory.create("rule-based").score(df, "text")
+    val len = QualityScorerFactory.create("length-only").score(df, "text")
+    // both produce the enriched shape; backends differ in the values
+    assert(rule.columns.toSet === len.columns.toSet)
+    assert(len.select("pii_detection").head.getLong(0) === 100L)
+    intercept[IllegalArgumentException] {
+      QualityScorerFactory.create("openai")
+    }
+  }
 }
