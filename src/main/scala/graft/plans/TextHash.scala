@@ -102,6 +102,51 @@ object TextHashUtil {
   }
 }
 
+object VectorHashUtil {
+
+  /** SRP-LSH bucket id in one pass: bit p of the bucket = sign of
+    * <v, plane_p> where plane_p[j] = (xxhash64(p, j) mod 1000)/1000
+    * - 0.5 — identical to Similarity.srpBucket's composed form
+    * (xxhash64(p: int, j: int) = hashInt(j, hashInt(p, 42)), pmod).
+    */
+  def srpBucket(v: ArrayData, nPlanes: Int): Long = {
+    val dims = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val pSeed = XXH64.hashInt(p, 42L)
+      var d = 0.0
+      var j = 0
+      while (j < dims) {
+        val h = XXH64.hashInt(j, pSeed)
+        val m = h % 1000L
+        val comp = (if (m < 0) m + 1000L else m).toDouble / 1000.0 - 0.5
+        d += v.getDouble(j) * comp
+        j += 1
+      }
+      if (d >= 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+case class SrpBucket(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<double>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorHashUtil.srpBucket(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorHashUtil.srpBucket($c, $nPlanes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 abstract class TextHashExpression extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -133,6 +178,7 @@ case class SimHashBands64(child: Expression) extends TextHashExpression {
 object TextHashFunctions {
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
+  val SrpBucketName = "graft_srp_bucket"
 
   private def intLit(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -147,6 +193,8 @@ object TextHashFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SimHashName, exprs => SimHashBands64(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SrpBucketName, exprs => SrpBucket(exprs(0), intLit(exprs(1))), "scala_udf")
   }
 
   def isRegistered(spark: SparkSession): Boolean =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.GraftFunctions
+import graft.plans.{GraftFunctions, TextHashFunctions}
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -83,6 +83,14 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column): Column =
     (pmod(xxhash64(plane, dim), lit(1000)).cast("double") / 1000.0) - 0.5
 
+  /** Session-aware SRP bucket: native one-pass expression when
+    * registered (bit-identical; see TextHashSpec), composed otherwise.
+    */
+  def srpBucketFor(df: DataFrame)(v: Column, nPlanes: Int): Column =
+    if (TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(TextHashFunctions.SrpBucketName, asDouble(v), lit(nPlanes))
+    else srpBucket(v, nPlanes)
+
   /** Sign-random-projection bucket id: bit p = sign of <v, plane_p>. */
   def srpBucket(v: Column, nPlanes: Int): Column =
     aggregate(
@@ -100,12 +108,20 @@ object Similarity {
     * recall vs brute force is the documented trade (see spec).
     */
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {
     val bucketed = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("bucket", srpBucket(col("embedding"), nPlanes))
+      .withColumn("bucket", srpBucketFor(embeddings)(col("embedding"), nPlanes))
+    val probes =
+      if (multiProbe)
+        // the query bucket + every Hamming-1 neighbor: vectors on the
+        // wrong side of exactly one hyperplane are still candidates
+        array((0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket"): _*)
+      else array(col("bucket"))
     val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("q_emb"),
+        explode(probes).as("q_bucket"))
     bucketed
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .select(col("vec_id"),
@@ -123,7 +139,7 @@ object Similarity {
     val b = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
-        srpBucket(col("embedding"), nPlanes).as("bucket"))
+        srpBucketFor(embeddings)(col("embedding"), nPlanes).as("bucket"))
       .persist()
     b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") &&

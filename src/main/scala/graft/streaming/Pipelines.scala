@@ -133,6 +133,51 @@ object Pipelines {
       .agg(count(lit(1)).as("total_views"),
         approx_count_distinct(col("user_id")).as("unique_views"))
 
+  /** Per-doc analytics state for the custom-state variant. Users are
+    * kept as a distinct Seq (bounded domains in tests; a production
+    * deployment swaps in an HLL sketch blob for the same shape).
+    */
+  case class ViewState(total: Long, users: Seq[Long])
+
+  /** ST4 with custom state + TTL: flatMapGroupsWithState over view
+    * events — the full Redis analog including key expiry (the
+    * reference's 300 s cache TTL, db/config.py:7). State for a doc
+    * id that stays cold past `ttl` is dropped at the next trigger.
+    *
+    * `ttl` ≤ 0 disarms expiry: armed processing-time timeouts keep a
+    * query alive firing no-data batches, so bounded runs
+    * (AvailableNow, processAllAvailable harnesses) must pass ZERO;
+    * continuous deployments pass the real TTL.
+    */
+  def viewStatsWithState(views: org.apache.spark.sql.Dataset[(Long, Long)],
+      ttl: java.time.Duration): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import views.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // even an un-armed ProcessingTimeTimeout operator keeps bounded
+    // queries alive with no-data batches — select it only when expiry
+    // is actually wanted
+    val timeoutConf =
+      if (ttl.toMillis > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    views
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
+        (docId: Long, rows: Iterator[(Long, Long)], state: GroupState[ViewState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // Redis EXPIRE analog
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(ViewState(0L, Seq.empty))
+            val users = rows.map(_._2).toSeq
+            val next = ViewState(prev.total + users.size,
+              (prev.users ++ users).distinct)
+            state.update(next)
+            if (ttl.toMillis > 0) state.setTimeoutDuration(ttl.toMillis)
+            Iterator((docId, next.total, next.users.size.toLong))
+          }
+      }
+  }
+
   /** Beyond-reference extension (ST5 notes): event-time tumbling
     * window with watermarked late-data handling.
     */

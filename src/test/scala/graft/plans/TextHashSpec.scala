@@ -53,4 +53,14 @@ class TextHashSpec extends SparkSpec {
       Dedup.minhashSignature(Dedup.shingles($"text", 3), 16)).head.getSeq[Long](0)
     assert(native === composed)
   }
+
+  test("native SRP bucket ≡ composed SRP bucket") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val both = emb.select(
+      graft.similarity.Similarity.srpBucket($"embedding", 8).as("composed"),
+      call_function(TextHashFunctions.SrpBucketName,
+        $"embedding".cast("array<double>"), lit(8)).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }

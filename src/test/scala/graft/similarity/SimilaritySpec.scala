@@ -54,4 +54,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length >= 20)
     pairs.take(20).foreach(r => assert(r.getDouble(2) >= 0.999))
   }
+
+  test("multi-probe ANN candidates are a superset of single-probe") {
+    val single = Similarity.annTopK(emb, 0L, 100, nPlanes = 6).collect()
+      .map(_.getLong(0)).toSet
+    val multi = Similarity.annTopK(emb, 0L, 100, nPlanes = 6, multiProbe = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+    // multi-probe recall vs brute force is at least single-probe's
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert((brute intersect multi).size >= (brute intersect single).size)
+  }
 }

@@ -99,4 +99,26 @@ class PipelinesSpec extends SparkSpec {
     val rows = spark.table("win_out").orderBy("window_start").collect()
     assert(rows.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
   }
+
+  test("custom-state view stats dedupe users per key (ST4 + TTL shape)") {
+    // an armed ProcessingTimeTimeout keeps bounded runs alive with
+    // no-data batches, so the harness drives the TTL-disarmed form
+    // (Duration.ZERO → NoTimeout) with processAllAvailable
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (doc_id, user_id)
+    val q = Pipelines.viewStatsWithState(mem.toDS(), java.time.Duration.ZERO)
+      .toDF("doc_id", "total_views", "unique_views")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    mem.addData(Seq((7L, 1L), (7L, 2L)))
+    q.processAllAvailable()
+    mem.addData(Seq((7L, 1L), (8L, 9L)))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("state_out").filter($"doc_id" === 7L)
+      .orderBy($"total_views".desc).head
+    assert(last.getAs[Long]("total_views") === 3L)  // state carried across batches
+    assert(last.getAs[Long]("unique_views") === 2L) // user 1 deduped
+    val d8 = spark.table("state_out").filter($"doc_id" === 8L).head
+    assert(d8.getAs[Long]("total_views") === 1L)
+  }
 }
