@@ -171,6 +171,15 @@ object SparkEntry {
     // §2.4 A2 — mergeable HLL sketches (PFADD/PFMERGE parity)
     "q_view_stats_sketch" -> ((s, d) =>
       StatsOps.viewStatsSketched(Tables.events(s, d))),
+    // Clickstream: sessionization (lag + boundary cumsum), per-session stats
+    "q_sessionize" -> ((s, d) => SessionOps.sessionStats(Tables.events(s, d))),
+    // Clickstream: hourly event rollup (the canonical aggregation)
+    "q_hourly_events" -> ((s, d) => SessionOps.hourlyRollup(Tables.events(s, d))),
+    // §2.5 window functions: running totals, row_number, lag gaps
+    "q_running_totals" -> ((s, d) => SessionOps.runningUserTotals(Tables.events(s, d))),
+    // grouping sets: region→nation ROLLUP with subtotals + grand total
+    "q_rollup" -> ((s, d) => SessionOps.regionNationRollup(
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     // Multimodal: typed-metadata rollup over the binary asset table
     "q_media_metadata" -> ((s, d) =>
       Multimodal.metadataStats(
@@ -458,6 +467,48 @@ object SparkEntry {
            completeness, consistency, pii_detection, language_quality,
            'rule-based' AS quality_provider, 'graft-v1' AS quality_model
          FROM s ORDER BY doc_id""",
+    "q_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tns, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s AS (
+           SELECT *, sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING)
+             AS session_idx
+           FROM o)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(event_id) AS first_event,
+           CAST(floor((max(tns) - min(tns)) / 1000) AS BIGINT) AS duration_ms,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q_hourly_events" ->
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
+                '%Y-%m-%d %H:00:00') AS hour,
+         event_type, count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_running_totals" ->
+      """SELECT user_id, event_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+         CAST(row_number() OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS INT) AS event_seq,
+         CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / 1000) AS BIGINT) AS gap_ms
+         FROM events ORDER BY user_id, event_seq""",
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     "q_search_enriched" ->
       """WITH e AS (
            SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Clickstream time analytics: sessionization, hourly rollups,
+  * running/lag window functions, and hierarchical rollups.
+  *
+  * The events table's `ts` arrives as epoch-NANO Long (nanosAsLong
+  * read of TIMESTAMP(NANOS)). All time math here runs on integer
+  * MICROseconds (`ts div 1000`): DuckDB coerces TIMESTAMP_NS to
+  * microsecond TIMESTAMP by truncation, so µs is the finest
+  * engine-portable granularity — and integer division keeps it
+  * exact.
+  *
+  * Scale notes: sessionization is ONE shuffle (partition by user),
+  * then all window work is within-partition streams; per-user event
+  * counts are small so no skew handling is needed — a pathological
+  * bot user would be salted upstream. Hourly rollup is a plain
+  * partial+final hash agg keyed (hour, type).
+  */
+object SessionOps {
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Engine-portable event time: epoch micros (see class doc). */
+  private val tus = expr("ts div 1000")
+
+  /** Assign session indices per user: a gap > `gapNanos` starts a new
+    * session (classic lag + cumulative-sum-of-boundaries).
+    */
+  def sessionize(events: DataFrame, gapMicros: Long = SessionGapMicros): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val isNew = when(
+      col("tus") - lag(col("tus"), 1).over(byUser) > gapMicros, 1)
+      .otherwise(0)
+    events
+      .withColumn("tus", tus)
+      .withColumn("new_session", coalesce(isNew, lit(0)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_session")
+  }
+
+  /** Per-session stats: bounds, size, duration, exact value sum. */
+  def sessionStats(events: DataFrame, gapMicros: Long = SessionGapMicros): DataFrame =
+    sessionize(events, gapMicros)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        // floor, not cast: CAST(double AS BIGINT) truncates in Spark
+        // but ROUNDS in DuckDB — floor() agrees everywhere
+        floor((max(col("tus")) - min(col("tus"))) / lit(1000L)).cast("long")
+          .as("duration_ms"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  /** Hourly event rollup — the canonical clickstream aggregation.
+    * Hour derived from nanos by integer division (exact).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame = {
+    // integer `div`, not double division: epoch-nanos exceed the
+    // 2^53 exact-double range, so a double round-trip can drift a
+    // second at the hour boundary
+    val hourSec = expr("((ts div 1000) div 3600000000) * 3600")
+    events
+      .groupBy(
+        from_unixtime(hourSec, "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Window-function surface: running per-user value totals and
+    * previous-event gaps (lag) — frame-spec'd aggregation within the
+    * single user-partition shuffle.
+    */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    events.withColumn("tus", tus).select(
+      col("user_id"), col("event_id"),
+      sum(col("value").cast("decimal(18,2)"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_value"),
+      row_number().over(byUser).as("event_seq"),
+      floor((col("tus") - lag(col("tus"), 1).over(byUser)) / lit(1000L))
+        .cast("long").as("gap_ms"))
+      .orderBy(col("user_id"), col("event_seq"))
+  }
+
+  /** Hierarchical rollup (region → nation subtotals + grand total)
+    * via ROLLUP grouping sets.
+    */
+  def regionNationRollup(customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_balance"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+}
