@@ -112,13 +112,15 @@ object Dedup {
         // to the composed form, ~10x less per-row overhead
         call_function(TextHashFunctions.MinHashName,
           words(col("text")), lit(n), lit(k))
-      else minhashSignature(col("sh"), k)
+      else minhashSignature(shingles(col("text"), n), k)
+    // corpus pass carries only (id, text, sig): string shingle SETS
+    // are needed solely to verify candidates, so they're derived
+    // later for just the candidate rows — not for the whole corpus
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("sh", shingles(col("text"), n))
-      .filter(size(col("sh")) > 0)
+      .filter(size(words(col("text"))) >= n)
       .withColumn("sig", sigExpr)
-      .select(col("id"), col("sh"), col("sig"))
+      .select(col("id"), col("text"), col("sig"))
       .persist()
     val buckets = base
       .select(col("id"), posexplode(bandHashes(col("sig"), k, bands)))
@@ -139,11 +141,15 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val sh = base.select(col("id"), col("sh"))
+    // join candidate ids to texts FIRST, shingle after: expressions
+    // above a join run only on joined rows, so the expensive shingle
+    // build touches candidates, not the corpus
+    val texts = base.select(col("id"), col("text"))
     candidates
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccard(
+        shingles(col("text_a"), n), shingles(col("text_b"), n)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
