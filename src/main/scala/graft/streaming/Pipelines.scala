@@ -62,9 +62,12 @@ object Pipelines {
   def upsertByKey(index: DataFrame, batch: DataFrame, key: String,
       versionCols: Seq[String]): DataFrame = {
     val all = index.unionByName(batch)
+    // final tiebreak = content hash: rows tied on every version column
+    // must still pick a DETERMINISTIC winner or replays diverge
+    val contentHash = xxhash64(all.columns.sorted.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
-      .orderBy(versionCols.map(c => col(c).desc) :+ col(key).asc: _*)
+      .orderBy(versionCols.map(c => col(c).desc) :+ contentHash.asc: _*)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -82,20 +85,29 @@ object Pipelines {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try spark.read.parquet(indexDir)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        val merged = upsertByKey(existing, batch, "doc_id",
-          Seq("version", "ts_ms"))
-        // rewrite via temp dir: the upsert target is also the source
-        val tmp = indexDir + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(indexDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val bak = new org.apache.hadoop.fs.Path(indexDir + "__bak")
+        val tmp = new org.apache.hadoop.fs.Path(indexDir + "__tmp")
+        // crash-safe read: if a previous run died between the renames
+        // below, the live index is the backup
+        def readIndex(p: org.apache.hadoop.fs.Path) =
+          try Some(spark.read.parquet(p.toString)) catch { case _: Throwable => None }
+        val existing = readIndex(dst).orElse(readIndex(bak)).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+        val merged = upsertByKey(existing, batch, "doc_id",
+          Seq("version", "ts_ms"))
+        // rewrite via tmp + backup rotation: at every instant either
+        // indexDir or indexDir__bak holds a complete index, so a crash
+        // at any point loses nothing (the merge itself is idempotent
+        // under micro-batch replay)
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
+        fs.rename(tmp, dst)
+        fs.delete(bak, true)
         ()
       }
       .start()
@@ -127,7 +139,7 @@ object Pipelines {
   def viewStatsStream(events: DataFrame): DataFrame =
     events
       .filter(col("event_type") === "view")
-      .select(get_json_object(col("props"), "$.k").cast("long").as("doc_id"),
+      .select(graft.ops.StatsOps.docKey(col("props")).as("doc_id"),
         col("user_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("total_views"),

@@ -10,15 +10,17 @@ class SkewAndBucketingSpec extends SparkSpec {
   lazy val customer = Tables.customer(spark, sfDir)
 
   test("salted join is row-identical to the plain join") {
-    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
-      .select("o_orderkey", "c_custkey", "c_mktsegment")
-      .collect().map(_.toString).sorted
-    val salted = Skew.saltedJoin(
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    val plain = rows(
+      orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_mktsegment"))
+    val salted = rows(Skew.saltedJoin(
       orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
       "o_custkey", saltFactor = 8)
-      .select("o_orderkey", "o_custkey", "c_mktsegment")
-      .collect().map(_.toString.replace("o_custkey", "c_custkey")).sorted
-    assert(plain.length === salted.length)
+      .select("o_orderkey", "o_custkey", "c_mktsegment"))
+    assert(plain === salted)
   }
 
   test("salted two-phase count matches plain count per key") {
