@@ -180,11 +180,12 @@ object TextHashFunctions {
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
 
-  private def intLit(e: Expression): Int = e match {
+  private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"expected integer literal, got $other")
   }
+  private def intLit(e: Expression): Int = intLitValue(e)
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
