@@ -21,10 +21,13 @@ class GraftExtensionsSpec extends AnyFunSuite
     saved = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
+    // spark.sql.extensions is STATIC — ignored when another suite's
+    // SparkContext already exists — but withExtensions applies at
+    // session construction unconditionally
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
