@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: composed size(intersect)/size(union) → native
+    // single-pass JaccardSimilarity (see RewriteJaccard)
+    e.injectOptimizerRule(_ => RewriteJaccard)
     e.injectFunction((FunctionIdentifier(GraftFunctions.CosineName),
       info(GraftFunctions.CosineName,
         "cosine similarity of two array<double> in one fused pass"),

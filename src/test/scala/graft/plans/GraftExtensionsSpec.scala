@@ -63,4 +63,49 @@ class GraftExtensionsSpec extends AnyFunSuite
       spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
   }
+
+  test("optimizer rule rewrites composed jaccard to the native expression") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("the quick brown fox", "the quick brown dog"),
+      ("alpha beta", "gamma delta")
+    ).toDF("a", "b")
+    val composed = df.select(graft.dedup.Dedup.jaccard(
+      graft.dedup.Dedup.shingles($"a", 1),
+      graft.dedup.Dedup.shingles($"b", 1)).as("j"))
+    // literal input constant-folds to a LocalRelation, so assert the
+    // rewrite on a parquet-backed plan where folding can't pre-empt it
+    val onTable = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.dedup.Dedup.jaccard(
+        graft.dedup.Dedup.shingles(col("text"), 2),
+        graft.dedup.Dedup.shingles(col("lang"), 1)).as("j"))
+    assert(onTable.queryExecution.optimizedPlan.toString
+      .contains("jaccardsimilarity"),
+      onTable.queryExecution.optimizedPlan.toString)
+    // values match the hand-computed set jaccard (folded or not)
+    val vals = composed.collect().map(_.getDouble(0))
+    assert(vals(0) === 3.0 / 5.0)
+    assert(vals(1) === 0.0)
+  }
+
+  test("native jaccard ≡ composed jaccard on real shingle sets") {
+    import org.apache.spark.sql.functions._
+    // a session WITHOUT the rule evaluates the composed form
+    val plainSession = SparkSession.getDefaultSession.get // ext session
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val a = docs.select(col("doc_id").as("ia"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("ib"), col("text").as("tb"))
+    val pairs = a.join(b, col("ib") === col("ia") + 1)
+    val sh1 = graft.dedup.Dedup.shingles(col("ta"), 2)
+    val sh2 = graft.dedup.Dedup.shingles(col("tb"), 2)
+    val both = pairs.select(
+      graft.dedup.Dedup.jaccard(sh1, sh2).as("rewritten"), // rule fires
+      (size(array_intersect(sh1, sh2)) + lit(0.0)).as("inter"),
+      (size(array_union(sh1, sh2)) + lit(0.0)).as("union")) // no match: shape differs
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1) / r.getDouble(2))
+    }
+  }
 }
