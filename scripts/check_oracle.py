@@ -44,6 +44,10 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         files = glob.glob(f"{d}/*.parquet") or glob.glob(f"{d}/part-*")
+        if not files:  # dir exists but write died before any part file
+            print(f"✗ {name}: PARTIAL OUTPUT (no parquet files in dir)")
+            n_fail += 1
+            continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"  [rows-only] {name}: rows={len(got)}")

@@ -31,13 +31,13 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val sf = "/root/testdata/sf0.001"
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      StatsOps.viewStats(Tables.events(spark, sf))
-    } catch {
-      case _: Throwable =>
-        RelationalOps.pricingSummary(Tables.lineitem(spark, sf))
-    }
+    // catch ONLY the conf rejection — a failure reading events must
+    // surface, not silently swap flagships
+    val nanosOk =
+      try { spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (nanosOk) StatsOps.viewStats(Tables.events(spark, sf))
+    else RelationalOps.pricingSummary(Tables.lineitem(spark, sf))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

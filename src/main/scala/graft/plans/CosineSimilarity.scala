@@ -85,15 +85,44 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine"
 
-  /** Register graft's native expressions in a session (idempotent).
-    * Callers (Verify/Bench/tests) invoke this once; Similarity picks
-    * the native path up automatically when present.
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+      b(exprs)
+    }
+
+  /** Single source of truth for every native function: consumed by
+    * register() (imperative) AND GraftExtensions (injection) so the
+    * two paths can never drift.
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    TextHashFunctions.register(spark)
-  }
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (CosineName,
+      "cosine similarity of two array<double> in one fused pass",
+      arity(CosineName, 2)(e => CosineSimilarity(e(0), e(1)))),
+    (TextHashFunctions.MinHashName,
+      "MinHash signature over word n-grams: (words, n, k) -> array<long>",
+      arity(TextHashFunctions.MinHashName, 3)(e => ShingleMinHash(e(0),
+        TextHashFunctions.intLitValue(e(1)),
+        TextHashFunctions.intLitValue(e(2))))),
+    (TextHashFunctions.SimHashName,
+      "64-bit SimHash as four 16-bit bands: (words) -> array<long>",
+      arity(TextHashFunctions.SimHashName, 1)(e => SimHashBands64(e(0)))),
+    (TextHashFunctions.SrpBucketName,
+      "sign-random-projection LSH bucket: (array<double>, planes) -> long",
+      arity(TextHashFunctions.SrpBucketName, 2)(e => SrpBucket(e(0),
+        TextHashFunctions.intLitValue(e(1))))))
+
+  /** Register graft's native expressions in a session (idempotent).
+    * Callers (Verify/Bench/tests) invoke this once; library code
+    * picks the native path up automatically when present.
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.QueryContext
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, BinaryExpression, Cast, Divide, Expression, Size}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -13,17 +14,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * rule that rewrites the composed form into it.
   *
   * The composed `size(array_intersect(a,b)) / size(array_union(a,b))`
-  * builds two hash tables and two result ARRAYS per row (intersect
-  * and union both materialize their output). The native form builds
-  * one set per side and counts — no output arrays — with
-  * |A∪B| = |A|+|B|−|A∩B|. Results are identical for the engine's
-  * usage (distinct, non-null shingle sets; both operators are
-  * null/NaN-compatible set semantics on such inputs).
+  * builds two hash tables and materializes two result ARRAYS per
+  * row; the native form builds one set per side and counts, with
+  * |A∪B| = |A|+|B|−|A∩B|. Division semantics are preserved exactly:
+  * an empty union throws DIVIDE_BY_ZERO under ANSI and yields NULL
+  * otherwise — the `ansi` flag is captured from the session conf at
+  * rewrite time, matching what the replaced Divide would have done.
   */
-case class JaccardSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class JaccardSimilarity(left: Expression, right: Expression,
+    ansi: Boolean) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // empty-union yields NULL in non-ANSI mode even for non-null inputs
+  override def nullable: Boolean = !ansi || super.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -33,12 +37,31 @@ case class JaccardSimilarity(left: Expression, right: Expression)
         s"arguments must be array<string>, got ${l.sql}, ${r.sql}")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    JaccardUtil.jaccard(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val iu = JaccardUtil.interUnion(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (iu(1) == 0) {
+      if (ansi) throw JaccardUtil.divideByZeroError(origin.context)
+      else null
+    } else iu(0).toDouble / iu(1)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.JaccardUtil.jaccard($a, $b);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val errCtx = ctx.addReferenceObj("errCtx", origin.context,
+      classOf[QueryContext].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val iu = ctx.freshName("iu")
+      val onZero =
+        if (ansi)
+          s"throw graft.plans.JaccardUtil.divideByZeroError($errCtx);"
+        else s"${ev.isNull} = true;"
+      s"""
+         |int[] $iu = graft.plans.JaccardUtil.interUnion($a, $b);
+         |if ($iu[1] == 0) { $onZero }
+         |else { ${ev.value} = (double) $iu[0] / $iu[1]; }
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -46,8 +69,30 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 }
 
 object JaccardUtil {
-  /** |A∩B| / |A∪B| over the DISTINCT elements of each side. */
-  def jaccard(a: ArrayData, b: ArrayData): Double = {
+
+  /** The same DIVIDE_BY_ZERO the replaced Divide raises under ANSI.
+    * QueryExecutionErrors and SparkArithmeticException are both
+    * Scala-private[.] (their JVM classes are public), so the error
+    * is built reflectively; a plain ArithmeticException with the
+    * same message is the fallback.
+    */
+  def divideByZeroError(ctx: QueryContext): ArithmeticException =
+    try {
+      val cls = Class.forName("org.apache.spark.SparkArithmeticException")
+      val ctor = cls.getConstructor(classOf[String],
+        classOf[scala.collection.immutable.Map[_, _]],
+        classOf[Array[QueryContext]])
+      ctor.newInstance("DIVIDE_BY_ZERO",
+        Map("config" -> "\"spark.sql.ansi.enabled\""),
+        Option(ctx).toArray).asInstanceOf[ArithmeticException]
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        new ArithmeticException(
+          "[DIVIDE_BY_ZERO] Division by zero (empty union in jaccard).")
+    }
+
+  /** (|A∩B|, |A∪B|) over the DISTINCT elements of each side. */
+  def interUnion(a: ArrayData, b: ArrayData): Array[Int] = {
     val setA = new java.util.HashSet[UTF8String](math.max(8, a.numElements() * 2))
     var i = 0
     while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
@@ -57,15 +102,14 @@ object JaccardUtil {
     var inter = 0
     val it = setB.iterator()
     while (it.hasNext) { if (setA.contains(it.next())) inter += 1 }
-    val union = setA.size() + setB.size() - inter
-    inter.toDouble / union
+    Array(inter, setA.size() + setB.size() - inter)
   }
 }
 
 /** Optimizer rule: size(array_intersect(a,b)) / size(array_union(a,b))
   * → JaccardSimilarity(a,b) when both sides reference the same pair
   * of string arrays. Injected via GraftExtensions; applies to any
-  * user query spelled the composed way, including raw SQL.
+  * query spelled the composed way, including raw SQL.
   */
 object RewriteJaccard extends Rule[LogicalPlan] {
 
@@ -92,6 +136,6 @@ object RewriteJaccard extends Rule[LogicalPlan] {
           SizeOf(ArrayUnion(l2, r2)), _)
           if l1.semanticEquals(l2) && r1.semanticEquals(r2) &&
             isStringArray(l1) && isStringArray(r1) =>
-        JaccardSimilarity(l1, r1)
+        JaccardSimilarity(l1, r1, conf.ansiEnabled)
     }
 }

@@ -185,18 +185,9 @@ object TextHashFunctions {
     case other => throw new IllegalArgumentException(
       s"expected integer literal, got $other")
   }
-  private def intLit(e: Expression): Int = intLitValue(e)
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      MinHashName,
-      exprs => ShingleMinHash(exprs(0), intLit(exprs(1)), intLit(exprs(2))),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SimHashName, exprs => SimHashBands64(exprs(0)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      SrpBucketName, exprs => SrpBucket(exprs(0), intLit(exprs(1))), "scala_udf")
-  }
+  /** Delegates to the single registration table. */
+  def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.sessionState.functionRegistry.functionExists(

@@ -90,23 +90,31 @@ object Pipelines {
         val dst = new org.apache.hadoop.fs.Path(indexDir)
         val bak = new org.apache.hadoop.fs.Path(indexDir + "__bak")
         val tmp = new org.apache.hadoop.fs.Path(indexDir + "__tmp")
-        // crash-safe read: if a previous run died between the renames
-        // below, the live index is the backup
-        def readIndex(p: org.apache.hadoop.fs.Path) =
-          try Some(spark.read.parquet(p.toString)) catch { case _: Throwable => None }
-        val existing = readIndex(dst).orElse(readIndex(bak)).getOrElse(
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+        // Hadoop rename/delete signal failure by RETURNING false;
+        // treat that as fatal so the micro-batch fails loudly and the
+        // checkpoint retries, instead of silently losing the index
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"index sink: $what failed")
+        // recovery: a crash between the two renames below leaves only
+        // the backup — promote it before doing anything else
+        if (!fs.exists(dst) && fs.exists(bak))
+          must(fs.rename(bak, dst), "restore backup")
+        val existing =
+          if (fs.exists(dst)) spark.read.parquet(dst.toString)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = upsertByKey(existing, batch, "doc_id",
           Seq("version", "ts_ms"))
-        // rewrite via tmp + backup rotation: at every instant either
-        // indexDir or indexDir__bak holds a complete index, so a crash
-        // at any point loses nothing (the merge itself is idempotent
-        // under micro-batch replay)
+        // rotation invariant: at every instant dst or bak holds a
+        // complete index; the stale backup is only dropped while dst
+        // exists, and the post-install drop happens after dst is live.
+        // The merge itself is idempotent under micro-batch replay.
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(bak, true)
-        if (fs.exists(dst)) fs.rename(dst, bak)
-        fs.rename(tmp, dst)
+        if (fs.exists(dst)) {
+          fs.delete(bak, true) // stale only — dst is present
+          must(fs.rename(dst, bak), "rotate live to backup")
+        }
+        must(fs.rename(tmp, dst), "install new index")
         fs.delete(bak, true)
         ()
       }

@@ -38,9 +38,15 @@ class GraftExtensionsSpec extends AnyFunSuite
   }
 
   override def afterAll(): Unit = {
-    saved.foreach { prev =>
-      SparkSession.setDefaultSession(prev)
-      SparkSession.setActiveSession(prev)
+    saved match {
+      case Some(prev) =>
+        SparkSession.setDefaultSession(prev)
+        SparkSession.setActiveSession(prev)
+      case None =>
+        // this suite ran first: don't leak the extensions session as
+        // the JVM-wide default into later suites
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
     }
     super.afterAll()
   }
@@ -91,8 +97,6 @@ class GraftExtensionsSpec extends AnyFunSuite
 
   test("native jaccard ≡ composed jaccard on real shingle sets") {
     import org.apache.spark.sql.functions._
-    // a session WITHOUT the rule evaluates the composed form
-    val plainSession = SparkSession.getDefaultSession.get // ext session
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val a = docs.select(col("doc_id").as("ia"), col("text").as("ta"))
     val b = docs.select(col("doc_id").as("ib"), col("text").as("tb"))
@@ -101,11 +105,35 @@ class GraftExtensionsSpec extends AnyFunSuite
     val sh2 = graft.dedup.Dedup.shingles(col("tb"), 2)
     val both = pairs.select(
       graft.dedup.Dedup.jaccard(sh1, sh2).as("rewritten"), // rule fires
+      // +0.0 breaks the Divide(Size,Size) shape, so these two stay
+      // composed even under the rule — the independent re-derivation
       (size(array_intersect(sh1, sh2)) + lit(0.0)).as("inter"),
-      (size(array_union(sh1, sh2)) + lit(0.0)).as("union")) // no match: shape differs
+      (size(array_union(sh1, sh2)) + lit(0.0)).as("union"))
       .collect()
+    assert(both.nonEmpty)
     both.foreach { r =>
-      assert(r.getDouble(0) === r.getDouble(1) / r.getDouble(2))
+      // bitwise compare (also NaN-safe, unlike ===)
+      assert(java.lang.Double.compare(
+        r.getDouble(0), r.getDouble(1) / r.getDouble(2)) === 0)
     }
+  }
+
+  test("empty-union semantics match the replaced Divide in both ANSI modes") {
+    import org.apache.spark.sql.functions._
+    // non-literal frame so constant folding can't bypass the rule
+    val one = spark.range(1).select(
+      split(lit(""), ",", -1).as("a"), split(lit(""), ",", -1).as("b"))
+    // split("") gives [""], so force genuinely empty arrays:
+    val empty = one.select(
+      expr("filter(a, x -> false)").as("a"), expr("filter(b, x -> false)").as("b"))
+    def jq = graft.dedup.Dedup.jaccard(col("a"), col("b"))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      assert(empty.select(jq.as("j")).head.isNullAt(0)) // NULL, like Divide
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    val e = intercept[Exception] { empty.select(jq.as("j")).collect() }
+    def chain = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("DIVIDE_BY_ZERO"), chain)
   }
 }
