@@ -68,6 +68,7 @@ object SearchOps {
     val matches = filtered
       .withColumn("score", scoreCol)
       .filter(col("score") > 0)
+      .persist() // feeds both the count pass and the page pass
     matches
       .crossJoin(broadcast(totalHits(matches)))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("score"),
@@ -101,6 +102,7 @@ object SearchOps {
     val matches = piiFiltered
       .withColumn("score", score(col("source"), col("text"), q))
       .filter(col("score") > 0)
+      .persist() // the enrichment upstream is expensive — compute once
     matches
       .crossJoin(broadcast(totalHits(matches)))
       .select(col("doc_id"), col("quality_score"), col("score"),
