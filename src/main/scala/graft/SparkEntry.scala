@@ -183,6 +183,12 @@ object SparkEntry {
     // §2.4 A2 — mergeable HLL sketches (PFADD/PFMERGE parity)
     "q_view_stats_sketch" -> ((s, d) =>
       StatsOps.viewStatsSketched(Tables.events(s, d))),
+    // grouping sets: full CUBE with margins over status × priority
+    "q_cube" -> ((s, d) => RelationalOps.statusPriorityCube(Tables.orders(s, d))),
+    // §2.6 set operations: INTERSECT / EXCEPT with distinct semantics
+    "q_set_ops" -> ((s, d) => RelationalOps.setOps(Tables.customer(s, d), Tables.orders(s, d))),
+    // §2.5 windows: ntile quartiles + first/last_value extremes
+    "q_balance_ranks" -> ((s, d) => SessionOps.customerBalanceRanks(Tables.customer(s, d))),
     // Clickstream: sessionization (lag + boundary cumsum), per-session stats
     "q_sessionize" -> ((s, d) => SessionOps.sessionStats(Tables.events(s, d))),
     // Clickstream: hourly event rollup (the canonical aggregation)
@@ -479,6 +485,29 @@ object SparkEntry {
            completeness, consistency, pii_detection, language_quality,
            'rule-based' AS quality_provider, 'graft-v1' AS quality_model
          FROM s ORDER BY doc_id""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_set_ops" ->
+      """WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         open AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+         SELECT c_custkey, 'intersect' AS set_op FROM (SELECT * FROM seg INTERSECT SELECT * FROM open)
+         UNION ALL
+         SELECT c_custkey, 'except' AS set_op FROM (SELECT * FROM seg EXCEPT SELECT * FROM open)
+         ORDER BY set_op, c_custkey""",
+    "q_balance_ranks" ->
+      """SELECT c_custkey, c_nationkey,
+         CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+         first_value(c_custkey) OVER wf AS richest_in_nation,
+         last_value(c_custkey) OVER wf AS poorest_in_nation
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+                wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_custkey""",
     "q_sessionize" ->
       """WITH o AS (
            SELECT user_id, event_id, epoch_us(ts) AS tns, value,

@@ -156,6 +156,36 @@ object RelationalOps {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** CUBE grouping sets: all (status × priority) combinations plus
+    * every subtotal margin and the grand total.
+    */
+  def statusPriorityCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** §2.6 set operations (free from Spark, verified here): customers
+    * in a segment INTERSECT customers with open orders, and EXCEPT
+    * for the complement — distinct set semantics.
+    */
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val inSegment = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val withOpen = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val both = inSegment.intersect(withOpen)
+      .withColumn("set_op", lit("intersect"))
+    val onlySegment = inSegment.except(withOpen)
+      .withColumn("set_op", lit("except"))
+    both.unionByName(onlySegment)
+      .orderBy(col("set_op"), col("c_custkey"))
+  }
+
   /** TPC-H Q5-shaped multi-way join: revenue per region. Dimension
     * chain (region→nation→customer) broadcasts; the single big
     * shuffle is lineitem⋈orders on orderkey.

@@ -96,6 +96,22 @@ object SessionOps {
       .orderBy(col("user_id"), col("event_seq"))
   }
 
+  /** Window ranking extras: balance deciles (ntile) and per-nation
+    * extremes via first/last_value over the full-partition frame.
+    */
+  def customerBalanceRanks(customer: DataFrame): DataFrame = {
+    val byBal = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val full = byBal.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    customer.select(
+      col("c_custkey"), col("c_nationkey"),
+      ntile(4).over(byBal).as("balance_quartile"),
+      first_value(col("c_custkey")).over(full).as("richest_in_nation"),
+      last_value(col("c_custkey")).over(full).as("poorest_in_nation"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Hierarchical rollup (region → nation subtotals + grand total)
     * via ROLLUP grouping sets.
     */
