@@ -22,8 +22,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.name.startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        # DuckDB HUGEINT surfaces as object; make it comparable but keep
+        # its float-ness visible to the kind check below
+        if df[c].dtype.name == "object" and len(df) and \
+           all(isinstance(v, int) and not isinstance(v, bool)
+               for v in df[c].dropna()):
+            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+
+def kind(dtype) -> str:
+    """int vs float vs bool vs other — the class the driver's hash is
+    sensitive to."""
+    n = dtype.name
+    if n.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if n.startswith(("float", "Float")):
+        return "float"
+    if n.startswith(("bool", "Bool")):
+        return "bool"
+    return n
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -65,6 +84,17 @@ def main(sf_dir, out_dir):
             continue
         if len(g) != len(w):
             print(f"✗ {name}: row count spark={len(g)} duckdb={len(w)}")
+            n_fail += 1
+            continue
+        # the driver's hash is dtype-class-sensitive (int64 19525 hashes
+        # differently from float64 19525.0) — reject kind mismatches even
+        # when values are numerically equal
+        kinds_g = [kind(g[c].dtype) for c in g.columns]
+        kinds_w = [kind(w[c].dtype) for c in w.columns]
+        if kinds_g != kinds_w:
+            bad = [(c, a, b) for c, a, b in
+                   zip(g.columns, kinds_g, kinds_w) if a != b]
+            print(f"✗ {name}: dtype-kind mismatch (spark vs duckdb): {bad}")
             n_fail += 1
             continue
         try:

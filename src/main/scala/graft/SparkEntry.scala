@@ -442,8 +442,9 @@ object SparkEntry {
                 ELSE 'und' END AS detected_lang
          FROM sc ORDER BY doc_id""",
     "q_corpus_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-         sum(len(string_split(text, ' '))) AS total_tokens,
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY 1 ORDER BY lang""",
     "q_fingerprints" ->
@@ -516,9 +517,9 @@ object SparkEntry {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
          s AS (
-           SELECT *, sum(new_session) OVER
+           SELECT *, CAST(sum(new_session) OVER
              (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING)
-             AS session_idx
+             AS BIGINT) AS session_idx
            FROM o)
          SELECT user_id, session_idx, count(*) AS n_events,
            min(event_id) AS first_event,
@@ -588,9 +589,9 @@ object SparkEntry {
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
          count(*) AS n_assets,
-         sum(strlen(text)) AS total_bytes,
-         sum(CASE WHEN doc_id % 3 = 0 THEN 0
-                  ELSE 1000 + (doc_id % 60) * 1000 END) AS total_duration_ms,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0
+                  ELSE 1000 + (doc_id % 60) * 1000 END) AS BIGINT) AS total_duration_ms,
          max(CAST(640 + (doc_id % 4) * 160 AS INT)) AS max_width
          FROM documents GROUP BY 1 ORDER BY kind""",
     "q_media_features" ->

@@ -108,7 +108,19 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame =
+    minhashNearDuplicatesManaged(df, idCol, textCol, n, k, bands,
+      threshold, maxBucketSize).df
+
+  /** As `minhashNearDuplicates`, but exposes the internal signature
+    * cache's lifecycle: the plan stays single-pass while the caller
+    * runs actions, then `release()` frees the cache (see [[graft.Managed]]).
+    * The plain variant leaves the cache to session-level cleanup
+    * (`spark.catalog.clearCache()`), which suits one-shot jobs only.
+    */
+  def minhashNearDuplicatesManaged(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100): graft.Managed = {
     // signatures computed ONCE and persisted: the frame feeds both
     // sides of the bucket join plus candidate verification — without
     // this, Catalyst re-derives shingles+minhash per reference.
@@ -154,7 +166,7 @@ object Dedup {
     // above a join run only on joined rows, so the expensive shingle
     // build touches candidates, not the corpus
     val texts = base.select(col("id"), col("text"))
-    candidates
+    val result = candidates
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
       .withColumn("jaccard", jaccard(
@@ -162,6 +174,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+    new graft.Managed(result, Seq(base))
   }
 
   // ---------------------------------------------------------------
@@ -206,7 +219,12 @@ object Dedup {
     * Hamming distance ≤ `maxDist`.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 100): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 100): DataFrame =
+    simhashNearDuplicatesManaged(df, idCol, textCol, maxDist, maxBucketSize).df
+
+  /** Managed-lifecycle variant — see `minhashNearDuplicatesManaged`. */
+  def simhashNearDuplicatesManaged(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 100): graft.Managed = {
     // tokens hashed once, fingerprint persisted (feeds both join
     // sides + verification); repartition for row-proportional CPU
     val bandsExpr =
@@ -232,12 +250,13 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     val sh = base.select(col("id"), col("sh"))
-    candidates
+    val result = candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
+    new graft.Managed(result, Seq(base))
   }
 }

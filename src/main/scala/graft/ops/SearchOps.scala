@@ -57,7 +57,17 @@ object SearchOps {
     */
   def search(documents: DataFrame, q: String,
       lang: Option[String] = None, minChars: Option[Long] = None,
-      fuzzy: Boolean = false, from: Int = 0, size: Int = 10): DataFrame = {
+      fuzzy: Boolean = false, from: Int = 0, size: Int = 10): DataFrame =
+    searchManaged(documents, q, lang, minChars, fuzzy, from, size).df
+
+  /** Managed-lifecycle variant: the persisted match set feeding both
+    * the count pass and the page pass is released via the returned
+    * handle (see [[graft.Managed]]); the plain variant leaves it to
+    * session-level cleanup, which suits one-shot jobs only.
+    */
+  def searchManaged(documents: DataFrame, q: String,
+      lang: Option[String] = None, minChars: Option[Long] = None,
+      fuzzy: Boolean = false, from: Int = 0, size: Int = 10): graft.Managed = {
     val filtered = Seq(
       lang.map(l => col("lang") === l),
       minChars.map(m => col("n_chars") >= m)
@@ -69,13 +79,14 @@ object SearchOps {
       .withColumn("score", scoreCol)
       .filter(col("score") > 0)
       .persist() // feeds both the count pass and the page pass
-    matches
+    val result = matches
       .crossJoin(broadcast(totalHits(matches)))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("score"),
         col("total_hits"))
       .orderBy(col("score").desc, col("doc_id"))
       .offset(from)
       .limit(size)
+    new graft.Managed(result, Seq(matches))
   }
 
   /** A5: hits.total as a broadcast 1-row aggregate. An empty-window
@@ -95,7 +106,14 @@ object SearchOps {
     */
   def searchEnriched(enriched: DataFrame, q: String,
       minQualityScore: Double, excludePii: Boolean,
-      from: Int = 0, size: Int = 10): DataFrame = {
+      from: Int = 0, size: Int = 10): DataFrame =
+    searchEnrichedManaged(enriched, q, minQualityScore, excludePii,
+      from, size).df
+
+  /** Managed-lifecycle variant — see `searchManaged`. */
+  def searchEnrichedManaged(enriched: DataFrame, q: String,
+      minQualityScore: Double, excludePii: Boolean,
+      from: Int = 0, size: Int = 10): graft.Managed = {
     val base = enriched
       .filter(col("quality_score") >= minQualityScore)
     val piiFiltered = if (excludePii) base.filter(!col("has_pii")) else base
@@ -103,13 +121,14 @@ object SearchOps {
       .withColumn("score", score(col("source"), col("text"), q))
       .filter(col("score") > 0)
       .persist() // the enrichment upstream is expensive — compute once
-    matches
+    val result = matches
       .crossJoin(broadcast(totalHits(matches)))
       .select(col("doc_id"), col("quality_score"), col("score"),
         col("total_hits"))
       .orderBy(col("score").desc, col("doc_id"))
       .offset(from)
       .limit(size)
+    new graft.Managed(result, Seq(matches))
   }
 
   /** F4: highlight matched terms — presentation-level, regex-free. */

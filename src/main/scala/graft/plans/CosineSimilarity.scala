@@ -24,8 +24,12 @@ import org.apache.spark.sql.types._
   * a scalar expression, so no LogicalPlan/Strategy machinery is
   * warranted.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class CosineSimilarity(left: Expression, right: Expression,
+    ansi: Boolean) extends BinaryExpression {
+
+  // zero-norm input yields NULL in non-ANSI mode even for non-null
+  // arrays — same contract as the Divide in the composed form
+  override def nullable: Boolean = !ansi || super.nullable
 
   // AbstractDataType (and so ImplicitCastInputTypes) is private[sql];
   // callers cast to array<double> and this validates explicitly.
@@ -53,10 +57,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) {
+      if (ansi) throw JaccardUtil.divideByZeroError(origin.context)
+      else null
+    } else dot / denom
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val errCtx = ctx.addReferenceObj("errCtx", origin.context,
+      classOf[org.apache.spark.QueryContext].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -65,6 +75,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      val onZero =
+        if (ansi)
+          s"throw graft.plans.JaccardUtil.divideByZeroError($errCtx);"
+        else s"${ev.isNull} = true;"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -73,9 +88,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { $onZero }
+         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -100,7 +118,10 @@ object GraftFunctions {
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineName,
       "cosine similarity of two array<double> in one fused pass",
-      arity(CosineName, 2)(e => CosineSimilarity(e(0), e(1)))),
+      // ansi is captured at analysis time from the active session conf,
+      // mirroring what the Divide in the composed form would have done
+      arity(CosineName, 2)(e => CosineSimilarity(e(0), e(1),
+        org.apache.spark.sql.internal.SQLConf.get.ansiEnabled))),
     (TextHashFunctions.MinHashName,
       "MinHash signature over word n-grams: (words, n, k) -> array<long>",
       arity(TextHashFunctions.MinHashName, 3)(e => ShingleMinHash(e(0),

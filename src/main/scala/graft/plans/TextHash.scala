@@ -30,6 +30,9 @@ object TextHashUtil {
     * xxhash64(i, xxhash64(ngram_string)). N-gram bytes are built in
     * a reusable buffer (words joined by 0x20), no String churn.
     * Duplicates don't affect a min, so no distinct step is needed.
+    * N-grams containing a null element are skipped (the registered SQL
+    * function accepts array<string> with nullable elements; a null
+    * token carries no shingle content).
     */
   def shingleMinHash(words: ArrayData, n: Int, k: Int): ArrayData = {
     val nWords = words.numElements()
@@ -45,23 +48,29 @@ object TextHashUtil {
       // build the n-gram bytes: words[i..i+n-1] joined with ' '
       var len = 0
       var j = 0
-      while (j < n) {
-        val w = words.getUTF8String(i + j)
-        val wb = w.numBytes()
-        if (len + wb + 1 > buf.length) {
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + wb + 1))
+      var hasNull = false
+      while (j < n && !hasNull) {
+        if (words.isNullAt(i + j)) hasNull = true
+        else {
+          val w = words.getUTF8String(i + j)
+          val wb = w.numBytes()
+          if (len + wb + 1 > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + wb + 1))
+          }
+          if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+          w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+          len += wb
         }
-        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
-        w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
-        len += wb
         j += 1
       }
-      val base = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SEED)
-      p = 0
-      while (p < k) {
-        val h = XXH64.hashLong(base, permSeeds(p))
-        if (h < mins(p)) mins(p) = h
-        p += 1
+      if (!hasNull) {
+        val base = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SEED)
+        p = 0
+        while (p < k) {
+          val h = XXH64.hashLong(base, permSeeds(p))
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
       }
       i += 1
     }
@@ -76,13 +85,19 @@ object TextHashUtil {
     val nWords = words.numElements()
     val ones = new Array[Int](64)
     var i = 0
+    var counted = 0
     while (i < nWords) {
-      val w = words.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), SEED)
-      var j = 0
-      while (j < 64) {
-        ones(j) += ((h >>> j) & 1L).toInt
-        j += 1
+      // null tokens carry no hash content — skip them (and exclude
+      // them from the majority-vote denominator)
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), SEED)
+        var j = 0
+        while (j < 64) {
+          ones(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+        counted += 1
       }
       i += 1
     }
@@ -92,7 +107,7 @@ object TextHashUtil {
       var v = 0L
       var j = 0
       while (j < 16) {
-        if (ones(b * 16 + j) * 2 >= nWords) v += (1L << j)
+        if (ones(b * 16 + j) * 2 >= counted) v += (1L << j)
         j += 1
       }
       bands(b) = v

@@ -135,18 +135,28 @@ object Similarity {
     * near-dup shape for embedding-deduped training corpora.
     */
   def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8): DataFrame =
+    embeddingNearDuplicatesManaged(embeddings, threshold, nPlanes).df
+
+  /** Managed-lifecycle variant: the bucketed-vectors cache feeding
+    * both join sides is released via the returned handle (see
+    * [[graft.Managed]]); the plain variant leaves it to session-level
+    * cleanup, which suits one-shot jobs only.
+    */
+  def embeddingNearDuplicatesManaged(embeddings: DataFrame, threshold: Double,
+      nPlanes: Int = 8): graft.Managed = {
     val b = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         srpBucketFor(embeddings)(col("embedding"), nPlanes).as("bucket"))
       .persist()
-    b.as("l").join(b.as("r"),
+    val result = b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") &&
         col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
         round(cosineFor(embeddings)(col("l.embedding"), col("r.embedding")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
+    new graft.Managed(result, Seq(b))
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.SearchOps
+import graft.similarity.Similarity
+
+class ManagedSpec extends SparkSpec {
+
+  // suites share one session, so other specs' caches may be live —
+  // assert relatively: release leaves no NEW persisted RDDs behind
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def assertNoLeak[T](body: => T): T = {
+    val before = persistedIds
+    val out = body
+    val leaked = persistedIds -- before
+    assert(leaked.isEmpty, s"released run left persisted RDDs: $leaked")
+    out
+  }
+
+  test("managed search releases the match-set cache after the action") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = assertNoLeak {
+      SearchOps.searchManaged(docs, "merge", size = 5)(_.collect())
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("managed minhash near-dup releases the signature cache") {
+    val docs = Tables.documents(spark, sfDir)
+    assertNoLeak {
+      Dedup.minhashNearDuplicatesManaged(docs, "doc_id", "text")(_.count())
+    }
+  }
+
+  test("managed embedding near-dup releases the bucket cache") {
+    val emb = Tables.embeddings(spark, sfDir)
+    assertNoLeak {
+      Similarity.embeddingNearDuplicatesManaged(emb, 0.999)(_.count())
+    }
+  }
+
+  test("release is idempotent and fires even when the action throws") {
+    val docs = Tables.documents(spark, sfDir)
+    assertNoLeak {
+      val m = SearchOps.searchManaged(docs, "merge", size = 5)
+      intercept[RuntimeException] { m(_ => throw new RuntimeException("boom")) }
+      m.release() // second release is a no-op
+    }
+  }
+
+  test("unmanaged variants still return the same rows as managed") {
+    val docs = Tables.documents(spark, sfDir)
+    val plain = SearchOps.search(docs, "merge", size = 5).collect()
+    val managed = SearchOps.searchManaged(docs, "merge", size = 5)(_.collect())
+    assert(plain.map(_.toString).toSeq === managed.map(_.toString).toSeq)
+    spark.catalog.clearCache() // the plain variant's cache is session-scoped
+  }
+}

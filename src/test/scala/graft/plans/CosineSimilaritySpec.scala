@@ -60,6 +60,38 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r(2) === -1.0)
   }
 
+  test("zero-norm vector matches the composed Divide in both ANSI modes") {
+    // ansi is captured at analysis time, so each frame is built AFTER
+    // flipping the conf
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val rows = Seq(
+        (Array(0.0, 0.0), Array(1.0, 2.0)),  // zero left norm
+        (Array.empty[Double], Array(1.0, 2.0)),  // empty → zero denom
+        (Array(1.0, 1.0), Array(1.0, 2.0))   // control: defined
+      ).toDF("a", "b").select(
+        call_function(GraftFunctions.CosineName, $"a", $"b").as("native"),
+        Similarity.cosine($"a", $"b").as("composed")).collect()
+      assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+      assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+      assert(!rows(2).isNullAt(0) &&
+        java.lang.Double.doubleToLongBits(rows(2).getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(rows(2).getDouble(1)))
+
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val zero = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+      val eNative = intercept[Exception] {
+        zero.select(call_function(GraftFunctions.CosineName, $"a", $"b")).collect()
+      }
+      assert(eNative.getMessage.contains("DIVIDE_BY_ZERO"), eNative.getMessage)
+      val eComposed = intercept[Exception] {
+        zero.select(Similarity.cosine($"a", $"b")).collect()
+      }
+      assert(eComposed.getMessage.contains("DIVIDE_BY_ZERO"), eComposed.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("type check rejects non-double arrays") {
     val df = Seq((Array("x"), Array("y"))).toDF("a", "b")
     val e = intercept[Exception] {

@@ -44,6 +44,29 @@ class TextHashSpec extends SparkSpec {
     assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)))
   }
 
+  test("null array elements don't crash the native hash loops") {
+    val df = Seq(
+      (1L, Seq[String]("the", null, "fox", "jumps", "dog")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("the", "fox", "jumps"))
+    ).toDF("id", "ws")
+    val rows = df.select($"id",
+      call_function(TextHashFunctions.MinHashName, $"ws", lit(2), lit(16)).as("mh"),
+      call_function(TextHashFunctions.SimHashName, $"ws").as("sh"))
+      .collect()
+    assert(rows.length === 3)
+    // nulls excluded: id 2 is all-null → minhash of no shingles
+    val allNull = rows.find(_.getLong(0) == 2L).get
+    assert(allNull.getSeq[Long](1).forall(_ == Long.MaxValue))
+    // non-null arrays behave exactly as before (id 3 has no nulls)
+    val clean = rows.find(_.getLong(0) == 3L).get
+    val expected = Seq("the", "fox", "jumps")
+    val ref = Seq((3L, expected)).toDF("id", "ws")
+      .select(call_function(TextHashFunctions.SimHashName, $"ws"))
+      .head.getSeq[Long](0)
+    assert(clean.getSeq[Long](2) === ref)
+  }
+
   test("long words grow the shingle buffer correctly") {
     val long = ("a" * 200 + " ") * 5
     val df = Seq((1L, long.trim)).toDF("id", "text")
