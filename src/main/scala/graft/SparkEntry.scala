@@ -154,6 +154,9 @@ object SparkEntry {
     // Similarity: SRP-LSH ANN top-k (bucket-pruned scan; recall spec'd)
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
+    // Similarity: IVF ANN (inverted-file cells + nProbe probe scan)
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 10, nCells = 16, nProbe = 2)),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -198,6 +201,44 @@ object SparkEntry {
     // grouping sets: region→nation ROLLUP with subtotals + grand total
     "q_rollup" -> ((s, d) => SessionOps.regionNationRollup(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // As-of join: each purchase picks up the user's latest view ≤ ts
+    // (union + running last_value — no range-join explosion)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"), col("event_id"))
+      SessionOps.asofJoin(purchases, views, "user_id", "tus",
+        "event_id", "view_event")
+        .orderBy(col("event_id"))
+    }),
+    // §2.7 scalar surface in one sweep: F6 ISO format, F7 epoch-ms,
+    // F10 UUID shape, F11 JSON in/out, F13 enum coercion, F16 coalesce
+    "q_scalar_funcs" -> ((s, d) => {
+      val t = TextFunctions.eventTs(col("ts"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        TextFunctions.isoFormat(t).as("iso_ts"),
+        TextFunctions.toEpochMillis(t).as("epoch_ms"),
+        StatsOps.docKey(col("props")).as("prop_k"),
+        to_json(struct(col("event_id"), col("event_type"))).as("payload"),
+        when(col("event_type").isin("view", "click"), "engagement")
+          .when(col("event_type") === "purchase", "conversion")
+          .otherwise("other").as("event_class"),
+        coalesce(get_json_object(col("props"), "$.ip"), lit("unknown"))
+          .as("client_ip"),
+        TextFunctions.isValidUuid(concat(
+          lpad(hex(col("event_id")), 8, "0"),
+          lit("-0000-7000-8000-00000000000"),
+          when(col("event_id") % 7 === 0, lit("")).otherwise(lit("0"))))
+          .as("uuid_ok"))
+        .orderBy("event_id")
+    }),
+    // Exact per-type value percentiles (sort-based agg; approx path
+    // documented in StatsOps for sketch-mergeable scale)
+    "q_value_percentiles" -> ((s, d) =>
+      StatsOps.valuePercentiles(Tables.events(s, d))),
     // Multimodal: typed-metadata rollup over the binary asset table
     "q_media_metadata" -> ((s, d) =>
       Multimodal.metadataStats(
@@ -419,6 +460,55 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
            FROM p) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tus,
+         (SELECT v.event_id FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+            AND epoch_us(v.ts) <= epoch_us(p.ts)
+          ORDER BY epoch_us(v.ts) DESC, v.event_id DESC LIMIT 1) AS view_event
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+    "q_scalar_funcs" ->
+      """SELECT event_id,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts,
+         CAST(epoch_us(ts) // 1000 AS BIGINT) AS epoch_ms,
+         CAST(props->>'$.k' AS BIGINT) AS prop_k,
+         CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS payload,
+         CASE WHEN event_type IN ('view','click') THEN 'engagement'
+              WHEN event_type = 'purchase' THEN 'conversion'
+              ELSE 'other' END AS event_class,
+         coalesce(props->>'$.ip', 'unknown') AS client_ip,
+         regexp_matches(lpad(hex(event_id), 8, '0') || '-0000-7000-8000-00000000000' ||
+           CASE WHEN event_id % 7 = 0 THEN '' ELSE '0' END,
+           '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS uuid_ok
+         FROM events ORDER BY event_id""",
+    "q_value_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.9), 4) AS p90,
+         round(quantile_cont(value, 0.99), 4) AS p99,
+         min(value) AS v_min, max(value) AS v_max
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q_text_stats" ->
       """WITH w AS (
            SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

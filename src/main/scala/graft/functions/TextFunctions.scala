@@ -50,10 +50,12 @@ object TextFunctions {
   def toEpochMillis(ts: Column): Column = unix_millis(ts)
 
   /** The driver events table reads ts as epoch-NANO long
-    * (nanosAsLong); convert to a real timestamp column.
+    * (nanosAsLong); convert to a real timestamp column. Integer `div`,
+    * not `/1000`+cast: epoch-nanos exceed the 2^53 exact-double range,
+    * so double division drifts the last microsecond digit.
     */
   def eventTs(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000).cast("long"))
+    timestamp_micros(call_function("div", tsNanos, lit(1000L)))
 
   /** F10: UUID shape validation (path params typed UUID,
     * main.py:103).

@@ -112,6 +112,47 @@ object SessionOps {
       .orderBy(col("c_custkey"))
   }
 
+  /** As-of join: each left row picks up the value of the LATEST right
+    * row with the same key and order-key ≤ the left row's — the
+    * operator Spark lacks natively (SURVEY §7.4's compose-first
+    * ladder, tier (a)).
+    *
+    * Built as union + running last_value instead of a range join:
+    * a `l.ts >= r.ts` theta-join explodes to O(|L|·|R|) per key
+    * before taking the max, while this is ONE shuffle on the key and
+    * a within-partition streaming window — the only formulation that
+    * survives 100 TB event tables. Ties are engine-stable: a right
+    * row at exactly the left row's order-key qualifies (sorts before
+    * it via the side marker), and among equal order-keys the largest
+    * value wins.
+    *
+    * Right rows are padded with nulls for left-only columns; the
+    * output keeps every left row (+ `outCol`, null when no right row
+    * precedes it).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val vType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn("__is_left", lit(1))
+      .withColumn("__v", lit(null).cast(vType))
+      .select(leftCols.map(col) :+ col("__is_left") :+ col("__v"): _*)
+    val rBase = right.select(col(keyCol), col(orderCol),
+      lit(0).as("__is_left"), col(valueCol).as("__v"))
+    val r = leftCols.foldLeft(rBase)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(leftCols.map(col) :+ col("__is_left") :+ col("__v"): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col("__is_left"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .drop("__is_left", "__v")
+  }
+
   /** Hierarchical rollup (region → nation subtotals + grand total)
     * via ROLLUP grouping sets.
     */

@@ -75,6 +75,26 @@ object StatsOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact per-group percentiles (linear interpolation) of the event
+    * value — the distribution readout a quality dashboard needs next
+    * to the counters above. Exact `percentile` is a sort-based
+    * aggregate: per-group state is the value multiset, so it shuffles
+    * more than a sketch; the approx path at 100 TB is
+    * `percentile_approx` (mergeable t-digest-style state), offered
+    * alongside. Results round to 4 places so interpolation ulps can't
+    * flip an engine comparison.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .orderBy(col("event_type"))
+
   /** A1/A3 over all event types: per-type event counts + value sum
     * (exact-decimal sum so the DuckDB oracle hash-matches bit-for-bit
     * regardless of float summation order).

@@ -130,6 +130,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF ANN top-k: every vector coarse-quantizes to its nearest of
+    * `nCells` centroids, and a query ranks exactly within only the
+    * `nProbe` cells nearest to it — the inverted-file counterpart to
+    * the SRP-LSH path above.
+    *
+    * Centroids are the first `nCells` stored vectors (deterministic;
+    * a production build would k-means them — the assignment/probe
+    * plumbing is identical either way). They ride along as a
+    * collected literal, exactly like a broadcast dimension, so cell
+    * assignment is a NARROW projection: no shuffle of the vector
+    * table, ever. At scale the assigned table is written partitioned
+    * by `cell` and a query scans nProbe partitions (partition
+    * pruning), at a recall trade-off spec'd against brute force.
+    *
+    * Tie-breaks are engine-stable: scores round to 4 places and the
+    * lowest cell id wins (array_position finds the FIRST max).
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents: Seq[Seq[Double]] = embeddings
+      .filter(col("vec_id") < nCells)
+      .orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("e"))
+      .collect().map(_.getSeq[Double](0).toVector).toVector
+    val centLit = typedlit(cents)
+    // higher-order transform runs interpreted, so the per-cell score
+    // uses the native fused-loop cosine when registered: one tight
+    // pass per cell instead of nested interpreted lambdas
+    def cellScores(v: Column): Column =
+      transform(centLit, c => round(cosineFor(embeddings)(v, c), 4))
+    val scored = embeddings
+      .withColumn("__scores", cellScores(col("embedding")))
+      .withColumn("cell",
+        (array_position(col("__scores"), array_max(col("__scores"))) - 1)
+          .cast("int"))
+    val probes = scored.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        posexplode(col("__scores")).as(Seq("cid", "s")))
+      .orderBy(col("s").desc, col("cid"))
+      .limit(nProbe)
+    scored
+      .join(broadcast(probes), col("cell") === col("cid"))
+      .select(col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket join prunes
     * candidates, exact cosine ≥ threshold verifies. The classic
     * near-dup shape for embedding-deduped training corpora.

@@ -43,6 +43,41 @@ class SessionOpsSpec extends SparkSpec {
     assert(u1.tail.forall(!_.isNullAt(u1.head.fieldIndex("gap_ms"))))
   }
 
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (10L, 1L, 100L),  // after rights at 50,100 → equal-ts right qualifies
+      (11L, 1L, 60L),   // only the right at 50 precedes
+      (12L, 1L, 10L),   // nothing precedes → null
+      (13L, 2L, 500L)   // other key, matches its own stream only
+    ).toDF("event_id", "user_id", "tus")
+    val right = Seq(
+      (1L, 50L, 101L),
+      (1L, 100L, 102L), // equal ts as left event 10
+      (1L, 100L, 103L), // tie at same ts → larger value wins
+      (2L, 400L, 201L)
+    ).toDF("user_id", "tus", "event_id")
+    val out = SessionOps.asofJoin(left, right, "user_id", "tus",
+      "event_id", "matched")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(10L) === Some(103L)) // equal-ts qualifies, tie → max id
+    assert(out(11L) === Some(101L))
+    assert(out(12L) === None)
+    assert(out(13L) === Some(201L))
+  }
+
+  test("asofJoin keeps every left row exactly once") {
+    val ev = Tables.events(spark, sfDir).withColumn("tus", expr("ts div 1000"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tus")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"tus", $"event_id")
+    val joined = SessionOps.asofJoin(purchases, views, "user_id", "tus",
+      "event_id", "view_event")
+    assert(joined.count() === purchases.count())
+    assert(joined.select("event_id").distinct().count() === purchases.count())
+  }
+
   test("rollup emits detail, subtotal, and grand-total rows") {
     val roll = SessionOps.regionNationRollup(
       Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),

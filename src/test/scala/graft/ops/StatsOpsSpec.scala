@@ -25,6 +25,17 @@ class StatsOpsSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("percentiles are ordered and bounded by min/max") {
+    val rows = StatsOps.valuePercentiles(Tables.events(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val (vMin, vMax) = (r.getDouble(4), r.getDouble(5))
+      assert(vMin <= p50 && p50 <= p90 && p90 <= p99 && p99 <= vMax,
+        s"${r.getString(0)}: $vMin/$p50/$p90/$p99/$vMax out of order")
+    }
+  }
+
   test("eventTypeRollup partitions all events") {
     val rows = StatsOps.eventTypeRollup(events).collect()
     assert(rows.map(_.getLong(1)).sum === events.count())

@@ -47,6 +47,36 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach(r => assert(brute.get(r.getLong(0)).forall(_ === r.getDouble(1))))
   }
 
+  test("IVF: query's own cell is probed, results ⊆ brute force, self tops") {
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, nCells = 16, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    // the query vector quantizes into a probed cell, so it ranks itself
+    assert(ivf(0).getLong(0) === 0L)
+    assert(ivf(0).getDouble(1) === 1.0)
+    // every IVF hit is a true vector with its exact brute-force score
+    val brute = Similarity.bruteForceTopK(emb, 0L, 200).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { r =>
+      assert(brute.get(r.getLong(0)).contains(r.getDouble(1)),
+        s"vec ${r.getLong(0)} score mismatch vs brute force")
+    }
+    // scores descend
+    val sims = ivf.map(_.getDouble(1))
+    assert(sims.sorted(Ordering[Double].reverse).toSeq === sims.toSeq)
+  }
+
+  test("IVF recall grows with nProbe (more cells scanned, never fewer hits)") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    def recall(nProbe: Int) =
+      Similarity.ivfTopK(emb, 0L, 10, nCells = 16, nProbe = nProbe)
+        .collect().map(_.getLong(0)).count(brute) / 10.0
+    val r2 = recall(2)
+    val rAll = recall(16) // probing every cell = exact brute force
+    assert(rAll === 1.0)
+    assert(r2 <= rAll)
+  }
+
   test("embedding near-dup finds planted exact copies at cos=1") {
     val planted = emb.select($"vec_id", $"embedding").limit(20)
       .union(emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding").limit(20))
