@@ -201,6 +201,33 @@ object SparkEntry {
     // grouping sets: region→nation ROLLUP with subtotals + grand total
     "q_rollup" -> ((s, d) => SessionOps.regionNationRollup(
       Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // Skew mitigation: salted equi-join, row-identical to the plain
+    // join (the oracle IS the unsalted join)
+    "q_salted_join" -> ((s, d) => {
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(fact, dim, "custkey", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // Bounded range join: views within 10 min before each purchase
+    // (time-bucketed probe join — no per-key cross product)
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus"))
+      SessionOps.windowedCountJoin(purchases, views, "user_id", "tus",
+        600000000L, "n_views_10m")
+        .select(col("event_id"), col("user_id"), col("n_views_10m"))
+        .orderBy(col("event_id"))
+    }),
     // As-of join: each purchase picks up the user's latest view ≤ ts
     // (union + running last_value — no range-join explosion)
     "q_asof_join" -> ((s, d) => {
@@ -480,6 +507,19 @@ object SparkEntry {
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes)
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "q_range_join" ->
+      """SELECT p.event_id, p.user_id,
+         (SELECT count(*) FROM events v
+          WHERE v.event_type = 'view' AND v.user_id = p.user_id
+            AND epoch_us(v.ts) > epoch_us(p.ts) - 600000000
+            AND epoch_us(v.ts) <= epoch_us(p.ts)) AS n_views_10m
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tus,
          (SELECT v.event_id FROM events v

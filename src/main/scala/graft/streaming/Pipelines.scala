@@ -208,4 +208,32 @@ object Pipelines {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
+
+  /** Beyond-reference extension: stream-stream inner join — each
+    * purchase pairs with the same user's views from the preceding
+    * `joinWindow`. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so per-side state is watermark-
+    * bounded (Spark drops buffered rows once they can no longer
+    * match) — the requirement for an unbounded 100 TB/day stream.
+    *
+    * Works identically on batch frames (the time-interval join is the
+    * same plan without state) — `PipelinesSpec` asserts stream ≡
+    * batch on the shared fixture.
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+      joinWindow: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    p.join(v,
+      col("user_id") === col("v_user") &&
+      col("v_ts") <= col("p_ts") &&
+      col("v_ts") >= col("p_ts") - expr(s"INTERVAL $joinWindow"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+  }
 }

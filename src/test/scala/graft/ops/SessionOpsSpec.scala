@@ -78,6 +78,27 @@ class SessionOpsSpec extends SparkSpec {
     assert(joined.select("event_id").distinct().count() === purchases.count())
   }
 
+  test("windowedCountJoin ≡ naive theta-join count (incl. zero matches)") {
+    val ev = Tables.events(spark, sfDir).withColumn("tus", expr("ts div 1000"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tus")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"tus".as("v_tus"))
+    val w = 600000000L
+    val bucketed = SessionOps.windowedCountJoin(purchases,
+      views.select($"v_user".as("user_id"), $"v_tus".as("tus")),
+      "user_id", "tus", w, "n")
+      .select($"event_id", $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = purchases
+      .join(views, $"user_id" === $"v_user" &&
+        $"v_tus" > $"tus" - w && $"v_tus" <= $"tus", "left_outer")
+      .groupBy($"event_id").agg(count($"v_tus").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed === naive)
+    assert(bucketed.values.exists(_ === 0L) || bucketed.nonEmpty)
+  }
+
   test("rollup emits detail, subtotal, and grand-total rows") {
     val roll = SessionOps.regionNationRollup(
       Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),

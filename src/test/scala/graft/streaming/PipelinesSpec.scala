@@ -49,6 +49,37 @@ class PipelinesSpec extends SparkSpec {
     assert(r.getAs[Long]("unique_views") === 2L) // users 1,1,2
   }
 
+  test("stream-stream purchase⋈view join ≡ batch join (parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val purchaseRows = Seq(
+      (10L, 1L, ts(20)),  // views at 12,19 within 10 min; 5 too old
+      (11L, 1L, ts(40)),  // no views in (30,40]
+      (12L, 2L, ts(9)))   // view at 9 (equal ts) qualifies
+    val viewRows = Seq(
+      (100L, 1L, ts(5)), (101L, 1L, ts(12)), (102L, 1L, ts(19)),
+      (103L, 2L, ts(9)), (104L, 3L, ts(20)))
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val toDf = (m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =>
+      m.toDF().toDF("event_id", "user_id", "ts")
+    val q = Pipelines.purchaseViewJoin(toDf(pMem), toDf(vMem))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    pMem.addData(purchaseRows)
+    vMem.addData(viewRows)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .orderBy("purchase_id", "view_id").collect().map(_.toSeq)
+    val batch = Pipelines.purchaseViewJoin(
+      purchaseRows.toDF("event_id", "user_id", "ts"),
+      viewRows.toDF("event_id", "user_id", "ts"))
+      .orderBy("purchase_id", "view_id").collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.map(r => (r(0), r(2))).toSet ===
+      Set((10L, 101L), (10L, 102L), (12L, 103L)))
+  }
+
   test("index upsert: last write per key wins by (version, ts)") {
     val v1 = Seq((1L, 1, 100L, "a"), (2L, 1, 100L, "b")).toDF("doc_id", "version", "ts_ms", "payload")
     val v2 = Seq((1L, 2, 200L, "a2"), (3L, 1, 100L, "c")).toDF("doc_id", "version", "ts_ms", "payload")
