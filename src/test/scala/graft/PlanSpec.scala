@@ -54,6 +54,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"), p)
   }
 
+  test("IVF cell assignment is narrow and probes broadcast (vectors never shuffle)") {
+    val p = plan(graft.similarity.Similarity.ivfTopK(
+      Tables.embeddings(spark, sfDir), 0L, 10))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges allowed are broadcasts + the final TakeOrdered's
+    // singlePartition collect — never a hash repartition of the table
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("as-of join is one key shuffle + window, no join operator at all") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir).withColumn("tus", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"), col("event_id"))
+    val p = plan(SessionOps.asofJoin(purchases, views, "user_id", "tus",
+      "event_id", "view_event"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p) // union+window, not a range join
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1, p)
+  }
+
+  test("range join probes buckets with a hash join, no cartesian product") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir).withColumn("tus", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"))
+    val p = plan(SessionOps.windowedCountJoin(purchases, views,
+      "user_id", "tus", 600000000L, "n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("quality scorer stays in one codegen stage (no shuffle)") {
     val scored = graft.quality.RuleBasedScorer.score(
       Tables.documents(spark, sfDir), "text")
