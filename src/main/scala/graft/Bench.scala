@@ -21,16 +21,27 @@ object Bench {
     graft.plans.GraftFunctions.register(spark)
     // untimed warmup: JVM/codegen/scheduler spin-up should not be
     // attributed to whichever query happens to run first. Every query
-    // shape runs once at the smallest SF (same schemas → identical
-    // generated code → janino cache hits), so the timed pass below
-    // measures data-path throughput, not 44 cold plan compilations.
-    val warmDir = "/root/testdata/sf0.001"
+    // shape runs once at the smallest available SF (same schemas →
+    // identical generated code → janino cache hits), so the timed pass
+    // below measures data-path throughput, not dozens of cold plan
+    // compilations. Falls back to the bench dir itself if no smaller
+    // sibling exists; warmup failures are counted, never silent.
+    val warmDir = {
+      val parent = new java.io.File(sfDir).getParentFile
+      val sibling = Option(parent).map(p => new java.io.File(p, "sf0.001"))
+      sibling.filter(f => f.exists && f.getPath != new java.io.File(sfDir).getPath)
+        .map(_.getPath).getOrElse(sfDir)
+    }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
+      var warmFailures = 0
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmDir).count() }
+        catch { case _: Throwable => warmFailures += 1 }
         spark.catalog.clearCache()
       }
+      if (warmFailures > 0)
+        System.err.println(s"[bench] warmup: $warmFailures/${SparkEntry.queries.size} queries failed against $warmDir")
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

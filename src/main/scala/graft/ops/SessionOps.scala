@@ -134,23 +134,29 @@ object SessionOps {
       orderCol: String, valueCol: String, outCol: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val vType = right.schema(valueCol).dataType
+    // the carried value rides inside a struct so that a RIGHT row whose
+    // value is itself null still registers as "a match happened" —
+    // last(ignoreNulls) skips only the left-marker nulls, never a
+    // genuine null value from the latest qualifying right row
+    val mType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", vType)))
     val l = left
       .withColumn("__is_left", lit(1))
-      .withColumn("__v", lit(null).cast(vType))
-      .select(leftCols.map(col) :+ col("__is_left") :+ col("__v"): _*)
+      .withColumn("__m", lit(null).cast(mType))
+      .select(leftCols.map(col) :+ col("__is_left") :+ col("__m"): _*)
     val rBase = right.select(col(keyCol), col(orderCol),
-      lit(0).as("__is_left"), col(valueCol).as("__v"))
+      lit(0).as("__is_left"), struct(col(valueCol).as("v")).as("__m"))
     val r = leftCols.foldLeft(rBase)((df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(leftCols.map(col) :+ col("__is_left") :+ col("__v"): _*)
+      .select(leftCols.map(col) :+ col("__is_left") :+ col("__m"): _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(orderCol), col("__is_left"), col("__v"))
+      .orderBy(col(orderCol), col("__is_left"), col("__m.v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn(outCol, last(col("__m"), ignoreNulls = true).over(w)("v"))
       .filter(col("__is_left") === 1)
-      .drop("__is_left", "__v")
+      .drop("__is_left", "__m")
   }
 
   /** Bounded range join: for each left row, COUNT the right rows of
@@ -165,7 +171,11 @@ object SessionOps {
   def windowedCountJoin(left: DataFrame, right: DataFrame, keyCol: String,
       orderCol: String, windowSpan: Long, outCol: String): DataFrame = {
     val cell = call_function("div", col(orderCol), lit(windowSpan))
+    // per-left-row handle so two fully identical left rows each keep
+    // their own output row instead of merging with summed counts; the
+    // id is nondeterministic but lives only inside this query
     val probes = left
+      .withColumn("__lid", monotonically_increasing_id())
       .withColumn("__probe", explode(array(cell, cell - 1)))
     val r = right.select(
       col(keyCol).as("__rk"),
@@ -177,10 +187,11 @@ object SessionOps {
         col("__rord") > col(orderCol) - windowSpan &&
         col("__rord") <= col(orderCol),
         "left_outer")
-      .groupBy(left.columns.map(col): _*)
+      .groupBy(col("__lid") +: left.columns.map(col): _*)
       // each left row appears once per probe cell; count(__rord) skips
       // the unmatched probes' nulls, summing true matches across both
       .agg(count(col("__rord")).as(outCol))
+      .drop("__lid")
   }
 
   /** Hierarchical rollup (region → nation subtotals + grand total)

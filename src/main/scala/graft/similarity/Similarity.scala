@@ -146,6 +146,11 @@ object Similarity {
     *
     * Tie-breaks are engine-stable: scores round to 4 places and the
     * lowest cell id wins (array_position finds the FIRST max).
+    *
+    * Zero-norm vectors have no cosine direction and therefore no cell:
+    * they are unindexable (excluded from every probe scan), the
+    * standard IVF restriction. A zero-norm QUERY yields an empty
+    * result (its probe list is empty) rather than k rows of null.
     */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
@@ -168,6 +173,7 @@ object Similarity {
     val probes = scored.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         posexplode(col("__scores")).as(Seq("cid", "s")))
+      .filter(col("s").isNotNull) // zero-norm query → no probes → empty
       .orderBy(col("s").desc, col("cid"))
       .limit(nProbe)
     scored

@@ -66,6 +66,18 @@ class SessionOpsSpec extends SparkSpec {
     assert(out(13L) === Some(201L))
   }
 
+  test("asofJoin: a latest right row with NULL value yields null, not a stale match") {
+    val left = Seq((20L, 1L, 100L)).toDF("event_id", "user_id", "tus")
+    val right = Seq(
+      (1L, Some(50L), Some(7L)),
+      (1L, Some(60L), None) // latest qualifying row carries a null value
+    ).toDF("user_id", "tus", "payload")
+    val out = SessionOps.asofJoin(left, right, "user_id", "tus",
+      "payload", "matched").collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(3), out(0).toString) // null, NOT the stale 7
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val ev = Tables.events(spark, sfDir).withColumn("tus", expr("ts div 1000"))
     val purchases = ev.filter($"event_type" === "purchase")
