@@ -209,6 +209,20 @@ object Pipelines {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Beyond-reference extension: exactly-once streaming dedup — drops
+    * replays of the same `idCol` across micro-batches. The watermark
+    * bounds the dedup state: an id older than the delay is forgotten,
+    * so state stays O(events-per-delay-window) instead of growing
+    * with the whole 100 TB/day stream. This is the streaming face of
+    * Dedup.dropExactDuplicates (at-least-once sources like Kafka
+    * replay on failure; the sink sees each id once).
+    */
+  def dedupedStream(events: DataFrame, idCol: String, tsCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicates(Seq(idCol, tsCol))
+
   /** Beyond-reference extension: stream-stream inner join — each
     * purchase pairs with the same user's views from the preceding
     * `joinWindow`. Both sides carry watermarks and the join condition

@@ -49,6 +49,50 @@ class PipelinesSpec extends SparkSpec {
     assert(r.getAs[Long]("unique_views") === 2L) // users 1,1,2
   }
 
+  test("end-to-end: CDC stream → enrich → index sink → search ≡ batch search") {
+    // the reference's flagship lifecycle (SURVEY §3.1): document event →
+    // quality enrichment → searchable index → GET /search
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    val mem = MemoryStream[(String, String)]
+    val enriched = Pipelines.qualityEnrich(mem.toDF().toDF("key", "value"))
+    val q = Pipelines.startIndexSink(enriched, s"$dir/index", s"$dir/ckpt")
+    val rows = envelopeRows
+    mem.addData(rows.take(rows.length / 2))
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable(); q.stop()
+    val index = spark.read.parquet(s"$dir/index")
+    val viaIndex = graft.ops.SearchOps.searchEnriched(
+      index, "merge", minQualityScore = 50.0, excludePii = true, size = 20)
+      .collect().map(_.toSeq)
+    val viaBatch = graft.ops.SearchOps.searchEnriched(
+      Pipelines.qualityEnrich(
+        Cdc.syntheticEnvelopes(Tables.documents(spark, sfDir))),
+      "merge", minQualityScore = 50.0, excludePii = true, size = 20)
+      .collect().map(_.toSeq)
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq === viaBatch.toSeq)
+    spark.catalog.clearCache() // searchEnriched plain variant persists
+  }
+
+  test("streaming dedup drops cross-batch replays; state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Pipelines.dedupedStream(
+      mem.toDF().toDF("event_id", "ts", "payload"), "event_id", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(Seq((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(0), "a")))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, ts(0), "a"), (3L, ts(2), "c"))) // replay of id 1
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("stream-stream purchase⋈view join ≡ batch join (parity)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
