@@ -27,9 +27,13 @@ import org.apache.spark.sql.types._
 case class CosineSimilarity(left: Expression, right: Expression,
     ansi: Boolean) extends BinaryExpression {
 
-  // zero-norm input yields NULL in non-ANSI mode even for non-null
-  // arrays — same contract as the Divide in the composed form
-  override def nullable: Boolean = !ansi || super.nullable
+  // Null contract matches the composed form exactly (required for
+  // RewriteCosine to be a sound substitution):
+  //  - mismatched lengths → null (zip_with pads with null, nullifying
+  //    the whole sum) in BOTH modes;
+  //  - any null element in either array → null, same reason;
+  //  - zero norm → null non-ANSI, DIVIDE_BY_ZERO under ANSI.
+  override def nullable: Boolean = true
 
   // AbstractDataType (and so ImplicitCastInputTypes) is private[sql];
   // callers cast to array<double> and this validates explicitly.
@@ -49,10 +53,12 @@ case class CosineSimilarity(left: Expression, right: Expression,
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -76,21 +82,27 @@ case class CosineSimilarity(left: Expression, right: Expression,
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
       val onZero =
         if (ansi)
           s"throw graft.plans.JaccardUtil.divideByZeroError($errCtx);"
         else s"${ev.isNull} = true;"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $x = $a.getDouble($i);
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) { $onZero }
-         |else { ${ev.value} = $dot / $denom; }
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { $onZero }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
        """.stripMargin
     })
   }
@@ -98,6 +110,79 @@ case class CosineSimilarity(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: the composed cosine spelling
+  *
+  *   aggregate(zip_with(a,b,(x,y)=>x*y),0d,(s,x)=>s+x)
+  *     / (sqrt(aggregate(zip_with(a,a,…)…)) * sqrt(aggregate(zip_with(b,b,…)…)))
+  *
+  * → CosineSimilarity(a,b) when all three dot products reference the
+  * same (a,b) pair of double arrays. Injected via GraftExtensions;
+  * applies to any query spelled the composed way, including raw SQL.
+  * Sound because the native expression reproduces the composed null
+  * contract exactly: mismatched lengths and null elements → null,
+  * zero norm → null/DIVIDE_BY_ZERO per ANSI mode, and identical
+  * ascending-index accumulation order (bit-equal scores, see spec).
+  */
+object RewriteCosine
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Divide, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Sqrt, ZipWith}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  /** (x, y) => x * y over exactly the two lambda-bound variables. */
+  private object MulLambda {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(Multiply(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+          Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+        l.exprId == x.exprId && r.exprId == y.exprId
+      case _ => false
+    }
+  }
+
+  /** (acc, x) => acc + x over exactly the two lambda-bound variables. */
+  private object AddLambda {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+          Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+        l.exprId == x.exprId && r.exprId == y.exprId
+      case _ => false
+    }
+  }
+
+  /** finish = identity (the default functions.aggregate emits). */
+  private object IdLambda {
+    def unapply(e: Expression): Boolean = e match {
+      case LambdaFunction(v: NamedLambdaVariable, Seq(x: NamedLambdaVariable), _) =>
+        v.exprId == x.exprId
+      case _ => false
+    }
+  }
+
+  private object DotOf {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType), add, fin)
+          if MulLambda.unapply(mul) && AddLambda.unapply(add) && IdLambda.unapply(fin) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(DotOf(a, b),
+          Multiply(Sqrt(DotOf(a2, a3)), Sqrt(DotOf(b2, b3)), _), _)
+          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+            b.semanticEquals(b2) && b.semanticEquals(b3) &&
+            isDoubleArray(a) && isDoubleArray(b) =>
+        CosineSimilarity(a, b, conf.ansiEnabled)
+    }
 }
 
 object GraftFunctions {

@@ -95,6 +95,47 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(vals(1) === 0.0)
   }
 
+  test("optimizer rule rewrites composed cosine to the native expression") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed plan so constant folding can't pre-empt the rule
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val df = emb.crossJoin(broadcast(q)).select(
+      graft.similarity.Similarity.cosine(col("embedding"), col("q_emb")).as("c"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("cosinesimilarity"), opt)
+    // rewritten values are bit-equal to the independently re-derived
+    // composed form (shape broken so the rule can't touch it)
+    def dotPlus(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x) + lit(0.0)
+    val both = emb.crossJoin(broadcast(q)).select(
+      graft.similarity.Similarity.cosine(col("embedding"), col("q_emb")).as("rw"),
+      (dotPlus(col("embedding"), col("q_emb")) /
+        (sqrt(dotPlus(col("embedding"), col("embedding"))) *
+         sqrt(dotPlus(col("q_emb"), col("q_emb"))))).as("manual"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) === 0)
+    }
+  }
+
+  test("rewritten cosine: mismatched lengths and null elements → null (like zip_with)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // non-literal plan via range so folding doesn't bypass the rule
+    val base = spark.range(1)
+    val mismatch = base.select(
+      expr("array(1.0d, 2.0d)").as("a"), expr("array(1.0d)").as("b"))
+    val withNull = base.select(
+      expr("array(1.0d, cast(null as double))").as("a"),
+      expr("array(1.0d, 2.0d)").as("b"))
+    def cos = graft.similarity.Similarity.cosine(col("a"), col("b"))
+    assert(mismatch.select(cos.as("c")).head.isNullAt(0))
+    assert(withNull.select(cos.as("c")).head.isNullAt(0))
+  }
+
   test("native jaccard ≡ composed jaccard on real shingle sets") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
