@@ -153,12 +153,61 @@ object Similarity {
     * result (its probe list is empty) rather than k rows of null.
     */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents: Seq[Seq[Double]] = embeddings
+      nCells: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKFrom(embeddings, seedCentroids(embeddings, nCells), queryId, k, nProbe)
+
+  /** The first `nCells` stored vectors as seed centroids. */
+  def seedCentroids(embeddings: DataFrame, nCells: Int): Seq[Seq[Double]] =
+    embeddings
       .filter(col("vec_id") < nCells)
       .orderBy(col("vec_id"))
       .select(asDouble(col("embedding")).as("e"))
       .collect().map(_.getSeq[Double](0).toVector).toVector
+
+  /** Lloyd-refined IVF centroids: each iteration assigns every vector
+    * to its nearest centroid (narrow, no shuffle) and recomputes each
+    * cell's mean — ONE shuffle of (cell, dim, component) partial sums
+    * per iteration, the standard distributed k-means shape; raw
+    * vectors never co-locate. Empty cells keep their previous
+    * centroid. Refined centroids improve cell balance over the
+    * first-N seeds; exactness of the probe scan is centroid-
+    * independent (probing all cells ≡ brute force, spec'd).
+    */
+  def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
+      iterations: Int = 2): Seq[Seq[Double]] = {
+    var cents = seedCentroids(embeddings, nCells)
+    val dims = cents.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iterations) {
+      val centLit = typedlit(cents)
+      val cell = (array_position(
+        transform(centLit, c => round(cosineFor(embeddings)(col("embedding"), c), 4)),
+        array_max(transform(centLit,
+          c => round(cosineFor(embeddings)(col("embedding"), c), 4)))) - 1)
+        .cast("int")
+      val means = embeddings
+        .select(cell.as("cell"),
+          posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector
+        }
+      cents = cents.indices.map { c =>
+        means.get(c).filter(_.length == dims).getOrElse(cents(c))
+      }.toVector
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF probe scan against caller-supplied centroids (see ivfTopK /
+    * ivfBuild).
+    */
+  def ivfTopKFrom(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val centLit = typedlit(cents)
     // higher-order transform runs interpreted, so the per-cell score
     // uses the native fused-loop cosine when registered: one tight

@@ -223,6 +223,19 @@ object Pipelines {
       .withWatermark(tsCol, delay)
       .dropDuplicates(Seq(idCol, tsCol))
 
+  /** As `dedupedStream`, but dedups on the id ALONE: two events with
+    * the same id and different timestamps inside the watermark window
+    * still collapse to the first arrival
+    * (`dropDuplicatesWithinWatermark`). Use when upstream retries
+    * re-stamp the event time; use `dedupedStream` when a replay is
+    * byte-identical.
+    */
+  def dedupedStreamById(events: DataFrame, idCol: String, tsCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Beyond-reference extension: stream-stream inner join — each
     * purchase pairs with the same user's views from the preceding
     * `joinWindow`. Both sides carry watermarks and the join condition

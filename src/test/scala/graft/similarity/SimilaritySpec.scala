@@ -77,6 +77,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 <= rAll)
   }
 
+  test("k-means IVF build refines seeds; probe scan stays exact") {
+    val seeds = Similarity.seedCentroids(emb, 8)
+    val refined = Similarity.ivfBuild(emb, nCells = 8, iterations = 2)
+    assert(refined.length === seeds.length)
+    assert(refined.forall(_.length === seeds.head.length))
+    assert(refined !== seeds) // Lloyd iterations actually moved them
+    // exactness is centroid-independent: probing every cell ≡ brute
+    val all = Similarity.ivfTopKFrom(emb, refined, 0L, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq === brute.toSeq)
+    // the query's own cell is always the top probe → self-hit holds
+    val probed = Similarity.ivfTopKFrom(emb, refined, 0L, 10, nProbe = 2).collect()
+    assert(probed(0).getLong(0) === 0L)
+  }
+
   test("embedding near-dup finds planted exact copies at cos=1") {
     val planted = emb.select($"vec_id", $"embedding").limit(20)
       .union(emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding").limit(20))

@@ -93,6 +93,25 @@ class PipelinesSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L)) // each id exactly once
   }
 
+  test("id-only streaming dedup collapses re-stamped retries of the same id") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Pipelines.dedupedStreamById(
+      mem.toDF().toDF("event_id", "ts", "payload"), "event_id", "ts")
+      .writeStream.format("memory").queryName("dedup_id_out")
+      .outputMode("append").start()
+    // same id retried with a LATER timestamp: byte-level dedup would
+    // keep both; id-level dedup keeps the first arrival
+    mem.addData(Seq((1L, ts(0), "a"), (2L, ts(1), "b")))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, ts(3), "a-retry"), (3L, ts(4), "c")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_id_out")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("stream-stream purchase⋈view join ≡ batch join (parity)") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
