@@ -92,6 +92,19 @@ object SparkEntry {
         .select("op", "doc_id", "lang", "content_size", "status",
           "version", "s3_key", "ts_ms")
         .orderBy("doc_id")),
+    // §2.3 J2 — stream-static enrichment join, batch twin (content
+    // table is partial so the left join's null path is exercised)
+    "q_enrich_content" -> ((s, d) => {
+      val flattened = Cdc.pipeline(Cdc.syntheticEnvelopes(Tables.documents(s, d)))
+      val content = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 =!= 0)
+        .select(concat(col("doc_id"), lit("/content")).as("s3_key"),
+          col("text").as("content"))
+      graft.streaming.Pipelines.enrichWithContent(flattened, content)
+        .select(col("doc_id"), col("s3_key"), col("has_content"),
+          length(col("blob_content")).cast("long").as("content_len"))
+        .orderBy(col("doc_id"))
+    }),
     // §2.2 P8 + §2.7 F1/F12 — validation predicates as columns
     "q_validation" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -405,6 +418,21 @@ object SparkEntry {
                   doc_id || '/content' AS s3_key, doc_id * 1000 AS ts_ms
            FROM documents)
          SELECT * FROM e WHERE op NOT IN ('r', 'd') ORDER BY doc_id""",
+    "q_enrich_content" ->
+      """WITH e AS (
+           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
+                       WHEN doc_id % 20 = 1 THEN 'r'
+                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
+                  doc_id, doc_id || '/content' AS s3_key
+           FROM documents),
+         k AS (SELECT * FROM e WHERE op NOT IN ('r', 'd')),
+         c AS (SELECT doc_id || '/content' AS s3_key, text
+               FROM documents WHERE doc_id % 3 <> 0)
+         SELECT k.doc_id, k.s3_key,
+           c.s3_key IS NOT NULL AS has_content,
+           length(c.text) AS content_len
+         FROM k LEFT JOIN c ON k.s3_key = c.s3_key
+         ORDER BY k.doc_id""",
     "q_validation" ->
       """SELECT doc_id,
          length(text) BETWEEN 1 AND 255 AS valid_title,
