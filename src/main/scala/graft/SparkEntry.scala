@@ -429,7 +429,7 @@ object SparkEntry {
          c AS (SELECT doc_id || '/content' AS s3_key, text
                FROM documents WHERE doc_id % 3 <> 0)
          SELECT k.doc_id, k.s3_key,
-           c.s3_key IS NOT NULL AS has_content,
+           c.text IS NOT NULL AS has_content,
            length(c.text) AS content_len
          FROM k LEFT JOIN c ON k.s3_key = c.s3_key
          ORDER BY k.doc_id""",

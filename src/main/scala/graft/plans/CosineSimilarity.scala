@@ -128,7 +128,7 @@ case class CosineSimilarity(left: Expression, right: Expression,
 object RewriteCosine
     extends org.apache.spark.sql.catalyst.rules.Rule[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Divide, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Sqrt, ZipWith}
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Divide, EvalMode, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Sqrt, ZipWith}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
   /** (x, y) => x * y over exactly the two lambda-bound variables. */
@@ -176,12 +176,24 @@ object RewriteCosine
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Divide(DotOf(a, b),
+      // ansi comes from the MATCHED Divide's evalMode — the mode the
+      // analyzer captured when the query was built — never from the
+      // conf at optimization time (lazy optimization can run after a
+      // conf flip). TRY-mode divides are left alone: try_divide
+      // returns NULL on zero norms where the native ANSI path throws.
+      // Nondeterministic inputs are left alone too: the composed form
+      // re-evaluates them per dot product, the fused form once —
+      // rewriting would change observable results.
+      // NOTE: Divide's third ctor param is a NumericEvalContext in
+      // Spark 4 — the mode must come from the node's evalMode accessor
+      case d @ Divide(DotOf(a, b),
           Multiply(Sqrt(DotOf(a2, a3)), Sqrt(DotOf(b2, b3)), _), _)
-          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+          if d.evalMode != EvalMode.TRY &&
+            a.deterministic && b.deterministic &&
+            a.semanticEquals(a2) && a.semanticEquals(a3) &&
             b.semanticEquals(b2) && b.semanticEquals(b3) &&
             isDoubleArray(a) && isDoubleArray(b) =>
-        CosineSimilarity(a, b, conf.ansiEnabled)
+        CosineSimilarity(a, b, d.evalMode == EvalMode.ANSI)
     }
 }
 

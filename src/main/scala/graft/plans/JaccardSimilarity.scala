@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.QueryContext
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, BinaryExpression, Cast, Divide, Expression, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, BinaryExpression, Cast, Divide, EvalMode, Expression, Size}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -131,11 +131,19 @@ object RewriteJaccard extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Divide(
+      // ansi derives from the matched Divide's own evalMode (captured
+      // at analysis), not the conf at optimization time; TRY-mode
+      // (try_divide) and nondeterministic inputs are left un-rewritten
+      // — the fused form would change their observable behavior
+      // NOTE: Divide's third ctor param is a NumericEvalContext in
+      // Spark 4 — the mode must come from the node's evalMode accessor
+      case d @ Divide(
           SizeOf(ArrayIntersect(l1, r1)),
           SizeOf(ArrayUnion(l2, r2)), _)
-          if l1.semanticEquals(l2) && r1.semanticEquals(r2) &&
+          if d.evalMode != EvalMode.TRY &&
+            l1.deterministic && r1.deterministic &&
+            l1.semanticEquals(l2) && r1.semanticEquals(r2) &&
             isStringArray(l1) && isStringArray(r1) =>
-        JaccardSimilarity(l1, r1, conf.ansiEnabled)
+        JaccardSimilarity(l1, r1, d.evalMode == EvalMode.ANSI)
     }
 }

@@ -173,21 +173,39 @@ object Similarity {
     * first-N seeds; exactness of the probe scan is centroid-
     * independent (probing all cells ≡ brute force, spec'd).
     */
+  /** Per-centroid scores for a vector column: higher-order transform
+    * runs interpreted, so each per-cell score uses the native
+    * fused-loop cosine when registered — one tight pass per cell
+    * instead of nested interpreted lambdas. Shared by build and query
+    * so assignment and probing can never disagree on rounding or
+    * tie-break.
+    */
+  private def cellScoresFor(df: DataFrame, centLit: Column)(v: Column): Column =
+    transform(centLit, c => round(cosineFor(df)(v, c), 4))
+
+  /** Argmax cell of a score array: first index achieving the max
+    * (lowest cell id on ties); null for zero-norm vectors (all-null
+    * scores — unindexable).
+    */
+  private def cellOf(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
   def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
       iterations: Int = 2): Seq[Seq[Double]] = {
     var cents = seedCentroids(embeddings, nCells)
     val dims = cents.headOption.map(_.length).getOrElse(0)
+    if (cents.isEmpty) return cents
     var it = 0
     while (it < iterations) {
       val centLit = typedlit(cents)
-      val cell = (array_position(
-        transform(centLit, c => round(cosineFor(embeddings)(col("embedding"), c), 4)),
-        array_max(transform(centLit,
-          c => round(cosineFor(embeddings)(col("embedding"), c), 4)))) - 1)
-        .cast("int")
       val means = embeddings
-        .select(cell.as("cell"),
+        .withColumn("__scores",
+          cellScoresFor(embeddings, centLit)(col("embedding")))
+        .select(cellOf(col("__scores")).as("cell"),
           posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        // zero-norm vectors have a null cell (unindexable) — they
+        // contribute to no centroid
+        .filter(col("cell").isNotNull)
         .groupBy(col("cell"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .collect()
@@ -209,16 +227,10 @@ object Similarity {
   def ivfTopKFrom(embeddings: DataFrame, cents: Seq[Seq[Double]],
       queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val centLit = typedlit(cents)
-    // higher-order transform runs interpreted, so the per-cell score
-    // uses the native fused-loop cosine when registered: one tight
-    // pass per cell instead of nested interpreted lambdas
-    def cellScores(v: Column): Column =
-      transform(centLit, c => round(cosineFor(embeddings)(v, c), 4))
     val scored = embeddings
-      .withColumn("__scores", cellScores(col("embedding")))
-      .withColumn("cell",
-        (array_position(col("__scores"), array_max(col("__scores"))) - 1)
-          .cast("int"))
+      .withColumn("__scores",
+        cellScoresFor(embeddings, centLit)(col("embedding")))
+      .withColumn("cell", cellOf(col("__scores")))
     val probes = scored.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"),
         posexplode(col("__scores")).as(Seq("cid", "s")))

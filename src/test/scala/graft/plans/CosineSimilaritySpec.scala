@@ -68,16 +68,18 @@ class CosineSimilaritySpec extends SparkSpec {
       spark.conf.set("spark.sql.ansi.enabled", "false")
       val rows = Seq(
         (Array(0.0, 0.0), Array(1.0, 2.0)),  // zero left norm
-        (Array.empty[Double], Array(1.0, 2.0)),  // empty → zero denom
+        (Array.empty[Double], Array(1.0, 2.0)),  // length mismatch → null
+        (Array.empty[Double], Array.empty[Double]),  // empty↔empty → zero denom
         (Array(1.0, 1.0), Array(1.0, 2.0))   // control: defined
       ).toDF("a", "b").select(
         call_function(GraftFunctions.CosineName, $"a", $"b").as("native"),
         Similarity.cosine($"a", $"b").as("composed")).collect()
       assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
       assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
-      assert(!rows(2).isNullAt(0) &&
-        java.lang.Double.doubleToLongBits(rows(2).getDouble(0)) ===
-          java.lang.Double.doubleToLongBits(rows(2).getDouble(1)))
+      assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+      assert(!rows(3).isNullAt(0) &&
+        java.lang.Double.doubleToLongBits(rows(3).getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(rows(3).getDouble(1)))
 
       spark.conf.set("spark.sql.ansi.enabled", "true")
       val zero = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")

@@ -121,6 +121,20 @@ class GraftExtensionsSpec extends AnyFunSuite
     }
   }
 
+  test("try_divide-spelled cosine is NOT rewritten: null on zero norm even under ANSI") {
+    import org.apache.spark.sql.functions._
+    // ansi default is on in this session; try_divide must keep its
+    // null-on-zero contract, so the rule has to leave it alone
+    val zero = spark.range(1).select(
+      expr("array(0.0d, 0.0d)").as("a"), expr("array(1.0d, 2.0d)").as("b"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, p) => acc + p)
+    val tried = zero.select(try_divide(dot(col("a"), col("b")),
+      sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b")))).as("c"))
+    assert(!tried.queryExecution.optimizedPlan.toString.contains("cosinesimilarity"))
+    assert(tried.head.isNullAt(0)) // try semantics preserved, no throw
+  }
+
   test("rewritten cosine: mismatched lengths and null elements → null (like zip_with)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
