@@ -221,6 +221,25 @@ object Similarity {
     cents
   }
 
+  /** Materialize the IVF index as a cell-partitioned table — the
+    * inverted lists as a physical layout. At 100 TB this is the point
+    * of IVF: a probe query filters on `cell` and the scan prunes to
+    * nProbe directories (PartitionFilters on the parquet scan,
+    * asserted in spec) instead of touching the corpus. Zero-norm
+    * (unindexable) vectors are dropped, matching the probe scan.
+    */
+  def writeIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      path: String): Unit = {
+    val centLit = typedlit(cents)
+    embeddings
+      .withColumn("__scores",
+        cellScoresFor(embeddings, centLit)(col("embedding")))
+      .withColumn("cell", cellOf(col("__scores")))
+      .drop("__scores")
+      .filter(col("cell").isNotNull)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
   /** IVF probe scan against caller-supplied centroids (see ivfTopK /
     * ivfBuild).
     */

@@ -94,6 +94,23 @@ class SimilaritySpec extends SparkSpec {
     assert(probed(0).getLong(0) === 0L)
   }
 
+  test("IVF index written partitionBy(cell) gives partition-pruned probe scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cents = Similarity.seedCentroids(emb, 8)
+    Similarity.writeIvfIndex(emb, cents, dir)
+    val idx = spark.read.parquet(dir)
+    val probe = idx.filter(col("cell").isin(0, 1))
+    val p = probe.queryExecution.executedPlan.toString
+    // the cell predicate lands in PartitionFilters (directory pruning),
+    // not in PushedFilters (row-group filtering after reading the file)
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    // pruned read returns exactly the vectors assigned to those cells
+    val viaIndex = probe.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = idx.filter(col("cell") === 0 || col("cell") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex === expected && viaIndex.nonEmpty)
+  }
+
   test("embedding near-dup finds planted exact copies at cos=1") {
     val planted = emb.select($"vec_id", $"embedding").limit(20)
       .union(emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding").limit(20))
