@@ -187,7 +187,7 @@ object SessionOps {
         col("__rord") > col(orderCol) - windowSpan &&
         col("__rord") <= col(orderCol),
         "left_outer")
-      .groupBy(col("__lid") +: left.columns.map(col): _*)
+      .groupBy((col("__lid") +: left.columns.toIndexedSeq.map(col)): _*)
       // each left row appears once per probe cell; count(__rord) skips
       // the unmatched probes' nulls, summing true matches across both
       .agg(count(col("__rord")).as(outCol))

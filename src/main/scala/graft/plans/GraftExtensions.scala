@@ -22,7 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteCosine)
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", ""),
+        // the full 11-arg ctor is the only non-deprecated one that
+        // carries a usage string (args/examples/note/group/since/
+        // deprecated/source left empty)
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          usage, "", "", "", "", "", "", "built-in"),
         builder))
     }
   }

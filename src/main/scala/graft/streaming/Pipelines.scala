@@ -64,7 +64,7 @@ object Pipelines {
     val all = index.unionByName(batch)
     // final tiebreak = content hash: rows tied on every version column
     // must still pick a DETERMINISTIC winner or replays diverge
-    val contentHash = xxhash64(all.columns.sorted.map(col): _*)
+    val contentHash = xxhash64(all.columns.sorted.toIndexedSeq.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(versionCols.map(c => col(c).desc) :+ contentHash.asc: _*)
@@ -139,7 +139,7 @@ object Pipelines {
     */
   def toKafkaJson(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** ST4: the Redis counter/HLL state as a stateful streaming agg —
     * per-doc view totals + approximate unique visitors, update mode.
