@@ -63,6 +63,55 @@ class PropertySpec extends SparkSpec {
     assert(kept === expected)
   }
 
+  test("asofJoin matches a per-row Scala reference on random keyed streams") {
+    val rowGen = for {
+      key <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(0L, 40L)
+    } yield (key, ts)
+    val lefts = samples(rowGen, 120).zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t) }
+    val rights = samples(rowGen, 150).zipWithIndex
+      .map { case ((k, t), i) => (k, t, 2000L + i) }
+    val out = graft.ops.SessionOps.asofJoin(
+      lefts.toDF("left_id", "key", "ts"),
+      rights.toDF("key", "ts", "val"),
+      "key", "ts", "val", "matched")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    // reference: latest right at-or-before; ties broken by max value
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (lid, k, t) =>
+      val expected = byKey.getOrElse(k, Nil)
+        .filter(_._2 <= t)
+        .sortBy(r => (r._2, r._3))
+        .lastOption.map(_._3)
+      assert(out(lid) === expected, s"left $lid key=$k ts=$t")
+    }
+  }
+
+  test("windowedCountJoin matches a per-row Scala reference on random streams") {
+    val rowGen = for {
+      key <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(0L, 200L)
+    } yield (key, ts)
+    val lefts = samples(rowGen, 100).zipWithIndex
+      .map { case ((k, t), i) => (3000L + i, k, t) }
+    val rights = samples(rowGen, 200)
+    val span = 25L
+    val out = graft.ops.SessionOps.windowedCountJoin(
+      lefts.toDF("left_id", "key", "ts"),
+      rights.toDF("key", "ts"),
+      "key", "ts", span, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (lid, k, t) =>
+      val expected = byKey.getOrElse(k, Nil)
+        .count(r => r._2 > t - span && r._2 <= t)
+      assert(out(lid) === expected.toLong, s"left $lid key=$k ts=$t")
+    }
+  }
+
   test("uuid7 ordering follows timestamp ordering") {
     val ts = samples(Gen.chooseNum(1L, 1L << 40), 100).distinct.sorted
     val df = ts.map(t => (t, s"k$t")).toDF("ts", "k")
