@@ -41,6 +41,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 /health/ready — the SELECT 1 readiness probe
+    "q_health" -> ((s, _) => s.sql("SELECT 1 AS ok")),
     // §2.4 A1+A2+A3 — per-doc view counter + exact unique visitors
     "q_view_stats" -> ((s, d) => StatsOps.viewStats(Tables.events(s, d))),
     // §2.4 A2 — HLL approximate uniques (no oracle; error-bound spec)
@@ -315,6 +317,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_health" -> "SELECT 1 AS ok",
     "q_view_stats" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS doc_id,
          count(*) AS total_views,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -24,4 +24,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // Typed loaders — metadata-only `as[T]` over the same scans (case
+  // classes in graft.schema mirror the parquet schemas exactly), for
+  // call sites that want compile-time field safety.
+  def documentsDs(s: SparkSession, d: String): Dataset[graft.schema.Document] = {
+    import s.implicits._
+    documents(s, d).as[graft.schema.Document]
+  }
+  def eventsDs(s: SparkSession, d: String): Dataset[graft.schema.Event] = {
+    import s.implicits._
+    events(s, d).as[graft.schema.Event]
+  }
+  def embeddingsDs(s: SparkSession, d: String): Dataset[graft.schema.Embedding] = {
+    import s.implicits._
+    embeddings(s, d).as[graft.schema.Embedding]
+  }
+  def ordersDs(s: SparkSession, d: String): Dataset[graft.schema.Order] = {
+    import s.implicits._
+    orders(s, d).as[graft.schema.Order]
+  }
 }
