@@ -16,6 +16,8 @@ object Bench {
       // input is many files and this knob is irrelevant.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "128k")
+      // same surface the library ships: functions + optimizer rules
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.register(spark)

@@ -17,6 +17,10 @@ object Verify {
       // are needed — Spark has no nanosecond TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // full extensions (functions + RewriteJaccard/RewriteCosine):
+      // every oracled query runs with the optimizer rules active, so a
+      // rewrite-induced divergence fails the hash gate, not just specs
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.register(spark)
