@@ -20,7 +20,7 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftFunctions.register(spark)
+    // functions come from the injected extensions (same registry table)
     // untimed warmup: JVM/codegen/scheduler spin-up should not be
     // attributed to whichever query happens to run first. Every query
     // shape runs once at the smallest available SF (same schemas →

@@ -180,14 +180,14 @@ object Similarity {
     * so assignment and probing can never disagree on rounding or
     * tie-break.
     */
-  private def cellScoresFor(df: DataFrame, centLit: Column)(v: Column): Column =
+  private[similarity] def cellScoresFor(df: DataFrame, centLit: Column)(v: Column): Column =
     transform(centLit, c => round(cosineFor(df)(v, c), 4))
 
   /** Argmax cell of a score array: first index achieving the max
     * (lowest cell id on ties); null for zero-norm vectors (all-null
     * scores — unindexable).
     */
-  private def cellOf(scores: Column): Column =
+  private[similarity] def cellOf(scores: Column): Column =
     (array_position(scores, array_max(scores)) - 1).cast("int")
 
   def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
@@ -237,6 +237,10 @@ object Similarity {
       .withColumn("cell", cellOf(col("__scores")))
       .drop("__scores")
       .filter(col("cell").isNotNull)
+      // co-locate each cell before the write: without this every input
+      // partition opens up to nCells concurrent writers and the output
+      // is inputPartitions × nCells small files
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 

@@ -101,13 +101,20 @@ class SimilaritySpec extends SparkSpec {
     val idx = spark.read.parquet(dir)
     val probe = idx.filter(col("cell").isin(0, 1))
     val p = probe.queryExecution.executedPlan.toString
-    // the cell predicate lands in PartitionFilters (directory pruning),
-    // not in PushedFilters (row-group filtering after reading the file)
-    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
-    // pruned read returns exactly the vectors assigned to those cells
+    // the cell predicate must land INSIDE the PartitionFilters bracket
+    // (directory pruning) — an empty "PartitionFilters: []" plus `cell`
+    // appearing elsewhere in the scan must not satisfy this
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    // written assignments must equal the probe path's own cell rule,
+    // computed independently from the source embeddings
+    val centLit = typedlit(cents)
+    val expected = emb
+      .select(col("vec_id"),
+        Similarity.cellOf(
+          Similarity.cellScoresFor(emb, centLit)(col("embedding"))).as("cell"))
+      .filter(col("cell").isin(0, 1))
+      .collect().map(_.getLong(0)).toSet
     val viaIndex = probe.select("vec_id").collect().map(_.getLong(0)).toSet
-    val expected = idx.filter(col("cell") === 0 || col("cell") === 1)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(viaIndex === expected && viaIndex.nonEmpty)
   }
 
