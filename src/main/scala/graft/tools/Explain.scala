@@ -17,9 +17,9 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "128k")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftFunctions.register(spark)
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     println("=== FORMATTED PLAN: " + name + " ===")
     df.explain("formatted")
