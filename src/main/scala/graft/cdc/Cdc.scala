@@ -65,7 +65,10 @@ object Cdc {
         op.as("op"),
         when(op === "u", row).otherwise(lit(null).cast(rowSchema)).as("before"),
         when(op =!= "d", row).otherwise(lit(null).cast(rowSchema)).as("after"),
-        (col("doc_id") * 1000L).as("ts_ms"))).as("value"))
+        (col("doc_id") * 1000L).as("ts_ms"))).as("value"),
+      // the Kafka record timestamp the documented contract promises —
+      // derived from the same deterministic ts_ms as the envelope
+      timestamp_millis(col("doc_id") * 1000L).as("timestamp"))
   }
 
   /** S7/S8 decode: JSON envelope → typed columns. */

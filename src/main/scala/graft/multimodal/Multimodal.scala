@@ -114,6 +114,7 @@ object Multimodal {
     * the UDTF/flatMap shape (row multiplication, narrow).
     */
   def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long): Dataset[Frame] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.filter(_.kind == "video").flatMap { a =>

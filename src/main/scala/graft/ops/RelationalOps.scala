@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *    index equivalent; cf. scripts/init-db.sql:58-70).
   *  - Semi/anti joins broadcast the filtered dimension side when it
   *    fits `autoBroadcastJoinThreshold`; otherwise Catalyst falls
-  *    back to shuffled hash — no driver-side collect anywhere.
+  *    back to shuffled hash — no driver-side collect anywhere. To
+  *    keep that fallback real, explicit broadcast() hints appear ONLY
+  *    on bounded-cardinality dims (nation/region: ≤ 25 rows at every
+  *    TPC-H scale factor); unbounded sides (customer) are left to the
+  *    threshold + AQE, since a hint would force the broadcast and
+  *    fail hard past Spark's 8 GB limit instead of falling back.
   *  - Pagination is a global sort only at page-serving time; at
   *    cluster scale the table is written sorted-within-partitions by
   *    the pagination key (W3's composite-index equivalent) and
@@ -62,8 +67,8 @@ object RelationalOps {
   def semiJoinExists(orders: DataFrame, customer: DataFrame, segment: String): DataFrame =
     orders
       .join(
-        broadcast(customer.filter(col("c_mktsegment") === segment)
-          .select(col("c_custkey"))),
+        customer.filter(col("c_mktsegment") === segment)
+          .select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), col("o_custkey"))
       .orderBy(col("o_orderkey"))
@@ -84,7 +89,7 @@ object RelationalOps {
     */
   def joinAgg(orders: DataFrame, customer: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -115,7 +120,9 @@ object RelationalOps {
       .withColumn("o_orderstatus", lit("U"))
     base.filter(!isUpd)
       .unionByName(updates)
-      .withColumn("version", when(col("o_orderstatus") === "U", 2).otherwise(1))
+      // version from the update predicate itself, not the status
+      // sentinel: a pre-existing 'U' row must not be stamped updated
+      .withColumn("version", when(isUpd, 2).otherwise(1))
       .orderBy(col("o_orderkey"))
   }
 
@@ -203,7 +210,9 @@ object RelationalOps {
           .cast("decimal(24,6)").as("rev"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      // no hint: the customer-derived side must be free to fall back
+      // to a shuffled join past the broadcast threshold
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"))
       .agg(
         sum(col("rev")).cast("double").as("revenue"),

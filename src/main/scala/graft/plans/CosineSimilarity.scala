@@ -230,7 +230,10 @@ object GraftFunctions {
     (TextHashFunctions.SrpBucketName,
       "sign-random-projection LSH bucket: (array<double>, planes) -> long",
       arity(TextHashFunctions.SrpBucketName, 2)(e => SrpBucket(e(0),
-        TextHashFunctions.intLitValue(e(1))))))
+        TextHashFunctions.intLitValue(e(1))))),
+    (TextHashFunctions.RollingHashName,
+      "Karp-Rabin rolling hash of a string in one pass: (string) -> long",
+      arity(TextHashFunctions.RollingHashName, 1)(e => RollingHash(e(0)))))
 
   /** Register graft's native expressions in a session (idempotent).
     * Callers (Verify/Bench/tests) invoke this once; library code

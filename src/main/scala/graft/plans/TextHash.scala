@@ -117,6 +117,31 @@ object TextHashUtil {
   }
 }
 
+object RollingHashUtil {
+
+  val FpMod = 1000000007L
+
+  /** Karp-Rabin polynomial hash over the text's code points in one
+    * pass — bit-identical to the composed fold
+    * `aggregate(transform(split(text,''), ascii), 0, (acc,x) ->
+    * pmod(acc*31+x, p))`: Java's split("") yields per-code-point
+    * strings and ascii() their code point, so the iteration values
+    * and fold order are the same. acc stays < p, so acc*31+cp never
+    * overflows a long and floorMod equals pmod.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * 31L + cp, FpMod)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 object VectorHashUtil {
 
   /** SRP-LSH bucket id in one pass: bit p of the bucket = sign of
@@ -162,6 +187,21 @@ case class SrpBucket(child: Expression, nPlanes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    RollingHashUtil.rollingHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.RollingHashUtil.rollingHash($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 abstract class TextHashExpression extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -194,6 +234,7 @@ object TextHashFunctions {
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
+  val RollingHashName = "graft_rolling_hash"
 
   private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -45,8 +45,16 @@ object RuleBasedScorer extends QualityScorer {
     * (data-quality/app/main.py:176-204).
     */
   def consistency(text: Column): Column =
-    when(wordCount(text) < 3, lit(0L))
-      .otherwise(floor(distinctWordCount(text) * 100 / wordCount(text)))
+    consistencyFromTokens(words(text))
+
+  /** Token-array form — callers on the hot path materialize `ws`
+    * once and feed it here and to `languageQualityFromTokens`, so the
+    * text splits a single time per row instead of ~5 (the same
+    * one-ws-column discipline textStats uses).
+    */
+  def consistencyFromTokens(ws: Column): Column =
+    when(size(ws) < 3, lit(0L))
+      .otherwise(floor(size(array_distinct(ws)) * 100 / size(ws)))
       .cast("long")
 
   /** pii_detection: binary — 100 when clean, 0 when PII present
@@ -60,7 +68,11 @@ object RuleBasedScorer extends QualityScorer {
     * per percent, capped — a crude but deterministic fluency proxy.
     */
   def languageQuality(text: Column): Column =
-    least(lit(100), floor(stopwordCount(text, Stopwords) * 1000 / wordCount(text)))
+    languageQualityFromTokens(words(text))
+
+  def languageQualityFromTokens(ws: Column): Column =
+    least(lit(100), floor(
+      size(filter(ws, w => w.isin(Stopwords.map(lit): _*))) * 1000 / size(ws)))
       .cast("long")
 
   /** A4: weighted overall + threshold validity (OpenAIProvider.py:154-165). */
@@ -69,10 +81,12 @@ object RuleBasedScorer extends QualityScorer {
 
   def score(df: DataFrame, textCol: String): DataFrame = {
     val t = truncateContent(col(textCol)) // F2: reference caps scorer input at 1024
-    df.withColumn("completeness", completeness(t))
-      .withColumn("consistency", consistency(t))
+    df.withColumn("__ws", words(t)) // tokenize ONCE; both word scores read it
+      .withColumn("completeness", completeness(t))
+      .withColumn("consistency", consistencyFromTokens(col("__ws")))
       .withColumn("pii_detection", piiScore(t))
-      .withColumn("language_quality", languageQuality(t))
+      .withColumn("language_quality", languageQualityFromTokens(col("__ws")))
+      .drop("__ws")
       .withColumn("quality_score",
         overall(col("completeness"), col("consistency"),
           col("pii_detection"), col("language_quality")))

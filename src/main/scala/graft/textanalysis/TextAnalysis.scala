@@ -49,30 +49,26 @@ object TextAnalysis {
   def langScores(text: Column): Seq[(String, Column)] =
     LangProfiles.map { case (lang, sw) => lang -> stopwordCount(text, sw) }
 
-  /** Predicted language: argmax profile score, ties broken by profile
-    * order, 'und' if all scores are 0.
+  /** Argmax language from per-profile scores: ties broken by profile
+    * order, 'und' when every score is 0. The single tie-break rule —
+    * detectLang (text input) and textStats (materialized token
+    * column) both go through here so they can never drift.
     */
-  def detectLang(text: Column): Column = {
-    val scores = langScores(text)
+  def langFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     coalesce(
       scores.map { case (lang, s) => when(s > 0 && s === best, lit(lang)) } :+
         lit("und"): _*)
   }
 
+  /** Predicted language: argmax profile score, ties broken by profile
+    * order, 'und' if all scores are 0.
+    */
+  def detectLang(text: Column): Column = langFromScores(langScores(text))
+
   // ---------------------------------------------------------------
   // Quality / readability statistics
   // ---------------------------------------------------------------
-
-  def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))) /
-      length(text)
-
-  def avgWordLength(text: Column): Column =
-    length(replace(text, lit(" "), lit(""))) / wordCount(text)
-
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    stopwordCount(text, stopwords) / wordCount(text)
 
   /** Per-document text statistics frame. Ratios rounded to 4 places
     * for engine-stable hashing. The token array is materialized once
@@ -82,11 +78,8 @@ object TextAnalysis {
   def textStats(documents: DataFrame): DataFrame = {
     def hits(sw: Seq[String]) =
       size(filter(col("ws"), w => w.isin(sw.map(lit): _*)))
-    val scores = LangProfiles.map { case (lang, sw) => lang -> hits(sw) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val lang = coalesce(
-      scores.map { case (l, s) => when(s > 0 && s === best, lit(l)) } :+
-        lit("und"): _*)
+    val lang = langFromScores(
+      LangProfiles.map { case (l, sw) => l -> hits(sw) })
     documents
       .withColumn("ws", words(col("text")))
       .select(
@@ -121,13 +114,23 @@ object TextAnalysis {
 
   /** Karp-Rabin rolling polynomial hash of the whole document —
     * content-defined 64-bit-safe fingerprint, reproducible in any
-    * engine with integer folds (no md5 dependence).
+    * engine with integer folds (no md5 dependence). Composed form:
+    * three interpreted lambdas per character.
     */
   def rollingHash(text: Column): Column =
     aggregate(
       transform(filter(split(text, ""), c => c =!= ""),
         c => ascii(c).cast("long")),
       lit(0L), (acc, x) => pmod(acc * 31 + x, lit(FpMod)))
+
+  /** Session-aware rolling hash: the native one-pass expression
+    * (graft.plans.RollingHash, bit-identical — spec'd) when
+    * registered, the composed fold otherwise.
+    */
+  def rollingHashFor(df: DataFrame)(text: Column): Column =
+    if (graft.plans.TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(graft.plans.TextHashFunctions.RollingHashName, text)
+    else rollingHash(text)
 
   /** Bottom-k sketch of word-bigram hashes (winnowing-style document
     * signature): the k smallest xxhash64 values of the shingle set.
@@ -139,7 +142,7 @@ object TextAnalysis {
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      rollingHash(col("text")).as("rolling_hash"),
+      rollingHashFor(documents)(col("text")).as("rolling_hash"),
       md5(col("text")).as("content_md5"))
       .orderBy(col("doc_id"))
 }

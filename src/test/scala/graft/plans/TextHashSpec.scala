@@ -67,6 +67,22 @@ class TextHashSpec extends SparkSpec {
     assert(clean.getSeq[Long](2) === ref)
   }
 
+  test("native rolling hash ≡ composed rolling hash bitwise") {
+    val real = docs.select(
+      graft.textanalysis.TextAnalysis.rollingHash($"text").as("composed"),
+      call_function(TextHashFunctions.RollingHashName, $"text").as("native"))
+      .collect()
+    real.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // edge cases: empty string, multi-byte text, and a long document
+    val edge = Seq("", "héllo wörld — ünïcode ø", "日本語のテキスト", "a" * 5000)
+      .toDF("text")
+      .select(
+        graft.textanalysis.TextAnalysis.rollingHash($"text").as("composed"),
+        call_function(TextHashFunctions.RollingHashName, $"text").as("native"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
   test("long words grow the shingle buffer correctly") {
     val long = ("a" * 200 + " ") * 5
     val df = Seq((1L, long.trim)).toDF("id", "text")
