@@ -481,7 +481,8 @@ object SparkEntry {
          SELECT doc_id, score, snippet FROM m WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
     "q_dedup_exact" ->
-      """SELECT md5(concat_ws(chr(31), user_id, event_type)) AS dup_key,
+      """SELECT md5(CAST(to_json(struct_pack(user_id := user_id,
+                                             event_type := event_type)) AS VARCHAR)) AS dup_key,
          count(*) AS n_copies, min(event_id) AS keep_id
          FROM events GROUP BY user_id, event_type
          HAVING count(*) > 1 ORDER BY dup_key""",

@@ -33,12 +33,16 @@ object Dedup {
   /** Exact duplicate groups by digest of `keyCols`: one row per
     * duplicated key with its cardinality + representative (min id).
     */
-  /** Separator is the unit-separator control char so ("a b","c") and
-    * ("a","b c") can't serialize to the same digest input (a space
-    * separator would conflate them).
+  /** The digest input is the JSON of the key struct with nulls kept:
+    * unlike concat_ws (which SKIPS null arguments, conflating
+    * ('x',null) with (null,'x')) every field keeps its position and a
+    * null stays distinct from an empty string; JSON framing keeps
+    * field boundaries, so ("a b","c") and ("a","b c") can't serialize
+    * identically either.
     */
   def exactDuplicateGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    df.groupBy(md5(concat_ws("\u001f", keyCols.map(col): _*)).as("dup_key"))
+    df.groupBy(md5(to_json(struct(keyCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))).as("dup_key"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") > 1)
 
@@ -49,7 +53,13 @@ object Dedup {
   def dropExactDuplicates(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
     val keep = df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol))
-    df.join(keep, keyCols :+ idCol, "left_semi")
+      .select((keyCols :+ idCol).map(c => col(c).as(s"__k_$c")): _*)
+    // null-SAFE equality on the keys: groupBy treats nulls as equal,
+    // so the join back must too — plain `=` would silently drop every
+    // null-keyed row class instead of keeping its representative
+    val cond = keyCols.map(c => df(c) <=> keep(s"__k_$c"))
+      .reduce(_ && _) && (df(idCol) === keep(s"__k_$idCol"))
+    df.join(keep, cond, "left_semi")
   }
 
   // ---------------------------------------------------------------
@@ -94,6 +104,9 @@ object Dedup {
     * k/bands values, each hashed to a bucket id.
     */
   def bandHashes(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature length ($k) — a remainder " +
+        "would silently drop trailing permutations from every bucket")
     val r = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => hash(slice(signature, b * r + lit(1), lit(r)), b))
@@ -232,6 +245,11 @@ object Dedup {
         call_function(TextHashFunctions.SimHashName, words(col("text")))
       else simhashBands(col("text"))
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      // null text has no fingerprint: the composed path would fold it
+      // to bands [0,0,0,0] (making all null docs mutual "duplicates")
+      // while the native expression yields NULL — filtering keeps the
+      // two paths identical and the semantics sane
+      .filter(col("text").isNotNull)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), bandsExpr.as("sh"))
       .persist()

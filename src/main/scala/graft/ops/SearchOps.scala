@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.words
@@ -42,13 +41,19 @@ object SearchOps {
   def fuzzyHits(c: Column, q: String, maxEdits: Int): Column =
     size(filter(words(c), w => levenshtein(w, lit(q)) <= maxEdits)).cast("long")
 
-  /** Relevance score: 2×title-field hits + body hits. */
+  /** Relevance score: 2×title-field hits + body hits. A null field
+    * counts zero hits instead of nulling the whole score — the
+    * reference's multi_match still matches on whichever fields are
+    * present.
+    */
   def score(title: Column, body: Column, q: String): Column =
-    occurrences(title, q) * 2 + occurrences(body, q)
+    coalesce(occurrences(title, q), lit(0L)) * 2 +
+      coalesce(occurrences(body, q), lit(0L))
 
   def fuzzyScore(title: Column, body: Column, q: String): Column = {
     val k = autoFuzziness(q)
-    fuzzyHits(title, q, k) * 2 + fuzzyHits(body, q, k)
+    coalesce(fuzzyHits(title, q, k), lit(0L)) * 2 +
+      coalesce(fuzzyHits(body, q, k), lit(0L))
   }
 
   /** Full search: filters (P5/P6) → must-match scoring → total (A5)
@@ -68,6 +73,9 @@ object SearchOps {
   def searchManaged(documents: DataFrame, q: String,
       lang: Option[String] = None, minChars: Option[Long] = None,
       fuzzy: Boolean = false, from: Int = 0, size: Int = 10): graft.Managed = {
+    // an empty query would divide by q.length=0 in occurrences():
+    // NULL scores non-ANSI, DIVIDE_BY_ZERO under ANSI — reject early
+    require(q.nonEmpty, "search query must be non-empty")
     val filtered = Seq(
       lang.map(l => col("lang") === l),
       minChars.map(m => col("n_chars") >= m)
@@ -114,6 +122,7 @@ object SearchOps {
   def searchEnrichedManaged(enriched: DataFrame, q: String,
       minQualityScore: Double, excludePii: Boolean,
       from: Int = 0, size: Int = 10): graft.Managed = {
+    require(q.nonEmpty, "search query must be non-empty")
     val base = enriched
       .filter(col("quality_score") >= minQualityScore)
     val piiFiltered = if (excludePii) base.filter(!col("has_pii")) else base
@@ -136,7 +145,8 @@ object SearchOps {
     replace(c, lit(q), lit(s"<em>$q</em>"))
 
   def searchWithHighlight(documents: DataFrame, q: String,
-      size: Int = 10): DataFrame =
+      size: Int = 10): DataFrame = {
+    require(q.nonEmpty, "search query must be non-empty")
     documents
       .withColumn("score", score(col("source"), col("text"), q))
       .filter(col("score") > 0)
@@ -144,4 +154,5 @@ object SearchOps {
         highlight(substring(col("text"), 1, 80), q).as("snippet"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(size)
+  }
 }

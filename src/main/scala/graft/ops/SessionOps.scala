@@ -33,12 +33,14 @@ object SessionOps {
   def sessionize(events: DataFrame, gapMicros: Long = SessionGapMicros): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
+    // the lag of the first row is null; the comparison is then null
+    // and otherwise(0) maps it to 0 — no separate coalesce needed
     val isNew = when(
       col("tus") - lag(col("tus"), 1).over(byUser) > gapMicros, 1)
       .otherwise(0)
     events
       .withColumn("tus", tus)
-      .withColumn("new_session", coalesce(isNew, lit(0)))
+      .withColumn("new_session", isNew)
       .withColumn("session_idx",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -144,8 +146,13 @@ object SessionOps {
       .withColumn("__is_left", lit(1))
       .withColumn("__m", lit(null).cast(mType))
       .select(leftCols.map(col) :+ col("__is_left") :+ col("__m"): _*)
-    val rBase = right.select(col(keyCol), col(orderCol),
-      lit(0).as("__is_left"), struct(col(valueCol).as("v")).as("__m"))
+    val rBase = right
+      // a null order-key can never satisfy `r.ord <= l.ord` (the
+      // comparison is NULL) — unfiltered it would sort nulls-first and
+      // become a phantom "earliest" match for every left row
+      .filter(col(orderCol).isNotNull)
+      .select(col(keyCol), col(orderCol),
+        lit(0).as("__is_left"), struct(col(valueCol).as("v")).as("__m"))
     val r = leftCols.foldLeft(rBase)((df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))

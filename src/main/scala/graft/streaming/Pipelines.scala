@@ -63,8 +63,13 @@ object Pipelines {
       versionCols: Seq[String]): DataFrame = {
     val all = index.unionByName(batch)
     // final tiebreak = content hash: rows tied on every version column
-    // must still pick a DETERMINISTIC winner or replays diverge
-    val contentHash = xxhash64(all.columns.sorted.toIndexedSeq.map(col): _*)
+    // must still pick a DETERMINISTIC winner or replays diverge. The
+    // hash input is the JSON of the full row with nulls kept — raw
+    // xxhash64 over columns SKIPS null children, so rows differing
+    // only in which column is null would hash identically
+    val contentHash = xxhash64(to_json(
+      struct(all.columns.sorted.toIndexedSeq.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(versionCols.map(c => col(c).desc) :+ contentHash.asc: _*)

@@ -31,6 +31,23 @@ class DedupSpec extends SparkSpec {
     assert(once.count() === twice.count())
   }
 
+  test("null key values dedup as their own class, never silently dropped") {
+    val df = Seq(
+      (1L, Some("x"), Some("a")),
+      (2L, None, Some("a")),       // null-keyed class...
+      (3L, None, Some("a")),       // ...with a duplicate
+      (4L, Some("x"), None),       // ('x', null) must differ from...
+      (5L, None, Some("x"))        // ...(null, 'x')
+    ).toDF("id", "k1", "k2")
+    val kept = Dedup.dropExactDuplicates(df, "id", Seq("k1", "k2"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L)) // 3 is the null-class duplicate
+    val groups = Dedup.exactDuplicateGroups(df, "id", Seq("k1", "k2"))
+      .collect()
+    assert(groups.length === 1) // ONLY the (null,'a') class duplicates
+    assert(groups(0).getAs[Long]("keep_id") === 2L)
+  }
+
   test("jaccard: identical=1, near-dup high, unrelated low") {
     val sh = df.select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
     def j(a: Long, b: Long): Double = {

@@ -17,6 +17,18 @@ class SearchOpsSpec extends SparkSpec {
     assert(r(0).getAs[Long]("score") === 2L)
   }
 
+  test("null field still matches on the other field; empty query rejected") {
+    val docs = Seq(
+      (1L, "merge proposal", Option("merge details inside"), "en", 100L),
+      (2L, "merge proposal", Option.empty[String], "en", 100L) // null body
+    ).toDF("doc_id", "source", "text", "lang", "n_chars")
+    val hits = SearchOps.search(docs, "merge")
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L)) // title-only match survives null body
+    intercept[IllegalArgumentException] { SearchOps.search(docs, "") }
+    spark.catalog.clearCache()
+  }
+
   test("fuzziness AUTO thresholds") {
     assert(SearchOps.autoFuzziness("ab") === 0)
     assert(SearchOps.autoFuzziness("abc") === 1)

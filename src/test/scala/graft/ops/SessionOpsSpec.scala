@@ -66,6 +66,17 @@ class SessionOpsSpec extends SparkSpec {
     assert(out(13L) === Some(201L))
   }
 
+  test("asofJoin: null right order-keys never match (no phantom earliest row)") {
+    val left = Seq((30L, 1L, 10L)).toDF("event_id", "user_id", "tus")
+    val right = Seq(
+      (1L, Option.empty[Long], 901L), // null ts: can't satisfy <=
+      (1L, Some(500L), 902L)          // later than the left row
+    ).toDF("user_id", "tus", "event_id")
+    val out = SessionOps.asofJoin(left, right, "user_id", "tus",
+      "event_id", "matched").collect()
+    assert(out.length === 1 && out(0).isNullAt(3), out(0).toString)
+  }
+
   test("asofJoin: a latest right row with NULL value yields null, not a stale match") {
     val left = Seq((20L, 1L, 100L)).toDF("event_id", "user_id", "tus")
     val right = Seq(
