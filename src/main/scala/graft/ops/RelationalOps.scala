@@ -141,8 +141,11 @@ object RelationalOps {
       .limit(k)
 
   /** TPC-H Q1-shaped pricing summary over lineitem — the bench
-    * headline for scan+agg throughput. Decimal-exact sums; avg
-    * derived as exact-sum / count so both engines agree bitwise.
+    * headline for scan+agg throughput. Decimal-exact sums. The two
+    * high-precision totals surface as exact decimal STRINGS: past
+    * ~16 significant digits (sum_charge crosses that at sf0.1
+    * already) a decimal→double cast rounds its last ulp differently
+    * across engines, so the comparison stays in exact decimal space.
     */
   def pricingSummary(lineitem: DataFrame): DataFrame = {
     val qty = col("l_quantity").cast("decimal(18,2)")
@@ -155,10 +158,10 @@ object RelationalOps {
       .agg(
         sum(qty).cast("double").as("sum_qty"),
         sum(price).cast("double").as("sum_base_price"),
-        sum((price * (lit(1) - disc)).cast("decimal(24,6)")).cast("double")
+        sum((price * (lit(1) - disc)).cast("decimal(24,6)")).cast("string")
           .as("sum_disc_price"),
         sum((price * (lit(1) - disc) * (lit(1) + tax)).cast("decimal(30,8)"))
-          .cast("double").as("sum_charge"),
+          .cast("string").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
