@@ -382,7 +382,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
     "q_revenue_by_region" ->
       """SELECT r_name,
-         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6))) AS DECIMAL(34,6)) AS VARCHAR) AS revenue,
          count(DISTINCT o_custkey) AS n_customers
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey

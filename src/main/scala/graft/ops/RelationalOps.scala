@@ -218,7 +218,10 @@ object RelationalOps {
       .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(col("rev")).cast("double").as("revenue"),
+        // exact decimal string: a region's revenue crosses double's
+        // ~16 significant digits within one scale-factor step of the
+        // verified range (same reasoning as pricingSummary)
+        sum(col("rev")).cast("string").as("revenue"),
         countDistinct(col("o_custkey")).as("n_customers"))
       .orderBy(col("r_name"))
   }
