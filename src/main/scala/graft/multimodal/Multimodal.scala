@@ -110,6 +110,23 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: binary in / binary out per asset, metadata updated
+    * to the target dimensions — the standalone form of the resize the
+    * frame sampler applies per frame. Narrow mapPartitions like the
+    * other codec stages: one codec context per partition, payloads
+    * never shuffle.
+    */
+  def resizeAssets(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    require(w > 0 && h > 0, s"target dimensions must be positive, got ${w}x$h")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => a.copy(
+        content = FakeCodec.resize(a.content, w, h),
+        meta = a.meta.copy(width = w, height = h)))
+    }
+  }
+
   /** Frame sampling: one row per sampled frame at `everyMs` —
     * the UDTF/flatMap shape (row multiplication, narrow).
     */

@@ -49,4 +49,21 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
     assert(r1.length <= 4096)
   }
+
+  test("resize stage rewrites payload + dimensions, keeps row count") {
+    val assets = Multimodal.syntheticAssets(
+      graft.Tables.documents(spark, sfDir).limit(30))
+    val resized = Multimodal.resizeAssets(assets, 320, 180).collect()
+    assert(resized.length === assets.count())
+    resized.foreach { a =>
+      assert(a.meta.width === 320 && a.meta.height === 180)
+      assert(a.content.length <= 4096) // stub's bounded output
+    }
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeAssets(assets, 320, 180).collect()
+    assert(resized.map(_.content.toSeq).toSeq === again.map(_.content.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeAssets(assets, 0, 180)
+    }
+  }
 }
