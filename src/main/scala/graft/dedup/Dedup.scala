@@ -210,16 +210,22 @@ object Dedup {
     * bit (64× difference in the hot path).
     */
   def simhashBandsFromHashes(hs: Column): Column = {
-    val total = size(hs)
-    transform(sequence(lit(0), lit(3)), band =>
+    // denominator = countable (non-null) hashes, matching the numerator
+    // filter below; zero countable tokens → null fingerprint (a vacuous
+    // majority vote would stamp every empty doc with the same all-ones
+    // bands and make them mutual Hamming-0 "duplicates")
+    val valid = filter(hs, h => h.isNotNull)
+    val total = size(valid)
+    val bands = transform(sequence(lit(0), lit(3)), band =>
       aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
         val bitIdx = (band * 16 + j).cast("int")
-        val ones = size(filter(hs, h =>
+        val ones = size(filter(valid, h =>
           call_function("shiftright", h, bitIdx)
             .bitwiseAND(lit(1L)) === lit(1L)))
         val bit = when(ones * 2 >= total, lit(1L)).otherwise(lit(0L))
         acc + bit * call_function("shiftleft", lit(1L), j)
       }))
+    when(total === 0, lit(null)).otherwise(bands)
   }
 
   /** Hamming distance between two simhash band arrays. */
@@ -252,6 +258,9 @@ object Dedup {
       .filter(col("text").isNotNull)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), bandsExpr.as("sh"))
+      // empty-token docs have a null fingerprint (both paths) — they
+      // carry no content to match on
+      .filter(col("sh").isNotNull)
       .persist()
     val buckets = base.select(col("id"),
         posexplode(col("sh")).as(Seq("band", "value")))

@@ -178,27 +178,36 @@ object SessionOps {
   def windowedCountJoin(left: DataFrame, right: DataFrame, keyCol: String,
       orderCol: String, windowSpan: Long, outCol: String): DataFrame = {
     val cell = call_function("div", col(orderCol), lit(windowSpan))
-    // per-left-row handle so two fully identical left rows each keep
-    // their own output row instead of merging with summed counts; the
-    // id is nondeterministic but lives only inside this query
-    val probes = left
-      .withColumn("__lid", monotonically_increasing_id())
-      .withColumn("__probe", explode(array(cell, cell - 1)))
+    // the match count is a function of (key, order) alone: count once
+    // per DISTINCT pair, then join the counts back. Duplicate left
+    // rows each keep their own output row (the join-back fans out),
+    // probe cells explode once per distinct pair instead of once per
+    // row, and — unlike a synthetic id() handle — nothing here is
+    // nondeterministic under task retries or AQE re-plans.
+    val pairs = left.select(col(keyCol), col(orderCol)).distinct()
+    val probes = pairs.withColumn("__probe", explode(array(cell, cell - 1)))
     val r = right.select(
       col(keyCol).as("__rk"),
       col(orderCol).as("__rord"),
       call_function("div", col(orderCol), lit(windowSpan)).as("__rcell"))
-    probes
+    val counted = probes
       .join(r,
         col(keyCol) === col("__rk") && col("__probe") === col("__rcell") &&
         col("__rord") > col(orderCol) - windowSpan &&
         col("__rord") <= col(orderCol),
         "left_outer")
-      .groupBy((col("__lid") +: left.columns.toIndexedSeq.map(col)): _*)
-      // each left row appears once per probe cell; count(__rord) skips
+      .groupBy(col(keyCol), col(orderCol))
+      // each pair appears once per probe cell; count(__rord) skips
       // the unmatched probes' nulls, summing true matches across both
       .agg(count(col("__rord")).as(outCol))
-      .drop("__lid")
+      .withColumnRenamed(keyCol, "__ck")
+      .withColumnRenamed(orderCol, "__cord")
+    // null-safe equality so left rows with a null key/order still get
+    // their (zero) count back instead of dropping to a null outCol
+    left.join(counted,
+        col(keyCol) <=> col("__ck") && col(orderCol) <=> col("__cord"), "left")
+      .drop("__ck", "__cord")
+      .withColumn(outCol, coalesce(col(outCol), lit(0L)))
   }
 
   /** Hierarchical rollup (region → nation subtotals + grand total)

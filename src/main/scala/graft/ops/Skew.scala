@@ -32,11 +32,17 @@ object Skew {
     * `saltFactor` ways; the probe side picks a deterministic salt per
     * row. Each hot join key fans across saltFactor reducers instead
     * of one. Result is row-identical to the unsalted join.
+    *
+    * The salt is a hash of the fact row's own columns, so a task
+    * retry or AQE re-plan re-derives the SAME salt per row — bit-
+    * stable shuffles, unlike id()-based salts which renumber on
+    * replay. Fully identical rows share a salt; they spread anyway
+    * because the hash keys on every column, not just the hot key.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(xxhash64(fact.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
     saltedFact

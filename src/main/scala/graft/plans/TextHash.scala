@@ -101,6 +101,11 @@ object TextHashUtil {
       }
       i += 1
     }
+    // no countable tokens (empty array / all-null elements): with a
+    // zero denominator every bit's majority vote is vacuously true and
+    // all such docs would share one all-ones fingerprint — i.e. become
+    // mutual "duplicates" at Hamming 0. No content → no fingerprint.
+    if (counted == 0) return null
     val bands = new Array[Long](4)
     var b = 0
     while (b < 4) {
@@ -222,11 +227,15 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
 }
 
 case class SimHashBands64(child: Expression) extends TextHashExpression {
+  // null even for a non-null child: a token array with no countable
+  // tokens has no fingerprint (see TextHashUtil.simHashBands)
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     TextHashUtil.simHashBands(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.TextHashUtil.simHashBands($c);")
+      s"""${ev.value} = graft.plans.TextHashUtil.simHashBands($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

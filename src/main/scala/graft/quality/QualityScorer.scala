@@ -81,12 +81,16 @@ object RuleBasedScorer extends QualityScorer {
 
   def score(df: DataFrame, textCol: String): DataFrame = {
     val t = truncateContent(col(textCol)) // F2: reference caps scorer input at 1024
-    df.withColumn("__ws", words(t)) // tokenize ONCE; both word scores read it
+    // collision-free temp name: a caller column literally named "__ws"
+    // must survive scoring untouched
+    val wsCol = Iterator.from(0).map(i => if (i == 0) "__ws" else s"__ws$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(wsCol, words(t)) // tokenize ONCE; both word scores read it
       .withColumn("completeness", completeness(t))
-      .withColumn("consistency", consistencyFromTokens(col("__ws")))
+      .withColumn("consistency", consistencyFromTokens(col(wsCol)))
       .withColumn("pii_detection", piiScore(t))
-      .withColumn("language_quality", languageQualityFromTokens(col("__ws")))
-      .drop("__ws")
+      .withColumn("language_quality", languageQualityFromTokens(col(wsCol)))
+      .drop(wsCol)
       .withColumn("quality_score",
         overall(col("completeness"), col("consistency"),
           col("pii_detection"), col("language_quality")))

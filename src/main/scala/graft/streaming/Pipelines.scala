@@ -254,14 +254,18 @@ object Pipelines {
     */
   def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
       joinWindow: String = "10 minutes"): DataFrame = {
+    // both watermark delays derive from joinWindow: a view is still
+    // joinable until a purchase joinWindow newer has been seen, so a
+    // delay shorter than the window would silently drop matches that
+    // the batch twin keeps
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", "10 minutes")
+      .withWatermark("p_ts", joinWindow)
     val v = views
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
-      .withWatermark("v_ts", "10 minutes")
+      .withWatermark("v_ts", joinWindow)
     p.join(v,
       col("user_id") === col("v_user") &&
       col("v_ts") <= col("p_ts") &&

@@ -67,6 +67,28 @@ class TextHashSpec extends SparkSpec {
     assert(clean.getSeq[Long](2) === ref)
   }
 
+  test("no countable tokens → null fingerprint on both simhash paths") {
+    // empty array and all-null array: a vacuous majority vote would
+    // give every such doc the same all-ones bands (mutual Hamming-0
+    // "duplicates"); both paths must agree on null instead
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("real", "tokens"))
+    ).toDF("id", "ws")
+    // xxhash64(null) is the seed, not null — propagate token nulls so
+    // the composed hash array mirrors what the native loop skips
+    val hashes = transform($"ws", w => when(w.isNotNull, xxhash64(w)))
+    val rows = df.select($"id",
+      Dedup.simhashBandsFromHashes(hashes).as("composed"),
+      call_function(TextHashFunctions.SimHashName, $"ws").as("native"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(!rows(2).isNullAt(1) &&
+      rows(2).getSeq[Long](1) === rows(2).getSeq[Long](2))
+  }
+
   test("native rolling hash ≡ composed rolling hash bitwise") {
     val real = docs.select(
       graft.textanalysis.TextAnalysis.rollingHash($"text").as("composed"),
