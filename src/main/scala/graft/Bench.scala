@@ -45,15 +45,29 @@ object Bench {
       if (warmFailures > 0)
         System.err.println(s"[bench] warmup: $warmFailures/${SparkEntry.queries.size} queries failed against $warmDir")
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries persist intermediates (LSH signatures etc.); drop them
-      // so later timings don't pay earlier queries' memory pressure
-      spark.catalog.clearCache()
-      name -> dt
+    // min of N interleaved passes per query: a single sample can't be
+    // separated from sandbox GC/scheduling spikes (the round-2 driver
+    // recorded 6× one-off regressions on queries whose plans hadn't
+    // changed). Interleaving whole passes — not back-to-back repeats —
+    // keeps one transient load burst from poisoning all samples of the
+    // same query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val samples = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to passes) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist intermediates (LSH signatures etc.); drop them
+        // so later timings don't pay earlier queries' memory pressure
+        spark.catalog.clearCache()
+        samples.updateWith(name) {
+          case Some(prev) => Some(math.min(prev, dt))
+          case None       => Some(dt)
+        }
+      }
     }
+    val results = SparkEntry.queries.keys.map(n => n -> samples(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -11,8 +11,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * nothing here assumes single-file inputs.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** The driver-generated tables are immutable for a session's
+    * lifetime, so the resolved relation (file listing + footer
+    * schema) is shared per (session, path): a 50-query batch pays
+    * the listing/schema cost once per table instead of once per
+    * query. Keyed by session so stopped sessions can't leak frames
+    * into live ones; non-standard paths (anything a caller might
+    * overwrite mid-session) bypass the cache.
+    */
+  private val standardNames = Set("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (standardNames(name))
+      relationCache.computeIfAbsent((spark, path), kv => kv._1.read.parquet(kv._2))
+    else spark.read.parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
