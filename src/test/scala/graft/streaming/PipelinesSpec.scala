@@ -62,7 +62,7 @@ class PipelinesSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(rows.drop(rows.length / 2))
     q.processAllAvailable(); q.stop()
-    val index = spark.read.parquet(s"$dir/index")
+    val index = Pipelines.readIndex(spark, s"$dir/index")
     val viaIndex = graft.ops.SearchOps.searchEnriched(
       index, "merge", minQualityScore = 50.0, excludePii = true, size = 20)
       .collect().map(_.toSeq)
@@ -170,14 +170,71 @@ class PipelinesSpec extends SparkSpec {
     val rows = envelopeRows
     mem.addData(rows.take(100))
     q.processAllAvailable()
-    val afterFirst = spark.read.parquet(s"$dir/index").count()
+    val afterFirst = Pipelines.readIndex(spark, s"$dir/index").count()
     mem.addData(rows.take(100)) // exact replay: idempotent
     mem.addData(rows.slice(100, 200))
     q.processAllAvailable(); q.stop()
-    val index = spark.read.parquet(s"$dir/index")
+    val index = Pipelines.readIndex(spark, s"$dir/index")
     assert(afterFirst > 0)
     assert(index.count() > afterFirst)
     assert(index.groupBy("doc_id").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("index sink rewrites only the buckets a micro-batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dirty").toString
+    val mem = MemoryStream[(String, String)]
+    val enriched = Pipelines.qualityEnrich(mem.toDF().toDF("key", "value"))
+      .select($"doc_id", $"version", $"ts_ms", $"quality_score")
+    val q = Pipelines.startIndexSink(enriched, s"$dir/index", s"$dir/ckpt")
+    val rows = envelopeRows
+    mem.addData(rows.take(200)) // spread docs across many buckets
+    q.processAllAvailable()
+    // snapshot each bucket's physical file set (task-UUID part names:
+    // any rewrite produces different files)
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$dir/index")
+      root.listFiles().filter(_.getName.startsWith("__bucket=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+    assert(before.size > 1) // the point of bucketing: many buckets exist
+    // ONE document — whose op survives the CDC filter (deletes and
+    // snapshot reads, doc_id % 20 ∈ {0,1}, never reach the index)
+    val survivor = rows.drop(200)
+      .find(r => { val id = r._1.toLong; id % 20 > 1 }).get
+    mem.addData(Seq(survivor))
+    q.processAllAvailable(); q.stop()
+    val after = bucketFiles()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size === 1) // one doc → one bucket dir rewritten
+    // and the untouched buckets' rows are still all there
+    val index = Pipelines.readIndex(spark, s"$dir/index")
+    assert(index.count() >= before.size)
+    assert(index.groupBy("doc_id").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("bucketed index point lookup prunes to one bucket partition") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-probe").toString
+    val mem = MemoryStream[(String, String)]
+    val enriched = Pipelines.qualityEnrich(mem.toDF().toDF("key", "value"))
+      .select($"doc_id", $"version", $"ts_ms", $"quality_score")
+    val q = Pipelines.startIndexSink(enriched, s"$dir/index", s"$dir/ckpt")
+    mem.addData(envelopeRows.take(200))
+    q.processAllAvailable(); q.stop()
+    val someId = Pipelines.readIndex(spark, s"$dir/index")
+      .select("doc_id").head.getLong(0)
+    val lookup = Pipelines.indexPointLookup(spark, s"$dir/index",
+      "doc_id", lit(someId))
+    assert(lookup.count() === 1)
+    assert(lookup.head.getAs[Long]("doc_id") === someId)
+    // the physical scan must carry the bucket as a partition filter
+    val physical = lookup.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("__bucket"))
   }
 
   test("windowed counts honor event-time tumbling windows") {
