@@ -24,6 +24,15 @@ import graft.textanalysis.TextAnalysis
   */
 object SparkEntry {
 
+  /** The injected clock for F8 auto-touch stamps (mergeUpdates):
+    * both the Spark query and its oracle SQL derive their literal
+    * from THIS one constant, so the stamp is oracled without wall-
+    * clock nondeterminism. A production caller passes real time.
+    */
+  val mergeClock: java.time.Instant = java.time.Instant.ofEpochSecond(1700000000L)
+  private val mergeClockIso: String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(mergeClock)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The caller's session may not carry the nanos config the events
     * table needs — set it here (dynamic SQLConf), and fall back to a
@@ -62,7 +71,8 @@ object SparkEntry {
     // §2.3 — the intended documents⋈signatures equi-join + aggregate
     "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(Tables.orders(s, d), Tables.customer(s, d))),
     // §2.1 S6 — update-as-merge with version bump
-    "q_merge_update" -> ((s, d) => RelationalOps.mergeUpdates(Tables.orders(s, d))),
+    "q_merge_update" -> ((s, d) =>
+      RelationalOps.mergeUpdates(Tables.orders(s, d), Some(mergeClock))),
     // §2.5 W1 — top-k with deterministic tiebreak
     "q_topk_customers" -> ((s, d) => RelationalOps.topCustomers(Tables.orders(s, d), 10)),
     // bench headline: scan+agg (TPC-H Q1 shape)
@@ -172,6 +182,20 @@ object SparkEntry {
     // Similarity: IVF ANN (inverted-file cells + nProbe probe scan)
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 10, nCells = 16, nProbe = 2)),
+    // Same IVF semantics served from the WRITTEN cell-partitioned
+    // index — the probe predicate is a literal IN list, so the scan
+    // prunes to nProbe partition directories (the 100 TB path)
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.seedCentroids(e, 16)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_" + Integer.toHexString(d.hashCode)).getPath
+      Similarity.writeIvfIndex(e, cents, dir)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toVector
+      Similarity.ivfTopKFromIndex(s.read.parquet(dir), cents, qv, 10, 2)
+    }),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -359,12 +383,13 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
     "q_merge_update" ->
-      """SELECT o_orderkey, o_custkey,
+      s"""SELECT o_orderkey, o_custkey,
          CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
          CASE WHEN o_orderkey % 10 = 0
               THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
               ELSE o_totalprice END AS o_totalprice,
-         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version
+         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version,
+         CASE WHEN o_orderkey % 10 = 0 THEN '$mergeClockIso' ELSE NULL END AS updated_at
          FROM orders ORDER BY o_orderkey""",
     "q_topk_customers" ->
       """SELECT o_custkey, count(*) AS n_orders,
@@ -520,6 +545,28 @@ object SparkEntry {
            FROM p) WHERE rank <= 5
          ORDER BY query_id, rank""",
     "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // identical semantics to q_ann_ivf — the Spark side differs only
+    // in serving the probe from the written partition-pruned index
+    "q_ann_ivf_indexed" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

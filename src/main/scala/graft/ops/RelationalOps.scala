@@ -105,8 +105,20 @@ object RelationalOps {
     * Updates here are derived deterministically (keys ≡ 0 mod 10 get
     * a 10% price bump and a status flip), mirroring the reference's
     * PATCH + version+1 (main.py:144-158).
+    *
+    * F8 auto-touch: updated rows are stamped `updated_at` from the
+    * INJECTED clock (the reference's updated_at trigger,
+    * scripts/init-db.sql:80-93 / models.py onupdate). The clock is a
+    * parameter — never wall time — so the merge stays deterministic,
+    * replayable, and oracle-able; untouched rows keep a null stamp,
+    * exactly like rows the trigger never fired on.
     */
-  def mergeUpdates(orders: DataFrame): DataFrame = {
+  def mergeUpdates(orders: DataFrame,
+      clock: Option[java.time.Instant] = None): DataFrame = {
+    val stamp = clock
+      .map(c => lit(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        c.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))))
+      .getOrElse(lit(null)).cast("string")
     val base = orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice"))
@@ -123,6 +135,7 @@ object RelationalOps {
       // version from the update predicate itself, not the status
       // sentinel: a pre-existing 'U' row must not be stamped updated
       .withColumn("version", when(isUpd, 2).otherwise(1))
+      .withColumn("updated_at", when(isUpd, stamp).otherwise(lit(null).cast("string")))
       .orderBy(col("o_orderkey"))
   }
 

@@ -268,6 +268,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side probe selection against driver-resident centroids —
+    * the SAME rounding (HALF_UP to 4 places, Spark's Round semantics
+    * for doubles) and tie-break (score desc, cell asc) as the in-plan
+    * probe path, so index build and probe can never disagree. Zero-
+    * norm queries get no probes (no cosine direction), matching
+    * ivfTopKFrom.
+    */
+  def probeCells(cents: Seq[Seq[Double]], query: Seq[Double],
+      nProbe: Int): Seq[Int] = {
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qn = math.sqrt(dotL(query, query))
+    if (qn == 0.0) return Seq.empty
+    cents.zipWithIndex.flatMap { case (c, i) =>
+      val cn = math.sqrt(dotL(c, c))
+      if (cn == 0.0) None
+      else {
+        val cos = dotL(query, c) / (qn * cn)
+        Some((BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, i))
+      }
+    }.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+  }
+
+  /** Probe scan served from a [[writeIvfIndex]] table on disk — the
+    * payoff of the physical layout: probe cells are literals, so the
+    * `cell` predicate becomes a PartitionFilter and the scan touches
+    * nProbe directories out of nCells, never the corpus. This is the
+    * path a 100 TB deployment actually runs; `ivfTopKFrom` is its
+    * index-free twin for ad-hoc queries.
+    */
+  def ivfTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
+      queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(cents, queryVec, nProbe)
+    val filtered =
+      if (probes.isEmpty) index.filter(lit(false)) // zero-norm query
+      else index.filter(col("cell").isin(probes: _*))
+    filtered
+      .select(col("vec_id"),
+        round(cosineFor(index)(col("embedding"), typedlit(queryVec.toVector)), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket join prunes
     * candidates, exact cosine ≥ threshold verifies. The classic
     * near-dup shape for embedding-deduped training corpora.

@@ -40,6 +40,19 @@ class RelationalOpsSpec extends SparkSpec {
     val v2 = merged.filter(col("version") === 2)
     assert(v2.filter(col("o_orderkey") % 10 =!= 0).count() === 0)
     assert(v2.count() === orders.filter(col("o_orderkey") % 10 === 0).count())
+    // no clock injected → no auto-touch stamps anywhere
+    assert(merged.filter(col("updated_at").isNotNull).count() === 0)
+  }
+
+  test("merge auto-touches updated rows from the injected clock (F8)") {
+    val clock = java.time.Instant.parse("2024-03-01T12:00:00Z")
+    val merged = RelationalOps.mergeUpdates(orders, Some(clock))
+    // exactly the updated rows carry the stamp, and it IS the clock
+    val stamped = merged.filter(col("updated_at").isNotNull)
+    assert(stamped.count() === merged.filter(col("version") === 2).count())
+    assert(stamped.filter(col("version") =!= 2).count() === 0)
+    assert(stamped.select("updated_at").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("2024-03-01T12:00:00Z"))
   }
 
   test("topCustomers ordered by value desc") {

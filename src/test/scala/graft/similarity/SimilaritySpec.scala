@@ -118,6 +118,31 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex === expected && viaIndex.nonEmpty)
   }
 
+  test("ivfTopKFromIndex over the written index ≡ the in-plan probe path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+    val cents = Similarity.seedCentroids(emb, 16)
+    Similarity.writeIvfIndex(emb, cents, dir)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head.getSeq[Double](0).toVector
+    val viaIndex = Similarity.ivfTopKFromIndex(
+      spark.read.parquet(dir), cents, qv, 10, nProbe = 2)
+    val inPlan = Similarity.ivfTopKFrom(emb, cents, 0L, 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === inPlan.toSeq)
+    // the disk-served probe must prune: literal cells inside
+    // PartitionFilters, not a post-scan filter
+    val p = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    // driver-side probe choice matches the in-plan (score desc, cid)
+    // rule — the query's own cell must lead the probe list
+    val probes = Similarity.probeCells(cents, qv, 2)
+    assert(probes.length === 2)
+    // zero-norm query: no direction → no probes → empty result
+    assert(Similarity.probeCells(cents, Vector.fill(qv.length)(0.0), 2).isEmpty)
+  }
+
   test("embedding near-dup finds planted exact copies at cos=1") {
     val planted = emb.select($"vec_id", $"embedding").limit(20)
       .union(emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding").limit(20))
