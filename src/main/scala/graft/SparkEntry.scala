@@ -33,6 +33,10 @@ object SparkEntry {
   private val mergeClockIso: String =
     java.time.format.DateTimeFormatter.ISO_INSTANT.format(mergeClock)
 
+  // scratch IVF indexes already written by this JVM (keyed by path)
+  private val ivfIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The caller's session may not carry the nanos config the events
     * table needs — set it here (dynamic SQLConf), and fall back to a
@@ -167,6 +171,31 @@ object SparkEntry {
     // Dedup: MinHash+LSH near-dups over a planted-perturbation corpus
     "q_minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
+    // Connected components (the dedup clustering primitive) over a
+    // deterministic star-of-stars graph: key→4-hub→16-hub, so every
+    // node's component has the closed form key − key%16 — fully
+    // oracled including the multi-hop propagation
+    "q_components" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
+        .union(k.select((col("k") - col("k") % 4).as("id_a"),
+          (col("k") - col("k") % 16).as("id_b")))
+      // smallGraphEdges=0 forces the distributed propagation path —
+      // the one a cluster-scale graph runs — through the oracle gate;
+      // the union-find fast path is pinned equal in DedupSpec
+      Dedup.connectedComponents(edges, "id_a", "id_b", smallGraphEdges = 0L)
+        .orderBy(col("node"))
+    }),
+    // Dedup: LSH pairs closed under transitivity → clusters with a
+    // canonical min-id label (rows-only: hinges on xxhash64 minhash)
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.minhashClusters(plantedCorpus(s, d), "doc_id", "text")
+        .orderBy(col("node"))),
+    // Dedup: the corpus with near-copies dropped (canonical survives)
+    "q_dedup_survivors" -> ((s, d) =>
+      Dedup.dropNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
@@ -190,10 +219,15 @@ object SparkEntry {
       val cents = Similarity.seedCentroids(e, 16)
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_ivf_" + Integer.toHexString(d.hashCode)).getPath
-      Similarity.writeIvfIndex(e, cents, dir)
+      // build once per JVM per corpus — the serving path an index
+      // exists for is build-once probe-many, and the build output is
+      // deterministic for a given source dir
+      ivfIndexBuilt.computeIfAbsent(dir, p => {
+        Similarity.writeIvfIndex(e, cents, p); p
+      })
       val qv = e.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0).toVector
+        .head().getSeq[Double](0).toVector
       Similarity.ivfTopKFromIndex(s.read.parquet(dir), cents, qv, 10, 2)
     }),
     // Similarity: embedding-cosine near-dup over planted copies
@@ -511,6 +545,15 @@ object SparkEntry {
          count(*) AS n_copies, min(event_id) AS keep_id
          FROM events GROUP BY user_id, event_type
          HAVING count(*) > 1 ORDER BY dup_key""",
+    "q_components" ->
+      """WITH e0 AS (
+           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+           UNION
+           SELECT o_orderkey - o_orderkey % 4 AS a,
+                  o_orderkey - o_orderkey % 16 AS b FROM orders),
+         e AS (SELECT a, b FROM e0 WHERE a <> b),
+         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
+         SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
     "q_dedup_drop" ->
       """SELECT event_type, count(*) AS n_kept FROM (
            SELECT user_id, event_type, min(event_id) AS event_id

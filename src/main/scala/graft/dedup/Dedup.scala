@@ -286,4 +286,157 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
     new graft.Managed(result, Seq(base))
   }
+
+  // ---------------------------------------------------------------
+  // Near-duplicate clustering: pairs → components → survivors
+  // ---------------------------------------------------------------
+
+  /** Connected components over an undirected pair list: every node
+    * ends up labeled with the SMALLEST id reachable from it.
+    *
+    * Iterative min-label propagation — per round, one equi-join
+    * shuffle of (node, label) pairs and nothing wider (texts and
+    * signatures never enter this operator). Lineage is cut each
+    * round with an eager localCheckpoint so the plan stays flat
+    * instead of doubling per iteration. Convergence is exact: a
+    * round that changes zero labels terminates the loop; `maxIter`
+    * bounds adversarial chains (propagation moves one hop per
+    * round, and near-dup clusters from banded LSH are dense — in
+    * practice diameter 2-3).
+    *
+    * Output: (node, component) for every id that appears in a pair.
+    * Ids with no pairs are their own singleton component and are NOT
+    * emitted — callers that need total coverage (see
+    * [[dropNearDuplicates]]) treat absence as "survives alone".
+    */
+  /** Single-task union-find with path compression — the O(E·α(E))
+    * exact algorithm for edge lists that FIT one task. mapPartitions
+    * on a 1-partition frame, not a driver collect: the work stays on
+    * an executor and the result is a distributed frame.
+    */
+  private def unionFindComponents(sym: DataFrame): DataFrame = {
+    import sym.sparkSession.implicits._
+    sym.as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // min-root invariant: the representative IS the min id
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.toArray.sorted.iterator.map(n => (n, find(n)))
+      }
+      .toDF("node", "component")
+  }
+
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, smallGraphEdges: Long = 4000000L): DataFrame = {
+    // symmetrize in ONE pass over the input (explode, not union —
+    // union's two branches would each re-evaluate an expensive pairs
+    // pipeline feeding this)
+    val sym = pairs
+      .select(explode(array(
+        struct(col(aCol).as("a"), col(bCol).as("b")),
+        struct(col(bCol).as("a"), col(aCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    // fast path: a verified near-dup pair list is typically orders of
+    // magnitude smaller than its corpus — when it fits one task (and
+    // ids are longs), union-find solves it exactly in ONE job instead
+    // of diameter-many shuffle rounds. Past the limit, or for non-long
+    // ids, the distributed propagation below is the scale path.
+    val longIds = sym.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && smallGraphEdges > 0 && sym.count() <= smallGraphEdges) {
+      val out = unionFindComponents(sym).localCheckpoint(true)
+      sym.unpersist()
+      return out
+    }
+    var checkpointed = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var labels = checkpointed
+    // label frames are (node, component) pairs — 16 bytes of data per
+    // node. While the node count is broadcastable, hint it: each round
+    // becomes ONE scan of the persisted edges plus a tiny partial-agg
+    // shuffle, instead of re-shuffling the edge list every round. Past
+    // the limit (cluster-scale graphs) the hint is withheld and
+    // Catalyst plans the shuffled join the data size demands.
+    val nNodes = labels.count()
+    val hintSmall: DataFrame => DataFrame =
+      if (nNodes <= 2000000L) broadcast(_) else identity
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val t0 = System.nanoTime()
+      val nbrMin = sym.join(hintSmall(labels), col("b") === col("node"))
+        .groupBy(col("a"))
+        .agg(min(col("component")).as("__nc"))
+      // the change flag rides the checkpoint, so convergence checking
+      // is a scan of materialized rows — no second join per round
+      val next = labels.withColumnRenamed("component", "__old")
+        .join(hintSmall(nbrMin), col("node") === col("a"), "left")
+        .withColumn("component",
+          least(col("__old"), coalesce(col("__nc"), col("__old"))))
+        .withColumn("__changed", col("component") =!= col("__old"))
+        .select(col("node"), col("component"), col("__changed"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__changed")).count()
+      checkpointed.unpersist()
+      checkpointed = next
+      labels = next.drop("__changed")
+      it += 1
+      if (debug) System.err.println(
+        f"[cc] round $it: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS over a corpus: MinHash-LSH verified
+    * pairs, closed under transitivity. (A≈B and B≈C cluster A,B,C
+    * even when A and C alone wouldn't pass the threshold — the
+    * standard corpus-dedup contract.) Returns (node, component);
+    * the component label is its canonical (min-id) member.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+    val pairs = minhashNearDuplicatesManaged(df, idCol, textCol, n, k, bands,
+      threshold, maxBucketSize)
+    // components' first action consumes the pairs; release the
+    // signature cache afterwards (components hold only (node, label))
+    try connectedComponents(pairs.df, "id_a", "id_b")
+    finally pairs.release()
+  }
+
+  /** The training-corpus deliverable: the corpus minus redundant
+    * near-copies. Every near-dup cluster keeps exactly its canonical
+    * (min-id) member; documents in no cluster survive untouched. The
+    * anti-join ships only the loser id set — document payloads never
+    * shuffle.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+    val losers = minhashClusters(df, idCol, textCol, n, k, bands,
+      threshold, maxBucketSize)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("__drop_id"))
+    df.join(losers, col(idCol) <=> col("__drop_id"), "left_anti")
+  }
 }

@@ -90,4 +90,58 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("connected components: chain, clique, pair, multi-hop min label") {
+    // chain 1-2-3-4 (diameter 3: needs real propagation), clique
+    // {10,11,12}, isolated pair {20,21}
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    // both algorithms — union-find fast path (default) and the
+    // distributed propagation scale path (forced) — must agree
+    val fast = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iterative = Dedup.connectedComponents(edges, "id_a", "id_b",
+      smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === expected)
+    assert(iterative === expected)
+  }
+
+  test("connected components ignore self-loops and duplicate edges") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    Seq(0L, 1000L).foreach { limit =>
+      val comps = Dedup.connectedComponents(edges, "a", "b",
+        smallGraphEdges = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps === Map(1L -> 1L, 2L -> 1L))
+    }
+  }
+
+  test("minhash clusters close pairs under transitivity") {
+    // 1≈2 and 1=4: whatever pairs LSH finds, clustering must put
+    // {1,2,4} in one component labeled by the canonical min id 1
+    val comps = Dedup.minhashClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.get(4L) === Some(1L))
+    assert(comps.get(2L) === Some(1L))
+    assert(comps.get(1L) === Some(1L))
+    assert(!comps.contains(3L) && !comps.contains(5L)) // singletons absent
+  }
+
+  test("dropNearDuplicates keeps canonical member + untouched docs") {
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L)) // 2 and 4 collapse into 1
+    // idempotent: a deduped corpus has nothing left to drop
+    val again = Dedup.dropNearDuplicates(
+      df.filter($"doc_id".isin(1L, 3L, 5L)), "doc_id", "text")
+    assert(again.count() === 3)
+  }
 }
