@@ -146,6 +146,10 @@ object SparkEntry {
     // §2.7 F4 — highlight
     "q_search_highlight" -> ((s, d) =>
       SearchOps.searchWithHighlight(Tables.documents(s, d), "window", 10)),
+    // BM25 ranking (the scoring family behind the reference's ES) —
+    // exact, reproducible, fully oracled
+    "q_search_bm25" -> ((s, d) =>
+      SearchOps.searchBm25(Tables.documents(s, d), Seq("merge", "query"), 10)),
     // Dedup: exact duplicate groups via 16-byte digest shuffle
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicateGroups(Tables.events(s, d), "event_id",
@@ -539,6 +543,22 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, score, snippet FROM m WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_search_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
     "q_dedup_exact" ->
       """SELECT md5(CAST(to_json(struct_pack(user_id := user_id,
                                              event_type := event_type)) AS VARCHAR)) AS dup_key,

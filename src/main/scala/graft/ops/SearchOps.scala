@@ -140,6 +140,50 @@ object SearchOps {
     new graft.Managed(result, Seq(matches))
   }
 
+  /** BM25 ranked search (Robertson–Spärck Jones; the scoring function
+    * behind the reference's Elasticsearch ranking) — offered as a
+    * first-class alternative to the deterministic rubric above. The
+    * whole computation is exact relational algebra, so unlike ES's
+    * shard-local statistics it IS reproducible bit-for-bit:
+    *
+    *   score(D,Q) = Σ_t idf(t) · tf(t,D)·(k1+1)
+    *                        / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    *   idf(t)     = ln((N − df(t) + ½)/(df(t) + ½) + 1)
+    *
+    * Scale shape: the corpus pass explodes tokens but filters to the
+    * QUERY terms before any shuffle, so the aggregated state is
+    * O(matching docs × query terms). Document frequencies and the
+    * (N, avgdl) scalars are broadcast; ranking is TakeOrdered. idf is
+    * rounded to 6 places on both engines before the product (ln is
+    * libm-dependent in its last ulp), the final score to 4.
+    */
+  def searchBm25(documents: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val base = documents
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .withColumn("dl", size(col("__ws")))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tscore")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** F4: highlight matched terms — presentation-level, regex-free. */
   def highlight(c: Column, q: String): Column =
     replace(c, lit(q), lit(s"<em>$q</em>"))

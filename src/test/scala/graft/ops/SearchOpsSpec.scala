@@ -61,4 +61,30 @@ class SearchOpsSpec extends SparkSpec {
     assert(r.nonEmpty)
     assert(r.exists(_.getAs[String]("snippet").contains("<em>window</em>")))
   }
+
+  test("BM25: tf saturation, idf rarity, length normalization") {
+    val corpus = Seq(
+      (1L, "merge merge merge merge merge"),          // high tf, short
+      (2L, "merge"),                                  // tf=1, shortest
+      (3L, "merge " + Seq.fill(95)("pad").mkString(" ")), // tf=1, long
+      (4L, "rareterm"),
+      (5L, "pad pad pad")                             // no query terms
+    ).toDF("doc_id", "text")
+    val r = SearchOps.searchBm25(corpus, Seq("merge", "rareterm"), 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(!r.contains(5L)) // non-matching docs never surface
+    // tf saturation: 5 occurrences score higher than 1, but < 5x
+    assert(r(1L) > r(2L) && r(1L) < 5 * r(2L))
+    // length normalization: same tf, longer doc scores lower
+    assert(r(2L) > r(3L))
+    // idf: the rarer term (df=1 vs df=3) outscores at equal tf/length
+    assert(r(4L) > r(2L))
+  }
+
+  test("BM25 over the corpus ranks deterministically with doc_id ties") {
+    val r = SearchOps.searchBm25(docs, Seq("merge", "query"), 10).collect()
+    assert(r.length === 10)
+    val scores = r.map(_.getDouble(1))
+    assert(scores.sorted(Ordering[Double].reverse).toSeq === scores.toSeq)
+  }
 }
