@@ -150,6 +150,38 @@ object SparkEntry {
     // exact, reproducible, fully oracled
     "q_search_bm25" -> ((s, d) =>
       SearchOps.searchBm25(Tables.documents(s, d), Seq("merge", "query"), 10)),
+    // Training-data prep: PII stripped from flagged docs (narrow).
+    // The synthetic corpus carries no PII, so identifiers are planted
+    // deterministically (same construction in the oracle) — the
+    // redaction spans, not just the match booleans, go through the gate
+    "q_redact_pii" -> ((s, d) => {
+      import graft.functions.TextFunctions.{hasPii, redactPii}
+      val planted = Tables.documents(s, d).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" mail user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" ssn 123-45-6789 call +1 (555) 123-4567")))
+        .otherwise(col("text")))
+      planted.filter(hasPii(col("text2")))
+        .select(col("doc_id"), redactPii(col("text2")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    // Training-data prep: narrow hash sample per language (no shuffle)
+    "q_sample_hash" -> ((s, d) =>
+      SampleOps.hashSample(Tables.documents(s, d), "doc_id", 0.2)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))),
+    // Training-data prep: exact stratified sample by language
+    "q_sample_stratified" -> ((s, d) =>
+      SampleOps.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.1)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // Training-data prep: deterministic 80/10/10 train/val/test split
+    "q_hash_split" -> ((s, d) =>
+      SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))),
     // Dedup: exact duplicate groups via 16-byte digest shuffle
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicateGroups(Tables.events(s, d), "event_id",
@@ -543,6 +575,47 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, score, snippet FROM m WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_redact_pii" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                    THEN text || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  WHEN doc_id % 11 = 0
+                    THEN text || ' ssn 123-45-6789 call +1 (555) 123-4567'
+                  ELSE text END AS text2
+           FROM documents)
+         SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+           '\+?[0-9][0-9 ()-]{7,14}[0-9]', '[PHONE]', 'g') AS redacted
+         FROM p
+         WHERE regexp_matches(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+            OR regexp_matches(text2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
+            OR regexp_matches(text2, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
+         ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT lang, count(*) AS n_sampled FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+         GROUP BY lang ORDER BY lang""",
+    "q_sample_stratified" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang FROM s WHERE rn <= ceil(0.1 * n)
+         ORDER BY doc_id""",
+    "q_hash_split" ->
+      """SELECT CASE
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+           ELSE 'test' END AS split,
+         count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY split""",
     "q_search_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),

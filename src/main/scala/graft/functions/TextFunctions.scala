@@ -27,6 +27,19 @@ object TextFunctions {
   def hasPii(c: Column): Column =
     c.rlike(PiiEmail) || c.rlike(PiiSsn) || c.rlike(PiiPhone)
 
+  /** PII redaction — the transform counterpart of [[hasPii]] for
+    * training corpora that keep the document but strip identifiers.
+    * SSN runs before phone: an SSN is also a valid phone-shaped digit
+    * run, so the order decides which placeholder wins. Narrow,
+    * codegen'd, same Java∩RE2 patterns as the detector.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmail, "[EMAIL]"),
+        PiiSsn, "[SSN]"),
+      PiiPhone, "[PHONE]")
+
   /** P8: title length constraint (schemes.py:7 — 1..255 chars). */
   def isValidTitle(c: Column): Column = length(c).between(1, 255)
 

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and splitting — the selection ops a
+  * training-data pipeline runs before anything else (subsample a
+  * 100 TB crawl, carve train/val/test). Everything here derives its
+  * "randomness" from md5 of the row id, so results are exactly
+  * reproducible across runs, engines, and cluster layouts — no RNG
+  * state, no seed plumbing, and every query is DuckDB-oracle-able.
+  *
+  * Two sampling shapes, picked by what must be exact:
+  *  - [[hashSample]] — NARROW: a filter on the hash prefix. Zero
+  *    shuffle, streams through 100 TB; the sampled fraction is only
+  *    approximately `fraction` (hash-uniform), which is what corpus
+  *    subsampling wants.
+  *  - [[stratifiedSample]] — EXACT per-stratum counts via one window
+  *    (one shuffle on the stratum key). Use when proportions are a
+  *    contract, not a target.
+  */
+object SampleOps {
+
+  /** Engine-portable deterministic order: md5 hex of the id. */
+  def hashOrder(id: Column): Column = md5(id.cast("string"))
+
+  /** First 8 hex chars of the hash — lexicographic compare on hex is
+    * numeric compare on the top 32 bits.
+    */
+  private def hashPrefix(id: Column): Column =
+    substring(hashOrder(id), 1, 8)
+
+  /** The 8-hex boundary below which a hash-uniform value falls with
+    * probability `fraction`.
+    */
+  def fractionBoundary(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val v = math.min((fraction * 4294967296.0).toLong, 0xffffffffL)
+    f"$v%08x"
+  }
+
+  /** Narrow hash sample: keeps rows whose hash prefix falls below the
+    * fraction boundary. No shuffle — the filter pushes into the scan.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashPrefix(col(idCol)) < lit(fractionBoundary(fraction)))
+
+  /** Exact stratified sample: the first ceil(fraction·|stratum|) rows
+    * of every stratum in hash order (id tiebreak). One shuffle on the
+    * stratum key; exact proportions per stratum.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    val whole = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rn", "__n")
+  }
+
+  /** Deterministic train/val/test (or any weighted) split: each row
+    * lands in the first bucket whose cumulative boundary exceeds its
+    * hash prefix. Narrow — a pure projection; rows never move.
+    * Weights must sum to 1 (±1e-9); the last bucket absorbs rounding.
+    */
+  def splitColumn(id: Column, weights: Seq[(String, Double)]): Column = {
+    require(weights.nonEmpty, "need at least one split bucket")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
+    val h = hashPrefix(id)
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    weights.init.zip(cum.init).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), bound), rest) =>
+        when(h < lit(fractionBoundary(bound)), lit(name)).otherwise(rest)
+    }
+  }
+
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, splitColumn(col(idCol), weights))
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SampleOpsSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sfDir)
+
+  test("hash sample is deterministic, narrow, and near the fraction") {
+    val s1 = SampleOps.hashSample(docs, "doc_id", 0.2)
+    val s2 = SampleOps.hashSample(docs, "doc_id", 0.2)
+    assert(s1.count() === s2.count()) // rerun-identical
+    val n = docs.count().toDouble
+    assert(math.abs(s1.count() / n - 0.2) < 0.08) // hash-uniform target
+    // no shuffle: the plan has no Exchange
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
+    // monotone: a bigger fraction is a superset
+    val small = SampleOps.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratified sample hits exact ceil(fraction*n) per stratum") {
+    val perStratum = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SampleOps.stratifiedSample(docs, "lang", "doc_id", 0.1)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (lang, n) =>
+      assert(sampled(lang) === math.ceil(0.1 * n).toLong, s"stratum $lang")
+    }
+  }
+
+  test("hash split covers every row once with deterministic buckets") {
+    val split = SampleOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.count() === docs.count()) // partition of the corpus
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.08)
+    // same id → same bucket on rerun
+    val again = SampleOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() === 0)
+  }
+
+  test("split weights must sum to one") {
+    intercept[IllegalArgumentException] {
+      SampleOps.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("redactPii strips emails, SSNs, and phones; leaves clean text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact me at jane.doe@example.com for details"),
+      (2L, "ssn is 123-45-6789 thanks"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "perfectly clean text")
+    ).toDF("id", "text")
+      .select($"id", graft.functions.TextFunctions.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "contact me at [EMAIL] for details")
+    assert(rows(2L) === "ssn is [SSN] thanks")
+    assert(rows(3L) === "call [PHONE] now")
+    assert(rows(4L) === "perfectly clean text")
+  }
+}
