@@ -182,6 +182,15 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split"))),
+    // Training-data prep: token-budget sequence packing (block stats)
+    "q_pack_sequences" -> ((s, d) =>
+      graft.textanalysis.TextAnalysis.packSequences(
+        Tables.documents(s, d), "doc_id",
+        graft.textanalysis.TextAnalysis.tokenCount(col("text")),
+        budget = 512, nShards = 8)
+        .groupBy(col("shard"), col("block"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("shard"), col("block"))),
     // Dedup: exact duplicate groups via 16-byte digest shuffle
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicateGroups(Tables.events(s, d), "event_id",
@@ -609,6 +618,19 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang FROM s WHERE rn <= ceil(0.1 * n)
          ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1, 2 ORDER BY shard, block""",
     "q_hash_split" ->
       """SELECT CASE
            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'

@@ -145,4 +145,36 @@ object TextAnalysis {
       rollingHashFor(documents)(col("text")).as("rolling_hash"),
       md5(col("text")).as("content_md5"))
       .orderBy(col("doc_id"))
+
+  /** Sequence packing for training-block assembly: documents stream
+    * into fixed token-budget blocks in deterministic order, the
+    * GPT-style pre-tokenization chunking where a document belongs to
+    * the block containing its start offset (long docs may straddle a
+    * boundary — exactly what a token-stream chunker does).
+    *
+    * Scale shape: a single global running sum would serialize on one
+    * task, so the corpus shards by `id % nShards` first and each
+    * shard packs independently (one window per shard, all shards in
+    * parallel). Block ids are (shard, block) — deterministic across
+    * runs, engines, and cluster layouts, since nothing depends on
+    * physical partitioning.
+    */
+  def packSequences(documents: DataFrame, idCol: String, tokenCol: Column,
+      budget: Long, nShards: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val shard = (col(idCol) % nShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents
+      .withColumn("__shard", shard)
+      .withColumn("__tokens", tokenCol.cast("long"))
+      .withColumn("__cum", sum(col("__tokens")).over(w))
+      .withColumn("block",
+        floor((col("__cum") - col("__tokens")) / budget).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+      .withColumnRenamed("__tokens", "n_tokens")
+      .drop("__cum")
+  }
 }

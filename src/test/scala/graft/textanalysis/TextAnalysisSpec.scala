@@ -63,4 +63,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
     stats.foreach(r => assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars")))
   }
+
+  test("sequence packing: blocks chunk each shard's token stream in order") {
+    import spark.implicits._
+    // tokens: 3,3,3 with budget 5 in one shard → starts at 0,3,6 →
+    // blocks 0,0,1 (doc 2 starts inside block 0, straddles boundary)
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d e f"), (16L, "g h i")
+    ).toDF("doc_id", "text") // all ≡ 0 mod 8 → same shard
+    val packed = TextAnalysis.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount($"text"), budget = 5, nShards = 8)
+      .select("doc_id", "shard", "block")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(packed.toSet === Set((0L, 0, 0L), (8L, 0, 0L), (16L, 0, 1L)))
+  }
+
+  test("sequence packing covers every doc exactly once, shard-parallel") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = TextAnalysis.packSequences(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 512, nShards = 8)
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    // block ids are contiguous from 0 within every shard
+    val gaps = packed.groupBy("shard").agg(
+      max(col("block")).as("mx"),
+      countDistinct(col("block")).as("nb"))
+      .filter(col("mx") =!= col("nb") - 1)
+    assert(gaps.count() === 0)
+  }
 }
