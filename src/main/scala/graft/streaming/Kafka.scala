@@ -83,6 +83,25 @@ object Kafka {
       col("value").cast("string").as("value"),
       col("timestamp"))
 
+  /** The reference's data-quality processor topology (main.py:206-244:
+    * CDC topic → validate/enrich → quality topic) composed from an
+    * ALREADY-LOADED record stream — the testable core; MemoryStream
+    * in specs, `source.load(spark)` in deployments.
+    */
+  def qualityTopologyFrom(records: DataFrame, sink: SinkConfig,
+      block: Boolean = false): DataStreamWriter[Row] = {
+    val enriched = Pipelines.enrichedProjection(
+      Pipelines.qualityEnrich(records, block))
+    sink.writer(enriched, "doc_id")
+  }
+
+  /** Kafka-to-Kafka wiring of the same topology: the deployment
+    * entrypoint (requires the kafka connector on the classpath).
+    */
+  def qualityTopology(spark: SparkSession, source: SourceConfig,
+      sink: SinkConfig, block: Boolean = false): DataStreamWriter[Row] =
+    qualityTopologyFrom(source.load(spark), sink, block)
+
   /** Env-driven construction, the reference's deployment contract:
     * KAFKA_BOOTSTRAP_SERVERS + KAFKA_CONSUMER_GROUP + topic names
     * (docker-compose.yml:298-299). Injected as a Map so tests and

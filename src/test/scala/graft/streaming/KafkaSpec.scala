@@ -58,6 +58,23 @@ class KafkaSpec extends SparkSpec {
     assert(r.getString(0) === "1" && r.getString(1) === """{"op":"c"}""")
   }
 
+  test("quality topology composes decode → enrich → S9 sink unstarted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val records = mem.toDF().toDF("key", "value")
+      .withColumn("timestamp", current_timestamp())
+    val sink = Kafka.SinkConfig("broker:9092", "quality.checks", "/tmp/ck2")
+    // full topology builds without a broker; starting needs the jar
+    Kafka.qualityTopologyFrom(Kafka.decodeRecords(records), sink)
+    // and the Kafka-source variant fails only AT the kafka source
+    val ex = intercept[Exception] {
+      Kafka.qualityTopology(spark,
+        Kafka.SourceConfig("broker:9092", "cdc.public.documents"), sink)
+    }
+    assert(ex.getMessage.toLowerCase.contains("kafka"))
+  }
+
   test("env-driven construction mirrors the reference deployment contract") {
     val env = Map(
       "KAFKA_BOOTSTRAP_SERVERS" -> "kafka:9092",
