@@ -365,7 +365,8 @@ object Dedup {
       sym.unpersist()
       return out
     }
-    var checkpointed = sym.select(col("a").as("node")).distinct()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var checkpointed = nodes
       .withColumn("component", col("node"))
       .localCheckpoint(true)
     var labels = checkpointed
@@ -378,31 +379,39 @@ object Dedup {
     val nNodes = labels.count()
     val hintSmall: DataFrame => DataFrame =
       if (nNodes <= 2000000L) broadcast(_) else identity
+    // self-edges carry each node's own label through the min-agg, so
+    // a round is one join + one aggregation — no join-back
+    val symSelf = sym
+      .union(nodes.select(col("node").as("a"), col("node").as("b")))
+      .persist()
+    // labels only ever DECREASE, so the (exact, decimal) label sum is
+    // a convergence certificate: unchanged sum ⟺ no label moved.
+    // Cheaper than diffing against the previous round's frame.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    var changed = 1L
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val t0 = System.nanoTime()
-      val nbrMin = sym.join(hintSmall(labels), col("b") === col("node"))
+      val next = symSelf.join(hintSmall(labels), col("b") === col("node"))
         .groupBy(col("a"))
-        .agg(min(col("component")).as("__nc"))
-      // the change flag rides the checkpoint, so convergence checking
-      // is a scan of materialized rows — no second join per round
-      val next = labels.withColumnRenamed("component", "__old")
-        .join(hintSmall(nbrMin), col("node") === col("a"), "left")
-        .withColumn("component",
-          least(col("__old"), coalesce(col("__nc"), col("__old"))))
-        .withColumn("__changed", col("component") =!= col("__old"))
-        .select(col("node"), col("component"), col("__changed"))
+        .agg(min(col("component")).as("component"))
+        .withColumnRenamed("a", "node")
         .localCheckpoint(true)
-      changed = next.filter(col("__changed")).count()
+      val newSum = labelSum(next)
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       checkpointed.unpersist()
       checkpointed = next
-      labels = next.drop("__changed")
+      labels = next
       it += 1
       if (debug) System.err.println(
-        f"[cc] round $it: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        f"[cc] round $it: sum=$newSum ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    symSelf.unpersist()
     sym.unpersist()
     labels
   }
