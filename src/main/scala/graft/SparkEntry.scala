@@ -384,6 +384,10 @@ object SparkEntry {
     // documented in StatsOps for sketch-mergeable scale)
     "q_value_percentiles" -> ((s, d) =>
       StatsOps.valuePercentiles(Tables.events(s, d))),
+    // Sketch percentiles (mergeable, fixed-size state — the 100 TB
+    // path); rows-only: sketch internals are engine-specific
+    "q_value_percentiles_approx" -> ((s, d) =>
+      StatsOps.valuePercentilesApprox(Tables.events(s, d))),
     // Multimodal: typed-metadata rollup over the binary asset table
     "q_media_metadata" -> ((s, d) =>
       Multimodal.metadataStats(

@@ -95,6 +95,25 @@ object StatsOps {
         max(col("value")).as("v_max"))
       .orderBy(col("event_type"))
 
+  /** Sketch-based percentiles (t-digest-family `approx_percentile`):
+    * the 100 TB path when exact interpolation's full sort-per-group
+    * is too much — the sketch is mergeable, so partial aggregation
+    * applies and only fixed-size sketches shuffle. Accuracy bound by
+    * `accuracy` (1/accuracy relative rank error); spec'd against the
+    * exact percentiles rather than oracled (sketch internals are
+    * engine-specific by design).
+    */
+  def valuePercentilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr(s"approx_percentile(value, 0.5, $accuracy)"), 4).as("p50"),
+        round(expr(s"approx_percentile(value, 0.9, $accuracy)"), 4).as("p90"),
+        round(expr(s"approx_percentile(value, 0.99, $accuracy)"), 4).as("p99"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .orderBy(col("event_type"))
+
   /** A1/A3 over all event types: per-type event counts + value sum
     * (exact-decimal sum so the DuckDB oracle hash-matches bit-for-bit
     * regardless of float summation order).

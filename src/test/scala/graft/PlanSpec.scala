@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops._
 
 /** Physical-plan assertions: the properties that make these operators
@@ -96,5 +97,23 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, sfDir), "text")
     val p = plan(scored)
     assert(!p.contains("Exchange"), p) // narrow end-to-end
+  }
+
+  test("BM25 broadcasts statistics and ranks with TakeOrdered") {
+    val p = plan(graft.ops.SearchOps.searchBm25(
+      Tables.documents(spark, sfDir), Seq("merge", "query"), 10))
+    // document frequencies + corpus scalars ride broadcasts; the
+    // corpus-sized frames never meet in a shuffled join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // no global sort
+  }
+
+  test("sequence packing shuffles once on the shard key only") {
+    val packed = graft.textanalysis.TextAnalysis.packSequences(
+      Tables.documents(spark, sfDir), "doc_id",
+      graft.textanalysis.TextAnalysis.tokenCount(col("text")), 512, 8)
+    val p = plan(packed)
+    // exactly one Exchange — the shard-key window; no global sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
   }
 }

@@ -40,4 +40,25 @@ class StatsOpsSpec extends SparkSpec {
     val rows = StatsOps.eventTypeRollup(events).collect()
     assert(rows.map(_.getLong(1)).sum === events.count())
   }
+
+  test("sketch percentiles honor the RANK error bound") {
+    // approx_percentile guarantees rank proximity, not value
+    // proximity — in a heavy tail the nearest stored value to rank
+    // p±ε can be far away in value. Assert the actual contract: the
+    // fraction of values at or below each sketch output is within a
+    // small rank tolerance of the target percentile.
+    val ev = Tables.events(spark, sfDir)
+    val approx = StatsOps.valuePercentilesApprox(ev).collect()
+      .map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3)))
+    approx.foreach { case (t, ps) =>
+      val vals = ev.filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      ps.foreach { case (target, sketched) =>
+        val rank = vals.count(_ <= sketched).toDouble / vals.length
+        assert(math.abs(rank - target) <= 0.02,
+          s"$t p$target: sketch=$sketched sits at rank $rank")
+      }
+    }
+  }
 }
