@@ -216,6 +216,37 @@ class PipelinesSpec extends SparkSpec {
     assert(index.groupBy("doc_id").count().filter($"count" > 1).count() === 0)
   }
 
+  test("index sink heals a crash caught between the rotation renames") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-heal").toString
+    val mem = MemoryStream[(String, String)]
+    val enriched = Pipelines.qualityEnrich(mem.toDF().toDF("key", "value"))
+      .select($"doc_id", $"version", $"ts_ms", $"quality_score")
+    val q = Pipelines.startIndexSink(enriched, s"$dir/index", s"$dir/ckpt")
+    val rows = envelopeRows
+    mem.addData(rows.take(200))
+    q.processAllAvailable()
+    val before = Pipelines.readIndex(spark, s"$dir/index")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // simulate the crash window: a bucket was rotated to the backup
+    // root but its replacement never installed (live dir missing)
+    val root = new java.io.File(s"$dir/index")
+    val victim = root.listFiles().filter(_.getName.startsWith("__bucket=")).head
+    val bakRoot = new java.io.File(s"$dir/index__bak")
+    assert(bakRoot.mkdirs())
+    assert(victim.renameTo(new java.io.File(bakRoot, victim.getName)))
+    // next micro-batch must first promote the backup, then merge
+    val survivor = rows.drop(200)
+      .find(r => { val id = r._1.toLong; id % 20 > 1 }).get
+    mem.addData(Seq(survivor))
+    q.processAllAvailable(); q.stop()
+    val after = Pipelines.readIndex(spark, s"$dir/index")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(before.subsetOf(after)) // nothing lost to the "crash"
+    assert(after.contains(survivor._1.toLong))
+    assert(!bakRoot.exists()) // backup root cleaned up
+  }
+
   test("bucketed index point lookup prunes to one bucket partition") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-probe").toString
