@@ -235,12 +235,18 @@ object SparkEntry {
     // Dedup: LSH pairs closed under transitivity → clusters with a
     // canonical min-id label (rows-only: hinges on xxhash64 minhash)
     "q_dedup_clusters" -> ((s, d) =>
-      Dedup.minhashClusters(plantedCorpus(s, d), "doc_id", "text")
-        .orderBy(col("node"))),
-    // Dedup: the corpus with near-copies dropped (canonical survives)
-    "q_dedup_survivors" -> ((s, d) =>
-      Dedup.dropNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
-        .select(col("doc_id")).orderBy(col("doc_id"))),
+      dedupClusters(s, d).orderBy(col("node"))),
+    // Dedup: the corpus with near-copies dropped (canonical survives).
+    // Derives from the same built cluster artifact as q_dedup_clusters
+    // — a real dedup pipeline computes pairs once and reads both views
+    "q_dedup_survivors" -> ((s, d) => {
+      val losers = dedupClusters(s, d)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("__drop_id"))
+      plantedCorpus(s, d)
+        .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
@@ -413,6 +419,18 @@ object SparkEntry {
     * words dropped, id + 1_000_000) — gives the near-dup detectors a
     * known planted signal to recover.
     */
+  /** The near-dup cluster labels are a corpus ARTIFACT (like the IVF
+    * index): built once per (session, corpus), served to both the
+    * cluster view and the survivor view. minhashClusters returns an
+    * eagerly checkpointed frame, so the cached value is materialized
+    * data, not a lazy plan into released caches.
+    */
+  private val dedupClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersCache.computeIfAbsent((s, d), kv =>
+      Dedup.minhashClusters(plantedCorpus(kv._1, kv._2), "doc_id", "text"))
+
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ws = split(col("text"), " ", -1)
