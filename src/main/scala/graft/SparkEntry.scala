@@ -232,6 +232,20 @@ object SparkEntry {
       Dedup.connectedComponents(edges, "id_a", "id_b", smallGraphEdges = 0L)
         .orderBy(col("node"))
     }),
+    // Same components contract through the ALTERNATING STAR-
+    // CONTRACTION path — O(log n) rounds independent of diameter,
+    // the variant a chain-shaped 100 TB graph needs — hash-matched
+    // against the identical closed-form oracle
+    "q_components_star" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
+        .union(k.select((col("k") - col("k") % 4).as("id_a"),
+          (col("k") - col("k") % 16).as("id_b")))
+      Dedup.connectedComponents(edges, "id_a", "id_b",
+        smallGraphEdges = 0L, algorithm = "star")
+        .orderBy(col("node"))
+    }),
     // Dedup: LSH pairs closed under transitivity → clusters with a
     // canonical min-id label (rows-only: hinges on xxhash64 minhash)
     "q_dedup_clusters" -> ((s, d) =>
@@ -268,8 +282,14 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val cents = Similarity.seedCentroids(e, 16)
+      // collision-resistant digest of the FULL source path (a 32-bit
+      // hashCode collision would silently serve the wrong corpus's
+      // index) + the pid, so concurrent JVMs sharing a tmpdir never
+      // race one JVM's overwrite against another's probe
+      val pathDigest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_" + Integer.toHexString(d.hashCode)).getPath
+        s"graft_ivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
       // build once per JVM per corpus — the serving path an index
       // exists for is build-once probe-many, and the build output is
       // deterministic for a given source dir
@@ -427,9 +447,12 @@ object SparkEntry {
     */
   private val dedupClustersCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+  SessionCaches.register(dedupClustersCache)
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    SessionCaches.ensureHook(s)
     dedupClustersCache.computeIfAbsent((s, d), kv =>
       Dedup.minhashClusters(plantedCorpus(kv._1, kv._2), "doc_id", "text"))
+  }
 
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -683,6 +706,15 @@ object SparkEntry {
          FROM events GROUP BY user_id, event_type
          HAVING count(*) > 1 ORDER BY dup_key""",
     "q_components" ->
+      """WITH e0 AS (
+           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+           UNION
+           SELECT o_orderkey - o_orderkey % 4 AS a,
+                  o_orderkey - o_orderkey % 16 AS b FROM orders),
+         e AS (SELECT a, b FROM e0 WHERE a <> b),
+         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
+         SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
+    "q_components_star" ->
       """WITH e0 AS (
            SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
            UNION

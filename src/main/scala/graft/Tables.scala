@@ -24,12 +24,14 @@ object Tables {
     "embeddings")
   private val relationCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  SessionCaches.register(relationCache)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    if (standardNames(name))
+    if (standardNames(name)) {
+      SessionCaches.ensureHook(spark)
       relationCache.computeIfAbsent((spark, path), kv => kv._1.read.parquet(kv._2))
-    else spark.read.parquet(path)
+    } else spark.read.parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

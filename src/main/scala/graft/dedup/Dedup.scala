@@ -341,7 +341,21 @@ object Dedup {
   }
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, smallGraphEdges: Long = 4000000L): DataFrame = {
+      maxIter: Int = 20, smallGraphEdges: Long = 4000000L,
+      algorithm: String = "minlabel"): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter,
+      smallGraphEdges, algorithm)._1
+
+  /** As [[connectedComponents]], also returning the number of
+    * distributed rounds run (0 for the union-find fast path) — specs
+    * use it to pin the O(log n) star-contraction round bound.
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20,
+      smallGraphEdges: Long = 4000000L,
+      algorithm: String = "minlabel"): (DataFrame, Int) = {
+    require(algorithm == "minlabel" || algorithm == "star",
+      s"unknown components algorithm '$algorithm' (minlabel | star)")
     // symmetrize in ONE pass over the input (explode, not union —
     // union's two branches would each re-evaluate an expensive pairs
     // pipeline feeding this)
@@ -363,8 +377,19 @@ object Dedup {
     if (longIds && smallGraphEdges > 0 && sym.count() <= smallGraphEdges) {
       val out = unionFindComponents(sym).localCheckpoint(true)
       sym.unpersist()
-      return out
+      return (out, 0)
     }
+    if (algorithm == "star") starComponents(sym, maxIter)
+    else minLabelComponents(sym, maxIter)
+  }
+
+  /** Iterative min-label propagation — one join + one aggregation per
+    * round (self-edges carry each node's own label through the
+    * min-agg, so there is no join-back). O(graph diameter) rounds:
+    * the right shape for the DENSE graphs near-dup clustering emits
+    * (diameter 2-3); high-diameter graphs belong to [[starComponents]].
+    */
+  private def minLabelComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val nodes = sym.select(col("a").as("node")).distinct()
     var checkpointed = nodes
       .withColumn("component", col("node"))
@@ -377,31 +402,34 @@ object Dedup {
     // the limit (cluster-scale graphs) the hint is withheld and
     // Catalyst plans the shuffled join the data size demands.
     val nNodes = labels.count()
+    // no edges ⇒ no pair-connected nodes: done before any round (a
+    // sum-based certificate over zero rows would otherwise be null)
+    if (nNodes == 0) { sym.unpersist(); return (labels, 0) }
     val hintSmall: DataFrame => DataFrame =
       if (nNodes <= 2000000L) broadcast(_) else identity
-    // self-edges carry each node's own label through the min-agg, so
-    // a round is one join + one aggregation — no join-back
     val symSelf = sym
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
       .persist()
     // labels only ever DECREASE, so the (exact, decimal) label sum is
-    // a convergence certificate: unchanged sum ⟺ no label moved.
-    // Cheaper than diffing against the previous round's frame.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // a convergence certificate: unchanged sum ⟺ no label moved. The
+    // sum rides the checkpoint materialization as an observe() metric
+    // — zero extra jobs per round.
+    val sumExpr = coalesce(sum(col("component").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("label_sum")
+    var prevSum = labels.agg(sumExpr).head().getDecimal(0)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
       val t0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation()
       val next = symSelf.join(hintSmall(labels), col("b") === col("node"))
         .groupBy(col("a"))
         .agg(min(col("component")).as("component"))
         .withColumnRenamed("a", "node")
+        .observe(obs, sumExpr)
         .localCheckpoint(true)
-      val newSum = labelSum(next)
+      val newSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
       changed = newSum.compareTo(prevSum) != 0
       prevSum = newSum
       checkpointed.unpersist()
@@ -413,7 +441,92 @@ object Dedup {
     }
     symSelf.unpersist()
     sym.unpersist()
-    labels
+    if (changed) throw new IllegalStateException(
+      s"connectedComponents(minlabel) did not converge in $maxIter rounds " +
+        "(graph diameter exceeds maxIter) — rerun with algorithm=\"star\" " +
+        "(O(log n) rounds) or a larger maxIter; returning partial labels " +
+        "would be silently wrong")
+    (labels, it)
+  }
+
+  /** Large-star step (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014): every node links each STRICTLY
+    * LARGER neighbor to the minimum of its closed neighborhood.
+    * Output edges keep the (hi > lo) orientation invariant.
+    */
+  private def largeStar(d: DataFrame): DataFrame = {
+    val s = d.select(col("hi").as("a"), col("lo").as("b"))
+      .union(d.select(col("lo").as("a"), col("hi").as("b")))
+    val mins = s.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    s.filter(col("b") > col("a"))
+      .join(mins, "a")
+      .select(col("b").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Small-star step: every node links its smaller-or-equal neighbors
+    * (and itself) to the minimum among them. With the (hi > lo)
+    * invariant the smaller neighbors of `hi` are exactly its `lo`
+    * list, so one aggregation per round suffices.
+    */
+  private def smallStar(d: DataFrame): DataFrame = {
+    val mins = d.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    d.join(mins, "hi").select(col("lo").as("c"), col("m"))
+      .union(mins.select(col("hi").as("c"), col("m")))
+      .filter(col("c") =!= col("m"))
+      .select(col("c").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Alternating star-contraction components — O(log n) rounds
+    * independent of graph diameter (vs min-label's O(diameter)), at
+    * two aggregations + two joins per round. The scale path for
+    * chain-shaped / high-diameter graphs.
+    *
+    * Convergence certificate is EXACT, not a fixed-point heuristic:
+    * with the (hi > lo) orientation, "no lo ever appears as a hi"
+    * means the edge set is a star forest whose every root is smaller
+    * than all its children — i.e. each root is its component's
+    * minimum (connectivity is invariant under both star steps), which
+    * is precisely the fixed point. One left-semi probe per round over
+    * the checkpointed edges.
+    */
+  private def starComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
+    if (nodes.isEmpty) {
+      sym.unpersist()
+      return (nodes.withColumn("component", col("node")), 0)
+    }
+    // sym is already distinct and self-loop-free; keep one orientation
+    var d = sym.filter(col("a") > col("b"))
+      .select(col("a").as("hi"), col("b").as("lo"))
+      .localCheckpoint(true)
+    sym.unpersist()
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("lo").as("hi"))
+        .join(e.select(col("hi")), Seq("hi"), "left_semi").isEmpty
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var rounds = 0
+    var converged = isStarForest(d)
+    while (!converged && rounds < maxIter) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(d)).localCheckpoint(true)
+      d.unpersist()
+      d = next
+      rounds += 1
+      converged = isStarForest(d)
+      if (debug) System.err.println(
+        f"[cc-star] round $rounds: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents(star) did not converge in $maxIter rounds — " +
+        "raise maxIter; returning partial labels would be silently wrong")
+    // at the fixed point d maps every non-root child to its component
+    // minimum; roots (and only roots) are absent from the hi side
+    val out = nodes.join(d, nodes("node") === d("hi"), "left")
+      .select(nodes("node"),
+        coalesce(d("lo"), nodes("node")).as("component"))
+    (out, rounds)
   }
 
   /** Near-duplicate CLUSTERS over a corpus: MinHash-LSH verified

@@ -124,6 +124,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star contraction agrees with min-label and union-find") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    val star = Dedup.connectedComponents(edges, "id_a", "id_b",
+      smallGraphEdges = 0L, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === expected)
+  }
+
+  test("star contraction converges in O(log n) rounds on a 1000-node chain") {
+    // chain 0-1-2-…-1000: diameter 1000 — min-label propagation would
+    // need ~1000 rounds (and rightly throws at maxIter); star
+    // contraction must land every node on component 0 within ~log2(n)
+    // alternating rounds
+    val chain = spark.range(1000)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val (comps, rounds) = Dedup.connectedComponentsWithRounds(
+      chain.toDF(), "id_a", "id_b", maxIter = 15,
+      smallGraphEdges = 0L, algorithm = "star")
+    val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 1001)
+    assert(labels.forall(_._2 === 0L))
+    assert(rounds <= 10, s"star contraction took $rounds rounds")
+    // and min-label on the same graph refuses to return wrong labels
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF(), "id_a", "id_b",
+        maxIter = 5, smallGraphEdges = 0L)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("components on an empty edge list return empty, not NPE") {
+    // ADVICE r3: labelSum over zero rows is a null decimal — both
+    // distributed paths must short-circuit. Non-long ids skip the
+    // union-find fast path, so a string-keyed empty corpus hits it.
+    val emptyLong = Seq.empty[(Long, Long)].toDF("a", "b")
+    val emptyStr = Seq.empty[(String, String)].toDF("a", "b")
+    for (algo <- Seq("minlabel", "star")) {
+      assert(Dedup.connectedComponents(emptyLong, "a", "b",
+        smallGraphEdges = 0L, algorithm = algo).count() === 0)
+      assert(Dedup.connectedComponents(emptyStr, "a", "b",
+        algorithm = algo).count() === 0)
+    }
+    // self-loops only ⇒ zero effective edges: same guard, via the
+    // public near-dup entry points' shape (no pairs found)
+    val selfOnly = Seq(("x", "x")).toDF("a", "b")
+    assert(Dedup.connectedComponents(selfOnly, "a", "b").count() === 0)
+  }
+
+  test("star contraction works on string ids (lexicographic min label)") {
+    val edges = Seq(("b", "a"), ("b", "c"), ("z", "y")).toDF("a", "b")
+    val comps = Dedup.connectedComponents(edges, "a", "b",
+      algorithm = "star")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "y" -> "y", "z" -> "y"))
+  }
+
   test("minhash clusters close pairs under transitivity") {
     // 1≈2 and 1=4: whatever pairs LSH finds, clustering must put
     // {1,2,4} in one component labeled by the canonical min id 1
