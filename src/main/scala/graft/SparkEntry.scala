@@ -261,6 +261,26 @@ object SparkEntry {
         .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // The SAME LSH pipeline in md5-signature mode: every stage —
+    // signature, banding, bucket join, Jaccard verify — hash-matched
+    // against DuckDB (md5 exists in both engines; xxhash64 doesn't),
+    // converting the near-dup family from rows-only to proven
+    "q_minhash_neardup_md5" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
+        hashMode = "md5")),
+    // md5-mode pairs closed under transitivity — the oracle replays
+    // the transitive closure as a recursive CTE
+    "q_dedup_clusters_md5" -> ((s, d) =>
+      dedupClustersMd5(s, d).orderBy(col("node"))),
+    // md5-mode survivor view: anti-join of the same cluster artifact
+    "q_dedup_survivors_md5" -> ((s, d) => {
+      val losers = dedupClustersMd5(s, d)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("__drop_id"))
+      plantedCorpus(s, d)
+        .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
@@ -452,6 +472,14 @@ object SparkEntry {
     SessionCaches.ensureHook(s)
     dedupClustersCache.computeIfAbsent((s, d), kv =>
       Dedup.minhashClusters(plantedCorpus(kv._1, kv._2), "doc_id", "text"))
+  }
+  // same artifact under the md5 signature mode (oracled pipeline);
+  // the "::md5" key suffix can't collide with a real dir path
+  private def dedupClustersMd5(s: SparkSession, d: String): DataFrame = {
+    SessionCaches.ensureHook(s)
+    dedupClustersCache.computeIfAbsent((s, d + "::md5"), _ =>
+      Dedup.minhashClusters(plantedCorpus(s, d), "doc_id", "text",
+        hashMode = "md5"))
   }
 
   private def plantedCorpus(s: SparkSession, d: String) = {
@@ -728,6 +756,19 @@ object SparkEntry {
            SELECT user_id, event_type, min(event_id) AS event_id
            FROM events GROUP BY 1, 2)
          GROUP BY 1 ORDER BY event_type""",
+    "q_minhash_neardup_md5" -> (minhashMd5Cte +
+      "SELECT id_a, id_b, round(j,4) AS jaccard FROM pr ORDER BY id_a, id_b"),
+    "q_dedup_clusters_md5" -> (minhashMd5Cte +
+      """SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a ORDER BY node"""),
+    "q_dedup_survivors_md5" -> (minhashMd5Cte +
+      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
+                    FROM reach GROUP BY a)
+         SELECT doc_id FROM corpus
+         WHERE NOT EXISTS (SELECT 1 FROM comp
+                           WHERE comp.node = corpus.doc_id
+                             AND comp.node <> comp.component)
+         ORDER BY doc_id"""),
     "q_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,
@@ -1024,6 +1065,57 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, 1 + doc_id % 60 AS n_frames
          FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""",
   )
+
+  /** Shared CTE replaying the md5-mode MinHash-LSH pipeline in
+    * DuckDB: planted corpus → shingles → 16-permutation md5
+    * signatures → 4 band buckets → capped bucket self-join →
+    * exact-Jaccard verification (`pr`), plus the symmetrized pair
+    * closure (`reach`) the cluster views aggregate. Every stage
+    * mirrors Dedup.minhashNearDuplicatesManaged(hashMode="md5")
+    * byte-for-byte — md5 hex strings order identically in both
+    * engines, which is the whole point of the mode.
+    */
+  private val minhashMd5Cte: String =
+    """WITH RECURSIVE corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(ws[1:greatest(len(ws)-2,1)], ' ') AS text
+         FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+               WHERE doc_id % 5 = 0)),
+       sh AS (
+         SELECT doc_id,
+           list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS grams
+         FROM (SELECT doc_id, string_split(text,' ') AS ws FROM corpus)
+         WHERE len(ws) >= 3),
+       sig AS (
+         SELECT doc_id,
+           [list_min([md5(CAST(p AS VARCHAR) || '|' || g) for g in grams]) for p in range(0,16)] AS sg
+         FROM sh),
+       bk AS (
+         SELECT doc_id, b AS band, md5(array_to_string(sg[b*4+1:b*4+4],'|')) AS bucket
+         FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       capped AS (
+         SELECT doc_id, band, bucket FROM (
+           SELECT doc_id, band, bucket,
+             count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
+         WHERE bsz <= 100),
+       cand AS (
+         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM capped l JOIN capped r
+           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       ver AS (
+         SELECT id_a, id_b,
+           len(list_intersect(a.grams, b.grams)) /
+           len(list_distinct(list_concat(a.grams, b.grams))) AS j
+         FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b),
+       pr AS (SELECT id_a, id_b, j FROM ver WHERE j >= 0.5),
+       sym AS (SELECT id_a AS a, id_b AS b FROM pr
+               UNION SELECT id_b AS a, id_a AS b FROM pr),
+       reach AS (SELECT a, b FROM sym
+                 UNION
+                 SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+    """
 
   /** Shared CTE replicating RuleBasedScorer's integer rubric in
     * DuckDB (sub-scores only; overall derived per query).

@@ -112,6 +112,33 @@ object Dedup {
       b => hash(slice(signature, b * r + lit(1), lit(r)), b))
   }
 
+  /** md5-hex MinHash signature: element i is the LEXICOGRAPHIC min
+    * over shingles of md5(i || '|' || shingle). Same estimator as
+    * [[minhashSignature]] under a different hash family — chosen
+    * because md5 is byte-identical across engines (DuckDB has no
+    * xxhash64), so the WHOLE pipeline — signatures, banding, bucket
+    * join, verification — replays under the cross-engine oracle
+    * gate. The xxhash64 variant stays the scale default: 8-byte
+    * values instead of 32-char strings, and each shingle string
+    * hashed once instead of k times.
+    */
+  def minhashSignatureMd5(shingleSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleSet,
+        s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** Band buckets for the md5 signature mode: md5 of the
+    * '|'-joined band slice (a hex string both engines agree on).
+    */
+  def bandHashesMd5(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature length ($k) — a remainder " +
+        "would silently drop trailing permutations from every bucket")
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(signature, b * r + lit(1), lit(r)))))
+  }
+
   /** Candidate near-duplicate pairs via LSH bucket join, verified
     * with exact shingle Jaccard ≥ `threshold`.
     *
@@ -121,9 +148,10 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame =
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame =
     minhashNearDuplicatesManaged(df, idCol, textCol, n, k, bands,
-      threshold, maxBucketSize).df
+      threshold, maxBucketSize, hashMode).df
 
   /** As `minhashNearDuplicates`, but exposes the internal signature
     * cache's lifecycle: the plan stays single-pass while the caller
@@ -133,7 +161,10 @@ object Dedup {
     */
   def minhashNearDuplicatesManaged(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): graft.Managed = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): graft.Managed = {
+    require(hashMode == "xx" || hashMode == "md5",
+      s"unknown minhash hashMode '$hashMode' (xx | md5)")
     // signatures computed ONCE and persisted: the frame feeds both
     // sides of the bucket join plus candidate verification — without
     // this, Catalyst re-derives shingles+minhash per reference.
@@ -141,7 +172,11 @@ object Dedup {
     // BYTES, but signature cost follows ROWS — a small file would
     // otherwise hash everything on one core.
     val sigExpr =
-      if (TextHashFunctions.isRegistered(df.sparkSession))
+      if (hashMode == "md5")
+        // oracle-parity mode: md5 exists in every engine; never uses
+        // the native xxhash64 fast path
+        minhashSignatureMd5(shingles(col("text"), n), k)
+      else if (TextHashFunctions.isRegistered(df.sparkSession))
         // native fused loop (graft.plans.ShingleMinHash): bit-identical
         // to the composed form, ~10x less per-row overhead
         call_function(TextHashFunctions.MinHashName,
@@ -156,8 +191,11 @@ object Dedup {
       .withColumn("sig", sigExpr)
       .select(col("id"), col("text"), col("sig"))
       .persist()
+    val bandExpr =
+      if (hashMode == "md5") bandHashesMd5(col("sig"), k, bands)
+      else bandHashes(col("sig"), k, bands)
     val buckets = base
-      .select(col("id"), posexplode(bandHashes(col("sig"), k, bands)))
+      .select(col("id"), posexplode(bandExpr))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     // skew guard: a bucket holding b docs yields b² candidate pairs;
     // boilerplate-heavy corpora produce degenerate buckets — cap them
@@ -537,9 +575,10 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame = {
     val pairs = minhashNearDuplicatesManaged(df, idCol, textCol, n, k, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, hashMode)
     // components' first action consumes the pairs; release the
     // signature cache afterwards (components hold only (node, label))
     try connectedComponents(pairs.df, "id_a", "id_b")
@@ -554,9 +593,10 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame = {
     val losers = minhashClusters(df, idCol, textCol, n, k, bands,
-      threshold, maxBucketSize)
+      threshold, maxBucketSize, hashMode)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("__drop_id"))
     df.join(losers, col(idCol) <=> col("__drop_id"), "left_anti")

@@ -189,6 +189,22 @@ class DedupSpec extends SparkSpec {
       "y" -> "y", "z" -> "y"))
   }
 
+  test("md5 signature mode finds the same verified pair set as xxhash64 mode") {
+    // different hash families bucket differently, but on a corpus
+    // whose near-dups share most shingles both families must surface
+    // every true pair — and exact-Jaccard verification makes the
+    // final pair sets (and scores) identical
+    def pairs(mode: String) =
+      Dedup.minhashNearDuplicates(df, "doc_id", "text", hashMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs("md5") === pairs("xx"))
+    assert(pairs("md5").map(p => (p._1, p._2)).contains((1L, 4L)))
+    // clusters built from md5-mode pairs agree too
+    val comps = Dedup.minhashClusters(df, "doc_id", "text", hashMode = "md5")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.get(4L) === Some(1L) && comps.get(2L) === Some(1L))
+  }
+
   test("minhash clusters close pairs under transitivity") {
     // 1≈2 and 1=4: whatever pairs LSH finds, clustering must put
     // {1,2,4} in one component labeled by the canonical min id 1
