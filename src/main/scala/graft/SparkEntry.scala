@@ -140,6 +140,11 @@ object SparkEntry {
     // §2.10 GET /search — scored search + filters + total + page
     "q_search" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
       "merge", lang = Some("en"), minChars = Some(100L), size = 10)),
+    // §2.5 W2 — the reference search API's from+size offset paging
+    // (services/search/app/main.py:79-80,114-115): page 2 of the
+    // q_search result set, total_hits unchanged
+    "q_search_page2" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
+      "merge", lang = Some("en"), minChars = Some(100L), from = 10, size = 10)),
     // §2.7 F3 — fuzziness AUTO via per-token levenshtein
     "q_search_fuzzy" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
       "mergee", fuzzy = true, size = 20)),
@@ -321,6 +326,13 @@ object SparkEntry {
         .head().getSeq[Double](0).toVector
       Similarity.ivfTopKFromIndex(s.read.parquet(dir), cents, qv, 10, 2)
     }),
+    // IVF probe over LLOYD-REFINED centroids (the production build
+    // path, 2 k-means iterations): the refined centroids are inlined
+    // as literals into a generated oracle, so the probe-over-refined-
+    // cells result is hash-matched, not spec-trusted
+    "q_ann_ivf_kmeans" -> ((s, d) =>
+      Similarity.ivfTopKFrom(Tables.embeddings(s, d),
+        kmeansCentroids(s, d), 0L, 10, 2)),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -387,8 +399,10 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("tus"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("tus"))
+      // purchases carry their PK (event_id), so the no-join-back
+      // grouped path applies: one aggregation shuffle total
       SessionOps.windowedCountJoin(purchases, views, "user_id", "tus",
-        600000000L, "n_views_10m")
+        600000000L, "n_views_10m", leftRowsDistinct = true)
         .select(col("event_id"), col("user_id"), col("n_views_10m"))
         .orderBy(col("event_id"))
     }),
@@ -482,6 +496,54 @@ object SparkEntry {
         hashMode = "md5"))
   }
 
+  /** Lloyd-refined centroids per corpus dir. The k-means build runs
+    * ONCE (build-once probe-many, like the written index); the cached
+    * value then feeds BOTH the Spark probe and the generated oracle
+    * below, so the hash compare can never race the (float-sum-order-
+    * sensitive) mean computation across runs.
+    */
+  private val ivfKmeansCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+    ivfKmeansCents.computeIfAbsent(d, _ =>
+      Similarity.ivfBuild(Tables.embeddings(s, d), 16, 2))
+
+  /** Oracle for q_ann_ivf_kmeans, generated AFTER the query ran (the
+    * Verify main runs every query before dumping oracle SQL): the
+    * refined centroids print as full-precision double literals —
+    * shortest-round-trip Double.toString, which DuckDB parses back to
+    * the identical IEEE value — and the SQL replays assignment +
+    * probe exactly like the (static) q_ann_ivf oracle. None until
+    * the query has run in this JVM → driver records rows-only.
+    */
+  private def ivfKmeansOracle: Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    ivfKmeansCents.values.asScala.headOption.map { cents =>
+      val values = cents.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(", ")
+      "q_ann_ivf_kmeans" ->
+        s"""WITH c AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           sc AS (SELECT v.vec_id, c.cid,
+                    round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                  FROM v CROSS JOIN c),
+           assign AS (
+             SELECT vec_id, cid AS cell FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM sc) WHERE rn = 1),
+           probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+           SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+           FROM embeddings e
+           JOIN assign a ON a.vec_id = e.vec_id
+           WHERE a.cell IN (SELECT cid FROM probes)
+           ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+    }
+  }
+
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ws = split(col("text"), " ", -1)
@@ -492,7 +554,9 @@ object SparkEntry {
     docs.unionByName(perturbed)
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracleSql ++ ivfKmeansOracle
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q_health" -> "SELECT 1 AS ok",
     "q_view_stats" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS doc_id,
@@ -639,6 +703,15 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
          FROM m WHERE score > 0
          ORDER BY score DESC, doc_id LIMIT 10""",
+    "q_search_page2" ->
+      """WITH m AS (
+           SELECT doc_id, lang, n_chars,
+             2 * CAST((length(source) - length(replace(source,'merge','')))/5 AS BIGINT)
+               + CAST((length(text) - length(replace(text,'merge','')))/5 AS BIGINT) AS score
+           FROM documents WHERE lang = 'en' AND n_chars >= 100)
+         SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
+         FROM m WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""",
     "q_search_fuzzy" ->
       """WITH m AS (
            SELECT doc_id, lang, n_chars,

@@ -158,7 +158,7 @@ object SearchOps {
     * libm-dependent in its last ulp), the final score to 4.
     */
   def searchBm25(documents: DataFrame, queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
     val base = documents
       .select(col("doc_id"), words(col("text")).as("__ws"))
@@ -181,6 +181,7 @@ object SearchOps {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("tscore")), 4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .offset(from)
       .limit(k)
   }
 

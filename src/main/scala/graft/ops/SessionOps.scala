@@ -176,8 +176,31 @@ object SessionOps {
     * streams. Zero-match left rows are kept (count 0).
     */
   def windowedCountJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      orderCol: String, windowSpan: Long, outCol: String): DataFrame = {
+      orderCol: String, windowSpan: Long, outCol: String,
+      leftRowsDistinct: Boolean = false): DataFrame = {
     val cell = call_function("div", col(orderCol), lit(windowSpan))
+    // when the CALLER guarantees left rows are distinct (e.g. they
+    // carry a primary key), the count can be grouped directly on the
+    // full left row — one aggregation shuffle instead of the
+    // distinct + join-back pair below, still deterministic under
+    // retries/AQE because the grouping key is real data, not a
+    // synthetic id. Duplicate left rows would collapse; hence opt-in.
+    if (leftRowsDistinct) {
+      val leftCols = left.columns.toSeq
+      val probed = left.withColumn("__probe", explode(array(cell, cell - 1)))
+      val r = right.select(
+        col(keyCol).as("__rk"),
+        col(orderCol).as("__rord"),
+        call_function("div", col(orderCol), lit(windowSpan)).as("__rcell"))
+      return probed
+        .join(r,
+          col(keyCol) === col("__rk") && col("__probe") === col("__rcell") &&
+          col("__rord") > col(orderCol) - windowSpan &&
+          col("__rord") <= col(orderCol),
+          "left_outer")
+        .groupBy(leftCols.map(col): _*)
+        .agg(count(col("__rord")).as(outCol))
+    }
     // the match count is a function of (key, order) alone: count once
     // per DISTINCT pair, then join the counts back. Duplicate left
     // rows each keep their own output row (the join-back fans out),

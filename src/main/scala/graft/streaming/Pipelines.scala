@@ -231,11 +231,37 @@ object Pipelines {
       .agg(count(lit(1)).as("total_views"),
         approx_count_distinct(col("user_id")).as("unique_views"))
 
-  /** Per-doc analytics state for the custom-state variant. Users are
-    * kept as a distinct Seq (bounded domains in tests; a production
-    * deployment swaps in an HLL sketch blob for the same shape).
+  /** Per-doc analytics state for the custom-state variant: exact view
+    * total + an HLL sketch of the visitor set. The sketch is a
+    * FIXED-SIZE blob (lgK=12, HLL_4 → ≤ ~2.5 KiB compact, exact in
+    * list/set mode below ~hundreds of visitors), so per-key state is
+    * CONSTANT in visitor count — the property that keeps a viral
+    * doc on a 100 TB stream from growing its state-store entry
+    * without bound. Same sketch family as Spark's `hll_sketch_agg`
+    * (bundled datasketches-java), so blobs interoperate with the
+    * SQL-side sketch column in [[graft.ops.StatsOps]].
     */
-  case class ViewState(total: Long, users: Seq[Long])
+  case class ViewState(total: Long, sketch: Array[Byte])
+
+  private val HllLgK = 12
+
+  /** The state transition, factored out pure so specs can pin the
+    * bounded-state contract directly: totals are exact, the sketch
+    * absorbs any number of visitors at fixed size.
+    */
+  private[streaming] def updatedViewState(prev: Option[ViewState],
+      users: Iterator[Long]): ViewState = {
+    import org.apache.datasketches.hll.HllSketch
+    val sk = prev.map(p => HllSketch.heapify(p.sketch))
+      .getOrElse(new HllSketch(HllLgK))
+    var n = 0L
+    users.foreach { u => sk.update(u); n += 1 }
+    ViewState(prev.map(_.total).getOrElse(0L) + n, sk.toCompactByteArray)
+  }
+
+  private[streaming] def viewStateEstimate(s: ViewState): Long =
+    Math.round(org.apache.datasketches.hll.HllSketch.heapify(s.sketch)
+      .getEstimate)
 
   /** ST4 with custom state + TTL: flatMapGroupsWithState over view
     * events — the full Redis analog including key expiry (the
@@ -265,13 +291,10 @@ object Pipelines {
             state.remove() // Redis EXPIRE analog
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(ViewState(0L, Seq.empty))
-            val users = rows.map(_._2).toSeq
-            val next = ViewState(prev.total + users.size,
-              (prev.users ++ users).distinct)
+            val next = updatedViewState(state.getOption, rows.map(_._2))
             state.update(next)
             if (ttl.toMillis > 0) state.setTimeoutDuration(ttl.toMillis)
-            Iterator((docId, next.total, next.users.size.toLong))
+            Iterator((docId, next.total, viewStateEstimate(next)))
           }
       }
   }

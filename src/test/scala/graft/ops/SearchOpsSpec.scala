@@ -87,4 +87,16 @@ class SearchOpsSpec extends SparkSpec {
     val scores = r.map(_.getDouble(1))
     assert(scores.sorted(Ordering[Double].reverse).toSeq === scores.toSeq)
   }
+
+  test("BM25 from+size pages partition the ranked list in order") {
+    // page 1 ++ page 2 must equal the top 10 exactly (the reference
+    // API pages ES results with from+size — search/main.py:79-80)
+    val top10 = SearchOps.searchBm25(docs, Seq("merge", "query"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p1 = SearchOps.searchBm25(docs, Seq("merge", "query"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p2 = SearchOps.searchBm25(docs, Seq("merge", "query"), 5, from = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1 ++ p2 === top10)
+  }
 }

@@ -119,6 +119,13 @@ class SessionOpsSpec extends SparkSpec {
       .groupBy($"event_id").agg(count($"v_tus").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bucketed === naive)
+    // the no-join-back path (left rows distinct by PK) must agree
+    val direct = SessionOps.windowedCountJoin(purchases,
+      views.select($"v_user".as("user_id"), $"v_tus".as("tus")),
+      "user_id", "tus", w, "n", leftRowsDistinct = true)
+      .select($"event_id", $"n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct === naive)
     assert(bucketed.values.exists(_ === 0L) || bucketed.nonEmpty)
   }
 

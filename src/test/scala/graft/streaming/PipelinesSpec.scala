@@ -303,4 +303,22 @@ class PipelinesSpec extends SparkSpec {
     val d8 = spark.table("state_out").filter($"doc_id" === 8L).head
     assert(d8.getAs[Long]("total_views") === 1L)
   }
+
+  test("view-stats state is constant-size in visitor count (HLL blob)") {
+    // 1k then 99k more distinct visitors through the same state key:
+    // the blob must stay under the lgK=12 HLL_4 compact bound instead
+    // of growing with the visitor set (the 100 TB viral-doc property)
+    val s1 = Pipelines.updatedViewState(None, (1L to 1000L).iterator)
+    val s2 = Pipelines.updatedViewState(Some(s1), (1001L to 100000L).iterator)
+    assert(s2.total === 100000L)
+    assert(s1.sketch.length <= 3000 && s2.sketch.length <= 3000)
+    val est = Pipelines.viewStateEstimate(s2).toDouble
+    // 3σ of the lgK=12 rel. std. error (1.04/√4096 ≈ 1.6%)
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.05)
+    // small cardinalities stay exact (sketch list/set mode) — the
+    // streaming spec above relies on exact dedup at test scale
+    val small = Pipelines.updatedViewState(None, Iterator(1L, 2L, 1L))
+    assert(small.total === 3L)
+    assert(Pipelines.viewStateEstimate(small) === 2L)
+  }
 }
