@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions by SIZE, not to the core
+      // count: at bench scale most shuffles carry a few MB, and 32
+      // near-empty reduce tasks per stage are pure scheduler overhead
+      // (the ~0.2 s/query orchestration floor). Scan-side parallelism
+      // is untouched — CPU-dense narrow stages still fan out by input
+      // splits. On a cluster the same settings coalesce to the
+      // advisory size, which is the behavior you want there too.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       // test tables are one small parquet file each; default 128 MB
       // splits would scan them single-threaded. On a cluster the
       // input is many files and this knob is irrelevant.

@@ -17,6 +17,10 @@ object Verify {
       // are needed — Spark has no nanosecond TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // size-based post-shuffle coalescing (see Bench.scala): fewer
+      // near-empty reduce tasks at small SFs, same plans otherwise
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       // full extensions (functions + RewriteJaccard/RewriteCosine):
       // every oracled query runs with the optimizer rules active, so a
       // rewrite-induced divergence fails the hash gate, not just specs

@@ -173,9 +173,13 @@ object Dedup {
     // otherwise hash everything on one core.
     val sigExpr =
       if (hashMode == "md5")
-        // oracle-parity mode: md5 exists in every engine; never uses
-        // the native xxhash64 fast path
-        minhashSignatureMd5(shingles(col("text"), n), k)
+        // oracle-parity mode: md5 exists in every engine. Fused native
+        // loop when registered (bit-identical, spec-pinned), composed
+        // transform/array_min otherwise.
+        if (TextHashFunctions.isRegistered(df.sparkSession))
+          call_function(TextHashFunctions.Md5MinHashName,
+            words(col("text")), lit(n), lit(k))
+        else minhashSignatureMd5(shingles(col("text"), n), k)
       else if (TextHashFunctions.isRegistered(df.sparkSession))
         // native fused loop (graft.plans.ShingleMinHash): bit-identical
         // to the composed form, ~10x less per-row overhead
@@ -428,9 +432,18 @@ object Dedup {
     * (diameter 2-3); high-diameter graphs belong to [[starComponents]].
     */
   private def minLabelComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    // labels only ever DECREASE, so the (exact, decimal) label sum is
+    // a convergence certificate: unchanged sum ⟺ no label moved. The
+    // sum rides every checkpoint materialization as an observe()
+    // metric — zero extra jobs per round, including the init frame
+    // (whose observation also carries the node count).
+    val sumExpr = coalesce(sum(col("component").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("label_sum")
     val nodes = sym.select(col("a").as("node")).distinct()
+    val obs0 = org.apache.spark.sql.Observation()
     var checkpointed = nodes
       .withColumn("component", col("node"))
+      .observe(obs0, count(lit(1)).as("n_nodes"), sumExpr)
       .localCheckpoint(true)
     var labels = checkpointed
     // label frames are (node, component) pairs — 16 bytes of data per
@@ -439,7 +452,7 @@ object Dedup {
     // shuffle, instead of re-shuffling the edge list every round. Past
     // the limit (cluster-scale graphs) the hint is withheld and
     // Catalyst plans the shuffled join the data size demands.
-    val nNodes = labels.count()
+    val nNodes = obs0.get("n_nodes").asInstanceOf[Long]
     // no edges ⇒ no pair-connected nodes: done before any round (a
     // sum-based certificate over zero rows would otherwise be null)
     if (nNodes == 0) { sym.unpersist(); return (labels, 0) }
@@ -448,13 +461,7 @@ object Dedup {
     val symSelf = sym
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
       .persist()
-    // labels only ever DECREASE, so the (exact, decimal) label sum is
-    // a convergence certificate: unchanged sum ⟺ no label moved. The
-    // sum rides the checkpoint materialization as an observe() metric
-    // — zero extra jobs per round.
-    val sumExpr = coalesce(sum(col("component").cast("decimal(38,0)")),
-      lit(0).cast("decimal(38,0)")).as("label_sum")
-    var prevSum = labels.agg(sumExpr).head().getDecimal(0)
+    var prevSum = obs0.get("label_sum").asInstanceOf[java.math.BigDecimal]
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var changed = true
     var it = 0
@@ -521,13 +528,19 @@ object Dedup {
     * two aggregations + two joins per round. The scale path for
     * chain-shaped / high-diameter graphs.
     *
-    * Convergence certificate is EXACT, not a fixed-point heuristic:
-    * with the (hi > lo) orientation, "no lo ever appears as a hi"
-    * means the edge set is a star forest whose every root is smaller
-    * than all its children — i.e. each root is its component's
-    * minimum (connectivity is invariant under both star steps), which
-    * is precisely the fixed point. One left-semi probe per round over
-    * the checkpointed edges.
+    * Convergence certificate is EXACT, not a fixed-point heuristic.
+    * With the (hi > lo) orientation the edge set is the terminal
+    * star forest iff BOTH hold:
+    *   1. no node appears as a hi twice (each child has ONE parent —
+    *      "no lo as hi" alone would accept a child bridging two
+    *      roots, silently splitting a merged component and emitting
+    *      the child twice in the output join);
+    *   2. no lo ever appears as a hi (no chains — parents are roots).
+    * Then edges form DISJOINT stars with root < children, and since
+    * both star steps preserve connected components, each star is a
+    * whole component rooted at its minimum — precisely the fixed
+    * point. Both conditions reduce to ONE tiny aggregation over the
+    * checkpointed edges per round.
     */
   private def starComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
@@ -535,14 +548,18 @@ object Dedup {
       sym.unpersist()
       return (nodes.withColumn("component", col("node")), 0)
     }
-    // sym is already distinct and self-loop-free; keep one orientation
+    // sym is self-loop-free; keep one orientation
     var d = sym.filter(col("a") > col("b"))
       .select(col("a").as("hi"), col("b").as("lo"))
       .localCheckpoint(true)
     sym.unpersist()
     def isStarForest(e: DataFrame): Boolean =
-      e.select(col("lo").as("hi"))
-        .join(e.select(col("hi")), Seq("hi"), "left_semi").isEmpty
+      e.select(col("hi").as("x"), lit(1L).as("ishi"), lit(0L).as("islo"))
+        .union(e.select(col("lo").as("x"), lit(0L).as("ishi"), lit(1L).as("islo")))
+        .groupBy(col("x"))
+        .agg(sum(col("ishi")).as("nh"), sum(col("islo")).as("nl"))
+        .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
+        .isEmpty
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var rounds = 0
     var converged = isStarForest(d)

@@ -224,6 +224,11 @@ object GraftFunctions {
       arity(TextHashFunctions.MinHashName, 3)(e => ShingleMinHash(e(0),
         TextHashFunctions.intLitValue(e(1)),
         TextHashFunctions.intLitValue(e(2))))),
+    (TextHashFunctions.Md5MinHashName,
+      "md5-mode MinHash signature (cross-engine hex): (words, n, k) -> array<string>",
+      arity(TextHashFunctions.Md5MinHashName, 3)(e => ShingleMinHashMd5(e(0),
+        TextHashFunctions.intLitValue(e(1)),
+        TextHashFunctions.intLitValue(e(2))))),
     (TextHashFunctions.SimHashName,
       "64-bit SimHash as four 16-bit bands: (words) -> array<long>",
       arity(TextHashFunctions.SimHashName, 1)(e => SimHashBands64(e(0)))),

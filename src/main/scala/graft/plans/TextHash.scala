@@ -77,6 +77,90 @@ object TextHashUtil {
     ArrayData.toArrayData(mins)
   }
 
+  /** md5-mode MinHash signature: for each permutation p, the
+    * LEXICOGRAPHIC min over word n-grams of md5hex(p + "|" + gram) —
+    * byte-identical to the composed transform/md5/array_min form in
+    * Dedup.minhashSignatureMd5 (asserted by spec). Unsigned
+    * digest-byte order IS hex-string order, so candidates compare as
+    * raw 16-byte digests and only the k winners pay hex encoding.
+    * Fewer than n words → zero grams → k nulls, matching
+    * array_min(empty) = null.
+    */
+  def shingleMinHashMd5(words: ArrayData, n: Int, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nWords = words.numElements()
+    val last = nWords - n
+    val mins = new Array[Array[Byte]](k)
+    val prefixes = new Array[Array[Byte]](k)
+    val scratch = new Array[Byte](16)
+    var p = 0
+    while (p < k) { prefixes(p) = (p.toString + "|").getBytes("UTF-8"); p += 1 }
+    var buf = new Array[Byte](64)
+    var i = 0
+    while (i <= last) {
+      var len = 0
+      var j = 0
+      var hasNull = false
+      while (j < n && !hasNull) {
+        if (words.isNullAt(i + j)) hasNull = true
+        else {
+          val w = words.getUTF8String(i + j)
+          val wb = w.numBytes()
+          if (len + wb + 1 > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + wb + 1))
+          }
+          if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+          w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+          len += wb
+        }
+        j += 1
+      }
+      if (!hasNull) {
+        p = 0
+        while (p < k) {
+          md.reset()
+          md.update(prefixes(p))
+          md.update(buf, 0, len)
+          md.digest(scratch, 0, 16) // reuse: only new minima allocate
+          if (mins(p) == null || compareUnsigned(scratch, mins(p)) < 0)
+            mins(p) = java.util.Arrays.copyOf(scratch, 16)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](k)
+    p = 0
+    while (p < k) {
+      if (mins(p) != null) out(p) = hex32(mins(p))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
+
+  private def hex32(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** 64-bit SimHash as four 16-bit bands in one pass: per-token
     * xxhash64, majority vote per bit — identical to the composed
     * Dedup.simhashBands (same hash, same ones*2 >= total rule).
@@ -226,6 +310,23 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class ShingleMinHashMd5(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  // elements are null only for sub-n-word inputs (array_min(empty))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.shingleMinHashMd5(v.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHashUtil.shingleMinHashMd5($c, $n, $k);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHashBands64(child: Expression) extends TextHashExpression {
   // null even for a non-null child: a token array with no countable
   // tokens has no fingerprint (see TextHashUtil.simHashBands)
@@ -241,6 +342,7 @@ case class SimHashBands64(child: Expression) extends TextHashExpression {
 
 object TextHashFunctions {
   val MinHashName = "graft_minhash"
+  val Md5MinHashName = "graft_minhash_md5"
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
   val RollingHashName = "graft_rolling_hash"

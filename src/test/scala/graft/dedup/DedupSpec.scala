@@ -162,6 +162,26 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("star contraction: bridged stars merge into one component") {
+    // r1<r2<c<v1<v2<h1<h2 wired so intermediate star rounds produce a
+    // child (c) reachable from two tentative roots — the state a
+    // "no lo as hi" certificate alone would wrongly accept as
+    // converged (split components + duplicate rows for c). The full
+    // certificate (single parent per child) must keep iterating
+    // until everything labels r1=1.
+    val edges = Seq(
+      (6L, 4L), (4L, 3L), (6L, 1L),
+      (7L, 5L), (5L, 3L), (7L, 2L)
+    ).toDF("id_a", "id_b")
+    for (algo <- Seq("minlabel", "star"); fast <- Seq(0L, 1000L)) {
+      val comps = Dedup.connectedComponents(edges, "id_a", "id_b",
+        smallGraphEdges = fast, algorithm = algo)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(comps.length === 7, s"$algo/$fast: ${comps.toSeq}")
+      assert(comps.toMap.values.toSet === Set(1L), s"$algo/$fast")
+    }
+  }
+
   test("components on an empty edge list return empty, not NPE") {
     // ADVICE r3: labelSum over zero rows is a null decimal — both
     // distributed paths must short-circuit. Non-long ids skip the

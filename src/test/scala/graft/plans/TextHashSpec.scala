@@ -21,6 +21,25 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("native md5 minhash ≡ composed md5 minhash bytewise") {
+    val both = docs.select(
+      Dedup.minhashSignatureMd5(Dedup.shingles($"text", 3), 16).as("composed"),
+      call_function(TextHashFunctions.Md5MinHashName,
+        words($"text"), lit(3), lit(16)).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+    // sub-n-word docs: composed array_min(empty) = null per slot —
+    // the native loop must agree, not fabricate a sentinel
+    val tiny = Seq((1L, "two words")).toDF("id", "text").select(
+      Dedup.minhashSignatureMd5(Dedup.shingles($"text", 3), 16).as("composed"),
+      call_function(TextHashFunctions.Md5MinHashName,
+        words($"text"), lit(3), lit(16)).as("native")).head
+    assert(tiny.getSeq[String](0) === Seq.fill(16)(null))
+    assert(tiny.getSeq[String](1) === Seq.fill(16)(null))
+  }
+
   test("native simhash ≡ composed simhash bitwise") {
     val both = docs.select(
       Dedup.simhashBands($"text").as("composed"),
