@@ -289,6 +289,12 @@ object SparkEntry {
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
+    // SimHash banding in md5 mode — like the minhash md5 twin, every
+    // stage (token band values, majority vote, band buckets, Hamming
+    // verify) replays byte-identically in DuckDB
+    "q_simhash_neardup_md5" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
+        hashMode = "md5")),
     // Similarity: exact brute-force cosine top-k (broadcast query)
     "q_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -298,6 +304,13 @@ object SparkEntry {
     // Similarity: SRP-LSH ANN top-k (bucket-pruned scan; recall spec'd)
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
+    // SRP-LSH ANN with md5-derived hyperplanes — the bucket math
+    // (plane components, index-ordered dot fold, sign bits) replays
+    // byte-identically in DuckDB, putting the LSH probe itself under
+    // the hash gate (the xx variant stays rows-only)
+    "q_ann_lsh_md5" -> ((s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4,
+        hashMode = "md5")),
     // Similarity: IVF ANN (inverted-file cells + nProbe probe scan)
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), 0L, 10, nCells = 16, nProbe = 2)),
@@ -339,6 +352,14 @@ object SparkEntry {
       val planted = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999)
+    }),
+    // Same planted-copy recovery through md5 hyperplanes → oracled
+    "q_embedding_neardup_md5" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999,
+        hashMode = "md5")
     }),
     // Text analysis: per-doc token counts, ratios, language ID
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
@@ -831,6 +852,48 @@ object SparkEntry {
          GROUP BY 1 ORDER BY event_type""",
     "q_minhash_neardup_md5" -> (minhashMd5Cte +
       "SELECT id_a, id_b, round(j,4) AS jaccard FROM pr ORDER BY id_a, id_b"),
+    "q_simhash_neardup_md5" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(ws[1:greatest(len(ws)-2,1)], ' ') AS text
+           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+                 WHERE doc_id % 5 = 0)),
+         tv AS (
+           SELECT doc_id,
+             [[CAST(concat('0x', substring(m, b*4+1, 4)) AS INTEGER)
+               for m in ms] for b in [0,1,2,3]] AS tb,
+             len(ms) AS n
+           FROM (SELECT doc_id, [md5(w) for w in string_split(text,' ')] AS ms
+                 FROM corpus WHERE text IS NOT NULL)),
+         sh AS (
+           SELECT doc_id,
+             [CAST(list_sum([CASE WHEN 2*len(list_filter(tb[b+1],
+                      v -> (v >> j) & 1 = 1)) >= n
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+                 for j in range(0,16)]) AS BIGINT) for b in [0,1,2,3]] AS bands
+           FROM tv WHERE n > 0),
+         bk AS (
+           SELECT doc_id, b AS band, bands[b+1] AS value
+           FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+         capped AS (
+           SELECT doc_id, band, value FROM (
+             SELECT doc_id, band, value,
+               count(*) OVER (PARTITION BY band, value) AS bsz FROM bk)
+           WHERE bsz <= 100),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM capped l JOIN capped r
+             ON l.band = r.band AND l.value = r.value AND l.doc_id < r.doc_id),
+         ver AS (
+           SELECT id_a, id_b,
+             CAST(list_sum([bit_count(xor(a.bands[i+1], b.bands[i+1]))
+               for i in [0,1,2,3]]) AS BIGINT) AS hamming
+           FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                     JOIN sh b ON b.doc_id = cand.id_b)
+         SELECT id_a, id_b, hamming FROM ver WHERE hamming <= 3
+         ORDER BY id_a, id_b""",
     "q_dedup_clusters_md5" -> (minhashMd5Cte +
       """SELECT a AS node, least(a, min(b)) AS component
          FROM reach GROUP BY a ORDER BY node"""),
@@ -870,6 +933,48 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
            FROM p) WHERE rank <= 5
          ORDER BY query_id, rank""",
+    "q_ann_lsh_md5" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
+         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                        for j in range(0, nd)] for p in range(0, 4)] AS planes
+                FROM dm),
+         b AS (SELECT vec_id, ve,
+                 list_sum([CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
+                     (acc, x) -> acc + x) >= 0
+                   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
+                   for p in range(0, 4)]) AS bucket
+               FROM v CROSS JOIN pl)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e JOIN b ON b.vec_id = e.vec_id
+         WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_embedding_neardup_md5" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id % 10 = 0),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM corpus),
+         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
+         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                        for j in range(0, nd)] for p in range(0, 8)] AS planes
+                FROM dm),
+         b AS (SELECT vec_id, ve,
+                 list_sum([CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
+                     (acc, x) -> acc + x) >= 0
+                   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
+                   for p in range(0, 8)]) AS bucket
+               FROM v CROSS JOIN pl)
+         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_cosine_similarity(l.ve, r.ve), 4) AS cos_sim
+         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.999
+         ORDER BY id_a, id_b""",
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),

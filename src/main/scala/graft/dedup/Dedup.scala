@@ -270,6 +270,30 @@ object Dedup {
     when(total === 0, lit(null)).otherwise(bands)
   }
 
+  /** md5-mode SimHash bands (the cross-engine-oracle variant, like
+    * [[minhashSignatureMd5]]): token band value b = md5 hex chars
+    * [4b+1, 4b+4] parsed base-16 (16 bits), majority vote per bit.
+    * Identical in DuckDB as CAST(concat('0x', substring(md5(w),
+    * b*4+1, 4)) AS INTEGER). Null tokens skipped; zero countable
+    * tokens → null fingerprint (same contract as the xx path).
+    */
+  def simhashBandsMd5FromWords(ws: Column): Column = {
+    val hs = filter(transform(ws, w => md5(w)), h => h.isNotNull)
+    val total = size(hs)
+    val bands = transform(sequence(lit(0), lit(3)), band =>
+      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
+        val ones = size(filter(hs, h => {
+          val bandVal = conv(h.substr(band * lit(4) + lit(1), lit(4)), 16, 10)
+            .cast("long")
+          call_function("shiftright", bandVal, j.cast("int"))
+            .bitwiseAND(lit(1L)) === lit(1L)
+        }))
+        val bit = when(ones * 2 >= total, lit(1L)).otherwise(lit(0L))
+        acc + bit * call_function("shiftleft", lit(1L), j)
+      }))
+    when(total === 0, lit(null)).otherwise(bands)
+  }
+
   /** Hamming distance between two simhash band arrays. */
   def hammingDistance(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
@@ -280,16 +304,25 @@ object Dedup {
     * Hamming distance ≤ `maxDist`.
     */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 100): DataFrame =
-    simhashNearDuplicatesManaged(df, idCol, textCol, maxDist, maxBucketSize).df
+      maxDist: Int = 3, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame =
+    simhashNearDuplicatesManaged(df, idCol, textCol, maxDist, maxBucketSize,
+      hashMode).df
 
   /** Managed-lifecycle variant — see `minhashNearDuplicatesManaged`. */
   def simhashNearDuplicatesManaged(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 100): graft.Managed = {
+      maxDist: Int = 3, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): graft.Managed = {
+    require(hashMode == "xx" || hashMode == "md5",
+      s"unknown simhash hashMode '$hashMode' (xx | md5)")
     // tokens hashed once, fingerprint persisted (feeds both join
     // sides + verification); repartition for row-proportional CPU
     val bandsExpr =
-      if (TextHashFunctions.isRegistered(df.sparkSession))
+      if (hashMode == "md5")
+        if (TextHashFunctions.isRegistered(df.sparkSession))
+          call_function(TextHashFunctions.Md5SimHashName, words(col("text")))
+        else simhashBandsMd5FromWords(words(col("text")))
+      else if (TextHashFunctions.isRegistered(df.sparkSession))
         call_function(TextHashFunctions.SimHashName, words(col("text")))
       else simhashBands(col("text"))
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
@@ -503,10 +536,12 @@ object Dedup {
     val s = d.select(col("hi").as("a"), col("lo").as("b"))
       .union(d.select(col("lo").as("a"), col("hi").as("b")))
     val mins = s.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    // no distinct here: output is ≤ one edge per directed input edge,
+    // and smallStar's round-final distinct dedups anyway — an inner
+    // distinct would just add a shuffle per round
     s.filter(col("b") > col("a"))
       .join(mins, "a")
       .select(col("b").as("hi"), col("m").as("lo"))
-      .distinct()
   }
 
   /** Small-star step: every node links its smaller-or-equal neighbors

@@ -232,9 +232,16 @@ object GraftFunctions {
     (TextHashFunctions.SimHashName,
       "64-bit SimHash as four 16-bit bands: (words) -> array<long>",
       arity(TextHashFunctions.SimHashName, 1)(e => SimHashBands64(e(0)))),
+    (TextHashFunctions.Md5SimHashName,
+      "md5-mode SimHash bands (cross-engine): (words) -> array<long>",
+      arity(TextHashFunctions.Md5SimHashName, 1)(e => SimHashBandsMd5(e(0)))),
     (TextHashFunctions.SrpBucketName,
       "sign-random-projection LSH bucket: (array<double>, planes) -> long",
       arity(TextHashFunctions.SrpBucketName, 2)(e => SrpBucket(e(0),
+        TextHashFunctions.intLitValue(e(1))))),
+    (TextHashFunctions.Md5SrpBucketName,
+      "md5-mode SRP-LSH bucket (cross-engine): (array<double>, planes) -> long",
+      arity(TextHashFunctions.Md5SrpBucketName, 2)(e => SrpBucketMd5(e(0),
         TextHashFunctions.intLitValue(e(1))))),
     (TextHashFunctions.RollingHashName,
       "Karp-Rabin rolling hash of a string in one pass: (string) -> long",

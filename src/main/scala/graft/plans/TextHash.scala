@@ -161,6 +161,57 @@ object TextHashUtil {
     UTF8String.fromBytes(out)
   }
 
+  /** md5-mode SimHash: token band value b is md5 hex chars
+    * [4b+1, 4b+4] parsed as a 16-bit int (= md5 digest bytes 2b,
+    * 2b+1 big-endian), majority vote per bit within each band —
+    * byte-identical to the composed conv/substring form in
+    * Dedup.simhashBandsMd5FromWords AND to DuckDB's
+    * CAST(concat('0x', substring(md5(w), b*4+1, 4)) AS INTEGER),
+    * which is what puts the SimHash family under the cross-engine
+    * oracle gate. Null tokens are skipped (and excluded from the
+    * denominator); zero countable tokens → null, like the xx path.
+    */
+  def simHashBandsMd5(words: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nWords = words.numElements()
+    val ones = new Array[Int](64) // [band*16 + j]
+    var counted = 0
+    var i = 0
+    while (i < nWords) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        md.reset()
+        val d = md.digest(w.getBytes)
+        var b = 0
+        while (b < 4) {
+          val v = ((d(2 * b) & 0xff) << 8) | (d(2 * b + 1) & 0xff)
+          var j = 0
+          while (j < 16) {
+            ones(b * 16 + j) += (v >> j) & 1
+            j += 1
+          }
+          b += 1
+        }
+        counted += 1
+      }
+      i += 1
+    }
+    if (counted == 0) return null
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        if (ones(b * 16 + j) * 2 >= counted) v += (1L << j)
+        j += 1
+      }
+      bands(b) = v
+      b += 1
+    }
+    ArrayData.toArrayData(bands)
+  }
+
   /** 64-bit SimHash as four 16-bit bands in one pass: per-token
     * xxhash64, majority vote per bit — identical to the composed
     * Dedup.simhashBands (same hash, same ones*2 >= total rule).
@@ -260,6 +311,71 @@ object VectorHashUtil {
   }
 }
 
+object Md5VectorHashUtil {
+
+  /** Plane components depend only on (plane, dim): memoize the whole
+    * matrix per (nPlanes, dims) so the per-row loop is pure
+    * multiply-add. Component = (int(md5hex("p|j")[1..8], 16) % 1000)
+    * / 1000 − 0.5 — the first 8 hex chars are digest bytes 0-3
+    * big-endian, reproducible in any engine with md5 (DuckDB:
+    * CAST(concat('0x', substring(md5(p || '|' || j), 1, 8)) AS
+    * BIGINT)).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def md5Planes(nPlanes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dims), { case (np, nd) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(np) { p =>
+        Array.tabulate(nd) { j =>
+          md.reset()
+          val d = md.digest(s"$p|$j".getBytes("UTF-8"))
+          val m = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          (m % 1000L).toDouble / 1000.0 - 0.5
+        }
+      }
+    })
+
+  /** md5-mode SRP bucket — same shape as VectorHashUtil.srpBucket
+    * with md5-derived hyperplanes; dot accumulates in index order so
+    * the float sum is bit-identical to the composed fold and to a
+    * sequential list_reduce in the oracle engine.
+    */
+  def srpBucketMd5(v: ArrayData, nPlanes: Int): Long = {
+    val dims = v.numElements()
+    val planes = md5Planes(nPlanes, dims)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val pl = planes(p)
+      var d = 0.0
+      var j = 0
+      while (j < dims) { d += v.getDouble(j) * pl(j); j += 1 }
+      if (d >= 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+case class SrpBucketMd5(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<double>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Md5VectorHashUtil.srpBucketMd5(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Md5VectorHashUtil.srpBucketMd5($c, $nPlanes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SrpBucket(child: Expression, nPlanes: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -340,9 +456,22 @@ case class SimHashBands64(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class SimHashBandsMd5(child: Expression) extends TextHashExpression {
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextHashUtil.simHashBandsMd5(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.TextHashUtil.simHashBandsMd5($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashFunctions {
   val MinHashName = "graft_minhash"
   val Md5MinHashName = "graft_minhash_md5"
+  val Md5SimHashName = "graft_simhash_md5"
+  val Md5SrpBucketName = "graft_srp_bucket_md5"
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
   val RollingHashName = "graft_rolling_hash"

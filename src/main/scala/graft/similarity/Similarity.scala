@@ -93,25 +93,59 @@ object Similarity {
 
   /** Sign-random-projection bucket id: bit p = sign of <v, plane_p>. */
   def srpBucket(v: Column, nPlanes: Int): Column =
+    srpBucketWith(planeComponent)(v, nPlanes)
+
+  /** md5-plane SRP bucket — the cross-engine-oracle variant: plane
+    * component (p, j) = (int(md5hex("p|j")[1..8], 16) % 1000)/1000
+    * − 0.5, replayable in DuckDB. The dot product folds in index
+    * order on every path (composed, native, oracle list_reduce), so
+    * the float sum — and therefore the sign — is bit-identical.
+    */
+  def srpBucketMd5(v: Column, nPlanes: Int): Column =
+    srpBucketWith(planeComponentMd5)(v, nPlanes)
+
+  private def srpBucketWith(comp: (Column, Column) => Column)(
+      v: Column, nPlanes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
         val d = aggregate(
           zip_with(asDouble(v), sequence(lit(0), size(v) - 1),
-            (x, j) => x * planeComponent(p, j)),
+            (x, j) => x * comp(p, j)),
           lit(0.0), (acc, x) => acc + x)
         when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       }),
       lit(0L), (acc, b) => acc + b)
+
+  private def planeComponentMd5(plane: Column, dim: Column): Column =
+    ((conv(md5(concat(plane.cast("string"), lit("|"), dim.cast("string")))
+        .substr(lit(1), lit(8)), 16, 10).cast("long") % 1000)
+      .cast("double") / 1000.0) - 0.5
+
+  /** Session-aware md5 SRP bucket (see srpBucketFor). */
+  def srpBucketMd5For(df: DataFrame)(v: Column, nPlanes: Int): Column =
+    if (TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(TextHashFunctions.Md5SrpBucketName, asDouble(v), lit(nPlanes))
+    else srpBucketMd5(v, nPlanes)
+
+  private def bucketExprFor(df: DataFrame, hashMode: String)(
+      v: Column, nPlanes: Int): Column = {
+    require(hashMode == "xx" || hashMode == "md5",
+      s"unknown SRP hashMode '$hashMode' (xx | md5)")
+    if (hashMode == "md5") srpBucketMd5For(df)(v, nPlanes)
+    else srpBucketFor(df)(v, nPlanes)
+  }
 
   /** ANN top-k: candidates = rows in the query's SRP bucket, ranked
     * exactly within. At scale the bucket is a partition-pruned scan;
     * recall vs brute force is the documented trade (see spec).
     */
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {
+      nPlanes: Int = 8, multiProbe: Boolean = false,
+      hashMode: String = "xx"): DataFrame = {
     val bucketed = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("bucket", srpBucketFor(embeddings)(col("embedding"), nPlanes))
+      .withColumn("bucket",
+        bucketExprFor(embeddings, hashMode)(col("embedding"), nPlanes))
     val probes =
       if (multiProbe)
         // the query bucket + every Hamming-1 neighbor: vectors on the
@@ -322,8 +356,8 @@ object Similarity {
     * near-dup shape for embedding-deduped training corpora.
     */
   def embeddingNearDuplicates(embeddings: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame =
-    embeddingNearDuplicatesManaged(embeddings, threshold, nPlanes).df
+      nPlanes: Int = 8, hashMode: String = "xx"): DataFrame =
+    embeddingNearDuplicatesManaged(embeddings, threshold, nPlanes, hashMode).df
 
   /** Managed-lifecycle variant: the bucketed-vectors cache feeding
     * both join sides is released via the returned handle (see
@@ -331,11 +365,12 @@ object Similarity {
     * cleanup, which suits one-shot jobs only.
     */
   def embeddingNearDuplicatesManaged(embeddings: DataFrame, threshold: Double,
-      nPlanes: Int = 8): graft.Managed = {
+      nPlanes: Int = 8, hashMode: String = "xx"): graft.Managed = {
     val b = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
-        srpBucketFor(embeddings)(col("embedding"), nPlanes).as("bucket"))
+        bucketExprFor(embeddings, hashMode)(col("embedding"), nPlanes)
+          .as("bucket"))
       .persist()
     val result = b.as("l").join(b.as("r"),
         col("l.bucket") === col("r.bucket") &&

@@ -40,6 +40,23 @@ class TextHashSpec extends SparkSpec {
     assert(tiny.getSeq[String](1) === Seq.fill(16)(null))
   }
 
+  test("native md5 simhash ≡ composed md5 simhash bitwise") {
+    val both = docs.select(
+      Dedup.simhashBandsMd5FromWords(words($"text")).as("composed"),
+      call_function(TextHashFunctions.Md5SimHashName, words($"text")).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // hand-computed reference pins the cross-engine convention: band
+    // b of token w = int(md5hex(w)[4b .. 4b+3], 16), majority per bit
+    val ref = Seq((1L, Seq("abc"))).toDF("id", "ws")
+      .select(call_function(TextHashFunctions.Md5SimHashName, $"ws"))
+      .head.getSeq[Long](0)
+    // md5("abc") = 900150983cd24fb0... → bands 0x9001,0x5098,0x3cd2,0x4fb0
+    assert(ref === Seq(0x9001L, 0x5098L, 0x3cd2L, 0x4fb0L))
+  }
+
   test("native simhash ≡ composed simhash bitwise") {
     val both = docs.select(
       Dedup.simhashBands($"text").as("composed"),
@@ -139,6 +156,16 @@ class TextHashSpec extends SparkSpec {
     val both = emb.select(
       graft.similarity.Similarity.srpBucket($"embedding", 8).as("composed"),
       call_function(TextHashFunctions.SrpBucketName,
+        $"embedding".cast("array<double>"), lit(8)).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("native md5 SRP bucket ≡ composed md5 SRP bucket") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val both = emb.select(
+      graft.similarity.Similarity.srpBucketMd5($"embedding", 8).as("composed"),
+      call_function(TextHashFunctions.Md5SrpBucketName,
         $"embedding".cast("array<double>"), lit(8)).as("native"))
       .collect()
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
