@@ -286,6 +286,21 @@ object SparkEntry {
         .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Incremental dedup — the daily-increment production path: the
+    // existing corpus pays one signature pass (the index); the new
+    // batch (the perturbed near-copies) signs itself and probes the
+    // index. Survivors of the batch are oracled against the full
+    // md5 pipeline restricted to new-side pairs.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ws = split(col("text"), " ", -1)
+      val newBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+      val index = Dedup.minhashSignatures(docs, "doc_id", "text", hashMode = "md5")
+      Dedup.dedupIncrement(newBatch, index, "doc_id", "text", hashMode = "md5")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
@@ -897,6 +912,14 @@ object SparkEntry {
     "q_dedup_clusters_md5" -> (minhashMd5Cte +
       """SELECT a AS node, least(a, min(b)) AS component
          FROM reach GROUP BY a ORDER BY node"""),
+    // pairs touching the new batch are exactly the full pipeline's
+    // pairs with a new-side id_b (new ids are all offset by 1e6 and
+    // the cap is computed over index ∪ batch = the planted corpus)
+    "q_dedup_incremental" -> (minhashMd5Cte +
+      """SELECT doc_id FROM corpus
+         WHERE doc_id >= 1000000
+           AND NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id)
+         ORDER BY doc_id"""),
     "q_dedup_survivors_md5" -> (minhashMd5Cte +
       """, comp AS (SELECT a AS node, least(a, min(b)) AS component
                     FROM reach GROUP BY a)

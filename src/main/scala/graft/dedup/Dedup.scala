@@ -159,18 +159,28 @@ object Dedup {
     * The plain variant leaves the cache to session-level cleanup
     * (`spark.catalog.clearCache()`), which suits one-shot jobs only.
     */
-  def minhashNearDuplicatesManaged(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucketSize: Int = 100,
-      hashMode: String = "xx"): graft.Managed = {
+  private def requireHashMode(hashMode: String): Unit =
     require(hashMode == "xx" || hashMode == "md5",
       s"unknown minhash hashMode '$hashMode' (xx | md5)")
-    // signatures computed ONCE and persisted: the frame feeds both
-    // sides of the bucket join plus candidate verification — without
-    // this, Catalyst re-derives shingles+minhash per reference.
-    // Explicit repartition first: scan parallelism follows input
-    // BYTES, but signature cost follows ROWS — a small file would
-    // otherwise hash everything on one core.
+
+  private def bandExprFor(hashMode: String, k: Int, bands: Int): Column =
+    if (hashMode == "md5") bandHashesMd5(col("sig"), k, bands)
+    else bandHashes(col("sig"), k, bands)
+
+  /** One row per signable doc: (id, text, sig) — the EXPENSIVE corpus
+    * pass (shingle + k-permutation minhash), factored out so it can
+    * be paid once and persisted/written as a signature index that
+    * [[incrementalNearDuplicatesManaged]] probes on every increment.
+    * Docs with fewer than n words carry no shingle content and are
+    * excluded (they can never pair).
+    *
+    * Explicit repartition: scan parallelism follows input BYTES, but
+    * signature cost follows ROWS — a small file would otherwise hash
+    * everything on one core.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, hashMode: String = "xx"): DataFrame = {
+    requireHashMode(hashMode)
     val sigExpr =
       if (hashMode == "md5")
         // oracle-parity mode: md5 exists in every engine. Fused native
@@ -186,20 +196,27 @@ object Dedup {
         call_function(TextHashFunctions.MinHashName,
           words(col("text")), lit(n), lit(k))
       else minhashSignature(shingles(col("text"), n), k)
-    // corpus pass carries only (id, text, sig): string shingle SETS
-    // are needed solely to verify candidates, so they're derived
-    // later for just the candidate rows — not for the whole corpus
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .filter(size(words(col("text"))) >= n)
       .withColumn("sig", sigExpr)
       .select(col("id"), col("text"), col("sig"))
+  }
+
+  def minhashNearDuplicatesManaged(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): graft.Managed = {
+    // signatures computed ONCE and persisted: the frame feeds both
+    // sides of the bucket join plus candidate verification — without
+    // this, Catalyst re-derives shingles+minhash per reference.
+    // corpus pass carries only (id, text, sig): string shingle SETS
+    // are needed solely to verify candidates, so they're derived
+    // later for just the candidate rows — not for the whole corpus
+    val base = minhashSignatures(df, idCol, textCol, n, k, hashMode)
       .persist()
-    val bandExpr =
-      if (hashMode == "md5") bandHashesMd5(col("sig"), k, bands)
-      else bandHashes(col("sig"), k, bands)
     val buckets = base
-      .select(col("id"), posexplode(bandExpr))
+      .select(col("id"), posexplode(bandExprFor(hashMode, k, bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     // skew guard: a bucket holding b docs yields b² candidate pairs;
     // boilerplate-heavy corpora produce degenerate buckets — cap them
@@ -652,5 +669,98 @@ object Dedup {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("__drop_id"))
     df.join(losers, col(idCol) <=> col("__drop_id"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental dedup: new batch vs an existing signature index
+  // ---------------------------------------------------------------
+
+  /** Near-duplicate pairs of a NEW batch against an already-indexed
+    * corpus — the daily-increment path: the 100 TB corpus pays its
+    * signature pass once ([[minhashSignatures]], persisted or written
+    * to storage); each increment signs only its own (small) batch and
+    * probes the index by band bucket. The index never re-shingles and
+    * existing×existing pairs are never recomputed (the corpus is
+    * assumed already deduped).
+    *
+    * Output rows are oriented (id_a = the KEPT side, id_b = the new
+    * doc that would drop): an existing doc always wins against a new
+    * near-copy regardless of id order; between two new docs the
+    * smaller id wins. Semantics match the full pipeline restricted
+    * to pairs touching the new batch — including the bucket-size cap,
+    * which is computed over index ∪ batch, exactly as a full rebuild
+    * would see it. Ids must be unique across index ∪ batch.
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame =
+    incrementalNearDuplicatesManaged(newDocs, index, idCol, textCol,
+      n, k, bands, threshold, maxBucketSize, hashMode).df
+
+  /** Managed-lifecycle variant — see `minhashNearDuplicatesManaged`.
+    * `index` is a [[minhashSignatures]] frame (id, text, sig).
+    */
+  def incrementalNearDuplicatesManaged(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): graft.Managed = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k, hashMode)
+      .persist()
+    def explodeBuckets(sigs: DataFrame, isNew: Boolean) = sigs
+      .select(col("id"), lit(isNew).as("is_new"),
+        posexplode(bandExprFor(hashMode, k, bands)))
+      .select(col("id"), col("is_new"), col("pos").as("band"),
+        col("col").as("bucket"))
+    val all = explodeBuckets(index, isNew = false)
+      .union(explodeBuckets(newSigs, isNew = true))
+    val capped = all
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    // probe: full (capped) bucket set ⋈ the new side only — at scale
+    // the increment's bucket rows are the small side (AQE broadcasts
+    // them), so the index is scanned once and never shuffled
+    val candidates = capped.as("l")
+      .join(capped.filter(col("is_new")).as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        (!col("l.is_new") || col("l.id") < col("r.id")) &&
+        col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val texts = index.select(col("id"), col("text"))
+      .union(newSigs.select(col("id"), col("text")))
+    val result = candidates
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccard(
+        shingles(col("text_a"), n), shingles(col("text_b"), n)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+    new graft.Managed(result, Seq(newSigs))
+  }
+
+  /** The increment deliverable: the new batch minus near-copies of
+    * the indexed corpus (and of smaller-id batch mates). Greedy
+    * pair-based retention, not transitive clustering — an increment
+    * never relabels the existing corpus.
+    */
+  def dedupIncrement(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame = {
+    val pairs = incrementalNearDuplicatesManaged(newDocs, index, idCol,
+      textCol, n, k, bands, threshold, maxBucketSize, hashMode)
+    // materialize the (small) drop set before releasing the signature
+    // cache — the caller's anti-join must not re-derive the pipeline
+    val drops =
+      try pairs.df.select(col("id_b").as("__drop_id")).distinct()
+        .localCheckpoint(true)
+      finally pairs.release()
+    newDocs.join(drops, col(idCol) <=> col("__drop_id"), "left_anti")
   }
 }

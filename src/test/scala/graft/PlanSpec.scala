@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions.col
+import graft.dedup.Dedup
 import graft.ops._
 
 /** Physical-plan assertions: the properties that make these operators
@@ -90,6 +91,41 @@ class PlanSpec extends SparkSpec {
       "user_id", "tus", 600000000L, "n"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("direct range-join path: one aggregation, no join-back to left") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir).withColumn("tus", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tus"))
+    val p = plan(SessionOps.windowedCountJoin(purchases, views, "user_id",
+      "tus", 600000000L, "n", leftRowsDistinct = true))
+    // exactly one join (probe ⋈ right) — the default path has two
+    // (probe join + count join-back)
+    assert("Join".r.findAllIn(p).length <= "HashJoin|SortMergeJoin".r.findAllIn(p).length + 1)
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length === 1, p)
+    // one aggregate pair (partial+final), grouped on the left row
+    assert(!p.contains("Distinct"), p)
+  }
+
+  test("md5-mode near-dup signatures use the fused native expression") {
+    // the interpreted transform/array_min md5 form is 2.5× slower —
+    // a regression to it would silently tank the bench
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    val m = Dedup.minhashNearDuplicatesManaged(docs, "doc_id", "text",
+      hashMode = "md5")
+    try {
+      val p = m.df.queryExecution.analyzed.toString
+      assert(p.contains("shingleminhashmd5") || p.contains("ShingleMinHashMd5"), p.take(2000))
+    } finally m.release()
+    val s = Dedup.simhashNearDuplicatesManaged(docs, "doc_id", "text",
+      hashMode = "md5")
+    try {
+      val p = s.df.queryExecution.analyzed.toString
+      assert(p.contains("simhashbandsmd5") || p.contains("SimHashBandsMd5"), p.take(2000))
+    } finally s.release()
   }
 
   test("quality scorer stays in one codegen stage (no shuffle)") {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
+import graft.dedup.Dedup
 import graft.functions.TextFunctions
 import graft.quality.RuleBasedScorer
 import graft.ops.{RelationalOps, StatsOps}
@@ -50,6 +51,31 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(pages.flatten === all)
     assert(pages.flatten.distinct.size === pages.flatten.size)
+  }
+
+  test("components: star ≡ min-label ≡ union-find on random graphs") {
+    // three independent algorithms must agree exactly on arbitrary
+    // edge lists — sparse (forests + chains) and dense (many
+    // triangles) regimes both covered
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L)
+      b <- Gen.chooseNum(0L, 60L)
+    } yield (a, b)
+    for ((n, seedOffset) <- Seq((30, 0), (120, 1))) {
+      val edges = Gen.listOfN(n, edgeGen)
+        .apply(Gen.Parameters.default, Seed(42L + seedOffset)).get
+        .toDF("a", "b")
+      val fast = Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minlabel = Dedup.connectedComponents(edges, "a", "b",
+        maxIter = 70, smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponents(edges, "a", "b",
+        smallGraphEdges = 0L, algorithm = "star")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(minlabel === fast, s"minlabel vs union-find, n=$n")
+      assert(star === fast, s"star vs union-find, n=$n")
+    }
   }
 
   test("CDC synthetic op assignment is total and filter is its complement") {

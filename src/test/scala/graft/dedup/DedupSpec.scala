@@ -236,6 +236,50 @@ class DedupSpec extends SparkSpec {
     assert(!comps.contains(3L) && !comps.contains(5L)) // singletons absent
   }
 
+  test("incremental dedup: new batch probes the index; existing always wins") {
+    // index = docs {3, 5, 10}; doc 10 carries the fox text. New batch:
+    // 2 (near-copy of 10 — NEW ID SMALLER than the existing doc's) and
+    // 6 (unrelated). The pair must orient (kept=10, dropped=2) even
+    // though 2 < 10, and 6 must survive.
+    val existing = Seq(
+      (3L, "completely different content about spark query engines and shuffles"),
+      (5L, "another unrelated text mentioning vectors and embeddings only"),
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (6L, "fresh material on watermarks checkpoints and state stores")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(existing, "doc_id", "text")
+    val pairs = Dedup.incrementalNearDuplicates(batch, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 2L)))
+    val kept = Dedup.dedupIncrement(batch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(6L))
+  }
+
+  test("incremental pairs ≡ full-pipeline pairs restricted to the new side") {
+    // full rebuild over (existing ∪ batch) must agree with the
+    // incremental probe on every pair touching the batch — same
+    // bucket cap, same verification (ids here make batch ids larger,
+    // matching the full pipeline's id_a < id_b orientation)
+    val existing = df // the 5-doc corpus
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river"),
+      (12L, "utterly new content about adaptive query execution plans")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashSignatures(existing, "doc_id", "text")
+    val inc = Dedup.incrementalNearDuplicates(batch, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDuplicates(existing.unionByName(batch),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._2 >= 11L).toSet
+    assert(inc === full)
+    assert(inc.exists(p => p._2 === 11L)) // the near-copy was found
+  }
+
   test("dropNearDuplicates keeps canonical member + untouched docs") {
     val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
