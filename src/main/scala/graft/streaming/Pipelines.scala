@@ -337,6 +337,73 @@ object Pipelines {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Beyond-reference extension: STREAMING near-dup corpus
+    * construction — the online form of [[graft.dedup.Dedup
+    * .dedupIncrement]]. Each micro-batch is deduped against the
+    * persisted signature index (and itself); survivors' signatures
+    * append to the index, which IS the deduped corpus (id, text,
+    * sig, batch_id) — readable by any downstream job.
+    *
+    * Idempotent under checkpoint replay: survivors write via DYNAMIC
+    * partition overwrite on batch_id, so a re-run of batch N
+    * rewrites exactly its own partition (self-matches are id-
+    * excluded in the probe, so a replayed survivor survives again
+    * and overwrites itself — never duplicates, never self-drops).
+    * This is the same per-unit-overwrite recovery design as the
+    * keyed index sink's per-bucket rotation.
+    *
+    * Scale: the index pays signatures once per DOC ever admitted;
+    * each batch signs only itself and probes by band bucket (the
+    * batch side is the small side of the join). The 100 TB corpus
+    * never re-shingles and never shuffles its text.
+    */
+  def processNearDupBatch(batch: DataFrame, indexDir: String,
+      batchId: Long, n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch.sparkSession
+    val index =
+      if (new java.io.File(indexDir).exists)
+        spark.read.parquet(indexDir).select("id", "text", "sig")
+      else Dedup.minhashSignatures(batch.limit(0), "doc_id", "text",
+        n, k, hashMode) // empty bootstrap with the right schema
+    val survivors = Dedup.dedupIncrement(batch, index, "doc_id", "text",
+      n, k, bands, threshold, maxBucketSize, hashMode)
+    // materialized BEFORE the write: the write plan must not read
+    // indexDir (dedupIncrement already checkpointed its drop set, and
+    // this cut makes the signature rows themselves index-independent)
+    val sigs = Dedup.minhashSignatures(survivors, "doc_id", "text", n, k, hashMode)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    try {
+      // an empty first batch must not create a parquet dir with no
+      // footers (unreadable schema); an empty overwrite of an
+      // EXISTING index is a harmless no-op
+      if (!sigs.isEmpty || new java.io.File(indexDir).exists)
+        sigs.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(indexDir)
+    } finally sigs.unpersist()
+  }
+
+  /** The streaming entry: docs (doc_id, text) → near-dup-deduped
+    * corpus at `indexDir`, exactly-once via checkpoint + the
+    * idempotent batch core above.
+    */
+  def nearDupIndexingSink(docs: DataFrame, indexDir: String,
+      checkpointDir: String, hashMode: String = "xx")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNearDupBatch(batch, indexDir, batchId, hashMode = hashMode)
+      }
+      .start()
+
   /** Beyond-reference extension: stream-stream inner join — each
     * purchase pairs with the same user's views from the preceding
     * `joinWindow`. Both sides carry watermarks and the join condition

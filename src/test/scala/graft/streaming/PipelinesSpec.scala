@@ -304,6 +304,54 @@ class PipelinesSpec extends SparkSpec {
     assert(d8.getAs[Long]("total_views") === 1L)
   }
 
+  test("streaming near-dup index: cross-batch dedup, replay-idempotent") {
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_neardup_idx").toString + "/idx"
+    def ids() = spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val fox = "the quick brown fox jumps over the lazy dog near the river bank"
+    val foxCopy = "the quick brown fox jumps over the lazy dog near the river"
+    // batch 0: two unrelated docs — both admitted
+    Pipelines.processNearDupBatch(
+      Seq((1L, fox), (2L, "completely different content about spark query engines and shuffles"))
+        .toDF("doc_id", "text"), indexDir, 0L)
+    assert(ids() === Set(1L, 2L))
+    // batch 1: a near-copy of an INDEXED doc drops, fresh doc admitted
+    Pipelines.processNearDupBatch(
+      Seq((3L, foxCopy), (4L, "fresh material on watermarks checkpoints and state stores"))
+        .toDF("doc_id", "text"), indexDir, 1L)
+    assert(ids() === Set(1L, 2L, 4L))
+    // checkpoint REPLAY of batch 1: survivors must overwrite their own
+    // partition, not duplicate and not self-drop against their own
+    // indexed signatures
+    Pipelines.processNearDupBatch(
+      Seq((3L, foxCopy), (4L, "fresh material on watermarks checkpoints and state stores"))
+        .toDF("doc_id", "text"), indexDir, 1L)
+    assert(ids() === Set(1L, 2L, 4L))
+    assert(spark.read.parquet(indexDir).count() === 3) // no duplicate rows
+  }
+
+  test("streaming near-dup sink end-to-end over MemoryStream micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup_e2e")
+    val indexDir = base.toString + "/idx"
+    val fox = "the quick brown fox jumps over the lazy dog near the river bank"
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupIndexingSink(
+      mem.toDS().toDF("doc_id", "text"), indexDir, base.toString + "/ckpt")
+    try {
+      mem.addData(Seq((1L, fox)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (2L, "the quick brown fox jumps over the lazy dog near the river"),
+        (3L, "unrelated corpus material about query optimizers and joins")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 was a near-copy of batch-0's doc 1
+  }
+
   test("view-stats state is constant-size in visitor count (HLL blob)") {
     // 1k then 99k more distinct visitors through the same state key:
     // the blob must stay under the lgK=12 HLL_4 compact bound instead
