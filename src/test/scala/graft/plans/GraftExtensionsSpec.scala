@@ -64,6 +64,19 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 15L)
   }
 
+  test("md5-mode functions are injected too (the cross-engine family)") {
+    val r = spark.sql(
+      """SELECT
+         graft_minhash_md5(array('a','b','c'), 2, 4) AS mh,
+         graft_simhash_md5(array('abc')) AS sh,
+         graft_srp_bucket_md5(array(0.5d, -0.5d), 4) AS b""").head
+    val mh = r.getSeq[String](0)
+    assert(mh.length === 4 && mh.forall(_.matches("[0-9a-f]{32}")))
+    // md5("abc") = 900150983cd24fb0… — bands are its 16-bit chunks
+    assert(r.getSeq[Long](1) === Seq(0x9001L, 0x5098L, 0x3cd2L, 0x4fb0L))
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 15L)
+  }
+
   test("library queries run on an extensions-built session") {
     val df = graft.SparkEntry.queries("q_minhash_neardup")(
       spark, "/root/testdata/sf0.001")
