@@ -363,8 +363,12 @@ object Pipelines {
       hashMode: String = "xx"): Unit = {
     import graft.dedup.Dedup
     val spark = batch.sparkSession
+    // Hadoop FS, not java.io.File: the index dir is a cluster path
+    // (HDFS/S3) everywhere except the local harness
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val index =
-      if (new java.io.File(indexDir).exists)
+      if (fs.exists(indexPath))
         spark.read.parquet(indexDir).select("id", "text", "sig")
       else Dedup.minhashSignatures(batch.limit(0), "doc_id", "text",
         n, k, hashMode) // empty bootstrap with the right schema
@@ -380,7 +384,7 @@ object Pipelines {
       // an empty first batch must not create a parquet dir with no
       // footers (unreadable schema); an empty overwrite of an
       // EXISTING index is a harmless no-op
-      if (!sigs.isEmpty || new java.io.File(indexDir).exists)
+      if (!sigs.isEmpty || fs.exists(indexPath))
         sigs.write
           .partitionBy("batch_id")
           .option("partitionOverwriteMode", "dynamic")
