@@ -389,6 +389,24 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
     // Text analysis: rolling-hash + md5 document fingerprints
     "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    // Quality: Gopher-style repetition filters (dup-word/n-gram
+    // fractions + top-bigram share; narrow per-doc array math)
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // Decontamination: benchmark bigram overlap (benchmark = the
+    // doc_id % 101 == 7 slice, broadcast; corpus = the rest)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationStats(
+        docs.filter(col("doc_id") % 101 =!= 7),
+        docs.filter(col("doc_id") % 101 === 7),
+        "doc_id", "text")
+    }),
+    // Corpus mixing: exact per-source document quotas in md5 order
+    "q_corpus_mix" -> ((s, d) =>
+      SampleOps.quotaMix(Tables.documents(s, d), "source", "doc_id",
+        Seq("src0" -> 15L, "src1" -> 10L, "src2" -> 5L))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
     // §2.8 ST1 — the full quality pipeline (CDC → enrich), batch
     // parity twin of the streaming transform (same functions)
     "q_enrichment_pipeline" -> ((s, d) =>
@@ -1115,6 +1133,74 @@ object SparkEntry {
                 WHEN s_de > 0 AND s_de = greatest(s_en,s_fr,s_es,s_de) THEN 'de'
                 ELSE 'und' END AS detected_lang
          FROM sc ORDER BY doc_id""",
+    // repetition metrics replay in DuckDB via list comprehensions:
+    // range(1, len) yields bigram start indices, list_distinct gives
+    // the dup fractions, and the top-bigram count is the max of each
+    // bigram's own multiplicity (O(n²) is fine at oracle scale; the
+    // Spark side uses an O(n log n) sort + run-length fold — only the
+    // COUNT must agree, not the algorithm)
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, ws,
+           CASE WHEN len(ws) >= 2
+                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                ELSE CAST([] AS VARCHAR[]) END AS bg,
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]
+                ELSE CAST([] AS VARCHAR[]) END AS tg
+           FROM t),
+         m AS (SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(1 - len(list_distinct(ws)) * 1.0 / len(ws), 4) AS dup_word_frac,
+           CASE WHEN len(bg) > 0
+                THEN round(1 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN len(tg) > 0
+                THEN round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
+                ELSE 0.0 END AS dup_trigram_frac,
+           CASE WHEN len(bg) > 0
+                THEN round(list_max([len(list_filter(bg, y -> y = x)) for x in bg])
+                           * 1.0 / len(bg), 4)
+                ELSE 0.0 END AS top_bigram_frac
+           FROM g)
+         SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
+           dup_trigram_frac, top_bigram_frac,
+           (n_words >= 20 AND
+            (top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05)) AS repetitive
+         FROM m ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+           CASE WHEN len(ws) >= 2
+                THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM d),
+         bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 101 = 7),
+         corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 101 <> 7),
+         cg AS (SELECT doc_id, unnest(grams) AS gr FROM corp),
+         hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(bench.gr) AS n_hits
+                  FROM cg LEFT JOIN bench ON cg.gr = bench.gr GROUP BY 1)
+         SELECT corp.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_hits, 0) AS n_hits,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END AS contamination,
+           (CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.4)
+             AS contaminated
+         FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
+         ORDER BY corp.doc_id""",
+    "q_corpus_mix" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         SELECT doc_id, source FROM r
+         WHERE rn <= CASE source WHEN 'src0' THEN 15
+                                 WHEN 'src1' THEN 10 ELSE 5 END
+         ORDER BY doc_id""",
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,

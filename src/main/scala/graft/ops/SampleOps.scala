@@ -82,4 +82,26 @@ object SampleOps {
   def hashSplit(df: DataFrame, idCol: String,
       weights: Seq[(String, Double)], outCol: String = "split"): DataFrame =
     df.withColumn(outCol, splitColumn(col(idCol), weights))
+
+  /** Quota-based corpus mixing: exactly `min(quota, |stratum|)` rows
+    * from each listed stratum, chosen in hash order (id tiebreak) —
+    * the domain-mixture step of corpus assembly ("40% web, 30% code,
+    * …" expressed as absolute per-source document quotas). Strata
+    * without a quota are dropped BEFORE the shuffle, so the window
+    * only ever sorts rows that can be selected; everything else is
+    * one window over the stratum key, same shape as
+    * [[stratifiedSample]].
+    */
+  def quotaMix(df: DataFrame, strataCol: String, idCol: String,
+      quotas: Seq[(String, Long)]): DataFrame = {
+    require(quotas.nonEmpty, "need at least one stratum quota")
+    require(quotas.forall(_._2 > 0), s"quotas must be positive: $quotas")
+    val qmap = map(quotas.flatMap { case (s, q) => Seq(lit(s), lit(q)) }: _*)
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    df.filter(col(strataCol).isin(quotas.map(_._1): _*))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= element_at(qmap, col(strataCol)))
+      .drop("__rn")
+  }
 }

@@ -146,6 +146,121 @@ object TextAnalysis {
       md5(col("text")).as("content_md5"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------
+  // Repetition statistics (Gopher-style quality filters)
+  // ---------------------------------------------------------------
+
+  /** Word n-gram list of a token array — unlike
+    * [[graft.dedup.Dedup.shingles]] this KEEPS duplicates, because
+    * repetition metrics are about multiplicity. Fewer than n words →
+    * empty list (sequence(0, size-n) would count downward otherwise).
+    */
+  def ngrams(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
+
+  /** Highest multiplicity in a SORTED string array: one fold tracking
+    * the current run length (equal neighbors) and the best run seen.
+    * O(n) per row and narrow; the interpreted-lambda cost is one
+    * comparison per element (fuse into a native expression only if a
+    * profile ever shows it hot — see graft.plans.TextHash for the
+    * pattern).
+    */
+  def maxMultiplicity(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Per-document repetition statistics — the Gopher/MassiveText
+    * repetition filters (Rae et al. 2021 §A1.1) re-expressed over
+    * whitespace tokens: duplicate-word fraction, duplicate n-gram
+    * fractions, and the fraction of bigram slots occupied by the
+    * single most frequent bigram. `repetitive` flags documents past
+    * the thresholds — boilerplate/spam whose loss a language model
+    * minimizes by memorizing. Documents under `minWords` are never
+    * flagged: with few bigram slots the top-share metric is
+    * degenerate (an all-unique doc scores 1/(n-1), which crosses the
+    * 0.08 threshold below 14 words), so short docs are length-gated
+    * exactly as the MassiveText filters exclude them. The default of
+    * 20 keeps the all-unique baseline (1/19 ≈ 0.053) clear of the
+    * threshold.
+    *
+    * Scale: pure per-row array math over the tokenization — zero
+    * shuffle, runs at parquet-scan speed on 100 TB. Ratios round to
+    * 4 places for engine-stable hashing.
+    */
+  def repetitionStats(documents: DataFrame,
+      topBigramThreshold: Double = 0.08,
+      dupTrigramThreshold: Double = 0.05,
+      minWords: Int = 20): DataFrame = {
+    def dupFrac(arr: Column) =
+      when(size(arr) > 0,
+        round(lit(1.0) - size(array_distinct(arr)) / size(arr), 4))
+        .otherwise(lit(0.0))
+    documents
+      .withColumn("ws", words(col("text")))
+      .withColumn("bg", ngrams(col("ws"), 2))
+      .withColumn("tg", ngrams(col("ws"), 3))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        dupFrac(col("ws")).as("dup_word_frac"),
+        dupFrac(col("bg")).as("dup_bigram_frac"),
+        dupFrac(col("tg")).as("dup_trigram_frac"),
+        when(size(col("bg")) > 0,
+          round(maxMultiplicity(array_sort(col("bg"))) / size(col("bg")), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("n_words") >= minWords &&
+          (col("top_bigram_frac") >= topBigramThreshold ||
+            col("dup_trigram_frac") >= dupTrigramThreshold))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Decontamination (benchmark n-gram overlap)
+  // ---------------------------------------------------------------
+
+  /** Per-document contamination against a benchmark set — the
+    * eval-leakage check every training corpus needs: the fraction of
+    * a document's DISTINCT word n-grams that also occur anywhere in
+    * `benchmark`. Documents at or above `threshold` are flagged for
+    * exclusion (near-copies of benchmark items score ≈1).
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the
+    * corpus and is explicitly broadcast — the 100 TB side streams
+    * through scan → explode → one hash aggregation on the document
+    * id; no corpus-side shuffle of text, no join reshuffle.
+    */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 2,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__g")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0,
+          round(col("n_hits") / col("n_grams"), 4)).otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination") >= threshold)
+      .orderBy(col(idCol))
+  }
+
   /** Sequence packing for training-block assembly: documents stream
     * into fixed token-budget blocks in deterministic order, the
     * GPT-style pre-tokenization chunking where a document belongs to

@@ -152,4 +152,38 @@ class PlanSpec extends SparkSpec {
     // exactly one Exchange — the shard-key window; no global sort
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
   }
+
+  test("repetition stats are narrow per-doc array math (no mid-plan shuffle)") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(graft.textanalysis.TextAnalysis.repetitionStats(docs))
+    // the only exchange is the final deterministic orderBy's range
+    // partitioning — no hash shuffle, no join, no aggregation
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("decontamination broadcasts the benchmark grams; corpus shuffles only on doc id") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(graft.textanalysis.TextAnalysis.contaminationStats(
+      docs.filter(col("doc_id") % 101 =!= 7),
+      docs.filter(col("doc_id") % 101 === 7), "doc_id", "text"))
+    // corpus grams never reshuffle to meet the benchmark — the small
+    // side rides a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly two hash exchanges: the benchmark-side distinct (small,
+    // pre-broadcast) and the corpus aggregation on the doc id — the
+    // corpus gram stream itself never hash-repartitions
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
+  test("quota mix prunes unlisted strata at the scan and shuffles once") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(SampleOps.quotaMix(docs, "source", "doc_id",
+      Seq("src0" -> 7L, "src1" -> 3L)))
+    // the stratum IN-list reaches the parquet scan
+    assert(p.contains("In(source"), p)
+    // one window shuffle on the stratum key
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
 }

@@ -55,6 +55,30 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("quota mix: exact per-stratum counts, unlisted strata dropped") {
+    val mixed = SampleOps.quotaMix(docs, "source", "doc_id",
+      Seq("src0" -> 7L, "src1" -> 3L))
+    val counts = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("src0" -> 7L, "src1" -> 3L))
+    // deterministic: identical row set on rerun
+    val again = SampleOps.quotaMix(docs, "source", "doc_id",
+      Seq("src0" -> 7L, "src1" -> 3L))
+    assert(mixed.select("doc_id").except(again.select("doc_id")).count() === 0)
+    // a quota beyond the stratum size takes the whole stratum
+    val n0 = docs.filter(col("source") === "src0").count()
+    val all = SampleOps.quotaMix(docs, "source", "doc_id",
+      Seq("src0" -> (n0 + 100L)))
+    assert(all.count() === n0)
+    // the quota'd subset grows monotonically with the quota (hash
+    // order is a fixed global ranking per stratum)
+    val small = SampleOps.quotaMix(docs, "source", "doc_id", Seq("src0" -> 3L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = mixed.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
   test("redactPii strips emails, SSNs, and phones; leaves clean text") {
     import spark.implicits._
     val rows = Seq(

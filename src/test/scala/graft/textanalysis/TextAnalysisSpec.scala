@@ -64,6 +64,77 @@ class TextAnalysisSpec extends SparkSpec {
     stats.foreach(r => assert(r.getAs[Long]("min_chars") <= r.getAs[Long]("max_chars")))
   }
 
+  test("repetition stats: hand-computed fractions and the length gate") {
+    val docs = Seq(
+      // ws=("a b")×10: 20 words, 2 distinct → dup_word 0.9; bg: 19
+      // slots, 2 distinct ("a b"×10, "b a"×9) → dup_bigram
+      // 1-2/19=0.8947, top 10/19=0.5263; tg: 18 slots, 2 distinct →
+      // dup_trigram 1-2/18=0.8889 — flagged on both criteria
+      (1L, "a b a b a b a b a b a b a b a b a b a b"),
+      // all-unique 4-word doc: top_bigram_frac 1/3 but UNDER the
+      // length gate → never flagged
+      (2L, "p q r s"),
+      // 20 unique words: every dup fraction 0, top 1/19 → clean
+      (3L, "a b c d e f g h i j k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("dup_word_frac") === 0.9)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") === 0.8947)
+    assert(r(1L).getAs[Double]("top_bigram_frac") === 0.5263)
+    assert(r(1L).getAs[Double]("dup_trigram_frac") === 0.8889)
+    assert(r(1L).getAs[Boolean]("repetitive"))
+    assert(r(2L).getAs[Double]("top_bigram_frac") === 0.3333)
+    assert(!r(2L).getAs[Boolean]("repetitive"))
+    assert(r(3L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(r(3L).getAs[Double]("top_bigram_frac") === 0.0526)
+    assert(!r(3L).getAs[Boolean]("repetitive"))
+  }
+
+  test("maxMultiplicity: run-length fold equals brute-force mode count") {
+    val arrs = Seq(
+      Seq("a", "a", "a", "b", "c"), Seq("x"), Seq[String](),
+      Seq("m", "n", "m", "n", "m", "q", "q", "q", "q"))
+    val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "arr")
+    val got = df.select($"id",
+      TextAnalysis.maxMultiplicity(array_sort($"arr")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    arrs.zipWithIndex.foreach { case (a, i) =>
+      val want = if (a.isEmpty) 0L
+        else a.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(i.toLong) === want, s"arr $a")
+    }
+  }
+
+  test("decontamination: copies flag, disjoint docs score zero") {
+    val benchmark = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),     // exact copy → 1.0
+      (2L, "the quick brown cat sleeps"),          // shares 2 of 4 bigrams
+      (3L, "entirely different words here now")    // disjoint → 0.0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationStats(corpus, benchmark, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("contamination") === 1.0)
+    assert(r(1L).getAs[Boolean]("contaminated"))
+    assert(r(2L).getAs[Double]("contamination") === 0.5)
+    assert(r(2L).getAs[Boolean]("contaminated"))
+    assert(r(3L).getAs[Double]("contamination") === 0.0)
+    assert(!r(3L).getAs[Boolean]("contaminated"))
+    // totals are per-doc distinct bigram counts
+    assert(r(2L).getAs[Long]("n_grams") === 4)
+    assert(r(2L).getAs[Long]("n_hits") === 2)
+  }
+
+  test("decontamination keeps zero-gram docs with zero contamination") {
+    val benchmark = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "solo")).toDF("doc_id", "text") // < 2 words → no bigrams
+    val r = TextAnalysis.contaminationStats(corpus, benchmark, "doc_id", "text").head
+    assert(r.getAs[Long]("n_grams") === 0)
+    assert(r.getAs[Double]("contamination") === 0.0)
+    assert(!r.getAs[Boolean]("contaminated"))
+  }
+
   test("sequence packing: blocks chunk each shard's token stream in order") {
     import spark.implicits._
     // tokens: 3,3,3 with budget 5 in one shard → starts at 0,3,6 →
