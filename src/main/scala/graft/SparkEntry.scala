@@ -341,26 +341,18 @@ object SparkEntry {
     // prunes to nProbe partition directories (the 100 TB path)
     "q_ann_ivf_indexed" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val cents = Similarity.seedCentroids(e, 16)
-      // collision-resistant digest of the FULL source path (a 32-bit
-      // hashCode collision would silently serve the wrong corpus's
-      // index) + the pid, so concurrent JVMs sharing a tmpdir never
-      // race one JVM's overwrite against another's probe
-      val pathDigest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
-      // build once per JVM per corpus — the serving path an index
-      // exists for is build-once probe-many, and the build output is
-      // deterministic for a given source dir
-      ivfIndexBuilt.computeIfAbsent(dir, p => {
-        Similarity.writeIvfIndex(e, cents, p); p
-      })
+      val dir = builtIvfIndex(s, d)
       val qv = e.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toVector
-      Similarity.ivfTopKFromIndex(s.read.parquet(dir), cents, qv, 10, 2)
+      Similarity.ivfTopKFromIndex(s.read.parquet(dir),
+        Similarity.seedCentroids(e, 16), qv, 10, 2)
     }),
+    // SemDeDup served from the SAME written index the ANN probe uses:
+    // the cell partitioning is already on disk, dedup skips assignment
+    "q_semdedup_indexed" -> ((s, d) =>
+      Similarity.semanticDuplicatesFromIndex(
+        s.read.parquet(builtIvfIndex(s, d)), 0.999)),
     // IVF probe over LLOYD-REFINED centroids (the production build
     // path, 2 k-means iterations): the refined centroids are inlined
     // as literals into a generated oracle, so the probe-over-refined-
@@ -407,6 +399,50 @@ object SparkEntry {
       SampleOps.quotaMix(Tables.documents(s, d), "source", "doc_id",
         Seq("src0" -> 15L, "src1" -> 10L, "src2" -> 5L))
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // Vocabulary heavy hitters: exact corpus top-20 bigrams
+    "q_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
+    // Per-doc top-3 tf·idf keywords (BM25's ln-rounding contract)
+    "q_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d), 3)),
+    // CCNet-style corpus-trained bigram-LM quality score
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d))),
+    // Quality-proportional deterministic sampling: keep probability
+    // scales with document length (narrow md5 filter, zero shuffle)
+    "q_sample_weighted" -> ((s, d) =>
+      SampleOps.weightedSample(Tables.documents(s, d), "doc_id",
+        col("n_chars") / lit(1000.0))
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    // The capstone composition: repetition gate → decontamination →
+    // LM-quality gate → exact dedup, one call over the raw corpus
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.curation.Curation.curate(
+        docs.filter(col("doc_id") % 101 =!= 7),
+        docs.filter(col("doc_id") % 101 === 7))
+    }),
+    // Fixed document budget: exactly-40 corpus cut in md5 order
+    "q_sample_budget" -> ((s, d) =>
+      SampleOps.takeExact(Tables.documents(s, d), "doc_id", 40)
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    // Frozen-LM serving split: model trained on the ¾ corpus slice,
+    // scores the held-out ¼ — unseen grams smooth through add-1
+    "q_lm_score_frozen" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmScoreWith(
+        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
+        docs.filter(col("doc_id") % 4 === 0), nllThreshold = 10.0)
+    }),
+    // SemDeDup: k-means-cell semantic dedup over planted exact copies
+    // (IVF seed centroids; lower id survives any ≥0.999 pair)
+    "q_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDuplicates(e.unionByName(planted),
+        Similarity.seedCentroids(e, 16), 0.999)
+    }),
     // §2.8 ST1 — the full quality pipeline (CDC → enrich), batch
     // parity twin of the streaming transform (same functions)
     "q_enrichment_pipeline" -> ((s, d) =>
@@ -433,6 +469,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => SessionOps.sessionStats(Tables.events(s, d))),
     // Clickstream: hourly event rollup (the canonical aggregation)
     "q_hourly_events" -> ((s, d) => SessionOps.hourlyRollup(Tables.events(s, d))),
+    // Clickstream: view→click→purchase conversion funnel (min-ts
+    // chaining per user; strictly-after semantics)
+    "q_funnel" -> ((s, d) => SessionOps.funnel(Tables.events(s, d),
+      Seq("view", "click", "purchase"))),
     // §2.5 window functions: running totals, row_number, lag gaps
     "q_running_totals" -> ((s, d) => SessionOps.runningUserTotals(Tables.events(s, d))),
     // grouping sets: region→nation ROLLUP with subtotals + grand total
@@ -559,6 +599,26 @@ object SparkEntry {
     dedupClustersCache.computeIfAbsent((s, d + "::md5"), _ =>
       Dedup.minhashClusters(plantedCorpus(s, d), "doc_id", "text",
         hashMode = "md5"))
+  }
+
+  /** Build-once-serve-many IVF index for a corpus dir, shared by the
+    * ANN probe and indexed SemDeDup. The directory key is a
+    * collision-resistant digest of the FULL source path (a 32-bit
+    * hashCode collision would silently serve the wrong corpus's
+    * index) + the pid, so concurrent JVMs sharing a tmpdir never race
+    * one JVM's overwrite against another's probe; the build output is
+    * deterministic for a given source dir.
+    */
+  private def builtIvfIndex(s: SparkSession, d: String): String = {
+    val pathDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
+    ivfIndexBuilt.computeIfAbsent(dir, p => {
+      Similarity.writeIvfIndex(Tables.embeddings(s, d),
+        Similarity.seedCentroids(Tables.embeddings(s, d), 16), p); p
+    })
+    dir
   }
 
   /** Lloyd-refined centroids per corpus dir. The k-means build runs
@@ -1191,6 +1251,235 @@ object SparkEntry {
              AS contaminated
          FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
          ORDER BY corp.doc_id""",
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t)
+         SELECT gram, count(*) AS occurrences FROM g
+         GROUP BY 1 ORDER BY occurrences DESC, gram LIMIT 20""",
+    "q_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tfc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term,
+                 round(tf * round(ln(n_docs * 1.0 / df), 6), 4) AS score
+               FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS rank
+               FROM s)
+         SELECT doc_id, rank, term, score FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // the LM replay: model counts from the same corpus, add-1 nll per
+    // bigram rounded to 6 (ln ulp contract), doc mean to 4; docs with
+    // fewer than two words carry a NULL bigram through the left joins
+    // so they aggregate to (0, 0.0)
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         b AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM t),
+         m AS (SELECT bg, count(*) AS c12 FROM b WHERE bg IS NOT NULL GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                 FROM m GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v
+               FROM (SELECT unnest(ws) AS term FROM t)),
+         s AS (SELECT b.doc_id, b.bg,
+                 CASE WHEN b.bg IS NOT NULL
+                      THEN CAST(round(ln((ctx.c1 + v.v) * 1.0 / (m.c12 + 1.0))
+                                      * 1000000.0) AS BIGINT)
+                 END AS nll6
+               FROM b LEFT JOIN m ON b.bg = m.bg
+               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+               CROSS JOIN v)
+         SELECT doc_id, count(bg) AS n_bigrams,
+           CASE WHEN count(bg) > 0
+                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                ELSE 0.0 END AS lm_nll,
+           (CASE WHEN count(bg) > 0
+                 THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                 ELSE 0.0 END >= 10.0) AS unusual
+         FROM s GROUP BY 1 ORDER BY doc_id""",
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           lpad(lower(to_hex(least(
+             CAST(floor(least(greatest(n_chars / 1000.0, 0.0), 1.0)
+                        * 4294967296.0) AS BIGINT),
+             4294967295))), 8, '0')
+         ORDER BY doc_id""",
+    // the curation capstone replays every gate CTE over the corpus
+    // slice (benchmark = doc_id % 101 = 7 held out), then min-id
+    // exact dedup on text — same sub-oracles as q_repetition /
+    // q_decontaminate / q_lm_score, restricted to the corpus slice
+    "q_curation_pipeline" ->
+      """WITH corp0 AS (SELECT * FROM documents WHERE doc_id % 101 <> 7),
+         t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp0),
+         gg AS (SELECT doc_id, ws,
+           CASE WHEN len(ws) >= 2
+                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                ELSE CAST([] AS VARCHAR[]) END AS bg,
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]
+                ELSE CAST([] AS VARCHAR[]) END AS tg
+           FROM t),
+         rep AS (SELECT doc_id,
+           (CAST(len(ws) AS BIGINT) >= 20 AND
+            (CASE WHEN len(bg) > 0
+                  THEN round(list_max([len(list_filter(bg, y -> y = x)) for x in bg])
+                             * 1.0 / len(bg), 4)
+                  ELSE 0.0 END >= 0.08 OR
+             CASE WHEN len(tg) > 0
+                  THEN round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
+                  ELSE 0.0 END >= 0.05)) AS repetitive
+           FROM gg),
+         dg AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM t),
+         bset AS (SELECT DISTINCT unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 2
+                  THEN [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                        for i in range(1, len(string_split(text, ' ')))]
+                  ELSE CAST([] AS VARCHAR[]) END) AS gr
+           FROM documents WHERE doc_id % 101 = 7),
+         cg AS (SELECT doc_id, unnest(grams) AS gr FROM dg),
+         hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(bset.gr) AS n_hits
+                  FROM cg LEFT JOIN bset ON cg.gr = bset.gr GROUP BY 1),
+         con AS (SELECT dg.doc_id,
+           (CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.4)
+             AS contaminated
+           FROM dg LEFT JOIN hits ON dg.doc_id = hits.doc_id),
+         b AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM t),
+         m AS (SELECT bg, count(*) AS c12 FROM b WHERE bg IS NOT NULL GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                 FROM m GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v
+               FROM (SELECT unnest(ws) AS term FROM t)),
+         sl AS (SELECT b.doc_id, b.bg,
+                 CASE WHEN b.bg IS NOT NULL
+                      THEN CAST(round(ln((ctx.c1 + v.v) * 1.0 / (m.c12 + 1.0))
+                                      * 1000000.0) AS BIGINT)
+                 END AS nll6
+               FROM b LEFT JOIN m ON b.bg = m.bg
+               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+               CROSS JOIN v),
+         lm AS (SELECT doc_id,
+           CASE WHEN count(bg) > 0
+                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                ELSE 0.0 END AS lm_nll
+           FROM sl GROUP BY 1),
+         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id
+           WHERE NOT rep.repetitive AND NOT con.contaminated
+             AND NOT lm.lm_nll >= 10.0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
+         JOIN keep k ON g.doc_id = k.doc_id
+         ORDER BY g.doc_id""",
+    "q_sample_budget" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40)
+         ORDER BY doc_id""",
+    // frozen-LM replay: counts from the training slice only; grams and
+    // contexts the model never saw coalesce to 0 (add-1 smooths them)
+    "q_lm_score_frozen" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
+                     WHERE doc_id % 4 <> 0),
+         b0 AS (SELECT unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM tr),
+         m AS (SELECT bg, count(*) AS c12 FROM b0 GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                 FROM m GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v
+               FROM (SELECT unnest(ws) AS term FROM tr)),
+         sd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 4 = 0),
+         b AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM sd),
+         s AS (SELECT b.doc_id, b.bg,
+                 CASE WHEN b.bg IS NOT NULL
+                      THEN CAST(round(ln((coalesce(ctx.c1, 0) + v.v) * 1.0
+                                         / (coalesce(m.c12, 0) + 1.0))
+                                      * 1000000.0) AS BIGINT)
+                 END AS nll6
+               FROM b LEFT JOIN m ON b.bg = m.bg
+               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+               CROSS JOIN v)
+         SELECT doc_id, count(bg) AS n_bigrams,
+           CASE WHEN count(bg) > 0
+                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                ELSE 0.0 END AS lm_nll,
+           (CASE WHEN count(bg) > 0
+                 THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                 ELSE 0.0 END >= 10.0) AS unusual
+         FROM s GROUP BY 1 ORDER BY doc_id""",
+    // indexed SemDeDup replay: same assignment as the q_ann_ivf family
+    // (seed centroids = vec_id < 16), no planted copies — the result
+    // must match dedup over the written cell-partitioned index
+    "q_semdedup_indexed" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT u.vec_id, c.cid,
+                  round(list_cosine_similarity(u.ve, c.ce), 4) AS s
+                FROM u CROSS JOIN c),
+         assign AS (SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         av AS (SELECT a.vec_id, a.cell, u.ve
+                FROM assign a JOIN u ON u.vec_id = a.vec_id),
+         dropped AS (SELECT DISTINCT r.vec_id
+                     FROM av l JOIN av r
+                       ON l.cell = r.cell AND l.vec_id < r.vec_id
+                     WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.999)
+         SELECT av.vec_id, av.cell FROM av
+         WHERE av.vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY av.vec_id""",
+    // SemDeDup replay: seed centroids = vec_id < 16, union the planted
+    // copies, assign via (cos desc, cid) argmax, drop the higher id of
+    // any within-cell pair at round(cos,4) >= 0.999
+    "q_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+               FROM embeddings WHERE vec_id % 10 = 0),
+         sc AS (SELECT u.vec_id, c.cid,
+                  round(list_cosine_similarity(u.ve, c.ce), 4) AS s
+                FROM u CROSS JOIN c),
+         assign AS (SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         av AS (SELECT a.vec_id, a.cell, u.ve
+                FROM assign a JOIN u ON u.vec_id = a.vec_id),
+         dropped AS (SELECT DISTINCT r.vec_id
+                     FROM av l JOIN av r
+                       ON l.cell = r.cell AND l.vec_id < r.vec_id
+                     WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.999)
+         SELECT av.vec_id, av.cell FROM av
+         WHERE av.vec_id NOT IN (SELECT vec_id FROM dropped)
+         ORDER BY av.vec_id""",
     "q_corpus_mix" ->
       """WITH r AS (
            SELECT doc_id, source,
@@ -1286,6 +1575,21 @@ object SparkEntry {
            CAST(floor((max(tns) - min(tns)) / 1000) AS BIGINT) AS duration_ms,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.t) AS t FROM e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.t) AS t FROM e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
+         SELECT 1 AS stage, 'view' AS step,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         ORDER BY stage""",
     "q_hourly_events" ->
       """SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
                 '%Y-%m-%d %H:00:00') AS hour,

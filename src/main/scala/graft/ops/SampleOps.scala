@@ -83,6 +83,38 @@ object SampleOps {
       weights: Seq[(String, Double)], outCol: String = "split"): DataFrame =
     df.withColumn(outCol, splitColumn(col(idCol), weights))
 
+  /** Exactly-n corpus cut in deterministic hash order — "give me a
+    * 10M-document budget from this crawl", reproducible anywhere.
+    * Compiles to TakeOrdered (per-partition top-n + driver merge of
+    * n-row heads), never a global sort: the only data movement is
+    * n rows per partition. Monotone in n: a bigger budget is a
+    * superset of a smaller one.
+    */
+  def takeExact(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 0, s"budget must be non-negative: $n")
+    df.orderBy(hashOrder(col(idCol)), col(idCol)).limit(n)
+  }
+
+  /** Per-row weighted Bernoulli sample, deterministic: a row with
+    * acceptance probability `prob` (clamped to [0,1]) is kept iff its
+    * md5 prefix falls below the row's own boundary — the
+    * quality-proportional downsampling step of corpus curation
+    * ("keep good documents with higher probability"), reproducible
+    * across runs, engines, and cluster layouts exactly like
+    * [[hashSample]] (which is the constant-probability special case).
+    *
+    * NARROW: the boundary is a projection of the row's own columns
+    * and the comparison is a filter — zero shuffle, streams through
+    * 100 TB at scan speed. Same 2^-32 edge as [[fractionBoundary]]:
+    * prob 1.0 maps to boundary ffffffff, so the one-in-4-billion row
+    * hashing exactly ffffffff is excluded even at prob 1.
+    */
+  def weightedSample(df: DataFrame, idCol: String, prob: Column): DataFrame = {
+    val p = least(greatest(prob.cast("double"), lit(0.0)), lit(1.0))
+    val bound = least(floor(p * 4294967296.0).cast("long"), lit(0xffffffffL))
+    df.filter(hashPrefix(col(idCol)) < lpad(lower(hex(bound)), 8, "0"))
+  }
+
   /** Quota-based corpus mixing: exactly `min(quota, |stratum|)` rows
     * from each listed stratum, chosen in hash order (id tiebreak) —
     * the domain-mixture step of corpus assembly ("40% web, 30% code,

@@ -101,6 +101,40 @@ object SessionOps {
   /** Window ranking extras: balance deciles (ntile) and per-nation
     * extremes via first/last_value over the full-partition frame.
     */
+  /** Conversion funnel: how many users complete each prefix of an
+    * ordered step sequence, where step k+1 must happen STRICTLY after
+    * the user's earliest completion of step k (the classic funnel
+    * semantics — min-ts chaining, not mere per-type minima, so a
+    * click that precedes every view does not convert).
+    *
+    * Scale shape: one hash aggregation on the user id per step, each
+    * stage frame a shrinking subset of the last; the event scan is
+    * pruned to the step's type by a pushed filter each pass. The
+    * per-stage counts are single-row aggregates unioned into the
+    * k-row readout. k passes over a pruned scan beats one
+    * sort-per-user over all events once users are heavy.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel step: $steps")
+    def stageCount(stage: DataFrame, i: Int, step: String) =
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage"), lit(step).as("step"), col("n_users"))
+    var stage = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(tus).as("t"))
+    val counts = Seq.newBuilder[DataFrame]
+    counts += stageCount(stage, 1, steps.head)
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      stage = events.filter(col("event_type") === step)
+        .select(col("user_id"), tus.as("t2"))
+        .join(stage, "user_id")
+        .filter(col("t2") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("t2")).as("t"))
+      counts += stageCount(stage, i + 2, step)
+    }
+    counts.result().reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
   def customerBalanceRanks(customer: DataFrame): DataFrame = {
     val byBal = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

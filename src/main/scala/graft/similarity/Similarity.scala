@@ -381,4 +381,69 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
     new graft.Managed(result, Seq(b))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via k-means cells — every vector coarse-quantizes
+    * to its nearest centroid (the SAME assignment expression as the
+    * IVF index, so an existing index doubles as the dedup
+    * partitioning), exact pairwise cosine runs only WITHIN a cell,
+    * and of any pair scoring ≥ `threshold` the lower id survives.
+    * Returns the surviving (vec_id, cell) corpus.
+    *
+    * Scale shape: assignment is a narrow projection against broadcast
+    * centroid literals; the pairwise stage shuffles (id, embedding)
+    * on the cell key only. The quadratic term is per-cell by
+    * construction — SemDeDup's contract is that `nCells` grows with
+    * the corpus (the paper runs 11k clusters for 5B points) so cell
+    * populations stay roughly constant; the all-pairs-in-a-cell cost
+    * is the algorithm, not an accident. Zero-norm vectors have no
+    * cosine direction, hence no cell: excluded, as in the IVF scan.
+    */
+  def semanticDuplicates(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    require(cents.nonEmpty, "semanticDuplicates needs at least one centroid")
+    val centLit = typedlit(cents)
+    val assigned = embeddings
+      // exclude zero-norm vectors BEFORE any cosine: under ANSI the
+      // divide would throw (matching composed Divide), under non-ANSI
+      // it nulls — filtering first gives the documented exclusion in
+      // both modes, still narrow
+      .filter(aggregate(asDouble(col("embedding")), lit(0.0),
+        (acc, x) => acc + x * x) > 0)
+      .withColumn("__scores",
+        cellScoresFor(embeddings, centLit)(col("embedding")))
+      .withColumn("cell", cellOf(col("__scores")))
+      .drop("__scores")
+      .filter(col("cell").isNotNull)
+    semanticSurvivors(assigned)(threshold)
+  }
+
+  /** SemDeDup served from a written IVF index (see [[writeIvfIndex]]):
+    * the cell column is already materialized as the partition key, so
+    * dedup skips assignment entirely and the per-cell pair join reads
+    * cell-partitioned parquet — the index built for ANN serving IS the
+    * dedup partitioning, one build amortized over both uses.
+    */
+  def semanticDuplicatesFromIndex(index: DataFrame,
+      threshold: Double): DataFrame =
+    semanticSurvivors(index.select(col("vec_id"), col("embedding"),
+      col("cell")))(threshold)
+
+  /** Shared survivor computation over an assigned (vec_id, embedding,
+    * cell) frame: within-cell pairs at cosine ≥ threshold drop their
+    * higher id; survivors return as (vec_id, cell).
+    */
+  private def semanticSurvivors(assigned: DataFrame)(
+      threshold: Double): DataFrame = {
+    val pairs = assigned.as("l").join(assigned.as("r"),
+        col("l.cell") === col("r.cell") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .filter(round(cosineFor(assigned)(
+        col("l.embedding"), col("r.embedding")), 4) >= threshold)
+      .select(col("r.vec_id").as("vec_id"))
+      .distinct()
+    assigned.join(pairs, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -261,6 +261,155 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  // ---------------------------------------------------------------
+  // Corpus vocabulary statistics (heavy hitters)
+  // ---------------------------------------------------------------
+
+  /** Exact corpus-level top-k word n-grams by total occurrence count
+    * (multiplicity kept) — the vocabulary heavy-hitter readout used
+    * to spot boilerplate and templating across a crawl. Tie-break is
+    * engine-stable: count desc, gram asc.
+    *
+    * Scale shape: explode → hash aggregation with MAP-SIDE partial
+    * combine (the shuffle carries one row per distinct gram per
+    * partition, not one per occurrence), then a TakeOrdered top-k —
+    * no global sort. This is the exact form; at 100 TB the same
+    * plan holds because the shuffled state is bounded by the
+    * vocabulary, not the corpus.
+    */
+  def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    documents
+      .select(explode(ngrams(words(col("text")), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(k)
+
+  /** Per-document top-k keyword extraction by tf·idf over whitespace
+    * terms: tf is the in-document occurrence count, idf = ln(N/df)
+    * rounded to 6 places on both engines before the product (ln is
+    * libm-dependent in its last ulp — same contract as
+    * [[graft.ops.SearchOps.searchBm25]]), the score to 4. Ties:
+    * score desc, term asc.
+    *
+    * Scale shape: one explode → (doc, term) hash aggregation for tf;
+    * document frequencies aggregate from the tf frame (already one
+    * row per doc×term, so df is a cheap second-stage agg bounded by
+    * the vocabulary); the tf↔df join shuffles on the term — never on
+    * document text — and the final per-doc ranking is one window on
+    * the doc id.
+    */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
+      .withColumn("score", round(col("tf") * col("idf"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // Statistical language-model scoring (CCNet-style quality filter)
+  // ---------------------------------------------------------------
+
+  /** Per-document add-one-smoothed bigram language-model score — the
+    * CCNet/KenLM-shaped perplexity filter (Wenzek et al. 2020) with
+    * the LM trained on the corpus itself: documents whose word
+    * transitions are unusual for the corpus (spam, mojibake, word
+    * salad) score a high mean negative log-likelihood.
+    *
+    *   nll(w1 w2) = ln((c(w1·) + V) / (c(w1 w2) + 1))   [add-1]
+    *   lm_nll(D)  = mean over D's bigrams, 0.0 when |D| < 2 words
+    *
+    * c(w1·) counts w1 as a bigram CONTEXT (occurrences as a first
+    * word), so the conditional sums to 1 over the smoothed vocabulary
+    * V (distinct corpus tokens). Each bigram's nll rounds to 6 places
+    * before the mean (ln ulp contract, as searchBm25), the mean to 4.
+    *
+    * Scale shape: the trained model IS a DataFrame — bigram counts
+    * aggregate with map-side combine (state bounded by the distinct
+    * bigram vocabulary); context counts are a second-stage agg OVER
+    * the bigram counts, not a second corpus pass. Scoring joins the
+    * corpus's exploded bigrams to the model on the gram key and
+    * re-aggregates per document — text itself never shuffles, only
+    * (id, gram) pairs. V and the flag threshold ride along broadcast.
+    */
+  def lmScore(documents: DataFrame, nllThreshold: Double = 10.0): DataFrame =
+    lmScoreWith(lmTrain(documents), documents, nllThreshold)
+
+  /** A frozen corpus bigram LM: gram counts, context counts, and the
+    * vocabulary-size scalar. Each member is an ordinary DataFrame, so
+    * the model persists as three parquet tables and reloads anywhere —
+    * train once on the reference corpus, score every later batch or
+    * micro-batch against it (same serving split as the dedup
+    * signature index).
+    */
+  final case class LmModel(grams: DataFrame, contexts: DataFrame,
+      vocab: DataFrame)
+
+  def lmTrain(documents: DataFrame): LmModel = {
+    val grams = documents
+      .select(explode(ngrams(words(col("text")), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val contexts = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = documents
+      .select(explode(words(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    LmModel(grams, contexts, vocab)
+  }
+
+  /** Score documents against a FROZEN model. Bigrams and contexts the
+    * model never saw smooth through the same add-1 form (c12→0,
+    * c1→0 ⇒ nll = ln(V)), so out-of-corpus batches score without
+    * special cases — scoring a subset of the training corpus itself
+    * is exactly [[lmScore]].
+    */
+  def lmScoreWith(model: LmModel, documents: DataFrame,
+      nllThreshold: Double = 10.0): DataFrame = {
+    val bigrams = documents
+      .select(col("doc_id"), explode_outer(ngrams(words(col("text")), 2)).as("bg"))
+    bigrams
+      .join(model.grams.select(col("bg"), col("c12")), Seq("bg"), "left")
+      // the context derives from the SCORED bigram, not the model row:
+      // a known context must still count when the full gram is unseen
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(model.contexts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      // per-bigram nll in integer MICRO-nats: the 6-decimal ln contract
+      // as an exact long, so the per-doc mean is an exact integer sum
+      // + one IEEE division — engine-independent regardless of
+      // aggregation order (a float avg() differs in the 4th decimal
+      // between engines once a doc has enough bigrams; bit at sf0.1)
+      .withColumn("nll6",
+        when(col("bg").isNotNull,
+          round(log((coalesce(col("c1"), lit(0L)) + col("v")) /
+            (coalesce(col("c12"), lit(0L)) + lit(1.0))) * 1e6)
+            .cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("bg")).as("n_bigrams"),
+        sum(col("nll6")).as("__s6"))
+      .withColumn("lm_nll",
+        when(col("n_bigrams") > 0,
+          round(col("__s6") / (col("n_bigrams") * lit(1e6)), 4))
+          .otherwise(lit(0.0)))
+      .drop("__s6")
+      .withColumn("unusual", col("lm_nll") >= nllThreshold)
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing for training-block assembly: documents stream
     * into fixed token-budget blocks in deterministic order, the
     * GPT-style pre-tokenization chunking where a document belongs to

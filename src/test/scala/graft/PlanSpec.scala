@@ -186,4 +186,43 @@ class PlanSpec extends SparkSpec {
     // one window shuffle on the stratum key
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
   }
+
+  test("takeExact compiles to TakeOrdered, not a global sort") {
+    val p = plan(SampleOps.takeExact(Tables.documents(spark, sfDir),
+      "doc_id", 40))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("top n-grams: map-side combine, top-k without a global sort") {
+    val p = plan(graft.textanalysis.TextAnalysis.topNgrams(
+      Tables.documents(spark, sfDir), 2, 20))
+    // shuffle state is one row per distinct gram per partition
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("weighted sample is a pure narrow filter: zero exchanges") {
+    val p = plan(SampleOps.weightedSample(Tables.documents(spark, sfDir),
+      "doc_id", col("n_chars") / org.apache.spark.sql.functions.lit(1000.0)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("lm score: model joins hash on the gram key, scalars broadcast") {
+    val p = plan(graft.textanalysis.TextAnalysis.lmScore(
+      Tables.documents(spark, sfDir)))
+    // the vocabulary-size scalar rides a broadcast; nothing cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semdedup: pairwise join hashes on the cell key, never cartesian") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val p = plan(graft.similarity.Similarity.semanticDuplicates(emb,
+      graft.similarity.Similarity.seedCentroids(emb, 4), 0.999))
+    assert(!p.contains("CartesianProduct"), p)
+    // the within-cell pair stage is an equi-join on cell (+ survivor
+    // anti-join); nothing degenerates to a nested loop over vectors
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -1,0 +1,39 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val benchmark =
+    Seq((900L, "alpha beta gamma delta", "bench")).toDF("doc_id", "text", "source")
+
+  // one offender per gate, one duplicate pair, one clean survivor
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "src0"),
+    (2L, "the quick brown fox jumps over the lazy dog", "src0"), // exact dup
+    (3L, ("a b " * 12).trim, "src0"),                            // repetitive
+    (4L, "alpha beta gamma delta", "src0")                       // contaminated
+  ).toDF("doc_id", "text", "source")
+
+  test("each gate drops its offender; dedup keeps the min id") {
+    val out = Curation.curate(corpus, benchmark).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getAs[String]("source") === "src0")
+    assert(out.head.getAs[Double]("lm_nll") > 0.0)
+  }
+
+  test("the LM gate binds: a tiny threshold rejects every scoring doc") {
+    // every corpus doc has at least one bigram, so every lm_nll > 0
+    assert(Curation.curate(corpus, benchmark, nllThreshold = 1e-4).count() === 0)
+  }
+
+  test("gates are independent: relaxing one readmits only its offender") {
+    // disable the contamination gate (threshold > 1 can never fire):
+    // the benchmark copy returns; the repetitive and duplicate docs stay out
+    val out = Curation.curate(corpus, benchmark, contaminationThreshold = 1.1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 4L))
+  }
+}

@@ -79,6 +79,61 @@ class SampleOpsSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("takeExact: exact size, monotone in budget, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val cut = SampleOps.takeExact(docs, "doc_id", 25)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(cut.length === 25)
+    assert(cut.toSet.size === 25)
+    // a bigger budget extends the same hash-ordered prefix
+    val bigger = SampleOps.takeExact(docs, "doc_id", 40)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(cut.toSet.subsetOf(bigger.toSet))
+    // repeat run returns the identical cut (no RNG state anywhere)
+    val again = SampleOps.takeExact(docs, "doc_id", 25)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(again.toSeq === cut.toSeq)
+    // over-budget takes the whole corpus
+    val n = docs.count()
+    assert(SampleOps.takeExact(docs, "doc_id", (n + 100).toInt).count() === n)
+  }
+
+  test("weighted sample: constant prob ≡ hashSample, monotone in prob") {
+    import spark.implicits._
+    val ids = (1L to 1000L).toDF("id")
+    // the constant-probability special case degenerates to hashSample
+    val w = SampleOps.weightedSample(ids, "id", lit(0.25))
+      .collect().map(_.getLong(0)).toSet
+    val h = SampleOps.hashSample(ids, "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(w === h)
+    // prob 0 keeps nothing, prob 1 keeps everything (at this scale)
+    assert(SampleOps.weightedSample(ids, "id", lit(0.0)).count() === 0)
+    assert(SampleOps.weightedSample(ids, "id", lit(1.0)).count() === 1000)
+    // out-of-range probabilities clamp instead of corrupting the hex
+    assert(SampleOps.weightedSample(ids, "id", lit(7.5)).count() === 1000)
+    assert(SampleOps.weightedSample(ids, "id", lit(-3.0)).count() === 0)
+    // a row kept at prob p stays kept at every prob' > p (same hash,
+    // higher boundary) — the property that makes re-weighting stable
+    val lo = SampleOps.weightedSample(ids, "id", lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    val hi = SampleOps.weightedSample(ids, "id", lit(0.7))
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("weighted sample: per-row prob column drives per-row acceptance") {
+    import spark.implicits._
+    // two strata with very different probs: acceptance rates separate
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) 0.9 else 0.05))
+      .toDF("id", "p")
+    val kept = SampleOps.weightedSample(rows, "id", col("p"))
+    val evens = kept.filter(col("id") % 2 === 0).count()
+    val odds = kept.filter(col("id") % 2 === 1).count()
+    assert(evens > 800 && evens <= 1000) // ≈ 900
+    assert(odds < 120)                   // ≈ 50
+  }
+
   test("redactPii strips emails, SSNs, and phones; leaves clean text") {
     import spark.implicits._
     val rows = Seq(

@@ -141,4 +141,34 @@ class SessionOpsSpec extends SparkSpec {
     val regionRows = roll.filter(r => !r.isNullAt(0) && r.isNullAt(1))
     assert(regionRows.map(_.getAs[Long]("n_customers")).sum === nCust)
   }
+
+  test("funnel: strictly-after chaining, not per-type minima") {
+    val events = Seq(
+      // user 1: full view→click→purchase conversion
+      (1L, 1L, ns(10), "view", 0.0),
+      (2L, 1L, ns(20), "click", 0.0),
+      (3L, 1L, ns(30), "purchase", 0.0),
+      // user 2: only click is BEFORE its first view → stalls at stage 1
+      (4L, 2L, ns(5), "click", 0.0),
+      (5L, 2L, ns(10), "view", 0.0),
+      // user 3: view then click, never purchases → stage 2
+      (6L, 3L, ns(10), "view", 0.0),
+      (7L, 3L, ns(20), "click", 0.0),
+      (8L, 3L, ns(5), "purchase", 0.0), // purchase before the click: no convert
+      // user 4: purchase only — never enters the funnel
+      (9L, 4L, ns(5), "purchase", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = SessionOps.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel on the corpus: stage populations never grow") {
+    val out = SessionOps.funnel(Tables.events(spark, sfDir),
+      Seq("view", "click", "purchase"))
+      .collect().map(_.getLong(2))
+    assert(out.length === 3)
+    assert(out.sliding(2).forall(p => p(0) >= p(1)))
+  }
 }

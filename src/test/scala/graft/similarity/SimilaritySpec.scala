@@ -162,4 +162,60 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     assert((brute intersect multi).size >= (brute intersect single).size)
   }
+
+  test("semdedup drops the higher id of a within-cell near-dup pair") {
+    import spark.implicits._
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(1.0f, 0.0f)), // dups, cell 0
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.0f, 1.0f)), // dups, cell 1
+      (30L, Array(0.6f, 0.3f)),                           // alone in cell 0
+      (60L, Array(0.0f, 0.0f))                            // zero-norm: no cell
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.semanticDuplicates(vecs, cents, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(10L -> 0, 20L -> 1, 30L -> 0))
+  }
+
+  test("semdedup compares only within a cell (the locality contract)") {
+    import spark.implicits._
+    // cos(v1, v2) ≈ 0.9991 ≥ threshold, but they quantize to different
+    // cells — both survive: cells bound the quadratic, at a recall cost
+    val vecs = Seq(
+      (50L, Array(0.72f, 0.69f)), // nearest [1,0] → cell 0
+      (51L, Array(0.69f, 0.72f))  // nearest [0,1] → cell 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.semanticDuplicates(vecs, cents, 0.999)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(50L -> 0, 51L -> 1))
+  }
+
+  test("semdedup from a written IVF index ≡ direct computation") {
+    val base = emb.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(planted)
+    val cents = Similarity.seedCentroids(base, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    Similarity.writeIvfIndex(corpus, cents, dir)
+    val direct = Similarity.semanticDuplicates(corpus, cents, 0.999)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val indexed = Similarity.semanticDuplicatesFromIndex(
+      spark.read.parquet(dir), 0.999)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(indexed === direct)
+  }
+
+  test("semdedup on the corpus: planted exact copies never survive") {
+    val base = emb.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val cents = Similarity.seedCentroids(base, 16)
+    val out = Similarity.semanticDuplicates(base.unionByName(planted), cents, 0.999)
+    // every planted copy shares a cell with its source (identical
+    // vector → identical assignment) and loses the id tie-break
+    assert(out.filter($"vec_id" >= 1000000L).count() === 0)
+    assert(out.count() === base.count())
+  }
 }

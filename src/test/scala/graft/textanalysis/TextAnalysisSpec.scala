@@ -162,4 +162,89 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("mx") =!= col("nb") - 1)
     assert(gaps.count() === 0)
   }
+
+  test("top n-grams: multiplicity counted, ties broken by gram") {
+    // bigrams: doc1 → "a b","b a","a b","b c"; doc2 → "a b","b x"
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val top = TextAnalysis.topNgrams(docs, 2, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head === ("a b", 3L))
+    // count-1 ties resolve in gram order
+    assert(top.drop(1).toSeq === Seq(("b a", 1L), ("b c", 1L)))
+  }
+
+  test("tf-idf keywords: corpus-common terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val kw = TextAnalysis.tfidfKeywords(docs, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    // idf(apple) = idf(cherry) = round(ln 2, 6) = 0.693147; banana in
+    // every doc → idf 0 → score 0 but still listed (rank by score)
+    assert(kw((1L, 1)) === ("apple", 1.3863)) // tf 2
+    assert(kw((1L, 2)) === ("banana", 0.0))
+    assert(kw((2L, 1)) === ("cherry", 0.6931))
+    assert(kw((2L, 2)) === ("banana", 0.0))
+  }
+
+  test("lm score: add-1 bigram nll, hand-computed; short docs score 0") {
+    // model: c("a b")=2, c("a c")=1; context c(a·)=3; V=4 {a,b,c,z}
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(docs, nllThreshold = 1.0)
+      .collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("lm_nll"),
+          x.getAs[Boolean]("unusual"))).toMap
+    // nll("a b") = ln((3+4)/(2+1)) = ln(7/3); nll("a c") = ln(7/2)
+    val nllAB = BigDecimal(math.round(math.log(7.0 / 3) * 1e6) / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllAC = BigDecimal(math.round(math.log(7.0 / 2) * 1e6) / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) === ((1L, nllAB, false))) // common transition: usual
+    assert(r(2L) === r(1L))                // identical doc, identical score
+    assert(r(3L) === ((1L, nllAC, true)))  // rarer transition crosses 1.0
+    assert(r(4L) === ((0L, 0.0, false)))   // no bigrams → 0, never flagged
+  }
+
+  test("frozen lm: unseen grams smooth to ln(V); model survives parquet") {
+    // train: c("a b")=2, ctx a=2, V=3 {a,b,c}
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val model = TextAnalysis.lmTrain(train)
+    // "a z": known context a (c1=2), unseen gram → ln((2+3)/1)
+    // "q z": unseen context AND gram → ln((0+3)/1) = ln 3
+    val out = Seq((10L, "a z"), (11L, "q z")).toDF("doc_id", "text")
+    def expect(x: Double) =
+      BigDecimal(math.round(math.log(x) * 1e6) / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = TextAnalysis.lmScoreWith(model, out)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_nll")).toMap
+    assert(scored === Map(10L -> expect(5.0), 11L -> expect(3.0)))
+    // the model is three plain tables: write, reload, score identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    model.grams.write.parquet(s"$dir/grams")
+    model.contexts.write.parquet(s"$dir/contexts")
+    model.vocab.write.parquet(s"$dir/vocab")
+    val reloaded = TextAnalysis.LmModel(
+      spark.read.parquet(s"$dir/grams"),
+      spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$dir/vocab"))
+    val rescored = TextAnalysis.lmScoreWith(reloaded, out)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_nll")).toMap
+    assert(rescored === scored)
+  }
+
+  test("lm score flags word salad against a regular corpus") {
+    val regular = (0L until 20L).map(i => (i, "the cat sat on the mat"))
+    val salad = Seq((99L, "mat the on cat sat the"))
+    val r = TextAnalysis.lmScore((regular ++ salad).toDF("doc_id", "text"))
+      .select("doc_id", "lm_nll")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // every regular doc shares one score; the permuted doc scores higher
+    assert(r(0L) === r(7L))
+    assert(r(99L) > r(0L))
+  }
 }
