@@ -408,6 +408,61 @@ object Pipelines {
       }
       .start()
 
+  /** Beyond-reference extension: STREAMING LM-quality gating — the
+    * online form of [[graft.textanalysis.TextAnalysis.lmScoreWith]].
+    * The bigram model is a FROZEN parquet artifact (trained once on a
+    * reference corpus via `lmTrain` + `writeLmModel`); each
+    * micro-batch scores against it and documents at or above the nll
+    * threshold are dropped. Survivors append to `outDir` with their
+    * scores, partitioned by batch_id with DYNAMIC partition overwrite
+    * — a checkpoint replay of batch N rewrites exactly its own
+    * partition (same recovery design as the near-dup index sink).
+    *
+    * Scale: the model never re-trains on the hot path; the batch
+    * side of the gram join is the small side, and the model tables
+    * shuffle at most once per micro-batch (broadcast when small).
+    */
+  def processLmGateBatch(batch: DataFrame, modelDir: String,
+      outDir: String, batchId: Long, nllThreshold: Double = 10.0): Unit = {
+    import graft.textanalysis.TextAnalysis
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = TextAnalysis
+      .lmScoreWith(TextAnalysis.readLmModel(spark, modelDir), batch,
+        nllThreshold)
+      .filter(!col("unusual"))
+      .select(col("doc_id"), col("lm_nll"))
+    val survivors = batch.join(keep, "doc_id")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // score once: isEmpty probe + write share it
+    try {
+      // an empty FIRST batch must not create a footerless parquet dir;
+      // an empty overwrite of an existing output is a harmless no-op
+      if (!survivors.isEmpty || fs.exists(outPath))
+        survivors.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally survivors.unpersist()
+  }
+
+  /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
+    * corpus at `outDir`, exactly-once via checkpoint + the idempotent
+    * batch core above.
+    */
+  def lmGateSink(docs: DataFrame, modelDir: String, outDir: String,
+      checkpointDir: String, nllThreshold: Double = 10.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processLmGateBatch(batch, modelDir, outDir, batchId, nllThreshold)
+      }
+      .start()
+
   /** Beyond-reference extension: stream-stream inner join — each
     * purchase pairs with the same user's views from the preceding
     * `joinWindow`. Both sides carry watermarks and the join condition

@@ -370,6 +370,22 @@ object TextAnalysis {
     LmModel(grams, contexts, vocab)
   }
 
+  /** Persist a trained model as three parquet tables under `dir` —
+    * the deployable artifact a scoring job or streaming gate loads.
+    */
+  def writeLmModel(model: LmModel, dir: String): Unit = {
+    model.grams.write.mode("overwrite").parquet(s"$dir/grams")
+    model.contexts.write.mode("overwrite").parquet(s"$dir/contexts")
+    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  def readLmModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): LmModel =
+    LmModel(
+      spark.read.parquet(s"$dir/grams"),
+      spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$dir/vocab"))
+
   /** Score documents against a FROZEN model. Bigrams and contexts the
     * model never saw smooth through the same add-1 form (c12→0,
     * c1→0 ⇒ nll = ln(V)), so out-of-corpus batches score without

@@ -369,4 +369,38 @@ class PipelinesSpec extends SparkSpec {
     assert(small.total === 3L)
     assert(Pipelines.viewStateEstimate(small) === 2L)
   }
+
+  test("streaming LM gate filters against the frozen model; replay-idempotent") {
+    import graft.textanalysis.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lmgate").toString
+    // model: "a b" is the common transition (nll ln 1.75 ≈ 0.56),
+    // "c d" rarer (ln 2.5 ≈ 0.92), unseen grams ln 4 ≈ 1.39
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeLmModel(TextAnalysis.lmTrain(ref), s"$tmp/model")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.lmGateSink(mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt", nllThreshold = 0.7)
+    mem.addData(Seq((10L, "a b"), (11L, "c d")))      // 11 over threshold
+    q.processAllAvailable()
+    mem.addData(Seq((12L, "a b a b"), (13L, "a b"))) // 12's "b a" unseen
+    q.processAllAvailable(); q.stop()
+
+    def surviving() = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving() === Set(10L, 13L))
+    // crash-replay of batch 0 rewrites only its own partition
+    Pipelines.processLmGateBatch(
+      Seq((10L, "a b"), (11L, "c d")).toDF("doc_id", "text"),
+      s"$tmp/model", s"$tmp/out", 0L, nllThreshold = 0.7)
+    assert(surviving() === Set(10L, 13L))
+    assert(spark.read.parquet(s"$tmp/out").count() === 2) // no duplicates
+    // an empty first batch never creates an unreadable footerless dir
+    Pipelines.processLmGateBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      s"$tmp/model", s"$tmp/out2", 0L, nllThreshold = 0.7)
+    assert(!new java.io.File(s"$tmp/out2").exists())
+  }
 }
