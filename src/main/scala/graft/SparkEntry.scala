@@ -402,6 +402,9 @@ object SparkEntry {
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
+    // Mixture analytics: per-source unigram KL from the corpus blend
+    "q_domain_divergence" -> ((s, d) =>
+      TextAnalysis.domainDivergence(Tables.documents(s, d))),
     // Per-doc top-3 tf·idf keywords (BM25's ln-rounding contract)
     "q_tfidf_keywords" -> ((s, d) =>
       TextAnalysis.tfidfKeywords(Tables.documents(s, d), 3)),
@@ -1259,6 +1262,29 @@ object SparkEntry {
                   ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t)
          SELECT gram, count(*) AS occurrences FROM g
          GROUP BY 1 ORDER BY occurrences DESC, gram LIMIT 20""",
+    // per-term values round to integer pico-nats so the per-source
+    // sum is exact — the same order-independence contract as the LM
+    // micro-nat mean (a float sum over the vocab grid would diverge)
+    "q_domain_divergence" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         csw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
+         cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY 1),
+         ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY 1),
+         tot AS (SELECT sum(c_w) AS n, count(*) AS v FROM cw),
+         grid AS (SELECT ns.source, cw.w, cw.c_w, ns.n_s, tot.n, tot.v,
+                    coalesce(csw.c_sw, 0) AS c_sw0
+                  FROM cw CROSS JOIN ns
+                  LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w
+                  CROSS JOIN tot),
+         terms AS (SELECT source, n_s,
+             CAST(round(((c_sw0 + 1) * 1.0 / (n_s + v)) *
+               ln(((c_sw0 + 1) * 1.0 * (n + v)) /
+                  ((n_s + v) * 1.0 * (c_w + 1))) * 1e12) AS BIGINT) AS t12
+           FROM grid)
+         SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(sum(t12) / 1e12, 6) AS kl_divergence
+         FROM terms GROUP BY 1 ORDER BY source""",
     "q_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                     FROM documents),

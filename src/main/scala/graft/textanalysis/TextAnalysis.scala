@@ -426,6 +426,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source unigram KL divergence from the blended corpus — the
+    * domain-shift readout of mixture design: sources whose token
+    * distribution diverges most from the blend contribute the most
+    * distributional novelty (or noise). Add-1 smoothed over the
+    * corpus vocabulary:
+    *
+    *   KL(P_s ‖ P_c) = Σ_w P_s(w)·ln(P_s(w)/P_c(w)),
+    *   P_s(w) = (c_s(w)+1)/(N_s+V),  P_c(w) = (c(w)+1)/(N+V)
+    *
+    * Every factor of the log ratio is an exact integer, so both
+    * engines evaluate identical IEEE doubles; each term rounds to an
+    * integer PICO-nat and the per-source sum is exact long
+    * arithmetic — order-independent, like [[lmScoreWith]]'s
+    * micro-nat mean.
+    *
+    * Scale shape: one (source, word) aggregation with map-side
+    * combine; the evaluation grid is vocabulary × sources (sources
+    * ride a broadcast over the word-count table — the corpus itself
+    * never re-joins), and the final rollup state is one long per
+    * source.
+    */
+  def domainDivergence(documents: DataFrame): DataFrame = {
+    val tokens = documents
+      .select(col("source"), explode(words(col("text"))).as("w"))
+    val csw = tokens.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val totals = cw.agg(sum(col("c_w")).as("n"), count(lit(1)).as("v"))
+    cw.crossJoin(broadcast(ns))
+      .join(csw, Seq("source", "w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("c_sw0", coalesce(col("c_sw"), lit(0L)))
+      .withColumn("p_s",
+        (col("c_sw0") + 1) * lit(1.0) / (col("n_s") + col("v")))
+      .withColumn("t12",
+        round(col("p_s") *
+          log(((col("c_sw0") + 1) * lit(1.0) * (col("n") + col("v"))) /
+            ((col("n_s") + col("v")) * lit(1.0) * (col("c_w") + 1))) *
+          lit(1e12)).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        round(sum(col("t12")) / lit(1e12), 6).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing for training-block assembly: documents stream
     * into fixed token-budget blocks in deterministic order, the
     * GPT-style pre-tokenization chunking where a document belongs to

@@ -146,6 +146,90 @@ class PropertySpec extends SparkSpec {
     assert(ids.sorted.toSeq === ids.toSeq)
   }
 
+  test("weightedSample matches a per-row md5 reference") {
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      p <- Gen.chooseNum(-100, 1100).map(_ / 1000.0) // includes out-of-range
+    } yield (id, p)
+    val rows = samples(rowGen, 300).distinctBy(_._1)
+    val kept = graft.ops.SampleOps
+      .weightedSample(rows.toDF("id", "p"), "id", col("p"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.filter { case (id, p) =>
+      val clamped = math.min(math.max(p, 0.0), 1.0)
+      val bound = math.min(math.floor(clamped * 4294967296.0).toLong, 0xffffffffL)
+      md5hex(id.toString).substring(0, 8) < f"$bound%08x"
+    }.map(_._1).toSet
+    assert(kept === expect)
+  }
+
+  test("funnel matches a per-user Scala reference on random event streams") {
+    val steps = Seq("view", "click", "purchase")
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 25L)
+      t <- Gen.chooseNum(0L, 500L)
+      ty <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+    } yield (u, t, ty)
+    val evs = samples(evGen, 500).zipWithIndex
+      .map { case ((u, t, ty), i) => (i.toLong, u, t * 1000000000L, ty, 0.0) }
+    val out = graft.ops.SessionOps
+      .funnel(evs.toDF("event_id", "user_id", "ts", "event_type", "value"), steps)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // reference: per user, chain strict-after minima step by step
+    val byUser = evs.groupBy(_._2)
+      .view.mapValues(_.map(e => (e._3 / 1000, e._4))).toMap
+    val reached = byUser.values.map { events =>
+      var depth = 0
+      var tPrev = Long.MinValue
+      var go = true
+      for (step <- steps if go) {
+        val cand = events.collect {
+          case (t, ty) if ty == step && (depth == 0 || t > tPrev) => t
+        }
+        if (cand.isEmpty) go = false
+        else { tPrev = cand.min; depth += 1 }
+      }
+      depth
+    }.toSeq
+    steps.zipWithIndex.foreach { case (step, i) =>
+      assert(out(step) === reached.count(_ >= i + 1).toLong, step)
+    }
+  }
+
+  test("lm score matches an exact Scala reference on random corpora") {
+    val vocabGen = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val docGen = Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, vocabGen).map(_.mkString(" ")))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.textanalysis.TextAnalysis
+      .lmScore(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // exact reference on the same split(" ", -1) tokenization
+    def toks(t: String) = t.split(" ", -1).toSeq
+    def bgs(t: String) = { val w = toks(t); w.sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")).toSeq }
+    val c12 = docs.flatMap(d => bgs(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val c1 = c12.toSeq.groupBy(_._1.split(" ", -1).head)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val v = docs.flatMap(d => toks(d._2)).distinct.size.toLong
+    docs.foreach { case (id, t) =>
+      val nll6 = bgs(t).map { bg =>
+        val num = (c1(bg.split(" ", -1).head) + v).toDouble
+        math.round(math.log(num / (c12(bg) + 1.0)) * 1e6)
+      }
+      val expect =
+        if (nll6.isEmpty) 0.0
+        else BigDecimal(nll6.sum.toDouble / (nll6.size * 1e6))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) === ((nll6.size.toLong, expect)), s"doc $id '$t'")
+    }
+  }
+
   test("HLL sketch merge ≡ single sketch (PFMERGE associativity)") {
     val events = Tables.events(spark, sfDir)
     val merged = StatsOps.viewStatsSketched(events)

@@ -163,6 +163,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gaps.count() === 0)
   }
 
+  test("domain divergence: exact reference; twin sources tie, outlier leads") {
+    val data = Seq((1L, "a a b", "s1"), (2L, "a a b", "s2"), (3L, "z z z", "s3"))
+    val got = TextAnalysis.domainDivergence(data.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // exact pico-nat reference over the same tokenization
+    val toks = data.flatMap { case (_, t, s) => t.split(" ", -1).map(s -> _) }
+    val csw = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    val v = cw.size.toLong
+    val expect = ns.map { case (s, nS) =>
+      val t12 = cw.map { case (w, cW) =>
+        val c = csw.getOrElse((s, w), 0L)
+        val pS = (c + 1) * 1.0 / (nS + v)
+        math.round(pS * math.log(((c + 1) * 1.0 * (n + v)) /
+          ((nS + v) * 1.0 * (cW + 1))) * 1e12)
+      }.sum
+      s -> ((nS, BigDecimal(t12 / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    assert(got === expect)
+    // identical distributions tie; the disjoint-vocab source diverges most
+    assert(got("s1") === got("s2"))
+    assert(got("s3")._2 > got("s1")._2)
+    // KL of proper (smoothed) distributions is non-negative
+    got.values.foreach(kv => assert(kv._2 >= 0.0))
+  }
+
   test("top n-grams: multiplicity counted, ties broken by gram") {
     // bigrams: doc1 → "a b","b a","a b","b c"; doc2 → "a b","b x"
     val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
