@@ -33,7 +33,23 @@ object Curation {
     */
   def curate(documents: DataFrame, benchmark: DataFrame,
       nllThreshold: Double = 10.0,
-      contaminationThreshold: Double = 0.4): DataFrame = {
+      contaminationThreshold: Double = 0.4): DataFrame =
+    curateObserved(documents, benchmark, nllThreshold,
+      contaminationThreshold)._1
+
+  /** [[curate]] with per-gate drop telemetry riding the SAME job via
+    * `Dataset.observe` — no second pass, no extra action: whenever
+    * the returned frame executes, the observation fills with how many
+    * documents each gate rejected (a doc can trip several gates; the
+    * counts are per-gate, not disjoint). This is the operational
+    * readout a 100 TB curation run needs — "the LM gate suddenly
+    * drops 40%" is a data incident, and it should cost zero extra
+    * cluster time to see.
+    */
+  def curateObserved(documents: DataFrame, benchmark: DataFrame,
+      nllThreshold: Double = 10.0,
+      contaminationThreshold: Double = 0.4)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
     val rep = TextAnalysis.repetitionStats(documents)
       .select(col("doc_id"), col("repetitive"))
     val con = TextAnalysis.contaminationStats(documents, benchmark,
@@ -41,13 +57,20 @@ object Curation {
       .select(col("doc_id"), col("contaminated"))
     val lm = TextAnalysis.lmScore(documents, nllThreshold)
       .select(col("doc_id"), col("lm_nll"), col("unusual"))
+    val obs = org.apache.spark.sql.Observation()
     val gated = documents
       .join(rep, "doc_id")
       .join(con, "doc_id")
       .join(lm, "doc_id")
+      .observe(obs,
+        count(lit(1)).as("docs_in"),
+        sum(col("repetitive").cast("long")).as("dropped_repetitive"),
+        sum(col("contaminated").cast("long")).as("dropped_contaminated"),
+        sum(col("unusual").cast("long")).as("dropped_unusual"))
       .filter(!col("repetitive") && !col("contaminated") && !col("unusual"))
-    Dedup.dropExactDuplicates(gated, "doc_id", Seq("text"))
+    val out = Dedup.dropExactDuplicates(gated, "doc_id", Seq("text"))
       .select(col("doc_id"), col("source"), col("lm_nll"))
       .orderBy(col("doc_id"))
+    (out, obs)
   }
 }

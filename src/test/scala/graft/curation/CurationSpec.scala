@@ -29,6 +29,16 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curate(corpus, benchmark, nllThreshold = 1e-4).count() === 0)
   }
 
+  test("observed curation reports per-gate drops with no extra action") {
+    val (out, obs) = Curation.curateObserved(corpus, benchmark)
+    assert(out.count() === 1) // the one action both executes and observes
+    val m = obs.get
+    assert(m("docs_in") === 4L)
+    assert(m("dropped_repetitive") === 1L)   // doc 3
+    assert(m("dropped_contaminated") === 1L) // doc 4
+    assert(m("dropped_unusual") === 0L)
+  }
+
   test("gates are independent: relaxing one readmits only its offender") {
     // disable the contamination gate (threshold > 1 can never fire):
     // the benchmark copy returns; the repetitive and duplicate docs stay out
