@@ -1465,7 +1465,9 @@ object SparkEntry {
     "q_semdedup_indexed" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),
-         u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+               WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x * x)) > 0),
          sc AS (SELECT u.vec_id, c.cid,
                   round(list_cosine_similarity(u.ve, c.ce), 4) AS s
                 FROM u CROSS JOIN c),
@@ -1487,10 +1489,12 @@ object SparkEntry {
     "q_semdedup" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),
-         u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-               UNION ALL
-               SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
-               FROM embeddings WHERE vec_id % 10 = 0),
+         u0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
+                FROM embeddings WHERE vec_id % 10 = 0),
+         u AS (SELECT vec_id, ve FROM u0
+               WHERE list_sum(list_transform(ve, x -> x * x)) > 0),
          sc AS (SELECT u.vec_id, c.cid,
                   round(list_cosine_similarity(u.ve, c.ce), 4) AS s
                 FROM u CROSS JOIN c),

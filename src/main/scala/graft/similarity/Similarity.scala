@@ -400,7 +400,18 @@ object Similarity {
     * cosine direction, hence no cell: excluded, as in the IVF scan.
     */
   def semanticDuplicates(embeddings: DataFrame, cents: Seq[Seq[Double]],
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    semanticDuplicatesManaged(embeddings, cents, threshold).df
+
+  /** Managed-lifecycle variant (see [[embeddingNearDuplicatesManaged]]
+    * — same contract): the assignment frame feeds both pair-join
+    * sides AND the survivor anti-join, whose different partitioning
+    * defeats exchange reuse — without the persist the corpus scan +
+    * per-centroid cosines run twice. The plain variant leaves release
+    * to session cleanup (one-shot jobs).
+    */
+  def semanticDuplicatesManaged(embeddings: DataFrame,
+      cents: Seq[Seq[Double]], threshold: Double): graft.Managed = {
     require(cents.nonEmpty, "semanticDuplicates needs at least one centroid")
     val centLit = typedlit(cents)
     val assigned = embeddings
@@ -415,7 +426,8 @@ object Similarity {
       .withColumn("cell", cellOf(col("__scores")))
       .drop("__scores")
       .filter(col("cell").isNotNull)
-    semanticSurvivors(assigned)(threshold)
+      .persist()
+    new graft.Managed(semanticSurvivors(assigned)(threshold), Seq(assigned))
   }
 
   /** SemDeDup served from a written IVF index (see [[writeIvfIndex]]):

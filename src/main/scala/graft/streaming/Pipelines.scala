@@ -357,6 +357,20 @@ object Pipelines {
     * batch side is the small side of the join). The 100 TB corpus
     * never re-shingles and never shuffles its text.
     */
+  /** Deterministically free a `localCheckpoint(true)` Dataset's
+    * storage blocks. `Dataset.unpersist` only uncaches CacheManager
+    * entries — the checkpointed RDD's MEMORY_AND_DISK blocks are
+    * invisible to it and otherwise linger until the ContextCleaner
+    * happens to GC the RDD, which on a long-running streaming sink
+    * means per-batch storage accumulates across micro-batches. The
+    * checkpointed RDD sits behind the plan's LogicalRDD leaf;
+    * unpersist THAT.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def processNearDupBatch(batch: DataFrame, indexDir: String,
       batchId: Long, n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 100,
@@ -390,7 +404,7 @@ object Pipelines {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .parquet(indexDir)
-    } finally sigs.unpersist()
+    } finally freeLocalCheckpoint(sigs)
   }
 
   /** The streaming entry: docs (doc_id, text) → near-dup-deduped
@@ -418,19 +432,27 @@ object Pipelines {
     * — a checkpoint replay of batch N rewrites exactly its own
     * partition (same recovery design as the near-dup index sink).
     *
-    * Scale: the model never re-trains on the hot path; the batch
-    * side of the gram join is the small side, and the model tables
-    * shuffle at most once per micro-batch (broadcast when small).
+    * Scale: the model is loaded ONCE per stream by [[lmGateSink]]
+    * (never re-trained or re-listed per batch — the modelDir overload
+    * below exists for replay/backfill calls); the batch side of the
+    * gram join is the small side, and the model tables shuffle at
+    * most once per micro-batch (broadcast when small).
     */
   def processLmGateBatch(batch: DataFrame, modelDir: String,
+      outDir: String, batchId: Long, nllThreshold: Double): Unit =
+    processLmGateBatch(batch,
+      graft.textanalysis.TextAnalysis.readLmModel(batch.sparkSession,
+        modelDir), outDir, batchId, nllThreshold)
+
+  def processLmGateBatch(batch: DataFrame,
+      model: graft.textanalysis.TextAnalysis.LmModel,
       outDir: String, batchId: Long, nllThreshold: Double = 10.0): Unit = {
     import graft.textanalysis.TextAnalysis
     val spark = batch.sparkSession
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keep = TextAnalysis
-      .lmScoreWith(TextAnalysis.readLmModel(spark, modelDir), batch,
-        nllThreshold)
+      .lmScoreWith(model, batch, nllThreshold)
       .filter(!col("unusual"))
       .select(col("doc_id"), col("lm_nll"))
     val survivors = batch.join(keep, "doc_id")
@@ -445,7 +467,7 @@ object Pipelines {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .parquet(outDir)
-    } finally survivors.unpersist()
+    } finally freeLocalCheckpoint(survivors)
   }
 
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
@@ -454,14 +476,20 @@ object Pipelines {
     */
   def lmGateSink(docs: DataFrame, modelDir: String, outDir: String,
       checkpointDir: String, nllThreshold: Double = 10.0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // read the frozen artifact ONCE per stream, not once per
+    // micro-batch: the model never changes, so re-listing its files
+    // and footers on the hot path would be pure per-batch latency
+    val model = graft.textanalysis.TextAnalysis
+      .readLmModel(docs.sparkSession, modelDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processLmGateBatch(batch, modelDir, outDir, batchId, nllThreshold)
+        processLmGateBatch(batch, model, outDir, batchId, nllThreshold)
       }
       .start()
+  }
 
   /** Beyond-reference extension: stream-stream inner join — each
     * purchase pairs with the same user's views from the preceding
