@@ -476,6 +476,9 @@ object SparkEntry {
     // chaining per user; strictly-after semantics)
     "q_funnel" -> ((s, d) => SessionOps.funnel(Tables.events(s, d),
       Seq("view", "click", "purchase"))),
+    // Clickstream: weekly cohort retention triangle
+    "q_retention" -> ((s, d) =>
+      SessionOps.retentionCohorts(Tables.events(s, d))),
     // §2.5 window functions: running totals, row_number, lag gaps
     "q_running_totals" -> ((s, d) => SessionOps.runningUserTotals(Tables.events(s, d))),
     // grouping sets: region→nation ROLLUP with subtotals + grand total
@@ -1605,6 +1608,15 @@ object SparkEntry {
            CAST(floor((max(tns) - min(tns)) / 1000) AS BIGINT) AS duration_ms,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q_retention" ->
+      """WITH pu AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p
+                     FROM events),
+         f AS (SELECT user_id, min(p) AS p0 FROM pu GROUP BY 1),
+         c AS (SELECT DISTINCT pu.user_id, f.p0 AS cohort,
+                 pu.p - f.p0 AS period_offset
+               FROM pu JOIN f USING (user_id))
+         SELECT cohort, period_offset, count(*) AS n_users
+         FROM c GROUP BY 1, 2 ORDER BY cohort, period_offset""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
          s1 AS (SELECT user_id, min(t) AS t FROM e

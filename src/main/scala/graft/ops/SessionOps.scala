@@ -135,6 +135,35 @@ object SessionOps {
     counts.result().reduce(_ unionByName _).orderBy(col("stage"))
   }
 
+  val WeekMicros: Long = 7L * 24 * 3600 * 1000 * 1000
+
+  /** Cohort retention: users cohort by the period of their FIRST
+    * event, and each (cohort, period_offset) cell counts the distinct
+    * users active that many periods later — the classic retention
+    * triangle. Period ids are INTEGER division of epoch-micros (both
+    * engines compute `div` exactly; a floating floor() could flip at
+    * an exact period boundary).
+    *
+    * Scale shape: first-event minima and the join back co-partition
+    * on the user id (two stages, one key); the distinct collapses
+    * (user, cohort, offset) before the final cell count, whose state
+    * is one row per triangle cell.
+    */
+  def retentionCohorts(events: DataFrame,
+      periodMicros: Long = WeekMicros): DataFrame = {
+    require(periodMicros > 0, s"period must be positive: $periodMicros")
+    val pu = events.select(col("user_id"),
+      expr(s"(ts div 1000) div $periodMicros").as("p"))
+    val firsts = pu.groupBy(col("user_id")).agg(min(col("p")).as("p0"))
+    pu.join(firsts, "user_id")
+      .select(col("user_id"), col("p0").as("cohort"),
+        (col("p") - col("p0")).as("period_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("period_offset"))
+  }
+
   def customerBalanceRanks(customer: DataFrame): DataFrame = {
     val byBal = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

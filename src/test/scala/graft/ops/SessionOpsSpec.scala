@@ -164,6 +164,39 @@ class SessionOpsSpec extends SparkSpec {
       (1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("retention cohorts: hand triangle; offset-0 row covers the cohort") {
+    def wk(w: Long, m: Long) = 1700000000000000000L +
+      w * SessionOps.WeekMicros * 1000L + m * 60L * 1000000000L
+    val events = Seq(
+      // user 1: first week 0, returns weeks 1 and 3 (twice in week 1)
+      (1L, 1L, wk(0, 5), "view", 0.0),
+      (2L, 1L, wk(1, 0), "view", 0.0),
+      (3L, 1L, wk(1, 9), "click", 0.0),
+      (4L, 1L, wk(3, 2), "view", 0.0),
+      // user 2: first week 1 only
+      (5L, 2L, wk(1, 1), "view", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val cohortBase = 1700000000000000000L / 1000 / SessionOps.WeekMicros
+    val out = SessionOps.retentionCohorts(events)
+      .collect()
+      .map(r => (r.getLong(0) - cohortBase, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("retention on the corpus: triangle invariants hold") {
+    val events = Tables.events(spark, sfDir)
+    val out = SessionOps.retentionCohorts(events).collect()
+    // every user appears in exactly one cohort at offset 0
+    val atZero = out.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(atZero === events.select("user_id").distinct().count())
+    // no cell exceeds its cohort's offset-0 population
+    val base = out.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(r.getLong(2) <= base(r.getLong(0))))
+  }
+
   test("funnel on the corpus: stage populations never grow") {
     val out = SessionOps.funnel(Tables.events(spark, sfDir),
       Seq("view", "click", "purchase"))
