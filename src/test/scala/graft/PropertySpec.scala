@@ -230,6 +230,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("retention cohorts match a per-user Scala reference") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 40L)
+      t <- Gen.chooseNum(0L, 3000000L) // ~5 weeks of micros headroom
+    } yield (u, t)
+    val period = 604800L // scaled-down "week" in micros
+    val evs = samples(evGen, 400).zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t * 1000L, "view", 0.0) }
+    val got = graft.ops.SessionOps
+      .retentionCohorts(
+        evs.toDF("event_id", "user_id", "ts", "event_type", "value"), period)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cells = evs.groupBy(_._2).values.flatMap { es =>
+      val ps = es.map(_._3 / 1000 / period).distinct
+      val p0 = ps.min
+      ps.map(p => (p0, p - p0))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === cells)
+  }
+
   test("HLL sketch merge ≡ single sketch (PFMERGE associativity)") {
     val events = Tables.events(spark, sfDir)
     val merged = StatsOps.viewStatsSketched(events)

@@ -370,6 +370,22 @@ class PipelinesSpec extends SparkSpec {
     assert(Pipelines.viewStateEstimate(small) === 2L)
   }
 
+  test("batch cores release their localCheckpoint storage blocks") {
+    import graft.textanalysis.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lmfree").toString
+    TextAnalysis.writeLmModel(
+      TextAnalysis.lmTrain(Seq((1L, "a b")).toDF("doc_id", "text")),
+      s"$tmp/model")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Pipelines.processLmGateBatch(
+      Seq((10L, "a b"), (11L, "a b")).toDF("doc_id", "text"),
+      s"$tmp/model", s"$tmp/out", 0L, nllThreshold = 100.0)
+    // Dataset.unpersist would leave the checkpointed RDD's blocks
+    // pinned until GC; the sink must free them deterministically
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("streaming LM gate filters against the frozen model; replay-idempotent") {
     import graft.textanalysis.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
