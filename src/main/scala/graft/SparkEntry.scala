@@ -476,6 +476,11 @@ object SparkEntry {
     // chaining per user; strictly-after semantics)
     "q_funnel" -> ((s, d) => SessionOps.funnel(Tables.events(s, d),
       Seq("view", "click", "purchase"))),
+    // Funnel with a conversion window: each step within 24h of the
+    // previous step's earliest qualifying completion
+    "q_funnel_window" -> ((s, d) => SessionOps.funnel(Tables.events(s, d),
+      Seq("view", "click", "purchase"),
+      maxStepGapMicros = Some(24L * 3600 * 1000 * 1000))),
     // Clickstream: weekly cohort retention triangle
     "q_retention" -> ((s, d) =>
       SessionOps.retentionCohorts(Tables.events(s, d))),
@@ -1608,6 +1613,23 @@ object SparkEntry {
            CAST(floor((max(tns) - min(tns)) / 1000) AS BIGINT) AS duration_ms,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         s1 AS (SELECT user_id, min(t) AS t FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.t) AS t FROM e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.t > s1.t
+                  AND e.t - s1.t <= 86400000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.t) AS t FROM e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.t > s2.t
+                  AND e.t - s2.t <= 86400000000 GROUP BY 1)
+         SELECT 1 AS stage, 'view' AS step,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         ORDER BY stage""",
     "q_retention" ->
       """WITH pu AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p
                      FROM events),

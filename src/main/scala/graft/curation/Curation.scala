@@ -19,9 +19,12 @@ import graft.textanalysis.TextAnalysis
   * Scale shape: the three metric frames each aggregate on the doc id
   * (the repetition gate is narrow until its join), so the gate joins
   * co-partition on one key; no stage shuffles document text except
-  * the final text-keyed dedup, whose join-back is md5-bounded. Gate
-  * ORDER is free (they commute — each reads the raw corpus), so the
-  * optimizer can collapse the three metric scans into shared stages.
+  * the final text-keyed dedup, whose join-back is md5-bounded. The
+  * corpus is scanned once per metric (three passes) — deliberate:
+  * each gate stays the standalone, individually-oracled operator. A
+  * fused single-explode variant (contamination and LM share the
+  * bigram explode) would save one pass at the cost of that
+  * composability; build it only if a profile shows the scan bound.
   */
 object Curation {
 

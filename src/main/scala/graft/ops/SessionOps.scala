@@ -114,9 +114,11 @@ object SessionOps {
     * k-row readout. k passes over a pruned scan beats one
     * sort-per-user over all events once users are heavy.
     */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String],
+      maxStepGapMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel step: $steps")
+    require(maxStepGapMicros.forall(_ > 0), s"gap bound must be positive")
     def stageCount(stage: DataFrame, i: Int, step: String) =
       stage.agg(count(lit(1)).as("n_users"))
         .select(lit(i).as("stage"), lit(step).as("step"), col("n_users"))
@@ -125,10 +127,16 @@ object SessionOps {
     val counts = Seq.newBuilder[DataFrame]
     counts += stageCount(stage, 1, steps.head)
     steps.tail.zipWithIndex.foreach { case (step, i) =>
+      // strictly after the previous step's earliest completion — and,
+      // when bounded, within the allowed gap of it ("convert within
+      // 7 days"): the earliest QUALIFYING completion carries forward
+      val inWindow = maxStepGapMicros
+        .map(g => col("t2") > col("t") && col("t2") - col("t") <= g)
+        .getOrElse(col("t2") > col("t"))
       stage = events.filter(col("event_type") === step)
         .select(col("user_id"), tus.as("t2"))
         .join(stage, "user_id")
-        .filter(col("t2") > col("t"))
+        .filter(inWindow)
         .groupBy(col("user_id")).agg(min(col("t2")).as("t"))
       counts += stageCount(stage, i + 2, step)
     }

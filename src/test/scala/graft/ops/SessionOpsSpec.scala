@@ -164,6 +164,28 @@ class SessionOpsSpec extends SparkSpec {
       (1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("windowed funnel: a slow conversion falls outside the gap bound") {
+    val events = Seq(
+      // user 1 converts quickly: view→click in 10 min
+      (1L, 1L, ns(0), "view", 0.0),
+      (2L, 1L, ns(10), "click", 0.0),
+      // user 2 clicks 40 min after the view — outside a 30-min window,
+      // but a later click at 50 min is ALSO out (window anchors at the
+      // view, not at any click)
+      (3L, 2L, ns(0), "view", 0.0),
+      (4L, 2L, ns(40), "click", 0.0),
+      (5L, 2L, ns(50), "click", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val bounded = SessionOps.funnel(events, Seq("view", "click"),
+      maxStepGapMicros = Some(30L * 60 * 1000000L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(bounded === Map("view" -> 2L, "click" -> 1L))
+    // unbounded, user 2's 40-min click converts
+    val open = SessionOps.funnel(events, Seq("view", "click"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(open === Map("view" -> 2L, "click" -> 2L))
+  }
+
   test("retention cohorts: hand triangle; offset-0 row covers the cohort") {
     def wk(w: Long, m: Long) = 1700000000000000000L +
       w * SessionOps.WeekMicros * 1000L + m * 60L * 1000000000L
