@@ -579,6 +579,44 @@ object SparkEntry {
         .toDF()
         .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy("asset_id")),
+    // Int8 quantization: per-vector scale + exact integer reductions
+    // of the quantized entries (the arrays themselves are spec'd —
+    // the oracle gate compares scalar projections)
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+          array_max(col("qvec")).as("q_max"),
+          array_min(col("qvec")).as("q_min"),
+          size(filter(col("qvec"), x => x =!= 0)).as("n_nonzero"))
+        .orderBy("vec_id")),
+    // ANN over the compressed store: integer-exact dot products,
+    // dequantized by the two scales
+    "q_knn_quantized" -> ((s, d) =>
+      Similarity.quantizedTopK(
+        Similarity.quantizeEmbeddings(Tables.embeddings(s, d)), 0L, 10)),
+    // CCNet-style segment dedup: corpus-wide first-occurrence removal
+    // of repeated 3-word segments + document reassembly
+    "q_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")),
+    // Deterministic global shuffle for training order: md5 shard
+    // assignment + dense in-shard position
+    "q_training_shards" -> ((s, d) =>
+      SampleOps.trainingShards(
+        Tables.documents(s, d).select("doc_id", "source"), "doc_id", 8)
+        .orderBy(col("shard"), col("pos"))),
+    // Temperature-based mixture design: per-language α=0.5 target
+    // shares + downsample-only keep probabilities (lang is the
+    // skewed stratum — en dominates, so en downsamples hardest)
+    "q_mix_temperature" -> ((s, d) =>
+      SampleOps.temperatureWeights(Tables.documents(s, d), "lang", 0.5)),
+    // The mixture applied: deterministic md5-Bernoulli downsampling
+    // at each language's temperature keep probability
+    "q_mix_temperature_sample" -> ((s, d) =>
+      SampleOps.temperatureSample(Tables.documents(s, d), "lang",
+        "doc_id", 0.5)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
   )
 
   /** documents ∪ deterministic near-copies (every 5th doc, last two
@@ -1528,6 +1566,105 @@ object SparkEntry {
          WHERE rn <= CASE source WHEN 'src0' THEN 15
                                  WHEN 'src1' THEN 10 ELSE 5 END
          ORDER BY doc_id""",
+    // int8 quantization: scale/round are pure IEEE (no libm), so both
+    // engines produce identical entries; the emitted reductions are
+    // exact integer folds over them
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings),
+         s AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM s)
+         SELECT vec_id, round(scale, 9) AS scale,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           list_max(qv) AS q_max, list_min(qv) AS q_min,
+           CAST(len(list_filter(qv, x -> x != 0)) AS BIGINT) AS n_nonzero
+         FROM q ORDER BY vec_id""",
+    "q_knn_quantized" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings),
+         s AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM s),
+         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0),
+         sc AS (SELECT q.vec_id,
+             round(q.scale * qq.q_scale *
+               CAST(list_sum([q.qv[i] * qq.q_qv[i]
+                              for i in range(1, len(q.qv) + 1)]) AS BIGINT),
+               6) AS q_sim
+           FROM q CROSS JOIN qq)
+         SELECT vec_id, q_sim FROM sc
+         ORDER BY q_sim DESC, vec_id LIMIT 10""",
+    // segment dedup: 3-word windows with 0-based positions; the first
+    // (doc_id, pos) occurrence of each segment survives (row_number
+    // replays Spark's min-struct), docs rebuild via ordered string_agg
+    "q_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
+               AS seg
+           FROM t),
+         f AS (SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+           FROM seg),
+         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
+         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+           FROM f WHERE rn = 1 GROUP BY 1)
+         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
+         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    "q_training_shards" ->
+      """WITH h AS (SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         s AS (SELECT doc_id, source, h,
+             CAST(CAST(concat('0x', substring(h, 1, 8)) AS BIGINT) % 8
+               AS INTEGER) AS shard
+           FROM h)
+         SELECT doc_id, source, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+             AS BIGINT) - 1 AS pos
+         FROM s ORDER BY shard, pos""",
+    // pow terms round to integer nano-weights before the (exact long)
+    // sum — order-independent like the LM micro-nat contract; keep
+    // probabilities round to 6 (pow ulp contract, as ln elsewhere)
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_docs) AS n, min(n_docs) AS n_min,
+             sum(CAST(round(pow(n_docs, 0.5) * 1e9) AS BIGINT)) AS t_sum
+           FROM c)
+         SELECT lang, n_docs,
+           round(n_docs * 1.0 / n, 6) AS share,
+           round(CAST(round(pow(n_docs, 0.5) * 1e9) AS BIGINT) * 1.0 / t_sum, 6)
+             AS target_share,
+           round(pow(n_min * 1.0 / n_docs, 0.5), 6) AS keep_prob
+         FROM c CROSS JOIN t ORDER BY lang""",
+    "q_mix_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT min(n_docs) AS n_min FROM c),
+         k AS (SELECT lang,
+             round(pow(n_min * 1.0 / n_docs, 0.5), 6) AS keep_prob
+           FROM c CROSS JOIN t)
+         SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+           lpad(lower(to_hex(least(
+             CAST(floor(least(greatest(keep_prob, 0.0), 1.0)
+                        * 4294967296.0) AS BIGINT),
+             4294967295))), 8, '0')
+         ORDER BY d.doc_id""",
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -115,6 +115,80 @@ object SampleOps {
     df.filter(hashPrefix(col(idCol)) < lpad(lower(hex(bound)), 8, "0"))
   }
 
+  /** Deterministic global shuffle + shard assignment for training
+    * order: shard = (top 32 bits of md5(id)) mod `nShards`, position
+    * = dense rank within the shard in md5 order (id tiebreak). The
+    * (shard, pos) pair is a total order over the corpus that is
+    * reproducible across runs, engines, and cluster layouts — the
+    * "global shuffle" a training run needs before sharding examples
+    * to data-loader workers, with no RNG state to plumb.
+    *
+    * Scale shape: the shard is NARROW (a projection of the row's own
+    * id — streams at scan speed); the position is one shuffle on the
+    * shard key + an in-partition sort, exactly the writer pattern
+    * `repartition($"shard").sortWithinPartitions("pos")` — each
+    * shard streams to its writer with no global sort ever
+    * materializing.
+    */
+  def trainingShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shard count must be positive: $nShards")
+    val shard =
+      (conv(hashPrefix(col(idCol)), 16, 10).cast("long") % nShards).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Per-stratum temperature-sampling weights — the multinomial
+    * α-mixing of multilingual/multi-source corpora (XLM, mT5): the
+    * target share of stratum s is p_s^α / Σ_t p_t^α, flattening the
+    * mixture toward uniform as α → 0. `keep_prob` realizes the
+    * target mixture by DOWNSAMPLING ONLY, scaled so the most-boosted
+    * stratum (the smallest, for α < 1) keeps everything:
+    *
+    *   keep_s = (n_min / n_s)^(1-α)   ∈ (0, 1]
+    *
+    * Cross-engine contract: pow/ln are libm-dependent in the last
+    * ulp, so each pow term rounds before use — target shares go
+    * through integer nano-weights (round(n^α·1e9) summed as exact
+    * longs, order-independent), keep_prob rounds to 6 places. The
+    * stratum table is tiny (one row per source) and rides broadcast.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val nano = round(pow(col("n_docs"), alpha) * 1e9).cast("long")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("__n"),
+      min(col("n_docs")).as("__n_min"),
+      sum(nano).as("__t_sum"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col(strataCol),
+        col("n_docs"),
+        round(col("n_docs") / col("__n"), 6).as("share"),
+        round(nano / col("__t_sum"), 6).as("target_share"),
+        round(pow(col("__n_min") / col("n_docs"), 1.0 - alpha), 6)
+          .as("keep_prob"))
+      .orderBy(col(strataCol))
+  }
+
+  /** Temperature-based corpus downsampling: every row keeps with its
+    * stratum's [[temperatureWeights]] probability via the same
+    * deterministic md5-Bernoulli as [[weightedSample]]. One broadcast
+    * join (the weight table is one row per stratum) then a narrow
+    * filter — streams through 100 TB at scan speed.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    val w = temperatureWeights(df, strataCol, alpha)
+      .select(col(strataCol), col("keep_prob"))
+    weightedSample(df.join(broadcast(w), strataCol), idCol, col("keep_prob"))
+      .drop("keep_prob")
+  }
+
   /** Quota-based corpus mixing: exactly `min(quota, |stratum|)` rows
     * from each listed stratum, chosen in hash order (id tiebreak) —
     * the domain-mixture step of corpus assembly ("40% web, 30% code,

@@ -77,6 +77,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // Int8 quantization (the compressed embedding store)
+  // ---------------------------------------------------------------
+
+  /** Per-vector symmetric int8 scale: max|x| / 127 (0.0 for an
+    * all-zero or empty vector, whose quantized form is all zeros).
+    * Pure IEEE max + divide over the stored floats — no libm, so the
+    * value is bit-identical in any engine.
+    */
+  def quantScale(v: Column): Column =
+    coalesce(array_max(transform(asDouble(v), x => abs(x))), lit(0.0)) /
+      lit(127.0)
+
+  /** Symmetric int8 quantization: q_i = round(x_i / scale) ∈
+    * [-127, 127] (round half away from zero — Spark and DuckDB
+    * agree). |x_i| ≤ max|x| bounds |x_i/scale| to 127 + a few ulp,
+    * which rounding can never carry past 127, so no clamp is needed.
+    */
+  def quantizeVec(v: Column): Column = {
+    val vd = asDouble(v)
+    val s = quantScale(v)
+    when(s === 0.0, transform(vd, _ => lit(0)))
+      .otherwise(transform(vd, x => round(x / s, 0).cast("int")))
+  }
+
+  /** The compressed store: (id, scale, qvec) — int8-valued entries at
+    * 4× less scan volume than float32, the serving form of a 100 TB
+    * embedding corpus. NARROW (a projection): quantization streams at
+    * parquet-scan speed, and downstream scoring shuffles nothing but
+    * (id, score) pairs.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), quantScale(col(vecCol)).as("scale"),
+      quantizeVec(col(vecCol)).as("qvec"))
+
+  /** EXACT integer dot product of two quantized vectors (≤ 127²·dim
+    * fits a long for any dim under 5.7e14) — the reason quantized
+    * scoring is fully cross-engine-reproducible: no float sum order
+    * to diverge.
+    */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Top-k over the COMPRESSED store: score = scaleₐ·scale_b·(qₐ·q_b),
+    * the dequantized dot product — integer-exact inside, two IEEE
+    * multiplies outside, rounded to 6 for engine-stable ranking
+    * (vec_id tiebreak). Same plan shape as [[bruteForceTopK]]: one
+    * broadcast query row, a narrow scoring scan, TakeOrdered — but
+    * the scan reads int8 arrays, not float32.
+    */
+  def quantizedTopK(quantized: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = quantized.filter(col("vec_id") === queryId)
+      .select(col("scale").as("q_scale"), col("qvec").as("q_qvec"))
+    quantized
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(col("scale") * col("q_scale") * qdot(col("qvec"), col("q_qvec")),
+          6).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane component: xxhash64(plane, dim) mapped
     * to [-0.5, 0.5). Fixed given (plane, dim) — no RNG state.
     */

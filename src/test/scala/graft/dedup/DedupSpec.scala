@@ -280,6 +280,44 @@ class DedupSpec extends SparkSpec {
     assert(inc.exists(p => p._2 === 11L)) // the near-copy was found
   }
 
+  test("segmentDedup keeps first occurrences only and rebuilds docs") {
+    import spark.implicits._
+    // 3-word segments: doc 2 repeats doc 1's opener; doc 3 is built
+    // entirely from earlier segments and drops out; doc 4 repeats a
+    // segment within itself
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f a b c"),
+      (4L, "p q r p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(out === List(
+      (1L, "a b c d e f", 2L, 2L),
+      (2L, "x y z", 1L, 2L),
+      (4L, "p q r", 1L, 2L)))
+  }
+
+  test("segmentDedup: remainder segments survive and order is by id") {
+    import spark.implicits._
+    // the last segment keeps the remainder ("d" alone); a later doc
+    // repeating that remainder segment loses it
+    val docs = Seq((5L, "a b c d"), (2L, "d q r"), (9L, "d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    // "d q r" (doc 2) wins segment "d q r"; doc 5's remainder "d" is
+    // distinct from it; doc 9's whole-doc "d" repeats doc 5's remainder
+    assert(out === List(
+      (2L, "d q r", 1L, 1L),
+      (5L, "a b c d", 2L, 2L)))
+  }
+
   test("dropNearDuplicates keeps canonical member + untouched docs") {
     val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

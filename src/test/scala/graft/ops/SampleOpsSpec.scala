@@ -134,6 +134,66 @@ class SampleOpsSpec extends SparkSpec {
     assert(odds < 120)                   // ≈ 50
   }
 
+  test("training shards: independent md5 reference, dense positions") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = SampleOps.trainingShards(docs.select("doc_id"), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length === docs.count())
+    // shard matches a JVM-side md5 reference, row by row
+    out.foreach { case (id, shard, _) =>
+      val expect =
+        (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 8).toInt
+      assert(shard === expect, s"doc $id")
+    }
+    // positions are dense 0..k-1 per shard, ordered by md5(id)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+      assert(sorted.map(_._3).toList === (0L until rows.length).toList)
+    }
+  }
+
+  test("temperature weights: alpha=1 is proportional, keeps everything") {
+    val w = SampleOps.temperatureWeights(docs, "lang", 1.0).collect()
+    w.foreach { r =>
+      assert(r.getDouble(4) === 1.0) // keep_prob
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-5) // share ≈ target
+    }
+  }
+
+  test("temperature weights flatten toward uniform as alpha drops") {
+    def spread(alpha: Double): Double = {
+      val t = SampleOps.temperatureWeights(docs, "lang", alpha)
+        .collect().map(_.getDouble(3))
+      t.max - t.min
+    }
+    // target-share spread shrinks monotonically with temperature
+    assert(spread(0.25) < spread(0.5))
+    assert(spread(0.5) < spread(1.0))
+    // smallest stratum keeps all; the dominant one is downsampled
+    val w = SampleOps.temperatureWeights(docs, "lang", 0.5)
+      .collect().map(r => (r.getLong(1), r.getDouble(4)))
+    assert(w.minBy(_._1)._2 === 1.0)
+    assert(w.maxBy(_._1)._2 < 1.0)
+  }
+
+  test("temperature sample downsamples the dominant stratum only as far " +
+      "as its keep probability") {
+    val full = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SampleOps.temperatureSample(docs, "lang", "doc_id", 0.5)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = full.minBy(_._2)._1
+    val largest = full.maxBy(_._2)._1
+    assert(counts(smallest) === full(smallest)) // keep_prob 1 ⇒ untouched
+    assert(counts(largest) < full(largest))     // dominant stratum shrinks
+    // deterministic: a rerun keeps the identical row set
+    val again = SampleOps.temperatureSample(docs, "lang", "doc_id", 0.5)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("redactPii strips emails, SSNs, and phones; leaves clean text") {
     import spark.implicits._
     val rows = Seq(

@@ -207,6 +207,45 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed === direct)
   }
 
+  test("int8 quantization: bounded entries, tight round-trip error") {
+    val q = Similarity.quantizeEmbeddings(emb)
+    val rows = q.join(emb, "vec_id")
+      .select($"vec_id", $"scale", $"qvec",
+        $"embedding".cast("array<double>").as("ve"))
+      .collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val qv = r.getSeq[Int](2)
+      val ve = r.getSeq[Double](3)
+      assert(qv.length === ve.length)
+      assert(qv.forall(x => x >= -127 && x <= 127))
+      // dequantization error per entry is at most half a step
+      qv.zip(ve).foreach { case (qi, xi) =>
+        assert(math.abs(qi * scale - xi) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}")
+      }
+    }
+    // an all-zero vector quantizes to zeros with scale 0, not NaN
+    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zq = Similarity.quantizeEmbeddings(z).collect()(0)
+    assert(zq.getDouble(1) === 0.0)
+    assert(zq.getSeq[Int](2).forall(_ === 0))
+  }
+
+  test("quantized top-k closely tracks the exact float ranking") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0))
+    val quant = Similarity.quantizedTopK(
+      Similarity.quantizeEmbeddings(emb), 0L, 10)
+      .collect().map(_.getLong(0))
+    // self-match first (scale²·qdot is its own maximum over the corpus
+    // only approximately — but the planted self vector is exact)
+    assert(quant.head === 0L)
+    // int8 keeps ~2 decimal places of cosine: rankings overlap heavily
+    assert(exact.toSet.intersect(quant.toSet).size >= 8)
+  }
+
   test("semdedup on the corpus: planted exact copies never survive") {
     val base = emb.select($"vec_id", $"embedding")
     val planted = base.filter($"vec_id" % 10 === 0)
