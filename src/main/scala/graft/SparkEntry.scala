@@ -600,6 +600,18 @@ object SparkEntry {
     // of repeated 3-word segments + document reassembly
     "q_segment_dedup" -> ((s, d) =>
       Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")),
+    // Incremental segment dedup: the ¼ batch slice probes the digest
+    // index built from the ¾ corpus slice (online CCNet dedup)
+    "q_segment_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val seen = Dedup.segmentWinners(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
+        .select(col("digest"))
+      Dedup.rebuildSegmentedDocs(
+        Dedup.segmentDedupIncrement(
+          docs.filter(col("doc_id") % 4 === 0), seen, "doc_id", "text"),
+        "doc_id", "text")
+    }),
     // Deterministic global shuffle for training order: md5 shard
     // assignment + dense in-shard position
     "q_training_shards" -> ((s, d) =>
@@ -1625,6 +1637,29 @@ object SparkEntry {
          r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
              count(*) AS n_kept
            FROM f WHERE rn = 1 GROUP BY 1)
+         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
+         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    // incremental replay: batch-internal first occurrence (row_number)
+    // minus any segment occurring anywhere in the index slice
+    "q_segment_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
+               AS seg
+           FROM t),
+         idx AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 4 <> 0),
+         bseg AS (SELECT * FROM seg WHERE doc_id % 4 = 0),
+         f AS (SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+           FROM bseg),
+         tot AS (SELECT doc_id, count(*) AS n_segments FROM bseg GROUP BY 1),
+         k AS (SELECT doc_id, pos, seg FROM f
+               WHERE rn = 1 AND seg NOT IN (SELECT seg FROM idx)),
+         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+           FROM k GROUP BY 1)
          SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
          FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
     "q_training_shards" ->

@@ -127,6 +127,16 @@ object Dedup {
     * digest costs one combine per map task, never a sort partition.
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 3): DataFrame =
+    rebuildSegmentedDocs(segmentWinners(df, idCol, textCol, segWords),
+      idCol, textCol)
+
+  /** First-occurrence winners per distinct segment digest:
+    * (digest, id, pos, seg, n_segments), one row per distinct segment
+    * in `df`. The groupBy(digest) min-struct aggregation described on
+    * [[segmentDedup]] — its output IS the kept occurrence set.
+    */
+  def segmentWinners(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 3): DataFrame = {
     val segs = df
       .withColumn("__segs", segments(col(textCol), segWords))
@@ -134,14 +144,24 @@ object Dedup {
         size(col("__segs")).cast("long").as("n_segments"),
         posexplode(col("__segs")).as(Seq("pos", "seg")))
     segs
-      .groupBy(md5(col("seg")).as("__d"))
+      .groupBy(md5(col("seg")).as("digest"))
       .agg(min(struct(col(idCol), col("pos"), col("seg"),
         col("n_segments"))).as("__w"))
       .select(
+        col("digest"),
         col("__w").getField(idCol).as(idCol),
         col("__w").getField("pos").as("pos"),
         col("__w").getField("seg").as("seg"),
         col("__w").getField("n_segments").as("n_segments"))
+  }
+
+  /** Reassemble documents from kept segment occurrences
+    * (id, pos, seg, n_segments): surviving segments join back into
+    * text in original order; docs with nothing kept are absent.
+    */
+  def rebuildSegmentedDocs(kept: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    kept
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -151,7 +171,25 @@ object Dedup {
         max(col("n_segments")).as("n_segments"))
       .select(col(idCol), col(textCol), col("n_kept"), col("n_segments"))
       .orderBy(col(idCol))
-  }
+
+  /** Incremental segment dedup: the batch's own first-occurrence
+    * winners, minus every segment whose digest is already in `seen`
+    * (a one-column `digest` frame — the persisted index of all
+    * segments kept so far). Returns kept OCCURRENCES (digest, id,
+    * pos, seg, n_segments): the caller rebuilds docs with
+    * [[rebuildSegmentedDocs]] and appends the digests to the index —
+    * re-segmenting the REBUILT text would window it differently, so
+    * the digests must come from here, not from the output docs.
+    *
+    * Scale: the index side of the anti-join carries only 16-byte
+    * digests, and the batch side is the small one — same serving
+    * economics as [[dedupIncrement]]: the corpus pays its digest pass
+    * once, each increment probes it.
+    */
+  def segmentDedupIncrement(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String, segWords: Int = 3): DataFrame =
+    segmentWinners(batch, idCol, textCol, segWords)
+      .join(seen.select(col("digest")), Seq("digest"), "left_anti")
 
   // ---------------------------------------------------------------
   // MinHash + LSH

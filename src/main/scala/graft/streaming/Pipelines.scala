@@ -422,6 +422,77 @@ object Pipelines {
       }
       .start()
 
+  /** Beyond-reference extension: STREAMING segment-level dedup — the
+    * online form of [[graft.dedup.Dedup.segmentDedup]] (CCNet
+    * paragraph dedup): each micro-batch keeps only segments never
+    * seen before (across ALL prior batches and within the batch
+    * itself), rebuilt documents append to `outDir` and the kept
+    * segments' digests append to the digest index at `indexDir` —
+    * the cross-batch "seen" state IS a parquet table of 16-byte
+    * digests, not driver memory.
+    *
+    * Idempotent under checkpoint replay: both writes are DYNAMIC
+    * partition overwrites on batch_id, and the probe EXCLUDES the
+    * current batch's own index partition — a replayed batch N never
+    * collides with its own earlier digest write, recomputes the
+    * identical winners, and overwrites exactly its own partitions.
+    *
+    * Scale: per batch, one digest aggregation over the batch (small
+    * side) + one anti-join against the index digests (16 bytes/row,
+    * partition-pruned to exclude self) — the accumulated corpus
+    * never re-segments and its text never shuffles.
+    */
+  def processSegmentDedupBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, segWords: Int = 3): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch.sparkSession
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(indexPath))
+        // batch_id is the partition column: the self-exclusion prunes
+        // at the directory level on replay
+        spark.read.parquet(indexDir)
+          .filter(col("batch_id") =!= batchId).select("digest")
+      else spark.emptyDataFrame.select(lit("").as("digest")).limit(0)
+    // materialized BEFORE either write: both the doc rebuild and the
+    // digest append derive from this cut, so neither write plan reads
+    // the directory it is writing
+    val kept = Dedup.segmentDedupIncrement(batch, seen, "doc_id", "text",
+      segWords).localCheckpoint(true)
+    try {
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val nonEmpty = !kept.isEmpty
+      if (nonEmpty || fs.exists(outPath))
+        Dedup.rebuildSegmentedDocs(kept, "doc_id", "text")
+          .withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(outDir)
+      if (nonEmpty || fs.exists(indexPath))
+        kept.select(col("digest"))
+          .withColumn("batch_id", lit(batchId))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(indexDir)
+    } finally freeLocalCheckpoint(kept)
+  }
+
+  /** The streaming entry: docs (doc_id, text) → segment-deduped
+    * corpus at `outDir` + digest index at `indexDir`, exactly-once
+    * via checkpoint + the idempotent batch core above.
+    */
+  def segmentDedupSink(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, segWords: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSegmentDedupBatch(batch, indexDir, outDir, batchId, segWords)
+      }
+      .start()
+
   /** Beyond-reference extension: STREAMING LM-quality gating — the
     * online form of [[graft.textanalysis.TextAnalysis.lmScoreWith]].
     * The bigram model is a FROZEN parquet artifact (trained once on a

@@ -225,4 +225,33 @@ class PlanSpec extends SparkSpec {
     // anti-join); nothing degenerates to a nested loop over vectors
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("segment dedup: two shuffles, one scan, no join operator") {
+    val p = plan(Dedup.segmentDedup(Tables.documents(spark, sfDir),
+      "doc_id", "text"))
+    // the group winner IS the kept occurrence — digest agg + doc
+    // rebuild are the only exchanges, and there is no join-back
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Join"), p)
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
+  }
+
+  test("quantized top-k: broadcast query, narrow scan, TakeOrdered") {
+    val q = graft.similarity.Similarity.quantizeEmbeddings(
+      Tables.embeddings(spark, sfDir))
+    val p = plan(graft.similarity.Similarity.quantizedTopK(q, 0L, 10))
+    // the corpus side never hash-shuffles: one broadcast of the query
+    // row, integer dots in the scan projection, per-partition top-k
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("training shards: one shard-key shuffle, no global sort") {
+    val p = plan(SampleOps.trainingShards(
+      Tables.documents(spark, sfDir).select("doc_id"), "doc_id", 8))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }

@@ -352,6 +352,61 @@ class PipelinesSpec extends SparkSpec {
     assert(kept === Set(1L, 3L)) // 2 was a near-copy of batch-0's doc 1
   }
 
+  test("streaming segment dedup: cross-batch first occurrence, replay-idempotent") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_segdedup").toString
+    val indexDir = base + "/idx"; val outDir = base + "/out"
+    def docs() = spark.read.parquet(outDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch 0: doc 2's opener repeats doc 1's (within-batch dedup)
+    Pipelines.processSegmentDedupBatch(
+      Seq((1L, "a b c d e f"), (2L, "a b c x y z")).toDF("doc_id", "text"),
+      indexDir, outDir, 0L)
+    assert(docs() === Map(1L -> "a b c d e f", 2L -> "x y z"))
+    // batch 1: doc 3 is entirely already-seen segments → absent from
+    // the corpus; doc 4 keeps only its new tail
+    Pipelines.processSegmentDedupBatch(
+      Seq((3L, "d e f x y z"), (4L, "x y z q r s")).toDF("doc_id", "text"),
+      indexDir, outDir, 1L)
+    assert(docs() === Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "q r s"))
+    // checkpoint REPLAY of batch 1: the probe excludes the batch's own
+    // index partition, so nothing self-drops and nothing duplicates
+    Pipelines.processSegmentDedupBatch(
+      Seq((3L, "d e f x y z"), (4L, "x y z q r s")).toDF("doc_id", "text"),
+      indexDir, outDir, 1L)
+    assert(docs() === Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "q r s"))
+    // index = abc, def, xyz (batch 0) + qrs (batch 1), exactly once
+    assert(spark.read.parquet(indexDir).count() === 4)
+  }
+
+  test("streaming segment dedup sink ≡ one-shot batch dedup (id order)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_segdedup_e2e").toString
+    val rows = Seq((1L, "a b c d e f"), (2L, "a b c n o p"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.segmentDedupSink(mem.toDS().toDF("doc_id", "text"),
+      base + "/idx", base + "/out", base + "/ckpt")
+    try {
+      mem.addData(Seq(rows(0)))
+      q.processAllAvailable()
+      mem.addData(Seq(rows(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(base + "/out")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batches arrived in ascending id order, so the online result is
+    // exactly the one-shot corpus dedup
+    val twin = graft.dedup.Dedup.segmentDedup(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === twin)
+    assert(out === Map(1L -> "a b c d e f", 2L -> "n o p"))
+  }
+
   test("view-stats state is constant-size in visitor count (HLL blob)") {
     // 1k then 99k more distinct visitors through the same state key:
     // the blob must stay under the lgK=12 HLL_4 compact bound instead
