@@ -600,6 +600,10 @@ object SparkEntry {
     // of repeated 3-word segments + document reassembly
     "q_segment_dedup" -> ((s, d) =>
       Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")),
+    // Duplication profile: per-doc fraction of distinct trigrams
+    // shared with at least one other document
+    "q_duplication_profile" -> ((s, d) =>
+      Dedup.duplicationProfile(Tables.documents(s, d))),
     // Incremental segment dedup: the ¼ batch slice probes the digest
     // index built from the ¾ corpus slice (online CCNet dedup)
     "q_segment_dedup_incremental" -> ((s, d) => {
@@ -1639,6 +1643,32 @@ object SparkEntry {
            FROM f WHERE rn = 1 GROUP BY 1)
          SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
          FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    // duplication profile: distinct trigrams per doc, gram counted
+    // once per containing doc; shared ⇔ count > 1
+    "q_duplication_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g0 AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])
+                  ELSE CAST([] AS VARCHAR[]) END AS gs
+           FROM t),
+         g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+         c AS (SELECT g, count(*) AS cnt FROM g GROUP BY 1),
+         agg AS (SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+           FROM g JOIN c USING (g) GROUP BY 1)
+         SELECT t.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_shared, 0) AS n_shared,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN round(n_shared * 1.0 / n_grams, 4) ELSE 0.0 END
+             AS dup_frac,
+           (CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN round(n_shared * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.5)
+             AS flagged
+         FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
     // incremental replay: batch-internal first occurrence (row_number)
     // minus any segment occurring anywhere in the index slice
     "q_segment_dedup_incremental" ->

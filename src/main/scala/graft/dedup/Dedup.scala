@@ -172,6 +172,43 @@ object Dedup {
       .select(col(idCol), col(textCol), col("n_kept"), col("n_segments"))
       .orderBy(col(idCol))
 
+  /** Cross-document duplication profile: for each document, the
+    * fraction of its DISTINCT word n-grams that occur in at least one
+    * OTHER document — the per-document readout behind substring-level
+    * dedup decisions (Lee et al. 2021 find this long tail with suffix
+    * arrays; the n-gram form is its shuffle-friendly approximation).
+    * Boilerplate and templated docs score near 1; fresh prose scores
+    * near 0. Documents at or above `threshold` are flagged.
+    *
+    * Scale shape: grams shuffle as 16-byte md5 digests, never text —
+    * one digest-count aggregation with map-side combine (state
+    * bounded by the gram vocabulary), one join back on the digest,
+    * one per-doc aggregation. All three stages are linear in the
+    * corpus; nothing is pairwise.
+    */
+  def duplicationProfile(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = documents
+      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("__d"))
+    // shingles() is distinct within a doc, so this counts DOCUMENTS
+    // containing the gram
+    val counts = grams.groupBy(col("__d")).agg(count(lit(1)).as("__cnt"))
+    grams
+      .join(counts, Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__d")).as("n_grams"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          round(col("n_shared") / col("n_grams"), 4)).otherwise(lit(0.0)))
+      .withColumn("flagged", col("dup_frac") >= threshold)
+      .orderBy(col(idCol))
+  }
+
   /** Incremental segment dedup: the batch's own first-occurrence
     * winners, minus every segment whose digest is already in `seen`
     * (a one-column `digest` frame — the persisted index of all

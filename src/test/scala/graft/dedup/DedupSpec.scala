@@ -318,6 +318,27 @@ class DedupSpec extends SparkSpec {
       (5L, "a b c d", 2L, 2L)))
   }
 
+  test("duplicationProfile scores shared trigram fractions per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // trigrams: abc bcd cde
+      (2L, "a b c x y"),       // abc (shared with 1), bcx, cxy
+      (3L, "a b c d e"),       // identical to 1 → all shared
+      (4L, "p q r s t"),       // nothing shared
+      (5L, "z z")              // fewer than 3 words → zero grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationProfile(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) === ((3L, 3L, 1.0, true)))   // doc 3 duplicates it all
+    assert(out(2L) === ((3L, 1L, 0.3333, false)))
+    assert(out(3L) === ((3L, 3L, 1.0, true)))
+    assert(out(4L) === ((3L, 0L, 0.0, false)))
+    assert(out(5L) === ((0L, 0L, 0.0, false)))  // degenerate, never flagged
+  }
+
   test("dropNearDuplicates keeps canonical member + untouched docs") {
     val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
