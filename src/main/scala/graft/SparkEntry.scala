@@ -608,9 +608,8 @@ object SparkEntry {
     // index built from the ¾ corpus slice (online CCNet dedup)
     "q_segment_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val seen = Dedup.segmentWinners(
-        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
-        .select(col("digest"))
+      val seen = Dedup.segmentDigests(
+        docs.filter(col("doc_id") % 4 =!= 0), "text")
       Dedup.rebuildSegmentedDocs(
         Dedup.segmentDedupIncrement(
           docs.filter(col("doc_id") % 4 === 0), seen, "doc_id", "text"),

@@ -209,6 +209,17 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** The distinct segment-digest set of a corpus — the cheap
+    * bootstrap for [[segmentDedupIncrement]]'s `seen` side when no
+    * persisted index exists yet: a plain distinct over 16-byte
+    * digests (map-side partial), with none of [[segmentWinners]]'
+    * min-struct state carrying positions and text.
+    */
+  def segmentDigests(df: DataFrame, textCol: String,
+      segWords: Int = 3): DataFrame =
+    df.select(explode(segments(col(textCol), segWords)).as("seg"))
+      .select(md5(col("seg")).as("digest")).distinct()
+
   /** Incremental segment dedup: the batch's own first-occurrence
     * winners, minus every segment whose digest is already in `seen`
     * (a one-column `digest` frame — the persisted index of all

@@ -318,6 +318,17 @@ class DedupSpec extends SparkSpec {
       (5L, "a b c d", 2L, 2L)))
   }
 
+  test("segmentDigests ≡ the winners' digest set (cheap bootstrap)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    val cheap = Dedup.segmentDigests(docs, "text")
+      .collect().map(_.getString(0)).toSet
+    val winners = Dedup.segmentWinners(docs, "doc_id", "text")
+      .select("digest").collect().map(_.getString(0)).toSet
+    assert(cheap === winners)
+  }
+
   test("duplicationProfile scores shared trigram fractions per doc") {
     import spark.implicits._
     val docs = Seq(
