@@ -599,7 +599,8 @@ object SparkEntry {
     // CCNet-style segment dedup: corpus-wide first-occurrence removal
     // of repeated 3-word segments + document reassembly
     "q_segment_dedup" -> ((s, d) =>
-      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")),
+      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     // Duplication profile: per-doc fraction of distinct trigrams
     // shared with at least one other document
     "q_duplication_profile" -> ((s, d) =>
@@ -614,6 +615,7 @@ object SparkEntry {
         Dedup.segmentDedupIncrement(
           docs.filter(col("doc_id") % 4 === 0), seen, "doc_id", "text"),
         "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
     // Deterministic global shuffle for training order: md5 shard
     // assignment + dense in-shard position

@@ -93,14 +93,19 @@ object Dedup {
     * (Wenzek et al. 2020 dedup lines; the test corpus has no line
     * structure, so fixed word windows stand in for lines — a caller
     * with real paragraphs passes `split(text, "\n")` instead).
-    * Fewer than one word (null text) passes through as null.
+    * Null text yields null (ANSI size semantics) or an empty list
+    * (legacy size(null) = -1) — either way, zero occurrences. The
+    * size guard matters: unguarded, legacy -1 would make
+    * sequence(0, …) count DOWNWARD and fabricate phantom ""
+    * segments, exactly the hazard [[shingles]] guards against.
     */
   def segments(text: Column, segWords: Int): Column = {
     require(segWords > 0, s"segment width must be positive: $segWords")
     val ws = words(text)
-    transform(
-      sequence(lit(0), ceil(size(ws) / lit(segWords.toDouble)).cast("int") - 1),
-      i => concat_ws(" ", slice(ws, i * segWords + lit(1), lit(segWords))))
+    when(size(ws) < 1, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(ws) / lit(segWords.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(ws, i * segWords + lit(1), lit(segWords)))))
   }
 
   /** Corpus-wide first-occurrence segment dedup — remove every
@@ -158,6 +163,10 @@ object Dedup {
   /** Reassemble documents from kept segment occurrences
     * (id, pos, seg, n_segments): surviving segments join back into
     * text in original order; docs with nothing kept are absent.
+    * Deliberately UNORDERED output — a corpus-wide orderBy here
+    * would add a range-partitioning shuffle + global sort that a
+    * streaming sink pays per micro-batch for nothing; callers who
+    * need presentation order sort at the edge.
     */
   def rebuildSegmentedDocs(kept: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -170,7 +179,6 @@ object Dedup {
         count(lit(1)).as("n_kept"),
         max(col("n_segments")).as("n_segments"))
       .select(col(idCol), col(textCol), col("n_kept"), col("n_segments"))
-      .orderBy(col(idCol))
 
   /** Cross-document duplication profile: for each document, the
     * fraction of its DISTINCT word n-grams that occur in at least one

@@ -81,19 +81,27 @@ object Similarity {
   // Int8 quantization (the compressed embedding store)
   // ---------------------------------------------------------------
 
-  /** Per-vector symmetric int8 scale: max|x| / 127 (0.0 for an
-    * all-zero or empty vector, whose quantized form is all zeros).
-    * Pure IEEE max + divide over the stored floats — no libm, so the
-    * value is bit-identical in any engine.
+  /** Per-vector symmetric int8 scale: max|x| / 127. 0.0 — which
+    * [[quantizeVec]] maps to an all-zero vector — for the degenerate
+    * inputs: all-zero, empty, or any non-finite entry (NaN/±Inf
+    * poison the max; without the guard, round(NaN/Inf).cast(int)
+    * would THROW under Spark 4's default ANSI mode and kill the whole
+    * job for one bad row). Pure IEEE max + divide over the stored
+    * floats — no libm, so the value is bit-identical in any engine.
     */
-  def quantScale(v: Column): Column =
-    coalesce(array_max(transform(asDouble(v), x => abs(x))), lit(0.0)) /
-      lit(127.0)
+  def quantScale(v: Column): Column = {
+    val m = coalesce(array_max(transform(asDouble(v), x => abs(x))), lit(0.0))
+    // NaN compares greater than everything in Spark's ordering, so a
+    // single NaN entry surfaces as m = NaN; |x| ≥ 0 rules out -Inf
+    when(isnan(m) || m === Double.PositiveInfinity, lit(0.0))
+      .otherwise(m / lit(127.0))
+  }
 
   /** Symmetric int8 quantization: q_i = round(x_i / scale) ∈
     * [-127, 127] (round half away from zero — Spark and DuckDB
-    * agree). |x_i| ≤ max|x| bounds |x_i/scale| to 127 + a few ulp,
-    * which rounding can never carry past 127, so no clamp is needed.
+    * agree). For finite inputs |x_i| ≤ max|x| bounds |x_i/scale| to
+    * 127 + a few ulp, which rounding can never carry past 127, so no
+    * clamp is needed; non-finite vectors take the scale-0 zero branch.
     */
   def quantizeVec(v: Column): Column = {
     val vd = asDouble(v)

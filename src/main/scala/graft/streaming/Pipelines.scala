@@ -461,21 +461,33 @@ object Pipelines {
     val kept = Dedup.segmentDedupIncrement(batch, seen, "doc_id", "text",
       segWords).localCheckpoint(true)
     try {
-      val outPath = new org.apache.hadoop.fs.Path(outDir)
       val nonEmpty = !kept.isEmpty
-      if (nonEmpty || fs.exists(outPath))
-        Dedup.rebuildSegmentedDocs(kept, "doc_id", "text")
-          .withColumn("batch_id", lit(batchId))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(outDir)
-      if (nonEmpty || fs.exists(indexPath))
-        kept.select(col("digest"))
-          .withColumn("batch_id", lit(batchId))
-          .write.partitionBy("batch_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite").parquet(indexDir)
+      writeBatchPartition(Dedup.rebuildSegmentedDocs(kept, "doc_id", "text"),
+        outDir, batchId, nonEmpty)
+      writeBatchPartition(kept.select(col("digest")), indexDir, batchId,
+        nonEmpty)
     } finally freeLocalCheckpoint(kept)
+  }
+
+  /** Guarded dynamic-overwrite append of one batch partition. Skips
+    * only when there is nothing to write AND the directory does not
+    * exist yet: an empty overwrite of an existing dir is a harmless
+    * no-op, but an empty CREATE would leave a footerless parquet dir
+    * with an unreadable schema. The FileSystem is derived from the
+    * TARGET dir itself — a sink's index and output may live on
+    * different schemes (hdfs:// index, s3a:// corpus), so reusing one
+    * dir's fs for the other's existence check would throw Wrong FS.
+    */
+  private def writeBatchPartition(df: DataFrame, dir: String,
+      batchId: Long, nonEmpty: Boolean): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (nonEmpty || fs.exists(path))
+      df.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
   }
 
   /** The streaming entry: docs (doc_id, text) → segment-deduped

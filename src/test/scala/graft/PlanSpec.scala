@@ -230,8 +230,10 @@ class PlanSpec extends SparkSpec {
     val p = plan(Dedup.segmentDedup(Tables.documents(spark, sfDir),
       "doc_id", "text"))
     // the group winner IS the kept occurrence — digest agg + doc
-    // rebuild are the only exchanges, and there is no join-back
+    // rebuild are the only exchanges, no join-back, and no baked-in
+    // global sort (ordering belongs to the caller, not the operator)
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
     assert(!p.contains("Join"), p)
     assert("FileScan parquet".r.findAllIn(p).length === 1, p)
   }

@@ -294,7 +294,7 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.segmentDedup(docs, "doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .toList
+      .toList.sortBy(_._1)
     assert(out === List(
       (1L, "a b c d e f", 2L, 2L),
       (2L, "x y z", 1L, 2L),
@@ -310,7 +310,7 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.segmentDedup(docs, "doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .toList
+      .toList.sortBy(_._1)
     // "d q r" (doc 2) wins segment "d q r"; doc 5's remainder "d" is
     // distinct from it; doc 9's whole-doc "d" repeats doc 5's remainder
     assert(out === List(

@@ -226,11 +226,19 @@ class SimilaritySpec extends SparkSpec {
           s"vec ${r.getLong(0)}")
       }
     }
-    // an all-zero vector quantizes to zeros with scale 0, not NaN
-    val z = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
-    val zq = Similarity.quantizeEmbeddings(z).collect()(0)
-    assert(zq.getDouble(1) === 0.0)
-    assert(zq.getSeq[Int](2).forall(_ === 0))
+    // degenerate vectors quantize to zeros with scale 0 — all-zero,
+    // NaN-poisoned, and infinite alike (round(NaN).cast(int) would
+    // otherwise THROW under ANSI and kill the job for one bad row)
+    val z = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, Float.NaN, 3.0f)),
+      (3L, Array(1.0f, Float.PositiveInfinity, 3.0f)),
+      (4L, Array(1.0f, Float.NegativeInfinity, 3.0f))
+    ).toDF("vec_id", "embedding")
+    Similarity.quantizeEmbeddings(z).collect().foreach { r =>
+      assert(r.getDouble(1) === 0.0, s"vec ${r.getLong(0)}")
+      assert(r.getSeq[Int](2).forall(_ === 0), s"vec ${r.getLong(0)}")
+    }
   }
 
   test("quantized top-k closely tracks the exact float ranking") {
