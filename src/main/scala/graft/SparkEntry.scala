@@ -596,6 +596,17 @@ object SparkEntry {
     "q_knn_quantized" -> ((s, d) =>
       Similarity.quantizedTopK(
         Similarity.quantizeEmbeddings(Tables.embeddings(s, d)), 0L, 10)),
+    // The compressed store under IVF serving: probe cells prune to
+    // partition directories of int8 entries (pruning × compression)
+    "q_knn_quantized_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = builtQuantizedIvfIndex(s, d)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+      Similarity.quantizedTopKFromIndex(s.read.parquet(dir),
+        Similarity.seedCentroids(e, 16), qv, 10, 2)
+    }),
     // CCNet-style segment dedup: corpus-wide first-occurrence removal
     // of repeated 3-word segments + document reassembly
     "q_segment_dedup" -> ((s, d) =>
@@ -682,6 +693,21 @@ object SparkEntry {
       s"graft_ivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
     ivfIndexBuilt.computeIfAbsent(dir, p => {
       Similarity.writeIvfIndex(Tables.embeddings(s, d),
+        Similarity.seedCentroids(Tables.embeddings(s, d), 16), p); p
+    })
+    dir
+  }
+
+  /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
+    * keying, cell-partitioned quantized entries.
+    */
+  private def builtQuantizedIvfIndex(s: SparkSession, d: String): String = {
+    val pathDigest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_qivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
+    ivfIndexBuilt.computeIfAbsent(dir, p => {
+      Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
         Similarity.seedCentroids(Tables.embeddings(s, d), 16), p); p
     })
     dir
@@ -1624,6 +1650,41 @@ object SparkEntry {
            FROM q CROSS JOIN qq)
          SELECT vec_id, q_sim FROM sc
          ORDER BY q_sim DESC, vec_id LIMIT 10""",
+    // quantized IVF: cells assigned on ORIGINAL floats (as q_ann_ivf),
+    // probes from the query's float cell scores, scoring over the
+    // quantized entries (as q_knn_quantized)
+    "q_knn_quantized_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0
+                    ORDER BY s DESC, cid LIMIT 2),
+         sq AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM sq),
+         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
+         SELECT q.vec_id,
+           round(q.scale * qq.q_scale *
+             CAST(list_sum([q.qv[i] * qq.q_qv[i]
+                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
+             6) AS q_sim
+         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
+         WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
     // segment dedup: 3-word windows with 0-based positions; the first
     // (doc_id, pos) occurrence of each segment survives (row_number
     // replays Spark's min-struct), docs rebuild via ordered string_agg

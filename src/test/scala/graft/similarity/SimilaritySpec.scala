@@ -241,6 +241,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantized IVF index: pruned probe ≡ in-plan quantized ranking") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-qivf").toString + "/idx"
+    val cents = Similarity.seedCentroids(emb, 8)
+    Similarity.writeQuantizedIvfIndex(emb, cents, dir)
+    val idx = spark.read.parquet(dir)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    val out = Similarity.quantizedTopKFromIndex(idx, cents, qv, 10, 2)
+    // probe cells land inside PartitionFilters (directory pruning)
+    val p = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    val got = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 === 0L) // self-match tops
+    // parity: the full in-plan quantized ranking (driver-side query
+    // quantization ≡ the DataFrame rule), restricted to the ids that
+    // live in the probed cells, is exactly the index-served top-k
+    val probes = Similarity.probeCells(cents, qv, 2)
+    val cellIds = idx.filter(col("cell").isin(probes: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = Similarity.quantizedTopK(
+      Similarity.quantizeEmbeddings(emb), 0L, emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(r => cellIds(r._1)).take(10)
+    assert(got.toSeq === full.toSeq)
+  }
+
   test("quantized top-k closely tracks the exact float ranking") {
     val exact = Similarity.bruteForceTopK(emb, 0L, 10)
       .collect().map(_.getLong(0))
