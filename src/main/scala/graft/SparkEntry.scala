@@ -155,6 +155,11 @@ object SparkEntry {
     // exact, reproducible, fully oracled
     "q_search_bm25" -> ((s, d) =>
       SearchOps.searchBm25(Tables.documents(s, d), Seq("merge", "query"), 10)),
+    // Hybrid retrieval: BM25 and cosine rankings fused by reciprocal
+    // rank (RRF) — integer ranks, no score normalization
+    "q_hybrid_search" -> ((s, d) =>
+      SearchOps.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("merge", "query"), 0L, 20)),
     // Training-data prep: PII stripped from flagged docs (narrow).
     // The synthetic corpus carries no PII, so identifiers are planted
     // deterministically (same construction in the oracle) — the
@@ -1017,6 +1022,42 @@ object SparkEntry {
          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // RRF fusion: both branch rankings replayed top-50, reciprocal
+    // terms as IEEE doubles (CAST, not decimal literals) in a fixed
+    // addition order — engine-identical bits before the round
+    "q_hybrid_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         bm AS (SELECT doc_id,
+             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+           GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lex AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS INTEGER) AS lex_rank FROM bm),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+               FROM embeddings),
+         knn AS (SELECT vec_id,
+             round(list_cosine_similarity(ve,
+               (SELECT ve FROM v WHERE vec_id = 0)), 4) AS cos_sim
+           FROM v ORDER BY cos_sim DESC, vec_id LIMIT 50),
+         sem AS (SELECT vec_id AS doc_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+               AS INTEGER) AS sem_rank FROM knn)
+         SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           lex_rank, sem_rank,
+           round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0) +
+                 coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), 0.0), 6) AS rrf
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_dedup_exact" ->
       """SELECT md5(CAST(to_json(struct_pack(user_id := user_id,
                                              event_type := event_type)) AS VARCHAR)) AS dup_key,

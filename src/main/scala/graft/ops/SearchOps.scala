@@ -185,6 +185,47 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    * 2009) — the standard way to blend a lexical and a semantic
+    * ranking without score normalization:
+    *
+    *   rrf(d) = Σ_r 1/(k0 + rank_r(d))   over rankings containing d
+    *
+    * The lexical ranking is [[searchBm25]] top-`depth`; the semantic
+    * ranking is cosine top-`depth` against a stored query vector
+    * (ids shared across `documents` and `embeddings`). Ranks are
+    * exact integers and the two reciprocal terms add in a fixed
+    * order, so the fused score is engine-deterministic with no
+    * float-sum-order caveat; rounded to 6 for stable tie-breaks
+    * (doc_id asc).
+    *
+    * Scale shape: each branch is already a TakeOrdered top-`depth`
+    * (tiny); the fusion full-outer-joins two ≤depth-row frames —
+    * negligible next to the branch scans, which carry the
+    * [[searchBm25]] / [[graft.similarity.Similarity.bruteForceTopK]]
+    * scale properties unchanged.
+    */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      depth: Int = 50, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = searchBm25(documents, queryTerms, depth)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = graft.similarity.Similarity
+      .bruteForceTopK(embeddings, queryVecId, depth)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** F4: highlight matched terms — presentation-level, regex-free. */
   def highlight(c: Column, q: String): Column =
     replace(c, lit(q), lit(s"<em>$q</em>"))

@@ -88,6 +88,34 @@ class SearchOpsSpec extends SparkSpec {
     assert(scores.sorted(Ordering[Double].reverse).toSeq === scores.toSeq)
   }
 
+  test("hybrid RRF fuses lexical and semantic ranks; single-list docs score once") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = SearchOps.hybridSearch(docs, emb, Seq("merge", "query"), 0L, 20,
+      depth = 30).collect()
+    assert(out.length === 20)
+    // fused scores are the hand-computed reciprocal sums of the ranks
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.isDefined || sem.isDefined)
+      val expect = BigDecimal(
+        lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          sem.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === expect, s"doc ${r.getLong(0)}")
+    }
+    // descending by fused score, doc_id tiebreak
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sorted(Ordering[Double].reverse).toSeq === scores.toSeq)
+    // a doc topping BOTH branch rankings must top the fusion
+    val bm1 = SearchOps.searchBm25(docs, Seq("merge", "query"), 1)
+      .collect()(0).getLong(0)
+    val knn1 = graft.similarity.Similarity.bruteForceTopK(emb, 0L, 1)
+      .collect()(0).getLong(0)
+    if (bm1 == knn1) assert(out(0).getLong(0) === bm1)
+  }
+
   test("BM25 from+size pages partition the ranked list in order") {
     // page 1 ++ page 2 must equal the top 10 exactly (the reference
     // API pages ES results with from+size — search/main.py:79-80)
