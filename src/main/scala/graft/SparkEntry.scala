@@ -621,6 +621,26 @@ object SparkEntry {
     // shared with at least one other document
     "q_duplication_profile" -> ((s, d) =>
       Dedup.duplicationProfile(Tables.documents(s, d))),
+    // Corpus snapshot diff: v2 drops %13 docs, edits %17 texts, adds
+    // a +1e6 slice — the per-id added/removed/changed/unchanged readout
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.curation.Curation.corpusDiff(docs, v2, "doc_id", Seq("text"))
+    }),
+    // Canonical normalization over planted case/punct/whitespace noise
+    "q_normalize_text" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("messy",
+          when(col("doc_id") % 2 === 0, concat(upper(col("text")), lit("!! ")))
+            .otherwise(concat(lit("  "), col("text"), lit(" ,. "))))
+        .select(col("doc_id"),
+          TextFunctions.normalizeText(col("messy")).as("normalized"))
+        .orderBy(col("doc_id"))),
     // Incremental segment dedup: the ¼ batch slice probes the digest
     // index built from the ¾ corpus slice (online CCNet dedup)
     "q_segment_dedup_incremental" -> ((s, d) => {
@@ -1746,6 +1766,33 @@ object SparkEntry {
            FROM f WHERE rn = 1 GROUP BY 1)
          SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
          FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    // snapshot diff: same null-safe JSON-struct digest as q_dedup_exact
+    "q_corpus_diff" ->
+      """WITH oldc AS (SELECT doc_id,
+             md5(CAST(to_json(struct_pack(text := text)) AS VARCHAR)) AS h
+           FROM documents),
+         n0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' edited'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3),
+         newc AS (SELECT doc_id,
+             md5(CAST(to_json(struct_pack(text := text)) AS VARCHAR)) AS h
+           FROM n0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status
+         FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q_normalize_text" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+           lower(CASE WHEN doc_id % 2 = 0 THEN upper(text) || '!! '
+                      ELSE '  ' || text || ' ,. ' END),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normalized
+         FROM documents ORDER BY doc_id""",
     // duplication profile: distinct trigrams per doc, gram counted
     // once per containing doc; shared ⇔ count > 1
     "q_duplication_profile" ->

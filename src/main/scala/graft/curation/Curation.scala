@@ -76,4 +76,34 @@ object Curation {
       .orderBy(col("doc_id"))
     (out, obs)
   }
+
+  /** Snapshot diff between two corpus versions keyed on `idCol`: one
+    * row per id present in either side, with status `added` (new
+    * side only), `removed` (old side only), `changed` (both sides,
+    * different content), or `unchanged`. The dataset-versioning
+    * readout of iterative corpus construction — "what did this
+    * curation change actually do" as a relational result. Content
+    * equality uses the same null-safe JSON-struct digest as exact
+    * dedup ([[graft.dedup.Dedup.exactDuplicateGroups]]).
+    *
+    * Scale shape: each side reduces to (id, 16-byte digest) narrowly
+    * before the single full-outer join on the id — text never
+    * shuffles, and the join is the only exchange per side.
+    */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+      idCol: String, contentCols: Seq[String]): DataFrame = {
+    def digested(df: DataFrame, as: String) =
+      df.select(col(idCol),
+        md5(to_json(struct(contentCols.map(col): _*),
+          Map("ignoreNullFields" -> "false"))).as(as))
+    digested(oldCorpus, "__old")
+      .join(digested(newCorpus, "__new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") =!= col("__new"), "changed")
+          .otherwise("unchanged"))
+      .select(col(idCol), col("status"))
+      .orderBy(col(idCol))
+  }
 }

@@ -40,6 +40,19 @@ object TextFunctions {
         PiiSsn, "[SSN]"),
       PiiPhone, "[PHONE]")
 
+  /** Canonical text normalization for comparison/dedup keys:
+    * lowercase, every char outside [a-z0-9 ] becomes a space, space
+    * runs collapse, ends trim — so case, punctuation, and whitespace
+    * variants of the same prose normalize identically (the key an
+    * exact-dedup pass should group on when the crawl is noisy).
+    * Narrow, codegen'd; the char-class patterns sit in the Java∩RE2
+    * intersection like the PII regexes, so the DuckDB twin is
+    * byte-identical.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   /** P8: title length constraint (schemes.py:7 — 1..255 chars). */
   def isValidTitle(c: Column): Column = length(c).between(1, 255)
 

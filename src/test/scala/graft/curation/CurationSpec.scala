@@ -46,4 +46,25 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out === Seq(1L, 4L))
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged per id") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will vanish"),
+      (5L, Option.empty[String].orNull) // null content survives digesting
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "brand new"),
+      (5L, Option.empty[String].orNull)
+    ).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(old, neu, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
 }

@@ -51,6 +51,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.toSeq === Seq("1.2.3.4", "h", "unknown"))
   }
 
+  test("normalizeText collapses case, punctuation, and whitespace variants") {
+    val df = Seq(
+      "Hello,  World!",
+      "hello world",
+      "  HELLO --- world  ",
+      "h3llo? w0rld"
+    ).toDF("t")
+    val r = df.select(TextFunctions.normalizeText($"t")).collect()
+      .map(_.getString(0))
+    assert(r(0) === "hello world")
+    assert(r(1) === "hello world") // variants of the same prose agree
+    assert(r(2) === "hello world")
+    assert(r(3) === "h3llo w0rld") // digits survive
+    // idempotent: normalizing a normalized string is a no-op
+    val again = df.select(
+      TextFunctions.normalizeText(TextFunctions.normalizeText($"t")))
+      .collect().map(_.getString(0))
+    assert(again.toSeq === r.toSeq)
+  }
+
   test("content truncation caps scorer input (F2)") {
     val long = "x" * 5000
     val df = Seq(long).toDF("c")
