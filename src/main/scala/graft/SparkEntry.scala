@@ -291,6 +291,13 @@ object SparkEntry {
         .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // md5-mode survivor view under the PREFERENCE policy: each
+    // cluster keeps its longest member (planted near-copies are
+    // truncated, so originals win) — same cached cluster artifact
+    "q_dedup_survivors_best_md5" -> ((s, d) =>
+      Dedup.keepBestPerCluster(plantedCorpus(s, d), dedupClustersMd5(s, d),
+        "doc_id", length(col("text")))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
     // Incremental dedup — the daily-increment production path: the
     // existing corpus pays one signature pass (the index); the new
     // batch (the perturbed near-copies) signs itself and probes the
@@ -1169,6 +1176,19 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM comp
                            WHERE comp.node = corpus.doc_id
                              AND comp.node <> comp.component)
+         ORDER BY doc_id"""),
+    // preference policy: per-cluster winner = max length, ties min id
+    "q_dedup_survivors_best_md5" -> (minhashMd5Cte +
+      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
+                    FROM reach GROUP BY a),
+         pf AS (SELECT c.doc_id, comp.component, length(c.text) AS pf
+                FROM corpus c JOIN comp ON comp.node = c.doc_id),
+         win AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY component
+               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
+         SELECT doc_id FROM corpus
+         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = corpus.doc_id)
+            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = corpus.doc_id)
          ORDER BY doc_id"""),
     "q_ngram_jaccard" ->
       """WITH g AS (

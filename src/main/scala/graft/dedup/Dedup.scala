@@ -835,6 +835,43 @@ object Dedup {
     df.join(losers, col(idCol) <=> col("__drop_id"), "left_anti")
   }
 
+  /** Survivor selection over a precomputed (node, component) cluster
+    * frame with a caller-chosen preference: each cluster keeps the
+    * member maximizing `prefCol` (ties → min id); documents in no
+    * cluster survive untouched. Production near-dup dedup usually
+    * wants "keep the longest / highest-quality copy" rather than
+    * [[dropNearDuplicates]]'s min-id canonical member — with a
+    * constant preference the two coincide.
+    *
+    * Scale shape: the preference projection joins onto the cluster
+    * frame (ids + prefs only — payloads stay put), one window ranks
+    * members within each cluster (clusters are tiny relative to the
+    * corpus), and only loser ids cross the final anti-join.
+    */
+  def keepBestPerCluster(df: DataFrame, clusters: DataFrame,
+      idCol: String, prefCol: Column): DataFrame = {
+    val pref = df.select(col(idCol).as("__pid"), prefCol.as("__pref"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("__pref").desc, col("node"))
+    val losers = clusters.join(pref, col("node") <=> col("__pid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("node").as("__drop_id"))
+    df.join(losers, col(idCol) <=> col("__drop_id"), "left_anti")
+  }
+
+  /** [[dropNearDuplicates]] with the preference-based survivor
+    * policy of [[keepBestPerCluster]].
+    */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
+      prefCol: Column, n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucketSize: Int = 100,
+      hashMode: String = "xx"): DataFrame =
+    keepBestPerCluster(df,
+      minhashClusters(df, idCol, textCol, n, k, bands, threshold,
+        maxBucketSize, hashMode), idCol, prefCol)
+
   // ---------------------------------------------------------------
   // Incremental dedup: new batch vs an existing signature index
   // ---------------------------------------------------------------

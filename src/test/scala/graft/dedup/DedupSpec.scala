@@ -359,4 +359,18 @@ class DedupSpec extends SparkSpec {
       df.filter($"doc_id".isin(1L, 3L, 5L)), "doc_id", "text")
     assert(again.count() === 3)
   }
+
+  test("preference survivor policy keeps the best cluster member") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // cluster {1,2,4}: prefer doc 4 explicitly — it must win over the
+    // min-id canonical member
+    val best = Dedup.dropNearDuplicatesBy(df, "doc_id", "text",
+      when(col("doc_id") === 4L, lit(10)).otherwise(lit(1)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best === Set(4L, 3L, 5L))
+    // a constant preference degrades to the min-id policy
+    val const = Dedup.dropNearDuplicatesBy(df, "doc_id", "text", lit(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(const === Set(1L, 3L, 5L))
+  }
 }
