@@ -496,6 +496,13 @@ object SparkEntry {
     // Clickstream: weekly cohort retention triangle
     "q_retention" -> ((s, d) =>
       SessionOps.retentionCohorts(Tables.events(s, d))),
+    // Clickstream: first-order event-type transition matrix
+    "q_transitions" -> ((s, d) =>
+      SessionOps.eventTransitions(Tables.events(s, d))),
+    // Clickstream: exponentially time-decayed value by type (24 h
+    // half-life anchored at the corpus max timestamp)
+    "q_trending" -> ((s, d) =>
+      StatsOps.trendingByType(Tables.events(s, d))),
     // §2.5 window functions: running totals, row_number, lag gaps
     "q_running_totals" -> ((s, d) => SessionOps.runningUserTotals(Tables.events(s, d))),
     // grouping sets: region→nation ROLLUP with subtotals + grand total
@@ -2011,6 +2018,30 @@ object SparkEntry {
                FROM pu JOIN f USING (user_id))
          SELECT cohort, period_offset, count(*) AS n_users
          FROM c GROUP BY 1, 2 ORDER BY cohort, period_offset""",
+    "q_transitions" ->
+      """WITH pr AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM pr
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4)
+             AS p
+         FROM c ORDER BY from_type, to_type""",
+    // decay terms: exponent = exact-integer-micro division (identical
+    // doubles), pow is libm so each term rounds to integer micro-value
+    // before the exact long sum — the LM micro-nat contract
+    "q_trending" ->
+      """WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+         e AS (SELECT event_type,
+             CAST(round(value * pow(2.0,
+               (epoch_us(ts) - tmax) / CAST(86400000000 AS DOUBLE)) * 1e6)
+               AS BIGINT) AS term6
+           FROM events CROSS JOIN t)
+         SELECT event_type, count(*) AS n_events,
+           round(sum(term6) / 1e6, 4) AS decayed_value
+         FROM e GROUP BY 1 ORDER BY event_type""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
          s1 AS (SELECT user_id, min(t) AS t FROM e

@@ -318,4 +318,32 @@ object SessionOps {
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
           .as("total_balance"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Event-type transition matrix — the first-order Markov readout of
+    * a clickstream: for each ordered per-user event pair, count
+    * (from → to) transitions and row-normalize into transition
+    * probabilities ("after a view, 32% click"). Ties in time break on
+    * event_id, so the sequence is total and engine-identical.
+    *
+    * Scale shape: one shuffle on user_id for the lead() window (the
+    * sessionization shape), then an aggregation whose state is
+    * bounded by |event types|² — tiny regardless of corpus size. The
+    * probability divides exact longs, so the 4-place round is
+    * engine-stable.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

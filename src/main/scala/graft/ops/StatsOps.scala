@@ -126,4 +126,42 @@ object StatsOps {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
+
+  /** Recency-weighted value rollup with exponential time decay — the
+    * "trending" readout (Redis decayed-counter analog): each event
+    * contributes value·2^(−age/halfLife), so yesterday's purchase
+    * counts half as much as today's at a 24 h half-life. The
+    * reference time is the corpus max timestamp (deterministic — a
+    * wall clock would unhash the oracle).
+    *
+    * Cross-engine contract: the exponent is a division of exact
+    * integer micros (identical doubles), pow is libm so each term
+    * rounds to integer MICRO-value before the (exact long, order-
+    * independent) sum — the LM micro-nat pattern.
+    *
+    * Scale shape: one broadcast scalar (max ts) + a narrow term
+    * projection + one aggregation keyed by event type with map-side
+    * combine. Decay never re-reads history: re-scoring tomorrow is
+    * the same one-pass job, which is why the decayed form beats a
+    * windowed count at 100 TB.
+    */
+  def trendingByType(events: DataFrame,
+      halfLifeUs: Long = 86400000000L): DataFrame = {
+    require(halfLifeUs > 0, s"half-life must be positive: $halfLifeUs")
+    val tus = expr("ts div 1000")
+    val tmax = events.agg(max(tus).as("__tmax"))
+    events
+      .select(col("event_type"), col("value"), tus.as("__tus"))
+      .crossJoin(broadcast(tmax))
+      .withColumn("__term6",
+        round(col("value") *
+          pow(lit(2.0),
+            (col("__tus") - col("__tmax")) / lit(halfLifeUs.toDouble)) *
+          1e6).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("__term6")) / 1e6, 4).as("decayed_value"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -226,4 +226,28 @@ class SessionOpsSpec extends SparkSpec {
     assert(out.length === 3)
     assert(out.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("event transitions count ordered per-user pairs, probs sum to 1") {
+    // user 1: view→click→view; user 2: view→purchase; user 3: lone
+    // event (no transition). Transitions: view→click, click→view,
+    // view→purchase.
+    val ev = Seq(
+      (1L, 1L, 1L, "view"), (2L, 2L, 1L, "click"), (3L, 3L, 1L, "view"),
+      (4L, 1L, 2L, "view"), (5L, 2L, 2L, "purchase"),
+      (6L, 1L, 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = SessionOps.eventTransitions(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(out === List(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "purchase", 1L, 0.5)))
+    // per-from probabilities always sum to 1 on the real corpus
+    val sums = SessionOps.eventTransitions(Tables.events(spark, sfDir))
+      .groupBy("from_type").sum("p")
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(s => math.abs(s - 1.0) < 0.01))
+  }
 }

@@ -61,4 +61,26 @@ class StatsOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("trending decay halves a value per half-life of age") {
+    import spark.implicits._
+    // ts in epoch NANOS; half-life 1 hour. Newest event (the anchor)
+    // contributes full value; one half-life older → half; two → quarter
+    val h = 3600000000L // micros
+    val ev = Seq(
+      (1L, 2L * h * 1000L, 1L, "view", 8.0),
+      (2L, 1L * h * 1000L, 1L, "view", 8.0),
+      (3L, 0L, 1L, "view", 8.0),
+      (4L, 2L * h * 1000L, 1L, "click", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = StatsOps.trendingByType(ev, halfLifeUs = h)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("view") === ((3L, 8.0 + 4.0 + 2.0)))
+    assert(out("click") === ((1L, 2.0)))
+    // monotone: shrinking the half-life never raises a type's score
+    val fast = StatsOps.trendingByType(ev, halfLifeUs = h / 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(fast("view") < out("view")._2)
+  }
 }
