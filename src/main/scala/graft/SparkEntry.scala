@@ -291,6 +291,14 @@ object SparkEntry {
         .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Cluster-size histogram over the same cached cluster artifact —
+    // the dedup-health readout ("how big do near-dup families get")
+    "q_cluster_sizes_md5" -> ((s, d) =>
+      dedupClustersMd5(s, d)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
     // md5-mode survivor view under the PREFERENCE policy: each
     // cluster keeps its longest member (planted near-copies are
     // truncated, so originals win) — same cached cluster artifact
@@ -1184,6 +1192,12 @@ object SparkEntry {
                            WHERE comp.node = corpus.doc_id
                              AND comp.node <> comp.component)
          ORDER BY doc_id"""),
+    "q_cluster_sizes_md5" -> (minhashMd5Cte +
+      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
+                    FROM reach GROUP BY a),
+         cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters
+         FROM cs GROUP BY 1 ORDER BY cluster_size"""),
     // preference policy: per-cluster winner = max length, ties min id
     "q_dedup_survivors_best_md5" -> (minhashMd5Cte +
       """, comp AS (SELECT a AS node, least(a, min(b)) AS component

@@ -146,22 +146,72 @@ object StatsOps {
     * windowed count at 100 TB.
     */
   def trendingByType(events: DataFrame,
+      halfLifeUs: Long = 86400000000L): DataFrame =
+    trendingState(events, halfLifeUs)
+      .select(col("event_type"), col("n_events"),
+        round(col("score6") / 1e6, 4).as("decayed_value"))
+      .orderBy(col("event_type"))
+
+  /** [[trendingByType]] in its mergeable STATE form: the decayed sum
+    * kept as integer micro-value (`score6`) plus the anchor timestamp
+    * it is valued at — the representation [[mergeTrendingStates]] can
+    * re-anchor and combine, which is what incremental/streaming
+    * trending persists between batches.
+    */
+  def trendingState(events: DataFrame,
       halfLifeUs: Long = 86400000000L): DataFrame = {
     require(halfLifeUs > 0, s"half-life must be positive: $halfLifeUs")
     val tus = expr("ts div 1000")
-    val tmax = events.agg(max(tus).as("__tmax"))
+    val tmax = events.agg(max(tus).as("anchor_us"))
     events
       .select(col("event_type"), col("value"), tus.as("__tus"))
       .crossJoin(broadcast(tmax))
       .withColumn("__term6",
         round(col("value") *
           pow(lit(2.0),
-            (col("__tus") - col("__tmax")) / lit(halfLifeUs.toDouble)) *
+            (col("__tus") - col("anchor_us")) / lit(halfLifeUs.toDouble)) *
           1e6).cast("long"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("__term6")) / 1e6, 4).as("decayed_value"))
-      .orderBy(col("event_type"))
+        sum(col("__term6")).as("score6"),
+        max(col("anchor_us")).as("anchor_us"))
+  }
+
+  /** Merge two trending states: both sides re-anchor to the later of
+    * the two anchors (each accumulated micro-score decays by its
+    * anchor gap, one rounding per side) and add with exact long
+    * arithmetic. Associative up to ±1 micro-value per merge — the
+    * drift bound incremental trending carries; the one-shot batch
+    * recompute stays the exact reference.
+    */
+  def mergeTrendingStates(a: DataFrame, b: DataFrame,
+      halfLifeUs: Long = 86400000000L): DataFrame = {
+    require(halfLifeUs > 0, s"half-life must be positive: $halfLifeUs")
+    val aAnchor = a.agg(max(col("anchor_us")).as("__aa"))
+    val bAnchor = b.agg(max(col("anchor_us")).as("__ba"))
+    def side(df: DataFrame, anchor: Column, suffix: String) =
+      df.select(col("event_type"),
+        col("n_events").as(s"__n$suffix"),
+        col("score6").as(s"__s$suffix"),
+        anchor.as(s"__t$suffix"))
+    // an empty side contributes a null anchor; the other side's wins
+    val joined = side(a, col("anchor_us"), "a")
+      .join(side(b, col("anchor_us"), "b"), Seq("event_type"), "full_outer")
+      .crossJoin(broadcast(aAnchor)).crossJoin(broadcast(bAnchor))
+      .withColumn("anchor_us",
+        greatest(coalesce(col("__aa"), col("__ba")),
+          coalesce(col("__ba"), col("__aa"))))
+    def decayed(s: String) = coalesce(
+      round(col(s"__s$s") *
+        pow(lit(2.0),
+          (col(s"__t$s") - col("anchor_us")) / lit(halfLifeUs.toDouble)))
+        .cast("long"), lit(0L))
+    joined.select(
+      col("event_type"),
+      (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L)))
+        .as("n_events"),
+      (decayed("a") + decayed("b")).as("score6"),
+      col("anchor_us"))
   }
 }

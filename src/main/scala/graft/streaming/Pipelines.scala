@@ -505,6 +505,75 @@ object Pipelines {
       }
       .start()
 
+  /** Beyond-reference extension: STREAMING decayed counters — the
+    * online form of [[graft.ops.StatsOps.trendingByType]]: each
+    * micro-batch folds into the persisted per-type trending state
+    * (integer micro-score + anchor) via
+    * [[graft.ops.StatsOps.mergeTrendingStates]].
+    *
+    * Exactly-once by STATE VERSIONING rather than partition
+    * overwrite — an accumulator can't use the dynamic-overwrite
+    * recovery of the other sinks (replaying state = f(state, batch)
+    * against already-updated state would double-count). Instead
+    * batch N reads the newest version with id < N and (re)writes
+    * `v=N`: a replay reads the same input version, which is still on
+    * disk, and recomputes the identical output. State is one row per
+    * event type (tiny), so versioned full rewrites cost nothing;
+    * prune old versions by retention if the topology runs forever.
+    */
+  def processTrendingBatch(batch: DataFrame, stateDir: String,
+      batchId: Long, halfLifeUs: Long = 86400000000L): Unit = {
+    import graft.ops.StatsOps
+    val spark = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevVersion: Option[Long] =
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          .filter(_ < batchId).sorted.lastOption
+      else None
+    val cur = StatsOps.trendingState(batch, halfLifeUs)
+    val merged = prevVersion match {
+      case None => cur
+      case Some(v) => StatsOps.mergeTrendingStates(
+        spark.read.parquet(s"$stateDir/v=$v"), cur, halfLifeUs)
+    }
+    val out = merged.localCheckpoint(true)
+    try out.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    finally freeLocalCheckpoint(out)
+  }
+
+  /** The streaming entry: events → versioned trending state at
+    * `stateDir`, exactly-once via checkpoint + the versioned batch
+    * core above.
+    */
+  def trendingSink(events: DataFrame, stateDir: String,
+      checkpointDir: String, halfLifeUs: Long = 86400000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processTrendingBatch(batch, stateDir, batchId, halfLifeUs)
+      }
+      .start()
+
+  /** Serving readout of the newest persisted trending state — same
+    * shape as the batch [[graft.ops.StatsOps.trendingByType]].
+    */
+  def readTrendingScores(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    spark.read.parquet(s"$stateDir/v=$newest")
+      .select(col("event_type"), col("n_events"),
+        round(col("score6") / 1e6, 4).as("decayed_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Beyond-reference extension: STREAMING LM-quality gating — the
     * online form of [[graft.textanalysis.TextAnalysis.lmScoreWith]].
     * The bigram model is a FROZEN parquet artifact (trained once on a

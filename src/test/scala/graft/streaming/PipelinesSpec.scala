@@ -407,6 +407,39 @@ class PipelinesSpec extends SparkSpec {
     assert(out === Map(1L -> "a b c d e f", 2L -> "n o p"))
   }
 
+  test("streaming trending state: versioned merge tracks the batch op, replay-safe") {
+    import graft.ops.StatsOps
+    val h = 3600000000L // 1 h half-life, micros
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_trending").toString + "/state"
+    def ev(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (id, tus, tp, v) => (id, tus * 1000L, 1L, tp, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b0 = ev(Seq((1L, 0L, "view", 8.0), (2L, h, "view", 8.0)))
+    val b1 = ev(Seq((3L, 2 * h, "view", 8.0), (4L, 2 * h, "click", 2.0)))
+    Pipelines.processTrendingBatch(b0, stateDir, 0L, h)
+    // a single batch is EXACTLY the batch operator
+    val s0 = Pipelines.readTrendingScores(spark, stateDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s0 === Map("view" -> 12.0)) // 8 + 8/2
+    Pipelines.processTrendingBatch(b1, stateDir, 1L, h)
+    val s1 = Pipelines.readTrendingScores(spark, stateDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // incremental ≡ one-shot recompute within the ±1-micro-per-merge
+    // drift bound (here the decays are exact powers of two: equal)
+    val oneShot = StatsOps.trendingByType(b0.unionByName(b1), h)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s1.keySet === oneShot.keySet)
+    s1.foreach { case (k, v) => assert(math.abs(v - oneShot(k)) <= 1e-5, k) }
+    assert(s1("view") === 14.0) // 8/4 + 8/2 + 8
+    // REPLAY of batch 1: reads version 0 again (still on disk) and
+    // rewrites v=1 with the identical state — no double count
+    Pipelines.processTrendingBatch(b1, stateDir, 1L, h)
+    val s1r = Pipelines.readTrendingScores(spark, stateDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s1r === s1)
+  }
+
   test("view-stats state is constant-size in visitor count (HLL blob)") {
     // 1k then 99k more distinct visitors through the same state key:
     // the blob must stay under the lgK=12 HLL_4 compact bound instead
