@@ -733,32 +733,35 @@ object SparkEntry {
     * one JVM's overwrite against another's probe; the build output is
     * deterministic for a given source dir.
     */
-  private def builtIvfIndex(s: SparkSession, d: String): String = {
+  /** One build-once scratch index per (prefix, corpus path): the
+    * keying scheme — md5 of the FULL path + the pid — lives here only,
+    * so the collision-resistance and cross-process-isolation rationale
+    * can never drift between the float and quantized index variants.
+    */
+  private def builtIndexDir(prefix: String, d: String)(
+      write: String => Unit): String = {
     val pathDigest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
-    ivfIndexBuilt.computeIfAbsent(dir, p => {
-      Similarity.writeIvfIndex(Tables.embeddings(s, d),
-        Similarity.seedCentroids(Tables.embeddings(s, d), 16), p); p
-    })
+      s"${prefix}_${pathDigest}_${ProcessHandle.current().pid()}").getPath
+    ivfIndexBuilt.computeIfAbsent(dir, p => { write(p); p })
     dir
   }
+
+  private def builtIvfIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf", d) { p =>
+      Similarity.writeIvfIndex(Tables.embeddings(s, d),
+        Similarity.seedCentroids(Tables.embeddings(s, d), 16), p)
+    }
 
   /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
     * keying, cell-partitioned quantized entries.
     */
-  private def builtQuantizedIvfIndex(s: SparkSession, d: String): String = {
-    val pathDigest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_qivf_${pathDigest}_${ProcessHandle.current().pid()}").getPath
-    ivfIndexBuilt.computeIfAbsent(dir, p => {
+  private def builtQuantizedIvfIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_qivf", d) { p =>
       Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
-        Similarity.seedCentroids(Tables.embeddings(s, d), 16), p); p
-    })
-    dir
-  }
+        Similarity.seedCentroids(Tables.embeddings(s, d), 16), p)
+    }
 
   /** Lloyd-refined centroids per corpus dir. The k-means build runs
     * ONCE (build-once probe-many, like the written index); the cached

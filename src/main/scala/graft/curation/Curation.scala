@@ -93,9 +93,7 @@ object Curation {
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
       idCol: String, contentCols: Seq[String]): DataFrame = {
     def digested(df: DataFrame, as: String) =
-      df.select(col(idCol),
-        md5(to_json(struct(contentCols.map(col): _*),
-          Map("ignoreNullFields" -> "false"))).as(as))
+      df.select(col(idCol), Dedup.rowDigest(contentCols).as(as))
     digested(oldCorpus, "__old")
       .join(digested(newCorpus, "__new"), Seq(idCol), "full_outer")
       .withColumn("status",

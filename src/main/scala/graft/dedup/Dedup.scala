@@ -40,9 +40,16 @@ object Dedup {
     * field boundaries, so ("a b","c") and ("a","b c") can't serialize
     * identically either.
     */
+  /** The shared null-safe row digest: md5 of the JSON struct with
+    * nulls kept. Exact dedup and corpus diffing both key on this, so
+    * "same content" means the same thing everywhere by construction.
+    */
+  def rowDigest(keyCols: Seq[String]): Column =
+    md5(to_json(struct(keyCols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
+
   def exactDuplicateGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    df.groupBy(md5(to_json(struct(keyCols.map(col): _*),
-        Map("ignoreNullFields" -> "false"))).as("dup_key"))
+    df.groupBy(rowDigest(keyCols).as("dup_key"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") > 1)
 

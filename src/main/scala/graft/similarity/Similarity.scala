@@ -390,7 +390,9 @@ object Similarity {
       s
     }
     val qn = math.sqrt(dotL(query, query))
-    if (qn == 0.0) return Seq.empty
+    // non-finite queries (NaN/Inf entries) have no cosine direction
+    // either — and BigDecimal(NaN) below would throw, not degrade
+    if (qn == 0.0 || !java.lang.Double.isFinite(qn)) return Seq.empty
     cents.zipWithIndex.flatMap { case (c, i) =>
       val cn = math.sqrt(dotL(c, c))
       if (cn == 0.0) None
@@ -468,8 +470,10 @@ object Similarity {
     */
   def quantizedTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
       queryVec: Seq[Double], k: Int, nProbe: Int): DataFrame = {
-    val probes = probeCells(cents, queryVec, nProbe)
+    // quantize FIRST: a degenerate query must short-circuit before
+    // probe selection ever touches its (possibly non-finite) values
     val (qs, qq) = quantizeQuery(queryVec)
+    val probes = if (qs == 0.0) Seq.empty else probeCells(cents, queryVec, nProbe)
     val filtered =
       if (probes.isEmpty || qs == 0.0) index.filter(lit(false))
       else index.filter(col("cell").isin(probes: _*))

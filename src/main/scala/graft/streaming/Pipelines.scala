@@ -521,18 +521,26 @@ object Pipelines {
     * event type (tiny), so versioned full rewrites cost nothing;
     * prune old versions by retention if the topology runs forever.
     */
+  /** Version ids present in a trending state dir (empty when the dir
+    * doesn't exist). Foreign files are ignored rather than crashing
+    * the toLong parse — one shared listing for the write and read
+    * paths so the naming scheme can never drift between them.
+    */
+  private def trendingVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v=\\d+")).map(_.stripPrefix("v=").toLong)
+    else Seq.empty
+
   def processTrendingBatch(batch: DataFrame, stateDir: String,
       batchId: Long, halfLifeUs: Long = 86400000000L): Unit = {
     import graft.ops.StatsOps
     val spark = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prevVersion: Option[Long] =
-      if (fs.exists(dir))
-        fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-          .filter(_ < batchId).sorted.lastOption
-      else None
+    val versions = trendingVersions(fs, dir)
+    val prevVersion = versions.filter(_ < batchId).sorted.lastOption
     val cur = StatsOps.trendingState(batch, halfLifeUs)
     val merged = prevVersion match {
       case None => cur
@@ -540,8 +548,14 @@ object Pipelines {
         spark.read.parquet(s"$stateDir/v=$v"), cur, halfLifeUs)
     }
     val out = merged.localCheckpoint(true)
-    try out.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
-    finally freeLocalCheckpoint(out)
+    try {
+      out.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+      // versions ABOVE this batch can only belong to a dead stream
+      // incarnation (a live run's batch ids are monotone) — left in
+      // place they'd shadow the live state in newest-version reads
+      versions.filter(_ > batchId).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v=$v"), true))
+    } finally freeLocalCheckpoint(out)
   }
 
   /** The streaming entry: events → versioned trending state at
@@ -566,12 +580,16 @@ object Pipelines {
       stateDir: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newest = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
-    spark.read.parquet(s"$stateDir/v=$newest")
-      .select(col("event_type"), col("n_events"),
-        round(col("score6") / 1e6, 4).as("decayed_value"))
-      .orderBy(col("event_type"))
+    trendingVersions(fs, dir).maxOption match {
+      case None => // nothing committed yet → empty result, not a crash
+        spark.range(0).select(lit("").as("event_type"),
+          lit(0L).as("n_events"), lit(0.0).as("decayed_value"))
+      case Some(newest) =>
+        spark.read.parquet(s"$stateDir/v=$newest")
+          .select(col("event_type"), col("n_events"),
+            round(col("score6") / 1e6, 4).as("decayed_value"))
+          .orderBy(col("event_type"))
+    }
   }
 
   /** Beyond-reference extension: STREAMING LM-quality gating — the

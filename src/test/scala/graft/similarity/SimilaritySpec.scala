@@ -267,6 +267,13 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
       .filter(r => cellIds(r._1)).take(10)
     assert(got.toSeq === full.toSeq)
+    // degenerate queries degrade to empty, never throw: zero, NaN, Inf
+    Seq(Seq(0.0, 0.0), Seq(Double.NaN, 1.0), Seq(Double.PositiveInfinity))
+      .foreach { q =>
+        assert(Similarity.quantizedTopKFromIndex(idx, cents, q, 10, 2)
+          .count() === 0L, q)
+        assert(Similarity.probeCells(cents, q, 2) === Seq.empty, q)
+      }
   }
 
   test("quantized top-k closely tracks the exact float ranking") {

@@ -438,6 +438,21 @@ class PipelinesSpec extends SparkSpec {
     val s1r = Pipelines.readTrendingScores(spark, stateDir)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(s1r === s1)
+    // reading before any batch committed: empty result, not a crash
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_trending_empty").toString + "/state"
+    assert(Pipelines.readTrendingScores(spark, fresh).count() === 0L)
+    // a dead incarnation's higher versions are purged on the next
+    // write — a fresh checkpoint over an old state dir must not keep
+    // serving the dead run's newest version
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_trending_stale").toString + "/state"
+    Pipelines.processTrendingBatch(b0, dir2, 99L, h) // dead run's state
+    Pipelines.processTrendingBatch(b1, dir2, 0L, h)  // new incarnation
+    val revived = Pipelines.readTrendingScores(spark, dir2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // v=99 is gone; the readout is batch 1 alone (the new run's v=0)
+    assert(revived === Map("view" -> 8.0, "click" -> 2.0))
   }
 
   test("view-stats state is constant-size in visitor count (HLL blob)") {
