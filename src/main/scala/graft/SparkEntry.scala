@@ -291,6 +291,14 @@ object SparkEntry {
         .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Leakage-safe split: split keys are near-dup cluster labels, so
+    // duplicate families never straddle train/eval (same cached
+    // cluster artifact; per-doc rows so the grouping is oracled)
+    "q_leakage_safe_split" -> ((s, d) =>
+      SampleOps.leakageSafeSplit(plantedCorpus(s, d),
+        dedupClustersMd5(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))),
     // Cluster-size histogram over the same cached cluster artifact —
     // the dedup-health readout ("how big do near-dup families get")
     "q_cluster_sizes_md5" -> ((s, d) =>
@@ -1195,6 +1203,20 @@ object SparkEntry {
                            WHERE comp.node = corpus.doc_id
                              AND comp.node <> comp.component)
          ORDER BY doc_id"""),
+    // split key = cluster component when clustered, own id otherwise;
+    // boundaries are the q_hash_split md5-prefix constants
+    "q_leakage_safe_split" -> (minhashMd5Cte +
+      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
+                    FROM reach GROUP BY a)
+         SELECT c.doc_id,
+           CASE
+             WHEN substring(md5(CAST(coalesce(comp.component, c.doc_id)
+               AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+             WHEN substring(md5(CAST(coalesce(comp.component, c.doc_id)
+               AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+             ELSE 'test' END AS split
+         FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+         ORDER BY c.doc_id"""),
     "q_cluster_sizes_md5" -> (minhashMd5Cte +
       """, comp AS (SELECT a AS node, least(a, min(b)) AS component
                     FROM reach GROUP BY a),

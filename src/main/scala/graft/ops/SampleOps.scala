@@ -83,6 +83,28 @@ object SampleOps {
       weights: Seq[(String, Double)], outCol: String = "split"): DataFrame =
     df.withColumn(outCol, splitColumn(col(idCol), weights))
 
+  /** Leakage-safe train/val/test split: the split key is the row's
+    * near-dup CLUSTER label instead of its own id, so every member
+    * of a duplicate family lands in the same bucket — a near-copy of
+    * a training document can never leak into the eval split, the
+    * failure mode a plain id-keyed split has on an undeduped corpus.
+    * `clusters` is the (node, component) frame of
+    * [[graft.dedup.Dedup.minhashClusters]]; unclustered rows key on
+    * their own id (they ARE their own family).
+    *
+    * Scale shape: one join against the cluster frame (ids only —
+    * tiny relative to the corpus, and only cluster members match),
+    * then the same narrow hash-boundary projection as [[hashSplit]].
+    */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], outCol: String = "split"): DataFrame =
+    df
+      .join(clusters.select(col("node").as("__sn"),
+        col("component").as("__sc")), col(idCol) <=> col("__sn"), "left")
+      .withColumn(outCol,
+        splitColumn(coalesce(col("__sc"), col(idCol)), weights))
+      .drop("__sn", "__sc")
+
   /** Exactly-n corpus cut in deterministic hash order — "give me a
     * 10M-document budget from this crawl", reproducible anywhere.
     * Compiles to TakeOrdered (per-partition top-n + driver merge of

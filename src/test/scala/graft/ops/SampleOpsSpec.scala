@@ -194,6 +194,27 @@ class SampleOpsSpec extends SparkSpec {
       again.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("leakage-safe split keeps near-dup families in one bucket") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // families {1..10} and {11..20}; everything else unclustered
+    val clusters = ((1L to 10L).map(i => (i, 1L)) ++
+      (11L to 20L).map(i => (i, 11L))).toDF("node", "component")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = SampleOps.leakageSafeSplit(rows, clusters, "doc_id", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 400)
+    // each family shares one split — no member leaks across buckets
+    assert((1L to 10L).map(out).toSet.size === 1)
+    assert((11L to 20L).map(out).toSet.size === 1)
+    // unclustered rows split exactly as the plain id-keyed split
+    val plain = SampleOps.hashSplit(rows, "doc_id", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (21L to 400L).foreach(i => assert(out(i) === plain(i), s"doc $i"))
+  }
+
   test("redactPii strips emails, SSNs, and phones; leaves clean text") {
     import spark.implicits._
     val rows = Seq(
