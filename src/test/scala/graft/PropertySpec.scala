@@ -138,6 +138,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("segmentDedup matches an exact Scala reference on random corpora") {
+    // small vocabulary so segment repeats actually occur
+    val docGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.segmentDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", segWords = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // reference: first corpus-wide (id, pos) occurrence per segment,
+    // docs rebuilt from surviving segments in position order
+    def segs(t: String): Seq[String] =
+      t.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val firsts = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      segs(t).zipWithIndex.foreach { case (s, p) =>
+        if (!firsts.contains(s)) firsts(s) = (id, p)
+      }
+    }
+    docs.foreach { case (id, t) =>
+      val all = segs(t)
+      val kept = all.zipWithIndex
+        .filter { case (s, p) => firsts(s) == ((id, p)) }.map(_._1)
+      if (kept.isEmpty) assert(!out.contains(id), s"doc $id")
+      else assert(out(id) ===
+        ((kept.mkString(" "), kept.size.toLong, all.size.toLong)), s"doc $id")
+    }
+  }
+
   test("uuid7 ordering follows timestamp ordering") {
     val ts = samples(Gen.chooseNum(1L, 1L << 40), 100).distinct.sorted
     val df = ts.map(t => (t, s"k$t")).toDF("ts", "k")
