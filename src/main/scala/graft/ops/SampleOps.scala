@@ -162,6 +162,22 @@ object SampleOps {
       .withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Materialize [[trainingShards]] as the physical training layout:
+    * one parquet directory per shard, rows ordered by `pos` within
+    * each shard's files — a data-loader worker reads its own
+    * directory front-to-back and sees the deterministic global
+    * shuffle. The write co-locates each shard before writing
+    * (repartition on the shard key + in-partition sort), so no
+    * global sort materializes and each shard streams to one writer —
+    * the exact plan the [[trainingShards]] docstring promises.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, nShards: Int,
+      path: String): Unit =
+    trainingShards(df, idCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Per-stratum temperature-sampling weights — the multinomial
     * α-mixing of multilingual/multi-source corpora (XLM, mT5): the
     * target share of stratum s is p_s^α / Σ_t p_t^α, flattening the

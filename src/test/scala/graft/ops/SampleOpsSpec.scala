@@ -153,6 +153,32 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("written training shards: one dir per shard, in-file pos order") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/shards"
+    SampleOps.writeTrainingShards(docs.select("doc_id"), "doc_id", 4, dir)
+    // one partition directory per shard
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq === (0 until 4).map(s => s"shard=$s"))
+    // a worker reading its directory front-to-back sees pos order
+    // (single sorted file per shard at test scale), and the content
+    // is exactly the assignment frame's shard slice
+    val assigned = SampleOps.trainingShards(docs.select("doc_id"), "doc_id", 4)
+    (0 until 4).foreach { s =>
+      val file = new java.io.File(s"$dir/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(file.length === 1, s"shard $s files")
+      val rows = spark.read.parquet(file(0).getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+      val expect = assigned.filter(col("shard") === s)
+        .orderBy(col("pos")).select("doc_id", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === expect.toSeq)
+    }
+  }
+
   test("temperature weights: alpha=1 is proportional, keeps everything") {
     val w = SampleOps.temperatureWeights(docs, "lang", 1.0).collect()
     w.foreach { r =>
