@@ -81,6 +81,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the per-query dict above can exceed the driver's tail capture —
+    // repeat the headline number LAST in a short line so the round's
+    // total always survives truncation
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

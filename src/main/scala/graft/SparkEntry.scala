@@ -452,6 +452,7 @@ object SparkEntry {
       graft.curation.Curation.curate(
         docs.filter(col("doc_id") % 101 =!= 7),
         docs.filter(col("doc_id") % 101 === 7))
+        .orderBy(col("doc_id")) // presentation sort at the query edge
     }),
     // Fixed document budget: exactly-40 corpus cut in md5 order
     "q_sample_budget" -> ((s, d) =>
@@ -650,7 +651,8 @@ object SparkEntry {
     // Duplication profile: per-doc fraction of distinct trigrams
     // shared with at least one other document
     "q_duplication_profile" -> ((s, d) =>
-      Dedup.duplicationProfile(Tables.documents(s, d))),
+      Dedup.duplicationProfile(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     // Corpus snapshot diff: v2 drops %13 docs, edits %17 texts, adds
     // a +1e6 slice — the per-id added/removed/changed/unchanged readout
     "q_corpus_diff" -> ((s, d) => {
@@ -661,6 +663,7 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 10 === 3)
           .withColumn("doc_id", col("doc_id") + 1000000L))
       graft.curation.Curation.corpusDiff(docs, v2, "doc_id", Seq("text"))
+        .orderBy(col("doc_id"))
     }),
     // Canonical normalization over planted case/punct/whitespace noise
     "q_normalize_text" -> ((s, d) =>

@@ -199,7 +199,9 @@ object Dedup {
     * one digest-count aggregation with map-side combine (state
     * bounded by the gram vocabulary), one join back on the digest,
     * one per-doc aggregation. All three stages are linear in the
-    * corpus; nothing is pairwise.
+    * corpus; nothing is pairwise. Output is UNORDERED — callers who
+    * need presentation order sort at the query edge, so the operator
+    * never charges a corpus-wide global sort.
     */
   def duplicationProfile(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3,
@@ -221,7 +223,6 @@ object Dedup {
         when(col("n_grams") > 0,
           round(col("n_shared") / col("n_grams"), 4)).otherwise(lit(0.0)))
       .withColumn("flagged", col("dup_frac") >= threshold)
-      .orderBy(col(idCol))
   }
 
   /** The distinct segment-digest set of a corpus — the cheap
@@ -603,11 +604,28 @@ object Dedup {
       .toDF("node", "component")
   }
 
+  /** Conservative single-task memory estimate for the union-find
+    * fast path: each symmetrized edge can introduce two LongMap
+    * entries, and a LongMap[Long] entry costs ~64 B at worst (8 B
+    * key + boxed-Long value + table slack at the 0.5 load factor) —
+    * so ~128 B per edge. The fast-path gate converts the caller's
+    * byte budget through this, making the cap a memory contract
+    * rather than a bare edge count.
+    */
+  val UnionFindBytesPerEdge = 128L
+
+  /** Default in-task byte budget for the union-find fast path —
+    * deliberately a small slice of a typical executor heap, because
+    * the single task also pays shuffle-read buffers on top.
+    */
+  val UnionFindByteBudget: Long = 512L << 20
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, smallGraphEdges: Long = 4000000L,
-      algorithm: String = "minlabel"): DataFrame =
+      algorithm: String = "minlabel",
+      unionFindByteBudget: Long = UnionFindByteBudget): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter,
-      smallGraphEdges, algorithm)._1
+      smallGraphEdges, algorithm, unionFindByteBudget)._1
 
   /** As [[connectedComponents]], also returning the number of
     * distributed rounds run (0 for the union-find fast path) — specs
@@ -616,7 +634,8 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
       smallGraphEdges: Long = 4000000L,
-      algorithm: String = "minlabel"): (DataFrame, Int) = {
+      algorithm: String = "minlabel",
+      unionFindByteBudget: Long = UnionFindByteBudget): (DataFrame, Int) = {
     require(algorithm == "minlabel" || algorithm == "star",
       s"unknown components algorithm '$algorithm' (minlabel | star)")
     // symmetrize in ONE pass over the input (explode, not union —
@@ -633,11 +652,16 @@ object Dedup {
     // fast path: a verified near-dup pair list is typically orders of
     // magnitude smaller than its corpus — when it fits one task (and
     // ids are longs), union-find solves it exactly in ONE job instead
-    // of diameter-many shuffle rounds. Past the limit, or for non-long
-    // ids, the distributed propagation below is the scale path.
+    // of diameter-many shuffle rounds. The gate is BOTH an edge cap
+    // and a byte budget (edges × UnionFindBytesPerEdge), so a
+    // small-heap executor declines the fast path instead of OOMing.
+    // Past either limit, or for non-long ids, the distributed
+    // propagation below is the scale path.
     val longIds = sym.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && smallGraphEdges > 0 && sym.count() <= smallGraphEdges) {
+    val maxFastEdges =
+      math.min(smallGraphEdges, unionFindByteBudget / UnionFindBytesPerEdge)
+    if (longIds && smallGraphEdges > 0 && sym.count() <= maxFastEdges) {
       val out = unionFindComponents(sym).localCheckpoint(true)
       sym.unpersist()
       return (out, 0)
@@ -751,9 +775,20 @@ object Dedup {
     * two aggregations + two joins per round. The scale path for
     * chain-shaped / high-diameter graphs.
     *
-    * Convergence certificate is EXACT, not a fixed-point heuristic.
-    * With the (hi > lo) orientation the edge set is the terminal
-    * star forest iff BOTH hold:
+    * Convergence is detected in two layers, so the per-round cost is
+    * ONE job with nothing extra riding it (the min-label pattern):
+    *   - every round's localCheckpoint carries (edge count, an
+    *     order-independent xxhash64 edge-set sum) via `observe()` —
+    *     zero additional jobs or shuffles. At the fixed point the
+    *     round output equals its input, so the pair goes unchanged.
+    *   - only when the pair repeats does [[isStarForest]] run: the
+    *     EXACT certificate (typically once per call). A spurious
+    *     hash-sum repeat (collision) is caught by the exact check and
+    *     the loop just continues — the hash is an optimization
+    *     trigger, never a correctness input.
+    *
+    * The exact certificate: with the (hi > lo) orientation the edge
+    * set is the terminal star forest iff BOTH hold:
     *   1. no node appears as a hi twice (each child has ONE parent —
     *      "no lo as hi" alone would accept a child bridging two
     *      roots, silently splitting a merged component and emitting
@@ -763,7 +798,13 @@ object Dedup {
     * both star steps preserve connected components, each star is a
     * whole component rooted at its minimum — precisely the fixed
     * point. Both conditions reduce to ONE tiny aggregation over the
-    * checkpointed edges per round.
+    * checkpointed edges; both steps are deterministic, so an already-
+    * converged input repeats its pair on the first round.
+    *
+    * Reported rounds count the applications that CHANGED the edge
+    * set (the detection round that reproduces its input is work, but
+    * not progress) — so the count matches the previous
+    * per-round-certificate implementation exactly.
     */
   private def starComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
@@ -771,9 +812,20 @@ object Dedup {
       sym.unpersist()
       return (nodes.withColumn("component", col("node")), 0)
     }
+    // the observed edge-set signature: row count + commutative
+    // xxhash64 sum (decimal — a long sum can overflow and ANSI throws)
+    val setSig = Seq(
+      count(lit(1)).as("n_edges"),
+      coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("edge_hash"))
+    def sig(o: org.apache.spark.sql.Observation): (Long, java.math.BigDecimal) =
+      (o.get("n_edges").asInstanceOf[Long],
+        o.get("edge_hash").asInstanceOf[java.math.BigDecimal])
     // sym is self-loop-free; keep one orientation
+    val obs0 = org.apache.spark.sql.Observation()
     var d = sym.filter(col("a") > col("b"))
       .select(col("a").as("hi"), col("b").as("lo"))
+      .observe(obs0, setSig.head, setSig.tail: _*)
       .localCheckpoint(true)
     sym.unpersist()
     def isStarForest(e: DataFrame): Boolean =
@@ -784,17 +836,26 @@ object Dedup {
         .filter(col("nh") > 1 || (col("nh") > 0 && col("nl") > 0))
         .isEmpty
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    var rounds = 0
-    var converged = isStarForest(d)
-    while (!converged && rounds < maxIter) {
+    var prevSig = sig(obs0)
+    var apps = 0 // star-step applications, including the detection round
+    var converged = false
+    while (!converged && apps <= maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(d)).localCheckpoint(true)
+      val obs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(d))
+        .observe(obs, setSig.head, setSig.tail: _*)
+        .localCheckpoint(true)
+      apps += 1
+      val curSig = sig(obs)
+      val unchanged = curSig._1 == prevSig._1 &&
+        curSig._2.compareTo(prevSig._2) == 0
+      if (unchanged) converged = isStarForest(next)
+      prevSig = curSig
       d.unpersist()
       d = next
-      rounds += 1
-      converged = isStarForest(d)
       if (debug) System.err.println(
-        f"[cc-star] round $rounds: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        f"[cc-star] round $apps: edges=${curSig._1} unchanged=$unchanged " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents(star) did not converge in $maxIter rounds — " +
@@ -804,7 +865,7 @@ object Dedup {
     val out = nodes.join(d, nodes("node") === d("hi"), "left")
       .select(nodes("node"),
         coalesce(d("lo"), nodes("node")).as("component"))
-    (out, rounds)
+    (out, apps - 1)
   }
 
   /** Near-duplicate CLUSTERS over a corpus: MinHash-LSH verified

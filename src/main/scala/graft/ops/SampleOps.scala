@@ -175,7 +175,12 @@ object SampleOps {
       path: String): Unit =
     trainingShards(df, idCol, nShards)
       .repartition(col("shard"))
-      .sortWithinPartitions(col("pos"))
+      // sort by (shard, pos): the partition column must lead so the
+      // writer's required ordering is already satisfied — sorting by
+      // pos alone makes FileFormatWriter insert its OWN sort on shard,
+      // and per-shard pos order then hangs on sort stability, which
+      // UnsafeExternalSorter does not guarantee once it spills
+      .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Per-stratum temperature-sampling weights — the multinomial

@@ -87,7 +87,10 @@ object Similarity {
     * poison the max; without the guard, round(NaN/Inf).cast(int)
     * would THROW under Spark 4's default ANSI mode and kill the whole
     * job for one bad row). Pure IEEE max + divide over the stored
-    * floats — no libm, so the value is bit-identical in any engine.
+    * floats — no libm, so for FINITE inputs the value is bit-identical
+    * in any engine. The DuckDB oracles cover exactly that finite
+    * contract; the non-finite degrade branch is Spark-side behavior
+    * pinned by spec, not by the oracle (whose SQL omits the guard).
     */
   def quantScale(v: Column): Column = {
     val m = coalesce(array_max(transform(asDouble(v), x => abs(x))), lit(0.0))

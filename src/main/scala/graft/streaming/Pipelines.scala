@@ -541,6 +541,21 @@ object Pipelines {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = trendingVersions(fs, dir)
     val prevVersion = versions.filter(_ < batchId).sorted.lastOption
+    // a fresh checkpoint restarts batch ids at 0; over an existing
+    // stateDir that would silently ignore ALL persisted state (none
+    // has id < 0) and then purge every newer version as a dead
+    // incarnation — unrecoverable if the source no longer retains
+    // history. stateDir and checkpointDir share a lifecycle: fail
+    // fast, don't destroy. (A replay of this batch's OWN version —
+    // state written, checkpoint commit lost — has versions ≤ batchId
+    // only, and stays allowed.)
+    if (prevVersion.isEmpty && versions.exists(_ > batchId))
+      throw new IllegalStateException(
+        s"trending stateDir $stateDir already has versions up to " +
+          s"v=${versions.max} but batch $batchId found none below it — " +
+          "the stream was restarted with a fresh checkpoint over an " +
+          "existing stateDir. Delete the state dir to truly start over, " +
+          "or restore the matching checkpoint.")
     val cur = StatsOps.trendingState(batch, halfLifeUs)
     val merged = prevVersion match {
       case None => cur

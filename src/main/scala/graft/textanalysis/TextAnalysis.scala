@@ -178,6 +178,37 @@ object TextAnalysis {
       },
       acc => acc.getField("best"))
 
+  /** Rounded duplicate fraction of an array (1 − distinct/total),
+    * 0.0 for empty arrays. Shared by [[repetitionStats]] and
+    * [[repetitiveFlag]] so the two can never drift.
+    */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) > 0,
+      round(lit(1.0) - size(array_distinct(arr)) / size(arr), 4))
+      .otherwise(lit(0.0))
+
+  /** Rounded share of bigram slots held by the single most frequent
+    * bigram, 0.0 when there are none. Shared as [[dupFrac]].
+    */
+  def topBigramFrac(bg: Column): Column =
+    when(size(bg) > 0,
+      round(maxMultiplicity(array_sort(bg)) / size(bg), 4))
+      .otherwise(lit(0.0))
+
+  /** The [[repetitionStats]] gate as one row-local Column over a
+    * token array — so composite pipelines (the curation capstone)
+    * inline the gate into their base scan instead of paying a metric
+    * frame + join. Built from the same rounded-fraction helpers as
+    * repetitionStats; a spec pins the parity.
+    */
+  def repetitiveFlag(ws: Column,
+      topBigramThreshold: Double = 0.08,
+      dupTrigramThreshold: Double = 0.05,
+      minWords: Int = 20): Column =
+    size(ws).cast("long") >= minWords &&
+      (topBigramFrac(ngrams(ws, 2)) >= topBigramThreshold ||
+        dupFrac(ngrams(ws, 3)) >= dupTrigramThreshold)
+
   /** Per-document repetition statistics — the Gopher/MassiveText
     * repetition filters (Rae et al. 2021 §A1.1) re-expressed over
     * whitespace tokens: duplicate-word fraction, duplicate n-gram
@@ -200,10 +231,6 @@ object TextAnalysis {
       topBigramThreshold: Double = 0.08,
       dupTrigramThreshold: Double = 0.05,
       minWords: Int = 20): DataFrame = {
-    def dupFrac(arr: Column) =
-      when(size(arr) > 0,
-        round(lit(1.0) - size(array_distinct(arr)) / size(arr), 4))
-        .otherwise(lit(0.0))
     documents
       .withColumn("ws", words(col("text")))
       .withColumn("bg", ngrams(col("ws"), 2))
@@ -214,9 +241,7 @@ object TextAnalysis {
         dupFrac(col("ws")).as("dup_word_frac"),
         dupFrac(col("bg")).as("dup_bigram_frac"),
         dupFrac(col("tg")).as("dup_trigram_frac"),
-        when(size(col("bg")) > 0,
-          round(maxMultiplicity(array_sort(col("bg"))) / size(col("bg")), 4))
-          .otherwise(lit(0.0)).as("top_bigram_frac"))
+        topBigramFrac(col("bg")).as("top_bigram_frac"))
       .withColumn("repetitive",
         col("n_words") >= minWords &&
           (col("top_bigram_frac") >= topBigramThreshold ||

@@ -250,6 +250,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("curation capstone: one corpus scan in the gate plan, no operator-level sort") {
+    import spark.implicits._
+    val bench = Seq((900L, "alpha beta gamma delta", "bench"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.curation.Curation.curate(
+      Tables.documents(spark, sfDir), bench)
+    val p = plan(out)
+    // scan 1 (base) is the only file scan in the gate plan; scan 2 —
+    // the tokenization pass — was materialized via localCheckpoint and
+    // reads back as an RDD scan. ≤2 corpus scans total, ever.
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan rdd"), p)
+    // no global sort inside the operator (callers sort at the edge)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("corpus diff and duplication profile carry no operator-level global sort") {
+    val docs = Tables.documents(spark, sfDir)
+    val pd = plan(graft.curation.Curation.corpusDiff(
+      docs, docs.filter(col("doc_id") % 13 =!= 0), "doc_id", Seq("text")))
+    assert(!pd.contains("Exchange rangepartitioning"), pd)
+    val pp = plan(Dedup.duplicationProfile(docs))
+    assert(!pp.contains("Exchange rangepartitioning"), pp)
+  }
+
   test("training shards: one shard-key shuffle, no global sort") {
     val p = plan(SampleOps.trainingShards(
       Tables.documents(spark, sfDir).select("doc_id"), "doc_id", 8))

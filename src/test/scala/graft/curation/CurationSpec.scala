@@ -43,8 +43,33 @@ class CurationSpec extends SparkSpec {
     // disable the contamination gate (threshold > 1 can never fire):
     // the benchmark copy returns; the repetitive and duplicate docs stay out
     val out = Curation.curate(corpus, benchmark, contaminationThreshold = 1.1)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq.sorted // output is edge-sorted, not operator-sorted
     assert(out === Seq(1L, 4L))
+  }
+
+  test("fused pipeline matches the standalone gate operators' verdicts") {
+    // the capstone inlines repetition and fuses contamination+LM into
+    // one explode; every doc's per-gate verdict and lm_nll must equal
+    // what the standalone oracled operators say
+    import graft.textanalysis.TextAnalysis
+    val rep = TextAnalysis.repetitionStats(corpus)
+      .select("doc_id", "repetitive").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val con = TextAnalysis.contaminationStats(corpus, benchmark, "doc_id", "text")
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lm = TextAnalysis.lmScore(corpus)
+      .select("doc_id", "lm_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => !rep(id) && !con(id) && lm(id) < 10.0)
+    // min-id per text among survivors (docs 1/2 share text)
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keep = expected.groupBy(texts).values.map(_.min).toSeq.sorted
+    val out = Curation.curate(corpus, benchmark).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet.toSeq.sorted === keep)
+    keep.foreach(id => assert(out(id) === lm(id), s"lm_nll drift for doc $id"))
   }
 
   test("corpusDiff classifies added/removed/changed/unchanged per id") {

@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("union-find fast path declines past the byte budget") {
+    // 3 edges × 128 B/edge = 384 B estimated task state. A 100-byte
+    // budget must push the call onto the distributed path (rounds > 0)
+    // even though the edge cap alone would admit it; the default
+    // budget keeps the one-job fast path (rounds == 0).
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    val (declined, dRounds) = Dedup.connectedComponentsWithRounds(
+      edges, "id_a", "id_b", unionFindByteBudget = 100L)
+    assert(dRounds > 0, "a tiny byte budget must decline the fast path")
+    assert(declined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === expected)
+    val (kept, kRounds) = Dedup.connectedComponentsWithRounds(
+      edges, "id_a", "id_b")
+    assert(kRounds === 0, "the default budget admits a 3-edge graph")
+    assert(kept.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === expected)
+  }
+
   test("star contraction agrees with min-label and union-find") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (4L, 3L),

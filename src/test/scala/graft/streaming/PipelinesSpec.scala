@@ -442,17 +442,28 @@ class PipelinesSpec extends SparkSpec {
     val fresh = java.nio.file.Files
       .createTempDirectory("graft_trending_empty").toString + "/state"
     assert(Pipelines.readTrendingScores(spark, fresh).count() === 0L)
-    // a dead incarnation's higher versions are purged on the next
-    // write — a fresh checkpoint over an old state dir must not keep
-    // serving the dead run's newest version
+    // a FRESH checkpoint over an old state dir must fail fast: batch 0
+    // finds no version below it but versions above — silently ignoring
+    // and then purging the old run's state would be unrecoverable
     val dir2 = java.nio.file.Files
       .createTempDirectory("graft_trending_stale").toString + "/state"
     Pipelines.processTrendingBatch(b0, dir2, 99L, h) // dead run's state
-    Pipelines.processTrendingBatch(b1, dir2, 0L, h)  // new incarnation
-    val revived = Pipelines.readTrendingScores(spark, dir2)
+    val e = intercept[IllegalStateException] {
+      Pipelines.processTrendingBatch(b1, dir2, 0L, h) // fresh checkpoint
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // mid-stream, versions ABOVE the live batch are a dead
+    // incarnation's leftovers: purged on the next live write so they
+    // never shadow the live chain in newest-version reads
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft_trending_dead").toString + "/state"
+    Pipelines.processTrendingBatch(b0, dir3, 0L, h)  // live v=0
+    Pipelines.processTrendingBatch(b0, dir3, 99L, h) // dead run's v=99
+    Pipelines.processTrendingBatch(b1, dir3, 1L, h)  // live continues
+    val revived = Pipelines.readTrendingScores(spark, dir3)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    // v=99 is gone; the readout is batch 1 alone (the new run's v=0)
-    assert(revived === Map("view" -> 8.0, "click" -> 2.0))
+    // v=99 is gone; the readout is the live chain b0 ⊕ b1
+    assert(revived === s1)
   }
 
   test("view-stats state is constant-size in visitor count (HLL blob)") {

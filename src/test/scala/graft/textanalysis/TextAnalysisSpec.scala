@@ -91,6 +91,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r(3L).getAs[Boolean]("repetitive"))
   }
 
+  test("repetitiveFlag: the inline gate matches repetitionStats on the corpus") {
+    import graft.functions.TextFunctions.words
+    val docs = Tables.documents(spark, sfDir)
+    val inline = docs.select($"doc_id",
+      TextAnalysis.repetitiveFlag(words($"text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val framed = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "repetitive")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inline === framed)
+    assert(inline.values.exists(identity), "corpus should have at least one repetitive doc")
+  }
+
   test("maxMultiplicity: run-length fold equals brute-force mode count") {
     val arrs = Seq(
       Seq("a", "a", "a", "b", "c"), Seq("x"), Seq[String](),
