@@ -388,6 +388,18 @@ object SparkEntry {
     "q_ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKFrom(Tables.embeddings(s, d),
         kmeansCentroids(s, d), 0L, 10, 2)),
+    // Product quantization: per-subspace Lloyd codebook (cached,
+    // build-once like the IVF centroids), narrow ADC scan in exact
+    // integer micro-units — codebook + LUT inlined into a generated
+    // oracle, so the approximate ranking itself is hash-matched
+    "q_knn_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = pqCodebookFor(s, d)
+      val q = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+      Similarity.pqTopK(Similarity.pqEncode(e, cb), cb, q, 10)
+    }),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -615,6 +627,12 @@ object SparkEntry {
         .toDF()
         .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy("asset_id")),
+    // REAL image decode (javax.imageio): deterministic gray test
+    // cards PNG-encode → decode → exact pixel reductions; the oracle
+    // replays the pixel rule, so any decoder distortion hash-fails
+    "q_media_real" -> ((s, d) =>
+      Multimodal.realImageStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
     // Int8 quantization: per-vector scale + exact integer reductions
     // of the quantized entries (the arrays themselves are spec'd —
     // the oracle gate compares scalar projections)
@@ -822,6 +840,59 @@ object SparkEntry {
     }
   }
 
+  /** PQ codebook per corpus dir — build-once, probe-many; the cached
+    * value feeds BOTH the Spark scan and the generated oracle below
+    * (same race-avoidance as [[kmeansCentroids]]).
+    */
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
+  private def pqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook =
+    pqCbCache.computeIfAbsent(d, _ =>
+      Similarity.pqBuild(Tables.embeddings(s, d), m = 8, ksub = 64,
+        iterations = 2))
+
+  /** Oracle for q_knn_pq, generated after the query ran (None until
+    * then → rows-only, same lifecycle as [[ivfKmeansOracle]]): the
+    * codebook prints as full-precision double literals and the SQL
+    * replays encode (per-subspace argmin of the rounded index-order
+    * L2 fold) and ADC scoring (integer micro-unit LUT) exactly.
+    */
+  private def pqOracle: Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    pqCbCache.values.asScala.headOption.map { cb =>
+      val sd = cb.subDim
+      val values = (for {
+        j <- 0 until cb.m
+        (c, ci) <- cb.centroids(j).zipWithIndex
+      } yield s"($j, $ci, [${c.mkString(",")}]::DOUBLE[])").mkString(", ")
+      "q_knn_pq" ->
+        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                 WHERE vec_id = 0),
+           dist AS (SELECT v.vec_id, c.sub, c.cid,
+               round(list_reduce(
+                 [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
+                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+             FROM v CROSS JOIN cb c),
+           codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd ASC, cid) AS rn
+               FROM dist) WHERE rn = 1),
+           lut AS (SELECT c.sub, c.cid,
+               CAST(round(list_reduce(
+                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+             FROM cb c CROSS JOIN q),
+           sc AS (SELECT k.vec_id, sum(l.l6) AS s6
+                  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
+                  GROUP BY 1)
+           SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM sc
+           ORDER BY pq_sim DESC, vec_id LIMIT 10"""
+    }
+  }
+
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ws = split(col("text"), " ", -1)
@@ -832,7 +903,8 @@ object SparkEntry {
     docs.unionByName(perturbed)
   }
 
-  def oracleSql: Map[String, String] = staticOracleSql ++ ivfKmeansOracle
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ ivfKmeansOracle ++ pqOracle
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_health" -> "SELECT 1 AS ok",
@@ -2175,6 +2247,25 @@ object SparkEntry {
     "q_frame_sample" ->
       """SELECT doc_id AS asset_id, 1 + doc_id % 60 AS n_frames
          FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""",
+    // replay of realImageStats' generation rule: pixel i of doc d is
+    // (d*31 + i*7) % 256 on a (16+d%8)×(8+d%4) gray card — the Spark
+    // side PNG-encodes and REALLY decodes via javax.imageio, so the
+    // hash gate proves the decode inverts the encode pixel-exactly
+    "q_media_real" ->
+      """SELECT d.doc_id,
+         CAST(16 + d.doc_id % 8 AS INT) AS width,
+         CAST(8 + d.doc_id % 4 AS INT) AS height,
+         count(*) AS n_pixels,
+         CAST(sum((d.doc_id * 31 + r.i * 7) % 256) AS BIGINT) AS sum_gray,
+         CAST(sum(CASE WHEN (d.doc_id * 31 + r.i * 7) % 256 >= 128
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+         CAST(min((d.doc_id * 31 + r.i * 7) % 256) AS INT) AS min_gray,
+         CAST(max((d.doc_id * 31 + r.i * 7) % 256) AS INT) AS max_gray,
+         round(sum((d.doc_id * 31 + r.i * 7) % 256) * 1.0 / count(*), 4)
+           AS mean_gray
+         FROM documents d, range(0, 253) r(i)
+         WHERE r.i < (16 + d.doc_id % 8) * (8 + d.doc_id % 4)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
   )
 
   /** Shared CTE replaying the md5-mode MinHash-LSH pipeline in

@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * as opaque binary columns + typed metadata, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The decode step is a clearly-marked DETERMINISTIC FAKE (this
-  * container has no image/audio codecs); everything around it —
+  * IMAGES decode for real: [[ImageCodec]] rides `javax.imageio`
+  * (bundled in the JDK — PNG/JPEG/BMP/GIF, zero new dependencies)
+  * for metadata, pixel features, and nearest-neighbor resize.
+  * AUDIO/VIDEO keep the clearly-marked DETERMINISTIC FAKE (this
+  * container has no ffmpeg-class codecs); everything around it —
   * schemas, encoders, partitioning, per-partition batch shape,
   * row-explosion for frame sampling — is real Spark plumbing and
   * tested. Swapping `FakeCodec` for a JNI/javacv decoder changes no
-  * plan shape.
+  * plan shape. Payloads that claim `kind = image` but fail to decode
+  * (e.g. the synthetic text-byte assets) degrade to the fake path
+  * rather than throwing — one poison blob must not kill a 100 TB job.
   *
   * Scale notes (100 TB of media):
   *  - Binary payloads never enter a shuffle: stages are
@@ -72,6 +77,130 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on `javax.imageio` — the JDK's built-in
+    * PNG/JPEG/BMP/GIF support, headless-safe, no new dependencies.
+    * All pixel math goes through TYPE_BYTE_GRAY rasters and manual
+    * nearest-neighbor loops so results are deterministic across JDKs
+    * (Graphics2D filtering hints are not a cross-platform contract;
+    * an explicit index map is).
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Decode any ImageIO-supported payload; None when the bytes are
+      * not a decodable image (ImageIO.read returns null — the degrade
+      * signal the pipeline stages branch on).
+      */
+    def decode(content: Array[Byte]): Option[BufferedImage] =
+      if (content == null || content.isEmpty) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(content)))
+        catch { case _: java.io.IOException => None }
+
+    /** Lossless PNG encode. */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Luminance (0-255) of pixel (x, y). Single-band gray rasters
+      * read their sample DIRECTLY — getRGB on TYPE_BYTE_GRAY passes
+      * through a linear-gray → sRGB color-space conversion that is
+      * neither identity nor engine-reproducible, which would silently
+      * break the lossless round-trip contract. Color images use the
+      * ITU-R BT.601 integer weighting — exact integer math.
+      */
+    def gray(img: BufferedImage, x: Int, y: Int): Int =
+      if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+      else {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        (r * 299 + g * 587 + b * 114) / 1000
+      }
+
+    /** One decode pass over the pixels: (n_pixels, gray sum, count of
+      * pixels at or above 128, min gray, max gray) — fixed-width
+      * scalar features, exact integers.
+      */
+    def grayStats(img: BufferedImage): (Long, Long, Long, Int, Int) = {
+      var n = 0L; var s = 0L; var bright = 0L
+      var mn = 255; var mx = 0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v = gray(img, x, y)
+          n += 1; s += v; if (v >= 128) bright += 1
+          if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      (n, s, bright, mn, mx)
+    }
+
+    /** Normalized luminance histogram — the real-pixel counterpart of
+      * FakeCodec.decodeToFeatures (same shape: `bins` doubles).
+      */
+    def grayHistogram(img: BufferedImage, bins: Int = 16): Array[Double] = {
+      val hist = new Array[Double](bins)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          hist(gray(img, x, y) * bins / 256) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      if (n > 0) { var j = 0; while (j < bins) { hist(j) /= n; j += 1 } }
+      hist
+    }
+
+    /** Deterministic nearest-neighbor resize + PNG re-encode:
+      * out(x, y) = in(x·srcW/dstW, y·srcH/dstH) on the gray raster —
+      * an explicit index map, not a rendering hint, so the output
+      * bytes are reproducible anywhere.
+      */
+    def resize(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = out.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            gray(img, x * img.getWidth / w, y * img.getHeight / h))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(out)
+    }
+
+    /** Render the deterministic grayscale test card for doc `id`:
+      * pixel i (row-major) = (id·31 + i·7) mod 256 — a pure-SQL
+      * generation rule, so a pipeline that PNG-encodes, REALLY
+      * decodes, and aggregates pixels can be oracled in DuckDB
+      * against the rule itself (PNG is lossless; decode must invert
+      * encode exactly for the hashes to match).
+      */
+    def renderGrayPng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0, ((((id * 31 + i * 7) % 256) + 256) % 256).toInt)
+        i += 1
+      }
+      encodePng(img)
+    }
+  }
+
   /** Synthesize a deterministic media-asset table from documents:
     * content bytes derive from the text, metadata from the id. The
     * generation rule is SQL-replicable so metadata queries can be
@@ -98,15 +227,23 @@ object Multimodal {
   }
 
   /** Feature extraction — one codec pass per partition, binary in /
-    * fixed-width features out (the binary column dies here).
+    * fixed-width features out (the binary column dies here). Image
+    * assets whose bytes decode go through the REAL pixel histogram
+    * ([[ImageCodec.grayHistogram]]); everything else — audio/video
+    * shapes and undecodable image payloads — takes the deterministic
+    * fake, so one poison blob degrades instead of killing the job.
     */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
-      // per-partition "codec init" happens here in a real impl
-      it.map(a => MediaFeatures(a.asset_id, a.kind, a.content.length.toLong,
-        FakeCodec.decodeToFeatures(a.content)))
+      // per-partition codec init would happen here (ImageIO is static)
+      it.map { a =>
+        val hist = (if (a.kind == "image") ImageCodec.decode(a.content) else None)
+          .map(img => ImageCodec.grayHistogram(img))
+          .getOrElse(FakeCodec.decodeToFeatures(a.content))
+        MediaFeatures(a.asset_id, a.kind, a.content.length.toLong, hist)
+      }
     }
   }
 
@@ -114,16 +251,22 @@ object Multimodal {
     * to the target dimensions — the standalone form of the resize the
     * frame sampler applies per frame. Narrow mapPartitions like the
     * other codec stages: one codec context per partition, payloads
-    * never shuffle.
+    * never shuffle. Decodable images resize for REAL (deterministic
+    * nearest-neighbor + PNG re-encode); other kinds and undecodable
+    * payloads keep the fake byte resize.
     */
   def resizeAssets(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     require(w > 0 && h > 0, s"target dimensions must be positive, got ${w}x$h")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
-      it.map(a => a.copy(
-        content = FakeCodec.resize(a.content, w, h),
-        meta = a.meta.copy(width = w, height = h)))
+      it.map { a =>
+        val resized =
+          (if (a.kind == "image") ImageCodec.decode(a.content) else None)
+            .map(img => ImageCodec.resize(img, w, h))
+            .getOrElse(FakeCodec.resize(a.content, w, h))
+        a.copy(content = resized, meta = a.meta.copy(width = w, height = h))
+      }
     }
   }
 
@@ -141,6 +284,38 @@ object Multimodal {
           FakeCodec.resize(a.content, a.meta.width, a.meta.height))
       }
     }
+  }
+
+  /** The REAL-decode pipeline end to end, in an oracle-able shape:
+    * render the deterministic gray test card per document
+    * ([[ImageCodec.renderGrayPng]]: pixel i = (id·31+i·7) mod 256 at
+    * w = 16+id%8, h = 8+id%4), PNG-encode, decode via `javax.imageio`
+    * for real, and reduce the pixels to exact scalar features.
+    * Because PNG is lossless and the pixel rule is pure SQL, DuckDB
+    * replays the whole pipeline from the rule — a decoder that
+    * dropped or distorted ANY pixel would hash-mismatch the oracle.
+    *
+    * Scale shape: narrow mapPartitions (encode+decode per row, no
+    * shuffle); only fixed-width scalars leave the stage.
+    */
+  def realImageStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 8 + (id % 4).toInt
+          val png = ImageCodec.renderGrayPng(id, w, h)
+          val img = ImageCodec.decode(png).getOrElse(
+            throw new IllegalStateException(s"PNG round-trip failed for doc $id"))
+          val (n, s, bright, mn, mx) = ImageCodec.grayStats(img)
+          (id, img.getWidth, img.getHeight, n, s, bright, mn, mx)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
+        "n_bright", "min_gray", "max_gray")
+      .withColumn("mean_gray", round(col("sum_gray") / col("n_pixels"), 4))
   }
 
   /** Metadata rollup (oracle-able: generation rule is pure SQL). */

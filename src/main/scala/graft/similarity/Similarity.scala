@@ -488,6 +488,173 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the 100 TB embedding-store trick
+  // ---------------------------------------------------------------
+
+  /** A PQ codebook: `m` subspaces × up to `ksub` centroids of
+    * dim/m components each (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", 2011). With m=8 and ksub=256 a
+    * 64-dim float vector compresses 256 B → 8 B (one code byte per
+    * subspace) — int8's 4× becomes 32×, which is what makes a
+    * 100 TB embedding store servable from a fraction of the I/O.
+    * Scoring is ASYMMETRIC (ADC): the query stays float; each
+    * subspace contributes a table lookup dot(q_j, centroid_{j,code}).
+    */
+  final case class PqCodebook(m: Int, subDim: Int,
+      centroids: Seq[Seq[Seq[Double]]]) {
+    require(centroids.length == m, s"expected $m subspaces")
+  }
+
+  /** Rounded per-subspace squared-L2 distance between a sub-vector
+    * slice and a centroid literal — the assignment metric. The fold
+    * runs in index order from 0.0 (squares are non-negative, so the
+    * init adds nothing to the IEEE value) and rounds to 6 places, so
+    * a DuckDB list_reduce replay is bit-identical; ties break toward
+    * the lower centroid id via array_position.
+    */
+  private def subDistances(sub: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedlit(cents), c =>
+      round(aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6))
+
+  /** PQ-encode: one int code per subspace, narrow projection (the
+    * codebook rides as a literal; nothing shuffles). Output:
+    * (vec_id, codes array<int> of length m).
+    */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebook,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val codes = (0 until cb.m).map { j =>
+      val sub = slice(v, j * cb.subDim + 1, cb.subDim)
+      val d = subDistances(sub, cb.centroids(j))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    embeddings.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** Train a PQ codebook with per-subspace Lloyd iterations. Seeds
+    * are the first `ksub` vectors' sub-slices (deterministic, like
+    * [[seedCentroids]]). Each iteration is ONE narrow assignment pass
+    * + ONE (subspace, code, dim) partial-sum shuffle for ALL
+    * subspaces together — m independent k-means problems trained in
+    * the same two jobs, never m sequential passes. Collected state is
+    * m × ksub × subDim means (tiny); raw vectors never co-locate.
+    * Empty clusters keep their previous centroid.
+    */
+  def pqBuild(embeddings: DataFrame, m: Int = 4, ksub: Int = 256,
+      iterations: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): PqCodebook = {
+    val first = embeddings.select(asDouble(col(vecCol)).as("e"))
+      .filter(col("e").isNotNull).limit(1).collect()
+    require(first.nonEmpty, "cannot train a PQ codebook on an empty table")
+    val dim = first.head.getSeq[Double](0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    // a corpus smaller than ksub trains with what it has (every
+    // vector becomes a seed) — the codebook just has fewer entries
+    val seeds = embeddings.filter(col(idCol) < ksub)
+      .orderBy(col(idCol)).select(asDouble(col(vecCol)).as("e"))
+      .collect().map(_.getSeq[Double](0).toVector).toVector
+    var cents: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      seeds.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    var it = 0
+    while (it < iterations) {
+      val cb = PqCodebook(m, subDim, cents)
+      val means = pqEncode(embeddings, cb, idCol, vecCol)
+        .join(embeddings.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+          idCol)
+        .select(col("codes"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .select((col("dim") / subDim).cast("int").as("sub"),
+          (col("dim") % subDim).cast("int").as("sd"),
+          col("x"), col("codes"))
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .groupBy(col("sub"), col("code"), col("sd"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toVector
+        }
+      cents = (0 until m).map(j => cents(j).indices.map(c =>
+        means.get((j, c)).filter(_.length == subDim)
+          .getOrElse(cents(j)(c))).toVector)
+      it += 1
+    }
+    PqCodebook(m, subDim, cents)
+  }
+
+  /** The ADC lookup table for one query, in exact integer
+    * MICRO-units: lut6(j)(c) = round(dot(q_j, centroid_{j,c})·1e6)
+    * as a long — each dot folds in index order (list_reduce replay)
+    * and rounds HALF_UP, so the per-vector sum over subspaces is
+    * exact long arithmetic, order-independent across engines (the
+    * lmScoreWith micro-nat pattern).
+    */
+  def pqLut6(cb: PqCodebook, query: Seq[Double]): Seq[Seq[Long]] =
+    (0 until cb.m).map { j =>
+      val qj = query.slice(j * cb.subDim, (j + 1) * cb.subDim)
+      cb.centroids(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < cb.subDim) { s += qj(i) * c(i); i += 1 }
+        BigDecimal(s * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong
+      }
+    }
+
+  /** Approximate top-k by PQ asymmetric distance: codes scan narrow
+    * (m table lookups + an exact long sum per row — no float
+    * accumulation), TakeOrdered(k), nothing shuffles but (id, score).
+    * `pq_sim` approximates dot(q, v); rank quality is the documented
+    * PQ recall trade-off (spec'd against the exact ranking).
+    */
+  def pqTopK(codes: DataFrame, cb: PqCodebook, query: Seq[Double],
+      k: Int): DataFrame = {
+    val lut = typedlit(pqLut6(cb, query))
+    val score6 = (0 until cb.m).map(j =>
+      element_at(element_at(lut, j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    codes
+      .select(col("vec_id"), round(score6 / 1e6, 6).as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ composed with the IVF layout: codes written cell-partitioned
+    * (cells assigned on the ORIGINAL floats, as the int8 index does),
+    * so a probe prunes to nProbe directories of 8-byte codes — IVF's
+    * directory pruning stacked on PQ's 32× compression. This is the
+    * standard IVF-PQ serving shape.
+    */
+  def writePqIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, path: String): Unit = {
+    val centLit = typedlit(cents)
+    val cells = embeddings
+      .withColumn("__scores",
+        cellScoresFor(embeddings, centLit)(col("embedding")))
+      .withColumn("cell", cellOf(col("__scores")))
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    pqEncode(cells, cb)
+      .join(cells.select(col("vec_id"), col("cell")), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Serve top-k from a [[writePqIndex]] table: literal probe cells
+    * become PartitionFilters (directory pruning), then the ADC scan
+    * of [[pqTopK]] over the probed codes.
+    */
+  def pqTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val probes = probeCells(cents, queryVec, nProbe)
+    val filtered =
+      if (probes.isEmpty) index.filter(lit(false))
+      else index.filter(col("cell").isin(probes: _*))
+    pqTopK(filtered, cb, queryVec, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket join prunes
     * candidates, exact cosine ≥ threshold verifies. The classic
     * near-dup shape for embedding-deduped training corpora.

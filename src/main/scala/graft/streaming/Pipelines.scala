@@ -676,6 +676,121 @@ object Pipelines {
       .start()
   }
 
+  /** Beyond-reference extension: STREAMING CURATION — the online form
+    * of [[graft.curation.Curation.curate]] as one foreachBatch
+    * composite: each micro-batch passes the repetition gate
+    * (row-local), decontamination against a FIXED benchmark, and
+    * LM-quality against a FROZEN model, then first-arrival exact
+    * dedup against a persisted text-digest index. Per-batch gate
+    * telemetry — the curateObserved readout — persists alongside the
+    * output, so a 100 TB stream's "the LM gate suddenly drops 40%"
+    * incident is a table you can query, not a log line you lost.
+    *
+    * Necessary deltas from the one-shot operator (both spec'd):
+    * the LM is a frozen artifact (a stream cannot train on a corpus
+    * it has not finished seeing), and dedup keeps the FIRST ARRIVAL
+    * (min doc_id within a batch, earliest batch across batches) — on
+    * ascending-id arrival this IS the one-shot min-id result, the
+    * parity the spec pins.
+    *
+    * Exactly-once: output, digest index, and telemetry all write
+    * batch-id partitions with dynamic overwrite; the index probe
+    * excludes the batch's own partition, so a checkpoint replay
+    * neither self-drops nor duplicates (the segment-dedup sink's
+    * recovery design).
+    */
+  def processCurationBatch(batch: DataFrame, benchmark: DataFrame,
+      model: graft.textanalysis.TextAnalysis.LmModel, indexDir: String,
+      outDir: String, telemetryDir: String, batchId: Long,
+      nllThreshold: Double = 10.0,
+      contaminationThreshold: Double = 0.4): Unit = {
+    import graft.dedup.Dedup
+    import graft.functions.TextFunctions.words
+    import graft.textanalysis.TextAnalysis
+    val spark = batch.sparkSession
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val con = TextAnalysis.contaminationStats(batch, benchmark, "doc_id",
+        "text", threshold = contaminationThreshold)
+      .select(col("doc_id"), col("contaminated"))
+    val lm = TextAnalysis.lmScoreWith(model, batch, nllThreshold)
+      .select(col("doc_id"), col("lm_nll"), col("unusual"))
+    val obs = org.apache.spark.sql.Observation()
+    val gated = batch
+      .withColumn("repetitive",
+        TextAnalysis.repetitiveFlag(words(col("text"))))
+      .join(con, "doc_id")
+      .join(lm, "doc_id")
+      .observe(obs,
+        count(lit(1)).as("docs_in"),
+        sum(col("repetitive").cast("long")).as("dropped_repetitive"),
+        sum(col("contaminated").cast("long")).as("dropped_contaminated"),
+        sum(col("unusual").cast("long")).as("dropped_unusual"))
+      .filter(!col("repetitive") && !col("contaminated") && !col("unusual"))
+    val seen =
+      if (fs.exists(indexPath))
+        spark.read.parquet(indexDir)
+          .filter(col("batch_id") =!= batchId).select("digest")
+      else spark.emptyDataFrame.select(lit("").as("digest")).limit(0)
+    // batch-internal min-id winner per digest (the one-shot operator's
+    // group-winner form), then first-arrival anti-join vs the index;
+    // materialized BEFORE any write so no write plan reads its target
+    val kept = gated
+      .groupBy(Dedup.rowDigest(Seq("text")).as("digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("lm_nll"))).as("__w"))
+      .select(col("digest"), col("__w.doc_id").as("doc_id"),
+        col("__w.source").as("source"), col("__w.lm_nll").as("lm_nll"))
+      .join(seen, Seq("digest"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      val nonEmpty = !kept.isEmpty
+      writeBatchPartition(kept.select(col("doc_id"), col("source"),
+        col("lm_nll")), outDir, batchId, nonEmpty)
+      writeBatchPartition(kept.select(col("digest")), indexDir, batchId,
+        nonEmpty)
+      // the observation filled when `kept` materialized (same job);
+      // telemetry is one row per batch — written even for all-dropped
+      // batches, which are exactly the batches an operator must see
+      val m = obs.get
+      def metric(name: String): Long = m.get(name) match {
+        case Some(v: Long) => v
+        case Some(v: Number) => v.longValue()
+        case _ => 0L
+      }
+      import spark.implicits._
+      val telemetry = Seq((metric("docs_in"), metric("dropped_repetitive"),
+        metric("dropped_contaminated"), metric("dropped_unusual"),
+        kept.count()))
+        .toDF("docs_in", "dropped_repetitive", "dropped_contaminated",
+          "dropped_unusual", "kept")
+      writeBatchPartition(telemetry, telemetryDir, batchId, nonEmpty = true)
+    } finally freeLocalCheckpoint(kept)
+  }
+
+  /** The streaming entry: docs (doc_id, text, source) → curated
+    * corpus at `outDir` + digest index at `indexDir` + per-batch gate
+    * telemetry at `telemetryDir`, exactly-once via checkpoint + the
+    * idempotent batch core above. The frozen LM loads ONCE per stream
+    * (lmGateSink's rule); the benchmark frame is fixed for the
+    * stream's lifetime.
+    */
+  def curationSink(docs: DataFrame, benchmark: DataFrame, modelDir: String,
+      indexDir: String, outDir: String, telemetryDir: String,
+      checkpointDir: String, nllThreshold: Double = 10.0,
+      contaminationThreshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = graft.textanalysis.TextAnalysis
+      .readLmModel(docs.sparkSession, modelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCurationBatch(batch, benchmark, model, indexDir, outDir,
+          telemetryDir, batchId, nllThreshold, contaminationThreshold)
+      }
+      .start()
+  }
+
   /** Beyond-reference extension: stream-stream inner join — each
     * purchase pairs with the same user's views from the preceding
     * `joinWindow`. Both sides carry watermarks and the join condition

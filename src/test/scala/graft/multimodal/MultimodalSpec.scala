@@ -50,6 +50,76 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.length <= 4096)
   }
 
+  test("ImageCodec decodes a checked-in real PNG byte-for-byte") {
+    // gray_4x2.png was hand-assembled (pure zlib/struct, NOT our own
+    // encoder) — decoding it proves interop with external PNGs, and
+    // the exact sample values prove there is no color-space drift
+    val in = getClass.getResourceAsStream("/gray_4x2.png")
+    val bytes = in.readAllBytes(); in.close()
+    val img = Multimodal.ImageCodec.decode(bytes).get
+    assert(img.getWidth === 4 && img.getHeight === 2)
+    val want = Seq(Seq(0, 64, 128, 255), Seq(10, 20, 30, 40))
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(Multimodal.ImageCodec.gray(img, x, y) === want(y)(x), s"($x,$y)")
+  }
+
+  test("PNG encode→decode round-trips the gray raster losslessly") {
+    val png = Multimodal.ImageCodec.renderGrayPng(7L, 19, 9)
+    // a real PNG, not a stand-in: magic bytes present
+    assert((png.take(4).map(_ & 0xff).toSeq) === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val img = Multimodal.ImageCodec.decode(png).get
+    assert(img.getWidth === 19 && img.getHeight === 9)
+    for (i <- 0 until 19 * 9)
+      assert(Multimodal.ImageCodec.gray(img, i % 19, i / 19)
+        === ((7L * 31 + i * 7) % 256).toInt, s"pixel $i")
+  }
+
+  test("real resize is exact nearest-neighbor on integer downscale") {
+    val png = Multimodal.ImageCodec.renderGrayPng(3L, 16, 8)
+    val src = Multimodal.ImageCodec.decode(png).get
+    val out = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.resize(src, 8, 4)).get
+    assert(out.getWidth === 8 && out.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert(Multimodal.ImageCodec.gray(out, x, y)
+        === Multimodal.ImageCodec.gray(src, 2 * x, 2 * y), s"($x,$y)")
+  }
+
+  test("feature extraction takes the REAL pixel path for decodable images") {
+    import spark.implicits._
+    // one real PNG asset + one text-byte 'image': the first must get
+    // the pixel histogram, the second degrades to the byte fallback
+    val png = Multimodal.ImageCodec.renderGrayPng(1L, 16, 8)
+    val real = Multimodal.MediaAsset(0L, "image", png,
+      Multimodal.MediaMeta(16, 8, 0, 0L, "png"))
+    val fake = Multimodal.MediaAsset(3L, "image", "just text".getBytes("UTF-8"),
+      Multimodal.MediaMeta(640, 360, 0, 0L, "png"))
+    val feats = Multimodal.extractFeatures(
+      spark.createDataset(Seq(real, fake)))
+      .collect().map(f => f.asset_id -> f).toMap
+    val img = Multimodal.ImageCodec.decode(png).get
+    assert(feats(0L).histogram.toSeq
+      === Multimodal.ImageCodec.grayHistogram(img).toSeq)
+    assert(feats(3L).histogram.toSeq
+      === Multimodal.FakeCodec.decodeToFeatures("just text".getBytes("UTF-8")).toSeq)
+  }
+
+  test("realImageStats matches a direct pixel-rule evaluation") {
+    val out = Multimodal.realImageStats(
+      Tables.documents(spark, sfDir).limit(25)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val w = 16 + (id % 8).toInt; val h = 8 + (id % 4).toInt
+      val grays = (0 until w * h).map(i => ((id * 31 + i * 7) % 256).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getLong(3) === w.toLong * h)
+      assert(r.getLong(4) === grays.map(_.toLong).sum)
+      assert(r.getLong(5) === grays.count(_ >= 128).toLong)
+      assert(r.getInt(6) === grays.min && r.getInt(7) === grays.max)
+    }
+  }
+
   test("resize stage rewrites payload + dimensions, keeps row count") {
     val assets = Multimodal.syntheticAssets(
       graft.Tables.documents(spark, sfDir).limit(30))

@@ -289,6 +289,68 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.toSet.intersect(quant.toSet).size >= 8)
   }
 
+  test("PQ: codes bounded, deterministic, and centroids keep subspace shape") {
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 2)
+    assert(cb.m === 8 && cb.subDim === 8)
+    cb.centroids.foreach { sub =>
+      assert(sub.length === 16)
+      sub.foreach(c => assert(c.length === 8))
+    }
+    val codes = Similarity.pqEncode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length === emb.count())
+    codes.foreach { case (_, cs) =>
+      assert(cs.length === 8)
+      cs.foreach(c => assert(c >= 0 && c < 16))
+    }
+    val again = Similarity.pqEncode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.toSeq === again.toSeq)
+  }
+
+  test("PQ ADC recall tracks the exact ranking (the documented trade-off)") {
+    // the entry configuration: m=8 subspaces × 64 centroids
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 64, iterations = 2)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    val pq = Similarity.pqTopK(Similarity.pqEncode(emb, cb), cb, q, 10)
+      .collect().map(_.getLong(0))
+    // embeddings are unit-norm, so the dot ranking PQ approximates is
+    // the cosine ranking bruteForceTopK computes
+    val exactTop = Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0))
+    // the contract is rank QUALITY, not identity: substantial overlap
+    // at the documented compression (codes are 8 B of 256 B)
+    val overlap = exactTop.toSet.intersect(pq.toSet).size
+    assert(overlap >= 4, s"PQ recall@10 too low: $overlap/10 " +
+      s"(${pq.toSeq} vs ${exactTop.toSeq})")
+  }
+
+  test("PQ-IVF index: pruned probe ≡ full-scan ADC restricted to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_ivf").toString + "/idx"
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    Similarity.writePqIndex(emb, cents, cb, dir)
+    val index = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    // probing ALL cells ≡ the plain ADC scan (modulo unindexable rows)
+    val all = Similarity.pqTopKFromIndex(index, cents, cb, q, 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val plain = Similarity.pqTopK(Similarity.pqEncode(emb, cb), cb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq === plain.toSeq)
+    // the probe scan prunes partitions: literal cells reach the scan
+    val pruned = Similarity.pqTopKFromIndex(index, cents, cb, q, 10, nProbe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val ids = pruned.collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.toSet.subsetOf(
+      index.select("vec_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("semdedup on the corpus: planted exact copies never survive") {
     val base = emb.select($"vec_id", $"embedding")
     val planted = base.filter($"vec_id" % 10 === 0)

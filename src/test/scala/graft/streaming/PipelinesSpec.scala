@@ -407,6 +407,63 @@ class PipelinesSpec extends SparkSpec {
     assert(out === Map(1L -> "a b c d e f", 2L -> "n o p"))
   }
 
+  test("streaming curation ≡ one-shot curate on ascending arrival; telemetry persists") {
+    import graft.textanalysis.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curation_stream").toString
+    val benchmark = Seq((900L, "alpha beta gamma delta", "bench"))
+      .toDF("doc_id", "text", "source")
+    // one offender per gate, one duplicate pair, one clean survivor
+    // (the CurationSpec fixture)
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "src0"),
+      (2L, "the quick brown fox jumps over the lazy dog", "src0"),
+      (3L, ("a b " * 12).trim, "src0"),
+      (4L, "alpha beta gamma delta", "src0"))
+    val corpus = rows.toDF("doc_id", "text", "source")
+    // frozen model = the reference-corpus artifact; training it on
+    // the full corpus makes the stream's scores equal the one-shot's
+    TextAnalysis.writeLmModel(TextAnalysis.lmTrain(corpus), base + "/model")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Pipelines.curationSink(
+      mem.toDS().toDF("doc_id", "text", "source"), benchmark,
+      base + "/model", base + "/idx", base + "/out", base + "/tele",
+      base + "/ckpt")
+    try {
+      mem.addData(rows.take(2)) // the duplicate pair
+      q.processAllAvailable()
+      mem.addData(rows.drop(2)) // both gate offenders
+      q.processAllAvailable()
+    } finally q.stop()
+    def outRows() = spark.read.parquet(base + "/out")
+      .select("doc_id", "source", "lm_nll").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val twin = graft.curation.Curation.curate(corpus, benchmark)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // ascending-id arrival ⇒ first-arrival dedup ≡ min-id dedup, and
+    // the frozen model ≡ the corpus-trained one: exact parity
+    assert(outRows() === twin)
+    assert(outRows().map(_._1) === Set(1L))
+    // telemetry: one row per batch, totals = the observed readout
+    val tele = spark.read.parquet(base + "/tele").collect()
+      .map(r => r.getAs[Long]("batch_id") -> r).toMap
+    assert(tele.keySet === Set(0L, 1L))
+    assert(tele.values.map(_.getAs[Long]("docs_in")).sum === 4L)
+    assert(tele.values.map(_.getAs[Long]("dropped_repetitive")).sum === 1L)
+    assert(tele.values.map(_.getAs[Long]("dropped_contaminated")).sum === 1L)
+    assert(tele.values.map(_.getAs[Long]("dropped_unusual")).sum === 0L)
+    assert(tele.values.map(_.getAs[Long]("kept")).sum === 1L)
+    // checkpoint replay of batch 1: the index probe excludes its own
+    // partition — nothing self-drops, nothing duplicates, telemetry
+    // partition rewrites identically
+    Pipelines.processCurationBatch(rows.drop(2).toDF("doc_id", "text", "source"),
+      benchmark, TextAnalysis.readLmModel(spark, base + "/model"),
+      base + "/idx", base + "/out", base + "/tele", 1L)
+    assert(outRows() === twin)
+    assert(spark.read.parquet(base + "/tele").count() === 2L)
+  }
+
   test("streaming trending state: versioned merge tracks the batch op, replay-safe") {
     import graft.ops.StatsOps
     val h = 3600000000L // 1 h half-life, micros
