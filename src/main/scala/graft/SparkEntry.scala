@@ -462,6 +462,14 @@ object SparkEntry {
     "q_sample_budget" -> ((s, d) =>
       SampleOps.takeExact(Tables.documents(s, d), "doc_id", 40)
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    // Token-budget mixture cut: every lang stratum keeps its
+    // hash-order prefix while the running whitespace-token total
+    // stays within 5000 — the token-denominated quota the doc-count
+    // mixes approximate (stratified on lang, the skewed column)
+    "q_mix_token_budget" -> ((s, d) =>
+      SampleOps.tokenBudgetMix(Tables.documents(s, d), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), 5000L)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     // Frozen-LM serving split: model trained on the ¾ corpus slice,
     // scores the held-out ¼ — unseen grams smooth through add-1
     "q_lm_score_frozen" -> ((s, d) => {
@@ -1725,6 +1733,15 @@ object SparkEntry {
            SELECT doc_id, n_chars FROM documents
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40)
          ORDER BY doc_id""",
+    "q_mix_token_budget" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)
+         WHERE cum <= 5000 ORDER BY doc_id""",
     // frozen-LM replay: counts from the training slice only; grams and
     // contexts the model never saw coalesce to 0 (add-1 smooths them)
     "q_lm_score_frozen" ->

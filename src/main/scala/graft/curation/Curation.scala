@@ -1,6 +1,6 @@
 package graft.curation
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -66,69 +66,126 @@ object Curation {
     // benchmark gram set — tiny vs the corpus, explicitly broadcast
     // (identical to contaminationStats's bench side)
     val benchGrams = benchmark
-      .select(explode(Dedup.shingles(col("text"), 2)).as("bg"))
+      .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
       .distinct()
       .withColumn("__hit", lit(1L))
 
-    // corpus scan 1 of 2: the narrow per-doc pass; repetition gate
-    // inlined (same rounded expressions as repetitionStats)
-    val base = documents.select(
-      col("doc_id"), col("source"), col("text"),
-      TextAnalysis.repetitiveFlag(words(col("text"))).as("repetitive"))
+    // corpus scan 1 of 2: the narrow per-doc pass. Deliberately NO
+    // computed columns: a gate expression materialized here would be
+    // substituted into the post-join filter by predicate pushdown,
+    // duplicating its higher-order-function subtrees ~10× per row
+    // (measured 8+ s at sf0.1 vs 0.6 s without — lambda expressions
+    // get no common-subexpression elimination in a filter context).
+    // EVERY gate therefore arrives through the aggregation below,
+    // whose output booleans a filter cannot push into.
+    val base = documents.select(col("doc_id"), col("source"), col("text"))
 
-    // corpus scan 2 of 2: the one tokenization pass, materialized.
-    // kind 1 = unigram (vocabulary), kind 2 = bigram; cnt keeps the
-    // multiplicity the LM mean weights by, while the rows themselves
-    // are the per-doc DISTINCT grams contamination counts.
-    val ws = words(col("text"))
-    val tagged = concat(
-      transform(ws, w => struct(lit(1).as("kind"), w.as("gram"))),
-      transform(TextAnalysis.ngrams(ws, 2),
-        g => struct(lit(2).as("kind"), g.as("gram"))))
+    // corpus scan 2 of 2: the one tokenization pass, materialized
+    // COLUMNAR (persist, not a deserialized checkpoint — compressed
+    // batches, size stats for the planner; Bench/Verify clear the
+    // cache per query, long-lived sessions should clearCache when
+    // done with the returned frame). One row per distinct bigram per
+    // doc (`cnt` = multiplicity); per-doc scalars that DON'T need the
+    // relational form — word count, trigram totals for the
+    // duplicate-trigram fraction, the tail word — ride each row as
+    // projection columns, computed ONCE per doc in this projection
+    // (where lambda expressions are safe; see the filter hazard
+    // above). explode_outer keeps short docs: their stats row has a
+    // null gram.
+    // the stat columns MUST be materialized attributes BELOW the
+    // Generate: expressions sitting in the same projection as the
+    // generator are re-evaluated once per EXPLODED row (measured
+    // ~190 s at sf0.1 for the array_distinct alone) — the
+    // segmentWinners layering, where the explode's select carries
+    // only plain attributes
     val tokens = documents
-      .select(col("doc_id"), explode(tagged).as("t"))
-      .select(col("doc_id"), col("t.kind").as("kind"), col("t.gram").as("gram"))
-      .groupBy(col("doc_id"), col("kind"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        TextAnalysis.ngrams(col("__ws"), 3).as("__tg"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(col("__tg")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("__tg"))).cast("long").as("n_distinct_tg"),
+        // every word is some bigram's FIRST word or the document's
+        // last word, so vocabulary = distinct(w1s ∪ tails) — this one
+        // extra column replaces a unigram explode of the whole corpus
+        element_at(col("__ws"), -1).as("tail"),
+        TextAnalysis.ngrams(col("__ws"), 2).as("__bg"))
+      .select(col("doc_id"), col("n_words"), col("n_trigrams"),
+        col("n_distinct_tg"), col("tail"),
+        explode_outer(col("__bg")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("n_words")).as("n_words"),
+        max(col("n_trigrams")).as("n_trigrams"),
+        max(col("n_distinct_tg")).as("n_distinct_tg"),
+        max(col("tail")).as("tail"))
+      .persist()
+    tokens.count() // materialize before the consumers fan out
 
-    val bg = tokens.filter(col("kind") === 2)
-      .select(col("doc_id"), col("gram").as("bg"), col("cnt"))
+    val hasGram = col("gram").isNotNull
     // the corpus-trained bigram LM, derived from the token artifact —
     // identical counts to TextAnalysis.lmTrain on the same corpus
-    val mGrams = bg.groupBy(col("bg")).agg(sum(col("cnt")).as("c12"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val mGrams = tokens.filter(hasGram)
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("c12"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
     val mContexts = mGrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val mVocab = tokens.filter(col("kind") === 1)
-      .agg(count_distinct(col("gram")).as("v"))
+    val mVocab = tokens
+      .select(explode(array(
+        when(hasGram, substring_index(col("gram"), " ", 1)),
+        col("tail"))).as("w"))
+      .filter(col("w").isNotNull)
+      .agg(count_distinct(col("w")).as("v"))
 
-    // contamination + LM scoring fused over the one bigram frame
-    // (same nll6 integer micro-nat contract as lmScoreWith)
-    val gateMetrics = bg
-      .join(mGrams.select(col("bg"), col("c12")), Seq("bg"), "left")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // ALL per-doc gate metrics in ONE aggregation over the tokens;
+    // null-gram stats rows flow through the left joins untouched.
+    // nll6 keeps the integer micro-nat contract of lmScoreWith.
+    val gateMetrics = tokens
+      .join(mGrams.select(col("gram"), col("c12")), Seq("gram"), "left")
+      .withColumn("w1", when(hasGram, substring_index(col("gram"), " ", 1)))
       .join(mContexts, Seq("w1"), "left")
       .crossJoin(broadcast(mVocab))
-      .join(broadcast(benchGrams), Seq("bg"), "left")
+      .join(broadcast(benchGrams), Seq("gram"), "left")
       .withColumn("nll6",
-        round(log((coalesce(col("c1"), lit(0L)) + col("v")) /
-          (coalesce(col("c12"), lit(0L)) + lit(1.0))) * 1e6).cast("long"))
+        when(hasGram,
+          round(log((coalesce(col("c1"), lit(0L)) + col("v")) /
+            (coalesce(col("c12"), lit(0L)) + lit(1.0))) * 1e6).cast("long")))
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("cnt")).as("n_bigrams"),
-        sum(col("cnt") * col("nll6")).as("__s6"),
-        count(lit(1)).as("n_grams"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        max(col("n_words")).as("n_words"),
+        max(col("n_trigrams")).as("n_trigrams"),
+        max(col("n_distinct_tg")).as("n_distinct_tg"),
+        max(when(hasGram, col("cnt"))).as("max_bg"),
+        sum(when(hasGram, col("cnt"))).as("n_bigrams"),
+        count(col("gram")).as("n_grams"),
+        sum(when(hasGram, col("cnt") * col("nll6"))).as("__s6"),
+        sum(when(hasGram, coalesce(col("__hit"), lit(0L)))).as("n_hits"))
       .select(
         col("doc_id"),
-        round(col("__s6") / (col("n_bigrams") * lit(1e6)), 4).as("lm_nll"),
-        round(col("n_hits") / col("n_grams"), 4).as("contamination"))
+        // the Gopher rubric from count arithmetic — same rounded
+        // values as repetitionStats (max(cnt) IS maxMultiplicity,
+        // distinct/total ratios are the same exact-integer divisions)
+        (col("n_words") >= 20 &&
+          (coalesce(round(col("max_bg") / col("n_bigrams"), 4), lit(0.0))
+            >= 0.08 ||
+           when(col("n_trigrams") > 0,
+             round(lit(1.0) - col("n_distinct_tg") / col("n_trigrams"), 4))
+             .otherwise(lit(0.0)) >= 0.05)).as("agg_repetitive"),
+        when(col("n_bigrams").isNotNull,
+          round(col("__s6") / (col("n_bigrams") * lit(1e6)), 4)).as("lm_nll"),
+        when(col("n_grams") > 0,
+          round(col("n_hits") / col("n_grams"), 4)).as("contamination"))
 
     val obs = org.apache.spark.sql.Observation()
     val gated = base
       .join(gateMetrics, Seq("doc_id"), "left")
       // docs with <2 words have no bigram rows: lm_nll/contamination
-      // default to 0.0 exactly as the standalone operators' explode_outer
+      // default to 0.0 exactly as the standalone operators'
+      // explode_outer; null text stays null (and drops), as it does
+      // through repetitionStats' null-propagating array math
+      .withColumn("repetitive",
+        when(col("text").isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("agg_repetitive"), lit(false))))
       .withColumn("lm_nll", coalesce(col("lm_nll"), lit(0.0)))
       .withColumn("contaminated",
         coalesce(col("contamination"), lit(0.0)) >= contaminationThreshold)

@@ -137,6 +137,34 @@ object SampleOps {
     df.filter(hashPrefix(col(idCol)) < lpad(lower(hex(bound)), 8, "0"))
   }
 
+  /** Per-stratum TOKEN-budget corpus cut — the token-denominated
+    * sibling of [[quotaMix]]: within each stratum, keep documents in
+    * deterministic hash order while the running token total of the
+    * kept prefix (current document included) stays within `budget`.
+    * "At most N training tokens per source/language" is the mixture
+    * contract LLM data recipes actually specify — document counts
+    * are a proxy, tokens are the real denominator. Token counts are
+    * non-negative, so the cumulative sum is monotone: once a stratum
+    * crosses the budget every later document drops too (prefix
+    * semantics — a bigger budget yields a superset), and a document
+    * larger than the whole budget empties its stratum's cut from its
+    * rank onward.
+    *
+    * Scale shape: ONE window shuffle on the stratum key (identical
+    * to [[stratifiedSample]]); the cumulative sum is exact long
+    * arithmetic, so the cut point is engine-reproducible.
+    */
+  def tokenBudgetMix(df: DataFrame, strataCol: String, idCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"token budget must be non-negative: $budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokens.cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Deterministic global shuffle + shard assignment for training
     * order: shard = (top 32 bits of md5(id)) mod `nShards`, position
     * = dense rank within the shard in md5 order (id tiebreak). The

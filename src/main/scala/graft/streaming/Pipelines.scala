@@ -705,7 +705,6 @@ object Pipelines {
       nllThreshold: Double = 10.0,
       contaminationThreshold: Double = 0.4): Unit = {
     import graft.dedup.Dedup
-    import graft.functions.TextFunctions.words
     import graft.textanalysis.TextAnalysis
     val spark = batch.sparkSession
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
@@ -715,10 +714,15 @@ object Pipelines {
       .select(col("doc_id"), col("contaminated"))
     val lm = TextAnalysis.lmScoreWith(model, batch, nllThreshold)
       .select(col("doc_id"), col("lm_nll"), col("unusual"))
+    // repetition arrives as a METRIC FRAME, not an inline column: a
+    // computed gate column would be substituted into the post-join
+    // filter by predicate pushdown and its lambda subtrees duplicated
+    // per row (the hazard documented on Curation.curateObserved)
+    val rep = TextAnalysis.repetitionStats(batch)
+      .select(col("doc_id"), col("repetitive"))
     val obs = org.apache.spark.sql.Observation()
     val gated = batch
-      .withColumn("repetitive",
-        TextAnalysis.repetitiveFlag(words(col("text"))))
+      .join(rep, "doc_id")
       .join(con, "doc_id")
       .join(lm, "doc_id")
       .observe(obs,

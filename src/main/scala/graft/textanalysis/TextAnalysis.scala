@@ -196,10 +196,17 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** The [[repetitionStats]] gate as one row-local Column over a
-    * token array — so composite pipelines (the curation capstone)
-    * inline the gate into their base scan instead of paying a metric
-    * frame + join. Built from the same rounded-fraction helpers as
+    * token array. Built from the same rounded-fraction helpers as
     * repetitionStats; a spec pins the parity.
+    *
+    * CAUTION — use in PROJECTIONS the caller keeps, never as a column
+    * a downstream FILTER tests: predicate pushdown substitutes the
+    * alias into the filter, duplicating the higher-order-function
+    * subtrees (~10 tokenizations per row, no common-subexpression
+    * elimination in filter context — measured 8 s vs 0.6 s at sf0.1).
+    * Pipelines that gate on it should aggregate the flag from token
+    * counts instead (see Curation.curateObserved) or join
+    * [[repetitionStats]] as a metric frame.
     */
   def repetitiveFlag(ws: Column,
       topBigramThreshold: Double = 0.08,

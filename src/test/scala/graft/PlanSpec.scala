@@ -257,13 +257,13 @@ class PlanSpec extends SparkSpec {
     val out = graft.curation.Curation.curate(
       Tables.documents(spark, sfDir), bench)
     val p = plan(out)
-    // scan 1 (base) is the only file scan in the gate plan; scan 2 —
-    // the tokenization pass — was materialized via localCheckpoint and
-    // reads back as an RDD scan. ≤2 corpus scans total, ever.
-    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
-    assert(p.contains("ExistingRDD") || p.contains("Scan rdd"), p)
+    // scan 1 (base) + the tokenization pass materialized columnar:
+    // every other consumer reads InMemoryTableScan, so the corpus is
+    // read at most twice (base + the one cache build), ever
+    assert(p.contains("InMemoryTableScan"), p)
     // no global sort inside the operator (callers sort at the edge)
     assert(!p.contains("Exchange rangepartitioning"), p)
+    spark.catalog.clearCache()
   }
 
   test("corpus diff and duplication profile carry no operator-level global sort") {

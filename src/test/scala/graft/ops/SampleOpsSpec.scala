@@ -79,6 +79,36 @@ class SampleOpsSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("token-budget mix matches an exact per-stratum prefix reference") {
+    import graft.textanalysis.TextAnalysis
+    val budget = 2000L
+    val got = SampleOps.tokenBudgetMix(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact Scala reference: per lang, walk docs in (md5, id) order
+    // accumulating whitespace token counts; keep while cum ≤ budget
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = rows.groupBy(_._2).values.flatMap { ds =>
+      var cum = 0L
+      ds.sortBy { case (id, _, _) => (md5hex(id.toString), id) }
+        .takeWhile { case (_, _, text) =>
+          cum += text.split(" ", -1).length
+          cum <= budget
+        }.map(_._1).toSeq
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < rows.length,
+      "budget should cut some strata and keep rows")
+    // monotone: a bigger budget yields a superset
+    val bigger = SampleOps.tokenBudgetMix(docs, "lang", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget * 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(bigger))
+  }
+
   test("takeExact: exact size, monotone in budget, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val cut = SampleOps.takeExact(docs, "doc_id", 25)
