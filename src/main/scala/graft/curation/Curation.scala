@@ -63,6 +63,29 @@ object Curation {
       nllThreshold: Double = 10.0,
       contaminationThreshold: Double = 0.4)
       : (DataFrame, org.apache.spark.sql.Observation) = {
+    val (out, obs, _) = curateInternal(documents, benchmark,
+      nllThreshold, contaminationThreshold)
+    (out, obs)
+  }
+
+  /** [[curateObserved]] with the internally persisted token artifact
+    * under a [[graft.Managed]] lifecycle: long-lived sessions call
+    * `release()` (or scope the action with `managed { ... }`) after
+    * the final action instead of a blanket `clearCache()` — the same
+    * contract as the near-dup pipelines' signature caches.
+    */
+  def curateManaged(documents: DataFrame, benchmark: DataFrame,
+      nllThreshold: Double = 10.0,
+      contaminationThreshold: Double = 0.4)
+      : (graft.Managed, org.apache.spark.sql.Observation) = {
+    val (out, obs, tokens) = curateInternal(documents, benchmark,
+      nllThreshold, contaminationThreshold)
+    (new graft.Managed(out, Seq(tokens)), obs)
+  }
+
+  private def curateInternal(documents: DataFrame, benchmark: DataFrame,
+      nllThreshold: Double, contaminationThreshold: Double)
+      : (DataFrame, org.apache.spark.sql.Observation, DataFrame) = {
     // benchmark gram set — tiny vs the corpus, explicitly broadcast
     // (identical to contaminationStats's bench side)
     val benchGrams = benchmark
@@ -205,7 +228,7 @@ object Curation {
       .agg(min(struct(col("doc_id"), col("source"), col("lm_nll"))).as("__w"))
       .select(col("__w.doc_id").as("doc_id"), col("__w.source").as("source"),
         col("__w.lm_nll").as("lm_nll"))
-    (out, obs)
+    (out, obs, tokens)
   }
 
   /** Snapshot diff between two corpus versions keyed on `idCol`: one

@@ -72,6 +72,16 @@ class CurationSpec extends SparkSpec {
     keep.foreach(id => assert(out(id) === lm(id), s"lm_nll drift for doc $id"))
   }
 
+  test("curateManaged releases the internal token cache after the action") {
+    val before = spark.sharedState.cacheManager.isEmpty
+    val (managed, _) = Curation.curateManaged(corpus, benchmark)
+    val got = managed { d => d.collect().map(_.getLong(0)).toSeq.sorted }
+    assert(got === Seq(1L))
+    // release() (via the scoping apply) unpersisted what curate cached
+    assert(spark.sharedState.cacheManager.isEmpty || !before,
+      "token cache must not outlive the managed scope")
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged per id") {
     import spark.implicits._
     val old = Seq(
