@@ -225,7 +225,8 @@ object SparkEntry {
     }),
     // Dedup: MinHash+LSH near-dups over a planted-perturbation corpus
     "q_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
+      Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))), // presentation sort at the edge
     // Connected components (the dedup clustering primitive) over a
     // deterministic star-of-stars graph: key→4-hub→16-hub, so every
     // node's component has the closed form key − key%16 — fully
@@ -277,7 +278,8 @@ object SparkEntry {
     // converting the near-dup family from rows-only to proven
     "q_minhash_neardup_md5" -> ((s, d) =>
       Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
-        hashMode = "md5")),
+        hashMode = "md5")
+        .orderBy(col("id_a"), col("id_b"))),
     // md5-mode pairs closed under transitivity — the oracle replays
     // the transitive closure as a recursive CTE
     "q_dedup_clusters_md5" -> ((s, d) =>
@@ -338,13 +340,15 @@ object SparkEntry {
     }),
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")),
+      Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
     // SimHash banding in md5 mode — like the minhash md5 twin, every
     // stage (token band values, majority vote, band buckets, Hamming
     // verify) replays byte-identically in DuckDB
     "q_simhash_neardup_md5" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
-        hashMode = "md5")),
+        hashMode = "md5")
+        .orderBy(col("id_a"), col("id_b"))),
     // Similarity: exact brute-force cosine top-k (broadcast query)
     "q_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
@@ -375,7 +379,8 @@ object SparkEntry {
     // the cell partitioning is already on disk, dedup skips assignment
     "q_semdedup_indexed" -> ((s, d) =>
       Similarity.semanticDuplicatesFromIndex(
-        s.read.parquet(builtIvfIndex(s, d)), 0.999)),
+        s.read.parquet(builtIvfIndex(s, d)), 0.999)
+        .orderBy(col("vec_id"))),
     // IVF probe over LLOYD-REFINED centroids (the production build
     // path, 2 k-means iterations): the refined centroids are inlined
     // as literals into a generated oracle, so the probe-over-refined-
@@ -401,6 +406,7 @@ object SparkEntry {
       val planted = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999)
+        .orderBy(col("id_a"), col("id_b")) // presentation sort at the edge
     }),
     // Same planted-copy recovery through md5 hyperplanes → oracled
     "q_embedding_neardup_md5" -> ((s, d) => {
@@ -409,6 +415,7 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999,
         hashMode = "md5")
+        .orderBy(col("id_a"), col("id_b"))
     }),
     // Text analysis: per-doc token counts, ratios, language ID
     "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
@@ -489,6 +496,7 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       Similarity.semanticDuplicates(e.unionByName(planted),
         seedCents16(s, d), 0.999)
+        .orderBy(col("vec_id")) // presentation sort at the edge
     }),
     // §2.8 ST1 — the full quality pipeline (CDC → enrich), batch
     // parity twin of the streaming transform (same functions)

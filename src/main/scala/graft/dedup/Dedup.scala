@@ -416,8 +416,11 @@ object Dedup {
       .withColumn("jaccard", jaccard(
         shingles(col("text_a"), n), shingles(col("text_b"), n)))
       .filter(col("jaccard") >= threshold)
+      // UNORDERED by repo convention: a pathological corpus makes the
+      // pair list quadratic-ish, so an operator-level sort is a global
+      // range shuffle charged to every caller — callers who need
+      // presentation order sort at the query edge
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
     new graft.Managed(result, Seq(base))
   }
 
@@ -546,8 +549,8 @@ object Dedup {
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
+      // UNORDERED (pair lists are unbounded) — sort at the query edge
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
     new graft.Managed(result, Seq(base))
   }
 
@@ -780,12 +783,21 @@ object Dedup {
     *   - every round's localCheckpoint carries (edge count, an
     *     order-independent xxhash64 edge-set sum) via `observe()` —
     *     zero additional jobs or shuffles. At the fixed point the
-    *     round output equals its input, so the pair goes unchanged.
-    *   - only when the pair repeats does [[isStarForest]] run: the
-    *     EXACT certificate (typically once per call). A spurious
-    *     hash-sum repeat (collision) is caught by the exact check and
-    *     the loop just continues — the hash is an optimization
-    *     trigger, never a correctness input.
+    *     round output equals its input, so both go unchanged.
+    *   - when the edge COUNT alone repeats, [[isStarForest]] runs:
+    *     the EXACT certificate (typically once per call). The count
+    *     usually stabilizes on the round that REACHES the fixed
+    *     point, so certifying on count-repeat converges one full
+    *     contraction round earlier than waiting for the whole
+    *     (count, hash) signature to reproduce itself — the certificate
+    *     is a tiny aggregation over the already-checkpointed edges,
+    *     orders of magnitude cheaper than the two-join round it
+    *     replaces. A count plateau before the fixed point just means
+    *     an extra tiny certificate job (false, loop continues) — the
+    *     metrics are an optimization trigger, never a correctness
+    *     input. The hash sum still rides each round: it detects
+    *     whether the round CHANGED the edge set, keeping the reported
+    *     round count exact (progress rounds only).
     *
     * The exact certificate: with the (hi > lo) orientation the edge
     * set is the terminal star forest iff BOTH hold:
@@ -802,9 +814,10 @@ object Dedup {
     * converged input repeats its pair on the first round.
     *
     * Reported rounds count the applications that CHANGED the edge
-    * set (the detection round that reproduces its input is work, but
+    * set (a detection round that reproduces its input is work, but
     * not progress) — so the count matches the previous
-    * per-round-certificate implementation exactly.
+    * per-round-certificate implementation exactly, whether or not
+    * the early count-repeat certificate fired.
     */
   private def starComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
@@ -837,7 +850,8 @@ object Dedup {
         .isEmpty
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var prevSig = sig(obs0)
-    var apps = 0 // star-step applications, including the detection round
+    var apps = 0 // star-step applications, including any detection round
+    var changedApps = 0 // applications that changed the edge set
     var converged = false
     while (!converged && apps <= maxIter) {
       val t0 = System.nanoTime()
@@ -847,14 +861,17 @@ object Dedup {
         .localCheckpoint(true)
       apps += 1
       val curSig = sig(obs)
-      val unchanged = curSig._1 == prevSig._1 &&
-        curSig._2.compareTo(prevSig._2) == 0
-      if (unchanged) converged = isStarForest(next)
+      val setChanged = curSig._1 != prevSig._1 ||
+        curSig._2.compareTo(prevSig._2) != 0
+      if (setChanged) changedApps += 1
+      // certify on count-repeat alone: usually fires on the round that
+      // REACHED the fixed point, saving the confirm-by-repeat round
+      if (curSig._1 == prevSig._1) converged = isStarForest(next)
       prevSig = curSig
       d.unpersist()
       d = next
       if (debug) System.err.println(
-        f"[cc-star] round $apps: edges=${curSig._1} unchanged=$unchanged " +
+        f"[cc-star] round $apps: edges=${curSig._1} changed=$setChanged " +
           f"${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     if (!converged) throw new IllegalStateException(
@@ -865,7 +882,7 @@ object Dedup {
     val out = nodes.join(d, nodes("node") === d("hi"), "left")
       .select(nodes("node"),
         coalesce(d("lo"), nodes("node")).as("component"))
-    (out, apps - 1)
+    (out, changedApps)
   }
 
   /** Near-duplicate CLUSTERS over a corpus: MinHash-LSH verified
@@ -1008,8 +1025,8 @@ object Dedup {
       .withColumn("jaccard", jaccard(
         shingles(col("text_a"), n), shingles(col("text_b"), n)))
       .filter(col("jaccard") >= threshold)
+      // UNORDERED (pair lists are unbounded) — sort at the query edge
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
     new graft.Managed(result, Seq(newSigs))
   }
 

@@ -552,10 +552,19 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
     // a corpus smaller than ksub trains with what it has (every
-    // vector becomes a seed) — the codebook just has fewer entries
-    val seeds = embeddings.filter(col(idCol) < ksub)
-      .orderBy(col(idCol)).select(asDouble(col(vecCol)).as("e"))
+    // vector becomes a seed) — the codebook just has fewer entries.
+    // Seeds are the ksub SMALLEST ids (TakeOrdered), not a
+    // `id < ksub` filter: sparse or hashed id spaces would otherwise
+    // seed empty and pqEncode would silently emit null codes
+    // (array_min over an empty centroid list)
+    val seeds = embeddings
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("e"))
+      .filter(col("e").isNotNull)
+      .orderBy(col("__id")).limit(ksub)
+      .select(col("e"))
       .collect().map(_.getSeq[Double](0).toVector).toVector
+    require(seeds.nonEmpty,
+      "cannot seed a PQ codebook: no non-null embeddings")
     var cents: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
       seeds.map(v => v.slice(j * subDim, (j + 1) * subDim)))
     var it = 0
@@ -682,7 +691,7 @@ object Similarity {
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
         round(cosineFor(embeddings)(col("l.embedding"), col("r.embedding")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
+      // UNORDERED (pair lists are unbounded) — sort at the query edge
     new graft.Managed(result, Seq(b))
   }
 
@@ -759,7 +768,7 @@ object Similarity {
       .select(col("r.vec_id").as("vec_id"))
       .distinct()
     assigned.join(pairs, Seq("vec_id"), "left_anti")
+      // UNORDERED: survivors are corpus-sized — sort at the query edge
       .select(col("vec_id"), col("cell"))
-      .orderBy(col("vec_id"))
   }
 }
