@@ -155,11 +155,19 @@ object SparkEntry {
     // exact, reproducible, fully oracled
     "q_search_bm25" -> ((s, d) =>
       SearchOps.searchBm25(Tables.documents(s, d), Seq("merge", "query"), 10)),
+    // The SAME ranking served from the build-once inverted-file
+    // artifact: literal term-hash buckets prune partitions, df
+    // re-aggregates from the pruned postings — no corpus tokenize
+    "q_search_bm25_indexed" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s, builtBm25Index(s, d),
+        Seq("merge", "query"), 10)),
     // Hybrid retrieval: BM25 and cosine rankings fused by reciprocal
     // rank (RRF) — integer ranks, no score normalization
     "q_hybrid_search" -> ((s, d) =>
-      SearchOps.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
-        Seq("merge", "query"), 0L, 20)),
+      // lexical branch from the build-once BM25 index (row-identical
+      // to the one-shot tokenize, which q_search_bm25 still exercises)
+      SearchOps.hybridSearchIndexed(builtBm25Index(s, d),
+        Tables.embeddings(s, d), Seq("merge", "query"), 0L, 20)),
     // Training-data prep: PII stripped from flagged docs (narrow).
     // The synthetic corpus carries no PII, so identifiers are planted
     // deterministically (same construction in the oracle) — the
@@ -400,6 +408,15 @@ object SparkEntry {
       Similarity.pqTopK(s.read.parquet(builtPqCodes(s, d)), cb,
         queryVec0(s, d), 10)
     }),
+    // IVF-PQ: the full 100 TB serving shape — cell-partitioned PQ
+    // codes, literal probe cells pruning to nProbe directories, ADC
+    // scan over the probed codes only. Oracle = the generated
+    // codebook replay of q_knn_pq composed with the static seed-cell
+    // assignment/probe CTEs of q_ann_ivf.
+    "q_knn_pq_ivf" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(s.read.parquet(builtPqIvfIndex(s, d)),
+        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
+        nProbe = 2)),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -468,6 +485,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 101 === 7))
         .orderBy(col("doc_id")) // presentation sort at the query edge
     }),
+    // The STREAMING curation sink's operational readout: the corpus
+    // replays as three MemoryStream batches through the real
+    // checkpointed sink (build-once), and the per-batch gate
+    // telemetry table it persists is the result — each row the
+    // (docs_in, dropped per gate, kept) readout of one micro-batch
+    "q_curation_telemetry" -> ((s, d) =>
+      s.read.parquet(builtCurationTelemetry(s, d) + "/tele")
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("docs_in"), col("dropped_repetitive"),
+          col("dropped_contaminated"), col("dropped_unusual"), col("kept"))
+        .orderBy(col("batch_id"))),
     // Fixed document budget: exactly-40 corpus cut in md5 order
     "q_sample_budget" -> ((s, d) =>
       SampleOps.takeExact(Tables.documents(s, d), "doc_id", 40)
@@ -830,6 +858,64 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Cell-partitioned IVF-PQ index per corpus — the composed serving
+    * artifact (directory pruning over 8-byte codes).
+    */
+  private def builtPqIvfIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_pqivf", d) { p =>
+      Similarity.writePqIndex(Tables.embeddings(s, d), seedCents16(s, d),
+        pqCodebookFor(s, d), p)
+    }
+
+  /** Build-once BM25 inverted-file artifact per corpus — the lexical
+    * serving index ([[graft.ops.SearchOps.writeBm25Index]]).
+    */
+  private def builtBm25Index(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25", d) { p =>
+      SearchOps.writeBm25Index(Tables.documents(s, d), p)
+    }
+
+  /** Build-once streaming-curation replay per corpus: the corpus
+    * slice (doc_id % 101 ≠ 7) arrives as THREE MemoryStream batches
+    * (doc_id % 3 = 0, 1, 2 in order) through the real
+    * [[graft.streaming.Pipelines.curationSink]] — frozen corpus-
+    * trained LM, digest-index first-arrival dedup, checkpointed
+    * foreachBatch — leaving the per-batch gate-telemetry table at
+    * `<dir>/tele` for q_curation_telemetry to read.
+    *
+    * The MemoryStream carries doc_id ONLY (a streaming source is
+    * driver-fed by definition — the ids are the batch membership);
+    * text/source join in from the static documents table on the
+    * executors, so payloads never collect to the driver.
+    */
+  private def builtCurationTelemetry(s: SparkSession, d: String): String =
+    builtIndexDir("graft_curtel", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+        .select("doc_id", "text", "source")
+      val benchmark = docs.filter(col("doc_id") % 101 === 7)
+        .select("doc_id", "text", "source")
+      // the frozen model = the same corpus-trained bigram LM the
+      // one-shot capstone derives internally (identical counts), so
+      // the stream's scores replay q_curation_pipeline's exactly
+      graft.textanalysis.TextAnalysis.writeLmModel(
+        graft.textanalysis.TextAnalysis.lmTrain(corpus), p + "/model")
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("doc_id").join(corpus, "doc_id")
+      val q = graft.streaming.Pipelines.curationSink(src, benchmark,
+        p + "/model", p + "/idx", p + "/out", p + "/tele", p + "/ckpt")
+      try {
+        val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
+        (0L until 3L).foreach { b =>
+          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
   /** Lloyd-refined centroids per corpus dir. The k-means build runs
     * ONCE (build-once probe-many, like the written index); the cached
     * value then feeds BOTH the Spark probe and the generated oracle
@@ -838,9 +924,22 @@ object SparkEntry {
     */
   private val ivfKmeansCents =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+
+  /** The corpus dir the generated oracles describe: the LAST dir a
+    * generated-oracle query ran against. `oracleSql` takes no corpus
+    * argument (driver contract), and the Verify main runs every query
+    * against ONE dir before dumping SQL — keying the generators on
+    * the most recent run (instead of `cache.values.headOption`) keeps
+    * a JVM that served two corpus dirs from emitting oracle literals
+    * for the wrong one (ADVICE r5).
+    */
+  @volatile private var lastOracleDir: String = null
+
+  private def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    lastOracleDir = d
     ivfKmeansCents.computeIfAbsent(d, _ =>
       Similarity.ivfBuild(Tables.embeddings(s, d), 16, 2))
+  }
 
   /** Oracle for q_ann_ivf_kmeans, generated AFTER the query ran (the
     * Verify main runs every query before dumping oracle SQL): the
@@ -851,8 +950,7 @@ object SparkEntry {
     * the query has run in this JVM → driver records rows-only.
     */
   private def ivfKmeansOracle: Option[(String, String)] = {
-    import scala.jdk.CollectionConverters._
-    ivfKmeansCents.values.asScala.headOption.map { cents =>
+    Option(lastOracleDir).flatMap(d => Option(ivfKmeansCents.get(d))).map { cents =>
       val values = cents.zipWithIndex
         .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
         .mkString(", ")
@@ -884,35 +982,39 @@ object SparkEntry {
     */
   private val pqCbCache =
     new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
-  private def pqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook =
+  private def pqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook = {
+    lastOracleDir = d
     pqCbCache.computeIfAbsent(d, _ =>
       Similarity.pqBuild(Tables.embeddings(s, d), m = 8, ksub = 64,
         iterations = 2))
+  }
 
-  /** Oracle for q_knn_pq, generated after the query ran (None until
-    * then → rows-only, same lifecycle as [[ivfKmeansOracle]]): the
-    * codebook prints as full-precision double literals and the SQL
-    * replays encode (per-subspace argmin of the rounded index-order
-    * L2 fold) and ADC scoring (integer micro-unit LUT) exactly.
+  /** Oracles for q_knn_pq and q_knn_pq_ivf, generated after a PQ
+    * query ran (empty until then → rows-only, same lifecycle as
+    * [[ivfKmeansOracle]]): the codebook prints as full-precision
+    * double literals and the SQL replays encode (per-subspace argmin
+    * of the rounded index-order L2 fold) and ADC scoring (integer
+    * micro-unit LUT) exactly. The IVF-PQ variant prepends the SAME
+    * static seed-cell assignment + probe CTEs as q_ann_ivf, so the
+    * cell-pruned serving path is hash-gated end to end.
     */
-  private def pqOracle: Option[(String, String)] = {
-    import scala.jdk.CollectionConverters._
-    pqCbCache.values.asScala.headOption.map { cb =>
+  private def pqOracle: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
       val sd = cb.subDim
       val values = (for {
         j <- 0 until cb.m
         (c, ci) <- cb.centroids(j).zipWithIndex
       } yield s"($j, $ci, [${c.mkString(",")}]::DOUBLE[])").mkString(", ")
-      "q_knn_pq" ->
-        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      // shared encode + ADC tail over a (vec_id, ve) CTE named pv
+      def adc(select: String) =
+        s"""$select,
            q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
                  WHERE vec_id = 0),
-           dist AS (SELECT v.vec_id, c.sub, c.cid,
+           dist AS (SELECT pv.vec_id, c.sub, c.cid,
                round(list_reduce(
-                 [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
+                 [(pv.ve[c.sub * $sd + i] - c.ce[i]) * (pv.ve[c.sub * $sd + i] - c.ce[i])
                   for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM v CROSS JOIN cb c),
+             FROM pv CROSS JOIN cb c),
            codes AS (SELECT vec_id, sub, cid FROM (
                SELECT vec_id, sub, cid,
                  row_number() OVER (PARTITION BY vec_id, sub
@@ -923,11 +1025,32 @@ object SparkEntry {
                  [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
                  (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
              FROM cb c CROSS JOIN q),
-           sc AS (SELECT k.vec_id, sum(l.l6) AS s6
+           s6t AS (SELECT k.vec_id, sum(l.l6) AS s6
                   FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
                   GROUP BY 1)
-           SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM sc
+           SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM s6t
            ORDER BY pq_sim DESC, vec_id LIMIT 10"""
+      Seq(
+        "q_knn_pq" -> adc(
+          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+           pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)"""),
+        "q_knn_pq_ivf" -> adc(
+          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+           cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
+                  FROM embeddings WHERE vec_id < 16),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           sc AS (SELECT v.vec_id, cc.ccid,
+                    round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
+                  FROM v CROSS JOIN cc),
+           assign AS (SELECT vec_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sc) WHERE rn = 1),
+           probes AS (SELECT ccid FROM sc WHERE vec_id = 0
+                      ORDER BY s DESC, ccid LIMIT 2),
+           pv AS (SELECT v.vec_id, v.ve FROM v
+                  JOIN assign a ON a.vec_id = v.vec_id
+                  WHERE a.cell IN (SELECT ccid FROM probes))"""))
     }
   }
 
@@ -942,7 +1065,82 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfKmeansOracle ++ pqOracle
+    staticOracleSql ++
+      // the indexed serving path must agree with the one-shot ranking,
+      // so its oracle IS the q_search_bm25 replay
+      Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25")) ++
+      ivfKmeansOracle ++ pqOracle
+
+  /** The shared curation-gate CTE prefix (corpus slice, Gopher
+    * repetition rubric, benchmark contamination, corpus-trained
+    * bigram-LM scoring) — q_curation_pipeline appends the dedup +
+    * survivor tail, q_curation_telemetry the per-batch gate rollup.
+    * One text, two oracles: the streaming telemetry is DEFINED as the
+    * same gates the one-shot capstone applies.
+    */
+  private val curationGateCtes: String =
+    """WITH corp0 AS (SELECT * FROM documents WHERE doc_id % 101 <> 7),
+         t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp0),
+         gg AS (SELECT doc_id, ws,
+           CASE WHEN len(ws) >= 2
+                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                ELSE CAST([] AS VARCHAR[]) END AS bg,
+           CASE WHEN len(ws) >= 3
+                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      for i in range(1, len(ws) - 1)]
+                ELSE CAST([] AS VARCHAR[]) END AS tg
+           FROM t),
+         rep AS (SELECT doc_id,
+           (CAST(len(ws) AS BIGINT) >= 20 AND
+            (CASE WHEN len(bg) > 0
+                  THEN round(list_max([len(list_filter(bg, y -> y = x)) for x in bg])
+                             * 1.0 / len(bg), 4)
+                  ELSE 0.0 END >= 0.08 OR
+             CASE WHEN len(tg) > 0
+                  THEN round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
+                  ELSE 0.0 END >= 0.05)) AS repetitive
+           FROM gg),
+         dg AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM t),
+         bset AS (SELECT DISTINCT unnest(
+             CASE WHEN len(string_split(text, ' ')) >= 2
+                  THEN [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                        for i in range(1, len(string_split(text, ' ')))]
+                  ELSE CAST([] AS VARCHAR[]) END) AS gr
+           FROM documents WHERE doc_id % 101 = 7),
+         cg AS (SELECT doc_id, unnest(grams) AS gr FROM dg),
+         hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(bset.gr) AS n_hits
+                  FROM cg LEFT JOIN bset ON cg.gr = bset.gr GROUP BY 1),
+         con AS (SELECT dg.doc_id,
+           (CASE WHEN coalesce(n_grams, 0) > 0
+                 THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.4)
+             AS contaminated
+           FROM dg LEFT JOIN hits ON dg.doc_id = hits.doc_id),
+         b AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM t),
+         m AS (SELECT bg, count(*) AS c12 FROM b WHERE bg IS NOT NULL GROUP BY 1),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                 FROM m GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v
+               FROM (SELECT unnest(ws) AS term FROM t)),
+         sl AS (SELECT b.doc_id, b.bg,
+                 CASE WHEN b.bg IS NOT NULL
+                      THEN CAST(round(ln((ctx.c1 + v.v) * 1.0 / (m.c12 + 1.0))
+                                      * 1000000.0) AS BIGINT)
+                 END AS nll6
+               FROM b LEFT JOIN m ON b.bg = m.bg
+               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+               CROSS JOIN v),
+         lm AS (SELECT doc_id,
+           CASE WHEN count(bg) > 0
+                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                ELSE 0.0 END AS lm_nll
+           FROM sl GROUP BY 1)"""
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_health" -> "SELECT 1 AS ok",
@@ -1672,70 +1870,8 @@ object SparkEntry {
     // slice (benchmark = doc_id % 101 = 7 held out), then min-id
     // exact dedup on text — same sub-oracles as q_repetition /
     // q_decontaminate / q_lm_score, restricted to the corpus slice
-    "q_curation_pipeline" ->
-      """WITH corp0 AS (SELECT * FROM documents WHERE doc_id % 101 <> 7),
-         t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp0),
-         gg AS (SELECT doc_id, ws,
-           CASE WHEN len(ws) >= 2
-                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                ELSE CAST([] AS VARCHAR[]) END AS bg,
-           CASE WHEN len(ws) >= 3
-                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                      for i in range(1, len(ws) - 1)]
-                ELSE CAST([] AS VARCHAR[]) END AS tg
-           FROM t),
-         rep AS (SELECT doc_id,
-           (CAST(len(ws) AS BIGINT) >= 20 AND
-            (CASE WHEN len(bg) > 0
-                  THEN round(list_max([len(list_filter(bg, y -> y = x)) for x in bg])
-                             * 1.0 / len(bg), 4)
-                  ELSE 0.0 END >= 0.08 OR
-             CASE WHEN len(tg) > 0
-                  THEN round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
-                  ELSE 0.0 END >= 0.05)) AS repetitive
-           FROM gg),
-         dg AS (SELECT doc_id,
-             CASE WHEN len(ws) >= 2
-                  THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
-                  ELSE CAST([] AS VARCHAR[]) END AS grams
-           FROM t),
-         bset AS (SELECT DISTINCT unnest(
-             CASE WHEN len(string_split(text, ' ')) >= 2
-                  THEN [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-                        for i in range(1, len(string_split(text, ' ')))]
-                  ELSE CAST([] AS VARCHAR[]) END) AS gr
-           FROM documents WHERE doc_id % 101 = 7),
-         cg AS (SELECT doc_id, unnest(grams) AS gr FROM dg),
-         hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(bset.gr) AS n_hits
-                  FROM cg LEFT JOIN bset ON cg.gr = bset.gr GROUP BY 1),
-         con AS (SELECT dg.doc_id,
-           (CASE WHEN coalesce(n_grams, 0) > 0
-                 THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.4)
-             AS contaminated
-           FROM dg LEFT JOIN hits ON dg.doc_id = hits.doc_id),
-         b AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM t),
-         m AS (SELECT bg, count(*) AS c12 FROM b WHERE bg IS NOT NULL GROUP BY 1),
-         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
-                 FROM m GROUP BY 1),
-         v AS (SELECT count(DISTINCT term) AS v
-               FROM (SELECT unnest(ws) AS term FROM t)),
-         sl AS (SELECT b.doc_id, b.bg,
-                 CASE WHEN b.bg IS NOT NULL
-                      THEN CAST(round(ln((ctx.c1 + v.v) * 1.0 / (m.c12 + 1.0))
-                                      * 1000000.0) AS BIGINT)
-                 END AS nll6
-               FROM b LEFT JOIN m ON b.bg = m.bg
-               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
-               CROSS JOIN v),
-         lm AS (SELECT doc_id,
-           CASE WHEN count(bg) > 0
-                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                ELSE 0.0 END AS lm_nll
-           FROM sl GROUP BY 1),
-         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
+    "q_curation_pipeline" -> (curationGateCtes +
+      """, gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
            FROM corp0 c
            JOIN rep ON rep.doc_id = c.doc_id
            JOIN con ON con.doc_id = c.doc_id
@@ -1745,7 +1881,36 @@ object SparkEntry {
          keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
          SELECT g.doc_id, g.source, g.lm_nll FROM gated g
          JOIN keep k ON g.doc_id = k.doc_id
-         ORDER BY g.doc_id""",
+         ORDER BY g.doc_id"""),
+    // the streaming sink's telemetry: same gate flags per doc, rolled
+    // up per batch (batch = doc_id % 3); kept = first-arrival dedup
+    // winners — min (batch, doc_id) per surviving text — counted in
+    // their batch. count(*) FILTER keeps every column BIGINT.
+    "q_curation_telemetry" -> (curationGateCtes +
+      """, flags AS (SELECT c.doc_id, c.doc_id % 3 AS batch_id, c.text,
+             rep.repetitive, con.contaminated, (lm.lm_nll >= 10.0) AS unusual
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id),
+         surv AS (SELECT * FROM flags
+                  WHERE NOT repetitive AND NOT contaminated AND NOT unusual),
+         win AS (SELECT batch_id FROM (
+             SELECT batch_id,
+               row_number() OVER (PARTITION BY text
+                                  ORDER BY batch_id, doc_id) AS rn
+             FROM surv) WHERE rn = 1),
+         kept AS (SELECT batch_id, count(*) AS kept FROM win GROUP BY 1),
+         agg AS (SELECT batch_id, count(*) AS docs_in,
+             count(*) FILTER (WHERE repetitive) AS dropped_repetitive,
+             count(*) FILTER (WHERE contaminated) AS dropped_contaminated,
+             count(*) FILTER (WHERE unusual) AS dropped_unusual
+           FROM flags GROUP BY 1)
+         SELECT a.batch_id, a.docs_in, a.dropped_repetitive,
+           a.dropped_contaminated, a.dropped_unusual,
+           coalesce(k.kept, 0) AS kept
+         FROM agg a LEFT JOIN kept k ON k.batch_id = a.batch_id
+         ORDER BY a.batch_id"""),
     "q_sample_budget" ->
       """SELECT doc_id, n_chars FROM (
            SELECT doc_id, n_chars FROM documents

@@ -23,10 +23,11 @@ import graft.textanalysis.TextAnalysis
   * Scan 1 is the narrow per-document pass (text kept for the final
   * dedup key, the repetition gate inlined — it is pure row-local
   * array math, so it needs neither a metric frame nor a join). Scan 2
-  * is THE tokenization pass: tagged unigrams (LM vocabulary) and
-  * bigrams (LM model, contamination, scoring) explode once,
-  * pre-aggregate to (doc_id, kind, gram, cnt), and materialize via
-  * localCheckpoint; model training, the vocabulary scalar,
+  * is THE tokenization pass: bigrams explode once and pre-aggregate
+  * to one row per (doc_id, gram) — (doc_id, gram, cnt, n_words,
+  * n_trigrams, n_distinct_tg, tail), the per-doc scalars riding each
+  * row — materialized via persist() (columnar, compressed, size
+  * stats for the planner); model training, the vocabulary scalar,
   * contamination hits, and per-document scoring all read that
   * artifact instead of re-exploding text. The final exact dedup is a
   * group-winner aggregation on the 16-byte text digest (the min
@@ -43,6 +44,18 @@ object Curation {
     * identical text), with the LM score retained for downstream
     * curriculum use. Gate thresholds are the operators' documented
     * defaults.
+    *
+    * Cache lifecycle: the internally persisted token artifact is
+    * AUTO-RELEASED when the first action over the returned frame
+    * completes (success or failure) — a one-shot listener keyed on
+    * the frame's observation, so a long-lived session calling this
+    * convenience form doesn't accumulate a corpus-sized cache per
+    * invocation. One-shot semantics follow: a SECOND action over the
+    * same frame recomputes without the cache. Multi-action callers
+    * (and callers who want explicit scoping) use [[curateManaged]].
+    * If no action ever runs, the (already materialized) artifact
+    * stays cached until session cleanup — same as any abandoned
+    * persist.
     */
   def curate(documents: DataFrame, benchmark: DataFrame,
       nllThreshold: Double = 10.0,
@@ -63,9 +76,39 @@ object Curation {
       nllThreshold: Double = 10.0,
       contaminationThreshold: Double = 0.4)
       : (DataFrame, org.apache.spark.sql.Observation) = {
-    val (out, obs, _) = curateInternal(documents, benchmark,
+    val (out, obs, tokens) = curateInternal(documents, benchmark,
       nllThreshold, contaminationThreshold)
+    releaseOnFirstAction(out, obs, tokens)
     (out, obs)
+  }
+
+  /** Release `tokens` when the first query execution carrying `obs`
+    * completes (the convenience forms' cache lifecycle — see
+    * [[curate]]). The observation NAME identifies the execution: any
+    * action over the returned frame runs the observe() node, which
+    * surfaces in `qe.observedMetrics` under that name — a public,
+    * plan-shape-independent match. The listener unregisters itself
+    * after firing (one-shot), and unpersist is idempotent/async-safe
+    * (the ExecutionListenerBus invokes it off the action thread).
+    */
+  private def releaseOnFirstAction(out: DataFrame,
+      obs: org.apache.spark.sql.Observation, tokens: DataFrame): Unit = {
+    val spark = out.sparkSession
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.observedMetrics.contains(obs.name)) {
+          tokens.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
   }
 
   /** [[curateObserved]] with the internally persisted token artifact

@@ -156,6 +156,11 @@ object SearchOps {
     * (N, avgdl) scalars are broadcast; ranking is TakeOrdered. idf is
     * rounded to 6 places on both engines before the product (ln is
     * libm-dependent in its last ulp), the final score to 4.
+    *
+    * This one-shot form re-tokenizes the corpus per call — right for
+    * a single ad-hoc query, wrong as a serving path. Serving goes
+    * through [[writeBm25Index]] + [[searchBm25FromIndex]], which pay
+    * the corpus pass once.
     */
   def searchBm25(documents: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame = {
@@ -170,6 +175,93 @@ object SearchOps {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf, dfreq, stats, k, k1, b, from)
+  }
+
+  /** Number of term-hash partitions in a written BM25 index — the
+    * pruning granularity: a query reads ~|terms|/`Bm25Buckets` of the
+    * postings directories. 64 keeps directories coarse enough that a
+    * small corpus doesn't fragment into thousands of tiny files while
+    * a 100 TB corpus still prunes ~98% of the index per term.
+    */
+  val Bm25Buckets = 64
+
+  /** The term→partition assignment, computed identically on the
+    * executor (write side, Spark md5 over the term column) and the
+    * driver (probe side, [[termBucket]] over the query literals) — 15
+    * hex chars = 60 bits, exact in a long on both sides.
+    */
+  private[graft] def termBucketCol(term: Column): Column =
+    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"),
+      lit(Bm25Buckets.toLong))
+
+  private[graft] def termBucket(term: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    ((h % Bm25Buckets) + Bm25Buckets) % Bm25Buckets
+  }
+
+  /** Build-once BM25 term-statistics index: [[searchBm25]] recomputes
+    * the corpus pass (tokenize → explode → tf/df aggregation) on
+    * EVERY call, which is the right one-shot shape but the wrong
+    * serving shape — at 100 TB the tokenize pass costs more than the
+    * query. This writes the classic inverted-file artifact instead:
+    *
+    *   `path/postings/bucket=H/` — (term, doc_id, tf, dl) rows,
+    *     partitioned by the term-hash bucket so a query's literal
+    *     bucket IN-list prunes to |query terms| directories
+    *     (the IVF/PQ index pattern applied to text);
+    *   `path/stats/` — the one-row (n_docs, avgdl) corpus scalars.
+    *
+    * Document frequencies need no separate table: after pruning, the
+    * per-term posting count IS df, already in the rows being read.
+    * One corpus tokenize pays for every subsequent query.
+    */
+  def writeBm25Index(documents: DataFrame, path: String): Unit = {
+    val base = documents
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .withColumn("dl", size(col("__ws")).cast("long"))
+    base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+    base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucketCol(col("term")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+  }
+
+  /** [[searchBm25]] served from a [[writeBm25Index]] artifact: the
+    * query terms' literal buckets become PartitionFilters (directory
+    * pruning), df re-aggregates from the pruned postings, and scoring
+    * + rounding replay the one-shot operator exactly — same result,
+    * no corpus pass. The plan never tokenizes: zero Generate nodes
+    * (PlanSpec pins this).
+    */
+  def searchBm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val buckets = queryTerms.map(termBucket).distinct
+    val tf = spark.read.parquet(path + "/postings")
+      .filter(col("bucket").isin(buckets: _*)) // directory pruning
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val stats = spark.read.parquet(path + "/stats")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf, dfreq, stats, k, k1, b, from)
+  }
+
+  /** The shared BM25 scoring tail over a (doc_id, dl, term, tf)
+    * frame: idf from broadcast df + corpus scalars, per-term partial
+    * scores, per-doc sum, TakeOrdered page. Rounding contract: idf to
+    * 6 places before the product, the final score to 4 — identical in
+    * the one-shot and indexed paths (and the DuckDB oracle).
+    */
+  private def scoreBm25(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double, from: Int): DataFrame =
     tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -183,7 +275,6 @@ object SearchOps {
       .orderBy(col("bm25").desc, col("doc_id"))
       .offset(from)
       .limit(k)
-  }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
     * 2009) — the standard way to blend a lexical and a semantic
@@ -207,9 +298,33 @@ object SearchOps {
     */
   def hybridSearch(documents: DataFrame, embeddings: DataFrame,
       queryTerms: Seq[String], queryVecId: Long, k: Int,
-      depth: Int = 50, rrfK: Int = 60): DataFrame = {
+      depth: Int = 50, rrfK: Int = 60): DataFrame =
+    hybridSearchFrom(searchBm25(documents, queryTerms, depth), embeddings,
+      queryVecId, k, depth, rrfK)
+
+  /** [[hybridSearch]] with the lexical branch served from a written
+    * BM25 index — the serving-path composition (one corpus tokenize
+    * amortized over every query, like the IVF/PQ serving stack).
+    * Identical fused ranking: the indexed branch is row-identical to
+    * the one-shot [[searchBm25]].
+    */
+  def hybridSearchIndexed(indexPath: String, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      depth: Int = 50, rrfK: Int = 60): DataFrame =
+    hybridSearchFrom(
+      searchBm25FromIndex(embeddings.sparkSession, indexPath, queryTerms,
+        depth),
+      embeddings, queryVecId, k, depth, rrfK)
+
+  /** RRF fusion over a precomputed lexical top-`depth` (`lex0`:
+    * (doc_id, bm25)) and the cosine branch — both branches are tiny
+    * TakeOrdered results, so the global rank windows below order
+    * ≤depth rows each.
+    */
+  private def hybridSearchFrom(lex0: DataFrame, embeddings: DataFrame,
+      queryVecId: Long, k: Int, depth: Int, rrfK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = searchBm25(documents, queryTerms, depth)
+    val lex = lex0
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))

@@ -29,6 +29,21 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curate(corpus, benchmark, nllThreshold = 1e-4).count() === 0)
   }
 
+  test("curate() auto-releases the token cache after the first action") {
+    // the convenience form's lifecycle contract (ADVICE r5): the
+    // internally persisted token artifact must be gone once the first
+    // action over the returned frame completes — no per-call cache
+    // accumulation in long-lived sessions. The release listener runs
+    // on the async ExecutionListenerBus, so poll briefly.
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(Curation.curate(corpus, benchmark).count() === 1)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leaked.isEmpty, s"curate() left persisted RDDs: $leaked")
+  }
+
   test("observed curation reports per-gate drops with no extra action") {
     val (out, obs) = Curation.curateObserved(corpus, benchmark)
     assert(out.count() === 1) // the one action both executes and observes

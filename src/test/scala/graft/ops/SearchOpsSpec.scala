@@ -127,4 +127,55 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(p1 ++ p2 === top10)
   }
+
+  test("BM25 index: served ranking ≡ one-shot; buckets prune; no tokenize") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    SearchOps.writeBm25Index(docs, dir)
+    val terms = Seq("merge", "query")
+    val served = SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+    val oneShot = SearchOps.searchBm25(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === oneShot)
+    val p = served.queryExecution.executedPlan.toString
+    // literal term buckets inside PartitionFilters = directory pruning
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined, p)
+    // the served plan never tokenizes: zero generators
+    assert(!p.contains("Generate"), p)
+    // paging parity on the served path too
+    val sp1 = SearchOps.searchBm25FromIndex(spark, dir, terms, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val sp2 = SearchOps.searchBm25FromIndex(spark, dir, terms, 5, from = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sp1 ++ sp2 === oneShot)
+  }
+
+  test("BM25 term buckets: driver-side assignment matches the written column") {
+    // the probe's literal IN-list is computed on the driver; a drift
+    // from the executor-side md5 bucketing would silently prune the
+    // WRONG directories (empty results, no error) — pin exact parity
+    import org.apache.spark.sql.functions._
+    val sample = docs.select(explode(graft.functions.TextFunctions
+        .words(col("text"))).as("term"))
+      .distinct().limit(200)
+    val both = sample
+      .select(col("term"), SearchOps.termBucketCol(col("term")).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r =>
+      assert(SearchOps.termBucket(r.getString(0)) === r.getLong(1),
+        r.getString(0)))
+  }
+
+  test("hybridSearchIndexed ≡ hybridSearch on the shared corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25h").toString
+    SearchOps.writeBm25Index(docs, dir)
+    val direct = SearchOps.hybridSearch(docs, emb, Seq("merge", "query"),
+      0L, 20).collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val indexed = SearchOps.hybridSearchIndexed(dir, emb,
+      Seq("merge", "query"), 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(indexed === direct)
+  }
 }

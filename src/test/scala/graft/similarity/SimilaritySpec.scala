@@ -342,13 +342,39 @@ class SimilaritySpec extends SparkSpec {
     val plain = Similarity.pqTopK(Similarity.pqEncode(emb, cb), cb, q, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(all.toSeq === plain.toSeq)
-    // the probe scan prunes partitions: literal cells reach the scan
+    // the probe scan prunes partitions: literal cells INSIDE the
+    // PartitionFilters bracket (an empty bracket must not satisfy)
     val pruned = Similarity.pqTopKFromIndex(index, cents, cb, q, 10, nProbe = 2)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
     val ids = pruned.collect().map(_.getLong(0))
     assert(ids.nonEmpty && ids.toSet.subsetOf(
       index.select("vec_id").collect().map(_.getLong(0)).toSet))
+    // the pruned ranking ≡ the all-cell ADC ranking restricted to the
+    // probed cells' members, computed independently
+    val probes = Similarity.probeCells(cents, q, 2)
+    val members = index.filter($"cell".isin(probes: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = Similarity.pqTopK(
+      Similarity.pqEncode(emb.filter($"vec_id".isin(members.toSeq: _*)), cb),
+      cb, q, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === expected.toSeq)
+  }
+
+  test("pqBuild seeds from the smallest ids, not an id<ksub filter") {
+    // sparse/hashed id spaces: ids start at 5000, so a `id < ksub`
+    // seed filter would select NOTHING and downstream encode would
+    // emit null codes silently (ADVICE r5) — seeding must take the
+    // ksub smallest ids instead and the codebook must stay usable
+    val sparse = emb.select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+    val cb = Similarity.pqBuild(sparse, m = 8, ksub = 16, iterations = 1)
+    assert(cb.centroids.forall(_.nonEmpty))
+    val codes = Similarity.pqEncode(sparse, cb)
+      .limit(50).collect()
+    assert(codes.nonEmpty)
+    codes.foreach(r => assert(!r.isNullAt(1) &&
+      r.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
   }
 
   test("semdedup on the corpus: planted exact copies never survive") {
