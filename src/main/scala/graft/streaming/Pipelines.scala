@@ -533,6 +533,17 @@ object Pipelines {
         .filter(_.matches("v=\\d+")).map(_.stripPrefix("v=").toLong)
     else Seq.empty
 
+  /** The versioned trending-state batch core (see the topology doc
+    * above). Residual fresh-checkpoint ambiguity (ADVICE r5): the
+    * guard below catches a fresh checkpoint over an existing state
+    * dir only when some persisted version exceeds the new batch id. A
+    * dead incarnation whose MAX version equals the new stream's first
+    * batch id (e.g. the old run wrote only v=0 and the new stream
+    * also starts at 0) is indistinguishable from a self-replay of
+    * this batch's own lost commit, and is silently overwritten —
+    * restarting a stream under the same ids still requires deleting
+    * (or restoring alongside its checkpoint) the state dir.
+    */
   def processTrendingBatch(batch: DataFrame, stateDir: String,
       batchId: Long, halfLifeUs: Long = 86400000000L): Unit = {
     import graft.ops.StatsOps
