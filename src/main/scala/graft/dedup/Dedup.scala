@@ -623,6 +623,13 @@ object Dedup {
     */
   val UnionFindByteBudget: Long = 512L << 20
 
+  /** `algorithm`: "minlabel" (one join+agg per round, O(diameter)
+    * rounds — the dense-near-dup-cluster default), "star" (Kiveris
+    * alternating contraction, O(log n) rounds), or "jump" (min-label
+    * with pointer jumping — O(log diameter) rounds at two joins per
+    * round; the middle ground when diameters are high but label
+    * frames are much smaller than the edge list).
+    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, smallGraphEdges: Long = 4000000L,
       algorithm: String = "minlabel",
@@ -639,8 +646,9 @@ object Dedup {
       smallGraphEdges: Long = 4000000L,
       algorithm: String = "minlabel",
       unionFindByteBudget: Long = UnionFindByteBudget): (DataFrame, Int) = {
-    require(algorithm == "minlabel" || algorithm == "star",
-      s"unknown components algorithm '$algorithm' (minlabel | star)")
+    require(algorithm == "minlabel" || algorithm == "star" ||
+        algorithm == "jump",
+      s"unknown components algorithm '$algorithm' (minlabel | star | jump)")
     // symmetrize in ONE pass over the input (explode, not union —
     // union's two branches would each re-evaluate an expensive pairs
     // pipeline feeding this)
@@ -670,16 +678,30 @@ object Dedup {
       return (out, 0)
     }
     if (algorithm == "star") starComponents(sym, maxIter)
-    else minLabelComponents(sym, maxIter)
+    else minLabelComponents(sym, maxIter, jump = algorithm == "jump")
   }
 
   /** Iterative min-label propagation — one join + one aggregation per
     * round (self-edges carry each node's own label through the
     * min-agg, so there is no join-back). O(graph diameter) rounds:
     * the right shape for the DENSE graphs near-dup clustering emits
-    * (diameter 2-3); high-diameter graphs belong to [[starComponents]].
+    * (diameter 2-3); high-diameter graphs belong to [[starComponents]]
+    * or the `jump` variant below.
+    *
+    * With `jump = true`, each round appends a POINTER-JUMPING step:
+    * a label is itself a node id, so following it one hop —
+    * l(v) ← min(l(v), l(l(v))) — composes the reach of the two
+    * frames (Wyllie-style shortcutting; the relational form of
+    * Hash-to-Min, Rastogi et al. 2013). Neighbor propagation extends
+    * reach by one hop, the jump then roughly doubles it, so a
+    * diameter-D chain converges in O(log D) rounds instead of D, at
+    * two joins + two label-frame materializations per round. Labels
+    * only DECREASE under both steps (min of already-held labels), so
+    * the sum certificate and the min-reachable-id fixed point carry
+    * over unchanged.
     */
-  private def minLabelComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private def minLabelComponents(sym: DataFrame, maxIter: Int,
+      jump: Boolean = false): (DataFrame, Int) = {
     // labels only ever DECREASE, so the (exact, decimal) label sum is
     // a convergence certificate: unchanged sum ⟺ no label moved. The
     // sum rides every checkpoint materialization as an observe()
@@ -716,10 +738,26 @@ object Dedup {
     while (changed && it < maxIter) {
       val t0 = System.nanoTime()
       val obs = org.apache.spark.sql.Observation()
-      val next = symSelf.join(hintSmall(labels), col("b") === col("node"))
+      val propagated = symSelf.join(hintSmall(labels), col("b") === col("node"))
         .groupBy(col("a"))
         .agg(min(col("component")).as("component"))
         .withColumnRenamed("a", "node")
+      val next = (if (!jump) propagated else {
+        // the jump step reads `propagated` on BOTH join sides —
+        // checkpoint first or the propagation join runs twice
+        val p = propagated.localCheckpoint(true)
+        // left join: every label IS a node id present in the frame
+        // (labels are minima over node-id sets that contain them),
+        // but coalesce keeps the step total rather than trusting that
+        // invariant across future refactors
+        p.as("x")
+          .join(hintSmall(p).as("y"), col("x.component") === col("y.node"),
+            "left")
+          .select(col("x.node").as("node"),
+            least(col("x.component"),
+              coalesce(col("y.component"), col("x.component")))
+              .as("component"))
+      })
         .observe(obs, sumExpr)
         .localCheckpoint(true)
       val newSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
@@ -735,10 +773,11 @@ object Dedup {
     symSelf.unpersist()
     sym.unpersist()
     if (changed) throw new IllegalStateException(
-      s"connectedComponents(minlabel) did not converge in $maxIter rounds " +
-        "(graph diameter exceeds maxIter) — rerun with algorithm=\"star\" " +
-        "(O(log n) rounds) or a larger maxIter; returning partial labels " +
-        "would be silently wrong")
+      s"connectedComponents(${if (jump) "jump" else "minlabel"}) did not " +
+        s"converge in $maxIter rounds (graph diameter exceeds maxIter) — " +
+        "rerun with algorithm=\"star\" (O(log n) rounds) or " +
+        "algorithm=\"jump\" (O(log diameter)) or a larger maxIter; " +
+        "returning partial labels would be silently wrong")
     (labels, it)
   }
 

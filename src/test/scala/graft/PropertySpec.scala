@@ -53,8 +53,8 @@ class PropertySpec extends SparkSpec {
     assert(pages.flatten.distinct.size === pages.flatten.size)
   }
 
-  test("components: star ≡ min-label ≡ union-find on random graphs") {
-    // three independent algorithms must agree exactly on arbitrary
+  test("components: star ≡ min-label ≡ jump ≡ union-find on random graphs") {
+    // four independent algorithms must agree exactly on arbitrary
     // edge lists — sparse (forests + chains) and dense (many
     // triangles) regimes both covered
     val edgeGen = for {
@@ -73,8 +73,12 @@ class PropertySpec extends SparkSpec {
       val star = Dedup.connectedComponents(edges, "a", "b",
         smallGraphEdges = 0L, algorithm = "star")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val jump = Dedup.connectedComponents(edges, "a", "b",
+        smallGraphEdges = 0L, algorithm = "jump")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(minlabel === fast, s"minlabel vs union-find, n=$n")
       assert(star === fast, s"star vs union-find, n=$n")
+      assert(jump === fast, s"jump vs union-find, n=$n")
     }
   }
 

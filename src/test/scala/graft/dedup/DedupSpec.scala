@@ -181,6 +181,22 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("pointer-jumping min-label is O(log diameter) on the same chain") {
+    // plain min-label moves one hop per round (needs ~1000 rounds and
+    // rightly throws above); the jump step composes the label frame
+    // with itself, so reach roughly doubles per round — the 1000-node
+    // chain must land every label on 0 within ~log2(1000) + slack
+    val chain = spark.range(1000)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val (comps, rounds) = Dedup.connectedComponentsWithRounds(
+      chain.toDF(), "id_a", "id_b", maxIter = 15,
+      smallGraphEdges = 0L, algorithm = "jump")
+    val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 1001)
+    assert(labels.forall(_._2 === 0L))
+    assert(rounds <= 12, s"pointer jumping took $rounds rounds")
+  }
+
   test("star contraction: bridged stars merge into one component") {
     // r1<r2<c<v1<v2<h1<h2 wired so intermediate star rounds produce a
     // child (c) reachable from two tentative roots — the state a
@@ -192,7 +208,7 @@ class DedupSpec extends SparkSpec {
       (6L, 4L), (4L, 3L), (6L, 1L),
       (7L, 5L), (5L, 3L), (7L, 2L)
     ).toDF("id_a", "id_b")
-    for (algo <- Seq("minlabel", "star"); fast <- Seq(0L, 1000L)) {
+    for (algo <- Seq("minlabel", "star", "jump"); fast <- Seq(0L, 1000L)) {
       val comps = Dedup.connectedComponents(edges, "id_a", "id_b",
         smallGraphEdges = fast, algorithm = algo)
         .collect().map(r => r.getLong(0) -> r.getLong(1))
