@@ -453,6 +453,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 101 === 7),
         "doc_id", "text")
     }),
+    // Span-level decontamination: every 8-word span shared with the
+    // held-out slice is cut out of the corpus doc, rest kept
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.spanDecontaminate(
+        docs.filter(col("doc_id") % 101 =!= 7),
+        docs.filter(col("doc_id") % 101 === 7),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // Corpus mixing: exact per-source document quotas in md5 order
     "q_corpus_mix" -> ((s, d) =>
       SampleOps.quotaMix(Tables.documents(s, d), "source", "doc_id",
@@ -672,6 +682,15 @@ object SparkEntry {
     "q_media_real" -> ((s, d) =>
       Multimodal.realImageStats(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // Perceptual image near-dup: render → PNG → REAL decode → dHash,
+    // then banded Hamming join over the 64-bit fingerprints; the
+    // oracle replays the pixel rule + NN index map + dHash in SQL and
+    // brute-forces pairs (lossless vs the band join by pigeonhole)
+    "q_image_neardup" -> ((s, d) =>
+      Dedup.hammingNearDuplicates(
+        Multimodal.imageHashes(Tables.documents(s, d)),
+        "doc_id", "dhash", maxDist = 1)
+        .orderBy("id_a", "id_b")),
     // Int8 quantization: per-vector scale + exact integer reductions
     // of the quantized entries (the arrays themselves are spec'd —
     // the oracle gate compares scalar projections)
@@ -704,6 +723,12 @@ object SparkEntry {
     // shared with at least one other document
     "q_duplication_profile" -> ((s, d) =>
       Dedup.duplicationProfile(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    // Substring-level exact dedup (Lee et al. ExactSubstr analog):
+    // duplicated 8-word spans dropped, first occurrence kept, text
+    // rebuilt from surviving words
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
     // Corpus snapshot diff: v2 drops %13 docs, edits %17 texts, adds
     // a +1e6 slice — the per-id added/removed/changed/unchanged readout
@@ -2172,6 +2197,73 @@ object SparkEntry {
                  THEN round(n_shared * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.5)
              AS flagged
          FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
+    // substring dedup: 8-word sliding windows, ≥2 occurrences
+    // corpus-wide ⇒ duplicated; first (doc_id, pos) survives, other
+    // occurrences drop their covered positions; text rebuilt in order
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         occ AS (SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - 8 + 1, 0))) AS pos, ws
+           FROM t),
+         h AS (SELECT doc_id, pos,
+             md5(array_to_string(ws[pos+1 : pos+8], ' ')) AS hh
+           FROM occ),
+         o2 AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY hh) AS c
+           FROM h),
+         removed AS (SELECT doc_id, pos FROM o2 WHERE c >= 2 AND rn > 1),
+         covered AS (SELECT DISTINCT doc_id, pos + k.k AS p
+           FROM removed, (SELECT unnest(range(0, 8)) AS k) k),
+         wp AS (SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) - 1 AS p
+           FROM t),
+         kept AS (SELECT wp.doc_id, wp.word, wp.p
+           FROM wp LEFT JOIN covered cv
+             ON wp.doc_id = cv.doc_id AND wp.p = cv.p
+           WHERE cv.p IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_words,
+           CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS INT) AS n_dropped,
+           coalesce(agg.clean_text, '') AS clean_text
+         FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
+    // span decontamination: corpus spans ∩ benchmark spans (held-out
+    // %101 slice) cut; every matching occurrence drops, rest kept
+    "q_decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 101 <> 7),
+         b AS (SELECT string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 101 = 7),
+         bh AS (SELECT DISTINCT
+             md5(array_to_string(ws[pos+1 : pos+8], ' ')) AS hh
+           FROM (SELECT ws, unnest(range(0, greatest(len(ws) - 7, 0))) AS pos
+                 FROM b)),
+         occ AS (SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - 7, 0))) AS pos, ws
+           FROM t),
+         h AS (SELECT doc_id, pos,
+             md5(array_to_string(ws[pos+1 : pos+8], ' ')) AS hh
+           FROM occ),
+         removed AS (SELECT doc_id, pos FROM h
+           WHERE hh IN (SELECT hh FROM bh)),
+         covered AS (SELECT DISTINCT doc_id, pos + k.k AS p
+           FROM removed, (SELECT unnest(range(0, 8)) AS k) k),
+         wp AS (SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) - 1 AS p
+           FROM t),
+         kept AS (SELECT wp.doc_id, wp.word, wp.p
+           FROM wp LEFT JOIN covered cv
+             ON wp.doc_id = cv.doc_id AND wp.p = cv.p
+           WHERE cv.p IS NULL),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY p) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_words,
+           CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS INT) AS n_dropped,
+           coalesce(agg.clean_text, '') AS clean_text
+         FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
     // incremental replay: batch-internal first occurrence (row_number)
     // minus any segment occurring anywhere in the index slice
     "q_segment_dedup_incremental" ->
@@ -2478,6 +2570,28 @@ object SparkEntry {
          FROM documents d, range(0, 253) r(i)
          WHERE r.i < (16 + d.doc_id % 8) * (8 + d.doc_id % 4)
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // image near-dup: replay pixel rule + NN 9×8 index map + dHash
+    // bit rule in SQL, brute-force Hamming pairs (band join is
+    // lossless for maxDist ≤ 3 by pigeonhole; bit 63 lands on the
+    // BIGINT sign bit — the CASE mirrors Long two's complement)
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS W, 8 + doc_id % 4 AS H
+           FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + ((y*H//8)*W + ((x+1)*W//9))*7) % 256) >
+                       ((doc_id*31 + ((y*H//8)*W + (x*W//9))*7) % 256)
+                  THEN (CASE WHEN y*8+x = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << (y*8+x)) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 8) xs(x), range(0, 8) ys(y)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 1
+         ORDER BY id_a, id_b""",
   )
 
   /** Shared CTE replaying the md5-mode MinHash-LSH pipeline in

@@ -225,6 +225,130 @@ object Dedup {
       .withColumn("flagged", col("dup_frac") >= threshold)
   }
 
+  /** Substring-level exact dedup — the span-granular member of the
+    * dedup family ([[exactDedup]] drops whole documents,
+    * [[segmentWinners]] drops whole segments; this drops duplicated
+    * SPANS inside otherwise-kept documents, cf. Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * whose ExactSubstr removes repeated ≥50-token substrings found
+    * via a suffix array; the fixed-width sliding-window form is its
+    * shuffle-friendly relational analog).
+    *
+    * Semantics: every `w`-word window of every document is hashed; a
+    * window value occurring ≥2 times corpus-wide is duplicated. The
+    * FIRST occurrence — min (doc_id, pos) — is the canonical copy and
+    * survives; every other occurrence has its `w` covered word
+    * positions dropped. Output per input document: `(idCol, n_words,
+    * n_dropped, clean_text)` with `clean_text` rebuilt from the
+    * surviving words in order. Documents shorter than `w` words have
+    * no windows and pass through untouched.
+    *
+    * Scale shape: windows never shuffle as text — each document
+    * builds its digest array in ONE array-land pass (`transform` over
+    * the word array, digest per slice) and explodes digests only.
+    * Occurrence counting is a digest-keyed aggregation with map-side
+    * partial combine (a corpus-wide boilerplate span — the skew case —
+    * collapses to one row per map task before the shuffle, which a
+    * window-function formulation could not do); only the duplicated
+    * subset joins back, AQE-broadcastable when small. Covered
+    * positions aggregate per document (`collect_set` bounded by
+    * document length), and the rebuild joins that narrow frame to a
+    * second text scan — text flows through exactly one shuffle. The
+    * window-digest aggregation is the dominant cost at ~16 bytes per
+    * corpus token: the same order as [[duplicationProfile]], and the
+    * honest price of exact span dedup (a suffix array pays a global
+    * sort of comparable volume). Output is UNORDERED — callers sort
+    * at the query edge.
+    */
+  def substringDedup(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val occ = windowOccurrences(documents, idCol, textCol, w)
+    val dup = occ.groupBy(col("hh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("hh"), col("first"))
+    // non-canonical occurrences of duplicated windows (occ's subtree
+    // recomputes here — same two-scan precedent as duplicationProfile;
+    // persisting a corpus-token-sized frame for one reuse costs more
+    // than the second narrow scan)
+    val removed = occ.join(dup, Seq("hh"))
+      .filter(!(col(idCol) === col("first")(idCol) &&
+        col("pos") === col("first")("pos")))
+      .select(col(idCol), col("pos"))
+    dropCoveredSpans(documents, removed, idCol, textCol, w)
+  }
+
+  /** Span-level decontamination — remove every `w`-word span of the
+    * corpus that also occurs in the held-out `benchmark`, keeping the
+    * REST of each document (GPT-3 / Pile-style n-gram scrubbing;
+    * [[graft.textanalysis.TextAnalysis.contaminationStats]] is the
+    * doc-level flag readout, this is the surgical counterpart that
+    * preserves the uncontaminated text). ALL matching occurrences
+    * drop — there is no canonical survivor, because the benchmark
+    * copy is the one being protected. Output schema matches
+    * [[substringDedup]]: `(idCol, n_words, n_dropped, clean_text)`.
+    *
+    * Scale shape: the benchmark's distinct window-digest set is small
+    * by definition (benchmarks are fixed-size) and BROADCASTS to a
+    * map-side semi join against the corpus's window digests — no
+    * corpus-keyed shuffle at all until the per-document covered-set
+    * aggregation, which only carries hit positions.
+    */
+  def spanDecontaminate(documents: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val benchDigests = windowOccurrences(
+        benchmark.select(lit(0L).as("__bid"), col(textCol)),
+        "__bid", textCol, w)
+      .select(col("hh")).distinct()
+    val removed = windowOccurrences(documents, idCol, textCol, w)
+      .join(broadcast(benchDigests), Seq("hh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    dropCoveredSpans(documents, removed, idCol, textCol, w)
+  }
+
+  /** The `(idCol, pos, hh)` sliding-window digest occurrences of a
+    * text frame. The digest array is built BEFORE the generator: the
+    * explode carries (id, pos, 16-byte digest) rows only, never the
+    * word array, and no expression sits beside the generator to be
+    * re-evaluated per exploded row (Curation.scala:97 hazard).
+    */
+  private def windowOccurrences(df: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    val hashed = df.select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol),
+        when(size(col("ws")) >= w,
+          transform(sequence(lit(0), size(col("ws")) - w),
+            i => unhex(md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
+          .otherwise(array().cast("array<binary>")).as("hs"))
+    hashed.select(col(idCol), posexplode(col("hs"))).toDF(idCol, "pos", "hh")
+  }
+
+  /** Rebuild documents with the word positions covered by `removed`
+    * window occurrences dropped: expand each occurrence to its `w`
+    * covered positions, aggregate the per-document set (bounded by
+    * document length), and rebuild the surviving text in order from a
+    * second narrow scan — text flows through exactly one shuffle.
+    */
+  private def dropCoveredSpans(documents: DataFrame, removed: DataFrame,
+      idCol: String, textCol: String, w: Int): DataFrame = {
+    val dropped = removed
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("p")).as("__dropped"))
+    documents.select(col(idCol), words(col(textCol)).as("ws"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), size(col("ws")).as("n_words"),
+        coalesce(size(col("__dropped")), lit(0)).as("n_dropped"),
+        concat_ws(" ",
+          filter(col("ws"), (wd, i) =>
+            !coalesce(array_contains(col("__dropped"), i), lit(false))))
+          .as("clean_text"))
+  }
+
   /** The distinct segment-digest set of a corpus — the cheap
     * bootstrap for [[segmentDedupIncrement]]'s `seen` side when no
     * persisted index exists yet: a plain distinct over 16-byte
@@ -551,6 +675,69 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       // UNORDERED (pair lists are unbounded) — sort at the query edge
       .select(col("id_a"), col("id_b"), col("hamming"))
+    new graft.Managed(result, Seq(base))
+  }
+
+  /** Near-duplicate pairs over ANY 64-bit fingerprint column —
+    * simhash fingerprints, image dHashes
+    * ([[graft.multimodal.Multimodal.imageHashes]]), audio chromaprint
+    * analogs — by banded Hamming join. The fingerprint splits into
+    * four 16-bit bands; with `maxDist` ≤ 3, at most three bits differ
+    * between near-duplicates, so by pigeonhole at least one band is
+    * untouched and the band-equality self-join is LOSSLESS — every
+    * qualifying pair is a candidate, then verified with an exact
+    * `bit_count(xor)`.
+    *
+    * Scale shape: only (id, fingerprint) rows ever shuffle — 16
+    * bytes/doc regardless of payload size. The fingerprint frame is
+    * persisted once (both sides of the bucket self-join read it;
+    * recomputing it would re-run the upstream decode/tokenize).
+    * `maxBucketSize` is the skew guard: a
+    * degenerate corpus (a million identical images) makes one bucket
+    * quadratic, and such buckets are dropped rather than joined —
+    * same contract as [[simhashNearDuplicatesManaged]]. Output
+    * `(id_a, id_b, hamming)` is UNORDERED; callers sort at the query
+    * edge.
+    */
+  def hammingNearDuplicates(df: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int = 1, maxBucketSize: Int = 4096): DataFrame =
+    hammingNearDuplicatesManaged(df, idCol, fpCol, maxDist, maxBucketSize).df
+
+  /** Managed-lifecycle variant — see `minhashNearDuplicatesManaged`. */
+  def hammingNearDuplicatesManaged(df: DataFrame, idCol: String,
+      fpCol: String, maxDist: Int = 1,
+      maxBucketSize: Int = 4096): graft.Managed = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] for 4-band pigeonhole losslessness, got $maxDist")
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(fpCol).cast("long").as("fp"))
+      .filter(col("fp").isNotNull)
+      .persist()
+    // the 8-byte fingerprint rides the bucket rows (unlike simhash's
+    // band ARRAYS, carrying it is free), so verification happens
+    // INLINE on the band join — no join-back, and the pair `distinct`
+    // (a pair matching in k bands appears k times) shuffles only
+    // verified near-duplicates instead of every candidate
+    val buckets = base.select(col("id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "value")))
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("value"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val result = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.value") === col("r.value") &&
+        col("l.id") < col("r.id"))
+      .withColumn("hamming",
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("hamming"))
+      .distinct()
+    // UNORDERED (pair lists are unbounded) — sort at the query edge
     new graft.Managed(result, Seq(base))
   }
 

@@ -182,6 +182,32 @@ object Multimodal {
       encodePng(out)
     }
 
+    /** Difference hash (dHash) of the luminance raster: the image is
+      * NN-sampled onto a 9×8 grid with the same explicit index map as
+      * [[resize]] (x·srcW/9, y·srcH/8 — no rendering hints), and bit
+      * (y·8 + x) of the 64-bit fingerprint is set iff the right
+      * neighbor is strictly brighter than the left. Horizontal
+      * gradient signs survive resizing, brightness/contrast shifts,
+      * and re-encoding, which is what makes dHash the standard cheap
+      * perceptual fingerprint; Hamming distance between fingerprints
+      * approximates visual difference.
+      */
+    def dHash(img: BufferedImage): Long = {
+      var fp = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val l = gray(img, x * img.getWidth / 9, y * img.getHeight / 8)
+          val r = gray(img, (x + 1) * img.getWidth / 9, y * img.getHeight / 8)
+          if (r > l) fp |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      fp
+    }
+
     /** Render the deterministic grayscale test card for doc `id`:
       * pixel i (row-major) = (id·31 + i·7) mod 256 — a pure-SQL
       * generation rule, so a pipeline that PNG-encodes, REALLY
@@ -316,6 +342,31 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
         "n_bright", "min_gray", "max_gray")
       .withColumn("mean_gray", round(col("sum_gray") / col("n_pixels"), 4))
+  }
+
+  /** Per-document perceptual fingerprints over the REAL codec path:
+    * render the deterministic test card, PNG-encode, really decode
+    * (`javax.imageio`), dHash the decoded raster. Payload bytes never
+    * leave the executor — only (doc_id, 64-bit fingerprint) rows flow
+    * downstream, which is what makes corpus-scale image near-dup
+    * ([[graft.dedup.Dedup.hammingNearDuplicates]]) a fingerprint
+    * problem rather than a payload-shuffle problem.
+    */
+  def imageHashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 8 + (id % 4).toInt
+          val png = ImageCodec.renderGrayPng(id, w, h)
+          val img = ImageCodec.decode(png).getOrElse(
+            throw new IllegalStateException(s"PNG round-trip failed for doc $id"))
+          (id, ImageCodec.dHash(img))
+        }
+      }
+      .toDF("doc_id", "dhash")
   }
 
   /** Metadata rollup (oracle-able: generation rule is pure SQL). */

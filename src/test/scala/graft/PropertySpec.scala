@@ -175,6 +175,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("substringDedup matches an exact Scala reference on random corpora") {
+    // tiny vocabulary + short window so duplicated spans actually
+    // occur, both across documents and within one
+    val W = 3
+    val docGen = for {
+      n <- Gen.choose(1, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Dedup.substringDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", w = W)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    // reference: count every W-window occurrence corpus-wide; the min
+    // (doc_id, pos) occurrence of a duplicated window is canonical;
+    // every other occurrence covers positions pos..pos+W-1
+    val occs = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to ws.length - W).foreach { p =>
+        val k = ws.slice(p, p + W).mkString(" ")
+        occs(k) = (id, p) :: occs.getOrElse(k, Nil)
+      }
+    }
+    val removed = occs.values.filter(_.size >= 2)
+      .flatMap(os => os.sorted.drop(1)).toSet
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val covered = removed.filter(_._1 == id)
+        .flatMap { case (_, p) => p until p + W }
+      val kept = ws.zipWithIndex.collect {
+        case (wd, i) if !covered(i) => wd }
+      assert(out(id) === ((ws.length, covered.size, kept.mkString(" "))),
+        s"doc $id text='$t'")
+    }
+  }
+
   test("uuid7 ordering follows timestamp ordering") {
     val ts = samples(Gen.chooseNum(1L, 1L << 40), 100).distinct.sorted
     val df = ts.map(t => (t, s"k$t")).toDF("ts", "k")

@@ -25,6 +25,85 @@ class DedupSpec extends SparkSpec {
     assert(kept.filter($"doc_id" === 4).count() === 0)
   }
 
+  test("substringDedup drops non-canonical duplicated spans, keeps first") {
+    // doc 10 and doc 20 share a 10-word prefix (so 3 duplicated 8-word
+    // windows in doc 20 cover its first 10 positions); doc 30 is under
+    // 8 words and passes through; doc 40 repeats one 8-word span twice
+    // internally so its SECOND occurrence (positions 8..15) drops
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near x1 y1 z1"),
+      (20L, "the quick brown fox jumps over the lazy dog near x2 y2 z2"),
+      (30L, "short doc under eight"),
+      (40L, s"$span $span tail1 tail2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(10L) === ((13, 0,
+      "the quick brown fox jumps over the lazy dog near x1 y1 z1")))
+    // doc 20: windows at pos 0..2 duplicate doc 10's; covered = 0..9
+    assert(out(20L) === ((13, 10, "x2 y2 z2")))
+    assert(out(30L) === ((4, 0, "short doc under eight")))
+    // doc 40: the window at pos 8 equals the canonical one at pos 0
+    // (other windows straddle the boundary and are unique)
+    assert(out(40L) === ((18, 8, s"$span tail1 tail2")))
+  }
+
+  test("spanDecontaminate cuts benchmark-overlapping spans, keeps the rest") {
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
+    val docs = Seq(
+      // embeds the benchmark's first 8-word span mid-document
+      (1L, "intro words q1 q2 q3 q4 q5 q6 q7 q8 outro tail"),
+      // clean doc: untouched
+      (2L, "totally unrelated content with many distinct words here ok"),
+      // exact copy of the benchmark: both its windows hit; all 9 drop
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDecontaminate(docs, bench, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((12, 8, "intro words outro tail")))
+    assert(out(2L) === ((9, 0,
+      "totally unrelated content with many distinct words here ok")))
+    assert(out(3L) === ((9, 9, "")))
+    // unlike substringDedup there is NO surviving canonical occurrence
+    assert(out.values.forall(_._3 != null))
+  }
+
+  test("hammingNearDuplicates finds all pairs within maxDist, bands lossless") {
+    // fingerprints chosen so the single differing bit lands in every
+    // band position at least once (band join must still catch them),
+    // plus an exact pair, a 2-bit pair (excluded at maxDist=1), and a
+    // far-away fingerprint
+    val base = 0x0123456789ABCDEFL
+    val fps = Seq(
+      1L -> base,
+      2L -> base,                  // hamming 0
+      3L -> (base ^ (1L << 3)),    // band 0
+      4L -> (base ^ (1L << 17)),   // band 1
+      5L -> (base ^ (1L << 40)),   // band 2
+      6L -> (base ^ (1L << 63)),   // band 3 (sign bit)
+      7L -> (base ^ 3L),           // hamming 2 from base
+      8L -> ~base                  // hamming 64
+    ).toDF("doc_id", "fp")
+    val pairs = Dedup.hammingNearDuplicates(fps, "doc_id", "fp", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 1),
+      (1L, 6L, 1), (2L, 3L, 1), (2L, 4L, 1), (2L, 5L, 1), (2L, 6L, 1)))
+    // maxDist=2 admits the 2-bit pair (and 3↔7 at distance 1+2=3 stays out)
+    val pairs2 = Dedup.hammingNearDuplicates(fps, "doc_id", "fp", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs2.contains((1L, 7L, 2)) && pairs2.contains((2L, 7L, 2)))
+    // degenerate buckets drop under the skew cap rather than joining
+    val flood = (1L to 50L).map(i => i -> 0L).toDF("doc_id", "fp")
+    assert(Dedup.hammingNearDuplicates(flood, "doc_id", "fp",
+      maxBucketSize = 10).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDuplicates(fps, "doc_id", "fp", maxDist = 4)
+    }
+  }
+
   test("dropExactDuplicates is idempotent") {
     val once = Dedup.dropExactDuplicates(df, "doc_id", Seq("text"))
     val twice = Dedup.dropExactDuplicates(once, "doc_id", Seq("text"))

@@ -120,6 +120,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash is invariant under NN-resize to the 9×8 sampling grid") {
+    // dHash samples exactly the 9×8 NN grid, so resizing TO that grid
+    // first (a real encode→decode round trip) must not change the
+    // fingerprint — the perceptual-invariance contract on the real
+    // codec path
+    (0L until 40L).foreach { id =>
+      val w = 16 + (id % 8).toInt
+      val h = 8 + (id % 4).toInt
+      val img = Multimodal.ImageCodec
+        .decode(Multimodal.ImageCodec.renderGrayPng(id, w, h)).get
+      val small = Multimodal.ImageCodec
+        .decode(Multimodal.ImageCodec.resize(img, 9, 8)).get
+      assert(Multimodal.ImageCodec.dHash(img) ===
+        Multimodal.ImageCodec.dHash(small), s"doc $id")
+    }
+  }
+
+  test("imageHashes: identical test cards hash identically, ids 256 apart") {
+    // pixel rule (id·31 + i·7) % 256 repeats exactly when Δid ≡ 0
+    // (mod 256) and the dims match (256 ≡ 0 mod 8) — those pairs must
+    // be hamming-0 in the fingerprint frame
+    val docs = spark.range(0, 300).toDF("doc_id")
+    val fps = Multimodal.imageHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 44L).foreach { id =>
+      assert(fps(id) === fps(id + 256L), s"doc $id vs ${id + 256}")
+    }
+    // and a shifted id with the same dims is (generically) different
+    assert((0L until 44L).count(id => fps(id) != fps(id + 8L)) > 30)
+  }
+
   test("resize stage rewrites payload + dimensions, keeps row count") {
     val assets = Multimodal.syntheticAssets(
       graft.Tables.documents(spark, sfDir).limit(30))
