@@ -231,6 +231,44 @@ object SparkEntry {
             Dedup.shingles(col("text_b"), 2)), 4).as("jaccard"))
         .orderBy(col("id_a"))
     }),
+    // Dedup: directional containment (overlap coefficient ≥ 0.9) over
+    // a corpus with planted HALF-truncations — the subset/truncation
+    // case whose Jaccard is length-diluted to ~0.5; r=1 banding for
+    // containment-grade recall, exact integer-cross-multiplied gate
+    "q_containment_md5" -> ((s, d) =>
+      Dedup.containmentNearDuplicates(halfCorpus(s, d), "doc_id", "text",
+        hashMode = "md5")
+        .orderBy(col("id_kept"), col("id_dropped"))),
+    // Dedup: exact dedup on CANONICALIZED text — catches the case/
+    // punctuation/whitespace variants byte-exact dedup misses (CCNet
+    // dedups normalized text); planted: doc_id % 9 == 0 gains an
+    // upper-cased ragged-spacing +3,000,000-id copy, and the min-id
+    // winner per normalized key is always the original
+    "q_dedup_normalized" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !")).as("text"))
+      val corpus = docs.unionByName(variants)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.normalizeText(col("text")).as("norm"))
+      Dedup.dropExactDuplicates(corpus, "doc_id", Seq("norm"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // Training prep: overlapping sliding-window chunking (32-word
+    // windows, stride 24) — the RAG/context-window splitter; fully
+    // narrow (zero exchanges), presentation sort at the edge
+    "q_chunk_docs" -> ((s, d) =>
+      graft.textanalysis.TextAnalysis.chunkDocuments(
+        Tables.documents(s, d), chunkWords = 32, strideWords = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // Dedup: document-frequency boilerplate removal (CCNet/C4 rule:
+    // segments in ≥3 distinct docs removed from EVERY doc, including
+    // first occurrences — unlike q_segment_dedup's keep-first)
+    "q_boilerplate_removal" -> ((s, d) =>
+      Dedup.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        segWords = 3, minDocs = 3)
+        .orderBy(col("doc_id"))),
     // Dedup: MinHash+LSH near-dups over a planted-perturbation corpus
     "q_minhash_neardup" -> ((s, d) =>
       Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
@@ -494,6 +532,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 101 =!= 7),
         docs.filter(col("doc_id") % 101 === 7))
         .orderBy(col("doc_id")) // presentation sort at the query edge
+    }),
+    // The dataset-card readout: per-source gate rejections, pass
+    // count, and post-dedup kept count — |sources| rows from the same
+    // two corpus scans as the capstone
+    "q_curation_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.curation.Curation.curationReport(
+        docs.filter(col("doc_id") % 101 =!= 7),
+        docs.filter(col("doc_id") % 101 === 7))
+        .orderBy(col("source"))
     }),
     // The STREAMING curation sink's operational readout: the corpus
     // replays as three MemoryStream batches through the real
@@ -1079,6 +1127,23 @@ object SparkEntry {
     }
   }
 
+  /** Corpus with planted HALF-truncations: every doc_id % 7 == 0 doc
+    * gains a +2,000,000-id copy keeping only its first ⌊n/2⌋ words
+    * (min 3 so it still shingles) — Jaccard vs the original is
+    * length-diluted to ≈ 0.5 while containment is exactly 1.0, the
+    * case [[Dedup.containmentNearDuplicates]] exists to catch.
+    */
+  private def halfCorpus(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val ws = split(col("text"), " ", -1)
+    val halves = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1),
+          greatest((size(ws) / 2).cast("int"), lit(3)))).as("text"))
+    docs.unionByName(halves)
+  }
+
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ws = split(col("text"), " ", -1)
@@ -1582,6 +1647,75 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
          FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          ORDER BY id_a""",
+    // full md5-minhash replay with r=1 banding + containment verify
+    // over the half-truncation corpus (mirrors minhashMd5Cte's shape)
+    "q_containment_md5" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(ws[1:greatest(len(ws)//2, 3)], ' ') AS text
+           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+                 WHERE doc_id % 7 = 0)),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS grams
+           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM corpus)
+           WHERE len(ws) >= 3),
+         sig AS (
+           SELECT doc_id,
+             [list_min([md5(CAST(p AS VARCHAR) || '|' || g) for g in grams]) for p in range(0,16)] AS sg
+           FROM sh),
+         bk AS (
+           SELECT doc_id, i AS band, md5(sg[CAST(i+1 AS INT)]) AS bucket
+           FROM sig CROSS JOIN (SELECT unnest(range(0,16)) AS i)),
+         capped AS (
+           SELECT doc_id, band, bucket FROM (
+             SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
+           WHERE bsz <= 100),
+         cand AS (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+           FROM capped l JOIN capped r
+             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         ver AS (
+           SELECT id_a, id_b,
+             len(list_intersect(a.grams, b.grams)) AS inter,
+             len(a.grams) AS na, len(b.grams) AS nb
+           FROM cand JOIN sh a ON a.doc_id = cand.id_a
+                     JOIN sh b ON b.doc_id = cand.id_b)
+         SELECT
+           CASE WHEN na > nb OR (na = nb AND id_a < id_b) THEN id_a ELSE id_b END AS id_kept,
+           CASE WHEN na > nb OR (na = nb AND id_a < id_b) THEN id_b ELSE id_a END AS id_dropped,
+           round(inter / least(na, nb), 4) AS containment
+         FROM ver WHERE inter * 10000 >= least(na, nb) * 9000
+         ORDER BY id_kept, id_dropped""",
+    "q_dedup_normalized" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000, '  ' || upper(text) || ' !'
+           FROM documents WHERE doc_id % 9 = 0),
+         n AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM c)
+         SELECT doc_id FROM (
+           SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep
+           FROM n) t
+         WHERE doc_id = keep ORDER BY doc_id""",
+    "q_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         k AS (SELECT doc_id, ws, len(ws) AS n,
+                 CASE WHEN len(ws) <= 32 THEN 1
+                      ELSE 1 + (len(ws) - 32 + 23) // 24 END AS nk
+               FROM w),
+         s AS (SELECT doc_id, ws, n, unnest(range(0, nk)) AS i FROM k)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(ws, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
+           CAST(least(32, n - i*24) AS BIGINT) AS n_words
+         FROM s ORDER BY doc_id, chunk_idx""",
     "q_knn_brute" ->
       """SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -1907,6 +2041,33 @@ object SparkEntry {
          SELECT g.doc_id, g.source, g.lm_nll FROM gated g
          JOIN keep k ON g.doc_id = k.doc_id
          ORDER BY g.doc_id"""),
+    // per-source gate rollup + dedup-winner kept counts; count(*)
+    // FILTER keeps every column BIGINT
+    "q_curation_report" -> (curationGateCtes +
+      """, flags AS (SELECT c.doc_id, c.source, c.text,
+             rep.repetitive, con.contaminated, (lm.lm_nll >= 10.0) AS unusual
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id),
+         gates AS (SELECT source, count(*) AS docs_in,
+             count(*) FILTER (WHERE repetitive) AS n_repetitive,
+             count(*) FILTER (WHERE contaminated) AS n_contaminated,
+             count(*) FILTER (WHERE unusual) AS n_unusual,
+             count(*) FILTER (WHERE NOT repetitive AND NOT contaminated
+                                AND NOT unusual) AS n_passed
+           FROM flags GROUP BY 1),
+         surv AS (SELECT * FROM flags
+                  WHERE NOT repetitive AND NOT contaminated AND NOT unusual),
+         win AS (SELECT source FROM (
+             SELECT source, row_number() OVER (PARTITION BY text
+                                               ORDER BY doc_id) AS rn
+             FROM surv) WHERE rn = 1),
+         kept AS (SELECT source, count(*) AS n_kept FROM win GROUP BY 1)
+         SELECT g.source, g.docs_in, g.n_repetitive, g.n_contaminated,
+           g.n_unusual, g.n_passed, coalesce(k.n_kept, 0) AS n_kept
+         FROM gates g LEFT JOIN kept k ON g.source = k.source
+         ORDER BY g.source"""),
     // the streaming sink's telemetry: same gate flags per doc, rolled
     // up per batch (batch = doc_id % 3); kept = first-arrival dedup
     // winners — min (batch, doc_id) per surviving text — counted in
@@ -2142,6 +2303,25 @@ object SparkEntry {
          r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
              count(*) AS n_kept
            FROM f WHERE rn = 1 GROUP BY 1)
+         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
+         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    "q_boilerplate_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
+               AS seg
+           FROM t),
+         df AS (SELECT seg, count(DISTINCT doc_id) AS doc_freq
+                FROM seg GROUP BY 1),
+         keep AS (SELECT s.doc_id, s.pos, s.seg
+                  FROM seg s JOIN df ON s.seg = df.seg
+                  WHERE df.doc_freq < 3),
+         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
+         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+           FROM keep GROUP BY 1)
          SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
          FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
     // snapshot diff: same null-safe JSON-struct digest as q_dedup_exact

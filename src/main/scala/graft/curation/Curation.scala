@@ -126,9 +126,78 @@ object Curation {
     (new graft.Managed(out, Seq(tokens)), obs)
   }
 
+  /** Per-source curation gate report — the dataset-card readout of a
+    * curation run: one row per source with document count, per-gate
+    * rejection counts (non-disjoint: a doc can trip several gates),
+    * the count passing every gate, and the count actually KEPT after
+    * cross-source exact dedup (a passing doc whose text's min-id
+    * winner lives in another source counts toward that source, not
+    * this one — same winner rule as [[curate]]).
+    *
+    * Scale shape: the same two corpus scans as [[curate]] (the
+    * persisted token artifact feeds both rollups), then two
+    * source-keyed aggregations over per-doc flags — report size is
+    * |sources|, never corpus-sized. The token artifact auto-releases
+    * after the first action, like the other convenience forms.
+    */
+  def curationReport(documents: DataFrame, benchmark: DataFrame,
+      nllThreshold: Double = 10.0,
+      contaminationThreshold: Double = 0.4): DataFrame = {
+    val (flagged, tokens) = flaggedInternal(documents, benchmark,
+      nllThreshold, contaminationThreshold)
+    val passes = !col("repetitive") && !col("contaminated") && !col("unusual")
+    val gates = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("docs_in"),
+      count(when(col("repetitive"), 1)).as("n_repetitive"),
+      count(when(col("contaminated"), 1)).as("n_contaminated"),
+      count(when(col("unusual"), 1)).as("n_unusual"),
+      count(when(passes, 1)).as("n_passed"))
+    val survivors = flagged
+      .filter(passes)
+      .groupBy(Dedup.rowDigest(Seq("text")).as("__dk"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("__w"))
+      .groupBy(col("__w.source").as("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    val obs = org.apache.spark.sql.Observation()
+    val out = gates.join(survivors, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .observe(obs, count(lit(1)).as("sources_out"))
+    releaseOnFirstAction(out, obs, tokens)
+    out
+  }
+
   private def curateInternal(documents: DataFrame, benchmark: DataFrame,
       nllThreshold: Double, contaminationThreshold: Double)
       : (DataFrame, org.apache.spark.sql.Observation, DataFrame) = {
+    val (flagged, tokens) = flaggedInternal(documents, benchmark,
+      nllThreshold, contaminationThreshold)
+    val obs = org.apache.spark.sql.Observation()
+    val gated = flagged
+      .observe(obs,
+        count(lit(1)).as("docs_in"),
+        sum(col("repetitive").cast("long")).as("dropped_repetitive"),
+        sum(col("contaminated").cast("long")).as("dropped_contaminated"),
+        sum(col("unusual").cast("long")).as("dropped_unusual"))
+      .filter(!col("repetitive") && !col("contaminated") && !col("unusual"))
+
+    // exact dedup, min-id survivor, group-winner form: one shuffle on
+    // the null-safe 16-byte digest, no join-back (the gated subtree —
+    // and with it the corpus scan — is evaluated exactly once)
+    val out = gated
+      .groupBy(Dedup.rowDigest(Seq("text")).as("__dk"))
+      .agg(min(struct(col("doc_id"), col("source"), col("lm_nll"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.source").as("source"),
+        col("__w.lm_nll").as("lm_nll"))
+    (out, obs, tokens)
+  }
+
+  /** The shared gate-evaluation prefix: every doc with its per-gate
+    * boolean flags (pre-filter), plus the persisted token artifact
+    * the caller must release after its terminal action.
+    */
+  private def flaggedInternal(documents: DataFrame, benchmark: DataFrame,
+      nllThreshold: Double, contaminationThreshold: Double)
+      : (DataFrame, DataFrame) = {
     // benchmark gram set — tiny vs the corpus, explicitly broadcast
     // (identical to contaminationStats's bench side)
     val benchGrams = benchmark
@@ -242,8 +311,7 @@ object Curation {
         when(col("n_grams") > 0,
           round(col("n_hits") / col("n_grams"), 4)).as("contamination"))
 
-    val obs = org.apache.spark.sql.Observation()
-    val gated = base
+    val flagged = base
       .join(gateMetrics, Seq("doc_id"), "left")
       // docs with <2 words have no bigram rows: lm_nll/contamination
       // default to 0.0 exactly as the standalone operators'
@@ -256,22 +324,7 @@ object Curation {
       .withColumn("contaminated",
         coalesce(col("contamination"), lit(0.0)) >= contaminationThreshold)
       .withColumn("unusual", col("lm_nll") >= nllThreshold)
-      .observe(obs,
-        count(lit(1)).as("docs_in"),
-        sum(col("repetitive").cast("long")).as("dropped_repetitive"),
-        sum(col("contaminated").cast("long")).as("dropped_contaminated"),
-        sum(col("unusual").cast("long")).as("dropped_unusual"))
-      .filter(!col("repetitive") && !col("contaminated") && !col("unusual"))
-
-    // exact dedup, min-id survivor, group-winner form: one shuffle on
-    // the null-safe 16-byte digest, no join-back (the gated subtree —
-    // and with it the corpus scan — is evaluated exactly once)
-    val out = gated
-      .groupBy(Dedup.rowDigest(Seq("text")).as("__dk"))
-      .agg(min(struct(col("doc_id"), col("source"), col("lm_nll"))).as("__w"))
-      .select(col("__w.doc_id").as("doc_id"), col("__w.source").as("source"),
-        col("__w.lm_nll").as("lm_nll"))
-    (out, obs, tokens)
+    (flagged, tokens)
   }
 
   /** Snapshot diff between two corpus versions keyed on `idCol`: one

@@ -536,4 +536,50 @@ object TextAnalysis {
       .withColumnRenamed("__tokens", "n_tokens")
       .drop("__cum")
   }
+
+  /** Overlapping sliding-window chunking — the RAG / context-window
+    * preprocessing step: each document becomes ⌈…⌉ word windows of
+    * `chunkWords` words advancing by `strideWords` (windows overlap
+    * by chunkWords − strideWords words so no boundary-spanning
+    * passage is ever split across two chunks without also appearing
+    * whole in one). Chunk count is the standard
+    * K = 1 if n ≤ chunkWords else 1 + ⌈(n − chunkWords)/stride⌉ —
+    * the last window reaches the end of the document and may be
+    * short, and no window is ever fully contained in its
+    * predecessor.
+    *
+    * Output: (doc_id, chunk_idx, chunk_text, n_words), UNORDERED by
+    * repo convention (callers sort at the query edge).
+    *
+    * Scale shape (100 TB): entirely narrow — split, a bounded
+    * sequence explode, and slices, all inside whole-stage codegen
+    * with ZERO exchanges; chunking runs at parquet-scan speed and
+    * the output partitioning inherits the input's. The chunk-count
+    * arithmetic is integer (exact cross-engine); only positive
+    * operands reach the division.
+    */
+  def chunkDocuments(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkWords: Int = 64,
+      strideWords: Int = 48): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive: $chunkWords")
+    require(strideWords > 0 && strideWords <= chunkWords,
+      s"strideWords must be in [1, chunkWords]: $strideWords")
+    val ws = words(col(textCol))
+    val n = size(ws)
+    // K = 1 + (n - chunkWords + stride - 1) div stride for n > chunk;
+    // operands are positive so double-div + trunc-cast ≡ integer div
+    val nChunks = when(n <= chunkWords, lit(1)).otherwise(
+      lit(1) + ((n - lit(chunkWords) + lit(strideWords - 1)) /
+        lit(strideWords)).cast("int"))
+    documents
+      .select(col(idCol).as("doc_id"), ws.as("__ws"), n.as("__n"),
+        nChunks.as("__nk"))
+      .select(col("doc_id"), col("__ws"), col("__n"),
+        explode(sequence(lit(0), col("__nk") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__ws"),
+          col("chunk_idx") * strideWords + 1, lit(chunkWords))).as("chunk_text"),
+        least(lit(chunkWords), col("__n") - col("chunk_idx") * strideWords)
+          .cast("long").as("n_words"))
+  }
 }

@@ -144,6 +144,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // no global sort
   }
 
+  test("chunking is narrow end-to-end (zero exchanges)") {
+    val p = plan(graft.textanalysis.TextAnalysis.chunkDocuments(
+      Tables.documents(spark, sfDir), chunkWords = 32, strideWords = 24))
+    // split + bounded sequence explode + slices: chunking must run at
+    // parquet-scan speed with the output partitioning inheriting the
+    // input's — any Exchange here multiplies 100 TB by the shuffle
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("sequence packing shuffles once on the shard key only") {
     val packed = graft.textanalysis.TextAnalysis.packSequences(
       Tables.documents(spark, sfDir), "doc_id",

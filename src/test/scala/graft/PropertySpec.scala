@@ -343,4 +343,30 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(est - exact(k)).toDouble / math.max(exact(k), 1) < 0.1)
     }
   }
+
+  test("chunkDocuments matches an exact Scala reference on random corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 90)
+      ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(5)))
+    } yield ws.mkString(" ")
+    val docs = samples(gen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val (chunk, stride) = (16, 11)
+    def reference(id: Long, text: String): Seq[(Long, Long, String, Long)] = {
+      val ws = text.split(" ", -1)
+      val n = ws.length
+      val k = if (n <= chunk) 1 else 1 + (n - chunk + stride - 1) / stride
+      (0 until k).map { i =>
+        val start = i * stride
+        val slice = ws.slice(start, math.min(n, start + chunk))
+        (id, i.toLong, slice.mkString(" "), slice.length.toLong)
+      }
+    }
+    val expected = docs.flatMap { case (id, t) => reference(id, t) }.toSet
+    val got = graft.textanalysis.TextAnalysis.chunkDocuments(
+        docs.toDF("doc_id", "text"), chunkWords = chunk, strideWords = stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
 }

@@ -54,6 +54,40 @@ class CurationSpec extends SparkSpec {
     assert(m("dropped_unusual") === 0L)
   }
 
+  test("curationReport: per-source gate counts and cross-source dedup kept") {
+    // src1's copy of doc 1's text loses the dedup to src0's doc 1
+    // (min id), so src1 shows n_passed=1 but n_kept=0
+    val multi = corpus.unionByName(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "src1")
+    ).toDF("doc_id", "text", "source"))
+    val rows = Curation.curationReport(multi, benchmark)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s0 = rows("src0")
+    assert(s0.getAs[Long]("docs_in") === 4L)
+    assert(s0.getAs[Long]("n_repetitive") === 1L)
+    assert(s0.getAs[Long]("n_contaminated") === 1L)
+    assert(s0.getAs[Long]("n_unusual") === 0L)
+    assert(s0.getAs[Long]("n_passed") === 2L) // docs 1, 2 (dup passes gates)
+    assert(s0.getAs[Long]("n_kept") === 1L)   // dedup keeps only doc 1
+    val s1 = rows("src1")
+    assert(s1.getAs[Long]("docs_in") === 1L)
+    assert(s1.getAs[Long]("n_passed") === 1L)
+    assert(s1.getAs[Long]("n_kept") === 0L)   // winner lives in src0
+    // report totals reconcile with the pipeline itself
+    assert(rows.values.map(_.getAs[Long]("n_kept")).sum ===
+      Curation.curate(multi, benchmark).count())
+  }
+
+  test("curationReport auto-releases the token cache after the action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(Curation.curationReport(corpus, benchmark).count() === 1)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leaked.isEmpty, s"curationReport left persisted RDDs: $leaked")
+  }
+
   test("gates are independent: relaxing one readmits only its offender") {
     // disable the contamination gate (threshold > 1 can never fire):
     // the benchmark copy returns; the repetitive and duplicate docs stay out

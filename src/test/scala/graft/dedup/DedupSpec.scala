@@ -148,6 +148,49 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 5L)))
   }
 
+  test("containment catches a subset doc whose Jaccard is length-diluted") {
+    // doc 11 = a 24-word doc; doc 12 = its first 8 words. Trigram
+    // shingles: 6 of doc 12's 6 ⊂ doc 11's 22, so J = 6/22 ≈ 0.27 —
+    // well below the Jaccard pipeline's 0.5 threshold — while
+    // containment = 6/min(22,6) = 1.0: found, and oriented 11 → 12
+    val longText = (1 to 24).map(i => s"w$i").mkString(" ")
+    val subText = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (11L, longText), (12L, subText),
+      (13L, "completely unrelated content about other things entirely")
+    ).toDF("doc_id", "text")
+    val jacc = Dedup.minhashNearDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((11L, 12L)))
+    val cont = Dedup.containmentNearDuplicates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(t => (t._1, t._2)).toSet === Set((11L, 12L)))
+    assert(cont.head._3 === 1.0) // the contained doc dropped, container kept
+  }
+
+  test("containment md5 mode finds the same oriented pair set as xx mode") {
+    val longText = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, longText),
+      (2L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (3L, (10 to 30).map(i => s"t$i").mkString(" ")),
+      (4L, "nothing in common with the numbered tokens at all")
+    ).toDF("doc_id", "text")
+    def pairs(mode: String) =
+      Dedup.containmentNearDuplicates(docs, "doc_id", "text", hashMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val xx = pairs("xx")
+    assert(xx === pairs("md5"))
+    assert(xx.map(t => (t._1, t._2)) === Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("containment ties on equal shingle counts keep the lower id") {
+    val same = "a b c d e f g h i j"
+    val docs = Seq((5L, same), (2L, same)).toDF("doc_id", "text")
+    val p = Dedup.containmentNearDuplicates(docs, "doc_id", "text").head
+    assert((p.getLong(0), p.getLong(1), p.getDouble(2)) === ((2L, 5L, 1.0)))
+  }
+
   test("minhash signature of identical text is identical") {
     val sigs = df.filter($"doc_id".isin(1L, 4L))
       .select(Dedup.minhashSignature(Dedup.shingles($"text", 2), 16))
@@ -430,6 +473,35 @@ class DedupSpec extends SparkSpec {
     assert(out === List(
       (2L, "d q r", 1L, 1L),
       (5L, "a b c d", 2L, 2L)))
+  }
+
+  test("removeBoilerplate cuts high-DF segments everywhere, keeps repeats") {
+    // "nav bar home" appears in 3 docs → boilerplate at minDocs=3,
+    // removed from ALL of them (incl. the first occurrence);
+    // "foo bar baz" repeats twice WITHIN doc 4 but only 1 doc → kept
+    // both times (frequency across docs, not repetition, is the bar)
+    val docs = Seq(
+      (1L, "nav bar home one two three"),
+      (2L, "nav bar home four five six"),
+      (3L, "nav bar home seven eight nine"),
+      (4L, "foo bar baz foo bar baz"),
+      (5L, "nav bar home") // nothing left → drops entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text", 3, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === (("one two three", 1L, 2L)))
+    assert(out(2L) === (("four five six", 1L, 2L)))
+    assert(out(4L) === (("foo bar baz foo bar baz", 2L, 2L)))
+    // below the bar ("nav bar home" is in 4 docs < 5) nothing is removed
+    val loose = Dedup.removeBoilerplate(docs, "doc_id", "text", 3, 5)
+      .collect()
+    assert(loose.length === 5)
+    assert(loose.map(_.getLong(2)).sum === 9L) // every segment kept
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplate(docs, "doc_id", "text", 3, 1)
+    }
   }
 
   test("segmentDigests ≡ the winners' digest set (cheap bootstrap)") {

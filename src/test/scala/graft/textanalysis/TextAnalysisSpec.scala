@@ -19,6 +19,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(2) === math.ceil(29 / 4.0).toLong)
   }
 
+  test("chunkDocuments: window count, overlap, tail, and short docs") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc(5)), (2L, doc(10)), (3L, doc(11)), (4L, doc(25)))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, chunkWords = 10, strideWords = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // n=5 (< chunk) and n=10 (= chunk): exactly one chunk, whole doc
+    assert(chunks.filter(_._1 == 1L) === Seq((1L, 0L, doc(5), 5L)))
+    assert(chunks.filter(_._1 == 2L) === Seq((2L, 0L, doc(10), 10L)))
+    // n=11: 1 + ceil(1/7) = 2 chunks; second starts at word 8 (overlap 3)
+    val c3 = chunks.filter(_._1 == 3L)
+    assert(c3.length === 2)
+    assert(c3(1)._3 === (8 to 11).map(i => s"w$i").mkString(" "))
+    assert(c3(1)._4 === 4L)
+    // n=25: 1 + ceil(15/7) = 4 chunks; starts 0,7,14,21; tail 4 words
+    val c4 = chunks.filter(_._1 == 4L)
+    assert(c4.map(_._2) === Seq(0L, 1L, 2L, 3L))
+    assert(c4(1)._3 === (8 to 17).map(i => s"w$i").mkString(" "))
+    assert(c4(3)._4 === 4L)
+    // every word of every doc appears in at least one of its chunks,
+    // and consecutive chunks overlap by chunk − stride words
+    assert(c4.map(_._4).sum === 10 + 10 + 10 + 4)
+  }
+
+  test("chunkDocuments rejects bad window parameters") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, chunkWords = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, chunkWords = 8, strideWords = 9)
+    }
+  }
+
   test("language detection picks the profile with most hits") {
     val df = Seq(
       (1L, "the cat and the dog is a friend of mine"),
