@@ -199,15 +199,16 @@ object Dedup {
     * Output: (id, text rebuilt, n_kept, n_segments) per surviving
     * doc, UNORDERED by repo convention.
     *
-    * Scale shape (100 TB): one corpus scan; segments shuffle as
-    * their 16-byte digests for the two-level distinct-doc count
-    * (map-side combine, state bounded by the segment vocabulary);
-    * the occurrence→boilerplate anti-join shuffles on the same
-    * digest key (exchange reuse on the frequency side), and the
-    * boilerplate side is only the digests ABOVE the frequency bar —
-    * a set that real corpora keep tiny, which AQE converts to a
-    * broadcast anti-join at runtime; the rebuild is one id-keyed
-    * aggregation. Nothing is pairwise.
+    * Scale shape (100 TB): TWO corpus scans, both narrow (the
+    * frequency pass and the filter pass re-derive the explode rather
+    * than shuffling segment text or pinning an exploded corpus in
+    * cache); segments shuffle only as 16-byte digests for the
+    * distinct-doc count (map-side combine, state bounded by the
+    * segment vocabulary). The anti-join's right side is only the
+    * digests ABOVE the frequency bar — a set real corpora keep tiny,
+    * so it broadcasts (AQE converts at runtime; verified shape) and
+    * the occurrence side never exchanges. The rebuild is one
+    * id-keyed aggregation. Nothing is pairwise.
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       segWords: Int = 3, minDocs: Int = 3): DataFrame = {

@@ -144,6 +144,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // no global sort
   }
 
+  test("boilerplate removal: broadcast anti-join, digest-only shuffle") {
+    val p = plan(graft.dedup.Dedup.removeBoilerplate(
+      Tables.documents(spark, sfDir), "doc_id", "text", 3, 3))
+    // the over-threshold digest set broadcasts; the corpus-sized
+    // occurrence side must not exchange on the digest key
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("chunking is narrow end-to-end (zero exchanges)") {
     val p = plan(graft.textanalysis.TextAnalysis.chunkDocuments(
       Tables.documents(spark, sfDir), chunkWords = 32, strideWords = 24))

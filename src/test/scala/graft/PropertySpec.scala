@@ -344,6 +344,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeBoilerplate matches an exact Scala reference on random corpora") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "nav", "bar",
+      "home", "foo", "baz", "qux")
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")
+    val docs = samples(gen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val (segW, minDocs) = (2, 3)
+    // reference: segment every doc, count distinct docs per segment,
+    // drop >=minDocs segments everywhere, rebuild in position order
+    def segsOf(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      ws.grouped(segW).map(_.mkString(" ")).toSeq
+    }
+    val docFreq = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val expected = docs.flatMap { case (id, t) =>
+      val kept = segsOf(t).filter(s => docFreq(s) < minDocs)
+      if (kept.isEmpty) None
+      else Some((id, kept.mkString(" "), kept.size.toLong, segsOf(t).size.toLong))
+    }.toSet
+    val got = graft.dedup.Dedup.removeBoilerplate(
+        docs.toDF("doc_id", "text"), "doc_id", "text", segW, minDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("containment pairs are sound and complete over planted prefixes") {
+    // corpus: 40 random docs + a half-truncation of each even-id doc.
+    // Soundness: every emitted pair really has overlap ≥ 0.9 with the
+    // container holding ≥ the contained's gram count. Recall: every
+    // planted prefix is found (per-pair LSH miss rate (1−J)^16 ≈ 1e-5;
+    // the fixed generator seed makes the check deterministic).
+    val wordGen = Gen.choose(0, 400).map(i => s"w$i")
+    val gen = for { ws <- Gen.listOfN(24, wordGen) } yield ws.mkString(" ")
+    val baseDocs = samples(gen, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val planted = baseDocs.filter(_._1 % 2 == 0).map { case (id, t) =>
+      (id + 1000L, t.split(" ").take(12).mkString(" "))
+    }
+    val docs = baseDocs ++ planted
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val byId = docs.toMap
+    val got = graft.dedup.Dedup.containmentNearDuplicates(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.foreach { case (kept, dropped, c) =>
+      val (ga, gb) = (grams(byId(kept)), grams(byId(dropped)))
+      val ref = ga.intersect(gb).size.toDouble / math.min(ga.size, gb.size)
+      assert(math.abs(ref - c) < 5e-5, s"($kept,$dropped)")
+      assert(ref >= 0.9)
+      assert(ga.size > gb.size || (ga.size == gb.size && kept < dropped))
+    }
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    planted.foreach { case (pid, _) =>
+      assert(pairs.contains((pid - 1000L, pid)), s"planted $pid missed")
+    }
+  }
+
   test("chunkDocuments matches an exact Scala reference on random corpora") {
     val gen = for {
       n <- Gen.choose(1, 90)
