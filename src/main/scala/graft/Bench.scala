@@ -43,16 +43,24 @@ object Bench {
       sibling.filter(f => f.exists && f.getPath != new java.io.File(sfDir).getPath)
         .map(_.getPath).getOrElse(sfDir)
     }
+    // dev-loop filter (mirrors Verify's): SPARK_GRAFT_BENCH_ONLY=q_a,q_b
+    // times just those queries. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None        => SparkEntry.queries
+    }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       var warmFailures = 0
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() }
         catch { case _: Throwable => warmFailures += 1 }
         spark.catalog.clearCache()
       }
       if (warmFailures > 0)
-        System.err.println(s"[bench] warmup: $warmFailures/${SparkEntry.queries.size} queries failed against $warmDir")
+        System.err.println(s"[bench] warmup: $warmFailures/${selected.size} queries failed against $warmDir")
     } catch { case _: Throwable => () }
     // min of N interleaved passes per query: a single sample can't be
     // separated from sandbox GC/scheduling spikes (the round-2 driver
@@ -63,7 +71,7 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val samples = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -76,7 +84,7 @@ object Bench {
         }
       }
     }
-    val results = SparkEntry.queries.keys.map(n => n -> samples(n)).toMap
+    val results = selected.keys.map(n => n -> samples(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
