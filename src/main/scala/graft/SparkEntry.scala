@@ -506,6 +506,12 @@ object SparkEntry {
       SampleOps.quotaMix(Tables.documents(s, d), "source", "doc_id",
         Seq("src0" -> 15L, "src1" -> 10L, "src2" -> 5L))
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // Tokenizer training: the first 8 BPE merges learned from the
+    // corpus word-frequency table (Sennrich get_stats/merge loop;
+    // one corpus shuffle, then vocabulary-sized rounds)
+    "q_bpe_merges" -> ((s, d) =>
+      graft.textanalysis.TextAnalysis.bpeMerges(Tables.documents(s, d), 8)
+        .orderBy(col("rank"))),
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
@@ -1940,6 +1946,7 @@ object SparkEntry {
              AS contaminated
          FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
          ORDER BY corp.doc_id""",
+    "q_bpe_merges" -> bpeOracle(8),
     "q_top_ngrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
          g AS (SELECT unnest(
@@ -2783,6 +2790,40 @@ object SparkEntry {
     * byte-for-byte — md5 hex strings order identically in both
     * engines, which is the whole point of the mode.
     */
+  /** Unrolled n-round DuckDB replay of [[TextAnalysis.bpeMerges]]:
+    * word-frequency table → per round, adjacent-pair weighted counts
+    * from the bracket-encoded symbol strings, argmax with the
+    * (freq DESC, a, b) tie-break, and the single literal-replace
+    * merge application (the encoding makes leftmost non-overlapping
+    * replacement ≡ greedy BPE — see the operator's scaladoc).
+    */
+  private def bpeOracle(n: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w AS (
+           SELECT word, count(*) AS wc FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE word <> '' AND word NOT LIKE '%<%' AND word NOT LIKE '%>%'
+           GROUP BY 1),
+         v0 AS (SELECT '<' || array_to_string(regexp_split_to_array(word, ''), '><')
+                       || '><_>' AS s, wc FROM w)""")
+    for (i <- 1 to n) {
+      val p = i - 1
+      sb.append(s""",
+         p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(wc) AS f FROM (
+             SELECT string_split(substr(s, 2, len(s)-2), '><') AS syms, wc,
+                    unnest(range(1, len(string_split(substr(s, 2, len(s)-2), '><')))) AS i
+             FROM v$p) GROUP BY 1, 2),
+         b$i AS (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
+         v$i AS (SELECT replace(s, '<' || b$i.a || '><' || b$i.b || '>',
+                                '<' || b$i.a || b$i.b || '>') AS s, wc
+                 FROM v$p CROSS JOIN b$i)""")
+    }
+    val sel = (1 to n).map(i =>
+      s"SELECT $i AS rank, a AS sym_a, b AS sym_b, CAST(f AS BIGINT) AS freq FROM b$i")
+      .mkString(" UNION ALL ")
+    sb.append(s"\n         SELECT * FROM ($sel) ORDER BY rank").toString
+  }
+
   private val minhashMd5Cte: String =
     """WITH RECURSIVE corpus AS (
          SELECT doc_id, text FROM documents

@@ -537,6 +537,86 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** BPE merge induction (Sennrich et al. 2016, the tokenizer-training
+    * algorithm): learn the first `nMerges` byte-pair merges from the
+    * corpus — each round counts adjacent symbol pairs over the WORD
+    * FREQUENCY table (weighted by word count, overlapping positions
+    * included, exactly get_stats), picks the most frequent pair (ties:
+    * lexicographically smallest (a, b) — deterministic cross-engine),
+    * and applies the merge greedily left-to-right in every word.
+    * Words carry the classic end-of-word marker `_`.
+    *
+    * Output: (rank, sym_a, sym_b, freq) — the ordered merge table a
+    * tokenizer ships.
+    *
+    * Merge application is ONE literal `replace` per round on a
+    * bracket-encoded symbol string (`<l><o><w><_>`): every symbol
+    * carries its own delimiters, so leftmost non-overlapping literal
+    * replacement — identical semantics in every engine — IS the
+    * greedy BPE merge (matches can never share characters; a naive
+    * single-delimiter join gets runs of 4+ identical symbols wrong
+    * because each match consumes its right delimiter). Words
+    * containing the markers are excluded (require-documented).
+    *
+    * Scale shape (100 TB): the corpus is scanned ONCE (the word-count
+    * shuffle); every round after that runs on the word VOCABULARY —
+    * orders of magnitude smaller than the corpus, the reason BPE
+    * trains on frequency tables — as one vocabulary-sized aggregation
+    * plus a 1-row argmax collect (the same bounded driver-collect
+    * contract as the IVF centroids). The vocabulary persists per
+    * round and releases its predecessor.
+    */
+  def bpeMerges(documents: DataFrame, nMerges: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64]: $nMerges")
+    val spark = documents.sparkSession
+    val wordCounts = documents
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains("<") && !col("word").contains(">"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    var vocab = wordCounts.select(
+        concat(lit("<"), array_join(split(col("word"), ""), "><"),
+          lit("><_>")).as("s"),
+        col("wc"))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (!exhausted && rank <= nMerges) {
+      val syms = split(expr("substring(s, 2, length(s) - 2)"), "><")
+      val best = vocab
+        .select(syms.as("syms"), col("wc"))
+        .select(col("syms"), col("wc"),
+          explode(when(size(col("syms")) >= 2,
+              sequence(lit(1), size(col("syms")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(element_at(col("syms"), col("i")).as("a"),
+          element_at(col("syms"), col("i") + 1).as("b"), col("wc"))
+        .groupBy(col("a"), col("b")).agg(sum(col("wc")).as("f"))
+        .orderBy(col("f").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, f) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank.toLong, a, b, f))
+        val next = vocab
+          .select(replace(col("s"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("s"),
+            col("wc"))
+          .persist()
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "sym_a", "sym_b", "freq")
+  }
+
   /** Overlapping sliding-window chunking — the RAG / context-window
     * preprocessing step: each document becomes ⌈…⌉ word windows of
     * `chunkWords` words advancing by `strideWords` (windows overlap

@@ -405,6 +405,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges matches an exact Scala reference on random corpora") {
+    // small alphabet + long repeats stress the greedy-merge equivalence
+    val gen = for {
+      n <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'a', 'b', 'c'))
+    } yield cs.mkString
+    val ws = samples(gen, 400)
+    def reference(words: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
+      var vocab: Map[Seq[String], Long] =
+        words.groupBy(w => (w.map(_.toString) :+ "_"): Seq[String])
+          .map { case (k, v) => k -> v.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (r <- 1 to nMerges) {
+        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => stats((a, b)) = stats.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        if (stats.nonEmpty) {
+          val mx = stats.values.max
+          val (a, b) = stats.filter(_._2 == mx).keys.min
+          out += ((r.toLong, a, b, mx))
+          vocab = vocab.groupBy { case (syms, _) =>
+            val o = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                o += a + b; i += 2
+              } else { o += syms(i); i += 1 }
+            }
+            o.toSeq
+          }.map { case (k, vs) => k -> vs.values.sum }
+        }
+      }
+      out.toSeq
+    }
+    val docs = ws.grouped(20).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    val got = graft.textanalysis.TextAnalysis.bpeMerges(
+        docs.toDF("doc_id", "text"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got === reference(ws, 10))
+  }
+
   test("chunkDocuments matches an exact Scala reference on random corpora") {
     val gen = for {
       n <- Gen.choose(1, 90)

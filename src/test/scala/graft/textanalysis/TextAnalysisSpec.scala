@@ -19,6 +19,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(2) === math.ceil(29 / 4.0).toLong)
   }
 
+  test("bpeMerges learns the classic subword merges") {
+    // Sennrich-style toy corpus: 'es' then 'est' dominate
+    val df = Seq(
+      (1L, "newest newest newest widest widest low low low lower")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(df, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // 'e s' appears in newest×3 + widest×2 = 5 (most frequent pair)
+    assert(m(0) === ((1L, "e", "s", 5L)))
+    assert(m(1) === ((2L, "es", "t", 5L)))
+    assert(m(2) === ((3L, "est", "_", 5L)))
+    // then 'l o' from low×3 + lower = 4
+    assert(m(3) === ((4L, "l", "o", 4L)))
+  }
+
+  test("bpeMerges: runs of identical symbols merge greedily (no skip)") {
+    // 'aaaa' x5: round 1 must count (a,a) at ALL 3 adjacent positions
+    // (15 total) and merge to <aa><aa>, so round 2 is (aa,aa) — a
+    // naive single-delimiter replace would leave <aa><a><a> behind
+    val df = Seq((1L, "aaaa aaaa aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(df, 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === (("a", "a", 15L)))
+    assert(m(1) === (("aa", "aa", 5L)))
+  }
+
   test("chunkDocuments: window count, overlap, tail, and short docs") {
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, doc(5)), (2L, doc(10)), (3L, doc(11)), (4L, doc(25)))
