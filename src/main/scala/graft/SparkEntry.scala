@@ -2803,6 +2803,7 @@ object SparkEntry {
            SELECT word, count(*) AS wc FROM (
              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            WHERE word <> '' AND word NOT LIKE '%<%' AND word NOT LIKE '%>%'
+             AND NOT contains(word, '_')
            GROUP BY 1),
          v0 AS (SELECT '<' || array_to_string(regexp_split_to_array(word, ''), '><')
                        || '><_>' AS s, wc FROM w)""")

@@ -59,10 +59,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val oracles = only match {
-      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
-      case None        => SparkEntry.oracleSql
-    }
+    // ALWAYS the full map, even under SPARK_GRAFT_ONLY: stale parquet
+    // dirs from an earlier full run may sit in outDir, and a filtered
+    // oracle file would silently drop their oracle coverage in a later
+    // driver compare. The filter only limits query EXECUTION.
+    val oracles = SparkEntry.oracleSql
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

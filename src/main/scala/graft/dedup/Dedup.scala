@@ -513,7 +513,7 @@ object Dedup {
     * boilerplate-heavy corpora produce degenerate buckets — cap them
     * (the capped docs still pair through their other bands).
     */
-  private def lshCandidates(base: DataFrame, hashMode: String, k: Int,
+  private[graft] def lshCandidates(base: DataFrame, hashMode: String, k: Int,
       bands: Int, maxBucketSize: Int): DataFrame = {
     val buckets = base
       .select(col("id"), posexplode(bandExprFor(hashMode, k, bands)))
@@ -619,8 +619,8 @@ object Dedup {
     * <1% at J = 0.25, k = 16).
     *
     * The threshold is applied at 1e-4 resolution via integer cross
-    * multiplication (inter·10⁴ ≥ ⌊t·10⁴⌋·min) so the gate is exact
-    * cross-engine — no float-division boundary can flip a pair.
+    * multiplication (inter·10⁴ ≥ round(t·10⁴)·min) so the gate is
+    * exact cross-engine — no float-division boundary can flip a pair.
     *
     * Scale shape: identical to minhash near-dup — one corpus
     * signature pass, banded bucket join (skew-capped), shingle sets

@@ -556,7 +556,10 @@ object TextAnalysis {
     * greedy BPE merge (matches can never share characters; a naive
     * single-delimiter join gets runs of 4+ identical symbols wrong
     * because each match consumes its right delimiter). Words
-    * containing the markers are excluded (require-documented).
+    * containing any marker character (`<`, `>`, or the end-of-word
+    * marker `_`, which would otherwise encode to the same `<_>`
+    * symbol and conflate word-internal underscores with word
+    * endings) are excluded from the vocabulary.
     *
     * Scale shape (100 TB): the corpus is scanned ONCE (the word-count
     * shuffle); every round after that runs on the word VOCABULARY —
@@ -574,7 +577,8 @@ object TextAnalysis {
     val wordCounts = documents
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "" &&
-        !col("word").contains("<") && !col("word").contains(">"))
+        !col("word").contains("<") && !col("word").contains(">") &&
+        !col("word").contains("_"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
     var vocab = wordCounts.select(
         concat(lit("<"), array_join(split(col("word"), ""), "><"),

@@ -409,12 +409,15 @@ class PropertySpec extends SparkSpec {
     // small alphabet + long repeats stress the greedy-merge equivalence
     val gen = for {
       n <- Gen.choose(1, 7)
-      cs <- Gen.listOfN(n, Gen.oneOf('a', 'a', 'b', 'c'))
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'a', 'b', 'c', '_'))
     } yield cs.mkString
     val ws = samples(gen, 400)
     def reference(words: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
+      // marker-carrying words are excluded from the vocabulary,
+      // mirroring the operator's filter
       var vocab: Map[Seq[String], Long] =
-        words.groupBy(w => (w.map(_.toString) :+ "_"): Seq[String])
+        words.filterNot(w => w.exists("<>_".contains(_)))
+          .groupBy(w => (w.map(_.toString) :+ "_"): Seq[String])
           .map { case (k, v) => k -> v.size.toLong }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
       for (r <- 1 to nMerges) {

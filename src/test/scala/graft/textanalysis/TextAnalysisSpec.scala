@@ -36,13 +36,16 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("bpeMerges: runs of identical symbols merge greedily (no skip)") {
     // 'aaaa' x5: round 1 must count (a,a) at ALL 3 adjacent positions
-    // (15 total) and merge to <aa><aa>, so round 2 is (aa,aa) — a
-    // naive single-delimiter replace would leave <aa><a><a> behind
+    // (15 total) and merge to <aa><aa><_>. Round 2 then ties (aa,aa)
+    // and (aa,_) at 5; the documented (freq desc, a, b) tie-break
+    // picks (aa,_) because '_' < 'a'. A naive single-delimiter
+    // replace would instead leave <aa><a><a><_>, whose round-2
+    // argmax is (a,_) — so sym_a == "aa" proves the greedy merge.
     val df = Seq((1L, "aaaa aaaa aaaa aaaa aaaa")).toDF("doc_id", "text")
     val m = TextAnalysis.bpeMerges(df, 2).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
     assert(m(0) === (("a", "a", 15L)))
-    assert(m(1) === (("aa", "aa", 5L)))
+    assert(m(1) === (("aa", "_", 5L)))
   }
 
   test("chunkDocuments: window count, overlap, tail, and short docs") {
