@@ -89,6 +89,14 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // ImageIO's default stream cache is DISK-backed: every read/write
+    // spills through a temp file — per call, per thread. Our payloads
+    // are in-memory byte arrays, so the file round-trip is pure
+    // overhead and, at 32 concurrent decode threads, tmpdir
+    // contention (and an environment-sensitive bench line). Memory
+    // streams only.
+    ImageIO.setUseCache(false)
+
     /** Decode any ImageIO-supported payload; None when the bytes are
       * not a decodable image (ImageIO.read returns null — the degrade
       * signal the pipeline stages branch on).
