@@ -512,6 +512,17 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) =>
       graft.textanalysis.TextAnalysis.bpeMerges(Tables.documents(s, d), 8)
         .orderBy(col("rank"))),
+    // Tokenizer serving: learn the merge table, then tokenize the
+    // corpus with it (bounded driver-side merge literal → one narrow
+    // codegen'd replace chain; the half that runs at 100 TB)
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.textanalysis.TextAnalysis.bpeMerges(docs, 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.textanalysis.TextAnalysis.bpeEncode(docs, merges)
+        .orderBy(col("doc_id"))
+    }),
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
@@ -1947,6 +1958,7 @@ object SparkEntry {
          FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
          ORDER BY corp.doc_id""",
     "q_bpe_merges" -> bpeOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_top_ngrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
          g AS (SELECT unnest(
@@ -2797,7 +2809,7 @@ object SparkEntry {
     * merge application (the encoding makes leftmost non-overlapping
     * replacement ≡ greedy BPE — see the operator's scaladoc).
     */
-  private def bpeOracle(n: Int): String = {
+  private def bpeLearnCtes(n: Int): String = {
     val sb = new StringBuilder(
       """WITH w AS (
            SELECT word, count(*) AS wc FROM (
@@ -2819,10 +2831,47 @@ object SparkEntry {
                                 '<' || b$i.a || b$i.b || '>') AS s, wc
                  FROM v$p CROSS JOIN b$i)""")
     }
+    sb.toString
+  }
+
+  private def bpeOracle(n: Int): String = {
     val sel = (1 to n).map(i =>
       s"SELECT $i AS rank, a AS sym_a, b AS sym_b, CAST(f AS BIGINT) AS freq FROM b$i")
       .mkString(" UNION ALL ")
-    sb.append(s"\n         SELECT * FROM ($sel) ORDER BY rank").toString
+    s"${bpeLearnCtes(n)}\n         SELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** Replay of [[TextAnalysis.bpeEncode]] over the merges the learning
+    * CTE chain just derived: bracket-encode every surviving word, wrap
+    * it in the same n literal replaces in rank order (the merge pairs
+    * arrive via one cross join of the 1-row b_i CTEs), strip the
+    * brackets back to a space-joined token stream. Assumes the corpus
+    * actually yields n merges (true of the documents table) — an
+    * exhausted b_i would empty the cross join.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val ms = (1 to n).map(i => s"b$i.a AS a$i, b$i.b AS c$i").mkString(", ")
+    val mf = (1 to n).map(i => s"b$i").mkString(" CROSS JOIN ")
+    val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
+    val merged = (1 to n).foldLeft(enc) { (s, i) =>
+      s"replace($s, '<' || a$i || '><' || c$i || '>', '<' || a$i || c$i || '>')"
+    }
+    s"""${bpeLearnCtes(n)},
+         m AS (SELECT $ms FROM $mf),
+         enc AS (
+           SELECT doc_id,
+             array_to_string(list_transform(
+               list_filter(string_split(text, ' '),
+                 w -> w <> '' AND NOT contains(w, '<')
+                  AND NOT contains(w, '>') AND NOT contains(w, '_')),
+               w -> substr(replace($merged, '><', ' '), 2,
+                           len(replace($merged, '><', ' ')) - 2)), ' ') AS tokens
+           FROM documents CROSS JOIN m)
+         SELECT doc_id,
+           CAST(CASE WHEN tokens = '' THEN 0
+                ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens,
+           tokens
+         FROM enc ORDER BY doc_id"""
   }
 
   private val minhashMd5Cte: String =

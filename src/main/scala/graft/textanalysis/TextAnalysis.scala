@@ -621,6 +621,61 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "freq")
   }
 
+  /** Apply a learned BPE merge table to tokenize the corpus — the
+    * serving half of the tokenizer pipeline ([[bpeMerges]] is the
+    * training half; this is the half that actually runs over 100 TB).
+    *
+    * Each word is bracket-encoded (`<n><e><w><_>`) and every merge is
+    * applied in rank order as ONE literal `replace` — the same
+    * encoding argument as [[bpeMerges]]: every symbol carries its own
+    * delimiters, so leftmost non-overlapping literal replacement IS
+    * greedy left-to-right merge application, identically in every
+    * engine. Words containing a marker character (`<`, `>`, `_`) are
+    * dropped — the same vocabulary contract as training (they were
+    * never seen by the learner, so they have no defined encoding).
+    *
+    * Output: (doc_id, n_tokens, tokens) — `tokens` is the space-joined
+    * subword stream (symbols never contain spaces: words were split on
+    * them), `n_tokens` its length. Empty/filtered-out docs emit
+    * (id, 0, "").
+    *
+    * Scale shape (100 TB): the merge table is a bounded driver-side
+    * literal (≤64 pairs — the PQ-codebook contract), baked into a
+    * chain of literal replaces inside ONE whole-stage-codegen
+    * projection: fully narrow, zero exchanges, tokenization runs at
+    * parquet-scan speed and inherits the input partitioning.
+    */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"merge table must hold 1..64 pairs: ${merges.size}")
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).exists("<>".contains(_)) },
+      "merge symbols must be non-empty and delimiter-free")
+    def encoded(w: Column): Column =
+      concat(lit("<"), array_join(split(w, ""), "><"), lit("><_>"))
+    def applyMerges(s: Column): Column =
+      merges.foldLeft(s) { case (c, (a, b)) =>
+        replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+    def tokensOf(w: Column): Column = {
+      val t = replace(applyMerges(encoded(w)), lit("><"), lit(" "))
+      t.substr(lit(2), length(t) - 2)
+    }
+    documents
+      .select(col(idCol).as("doc_id"),
+        filter(words(col(textCol)), w =>
+          w =!= "" && !w.contains("<") && !w.contains(">") &&
+            !w.contains("_")).as("__ws"))
+      .select(col("doc_id"),
+        array_join(transform(col("__ws"), w => tokensOf(w)), " ").as("tokens"))
+      .select(col("doc_id"),
+        when(col("tokens") === "", lit(0L))
+          .otherwise(size(split(col("tokens"), " ", -1)).cast("long"))
+          .as("n_tokens"),
+        col("tokens"))
+  }
+
   /** Overlapping sliding-window chunking — the RAG / context-window
     * preprocessing step: each document becomes ⌈…⌉ word windows of
     * `chunkWords` words advancing by `strideWords` (windows overlap

@@ -455,6 +455,48 @@ class PropertySpec extends SparkSpec {
     assert(got === reference(ws, 10))
   }
 
+  test("bpeEncode matches an exact Scala reference on random corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'a', 'b', 'c', '_'))
+    } yield cs.mkString
+    val ws = samples(gen, 300)
+    val docs = ws.grouped(15).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    val merges = graft.textanalysis.TextAnalysis.bpeMerges(
+        docs.toDF("doc_id", "text"), 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // greedy left-to-right single-pass merge — the same scan the
+    // bpeMerges reference uses to rewrite its vocabulary
+    def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val o = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          o += a + b; i += 2
+        } else { o += syms(i); i += 1 }
+      }
+      o.toSeq
+    }
+    def reference(text: String): (Long, String) = {
+      val toks = text.split(" ", -1).toSeq
+        .filter(w => w.nonEmpty && !w.exists("<>_".contains(_)))
+        .flatMap { w =>
+          merges.foldLeft((w.map(_.toString) :+ "_"): Seq[String]) {
+            case (s, (a, b)) => applyMerge(s, a, b)
+          }
+        }
+      (toks.length.toLong, toks.mkString(" "))
+    }
+    val got = graft.textanalysis.TextAnalysis.bpeEncode(
+        docs.toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === reference(text), s"doc $id: '$text'")
+    }
+  }
+
   test("chunkDocuments matches an exact Scala reference on random corpora") {
     val gen = for {
       n <- Gen.choose(1, 90)

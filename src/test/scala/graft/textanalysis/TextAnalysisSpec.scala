@@ -48,6 +48,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1) === (("aa", "_", 5L)))
   }
 
+  test("bpeEncode applies the learned merges greedily per word") {
+    val train = Seq(
+      (1L, "newest newest newest widest widest low low low lower")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(train, 4).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // (e,s) (es,t) (est,_) (l,o) per the learning spec above
+    val out = TextAnalysis.bpeEncode(
+        Seq((7L, "newest low lower"), (8L, ""), (9L, "has_marker"))
+          .toDF("doc_id", "text"), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // newest → n e w est_ ; low → lo w _ ; lower → lo w e r _
+    assert(out(0) === ((7L, 12L, "n e w est_ lo w _ lo w e r _")))
+    // empty doc and a doc whose only word carries the marker: 0 tokens
+    assert(out(1) === ((8L, 0L, "")))
+    assert(out(2) === ((9L, 0L, "")))
+  }
+
   test("chunkDocuments: window count, overlap, tail, and short docs") {
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, doc(5)), (2L, doc(10)), (3L, doc(11)), (4L, doc(25)))
