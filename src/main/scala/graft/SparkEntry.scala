@@ -756,6 +756,21 @@ object SparkEntry {
         Multimodal.imageHashes(Tables.documents(s, d)),
         "doc_id", "dhash", maxDist = 1)
         .orderBy("id_a", "id_b")),
+    // Image dedup end-to-end — the multimodal analog of the text
+    // dedup capstone: dHash pairs → connected components → keep the
+    // highest-resolution member per perceptual cluster (pixel count,
+    // ties min id). Reuses the text survivor machinery unchanged;
+    // only (id, fingerprint) rows ever shuffle.
+    "q_image_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.hammingNearDuplicates(
+        Multimodal.imageHashes(docs), "doc_id", "dhash", maxDist = 1)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs.select(col("doc_id")), clusters,
+        "doc_id",
+        (lit(16) + col("doc_id") % 8) * (lit(8) + col("doc_id") % 4))
+        .orderBy("doc_id")
+    }),
     // Int8 quantization: per-vector scale + exact integer reductions
     // of the quantized entries (the arrays themselves are spec'd —
     // the oracle gate compares scalar projections)
@@ -2791,6 +2806,42 @@ object SparkEntry {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.f, b.f)) <= 1
          ORDER BY id_a, id_b""",
+    // dHash pair replay + component closure + keep-highest-resolution
+    // survivor policy (pixel count desc, doc_id) — the image analog of
+    // q_dedup_survivors_best_md5's oracle
+    "q_image_dedup_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, 16 + doc_id % 8 AS W, 8 + doc_id % 4 AS H
+           FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + ((y*H//8)*W + ((x+1)*W//9))*7) % 256) >
+                       ((doc_id*31 + ((y*H//8)*W + (x*W//9))*7) % 256)
+                  THEN (CASE WHEN y*8+x = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << (y*8+x)) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 8) xs(x), range(0, 8) ys(y)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 1),
+         sym AS (SELECT id_a AS a, id_b AS b FROM pr
+                 UNION SELECT id_b AS a, id_a AS b FROM pr),
+         reach AS (SELECT a, b FROM sym
+                   UNION
+                   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (SELECT a AS node, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         pf AS (SELECT c.doc_id, comp.component,
+                  (16 + c.doc_id % 8) * (8 + c.doc_id % 4) AS pf
+                FROM documents c JOIN comp ON comp.node = c.doc_id),
+         win AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY component
+               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
+         SELECT doc_id FROM documents
+         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = documents.doc_id)
+            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = documents.doc_id)
+         ORDER BY doc_id""",
   )
 
   /** Shared CTE replaying the md5-mode MinHash-LSH pipeline in
