@@ -220,9 +220,16 @@ object Dedup {
         size(col("__segs")).cast("long").as("n_segments"),
         posexplode(col("__segs")).as(Seq("pos", "seg")))
       .withColumn("__dg", md5(col("seg")))
-    val boiler = occ
+    // frequency pass: within-doc dedup happens NARROW in array-land
+    // (array_distinct before the explode), so doc-frequency is a
+    // plain count with map-side combine — one digest exchange, where
+    // count_distinct(id) would plan a second (__dg, id) dedup
+    // exchange first
+    val boiler = df
+      .select(explode(array_distinct(
+        transform(segments(col(textCol), segWords), s => md5(s)))).as("__dg"))
       .groupBy(col("__dg"))
-      .agg(count_distinct(col(idCol)).as("doc_freq"))
+      .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
       .select(col("__dg"))
     val kept = occ.join(boiler, Seq("__dg"), "left_anti")
