@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, convert_timezone, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -41,7 +43,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events with `ts` normalized to the repo-wide contract: epoch-NANO
+    * Long, UTC. Driver generations have shipped `ts` as
+    * TIMESTAMP(NANOS) (read as Long under nanosAsLong) and as
+    * TIMESTAMP_MICROS (read as TIMESTAMP_NTZ) — every downstream
+    * operator and every DuckDB oracle (`epoch_us(ts)`) assumes the
+    * naive wall clock IS the instant, so the NTZ case converts
+    * explicitly against the session zone rather than trusting it to
+    * be UTC. Conversion is a narrow per-row projection; pushdown on
+    * the other columns is unaffected.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // epoch-nanos already (nanosAsLong read)
+      case TimestampNTZType =>
+        // wall clock w is UTC by TESTDATA convention: shift it to the
+        // session zone's wall clock for the same instant, so the
+        // NTZ→LTZ cast (which applies the session zone) lands exactly
+        // on instant(w as UTC) no matter what the session zone is
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts", nanosFromInstant(
+          convert_timezone(lit("UTC"), lit(tz), col("ts")).cast(TimestampType)))
+      case TimestampType => df.withColumn("ts", nanosFromInstant(col("ts")))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other")
+    }
+  }
+  private def nanosFromInstant(c: Column): Column =
+    (unix_micros(c) * lit(1000L)).cast(LongType)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -12,9 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as epoch-nano Long
-      // (converted via graft.functions.eventTs where timestamp semantics
-      // are needed — Spark has no nanosecond TimestampType).
+      // older testdata generations carry TIMESTAMP(NANOS); this reads
+      // them as epoch-nano Long (Tables.events normalizes either
+      // generation to that contract).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // size-based post-shuffle coalescing (see Bench.scala): fewer

@@ -76,7 +76,7 @@ object TextFunctions {
   def toEpochMillis(ts: Column): Column = unix_millis(ts)
 
   /** The driver events table reads ts as epoch-NANO long
-    * (nanosAsLong); convert to a real timestamp column. Integer `div`,
+    * (`Tables.events` contract); convert to a real timestamp column. Integer `div`,
     * not `/1000`+cast: epoch-nanos exceed the 2^53 exact-double range,
     * so double division drifts the last microsecond digit.
     */

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 /** Clickstream time analytics: sessionization, hourly rollups,
   * running/lag window functions, and hierarchical rollups.
   *
-  * The events table's `ts` arrives as epoch-NANO Long (nanosAsLong
-  * read of TIMESTAMP(NANOS)). All time math here runs on integer
+  * The events table's `ts` arrives as epoch-NANO Long (normalized
+  * by `Tables.events`). All time math here runs on integer
   * MICROseconds (`ts div 1000`): DuckDB coerces TIMESTAMP_NS to
   * microsecond TIMESTAMP by truncation, so µs is the finest
   * engine-portable granularity — and integer division keeps it

@@ -13,9 +13,11 @@ package graft.schema
 final case class Document(doc_id: Long, text: String, lang: String,
   source: String, n_chars: Long)
 
-/** events.ts arrives as epoch-nano Long under the nanosAsLong read
-  * (TESTDATA: TIMESTAMP(NANOS) parquet). `TextFunctions.eventTs`
-  * converts when timestamp semantics are needed.
+/** events.ts is epoch-nano Long by repo contract: `Tables.events`
+  * normalizes whatever the parquet carries (TIMESTAMP(NANOS) under
+  * nanosAsLong, or TIMESTAMP_MICROS/NTZ) to that Long.
+  * `TextFunctions.eventTs` converts when timestamp semantics are
+  * needed.
   */
 final case class Event(event_id: Long, ts: Long, user_id: Long,
   event_type: String, value: Double, props: String)
