@@ -303,6 +303,22 @@ object SparkEntry {
         smallGraphEdges = 0L, algorithm = "star")
         .orderBy(col("node"))
     }),
+    // Graph: PageRank over the same orders-derived link graph — the
+    // link-centrality quality prior of crawl curation; 8 exact power-
+    // iteration rounds with uniform teleport, and the 16-aligned hubs
+    // are DANGLING sinks so the mass-redistribution path is oracled
+    // too. Ranks rounded to 10 dp (fp summation-order ulps sit ~1e-18,
+    // far below the grain)
+    "q_pagerank" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+        .union(k.select((col("k") - col("k") % 4).as("a"),
+          (col("k") - col("k") % 16).as("b")))
+      graft.graph.PageRank.pageRank(edges, "a", "b", iterations = 8)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("node"))
+    }),
     // Dedup: LSH pairs closed under transitivity → clusters with a
     // canonical min-id label (rows-only: hinges on xxhash64 minhash)
     "q_dedup_clusters" -> ((s, d) =>
@@ -1568,6 +1584,7 @@ object SparkEntry {
          e AS (SELECT a, b FROM e0 WHERE a <> b),
          n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
          SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
+    "q_pagerank" -> pageRankOracle(8),
     "q_dedup_drop" ->
       """SELECT event_type, count(*) AS n_kept FROM (
            SELECT user_id, event_type, min(event_id) AS event_id
@@ -2900,6 +2917,46 @@ object SparkEntry {
     * actually yields n merges (true of the documents table) — an
     * exhausted b_i would empty the cross join.
     */
+  /** Unrolled power-iteration replay (the bpeLearnCtes pattern): one
+    * (dangling-mass, rank) CTE pair per round, formula shape
+    * identical to the operator's — (1−d)/n + d·(contrib + dm/n) —
+    * so both engines run the same IEEE ops and the query edge's
+    * round(…, 10) absorbs summation-order ulps. Every CTE is
+    * MATERIALIZED: each round references its predecessor twice, so
+    * DuckDB's default inlining would expand the chain 2^iters-fold
+    * (reproduced as an fd-exhausting 256-scan plan at iters = 8).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm
+           FROM r${k - 1} p JOIN dang ON p.node = dang.node),
+         r$k AS MATERIALIZED (
+           SELECT p.node,
+             (1.0 - 0.85)/cnt.c +
+               0.85*(coalesce(w.contrib, 0.0) + d$k.dm/cnt.c) AS rank
+           FROM r${k - 1} p CROSS JOIN cnt CROSS JOIN d$k
+           LEFT JOIN (SELECT e.b AS node, sum(q.rank / deg.dout) AS contrib
+                      FROM e JOIN deg ON e.a = deg.a
+                      JOIN r${k - 1} q ON q.node = e.a
+                      GROUP BY e.b) w ON w.node = p.node)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+         UNION
+         SELECT o_orderkey - o_orderkey % 4 AS a,
+                o_orderkey - o_orderkey % 16 AS b FROM orders),
+       e AS MATERIALIZED (SELECT a, b FROM e0 WHERE a <> b),
+       deg AS MATERIALIZED (SELECT a, count(*) AS dout FROM e GROUP BY a),
+       n AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+       cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM n),
+       dang AS MATERIALIZED (
+         SELECT node FROM n WHERE node NOT IN (SELECT a FROM e)),
+       r0 AS MATERIALIZED (
+         SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
+       $rounds
+       SELECT node, round(rank, 10) AS rank FROM r$iters ORDER BY node"""
+  }
+
   private def bpeEncodeOracle(n: Int): String = {
     val ms = (1 to n).map(i => s"b$i.a AS a$i, b$i.b AS c$i").mkString(", ")
     val mf = (1 to n).map(i => s"b$i").mkString(" CROSS JOIN ")

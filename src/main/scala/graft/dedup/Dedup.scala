@@ -658,8 +658,17 @@ object Dedup {
     // PER DOC here and joined in: per-pair work is a single
     // array_intersect instead of five interpreted shingle builds
     // (measured 128 s → ~2 s at sf0.1 on the bench corpus)
-    val grams = base.select(col("id"), shingles(col("text"), n).as("g"))
+    // persisted: BOTH join sides below read this frame, and without
+    // the persist each side re-derives the full corpus shingle build
+    // (the costliest narrow stage here) — measured ~2× the verify cost.
+    // Sorted once per DOC so the per-PAIR intersection can run as a
+    // zero-allocation linear merge (see SortedIntersectSize) instead
+    // of a hash-set build per candidate pair.
+    val native = graft.plans.TextHashFunctions.isRegistered(df.sparkSession)
+    val grams = base.select(col("id"),
+        array_sort(shingles(col("text"), n)).as("g"))
       .withColumn("ng", size(col("g")))
+      .persist()
     val aKeeps = col("__na") > col("__nb") ||
       (col("__na") === col("__nb") && col("id_a") < col("id_b"))
     val result = candidates
@@ -668,7 +677,11 @@ object Dedup {
       .join(grams.select(col("id").as("id_b"), col("g").as("__gb"),
         col("ng").as("__nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("__ga"), col("__gb"))).as("__inter"),
+        (if (native) call_function(
+            graft.plans.TextHashFunctions.SortedIntersectSizeName,
+            col("__ga"), col("__gb"))
+          else size(array_intersect(col("__ga"), col("__gb"))))
+          .as("__inter"),
         col("__na"), col("__nb"))
       .filter(col("__inter") * 10000L >= least(col("__na"), col("__nb")) * thr10k)
       .select(
@@ -676,7 +689,7 @@ object Dedup {
         when(aKeeps, col("id_b")).otherwise(col("id_a")).as("id_dropped"),
         round(col("__inter") / least(col("__na"), col("__nb")), 4)
           .as("containment"))
-    new graft.Managed(result, Seq(base))
+    new graft.Managed(result, Seq(base, grams))
   }
 
   // ---------------------------------------------------------------

@@ -245,7 +245,11 @@ object GraftFunctions {
         TextHashFunctions.intLitValue(e(1))))),
     (TextHashFunctions.RollingHashName,
       "Karp-Rabin rolling hash of a string in one pass: (string) -> long",
-      arity(TextHashFunctions.RollingHashName, 1)(e => RollingHash(e(0)))))
+      arity(TextHashFunctions.RollingHashName, 1)(e => RollingHash(e(0)))),
+    (TextHashFunctions.SortedIntersectSizeName,
+      "|A∩B| of two sorted distinct array<string> by linear merge",
+      arity(TextHashFunctions.SortedIntersectSizeName, 2)(e =>
+        SortedIntersectSize(e(0), e(1)))))
 
   /** Register graft's native expressions in a session (idempotent).
     * Callers (Verify/Bench/tests) invoke this once; library code

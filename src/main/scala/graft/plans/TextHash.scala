@@ -475,6 +475,7 @@ object TextHashFunctions {
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
   val RollingHashName = "graft_rolling_hash"
+  val SortedIntersectSizeName = "graft_sorted_intersect_size"
 
   private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

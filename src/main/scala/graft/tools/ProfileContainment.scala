@@ -12,7 +12,7 @@ object ProfileContainment {
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s  ($r)")
       r
     }
 
@@ -74,6 +74,11 @@ object ProfileContainment {
         .filter(col("__inter") * 10000L >= least(col("__na"), col("__nb")) * 9000L)
       time("verify (grams join + intersect)")(verified.count())
 
+      // honest full-operator cost: drop this profiler's own caches so
+      // CacheManager's canonicalized-plan matching can't serve the
+      // operator's internal frames from them
+      base.unpersist(true); candidates.unpersist(true)
+      spark.catalog.clearCache()
       time("full operator")(
         Dedup.containmentNearDuplicates(corpus, "doc_id", "text",
           hashMode = "md5").count())

@@ -1,0 +1,85 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala reference: dense power iteration with uniform teleport and
+    * dangling redistribution — the textbook recurrence, computed
+    * per-node sequentially.
+    */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val e = edges.filter { case (a, b) => a != b }.distinct
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val n = nodes.size.toDouble
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = e.groupBy(_._2).view.mapValues(
+        _.map { case (a, _) => rank(a) / out(a) }.sum).toMap
+      rank = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    rank
+  }
+
+  test("matches the dense reference on a hand graph with dangling nodes") {
+    // 1→2, 1→3, 2→3, 4→1 (3 is dangling; 5↔6 a separate pair)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L),
+      (5L, 6L), (6L, 5L))
+    val got = PageRank.pageRank(edges.toDF("s", "t"), "s", "t",
+        iterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = reference(edges, 12, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (node, r) =>
+      assert(math.abs(r - want(node)) < 1e-12, s"node $node")
+    }
+  }
+
+  test("ranks sum to 1 on the corpus graph (dangling mass preserved)") {
+    val k = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    val edges = k
+      .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+      .union(k.select((col("k") - col("k") % 4).as("a"),
+        (col("k") - col("k") % 16).as("b")))
+    val pr = PageRank.pageRank(edges, "a", "b", iterations = 8)
+    val total = pr.agg(sum(col("rank"))).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    // the 16-aligned hubs are dangling sinks fed by every leaf — they
+    // must outrank the leaves that feed them
+    val byRank = pr.orderBy(col("rank").desc).limit(50)
+      .select(col("node")).as[Long].collect()
+    assert(byRank.forall(_ % 16 === 0))
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val messy = Seq((1L, 2L), (1L, 2L), (2L, 2L), (2L, 1L)).toDF("s", "t")
+    val clean = Seq((1L, 2L), (2L, 1L)).toDF("s", "t")
+    val a = PageRank.pageRank(messy, "s", "t", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = PageRank.pageRank(clean, "s", "t", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  test("tol early-stops once the L1 delta drains") {
+    // a 2-cycle converges to the uniform fixed point immediately:
+    // round 2's delta is exactly 0
+    val (_, rounds) = PageRank.pageRankWithRounds(
+      Seq((1L, 2L), (2L, 1L)).toDF("s", "t"), "s", "t",
+      iterations = 20, damping = 0.85, tol = 1e-15)
+    assert(rounds < 20)
+  }
+
+  test("empty edge list yields an empty frame, not a failure") {
+    val pr = PageRank.pageRank(Seq.empty[(Long, Long)].toDF("s", "t"),
+      "s", "t")
+    assert(pr.count() === 0)
+    assert(pr.columns === Array("node", "rank"))
+  }
+}
