@@ -315,7 +315,11 @@ object SparkEntry {
         .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
         .union(k.select((col("k") - col("k") % 4).as("a"),
           (col("k") - col("k") % 16).as("b")))
-      graft.graph.PageRank.pageRank(edges, "a", "b", iterations = 8)
+      // smallGraphEdges=0 forces the distributed rounds — the shape a
+      // cluster-scale graph runs — through the oracle gate; the
+      // in-task fast path is pinned ulp-equal in PageRankSpec
+      graft.graph.PageRank.pageRank(edges, "a", "b", iterations = 8,
+          smallGraphEdges = 0L)
         .select(col("node"), round(col("rank"), 10).as("rank"))
         .orderBy(col("node"))
     }),

@@ -14,12 +14,11 @@ import org.apache.spark.sql.functions._
   * [[graft.dedup.Dedup.connectedComponents]]'s scale path:
   *
   *  - The edge list (with each source's out-degree joined in) is
-  *    hash-partitioned on `src` ONCE and persisted; every round's
-  *    contribution join then reuses that layout and shuffles only
-  *    the (node, rank) frame — 16 bytes/node — never the edges.
-  *    While the node count is bounded (≤ 2M) the rank frame is
-  *    broadcast-hinted instead, making a round one edge-cache scan
-  *    plus the contribution aggregation's tiny partial-agg shuffle.
+  *    hash-partitioned on `src` ONCE and persisted; the rank frame
+  *    leaves each round's checkpoint hash-partitioned on `node`, so
+  *    every contribution join is exchange-free co-partitioned SMJ
+  *    and the only per-round shuffle is the O(nodes) contribution
+  *    aggregation — edges never move after the setup pass.
   *  - Dangling mass (rank sitting on nodes with no out-edges —
   *    dropped on the floor by the contribution join) is
   *    redistributed uniformly, per the standard model. The mass is
@@ -39,6 +38,17 @@ import org.apache.spark.sql.functions._
   * the L1 rank delta — also measured as a riding observation —
   * falls to `tol` or below.
   *
+  * Like the components operator, a link graph that FITS ONE TASK
+  * (bounded by `smallGraphEdges` AND a byte budget) short-circuits
+  * to an in-task power iteration — candidate graphs from curation
+  * pipelines are usually orders of magnitude smaller than their
+  * corpus, and one job beats `iterations`-many checkpointed rounds.
+  * The fast path runs the identical recurrence over CSR arrays
+  * (deterministic edge order), so it agrees with the distributed
+  * path to summation-order ulps; `smallGraphEdges = 0` forces the
+  * distributed path (what `q_pagerank` oracles, the shape a 100 TB
+  * graph runs).
+  *
   * Output: (node, rank), one row per node that appears in any
   * non-self edge, ranks summing to 1 (PageRankSpec pins the
   * invariant). UNORDERED by repo convention; callers sort at the
@@ -46,14 +56,28 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** ~48 B per edge in the fast-path task: 16 B of (src, dst) input
+    * plus CSR arrays (dst index + offsets) and the node-id/rank/
+    * contribution arrays amortized per edge, with LongMap slack.
+    */
+  val FastPathBytesPerEdge = 48L
+
+  /** Same rationale as [[graft.dedup.Dedup.UnionFindByteBudget]]: a
+    * deliberate small slice of a typical executor heap.
+    */
+  val FastPathByteBudget: Long = 512L << 20
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, damping: Double = 0.85,
-      tol: Double = 0.0): DataFrame =
-    pageRankWithRounds(edges, srcCol, dstCol, iterations, damping, tol)._1
+      tol: Double = 0.0, smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = FastPathByteBudget): DataFrame =
+    pageRankWithRounds(edges, srcCol, dstCol, iterations, damping, tol,
+      smallGraphEdges, fastPathByteBudget)._1
 
   private[graft] def pageRankWithRounds(edges: DataFrame, srcCol: String,
       dstCol: String, iterations: Int, damping: Double,
-      tol: Double): (DataFrame, Int) = {
+      tol: Double, smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = FastPathByteBudget): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val spark = edges.sparkSession
@@ -63,6 +87,16 @@ object PageRank {
         col("src") =!= col("dst"))
       .distinct()
       .persist()
+    val longIds = e.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val maxFastEdges =
+      math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
+    if (longIds && smallGraphEdges > 0 && e.count() <= maxFastEdges) {
+      val out = fastPageRank(e, iterations, damping, tol)
+        .localCheckpoint(true)
+      e.unpersist()
+      return (out, 0)
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dout"))
     // the per-round join reuses this layout: partitioned by the join
     // key once, scanned from cache every round
@@ -141,5 +175,70 @@ object PageRank {
     }
     Seq(e, adj, nodes).foreach(_.unpersist())
     (ranks.select(col("node"), col("rank")), it)
+  }
+
+  /** In-task power iteration over CSR adjacency — the single-job
+    * fast path. mapPartitions on a 1-partition frame, not a driver
+    * collect: the work stays on an executor and the result is a
+    * distributed frame. Edge order is canonicalized (sort by (src,
+    * dst)) so the run is deterministic; the recurrence is the exact
+    * shape of the distributed rounds and the oracle replay.
+    */
+  private def fastPageRank(e: DataFrame, iterations: Int,
+      damping: Double, tol: Double): DataFrame = {
+    import e.sparkSession.implicits._
+    e.as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val edges = it.toArray.sortInPlace()(Ordering.Tuple2[Long, Long])
+        if (edges.isEmpty) Iterator.empty
+        else {
+          // dense node indexing
+          val idSet = new java.util.TreeSet[java.lang.Long]()
+          edges.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
+          val ids = idSet.toArray(new Array[java.lang.Long](0))
+            .map(_.longValue())
+          val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+          var i = 0
+          while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+          val n = ids.length
+          val src = new Array[Int](edges.length)
+          val dst = new Array[Int](edges.length)
+          val dout = new Array[Int](n)
+          i = 0
+          while (i < edges.length) {
+            src(i) = idx(edges(i)._1); dst(i) = idx(edges(i)._2)
+            dout(src(i)) += 1
+            i += 1
+          }
+          val base = (1.0 - damping) / n
+          var rank = Array.fill(n)(1.0 / n)
+          var round = 0
+          var delta = Double.MaxValue
+          while (round < iterations && delta > tol) {
+            var dm = 0.0
+            var v = 0
+            while (v < n) { if (dout(v) == 0) dm += rank(v); v += 1 }
+            val contrib = new Array[Double](n)
+            i = 0
+            while (i < edges.length) {
+              contrib(dst(i)) += rank(src(i)) / dout(src(i))
+              i += 1
+            }
+            val next = new Array[Double](n)
+            delta = 0.0
+            v = 0
+            while (v < n) {
+              next(v) = base + damping * (contrib(v) + dm / n)
+              delta += math.abs(next(v) - rank(v))
+              v += 1
+            }
+            rank = next
+            round += 1
+          }
+          Iterator.range(0, n).map(v => (ids(v), rank(v)))
+        }
+      }
+      .toDF("node", "rank")
   }
 }

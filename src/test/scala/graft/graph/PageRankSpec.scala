@@ -67,13 +67,46 @@ class PageRankSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("tol early-stops once the L1 delta drains") {
+  test("tol early-stops the distributed rounds once the L1 delta drains") {
     // a 2-cycle converges to the uniform fixed point immediately:
-    // round 2's delta is exactly 0
+    // round 2's delta is exactly 0 (forced past the fast path so the
+    // riding-observation stop is what's exercised)
     val (_, rounds) = PageRank.pageRankWithRounds(
       Seq((1L, 2L), (2L, 1L)).toDF("s", "t"), "s", "t",
-      iterations = 20, damping = 0.85, tol = 1e-15)
-    assert(rounds < 20)
+      iterations = 20, damping = 0.85, tol = 1e-15, smallGraphEdges = 0L)
+    assert(rounds > 0 && rounds < 20)
+  }
+
+  test("fast path engages on bounded graphs and matches the distributed rounds") {
+    val k = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"))
+      .limit(400)
+    val edges = k
+      .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+      .union(k.select((col("k") - col("k") % 4).as("a"),
+        (col("k") - col("k") % 16).as("b")))
+    val (fastDf, fastRounds) = PageRank.pageRankWithRounds(
+      edges, "a", "b", 6, 0.85, 0.0)
+    assert(fastRounds === 0) // 0 distributed rounds = fast path took it
+    val fast = fastDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (distDf, distRounds) = PageRank.pageRankWithRounds(
+      edges, "a", "b", 6, 0.85, 0.0, smallGraphEdges = 0L)
+    assert(distRounds === 6)
+    val dist = distDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet === dist.keySet)
+    fast.foreach { case (node, r) =>
+      assert(math.abs(r - dist(node)) < 1e-14, s"node $node")
+    }
+  }
+
+  test("fast path declines when the byte budget can't hold the edges") {
+    // asymmetric graph (3 is dangling): ranks keep moving, so all 3
+    // distributed rounds run — a symmetric cycle would hit its exact
+    // fixed point and the delta-0 early stop would mask the decline
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "t")
+    val (_, rounds) = PageRank.pageRankWithRounds(
+      edges, "s", "t", 3, 0.85, 0.0,
+      fastPathByteBudget = PageRank.FastPathBytesPerEdge) // room for 1 edge
+    assert(rounds === 3)
   }
 
   test("empty edge list yields an empty frame, not a failure") {
