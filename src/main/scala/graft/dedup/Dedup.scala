@@ -1370,17 +1370,29 @@ object Dedup {
         col("col").as("bucket"))
     val all = explodeBuckets(index, isNew = false)
       .union(explodeBuckets(newSigs, isNew = true))
-    val capped = all
-      .withColumn("bsz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    // probe: full (capped) bucket set ⋈ the new side only — at scale
-    // the increment's bucket rows are the small side (AQE broadcasts
-    // them), so the index is scanned once and never shuffled
+    // skew cap WITHOUT shuffling the index: a count window over
+    // (band, bucket) would re-shuffle every index bucket row on every
+    // increment — the exact cost an incremental probe exists to avoid.
+    // Instead the per-bucket sizes partial-aggregate map-side (the
+    // exchange carries combined counts, not rows), the oversized keys
+    // — at most |bucket rows| / maxBucketSize of them, pathological
+    // corpora only — broadcast, and the cap is a narrow anti-join.
+    val big = all
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val capped = all.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+    // probe: full (capped) bucket set ⋈ the new side only — the
+    // increment's bucket rows are bounded by the caller's batch, so
+    // they broadcast EXPLICITLY (a size estimate derived from the
+    // index-sized union would push Catalyst to a sort-merge join that
+    // re-shuffles the index) and the index is scanned, never shuffled
+    val newCapped = explodeBuckets(newSigs, isNew = true)
+      .join(broadcast(big), Seq("band", "bucket"), "left_anti")
+      .select(col("band"), col("bucket"), col("id"))
     val candidates = capped.as("l")
-      .join(capped.filter(col("is_new")).as("r"),
+      .join(broadcast(newCapped).as("r"),
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
         (!col("l.is_new") || col("l.id") < col("r.id")) &&

@@ -299,6 +299,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("incremental probe: index bucket rows are never shuffled, no window cap") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val index = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16, "xx")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val p = plan(Dedup.incrementalNearDuplicates(batch, index,
+      "doc_id", "text"))
+    // the skew cap is a partial-agg count + broadcast anti-join, NOT a
+    // count window (which would re-shuffle every index bucket row on
+    // every increment), and the candidate probe broadcasts the NEW
+    // side so the index is scanned, never exchange-shuffled: the only
+    // hash exchanges left are the bucket-size partial agg and the
+    // candidate distinct (plus the verify joins on candidate ids)
+    assert(!p.contains("Window"), p)
+    val probes = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(probes >= 3, p) // big anti-join ×2 + the new-side probe
+  }
+
   test("lshCandidates is plan-identical to the pre-factoring Jaccard candidate code") {
     // the r6 refactor moved the Jaccard verifier's candidate
     // generation into the shared lshCandidates; this pins the claim
