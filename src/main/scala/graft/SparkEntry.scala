@@ -502,6 +502,17 @@ object SparkEntry {
     // fractions + top-bigram share; narrow per-doc array math)
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d))),
+    // Quality: per-doc token-distribution Shannon entropy (nats) —
+    // the templated-garbage detector; zero-shuffle narrow fold in
+    // exact integer micro-nats (plan + exactness spec'd)
+    "q_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    // Quality: zlib compressibility (deflated/raw bytes) — catches
+    // long-range template repeats entropy and n-gram stats miss.
+    // Engine-specific codec → rows-only (exactness spec'd against
+    // java.util.zip; the documented sketch-family pattern)
+    "q_compression_ratio" -> ((s, d) =>
+      TextAnalysis.compressionRatio(Tables.documents(s, d))),
     // Decontamination: benchmark bigram overlap (benchmark = the
     // doc_id % 101 == 7 slice, broadcast; corpus = the rest)
     "q_decontaminate" -> ((s, d) => {
@@ -1941,6 +1952,27 @@ object SparkEntry {
     // bigram's own multiplicity (O(n²) is fine at oracle scale; the
     // Spark side uses an O(n log n) sort + run-length fold — only the
     // COUNT must agree, not the algorithm)
+    // relational replay of the narrow fold: group-count the tokens,
+    // rebuild Σ c·round(ln(n/c)·1e6) — exact integer terms make the
+    // summation order irrelevant, so shapes can differ across engines
+    "q_token_entropy" ->
+      """WITH wc AS (
+           SELECT doc_id, w, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           GROUP BY doc_id, w),
+         d AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_types, list(c) AS cs
+           FROM wc GROUP BY doc_id)
+         SELECT doc_id, n AS n_words, n_types,
+           round(CAST(list_sum(list_transform(cs,
+               c -> c * CAST(round(ln(n / c) * 1e6) AS BIGINT)))
+             AS BIGINT) / (n * 1e6), 4) AS entropy,
+           n >= 20 AND round(CAST(list_sum(list_transform(cs,
+               c -> c * CAST(round(ln(n / c) * 1e6) AS BIGINT)))
+             AS BIGINT) / (n * 1e6), 4) < 2.0 AS low_entropy
+         FROM d ORDER BY doc_id""",
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          g AS (SELECT doc_id, ws,

@@ -249,7 +249,10 @@ object GraftFunctions {
     (TextHashFunctions.SortedIntersectSizeName,
       "|A∩B| of two sorted distinct array<string> by linear merge",
       arity(TextHashFunctions.SortedIntersectSizeName, 2)(e =>
-        SortedIntersectSize(e(0), e(1)))))
+        SortedIntersectSize(e(0), e(1)))),
+    (TextHashFunctions.DeflateRatioName,
+      "zlib compressibility: deflated size / raw UTF-8 size of a string",
+      arity(TextHashFunctions.DeflateRatioName, 1)(e => DeflateRatio(e(0)))))
 
   /** Register graft's native expressions in a session (idempotent).
     * Callers (Verify/Bench/tests) invoke this once; library code

@@ -476,6 +476,7 @@ object TextHashFunctions {
   val SrpBucketName = "graft_srp_bucket"
   val RollingHashName = "graft_rolling_hash"
   val SortedIntersectSizeName = "graft_sorted_intersect_size"
+  val DeflateRatioName = "graft_deflate_ratio"
 
   private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -256,6 +256,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document Shannon entropy of the TOKEN distribution, in nats
+    * — the "templated garbage" detector: natural prose at these doc
+    * lengths sits well above 2 nats, while boilerplate stampings,
+    * keyword stuffing, and tag soup collapse toward 0 (a single
+    * repeated token IS 0). Complements [[repetitionStats]]: dup
+    * fractions see adjacent/verbatim repeats, entropy sees GLOBAL
+    * distributional collapse even when no n-gram repeats verbatim.
+    *
+    * Fully NARROW — zero exchanges: tokens sort per row and a single
+    * run-length fold (the [[maxMultiplicity]] shape) accumulates
+    * Σ c·round(ln(n/c)·1e6) in exact integer micro-nats, so the sum
+    * is order-independent and the DuckDB oracle can replay it
+    * relationally (group-count the tokens) and still match bit-for-
+    * bit after the final round — the [[lmScoreWith]] nll6 contract.
+    * H = Σ (c/n)·ln(n/c) per distinct token with count c.
+    *
+    * `low_entropy` gates docs with ≥ `minWords` tokens under
+    * `threshold` nats (short docs are structurally low-entropy; the
+    * floor keeps them out, like [[repetitionStats]]'s).
+    */
+  def tokenEntropy(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 2.0,
+      minWords: Int = 20): DataFrame = {
+    val ws = words(col(textCol))
+    val n = size(ws).cast("long")
+    def term(c: Column): Column =
+      c * round(log(n.cast("double") / c) * 1e6).cast("long")
+    val st0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("acc"))
+    val ent6 = aggregate(array_sort(ws), st0,
+      (st, w) => when(st.getField("prev") <=> w,
+          struct(w.as("prev"), (st.getField("run") + 1L).as("run"),
+            st.getField("acc").as("acc")))
+        .otherwise(struct(w.as("prev"), lit(1L).as("run"),
+          (st.getField("acc") + when(st.getField("run") > 0,
+            term(st.getField("run"))).otherwise(lit(0L))).as("acc"))),
+      st => when(st.getField("run") > 0,
+        st.getField("acc") + term(st.getField("run"))).otherwise(lit(0L)))
+    documents
+      .select(col(idCol),
+        n.as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_types"),
+        round(ent6 / (n * lit(1e6)), 4).as("entropy"))
+      .withColumn("low_entropy",
+        col("n_words") >= minWords && col("entropy") < threshold)
+      .orderBy(col(idCol))
+  }
+
+  /** Per-document zlib compressibility — deflated size over raw
+    * UTF-8 size via the native [[graft.plans.DeflateRatio]]
+    * expression (registration required; there is no composed
+    * fallback for a byte-level codec). LZ77 sees long-range repeats
+    * that BOTH [[tokenEntropy]] (order-blind) and
+    * [[repetitionStats]] (bounded n-gram windows) miss, so a low
+    * ratio flags stamped/templated filler whose sentences
+    * individually look clean. Engine-specific by nature (DuckDB has
+    * no deflate): rows-only at the oracle gate, exactness pinned in
+    * specs against java.util.zip directly.
+    *
+    * Narrow per-row codec work — zero exchanges, the scale shape of
+    * every per-doc gate here.
+    */
+  def compressionRatio(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.35,
+      minChars: Int = 200): DataFrame = {
+    require(graft.plans.TextHashFunctions.isRegistered(documents.sparkSession),
+      "compressionRatio needs graft's native functions registered " +
+        "(GraftFunctions.register or the GraftExtensions session extension)")
+    documents
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        round(call_function(graft.plans.TextHashFunctions.DeflateRatioName,
+          col(textCol)), 4).as("deflate_ratio"))
+      .withColumn("compressible",
+        col("n_chars") >= minChars && col("deflate_ratio") < threshold)
+      .orderBy(col(idCol))
+  }
+
   // ---------------------------------------------------------------
   // Decontamination (benchmark n-gram overlap)
   // ---------------------------------------------------------------
