@@ -276,10 +276,11 @@ object TextAnalysis {
     * `threshold` nats (short docs are structurally low-entropy; the
     * floor keeps them out, like [[repetitionStats]]'s).
     */
-  def tokenEntropy(documents: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", threshold: Double = 2.0,
-      minWords: Int = 20): DataFrame = {
-    val ws = words(col(textCol))
+  /** Row-local token entropy in nats, rounded to 4 — the micro-nat
+    * fold [[tokenEntropy]] wraps; shared with the streaming serving
+    * gates ([[graft.curation.Serving]]) so the two can never drift.
+    */
+  def entropyNats(ws: Column): Column = {
     val n = size(ws).cast("long")
     def term(c: Column): Column =
       c * round(log(n.cast("double") / c) * 1e6).cast("long")
@@ -294,11 +295,18 @@ object TextAnalysis {
             term(st.getField("run"))).otherwise(lit(0L))).as("acc"))),
       st => when(st.getField("run") > 0,
         st.getField("acc") + term(st.getField("run"))).otherwise(lit(0L)))
+    round(ent6 / (n * lit(1e6)), 4)
+  }
+
+  def tokenEntropy(documents: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 2.0,
+      minWords: Int = 20): DataFrame = {
+    val ws = words(col(textCol))
     documents
       .select(col(idCol),
-        n.as("n_words"),
+        size(ws).cast("long").as("n_words"),
         size(array_distinct(ws)).cast("long").as("n_types"),
-        round(ent6 / (n * lit(1e6)), 4).as("entropy"))
+        entropyNats(ws).as("entropy"))
       .withColumn("low_entropy",
         col("n_words") >= minWords && col("entropy") < threshold)
       .orderBy(col(idCol))
