@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * [[graft.dedup.Dedup.connectedComponents]]'s scale path:
   *
   *  - The edge list (with each source's out-degree joined in) is
-  *    hash-partitioned on `src` ONCE and persisted; the rank frame
-  *    leaves each round's checkpoint hash-partitioned on `node`, so
-  *    every contribution join is exchange-free co-partitioned SMJ
-  *    and the only per-round shuffle is the O(nodes) contribution
-  *    aggregation — edges never move after the setup pass.
+  *    hash-partitioned on `src` ONCE and persisted; every round
+  *    scans that cache in place. The ONLY data that ever crosses an
+  *    exchange after setup is the O(nodes) rank frame (at most three
+  *    node-keyed exchanges per round; while the rank frame is small
+  *    Catalyst broadcasts it into the contribution join instead) —
+  *    the O(edges) side never reshuffles, which is the property that
+  *    matters at 100 TB and the one PlanSpec pins.
   *  - Dangling mass (rank sitting on nodes with no out-edges —
   *    dropped on the floor by the contribution join) is
   *    redistributed uniformly, per the standard model. The mass is
@@ -121,15 +123,13 @@ object PageRank {
       import spark.implicits._
       return (Seq.empty[(Long, Double)].toDF("node", "rank"), 0)
     }
-    // NO broadcast hint, deliberately: the rank frame leaves each
-    // round hash-partitioned on `node` (localCheckpoint preserves the
-    // physical partitioning), and the adjacency cache is partitioned
-    // on `src` with the same partition count — so the contribution
-    // join is already exchange-free co-partitioned SMJ. A broadcast
-    // hint here would ADD a per-round broadcast-build job (collect +
-    // rebroadcast of the checkpointed frame) to save an exchange the
-    // plan doesn't have; measured ~0.1 s/round slower at bench scale,
-    // and at cluster scale the rank frame outgrows broadcast anyway.
+    // NO broadcast hint, deliberately: Catalyst already broadcasts
+    // the rank side BY SIZE while it fits (measured: forcing the hint
+    // was ~0.1 s/round SLOWER at bench scale), and at cluster scale
+    // the rank frame outgrows broadcast and falls back to a join that
+    // exchanges only the O(nodes) rank rows — the adjacency cache is
+    // scanned in place either way (PlanSpec pins that no exchange
+    // ever sits on the edge side).
     val n = nNodes.toDouble
     val danglingSum = sum(when(col("dangling"), col("rank"))
       .otherwise(lit(0.0))).as("dangling_mass")
@@ -143,26 +143,7 @@ object PageRank {
     var delta = Double.MaxValue
     while (it < iterations && delta > tol) {
       val obs = Observation()
-      val contribs = adj
-        .join(ranks.select(col("node"), col("rank")),
-          col("src") === col("node"))
-        .select(col("dst").as("node"), (col("rank") / col("dout")).as("c"))
-        .groupBy(col("node"))
-        .agg(sum(col("c")).as("contrib"))
-      // same op shape as the oracle replay: (1−d)/n + d·(contrib+dm/n)
-      // — IEEE ops are deterministic, so identical shapes give
-      // identical bits up to the summation-order ulps the query-edge
-      // round() absorbs. Left side is the previous rank frame (same
-      // node set every round), so the L1-delta metric below reads the
-      // old rank from the very same join.
-      val next = ranks
-        .select(col("node"), col("dangling"), col("rank"))
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("dangling"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dm / n)))
-            .as("rank"),
-          col("rank").as("prev"))
+      val next = rankRound(adj, ranks, n, damping, dm)
         .observe(obs, danglingSum,
           sum(abs(col("rank") - col("prev"))).as("l1_delta"))
         .localCheckpoint(true)
@@ -175,6 +156,36 @@ object PageRank {
     }
     Seq(e, adj, nodes).foreach(_.unpersist())
     (ranks.select(col("node"), col("rank")), it)
+  }
+
+  /** One distributed round, exposed for the PlanSpec pin: every
+    * exchange in the round moves O(nodes) rank-frame rows on node
+    * keys — the O(edges) adjacency cache is scanned in place, never
+    * reshuffled.
+    *
+    * Same op shape as the oracle replay: (1−d)/n + d·(contrib+dm/n)
+    * — IEEE ops are deterministic, so identical shapes give identical
+    * bits up to the summation-order ulps the query-edge round()
+    * absorbs. Left side is the previous rank frame (same node set
+    * every round), so the caller's L1-delta metric reads the old rank
+    * from the very same join via `prev`.
+    */
+  private[graft] def rankRound(adj: DataFrame, ranks: DataFrame,
+      n: Double, damping: Double, dm: Double): DataFrame = {
+    val contribs = adj
+      .join(ranks.select(col("node"), col("rank")),
+        col("src") === col("node"))
+      .select(col("dst").as("node"), (col("rank") / col("dout")).as("c"))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("contrib"))
+    ranks
+      .select(col("node"), col("dangling"), col("rank"))
+      .join(contribs, Seq("node"), "left")
+      .select(col("node"), col("dangling"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) + lit(dm / n)))
+          .as("rank"),
+        col("rank").as("prev"))
   }
 
   /** In-task power iteration over CSR adjacency — the single-job

@@ -14,6 +14,24 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Shuffle-exchange partitionings of a frame's physical plan — by
+    * TREE traversal, so cached relations' one-time build plans (which
+    * the string printer inlines under InMemoryRelation) don't count:
+    * InMemoryTableScanExec is a leaf, its build plan isn't a child.
+    */
+  private def shufflePartitionings(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case other => other.collect {
+        case e: ShuffleExchangeLike => e.outputPartitioning.toString }
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   lazy val orders = Tables.orders(spark, sfDir)
   lazy val customer = Tables.customer(spark, sfDir)
   lazy val lineitem = Tables.lineitem(spark, sfDir)
@@ -297,6 +315,43 @@ class PlanSpec extends SparkSpec {
       Tables.documents(spark, sfDir).select("doc_id"), "doc_id", 8))
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("pagerank round: single exchange, no broadcast — edges cached co-partitioned") {
+    import org.apache.spark.sql.functions._
+    val k = orders.select(col("o_orderkey").as("k"))
+    val e = k.select(col("k").as("src"), (col("k") - col("k") % 4).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("dout"))
+    val adj = e.join(deg, "src").select(col("src"), col("dst"), col("dout"))
+      .repartition(col("src")).persist()
+    try {
+      adj.count()
+      val ranks = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(deg.select(col("src").as("node"), lit(false).as("dangling")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("dangling"), lit(true)).as("dangling"))
+        .repartition(col("node"))
+        .withColumn("rank", lit(0.01))
+        .localCheckpoint(true)
+      // the PLANS.md claim: the O(edges) adjacency cache is scanned
+      // in place — no exchange in the ROUND keys on src/dst, so every
+      // shuffle moves only O(nodes) rank rows. (While the rank frame
+      // is small Catalyst broadcasts it into the contribution join by
+      // size; at scale that side becomes a join that exchanges rank
+      // rows only — either way edges stay put.) The cache's one-time
+      // BUILD subtree legitimately shuffles on src: the plan printer
+      // inlines it under InMemoryRelation, so strip those subtrees
+      // before asserting on the per-round operators.
+      val round = graft.graph.PageRank.rankRound(adj, ranks, 100.0, 0.85, 0.0)
+      val parts = shufflePartitionings(round)
+      assert(parts.forall(s => !s.contains("src") && !s.contains("dst")), parts)
+      assert(parts.length <= 3, parts)
+      assert(plan(round).contains("InMemoryTableScan"), plan(round))
+    } finally adj.unpersist()
   }
 
   test("incremental probe: index bucket rows are never shuffled, no window cap") {
