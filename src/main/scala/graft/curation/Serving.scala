@@ -117,8 +117,15 @@ object Serving {
       entropyThreshold: Double = 2.0, minWords: Int = 20)
       : Dataset[CuratedDoc] = {
     import docs.sparkSession.implicits._
-    val ws = words(col("text"))
+    // tokenize ONCE into an attribute the four gates reference:
+    // CollapseProject declines to inline a non-cheap alias used many
+    // times, so `__ws` stays a single computed column instead of four
+    // independent words(text) subtrees (the flaggedInternal lesson,
+    // applied to the serving projection)
+    val ws = col("__ws")
     docs
+      .select(col("doc_id"), col("source"), col("text"),
+        words(col("text")).as("__ws"))
       .select(col("doc_id"), col("source"), col("text"),
         TextAnalysis.repetitiveFlag(ws).as("repetitive"),
         contaminationLocal(benchGrams)(col("text")).as("contamination"),
