@@ -522,4 +522,43 @@ class PropertySpec extends SparkSpec {
       .toSet
     assert(got === expected)
   }
+
+  test("token entropy matches an exact Scala reference on random corpora") {
+    // heavy-repeat word pool so runs of every length occur
+    val repTextGen: Gen[String] = for {
+      words <- Gen.listOfN(40, Gen.oneOf("a", "b", "spam", "the", "zz"))
+    } yield words.mkString(" ")
+    val docs = samples(repTextGen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def reference(t: String): Double = {
+      val ws = t.split(" ", -1)
+      val n = ws.length.toLong
+      val s6 = ws.groupBy(identity).values.map(_.length.toLong)
+        .map(c => c * math.round(math.log(n.toDouble / c) * 1e6)).sum
+      BigDecimal(s6 / (n * 1e6))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.textanalysis.TextAnalysis.tokenEntropy(
+        docs.toDF("doc_id", "text"))
+      .select($"doc_id", $"entropy").as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) === reference(t), s"doc $id: '$t'")
+    }
+  }
+
+  test("sorted-intersect size ≡ set intersection on random string sets") {
+    val setGen: Gen[Seq[String]] = Gen.listOf(Gen.oneOf(
+      "a", "ab", "abc", "b", "ba", "é", "日本", "", "z"))
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(setGen, setGen), 250).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+    val got = pairs.toDF("id", "x", "y")
+      .select($"id", call_function(
+        graft.plans.TextHashFunctions.SortedIntersectSizeName,
+        $"x", $"y").as("n"))
+      .as[(Long, Int)].collect().toMap
+    pairs.foreach { case (id, x, y) =>
+      assert(got(id) === x.toSet.intersect(y.toSet).size, s"pair $id")
+    }
+  }
 }

@@ -79,6 +79,26 @@ class ServingSpec extends SparkSpec {
       s"survivors ${batch.size} of ${rows.size}: gates should bind")
   }
 
+  test("serving gates + exact dedup ≡ the independent batch curate() pipeline") {
+    // entropyThreshold=0 disables the serving-only entropy gate
+    // (entropy ≥ 0 always), leaving exactly curate()'s gate set; the
+    // min-id exact dedup is curate()'s final stage, applied here to
+    // the serving survivors. Two independently built pipelines —
+    // relational gates behind an aggregation barrier vs row-local
+    // literal gates behind a typed boundary — must keep the same docs.
+    val servingPass = Serving.survivors(Serving.flagStream(
+        corpus, benchGrams, lm, entropyThreshold = 0.0))
+      .toDF()
+    val servingKept = servingPass
+      .groupBy(graft.dedup.Dedup.rowDigest(Seq("text")).as("__dk"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val batchKept = Curation.curate(corpus, bench)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(servingKept === batchKept)
+    assert(batchKept.nonEmpty)
+  }
+
   test("collectLmLiteral refuses an unbounded model") {
     intercept[IllegalArgumentException] {
       Serving.collectLmLiteral(TextAnalysis.lmTrain(corpus), maxEntries = 1)
