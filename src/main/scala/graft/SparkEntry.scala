@@ -309,6 +309,26 @@ object SparkEntry {
     // are DANGLING sinks so the mass-redistribution path is oracled
     // too. Ranks rounded to 10 dp (fp summation-order ulps sit ~1e-18,
     // far below the grain)
+    // Graph: degree-distribution readout — the sanity histogram every
+    // graph pipeline prints before running anything iterative on it
+    // (out-degree d → node count; dangling nodes are the d = 0 row)
+    "q_graph_degrees" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+        .union(k.select((col("k") - col("k") % 4).as("a"),
+          (col("k") - col("k") % 16).as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+      val outDeg = edges.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val nodes = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node"))).distinct()
+      nodes.join(outDeg, Seq("node"), "left")
+        .select(coalesce(col("d"), lit(0L)).as("out_degree"))
+        .groupBy(col("out_degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("out_degree"))
+    }),
     "q_pagerank" -> ((s, d) => {
       val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
       val edges = k
@@ -1600,6 +1620,19 @@ object SparkEntry {
          n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
          SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
     "q_pagerank" -> pageRankOracle(8),
+    "q_graph_degrees" ->
+      """WITH e0 AS (
+           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+           UNION
+           SELECT o_orderkey - o_orderkey % 4 AS a,
+                  o_orderkey - o_orderkey % 16 AS b FROM orders),
+         e AS (SELECT a, b FROM e0 WHERE a <> b),
+         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+         deg AS (SELECT a AS node, count(*) AS d FROM e GROUP BY a)
+         SELECT coalesce(deg.d, 0) AS out_degree,
+                count(*) AS n_nodes
+         FROM n LEFT JOIN deg ON n.node = deg.node
+         GROUP BY 1 ORDER BY out_degree""",
     "q_dedup_drop" ->
       """SELECT event_type, count(*) AS n_kept FROM (
            SELECT user_id, event_type, min(event_id) AS event_id
