@@ -24,4 +24,40 @@ final class Managed(val df: DataFrame, cached: Seq[DataFrame]) {
     */
   def apply[T](f: DataFrame => T): T =
     try f(df) finally release()
+
+  /** One-shot convenience lifecycle for the plain (non-Managed)
+    * wrappers: returns `df` with an `observe()` marker attached and a
+    * listener that calls [[release]] as soon as the first action over
+    * the returned frame completes — the same pattern as
+    * `Curation.curateObserved`'s token-artifact lifecycle. The
+    * observation NAME identifies the execution in
+    * `qe.observedMetrics` (public, plan-shape-independent; the
+    * metrics node does not change rows). One-shot semantics: a second
+    * action over the frame re-derives the pipeline uncached —
+    * multi-action callers use the `...Managed` variant instead.
+    */
+  def autoReleased(): DataFrame = {
+    val spark = df.sparkSession
+    val name = "graft_release_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = df.observe(name,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.observedMetrics.contains(name)) {
+          release()
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    out
+  }
 }

@@ -574,6 +574,19 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.bpeEncode(docs, merges)
         .orderBy(col("doc_id"))
     }),
+    // Tokenizer serving PAST the 64-merge literal cap: the FULL
+    // learned merge table (this corpus exhausts at ~106 merges —
+    // past the literal-chain bound; real tokenizers ship 32k+)
+    // through the vocab-join design — merges tokenize the word
+    // VOCABULARY once (chunked ≤64-replace codegen units), the
+    // corpus tokenizes by explode + join on word: O(corpus), one
+    // bounded join, no per-merge pass over the data. Vocab table and
+    // merge table are build-once session artifacts (the PQ-codebook
+    // lifecycle).
+    "q_bpe_encode_vocab" -> ((s, d) =>
+      graft.textanalysis.TextAnalysis.bpeEncodeWithVocab(
+        Tables.documents(s, d), bpeVocabTable(s, d))
+        .orderBy(col("doc_id"))),
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
@@ -1210,6 +1223,70 @@ object SparkEntry {
     }
   }
 
+  /** Full learned BPE merge table per corpus dir — the driver-side
+    * bounded-vocab learner run to exhaustion (nMerges=256 requested;
+    * this corpus yields ~106). Keyed by dir alone (a tiny Seq of
+    * strings, no session resources) so the generated oracle below can
+    * read it — the pqCbCache lifecycle.
+    */
+  private val bpeMergesFullCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeFullMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    lastOracleDir = d
+    bpeMergesFullCache.computeIfAbsent(d, _ =>
+      TextAnalysis.bpeMergesLocal(
+        TextAnalysis.collectWordCounts(Tables.documents(s, d)), 256)
+        .map(m => (m._2, m._3)))
+  }
+
+  /** The vocab-tokenization table under the full merge table — a
+    * MATERIALIZED build-once serving artifact per (session, corpus)
+    * (bpeVocabTokens localCheckpoints; caching prevents per-call
+    * re-builds from pinning fresh checkpoint blocks each invocation).
+    */
+  private val bpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  SessionCaches.register(bpeVocabCache)
+  private def bpeVocabTable(s: SparkSession, d: String): DataFrame = {
+    SessionCaches.ensureHook(s)
+    bpeVocabCache.computeIfAbsent((s, d), kv =>
+      TextAnalysis.bpeVocabTokens(Tables.documents(kv._1, kv._2),
+        bpeFullMerges(kv._1, kv._2)))
+  }
+
+  /** Oracle for q_bpe_encode_vocab, generated after the query ran
+    * (the ivfKmeansOracle lifecycle): the learned merge table inlines
+    * as literal `replace` pairs and DuckDB replays the DIRECT
+    * per-word chain application over the corpus — so the hash gate
+    * proves the vocab-join tokenization (vocabulary chunks + explode
+    * + join + positional reassembly) equals straight-line greedy
+    * merge application of the full table.
+    */
+  private def bpeVocabOracle: Option[(String, String)] =
+    Option(lastOracleDir).flatMap(d =>
+        Option(bpeMergesFullCache.get(d))).map { ms =>
+      def esc(x: String) = x.replace("'", "''")
+      val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
+      val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
+        s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
+      }
+      "q_bpe_encode_vocab" ->
+        s"""WITH enc AS (
+           SELECT doc_id,
+             array_to_string(list_transform(
+               list_filter(string_split(text, ' '),
+                 w -> w <> '' AND NOT contains(w, '<')
+                  AND NOT contains(w, '>') AND NOT contains(w, '_')),
+               w -> substr(replace($merged, '><', ' '), 2,
+                           len(replace($merged, '><', ' ')) - 2)), ' ') AS tokens
+           FROM documents)
+           SELECT doc_id,
+             CAST(CASE WHEN tokens = '' THEN 0
+                  ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens,
+             tokens
+           FROM enc ORDER BY doc_id"""
+    }
+
   /** Corpus with planted HALF-truncations: every doc_id % 7 == 0 doc
     * gains a +2,000,000-id copy keeping only its first ⌊n/2⌋ words
     * (min 3 so it still shingles) — Jaccard vs the original is
@@ -1242,7 +1319,7 @@ object SparkEntry {
       // the indexed serving path must agree with the one-shot ranking,
       // so its oracle IS the q_search_bm25 replay
       Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25")) ++
-      ivfKmeansOracle ++ pqOracle
+      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
     * repetition rubric, benchmark contamination, corpus-trained

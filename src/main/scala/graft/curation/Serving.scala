@@ -48,7 +48,7 @@ object Serving {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val contexts = model.contexts.select(col("w1"), col("c1"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = model.vocab.head.getLong(0)
+    val v = model.vocab.head().getLong(0)
     LmLiteral(grams, contexts, v)
   }
 
@@ -89,8 +89,19 @@ object Serving {
     * so the intersect size IS the hit count).
     */
   def contaminationLocal(benchGrams: Seq[String], n: Int = 2)(
-      text: Column): Column = {
-    val grams = graft.dedup.Dedup.shingles(text, n)
+      text: Column): Column =
+    contaminationLocalWords(benchGrams, n)(
+      graft.functions.TextFunctions.words(text))
+
+  /** [[contaminationLocal]] over a pre-split token array — the form
+    * [[flagStream]] uses so the shared `__ws` tokenization feeds this
+    * gate too instead of re-running `words(text)` inside the shingle
+    * build. `contaminationLocal(g)(text)` ≡
+    * `contaminationLocalWords(g)(words(text))` by construction.
+    */
+  def contaminationLocalWords(benchGrams: Seq[String], n: Int = 2)(
+      ws: Column): Column = {
+    val grams = graft.dedup.Dedup.shinglesOfWords(ws, n)
     when(size(grams) > 0,
       round(size(array_intersect(grams, typedlit(benchGrams))) /
         size(grams), 4))
@@ -128,7 +139,7 @@ object Serving {
         words(col("text")).as("__ws"))
       .select(col("doc_id"), col("source"), col("text"),
         TextAnalysis.repetitiveFlag(ws).as("repetitive"),
-        contaminationLocal(benchGrams)(col("text")).as("contamination"),
+        contaminationLocalWords(benchGrams)(ws).as("contamination"),
         lmNllLocal(lm)(ws).as("lm_nll"),
         TextAnalysis.entropyNats(ws).as("entropy"),
         size(ws).cast("long").as("__nw"))

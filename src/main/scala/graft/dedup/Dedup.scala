@@ -78,13 +78,20 @@ object Dedup {
     * sequence(0, size-n) would count DOWNWARD through negative
     * indices and Slice would throw.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfWords(words(text), n)
+
+  /** [[shingles]] over an already-split token array — for call sites
+    * that tokenize once into a shared attribute and feed several
+    * gates (e.g. the serving projection), so the split isn't
+    * re-evaluated per consumer. `shingles(text, n)` ≡
+    * `shinglesOfWords(words(text), n)` by construction.
+    */
+  def shinglesOfWords(ws: Column, n: Int): Column =
     when(size(ws) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(ws) - n),
           i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
-  }
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -637,8 +644,13 @@ object Dedup {
       n: Int = 3, k: Int = 16, bands: Int = 16,
       threshold: Double = 0.9, maxBucketSize: Int = 100,
       hashMode: String = "xx"): DataFrame =
+    // this pipeline pins TWO corpus-sized caches (signatures + sorted
+    // gram sets); the plain wrapper releases both when the first
+    // action completes (one-shot — see Managed.autoReleased) so a
+    // long-lived session doesn't accumulate them. Multi-action
+    // callers use the Managed variant.
     containmentNearDuplicatesManaged(df, idCol, textCol, n, k, bands,
-      threshold, maxBucketSize, hashMode).df
+      threshold, maxBucketSize, hashMode).autoReleased()
 
   def containmentNearDuplicatesManaged(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 16, bands: Int = 16,

@@ -120,8 +120,12 @@ object PageRank {
     val nNodes = nodes.count()
     if (nNodes == 0) {
       Seq(e, adj, nodes).foreach(_.unpersist())
-      import spark.implicits._
-      return (Seq.empty[(Long, Double)].toDF("node", "rank"), 0)
+      // derive the empty frame from the input so the node column
+      // keeps the caller's id type — a hardcoded (Long, Double)
+      // schema would make an empty non-Long-id graph yield a
+      // different downstream schema than a non-empty one
+      return (e.select(col("src").as("node"), lit(0.0).as("rank"))
+        .limit(0).localCheckpoint(true), 0)
     }
     // NO broadcast hint, deliberately: Catalyst already broadcasts
     // the rank side BY SIZE while it fits (measured: forcing the hint

@@ -762,6 +762,212 @@ object TextAnalysis {
         col("tokens"))
   }
 
+  // ---------------------------------------------------------------
+  // BPE vocab-join serving (unbounded merge tables)
+  // ---------------------------------------------------------------
+
+  /** The [[bpeMerges]]/[[bpeEncode]] vocabulary filter as a Column
+    * predicate: non-empty and free of the bracket delimiters and the
+    * end-of-word marker.
+    */
+  private def bpeLegalWord(w: Column): Column =
+    w =!= "" && !w.contains("<") && !w.contains(">") && !w.contains("_")
+
+  /** Bounded collect of the corpus word-frequency table under the
+    * [[bpeMerges]] vocabulary contract (marker-carrying words
+    * excluded). REFUSES unbounded vocabularies — the
+    * collectLmLiteral / PQ-codebook serving contract: past `maxVocab`
+    * distinct words a driver-side table stops being a serving
+    * artifact, and training belongs to the distributed [[bpeMerges]].
+    */
+  def collectWordCounts(documents: DataFrame, textCol: String = "text",
+      maxVocab: Long = 2000000L): Seq[(String, Long)] = {
+    val wc = documents
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(bpeLegalWord(col("word")))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .persist()
+    try {
+      val n = wc.count()
+      require(n <= maxVocab,
+        s"corpus has $n distinct words > maxVocab=$maxVocab: a vocabulary " +
+          "this large stops being a driver-side artifact — train with the " +
+          "distributed bpeMerges instead")
+      wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    } finally wc.unpersist(false)
+  }
+
+  /** Greedy leftmost non-overlapping single-pass merge over a symbol
+    * sequence — exactly what the bracket-encoded literal `replace` of
+    * the DataFrame forms computes (matches can never share symbols).
+    */
+  private def applyMergeLocal(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val o = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        o += (a + b); i += 2
+      } else { o += syms(i); i += 1 }
+    }
+    o.result()
+  }
+
+  /** Driver-side exact twin of [[bpeMerges]] over a collected word
+    * frequency table — the unbounded-RANK learner for BOUNDED
+    * vocabularies. Real tokenizers ship 32k–100k merges; the
+    * distributed learner pays one vocabulary aggregation + one 1-row
+    * collect PER RANK, which is the right trade only while ranks are
+    * few. When the vocabulary itself is bounded
+    * ([[collectWordCounts]] enforces the refusal contract), training
+    * runs entirely driver-side in milliseconds — the union-find /
+    * fast-PageRank byte-budget split applied to tokenizer training.
+    *
+    * Semantics are rank-for-rank identical to [[bpeMerges]] (spec
+    * and fuzz-pinned): each round counts adjacent symbol pairs over
+    * the word-frequency table (overlapping positions included),
+    * picks the most frequent pair (ties: lexicographically smallest
+    * (a, b)), applies it greedily leftmost non-overlapping, and
+    * stops at `nMerges` or exhaustion. Words carry the end-of-word
+    * marker `_`; inputs are assumed marker-free.
+    *
+    * Returns (rank, sym_a, sym_b, freq) tuples in rank order.
+    */
+  def bpeMergesLocal(wordCounts: Seq[(String, Long)], nMerges: Int)
+      : Seq[(Long, String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be ≥ 1: $nMerges")
+    var vocab: Map[Vector[String], Long] = wordCounts
+      .map { case (w, c) => (w.map(_.toString).toVector :+ "_") -> c }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = Vector.newBuilder[(Long, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (!exhausted && rank <= nMerges) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          stats(p) = stats.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (stats.isEmpty) exhausted = true
+      else {
+        val mx = stats.values.max
+        // NB: `stats.collect { case (p, f) ... => p }` would rebuild
+        // a MAP (pairs → keyed by p._1) and silently collapse tied
+        // pairs sharing a first symbol — iterate to keep them all
+        val (a, b) = stats.iterator
+          .collect { case (p, f) if f == mx => p }.min
+        out += ((rank.toLong, a, b, mx))
+        vocab = vocab.toSeq
+          .map { case (syms, c) => applyMergeLocal(syms, a, b) -> c }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The word-vocabulary tokenization table — the serving artifact of
+    * the vocab-join tokenizer: every distinct legal corpus word with
+    * its subword stream under `merges` and the stream's length.
+    * Merges apply in rank order exactly as [[bpeEncode]]'s literal
+    * chain, but over the VOCABULARY (orders of magnitude smaller than
+    * the corpus) and in chunks of ≤64 replaces per materialized
+    * projection, so no codegen unit ever exceeds the proven literal
+    * depth — a 32k-merge table is 500 vocabulary-sized passes, not a
+    * 32k-deep expression over the corpus. Chunk boundaries are
+    * persisted+materialized barriers (CollapseProject would otherwise
+    * fuse the chunks back into one expression).
+    *
+    * Returns a MATERIALIZED (word, tokens, n_tokens) frame
+    * (localCheckpoint — it is a build-once artifact, the PQ-codebook
+    * lifecycle; callers wanting cross-session reuse write it to
+    * parquet like the other serving indexes).
+    */
+  def bpeVocabTokens(documents: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", chunkSize: Int = 64): DataFrame = {
+    require(merges.nonEmpty, "merge table must be non-empty")
+    require(chunkSize >= 1 && chunkSize <= 64,
+      s"chunkSize must be in [1, 64]: $chunkSize")
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).exists("<>".contains(_)) },
+      "merge symbols must be non-empty and delimiter-free")
+    var cur = documents
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(bpeLegalWord(col("word")))
+      .distinct()
+      .select(col("word"),
+        concat(lit("<"), array_join(split(col("word"), ""), "><"),
+          lit("><_>")).as("s"))
+      .persist()
+    cur.count()
+    merges.grouped(chunkSize).foreach { chunk =>
+      val applied = chunk.foldLeft(col("s")) { case (c, (a, b)) =>
+        replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+      val next = cur.select(col("word"), applied.as("s")).persist()
+      next.count()
+      cur.unpersist(false)
+      cur = next
+    }
+    val t = replace(col("s"), lit("><"), lit(" "))
+    val out = cur
+      .select(col("word"), t.substr(lit(2), length(t) - 2).as("tokens"))
+      .select(col("word"), col("tokens"),
+        size(split(col("tokens"), " ", -1)).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    cur.unpersist(false)
+    out
+  }
+
+  /** Tokenize the corpus against a prebuilt [[bpeVocabTokens]] table:
+    * explode to (doc, position, word), join on word, reassemble in
+    * position order. Output contract matches [[bpeEncode]]:
+    * (doc_id, n_tokens, tokens); docs whose words are all filtered
+    * (or absent from the vocabulary) emit (id, 0, "").
+    *
+    * Scale shape (100 TB): O(corpus) with ONE bounded join — the
+    * corpus explodes to word occurrences and joins the vocabulary
+    * (broadcast while it fits, word-key shuffle join past that), then
+    * one per-doc aggregation reassembles the stream. No per-merge
+    * pass ever touches the corpus — that cost lives in
+    * [[bpeVocabTokens]], amortized over every corpus this merge
+    * table will ever tokenize.
+    */
+  def bpeEncodeWithVocab(documents: DataFrame, vocabTokens: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ex = documents
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(filter(words(col(textCol)),
+          w => bpeLegalWord(w))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    ex.join(vocabTokens.select(col("word"), col("tokens"),
+        col("n_tokens")), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tokens")))),
+          x => x.getField("tokens")), " ").as("tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens"))
+  }
+
+  /** [[bpeEncode]] past the 64-merge literal cap: build the
+    * vocabulary tokenization under the FULL merge table
+    * ([[bpeVocabTokens]] — chunked, never a deep expression), then
+    * tokenize the corpus by explode + join
+    * ([[bpeEncodeWithVocab]]). Equal to [[bpeEncode]] wherever both
+    * are defined (merge tables ≤64 — spec-pinned); this form has no
+    * cap.
+    */
+  def bpeEncodeVocab(documents: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bpeEncodeWithVocab(documents,
+      bpeVocabTokens(documents, merges, textCol), idCol, textCol)
+
   /** Overlapping sliding-window chunking — the RAG / context-window
     * preprocessing step: each document becomes ⌈…⌉ word windows of
     * `chunkWords` words advancing by `strideWords` (windows overlap

@@ -453,6 +453,14 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
     assert(got === reference(ws, 10))
+    // the driver-side bounded-vocab learner agrees with the same
+    // reference — and therefore with the distributed operator — on
+    // the identical corpus (rank depth past the fuzz corpus's
+    // exhaustion point exercises the stop condition too)
+    val wc = ws.filterNot(w => w.isEmpty || w.exists("<>_".contains(_)))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }.toSeq
+    val local = graft.textanalysis.TextAnalysis.bpeMergesLocal(wc, 10)
+    assert(local === reference(ws, 10))
   }
 
   test("bpeEncode matches an exact Scala reference on random corpora") {

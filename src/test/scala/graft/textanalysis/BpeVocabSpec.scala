@@ -1,0 +1,111 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** The vocab-join tokenizer serving path: driver-side learner ≡ the
+  * distributed learner, vocab-join encode ≡ the literal chain on the
+  * ≤64 overlap, chunking invariance, and the full-table (past-the-
+  * cap) encode against a straight-line Scala reference.
+  */
+class BpeVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+    .select("doc_id", "text")
+
+  private lazy val wordCounts =
+    TextAnalysis.collectWordCounts(docs)
+
+  test("bpeMergesLocal matches the distributed bpeMerges rank-for-rank") {
+    val local = TextAnalysis.bpeMergesLocal(wordCounts, 8)
+    val dist = TextAnalysis.bpeMerges(docs, 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(local === dist)
+  }
+
+  test("collectWordCounts refuses an over-budget vocabulary") {
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.collectWordCounts(docs, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
+  test("the corpus learns past the 64-merge literal cap") {
+    val full = TextAnalysis.bpeMergesLocal(wordCounts, 256)
+    assert(full.size > 64, s"only ${full.size} merges learnable")
+    // ranks are consecutive from 1 and symbols compose: every merged
+    // symbol is the concatenation of its pair
+    assert(full.map(_._1) === (1L to full.size))
+    assert(full.forall { case (_, a, b, f) =>
+      a.nonEmpty && b.nonEmpty && f > 0 })
+  }
+
+  test("bpeEncodeVocab equals bpeEncode on the <=64-merge overlap") {
+    val merges = TextAnalysis.bpeMergesLocal(wordCounts, 64)
+      .map(m => (m._2, m._3))
+    val viaChain = TextAnalysis.bpeEncode(docs, merges)
+      .orderBy("doc_id").collect().toSeq
+    val viaVocab = TextAnalysis.bpeEncodeVocab(docs, merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaVocab === viaChain)
+  }
+
+  test("chunk size does not change the vocab tokenization") {
+    val merges = TextAnalysis.bpeMergesLocal(wordCounts, 256)
+      .map(m => (m._2, m._3))
+    val at64 = TextAnalysis.bpeVocabTokens(docs, merges, chunkSize = 64)
+      .orderBy("word").collect().toSeq
+    val at7 = TextAnalysis.bpeVocabTokens(docs, merges, chunkSize = 7)
+      .orderBy("word").collect().toSeq
+    assert(at7 === at64)
+  }
+
+  test("full-table encode matches a straight-line Scala reference") {
+    val merges = TextAnalysis.bpeMergesLocal(wordCounts, 256)
+      .map(m => (m._2, m._3))
+    def applyMerge(syms: Vector[String], a: String, b: String) = {
+      val o = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          o += (a + b); i += 2
+        } else { o += syms(i); i += 1 }
+      }
+      o.result()
+    }
+    def reference(text: String): (Long, String) = {
+      val toks = text.split(" ", -1).toVector
+        .filter(w => w.nonEmpty && !w.exists("<>_".contains(_)))
+        .flatMap { w =>
+          merges.foldLeft(w.map(_.toString).toVector :+ "_") {
+            case (s, (a, b)) => applyMerge(s, a, b)
+          }
+        }
+      (toks.length.toLong, toks.mkString(" "))
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val got = TextAnalysis.bpeEncodeVocab(docs, merges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === reference(t), s"doc $id")
+    }
+  }
+
+  test("words absent from an external vocabulary drop; empty docs survive") {
+    val merges = Seq(("a", "b"))
+    val vt = TextAnalysis.bpeVocabTokens(
+      Seq((1L, "abc abc")).toDF("doc_id", "text"), merges)
+    // corpus has a word ("zzz") the vocab never saw, and a doc whose
+    // words are all filtered (marker word)
+    val corpus = Seq((1L, "abc zzz abc"), (2L, "under_score"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeWithVocab(corpus, vt)
+      .orderBy("doc_id").collect().toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ===
+      Seq((1L, 6L, "ab c _ ab c _"), (2L, 0L, "")))
+  }
+}
