@@ -25,6 +25,14 @@ final class Managed(val df: DataFrame, cached: Seq[DataFrame]) {
   def apply[T](f: DataFrame => T): T =
     try f(df) finally release()
 
+  /** A Managed over a frame derived from this one, sharing its
+    * caches — for wrappers that post-process the pipeline's result
+    * (e.g. an anti-join against the pair list) before handing it to
+    * the caller's lifecycle.
+    */
+  def mapDf(f: DataFrame => DataFrame): Managed =
+    new Managed(f(df), cached)
+
   /** One-shot convenience lifecycle for the plain (non-Managed)
     * wrappers: returns `df` with an `observe()` marker attached and a
     * listener that calls [[release]] as soon as the first action over

@@ -421,7 +421,33 @@ object SparkEntry {
         Dedup.minhashSignatures(Tables.documents(kv._1, kv._2)
             .select("doc_id", "text"), "doc_id", "text", hashMode = "md5")
           .localCheckpoint(true))
-      Dedup.dedupIncrement(newBatch, index, "doc_id", "text", hashMode = "md5")
+      // smallBatchRows = 0 forces the DISTRIBUTED probe through the
+      // oracle (the q_components precedent — the 100 TB path stays
+      // hash-gated); the bounded-increment fast path serves the twin
+      // query below, against the SAME oracle
+      Dedup.dedupIncrement(newBatch, index, "doc_id", "text",
+        hashMode = "md5", smallBatchRows = 0)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // The same increment through the bounded-batch fast path (batch
+    // bucket rows collect under an explicit row+byte budget, ONE
+    // in-task index pass, Scala-twin verification) — the serving
+    // shape of a daily increment; oracled against the identical full
+    // md5 replay, so fast ≡ distributed is hash-gated, not just
+    // spec'd
+    "q_dedup_incremental_fast" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ws = split(col("text"), " ", -1)
+      val newBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+      SessionCaches.ensureHook(s)
+      val index = sigIndexCache.computeIfAbsent((s, d), kv =>
+        Dedup.minhashSignatures(Tables.documents(kv._1, kv._2)
+            .select("doc_id", "text"), "doc_id", "text", hashMode = "md5")
+          .localCheckpoint(true))
+      Dedup.dedupIncrement(newBatch, index, "doc_id", "text",
+        hashMode = "md5")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     // Dedup: SimHash banding near-dups over the same corpus
@@ -1766,6 +1792,13 @@ object SparkEntry {
     // pairs with a new-side id_b (new ids are all offset by 1e6 and
     // the cap is computed over index ∪ batch = the planted corpus)
     "q_dedup_incremental" -> (minhashMd5Cte +
+      """SELECT doc_id FROM corpus
+         WHERE doc_id >= 1000000
+           AND NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id)
+         ORDER BY doc_id"""),
+    // the fast path must produce the SAME survivors — one oracle
+    // text, two execution paths, both hash-gated
+    "q_dedup_incremental_fast" -> (minhashMd5Cte +
       """SELECT doc_id FROM corpus
          WHERE doc_id >= 1000000
            AND NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id)

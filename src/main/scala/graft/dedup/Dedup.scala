@@ -1359,12 +1359,164 @@ object Dedup {
     * which is computed over index ∪ batch, exactly as a full rebuild
     * would see it. Ids must be unique across index ∪ batch.
     */
+  /** Fast-path gate for [[incrementalNearDuplicates]]: collect at
+    * most this many (batch doc × band) bucket rows to the driver —
+    * an INCREMENT is bounded by contract (that is what makes it an
+    * increment), so the common case probes the index in one in-task
+    * pass instead of a chain of broadcast-join stages. 0 disables.
+    */
+  val IncrementalFastBatchRows = 65536L
+
+  /** Byte budget for the collected batch rows (texts included) — the
+    * union-find / fast-PageRank deliberate-heap-slice rationale.
+    */
+  val IncrementalFastByteBudget: Long = 256L << 20
+
   def incrementalNearDuplicates(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5, maxBucketSize: Int = 100,
-      hashMode: String = "xx"): DataFrame =
+      hashMode: String = "xx",
+      smallBatchRows: Long = IncrementalFastBatchRows): DataFrame =
     incrementalNearDuplicatesManaged(newDocs, index, idCol, textCol,
-      n, k, bands, threshold, maxBucketSize, hashMode).df
+      n, k, bands, threshold, maxBucketSize, hashMode, smallBatchRows).df
+
+  /** Exact driver/task-side twin of the Column pipeline's shingle
+    * set: split(" ", -1) keeps empty tokens, windows of n words
+    * joined by single spaces, distinct. Fewer than n words → empty.
+    */
+  private[graft] def shinglesLocal(text: String, n: Int): Set[String] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < n) Set.empty
+    else ws.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Exact twin of `jaccard(shingles(a), shingles(b))`: IEEE double
+    * division of the set sizes; an empty union yields None (the
+    * Column form's null). */
+  private[graft] def jaccardLocal(a: String, b: String, n: Int)
+      : Option[Double] = {
+    val sa = shinglesLocal(a, n); val sb = shinglesLocal(b, n)
+    val u = (sa union sb).size
+    if (u == 0) None else Some((sa intersect sb).size.toDouble / u)
+  }
+
+  /** Spark's `round(col, 4)` on DoubleType: decimal HALF_UP on the
+    * shortest-round-trip representation. */
+  private def round4(x: Double): Double =
+    BigDecimal.decimal(x)
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The bounded-increment fast path of
+    * [[incrementalNearDuplicatesManaged]]: an increment is small by
+    * contract, so instead of a chain of broadcast-join query stages
+    * (each a scheduling round trip — the dominant cost of the
+    * distributed probe at small scale), the batch's signed bucket
+    * rows COLLECT to the driver (gated by row + byte budgets, the
+    * union-find / fast-PageRank pattern) and the index is probed in
+    * ONE mapPartitions pass: per partition, touched-bucket occupancy
+    * counts and candidate (index doc, new doc) pairs against the
+    * driver map, Jaccard-verified in-task with the exact Scala twins
+    * of the Column expressions (spec- and oracle-pinned equal).
+    *
+    * The skew cap is applied on the driver after the counts merge —
+    * identical semantics (per touched bucket, index + batch
+    * occupancy vs `maxBucketSize`); tasks stop emitting a bucket's
+    * candidates once their local occupancy alone proves it capped,
+    * so per-partition emission is bounded by
+    * touched × (cap + 1) × batch-per-bucket.
+    *
+    * Returns None — fall back to the distributed probe — when ids
+    * are not LongType, or the batch exceeds the row/byte budget.
+    * Two jobs total: the batch collect and the index pass.
+    */
+  private def fastIncremental(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, n: Int, k: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int, hashMode: String,
+      maxRows: Long, byteBudget: Long): Option[DataFrame] = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val longIds =
+      newDocs.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+      index.schema("id").dataType == org.apache.spark.sql.types.LongType
+    if (!longIds || maxRows > Int.MaxValue - 1) return None
+    def bucketRows(sigs: DataFrame) = sigs
+      .select(col("id"), col("text"),
+        posexplode(bandExprFor(hashMode, k, bands)))
+      .select(col("id"), col("text"), col("pos").as("band"),
+        col("col").as("bucket"))
+    val newRows = bucketRows(
+        minhashSignatures(newDocs, idCol, textCol, n, k, hashMode))
+      .limit(maxRows.toInt + 1)
+      .collect()
+    if (newRows.length > maxRows) return None
+    if (newRows.iterator
+        .map(r => 2L * r.getString(1).length + 64L).sum > byteBudget)
+      return None
+    // (band|bucket) -> new ids; id -> text. Buckets render to string
+    // keys (uniformly Long in xx mode, String in md5 — no cross-type
+    // collision within a call).
+    val newByBucket = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val newText = scala.collection.mutable.HashMap.empty[Long, String]
+    newRows.foreach { r =>
+      val key = r.getInt(2).toString + "|" + r.get(3)
+      newByBucket.getOrElseUpdate(key,
+        scala.collection.mutable.ArrayBuffer.empty) += r.getLong(0)
+      newText(r.getLong(0)) = r.getString(1)
+    }
+    val bNew = spark.sparkContext.broadcast(
+      newByBucket.view.mapValues(_.toArray).toMap)
+    val cap = maxBucketSize
+    // one pass over the index: touched-bucket occupancy + candidates
+    val emissions = bucketRows(index).rdd.mapPartitions { it =>
+      val seen = scala.collection.mutable.HashMap.empty[String, Long]
+      val cands = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, String)]
+      it.foreach { r =>
+        val key = r.getInt(2).toString + "|" + r.get(3)
+        val hit = bNew.value.get(key)
+        if (hit.isDefined) {
+          val c = seen.getOrElse(key, 0L)
+          seen(key) = c + 1
+          // once this partition ALONE has seen cap+1 index rows the
+          // bucket total certainly exceeds the cap — stop emitting
+          // (counts continue; the driver drops the bucket anyway)
+          if (c <= cap) {
+            val id = r.getLong(0); val text = r.getString(1)
+            hit.get.foreach { nid =>
+              if (nid != id) cands += ((id, text, nid, key))
+            }
+          }
+        }
+      }
+      Iterator((seen.toMap, cands.toSeq))
+    }.collect()
+    bNew.destroy()
+    val idxCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    emissions.foreach(_._1.foreach { case (key, c) =>
+      idxCounts(key) = idxCounts.getOrElse(key, 0L) + c
+    })
+    val capped = newByBucket.keysIterator.filter { key =>
+      idxCounts.getOrElse(key, 0L) + newByBucket(key).length > cap
+    }.toSet
+    val idxCands = emissions.iterator.flatMap(_._2)
+      .filter(c => !capped(c._4)).map(c => (c._1, c._3, c._2))
+    // batch-internal pairs: same bucket, smaller id wins the a slot
+    val newCands = newByBucket.iterator
+      .filter { case (key, _) => !capped(key) }
+      .flatMap { case (_, ids) =>
+        for (a <- ids.iterator; b <- ids.iterator if a < b)
+          yield (a, b, newText(a))
+      }
+    val pairs = (idxCands ++ newCands).toSeq
+      .groupBy(p => (p._1, p._2)).valuesIterator.map(_.head)
+      .flatMap { case (a, b, ta) =>
+        jaccardLocal(ta, newText(b), n)
+          .filter(_ >= threshold)
+          .map(j => (a, b, round4(j)))
+      }.toSeq
+    Some(pairs.toDF("id_a", "id_b", "jaccard"))
+  }
 
   /** Managed-lifecycle variant — see `minhashNearDuplicatesManaged`.
     * `index` is a [[minhashSignatures]] frame (id, text, sig).
@@ -1372,7 +1524,15 @@ object Dedup {
   def incrementalNearDuplicatesManaged(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5, maxBucketSize: Int = 100,
-      hashMode: String = "xx"): graft.Managed = {
+      hashMode: String = "xx",
+      smallBatchRows: Long = IncrementalFastBatchRows): graft.Managed = {
+    val fast =
+      if (smallBatchRows > 0)
+        fastIncremental(newDocs, index, idCol, textCol, n, k, bands,
+          threshold, maxBucketSize, hashMode, smallBatchRows,
+          IncrementalFastByteBudget)
+      else None
+    if (fast.isDefined) return new graft.Managed(fast.get, Seq.empty)
     val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k, hashMode)
       .persist()
     def explodeBuckets(sigs: DataFrame, isNew: Boolean) = sigs
@@ -1380,31 +1540,43 @@ object Dedup {
         posexplode(bandExprFor(hashMode, k, bands)))
       .select(col("id"), col("is_new"), col("pos").as("band"),
         col("col").as("bucket"))
-    val all = explodeBuckets(index, isNew = false)
-      .union(explodeBuckets(newSigs, isNew = true))
-    // skew cap WITHOUT shuffling the index: a count window over
-    // (band, bucket) would re-shuffle every index bucket row on every
-    // increment — the exact cost an incremental probe exists to avoid.
-    // Instead the per-bucket sizes partial-aggregate map-side (the
-    // exchange carries combined counts, not rows), the oversized keys
-    // — at most |bucket rows| / maxBucketSize of them, pathological
-    // corpora only — broadcast, and the cap is a narrow anti-join.
-    val big = all
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
+    val newBuckets = explodeBuckets(newSigs, isNew = true)
+    // skew cap WITHOUT shuffling the index — and with per-increment
+    // EXCHANGE volume proportional to the BATCH, not the index: a
+    // count window over (band, bucket) would re-shuffle every index
+    // bucket row on every increment, and even a full partial-agg
+    // recounts the whole index each time. Only buckets the batch
+    // TOUCHES can yield candidates, so over-cap buckets elsewhere in
+    // the index are irrelevant to this increment: the index side
+    // contributes its counts through a broadcast semi-join (narrow
+    // scan of the index, zero exchange of its rows), and both size
+    // aggregations are bounded by the batch's bucket set. Cap
+    // semantics are unchanged — per touched bucket the total is
+    // index + batch occupancy, exactly what a full rebuild sees.
+    val newSizes = newBuckets
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bn"))
+    val idxTouchedSizes = explodeBuckets(index, isNew = false)
+      .join(broadcast(newSizes.select(col("band"), col("bucket"))),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bn"))
+    val big = idxTouchedSizes.unionByName(newSizes)
+      .groupBy(col("band"), col("bucket")).agg(sum(col("bn")).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
       .select(col("band"), col("bucket"))
+    val all = explodeBuckets(index, isNew = false).union(newBuckets)
     val capped = all.join(broadcast(big), Seq("band", "bucket"), "left_anti")
-    // probe: full (capped) bucket set ⋈ the new side only — the
+    // probe: full (capped) bucket set ⋈ the new side — the
     // increment's bucket rows are bounded by the caller's batch, so
     // they broadcast EXPLICITLY (a size estimate derived from the
     // index-sized union would push Catalyst to a sort-merge join that
-    // re-shuffles the index) and the index is scanned, never shuffled
-    val newCapped = explodeBuckets(newSigs, isNew = true)
-      .join(broadcast(big), Seq("band", "bucket"), "left_anti")
-      .select(col("band"), col("bucket"), col("id"))
+    // re-shuffles the index) and the index is scanned, never
+    // shuffled. The probe side is deliberately NOT cap-filtered: the
+    // l side already excludes over-cap buckets, so probe rows in
+    // those buckets match nothing — a second anti-join would only
+    // add a broadcast job to the increment's critical path.
     val candidates = capped.as("l")
-      .join(broadcast(newCapped).as("r"),
+      .join(broadcast(newBuckets.select(col("band"), col("bucket"),
+          col("id"))).as("r"),
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
         (!col("l.is_new") || col("l.id") < col("r.id")) &&
@@ -1432,15 +1604,20 @@ object Dedup {
   def dedupIncrement(newDocs: DataFrame, index: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5, maxBucketSize: Int = 100,
-      hashMode: String = "xx"): DataFrame = {
-    val pairs = incrementalNearDuplicatesManaged(newDocs, index, idCol,
-      textCol, n, k, bands, threshold, maxBucketSize, hashMode)
-    // materialize the (small) drop set before releasing the signature
-    // cache — the caller's anti-join must not re-derive the pipeline
-    val drops =
-      try pairs.df.select(col("id_b").as("__drop_id")).distinct()
-        .localCheckpoint(true)
-      finally pairs.release()
-    newDocs.join(drops, col(idCol) <=> col("__drop_id"), "left_anti")
-  }
+      hashMode: String = "xx",
+      smallBatchRows: Long = IncrementalFastBatchRows): DataFrame =
+    // the drop set broadcasts into the anti-join (bounded by the
+    // increment), and the probe's signature cache releases when the
+    // caller's FIRST action completes (Managed.autoReleased — the
+    // one-shot convenience lifecycle; an eager checkpoint of the drop
+    // set here would cost a whole extra job on the increment's
+    // critical path). Multi-action callers compose
+    // incrementalNearDuplicatesManaged themselves.
+    incrementalNearDuplicatesManaged(newDocs, index, idCol,
+      textCol, n, k, bands, threshold, maxBucketSize, hashMode,
+      smallBatchRows)
+      .mapDf(pairs => newDocs.join(
+        broadcast(pairs.select(col("id_b").as("__drop_id"))),
+        col(idCol) <=> col("__drop_id"), "left_anti"))
+      .autoReleased()
 }

@@ -389,8 +389,10 @@ object Pipelines {
     val survivors = Dedup.dedupIncrement(batch, index, "doc_id", "text",
       n, k, bands, threshold, maxBucketSize, hashMode)
     // materialized BEFORE the write: the write plan must not read
-    // indexDir (dedupIncrement already checkpointed its drop set, and
-    // this cut makes the signature rows themselves index-independent)
+    // indexDir — this checkpoint is the batch's ONLY action over the
+    // survivors frame (releasing dedupIncrement's one-shot caches)
+    // and makes the signature rows index-independent before the
+    // index itself is overwritten below
     val sigs = Dedup.minhashSignatures(survivors, "doc_id", "text", n, k, hashMode)
       .withColumn("batch_id", lit(batchId))
       .localCheckpoint(true)

@@ -360,17 +360,21 @@ class PlanSpec extends SparkSpec {
     val index = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16, "xx")
     val batch = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // smallBatchRows = 0 forces the distributed probe (the fast path
+    // would collect this tiny batch and leave no joins to pin)
     val p = plan(Dedup.incrementalNearDuplicates(batch, index,
-      "doc_id", "text"))
-    // the skew cap is a partial-agg count + broadcast anti-join, NOT a
+      "doc_id", "text", smallBatchRows = 0))
+    // the skew cap is a TOUCHED-bucket-restricted count (broadcast
+    // semi-join of the batch's bucket keys into the index scan, then
+    // batch-bounded aggregations) + one broadcast anti-join — NOT a
     // count window (which would re-shuffle every index bucket row on
-    // every increment), and the candidate probe broadcasts the NEW
-    // side so the index is scanned, never exchange-shuffled: the only
-    // hash exchanges left are the bucket-size partial agg and the
-    // candidate distinct (plus the verify joins on candidate ids)
+    // every increment) and NOT a full index recount; the candidate
+    // probe broadcasts the NEW side so the index is scanned, never
+    // exchange-shuffled: every remaining hash exchange carries
+    // batch-proportional data (bucket sizes, candidate pairs)
     assert(!p.contains("Window"), p)
     val probes = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(probes >= 3, p) // big anti-join ×2 + the new-side probe
+    assert(probes >= 3, p) // touched semi + big anti + new-side probe
   }
 
   test("lshCandidates is plan-identical to the pre-factoring Jaccard candidate code") {

@@ -427,6 +427,7 @@ class DedupSpec extends SparkSpec {
       (12L, "utterly new content about adaptive query execution plans")
     ).toDF("doc_id", "text")
     val index = Dedup.minhashSignatures(existing, "doc_id", "text")
+    // default gate → the bounded-batch FAST path on this tiny batch
     val inc = Dedup.incrementalNearDuplicates(batch, index, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val full = Dedup.minhashNearDuplicates(existing.unionByName(batch),
@@ -435,6 +436,40 @@ class DedupSpec extends SparkSpec {
       .filter(p => p._2 >= 11L).toSet
     assert(inc === full)
     assert(inc.exists(p => p._2 === 11L)) // the near-copy was found
+    // and the DISTRIBUTED probe (smallBatchRows = 0) agrees with both
+    val dist = Dedup.incrementalNearDuplicates(batch, index, "doc_id",
+        "text", smallBatchRows = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dist === full)
+  }
+
+  test("incremental bucket cap counts index ∪ batch together") {
+    // 5 identical texts share every band bucket, so the bucket holds
+    // index(4) + batch(1) = 5 rows: cap 4 suppresses every candidate,
+    // cap 5 admits them — pinning that the touched-bucket cap
+    // aggregation sees the UNION occupancy, exactly like a rebuild
+    val txt = "the quick brown fox jumps over the lazy dog tonight"
+    val existing = (1L to 4L).map(i => (i, txt)).toDF("doc_id", "text")
+    val batch = Seq((11L, txt)).toDF("doc_id", "text")
+    for (mode <- Seq("xx", "md5"); gate <- Seq(Dedup.IncrementalFastBatchRows, 0L)) {
+      val index = Dedup.minhashSignatures(existing, "doc_id", "text",
+        hashMode = mode)
+      assert(Dedup.incrementalNearDuplicates(batch, index, "doc_id", "text",
+        maxBucketSize = 4, hashMode = mode, smallBatchRows = gate).isEmpty,
+        s"mode=$mode gate=$gate")
+      val open = Dedup.incrementalNearDuplicates(batch, index, "doc_id",
+          "text", maxBucketSize = 5, hashMode = mode, smallBatchRows = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(open === (1L to 4L).map(i => (i, 11L)).toSet,
+        s"mode=$mode gate=$gate")
+      // batch-only buckets are capped too (no index occupancy at all)
+      val batch5 = (21L to 25L).map(i => (i, txt)).toDF("doc_id", "text")
+      val emptyIdx = Dedup.minhashSignatures(existing.limit(0),
+        "doc_id", "text", hashMode = mode)
+      assert(Dedup.incrementalNearDuplicates(batch5, emptyIdx, "doc_id",
+        "text", maxBucketSize = 4, hashMode = mode,
+        smallBatchRows = gate).isEmpty, s"mode=$mode gate=$gate")
+    }
   }
 
   test("segmentDedup keeps first occurrences only and rebuilds docs") {
