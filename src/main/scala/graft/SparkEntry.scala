@@ -640,6 +640,27 @@ object SparkEntry {
         docs.filter(col("doc_id") % 101 === 7))
         .orderBy(col("doc_id")) // presentation sort at the query edge
     }),
+    // The graph-composed capstone: the SAME curate() output further
+    // gated by a PageRank prior over a deterministic hub-link graph
+    // on the corpus ids (the q_pagerank shape transplanted to
+    // documents) — bottom-decile-rank docs drop. Reuses pageRank and
+    // curate() unchanged; the (round(rank,10), node) cut edge is the
+    // oracle-pinned 10-decimal boundary, so the gate is exact
+    // cross-engine.
+    "q_curation_ranked" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+      val e = corpus.select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 4).as("dst"))
+        .unionByName(corpus.select(
+          (col("doc_id") - col("doc_id") % 4).as("src"),
+          (col("doc_id") - col("doc_id") % 16).as("dst")))
+      val ranks = graft.graph.PageRank.pageRank(e, "src", "dst")
+      val curated = graft.curation.Curation.curate(corpus,
+        docs.filter(col("doc_id") % 101 === 7))
+      graft.curation.Curation.dropBottomRanked(curated, ranks, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
     // The dataset-card readout: per-source gate rejections, pass
     // count, and post-dedup kept count — |sources| rows from the same
     // two corpus scans as the capstone
@@ -2271,6 +2292,34 @@ object SparkEntry {
          SELECT g.doc_id, g.source, g.lm_nll FROM gated g
          JOIN keep k ON g.doc_id = k.doc_id
          ORDER BY g.doc_id"""),
+    // the capstone tail + the PageRank bottom-decile prior over the
+    // doc-id hub graph (rank replay = the q_pagerank CTE chain over
+    // corp0's edges; the cut orders by the oracle-pinned
+    // round(rank, 10) with node tiebreak, ⌈n/10⌉ rows drop)
+    "q_curation_ranked" -> (curationGateCtes +
+      s""", e0 AS MATERIALIZED (
+           SELECT doc_id AS a, doc_id - doc_id % 4 AS b FROM corp0
+           UNION
+           SELECT doc_id - doc_id % 4 AS a,
+                  doc_id - doc_id % 16 AS b FROM corp0),
+         ${pageRankRoundCtes(8)},
+         low AS (SELECT node FROM (
+             SELECT node, row_number()
+                 OVER (ORDER BY round(rank, 10), node) AS rn,
+               count(*) OVER () AS cnt
+             FROM r8) WHERE rn <= (cnt + 9) // 10),
+         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id
+           WHERE NOT rep.repetitive AND NOT con.contaminated
+             AND NOT lm.lm_nll >= 10.0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
+         JOIN keep k ON g.doc_id = k.doc_id
+         WHERE NOT EXISTS (SELECT 1 FROM low WHERE low.node = g.doc_id)
+         ORDER BY g.doc_id"""),
     // per-source gate rollup + dedup-winner kept counts; count(*)
     // FILTER keeps every column BIGINT
     "q_curation_report" -> (curationGateCtes +
@@ -3105,7 +3154,10 @@ object SparkEntry {
     * DuckDB's default inlining would expand the chain 2^iters-fold
     * (reproduced as an fd-exhausting 256-scan plan at iters = 8).
     */
-  private def pageRankOracle(iters: Int): String = {
+  /** The graph-independent PageRank replay CTEs: callers prepend an
+    * `e0(a, b)` edge CTE and append their own tail over `r<iters>`.
+    */
+  private def pageRankRoundCtes(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm
            FROM r${k - 1} p JOIN dang ON p.node = dang.node),
@@ -3119,12 +3171,7 @@ object SparkEntry {
                       JOIN r${k - 1} q ON q.node = e.a
                       GROUP BY e.b) w ON w.node = p.node)"""
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
-         SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-         UNION
-         SELECT o_orderkey - o_orderkey % 4 AS a,
-                o_orderkey - o_orderkey % 16 AS b FROM orders),
-       e AS MATERIALIZED (SELECT a, b FROM e0 WHERE a <> b),
+    s"""e AS MATERIALIZED (SELECT a, b FROM e0 WHERE a <> b),
        deg AS MATERIALIZED (SELECT a, count(*) AS dout FROM e GROUP BY a),
        n AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
        cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM n),
@@ -3132,9 +3179,17 @@ object SparkEntry {
          SELECT node FROM n WHERE node NOT IN (SELECT a FROM e)),
        r0 AS MATERIALIZED (
          SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
-       $rounds
-       SELECT node, round(rank, 10) AS rank FROM r$iters ORDER BY node"""
+       $rounds"""
   }
+
+  private def pageRankOracle(iters: Int): String =
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+         UNION
+         SELECT o_orderkey - o_orderkey % 4 AS a,
+                o_orderkey - o_orderkey % 16 AS b FROM orders),
+       ${pageRankRoundCtes(iters)}
+       SELECT node, round(rank, 10) AS rank FROM r$iters ORDER BY node"""
 
   private def bpeEncodeOracle(n: Int): String = {
     val ms = (1 to n).map(i => s"b$i.a AS a$i, b$i.b AS c$i").mkString(", ")

@@ -356,4 +356,39 @@ object Curation {
           .otherwise("unchanged"))
       .select(col(idCol), col("status"))
   }
+
+  /** Rank-prior curation gate: drop the documents whose link-graph
+    * PageRank falls in the bottom `tenths`/10 of the rank order —
+    * the crawl-quality prior (low-centrality pages are
+    * disproportionately spam/orphans) composed as a plain anti-join
+    * against a [[graft.graph.PageRank.pageRank]] frame.
+    *
+    * The cut is EXACT and engine-reproducible: ranks order by
+    * (round(rank, 10), node) — the same 10-decimal edge the PageRank
+    * oracle pins, so cross-engine ulp noise cannot reorder the cut —
+    * and the cut size is integer arithmetic
+    * ((n·tenths + 9) div 10, i.e. ⌈n·tenths/10⌉). Documents absent
+    * from the graph are untouched (no rank, no opinion).
+    *
+    * Scale shape: the rank frame is O(nodes) — the same frame every
+    * PageRank round already exchanges — so the one global sort here
+    * costs what a single extra iteration costs; only dropped ids
+    * cross the anti-join (payloads stay put).
+    */
+  def dropBottomRanked(df: DataFrame, ranks: DataFrame, idCol: String,
+      tenths: Int = 1): DataFrame = {
+    require(tenths >= 0 && tenths <= 10,
+      s"tenths must be in [0, 10]: $tenths")
+    if (tenths == 0) return df
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__r10"), col("node"))
+    val low = ranks
+      .select(col("node"), round(col("rank"), 10).as("__r10"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .filter(col("__rn") <= expr(s"(__cnt * $tenths + 9) div 10"))
+      .select(col("node"))
+    df.join(low, df(idCol) <=> low("node"), "left_anti")
+  }
 }

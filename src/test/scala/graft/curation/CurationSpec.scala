@@ -151,4 +151,23 @@ class CurationSpec extends SparkSpec {
       1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "added", 5L -> "unchanged"))
   }
+
+  test("dropBottomRanked cuts ⌈n·tenths/10⌉ by (rank, node); unranked rows stay") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (99L, "z"))
+      .toDF("doc_id", "text")
+    val ranks = Seq((1L, 0.05), (2L, 0.05), (3L, 0.2), (4L, 0.7))
+      .toDF("node", "rank")
+    def kept(tenths: Int) =
+      Curation.dropBottomRanked(df, ranks, "doc_id", tenths)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // n = 4 → ⌈4/10⌉ = 1 drops; the 0.05 tie breaks by node → 1 goes.
+    // doc 99 has no rank and is untouched.
+    assert(kept(1) === Set(2L, 3L, 4L, 99L))
+    // tenths = 5 → ⌈20/10⌉ = 2 → both 0.05 nodes drop
+    assert(kept(5) === Set(3L, 4L, 99L))
+    // tenths = 0 is the identity
+    assert(kept(0) === Set(1L, 2L, 3L, 4L, 99L))
+    // tenths = 10 drops every RANKED doc
+    assert(kept(10) === Set(99L))
+  }
 }
