@@ -299,6 +299,11 @@ object SparkEntry {
         .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
         .union(k.select((col("k") - col("k") % 4).as("id_a"),
           (col("k") - col("k") % 16).as("id_b")))
+      // smallGraphEdges = 0 keeps the UPFRONT union-find off, so the
+      // distributed contraction rounds run through the oracle; the
+      // default finishInTaskBytes budget then lets the geometric-
+      // shrink TAIL finish in-task once the contracted graph is tiny
+      // — the two-phase shape a 100 TB graph actually runs
       Dedup.connectedComponents(edges, "id_a", "id_b",
         smallGraphEdges = 0L, algorithm = "star")
         .orderBy(col("node"))

@@ -975,10 +975,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, smallGraphEdges: Long = 4000000L,
+      finishInTaskBytes: Long = UnionFindByteBudget,
       algorithm: String = "minlabel",
       unionFindByteBudget: Long = UnionFindByteBudget): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter,
-      smallGraphEdges, algorithm, unionFindByteBudget)._1
+      smallGraphEdges, algorithm, unionFindByteBudget,
+      finishInTaskBytes)._1
 
   /** As [[connectedComponents]], also returning the number of
     * distributed rounds run (0 for the union-find fast path) — specs
@@ -988,7 +990,8 @@ object Dedup {
       aCol: String, bCol: String, maxIter: Int = 20,
       smallGraphEdges: Long = 4000000L,
       algorithm: String = "minlabel",
-      unionFindByteBudget: Long = UnionFindByteBudget): (DataFrame, Int) = {
+      unionFindByteBudget: Long = UnionFindByteBudget,
+      finishInTaskBytes: Long = UnionFindByteBudget): (DataFrame, Int) = {
     require(algorithm == "minlabel" || algorithm == "star" ||
         algorithm == "jump",
       s"unknown components algorithm '$algorithm' (minlabel | star | jump)")
@@ -1020,7 +1023,8 @@ object Dedup {
       sym.unpersist()
       return (out, 0)
     }
-    if (algorithm == "star") starComponents(sym, maxIter)
+    if (algorithm == "star")
+      starComponents(sym, maxIter, longIds, finishInTaskBytes)
     else minLabelComponents(sym, maxIter, jump = algorithm == "jump")
   }
 
@@ -1201,7 +1205,9 @@ object Dedup {
     * per-round-certificate implementation exactly, whether or not
     * the early count-repeat certificate fired.
     */
-  private def starComponents(sym: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private def starComponents(sym: DataFrame, maxIter: Int,
+      longIds: Boolean = true,
+      finishInTaskBytes: Long = UnionFindByteBudget): (DataFrame, Int) = {
     val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
     if (nodes.isEmpty) {
       sym.unpersist()
@@ -1255,6 +1261,30 @@ object Dedup {
       if (debug) System.err.println(
         f"[cc-star] round $apps: edges=${curSig._1} changed=$setChanged " +
           f"${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // geometric-shrink switch-over (the union-find byte-budget
+      // heuristic applied MID-contraction): star rounds shrink the
+      // edge set geometrically, so the tail rounds carry tiny frames
+      // whose cost is pure per-round scheduling — once the CONTRACTED
+      // graph fits the in-task budget, finish exactly with union-find
+      // on it. Star steps preserve component structure and keep every
+      // non-root member attached (largeStar emits each node as hi or
+      // inside its neighborhood min; smallStar links every lo and hi
+      // to the neighborhood min), so components over `d` restricted
+      // to its nodes — with absent nodes as their own roots — ARE the
+      // original components (cross-checked against pure-round star on
+      // random graphs in PropertySpec). The edge count rides the
+      // round's checkpoint as an observe() metric: the gate costs
+      // zero extra jobs.
+      val maxInTask =
+        if (longIds) finishInTaskBytes / UnionFindBytesPerEdge else 0L
+      if (!converged && curSig._1 > 0 && curSig._1 <= maxInTask) {
+        val uf = unionFindComponents(
+          d.select(col("hi").as("a"), col("lo").as("b")))
+        val out = nodes.join(uf, nodes("node") === uf("node"), "left")
+          .select(nodes("node"),
+            coalesce(uf("component"), nodes("node")).as("component"))
+        return (out, changedApps)
+      }
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents(star) did not converge in $maxIter rounds — " +

@@ -70,7 +70,12 @@ class PropertySpec extends SparkSpec {
       val minlabel = Dedup.connectedComponents(edges, "a", "b",
         maxIter = 70, smallGraphEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // pure contraction rounds (finishInTaskBytes = 0) AND the
+      // mid-contraction in-task switch-over must both agree
       val star = Dedup.connectedComponents(edges, "a", "b",
+        smallGraphEdges = 0L, algorithm = "star", finishInTaskBytes = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val starSwitch = Dedup.connectedComponents(edges, "a", "b",
         smallGraphEdges = 0L, algorithm = "star")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val jump = Dedup.connectedComponents(edges, "a", "b",
@@ -78,6 +83,7 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(minlabel === fast, s"minlabel vs union-find, n=$n")
       assert(star === fast, s"star vs union-find, n=$n")
+      assert(starSwitch === fast, s"star switch-over vs union-find, n=$n")
       assert(jump === fast, s"jump vs union-find, n=$n")
     }
   }

@@ -275,10 +275,15 @@ class DedupSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L)
-    val star = Dedup.connectedComponents(edges, "id_a", "id_b",
-      smallGraphEdges = 0L, algorithm = "star")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(star === expected)
+    // default budget → the mid-contraction in-task finish fires;
+    // finishInTaskBytes = 0 → pure star rounds all the way down
+    for (finish <- Seq(Dedup.UnionFindByteBudget, 0L)) {
+      val star = Dedup.connectedComponents(edges, "id_a", "id_b",
+        smallGraphEdges = 0L, algorithm = "star",
+        finishInTaskBytes = finish)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === expected, s"finishInTaskBytes=$finish")
+    }
   }
 
   test("star contraction converges in O(log n) rounds on a 1000-node chain") {
@@ -288,13 +293,24 @@ class DedupSpec extends SparkSpec {
     // alternating rounds
     val chain = spark.range(1000)
       .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    // finishInTaskBytes = 0: pin the PURE contraction round bound
+    // (the default budget would switch to the in-task finish after
+    // round one and prove nothing about O(log n))
     val (comps, rounds) = Dedup.connectedComponentsWithRounds(
       chain.toDF(), "id_a", "id_b", maxIter = 15,
-      smallGraphEdges = 0L, algorithm = "star")
+      smallGraphEdges = 0L, algorithm = "star", finishInTaskBytes = 0L)
     val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length === 1001)
     assert(labels.forall(_._2 === 0L))
     assert(rounds <= 10, s"star contraction took $rounds rounds")
+    // the default budget switches over early — same labels, fewer
+    // distributed rounds
+    val (comps2, rounds2) = Dedup.connectedComponentsWithRounds(
+      chain.toDF(), "id_a", "id_b", maxIter = 15,
+      smallGraphEdges = 0L, algorithm = "star")
+    assert(comps2.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .forall(_._2 === 0L))
+    assert(rounds2 <= rounds, s"switch-over ran $rounds2 > $rounds rounds")
     // and min-label on the same graph refuses to return wrong labels
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain.toDF(), "id_a", "id_b",
@@ -330,12 +346,14 @@ class DedupSpec extends SparkSpec {
       (6L, 4L), (4L, 3L), (6L, 1L),
       (7L, 5L), (5L, 3L), (7L, 2L)
     ).toDF("id_a", "id_b")
-    for (algo <- Seq("minlabel", "star", "jump"); fast <- Seq(0L, 1000L)) {
+    for (algo <- Seq("minlabel", "star", "jump"); fast <- Seq(0L, 1000L);
+         finish <- Seq(0L, Dedup.UnionFindByteBudget)) {
       val comps = Dedup.connectedComponents(edges, "id_a", "id_b",
-        smallGraphEdges = fast, algorithm = algo)
+        smallGraphEdges = fast, algorithm = algo,
+        finishInTaskBytes = finish)
         .collect().map(r => r.getLong(0) -> r.getLong(1))
-      assert(comps.length === 7, s"$algo/$fast: ${comps.toSeq}")
-      assert(comps.toMap.values.toSet === Set(1L), s"$algo/$fast")
+      assert(comps.length === 7, s"$algo/$fast/$finish: ${comps.toSeq}")
+      assert(comps.toMap.values.toSet === Set(1L), s"$algo/$fast/$finish")
     }
   }
 
