@@ -469,6 +469,20 @@ object SparkEntry {
     // Similarity: exact brute-force cosine top-k (broadcast query)
     "q_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    // Contrastive-training data prep: top-k hard negatives for vec 0
+    // over a corpus with PLANTED positives (float ×2 copies of every
+    // %7 vector — scaling preserves direction exactly, so each copy
+    // lands at its original's cosine and the query's copy at 1.0);
+    // the ≥0.98 positives drop, the hard-but-safe neighbors remain
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+            col("label")))
+      Similarity.hardNegatives(planted, 0L, 10)
+    }),
     // Similarity: batched multi-query top-k via window ranking
     "q_knn_multi" -> ((s, d) =>
       Similarity.multiQueryTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 5)),
@@ -1954,6 +1968,21 @@ object SparkEntry {
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
          FROM embeddings
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // ×2 scaling is exponent arithmetic — exact in FLOAT and DOUBLE
+    // alike — so the planted copies' cosines replay bit-identically
+    "q_hard_negatives" ->
+      """WITH pe AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             CAST(list_transform(embedding, x -> x * 2.0) AS DOUBLE[])
+           FROM embeddings WHERE vec_id % 7 = 0),
+         q AS (SELECT ve FROM pe WHERE vec_id = 0),
+         p AS (SELECT vec_id,
+             round(list_cosine_similarity(pe.ve, q.ve), 4) AS cos_sim
+           FROM pe CROSS JOIN q)
+         SELECT vec_id, cos_sim FROM p WHERE cos_sim < 0.98
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q_knn_multi" ->
       """WITH p AS (

@@ -60,6 +60,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: the top-k most
+    * similar vectors to `queryId` whose similarity stays BELOW
+    * `positiveThreshold` — the query itself (cos 1.0) and its
+    * near-duplicates/augmentations (the POSITIVES, cos ≥ threshold)
+    * are excluded, leaving negatives that are hard (similar) but
+    * safe (not the same content). The in-batch-negatives upgrade
+    * every contrastive-embedding recipe reaches for.
+    *
+    * The threshold compares the 4-decimal-ROUNDED similarity — the
+    * repo's oracle-exact cosine edge — so the cut cannot flip
+    * cross-engine. Same plan as [[bruteForceTopK]]: one scan,
+    * broadcast query, TakeOrdered; the gate adds zero exchanges.
+    * For serving scale, compose the same filter over
+    * [[ivfTopKFromIndex]]'s pruned scan instead.
+    */
+  def hardNegatives(embeddings: DataFrame, queryId: Long, k: Int,
+      positiveThreshold: Double = 0.98): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") < positiveThreshold)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batched exact top-k: one pass of the table scores every query in
     * the broadcast set; row_number ranks within each query.
     */

@@ -88,6 +88,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: fast path ≡ distributed probe on random corpora") {
+    // random word-soup corpora with planted perturbed near-copies —
+    // the bounded-batch in-task probe and the distributed broadcast
+    // pipeline must agree on the exact (id_a, id_b, jaccard) set,
+    // in both hash modes, including the rounded jaccard value
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    for (seedOff <- 0 to 2) {
+      val texts = Gen.listOfN(14, docGen)
+        .apply(Gen.Parameters.default, Seed(77L + seedOff)).get
+      val existing = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // batch: every 3rd doc loses its last word (near-copy), plus
+      // one fresh doc
+      val batch = (texts.zipWithIndex.collect { case (t, i) if i % 3 == 0 =>
+        (i.toLong + 500L, t.split(" ").dropRight(1).mkString(" "))
+      } :+ (999L, "omega psi chi phi upsilon tau sigma rho pi omicron"))
+        .toDF("doc_id", "text")
+      for (mode <- Seq("xx", "md5")) {
+        val index = Dedup.minhashSignatures(existing, "doc_id", "text",
+          hashMode = mode)
+        def run(gate: Long) = Dedup.incrementalNearDuplicates(batch, index,
+            "doc_id", "text", hashMode = mode, smallBatchRows = gate)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val fast = run(Dedup.IncrementalFastBatchRows)
+        val dist = run(0L)
+        assert(fast === dist, s"seed=$seedOff mode=$mode")
+        assert(fast.nonEmpty, s"seed=$seedOff mode=$mode planted copies missed")
+      }
+    }
+  }
+
   test("CDC synthetic op assignment is total and filter is its complement") {
     val ids = samples(Gen.chooseNum(0L, 100000L), 300).distinct
     val df = ids.map(i => (i, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -388,4 +388,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter($"vec_id" >= 1000000L).count() === 0)
     assert(out.count() === base.count())
   }
+
+  test("hardNegatives excludes the query and its positives, keeps hard ones") {
+    // vec 1 = query; 2 = exact scaled copy (cos 1.0, a positive);
+    // 3 = near-positive above the threshold; 4,5 = hard negatives;
+    // 6 = orthogonal (easy negative, ranks last)
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.1f, 0.0f)),   // cos ≈ 0.995 ≥ 0.98 → excluded
+      (4L, Seq(1.0f, 0.5f, 0.0f)),   // cos ≈ 0.894
+      (5L, Seq(1.0f, 0.8f, 0.0f)),   // cos ≈ 0.781
+      (6L, Seq(0.0f, 0.0f, 1.0f))    // cos 0.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vs, 1L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq === Seq(4L, 5L, 6L))
+    assert(out.forall(_._2 < 0.98))
+    // k truncates the list from the top
+    val top1 = Similarity.hardNegatives(vs, 1L, 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 === Seq(4L))
+    // the threshold compares the ROUNDED similarity: cos that rounds
+    // to exactly 0.98 is excluded (< is strict on the rounded edge)
+    val edge = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      // angle chosen so round(cos, 4) == 0.98: tan θ with cos≈0.98005
+      (7L, Seq(1.0f, 0.2030f))
+    ).toDF("vec_id", "embedding")
+    val cos7 = Similarity.bruteForceTopK(edge, 1L, 2)
+      .filter($"vec_id" === 7L).head().getDouble(1)
+    val kept = Similarity.hardNegatives(edge, 1L, 10)
+      .collect().map(_.getLong(0)).toSet
+    if (cos7 >= 0.98) assert(!kept.contains(7L)) else assert(kept.contains(7L))
+  }
 }
