@@ -57,4 +57,22 @@ class ManagedSpec extends SparkSpec {
     assert(plain.map(_.toString).toSeq === managed.map(_.toString).toSeq)
     spark.catalog.clearCache() // the plain variant's cache is session-scoped
   }
+
+  test("autoReleased frees the pipeline caches after the first action") {
+    // the one-shot convenience lifecycle behind the plain containment
+    // wrapper and dedupIncrement: the release listener fires on the
+    // ASYNC ExecutionListenerBus, so poll (the curate()-spec pattern)
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val before = persistedIds
+    val out = Dedup
+      .containmentNearDuplicatesManaged(docs, "doc_id", "text",
+        hashMode = "md5")
+      .autoReleased()
+    assert(out.count() >= 0)
+    val deadline = System.currentTimeMillis + 15000
+    while ((persistedIds -- before).nonEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert((persistedIds -- before).isEmpty,
+      "autoReleased left pipeline caches persisted after the action")
+  }
 }
