@@ -632,6 +632,14 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.bpeEncodeWithVocab(
         Tables.documents(s, d), bpeVocabTable(s, d))
         .orderBy(col("doc_id"))),
+    // The same tokenization served from the WRITTEN artifact (the
+    // writeIvfIndex lifecycle): the vocab-token table reads back
+    // from parquet and the corpus joins it — cross-session serving,
+    // gated by the same direct-replay oracle
+    "q_bpe_encode_indexed" -> ((s, d) =>
+      graft.textanalysis.TextAnalysis.bpeEncodeFromVocabIndex(
+        Tables.documents(s, d), builtVocabTokens(s, d))
+        .orderBy(col("doc_id"))),
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
@@ -1093,6 +1101,15 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
     }
 
+  /** Build-once WRITTEN vocab-tokenization table per corpus — the
+    * tokenizer's shipped artifact (full learned merge table).
+    */
+  private def builtVocabTokens(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bpevocab", d) { p =>
+      TextAnalysis.writeVocabTokens(Tables.documents(s, d),
+        bpeFullMerges(s, d), p)
+    }
+
   /** Cell-partitioned IVF-PQ index per corpus — the composed serving
     * artifact (directory pruning over 8-byte codes).
     */
@@ -1328,15 +1345,15 @@ object SparkEntry {
     * + join + positional reassembly) equals straight-line greedy
     * merge application of the full table.
     */
-  private def bpeVocabOracle: Option[(String, String)] =
+  private def bpeVocabOracle: Seq[(String, String)] =
     Option(lastOracleDir).flatMap(d =>
-        Option(bpeMergesFullCache.get(d))).map { ms =>
+        Option(bpeMergesFullCache.get(d))).toSeq.flatMap { ms =>
       def esc(x: String) = x.replace("'", "''")
       val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
       val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
         s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
       }
-      "q_bpe_encode_vocab" ->
+      val sql =
         s"""WITH enc AS (
            SELECT doc_id,
              array_to_string(list_transform(
@@ -1351,6 +1368,9 @@ object SparkEntry {
                   ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens,
              tokens
            FROM enc ORDER BY doc_id"""
+      // the written-artifact serving path must agree with the
+      // session-artifact path — one replay, two execution paths
+      Seq("q_bpe_encode_vocab" -> sql, "q_bpe_encode_indexed" -> sql)
     }
 
   /** Corpus with planted HALF-truncations: every doc_id % 7 == 0 doc

@@ -968,6 +968,32 @@ object TextAnalysis {
     bpeEncodeWithVocab(documents,
       bpeVocabTokens(documents, merges, textCol), idCol, textCol)
 
+  /** Persist a [[bpeVocabTokens]] table as parquet — the tokenizer's
+    * WRITTEN serving artifact (the writeIvfIndex / writeBm25Index
+    * lifecycle): build once per (vocabulary, merge table), then any
+    * number of corpora (or later sessions / streaming batches)
+    * tokenize by reading it back and joining — no re-derivation, no
+    * pinned checkpoint blocks. The tokenizer a 100 TB pipeline ships
+    * IS this table plus the merge ranks.
+    */
+  def writeVocabTokens(documents: DataFrame, merges: Seq[(String, String)],
+      dir: String, textCol: String = "text"): Unit =
+    bpeVocabTokens(documents, merges, textCol)
+      .write.mode("overwrite").parquet(dir)
+
+  /** [[bpeEncodeWithVocab]] against a written artifact: corpus words
+    * absent from the stored vocabulary drop (they were never seen by
+    * the tokenizer build — the marker-word contract extended to
+    * out-of-vocabulary words; production tokenizers byte-fall-back
+    * here, which is a vocabulary-design choice, not an engine one).
+    */
+  def bpeEncodeFromVocabIndex(documents: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bpeEncodeWithVocab(documents,
+      documents.sparkSession.read.parquet(dir)
+        .select(col("word"), col("tokens"), col("n_tokens")),
+      idCol, textCol)
+
   /** Overlapping sliding-window chunking — the RAG / context-window
     * preprocessing step: each document becomes ⌈…⌉ word windows of
     * `chunkWords` words advancing by `strideWords` (windows overlap

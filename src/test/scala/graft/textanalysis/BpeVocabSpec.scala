@@ -95,6 +95,19 @@ class BpeVocabSpec extends SparkSpec {
     }
   }
 
+  test("the written vocab artifact serves the identical tokenization") {
+    val merges = TextAnalysis.bpeMergesLocal(wordCounts, 256)
+      .map(m => (m._2, m._3))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpevocab").toString + "/vt"
+    TextAnalysis.writeVocabTokens(docs, merges, dir)
+    val fromIndex = TextAnalysis.bpeEncodeFromVocabIndex(docs, dir)
+      .orderBy("doc_id").collect().toSeq
+    val direct = TextAnalysis.bpeEncodeVocab(docs, merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(fromIndex === direct)
+  }
+
   test("words absent from an external vocabulary drop; empty docs survive") {
     val merges = Seq(("a", "b"))
     val vt = TextAnalysis.bpeVocabTokens(
