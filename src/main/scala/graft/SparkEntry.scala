@@ -92,6 +92,15 @@ object SparkEntry {
           "pii_detection", "language_quality", "quality_score",
           "quality_is_valid", "has_pii")
         .orderBy("doc_id")),
+    // Curriculum binning: per-lang quality quartiles (ntile over the
+    // rule-based score, best first) — bin 1 is the slice a
+    // curriculum-ordered training run consumes first
+    "q_curriculum" -> ((s, d) =>
+      SampleOps.curriculumBins(
+        RuleBasedScorer.score(Tables.documents(s, d), "text"),
+        "lang", "doc_id", col("quality_score"), 4)
+        .select("doc_id", "lang", "quality_score", "bin")
+        .orderBy("doc_id")),
     // §2.7 F15 — issue array construction + explode (UDTF-style)
     "q_quality_issues" -> ((s, d) => RuleBasedScorer.issues(
       RuleBasedScorer.score(Tables.documents(s, d), "text"), "doc_id")),
@@ -500,6 +509,14 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopKFrom(Tables.embeddings(s, d),
         seedCents16(s, d), 0L, 10, nProbe = 2)),
+    // ANN operating-point evaluation: recall@10 of the IVF probe
+    // (nProbe=2 of 16 cells) against exact brute force for 5 query
+    // vectors — the measurement that justifies an ANN config before
+    // a deployment trusts it. Both rankings replay in DuckDB, so the
+    // recall numbers themselves are hash-gated
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(Tables.embeddings(s, d), seedCents16(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
     // Same IVF semantics served from the WRITTEN cell-partitioned
     // index — the probe predicate is a literal IN list, so the scan
     // prunes to nProbe partition directories (the 100 TB path)
@@ -721,6 +738,21 @@ object SparkEntry {
       SampleOps.tokenBudgetMix(Tables.documents(s, d), "lang", "doc_id",
         TextAnalysis.tokenCount(col("text")), 5000L)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // DSIR importance weights: hashed uni+bigram models of the
+    // English slice (target) vs the whole pool (raw); per-doc
+    // log-weight as an exact micro-nat sum (zero-shuffle scoring
+    // pass against the 1024-bucket literal ratio table)
+    "q_dsir_weights" -> ((s, d) =>
+      graft.selection.Dsir.dsirScore(Tables.documents(s, d),
+        dsirModelFor(s, d))
+        .orderBy(col("doc_id"))),
+    // DSIR selection: Gumbel top-50 of the importance weights —
+    // deterministic weighted sampling without replacement (noise
+    // from md5(doc_id), the repo's seedless-sampling convention)
+    "q_dsir_select" -> ((s, d) =>
+      graft.selection.Dsir.dsirSelect(Tables.documents(s, d),
+        dsirModelFor(s, d), 50)
+        .orderBy(col("doc_id"))),
     // Frozen-LM serving split: model trained on the ¾ corpus slice,
     // scores the held-out ¼ — unseen grams smooth through add-1
     "q_lm_score_frozen" -> ((s, d) => {
@@ -1052,6 +1084,20 @@ object SparkEntry {
     (SparkSession, String), Vector[Double]]()
   SessionCaches.register(seedCentCache)
   SessionCaches.register(queryVecCache)
+
+  /** Build-once DSIR ratio table per (session, sfDir) — the frozen
+    * selection model is a serving artifact like the PQ codebook and
+    * IVF centroids: train once, score every batch against it.
+    */
+  private val dsirModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.selection.Dsir.DsirModel]()
+  SessionCaches.register(dsirModelCache)
+  private def dsirModelFor(s: SparkSession, d: String): graft.selection.Dsir.DsirModel = {
+    SessionCaches.ensureHook(s)
+    dsirModelCache.computeIfAbsent((s, d), kv =>
+      graft.selection.Dsir.dsirTrainWith(Tables.documents(kv._1, kv._2),
+        col("lang") === "en", 1024))
+  }
   private def seedCents16(s: SparkSession, d: String): Seq[Seq[Double]] = {
     SessionCaches.ensureHook(s)
     seedCentCache.computeIfAbsent((s, d), kv =>
@@ -1559,6 +1605,13 @@ object SparkEntry {
          (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
          (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0 AS quality_is_valid,
          pii_detection = 0 AS has_pii
+         FROM s ORDER BY doc_id"""),
+    "q_curriculum" -> (qualityScoreCte +
+      """SELECT doc_id, lang,
+         (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
+         ntile(4) OVER (PARTITION BY lang
+           ORDER BY (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 DESC,
+                    doc_id) AS bin
          FROM s ORDER BY doc_id"""),
     "q_quality_issues" -> (qualityScoreCte +
       """SELECT * FROM (
@@ -2078,6 +2131,48 @@ object SparkEntry {
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes)
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // recall replay: same assign/probes CTEs as q_ann_ivf, ranked per
+    // query; exact top-k left-joins the probed top-k and counts hits
+    "q_ann_recall" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+         q AS (SELECT vec_id AS query_id, ve FROM v
+               WHERE vec_id IN (0, 1, 2, 3, 4)),
+         approx AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
+                          v.vec_id) AS rn
+             FROM v
+             JOIN assign a ON a.vec_id = v.vec_id
+             JOIN probes p ON p.cid = a.cell
+             JOIN q ON q.query_id = p.query_id) WHERE rn <= 10),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
+                          v.vec_id) AS rn
+             FROM v CROSS JOIN q) WHERE rn <= 10)
+         SELECT e.query_id, count(*) AS n_exact,
+           round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+         FROM exact e
+         LEFT JOIN approx a
+           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         GROUP BY 1 ORDER BY 1""",
     // identical semantics to q_ann_ivf — the Spark side differs only
     // in serving the probe from the written partition-pruned index
     "q_ann_ivf_indexed" ->
@@ -2444,6 +2539,74 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM documents)
          WHERE cum <= 5000 ORDER BY doc_id""",
+    // DSIR replay: hashed uni+bigram bucket counts for target (en)
+    // and raw (all), add-1 log-ratios rounded to integer micro-nats
+    // (the ln ulp contract), per-doc exact long sums
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM t),
+         gb AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM g),
+         tc AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+         rc AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
+         nt AS (SELECT sum(c) AS n FROM tc),
+         nr AS (SELECT sum(c) AS n FROM rc),
+         r AS (SELECT d.range AS b,
+                 CAST(round(ln(((coalesce(tc.c, 0) + 1.0) * (nr.n + 1024)) /
+                               ((coalesce(rc.c, 0) + 1.0) * (nt.n + 1024)))
+                            * 1000000.0) AS BIGINT) AS r6
+               FROM range(1024) d
+               LEFT JOIN tc ON d.range = tc.b
+               LEFT JOIN rc ON d.range = rc.b
+               CROSS JOIN nt CROSS JOIN nr),
+         s AS (SELECT gb.doc_id, count(*) AS n_grams, sum(r.r6) AS s6
+               FROM gb JOIN r ON gb.b = r.b GROUP BY 1)
+         SELECT doc_id, n_grams,
+           (CASE WHEN s6 < 0 THEN -floor((-s6 + 50) / 100.0)
+                 ELSE floor((s6 + 50) / 100.0) END) / 10000.0 AS dsir_logw
+         FROM s ORDER BY doc_id""",
+    "q_dsir_select" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM t),
+         gb AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM g),
+         tc AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+         rc AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
+         nt AS (SELECT sum(c) AS n FROM tc),
+         nr AS (SELECT sum(c) AS n FROM rc),
+         r AS (SELECT d.range AS b,
+                 CAST(round(ln(((coalesce(tc.c, 0) + 1.0) * (nr.n + 1024)) /
+                               ((coalesce(rc.c, 0) + 1.0) * (nt.n + 1024)))
+                            * 1000000.0) AS BIGINT) AS r6
+               FROM range(1024) d
+               LEFT JOIN tc ON d.range = tc.b
+               LEFT JOIN rc ON d.range = rc.b
+               CROSS JOIN nt CROSS JOIN nr),
+         s AS (SELECT gb.doc_id, sum(r.r6) AS s6
+               FROM gb JOIN r ON gb.b = r.b GROUP BY 1),
+         k AS (SELECT doc_id, s6 +
+                 CAST(round(-ln(-ln((CAST(concat('0x',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) + 0.5) / 1152921504606846976.0))
+                   * 1000000.0) AS BIGINT) AS key6
+               FROM s)
+         SELECT doc_id,
+           (CASE WHEN key6 < 0 THEN -floor((-key6 + 50) / 100.0)
+                 ELSE floor((key6 + 50) / 100.0) END) / 10000.0 AS dsir_key
+         FROM (SELECT * FROM k ORDER BY key6 DESC, doc_id LIMIT 50)
+         ORDER BY doc_id""",
     // frozen-LM replay: counts from the training slice only; grams and
     // contexts the model never saw coalesce to 0 (add-1 smooths them)
     "q_lm_score_frozen" ->

@@ -62,6 +62,24 @@ object SampleOps {
       .drop("__rn", "__n")
   }
 
+  /** Curriculum binning: within each stratum, rank documents by a
+    * quality signal (best first, id tie-break) and deal them into
+    * `nBins` equal-size bins — bin 1 is the cleanest slice, the one
+    * curriculum-ordered training consumes first. Per-STRATUM by
+    * design: curricula are scheduled per source/language in mixture
+    * recipes, and the stratum key is what keeps the window
+    * distributed (one shuffle on `strataCol`, the
+    * [[stratifiedSample]] shape — a global ntile would serialize the
+    * corpus through one partition).
+    */
+  def curriculumBins(df: DataFrame, strataCol: String, idCol: String,
+      quality: Column, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(quality.desc, col(idCol))
+    df.withColumn("bin", ntile(nBins).over(ord))
+  }
+
   /** Deterministic train/val/test (or any weighted) split: each row
     * lands in the first bucket whose cumulative boundary exceeds its
     * hash prefix. Narrow — a pure projection; rows never move.

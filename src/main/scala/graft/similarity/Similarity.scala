@@ -405,6 +405,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of the IVF probe against exact brute force, per query —
+    * the evaluation loop every ANN deployment needs before trusting a
+    * (nCells, nProbe) operating point. For each query id: the probe
+    * scan's top-k (same cell assignment, probe ranking, rounding, and
+    * tie-break as [[ivfTopKFrom]]) is matched against the exact top-k
+    * and recall = |approx ∩ exact| / |exact|.
+    *
+    * Scale shape: ONE narrow cell-assignment pass over the corpus is
+    * shared by both the probe side and (via the broadcast query set)
+    * the exact side; per-query rank is a window over the bounded
+    * (queries × corpus-in-probed-cells) frame; the readout is
+    * |queries| rows. Nothing all-pairs beyond the deliberate exact
+    * baseline, which is the point of the evaluation.
+    */
+  def annRecall(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val centLit = typedlit(cents)
+    val scored = embeddings
+      .withColumn("__scores",
+        cellScoresFor(embeddings, centLit)(col("embedding")))
+      .withColumn("cell", cellOf(col("__scores")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("cid"))
+    val probes = scored.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        posexplode(col("__scores")).as(Seq("cid", "s")))
+      .filter(col("s").isNotNull) // zero-norm query → no probes
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val approx = scored
+      .join(broadcast(probes), col("cell") === col("cid"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    multiQueryTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"),
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Driver-side probe selection against driver-resident centroids —
     * the SAME rounding (HALF_UP to 4 places, Spark's Round semantics
     * for doubles) and tie-break (score desc, cell asc) as the in-plan

@@ -414,4 +414,15 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 1, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("dsir scoring is a zero-exchange narrow pass; select is TakeOrdered") {
+    val docs = Tables.documents(spark, sfDir)
+    val m = graft.selection.Dsir.dsirTrain(docs,
+      docs.filter(col("lang") === "en"), 64)
+    // the ratio table rides as a literal: scoring shuffles nothing
+    assert(shufflePartitionings(graft.selection.Dsir.dsirScore(docs, m)).isEmpty)
+    val p = plan(graft.selection.Dsir.dsirSelect(docs, m, 50))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
 }

@@ -271,6 +271,35 @@ class SampleOpsSpec extends SparkSpec {
     (21L to 400L).foreach(i => assert(out(i) === plain(i), s"doc $i"))
   }
 
+  test("curriculumBins deals equal-size, quality-ordered bins per stratum") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i * 7 % 40).toDouble))
+      .toDF("doc_id", "lang", "q")
+    val out = SampleOps.curriculumBins(rows, "lang", "doc_id", $"q", 4)
+      .select("doc_id", "lang", "q", "bin").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    // 20 rows per stratum, 4 bins → exactly 5 per (stratum, bin)
+    out.groupBy(r => (r._2, r._4)).foreach { case (k, g) =>
+      assert(g.length === 5, k)
+    }
+    // within a stratum, every bin-k quality ≥ every bin-(k+1) quality
+    out.groupBy(_._2).values.foreach { g =>
+      val byBin = g.groupBy(_._4)
+      (1 to 3).foreach { b =>
+        assert(byBin(b).map(_._3).min >= byBin(b + 1).map(_._3).max)
+      }
+    }
+    // exact Scala reference: rank by (q desc, id) then deal
+    val want = (1L to 40L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", (i * 7 % 40).toDouble))
+      .groupBy(_._2).values.flatMap { g =>
+        g.sortBy { case (id, _, q) => (-q, id) }.zipWithIndex
+          .map { case ((id, _, _), rk) => id -> (rk * 4 / g.size + 1) }
+      }.toMap
+    out.foreach { case (id, _, _, bin) => assert(bin === want(id), s"doc $id") }
+  }
+
   test("redactPii strips emails, SSNs, and phones; leaves clean text") {
     import spark.implicits._
     val rows = Seq(

@@ -77,6 +77,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 <= rAll)
   }
 
+  test("annRecall: probing every cell scores 1.0; fewer probes never beat it") {
+    val cents = Similarity.seedCentroids(emb, 16)
+    val qs = Seq(0L, 1L, 2L)
+    def recalls(nProbe: Int): Map[Long, Double] =
+      Similarity.annRecall(emb, cents, qs, 10, nProbe).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val all = recalls(16)
+    assert(qs.forall(q => all(q) === 1.0), all)
+    val two = recalls(2)
+    assert(qs.forall(q => two(q) <= all(q)), two)
+    // and it agrees with the independent hand-rolled recall
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    val probed = Similarity.ivfTopKFrom(emb, cents, 0L, 10, 2).collect()
+      .map(_.getLong(0)).toSet
+    assert(two(0L) === (probed & brute).size / 10.0)
+  }
+
   test("k-means IVF build refines seeds; probe scan stays exact") {
     val seeds = Similarity.seedCentroids(emb, 8)
     val refined = Similarity.ivfBuild(emb, nCells = 8, iterations = 2)
