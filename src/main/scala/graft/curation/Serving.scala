@@ -108,6 +108,19 @@ object Serving {
       .otherwise(lit(0.0))
   }
 
+  /** Per-row DSIR importance log-weight against a frozen ratio
+    * literal (the [[graft.selection.Dsir.DsirModel]] artifact) — the
+    * serving form of [[graft.selection.Dsir.dsirScore]]'s `dsir_logw`,
+    * bit-equal by construction (both run the same micro-nat fold and
+    * exact integer readout). A stream filtered on this gate keeps the
+    * target-like slice with zero state, zero shuffle — data selection
+    * at ingest time instead of as a batch pass.
+    */
+  def dsirLogwLocal(model: graft.selection.Dsir.DsirModel)(
+      ws: Column): Column =
+    graft.selection.Dsir.micro4(
+      graft.selection.Dsir.score6Local(model)(ws))
+
   /** One curated row in serving shape — flags carried with the doc. */
   final case class CuratedDoc(doc_id: Long, source: String, text: String,
       repetitive: Boolean, contamination: Double, contaminated: Boolean,

@@ -252,7 +252,11 @@ object GraftFunctions {
         SortedIntersectSize(e(0), e(1)))),
     (TextHashFunctions.DeflateRatioName,
       "zlib compressibility: deflated size / raw UTF-8 size of a string",
-      arity(TextHashFunctions.DeflateRatioName, 1)(e => DeflateRatio(e(0)))))
+      arity(TextHashFunctions.DeflateRatioName, 1)(e => DeflateRatio(e(0)))),
+    (TextHashFunctions.DsirScore6Name,
+      "DSIR micro-nat score: (tokens, ratio-table literal) -> bigint",
+      arity(TextHashFunctions.DsirScore6Name, 2)(e =>
+        DsirScore6(e(0), e(1)))))
 
   /** Register graft's native expressions in a session (idempotent).
     * Callers (Verify/Bench/tests) invoke this once; library code

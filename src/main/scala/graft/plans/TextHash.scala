@@ -477,6 +477,7 @@ object TextHashFunctions {
   val RollingHashName = "graft_rolling_hash"
   val SortedIntersectSizeName = "graft_sorted_intersect_size"
   val DeflateRatioName = "graft_deflate_ratio"
+  val DsirScore6Name = "graft_dsir_score6"
 
   private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -166,7 +166,7 @@ object Dsir {
     * integer because the numerator is an integer, so floor of it IS
     * integer division for every |c6| < 2^46.
     */
-  private def micro4(c6: Column): Column =
+  private[graft] def micro4(c6: Column): Column =
     (when(c6 < 0, -floor((-c6 + lit(50L)) / lit(100.0)))
       .otherwise(floor((c6 + lit(50L)) / lit(100.0))) / lit(10000.0))
 
@@ -177,17 +177,38 @@ object Dsir {
     */
   def dsirScore(docs: DataFrame, model: DsirModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val arr = typedlit(model.ratios6)
-    val grams = featureGrams(words(col(textCol)))
+    val ws = words(col(textCol))
     docs
       .select(col(idCol),
-        size(grams).cast("long").as("n_grams"),
-        aggregate(grams, lit(0L), (acc, g) =>
-          acc + element_at(arr, bucketOf(g, model.buckets).cast("int") + 1))
-          .as("__s6"))
+        size(featureGrams(ws)).cast("long").as("n_grams"),
+        score6For(docs, model)(ws).as("__s6"))
       .select(col(idCol), col("n_grams"),
         micro4(col("__s6")).as("dsir_logw"))
   }
+
+  /** Row-local micro-nat score column over a pre-split token array —
+    * the serving form: a document stream scored against the frozen
+    * ratio literal needs no state and no shuffle. Bit-equal to the
+    * `__s6` [[dsirScore]] computes, by construction (shared by both).
+    */
+  def score6Local(model: DsirModel)(ws: Column): Column = {
+    val arr = typedlit(model.ratios6)
+    aggregate(featureGrams(ws), lit(0L), (acc, g) =>
+      acc + element_at(arr, bucketOf(g, model.buckets).cast("int") + 1))
+  }
+
+  /** [[score6Local]] through the native fused expression when the
+    * session has graft's functions registered (one md5 per gram
+    * straight off the token bytes, inside WholeStageCodegen) —
+    * bit-equal to the composed fold by the DsirScore6 contract
+    * (spec-pinned, and re-proven by the hash gate every round since
+    * Verify/Bench sessions register the functions).
+    */
+  def score6For(df: DataFrame, model: DsirModel)(ws: Column): Column =
+    if (graft.plans.TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(graft.plans.TextHashFunctions.DsirScore6Name,
+        ws, typedlit(model.ratios6))
+    else score6Local(model)(ws)
 
   /** Deterministic Gumbel key in integer micro-nats: g = −ln(−ln(u))
     * with u = (h + 0.5) / 2^60 derived from md5(id) — u ∈ (0,1)
@@ -208,13 +229,9 @@ object Dsir {
     */
   def dsirSelect(docs: DataFrame, model: DsirModel, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val arr = typedlit(model.ratios6)
-    val grams = featureGrams(words(col(textCol)))
     docs
       .select(col(idCol),
-        aggregate(grams, lit(0L), (acc, g) =>
-          acc + element_at(arr, bucketOf(g, model.buckets).cast("int") + 1))
-          .as("__s6"))
+        score6For(docs, model)(words(col(textCol))).as("__s6"))
       .select(col(idCol),
         (col("__s6") + gumbel6(col(idCol))).as("__key6"))
       .orderBy(col("__key6").desc, col(idCol))

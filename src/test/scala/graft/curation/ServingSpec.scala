@@ -99,6 +99,34 @@ class ServingSpec extends SparkSpec {
     assert(batchKept.nonEmpty)
   }
 
+  test("serving dsir gate ≡ batch dsirScore, and streams stateless") {
+    import graft.selection.Dsir
+    val full = Tables.documents(spark, sfDir)
+    val model = Dsir.dsirTrainWith(full, col("lang") === "en", 64)
+    // row-local gate equals the batch operator's readout per doc
+    val batch = Dsir.dsirScore(full, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val local = full.select(col("doc_id"),
+        Serving.dsirLogwLocal(model)(
+          graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local === batch)
+    // and over a MemoryStream: same scores, no state store
+    implicit val sqlCtx = spark.sqlContext
+    val rows = full.select("doc_id", "text").limit(60)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Serving.dsirLogwLocal(model)(
+        graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    mem.addData(rows); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed === rows.map { case (id, _) => id -> batch(id) }.toMap)
+  }
+
   test("collectLmLiteral refuses an unbounded model") {
     intercept[IllegalArgumentException] {
       Serving.collectLmLiteral(TextAnalysis.lmTrain(corpus), maxEntries = 1)

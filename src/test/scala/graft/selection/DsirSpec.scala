@@ -122,6 +122,29 @@ class DsirSpec extends SparkSpec {
     assert(one.ratios6 == two.ratios6)
   }
 
+  test("native DsirScore6 ≡ composed HOF fold (nulls, empties, unicode)") {
+    val m = Dsir.dsirTrain(df, df.filter(col("lang") === "en"), B)
+    val edge = Seq(
+      (100L, Some("the cat sat")),
+      (101L, Some("")),
+      (102L, Some("word")),
+      (103L, None),
+      (104L, Some("naïve café 模型 тест")),
+      (105L, Some("a  b")) // empty token from the double space
+    ).toDF("doc_id", "text")
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val got = edge.select(col("doc_id"),
+        Dsir.score6For(edge, m)(ws).as("native"),
+        Dsir.score6Local(m)(ws).as("composed"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(graft.plans.TextHashFunctions.isRegistered(spark))
+    got.foreach { case (id, n, c) => assert(n == c, s"doc $id: $n != $c") }
+    assert(got.find(_._1 == 103L).get._2 == null)
+  }
+
   test("buckets cap is enforced") {
     intercept[IllegalArgumentException] {
       Dsir.dsirTrain(df, df, Dsir.MaxBuckets + 1)
