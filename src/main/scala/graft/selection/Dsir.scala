@@ -178,9 +178,15 @@ object Dsir {
   def dsirScore(docs: DataFrame, model: DsirModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ws = words(col(textCol))
+    // |grams| = |ws| + |bigrams| = 2·|ws|−1 for |ws|≥2 — pure
+    // arithmetic; size(featureGrams(ws)) would BUILD the bigram
+    // string array per row just to count it (measured 1.4 s of the
+    // 1.6 s materialized pass at sf0.1)
+    val nGrams = when(size(ws) >= 2, size(ws) * 2 - 1)
+      .otherwise(size(ws))
     docs
       .select(col(idCol),
-        size(featureGrams(ws)).cast("long").as("n_grams"),
+        nGrams.cast("long").as("n_grams"),
         score6For(docs, model)(ws).as("__s6"))
       .select(col(idCol), col("n_grams"),
         micro4(col("__s6")).as("dsir_logw"))
