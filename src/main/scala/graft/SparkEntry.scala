@@ -753,6 +753,23 @@ object SparkEntry {
       graft.selection.Dsir.dsirSelect(Tables.documents(s, d),
         dsirModelFor(s, d), 50)
         .orderBy(col("doc_id"))),
+    // Same weights served from the WRITTEN parquet model — the
+    // artifact lifecycle (train → write → read → score) under the
+    // same oracle as the in-session path
+    "q_dsir_weights_indexed" -> ((s, d) =>
+      graft.selection.Dsir.dsirScore(Tables.documents(s, d),
+        graft.selection.Dsir.readDsirModel(s, builtDsirModel(s, d)))
+        .orderBy(col("doc_id"))),
+    // Per-language tokenizer fertility: BPE-ish tokens per word over
+    // exact long sums — the token-denominated mixture readout
+    "q_token_fertility" -> ((s, d) =>
+      TextAnalysis.tokenFertility(Tables.documents(s, d))),
+    // Embedding-space drift: per-label centroid cosine against the
+    // global centroid over 2^44 fixed-point exact sums (cosine is
+    // scale-invariant, so the integer SUM vectors stand in for the
+    // centroids — no division, no float-sum order dependence)
+    "q_embedding_drift" -> ((s, d) =>
+      Similarity.centroidDrift(Tables.embeddings(s, d))),
     // Frozen-LM serving split: model trained on the ¾ corpus slice,
     // scores the held-out ¼ — unseen grams smooth through add-1
     "q_lm_score_frozen" -> ((s, d) => {
@@ -1129,6 +1146,15 @@ object SparkEntry {
   private def builtIvfIndex(s: SparkSession, d: String): String =
     builtIndexDir("graft_ivf", d) { p =>
       Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
+    }
+
+  /** Build-once WRITTEN DSIR model per corpus — the full artifact
+    * lifecycle under the gate: train → parquet → read back → score
+    * (the writeIvfIndex / q_bpe_encode_indexed precedent).
+    */
+  private def builtDsirModel(s: SparkSession, d: String): String =
+    builtIndexDir("graft_dsir", d) { p =>
+      graft.selection.Dsir.writeDsirModel(s, dsirModelFor(s, d), p)
     }
 
   /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
@@ -2607,6 +2633,67 @@ object SparkEntry {
                  ELSE floor((key6 + 50) / 100.0) END) / 10000.0 AS dsir_key
          FROM (SELECT * FROM k ORDER BY key6 DESC, doc_id LIMIT 50)
          ORDER BY doc_id""",
+    // the written-model path scores identically to q_dsir_weights:
+    // the parquet round-trip must not change a single micro-nat
+    "q_dsir_weights_indexed" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, lang, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM t),
+         gb AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM g),
+         tc AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
+         rc AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
+         nt AS (SELECT sum(c) AS n FROM tc),
+         nr AS (SELECT sum(c) AS n FROM rc),
+         r AS (SELECT d.range AS b,
+                 CAST(round(ln(((coalesce(tc.c, 0) + 1.0) * (nr.n + 1024)) /
+                               ((coalesce(rc.c, 0) + 1.0) * (nt.n + 1024)))
+                            * 1000000.0) AS BIGINT) AS r6
+               FROM range(1024) d
+               LEFT JOIN tc ON d.range = tc.b
+               LEFT JOIN rc ON d.range = rc.b
+               CROSS JOIN nt CROSS JOIN nr),
+         s AS (SELECT gb.doc_id, count(*) AS n_grams, sum(r.r6) AS s6
+               FROM gb JOIN r ON gb.b = r.b GROUP BY 1)
+         SELECT doc_id, n_grams,
+           (CASE WHEN s6 < 0 THEN -floor((-s6 + 50) / 100.0)
+                 ELSE floor((s6 + 50) / 100.0) END) / 10000.0 AS dsir_logw
+         FROM s ORDER BY doc_id""",
+    "q_token_fertility" ->
+      """SELECT lang, count(*) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
+           CASE WHEN sum(len(string_split(text, ' '))) > 0 THEN
+             ((sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 20000
+               + sum(len(string_split(text, ' '))))
+              // (sum(len(string_split(text, ' '))) * 2)) / 10000.0
+           END AS fertility
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // 2^44 fixed-point per-component sums (floor of an exact IEEE
+    // product), cosine of the integer sum vectors in dim order
+    "q_embedding_drift" ->
+      """WITH c AS (SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 17592186044416.0) AS BIGINT) AS xi
+             FROM embeddings),
+         lb AS (SELECT label, dim, sum(xi) AS s, count(*) AS nv
+                FROM c GROUP BY 1, 2),
+         lv AS (SELECT label, max(nv) AS n_vecs,
+                  list(CAST(s AS DOUBLE) ORDER BY dim) AS lvv
+                FROM lb GROUP BY 1),
+         gv AS (SELECT list(CAST(g AS DOUBLE) ORDER BY dim) AS gvv
+                FROM (SELECT dim, sum(s) AS g FROM lb GROUP BY 1))
+         SELECT label, n_vecs,
+           round(list_cosine_similarity(lvv, gvv), 4) AS drift_cos
+         FROM lv CROSS JOIN gv ORDER BY label""",
     // frozen-LM replay: counts from the training slice only; grams and
     // contexts the model never saw coalesce to 0 (add-1 smooths them)
     "q_lm_score_frozen" ->

@@ -75,6 +75,61 @@ object Similarity {
     * For serving scale, compose the same filter over
     * [[ivfTopKFromIndex]]'s pruned scan instead.
     */
+  /** Embedding-space drift monitor: cosine of each label's centroid
+    * against the global centroid — the embedding analog of
+    * [[graft.textanalysis.TextAnalysis.domainDivergence]]'s token-KL
+    * readout. A source/label whose centroid swings away from the
+    * blend signals distribution shift in exactly the space the
+    * downstream model consumes.
+    *
+    * Exactness: per-component values are fixed-pointed by
+    * ⌊x · 2^44⌋ — floor of an IEEE double product is deterministic in
+    * any engine (and for these float inputs the product is already an
+    * exact integer: a float's 24-bit mantissa needs only exponent ≥
+    * −21) — so the per-(label, dim) sums are exact longs and the two
+    * centroid vectors are integer-exact. Cosine is scale-invariant,
+    * so the SUM vectors stand in for the centroids: no division ever
+    * happens, and the one rounded readout is the repo's 4-decimal
+    * cosine convention.
+    *
+    * Scale shape: ONE corpus scan — the (label, dim) aggregation with
+    * map-side combine materializes eagerly into a labels × dims
+    * frame (localCheckpoint, the PageRank round pattern) that both
+    * the per-label and global branches read, so neither re-scans the
+    * corpus; the global vector is a fold over the per-label sums in
+    * exact LONG space (a double-space fold would silently lose
+    * integer exactness past 2^53 at real corpus sizes) and broadcasts
+    * as a 1-row cross join.
+    */
+  def centroidDrift(embeddings: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    val scale = 17592186044416L // 2^44
+    val comp = embeddings
+      .select(col(labelCol).as("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x") * lit(scale.toDouble)).cast("long").as("xi"))
+    val byLabelDim = comp.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("nv"))
+      .localCheckpoint(true)
+    val lv = byLabelDim.groupBy(col("label"))
+      .agg(max(col("nv")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("dim"),
+            col("s").as("s")))), t => t.getField("s")).as("lvi"))
+    val gv = lv.agg(collect_list(col("lvi")).as("vs"))
+      .select(aggregate(
+        slice(col("vs"), lit(2), size(col("vs"))),
+        element_at(col("vs"), 1),
+        (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("gvi"))
+    lv.crossJoin(broadcast(gv))
+      .select(col("label"), col("n_vecs"),
+        round(cosineFor(embeddings)(
+          col("lvi").cast("array<double>"),
+          col("gvi").cast("array<double>")), 4)
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
   def hardNegatives(embeddings: DataFrame, queryId: Long, k: Int,
       positiveThreshold: Double = 0.98): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)

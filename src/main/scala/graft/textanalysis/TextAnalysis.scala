@@ -32,6 +32,37 @@ object TextAnalysis {
   def estimatedLlmTokens(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast("long")
 
+  /** Per-language tokenizer fertility: BPE-ish subword tokens per
+    * whitespace word — the denominator mixture recipes actually pay
+    * in. A language whose fertility runs high consumes more of the
+    * token budget per word, so an even document mix is an uneven
+    * TOKEN mix; this rollup is what rebalances it (pair with
+    * [[graft.ops.SampleOps.tokenBudgetMix]]).
+    *
+    * The ratio is reported at 4 decimals via exact LONG division —
+    * ((2·10⁴·t + w) div 2w) / 10⁴ — so the readout never visits a
+    * binary double before the final exact /10⁴ (the DSIR micro4
+    * lesson: a plain round(t/w, 4) flips between engines whenever
+    * the rational lands on a …5 boundary, which small-denominator
+    * ratios actually do), and stays exact however large the corpus
+    * sums grow (a double-floor form would lose integer exactness
+    * past 2^53).
+    *
+    * Scale: one lang-keyed aggregation with map-side combine; state
+    * is three longs per language.
+    */
+  def tokenFertility(documents: DataFrame): DataFrame =
+    documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount(col("text"))).as("words"),
+        sum(bpeishTokenCount(col("text"))).as("bpeish_tokens"))
+      .select(col("lang"), col("docs"), col("words"), col("bpeish_tokens"),
+        when(col("words") > 0,
+          expr("(bpeish_tokens * 20000 + words) div (words * 2)") /
+            lit(10000.0))
+          .as("fertility"))
+      .orderBy(col("lang"))
+
   // ---------------------------------------------------------------
   // Language identification
   // ---------------------------------------------------------------

@@ -415,6 +415,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("centroid drift reads the checkpointed sums, not the corpus; global vec broadcasts") {
+    val p = plan(graft.similarity.Similarity.centroidDrift(
+      Tables.embeddings(spark, sfDir)))
+    // the corpus scan ran ONCE into the eager localCheckpoint; the
+    // result plan reads that materialized frame on both branches
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("dsir scoring is a zero-exchange narrow pass; select is TakeOrdered") {
     val docs = Tables.documents(spark, sfDir)
     val m = graft.selection.Dsir.dsirTrain(docs,

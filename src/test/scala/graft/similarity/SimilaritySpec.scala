@@ -77,6 +77,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 <= rAll)
   }
 
+  test("centroidDrift: exact fixed-point reference; single label drifts 1.0") {
+    val rows = Seq(
+      (1L, Seq(0.1f, 0.2f, -0.3f), 0),
+      (2L, Seq(0.3f, -0.1f, 0.05f), 0),
+      (3L, Seq(-0.2f, 0.4f, 0.11f), 1),
+      (4L, Seq(0.001f, 0.5f, -0.25f), 1),
+      (5L, Seq(0.25f, 0.25f, 0.25f), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val S = 17592186044416L
+    def sumVec(vs: Seq[Seq[Float]]): Seq[Long] =
+      vs.map(_.map(x => math.floor(x.toDouble * S).toLong))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    val global = sumVec(rows.map(_._2))
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x.toDouble * y.toDouble
+        na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Similarity.centroidDrift(df).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.groupBy(_._3).foreach { case (l, vs) =>
+      assert(got(l)._1 === vs.size.toLong, s"label $l count")
+      assert(got(l)._2 === cos(sumVec(vs.map(_._2)), global), s"label $l cos")
+    }
+    // one label = its centroid IS the global centroid
+    val solo = Similarity.centroidDrift(
+      rows.filter(_._3 == 0).toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getDouble(2))
+    assert(solo.toSeq === Seq(1.0))
+  }
+
   test("annRecall: probing every cell scores 1.0; fewer probes never beat it") {
     val cents = Similarity.seedCentroids(emb, 16)
     val qs = Seq(0L, 1L, 2L)

@@ -362,6 +362,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rescored === scored)
   }
 
+  test("token fertility: exact half-up ratio per lang; punctuation raises it") {
+    val docs = Seq(
+      (1L, "en", "hello world, it's fine!"),      // 4 words, 8 bpeish
+      (2L, "en", "plain words here"),             // 3 words, 3 bpeish
+      (3L, "de", "der hund"),                     // 2 words, 2 bpeish
+      (4L, "de", "a-b c.d e")                     // 3 words, 7 bpeish
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenFertility(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // exact rational half-up at 4 decimals, computed in integer space
+    def fert(t: Long, w: Long): Double = ((t * 20000 + w) / (2 * w)) / 10000.0
+    assert(out("en") === ((2L, 7L, 11L, fert(11, 7))))
+    assert(out("de") === ((2L, 5L, 9L, fert(9, 5))))
+    assert(out("en")._4 === 1.5714)
+    assert(out("de")._4 === 1.8)
+  }
+
   test("lm score flags word salad against a regular corpus") {
     val regular = (0L until 20L).map(i => (i, "the cat sat on the mat"))
     val salad = Seq((99L, "mat the on cat sat the"))
