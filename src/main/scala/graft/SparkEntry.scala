@@ -218,6 +218,13 @@ object SparkEntry {
         .groupBy(col("shard"), col("block"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("shard"), col("block"))),
+    // Packing-efficiency rollup: per-shard block fill ratio — the
+    // wasted-accelerator-time readout of the packing strategy
+    "q_packing_efficiency" -> ((s, d) =>
+      graft.textanalysis.TextAnalysis.packingEfficiency(
+        Tables.documents(s, d), "doc_id",
+        graft.textanalysis.TextAnalysis.tokenCount(col("text")),
+        budget = 512, nShards = 8)),
     // Dedup: exact duplicate groups via 16-byte digest shuffle
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicateGroups(Tables.events(s, d), "event_id",
@@ -491,6 +498,18 @@ object SparkEntry {
             transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
             col("label")))
       Similarity.hardNegatives(planted, 0L, 10)
+    }),
+    // Contrastive triplet export over the same planted corpus as
+    // q_hard_negatives: per anchor (all %7 — each has a ×2-scaled
+    // copy at cos 1.0), the best positive + 10 hardest negatives
+    "q_contrastive_pairs" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+            col("label")))
+      Similarity.contrastivePairs(planted, Seq(0L, 7L, 14L), 10)
     }),
     // Similarity: batched multi-query top-k via window ranking
     "q_knn_multi" -> ((s, d) =>
@@ -1778,6 +1797,26 @@ object SparkEntry {
          SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM c GROUP BY 1, 2 ORDER BY shard, block""",
+    "q_packing_efficiency" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t),
+         b AS (SELECT shard,
+                 CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
+                 n_tokens
+               FROM c)
+         SELECT shard, count(*) AS docs,
+           CAST(max(block) + 1 AS BIGINT) AS blocks,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           ((CAST(sum(n_tokens) AS BIGINT) * 20000 + (max(block) + 1) * 512)
+            // (2 * (max(block) + 1) * 512)) / 10000.0 AS fill
+         FROM b GROUP BY 1 ORDER BY shard""",
     "q_hash_split" ->
       """SELECT CASE
            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
@@ -2083,6 +2122,30 @@ object SparkEntry {
            FROM pe CROSS JOIN q)
          SELECT vec_id, cos_sim FROM p WHERE cos_sim < 0.98
          ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q_contrastive_pairs" ->
+      """WITH pe AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             CAST(list_transform(embedding, x -> x * 2.0) AS DOUBLE[])
+           FROM embeddings WHERE vec_id % 7 = 0),
+         q AS (SELECT vec_id AS query_id, ve FROM pe
+               WHERE vec_id IN (0, 7, 14)),
+         p AS (SELECT q.query_id, pe.vec_id,
+                 round(list_cosine_similarity(pe.ve, q.ve), 4) AS cos_sim
+               FROM pe CROSS JOIN q WHERE pe.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id, cos_sim,
+                 CASE WHEN cos_sim >= 0.98 THEN 'positive'
+                      ELSE 'negative' END AS role
+               FROM p),
+         k AS (SELECT query_id, role, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id, role
+                   ORDER BY cos_sim DESC, vec_id) AS rank
+               FROM r)
+         SELECT query_id, role, rank, vec_id, cos_sim FROM k
+         WHERE (role = 'positive' AND rank = 1)
+            OR (role = 'negative' AND rank <= 10)
+         ORDER BY query_id, role, rank""",
     "q_knn_multi" ->
       """WITH p AS (
            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -130,6 +130,41 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Contrastive-training pair export: for each anchor, the single
+    * best POSITIVE (cos ≥ threshold, anchor itself excluded) and the
+    * `kNeg` hardest NEGATIVES below the threshold — the
+    * (anchor, positive, negatives) triplet shape contrastive losses
+    * consume, flattened to rows. The positive/negative split and
+    * both rankings are deterministic (rounded cosine desc, id).
+    * An anchor with no qualifying positive simply exports no
+    * positive row — the consumer's miss, not a null.
+    *
+    * Scale shape: anchors broadcast, ONE narrow scored pass over the
+    * corpus, one window per (anchor, role) on the bounded anchor
+    * set.
+    */
+  def contrastivePairs(embeddings: DataFrame, queryIds: Seq[Long],
+      kNeg: Int, positiveThreshold: Double = 0.98): DataFrame = {
+    val qs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"), col("role"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    embeddings.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4)
+          .as("cos_sim"))
+      .withColumn("role",
+        when(col("cos_sim") >= positiveThreshold, lit("positive"))
+          .otherwise(lit("negative")))
+      .withColumn("rank", row_number().over(w))
+      .filter((col("role") === "positive" && col("rank") === 1) ||
+        (col("role") === "negative" && col("rank") <= kNeg))
+      .select(col("query_id"), col("role"), col("rank"), col("vec_id"),
+        col("cos_sim"))
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
   def hardNegatives(embeddings: DataFrame, queryId: Long, k: Int,
       positiveThreshold: Double = 0.98): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)

@@ -77,6 +77,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 <= rAll)
   }
 
+  test("contrastivePairs: planted twin is THE positive; negatives below threshold") {
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label")))
+    val out = Similarity.contrastivePairs(planted, Seq(0L), 5)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val pos = out.filter(_._1 == "positive")
+    assert(pos.length === 1)
+    assert(pos.head._3 === 1000000L) // the ×2-scaled twin, cos exactly 1
+    assert(pos.head._4 === 1.0)
+    val neg = out.filter(_._1 == "negative")
+    assert(neg.length === 5)
+    assert(neg.forall(_._4 < 0.98))
+    assert(neg.map(_._2).toSeq === (1 to 5))
+    assert(neg.map(_._4).toSeq ===
+      neg.map(_._4).sorted(Ordering[Double].reverse).toSeq)
+    assert(out.forall(_._3 != 0L)) // the anchor never exports itself
+  }
+
   test("centroidDrift: exact fixed-point reference; single label drifts 1.0") {
     val rows = Seq(
       (1L, Seq(0.1f, 0.2f, -0.3f), 0),

@@ -380,6 +380,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("de")._4 === 1.8)
   }
 
+  test("packing efficiency: exact per-shard fill from the block layout") {
+    val budget = 10L
+    val rows = (0L until 20L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val got = TextAnalysis.packingEfficiency(df, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget, nShards = 2)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val want = rows.groupBy(_._1 % 2).map { case (sh, ds) =>
+      var cum = 0L
+      val blocks = ds.sortBy(_._1).map { case (_, text) =>
+        val t = text.split(" ", -1).length.toLong
+        val b = cum / budget
+        cum += t
+        (b, t)
+      }
+      val nBlocks = blocks.map(_._1).max + 1
+      val tokens = blocks.map(_._2).sum
+      val fill = ((tokens * 20000 + nBlocks * budget) /
+        (2 * nBlocks * budget)) / 10000.0
+      sh.toInt -> ((ds.size.toLong, nBlocks, tokens, fill))
+    }
+    assert(got === want)
+    // fill is meaningfully below 1 for this ragged layout
+    assert(got.values.forall(v => v._4 > 0.5 && v._4 <= 1.0), got)
+  }
+
   test("lm score flags word salad against a regular corpus") {
     val regular = (0L until 20L).map(i => (i, "the cat sat on the mat"))
     val salad = Seq((99L, "mat the on cat sat the"))
