@@ -350,6 +350,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("out_degree"))
     }),
+    // Triangle count + clustering coefficient per node over a built
+    // link graph (4-group triangles + 16-group star heads — the star
+    // exercises the degree-ordered orientation's heavy-hitter bound)
+    "q_triangles" -> ((s, d) => {
+      val g = Tables.orders(s, d)
+        .select((col("o_orderkey") - col("o_orderkey") % 4).as("g"))
+      val edges = g.select(col("g").as("s"), (col("g") + 1).as("t"))
+        .union(g.select((col("g") + 1).as("s"), (col("g") + 2).as("t")))
+        .union(g.select(col("g").as("s"), (col("g") + 2).as("t")))
+        .union(g.select(col("g").as("s"),
+          (col("g") - col("g") % 16).as("t")))
+      graft.graph.Triangles.triangleStats(edges, "s", "t")
+    }),
     "q_pagerank" -> ((s, d) => {
       val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
       val edges = k
@@ -1901,6 +1914,47 @@ object SparkEntry {
          n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
          SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
     "q_pagerank" -> pageRankOracle(8),
+    // triangle replay: canonical undirected edges, degree-ordered
+    // orientation, 2-path join closed against the oriented edges
+    "q_triangles" ->
+      """WITH k AS (SELECT o_orderkey - o_orderkey % 4 AS g FROM orders),
+         e0 AS (SELECT g AS s, g + 1 AS t FROM k
+                UNION ALL SELECT g + 1, g + 2 FROM k
+                UNION ALL SELECT g, g + 2 FROM k
+                UNION ALL SELECT g, g - g % 16 FROM k),
+         und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+                 FROM e0 WHERE s <> t),
+         deg AS (SELECT node, count(*) AS d FROM (
+                   SELECT u AS node FROM und
+                   UNION ALL SELECT v FROM und) GROUP BY 1),
+         o AS (SELECT
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN u ELSE v END AS src,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN v ELSE u END AS dst,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN dv.d ELSE du.d END AS dd
+               FROM und
+               JOIN deg du ON und.u = du.node
+               JOIN deg dv ON und.v = dv.node),
+         p AS (SELECT o1.src AS s, o1.dst AS a, o1.dd AS da,
+                      o2.dst AS b, o2.dd AS db
+               FROM o o1 JOIN o o2 ON o1.src = o2.src
+               WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+         tr AS (SELECT p.s, p.a, p.b
+                FROM p JOIN o ON o.src = p.a AND o.dst = p.b),
+         tn AS (SELECT node, count(*) AS t FROM (
+                  SELECT s AS node FROM tr
+                  UNION ALL SELECT a FROM tr
+                  UNION ALL SELECT b FROM tr) GROUP BY 1)
+         SELECT deg.node, deg.d AS degree,
+           coalesce(tn.t, 0) AS triangles,
+           CASE WHEN deg.d >= 2 THEN
+             ((2 * coalesce(tn.t, 0) * 20000 + deg.d * (deg.d - 1))
+              // (2 * deg.d * (deg.d - 1))) / 10000.0
+           ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tn ON deg.node = tn.node
+         ORDER BY deg.node""",
     "q_graph_degrees" ->
       """WITH e0 AS (
            SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders

@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting + local clustering coefficient over an
+  * edge list — the link-graph structure readout that complements
+  * [[PageRank]]'s centrality: a crawl frontier with high clustering
+  * is a community (or a link farm); near-zero clustering at high
+  * degree is hub-like. Classic node-iterator++ formulation
+  * (Schank & Wagner '05; the MapReduce shape popularized by
+  * Suri & Vassilvitskii '11's "Counting triangles and the curse of
+  * the last reducer").
+  *
+  * Scale design — the part that matters at 10^11 edges:
+  *  - Edges canonicalize undirected (least, greatest), self-loops
+  *    drop, duplicates collapse in the same exchange that the
+  *    degree count uses.
+  *  - Every edge then ORIENTS from lower (degree, id) to higher —
+  *    the total order makes each triangle counted exactly once, and
+  *    ordering by DEGREE first is the heavy-hitter bound: a node's
+  *    out-degree in the oriented graph is at most O(√m), so the
+  *    2-path join that a star head would otherwise explode
+  *    quadratically is capped (the "curse of the last reducer" fix).
+  *  - 2-paths join oriented edges on their source and close against
+  *    the oriented edge set — two hash joins on edge keys, no
+  *    cartesian anywhere; AQE handles residual key skew.
+  *
+  * Readout per node: degree, triangle count, and the local
+  * clustering coefficient 2t/(d(d−1)) at 4 decimals via the exact
+  * long-division form (the tokenFertility contract — no binary
+  * double before the final exact /10⁴).
+  */
+object Triangles {
+
+  private def rankLt(da: Column, a: Column, db: Column, b: Column): Column =
+    da < db || (da === db && a < b)
+
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+    val uLower = rankLt(col("du"), col("u"), col("dv"), col("v"))
+    // oriented edge (src → dst) with the DST's rank carried along so
+    // the 2-path join can order its two legs without a re-join
+    val oriented = withDeg.select(
+      when(uLower, col("u")).otherwise(col("v")).as("src"),
+      when(uLower, col("v")).otherwise(col("u")).as("dst"),
+      when(uLower, col("dv")).otherwise(col("du")).as("dd"))
+    val o1 = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
+    val o2 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val paths = o1.join(o2, Seq("src"))
+      .filter(rankLt(col("da"), col("a"), col("db"), col("b")))
+      .select(col("src").as("s"), col("a"), col("b"))
+    val triangles = paths.join(oriented,
+      paths("a") === oriented("src") && paths("b") === oriented("dst"))
+      .select(col("s"), col("a"), col("b"))
+    val triPerNode = triangles.select(col("s").as("node"))
+      .union(triangles.select(col("a").as("node")))
+      .union(triangles.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 20000 + degree * (degree - 1)) div " +
+            "(2 * degree * (degree - 1))") / lit(10000.0))
+          .otherwise(lit(0.0)))
+      .orderBy(col("node"))
+  }
+
+  /** Global triangle count — one row; each triangle counted once. */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    triangleStats(edges, srcCol, dstCol)
+      .agg((sum(col("triangles")) / lit(3)).cast("long").as("n_triangles"))
+}

@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // K4 on 1-4 (4 triangles), path 5-6-7 (none), star 8→{9,10,11}
+  // (none), triangle 12-13-14 with pendant 15, plus noise: duplicate,
+  // reversed-duplicate, and self-loop edges that must all collapse
+  private val edges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (5L, 6L), (6L, 7L),
+    (8L, 9L), (8L, 10L), (8L, 11L),
+    (12L, 13L), (13L, 14L), (12L, 14L), (14L, 15L),
+    (2L, 1L), (1L, 2L), (9L, 8L), (12L, 12L))
+
+  private def df = edges.toDF("s", "t")
+
+  private lazy val adj: Map[Long, Set[Long]] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+  }
+
+  test("per-node stats match a brute-force reference") {
+    val got = Triangles.triangleStats(df, "s", "t").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === adj.keySet)
+    adj.foreach { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+      val c = if (d >= 2)
+        ((2 * t * 20000 + d * (d - 1)) / (2 * d * (d - 1))) / 10000.0
+      else 0.0
+      assert(got(v) === ((d, t, c)), s"node $v")
+    }
+    // spot values: K4 members touch 3 triangles at clustering 1.0,
+    // the pendant and star leaves touch none
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(8L) === ((3L, 0L, 0.0)))
+    assert(got(15L) === ((1L, 0L, 0.0)))
+    assert(got(12L) === ((2L, 1L, 1.0)))
+  }
+
+  test("global count: 4 from K4 plus 1 planted") {
+    val n = Triangles.triangleCount(df, "s", "t").head().getLong(0)
+    assert(n === 5L)
+  }
+
+  test("plan: hash joins only, no cartesian or nested-loop") {
+    val p = Triangles.triangleStats(df, "s", "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
