@@ -723,6 +723,19 @@ object SparkEntry {
     // curate() unchanged; the (round(rank,10), node) cut edge is the
     // oracle-pinned 10-decimal boundary, so the gate is exact
     // cross-engine.
+    // Curation × selection composition: the curated survivors become
+    // the DSIR pool — quality gates first, then importance-resample
+    // 50 target-like docs from what passed (both stages unchanged)
+    "q_curation_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+      val curated = graft.curation.Curation.curate(corpus,
+        docs.filter(col("doc_id") % 101 === 7))
+      val kept = corpus.join(curated.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      graft.selection.Dsir.dsirSelect(kept, dsirModelFor(s, d), 50)
+        .orderBy(col("doc_id"))
+    }),
     "q_curation_ranked" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 101 =!= 7)
@@ -2584,6 +2597,56 @@ object SparkEntry {
          SELECT g.doc_id, g.source, g.lm_nll FROM gated g
          JOIN keep k ON g.doc_id = k.doc_id
          ORDER BY g.doc_id"""),
+    // the capstone tail + the DSIR Gumbel top-50 restricted to the
+    // kept ids (model counts from the FULL pool, matching the cached
+    // dsirModelFor artifact; dsir CTEs x-prefixed to dodge the gate
+    // CTE names)
+    "q_curation_dsir" -> (curationGateCtes +
+      """, gated AS (SELECT c.doc_id, c.text
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id
+           WHERE NOT rep.repetitive AND NOT con.contaminated
+             AND NOT lm.lm_nll >= 10.0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+         xt AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents),
+         xg AS (SELECT doc_id, lang, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM xt),
+         xgb AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                 FROM xg),
+         xtc AS (SELECT b, count(*) AS c FROM xgb WHERE lang = 'en' GROUP BY 1),
+         xrc AS (SELECT b, count(*) AS c FROM xgb GROUP BY 1),
+         xnt AS (SELECT sum(c) AS n FROM xtc),
+         xnr AS (SELECT sum(c) AS n FROM xrc),
+         xr AS (SELECT d.range AS b,
+                 CAST(round(ln(((coalesce(xtc.c, 0) + 1.0) * (xnr.n + 1024)) /
+                               ((coalesce(xrc.c, 0) + 1.0) * (xnt.n + 1024)))
+                            * 1000000.0) AS BIGINT) AS r6
+               FROM range(1024) d
+               LEFT JOIN xtc ON d.range = xtc.b
+               LEFT JOIN xrc ON d.range = xrc.b
+               CROSS JOIN xnt CROSS JOIN xnr),
+         xs AS (SELECT xgb.doc_id, sum(xr.r6) AS s6
+               FROM xgb JOIN xr ON xgb.b = xr.b
+               WHERE xgb.doc_id IN (SELECT doc_id FROM keep)
+               GROUP BY 1),
+         xk AS (SELECT doc_id, s6 +
+                 CAST(round(-ln(-ln((CAST(concat('0x',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) + 0.5) / 1152921504606846976.0))
+                   * 1000000.0) AS BIGINT) AS key6
+               FROM xs)
+         SELECT doc_id,
+           (CASE WHEN key6 < 0 THEN -floor((-key6 + 50) / 100.0)
+                 ELSE floor((key6 + 50) / 100.0) END) / 10000.0 AS dsir_key
+         FROM (SELECT * FROM xk ORDER BY key6 DESC, doc_id LIMIT 50)
+         ORDER BY doc_id"""),
     // the capstone tail + the PageRank bottom-decile prior over the
     // doc-id hub graph (rank replay = the q_pagerank CTE chain over
     // corp0's edges; the cut orders by the oracle-pinned
