@@ -37,6 +37,27 @@ object SparkEntry {
   private val ivfIndexBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Execute a query eagerly with adaptive execution DISABLED, then
+    * restore the conf. For short sequential pipelines of tiny
+    * pre-sized stages — the bounded-increment probe, the
+    * vocabulary-round BPE trainer — AQE's per-stage re-planning is
+    * pure overhead (measured 2.0×/1.3× at sf0.1, `tools.ProfileAqe`),
+    * and its scale benefits don't apply: the batch is bounded by
+    * contract, skew is handled by the explicit bucket-size cap, and
+    * every join is an explicit broadcast. The iterative GRAPH queries
+    * keep AQE — there it coalesces the tiny per-round frames and wins
+    * (components_star 1.7× faster WITH it). The result materializes
+    * inside this call (bounded by the query's output contract), so
+    * the conf flip never leaks to other queries.
+    */
+  private def withAqeOff(s: SparkSession)(build: => DataFrame): DataFrame = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try build.localCheckpoint(true)
+    finally s.conf.set(key, prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The caller's session may not carry the nanos config the events
     * table needs — set it here (dynamic SQLConf), and fall back to a
@@ -459,9 +480,11 @@ object SparkEntry {
       // oracle (the q_components precedent — the 100 TB path stays
       // hash-gated); the bounded-increment fast path serves the twin
       // query below, against the SAME oracle
-      Dedup.dedupIncrement(newBatch, index, "doc_id", "text",
-        hashMode = "md5", smallBatchRows = 0)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+      withAqeOff(s) {
+        Dedup.dedupIncrement(newBatch, index, "doc_id", "text",
+          hashMode = "md5", smallBatchRows = 0)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      }
     }),
     // The same increment through the bounded-batch fast path (batch
     // bucket rows collect under an explicit row+byte budget, ONE
@@ -655,8 +678,10 @@ object SparkEntry {
     // corpus word-frequency table (Sennrich get_stats/merge loop;
     // one corpus shuffle, then vocabulary-sized rounds)
     "q_bpe_merges" -> ((s, d) =>
-      graft.textanalysis.TextAnalysis.bpeMerges(Tables.documents(s, d), 8)
-        .orderBy(col("rank"))),
+      withAqeOff(s) {
+        graft.textanalysis.TextAnalysis.bpeMerges(Tables.documents(s, d), 8)
+          .orderBy(col("rank"))
+      }),
     // Tokenizer serving: learn the merge table, then tokenize the
     // corpus with it (bounded driver-side merge literal → one narrow
     // codegen'd replace chain; the half that runs at 100 TB)
