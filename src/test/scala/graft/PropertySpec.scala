@@ -594,6 +594,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native dsir score ≡ composed fold ≡ local md5 reference on random corpora") {
+    import graft.selection.Dsir
+    val B = 64
+    val tokGen: Gen[String] = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)), Gen.oneOf("the", "a", "日本", "é"),
+      Gen.const(""), Gen.numStr.map(_.take(4)))
+    val corpus = samples(Gen.listOfN(12, tokGen), 150).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = corpus.toDF("doc_id", "text")
+    val m = Dsir.dsirTrainWith(df, col("doc_id") % 3 === 0, B)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String) = java.lang.Long.parseLong(md5hex(g).take(15), 16) % B
+    def refScore(text: String): Long = {
+      val ws = text.split(" ", -1).toSeq
+      val grams = ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      grams.map(g => m.ratios6(bucket(g).toInt)).sum
+    }
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val both = df.select($"doc_id",
+        Dsir.score6For(df, m)(ws).as("native"),
+        Dsir.score6Local(m)(ws).as("composed"))
+      .as[(Long, Long, Long)].collect()
+    assert(graft.plans.TextHashFunctions.isRegistered(spark))
+    both.foreach { case (id, n, c) =>
+      val want = refScore(corpus(id.toInt)._2)
+      assert(n === want, s"native doc $id")
+      assert(c === want, s"composed doc $id")
+    }
+  }
+
   test("sorted-intersect size ≡ set intersection on random string sets") {
     val setGen: Gen[Seq[String]] = Gen.listOf(Gen.oneOf(
       "a", "ab", "abc", "b", "ba", "é", "日本", "", "z"))
