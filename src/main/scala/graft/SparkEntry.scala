@@ -421,6 +421,39 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
         hashMode = "md5")
         .orderBy(col("id_a"), col("id_b"))),
+    // LSH operating-point evaluation (the q_ann_recall analog for
+    // the dedup family): of the PLANTED near-dup pairs whose exact
+    // 3-gram Jaccard clears the pipeline threshold, what fraction
+    // does the banded MinHash pipeline actually find? Banding and the
+    // skew cap both lose candidates; this measures the loss instead
+    // of guessing it — and the found set is a subset of truth by
+    // construction (the pipeline verifies with the same exact J)
+    "q_dedup_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ws = split(col("text"), " ", -1)
+      val pairs = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"),
+          Dedup.shingles(col("text"), 3).as("ga"),
+          Dedup.shingles(concat_ws(" ",
+            slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))), 3).as("gb"))
+      val truth = pairs
+        .filter(size(col("ga")) > 0 && size(col("gb")) > 0)
+        .filter(Dedup.jaccard(col("ga"), col("gb")) >= 0.5)
+        .select(col("id_a"))
+      val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
+          "doc_id", "text", hashMode = "md5")
+        .filter(col("id_b") === col("id_a") + 1000000L &&
+          col("id_a") % 5 === 0)
+        .select(col("id_a"), lit(1L).as("hit"))
+      truth.join(found, Seq("id_a"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .select(col("n_truth"), col("n_found"),
+          when(col("n_truth") > 0,
+            expr("(n_found * 20000 + n_truth) div (2 * n_truth)") /
+              lit(10000.0)).as("recall"))
+    }),
     // md5-mode pairs closed under transitivity — the oracle replays
     // the transitive closure as a recursive CTE
     "q_dedup_clusters_md5" -> ((s, d) =>
@@ -2013,6 +2046,27 @@ object SparkEntry {
          GROUP BY 1 ORDER BY event_type""",
     "q_minhash_neardup_md5" -> (minhashMd5Cte +
       "SELECT id_a, id_b, round(j,4) AS jaccard FROM pr ORDER BY id_a, id_b"),
+    // recall replay: truth = planted pairs with exact J >= 0.5 (both
+    // sides need shingles, the signature pass's own precondition);
+    // found = the pipeline's verified pairs restricted to planted ids
+    "q_dedup_recall" -> (minhashMd5Cte +
+      """, planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+                       FROM documents WHERE doc_id % 5 = 0),
+         tr AS (SELECT p.id_a,
+                  len(list_intersect(a.grams, b.grams)) * 1.0 /
+                  len(list_distinct(list_concat(a.grams, b.grams))) AS j
+                FROM planted p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b),
+         tt AS (SELECT id_a FROM tr WHERE j >= 0.5),
+         f AS (SELECT id_a FROM pr
+               WHERE id_b = id_a + 1000000 AND id_a % 5 = 0)
+         SELECT count(*) AS n_truth, count(f.id_a) AS n_found,
+           CASE WHEN count(*) > 0 THEN
+             ((count(f.id_a) * 20000 + count(*)) // (2 * count(*)))
+               / 10000.0
+           END AS recall
+         FROM tt LEFT JOIN f ON tt.id_a = f.id_a"""),
     "q_simhash_neardup_md5" ->
       """WITH RECURSIVE corpus AS (
            SELECT doc_id, text FROM documents
