@@ -374,15 +374,18 @@ object SparkEntry {
     // Triangle count + clustering coefficient per node over a built
     // link graph (4-group triangles + 16-group star heads — the star
     // exercises the degree-ordered orientation's heavy-hitter bound)
-    "q_triangles" -> ((s, d) => {
-      val g = Tables.orders(s, d)
-        .select((col("o_orderkey") - col("o_orderkey") % 4).as("g"))
-      val edges = g.select(col("g").as("s"), (col("g") + 1).as("t"))
-        .union(g.select((col("g") + 1).as("s"), (col("g") + 2).as("t")))
-        .union(g.select(col("g").as("s"), (col("g") + 2).as("t")))
-        .union(g.select(col("g").as("s"),
-          (col("g") - col("g") % 16).as("t")))
-      graft.graph.Triangles.triangleStats(edges, "s", "t")
+    "q_triangles" -> ((s, d) =>
+      graft.graph.Triangles.triangleStats(linkGraphEdges(s, d), "s", "t")),
+    // 2-core of the same graph by synchronous peeling to fixpoint:
+    // the pendant-chain tails drop in round 1, their middle links in
+    // round 2, triangles and star heads survive; the recorded round
+    // count generates an exact per-round DuckDB replay (the
+    // ivfKmeansOracle lifecycle)
+    "q_kcore" -> ((s, d) => {
+      lastOracleDir = d
+      val r = graft.graph.KCore.kCore(linkGraphEdges(s, d), "s", "t", 2)
+      kcoreRounds.put(d, Integer.valueOf(r.rounds))
+      r.members
     }),
     "q_pagerank" -> ((s, d) => {
       val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
@@ -1565,6 +1568,69 @@ object SparkEntry {
     docs.unionByName(halves)
   }
 
+  /** The synthetic link graph shared by q_triangles / q_kcore:
+    * a triangle per 4-group of order keys plus 16-group star heads
+    * (triangles for closure structure, stars for degree skew).
+    */
+  private def linkGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .select((col("o_orderkey") - col("o_orderkey") % 4).as("g"))
+    g.select(col("g").as("s"), (col("g") + 1).as("t"))
+      .union(g.select((col("g") + 1).as("s"), (col("g") + 2).as("t")))
+      .union(g.select(col("g").as("s"), (col("g") + 2).as("t")))
+      .union(g.select(col("g").as("s"), (col("g") - col("g") % 16).as("t")))
+      // pendant chain off each triangle: g+2 → g+10⁹ → g+2·10⁹ —
+      // gives the k-core peel a 2-round cascade (tail first, then
+      // the middle link) while adding no triangles
+      .union(g.select((col("g") + 2).as("s"),
+        (col("g") + 1000000000L).as("t")))
+      .union(g.select((col("g") + 1000000000L).as("s"),
+        (col("g") + 2000000000L).as("t")))
+  }
+
+  // recorded synchronous-peel round counts per sfDir (the generated
+  // q_kcore oracle replays exactly that many rounds)
+  private val kcoreRounds =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Generated q_kcore oracle: one MATERIALIZED CTE per recorded
+    * peel round (each round is referenced twice — DuckDB's default
+    * CTE inlining would go exponential, the pageRankOracle lesson).
+    * Empty until q_kcore has run in this JVM → rows-only, the
+    * ivfKmeansOracle lifecycle.
+    */
+  private def kcoreOracle: Option[(String, String)] =
+    Option(lastOracleDir).flatMap(d => Option(kcoreRounds.get(d))).map { rr =>
+      val r = rr.intValue
+      val rounds = (1 to r).map { i =>
+        s""",
+         a$i AS MATERIALIZED (
+           SELECT u AS node FROM (
+             SELECT sym.u, count(*) AS dd FROM sym
+             JOIN a${i - 1} x ON sym.u = x.node
+             JOIN a${i - 1} y ON sym.v = y.node
+             GROUP BY sym.u)
+           WHERE dd >= 2)"""
+      }.mkString
+      "q_kcore" ->
+        s"""WITH k AS (SELECT o_orderkey - o_orderkey % 4 AS g FROM orders),
+         e0 AS (SELECT g AS s, g + 1 AS t FROM k
+                UNION ALL SELECT g + 1, g + 2 FROM k
+                UNION ALL SELECT g, g + 2 FROM k
+                UNION ALL SELECT g, g - g % 16 FROM k
+                UNION ALL SELECT g + 2, g + 1000000000 FROM k
+                UNION ALL SELECT g + 1000000000, g + 2000000000 FROM k),
+         und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+                 FROM e0 WHERE s <> t),
+         sym AS MATERIALIZED (
+           SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)$rounds
+         SELECT sym.u AS node, count(*) AS core_degree FROM sym
+         JOIN a$r x ON sym.u = x.node
+         JOIN a$r y ON sym.v = y.node
+         GROUP BY 1 ORDER BY 1"""
+    }
+
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ws = split(col("text"), " ", -1)
@@ -1580,7 +1646,7 @@ object SparkEntry {
       // the indexed serving path must agree with the one-shot ranking,
       // so its oracle IS the q_search_bm25 replay
       Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25")) ++
-      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle
+      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
     * repetition rubric, benchmark contamination, corpus-trained
@@ -1992,7 +2058,9 @@ object SparkEntry {
          e0 AS (SELECT g AS s, g + 1 AS t FROM k
                 UNION ALL SELECT g + 1, g + 2 FROM k
                 UNION ALL SELECT g, g + 2 FROM k
-                UNION ALL SELECT g, g - g % 16 FROM k),
+                UNION ALL SELECT g, g - g % 16 FROM k
+                UNION ALL SELECT g + 2, g + 1000000000 FROM k
+                UNION ALL SELECT g + 1000000000, g + 2000000000 FROM k),
          und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
                  FROM e0 WHERE s <> t),
          deg AS (SELECT node, count(*) AS d FROM (
