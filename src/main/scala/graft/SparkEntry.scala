@@ -836,6 +836,12 @@ object SparkEntry {
     "q_sample_budget" -> ((s, d) =>
       SampleOps.takeExact(Tables.documents(s, d), "doc_id", 40)
         .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+    // Exact-n per-stratum cut: exactly 30 docs per lang in
+    // deterministic hash order — the count-denominated mixture form
+    "q_sample_per_stratum" -> ((s, d) =>
+      SampleOps.takeExactPerStratum(Tables.documents(s, d), "lang",
+        "doc_id", 30)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     // Token-budget mixture cut: every lang stratum keeps its
     // hash-order prefix while the running whitespace-token total
     // stays within 5000 — the token-denominated quota the doc-count
@@ -2883,6 +2889,13 @@ object SparkEntry {
            SELECT doc_id, n_chars FROM documents
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40)
          ORDER BY doc_id""",
+    "q_sample_per_stratum" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 30 ORDER BY doc_id""",
     "q_mix_token_budget" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -62,6 +62,26 @@ object SampleOps {
       .drop("__rn", "__n")
   }
 
+  /** Exact-n deterministic sample PER STRATUM: the first `n` of each
+    * stratum in (md5(id), id) order — the count-denominated form of
+    * [[stratifiedSample]] (which keeps a FRACTION). Mixture recipes
+    * that specify "exactly n documents per source" need the count
+    * form; hash order makes it reproducible and growth-stable (a
+    * stratum gaining documents never evicts an earlier pick until n
+    * is exceeded... the kept set under a bigger corpus is decided by
+    * hash order alone). One stratum-keyed window shuffle, the
+    * [[stratifiedSample]] scale shape.
+    */
+  def takeExactPerStratum(df: DataFrame, strataCol: String,
+      idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Curriculum binning: within each stratum, rank documents by a
     * quality signal (best first, id tie-break) and deal them into
     * `nBins` equal-size bins — bin 1 is the cleanest slice, the one

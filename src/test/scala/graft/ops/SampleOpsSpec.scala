@@ -271,6 +271,30 @@ class SampleOpsSpec extends SparkSpec {
     (21L to 400L).foreach(i => assert(out(i) === plain(i), s"doc $i"))
   }
 
+  test("takeExactPerStratum: exactly n per stratum in md5 order; prefix-stable") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "lang")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = SampleOps.takeExactPerStratum(df, "lang", "doc_id", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly 7 per stratum, and exactly the md5-order prefix
+    rows.groupBy(_._2).foreach { case (l, g) =>
+      val want = g.map(_._1)
+        .sortBy(id => (md5hex(id.toString), id)).take(7).toSet
+      assert(got.filter(_._2 == l).map(_._1).toSet === want, s"stratum $l")
+    }
+    // n larger than a stratum keeps the whole stratum
+    val all = SampleOps.takeExactPerStratum(df, "lang", "doc_id", 100)
+      .count()
+    assert(all === 50L)
+    // the n=7 pick is a subset of the n=9 pick (prefix semantics)
+    val bigger = SampleOps.takeExactPerStratum(df, "lang", "doc_id", 9)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.subsetOf(bigger))
+  }
+
   test("curriculumBins deals equal-size, quality-ordered bins per stratum") {
     import spark.implicits._
     val rows = (1L to 40L).map(i =>
