@@ -45,7 +45,13 @@ object KCore {
     var aliveCount = alive.count()
     var rounds = 0
     var done = aliveCount == 0
-    while (!done && rounds < maxRounds) {
+    while (!done) {
+      if (rounds >= maxRounds)
+        // a silent early stop would return a SUPERSET of the k-core;
+        // fail loudly instead — the caller raises the budget
+        throw new IllegalStateException(
+          s"k-core did not reach a fixpoint in $maxRounds rounds " +
+            s"($aliveCount nodes still alive) — raise maxRounds")
       val next = sym
         .join(alive.select(col("node").as("u")), Seq("u"))
         .join(alive.select(col("node").as("v")), Seq("v"))

@@ -55,4 +55,11 @@ class KCoreSpec extends SparkSpec {
     val r = KCore.kCore(df, "s", "t", 10)
     assert(r.members.collect().isEmpty)
   }
+
+  test("an exhausted round budget fails loudly instead of returning a superset") {
+    val e = intercept[IllegalStateException] {
+      KCore.kCore(df, "s", "t", 2, maxRounds = 0)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
 }
