@@ -440,18 +440,23 @@ object SparkEntry {
           Dedup.shingles(col("text"), 3).as("ga"),
           Dedup.shingles(concat_ws(" ",
             slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))), 3).as("gb"))
-      val truth = pairs
-        .filter(size(col("ga")) > 0 && size(col("gb")) > 0)
-        .filter(Dedup.jaccard(col("ga"), col("gb")) >= 0.5)
-        .select(col("id_a"))
       val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
           "doc_id", "text", hashMode = "md5")
         .filter(col("id_b") === col("id_a") + 1000000L &&
           col("id_a") % 5 === 0)
         .select(col("id_a"), lit(1L).as("hit"))
-      truth.join(found, Seq("id_a"), "left")
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+      // ONE projection computes the truth predicate, then a plain
+      // aggregate — a filter on the computed column would be alias-
+      // substituted below the projection and re-evaluate the shingle
+      // HOF subtrees per predicate (the flaggedInternal hazard;
+      // measured 5.7 → 2.6 s at sf0.1)
+      pairs.join(found, Seq("id_a"), "left")
+        .select((size(col("ga")) > 0 && size(col("gb")) > 0 &&
+            Dedup.jaccard(col("ga"), col("gb")) >= 0.5).as("ok"),
+          col("hit"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("ok") && col("hit").isNotNull, 1L)
+            .otherwise(0L)).as("n_found"))
         .select(col("n_truth"), col("n_found"),
           when(col("n_truth") > 0,
             expr("(n_found * 20000 + n_truth) div (2 * n_truth)") /
