@@ -387,6 +387,20 @@ object SparkEntry {
       kcoreRounds.put(d, Integer.valueOf(r.rounds))
       r.members
     }),
+    // TrustRank: teleport restricted to trusted seed hubs (node ids
+    // divisible by 64 — a subset of the 16-group heads); rank flows
+    // outward from seeds, unreachable regions starve toward zero
+    "q_pagerank_personalized" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+        .union(k.select((col("k") - col("k") % 4).as("a"),
+          (col("k") - col("k") % 16).as("b")))
+      graft.graph.PageRank.personalizedPageRank(edges, "a", "b",
+          n => n % 64 === 0, iterations = 8)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("node"))
+    }),
     "q_pagerank" -> ((s, d) => {
       val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
       val edges = k
@@ -2062,6 +2076,7 @@ object SparkEntry {
          n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
          SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
     "q_pagerank" -> pageRankOracle(8),
+    "q_pagerank_personalized" -> personalizedPageRankOracle(8),
     // triangle replay: canonical undirected edges, degree-ordered
     // orientation, 2-path join closed against the oriented edges
     "q_triangles" ->
@@ -3829,6 +3844,46 @@ object SparkEntry {
        r0 AS MATERIALIZED (
          SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
        $rounds"""
+  }
+
+  /** TrustRank replay: the [[pageRankRoundCtes]] graph CTEs with the
+    * seed-restricted teleport — r0 = s(v), each round
+    * s(v)·((1−d) + d·dm) + d·contrib, the exact expression shape the
+    * operator evaluates (IEEE determinism does the rest).
+    */
+  private def personalizedPageRankOracle(iters: Int): String = {
+    val seed = "p.node % 64 = 0"
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm
+           FROM r${k - 1} p JOIN dang ON p.node = dang.node),
+         r$k AS MATERIALIZED (
+           SELECT p.node,
+             (CASE WHEN $seed THEN 1.0/sc.c ELSE 0.0 END)
+               * ((1.0 - 0.85) + 0.85*d$k.dm)
+             + 0.85*coalesce(w.contrib, 0.0) AS rank
+           FROM r${k - 1} p CROSS JOIN sc CROSS JOIN d$k
+           LEFT JOIN (SELECT e.b AS node, sum(q.rank / deg.dout) AS contrib
+                      FROM e JOIN deg ON e.a = deg.a
+                      JOIN r${k - 1} q ON q.node = e.a
+                      GROUP BY e.b) w ON w.node = p.node)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+         UNION
+         SELECT o_orderkey - o_orderkey % 4 AS a,
+                o_orderkey - o_orderkey % 16 AS b FROM orders),
+       e AS MATERIALIZED (SELECT a, b FROM e0 WHERE a <> b),
+       deg AS MATERIALIZED (SELECT a, count(*) AS dout FROM e GROUP BY a),
+       n AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+       sc AS MATERIALIZED (
+         SELECT CAST(count(*) AS DOUBLE) AS c FROM n WHERE node % 64 = 0),
+       dang AS MATERIALIZED (
+         SELECT node FROM n WHERE node NOT IN (SELECT a FROM e)),
+       r0 AS MATERIALIZED (
+         SELECT node, CASE WHEN node % 64 = 0 THEN 1.0/sc.c ELSE 0.0 END AS rank
+         FROM n CROSS JOIN sc),
+       $rounds
+       SELECT node, round(rank, 10) AS rank FROM r$iters ORDER BY node"""
   }
 
   private def pageRankOracle(iters: Int): String =

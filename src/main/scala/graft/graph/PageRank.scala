@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** PageRank over a directed edge list — the link-graph centrality
@@ -160,6 +160,102 @@ object PageRank {
     }
     Seq(e, adj, nodes).foreach(_.unpersist())
     (ranks.select(col("node"), col("rank")), it)
+  }
+
+  /** Personalized (seed-teleport) PageRank — the TrustRank shape
+    * (Gyöngyi, Garcia-Molina & Pedersen '04): the surfer teleports to
+    * a SEED SET instead of uniformly, so rank flows outward from
+    * trusted pages and spam farms that no seed links to starve. The
+    * curation use is the inverse of [[graft.curation.Curation]]'s
+    * bottom-decile drop: demote documents whose trust-rank stays
+    * near zero however central they are in raw link count.
+    *
+    * Recurrence: rank' = (1−d)·s(v) + d·(contrib(v) + dm·s(v)), with
+    * s uniform over the seeds PRESENT in the graph and dangling mass
+    * redistributed to the teleport distribution (the personalized
+    * model's convention — Σrank stays 1). Seeds arrive as a
+    * PREDICATE over the node id, so the cross-engine oracle states
+    * the same membership test relationally; a caller with an
+    * explicit list passes `isin`.
+    *
+    * Same scale shape as [[pageRank]]: adjacency cached co-partitioned
+    * once, O(nodes) rank frame per round, dangling mass riding the
+    * round checkpoint as an observation. No seeds in the graph →
+    * every rank decays toward 0 (nothing to teleport to) — returned
+    * as computed, documented rather than masked.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, isSeed: Column => Column, iterations: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dout"))
+    val adj = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("dout"))
+      .repartition(col("src"))
+      .persist()
+    val nodesBase = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(deg.select(col("src").as("node"), lit(false).as("dangling")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("dangling"), lit(true)).as("dangling"),
+        isSeed(col("node")).as("seed"))
+      .repartition(col("node"))
+      .persist()
+    val nSeeds = nodesBase.filter(col("seed")).count()
+    if (nodesBase.count() == 0) {
+      Seq(e, adj, nodesBase).foreach(_.unpersist())
+      return e.select(col("src").as("node"), lit(0.0).as("rank"))
+        .limit(0).localCheckpoint(true)
+    }
+    // normalized teleport value, materialized once per node
+    val sv = when(col("seed") && lit(nSeeds > 0),
+      lit(1.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0))
+    val danglingSum = sum(when(col("dangling"), col("rank"))
+      .otherwise(lit(0.0))).as("dangling_mass")
+    val obs0 = Observation()
+    var checkpointed = nodesBase
+      .select(col("node"), col("dangling"), sv.as("sv"))
+      .withColumn("rank", col("sv"))
+      .observe(obs0, danglingSum)
+      .localCheckpoint(true)
+    var ranks = checkpointed
+    var dm = obs0.get("dangling_mass").asInstanceOf[Double]
+    var it = 0
+    while (it < iterations) {
+      val obs = Observation()
+      // sv·((1−d) + d·dm) + d·contrib — the factor is one scalar per
+      // round, computed the same way the oracle's SQL computes it
+      val sFactor = (1.0 - damping) + damping * dm
+      val contribs = adj
+        .join(ranks.select(col("node"), col("rank")),
+          col("src") === col("node"))
+        .select(col("dst").as("node"), (col("rank") / col("dout")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      val next = ranks
+        .select(col("node"), col("dangling"), col("sv"), col("rank"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"), col("dangling"), col("sv"),
+          (col("sv") * lit(sFactor) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .observe(obs, danglingSum)
+        .localCheckpoint(true)
+      dm = obs.get("dangling_mass").asInstanceOf[Double]
+      checkpointed.unpersist()
+      checkpointed = next
+      ranks = next
+      it += 1
+    }
+    Seq(e, adj, nodesBase).foreach(_.unpersist())
+    ranks.select(col("node"), col("rank"))
   }
 
   /** One distributed round, exposed for the PlanSpec pin: every

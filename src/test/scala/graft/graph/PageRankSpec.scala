@@ -109,6 +109,40 @@ class PageRankSpec extends SparkSpec {
     assert(rounds === 3)
   }
 
+  test("personalized with every node a seed ≡ uniform pageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (6L, 1L)).toDF("a", "b")
+    val uniform = PageRank.pageRank(edges, "a", "b", iterations = 6,
+        smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val personal = PageRank.personalizedPageRank(edges, "a", "b",
+        _ => org.apache.spark.sql.functions.lit(true), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(personal.keySet === uniform.keySet)
+    // same recurrence in a different algebraic arrangement → equal
+    // to summation-order ulps
+    personal.foreach { case (n, v) =>
+      assert(math.abs(v - uniform(n)) < 1e-12, s"node $n")
+    }
+  }
+
+  test("personalized: mass sums to 1 and starves the unreachable component") {
+    // component A holds the seed; component B has no inbound path
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("a", "b")
+    val r = PageRank.personalizedPageRank(edges, "a", "b",
+        n => n === 1L, iterations = 12)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // seeded component keeps essentially all the mass
+    val a = Seq(1L, 2L, 3L).map(r).sum
+    val b = Seq(10L, 11L, 12L).map(r).sum
+    assert(a > 0.99, s"seeded component mass $a")
+    assert(b < 0.01, s"unseeded component mass $b")
+    // the seed itself outranks every node of the starved component
+    assert(Seq(10L, 11L, 12L).forall(n => r(1L) > r(n)))
+  }
+
   test("empty edge list yields an empty frame, not a failure") {
     val pr = PageRank.pageRank(Seq.empty[(Long, Long)].toDF("s", "t"),
       "s", "t")
