@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
@@ -50,13 +50,17 @@ object SparkEntry {
     * inside this call (bounded by the query's output contract), so
     * the conf flip never leaks to other queries.
     */
-  private def withAqeOff(s: SparkSession)(build: => DataFrame): DataFrame = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "false")
-    try build.localCheckpoint(true)
-    finally s.conf.set(key, prev)
-  }
+  private def withAqeOff(s: SparkSession)(build: => DataFrame): DataFrame =
+    // serialized per session: two concurrent wrapped builds could
+    // otherwise interleave get/set and restore the wrong value,
+    // leaving AQE off for every later (graph) query on the session
+    s.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "false")
+      try build.localCheckpoint(true)
+      finally s.conf.set(key, prev)
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The caller's session may not carry the nanos config the events
@@ -452,8 +456,7 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"),
           (col("doc_id") + 1000000L).as("id_b"),
           Dedup.shingles(col("text"), 3).as("ga"),
-          Dedup.shingles(concat_ws(" ",
-            slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))), 3).as("gb"))
+          Dedup.shingles(plantedPerturbedText(ws), 3).as("gb"))
       val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
           "doc_id", "text", hashMode = "md5")
         .filter(col("id_b") === col("id_a") + 1000000L &&
@@ -522,7 +525,7 @@ object SparkEntry {
       val ws = split(col("text"), " ", -1)
       val newBatch = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+          plantedPerturbedText(ws).as("text"))
       // the signature index is a build-once corpus artifact (same
       // serving model as the written IVF index): built on first use,
       // probed thereafter
@@ -552,7 +555,7 @@ object SparkEntry {
       val ws = split(col("text"), " ", -1)
       val newBatch = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+          plantedPerturbedText(ws).as("text"))
       SessionCaches.ensureHook(s)
       val index = sigIndexCache.computeIfAbsent((s, d), kv =>
         Dedup.minhashSignatures(Tables.documents(kv._1, kv._2)
@@ -1656,13 +1659,22 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1"""
     }
 
+  /** The planted near-dup perturbation — a doc's words minus its
+    * last two (floor one word). ONE expression shared by the corpus
+    * planting, both increment queries, and the recall truth side, so
+    * the planting rule can never drift between the pipeline under
+    * test and the ground truth measuring it.
+    */
+  private def plantedPerturbedText(ws: Column): Column =
+    concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1))))
+
   private def plantedCorpus(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val ws = split(col("text"), " ", -1)
     val perturbed = docs
       .filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1)))).as("text"))
+        plantedPerturbedText(ws).as("text"))
     docs.unionByName(perturbed)
   }
 
@@ -1670,7 +1682,10 @@ object SparkEntry {
     staticOracleSql ++
       // the indexed serving path must agree with the one-shot ranking,
       // so its oracle IS the q_search_bm25 replay
-      Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25")) ++
+      Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25"),
+        // written-model DSIR must score identically to the in-session
+        // path, so its oracle IS the q_dsir_weights replay
+        "q_dsir_weights_indexed" -> staticOracleSql("q_dsir_weights")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
@@ -2775,7 +2790,7 @@ object SparkEntry {
     // dsirModelFor artifact; dsir CTEs x-prefixed to dodge the gate
     // CTE names)
     "q_curation_dsir" -> (curationGateCtes +
-      """, gated AS (SELECT c.doc_id, c.text
+      s""", gated AS (SELECT c.doc_id, c.text
            FROM corp0 c
            JOIN rep ON rep.doc_id = c.doc_id
            JOIN con ON con.doc_id = c.doc_id
@@ -2783,41 +2798,15 @@ object SparkEntry {
            WHERE NOT rep.repetitive AND NOT con.contaminated
              AND NOT lm.lm_nll >= 10.0),
          keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
-         xt AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-                FROM documents),
-         xg AS (SELECT doc_id, lang, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM xt),
-         xgb AS (SELECT doc_id, lang,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                 FROM xg),
-         xtc AS (SELECT b, count(*) AS c FROM xgb WHERE lang = 'en' GROUP BY 1),
-         xrc AS (SELECT b, count(*) AS c FROM xgb GROUP BY 1),
-         xnt AS (SELECT sum(c) AS n FROM xtc),
-         xnr AS (SELECT sum(c) AS n FROM xrc),
-         xr AS (SELECT d.range AS b,
-                 CAST(round(ln(((coalesce(xtc.c, 0) + 1.0) * (xnr.n + 1024)) /
-                               ((coalesce(xrc.c, 0) + 1.0) * (xnt.n + 1024)))
-                            * 1000000.0) AS BIGINT) AS r6
-               FROM range(1024) d
-               LEFT JOIN xtc ON d.range = xtc.b
-               LEFT JOIN xrc ON d.range = xrc.b
-               CROSS JOIN xnt CROSS JOIN xnr),
+         ${dsirCtes("x")},
          xs AS (SELECT xgb.doc_id, sum(xr.r6) AS s6
                FROM xgb JOIN xr ON xgb.b = xr.b
                WHERE xgb.doc_id IN (SELECT doc_id FROM keep)
                GROUP BY 1),
-         xk AS (SELECT doc_id, s6 +
-                 CAST(round(-ln(-ln((CAST(concat('0x',
-                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                     AS BIGINT) + 0.5) / 1152921504606846976.0))
-                   * 1000000.0) AS BIGINT) AS key6
+         xk AS (SELECT doc_id, s6 + ${gumbel6Sql("doc_id")} AS key6
                FROM xs)
          SELECT doc_id,
-           (CASE WHEN key6 < 0 THEN -floor((-key6 + 50) / 100.0)
-                 ELSE floor((key6 + 50) / 100.0) END) / 10000.0 AS dsir_key
+           ${micro4Sql("key6")} AS dsir_key
          FROM (SELECT * FROM xk ORDER BY key6 DESC, doc_id LIMIT 50)
          ORDER BY doc_id"""),
     // the capstone tail + the PageRank bottom-decile prior over the
@@ -2929,101 +2918,25 @@ object SparkEntry {
     // and raw (all), add-1 log-ratios rounded to integer micro-nats
     // (the ln ulp contract), per-doc exact long sums
     "q_dsir_weights" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, lang, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM t),
-         gb AS (SELECT doc_id, lang,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM g),
-         tc AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
-         rc AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
-         nt AS (SELECT sum(c) AS n FROM tc),
-         nr AS (SELECT sum(c) AS n FROM rc),
-         r AS (SELECT d.range AS b,
-                 CAST(round(ln(((coalesce(tc.c, 0) + 1.0) * (nr.n + 1024)) /
-                               ((coalesce(rc.c, 0) + 1.0) * (nt.n + 1024)))
-                            * 1000000.0) AS BIGINT) AS r6
-               FROM range(1024) d
-               LEFT JOIN tc ON d.range = tc.b
-               LEFT JOIN rc ON d.range = rc.b
-               CROSS JOIN nt CROSS JOIN nr),
+      (s"""WITH ${dsirCtes("")},
          s AS (SELECT gb.doc_id, count(*) AS n_grams, sum(r.r6) AS s6
                FROM gb JOIN r ON gb.b = r.b GROUP BY 1)
          SELECT doc_id, n_grams,
-           (CASE WHEN s6 < 0 THEN -floor((-s6 + 50) / 100.0)
-                 ELSE floor((s6 + 50) / 100.0) END) / 10000.0 AS dsir_logw
-         FROM s ORDER BY doc_id""",
+           ${micro4Sql("s6")} AS dsir_logw
+         FROM s ORDER BY doc_id"""),
     "q_dsir_select" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, lang, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM t),
-         gb AS (SELECT doc_id, lang,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM g),
-         tc AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
-         rc AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
-         nt AS (SELECT sum(c) AS n FROM tc),
-         nr AS (SELECT sum(c) AS n FROM rc),
-         r AS (SELECT d.range AS b,
-                 CAST(round(ln(((coalesce(tc.c, 0) + 1.0) * (nr.n + 1024)) /
-                               ((coalesce(rc.c, 0) + 1.0) * (nt.n + 1024)))
-                            * 1000000.0) AS BIGINT) AS r6
-               FROM range(1024) d
-               LEFT JOIN tc ON d.range = tc.b
-               LEFT JOIN rc ON d.range = rc.b
-               CROSS JOIN nt CROSS JOIN nr),
+      (s"""WITH ${dsirCtes("")},
          s AS (SELECT gb.doc_id, sum(r.r6) AS s6
                FROM gb JOIN r ON gb.b = r.b GROUP BY 1),
-         k AS (SELECT doc_id, s6 +
-                 CAST(round(-ln(-ln((CAST(concat('0x',
-                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                     AS BIGINT) + 0.5) / 1152921504606846976.0))
-                   * 1000000.0) AS BIGINT) AS key6
+         k AS (SELECT doc_id, s6 + ${gumbel6Sql("doc_id")} AS key6
                FROM s)
          SELECT doc_id,
-           (CASE WHEN key6 < 0 THEN -floor((-key6 + 50) / 100.0)
-                 ELSE floor((key6 + 50) / 100.0) END) / 10000.0 AS dsir_key
+           ${micro4Sql("key6")} AS dsir_key
          FROM (SELECT * FROM k ORDER BY key6 DESC, doc_id LIMIT 50)
-         ORDER BY doc_id""",
-    // the written-model path scores identically to q_dsir_weights:
-    // the parquet round-trip must not change a single micro-nat
-    "q_dsir_weights_indexed" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, lang, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM t),
-         gb AS (SELECT doc_id, lang,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM g),
-         tc AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY 1),
-         rc AS (SELECT b, count(*) AS c FROM gb GROUP BY 1),
-         nt AS (SELECT sum(c) AS n FROM tc),
-         nr AS (SELECT sum(c) AS n FROM rc),
-         r AS (SELECT d.range AS b,
-                 CAST(round(ln(((coalesce(tc.c, 0) + 1.0) * (nr.n + 1024)) /
-                               ((coalesce(rc.c, 0) + 1.0) * (nt.n + 1024)))
-                            * 1000000.0) AS BIGINT) AS r6
-               FROM range(1024) d
-               LEFT JOIN tc ON d.range = tc.b
-               LEFT JOIN rc ON d.range = rc.b
-               CROSS JOIN nt CROSS JOIN nr),
-         s AS (SELECT gb.doc_id, count(*) AS n_grams, sum(r.r6) AS s6
-               FROM gb JOIN r ON gb.b = r.b GROUP BY 1)
-         SELECT doc_id, n_grams,
-           (CASE WHEN s6 < 0 THEN -floor((-s6 + 50) / 100.0)
-                 ELSE floor((s6 + 50) / 100.0) END) / 10000.0 AS dsir_logw
-         FROM s ORDER BY doc_id""",
+         ORDER BY doc_id"""),
+    // q_dsir_weights_indexed aliases the q_dsir_weights replay in
+    // oracleSql (the q_search_bm25_indexed precedent): the written-
+    // model path must score identically to the in-session one
     "q_token_fertility" ->
       """SELECT lang, count(*) AS docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
@@ -3845,6 +3758,50 @@ object SparkEntry {
          SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
        $rounds"""
   }
+
+  /** The DSIR model-replay CTE chain, shared by every DSIR oracle
+    * (weights, select, the written-model twin, and the curation
+    * composition — which x-prefixes it around the gate CTE names).
+    * One text, four oracles: a smoothing or bucket-hash change can't
+    * desynchronize them.
+    */
+  private def dsirCtes(p: String): String =
+    s"""${p}t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                FROM documents),
+         ${p}g AS (SELECT doc_id, lang, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM ${p}t),
+         ${p}gb AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM ${p}g),
+         ${p}tc AS (SELECT b, count(*) AS c FROM ${p}gb WHERE lang = 'en' GROUP BY 1),
+         ${p}rc AS (SELECT b, count(*) AS c FROM ${p}gb GROUP BY 1),
+         ${p}nt AS (SELECT sum(c) AS n FROM ${p}tc),
+         ${p}nr AS (SELECT sum(c) AS n FROM ${p}rc),
+         ${p}r AS (SELECT d.range AS b,
+                 CAST(round(ln(((coalesce(${p}tc.c, 0) + 1.0) * (${p}nr.n + 1024)) /
+                               ((coalesce(${p}rc.c, 0) + 1.0) * (${p}nt.n + 1024)))
+                            * 1000000.0) AS BIGINT) AS r6
+               FROM range(1024) d
+               LEFT JOIN ${p}tc ON d.range = ${p}tc.b
+               LEFT JOIN ${p}rc ON d.range = ${p}rc.b
+               CROSS JOIN ${p}nt CROSS JOIN ${p}nr)"""
+
+  /** Exact 4-decimal readout of an integer micro-value in SQL — the
+    * [[graft.selection.Dsir]] micro4 contract.
+    */
+  private def micro4Sql(c: String): String =
+    s"""(CASE WHEN $c < 0 THEN -floor((-$c + 50) / 100.0)
+                 ELSE floor(($c + 50) / 100.0) END) / 10000.0"""
+
+  /** md5-derived Gumbel key in integer micro-nats (dsirSelect). */
+  private def gumbel6Sql(id: String): String =
+    s"""CAST(round(-ln(-ln((CAST(concat('0x',
+                     substring(md5(CAST($id AS VARCHAR)), 1, 15))
+                     AS BIGINT) + 0.5) / 1152921504606846976.0))
+                   * 1000000.0) AS BIGINT)"""
 
   /** TrustRank replay: the [[pageRankRoundCtes]] graph CTEs with the
     * seed-restricted teleport — r0 = s(v), each round

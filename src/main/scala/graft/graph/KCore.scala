@@ -46,12 +46,6 @@ object KCore {
     var rounds = 0
     var done = aliveCount == 0
     while (!done) {
-      if (rounds >= maxRounds)
-        // a silent early stop would return a SUPERSET of the k-core;
-        // fail loudly instead — the caller raises the budget
-        throw new IllegalStateException(
-          s"k-core did not reach a fixpoint in $maxRounds rounds " +
-            s"($aliveCount nodes still alive) — raise maxRounds")
       val next = sym
         .join(alive.select(col("node").as("u")), Seq("u"))
         .join(alive.select(col("node").as("v")), Seq("v"))
@@ -60,8 +54,22 @@ object KCore {
         .select(col("u").as("node"))
         .localCheckpoint(true)
       val nextCount = next.count()
-      if (nextCount == aliveCount) done = true
-      else {
+      if (nextCount == aliveCount) {
+        // fixpoint confirmed — the budget only limits SHRINK rounds,
+        // so reaching it on the confirming pass is success
+        next.unpersist()
+        done = true
+      } else if (rounds >= maxRounds) {
+        // a silent early stop would return a SUPERSET of the k-core;
+        // fail loudly instead — the caller raises the budget
+        next.unpersist()
+        throw new IllegalStateException(
+          s"k-core did not reach a fixpoint in $maxRounds rounds " +
+            s"($aliveCount nodes still alive) — raise maxRounds")
+      } else {
+        // the superseded round's checkpoint blocks free now, not at
+        // GC time (the PageRank round discipline)
+        alive.unpersist()
         alive = next
         aliveCount = nextCount
         rounds += 1

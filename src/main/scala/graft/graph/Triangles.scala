@@ -36,8 +36,11 @@ object Triangles {
   private def rankLt(da: Column, a: Column, db: Column, b: Column): Column =
     da < db || (da === db && a < b)
 
-  def triangleStats(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+  /** Per-node degrees plus the closed-triangle frame (s, a, b) —
+    * shared by the per-node rollup and the global count.
+    */
+  private def degreesAndTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
@@ -65,6 +68,12 @@ object Triangles {
     val triangles = paths.join(oriented,
       paths("a") === oriented("src") && paths("b") === oriented("dst"))
       .select(col("s"), col("a"), col("b"))
+    (deg, triangles)
+  }
+
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (deg, triangles) = degreesAndTriangles(edges, srcCol, dstCol)
     val triPerNode = triangles.select(col("s").as("node"))
       .union(triangles.select(col("a").as("node")))
       .union(triangles.select(col("b").as("node")))
@@ -80,9 +89,12 @@ object Triangles {
       .orderBy(col("node"))
   }
 
-  /** Global triangle count — one row; each triangle counted once. */
+  /** Global triangle count — one row, counted straight off the
+    * closed-triangle frame (no per-node rollup, no degree join, no
+    * operator-level sort to discard).
+    */
   def triangleCount(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
-    triangleStats(edges, srcCol, dstCol)
-      .agg((sum(col("triangles")) / lit(3)).cast("long").as("n_triangles"))
+    degreesAndTriangles(edges, srcCol, dstCol)._2
+      .agg(count(lit(1)).as("n_triangles"))
 }

@@ -122,6 +122,14 @@ object Dsir {
     buildModel(tc, rc, buckets)
   }
 
+  /** Half AWAY from zero — what both DuckDB's round() and Spark's
+    * Column round apply; `math.round` alone rounds half toward +∞,
+    * which diverges on negative ….5 boundaries (driver-side code
+    * must match the engines it is oracled against).
+    */
+  private def roundHalfAway(x: Double): Long =
+    if (x < 0) -math.round(-x) else math.round(x)
+
   private def buildModel(tc: Map[Long, Long], rc: Map[Long, Long],
       buckets: Int): DsirModel = {
     val nt = tc.valuesIterator.sum
@@ -129,7 +137,7 @@ object Dsir {
     val ratios = (0 until buckets).map { b =>
       val num = (tc.getOrElse(b.toLong, 0L) + 1.0) * (nr + buckets)
       val den = (rc.getOrElse(b.toLong, 0L) + 1.0) * (nt + buckets)
-      math.round(math.log(num / den) * 1e6)
+      roundHalfAway(math.log(num / den) * 1e6)
     }
     DsirModel(ratios)
   }

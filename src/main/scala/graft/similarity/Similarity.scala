@@ -117,9 +117,13 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("dim"),
             col("s").as("s")))), t => t.getField("s")).as("lvi"))
     val gv = lv.agg(collect_list(col("lvi")).as("vs"))
+      // get() (0-based, null on out-of-bounds) not element_at: an
+      // EMPTY embeddings input leaves vs empty, and under Spark 4's
+      // default ANSI mode element_at(vs, 1) would throw during the
+      // broadcast build instead of the query returning zero rows
       .select(aggregate(
         slice(col("vs"), lit(2), size(col("vs"))),
-        element_at(col("vs"), 1),
+        get(col("vs"), lit(0)),
         (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("gvi"))
     lv.crossJoin(broadcast(gv))
       .select(col("label"), col("n_vecs"),

@@ -7,6 +7,13 @@ package graft.tools
   * runtime coalesce); this measures what its per-stage re-planning
   * costs at TEST scale so the floor discussion rests on a number,
   * not a hunch.
+  *
+  * NOTE: queries already wrapped in `SparkEntry.withAqeOff`
+  * (q_dedup_incremental, q_bpe_merges) force AQE off INTERNALLY, so
+  * for them both passes measure the off path and off/on ≈ 1.00 —
+  * that reading confirms the wrapper engaged; the 2.0×/1.3× ratios
+  * in BUILD_NOTES were measured before the wrap. To re-measure a
+  * wrapped query's true A/B, call its OPERATOR directly.
   * Usage: runMain graft.tools.ProfileAqe [sfDir] [q1,q2,...]
   */
 object ProfileAqe {

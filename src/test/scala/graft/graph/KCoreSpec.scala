@@ -62,4 +62,14 @@ class KCoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fixpoint"))
   }
+
+  test("a budget of exactly the needed shrink rounds succeeds") {
+    val (_, needed) = refCore(2)
+    assert(needed > 0)
+    val r = KCore.kCore(df, "s", "t", 2, maxRounds = needed)
+    assert(r.rounds === needed)
+    intercept[IllegalStateException] {
+      KCore.kCore(df, "s", "t", 2, maxRounds = needed - 1)
+    }
+  }
 }

@@ -52,7 +52,9 @@ class DsirSpec extends SparkSpec {
     (0 until B).map { b =>
       val num = (tc.getOrElse(b.toLong, 0L) + 1.0) * (nr + B)
       val den = (rc.getOrElse(b.toLong, 0L) + 1.0) * (nt + B)
-      math.round(math.log(num / den) * 1e6)
+      // half AWAY from zero — the engines' round(), not math.round
+      val x = math.log(num / den) * 1e6
+      if (x < 0) -math.round(-x) else math.round(x)
     }
   }
 

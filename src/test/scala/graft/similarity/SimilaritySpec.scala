@@ -131,6 +131,12 @@ class SimilaritySpec extends SparkSpec {
       rows.filter(_._3 == 0).toDF("vec_id", "embedding", "label"))
       .collect().map(r => r.getDouble(2))
     assert(solo.toSeq === Seq(1.0))
+    // empty input returns zero rows — under ANSI, an element_at over
+    // the empty collected array would throw during the broadcast build
+    val none = Similarity.centroidDrift(
+      rows.filter(_ => false).toDF("vec_id", "embedding", "label"))
+      .collect()
+    assert(none.isEmpty)
   }
 
   test("annRecall: probing every cell scores 1.0; fewer probes never beat it") {
