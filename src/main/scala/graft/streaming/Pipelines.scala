@@ -668,6 +668,57 @@ object Pipelines {
     } finally freeLocalCheckpoint(survivors)
   }
 
+  /** STREAMING DATA SELECTION: each micro-batch scores against a
+    * frozen DSIR ratio table (the written
+    * [[graft.selection.Dsir.writeDsirModel]] artifact) and keeps the
+    * docs whose importance log-weight clears `minLogw` — target-
+    * distribution selection applied AT INGEST instead of as a batch
+    * pass. The gate is row-local ([[graft.curation.Serving.dsirLogwLocal]]:
+    * one literal table, zero state, zero stream-side shuffle), so the
+    * sink shape is exactly [[processLmGateBatch]]'s idempotent
+    * dynamic-partition overwrite — a checkpoint replay of batch N
+    * rewrites its own partition only.
+    */
+  def processDsirGateBatch(batch: DataFrame,
+      model: graft.selection.Dsir.DsirModel, outDir: String,
+      batchId: Long, minLogw: Double): Unit = {
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors = batch
+      .withColumn("dsir_logw", graft.curation.Serving.dsirLogwLocal(model)(
+        graft.functions.TextFunctions.words(col("text"))))
+      .filter(col("dsir_logw") >= minLogw)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // score once: isEmpty probe + write share it
+    try {
+      if (!survivors.isEmpty || fs.exists(outPath))
+        survivors.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally freeLocalCheckpoint(survivors)
+  }
+
+  /** The streaming entry for DSIR selection: model read ONCE per
+    * stream from the written artifact, then row-local gating per
+    * micro-batch (the [[lmGateSink]] lifecycle).
+    */
+  def dsirGateSink(docs: DataFrame, modelDir: String, outDir: String,
+      checkpointDir: String, minLogw: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = graft.selection.Dsir
+      .readDsirModel(docs.sparkSession, modelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDsirGateBatch(batch, model, outDir, batchId, minLogw)
+      }
+      .start()
+  }
+
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
     * corpus at `outDir`, exactly-once via checkpoint + the idempotent
     * batch core above.

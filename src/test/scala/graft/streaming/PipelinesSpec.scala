@@ -590,4 +590,49 @@ class PipelinesSpec extends SparkSpec {
       s"$tmp/model", s"$tmp/out2", 0L, nllThreshold = 0.7)
     assert(!new java.io.File(s"$tmp/out2").exists())
   }
+
+  test("streaming DSIR gate ≡ batch score-and-filter; replay-idempotent") {
+    import graft.selection.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsirgate").toString
+    val pool = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog ran to the park", "en"),
+      (3L, "der hund lief zum park", "de"),
+      (4L, "el gato y el perro", "es"),
+      (5L, "the cat and the dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = Dsir.dsirTrainWith(pool, col("lang") === "en", 32)
+    Dsir.writeDsirModel(spark, model, s"$tmp/model")
+    // a threshold between the english and non-english score bands
+    val scored = Dsir.dsirScore(pool, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val minLogw = 0.0
+    val wantKept = scored.filter(_._2 >= minLogw).keySet
+    assert(wantKept.nonEmpty && wantKept.size < scored.size,
+      s"threshold should split the pool: $scored")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.dsirGateSink(mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt", minLogw)
+    val rows = pool.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+
+    def surviving() = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving() === wantKept)
+    // crash-replay of batch 0 rewrites only its own partition
+    Pipelines.processDsirGateBatch(b1.toDF("doc_id", "text"),
+      model, s"$tmp/out", 0L, minLogw)
+    assert(surviving() === wantKept)
+    assert(spark.read.parquet(s"$tmp/out").count() === wantKept.size.toLong)
+    // the carried dsir_logw column matches the batch operator
+    val carried = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "dsir_logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    carried.foreach { case (id, w) => assert(w === scored(id), s"doc $id") }
+  }
 }
