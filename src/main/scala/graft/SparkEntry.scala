@@ -380,6 +380,10 @@ object SparkEntry {
     // exercises the degree-ordered orientation's heavy-hitter bound)
     "q_triangles" -> ((s, d) =>
       graft.graph.Triangles.triangleStats(linkGraphEdges(s, d), "s", "t")),
+    // Degree assortativity of the same graph: Pearson over endpoint
+    // degrees, exact integer moment sums, one division per graph
+    "q_assortativity" -> ((s, d) =>
+      graft.graph.Triangles.assortativity(linkGraphEdges(s, d), "s", "t")),
     // 2-core of the same graph by synchronous peeling to fixpoint:
     // the pendant-chain tails drop in round 1, their middle links in
     // round 2, triangles and star heads survive; the recorded round
@@ -1641,15 +1645,7 @@ object SparkEntry {
            WHERE dd >= 2)"""
       }.mkString
       "q_kcore" ->
-        s"""WITH k AS (SELECT o_orderkey - o_orderkey % 4 AS g FROM orders),
-         e0 AS (SELECT g AS s, g + 1 AS t FROM k
-                UNION ALL SELECT g + 1, g + 2 FROM k
-                UNION ALL SELECT g, g + 2 FROM k
-                UNION ALL SELECT g, g - g % 16 FROM k
-                UNION ALL SELECT g + 2, g + 1000000000 FROM k
-                UNION ALL SELECT g + 1000000000, g + 2000000000 FROM k),
-         und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
-                 FROM e0 WHERE s <> t),
+        s"""WITH $linkGraphCtes,
          sym AS MATERIALIZED (
            SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
          a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)$rounds
@@ -2095,18 +2091,7 @@ object SparkEntry {
     // triangle replay: canonical undirected edges, degree-ordered
     // orientation, 2-path join closed against the oriented edges
     "q_triangles" ->
-      """WITH k AS (SELECT o_orderkey - o_orderkey % 4 AS g FROM orders),
-         e0 AS (SELECT g AS s, g + 1 AS t FROM k
-                UNION ALL SELECT g + 1, g + 2 FROM k
-                UNION ALL SELECT g, g + 2 FROM k
-                UNION ALL SELECT g, g - g % 16 FROM k
-                UNION ALL SELECT g + 2, g + 1000000000 FROM k
-                UNION ALL SELECT g + 1000000000, g + 2000000000 FROM k),
-         und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
-                 FROM e0 WHERE s <> t),
-         deg AS (SELECT node, count(*) AS d FROM (
-                   SELECT u AS node FROM und
-                   UNION ALL SELECT v FROM und) GROUP BY 1),
+      (s"""WITH $linkGraphCtes,
          o AS (SELECT
                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
                       THEN u ELSE v END AS src,
@@ -2134,7 +2119,7 @@ object SparkEntry {
               // (2 * deg.d * (deg.d - 1))) / 10000.0
            ELSE 0.0 END AS clustering
          FROM deg LEFT JOIN tn ON deg.node = tn.node
-         ORDER BY deg.node""",
+         ORDER BY deg.node"""),
     "q_graph_degrees" ->
       """WITH e0 AS (
            SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
@@ -2155,6 +2140,29 @@ object SparkEntry {
          GROUP BY 1 ORDER BY event_type""",
     "q_minhash_neardup_md5" -> (minhashMd5Cte +
       "SELECT id_a, id_b, round(j,4) AS jaccard FROM pr ORDER BY id_a, id_b"),
+    // assortativity replay: five exact moment sums, one guarded
+    // division; m is even (both orientations), so m/2 is exact
+    "q_assortativity" ->
+      (s"""WITH $linkGraphCtes,
+         sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         j AS (SELECT du.d AS du, dv.d AS dv
+               FROM sym
+               JOIN deg du ON sym.u = du.node
+               JOIN deg dv ON sym.v = dv.node),
+         a AS (SELECT count(*) AS m,
+                 CAST(sum(du) AS BIGINT) AS sx,
+                 CAST(sum(dv) AS BIGINT) AS sy,
+                 CAST(sum(du * dv) AS BIGINT) AS sxy,
+                 CAST(sum(du * du) AS BIGINT) AS sxx,
+                 CAST(sum(dv * dv) AS BIGINT) AS syy
+               FROM j)
+         SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
+                       sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+                            CAST(m * syy - sy * sy AS DOUBLE)), 4)
+           END AS assortativity
+         FROM a"""),
     // recall replay: truth = planted pairs with exact J >= 0.5 (both
     // sides need shingles, the signature pass's own precondition);
     // found = the pipeline's verified pairs restricted to planted ids
@@ -3758,6 +3766,24 @@ object SparkEntry {
          SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
        $rounds"""
   }
+
+  /** The link-graph oracle front (edge construction, canonical
+    * undirected edges, degrees) shared by q_triangles / q_kcore /
+    * q_assortativity — one text, three oracles.
+    */
+  private val linkGraphCtes: String =
+    """k AS (SELECT o_orderkey - o_orderkey % 4 AS g FROM orders),
+         e0 AS (SELECT g AS s, g + 1 AS t FROM k
+                UNION ALL SELECT g + 1, g + 2 FROM k
+                UNION ALL SELECT g, g + 2 FROM k
+                UNION ALL SELECT g, g - g % 16 FROM k
+                UNION ALL SELECT g + 2, g + 1000000000 FROM k
+                UNION ALL SELECT g + 1000000000, g + 2000000000 FROM k),
+         und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+                 FROM e0 WHERE s <> t),
+         deg AS (SELECT node, count(*) AS d FROM (
+                   SELECT u AS node FROM und
+                   UNION ALL SELECT v FROM und) GROUP BY 1)"""
 
   /** The DSIR model-replay CTE chain, shared by every DSIR oracle
     * (weights, select, the written-model twin, and the curation

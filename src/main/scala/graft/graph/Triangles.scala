@@ -36,10 +36,10 @@ object Triangles {
   private def rankLt(da: Column, a: Column, db: Column, b: Column): Column =
     da < db || (da === db && a < b)
 
-  /** Per-node degrees plus the closed-triangle frame (s, a, b) —
-    * shared by the per-node rollup and the global count.
+  /** Canonical undirected edge list + per-node degrees — the shared
+    * front of every whole-graph statistic here.
     */
-  private def degreesAndTriangles(edges: DataFrame, srcCol: String,
+  private def undAndDeg(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame) = {
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
@@ -50,6 +50,60 @@ object Triangles {
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    (und, deg)
+  }
+
+  /** Degree assortativity (Newman '02): Pearson correlation of the
+    * endpoint degrees over the undirected edges, each edge counted in
+    * both orientations (the standard symmetric form). Social-ish
+    * graphs run positive (hubs link hubs); crawled web and citation
+    * graphs run negative — a corpus-level structure readout next to
+    * the per-node triangle/k-core priors.
+    *
+    * Exactness: all five moment sums (m, Σx, Σxy, Σx², Σy²) are
+    * exact longs (ANSI overflow surfaces loudly rather than
+    * wrapping), and the ONE division happens once per graph on a
+    * single row — identical IEEE in any engine, rounded at 4. Zero
+    * degree variance (every endpoint equal) reads NULL, not NaN.
+    *
+    * Scale: the degree aggregation, two node-keyed joins onto the
+    * edge list, and a global 5-sum rollup — nothing quadratic, no
+    * driver data.
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (und, deg) = undAndDeg(edges, srcCol, dstCol)
+    val sym = und.unionByName(
+      und.select(col("v").as("u"), col("u").as("v")))
+    val joined = sym
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+    joined
+      .agg(count(lit(1)).as("m"),
+        sum(col("du")).as("sx"),
+        sum(col("dv")).as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        when(
+          (col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+          round(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("m") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 4))
+          .as("assortativity"))
+  }
+
+  /** Per-node degrees plus the closed-triangle frame (s, a, b) —
+    * shared by the per-node rollup and the global count.
+    */
+  private def degreesAndTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val (und, deg) = undAndDeg(edges, srcCol, dstCol)
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")

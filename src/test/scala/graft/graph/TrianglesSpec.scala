@@ -51,6 +51,39 @@ class TrianglesSpec extends SparkSpec {
     assert(n === 5L)
   }
 
+  test("assortativity matches a local Pearson reference; star is -1, cycle null") {
+    def ref(es: Seq[(Long, Long)]): Option[Double] = {
+      val und = es.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val deg = und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val pts = und.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+      val m = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val vx = m * sxx - sx * sx; val vy = m * syy - sy * sy
+      if (vx > 0 && vy > 0)
+        Some(BigDecimal((m * sxy - sx * sy).toDouble /
+            math.sqrt(vx.toDouble * vy.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    def got(es: Seq[(Long, Long)]): (Long, Option[Double]) = {
+      val r = Triangles.assortativity(es.toDF("s", "t"), "s", "t").head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    val mixed = got(edges)
+    assert(mixed._2 === ref(edges))
+    // a perfect star is maximally disassortative
+    val star = (2L to 8L).map(i => (1L, i))
+    assert(got(star) === ((7L, Some(-1.0))))
+    // a cycle has zero degree variance → NULL, not NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(got(cycle) === ((4L, None)))
+  }
+
   test("plan: hash joins only, no cartesian or nested-loop") {
     val p = Triangles.triangleStats(df, "s", "t")
       .queryExecution.executedPlan.toString
