@@ -483,6 +483,45 @@ object SparkEntry {
             expr("(n_found * 20000 + n_truth) div (2 * n_truth)") /
               lit(10000.0)).as("recall"))
     }),
+    // Recall BY SIMILARITY BAND: the planted pairs bucketed by exact
+    // Jaccard decile (band = ⌊10·J⌋ in exact integer arithmetic),
+    // each band's pipeline-found fraction — shows WHERE the loss
+    // lives: bands under the 0.5 verify threshold read 0 by design
+    // (the cliff), bands just above it carry the banding loss
+    "q_dedup_recall_bands" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ws = split(col("text"), " ", -1)
+      val pairs = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"),
+          Dedup.shingles(col("text"), 3).as("ga"),
+          Dedup.shingles(plantedPerturbedText(ws), 3).as("gb"))
+      val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
+          "doc_id", "text", hashMode = "md5")
+        .filter(col("id_b") === col("id_a") + 1000000L &&
+          col("id_a") % 5 === 0)
+        .select(col("id_a"), lit(1L).as("hit"))
+      // the shingle-less pairs carry a NULL group key instead of a
+      // row-level filter (which pushdown would rewrite into repeated
+      // shingle builds — the flaggedInternal hazard); their group is
+      // pruned AFTER aggregation, where nothing can re-evaluate
+      pairs.join(found, Seq("id_a"), "left")
+        .select(
+          // floor on both sides: Spark's double→long cast truncates
+          // but DuckDB's CAST rounds — floor is the one op they share
+          when(size(col("ga")) > 0 && size(col("gb")) > 0,
+            floor((lit(10) * size(array_intersect(col("ga"), col("gb")))) /
+              size(array_union(col("ga"), col("gb")))))
+            .as("band"),
+          col("hit"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
+        .filter(col("band").isNotNull)
+        .select(col("band"), col("n_pairs"), col("n_found"),
+          (expr("(n_found * 20000 + n_pairs) div (2 * n_pairs)") /
+            lit(10000.0)).as("found_frac"))
+        .orderBy(col("band"))
+    }),
     // md5-mode pairs closed under transitivity — the oracle replays
     // the transitive closure as a recursive CTE
     "q_dedup_clusters_md5" -> ((s, d) =>
@@ -2163,6 +2202,26 @@ object SparkEntry {
                             CAST(m * syy - sy * sy AS DOUBLE)), 4)
            END AS assortativity
          FROM a"""),
+    // banded replay: every planted pair with shingles lands in its
+    // exact-Jaccard decile; found joins the pipeline's verified pairs
+    "q_dedup_recall_bands" -> (minhashMd5Cte +
+      """, planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+                       FROM documents WHERE doc_id % 5 = 0),
+         tr AS (SELECT p.id_a,
+                  CAST(floor(10.0 * len(list_intersect(a.grams, b.grams)) /
+                    len(list_distinct(list_concat(a.grams, b.grams))))
+                    AS BIGINT) AS band
+                FROM planted p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b),
+         f AS (SELECT id_a FROM pr
+               WHERE id_b = id_a + 1000000 AND id_a % 5 = 0)
+         SELECT band, count(*) AS n_pairs,
+           count(f.id_a) AS n_found,
+           ((count(f.id_a) * 20000 + count(*)) // (2 * count(*)))
+             / 10000.0 AS found_frac
+         FROM tr LEFT JOIN f ON tr.id_a = f.id_a
+         GROUP BY band ORDER BY band"""),
     // recall replay: truth = planted pairs with exact J >= 0.5 (both
     // sides need shingles, the signature pass's own precondition);
     // found = the pipeline's verified pairs restricted to planted ids
