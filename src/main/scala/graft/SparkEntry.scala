@@ -930,6 +930,20 @@ object SparkEntry {
       graft.selection.Dsir.dsirSelect(Tables.documents(s, d),
         dsirModelFor(s, d), 50)
         .orderBy(col("doc_id"))),
+    // Incremental model refresh: counts are the MERGEABLE form of
+    // the DSIR model (log-ratios aren't — ln doesn't distribute), so
+    // base-corpus counts + a new batch's counts rebuild the ratio
+    // table EXACTLY as a full retrain would (count additivity) —
+    // which is why the full-corpus oracle gates the merged model
+    "q_dsir_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = graft.selection.Dsir.dsirCountsOf(
+        docs.filter(col("doc_id") % 3 =!= 0), col("lang") === "en", 1024)
+      val inc = graft.selection.Dsir.dsirCountsOf(
+        docs.filter(col("doc_id") % 3 === 0), col("lang") === "en", 1024)
+      graft.selection.Dsir.dsirScore(docs, base.merge(inc).toModel)
+        .orderBy(col("doc_id"))
+    }),
     // Same weights served from the WRITTEN parquet model — the
     // artifact lifecycle (train → write → read → score) under the
     // same oracle as the in-session path
@@ -1720,7 +1734,10 @@ object SparkEntry {
       Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25"),
         // written-model DSIR must score identically to the in-session
         // path, so its oracle IS the q_dsir_weights replay
-        "q_dsir_weights_indexed" -> staticOracleSql("q_dsir_weights")) ++
+        "q_dsir_weights_indexed" -> staticOracleSql("q_dsir_weights"),
+        // merged counts ≡ full retrain by additivity, so the merged
+        // model's scores are gated by the SAME full-corpus replay
+        "q_dsir_incremental" -> staticOracleSql("q_dsir_weights")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher

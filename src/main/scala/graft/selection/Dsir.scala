@@ -142,6 +142,81 @@ object Dsir {
     DsirModel(ratios)
   }
 
+  /** A DSIR model in COUNT form: per-bucket raw and target counts.
+    * Counts are the mergeable representation — log-ratios are not
+    * (ln doesn't distribute over addition) — so this is what an
+    * incremental pipeline persists: a new batch's counts ADD, and
+    * the refreshed ratio table is exactly the full-retrain one
+    * (count additivity; spec-pinned). Dense over the bucket domain.
+    */
+  final case class DsirCounts(raw: IndexedSeq[Long],
+      target: IndexedSeq[Long]) {
+    def buckets: Int = raw.length
+    require(target.length == raw.length,
+      s"count vectors disagree: ${raw.length} vs ${target.length}")
+
+    def toModel: DsirModel = {
+      val rc = raw.zipWithIndex.map { case (c, b) => b.toLong -> c }.toMap
+      val tc = target.zipWithIndex.map { case (c, b) => b.toLong -> c }.toMap
+      buildModel(tc, rc, buckets)
+    }
+
+    /** Exact merge: counts add. */
+    def merge(other: DsirCounts): DsirCounts = {
+      require(other.buckets == buckets,
+        s"bucket domains disagree: $buckets vs ${other.buckets}")
+      DsirCounts(
+        raw.zip(other.raw).map { case (a, b) => a + b },
+        target.zip(other.target).map { case (a, b) => a + b })
+    }
+  }
+
+  /** Count-form trainer: the same single scan as [[dsirTrainWith]],
+    * kept as counts for later incremental merges.
+    */
+  def dsirCountsOf(pool: DataFrame, targetPred: Column,
+      buckets: Int = 1024, textCol: String = "text"): DsirCounts = {
+    require(buckets > 0 && buckets <= MaxBuckets,
+      s"buckets must be in (0, $MaxBuckets]: $buckets")
+    val rows = pool
+      .select(targetPred.as("__t"),
+        explode(featureGrams(words(col(textCol)))).as("g"))
+      .groupBy(bucketOf(col("g"), buckets).as("b"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("__t"), lit(1))).as("ct"))
+      .collect()
+    val rc = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    DsirCounts(
+      (0 until buckets).map(b => rc.getOrElse(b.toLong, 0L)),
+      (0 until buckets).map(b => tc.getOrElse(b.toLong, 0L)))
+  }
+
+  /** Persist the count-form model — (b, cr, ct) parquet, the artifact
+    * an incremental refresh reads, merges, and rewrites.
+    */
+  def writeDsirCounts(spark: SparkSession, counts: DsirCounts,
+      dir: String): Unit = {
+    import spark.implicits._
+    (0 until counts.buckets)
+      .map(b => (b.toLong, counts.raw(b), counts.target(b)))
+      .toDF("b", "cr", "ct")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def readDsirCounts(spark: SparkSession, dir: String): DsirCounts = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = rows.size
+    require(b > 0 && b <= MaxBuckets &&
+      (0 until b).forall(i => rows.contains(i.toLong)),
+      s"$dir does not hold a dense bucket domain (${rows.size} rows)")
+    DsirCounts(
+      (0 until b).map(i => rows(i.toLong)._1),
+      (0 until b).map(i => rows(i.toLong)._2))
+  }
+
   /** Persist the ratio table as parquet — train once on the reference
     * corpora, score any later batch or stream against the artifact
     * (the writeLmModel / writeIvfIndex lifecycle).

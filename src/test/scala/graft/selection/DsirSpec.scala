@@ -147,6 +147,26 @@ class DsirSpec extends SparkSpec {
     assert(got.find(_._1 == 103L).get._2 == null)
   }
 
+  test("count model merges exactly: base + increment ≡ full retrain") {
+    val full = Dsir.dsirTrainWith(df, col("lang") === "en", B)
+    val base = Dsir.dsirCountsOf(df.filter(col("doc_id") <= 5),
+      col("lang") === "en", B)
+    val inc = Dsir.dsirCountsOf(df.filter(col("doc_id") > 5),
+      col("lang") === "en", B)
+    val merged = base.merge(inc)
+    assert(merged.toModel.ratios6 == full.ratios6)
+    // counts persist and reload bit-for-bit
+    val dir = java.nio.file.Files
+      .createTempDirectory("dsir-counts").toString
+    Dsir.writeDsirCounts(spark, merged, dir)
+    val back = Dsir.readDsirCounts(spark, dir)
+    assert(back.raw == merged.raw && back.target == merged.target)
+    // mismatched bucket domains refuse to merge
+    intercept[IllegalArgumentException] {
+      base.merge(Dsir.dsirCountsOf(df, col("lang") === "en", B / 2))
+    }
+  }
+
   test("buckets cap is enforced") {
     intercept[IllegalArgumentException] {
       Dsir.dsirTrain(df, df, Dsir.MaxBuckets + 1)
