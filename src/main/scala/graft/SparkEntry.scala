@@ -384,6 +384,9 @@ object SparkEntry {
     // degrees, exact integer moment sums, one division per graph
     "q_assortativity" -> ((s, d) =>
       graft.graph.Triangles.assortativity(linkGraphEdges(s, d), "s", "t")),
+    // One-row structure dashboard of the link graph
+    "q_graph_summary" -> ((s, d) =>
+      graft.graph.Triangles.graphSummary(linkGraphEdges(s, d), "s", "t")),
     // 2-core of the same graph by synchronous peeling to fixpoint:
     // the pendant-chain tails drop in round 1, their middle links in
     // round 2, triangles and star heads survive; the recorded round
@@ -2148,22 +2151,7 @@ object SparkEntry {
     // orientation, 2-path join closed against the oriented edges
     "q_triangles" ->
       (s"""WITH $linkGraphCtes,
-         o AS (SELECT
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                      THEN u ELSE v END AS src,
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                      THEN v ELSE u END AS dst,
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                      THEN dv.d ELSE du.d END AS dd
-               FROM und
-               JOIN deg du ON und.u = du.node
-               JOIN deg dv ON und.v = dv.node),
-         p AS (SELECT o1.src AS s, o1.dst AS a, o1.dd AS da,
-                      o2.dst AS b, o2.dd AS db
-               FROM o o1 JOIN o o2 ON o1.src = o2.src
-               WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
-         tr AS (SELECT p.s, p.a, p.b
-                FROM p JOIN o ON o.src = p.a AND o.dst = p.b),
+         $triangleCtes,
          tn AS (SELECT node, count(*) AS t FROM (
                   SELECT s AS node FROM tr
                   UNION ALL SELECT a FROM tr
@@ -2196,6 +2184,32 @@ object SparkEntry {
          GROUP BY 1 ORDER BY event_type""",
     "q_minhash_neardup_md5" -> (minhashMd5Cte +
       "SELECT id_a, id_b, round(j,4) AS jaccard FROM pr ORDER BY id_a, id_b"),
+    // whole-graph dashboard: counts + triangles + the assortativity
+    // expression, all from the shared graph CTEs
+    "q_graph_summary" ->
+      (s"""WITH $linkGraphCtes,
+         $triangleCtes,
+         sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         j AS (SELECT du.d AS du, dv.d AS dv
+               FROM sym
+               JOIN deg du ON sym.u = du.node
+               JOIN deg dv ON sym.v = dv.node),
+         am AS (SELECT count(*) AS m,
+                 CAST(sum(du) AS BIGINT) AS sx,
+                 CAST(sum(dv) AS BIGINT) AS sy,
+                 CAST(sum(du * dv) AS BIGINT) AS sxy,
+                 CAST(sum(du * du) AS BIGINT) AS sxx,
+                 CAST(sum(dv * dv) AS BIGINT) AS syy
+               FROM j)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM und) AS n_edges,
+           (SELECT count(*) FROM tr) AS n_triangles,
+           (SELECT CASE WHEN (m * sxx - sx * sx) > 0
+                         AND (m * syy - sy * sy) > 0
+                   THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
+                          sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+                               CAST(m * syy - sy * sy AS DOUBLE)), 4)
+                   END FROM am) AS assortativity"""),
     // assortativity replay: five exact moment sums, one guarded
     // division; m is even (both orientations), so m/2 is exact
     "q_assortativity" ->
@@ -3842,6 +3856,28 @@ object SparkEntry {
          SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
        $rounds"""
   }
+
+  /** The degree-ordered triangle-closure CTEs (orientation, 2-paths,
+    * closed triangles) over `linkGraphCtes` — shared by q_triangles
+    * and q_graph_summary.
+    */
+  private val triangleCtes: String =
+    """o AS (SELECT
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN u ELSE v END AS src,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN v ELSE u END AS dst,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN dv.d ELSE du.d END AS dd
+               FROM und
+               JOIN deg du ON und.u = du.node
+               JOIN deg dv ON und.v = dv.node),
+         p AS (SELECT o1.src AS s, o1.dst AS a, o1.dd AS da,
+                      o2.dst AS b, o2.dd AS db
+               FROM o o1 JOIN o o2 ON o1.src = o2.src
+               WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+         tr AS (SELECT p.s, p.a, p.b
+                FROM p JOIN o ON o.src = p.a AND o.dst = p.b)"""
 
   /** The link-graph oracle front (edge construction, canonical
     * undirected edges, degrees) shared by q_triangles / q_kcore /

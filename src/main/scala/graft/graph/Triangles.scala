@@ -151,4 +151,21 @@ object Triangles {
       dstCol: String): DataFrame =
     degreesAndTriangles(edges, srcCol, dstCol)._2
       .agg(count(lit(1)).as("n_triangles"))
+
+  /** One-row whole-graph readout: node/edge counts, global triangle
+    * count, and degree assortativity — the structure dashboard a
+    * link-graph curation run records next to its per-node priors.
+    * Three bounded single-row frames cross-joined by broadcast; edge
+    * count derives from Σdegree/2 (exact — the sum is even).
+    */
+  def graphSummary(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (deg, triangles) = degreesAndTriangles(edges, srcCol, dstCol)
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("degree")) / 2).cast("long").as("n_edges"))
+    val tri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val asrt = assortativity(edges, srcCol, dstCol)
+      .select(col("assortativity"))
+    nodes.crossJoin(broadcast(tri)).crossJoin(broadcast(asrt))
+  }
 }
