@@ -161,8 +161,10 @@ object Triangles {
   def graphSummary(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val (deg, triangles) = degreesAndTriangles(edges, srcCol, dstCol)
+    // coalesce: an edgeless graph has sum(degree) = NULL, but the
+    // readout (and the count(*)-form oracle) should say 0 edges
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
-      (sum(col("degree")) / 2).cast("long").as("n_edges"))
+      (coalesce(sum(col("degree")), lit(0L)) / 2).cast("long").as("n_edges"))
     val tri = triangles.agg(count(lit(1)).as("n_triangles"))
     val asrt = assortativity(edges, srcCol, dstCol)
       .select(col("assortativity"))

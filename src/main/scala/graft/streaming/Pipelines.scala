@@ -357,19 +357,10 @@ object Pipelines {
     * batch side is the small side of the join). The 100 TB corpus
     * never re-shingles and never shuffles its text.
     */
-  /** Deterministically free a `localCheckpoint(true)` Dataset's
-    * storage blocks. `Dataset.unpersist` only uncaches CacheManager
-    * entries — the checkpointed RDD's MEMORY_AND_DISK blocks are
-    * invisible to it and otherwise linger until the ContextCleaner
-    * happens to GC the RDD, which on a long-running streaming sink
-    * means per-batch storage accumulates across micro-batches. The
-    * checkpointed RDD sits behind the plan's LogicalRDD leaf;
-    * unpersist THAT.
-    */
+  // shared with the iterative graph operators, which have the same
+  // per-round accumulation problem
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    graft.Frames.freeLocalCheckpoint(df)
 
   def processNearDupBatch(batch: DataFrame, indexDir: String,
       batchId: Long, n: Int = 3, k: Int = 16, bands: Int = 4,

@@ -28,8 +28,11 @@ object ProfileAqe {
     def run(n: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir).count()
+      // stop the clock BEFORE the cache clear — the clear is
+      // inter-measurement hygiene, not part of the query's cost
+      val t1 = System.nanoTime()
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      (t1 - t0) / 1e9
     }
     // warm both code paths
     names.foreach { n =>
