@@ -153,7 +153,9 @@ object PageRank {
         .localCheckpoint(true)
       dm = obs.get("dangling_mass").asInstanceOf[Double]
       delta = obs.get("l1_delta").asInstanceOf[Double]
-      checkpointed.unpersist()
+      // Dataset.unpersist is a no-op on localCheckpoint blocks; free
+      // the superseded round's underlying checkpointed RDD directly
+      graft.Frames.freeLocalCheckpoint(checkpointed)
       checkpointed = next
       ranks = next
       it += 1
@@ -183,10 +185,26 @@ object PageRank {
     * round checkpoint as an observation. No seeds in the graph →
     * every rank decays toward 0 (nothing to teleport to) — returned
     * as computed, documented rather than masked.
+    *
+    * Like [[pageRank]], a graph bounded by `smallGraphEdges` AND the
+    * byte budget short-circuits to an in-task CSR iteration with
+    * seeded teleport — the identical recurrence, so it agrees with
+    * the distributed rounds to summation-order ulps (PageRankSpec
+    * pins it); `smallGraphEdges = 0` forces the distributed path
+    * (what `q_pagerank_personalized` oracles, the 100 TB shape).
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, isSeed: Column => Column, iterations: Int = 8,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = FastPathByteBudget): DataFrame =
+    personalizedPageRankWithRounds(edges, srcCol, dstCol, isSeed,
+      iterations, damping, smallGraphEdges, fastPathByteBudget)._1
+
+  private[graft] def personalizedPageRankWithRounds(edges: DataFrame,
+      srcCol: String, dstCol: String, isSeed: Column => Column,
+      iterations: Int, damping: Double,
+      smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = FastPathByteBudget): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be ≥ 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     val e = edges
@@ -195,6 +213,16 @@ object PageRank {
         col("src") =!= col("dst"))
       .distinct()
       .persist()
+    val longIds = e.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val maxFastEdges =
+      math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
+    if (longIds && smallGraphEdges > 0 && e.count() <= maxFastEdges) {
+      val out = fastPersonalizedPageRank(e, isSeed, iterations, damping)
+        .localCheckpoint(true)
+      e.unpersist()
+      return (out, 0)
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dout"))
     val adj = e.join(deg, "src")
       .select(col("src"), col("dst"), col("dout"))
@@ -212,8 +240,8 @@ object PageRank {
     val nSeeds = nodesBase.filter(col("seed")).count()
     if (nodesBase.count() == 0) {
       Seq(e, adj, nodesBase).foreach(_.unpersist())
-      return e.select(col("src").as("node"), lit(0.0).as("rank"))
-        .limit(0).localCheckpoint(true)
+      return (e.select(col("src").as("node"), lit(0.0).as("rank"))
+        .limit(0).localCheckpoint(true), 0)
     }
     // normalized teleport value, materialized once per node
     val sv = when(col("seed") && lit(nSeeds > 0),
@@ -249,13 +277,101 @@ object PageRank {
         .observe(obs, danglingSum)
         .localCheckpoint(true)
       dm = obs.get("dangling_mass").asInstanceOf[Double]
-      checkpointed.unpersist()
+      // free the superseded round's checkpoint blocks (see pageRank)
+      graft.Frames.freeLocalCheckpoint(checkpointed)
       checkpointed = next
       ranks = next
       it += 1
     }
     Seq(e, adj, nodesBase).foreach(_.unpersist())
-    ranks.select(col("node"), col("rank"))
+    (ranks.select(col("node"), col("rank")), it)
+  }
+
+  /** In-task seeded-teleport power iteration over CSR adjacency — the
+    * personalized twin of [[fastPageRank]]. The seed PREDICATE is a
+    * Catalyst column, so it is evaluated distributed (one projection
+    * over the bounded node set) and the resulting seed ids ride into
+    * the single task as tagged rows unioned with the edges — no
+    * driver collect, no second job. Recurrence per round, identical
+    * scalar ops to the distributed rounds:
+    * sFactor = (1−d) + d·dm; rank'(v) = sv(v)·sFactor + d·contrib(v).
+    */
+  private def fastPersonalizedPageRank(e: DataFrame,
+      isSeed: Column => Column, iterations: Int,
+      damping: Double): DataFrame = {
+    import e.sparkSession.implicits._
+    val seedRows = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .filter(isSeed(col("node")))
+      .select(lit(1).as("tag"), col("node").as("a"), lit(0L).as("b"))
+    e.select(lit(0).as("tag"), col("src").as("a"), col("dst").as("b"))
+      .unionByName(seedRows)
+      .as[(Int, Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val edges = rows.collect { case (0, a, b) => (a, b) }
+          .sortInPlace()(Ordering.Tuple2[Long, Long])
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val seedIds = new java.util.HashSet[java.lang.Long]()
+          rows.foreach { case (1, a, _) => seedIds.add(a); case _ => () }
+          // dense node indexing (the fastPageRank shape)
+          val idSet = new java.util.TreeSet[java.lang.Long]()
+          edges.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
+          val ids = idSet.toArray(new Array[java.lang.Long](0))
+            .map(_.longValue())
+          val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+          var i = 0
+          while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+          val n = ids.length
+          val src = new Array[Int](edges.length)
+          val dst = new Array[Int](edges.length)
+          val dout = new Array[Int](n)
+          i = 0
+          while (i < edges.length) {
+            src(i) = idx(edges(i)._1); dst(i) = idx(edges(i)._2)
+            dout(src(i)) += 1
+            i += 1
+          }
+          var nSeeds = 0
+          i = 0
+          while (i < n) { if (seedIds.contains(ids(i))) nSeeds += 1; i += 1 }
+          val sv = new Array[Double](n)
+          if (nSeeds > 0) {
+            i = 0
+            while (i < n) {
+              if (seedIds.contains(ids(i))) sv(i) = 1.0 / nSeeds.toDouble
+              i += 1
+            }
+          }
+          var rank = sv.clone()
+          var round = 0
+          while (round < iterations) {
+            var dm = 0.0
+            var v = 0
+            while (v < n) { if (dout(v) == 0) dm += rank(v); v += 1 }
+            val sFactor = (1.0 - damping) + damping * dm
+            val contrib = new Array[Double](n)
+            i = 0
+            while (i < edges.length) {
+              contrib(dst(i)) += rank(src(i)) / dout(src(i))
+              i += 1
+            }
+            val next = new Array[Double](n)
+            v = 0
+            while (v < n) {
+              next(v) = sv(v) * sFactor + damping * contrib(v)
+              v += 1
+            }
+            rank = next
+            round += 1
+          }
+          Iterator.range(0, n).map(v => (ids(v), rank(v)))
+        }
+      }
+      .toDF("node", "rank")
   }
 
   /** One distributed round, exposed for the PlanSpec pin: every
@@ -298,8 +414,11 @@ object PageRank {
   private def fastPageRank(e: DataFrame, iterations: Int,
       damping: Double, tol: Double): DataFrame = {
     import e.sparkSession.implicits._
+    // coalesce, not repartition: the distinct upstream already
+    // exchanged, so the single task just reads its outputs — no
+    // second shuffle for the bounded edge set
     e.as[(Long, Long)]
-      .repartition(1)
+      .coalesce(1)
       .mapPartitions { it =>
         val edges = it.toArray.sortInPlace()(Ordering.Tuple2[Long, Long])
         if (edges.isEmpty) Iterator.empty

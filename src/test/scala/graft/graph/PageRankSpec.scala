@@ -126,6 +126,52 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("personalized fast path engages on bounded graphs and matches " +
+      "the distributed rounds to ulps") {
+    val k = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"))
+      .limit(400)
+    val edges = k
+      .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+      .union(k.select((col("k") - col("k") % 4).as("a"),
+        (col("k") - col("k") % 16).as("b")))
+    val seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => n % 64 === 0
+    val (fastDf, fastRounds) = PageRank.personalizedPageRankWithRounds(
+      edges, "a", "b", seed, 6, 0.85)
+    assert(fastRounds === 0) // 0 distributed rounds = fast path took it
+    val fast = fastDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (distDf, distRounds) = PageRank.personalizedPageRankWithRounds(
+      edges, "a", "b", seed, 6, 0.85, smallGraphEdges = 0L)
+    assert(distRounds === 6)
+    val dist = distDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet === dist.keySet)
+    fast.foreach { case (node, r) =>
+      assert(math.abs(r - dist(node)) < 1e-14, s"node $node")
+    }
+  }
+
+  test("personalized fast path declines when the byte budget can't hold " +
+      "the edges") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "t")
+    val (_, rounds) = PageRank.personalizedPageRankWithRounds(
+      edges, "s", "t", n => n === 1L, 3, 0.85,
+      fastPathByteBudget = PageRank.FastPathBytesPerEdge) // room for 1 edge
+    assert(rounds === 3)
+  }
+
+  test("personalized fast path: no seeds in the graph decays every rank " +
+      "toward zero, same as the distributed rounds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val fast = PageRank.personalizedPageRank(edges, "a", "b",
+        n => n === 99L, iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val dist = PageRank.personalizedPageRank(edges, "a", "b",
+        n => n === 99L, iterations = 4, smallGraphEdges = 0L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(fast === dist)
+    assert(fast.values.forall(_ === 0.0))
+  }
+
   test("personalized: mass sums to 1 and starves the unreachable component") {
     // component A holds the seed; component B has no inbound path
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
