@@ -375,6 +375,46 @@ object Curation {
     * costs what a single extra iteration costs; only dropped ids
     * cross the anti-join (payloads stay put).
     */
+  /** Graph-prior curation gate, the k-core analog of
+    * [[dropBottomRanked]]: drop the documents that sit IN the link
+    * graph but OUTSIDE its k-core ([[graft.graph.KCore]] — Seidman
+    * '83). A page the link structure only reaches through leaf
+    * chains (outside the 2-core) is disproportionately an orphan or
+    * a dead-end; pages inside link cycles carry structural evidence.
+    * Documents absent from the graph entirely are untouched — no
+    * link evidence, no opinion (the dropBottomRanked convention).
+    *
+    * Scale shape: the peel is [[graft.graph.KCore.kCore]] unchanged
+    * (per-round O(alive edges), monotonically shrinking); the drop
+    * set is (graph nodes − core members), O(nodes); only dropped ids
+    * cross the final anti-join — document payloads stay put.
+    */
+  def dropOutsideKCore(df: DataFrame, edges: DataFrame, srcCol: String,
+      dstCol: String, idCol: String, k: Int = 2): DataFrame =
+    dropOutsideKCoreWithRounds(df, edges, srcCol, dstCol, idCol, k)._1
+
+  /** [[dropOutsideKCore]] surfacing the peel's round count — what a
+    * generated cross-engine oracle replays (the q_kcore lifecycle).
+    */
+  private[graft] def dropOutsideKCoreWithRounds(df: DataFrame,
+      edges: DataFrame, srcCol: String, dstCol: String, idCol: String,
+      k: Int): (DataFrame, Int) = {
+    val core = graft.graph.KCore.kCore(edges, srcCol, dstCol, k)
+    (dropOutsideCore(df, edges, srcCol, dstCol, idCol, core), core.rounds)
+  }
+
+  /** The drop join over an ALREADY-PEELED core — callers that overlap
+    * the peel with other work (the composed queries' Future shape)
+    * apply the same gate without re-running it.
+    */
+  private[graft] def dropOutsideCore(df: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String, idCol: String,
+      core: graft.graph.KCore.KCoreResult): DataFrame = {
+    val dropped = graft.graph.KCore.graphNodes(edges, srcCol, dstCol)
+      .join(core.members.select(col("node")), Seq("node"), "left_anti")
+    df.join(dropped, df(idCol) <=> dropped("node"), "left_anti")
+  }
+
   def dropBottomRanked(df: DataFrame, ranks: DataFrame, idCol: String,
       tenths: Int = 1): DataFrame = {
     require(tenths >= 0 && tenths <= 10,

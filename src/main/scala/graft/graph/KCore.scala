@@ -26,6 +26,24 @@ object KCore {
 
   final case class KCoreResult(members: DataFrame, rounds: Int)
 
+  /** The node set of the canonical undirected graph [[kCore]] peels —
+    * exposed so callers composing "in-graph but outside the core"
+    * predicates (the curation gate) share THIS canonicalization
+    * (null/self-loop drop, undirected collapse) instead of deriving
+    * their own and drifting.
+    */
+  def graphNodes(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+    und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .distinct()
+  }
+
   /** Nodes of the k-core with their within-core degree. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, maxRounds: Int = 100): KCoreResult = {
@@ -57,19 +75,21 @@ object KCore {
       if (nextCount == aliveCount) {
         // fixpoint confirmed — the budget only limits SHRINK rounds,
         // so reaching it on the confirming pass is success
-        next.unpersist()
+        graft.Frames.freeLocalCheckpoint(next)
         done = true
       } else if (rounds >= maxRounds) {
         // a silent early stop would return a SUPERSET of the k-core;
         // fail loudly instead — the caller raises the budget
-        next.unpersist()
+        graft.Frames.freeLocalCheckpoint(next)
         throw new IllegalStateException(
           s"k-core did not reach a fixpoint in $maxRounds rounds " +
             s"($aliveCount nodes still alive) — raise maxRounds")
       } else {
-        // the superseded round's checkpoint blocks free now, not at
-        // GC time (the PageRank round discipline)
-        alive.unpersist()
+        // the superseded round's checkpoint blocks free NOW, not at
+        // GC time — Dataset.unpersist is a no-op on localCheckpoint
+        // blocks (CacheManager never tracked them), so free the
+        // underlying checkpointed RDD itself
+        graft.Frames.freeLocalCheckpoint(alive)
         alive = next
         aliveCount = nextCount
         rounds += 1

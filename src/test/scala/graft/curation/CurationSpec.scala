@@ -170,4 +170,20 @@ class CurationSpec extends SparkSpec {
     // tenths = 10 drops every RANKED doc
     assert(kept(10) === Set(99L))
   }
+
+  test("dropOutsideKCore drops in-graph docs outside the 2-core, " +
+      "keeps core members and graph-absent docs") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (99L, "z")).toDF("doc_id", "text")
+    // triangle {1,2,3} + pendant chain 3→4→5; 99 absent from the graph
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val (out, rounds) = Curation.dropOutsideKCoreWithRounds(
+      df, edges, "s", "t", "doc_id", 2)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 4 and 5 are in the graph but peel (5 first, then 4 — a 2-round
+    // cascade); the triangle is the 2-core; 99 has no link evidence
+    assert(kept === Set(1L, 2L, 3L, 99L))
+    assert(rounds === 2)
+  }
 }
