@@ -48,7 +48,19 @@ object SparkEntry {
     * keep AQE — there it coalesces the tiny per-round frames and wins
     * (components_star 1.7× faster WITH it). The result materializes
     * inside this call (bounded by the query's output contract), so
-    * the conf flip never leaks to other queries.
+    * the conf flip never leaks to LATER queries.
+    *
+    * SINGLE-THREADED-SESSION ASSUMPTION: the flip is session-global
+    * (spark.sql.adaptive.enabled is one SQLConf entry), and the
+    * synchronized block only serializes OTHER withAqeOff callers — a
+    * query planned CONCURRENTLY on the same session (a parallel test,
+    * a live streaming micro-batch) would silently plan without AQE
+    * during the window. Every caller here runs on the sequential
+    * Verify/Bench session, and the spec suites never run a stream
+    * concurrently with a wrapped query on a shared session; a caller
+    * that needs concurrent planning should clone the session
+    * (newSession shares state but has its own SQLConf) and route the
+    * wrapped build through the clone instead.
     */
   private def withAqeOff(s: SparkSession)(build: => DataFrame): DataFrame =
     // serialized per session: two concurrent wrapped builds could
@@ -402,6 +414,23 @@ object SparkEntry {
     // divisible by 64 — a subset of the 16-group heads); rank flows
     // outward from seeds, unreachable regions starve toward zero
     "q_pagerank_personalized" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
+        .union(k.select((col("k") - col("k") % 4).as("a"),
+          (col("k") - col("k") % 16).as("b")))
+      // smallGraphEdges=0 pins the distributed rounds — the
+      // cluster-scale shape — through the oracle gate (the q_pagerank
+      // convention); the fast-path twin below serves bounded graphs
+      graft.graph.PageRank.personalizedPageRank(edges, "a", "b",
+          n => n % 64 === 0, iterations = 8, smallGraphEdges = 0L)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("node"))
+    }),
+    // the bounded-graph serving path: identical recurrence in one
+    // in-task CSR iteration, gated by the SAME oracle SQL — a hash
+    // divergence between the paths fails the gate itself
+    "q_pagerank_personalized_fast" -> ((s, d) => {
       val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
       val edges = k
         .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
@@ -873,10 +902,49 @@ object SparkEntry {
         .unionByName(corpus.select(
           (col("doc_id") - col("doc_id") % 4).as("src"),
           (col("doc_id") - col("doc_id") % 16).as("dst")))
-      val ranks = graft.graph.PageRank.pageRank(e, "src", "dst")
+      // the rank prior and the capstone gates are INDEPENDENT until
+      // the final anti-join, so the PageRank materialization (eager —
+      // the fast path localCheckpoints inside the call) runs on a
+      // second thread while curate() materializes its token artifact:
+      // concurrent job submission on one session is the supported
+      // Spark shape for independent DAG branches, and at cluster
+      // scale it keeps both branches' stages in flight instead of
+      // serializing two scans of the same corpus (~0.6 s at bench
+      // scale, tools.ProfileRanked)
+      val rankF = scala.concurrent.Future {
+        graft.graph.PageRank.pageRank(e, "src", "dst")
+      }(scala.concurrent.ExecutionContext.global)
       val curated = graft.curation.Curation.curate(corpus,
         docs.filter(col("doc_id") % 101 === 7))
+      val ranks = scala.concurrent.Await.result(rankF,
+        scala.concurrent.duration.Duration.Inf)
       graft.curation.Curation.dropBottomRanked(curated, ranks, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    // Curation × k-core composition: curated survivors that the link
+    // graph reaches only through leaf chains (in-graph, outside the
+    // 2-core) drop — the graph-prior analog of dropBottomRanked. The
+    // doc link graph plants a triangle per 8-group, a 2-hop pendant
+    // chain (ids ≡ 3,4 mod 8 — these peel in a 2-round cascade), and
+    // 64-group star heads; the recorded round count generates an
+    // exact per-round DuckDB replay (the q_kcore lifecycle)
+    "q_curation_kcore" -> ((s, d) => {
+      lastOracleDir = d
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+      val e = docKcoreEdges(corpus)
+      // peel and capstone are independent until the final anti-join —
+      // overlap them (the q_curation_ranked shape)
+      val coreF = scala.concurrent.Future {
+        graft.graph.KCore.kCore(e, "s", "t", 2)
+      }(scala.concurrent.ExecutionContext.global)
+      val curated = graft.curation.Curation.curate(corpus,
+        docs.filter(col("doc_id") % 101 === 7))
+      val core = scala.concurrent.Await.result(coreF,
+        scala.concurrent.duration.Duration.Inf)
+      curationKcoreRounds.put(d, Integer.valueOf(core.rounds))
+      graft.curation.Curation.dropOutsideCore(curated, e, "s", "t",
+          "doc_id", core)
         .orderBy(col("doc_id"))
     }),
     // The dataset-card readout: per-source gate rejections, pass
@@ -953,6 +1021,23 @@ object SparkEntry {
     "q_dsir_weights_indexed" -> ((s, d) =>
       graft.selection.Dsir.dsirScore(Tables.documents(s, d),
         graft.selection.Dsir.readDsirModel(s, builtDsirModel(s, d)))
+        .orderBy(col("doc_id"))),
+    // Learned quality classifier (fastText-style linear model,
+    // closed-form Naive Bayes train): hashed uni+bigram weights
+    // trained on the ¾ split to separate substantial (n_chars ≥ 300)
+    // docs from short ones — the TRAINING itself replays
+    // relationally: every weight and the prior bias hash-match the
+    // DuckDB count-and-ln replay
+    "q_quality_classifier" -> ((s, d) =>
+      graft.quality.NbClassifier.modelFrame(s, nbModelFor(s, d))
+        .orderBy(col("b"))),
+    // The learned gate applied to the HELD-OUT quarter (the
+    // lm_score_frozen serving split): exact micro-nat decision scores
+    // + the MAP keep bit, zero-shuffle against the weight literal
+    "q_quality_classifier_gate" -> ((s, d) =>
+      graft.quality.NbClassifier.nbScore(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        nbModelFor(s, d))
         .orderBy(col("doc_id"))),
     // Per-language tokenizer fertility: BPE-ish tokens per word over
     // exact long sums — the token-denominated mixture readout
@@ -1308,6 +1393,22 @@ object SparkEntry {
     dsirModelCache.computeIfAbsent((s, d), kv =>
       graft.selection.Dsir.dsirTrainWith(Tables.documents(kv._1, kv._2),
         col("lang") === "en", 1024))
+  }
+  /** Build-once NB quality classifier per (session, corpus): trained
+    * on the ¾ split (doc_id % 4 ≠ 0) with substantial-document
+    * (n_chars ≥ 300) positives — shared by the train-readout and
+    * gate queries so the model fits exactly once per Verify/Bench
+    * session.
+    */
+  private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.quality.NbClassifier.NbModel]()
+  SessionCaches.register(nbModelCache)
+  private def nbModelFor(s: SparkSession, d: String): graft.quality.NbClassifier.NbModel = {
+    SessionCaches.ensureHook(s)
+    nbModelCache.computeIfAbsent((s, d), kv =>
+      graft.quality.NbClassifier.nbTrain(
+        Tables.documents(kv._1, kv._2).filter(col("doc_id") % 4 =!= 0),
+        col("n_chars") >= 300, 1024))
   }
   private def seedCents16(s: SparkSession, d: String): Seq[Seq[Double]] = {
     SessionCaches.ensureHook(s)
@@ -1681,6 +1782,75 @@ object SparkEntry {
   private val kcoreRounds =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** The doc-id link graph for the k-core curation gate: a triangle
+    * per 8-group (ids ≡ 0,1,2), a pendant 2-chain off each triangle
+    * (ids ≡ 3,4 — the peel cascade), and 64-group star heads. Each
+    * edge derives from ONE document row, so the DuckDB replay states
+    * the identical derivation over corp0.
+    */
+  private def docKcoreEdges(corpus: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    corpus.filter(id % 8 <= 3)
+      .select(id.as("s"), (id + 1).as("t"))
+      .unionByName(corpus.filter(id % 8 === 0)
+        .select(id.as("s"), (id + 2).as("t")))
+      .unionByName(corpus.filter(id % 8 === 0)
+        .select(id.as("s"), (id - id % 64).as("t")))
+  }
+
+  // recorded peel rounds of the curation-gate graph per sfDir (its
+  // cascade depth differs from q_kcore's graph)
+  private val curationKcoreRounds =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Generated q_curation_kcore oracle: the capstone gate CTEs + the
+    * doc-graph peel chain (one MATERIALIZED CTE per recorded round,
+    * the kcoreOracle discipline) + the outside-core anti-join. Empty
+    * until the query has run in this JVM → rows-only.
+    */
+  private def curationKcoreOracle: Option[(String, String)] =
+    Option(lastOracleDir)
+      .flatMap(d => Option(curationKcoreRounds.get(d))).map { rr =>
+      val r = rr.intValue
+      val rounds = (1 to r).map { i =>
+        s""",
+         ka$i AS MATERIALIZED (
+           SELECT u AS node FROM (
+             SELECT ksym.u, count(*) AS dd FROM ksym
+             JOIN ka${i - 1} x ON ksym.u = x.node
+             JOIN ka${i - 1} y ON ksym.v = y.node
+             GROUP BY ksym.u)
+           WHERE dd >= 2)"""
+      }.mkString
+      "q_curation_kcore" -> (curationGateCtes +
+        s""", ke AS MATERIALIZED (
+           SELECT doc_id AS s, doc_id + 1 AS t FROM corp0 WHERE doc_id % 8 <= 3
+           UNION ALL
+           SELECT doc_id, doc_id + 2 FROM corp0 WHERE doc_id % 8 = 0
+           UNION ALL
+           SELECT doc_id, doc_id - doc_id % 64 FROM corp0 WHERE doc_id % 8 = 0),
+         kund AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ke
+           WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t),
+         ksym AS MATERIALIZED (
+           SELECT u, v FROM kund UNION ALL SELECT v, u FROM kund),
+         ka0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM ksym)$rounds,
+         kdrop AS (SELECT node FROM ka0
+                   EXCEPT SELECT node FROM ka$r),
+         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id
+           WHERE NOT rep.repetitive AND NOT con.contaminated
+             AND NOT lm.lm_nll >= 10.0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
+         JOIN keep k ON g.doc_id = k.doc_id
+         WHERE NOT EXISTS (SELECT 1 FROM kdrop WHERE kdrop.node = g.doc_id)
+         ORDER BY g.doc_id""")
+    }
+
   /** Generated q_kcore oracle: one MATERIALIZED CTE per recorded
     * peel round (each round is referenced twice — DuckDB's default
     * CTE inlining would go exponential, the pageRankOracle lesson).
@@ -1741,7 +1911,8 @@ object SparkEntry {
         // merged counts ≡ full retrain by additivity, so the merged
         // model's scores are gated by the SAME full-corpus replay
         "q_dsir_incremental" -> staticOracleSql("q_dsir_weights")) ++
-      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle
+      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle ++
+      curationKcoreOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
     * repetition rubric, benchmark contamination, corpus-trained
@@ -2147,6 +2318,7 @@ object SparkEntry {
          SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
     "q_pagerank" -> pageRankOracle(8),
     "q_pagerank_personalized" -> personalizedPageRankOracle(8),
+    "q_pagerank_personalized_fast" -> personalizedPageRankOracle(8),
     // triangle replay: canonical undirected edges, degree-ordered
     // orientation, 2-path join closed against the oriented edges
     "q_triangles" ->
@@ -3032,6 +3204,34 @@ object SparkEntry {
            ${micro4Sql("key6")} AS dsir_key
          FROM (SELECT * FROM k ORDER BY key6 DESC, doc_id LIMIT 50)
          ORDER BY doc_id"""),
+    // NB classifier replay: the TRAIN is the oracle — per-class
+    // bucket counts, add-1 ln-ratio weights, prior bias, all in
+    // integer micro-nats (bias rides as the b = -1 row)
+    "q_quality_classifier" ->
+      (s"""WITH $nbCtes
+         SELECT b, w6 FROM qw
+         UNION ALL SELECT CAST(-1 AS BIGINT) AS b, w6 FROM qbias
+         ORDER BY b"""),
+    // the gate: held-out quarter scored against the replayed weights
+    // — exact long decision sums, MAP keep bit
+    "q_quality_classifier_gate" ->
+      (s"""WITH $nbCtes,
+         qh AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 4 = 0),
+         qhg AS (SELECT doc_id, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
+         qhb AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM qhg),
+         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
+                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
+         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
+                 FROM qhs CROSS JOIN qbias)
+         SELECT doc_id, ${micro4Sql("d6")} AS nb_score, d6 > 0 AS keep
+         FROM qhd ORDER BY doc_id"""),
     // q_dsir_weights_indexed aliases the q_dsir_weights replay in
     // oracleSql (the q_search_bm25_indexed precedent): the written-
     // model path must score identically to the in-session one
@@ -3926,6 +4126,42 @@ object SparkEntry {
                LEFT JOIN ${p}tc ON d.range = ${p}tc.b
                LEFT JOIN ${p}rc ON d.range = ${p}rc.b
                CROSS JOIN ${p}nt CROSS JOIN ${p}nr)"""
+
+  /** The NB-classifier training replay CTE chain, shared by the
+    * train-readout and gate oracles (the dsirCtes discipline — one
+    * text, both oracles): ¾-split corpus, hashed uni+bigram buckets,
+    * per-class counts, add-1 ln-ratio weights in integer micro-nats,
+    * prior bias from the doc counts.
+    */
+  private def nbCtes: String =
+    s"""qt AS (SELECT doc_id, n_chars >= 300 AS p,
+                string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 4 <> 0),
+         qg AS (SELECT doc_id, p, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qt),
+         qb AS (SELECT p,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM qg),
+         qpc AS (SELECT b, count(*) AS c FROM qb WHERE p GROUP BY 1),
+         qnc AS (SELECT b, count(*) AS c FROM qb WHERE NOT p GROUP BY 1),
+         qnp AS (SELECT sum(c) AS n FROM qpc),
+         qnn AS (SELECT sum(c) AS n FROM qnc),
+         qw AS (SELECT d.range AS b,
+                 CAST(round(ln(((coalesce(qpc.c, 0) + 1.0) * (qnn.n + 1024)) /
+                               ((coalesce(qnc.c, 0) + 1.0) * (qnp.n + 1024)))
+                            * 1000000.0) AS BIGINT) AS w6
+               FROM range(1024) d
+               LEFT JOIN qpc ON d.range = qpc.b
+               LEFT JOIN qnc ON d.range = qnc.b
+               CROSS JOIN qnp CROSS JOIN qnn),
+         qbias AS (SELECT CAST(round(ln(
+                   CAST(count(CASE WHEN n_chars >= 300 THEN 1 END) AS DOUBLE)
+                   / count(CASE WHEN NOT (n_chars >= 300) THEN 1 END))
+                 * 1000000.0) AS BIGINT) AS w6
+               FROM documents WHERE doc_id % 4 <> 0)"""
 
   /** Exact 4-decimal readout of an integer micro-value in SQL — the
     * [[graft.selection.Dsir]] micro4 contract.
