@@ -406,7 +406,12 @@ object SparkEntry {
     // ivfKmeansOracle lifecycle)
     "q_kcore" -> ((s, d) => {
       lastOracleDir = d
-      val r = graft.graph.KCore.kCore(linkGraphEdges(s, d), "s", "t", 2)
+      // smallGraphEdges=0 pins the distributed peel — the 100 TB
+      // shape — through the oracle gate; the in-task fast path is
+      // pinned round-and-member equal in KCoreSpec and serves the
+      // bounded-graph compositions (q_curation_kcore)
+      val r = graft.graph.KCore.kCore(linkGraphEdges(s, d), "s", "t", 2,
+        smallGraphEdges = 0L)
       kcoreRounds.put(d, Integer.valueOf(r.rounds))
       r.members
     }),

@@ -26,6 +26,12 @@ object KCore {
 
   final case class KCoreResult(members: DataFrame, rounds: Int)
 
+  /** ~48 B per canonical edge in the fast-path task: 16 B of (u, v)
+    * input plus the int endpoint/degree/alive arrays and id-index
+    * overhead amortized per edge (the [[PageRank]] sizing rationale).
+    */
+  val FastPathBytesPerEdge = 48L
+
   /** The node set of the canonical undirected graph [[kCore]] peels —
     * exposed so callers composing "in-graph but outside the core"
     * predicates (the curation gate) share THIS canonicalization
@@ -44,9 +50,19 @@ object KCore {
       .distinct()
   }
 
-  /** Nodes of the k-core with their within-core degree. */
+  /** Nodes of the k-core with their within-core degree.
+    *
+    * Like the components/PageRank operators, a graph bounded by
+    * `smallGraphEdges` AND the byte budget short-circuits to an
+    * in-task synchronous peel — the IDENTICAL round recurrence over
+    * arrays (same members, same round count; KCoreSpec pins parity),
+    * one job instead of per-round exchanges. `smallGraphEdges = 0`
+    * forces the distributed rounds (what `q_kcore` oracles, the
+    * 100 TB shape).
+    */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100): KCoreResult = {
+      k: Int, maxRounds: Int = 100, smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = PageRank.FastPathByteBudget): KCoreResult = {
     require(k >= 1, s"k must be >= 1: $k")
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
@@ -54,6 +70,12 @@ object KCore {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+    val longIds = und.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    val maxFastEdges =
+      math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
+    if (smallGraphEdges > 0 && longIds && und.count() <= maxFastEdges)
+      return fastKCore(und, k, maxRounds)
     // both directions, so degree is one groupBy on the first column
     val sym = und.unionByName(
       und.select(col("v").as("u"), col("u").as("v")))
@@ -103,5 +125,107 @@ object KCore {
       .select(col("u").as("node"), col("core_degree"))
       .orderBy(col("node"))
     KCoreResult(members, rounds)
+  }
+
+  /** In-task synchronous peel over the canonical edge array — the
+    * single-job fast path. Exactly the distributed recurrence:
+    * alive' = {u alive : deg within alive ≥ k}, counted rounds are
+    * the SHRINK rounds, budget exhaustion fails loudly (the task's
+    * IllegalStateException is unwrapped so the contract matches the
+    * distributed path). The round count rides each output row as a
+    * constant column; reading it back is a 1-value metadata access,
+    * not a data collect.
+    */
+  private def fastKCore(und: DataFrame, k: Int,
+      maxRounds: Int): KCoreResult = {
+    import und.sparkSession.implicits._
+    val out =
+      try {
+        val df = und.as[(Long, Long)]
+          // coalesce: the distinct upstream already exchanged — the
+          // single task just reads its outputs (no second shuffle)
+          .coalesce(1)
+          .mapPartitions { it =>
+            val edges = it.toArray
+            if (edges.isEmpty) Iterator.empty
+            else {
+              val idSet = new java.util.TreeSet[java.lang.Long]()
+              edges.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
+              val ids = idSet.toArray(new Array[java.lang.Long](0))
+                .map(_.longValue())
+              val idx =
+                new scala.collection.mutable.LongMap[Int](ids.length * 2)
+              var i = 0
+              while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+              val n = ids.length
+              val eu = new Array[Int](edges.length)
+              val ev = new Array[Int](edges.length)
+              i = 0
+              while (i < edges.length) {
+                eu(i) = idx(edges(i)._1); ev(i) = idx(edges(i)._2)
+                i += 1
+              }
+              val deg = new Array[Int](n)
+              def degreesWithin(alive: Array[Boolean]): Unit = {
+                java.util.Arrays.fill(deg, 0)
+                var j = 0
+                while (j < edges.length) {
+                  if (alive(eu(j)) && alive(ev(j))) {
+                    deg(eu(j)) += 1; deg(ev(j)) += 1
+                  }
+                  j += 1
+                }
+              }
+              var alive = Array.fill(n)(true)
+              var aliveCount = n
+              var rounds = 0
+              var done = aliveCount == 0
+              while (!done) {
+                degreesWithin(alive)
+                val next = new Array[Boolean](n)
+                var nextCount = 0
+                var v = 0
+                while (v < n) {
+                  if (alive(v) && deg(v) >= k) { next(v) = true; nextCount += 1 }
+                  v += 1
+                }
+                if (nextCount == aliveCount) done = true
+                else if (rounds >= maxRounds) throw new IllegalStateException(
+                  s"k-core did not reach a fixpoint in $maxRounds rounds " +
+                    s"($aliveCount nodes still alive) — raise maxRounds")
+                else {
+                  alive = next; aliveCount = nextCount; rounds += 1
+                  if (aliveCount == 0) done = true
+                }
+              }
+              degreesWithin(alive)
+              val r = rounds
+              val fin = alive
+              // EVERY node rides out with its alive flag, so the
+              // round scalar survives an empty core (members filter
+              // below) — the frame stays O(nodes), bounded by the
+              // fast-path gate
+              Iterator.range(0, n)
+                .map(v => (ids(v), deg(v).toLong, r, fin(v)))
+            }
+          }
+          .toDF("node", "core_degree", "rounds", "alive")
+        df.localCheckpoint(true)
+      } catch {
+        // surface the budget-exhaustion failure as the documented
+        // IllegalStateException, not a wrapped SparkException
+        case e: org.apache.spark.SparkException =>
+          var c: Throwable = e.getCause
+          while (c != null && !c.isInstanceOf[IllegalStateException])
+            c = c.getCause
+          if (c != null) throw c else throw e
+      }
+    val rounds =
+      if (out.isEmpty) 0
+      else out.select(col("rounds")).head().getInt(0)
+    KCoreResult(
+      out.filter(col("alive"))
+        .select(col("node"), col("core_degree")).orderBy(col("node")),
+      rounds)
   }
 }

@@ -63,6 +63,31 @@ class KCoreSpec extends SparkSpec {
     assert(e.getMessage.contains("fixpoint"))
   }
 
+  test("fast path matches the distributed rounds: members, degrees, " +
+      "and round count") {
+    for (k <- Seq(2, 3, 10)) {
+      val fast = KCore.kCore(df, "s", "t", k)
+      val dist = KCore.kCore(df, "s", "t", k, smallGraphEdges = 0L)
+      val fm = fast.members.collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val dm = dist.members.collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(fm === dm, s"k=$k members")
+      assert(fast.rounds === dist.rounds, s"k=$k rounds")
+    }
+  }
+
+  test("fast path declines when the byte budget can't hold the edges") {
+    val fast = KCore.kCore(df, "s", "t", 2,
+      fastPathByteBudget = KCore.FastPathBytesPerEdge) // room for 1 edge
+    val dist = KCore.kCore(df, "s", "t", 2, smallGraphEdges = 0L)
+    // both are the distributed path here — same result, and the
+    // budget-declined call still peels correctly
+    assert(fast.members.collect().map(_.getLong(0)).toSet ===
+      dist.members.collect().map(_.getLong(0)).toSet)
+    assert(fast.rounds === dist.rounds)
+  }
+
   test("a budget of exactly the needed shrink rounds succeeds") {
     val (_, needed) = refCore(2)
     assert(needed > 0)
