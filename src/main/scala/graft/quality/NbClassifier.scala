@@ -184,4 +184,42 @@ object NbClassifier {
       textCol: String = "text"): DataFrame =
     docs.filter(
       decision6For(docs, model)(words(col(textCol))) > lit(threshold6))
+
+  /** Precision/recall operating points of the gate over LABELED
+    * documents, one row per candidate threshold (micro-nats) — the
+    * calibration readout a pipeline owner uses to pick the
+    * precision/recall trade before deploying the gate (the
+    * annRecall-style eval companion).
+    *
+    * Exactness: TP/FP/FN are integer counts and precision/recall use
+    * the exact long-division 4-decimal readout (the tokenFertility
+    * contract — no binary double before the final /10⁴); an
+    * undefined ratio (empty denominator) reads NULL.
+    *
+    * Scale shape: one narrow scoring pass; each row then fans out to
+    * |thresholds| (bounded, a literal) and ONE aggregation with
+    * map-side combine rolls everything to |thresholds| rows.
+    */
+  def prCurve(docs: DataFrame, model: NbModel, labelPred: Column,
+      thresholds6: Seq[Long], textCol: String = "text"): DataFrame = {
+    require(thresholds6.nonEmpty, "prCurve needs at least one threshold")
+    docs
+      .select(coalesce(labelPred, lit(false)).as("__pos"),
+        decision6For(docs, model)(words(col(textCol))).as("__d6"))
+      .select(col("__pos"), col("__d6"),
+        explode(typedlit(thresholds6)).as("t6"))
+      .groupBy(col("t6"))
+      .agg(
+        count(when(col("__pos") && col("__d6") > col("t6"), 1)).as("tp"),
+        count(when(!col("__pos") && col("__d6") > col("t6"), 1)).as("fp"),
+        count(when(col("__pos") && col("__d6") <= col("t6"), 1)).as("fn"))
+      .select(col("t6"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 20000 + (tp + fp)) div (2 * (tp + fp))") /
+            lit(10000.0)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 20000 + (tp + fn)) div (2 * (tp + fn))") /
+            lit(10000.0)).as("recall"))
+      .orderBy(col("t6"))
+  }
 }

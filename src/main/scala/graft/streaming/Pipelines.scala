@@ -710,6 +710,57 @@ object Pipelines {
       .start()
   }
 
+  /** STREAMING LEARNED-QUALITY GATE: each micro-batch scores against
+    * the frozen NB classifier (the written
+    * [[graft.quality.NbClassifier.writeNbModel]] artifact) and keeps
+    * the docs whose decision score clears `threshold6` micro-nats
+    * (0 = the MAP rule) — the learned gate applied AT INGEST. Row
+    * local like the DSIR gate (weight literal + bias, zero state,
+    * zero stream-side shuffle); same idempotent dynamic-partition
+    * overwrite.
+    */
+  def processNbGateBatch(batch: DataFrame,
+      model: graft.quality.NbClassifier.NbModel, outDir: String,
+      batchId: Long, threshold6: Long): Unit = {
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors = batch
+      .withColumn("__d6",
+        graft.quality.NbClassifier.decision6Local(model)(
+          graft.functions.TextFunctions.words(col("text"))))
+      .filter(col("__d6") > threshold6)
+      .drop("__d6")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // score once: isEmpty probe + write share it
+    try {
+      if (!survivors.isEmpty || fs.exists(outPath))
+        survivors.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally freeLocalCheckpoint(survivors)
+  }
+
+  /** The streaming entry for the learned quality gate: classifier
+    * read ONCE per stream from the written artifact, then row-local
+    * gating per micro-batch (the [[dsirGateSink]] lifecycle).
+    */
+  def nbGateSink(docs: DataFrame, modelDir: String, outDir: String,
+      checkpointDir: String, threshold6: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = graft.quality.NbClassifier
+      .readNbModel(docs.sparkSession, modelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNbGateBatch(batch, model, outDir, batchId, threshold6)
+      }
+      .start()
+  }
+
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
     * corpus at `outDir`, exactly-once via checkpoint + the idempotent
     * batch core above.

@@ -635,4 +635,42 @@ class PipelinesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     carried.foreach { case (id, w) => assert(w === scored(id), s"doc $id") }
   }
+
+  test("streaming NB quality gate ≡ batch nbGate; replay-idempotent") {
+    import graft.quality.NbClassifier
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nbgate").toString
+    val pool = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again", true),
+      (2L, "a long winded sentence keeps going with many many words", true),
+      (3L, "substantial prose continues across several varied tokens here", true),
+      (4L, "short note", false),
+      (5L, "tiny text", false),
+      (6L, "ok", false))
+      .toDF("doc_id", "text", "pos")
+    val model = NbClassifier.nbTrain(pool, col("pos"), 32)
+    NbClassifier.writeNbModel(spark, model, s"$tmp/model")
+    val wantKept = NbClassifier.nbGate(pool, model)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wantKept.nonEmpty && wantKept.size < 6,
+      "the gate should split the pool")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.nbGateSink(mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/model", s"$tmp/out", s"$tmp/ckpt")
+    val rows = pool.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(3)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+
+    def surviving() = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving() === wantKept)
+    // crash-replay of batch 0 rewrites only its own partition
+    Pipelines.processNbGateBatch(b1.toDF("doc_id", "text"),
+      model, s"$tmp/out", 0L, threshold6 = 0L)
+    assert(surviving() === wantKept)
+    assert(spark.read.parquet(s"$tmp/out").count() === wantKept.size.toLong)
+  }
 }
