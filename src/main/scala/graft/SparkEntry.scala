@@ -797,6 +797,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 101 === 7),
         "doc_id", "text")
     }),
+    // The inverse contamination report: per BENCHMARK doc, how many
+    // corpus docs share its bigrams and what fraction of its grams
+    // leaked — the eval owner's "which test items are compromised"
+    "q_contamination_by_bench" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationByBenchmark(
+        docs.filter(col("doc_id") % 101 =!= 7),
+        docs.filter(col("doc_id") % 101 === 7),
+        "doc_id", "text")
+    }),
     // Span-level decontamination: every 8-word span shared with the
     // held-out slice is cut out of the corpus doc, rest kept
     "q_decontaminate_spans" -> ((s, d) => {
@@ -898,6 +908,28 @@ object SparkEntry {
         "left_semi")
       graft.selection.Dsir.dsirSelect(kept, dsirModelFor(s, d), 50)
         .orderBy(col("doc_id"))
+    }),
+    // Curation × learned-classifier composition: the curated
+    // survivors further gated by the NB quality classifier (MAP
+    // rule), carrying the decision score — quality RULES first, the
+    // LEARNED gate second, both stages unchanged
+    "q_curation_classified" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+      // model train (one bounded aggregation) overlaps the capstone
+      // scan on a second thread — the q_curation_ranked shape
+      val modelF = scala.concurrent.Future { nbModelFor(s, d) }(
+        scala.concurrent.ExecutionContext.global)
+      val curated = graft.curation.Curation.curate(corpus,
+        docs.filter(col("doc_id") % 101 === 7))
+      val m = scala.concurrent.Await.result(modelF,
+        scala.concurrent.duration.Duration.Inf)
+      val kept = corpus.join(curated.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val scored = graft.quality.NbClassifier.nbScore(kept, m)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("nb_score"))
+      curated.join(scored, Seq("doc_id")).orderBy(col("doc_id"))
     }),
     "q_curation_ranked" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1044,6 +1076,22 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
         nbModelFor(s, d))
         .orderBy(col("doc_id"))),
+    // Same gate served from the WRITTEN parquet classifier — the
+    // artifact lifecycle (train → write → read → score) under the
+    // same oracle as the in-session path
+    "q_quality_classifier_indexed" -> ((s, d) =>
+      graft.quality.NbClassifier.nbScore(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        graft.quality.NbClassifier.readNbModel(s, builtNbModel(s, d)))
+        .orderBy(col("doc_id"))),
+    // Calibration readout: precision/recall of the learned gate on
+    // the held-out quarter at ±2-nat thresholds — exact integer
+    // counts, exact long-division 4-decimal ratios
+    "q_classifier_pr" -> ((s, d) =>
+      graft.quality.NbClassifier.prCurve(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        nbModelFor(s, d), col("n_chars") >= 300,
+        Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L))),
     // Per-language tokenizer fertility: BPE-ish tokens per word over
     // exact long sums — the token-denominated mixture readout
     "q_token_fertility" -> ((s, d) =>
@@ -1054,6 +1102,12 @@ object SparkEntry {
     // centroids — no division, no float-sum order dependence)
     "q_embedding_drift" -> ((s, d) =>
       Similarity.centroidDrift(Tables.embeddings(s, d))),
+    // Embedding-quality outlier gate: each vector's cosine to its
+    // own label's fixed-point centroid-sum; below-threshold vectors
+    // flag as mislabels/encoder glitches (the per-vector companion
+    // of q_embedding_drift, same 2^44 exactness contract)
+    "q_embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d), 0.5)),
     // Frozen-LM serving split: model trained on the ¾ corpus slice,
     // scores the held-out ¼ — unseen grams smooth through add-1
     "q_lm_score_frozen" -> ((s, d) => {
@@ -1455,6 +1509,12 @@ object SparkEntry {
   private def builtDsirModel(s: SparkSession, d: String): String =
     builtIndexDir("graft_dsir", d) { p =>
       graft.selection.Dsir.writeDsirModel(s, dsirModelFor(s, d), p)
+    }
+
+  /** Build-once WRITTEN NB classifier per corpus (same lifecycle). */
+  private def builtNbModel(s: SparkSession, d: String): String =
+    builtIndexDir("graft_nb", d) { p =>
+      graft.quality.NbClassifier.writeNbModel(s, nbModelFor(s, d), p)
     }
 
   /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
@@ -1915,7 +1975,11 @@ object SparkEntry {
         "q_dsir_weights_indexed" -> staticOracleSql("q_dsir_weights"),
         // merged counts ≡ full retrain by additivity, so the merged
         // model's scores are gated by the SAME full-corpus replay
-        "q_dsir_incremental" -> staticOracleSql("q_dsir_weights")) ++
+        "q_dsir_incremental" -> staticOracleSql("q_dsir_weights"),
+        // the written classifier must serve identically to the
+        // in-session one (the q_dsir_weights_indexed precedent)
+        "q_quality_classifier_indexed" ->
+          staticOracleSql("q_quality_classifier_gate")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle ++
       curationKcoreOracle
 
@@ -2935,6 +2999,35 @@ object SparkEntry {
            (n_words >= 20 AND
             (top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05)) AS repetitive
          FROM m ORDER BY doc_id""",
+    // inverse direction: per-bench-doc leak rollup over the same
+    // distinct-shingle machinery
+    "q_contamination_by_bench" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+           CASE WHEN len(ws) >= 2
+                THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+                ELSE CAST([] AS VARCHAR[]) END AS grams
+           FROM d),
+         bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gr
+                FROM g WHERE doc_id % 101 = 7),
+         cg AS (SELECT doc_id AS cid, unnest(grams) AS gr
+                FROM g WHERE doc_id % 101 <> 7),
+         leaks AS (SELECT bg.bench_id,
+                     count(DISTINCT cg.cid) AS n_leaking_docs,
+                     count(DISTINCT bg.gr) AS n_leaked_grams
+                   FROM bg JOIN cg ON bg.gr = cg.gr GROUP BY 1),
+         base AS (SELECT doc_id AS bench_id,
+                    CAST(len(grams) AS BIGINT) AS n_grams
+                  FROM g WHERE doc_id % 101 = 7)
+         SELECT base.bench_id, base.n_grams,
+           coalesce(l.n_leaking_docs, 0) AS n_leaking_docs,
+           coalesce(l.n_leaked_grams, 0) AS n_leaked_grams,
+           CASE WHEN base.n_grams > 0
+                THEN ((coalesce(l.n_leaked_grams, 0) * 20000 + base.n_grams)
+                      // (2 * base.n_grams)) / 10000.0
+                ELSE 0.0 END AS leaked_frac
+         FROM base LEFT JOIN leaks l ON base.bench_id = l.bench_id
+         ORDER BY base.bench_id""",
     "q_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          g AS (SELECT doc_id,
@@ -3084,6 +3177,40 @@ object SparkEntry {
            ${micro4Sql("key6")} AS dsir_key
          FROM (SELECT * FROM xk ORDER BY key6 DESC, doc_id LIMIT 50)
          ORDER BY doc_id"""),
+    // the capstone tail + the NB-classifier MAP gate over the kept
+    // ids (model replay = the q_quality_classifier CTEs, trained on
+    // the FULL ¾ split exactly like the cached nbModelFor artifact)
+    "q_curation_classified" -> (curationGateCtes +
+      s""", gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id
+           WHERE NOT rep.repetitive AND NOT con.contaminated
+             AND NOT lm.lm_nll >= 10.0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+         $nbCtes,
+         kh AS (SELECT dd.doc_id, string_split(dd.text, ' ') AS ws
+                FROM documents dd JOIN keep k ON dd.doc_id = k.doc_id),
+         khg AS (SELECT doc_id, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM kh),
+         khb AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM khg),
+         khs AS (SELECT khb.doc_id, sum(qw.w6) AS s6
+                 FROM khb JOIN qw ON khb.b = qw.b GROUP BY 1),
+         khd AS (SELECT khs.doc_id, khs.s6 + qbias.w6 AS d6
+                 FROM khs CROSS JOIN qbias)
+         SELECT g.doc_id, g.source, g.lm_nll,
+           ${micro4Sql("khd.d6")} AS nb_score
+         FROM gated g
+         JOIN keep k ON g.doc_id = k.doc_id
+         JOIN khd ON khd.doc_id = g.doc_id
+         WHERE khd.d6 > 0
+         ORDER BY g.doc_id"""),
     // the capstone tail + the PageRank bottom-decile prior over the
     // doc-id hub graph (rank replay = the q_pagerank CTE chain over
     // corp0's edges; the cut orders by the oracle-pinned
@@ -3237,6 +3364,44 @@ object SparkEntry {
                  FROM qhs CROSS JOIN qbias)
          SELECT doc_id, ${micro4Sql("d6")} AS nb_score, d6 > 0 AS keep
          FROM qhd ORDER BY doc_id"""),
+    // the PR sweep re-derives the held-out decisions (same CTEs) and
+    // rolls them per threshold; exact integer //-division readouts
+    "q_classifier_pr" ->
+      (s"""WITH $nbCtes,
+         qh AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 4 = 0),
+         qhg AS (SELECT doc_id, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
+         qhb AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM qhg),
+         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
+                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
+         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
+                 FROM qhs CROSS JOIN qbias),
+         lab AS (SELECT qhd.doc_id, qhd.d6, dd.n_chars >= 300 AS pos
+                 FROM qhd JOIN documents dd ON dd.doc_id = qhd.doc_id),
+         th AS (SELECT CAST(unnest([-2000000, -1000000, 0,
+                                    1000000, 2000000]) AS BIGINT) AS t6),
+         c AS (SELECT th.t6,
+                 count(CASE WHEN lab.pos AND lab.d6 > th.t6 THEN 1 END)
+                   AS tp,
+                 count(CASE WHEN NOT lab.pos AND lab.d6 > th.t6 THEN 1 END)
+                   AS fp,
+                 count(CASE WHEN lab.pos AND lab.d6 <= th.t6 THEN 1 END)
+                   AS fn
+               FROM th CROSS JOIN lab GROUP BY 1)
+         SELECT t6, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN ((tp * 20000 + (tp + fp)) // (2 * (tp + fp)))
+                     / 10000.0 END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN ((tp * 20000 + (tp + fn)) // (2 * (tp + fn)))
+                     / 10000.0 END AS recall
+         FROM c ORDER BY t6"""),
     // q_dsir_weights_indexed aliases the q_dsir_weights replay in
     // oracleSql (the q_search_bm25_indexed precedent): the written-
     // model path must score identically to the in-session one
@@ -3270,6 +3435,25 @@ object SparkEntry {
          SELECT label, n_vecs,
            round(list_cosine_similarity(lvv, gvv), 4) AS drift_cos
          FROM lv CROSS JOIN gv ORDER BY label""",
+    // per-vector cosine to the label's 2^44 fixed-point sum vector
+    // (the q_embedding_drift machinery, scored per row)
+    "q_embedding_outliers" ->
+      """WITH c AS (SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                 * 17592186044416.0) AS BIGINT) AS xi
+             FROM embeddings),
+         lb AS (SELECT label, dim, sum(xi) AS s FROM c GROUP BY 1, 2),
+         lv AS (SELECT label,
+                  list(CAST(s AS DOUBLE) ORDER BY dim) AS lvv
+                FROM lb GROUP BY 1)
+         SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             lv.lvv), 4) AS centroid_cos,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             lv.lvv), 4) < 0.5 AS outlier
+         FROM embeddings e JOIN lv ON e.label = lv.label
+         ORDER BY e.vec_id""",
     // frozen-LM replay: counts from the training slice only; grams and
     // contexts the model never saw coalesce to 0 (add-1 smooths them)
     "q_lm_score_frozen" ->

@@ -134,6 +134,42 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Embedding-quality outlier gate: each vector's cosine to its OWN
+    * label's centroid — a vector far from its class center is a
+    * mislabel, an encoder glitch, or genuinely off-distribution, and
+    * a training pipeline drops or re-routes it (the per-VECTOR
+    * companion of [[centroidDrift]]'s per-label readout). Cosine is
+    * scale-invariant, so the exact integer 2^44 fixed-point SUM
+    * vector stands in for the centroid — no division, no float-sum
+    * order dependence, the centroidDrift exactness contract.
+    *
+    * Scale shape: one narrow fixed-point explode + a bounded
+    * (labels × dims) aggregation, broadcast back over a single
+    * scoring pass — the corpus never shuffles.
+    */
+  def embeddingOutliers(embeddings: DataFrame, threshold: Double = 0.5,
+      labelCol: String = "label"): DataFrame = {
+    val scale = 17592186044416L // 2^44
+    val lv = embeddings
+      .select(col(labelCol).as("__lbl"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("__lbl"), col("dim"),
+        floor(col("x") * lit(scale.toDouble)).cast("long").as("xi"))
+      .groupBy(col("__lbl"), col("dim"))
+      .agg(sum(col("xi")).as("s"))
+      .groupBy(col("__lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("s").as("s")))), t => t.getField("s")).as("lvi"))
+    embeddings
+      .join(broadcast(lv), col(labelCol) === col("__lbl"))
+      .select(col("vec_id"), col(labelCol).as("label"),
+        round(cosineFor(embeddings)(
+          asDouble(col("embedding")), col("lvi").cast("array<double>")), 4)
+          .as("centroid_cos"))
+      .withColumn("outlier", col("centroid_cos") < threshold)
+      .orderBy(col("vec_id"))
+  }
+
   /** Contrastive-training pair export: for each anchor, the single
     * best POSITIVE (cos ≥ threshold, anchor itself excluded) and the
     * `kNeg` hardest NEGATIVES below the threshold — the

@@ -410,6 +410,52 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** The INVERSE contamination readout: per BENCHMARK document, how
+    * far it leaks into the training corpus — the report an eval
+    * owner reads ("which of my test items are compromised, and how
+    * badly") where [[contaminationStats]] answers the corpus owner's
+    * question ("which of my documents to drop"). For each benchmark
+    * doc: how many corpus docs share at least one of its n-grams,
+    * and how many of its distinct grams appear anywhere in the
+    * corpus, with the leaked fraction at the exact 4-decimal
+    * readout. Benchmark docs with no leak (or no grams) report
+    * zeros — absence of evidence is a RESULT here, not a missing
+    * row.
+    *
+    * Scale shape: the benchmark gram set is bounded and broadcasts
+    * (the decontamination convention); the corpus explodes its
+    * distinct shingles ONCE and joins narrow — per-gram rows carry
+    * two ids, never text. Aggregation output is |benchmark| rows.
+    */
+  def contaminationByBenchmark(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    import graft.dedup.Dedup.shingles
+    val benchGrams = benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(shingles(col(textCol), n)).as("__g"))
+    val corpusGrams = corpus
+      .select(col(idCol).as("__cid"),
+        explode(shingles(col(textCol), n)).as("__g"))
+    val leaks = benchGrams
+      .join(corpusGrams, Seq("__g"))
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("__cid")).as("n_leaking_docs"),
+        count_distinct(col("__g")).as("n_leaked_grams"))
+    benchmark
+      .select(col(idCol).as("bench_id"),
+        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(leaks, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
+      .withColumn("leaked_frac",
+        when(col("n_grams") > 0,
+          expr("(n_leaked_grams * 20000 + n_grams) div (2 * n_grams)") /
+            lit(10000.0))
+          .otherwise(lit(0.0)))
+      .orderBy(col("bench_id"))
+  }
+
   // ---------------------------------------------------------------
   // Corpus vocabulary statistics (heavy hitters)
   // ---------------------------------------------------------------

@@ -502,4 +502,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     if (cos7 >= 0.98) assert(!kept.contains(7L)) else assert(kept.contains(7L))
   }
+
+  test("embeddingOutliers flags the vector far from its label centroid") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"),
+      (2L, Seq(0.9f, 0.1f), "a"),
+      (3L, Seq(-1.0f, 0.05f), "a"),  // opposite direction: the outlier
+      (4L, Seq(0.0f, 1.0f), "b"),
+      (5L, Seq(0.1f, 0.9f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliers(vs, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(3L)._3, s"vector 3 should flag: ${got(3L)}")
+    Seq(1L, 2L, 4L, 5L).foreach { id =>
+      assert(!got(id)._3, s"vector $id should not flag: ${got(id)}")
+    }
+    // label isolation: b's members score against b's centroid only
+    assert(got(4L)._1 === "b" && got(4L)._2 > 0.5)
+    // every cosine is the rounded-4 readout in [-1, 1]
+    got.values.foreach { case (_, c, _) =>
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
 }

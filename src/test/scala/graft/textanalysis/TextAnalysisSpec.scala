@@ -418,4 +418,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0L) === r(7L))
     assert(r(99L) > r(0L))
   }
+
+  test("contaminationByBenchmark: per-bench leak counts, zeros for " +
+      "clean bench docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta" with b10
+      (2L, "alpha beta epsilon"),       // shares "alpha beta" with b10
+      (3L, "zeta eta theta"))           // clean
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta something"),    // "alpha beta" leaks into 1 and 2
+      (11L, "totally unseen grams"),    // clean
+      (12L, "x"))                       // < 2 words: no grams at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationByBenchmark(
+      corpus, bench, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // b10: 2 grams ("alpha beta", "beta something"); 1 leaked gram
+    // into 2 corpus docs; leaked fraction 1/2
+    assert(got(10L) === ((2L, 2L, 1L, 0.5)))
+    assert(got(11L) === ((2L, 0L, 0L, 0.0)))
+    assert(got(12L) === ((0L, 0L, 0L, 0.0)))
+  }
 }
