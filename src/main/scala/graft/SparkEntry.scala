@@ -862,6 +862,16 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.bpeEncodeFromVocabIndex(
         Tables.documents(s, d), builtVocabTokens(s, d))
         .orderBy(col("doc_id"))),
+    // Tokenizer fitness on held-out text: the vocab table built from
+    // the ¾ split serves the ¼ — per-language OOV rate + fertility
+    // (the report a tokenizer owner reads before shipping; exact
+    // //-division readouts, generated merge-replay oracle)
+    "q_bpe_coverage" -> ((s, d) => {
+      lastOracleDir = d
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeCoverage(docs.filter(col("doc_id") % 4 === 0),
+        bpeTrainVocabTable(s, d))
+    }),
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
@@ -1769,6 +1779,21 @@ object SparkEntry {
         bpeFullMerges(kv._1, kv._2)))
   }
 
+  /** The TRAIN-SPLIT (doc_id % 4 ≠ 0) vocab table for the coverage
+    * readout — same lifecycle, narrower vocabulary (held-out-only
+    * words are the OOV signal under measurement).
+    */
+  private val bpeTrainVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  SessionCaches.register(bpeTrainVocabCache)
+  private def bpeTrainVocabTable(s: SparkSession, d: String): DataFrame = {
+    SessionCaches.ensureHook(s)
+    bpeTrainVocabCache.computeIfAbsent((s, d), kv =>
+      TextAnalysis.bpeVocabTokens(
+        Tables.documents(kv._1, kv._2).filter(col("doc_id") % 4 =!= 0),
+        bpeFullMerges(kv._1, kv._2)))
+  }
+
   /** Oracle for q_bpe_encode_vocab, generated after the query ran
     * (the ivfKmeansOracle lifecycle): the learned merge table inlines
     * as literal `replace` pairs and DuckDB replays the DIRECT
@@ -1803,6 +1828,51 @@ object SparkEntry {
       // the written-artifact serving path must agree with the
       // session-artifact path — one replay, two execution paths
       Seq("q_bpe_encode_vocab" -> sql, "q_bpe_encode_indexed" -> sql)
+    }
+
+  /** Generated q_bpe_coverage oracle: train-split vocabulary
+    * membership decides OOV; known words replay the full merge chain
+    * directly (the [[bpeVocabOracle]] construction); exact
+    * //-division ratio readouts.
+    */
+  private def bpeCoverageOracle: Seq[(String, String)] =
+    Option(lastOracleDir).flatMap(d =>
+        Option(bpeMergesFullCache.get(d))).toSeq.map { ms =>
+      def esc(x: String) = x.replace("'", "''")
+      val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
+      val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
+        s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
+      }
+      val legal = "w -> w <> '' AND NOT contains(w, '<') " +
+        "AND NOT contains(w, '>') AND NOT contains(w, '_')"
+      "q_bpe_coverage" ->
+        s"""WITH trv AS (
+           SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+             $legal)) AS w
+           FROM documents WHERE doc_id % 4 <> 0),
+         hw AS (SELECT lang, unnest(list_filter(string_split(text, ' '),
+             $legal)) AS w
+           FROM documents WHERE doc_id % 4 = 0),
+         j AS (SELECT hw.lang, hw.w, (trv.w IS NOT NULL) AS known
+               FROM hw LEFT JOIN trv ON hw.w = trv.w),
+         tok AS (SELECT lang, known,
+               CASE WHEN known THEN CAST(len(string_split(
+                 substr(replace($merged, '><', ' '), 2,
+                        len(replace($merged, '><', ' ')) - 2), ' '))
+                 AS BIGINT) END AS nt
+             FROM j)
+         SELECT lang,
+           count(*) AS words_total,
+           count(CASE WHEN NOT known THEN 1 END) AS words_oov,
+           CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_total,
+           ((count(CASE WHEN NOT known THEN 1 END) * 20000 + count(*))
+            // (2 * count(*))) / 10000.0 AS oov_rate,
+           CASE WHEN count(CASE WHEN known THEN 1 END) > 0
+                THEN ((coalesce(sum(nt), 0) * 20000
+                       + count(CASE WHEN known THEN 1 END))
+                      // (2 * count(CASE WHEN known THEN 1 END)))
+                     / 10000.0 END AS fertility
+         FROM tok GROUP BY 1 ORDER BY lang"""
     }
 
   /** Corpus with planted HALF-truncations: every doc_id % 7 == 0 doc
@@ -1980,8 +2050,8 @@ object SparkEntry {
         // in-session one (the q_dsir_weights_indexed precedent)
         "q_quality_classifier_indexed" ->
           staticOracleSql("q_quality_classifier_gate")) ++
-      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++ kcoreOracle ++
-      curationKcoreOracle
+      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++
+      bpeCoverageOracle ++ kcoreOracle ++ curationKcoreOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
     * repetition rubric, benchmark contamination, corpus-trained

@@ -1067,6 +1067,45 @@ object TextAnalysis {
     bpeEncodeWithVocab(documents,
       bpeVocabTokens(documents, merges, textCol), idCol, textCol)
 
+  /** Tokenizer-fitness readout per language over HELD-OUT text: how
+    * a vocabulary trained on one slice serves another — the report a
+    * tokenizer owner reads before shipping (per-language OOV rate =
+    * word occurrences the trained vocabulary has never seen;
+    * fertility = tokens per KNOWN word occurrence under the merge
+    * table). High OOV in a language means the training slice
+    * under-represents it; high fertility means its words fragment —
+    * both are mixture-design signals, measured here exactly.
+    *
+    * Exactness: counts are exact longs; both ratios use the exact
+    * long-division 4-decimal readout ([[tokenFertility]]'s
+    * contract); all-OOV languages read NULL fertility.
+    *
+    * Scale shape: the corpus explodes to legal-word occurrences and
+    * joins the BOUNDED vocabulary table once (broadcast while it
+    * fits, word-key join past that); output is |languages| rows.
+    */
+  def bpeCoverage(documents: DataFrame, vocabTokens: DataFrame,
+      langCol: String = "lang", textCol: String = "text"): DataFrame =
+    documents
+      .select(col(langCol).as("lang"),
+        explode(filter(words(col(textCol)), w => bpeLegalWord(w)))
+          .as("word"))
+      .join(vocabTokens.select(col("word"), col("n_tokens")),
+        Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("words_total"),
+        count(when(col("n_tokens").isNull, 1)).as("words_oov"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_total"))
+      .select(col("lang"), col("words_total"), col("words_oov"),
+        col("tokens_total"),
+        (expr("(words_oov * 20000 + words_total) div (2 * words_total)") /
+          lit(10000.0)).as("oov_rate"),
+        when(col("words_total") - col("words_oov") > 0,
+          expr("(tokens_total * 20000 + (words_total - words_oov)) div " +
+            "(2 * (words_total - words_oov))") / lit(10000.0))
+          .as("fertility"))
+      .orderBy(col("lang"))
+
   /** Persist a [[bpeVocabTokens]] table as parquet — the tokenizer's
     * WRITTEN serving artifact (the writeIvfIndex / writeBm25Index
     * lifecycle): build once per (vocabulary, merge table), then any

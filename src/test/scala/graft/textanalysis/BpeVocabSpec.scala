@@ -121,4 +121,22 @@ class BpeVocabSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ===
       Seq((1L, 6L, "ab c _ ab c _"), (2L, 0L, "")))
   }
+
+  test("bpeCoverage: per-language OOV and fertility over a held-out " +
+      "slice, exact readouts") {
+    val merges = Seq(("a", "b"))
+    // train vocabulary: {abc, ab} → "abc" = [ab c _] (3), "ab" = [ab _] (2)
+    val vt = TextAnalysis.bpeVocabTokens(
+      Seq((1L, "abc ab")).toDF("doc_id", "text"), merges)
+    val heldOut = Seq(
+      (10L, "abc ab abc", "en"),   // all known: 3+2+3 = 8 tokens / 3 words
+      (11L, "abc zzz", "de"))      // one known (3 tokens), one OOV
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.bpeCoverage(heldOut, vt)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("en") === ((3L, 0L, 8L, 0.0, Some(2.6667))))
+    assert(got("de") === ((2L, 1L, 3L, 0.5, Some(3.0))))
+  }
 }
