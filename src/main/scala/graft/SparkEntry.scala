@@ -415,6 +415,29 @@ object SparkEntry {
       kcoreRounds.put(d, Integer.valueOf(r.rounds))
       r.members
     }),
+    // Community detection: 4 synchronous label-propagation rounds
+    // over the link graph, ties to the smallest label, min-member
+    // canonical community names. smallGraphEdges=0 pins the
+    // distributed per-round shape — the 100 TB plan — through the
+    // oracle gate (the q_kcore convention); the in-task fast path is
+    // pinned label-for-label equal in CommunitiesSpec
+    "q_communities" -> ((s, d) =>
+      graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
+        "s", "t", rounds = 4, smallGraphEdges = 0L)),
+    // the bounded-graph serving path, gated by the SAME oracle SQL —
+    // a divergence between the paths fails the gate itself
+    "q_communities_fast" -> ((s, d) =>
+      graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
+        "s", "t", rounds = 4)),
+    // One-row partition-quality readout: exact integer-rational
+    // modularity of the LPA partition (Newman-Girvan), the number a
+    // curation owner reads before trusting community-level decisions
+    "q_modularity" -> ((s, d) => {
+      val e = linkGraphEdges(s, d)
+      graft.graph.Communities.modularity(e,
+        graft.graph.Communities.labelPropagation(e, "s", "t", rounds = 4),
+        "s", "t")
+    }),
     // TrustRank: teleport restricted to trusted seed hubs (node ids
     // divisible by 64 — a subset of the 16-group heads); rank flows
     // outward from seeds, unreachable regions starve toward zero
@@ -872,9 +895,45 @@ object SparkEntry {
       TextAnalysis.bpeCoverage(docs.filter(col("doc_id") % 4 === 0),
         bpeTrainVocabTable(s, d))
     }),
+    // Serving the trained vocab against FRESH text with the real-
+    // tokenizer OOV contract: held-out words absent from the
+    // train-split vocabulary fall back to their character stream +
+    // end-of-word marker (the zero-merges base encoding) instead of
+    // dropping — a shipped tokenizer never loses input
+    "q_bpe_encode_fallback" -> ((s, d) => {
+      lastOracleDir = d
+      graft.textanalysis.TextAnalysis.bpeEncodeWithVocabFallback(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        bpeTrainVocabTable(s, d))
+        .orderBy(col("doc_id"))
+    }),
+    // The training-data last mile end-to-end: tokenize the held-out
+    // quarter with the TRAINED byte-fallback tokenizer, then pack the
+    // real token counts into 512-token blocks (the q_pack_sequences
+    // strategy over actual tokenizer output, not whitespace proxies)
+    "q_pack_bpe" -> ((s, d) => {
+      lastOracleDir = d
+      val enc = graft.textanalysis.TextAnalysis.bpeEncodeWithVocabFallback(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        bpeTrainVocabTable(s, d))
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
+      graft.textanalysis.TextAnalysis.packSequences(
+        enc, "doc_id", col("bpe_tokens"), budget = 512, nShards = 8)
+        .groupBy(col("shard"), col("block"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("shard"), col("block"))
+    }),
     // Vocabulary heavy hitters: exact corpus top-20 bigrams
     "q_top_ngrams" -> ((s, d) =>
       TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
+    // Memorization risk (Lee et al. '22): per-doc fraction of 5-gram
+    // occurrences that also appear in at least one OTHER document —
+    // cross-doc duplicated text the model will see repeatedly
+    "q_memorization" -> ((s, d) =>
+      TextAnalysis.memorizationStats(Tables.documents(s, d), 5)),
+    // ...and the top-20 most duplicated 5-grams behind that fraction
+    "q_memorized_grams" -> ((s, d) =>
+      TextAnalysis.memorizedTopGrams(Tables.documents(s, d), 5, 20)),
     // Mixture analytics: per-source unigram KL from the corpus blend
     "q_domain_divergence" -> ((s, d) =>
       TextAnalysis.domainDivergence(Tables.documents(s, d))),
@@ -1875,6 +1934,75 @@ object SparkEntry {
          FROM tok GROUP BY 1 ORDER BY lang"""
     }
 
+  /** Generated oracles for the held-out byte-fallback serving path:
+    * per held-out word occurrence, train-split membership decides the
+    * path — known words replay the full merge chain directly (the
+    * [[bpeVocabOracle]] construction), OOV words emit their character
+    * stream + marker; positional string_agg reassembles each doc and
+    * a doc-list left join restores the empty-doc (id, 0, "") rows.
+    * q_pack_bpe extends the same chain with the q_pack_sequences
+    * cumulative window, so the tokenizer under the packer is
+    * replayed, not re-derived.
+    */
+  private def bpeFallbackOracle: Seq[(String, String)] =
+    Option(lastOracleDir).flatMap(d =>
+        Option(bpeMergesFullCache.get(d))).toSeq.flatMap { ms =>
+      def esc(x: String) = x.replace("'", "''")
+      val enc =
+        "'<' || array_to_string(regexp_split_to_array(wd, ''), '><') || '><_>'"
+      val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
+        s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
+      }
+      val legal = "w -> w <> '' AND NOT contains(w, '<') " +
+        "AND NOT contains(w, '>') AND NOT contains(w, '_')"
+      val chain =
+        s"""WITH trv AS (
+           SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+             $legal)) AS w
+           FROM documents WHERE doc_id % 4 <> 0),
+         hw AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), $legal)) AS wd,
+             unnest(range(len(list_filter(string_split(text, ' '),
+               $legal)))) AS pos
+           FROM documents WHERE doc_id % 4 = 0),
+         tok AS (SELECT hw.doc_id, hw.pos,
+             CASE WHEN trv.w IS NOT NULL
+                  THEN substr(replace($merged, '><', ' '), 2,
+                       len(replace($merged, '><', ' ')) - 2)
+                  ELSE array_to_string(
+                       regexp_split_to_array(hw.wd, ''), ' ') || ' _'
+             END AS t
+           FROM hw LEFT JOIN trv ON hw.wd = trv.w),
+         agg AS (SELECT doc_id,
+             CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens,
+             string_agg(t, ' ' ORDER BY pos) AS tokens
+           FROM tok GROUP BY doc_id)"""
+      Seq(
+        "q_bpe_encode_fallback" ->
+          s"""$chain
+           SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+             coalesce(a.tokens, '') AS tokens
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+           LEFT JOIN agg a ON d.doc_id = a.doc_id
+           ORDER BY d.doc_id""",
+        "q_pack_bpe" ->
+          s"""$chain,
+           e AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens
+                 FROM (SELECT doc_id FROM documents
+                       WHERE doc_id % 4 = 0) d
+                 LEFT JOIN agg a ON d.doc_id = a.doc_id),
+           c AS (SELECT CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY doc_id % 8
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                 FROM e)
+           SELECT shard,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           FROM c GROUP BY 1, 2 ORDER BY shard, block""")
+    }
+
   /** Corpus with planted HALF-truncations: every doc_id % 7 == 0 doc
     * gains a +2,000,000-id copy keeping only its first ⌊n/2⌋ words
     * (min 3 so it still shingles) — Jaccard vs the original is
@@ -2051,7 +2179,8 @@ object SparkEntry {
         "q_quality_classifier_indexed" ->
           staticOracleSql("q_quality_classifier_gate")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++
-      bpeCoverageOracle ++ kcoreOracle ++ curationKcoreOracle
+      bpeCoverageOracle ++ bpeFallbackOracle ++ kcoreOracle ++
+      curationKcoreOracle
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
     * repetition rubric, benchmark contamination, corpus-trained
@@ -2458,6 +2587,48 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle(8),
     "q_pagerank_personalized" -> personalizedPageRankOracle(8),
     "q_pagerank_personalized_fast" -> personalizedPageRankOracle(8),
+    // LPA replay: one CTE per synchronous round (most-frequent
+    // neighbor label, ties to the smallest — row_number over the
+    // grouped vote counts), min-member canonical relabel; both
+    // execution paths gate on the same replay
+    "q_communities" ->
+      (s"""WITH $linkGraphCtes,
+         ${lpaChainCtes(4)}
+         SELECT node, community FROM fin ORDER BY node"""),
+    "q_communities_fast" ->
+      (s"""WITH $linkGraphCtes,
+         ${lpaChainCtes(4)}
+         SELECT node, community FROM fin ORDER BY node"""),
+    // modularity as the exact integer rational sum(4*m*e_c - D_c^2)
+    // / 4m^2 over the replayed partition; the double readout is the
+    // house 4-decimal long division, +1-shifted so the numerator
+    // stays non-negative (integer-division semantics for negatives
+    // differ between engines)
+    "q_modularity" ->
+      (s"""WITH $linkGraphCtes,
+         ${lpaChainCtes(4)},
+         mtot AS (SELECT count(*) AS m FROM und),
+         dc AS (SELECT f.community, CAST(sum(deg.d) AS BIGINT) AS dsum
+                FROM fin f JOIN deg ON f.node = deg.node GROUP BY 1),
+         ec AS (SELECT fu.community, count(*) AS e FROM und
+                JOIN fin fu ON und.u = fu.node
+                JOIN fin fv ON und.v = fv.node
+                WHERE fu.community = fv.community GROUP BY 1),
+         nm AS (SELECT CAST(coalesce(sum(4 * mtot.m * coalesce(ec.e, 0)
+                       - dc.dsum * dc.dsum), 0) AS BIGINT) AS q_num
+                FROM dc CROSS JOIN mtot
+                LEFT JOIN ec ON dc.community = ec.community)
+         SELECT (SELECT count(*) FROM fin) AS n_nodes,
+           mtot.m AS n_edges,
+           (SELECT count(DISTINCT community) FROM fin) AS n_communities,
+           nm.q_num AS q_num,
+           4 * mtot.m * mtot.m AS q_den,
+           CASE WHEN mtot.m <> 0 THEN
+             ((nm.q_num + 4 * mtot.m * mtot.m) * 20000
+              + 4 * mtot.m * mtot.m)
+              // (2 * 4 * mtot.m * mtot.m) / 10000.0 - 1.0
+           END AS modularity
+         FROM mtot, nm"""),
     // triangle replay: canonical undirected edges, degree-ordered
     // orientation, 2-path join closed against the oriented edges
     "q_triangles" ->
@@ -3130,6 +3301,24 @@ object SparkEntry {
                   ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t)
          SELECT gram, count(*) AS occurrences FROM g
          GROUP BY 1 ORDER BY occurrences DESC, gram LIMIT 20""",
+    // cross-doc duplicated 5-gram replay: per-(doc, gram) counts,
+    // per-gram distinct-doc counts, dup occurrences where the gram
+    // lives in >= 2 docs; list-slice comprehension builds the grams
+    "q_memorization" ->
+      (s"""WITH $memorizationCtes
+         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+             ((per.dup_grams * 20000 + per.n_grams)
+              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id"""),
+    "q_memorized_grams" ->
+      (s"""WITH $memorizationCtes
+         SELECT dg.g AS gram, count(*) AS n_docs,
+           CAST(sum(dg.c) AS BIGINT) AS n_occurrences
+         FROM dg GROUP BY 1 HAVING count(*) >= 2
+         ORDER BY n_occurrences DESC, n_docs DESC, gram LIMIT 20"""),
     // per-term values round to integer pico-nats so the per-source
     // sum is exact — the same order-independence contract as the LM
     // micro-nat mean (a float sum over the vocab grid would diverge)
@@ -4355,6 +4544,55 @@ object SparkEntry {
          deg AS (SELECT node, count(*) AS d FROM (
                    SELECT u AS node FROM und
                    UNION ALL SELECT v FROM und) GROUP BY 1)"""
+
+  /** The cross-doc 5-gram CTE chain shared by q_memorization and
+    * q_memorized_grams: per-(doc, gram) occurrence counts `dg` and
+    * the per-doc rollup `per` — one text, two oracles, so the gram
+    * construction can never drift between the fraction and the list.
+    */
+  private val memorizationCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, len(ws) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         dg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         gd AS (SELECT g, count(*) AS nd FROM dg GROUP BY 1),
+         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
+                  CAST(coalesce(sum(CASE WHEN gd.nd >= 2 THEN dg.c END),
+                       0) AS BIGINT) AS dup_grams
+                 FROM dg JOIN gd ON dg.g = gd.g GROUP BY 1)"""
+
+  /** The label-propagation replay chain over `und` (from
+    * [[linkGraphCtes]]): one MATERIALIZED CTE per synchronous round
+    * (each is referenced once per successor but materialization keeps
+    * the planner linear — the kcoreOracle lesson), ending in `fin`
+    * (node, community) with min-member canonical names. Shared by the
+    * q_communities pair and q_modularity so the vote semantics can
+    * never drift between the partition and its quality readout.
+    */
+  private def lpaChainCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT csym.u AS node, p.label AS label,
+                    row_number() OVER (PARTITION BY csym.u
+                      ORDER BY count(*) DESC, p.label) AS rn
+             FROM csym JOIN l${i - 1} p ON csym.v = p.node
+             GROUP BY csym.u, p.label)
+           WHERE rn = 1)"""
+    }.mkString
+    s"""csym AS MATERIALIZED (
+           SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label
+           FROM csym)$rs,
+         fin AS MATERIALIZED (SELECT l.node, mn.community FROM l$rounds l
+           JOIN (SELECT label, min(node) AS community FROM l$rounds
+                 GROUP BY 1) mn
+           ON l.label = mn.label)"""
+  }
 
   /** The DSIR model-replay CTE chain, shared by every DSIR oracle
     * (weights, select, the written-model twin, and the curation

@@ -1,0 +1,231 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan,
+  * Albert & Kumara '07) with deterministic semantics: every node
+  * starts labeled with its own id; each round every node adopts the
+  * label most frequent among its neighbors, ties broken toward the
+  * SMALLEST label; all nodes update together. A fixed round count
+  * (not run-to-fixpoint) keeps the synchronous schedule replayable —
+  * LPA famously 2-cycles on bipartite structure, so "until stable"
+  * is not a well-defined relational contract, whereas "exactly R
+  * rounds" is one CTE per round in the DuckDB replay (the
+  * k-core/PageRank oracle discipline). Final labels are canonicalized
+  * to the minimum member node id, so community names are stable
+  * across relabelings of the propagation itself.
+  *
+  * Reference behavior: the reference pipeline has no graph operators;
+  * this extends the curation-prior family (PageRank, k-core,
+  * triangles) with the standard partition readout used for template
+  * farms and topic clusters.
+  *
+  * Scale shape: the canonical undirected edge list is built once;
+  * each round is one key join (labels onto edge endpoints) and two
+  * aggregations — per-round exchange volume is O(edges), constant
+  * across rounds, with each round localCheckpointed so lineage stays
+  * flat. Like [[KCore.kCore]], a graph bounded by `smallGraphEdges`
+  * AND the byte budget short-circuits to an in-task synchronous
+  * propagation over arrays — identical labels (CommunitiesSpec pins
+  * parity); `smallGraphEdges = 0` forces the distributed rounds (what
+  * `q_communities` oracles, the 100 TB shape).
+  */
+object Communities {
+
+  /** ~64 B per canonical edge in the fast-path task: 16 B of (u, v)
+    * input plus CSR arrays (both directions), label arrays, and the
+    * per-node vote map slack (the [[KCore]] sizing rationale, wider
+    * for the vote counting).
+    */
+  val FastPathBytesPerEdge = 64L
+
+  /** (node, community) for every node of the canonical undirected
+    * graph, community = min node id sharing the node's label after
+    * exactly `rounds` synchronous propagation rounds.
+    *
+    * Ids must be Long (the vote tie-break orders labels numerically
+    * inside a single aggregate; every graft graph uses Long ids).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4, smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    require(und.schema.fields
+        .forall(_.dataType == org.apache.spark.sql.types.LongType),
+      "labelPropagation requires Long node ids")
+    val maxFastEdges =
+      math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
+    if (smallGraphEdges > 0 && und.count() <= maxFastEdges)
+      return fastLpa(und, rounds)
+    // both directions: one labels-join keyed by v yields, per directed
+    // (u, v), neighbor v's vote for u
+    val sym = und.unionByName(
+      und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // max(struct(count, -label)) = most frequent label, ties to the
+      // smallest — one aggregate, no window sort
+      val next = sym
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      graft.Frames.freeLocalCheckpoint(labels)
+      labels = next
+    }
+    val canon = labels.groupBy(col("label"))
+      .agg(min(col("node")).as("community"))
+    labels.join(canon, Seq("label"))
+      .select(col("node"), col("community"))
+      .orderBy(col("node"))
+  }
+
+  /** In-task synchronous propagation over CSR arrays — the single-job
+    * fast path, exactly the distributed recurrence (same labels, same
+    * tie-breaks; CommunitiesSpec pins parity on random graphs).
+    */
+  private def fastLpa(und: DataFrame, rounds: Int): DataFrame = {
+    import und.sparkSession.implicits._
+    und.as[(Long, Long)]
+      // the distinct upstream already exchanged — the single task
+      // just reads its outputs (no second shuffle)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val idSet = new java.util.TreeSet[java.lang.Long]()
+          edges.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
+          val ids = idSet.toArray(new Array[java.lang.Long](0))
+            .map(_.longValue())
+          val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+          var i = 0
+          while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+          val n = ids.length
+          // CSR over both directions
+          val degc = new Array[Int](n)
+          edges.foreach { case (a, b) =>
+            degc(idx(a)) += 1; degc(idx(b)) += 1
+          }
+          val off = new Array[Int](n + 1)
+          i = 0
+          while (i < n) { off(i + 1) = off(i) + degc(i); i += 1 }
+          val adj = new Array[Int](edges.length * 2)
+          val fill = off.clone()
+          edges.foreach { case (a, b) =>
+            val ia = idx(a); val ib = idx(b)
+            adj(fill(ia)) = ib; fill(ia) += 1
+            adj(fill(ib)) = ia; fill(ib) += 1
+          }
+          var label = Array.tabulate(n)(v => ids(v))
+          var r = 0
+          while (r < rounds) {
+            val next = new Array[Long](n)
+            var u = 0
+            while (u < n) {
+              val votes = new scala.collection.mutable.LongMap[Long]()
+              var j = off(u)
+              while (j < off(u + 1)) {
+                val l = label(adj(j))
+                votes(l) = votes.getOrElse(l, 0L) + 1L
+                j += 1
+              }
+              var bestL = Long.MaxValue
+              var bestC = 0L
+              votes.foreach { case (l, c) =>
+                if (c > bestC || (c == bestC && l < bestL)) {
+                  bestC = c; bestL = l
+                }
+              }
+              next(u) = bestL
+              u += 1
+            }
+            label = next
+            r += 1
+          }
+          // canonical relabel: community = min member node id
+          val minOf = new scala.collection.mutable.LongMap[Long]()
+          i = 0
+          while (i < n) {
+            val l = label(i)
+            val cur = minOf.getOrElse(l, Long.MaxValue)
+            if (ids(i) < cur) minOf(l) = ids(i)
+            i += 1
+          }
+          Iterator.range(0, n).map(v => (ids(v), minOf(label(v))))
+        }
+      }
+      .toDF("node", "community")
+      .orderBy(col("node"))
+  }
+
+  /** One-row modularity readout of a partition (Newman & Girvan '04):
+    * Q = Σ_c (e_c/m − (D_c/2m)²) over communities, computed as the
+    * exact integer rational Σ_c (4·m·e_c − D_c²) / 4m² — e_c = intra-
+    * community edges, D_c = degree mass, m = undirected edges, all
+    * exact longs. The double readout uses the house 4-decimal
+    * long-division form, shifted by +1 so the numerator stays
+    * non-negative (Q ≥ −½ always; integer-division semantics for
+    * negatives differ between engines).
+    *
+    * `labels` is (node, community) — [[labelPropagation]]'s output or
+    * any partition of the graph's nodes.
+    *
+    * Scale shape: one degree aggregation, two label joins on the edge
+    * list, one community aggregation, one global sum — all key
+    * exchanges O(edges); output is 1 row.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col("node"), col("community"))
+      .localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("d")).as("dsum"))
+    val ec = und
+      .join(lab.select(col("node").as("u"), col("community").as("cu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("cv")),
+        Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e"))
+    val num = dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select((lit(4L) * col("m") * coalesce(col("e"), lit(0L)) -
+        col("dsum") * col("dsum")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("q_num"))
+    val nNodes = lab.agg(count(lit(1)).as("n_nodes"),
+      count_distinct(col("community")).as("n_communities"))
+    broadcast(nNodes).crossJoin(broadcast(m)).crossJoin(broadcast(num))
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        col("n_communities"), col("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+      .select(col("n_nodes"), col("n_edges"), col("n_communities"),
+        col("q_num"), col("q_den"),
+        when(col("q_den") =!= 0L,
+          expr("((q_num + q_den) * 20000 + q_den) div (2 * q_den)") /
+            lit(10000.0) - lit(1.0)).as("modularity"))
+  }
+}

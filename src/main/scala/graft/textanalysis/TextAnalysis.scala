@@ -494,6 +494,66 @@ object TextAnalysis {
     * document text — and the final per-doc ranking is one window on
     * the doc id.
     */
+  /** Cross-document duplicated n-gram readout — the memorization-risk
+    * signal of Lee et al. '22 ("Deduplicating Training Data Makes
+    * Language Models Better"): an n-gram present in two or more
+    * documents is text the model will see repeatedly and can
+    * regurgitate verbatim. Per document: total n-gram occurrences,
+    * occurrences of CROSS-DOC duplicated n-grams (present in ≥ 2
+    * distinct docs — within-doc repetition is [[repetitionStats]]'
+    * signal, deliberately excluded here), and the exact 4-decimal
+    * duplicated fraction (NULL when the doc is shorter than n words).
+    *
+    * Scale shape: explode to n-gram occurrences, two hash
+    * aggregations (per-(doc, gram) with map-side combine, then
+    * per-gram doc counts — both O(corpus grams)), one gram-keyed
+    * join back. Nothing pairwise: cost is corpus-linear like the
+    * dedup bucket builds.
+    */
+  def memorizationStats(documents: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dg = documents
+      .select(col(idCol).as("doc_id"),
+        explode(ngrams(words(col(textCol)), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val gd = dg.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    val per = dg.join(gd, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        coalesce(sum(when(col("nd") >= 2, col("c"))), lit(0L))
+          .as("dup_grams"))
+    documents.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        when(col("n_grams") > 0,
+          expr("(dup_grams * 20000 + n_grams) div (2 * n_grams)") /
+            lit(10000.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The corpus's most-duplicated cross-doc n-grams: (gram, distinct
+    * docs, total occurrences), duplicated ones only, top k by
+    * occurrences with a full deterministic tiebreak (occurrences ↓,
+    * docs ↓, gram ↑ — gram is unique, so the order is total). The
+    * list an auditor reads to find the template/boilerplate strings
+    * behind a high [[memorizationStats]] fraction.
+    */
+  def memorizedTopGrams(documents: DataFrame, n: Int = 5, k: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"),
+        explode(ngrams(words(col(textCol)), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("g"))
+      .limit(k)
+      .select(col("g").as("gram"), col("n_docs"), col("n_occurrences"))
+
   def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -1066,6 +1126,45 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     bpeEncodeWithVocab(documents,
       bpeVocabTokens(documents, merges, textCol), idCol, textCol)
+
+  /** [[bpeEncodeWithVocab]] with the real-tokenizer OOV contract:
+    * words ABSENT from the vocabulary table fall back to their
+    * character stream + end-of-word marker (exactly the zero-merges
+    * base encoding — what the merge chain produces on a never-seen
+    * word before any merge applies) instead of dropping. A shipped
+    * tokenizer never loses input; serving a trained vocabulary
+    * against fresh text needs this degrade path.
+    *
+    * Scale shape identical to [[bpeEncodeWithVocab]]: one bounded
+    * vocabulary join over the exploded corpus; the fallback is a
+    * row-local expression on the join's miss side — no extra pass.
+    */
+  def bpeEncodeWithVocabFallback(documents: DataFrame,
+      vocabTokens: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ex = documents
+      .select(col(idCol).as("doc_id"),
+        posexplode_outer(filter(words(col(textCol)),
+          w => bpeLegalWord(w))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    // null word (empty doc) stays null through both fallbacks, so the
+    // empty-doc (id, 0, "") contract is untouched
+    val fbTokens =
+      concat(array_join(split(col("word"), ""), " "), lit(" _"))
+    val fbN = (length(col("word")) + lit(1)).cast("long")
+    ex.join(vocabTokens.select(col("word"), col("tokens"),
+        col("n_tokens")), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tokens"), fbTokens).as("tokens"),
+        coalesce(col("n_tokens"), fbN).as("n_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tokens")))),
+          x => x.getField("tokens")), " ").as("tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens"))
+  }
 
   /** Tokenizer-fitness readout per language over HELD-OUT text: how
     * a vocabulary trained on one slice serves another — the report a

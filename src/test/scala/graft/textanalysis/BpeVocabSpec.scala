@@ -122,6 +122,38 @@ class BpeVocabSpec extends SparkSpec {
       Seq((1L, 6L, "ab c _ ab c _"), (2L, 0L, "")))
   }
 
+  test("bpeEncodeWithVocabFallback: OOV words fall back to their " +
+      "character stream; known words serve from the vocabulary") {
+    val merges = Seq(("a", "b"))
+    val vt = TextAnalysis.bpeVocabTokens(
+      Seq((1L, "abc ab")).toDF("doc_id", "text"), merges)
+    val docs = Seq(
+      (10L, "abc zzz ab"),  // zzz OOV -> "z z z _" (4 tokens)
+      (11L, ""),            // empty doc contract unchanged
+      (12L, "q"))           // fully OOV doc -> "q _"
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeWithVocabFallback(docs, vt)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out === Seq(
+      (10L, 9L, "ab c _ z z z _ ab _"),
+      (11L, 0L, ""),
+      (12L, 2L, "q _")))
+  }
+
+  test("bpeEncodeWithVocabFallback equals bpeEncodeWithVocab when " +
+      "nothing is OOV") {
+    val merges = Seq(("a", "b"), ("ab", "_"))
+    val corpus = Seq((1L, "ab abc cab"), (2L, "ba ab"))
+      .toDF("doc_id", "text")
+    val vt = TextAnalysis.bpeVocabTokens(corpus, merges)
+    val a = TextAnalysis.bpeEncodeWithVocab(corpus, vt)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bpeEncodeWithVocabFallback(corpus, vt)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("bpeCoverage: per-language OOV and fertility over a held-out " +
       "slice, exact readouts") {
     val merges = Seq(("a", "b"))

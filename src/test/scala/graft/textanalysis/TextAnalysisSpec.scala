@@ -442,4 +442,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(11L) === ((2L, 0L, 0L, 0.0)))
     assert(got(12L) === ((0L, 0L, 0L, 0.0)))
   }
+
+  test("memorizationStats: cross-doc duplicated grams only, exact " +
+      "fractions, short docs read NULL") {
+    val docs = Seq(
+      (1L, "a b c d e f"),     // grams: "a b c", "b c d", "c d e", "d e f"
+      (2L, "a b c x y"),       // shares "a b c" with doc 1
+      (3L, "p q r p q r p q"), // self-repeats "p q r" — NOT cross-doc
+      (4L, "t u"))             // < 3 words: zero grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.memorizationStats(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) === ((4L, 1L, Some(0.25))))
+    assert(got(2L) === ((3L, 1L, Some(0.3333))))
+    // "p q r" ×2, "q r p" ×2, "r p q" ×2 — 6 duplicated slots
+    // WITHIN one doc, but nd = 1 everywhere, so dup_grams = 0
+    assert(got(3L) === ((6L, 0L, Some(0.0))))
+    assert(got(4L) === ((0L, 0L, None)))
+  }
+
+  test("memorizedTopGrams lists only cross-doc grams with exact " +
+      "counts and the full tiebreak") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c"),
+      (3L, "b c d a b c"))  // "a b c" again, "b c d" again
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.memorizedTopGrams(docs, 3, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b c": docs {1,2,3}, 3 occurrences; "b c d": docs {1,3}, 2
+    assert(got === Seq(("a b c", 3L, 3L), ("b c d", 2L, 2L)))
+  }
 }
