@@ -934,6 +934,30 @@ object SparkEntry {
     // ...and the top-20 most duplicated 5-grams behind that fraction
     "q_memorized_grams" -> ((s, d) =>
       TextAnalysis.memorizedTopGrams(Tables.documents(s, d), 5, 20)),
+    // Ingest-time admission gate: how much of each held-out doc is
+    // text the train-quarter index has already seen (frozen gram
+    // index probed per batch — never rebuilt)
+    "q_memorization_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.memorizationProbe(
+        docs.filter(col("doc_id") % 4 === 0),
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), 5),
+        5, minDocs = 1L)
+    }),
+    // Mergeable-index refresh: (train index) ⊎ (held-out batch index)
+    // probed at the cross-doc threshold ≡ full-corpus retrain — the
+    // additivity is gated by the full q_memorization replay itself
+    "q_memorization_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merged = TextAnalysis.mergeMemorizationIndexes(
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), 5),
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 === 0), 5))
+      TextAnalysis.memorizationProbe(
+        docs.filter(col("doc_id") % 4 === 0), merged, 5, minDocs = 2L)
+    }),
     // Mixture analytics: per-source unigram KL from the corpus blend
     "q_domain_divergence" -> ((s, d) =>
       TextAnalysis.domainDivergence(Tables.documents(s, d))),
@@ -3319,6 +3343,43 @@ object SparkEntry {
            CAST(sum(dg.c) AS BIGINT) AS n_occurrences
          FROM dg GROUP BY 1 HAVING count(*) >= 2
          ORDER BY n_occurrences DESC, n_docs DESC, gram LIMIT 20"""),
+    // admission-gate replay: train-quarter gram SET membership (the
+    // nd >= 1 probe) against held-out per-(doc, gram) counts
+    "q_memorization_probe" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, len(ws) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         tg AS (SELECT DISTINCT g FROM g WHERE doc_id % 4 <> 0),
+         dg AS (SELECT doc_id, g, count(*) AS c FROM g
+                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
+                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
+                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
+                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
+         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+             ((per.dup_grams * 20000 + per.n_grams)
+              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    // merged-index probe must equal the FULL-corpus cross-doc replay
+    // restricted to the held-out quarter — additivity is the gate
+    "q_memorization_incremental" ->
+      (s"""WITH $memorizationCtes
+         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+             ((per.dup_grams * 20000 + per.n_grams)
+              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id"""),
     // per-term values round to integer pico-nats so the per-source
     // sum is exact — the same order-independence contract as the LM
     // micro-nat mean (a float sum over the vocab grid would diverge)

@@ -554,6 +554,68 @@ object TextAnalysis {
       .limit(k)
       .select(col("g").as("gram"), col("n_docs"), col("n_occurrences"))
 
+  /** The cross-doc gram index behind [[memorizationStats]] as a
+    * standalone MERGEABLE artifact: (g, nd) distinct-document counts
+    * per n-gram. Additive across batches with DISJOINT doc-id sets
+    * (a doc contributes at most 1 to each gram's nd, so disjoint
+    * batches sum exactly — the DsirCounts mergeable-model contract);
+    * [[mergeMemorizationIndexes]] is that sum. Build once over the
+    * corpus, then ingest-time probes ([[memorizationProbe]]) never
+    * rescan it.
+    */
+  def memorizationIndex(documents: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    documents
+      .select(col(idCol).as("doc_id"),
+        explode(ngrams(words(col(textCol)), n)).as("g"))
+      .select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+
+  /** Exact merge of two [[memorizationIndex]] frames built from
+    * doc-disjoint batches: per-gram nd sums. Merged-then-probed
+    * equals full-retrain-then-probed (spec- and oracle-pinned).
+    */
+  def mergeMemorizationIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("g")).agg(sum(col("nd")).as("nd"))
+
+  /** Ingest-time memorization gate: score candidate docs against a
+    * FROZEN [[memorizationIndex]] — per doc, the fraction of its
+    * n-gram occurrences already present in ≥ `minDocs` indexed
+    * documents. `minDocs = 1` reads "how much of this candidate
+    * duplicates the existing corpus" (the admission gate);
+    * `minDocs = 2` over an index that already contains the probe
+    * batch reproduces [[memorizationStats]]' cross-doc semantics
+    * exactly (the incremental-equals-retrain gate).
+    *
+    * Scale shape: the probe batch explodes and joins the index on
+    * the gram key (broadcast while the index fits, key shuffle past
+    * that); the index is never rebuilt per batch.
+    */
+  def memorizationProbe(docs: DataFrame, index: DataFrame, n: Int = 5,
+      minDocs: Long = 1L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(ngrams(words(col(textCol)), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val per = dg
+      .join(index.select(col("g"), col("nd")), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        coalesce(sum(when(coalesce(col("nd"), lit(0L)) >= minDocs,
+          col("c"))), lit(0L)).as("dup_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        when(col("n_grams") > 0,
+          expr("(dup_grams * 20000 + n_grams) div (2 * n_grams)") /
+            lit(10000.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(words(col("text"))).as("term"))

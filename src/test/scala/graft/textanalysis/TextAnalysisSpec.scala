@@ -462,6 +462,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === ((0L, 0L, None)))
   }
 
+  test("memorizationProbe: admission gate against a frozen index; " +
+      "minDocs=1 counts any indexed gram") {
+    val train = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val idx = TextAnalysis.memorizationIndex(train, 3)
+    val probe = Seq(
+      (10L, "a b c q"),   // "a b c" indexed, "b c q" not: 1/2
+      (11L, "m n o"),     // nothing indexed: 0/1
+      (12L, "q"))         // gram-less
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.memorizationProbe(probe, idx, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(10L) === ((2L, 1L, Some(0.5))))
+    assert(got(11L) === ((1L, 0L, Some(0.0))))
+    assert(got(12L) === ((0L, 0L, None)))
+  }
+
+  test("merged batch indexes probe identically to a full retrain") {
+    val a = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val b = Seq((10L, "a b c x"), (11L, "p q r s")).toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeMemorizationIndexes(
+      TextAnalysis.memorizationIndex(a, 3),
+      TextAnalysis.memorizationIndex(b, 3))
+    val full = TextAnalysis.memorizationIndex(a.unionByName(b), 3)
+    val gm = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gf = full.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gm === gf)
+    // and the cross-doc probe over the merged index reproduces
+    // memorizationStats on the union
+    val probed = TextAnalysis.memorizationProbe(b, merged, 3, minDocs = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val stats = TextAnalysis.memorizationStats(a.unionByName(b), 3)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probed === stats)
+  }
+
   test("memorizedTopGrams lists only cross-doc grams with exact " +
       "counts and the full tiebreak") {
     val docs = Seq(
