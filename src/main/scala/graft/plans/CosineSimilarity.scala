@@ -246,6 +246,10 @@ object GraftFunctions {
     (TextHashFunctions.RollingHashName,
       "Karp-Rabin rolling hash of a string in one pass: (string) -> long",
       arity(TextHashFunctions.RollingHashName, 1)(e => RollingHash(e(0)))),
+    (TextHashFunctions.WordNgramsName,
+      "word n-gram list in one pass: (array<string>, n) -> array<string>",
+      arity(TextHashFunctions.WordNgramsName, 2)(e => WordNgrams(e(0),
+        TextHashFunctions.intLitValue(e(1))))),
     (TextHashFunctions.SortedIntersectSizeName,
       "|A∩B| of two sorted distinct array<string> by linear merge",
       arity(TextHashFunctions.SortedIntersectSizeName, 2)(e =>

@@ -392,6 +392,58 @@ case class SrpBucket(child: Expression, nPlanes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object NgramUtil {
+  /** Word n-gram list, byte-identical to the composed
+    * `transform(sequence(0, size-n), i -> concat_ws(" ", slice(ws,
+    * i+1, n)))` form (TextAnalysis.ngrams): every window of n
+    * adjacent elements joined by a single space, null elements
+    * skipped by the join (concat_ws semantics), fewer than n elements
+    * → empty array. One tight loop per row instead of an interpreted
+    * lambda per window position (slice allocates a fresh array and
+    * concat_ws re-walks it — O(n·k) interpreted; this is the same
+    * O(n·k) in primitive code with no per-window Column evaluation).
+    */
+  private val Space = UTF8String.fromString(" ")
+
+  def wordNgrams(words: ArrayData, n: Int): ArrayData = {
+    val sz = words.numElements()
+    if (sz < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](sz - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= sz - n) {
+      var j = 0
+      while (j < n) {
+        window(j) =
+          if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      // UTF8String.concatWs skips null inputs — concat_ws parity
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    NgramUtil.wordNgrams(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NgramUtil.wordNgrams($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -475,6 +527,7 @@ object TextHashFunctions {
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
   val RollingHashName = "graft_rolling_hash"
+  val WordNgramsName = "graft_word_ngrams"
   val SortedIntersectSizeName = "graft_sorted_intersect_size"
   val DeflateRatioName = "graft_deflate_ratio"
   val DsirScore6Name = "graft_dsir_score6"

@@ -191,6 +191,19 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))))
 
+  /** Session-aware [[ngrams]]: the native one-pass expression
+    * (graft.plans.WordNgrams, element-identical — spec'd) when
+    * registered, the composed per-window lambda otherwise. The
+    * composed form evaluates an interpreted slice+concat per window
+    * position; on gram-explode-heavy paths (the memorization family)
+    * that interpretation IS the scan cost.
+    */
+  def ngramsFor(df: DataFrame)(ws: Column, n: Int): Column =
+    if (graft.plans.TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(graft.plans.TextHashFunctions.WordNgramsName, ws,
+        lit(n))
+    else ngrams(ws, n)
+
   /** Highest multiplicity in a SORTED string array: one fold tracking
     * the current run length (equal neighbors) and the best run seen.
     * O(n) per row and narrow; the interpreted-lambda cost is one
@@ -474,7 +487,8 @@ object TextAnalysis {
     */
   def topNgrams(documents: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
     documents
-      .select(explode(ngrams(words(col("text")), n)).as("gram"))
+      .select(explode(ngramsFor(documents)(words(col("text")), n))
+        .as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("occurrences"))
       .orderBy(col("occurrences").desc, col("gram"))
@@ -514,7 +528,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dg = documents
       .select(col(idCol).as("doc_id"),
-        explode(ngrams(words(col(textCol)), n)).as("g"))
+        explode(ngramsFor(documents)(words(col(textCol)), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val gd = dg.groupBy(col("g")).agg(count(lit(1)).as("nd"))
     val per = dg.join(gd, Seq("g"))
@@ -545,7 +559,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     documents
       .select(col(idCol).as("doc_id"),
-        explode(ngrams(words(col(textCol)), n)).as("g"))
+        explode(ngramsFor(documents)(words(col(textCol)), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occurrences"))
@@ -567,7 +581,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     documents
       .select(col(idCol).as("doc_id"),
-        explode(ngrams(words(col(textCol)), n)).as("g"))
+        explode(ngramsFor(documents)(words(col(textCol)), n)).as("g"))
       .select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
 
@@ -596,7 +610,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val dg = docs
       .select(col(idCol).as("doc_id"),
-        explode(ngrams(words(col(textCol)), n)).as("g"))
+        explode(ngramsFor(docs)(words(col(textCol)), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val per = dg
       .join(index.select(col("g"), col("nd")), Seq("g"), "left")

@@ -125,6 +125,38 @@ class TextHashSpec extends SparkSpec {
       rows(2).getSeq[Long](1) === rows(2).getSeq[Long](2))
   }
 
+  test("native word n-grams ≡ composed ngrams element-for-element") {
+    for (n <- Seq(1, 2, 3, 5, 8)) {
+      val both = docs.select(
+        graft.textanalysis.TextAnalysis.ngrams(words($"text"), n)
+          .as("composed"),
+        call_function(TextHashFunctions.WordNgramsName, words($"text"),
+          lit(n)).as("native"))
+        .collect()
+      both.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n"))
+    }
+    // edge cases: null array, null elements (concat_ws skips), short
+    // arrays, all-null window, empty strings
+    val edge = Seq(
+      (1L, null: Seq[String]),
+      (2L, Seq[String]()),
+      (3L, Seq[String]("one")),
+      (4L, Seq[String]("a", null, "c")),
+      (5L, Seq[String](null, null)),
+      (6L, Seq[String]("", "", "x")))
+      .toDF("id", "ws")
+    val rows = edge.select($"id",
+      graft.textanalysis.TextAnalysis.ngrams($"ws", 2).as("composed"),
+      call_function(TextHashFunctions.WordNgramsName, $"ws", lit(2))
+        .as("native"))
+      .collect().sortBy(_.getLong(0))
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), r.toString)
+      else assert(r.getSeq[String](1) === r.getSeq[String](2), r.toString)
+    }
+  }
+
   test("native rolling hash ≡ composed rolling hash bitwise") {
     val real = docs.select(
       graft.textanalysis.TextAnalysis.rollingHash($"text").as("composed"),
