@@ -280,8 +280,8 @@ object SparkEntry {
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
           round(Dedup.jaccard(
-            Dedup.shingles(col("text_a"), 2),
-            Dedup.shingles(col("text_b"), 2)), 4).as("jaccard"))
+            Dedup.shinglesFor(docs)(col("text_a"), 2),
+            Dedup.shinglesFor(docs)(col("text_b"), 2)), 4).as("jaccard"))
         .orderBy(col("id_a"))
     }),
     // Dedup: directional containment (overlap coefficient ≥ 0.9) over
@@ -519,8 +519,8 @@ object SparkEntry {
       val pairs = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("id_a"),
           (col("doc_id") + 1000000L).as("id_b"),
-          Dedup.shingles(col("text"), 3).as("ga"),
-          Dedup.shingles(plantedPerturbedText(ws), 3).as("gb"))
+          Dedup.shinglesFor(docs)(col("text"), 3).as("ga"),
+          Dedup.shinglesFor(docs)(plantedPerturbedText(ws), 3).as("gb"))
       val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
           "doc_id", "text", hashMode = "md5")
         .filter(col("id_b") === col("id_a") + 1000000L &&
@@ -553,8 +553,8 @@ object SparkEntry {
       val ws = split(col("text"), " ", -1)
       val pairs = docs.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("id_a"),
-          Dedup.shingles(col("text"), 3).as("ga"),
-          Dedup.shingles(plantedPerturbedText(ws), 3).as("gb"))
+          Dedup.shinglesFor(docs)(col("text"), 3).as("ga"),
+          Dedup.shinglesFor(docs)(plantedPerturbedText(ws), 3).as("gb"))
       val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
           "doc_id", "text", hashMode = "md5")
         .filter(col("id_b") === col("id_a") + 1000000L &&

@@ -201,7 +201,8 @@ object Curation {
     // benchmark gram set — tiny vs the corpus, explicitly broadcast
     // (identical to contaminationStats's bench side)
     val benchGrams = benchmark
-      .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
+      .select(explode(Dedup.shinglesFor(benchmark)(col("text"), 2))
+        .as("gram"))
       .distinct()
       .withColumn("__hit", lit(1L))
 
@@ -236,7 +237,7 @@ object Curation {
     val tokens = documents
       .select(col("doc_id"), words(col("text")).as("__ws"))
       .select(col("doc_id"), col("__ws"),
-        TextAnalysis.ngrams(col("__ws"), 3).as("__tg"))
+        TextAnalysis.ngramsFor(documents)(col("__ws"), 3).as("__tg"))
       .select(col("doc_id"),
         size(col("__ws")).cast("long").as("n_words"),
         size(col("__tg")).cast("long").as("n_trigrams"),
@@ -245,7 +246,7 @@ object Curation {
         // last word, so vocabulary = distinct(w1s ∪ tails) — this one
         // extra column replaces a unigram explode of the whole corpus
         element_at(col("__ws"), -1).as("tail"),
-        TextAnalysis.ngrams(col("__ws"), 2).as("__bg"))
+        TextAnalysis.ngramsFor(documents)(col("__ws"), 2).as("__bg"))
       .select(col("doc_id"), col("n_words"), col("n_trigrams"),
         col("n_distinct_tg"), col("tail"),
         explode_outer(col("__bg")).as("gram"))

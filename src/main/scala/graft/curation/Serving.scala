@@ -56,7 +56,8 @@ object Serving {
   def collectBenchGrams(benchmark: DataFrame, textCol: String = "text",
       n: Int = 2, maxGrams: Long = 2000000L): Seq[String] = {
     val g = benchmark
-      .select(explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("g"))
+      .select(explode(graft.dedup.Dedup.shinglesFor(benchmark)(
+        col(textCol), n)).as("g"))
       .distinct()
     val cnt = g.count()
     require(cnt <= maxGrams,

@@ -93,6 +93,25 @@ object Dedup {
         transform(sequence(lit(0), size(ws) - n),
           i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
 
+  /** Session-aware [[shinglesOfWords]]: array_distinct over the
+    * native one-pass n-gram expression (graft.plans.WordNgrams,
+    * element-identical to the composed transform — spec'd) when
+    * registered, the interpreted per-window lambda otherwise.
+    * array_distinct keeps first-occurrence order in both forms, so
+    * the shingle LIST (not just set) is identical.
+    */
+  def shinglesOfWordsFor(df: DataFrame)(ws: Column, n: Int): Column =
+    if (graft.plans.TextHashFunctions.isRegistered(df.sparkSession))
+      array_distinct(call_function(
+        graft.plans.TextHashFunctions.WordNgramsName, ws, lit(n)))
+    else shinglesOfWords(ws, n)
+
+  /** [[shingles]] with the native fast path — see
+    * [[shinglesOfWordsFor]].
+    */
+  def shinglesFor(df: DataFrame)(text: Column, n: Int): Column =
+    shinglesOfWordsFor(df)(words(text), n)
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b))
@@ -263,7 +282,8 @@ object Dedup {
       textCol: String = "text", n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val grams = documents
-      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("g"))
+      .select(col(idCol),
+        explode_outer(shinglesFor(documents)(col(textCol), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("__d"))
     // shingles() is distinct within a doc, so this counts DOCUMENTS
     // containing the gram
@@ -373,15 +393,16 @@ object Dedup {
     * re-evaluated per exploded row (Curation.scala:97 hazard).
     */
   private def windowOccurrences(df: DataFrame, idCol: String,
-      textCol: String, w: Int): DataFrame = {
-    val hashed = df.select(col(idCol), words(col(textCol)).as("ws"))
-      .select(col(idCol),
-        when(size(col("ws")) >= w,
-          transform(sequence(lit(0), size(col("ws")) - w),
-            i => unhex(md5(concat_ws(" ", slice(col("ws"), i + 1, lit(w)))))))
-          .otherwise(array().cast("array<binary>")).as("hs"))
-    hashed.select(col(idCol), posexplode(col("hs"))).toDF(idCol, "pos", "hh")
-  }
+      textCol: String, w: Int): DataFrame =
+    // window strings via the (session-aware) one-pass n-gram
+    // expression, md5 AFTER the explode as a codegen'd projection —
+    // the old form evaluated slice+concat+md5 interpreted per window
+    // position inside a transform lambda
+    df.select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol), posexplode(
+        graft.textanalysis.TextAnalysis.ngramsFor(df)(col("ws"), w)))
+      .toDF(idCol, "pos", "g")
+      .select(col(idCol), col("pos"), unhex(md5(col("g"))).as("hh"))
 
   /** Rebuild documents with the word positions covered by `removed`
     * window occurrences dropped: expand each occurrence to its `w`
@@ -604,7 +625,8 @@ object Dedup {
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
       .withColumn("jaccard", jaccard(
-        shingles(col("text_a"), n), shingles(col("text_b"), n)))
+        shinglesFor(texts)(col("text_a"), n),
+        shinglesFor(texts)(col("text_b"), n)))
       .filter(col("jaccard") >= threshold)
       // UNORDERED by repo convention: a pathological corpus makes the
       // pair list quadratic-ish, so an operator-level sort is a global
@@ -678,7 +700,7 @@ object Dedup {
     // of a hash-set build per candidate pair.
     val native = graft.plans.TextHashFunctions.isRegistered(df.sparkSession)
     val grams = base.select(col("id"),
-        array_sort(shingles(col("text"), n)).as("g"))
+        array_sort(shinglesFor(base)(col("text"), n)).as("g"))
       .withColumn("ng", size(col("g")))
       .persist()
     val aKeeps = col("__na") > col("__nb") ||
@@ -1619,7 +1641,8 @@ object Dedup {
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
       .withColumn("jaccard", jaccard(
-        shingles(col("text_a"), n), shingles(col("text_b"), n)))
+        shinglesFor(texts)(col("text_a"), n),
+        shinglesFor(texts)(col("text_b"), n)))
       .filter(col("jaccard") >= threshold)
       // UNORDERED (pair lists are unbounded) — sort at the query edge
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))

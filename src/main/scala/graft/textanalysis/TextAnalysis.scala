@@ -284,8 +284,8 @@ object TextAnalysis {
       minWords: Int = 20): DataFrame = {
     documents
       .withColumn("ws", words(col("text")))
-      .withColumn("bg", ngrams(col("ws"), 2))
-      .withColumn("tg", ngrams(col("ws"), 3))
+      .withColumn("bg", ngramsFor(documents)(col("ws"), 2))
+      .withColumn("tg", ngramsFor(documents)(col("ws"), 3))
       .select(
         col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
@@ -406,11 +406,13 @@ object TextAnalysis {
       threshold: Double = 0.4): DataFrame = {
     import graft.dedup.Dedup.shingles
     val benchGrams = benchmark
-      .select(explode(shingles(col(textCol), n)).as("__g"))
+      .select(explode(graft.dedup.Dedup.shinglesFor(benchmark)(
+        col(textCol), n)).as("__g"))
       .distinct()
       .withColumn("__hit", lit(1L))
     corpus
-      .select(col(idCol), explode_outer(shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), explode_outer(graft.dedup.Dedup.shinglesFor(
+        corpus)(col(textCol), n)).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -445,10 +447,12 @@ object TextAnalysis {
     import graft.dedup.Dedup.shingles
     val benchGrams = benchmark
       .select(col(idCol).as("bench_id"),
-        explode(shingles(col(textCol), n)).as("__g"))
+        explode(graft.dedup.Dedup.shinglesFor(benchmark)(
+          col(textCol), n)).as("__g"))
     val corpusGrams = corpus
       .select(col(idCol).as("__cid"),
-        explode(shingles(col(textCol), n)).as("__g"))
+        explode(graft.dedup.Dedup.shinglesFor(corpus)(
+          col(textCol), n)).as("__g"))
     val leaks = benchGrams
       .join(corpusGrams, Seq("__g"))
       .groupBy(col("bench_id"))
@@ -456,7 +460,8 @@ object TextAnalysis {
         count_distinct(col("__g")).as("n_leaked_grams"))
     benchmark
       .select(col(idCol).as("bench_id"),
-        size(shingles(col(textCol), n)).cast("long").as("n_grams"))
+        size(graft.dedup.Dedup.shinglesFor(benchmark)(
+          col(textCol), n)).cast("long").as("n_grams"))
       .join(leaks, Seq("bench_id"), "left")
       .select(col("bench_id"), col("n_grams"),
         coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
@@ -691,7 +696,7 @@ object TextAnalysis {
 
   def lmTrain(documents: DataFrame): LmModel = {
     val grams = documents
-      .select(explode(ngrams(words(col("text")), 2)).as("bg"))
+      .select(explode(ngramsFor(documents)(words(col("text")), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val contexts = grams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -726,7 +731,8 @@ object TextAnalysis {
   def lmScoreWith(model: LmModel, documents: DataFrame,
       nllThreshold: Double = 10.0): DataFrame = {
     val bigrams = documents
-      .select(col("doc_id"), explode_outer(ngrams(words(col("text")), 2)).as("bg"))
+      .select(col("doc_id"),
+        explode_outer(ngramsFor(documents)(words(col("text")), 2)).as("bg"))
     bigrams
       .join(model.grams.select(col("bg"), col("c12")), Seq("bg"), "left")
       // the context derives from the SCORED bigram, not the model row:

@@ -157,6 +157,17 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("native shingles ≡ composed shingles list-for-list") {
+    for (n <- Seq(2, 3)) {
+      val both = docs.select(
+        Dedup.shinglesOfWords(words($"text"), n).as("composed"),
+        Dedup.shinglesOfWordsFor(docs)(words($"text"), n).as("native"))
+        .collect()
+      both.foreach(r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n"))
+    }
+  }
+
   test("native rolling hash ≡ composed rolling hash bitwise") {
     val real = docs.select(
       graft.textanalysis.TextAnalysis.rollingHash($"text").as("composed"),
