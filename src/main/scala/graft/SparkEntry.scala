@@ -1077,6 +1077,26 @@ object SparkEntry {
           "doc_id", core)
         .orderBy(col("doc_id"))
     }),
+    // Diversity cap composition: within each LPA community of the
+    // doc link graph, keep the 2 lowest-id curation survivors —
+    // template clusters collapse to bounded exemplars; graph-absent
+    // docs untouched. LPA runs its in-task fast path concurrently
+    // with the capstone (the q_curation_kcore overlap shape); the
+    // fixed 4-round recurrence makes the oracle fully static
+    "q_curation_communities" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+      val e = docKcoreEdges(corpus)
+      val labelsF = scala.concurrent.Future {
+        graft.graph.Communities.labelPropagation(e, "s", "t", rounds = 4)
+      }(scala.concurrent.ExecutionContext.global)
+      val curated = graft.curation.Curation.curate(corpus,
+        docs.filter(col("doc_id") % 101 === 7))
+      val labels = scala.concurrent.Await.result(labelsF,
+        scala.concurrent.duration.Duration.Inf)
+      graft.curation.Curation.capPerCommunity(curated, labels, "doc_id", 2)
+        .orderBy(col("doc_id"))
+    }),
     // The dataset-card readout: per-source gate rejections, pass
     // count, and post-dedup kept count — |sources| rows from the same
     // two corpus scans as the capstone
@@ -3457,6 +3477,36 @@ object SparkEntry {
                         * 4294967296.0) AS BIGINT),
              4294967295))), 8, '0')
          ORDER BY doc_id""",
+    // capstone gates + doc-graph LPA (fixed 4 rounds -> fully static
+    // replay) + the per-community cap: row_number over (community,
+    // node) > 2 drops; graph-absent docs survive by construction
+    "q_curation_communities" -> (curationGateCtes +
+      s""", ke AS MATERIALIZED (
+           SELECT doc_id AS s, doc_id + 1 AS t FROM corp0 WHERE doc_id % 8 <= 3
+           UNION ALL
+           SELECT doc_id, doc_id + 2 FROM corp0 WHERE doc_id % 8 = 0
+           UNION ALL
+           SELECT doc_id, doc_id - doc_id % 64 FROM corp0 WHERE doc_id % 8 = 0),
+         kund AS MATERIALIZED (
+           SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ke
+           WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t),
+         ${lpaChainCtes(4, "kund")},
+         capdrop AS (SELECT node FROM (
+             SELECT node, row_number() OVER (PARTITION BY community
+               ORDER BY node) AS rn FROM fin)
+           WHERE rn > 2),
+         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
+           FROM corp0 c
+           JOIN rep ON rep.doc_id = c.doc_id
+           JOIN con ON con.doc_id = c.doc_id
+           JOIN lm ON lm.doc_id = c.doc_id
+           WHERE NOT rep.repetitive AND NOT con.contaminated
+             AND NOT lm.lm_nll >= 10.0),
+         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
+         JOIN keep k ON g.doc_id = k.doc_id
+         WHERE NOT EXISTS (SELECT 1 FROM capdrop WHERE capdrop.node = g.doc_id)
+         ORDER BY g.doc_id"""),
     // the curation capstone replays every gate CTE over the corpus
     // slice (benchmark = doc_id % 101 = 7 held out), then min-id
     // exact dedup on text — same sub-oracles as q_repetition /
@@ -4633,7 +4683,7 @@ object SparkEntry {
     * q_communities pair and q_modularity so the vote semantics can
     * never drift between the partition and its quality readout.
     */
-  private def lpaChainCtes(rounds: Int): String = {
+  private def lpaChainCtes(rounds: Int, und: String = "und"): String = {
     val rs = (1 to rounds).map { i =>
       s""",
          l$i AS MATERIALIZED (
@@ -4646,7 +4696,7 @@ object SparkEntry {
            WHERE rn = 1)"""
     }.mkString
     s"""csym AS MATERIALIZED (
-           SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+           SELECT u, v FROM $und UNION ALL SELECT v, u FROM $und),
          l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label
            FROM csym)$rs,
          fin AS MATERIALIZED (SELECT l.node, mn.community FROM l$rounds l

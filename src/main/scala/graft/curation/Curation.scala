@@ -416,6 +416,35 @@ object Curation {
     df.join(dropped, df(idCol) <=> dropped("node"), "left_anti")
   }
 
+  /** Template-cluster diversity cap: within each link-graph
+    * community ([[graft.graph.Communities.labelPropagation]]'s
+    * (node, community) output), keep only the `k` lowest-id
+    * documents — a community is a densely self-linking cluster
+    * (template farms, mirror sets, topic silos), and a training mix
+    * usually wants a bounded number of exemplars per cluster rather
+    * than the whole blob. Documents absent from the graph are
+    * untouched (the dropBottomRanked convention: no link evidence,
+    * no opinion).
+    *
+    * Scale shape: the window runs over the LABELS frame (O(nodes),
+    * id+community only — never document payloads) partitioned by
+    * community; only the dropped ids cross the final anti-join. A
+    * mega-community concentrates its partition, which is inherent to
+    * asking "cap THIS cluster" — the labels row is two longs, so the
+    * skew ceiling is ids-in-the-largest-community, not text.
+    */
+  def capPerCommunity(df: DataFrame, labels: DataFrame, idCol: String,
+      k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("community")).orderBy(col("node"))
+    val dropped = labels.select(col("node"), col("community"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > k)
+      .select(col("node"))
+    df.join(dropped, df(idCol) <=> dropped("node"), "left_anti")
+  }
+
   def dropBottomRanked(df: DataFrame, ranks: DataFrame, idCol: String,
       tenths: Int = 1): DataFrame = {
     require(tenths >= 0 && tenths <= 10,

@@ -186,4 +186,20 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 3L, 99L))
     assert(rounds === 2)
   }
+
+  test("capPerCommunity keeps the k lowest ids per community and " +
+      "every graph-absent doc") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
+      (12L, "f"), (99L, "z")).toDF("doc_id", "text")
+    // two communities {1,2,3} and {10,11,12}; 99 absent
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (12L, 10L)).toDF("node", "community")
+    val kept = Curation.capPerCommunity(df, labels, "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 10L, 11L, 99L))
+    // k=1 collapses each community to its canonical exemplar
+    val kept1 = Curation.capPerCommunity(df, labels, "doc_id", 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 === Set(1L, 10L, 99L))
+  }
 }
