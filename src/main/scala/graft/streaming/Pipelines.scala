@@ -761,6 +761,63 @@ object Pipelines {
       .start()
   }
 
+  /** The idempotent batch core of the streaming MEMORIZATION gate:
+    * probe the batch against the frozen gram index
+    * ([[graft.textanalysis.TextAnalysis.memorizationProbe]] —
+    * minDocs=1, the admission semantics), admit docs whose
+    * duplicated fraction is at most `maxDupFrac` (gram-less docs
+    * carry no evidence and pass — the graph-absent convention),
+    * overwrite the batch's own partition.
+    */
+  def processMemorizationGateBatch(batch: DataFrame, index: DataFrame,
+      outDir: String, batchId: Long, maxDupFrac: Double,
+      n: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scores = graft.textanalysis.TextAnalysis
+      .memorizationProbe(batch, index, n)
+      .select(col("doc_id"), col("dup_frac"))
+    val survivors = batch.join(scores, Seq("doc_id"))
+      .filter(col("dup_frac").isNull || col("dup_frac") <= maxDupFrac)
+      .drop("dup_frac")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    try {
+      if (!survivors.isEmpty || fs.exists(outPath))
+        survivors.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally freeLocalCheckpoint(survivors)
+  }
+
+  /** Streaming memorization admission gate: the index is read ONCE
+    * per stream from the written artifact and persisted (a
+    * corpus-scale gram table — the probe joins it per micro-batch on
+    * the gram key; re-reading footers every batch would be pure
+    * latency), then each batch admits only documents that do not
+    * over-duplicate the existing corpus. The data-selection-at-ingest
+    * story of [[dsirGateSink]]/[[nbGateSink]] applied to the Lee et
+    * al. dedup signal.
+    */
+  def memorizationGateSink(docs: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String, maxDupFrac: Double = 0.5,
+      n: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = graft.textanalysis.TextAnalysis
+      .readMemorizationIndex(docs.sparkSession, indexDir)
+      .persist()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMemorizationGateBatch(batch, index, outDir, batchId,
+          maxDupFrac, n)
+      }
+      .start()
+  }
+
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
     * corpus at `outDir`, exactly-once via checkpoint + the idempotent
     * batch core above.

@@ -597,6 +597,16 @@ object TextAnalysis {
   def mergeMemorizationIndexes(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("g")).agg(sum(col("nd")).as("nd"))
 
+  /** Persist a [[memorizationIndex]] as parquet — the frozen serving
+    * artifact (the writeIvfIndex / writeLmModel lifecycle): build
+    * once over the corpus, then every ingest batch probes the files.
+    */
+  def writeMemorizationIndex(index: DataFrame, dir: String): Unit =
+    index.write.mode("overwrite").parquet(dir)
+
+  def readMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(dir)
+
   /** Ingest-time memorization gate: score candidate docs against a
     * FROZEN [[memorizationIndex]] — per doc, the fraction of its
     * n-gram occurrences already present in ≥ `minDocs` indexed

@@ -636,6 +636,51 @@ class PipelinesSpec extends SparkSpec {
     carried.foreach { case (id, w) => assert(w === scored(id), s"doc $id") }
   }
 
+  test("streaming memorization gate ≡ batch probe filter; " +
+      "replay-idempotent; gram-less docs pass") {
+    import graft.textanalysis.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memgate").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(corpus, 3), s"$tmp/index")
+    val pool = Seq(
+      (10L, "alpha beta gamma delta nine ten"),  // 2/4 grams known: drop
+      (11L, "fresh words nobody has ever used"), // clean: keep
+      (12L, "one two three new material here"),  // 1/4 known: keep
+      (13L, "so"))                                // gram-less: keep
+      .toDF("doc_id", "text")
+    val idx = TextAnalysis.readMemorizationIndex(spark, s"$tmp/index")
+    val wantKept = pool
+      .join(TextAnalysis.memorizationProbe(pool, idx, 3)
+        .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+      .filter(col("dup_frac").isNull || col("dup_frac") <= 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wantKept === Set(11L, 12L, 13L))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.memorizationGateSink(
+      mem.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/out",
+      s"$tmp/ckpt", maxDupFrac = 0.4, n = 3)
+    val rows = pool.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq
+    val (b1, b2) = rows.splitAt(2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+
+    def surviving() = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving() === wantKept)
+    // crash-replay of batch 0 rewrites only its own partition
+    Pipelines.processMemorizationGateBatch(b1.toDF("doc_id", "text"),
+      idx, s"$tmp/out", 0L, maxDupFrac = 0.4, n = 3)
+    assert(surviving() === wantKept)
+    assert(spark.read.parquet(s"$tmp/out").count() === wantKept.size.toLong)
+  }
+
   test("streaming NB quality gate ≡ batch nbGate; replay-idempotent") {
     import graft.quality.NbClassifier
     implicit val sqlCtx = spark.sqlContext
