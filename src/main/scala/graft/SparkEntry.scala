@@ -432,12 +432,9 @@ object SparkEntry {
     // One-row partition-quality readout: exact integer-rational
     // modularity of the LPA partition (Newman-Girvan), the number a
     // curation owner reads before trusting community-level decisions
-    "q_modularity" -> ((s, d) => {
-      val e = linkGraphEdges(s, d)
-      graft.graph.Communities.modularity(e,
-        graft.graph.Communities.labelPropagation(e, "s", "t", rounds = 4),
-        "s", "t")
-    }),
+    "q_modularity" -> ((s, d) =>
+      graft.graph.Communities.modularityOfLpa(
+        linkGraphEdges(s, d), "s", "t", rounds = 4)),
     // TrustRank: teleport restricted to trusted seed hubs (node ids
     // divisible by 64 — a subset of the 16-group heads); rank flows
     // outward from seeds, unreachable regions starve toward zero
@@ -1882,9 +1879,28 @@ object SparkEntry {
         bpeFullMerges(kv._1, kv._2)))
   }
 
+  /** Merge table trained on the TRAIN SPLIT ONLY (doc_id % 4 ≠ 0) —
+    * the held-out family (coverage / fallback / pack) must measure a
+    * tokenizer that has never seen the quarter it is measured on;
+    * reusing [[bpeFullMerges]] would leak held-out text into the
+    * merge rules and optimistically bias fertility.
+    */
+  private val bpeMergesTrainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeTrainMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    lastOracleDir = d
+    bpeMergesTrainCache.computeIfAbsent(d, _ =>
+      TextAnalysis.bpeMergesLocal(
+        TextAnalysis.collectWordCounts(
+          Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)), 256)
+        .map(m => (m._2, m._3)))
+  }
+
   /** The TRAIN-SPLIT (doc_id % 4 ≠ 0) vocab table for the coverage
-    * readout — same lifecycle, narrower vocabulary (held-out-only
-    * words are the OOV signal under measurement).
+    * readout — train-split WORDS under train-split MERGES
+    * ([[bpeTrainMerges]]): held-out-only words are the OOV signal
+    * under measurement, and held-out text must not have shaped the
+    * merge rules either.
     */
   private val bpeTrainVocabCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -1894,8 +1910,25 @@ object SparkEntry {
     bpeTrainVocabCache.computeIfAbsent((s, d), kv =>
       TextAnalysis.bpeVocabTokens(
         Tables.documents(kv._1, kv._2).filter(col("doc_id") % 4 =!= 0),
-        bpeFullMerges(kv._1, kv._2)))
+        bpeTrainMerges(kv._1, kv._2)))
   }
+
+  /** Shared DuckDB merge-replay construction: the bracket-encoded
+    * symbol string of word variable `v` with the merge table applied
+    * in rank order as literal replaces. ONE builder for every BPE
+    * oracle (vocab / coverage / fallback / pack), so the escaping
+    * and encoding form can never diverge between them.
+    */
+  private def bpeMergedSql(ms: Seq[(String, String)], v: String): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val enc =
+      s"'<' || array_to_string(regexp_split_to_array($v, ''), '><') || '><_>'"
+    ms.foldLeft(enc) { case (sq, (a, b)) =>
+      s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
+    }
+  }
+  private val bpeLegalSql = "w -> w <> '' AND NOT contains(w, '<') " +
+    "AND NOT contains(w, '>') AND NOT contains(w, '_')"
 
   /** Oracle for q_bpe_encode_vocab, generated after the query ran
     * (the ivfKmeansOracle lifecycle): the learned merge table inlines
@@ -1908,11 +1941,7 @@ object SparkEntry {
   private def bpeVocabOracle: Seq[(String, String)] =
     Option(lastOracleDir).flatMap(d =>
         Option(bpeMergesFullCache.get(d))).toSeq.flatMap { ms =>
-      def esc(x: String) = x.replace("'", "''")
-      val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
-      val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
-        s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
-      }
+      val merged = bpeMergedSql(ms, "w")
       val sql =
         s"""WITH enc AS (
            SELECT doc_id,
@@ -1934,20 +1963,16 @@ object SparkEntry {
     }
 
   /** Generated q_bpe_coverage oracle: train-split vocabulary
-    * membership decides OOV; known words replay the full merge chain
-    * directly (the [[bpeVocabOracle]] construction); exact
-    * //-division ratio readouts.
+    * membership decides OOV; known words replay the TRAIN-SPLIT
+    * merge chain directly (the [[bpeVocabOracle]] construction over
+    * [[bpeTrainMerges]] — the measured tokenizer must never have
+    * seen the held-out quarter); exact //-division ratio readouts.
     */
   private def bpeCoverageOracle: Seq[(String, String)] =
     Option(lastOracleDir).flatMap(d =>
-        Option(bpeMergesFullCache.get(d))).toSeq.map { ms =>
-      def esc(x: String) = x.replace("'", "''")
-      val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
-      val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
-        s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
-      }
-      val legal = "w -> w <> '' AND NOT contains(w, '<') " +
-        "AND NOT contains(w, '>') AND NOT contains(w, '_')"
+        Option(bpeMergesTrainCache.get(d))).toSeq.map { ms =>
+      val merged = bpeMergedSql(ms, "w")
+      val legal = bpeLegalSql
       "q_bpe_coverage" ->
         s"""WITH trv AS (
            SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
@@ -1990,15 +2015,9 @@ object SparkEntry {
     */
   private def bpeFallbackOracle: Seq[(String, String)] =
     Option(lastOracleDir).flatMap(d =>
-        Option(bpeMergesFullCache.get(d))).toSeq.flatMap { ms =>
-      def esc(x: String) = x.replace("'", "''")
-      val enc =
-        "'<' || array_to_string(regexp_split_to_array(wd, ''), '><') || '><_>'"
-      val merged = ms.foldLeft(enc) { case (sq, (a, b)) =>
-        s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
-      }
-      val legal = "w -> w <> '' AND NOT contains(w, '<') " +
-        "AND NOT contains(w, '>') AND NOT contains(w, '_')"
+        Option(bpeMergesTrainCache.get(d))).toSeq.flatMap { ms =>
+      val merged = bpeMergedSql(ms, "wd")
+      val legal = bpeLegalSql
       val chain =
         s"""WITH trv AS (
            SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
@@ -2668,9 +2687,10 @@ object SparkEntry {
            nm.q_num AS q_num,
            4 * mtot.m * mtot.m AS q_den,
            CASE WHEN mtot.m <> 0 THEN
-             ((nm.q_num + 4 * mtot.m * mtot.m) * 20000
+             ((CAST(nm.q_num AS HUGEINT) + 4 * mtot.m * mtot.m) * 20000
               + 4 * mtot.m * mtot.m)
-              // (2 * 4 * mtot.m * mtot.m) / 10000.0 - 1.0
+              // (2 * CAST(4 * mtot.m * mtot.m AS HUGEINT))
+              / 10000.0 - 1.0
            END AS modularity
          FROM mtot, nm"""),
     // triangle replay: canonical undirected edges, degree-ordered

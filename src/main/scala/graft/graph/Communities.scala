@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Community detection by synchronous label propagation (Raghavan,
@@ -49,8 +49,26 @@ object Communities {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 4, smallGraphEdges: Long = 4000000L,
+      fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame =
+    lpaFromUnd(canonicalUnd(edges, srcCol, dstCol), rounds,
+      smallGraphEdges, fastPathByteBudget)
+
+  /** [[labelPropagation]] + [[modularity]] sharing ONE canonical
+    * edge build (the composed q_modularity query would otherwise pay
+    * the filter + least/greatest + DISTINCT shuffle three times —
+    * once in the propagation, once per modularity consumer).
+    */
+  def modularityOfLpa(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4, smallGraphEdges: Long = 4000000L,
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val und = canonicalUnd(edges, srcCol, dstCol).localCheckpoint(true)
+    val labels =
+      lpaFromUnd(und, rounds, smallGraphEdges, fastPathByteBudget)
+    modularityFromUnd(und, labels)
+  }
+
+  private def canonicalUnd(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
@@ -60,6 +78,12 @@ object Communities {
     require(und.schema.fields
         .forall(_.dataType == org.apache.spark.sql.types.LongType),
       "labelPropagation requires Long node ids")
+    und
+  }
+
+  private def lpaFromUnd(und: DataFrame, rounds: Int,
+      smallGraphEdges: Long, fastPathByteBudget: Long): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val maxFastEdges =
       math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
     if (smallGraphEdges > 0 && und.count() <= maxFastEdges)
@@ -188,14 +212,20 @@ object Communities {
     * exchanges O(edges); output is 1 row.
     */
   def modularity(edges: DataFrame, labels: DataFrame,
-      srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+      srcCol: String, dstCol: String): DataFrame =
+    modularityFromUnd(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true), labels)
+
+  /** [[modularity]] over an ALREADY-CANONICAL (and materialized)
+    * undirected edge frame — the shared-build path.
+    */
+  private def modularityFromUnd(und: DataFrame,
+      labels: DataFrame): DataFrame = {
     val lab = labels.select(col("node"), col("community"))
       .localCheckpoint(true)
     val deg = und.select(col("u").as("node"))
@@ -224,8 +254,21 @@ object Communities {
         (lit(4L) * col("m") * col("m")).as("q_den"))
       .select(col("n_nodes"), col("n_edges"), col("n_communities"),
         col("q_num"), col("q_den"),
-        when(col("q_den") =!= 0L,
-          expr("((q_num + q_den) * 20000 + q_den) div (2 * q_den)") /
-            lit(10000.0) - lit(1.0)).as("modularity"))
+        modularityReadout.as("modularity"))
   }
+
+  /** The +1-shifted 4-decimal readout over in-scope `q_num`/`q_den`
+    * attributes, in DECIMAL(38,0) arithmetic with an exact integral
+    * `div`: `(q_num + q_den) * 20000 + q_den` overflows a Long once
+    * 160000·m² passes 2^63 (~7.6 M undirected edges — inside this
+    * operator's intended range), so the scaled intermediate is
+    * computed wide and only the ≤5-digit quotient returns to Long.
+    * The DuckDB twin widens to HUGEINT the same way. Exposed for the
+    * overflow spec (an 8 M-edge graph is not a unit-test fixture;
+    * the readout column is).
+    */
+  private[graft] def modularityReadout: Column =
+    when(col("q_den") =!= 0L,
+      expr("((CAST(q_num AS DECIMAL(38,0)) + q_den) * 20000 + q_den) div " +
+        "(2 * CAST(q_den AS DECIMAL(38,0)))") / lit(10000.0) - lit(1.0))
 }

@@ -805,10 +805,11 @@ object Pipelines {
   def memorizationGateSink(docs: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String, maxDupFrac: Double = 0.5,
       n: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
     val index = graft.textanalysis.TextAnalysis
-      .readMemorizationIndex(docs.sparkSession, indexDir)
+      .readMemorizationIndex(spark, indexDir)
       .persist()
-    docs.writeStream
+    val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -816,6 +817,29 @@ object Pipelines {
           maxDupFrac, n)
       }
       .start()
+    // the cached corpus-scale index must not outlive its stream
+    // (unlike the lm/dsir/nb sinks, whose models are driver-side
+    // literals): release it when THIS query terminates, then retire
+    // the listener. The isActive re-check closes the window where
+    // the query died before the listener registered.
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          index.unpersist(false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      index.unpersist(false)
+      spark.streams.removeListener(listener)
+    }
+    q
   }
 
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated

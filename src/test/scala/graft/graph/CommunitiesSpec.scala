@@ -1,6 +1,7 @@
 package graft.graph
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class CommunitiesSpec extends SparkSpec {
   import spark.implicits._
@@ -94,6 +95,24 @@ class CommunitiesSpec extends SparkSpec {
       .collect()(0)
     assert(r.getLong(3) === 0L)
     assert(r.getDouble(5) === 0.0)
+  }
+
+  test("the modularity readout is exact past the Long-overflow edge " +
+      "count (~7.6M edges)") {
+    // m = 5e7 edges -> q_den = 4m^2 = 1e16; the old Long form
+    // ((q_num + q_den) * 20000 + q_den) needed ~2.5e20
+    val den = 4L * 50000000L * 50000000L
+    val cases = Seq(den / 4, 3333333333333333L, -den / 2, 0L)
+    val df = cases.map(n => (n, den)).toDF("q_num", "q_den")
+    val got = df.select(col("q_num"),
+      Communities.modularityReadout.as("modularity"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def ref(num: Long): Double = {
+      val q = ((BigInt(num) + den) * 20000 + den) / (BigInt(den) * 2)
+      q.toLong / 10000.0 - 1.0
+    }
+    cases.foreach(n => assert(got(n) === ref(n), s"q_num=$n"))
+    assert(got(den / 4) === 0.25)
   }
 
   test("modularity survives an empty graph with a NULL readout") {
