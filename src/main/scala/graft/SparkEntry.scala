@@ -435,6 +435,12 @@ object SparkEntry {
     "q_modularity" -> ((s, d) =>
       graft.graph.Communities.modularityOfLpa(
         linkGraphEdges(s, d), "s", "t", rounds = 4)),
+    // Community-size histogram — one blob, all singletons, or a real
+    // distribution? |distinct sizes| rows off the same LPA partition
+    "q_community_sizes" -> ((s, d) =>
+      graft.graph.Communities.communitySizes(
+        graft.graph.Communities.labelPropagation(
+          linkGraphEdges(s, d), "s", "t", rounds = 4))),
     // TrustRank: teleport restricted to trusted seed hubs (node ids
     // divisible by 64 — a subset of the 16-group heads); rank flows
     // outward from seeds, unreachable regions starve toward zero
@@ -2662,6 +2668,12 @@ object SparkEntry {
       (s"""WITH $linkGraphCtes,
          ${lpaChainCtes(4)}
          SELECT node, community FROM fin ORDER BY node"""),
+    "q_community_sizes" ->
+      (s"""WITH $linkGraphCtes,
+         ${lpaChainCtes(4)}
+         SELECT size, count(*) AS n_communities FROM (
+           SELECT community, count(*) AS size FROM fin GROUP BY 1)
+         GROUP BY 1 ORDER BY size"""),
     // modularity as the exact integer rational sum(4*m*e_c - D_c^2)
     // / 4m^2 over the replayed partition; the double readout is the
     // house 4-decimal long division, +1-shifted so the numerator

@@ -195,6 +195,17 @@ object Communities {
       .orderBy(col("node"))
   }
 
+  /** Community-size histogram of a partition: (size, n_communities)
+    * — the first structural readout of a clustering (is it one blob,
+    * all singletons, or a real distribution?). Output is at most
+    * |distinct sizes| rows; two hash aggregations over the O(nodes)
+    * labels frame.
+    */
+  def communitySizes(labels: DataFrame): DataFrame =
+    labels.groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("size"))
+
   /** One-row modularity readout of a partition (Newman & Girvan '04):
     * Q = Σ_c (e_c/m − (D_c/2m)²) over communities, computed as the
     * exact integer rational Σ_c (4·m·e_c − D_c²) / 4m² — e_c = intra-

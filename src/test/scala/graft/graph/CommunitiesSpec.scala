@@ -115,6 +115,14 @@ class CommunitiesSpec extends SparkSpec {
     assert(got(den / 4) === 0.25)
   }
 
+  test("communitySizes histograms the partition") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (20L, 20L)).toDF("node", "community")
+    val got = Communities.communitySizes(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("modularity survives an empty graph with a NULL readout") {
     val es = Seq.empty[(Long, Long)]
     val labels = Seq.empty[(Long, Long)].toDF("node", "community")
