@@ -61,17 +61,49 @@ object SparkEntry {
     * that needs concurrent planning should clone the session
     * (newSession shares state but has its own SQLConf) and route the
     * wrapped build through the clone instead.
+    *
+    * The assumption is ENFORCED, not just documented: every
+    * concurrent-branch composition here routes its Future through
+    * [[concurrentBranch]], and the two sides assert mutual
+    * exclusion — a future composition mixing a branch with a wrapped
+    * build fails loudly at build time instead of silently planning
+    * the branch without AQE.
     */
+  private val aqeOffWindows = new java.util.concurrent.atomic.AtomicInteger
+  private val planningBranches = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Plan-and-materialize `body` on a second thread, concurrently with
+    * the caller's own jobs — the shared shape of the q_curation_*
+    * compositions (concurrent job submission on one session is the
+    * supported Spark pattern for independent DAG branches). Registers
+    * the branch so [[withAqeOff]] refuses to flip the session-global
+    * conf while any branch might still be planning.
+    */
+  private def concurrentBranch[T](body: => T): scala.concurrent.Future[T] = {
+    require(aqeOffWindows.get == 0,
+      "concurrentBranch started inside a withAqeOff window — the " +
+        "branch would plan without AQE; sequence them or clone the session")
+    planningBranches.incrementAndGet()
+    scala.concurrent.Future {
+      try body finally planningBranches.decrementAndGet()
+    }(scala.concurrent.ExecutionContext.global)
+  }
+
   private def withAqeOff(s: SparkSession)(build: => DataFrame): DataFrame =
     // serialized per session: two concurrent wrapped builds could
     // otherwise interleave get/set and restore the wrong value,
     // leaving AQE off for every later (graph) query on the session
     s.synchronized {
+      require(planningBranches.get == 0,
+        "withAqeOff entered while a concurrentBranch is in flight — " +
+          "the branch would plan without AQE; await it first or route " +
+          "the wrapped build through s.newSession()")
       val key = "spark.sql.adaptive.enabled"
       val prev = s.conf.get(key)
       s.conf.set(key, "false")
+      aqeOffWindows.incrementAndGet()
       try build.localCheckpoint(true)
-      finally s.conf.set(key, prev)
+      finally { aqeOffWindows.decrementAndGet(); s.conf.set(key, prev) }
     }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1014,8 +1046,7 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 101 =!= 7)
       // model train (one bounded aggregation) overlaps the capstone
       // scan on a second thread — the q_curation_ranked shape
-      val modelF = scala.concurrent.Future { nbModelFor(s, d) }(
-        scala.concurrent.ExecutionContext.global)
+      val modelF = concurrentBranch { nbModelFor(s, d) }
       val curated = graft.curation.Curation.curate(corpus,
         docs.filter(col("doc_id") % 101 === 7))
       val m = scala.concurrent.Await.result(modelF,
@@ -1044,9 +1075,9 @@ object SparkEntry {
       // scale it keeps both branches' stages in flight instead of
       // serializing two scans of the same corpus (~0.6 s at bench
       // scale, tools.ProfileRanked)
-      val rankF = scala.concurrent.Future {
+      val rankF = concurrentBranch {
         graft.graph.PageRank.pageRank(e, "src", "dst")
-      }(scala.concurrent.ExecutionContext.global)
+      }
       val curated = graft.curation.Curation.curate(corpus,
         docs.filter(col("doc_id") % 101 === 7))
       val ranks = scala.concurrent.Await.result(rankF,
@@ -1068,9 +1099,9 @@ object SparkEntry {
       val e = docKcoreEdges(corpus)
       // peel and capstone are independent until the final anti-join —
       // overlap them (the q_curation_ranked shape)
-      val coreF = scala.concurrent.Future {
+      val coreF = concurrentBranch {
         graft.graph.KCore.kCore(e, "s", "t", 2)
-      }(scala.concurrent.ExecutionContext.global)
+      }
       val curated = graft.curation.Curation.curate(corpus,
         docs.filter(col("doc_id") % 101 === 7))
       val core = scala.concurrent.Await.result(coreF,
@@ -1090,9 +1121,9 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 101 =!= 7)
       val e = docKcoreEdges(corpus)
-      val labelsF = scala.concurrent.Future {
+      val labelsF = concurrentBranch {
         graft.graph.Communities.labelPropagation(e, "s", "t", rounds = 4)
-      }(scala.concurrent.ExecutionContext.global)
+      }
       val curated = graft.curation.Curation.curate(corpus,
         docs.filter(col("doc_id") % 101 === 7))
       val labels = scala.concurrent.Await.result(labelsF,

@@ -221,6 +221,19 @@ object Communities {
     * Scale shape: one degree aggregation, two label joins on the edge
     * list, one community aggregation, one global sum — all key
     * exchanges O(edges); output is 1 row.
+    *
+    * Integer-rational bound: the q_num/q_den READOUT columns are
+    * exact longs by contract (the oracle gate is dtype-kind-strict),
+    * and |q_num| ≤ q_den = 4m², which exceeds Long at m ≈ 1.52e9
+    * undirected edges — the VALUE itself, not just an intermediate,
+    * so no internal widening can keep the Long schema past that
+    * point. Under the session's ANSI mode (Spark 4 default, and what
+    * every graft session runs) the overflow surfaces as a loud
+    * ARITHMETIC_OVERFLOW, never a silent wrap; a >1.5e9-edge caller
+    * should project its own DECIMAL(38,0) rational from e_c/D_c
+    * aggregates. The 4-decimal `modularity` readout is already
+    * decimal-wide (see [[modularityReadout]] — its scaled
+    * intermediate overflows much earlier, at ~7.6 M edges).
     */
   def modularity(edges: DataFrame, labels: DataFrame,
       srcCol: String, dstCol: String): DataFrame =

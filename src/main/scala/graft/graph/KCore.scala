@@ -64,22 +64,32 @@ object KCore {
       k: Int, maxRounds: Int = 100, smallGraphEdges: Long = 4000000L,
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): KCoreResult = {
     require(k >= 1, s"k must be >= 1: $k")
-    val und = edges
+    val und0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+    // the gate's count() is a job of its own, and whichever path runs
+    // next re-reads the canonicalization — persist across the gate
+    // (the personalizedPageRank gating shape) and release once the
+    // chosen path has materialized its own frame
+    val und = if (smallGraphEdges > 0) und0.persist() else und0
     val longIds = und.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val maxFastEdges =
       math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
     if (smallGraphEdges > 0 && longIds && und.count() <= maxFastEdges)
-      return fastKCore(und, k, maxRounds)
+      // fastKCore eagerly localCheckpoints its output, so und is
+      // fully consumed by the time it returns (unpersist also on the
+      // loud budget-exhaustion throw)
+      try return fastKCore(und, k, maxRounds)
+      finally und.unpersist()
     // both directions, so degree is one groupBy on the first column
     val sym = und.unionByName(
       und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
+    if (smallGraphEdges > 0) und.unpersist()
     var alive = sym.select(col("u").as("node")).distinct()
       .localCheckpoint(true)
     var aliveCount = alive.count()

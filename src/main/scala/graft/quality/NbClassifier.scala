@@ -15,9 +15,10 @@ import graft.selection.Dsir
   * target DISTRIBUTION", the classifier asks "which of two learned
   * CLASSES does it look like" and gates on the decision score.
   *
-  * Reference analog: the rule-based scorer behind the provider seam
-  * (`services/data-quality/app/scorer.py` — the repo's
-  * [[QualityScorer]]) decides per document from fixed rules; this is
+  * Reference analog: the scorer behind the provider seam
+  * (`services/data-quality/app/llm/providers/OpenAIProvider.py` +
+  * `app/llm/LLMInterface.py` — the repo's
+  * [[QualityScorer]]) decides per document; this is
   * the LEARNED replacement a production pipeline trains on labeled
   * examples. Implemented Spark-first, no translation.
   *

@@ -778,7 +778,12 @@ object Pipelines {
     val scores = graft.textanalysis.TextAnalysis
       .memorizationProbe(batch, index, n)
       .select(col("doc_id"), col("dup_frac"))
-    val survivors = batch.join(scores, Seq("doc_id"))
+    // LEFT join: a batch row with no probe row (NULL doc_id — join
+    // keys never match null) carries no duplication evidence and
+    // passes through untouched, the same every-row-passes contract as
+    // the row-local NB/DSIR gate batches; duplicate-id rows each keep
+    // their own row (the probe emits one score per distinct id)
+    val survivors = batch.join(scores, Seq("doc_id"), "left")
       .filter(col("dup_frac").isNull || col("dup_frac") <= maxDupFrac)
       .drop("dup_frac")
       .withColumn("batch_id", lit(batchId))

@@ -444,24 +444,27 @@ object TextAnalysis {
     */
   def contaminationByBenchmark(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    import graft.dedup.Dedup.shingles
-    val benchGrams = benchmark
-      .select(col(idCol).as("bench_id"),
-        explode(graft.dedup.Dedup.shinglesFor(benchmark)(
-          col(textCol), n)).as("__g"))
+    // ONE shingle computation per benchmark doc; the gram list and
+    // its size both project off this frame (the gram count never
+    // re-shingles the text)
+    val bg = benchmark.select(col(idCol).as("bench_id"),
+      graft.dedup.Dedup.shinglesFor(benchmark)(col(textCol), n).as("__gs"))
+    val benchGrams = bg
+      .select(col("bench_id"), explode(col("__gs")).as("__g"))
     val corpusGrams = corpus
       .select(col(idCol).as("__cid"),
         explode(graft.dedup.Dedup.shinglesFor(corpus)(
           col(textCol), n)).as("__g"))
-    val leaks = benchGrams
+    // the benchmark side is bounded by the decontamination
+    // convention — broadcast it so the corpus gram explosion never
+    // shuffles (the contaminationStats shape)
+    val leaks = broadcast(benchGrams)
       .join(corpusGrams, Seq("__g"))
       .groupBy(col("bench_id"))
       .agg(count_distinct(col("__cid")).as("n_leaking_docs"),
         count_distinct(col("__g")).as("n_leaked_grams"))
-    benchmark
-      .select(col(idCol).as("bench_id"),
-        size(graft.dedup.Dedup.shinglesFor(benchmark)(
-          col(textCol), n)).cast("long").as("n_grams"))
+    bg.select(col("bench_id"),
+        size(col("__gs")).cast("long").as("n_grams"))
       .join(leaks, Seq("bench_id"), "left")
       .select(col("bench_id"), col("n_grams"),
         coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
