@@ -422,7 +422,15 @@ object SparkEntry {
     // Triangle count + clustering coefficient per node over a built
     // link graph (4-group triangles + 16-group star heads — the star
     // exercises the degree-ordered orientation's heavy-hitter bound)
+    // smallGraphEdges=0 pins the distributed 2-path join — the
+    // 100 TB shape the oracle replays
     "q_triangles" -> ((s, d) =>
+      graft.graph.Triangles.triangleStats(linkGraphEdges(s, d), "s", "t",
+        smallGraphEdges = 0L)),
+    // The same readout through the bounded-graph in-task path
+    // (sorted-adjacency intersect, one job) — oracled against the
+    // IDENTICAL replay, so fast ≡ distributed is hash-gated
+    "q_triangles_fast" -> ((s, d) =>
       graft.graph.Triangles.triangleStats(linkGraphEdges(s, d), "s", "t")),
     // Degree assortativity of the same graph: Pearson over endpoint
     // degrees, exact integer moment sums, one division per graph
@@ -2738,21 +2746,11 @@ object SparkEntry {
          FROM mtot, nm"""),
     // triangle replay: canonical undirected edges, degree-ordered
     // orientation, 2-path join closed against the oriented edges
-    "q_triangles" ->
-      (s"""WITH $linkGraphCtes,
-         $triangleCtes,
-         tn AS (SELECT node, count(*) AS t FROM (
-                  SELECT s AS node FROM tr
-                  UNION ALL SELECT a FROM tr
-                  UNION ALL SELECT b FROM tr) GROUP BY 1)
-         SELECT deg.node, deg.d AS degree,
-           coalesce(tn.t, 0) AS triangles,
-           CASE WHEN deg.d >= 2 THEN
-             ((2 * coalesce(tn.t, 0) * 20000 + deg.d * (deg.d - 1))
-              // (2 * deg.d * (deg.d - 1))) / 10000.0
-           ELSE 0.0 END AS clustering
-         FROM deg LEFT JOIN tn ON deg.node = tn.node
-         ORDER BY deg.node"""),
+    "q_triangles" -> trianglesOracle,
+    // the in-task fast twin runs against the IDENTICAL replay — a
+    // divergence between the sorted-adjacency intersect and the
+    // distributed 2-path join fails the hash gate itself
+    "q_triangles_fast" -> trianglesOracle,
     "q_graph_degrees" ->
       """WITH e0 AS (
            SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
@@ -4853,6 +4851,26 @@ object SparkEntry {
     * s(v)·((1−d) + d·dm) + d·contrib, the exact expression shape the
     * operator evaluates (IEEE determinism does the rest).
     */
+  /** Triangle replay shared by the distributed pin and its in-task
+    * fast twin: canonical undirected edges, degree-ordered
+    * orientation, 2-path join closed against the oriented edges.
+    */
+  private def trianglesOracle: String =
+    s"""WITH $linkGraphCtes,
+       $triangleCtes,
+       tn AS (SELECT node, count(*) AS t FROM (
+                SELECT s AS node FROM tr
+                UNION ALL SELECT a FROM tr
+                UNION ALL SELECT b FROM tr) GROUP BY 1)
+       SELECT deg.node, deg.d AS degree,
+         coalesce(tn.t, 0) AS triangles,
+         CASE WHEN deg.d >= 2 THEN
+           ((2 * coalesce(tn.t, 0) * 20000 + deg.d * (deg.d - 1))
+            // (2 * deg.d * (deg.d - 1))) / 10000.0
+         ELSE 0.0 END AS clustering
+       FROM deg LEFT JOIN tn ON deg.node = tn.node
+       ORDER BY deg.node"""
+
   private def personalizedPageRankOracle(iters: Int): String = {
     val seed = "p.node % 64 = 0"
     val rounds = (1 to iters).map { k =>

@@ -996,7 +996,7 @@ object Dedup {
     * frames are much smaller than the edge list).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, smallGraphEdges: Long = 4000000L,
+      maxIter: Int = 20, smallGraphEdges: Long = graft.graph.PageRank.DefaultSmallGraphEdges,
       finishInTaskBytes: Long = UnionFindByteBudget,
       algorithm: String = "minlabel",
       unionFindByteBudget: Long = UnionFindByteBudget): DataFrame =
@@ -1010,7 +1010,7 @@ object Dedup {
     */
   private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20,
-      smallGraphEdges: Long = 4000000L,
+      smallGraphEdges: Long = graft.graph.PageRank.DefaultSmallGraphEdges,
       algorithm: String = "minlabel",
       unionFindByteBudget: Long = UnionFindByteBudget,
       finishInTaskBytes: Long = UnionFindByteBudget): (DataFrame, Int) = {

@@ -48,7 +48,7 @@ object Communities {
     * inside a single aggregate; every graft graph uses Long ids).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int = 4, smallGraphEdges: Long = 4000000L,
+      rounds: Int = 4, smallGraphEdges: Long = PageRank.DefaultSmallGraphEdges,
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame =
     lpaFromUnd(canonicalUnd(edges, srcCol, dstCol), rounds,
       smallGraphEdges, fastPathByteBudget)
@@ -59,7 +59,7 @@ object Communities {
     * once in the propagation, once per modularity consumer).
     */
   def modularityOfLpa(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int = 4, smallGraphEdges: Long = 4000000L,
+      rounds: Int = 4, smallGraphEdges: Long = PageRank.DefaultSmallGraphEdges,
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame = {
     val und = canonicalUnd(edges, srcCol, dstCol).localCheckpoint(true)
     val labels =

@@ -61,7 +61,7 @@ object KCore {
     * 100 TB shape).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100, smallGraphEdges: Long = 4000000L,
+      k: Int, maxRounds: Int = 100, smallGraphEdges: Long = PageRank.DefaultSmallGraphEdges,
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): KCoreResult = {
     require(k >= 1, s"k must be >= 1: $k")
     val und0 = edges

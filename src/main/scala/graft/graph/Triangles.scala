@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** ~48 B per canonical edge in the fast-path task: 16 B of (u, v)
+    * input plus the sorted-adjacency CSR (int per edge), degree/
+    * triangle arrays and id-index overhead amortized per edge (the
+    * [[PageRank]] sizing rationale).
+    */
+  val FastPathBytesPerEdge = 48L
+
   private def rankLt(da: Column, a: Column, db: Column, b: Column): Column =
     da < db || (da === db && a < b)
 
@@ -73,6 +80,14 @@ object Triangles {
   def assortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val (und, deg) = undAndDeg(edges, srcCol, dstCol)
+    assortativityFrom(und, deg)
+  }
+
+  /** [[assortativity]] over an already-built (und, deg) pair — the
+    * shared-frame path [[graphSummary]] uses so its three readout
+    * branches scan ONE cached canonicalization instead of three.
+    */
+  private def assortativityFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     val sym = und.unionByName(
       und.select(col("v").as("u"), col("u").as("v")))
     val joined = sym
@@ -99,11 +114,28 @@ object Triangles {
   }
 
   /** Per-node degrees plus the closed-triangle frame (s, a, b) —
-    * shared by the per-node rollup and the global count.
+    * shared by the per-node rollup and the global count. The
+    * canonical edge frame and the degree frame are PERSISTED (both
+    * are read by multiple branches of every consumer: deg reads und
+    * twice, the orientation joins read deg twice, the final readout
+    * joins deg again) and returned for the caller's Managed
+    * lifecycle — without the cache the honest full-output cost
+    * re-derives the orders-scan→union→distinct chain once per
+    * branch (measured +1.5 s at sf0.1, tools.ProfileTriangles).
     */
   private def degreesAndTriangles(edges: DataFrame, srcCol: String,
-      dstCol: String): (DataFrame, DataFrame) = {
-    val (und, deg) = undAndDeg(edges, srcCol, dstCol)
+      dstCol: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (und0, deg0) = undAndDeg(edges, srcCol, dstCol)
+    val und = und0.persist()
+    val deg = deg0.persist()
+    (deg, trianglesFromUndDeg(und, deg), Seq(und, deg))
+  }
+
+  /** The oriented 2-path enumeration over an (und, deg) pair the
+    * caller already owns (and has persisted).
+    */
+  private def trianglesFromUndDeg(und: DataFrame, deg: DataFrame)
+      : DataFrame = {
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
@@ -119,28 +151,161 @@ object Triangles {
     val paths = o1.join(o2, Seq("src"))
       .filter(rankLt(col("da"), col("a"), col("db"), col("b")))
       .select(col("src").as("s"), col("a"), col("b"))
-    val triangles = paths.join(oriented,
+    paths.join(oriented,
       paths("a") === oriented("src") && paths("b") === oriented("dst"))
       .select(col("s"), col("a"), col("b"))
-    (deg, triangles)
   }
 
-  def triangleStats(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val (deg, triangles) = degreesAndTriangles(edges, srcCol, dstCol)
-    val triPerNode = triangles.select(col("s").as("node"))
-      .union(triangles.select(col("a").as("node")))
-      .union(triangles.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    deg.join(triPerNode, Seq("node"), "left")
-      .select(col("node"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
-      .withColumn("clustering",
-        when(col("degree") >= 2,
-          expr("(2 * triangles * 20000 + degree * (degree - 1)) div " +
-            "(2 * degree * (degree - 1))") / lit(10000.0))
-          .otherwise(lit(0.0)))
+  /** The shared (node, degree, triangles) → clustering readout: the
+    * exact 4-decimal long-division form, 0.0 below degree 2 — ONE
+    * definition so the distributed and in-task paths cannot drift.
+    */
+  private def clusteringReadout(base: DataFrame): DataFrame =
+    base.withColumn("clustering",
+      when(col("degree") >= 2,
+        expr("(2 * triangles * 20000 + degree * (degree - 1)) div " +
+          "(2 * degree * (degree - 1))") / lit(10000.0))
+        .otherwise(lit(0.0)))
       .orderBy(col("node"))
+
+  /** [[triangleStats]] with the internal (und, deg) cache surfaced
+    * for an explicit lifecycle — multi-action callers use this and
+    * `release()` when done.
+    */
+  def triangleStatsManaged(edges: DataFrame, srcCol: String,
+      dstCol: String): graft.Managed = {
+    val (deg, triangles, cached) = degreesAndTriangles(edges, srcCol, dstCol)
+    // ONE pass over the closed-triangle frame: explode the three
+    // corners in place. The union-of-three-projections form re-ran
+    // the whole 2-path join subtree once per corner (exchange reuse
+    // dedupes the shuffles, not the join work) — together with the
+    // (und, deg) cache this took the honest full-output cost 4.9 →
+    // ~2.4 s at sf0.1 (tools.ProfileTriangles).
+    val triPerNode = triangles
+      .select(explode(array(col("s"), col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val stats = clusteringReadout(
+      deg.join(triPerNode, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles")))
+    new graft.Managed(stats, cached)
+  }
+
+  /** Per-node triangle/clustering readout; the internal edge/degree
+    * cache releases after the caller's FIRST action
+    * (Managed.autoReleased — one-shot; multi-action callers use
+    * [[triangleStatsManaged]]).
+    *
+    * Like the other graph operators, a Long-id graph bounded by
+    * `smallGraphEdges` AND the byte budget short-circuits to an
+    * in-task sorted-adjacency intersect ([[fastTriangleStats]] —
+    * same counts, TrianglesSpec pins parity); `smallGraphEdges = 0`
+    * forces the distributed 2-path join (what `q_triangles` oracles,
+    * the 100 TB shape).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      smallGraphEdges: Long = PageRank.DefaultSmallGraphEdges,
+      fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame = {
+    if (smallGraphEdges > 0) {
+      val (und0, deg0) = undAndDeg(edges, srcCol, dstCol)
+      val und = und0.persist()
+      val longIds = und.schema.fields
+        .forall(_.dataType == org.apache.spark.sql.types.LongType)
+      val maxFastEdges =
+        math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
+      if (longIds && und.count() <= maxFastEdges)
+        // fastTriangleStats localCheckpoints eagerly — und is fully
+        // consumed by the time it returns
+        try return fastTriangleStats(und) finally und.unpersist()
+      // distributed fallback reusing the already-persisted und
+      val deg = deg0.persist()
+      val triPerNode = trianglesFromUndDeg(und, deg)
+        .select(explode(array(col("s"), col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      val stats = clusteringReadout(
+        deg.join(triPerNode, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            coalesce(col("triangles"), lit(0L)).as("triangles")))
+      new graft.Managed(stats, Seq(und, deg)).autoReleased()
+    } else triangleStatsManaged(edges, srcCol, dstCol).autoReleased()
+  }
+
+  /** In-task triangle counting over the canonical edge array — the
+    * single-job fast path. The same degree-ordered orientation as the
+    * distributed plan, realized as sorted out-adjacency CSR + per-edge
+    * linear merge intersect: each triangle is found exactly once at
+    * its (lowest, middle)-rank edge and credits all three corners.
+    * Out-degree under the orientation is O(√m), so per-edge intersect
+    * work is bounded exactly like the distributed 2-path join.
+    */
+  private def fastTriangleStats(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val base = und.as[(Long, Long)]
+      // the distinct upstream already exchanged — the single task
+      // just reads its outputs (no second shuffle)
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        if (edges.isEmpty) Iterator.empty
+        else {
+          val idSet = new java.util.TreeSet[java.lang.Long]()
+          edges.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
+          val ids = idSet.toArray(new Array[java.lang.Long](0))
+            .map(_.longValue())
+          val idx = new scala.collection.mutable.LongMap[Int](ids.length * 2)
+          var i = 0
+          while (i < ids.length) { idx(ids(i)) = i; i += 1 }
+          val n = ids.length
+          val deg = new Array[Int](n)
+          edges.foreach { case (a, b) =>
+            deg(idx(a)) += 1; deg(idx(b)) += 1
+          }
+          // ids[] is sorted, so index order == id order and the
+          // distributed rank (degree, id) is (deg(x), x) on indices
+          def lt(x: Int, y: Int): Boolean =
+            deg(x) < deg(y) || (deg(x) == deg(y) && x < y)
+          val outc = new Array[Int](n)
+          edges.foreach { case (a, b) =>
+            val ia = idx(a); val ib = idx(b)
+            outc(if (lt(ia, ib)) ia else ib) += 1
+          }
+          val off = new Array[Int](n + 1)
+          i = 0
+          while (i < n) { off(i + 1) = off(i) + outc(i); i += 1 }
+          val adj = new Array[Int](edges.length)
+          val fill = off.clone()
+          edges.foreach { case (a, b) =>
+            val ia = idx(a); val ib = idx(b)
+            val (s, t) = if (lt(ia, ib)) (ia, ib) else (ib, ia)
+            adj(fill(s)) = t; fill(s) += 1
+          }
+          var u = 0
+          while (u < n) {
+            java.util.Arrays.sort(adj, off(u), off(u + 1)); u += 1
+          }
+          val tri = new Array[Long](n)
+          u = 0
+          while (u < n) {
+            var j = off(u)
+            while (j < off(u + 1)) {
+              val v = adj(j)
+              var p = off(u); var q = off(v)
+              while (p < off(u + 1) && q < off(v + 1)) {
+                val x = adj(p); val y = adj(q)
+                if (x == y) {
+                  tri(u) += 1; tri(v) += 1; tri(x) += 1; p += 1; q += 1
+                } else if (x < y) p += 1 else q += 1
+              }
+              j += 1
+            }
+            u += 1
+          }
+          Iterator.range(0, n).map(v => (ids(v), deg(v).toLong, tri(v)))
+        }
+      }
+      .toDF("node", "degree", "triangles")
+      .localCheckpoint(true)
+    clusteringReadout(base)
   }
 
   /** Global triangle count — one row, counted straight off the
@@ -148,26 +313,32 @@ object Triangles {
     * operator-level sort to discard).
     */
   def triangleCount(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame =
-    degreesAndTriangles(edges, srcCol, dstCol)._2
-      .agg(count(lit(1)).as("n_triangles"))
+      dstCol: String): DataFrame = {
+    val (_, triangles, cached) = degreesAndTriangles(edges, srcCol, dstCol)
+    new graft.Managed(
+      triangles.agg(count(lit(1)).as("n_triangles")), cached).autoReleased()
+  }
 
   /** One-row whole-graph readout: node/edge counts, global triangle
     * count, and degree assortativity — the structure dashboard a
     * link-graph curation run records next to its per-node priors.
     * Three bounded single-row frames cross-joined by broadcast; edge
-    * count derives from Σdegree/2 (exact — the sum is even).
+    * count derives from Σdegree/2 (exact — the sum is even). All
+    * three branches (degree rollup, triangle count, assortativity)
+    * read the ONE cached canonicalization.
     */
   def graphSummary(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val (deg, triangles) = degreesAndTriangles(edges, srcCol, dstCol)
+    val (deg, triangles, cached) = degreesAndTriangles(edges, srcCol, dstCol)
     // coalesce: an edgeless graph has sum(degree) = NULL, but the
     // readout (and the count(*)-form oracle) should say 0 edges
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       (coalesce(sum(col("degree")), lit(0L)) / 2).cast("long").as("n_edges"))
     val tri = triangles.agg(count(lit(1)).as("n_triangles"))
-    val asrt = assortativity(edges, srcCol, dstCol)
+    val asrt = assortativityFrom(cached.head, deg)
       .select(col("assortativity"))
-    nodes.crossJoin(broadcast(tri)).crossJoin(broadcast(asrt))
+    new graft.Managed(
+      nodes.crossJoin(broadcast(tri)).crossJoin(broadcast(asrt)), cached)
+      .autoReleased()
   }
 }

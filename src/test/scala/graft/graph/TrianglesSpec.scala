@@ -84,6 +84,29 @@ class TrianglesSpec extends SparkSpec {
     assert(got(cycle) === ((4L, None)))
   }
 
+  test("fast ≡ distributed: fixture and random graphs") {
+    def canon(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(canon(Triangles.triangleStats(df, "s", "t")) ===
+      canon(Triangles.triangleStats(df, "s", "t", smallGraphEdges = 0L)))
+    Seq(1, 7, 42).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val es = Seq.fill(300)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("s", "t")
+      assert(canon(Triangles.triangleStats(es, "s", "t")) ===
+        canon(Triangles.triangleStats(es, "s", "t", smallGraphEdges = 0L)),
+        s"seed $seed")
+    }
+  }
+
+  test("non-Long ids take the distributed path and still answer") {
+    val es = Seq((1, 2), (2, 3), (1, 3), (3, 4)).toDF("s", "t")
+    val got = Triangles.triangleStats(es, "s", "t").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 0L))
+  }
+
   test("plan: hash joins only, no cartesian or nested-loop") {
     val p = Triangles.triangleStats(df, "s", "t")
       .queryExecution.executedPlan.toString
