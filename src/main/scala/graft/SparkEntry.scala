@@ -1455,13 +1455,7 @@ object SparkEntry {
     // of the quantized entries (the arrays themselves are spec'd —
     // the oracle gate compares scalar projections)
     "q_embed_quantize" -> ((s, d) =>
-      Similarity.quantizeEmbeddings(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          round(col("scale"), 9).as("scale"),
-          aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
-          array_max(col("qvec")).as("q_max"),
-          array_min(col("qvec")).as("q_min"),
-          size(filter(col("qvec"), x => x =!= 0)).as("n_nonzero"))
+      Similarity.quantStatsReadout(Tables.embeddings(s, d))
         .orderBy("vec_id")),
     // ANN over the compressed store: integer-exact dot products,
     // dequantized by the two scales

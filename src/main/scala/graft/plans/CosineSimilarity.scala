@@ -260,7 +260,17 @@ object GraftFunctions {
     (TextHashFunctions.DsirScore6Name,
       "DSIR micro-nat score: (tokens, ratio-table literal) -> bigint",
       arity(TextHashFunctions.DsirScore6Name, 2)(e =>
-        DsirScore6(e(0), e(1)))))
+        DsirScore6(e(0), e(1)))),
+    (TextHashFunctions.QuantStatsName,
+      "int8 quantization readout: (array<float|double>) -> " +
+        "struct(scale, q_l1, q_max, q_min, n_nonzero)",
+      arity(TextHashFunctions.QuantStatsName, 1)(e => QuantStats(e(0)))),
+    (TextHashFunctions.QuantizeVecName,
+      "int8 quantization: (array<float|double>) -> struct(scale, qvec)",
+      arity(TextHashFunctions.QuantizeVecName, 1)(e => QuantizeVec(e(0)))),
+    (TextHashFunctions.QdotName,
+      "exact integer dot product of two array<int>",
+      arity(TextHashFunctions.QdotName, 2)(e => QdotLong(e(0), e(1)))))
 
   /** Register graft's native expressions in a session (idempotent).
     * Callers (Verify/Bench/tests) invoke this once; library code

@@ -531,6 +531,9 @@ object TextHashFunctions {
   val SortedIntersectSizeName = "graft_sorted_intersect_size"
   val DeflateRatioName = "graft_deflate_ratio"
   val DsirScore6Name = "graft_dsir_score6"
+  val QuantStatsName = "graft_quant_stats"
+  val QuantizeVecName = "graft_quantize_vec"
+  val QdotName = "graft_qdot"
 
   private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -279,8 +279,42 @@ object Similarity {
     */
   def quantizeEmbeddings(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol), quantScale(col(vecCol)).as("scale"),
-      quantizeVec(col(vecCol)).as("qvec"))
+    if (TextHashFunctions.isRegistered(embeddings.sparkSession)) {
+      // native one-pass build (QuantExprs — no asDouble copy, no
+      // interpreted transform per element); whole-stage codegen
+      // dedupes the shared struct via subexpression elimination
+      val q = call_function(TextHashFunctions.QuantizeVecName, col(vecCol))
+      embeddings.select(col(idCol), q.getField("scale").as("scale"),
+        q.getField("qvec").as("qvec"))
+    } else
+      embeddings.select(col(idCol), quantScale(col(vecCol)).as("scale"),
+        quantizeVec(col(vecCol)).as("qvec"))
+
+  /** The per-vector quantization-quality readout of the compressed
+    * store: (scale, |q|₁, max q, min q, non-zero count) — native
+    * one-pass when the session carries the graft expressions,
+    * composed higher-order functions otherwise (QuantSpec pins
+    * element parity; the oracled q_embed_quantize row hash-gates the
+    * readout end-to-end).
+    */
+  def quantStatsReadout(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    if (TextHashFunctions.isRegistered(embeddings.sparkSession)) {
+      val st = call_function(TextHashFunctions.QuantStatsName, col(vecCol))
+      embeddings.select(col(idCol),
+        round(st.getField("scale"), 9).as("scale"),
+        st.getField("q_l1").as("q_l1"),
+        st.getField("q_max").as("q_max"),
+        st.getField("q_min").as("q_min"),
+        st.getField("n_nonzero").as("n_nonzero"))
+    } else
+      quantizeEmbeddings(embeddings, idCol, vecCol)
+        .select(col(idCol),
+          round(col("scale"), 9).as("scale"),
+          aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+          array_max(col("qvec")).as("q_max"),
+          array_min(col("qvec")).as("q_min"),
+          size(filter(col("qvec"), x => x =!= 0)).as("n_nonzero"))
 
   /** EXACT integer dot product of two quantized vectors (≤ 127²·dim
     * fits a long for any dim under 5.7e14) — the reason quantized
@@ -290,6 +324,15 @@ object Similarity {
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, x) => acc + x)
+
+  /** Session-aware [[qdot]]: the native primitive loop when the graft
+    * expressions are registered (QuantSpec pins parity), the composed
+    * zip_with/aggregate fold otherwise.
+    */
+  def qdotFor(df: DataFrame)(a: Column, b: Column): Column =
+    if (TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(TextHashFunctions.QdotName, a, b)
+    else qdot(a, b)
 
   /** Top-k over the COMPRESSED store: score = scaleₐ·scale_b·(qₐ·q_b),
     * the dequantized dot product — integer-exact inside, two IEEE
@@ -304,8 +347,8 @@ object Similarity {
     quantized
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(col("scale") * col("q_scale") * qdot(col("qvec"), col("q_qvec")),
-          6).as("q_sim"))
+        round(col("scale") * col("q_scale") *
+          qdotFor(quantized)(col("qvec"), col("q_qvec")), 6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -691,8 +734,8 @@ object Similarity {
       else index.filter(col("cell").isin(probes: _*))
     filtered
       .select(col("vec_id"),
-        round(col("scale") * lit(qs) * qdot(col("qvec"), typedlit(qq.toVector)),
-          6).as("q_sim"))
+        round(col("scale") * lit(qs) *
+          qdotFor(index)(col("qvec"), typedlit(qq.toVector)), 6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("vec_id"))
       .limit(k)
   }

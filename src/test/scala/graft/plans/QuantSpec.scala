@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.similarity.Similarity
+
+/** Parity of the native quantization kernels (QuantExprs) against
+  * the composed higher-order-function forms they replace — fuzzed on
+  * adversarial vectors: negatives, exact rounding-boundary halves,
+  * NaN/±Inf degrade, empty arrays, null arrays, null elements, float
+  * and double element types.
+  */
+class QuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260814)
+
+  private def randVec(): Seq[Option[Float]] = {
+    val n = rnd.nextInt(12)
+    Seq.fill(n)(rnd.nextInt(20) match {
+      case 0 => None // null element
+      case 1 => Some(0.0f)
+      case _ => Some((rnd.nextFloat() - 0.5f) * rnd.nextInt(1000))
+    })
+  }
+
+  private val fuzz: Seq[Option[Seq[Option[Float]]]] =
+    Seq(
+      None,                                     // null vector
+      Some(Seq.empty),                          // empty
+      Some(Seq(Some(Float.NaN), Some(1.0f))),   // NaN degrade
+      Some(Seq(Some(Float.PositiveInfinity))),  // +Inf degrade
+      Some(Seq(Some(Float.NegativeInfinity))),  // -Inf degrade
+      Some(Seq(None, None)),                    // all-null elements
+      Some(Seq(Some(127.0f), Some(0.5f), Some(-0.5f), Some(1.5f))), // halves
+      Some(Seq(Some(-3.0f), Some(2.0f), None, Some(1.0f)))          // mixed
+    ) ++ Seq.fill(60)(Some(randVec()))
+
+  private lazy val df = fuzz.zipWithIndex
+    .map { case (v, i) => (i.toLong, v) }
+    .toDF("id", "v")
+    .select(col("id"), col("v").cast("array<float>").as("v"))
+
+  private def composedStats(vd: org.apache.spark.sql.Column) = {
+    val scale = Similarity.quantScale(vd)
+    val qvec = Similarity.quantizeVec(vd)
+    struct(scale.as("scale"),
+      aggregate(qvec, lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+      array_max(qvec).as("q_max"),
+      array_min(qvec).as("q_min"),
+      size(filter(qvec, x => x =!= 0)).as("n_nonzero"))
+  }
+
+  test("native quant stats ≡ composed, field by field") {
+    Seq(col("v"), col("v").cast("array<double>")).foreach { vcol =>
+      val rows = df.select(col("id"),
+        composedStats(vcol).as("c"),
+        call_function(TextHashFunctions.QuantStatsName, vcol).as("n"))
+        .select(col("id"), col("c.*"),
+          col("n.scale").as("n_scale"), col("n.q_l1").as("n_q_l1"),
+          col("n.q_max").as("n_q_max"), col("n.q_min").as("n_q_min"),
+          col("n.n_nonzero").as("n_n_nonzero"))
+        .collect()
+      rows.foreach { r =>
+        def cmp[T](a: Int, b: Int): Unit =
+          assert((if (r.isNullAt(a)) null else r.get(a)) ===
+            (if (r.isNullAt(b)) null else r.get(b)),
+            s"id=${r.getLong(0)} field $a vs $b: $r")
+        cmp(1, 6); cmp(2, 7); cmp(3, 8); cmp(4, 9); cmp(5, 10)
+      }
+    }
+  }
+
+  test("native quantize vec ≡ composed (scale + every entry)") {
+    val rows = df.select(col("id"),
+      Similarity.quantScale(col("v")).as("cs"),
+      Similarity.quantizeVec(col("v")).as("cq"),
+      call_function(TextHashFunctions.QuantizeVecName, col("v")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getStruct(3).getDouble(0),
+        s"scale id=${r.getLong(0)}")
+      val cq = if (r.isNullAt(2)) null else r.getSeq[Any](2)
+      val nq = if (r.getStruct(3).isNullAt(1)) null
+        else r.getStruct(3).getSeq[Any](1)
+      assert(cq === nq, s"qvec id=${r.getLong(0)}")
+    }
+  }
+
+  test("native qdot ≡ composed: values, null elements, length mismatch") {
+    val pairs = Seq(
+      (Seq(Some(1), Some(-2), Some(3)), Seq(Some(4), Some(5), Some(-6))),
+      (Seq(Some(127), Some(127)), Seq(Some(127), Some(127))),
+      (Seq(Some(1), None), Seq(Some(1), Some(1))),    // null element
+      (Seq(Some(1), Some(2)), Seq(Some(1))),          // length mismatch
+      (Seq.empty[Option[Int]], Seq.empty[Option[Int]]))
+      .zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+    val rows = pairs.select(col("id"),
+      Similarity.qdot(col("a"), col("b")).as("c"),
+      call_function(TextHashFunctions.QdotName, col("a"), col("b")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val c = if (r.isNullAt(1)) null else r.getLong(1)
+      val n = if (r.isNullAt(2)) null else r.getLong(2)
+      assert(c === n, s"id=${r.getInt(0)}")
+    }
+    // null ARRAY input → null on both paths
+    val nullRow = Seq((Option.empty[Seq[Int]], Option(Seq(1, 2))))
+      .toDF("a", "b")
+      .select(Similarity.qdot(col("a"), col("b")).as("c"),
+        call_function(TextHashFunctions.QdotName, col("a"), col("b")).as("n"))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
+  test("quantizeEmbeddings native path ≡ composed projection") {
+    val composed = df.select(col("id").as("vec_id"),
+      Similarity.quantScale(col("v")).as("scale"),
+      Similarity.quantizeVec(col("v")).as("qvec"))
+    val native = Similarity.quantizeEmbeddings(df, "id", "v")
+      .withColumnRenamed("id", "vec_id")
+    val c = composed.orderBy("vec_id").collect()
+    val n = native.orderBy("vec_id").collect()
+    assert(c.length === n.length)
+    c.zip(n).foreach { case (a, b) => assert(a === b) }
+  }
+}
