@@ -469,6 +469,30 @@ object SparkEntry {
     "q_communities_fast" -> ((s, d) =>
       graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
         "s", "t", rounds = 4)),
+    // Ingest-time community assignment: new nodes (one per order,
+    // +3e9 id offset) attach to the link graph and adopt the majority
+    // FROZEN label among their neighbors — one LPA round against the
+    // WRITTEN labels artifact (built once, never recomputed; the gram
+    // index / NB gate lifecycle). Ids ≡ 2 mod 5 link only to another
+    // NEW node, so their vote is empty and they open their own
+    // community (the LPA init convention) — the oracle replays both
+    // branches
+    "q_communities_probe" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        (col("o_orderkey") - col("o_orderkey") % 4).as("g"))
+      val attached = o.filter(col("k") % 5 =!= 2)
+      val lonely = o.filter(col("k") % 5 === 2)
+      val pedges = attached
+        .select((col("k") + 3000000000L).as("s"), col("g").as("t"))
+        .unionByName(attached.select((col("k") + 3000000000L).as("s"),
+          (col("g") + 1).as("t")))
+        .unionByName(lonely.select((col("k") + 3000000000L).as("s"),
+          (col("k") + 4000000000L).as("t")))
+      graft.graph.Communities.assignToCommunities(
+        o.select((col("k") + 3000000000L).as("node")), pedges, "s", "t",
+        graft.graph.Communities.readCommunityLabels(s,
+          builtCommunityLabels(s, d)))
+    }),
     // One-row partition-quality readout: exact integer-rational
     // modularity of the LPA partition (Newman-Girvan), the number a
     // curation owner reads before trusting community-level decisions
@@ -1666,6 +1690,16 @@ object SparkEntry {
       graft.quality.NbClassifier.writeNbModel(s, nbModelFor(s, d), p)
     }
 
+  /** Build-once WRITTEN LPA community labels of the link graph (same
+    * lifecycle) — the frozen partition the ingest probe serves from.
+    */
+  private def builtCommunityLabels(s: SparkSession, d: String): String =
+    builtIndexDir("graft_lpa", d) { p =>
+      graft.graph.Communities.writeCommunityLabels(
+        graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
+          "s", "t", rounds = 4), p)
+    }
+
   /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
     * keying, cell-partitioned quantized entries.
     */
@@ -2707,6 +2741,37 @@ object SparkEntry {
          SELECT size, count(*) AS n_communities FROM (
            SELECT community, count(*) AS size FROM fin GROUP BY 1)
          GROUP BY 1 ORDER BY size"""),
+    // ingest probe replay: ONE more LPA round for the new nodes,
+    // voting over the frozen 4-round partition; no-labeled-neighbor
+    // probes (ids ≡ 2 mod 5, linked only to another new node) fall
+    // back to their own id
+    "q_communities_probe" ->
+      (s"""WITH $linkGraphCtes,
+         ${lpaChainCtes(4)},
+         pk AS (SELECT o_orderkey AS k, o_orderkey - o_orderkey % 4 AS g
+                FROM orders),
+         pe0 AS (SELECT k + 3000000000 AS s, g AS t FROM pk
+                   WHERE k % 5 <> 2
+                 UNION ALL
+                 SELECT k + 3000000000, g + 1 FROM pk WHERE k % 5 <> 2
+                 UNION ALL
+                 SELECT k + 3000000000, k + 4000000000 FROM pk
+                   WHERE k % 5 = 2),
+         pu AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+                FROM pe0 WHERE s <> t),
+         psym AS (SELECT u, v FROM pu UNION ALL SELECT v, u FROM pu),
+         pn AS (SELECT DISTINCT k + 3000000000 AS node FROM pk),
+         votes AS (SELECT p.u AS node, f.community, count(*) AS c
+                   FROM psym p JOIN fin f ON p.v = f.node
+                   WHERE p.u IN (SELECT node FROM pn)
+                   GROUP BY 1, 2),
+         best AS (SELECT node, community,
+                    row_number() OVER (PARTITION BY node
+                      ORDER BY c DESC, community) AS rn
+                  FROM votes)
+         SELECT pn.node, coalesce(b.community, pn.node) AS community
+         FROM pn LEFT JOIN best b ON pn.node = b.node AND b.rn = 1
+         ORDER BY pn.node"""),
     // modularity as the exact integer rational sum(4*m*e_c - D_c^2)
     // / 4m^2 over the replayed partition; the double readout is the
     // house 4-decimal long division, +1-shifted so the numerator

@@ -195,6 +195,55 @@ object Communities {
       .orderBy(col("node"))
   }
 
+  /** Freeze a (node, community) partition as a parquet artifact —
+    * the LPA analog of the gram-index / NB-model lifecycle: train
+    * once, write, and let every later probe READ the frozen labels
+    * instead of recomputing the partition.
+    */
+  def writeCommunityLabels(labels: DataFrame, dir: String): Unit =
+    labels.select(col("node"), col("community"))
+      .write.mode("overwrite").parquet(dir)
+
+  def readCommunityLabels(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** Ingest-time community assignment — the frozen SERVING form of
+    * [[labelPropagation]] (every other model family here has one:
+    * DSIR, NB, LM, the memorization index). Each node of `nodes`
+    * adopts the most frequent FROZEN community label among its
+    * neighbors in `edges`, ties toward the smallest label — exactly
+    * one synchronous LPA round evaluated against the frozen partition
+    * (which is never recomputed). A node with no labeled neighbor
+    * (graph-absent, or linked only to other new nodes — new-new edges
+    * carry no frozen label and contribute nothing) starts its own
+    * community under the LPA init convention: community = own id.
+    *
+    * Scale shape: one canonical-edge build over the PROBE batch's
+    * edges (not the corpus graph), a semi-join down to the probe
+    * nodes, one join against the frozen labels on the neighbor key,
+    * two bounded aggregations — O(probe edges) exchange, the frozen
+    * labels side joins by key and is never scanned per round.
+    */
+  def assignToCommunities(nodes: DataFrame, edges: DataFrame,
+      srcCol: String, dstCol: String, frozenLabels: DataFrame): DataFrame = {
+    val und = canonicalUnd(edges, srcCol, dstCol)
+    val sym = und.unionByName(
+      und.select(col("v").as("u"), col("u").as("v")))
+    val probe = nodes.select(col("node")).distinct()
+    val votes = sym
+      .join(probe.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(frozenLabels.select(col("node").as("v"), col("community").as("l")),
+        Seq("v"))
+      .groupBy(col("u"), col("l")).agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
+      .select(col("u").as("node"), (-col("m.nl")).as("community"))
+    probe.join(votes, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("community"), col("node")).as("community"))
+      .orderBy(col("node"))
+  }
+
   /** Community-size histogram of a partition: (size, n_communities)
     * — the first structural readout of a clustering (is it one blob,
     * all singletons, or a real distribution?). Output is at most

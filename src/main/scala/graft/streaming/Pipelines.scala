@@ -847,6 +847,87 @@ object Pipelines {
     q
   }
 
+  /** The idempotent batch core of the streaming COMMUNITY-ASSIGNMENT
+    * sink: derive the batch's link edges (`edgesOf` must return
+    * (s, t) Long pairs — the caller owns how documents link), run
+    * the one-round frozen-label probe
+    * ([[graft.graph.Communities.assignToCommunities]] — the
+    * partition itself is never recomputed), carry the community on
+    * every row (NULL-doc_id rows pass with a null community, the
+    * every-row-passes gate convention), overwrite the batch's own
+    * partition.
+    */
+  def processCommunityAssignBatch(batch: DataFrame, labels: DataFrame,
+      edgesOf: DataFrame => DataFrame, outDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned = graft.graph.Communities.assignToCommunities(
+      batch.select(col("doc_id").as("node")), edgesOf(batch), "s", "t",
+      labels)
+      .select(col("node").as("doc_id"), col("community"))
+    val out = batch.join(assigned, Seq("doc_id"), "left")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    try {
+      if (!out.isEmpty || fs.exists(outPath))
+        out.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally freeLocalCheckpoint(out)
+  }
+
+  /** Streaming ingest-time community assignment: the frozen LPA
+    * labels artifact is read ONCE per stream and persisted (a
+    * corpus-scale (node, community) table — the probe joins it per
+    * micro-batch on the neighbor key), then each batch's documents
+    * adopt the majority frozen label among their link-graph
+    * neighbors. The written-model serving lifecycle of
+    * [[nbGateSink]]/[[memorizationGateSink]] applied to the LPA
+    * partition — the one model family that had no ingest-time
+    * serving form until now.
+    */
+  def communityAssignSink(docs: DataFrame, labelsDir: String,
+      edgesOf: DataFrame => DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val labels = graft.graph.Communities
+      .readCommunityLabels(spark, labelsDir)
+      .persist()
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCommunityAssignBatch(batch, labels, edgesOf, outDir, batchId)
+      }
+      .start()
+    // the cached labels table must not outlive its stream (the
+    // memorizationGateSink lifecycle; isActive re-check closes the
+    // died-before-listener window)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          labels.unpersist(false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      labels.unpersist(false)
+      spark.streams.removeListener(listener)
+    }
+    q
+  }
+
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
     * corpus at `outDir`, exactly-once via checkpoint + the idempotent
     * batch core above.

@@ -123,6 +123,29 @@ class CommunitiesSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("assignToCommunities: majority vote, smallest-label ties, " +
+      "own-id fallback, edge noise collapses") {
+    val frozen = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "community")
+    // 100: two labeled nbrs in c1, one in c10 → majority 1
+    // 101: one nbr in c1, one in c10 → tie → smallest (1)
+    // 102: only an unlabeled nbr (999) → own id
+    // 103: no edges at all → own id
+    // noise: duplicate, reversed-duplicate, self-loop, null endpoints
+    val edges = Seq(
+      (100L, 1L), (100L, 2L), (100L, 10L),
+      (101L, 3L), (101L, 11L),
+      (102L, 999L),
+      (1L, 100L), (100L, 1L), (100L, 100L))
+      .toDF("s", "t")
+      .unionByName(Seq((Option.empty[Long], Option(1L)))
+        .toDF("s", "t"))
+    val nodes = Seq(100L, 101L, 102L, 103L).toDF("node")
+    val got = Communities.assignToCommunities(nodes, edges, "s", "t", frozen)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(100L -> 1L, 101L -> 1L, 102L -> 102L, 103L -> 103L))
+  }
+
   test("modularity survives an empty graph with a NULL readout") {
     val es = Seq.empty[(Long, Long)]
     val labels = Seq.empty[(Long, Long)].toDF("node", "community")

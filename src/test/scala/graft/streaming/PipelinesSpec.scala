@@ -681,6 +681,54 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === wantKept.size.toLong)
   }
 
+  test("streaming community assignment ≡ batch probe; replay-idempotent; " +
+      "graph-absent docs carry their own id") {
+    import graft.graph.Communities
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lpaprobe").toString
+    // frozen world: triangle {1,2,3} → community 1; the pair {10,11}
+    // 2-CYCLES under synchronous LPA (the bipartite oscillation —
+    // exactly why rounds are fixed) and lands as two singleton
+    // communities after 4 rounds
+    val world = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).toDF("s", "t")
+    Communities.writeCommunityLabels(
+      Communities.labelPropagation(world, "s", "t", rounds = 4),
+      s"$tmp/labels")
+    // new docs link to (doc_id % 20): 21,22,23 → community 1;
+    // 30 → node 10's community, 31 → node 11's; 45 links to 5
+    // (unlabeled) → own id
+    val pool = Seq(
+      (21L, "a"), (22L, "b"), (23L, "c"), (30L, "x"), (31L, "y"),
+      (45L, "z"))
+      .toDF("doc_id", "text")
+    def edgesOf(b: org.apache.spark.sql.DataFrame) =
+      b.select(col("doc_id").as("s"), (col("doc_id") % 20).as("t"))
+    val labels = Communities.readCommunityLabels(spark, s"$tmp/labels")
+    val want = Communities.assignToCommunities(
+      pool.select(col("doc_id").as("node")), edgesOf(pool), "s", "t", labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want === Map(21L -> 1L, 22L -> 1L, 23L -> 1L,
+      30L -> 10L, 31L -> 11L, 45L -> 45L))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.communityAssignSink(mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/labels", edgesOf, s"$tmp/out", s"$tmp/ckpt")
+    val rows = pool.as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(3)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+
+    def assigned() = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "community").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned() === want)
+    // crash-replay of batch 0 rewrites only its own partition
+    Pipelines.processCommunityAssignBatch(b1.toDF("doc_id", "text"),
+      labels, edgesOf, s"$tmp/out", 0L)
+    assert(assigned() === want)
+    assert(spark.read.parquet(s"$tmp/out").count() === 6L)
+  }
+
   test("streaming NB quality gate ≡ batch nbGate; replay-idempotent") {
     import graft.quality.NbClassifier
     implicit val sqlCtx = spark.sqlContext
