@@ -1073,14 +1073,12 @@ object SparkEntry {
     // survivors further gated by the NB quality classifier (MAP
     // rule), carrying the decision score — quality RULES first, the
     // LEARNED gate second, both stages unchanged
-    "q_curation_classified" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+    "q_curation_classified" -> ((s, d) => sharedCorpus(s, d) {
+      (corpus, bench) =>
       // model train (one bounded aggregation) overlaps the capstone
       // scan on a second thread — the q_curation_ranked shape
       val modelF = concurrentBranch { nbModelFor(s, d) }
-      val curated = graft.curation.Curation.curate(corpus,
-        docs.filter(col("doc_id") % 101 === 7))
+      val curated = graft.curation.Curation.curate(corpus, bench)
       val m = scala.concurrent.Await.result(modelF,
         scala.concurrent.duration.Duration.Inf)
       val kept = corpus.join(curated.select("doc_id"), Seq("doc_id"),
@@ -1090,9 +1088,8 @@ object SparkEntry {
         .select(col("doc_id"), col("nb_score"))
       curated.join(scored, Seq("doc_id")).orderBy(col("doc_id"))
     }),
-    "q_curation_ranked" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+    "q_curation_ranked" -> ((s, d) => sharedCorpus(s, d) {
+      (corpus, bench) =>
       val e = corpus.select(col("doc_id").as("src"),
           (col("doc_id") - col("doc_id") % 4).as("dst"))
         .unionByName(corpus.select(
@@ -1110,8 +1107,7 @@ object SparkEntry {
       val rankF = concurrentBranch {
         graft.graph.PageRank.pageRank(e, "src", "dst")
       }
-      val curated = graft.curation.Curation.curate(corpus,
-        docs.filter(col("doc_id") % 101 === 7))
+      val curated = graft.curation.Curation.curate(corpus, bench)
       val ranks = scala.concurrent.Await.result(rankF,
         scala.concurrent.duration.Duration.Inf)
       graft.curation.Curation.dropBottomRanked(curated, ranks, "doc_id")
@@ -1126,22 +1122,21 @@ object SparkEntry {
     // exact per-round DuckDB replay (the q_kcore lifecycle)
     "q_curation_kcore" -> ((s, d) => {
       lastOracleDir = d
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
-      val e = docKcoreEdges(corpus)
-      // peel and capstone are independent until the final anti-join —
-      // overlap them (the q_curation_ranked shape)
-      val coreF = concurrentBranch {
-        graft.graph.KCore.kCore(e, "s", "t", 2)
+      sharedCorpus(s, d) { (corpus, bench) =>
+        val e = docKcoreEdges(corpus)
+        // peel and capstone are independent until the final anti-join —
+        // overlap them (the q_curation_ranked shape)
+        val coreF = concurrentBranch {
+          graft.graph.KCore.kCore(e, "s", "t", 2)
+        }
+        val curated = graft.curation.Curation.curate(corpus, bench)
+        val core = scala.concurrent.Await.result(coreF,
+          scala.concurrent.duration.Duration.Inf)
+        curationKcoreRounds.put(d, Integer.valueOf(core.rounds))
+        graft.curation.Curation.dropOutsideCore(curated, e, "s", "t",
+            "doc_id", core)
+          .orderBy(col("doc_id"))
       }
-      val curated = graft.curation.Curation.curate(corpus,
-        docs.filter(col("doc_id") % 101 === 7))
-      val core = scala.concurrent.Await.result(coreF,
-        scala.concurrent.duration.Duration.Inf)
-      curationKcoreRounds.put(d, Integer.valueOf(core.rounds))
-      graft.curation.Curation.dropOutsideCore(curated, e, "s", "t",
-          "doc_id", core)
-        .orderBy(col("doc_id"))
     }),
     // Diversity cap composition: within each LPA community of the
     // doc link graph, keep the 2 lowest-id curation survivors —
@@ -1149,15 +1144,13 @@ object SparkEntry {
     // docs untouched. LPA runs its in-task fast path concurrently
     // with the capstone (the q_curation_kcore overlap shape); the
     // fixed 4-round recurrence makes the oracle fully static
-    "q_curation_communities" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+    "q_curation_communities" -> ((s, d) => sharedCorpus(s, d) {
+      (corpus, bench) =>
       val e = docKcoreEdges(corpus)
       val labelsF = concurrentBranch {
         graft.graph.Communities.labelPropagation(e, "s", "t", rounds = 4)
       }
-      val curated = graft.curation.Curation.curate(corpus,
-        docs.filter(col("doc_id") % 101 === 7))
+      val curated = graft.curation.Curation.curate(corpus, bench)
       val labels = scala.concurrent.Await.result(labelsF,
         scala.concurrent.duration.Duration.Inf)
       graft.curation.Curation.capPerCommunity(curated, labels, "doc_id", 2)
@@ -2187,6 +2180,28 @@ object SparkEntry {
     * edge derives from ONE document row, so the DuckDB replay states
     * the identical derivation over corp0.
     */
+  /** One PERSISTED capstone corpus per composition query: the
+    * curation compositions read the corpus from several independent
+    * branches (the capstone's two full-text passes, the link-graph
+    * edge build, the classifier scoring pass), each of which would
+    * otherwise re-scan documents.parquet — the dominant cost at 10×
+    * corpus (round-9 verdict #6: q_curation_kcore 8.3 s,
+    * q_curation_classified 9.9 s). The cache releases after the
+    * query's first action (Managed.autoReleased — Bench/Verify run
+    * exactly one); narrowed to the three columns every consumer
+    * shares so the cached batches stay minimal and the columnar IMR
+    * scan prunes further for doc_id-only branches.
+    */
+  private def sharedCorpus(s: SparkSession, d: String)(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 101 =!= 7)
+      .select(col("doc_id"), col("source"), col("text"))
+      .persist()
+    val bench = docs.filter(col("doc_id") % 101 === 7)
+    new graft.Managed(build(corpus, bench), Seq(corpus)).autoReleased()
+  }
+
   private def docKcoreEdges(corpus: DataFrame): DataFrame = {
     val id = col("doc_id")
     corpus.filter(id % 8 <= 3)
