@@ -911,8 +911,15 @@ object TextAnalysis {
     */
   def bpeMerges(documents: DataFrame, nMerges: Int = 8,
       textCol: String = "text"): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64,
-      s"nMerges must be in [1, 64]: $nMerges")
+    // full-merge-count training is supported (real tokenizers ship
+    // 32k+ merges; tools.ProfileBpe records the per-round cost —
+    // ~0.1 s/rank at sf0.1, flat across ranks): the per-rank price is
+    // one vocabulary-sized aggregation + a 1-row collect, NOT a
+    // corpus pass, so rank count multiplies the small side only. The
+    // 64-bound lives on in bpeEncode's literal-replace chain — serve
+    // larger tables through the vocab-join path (bpeEncodeWithVocab).
+    require(nMerges >= 1 && nMerges <= 100000,
+      s"nMerges must be in [1, 100000]: $nMerges")
     val spark = documents.sparkSession
     val wordCounts = documents
       .select(explode(words(col(textCol))).as("word"))
@@ -920,12 +927,16 @@ object TextAnalysis {
         !col("word").contains("<") && !col("word").contains(">") &&
         !col("word").contains("_"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    // eager localCheckpoint per round (not persist): at full merge
+    // counts the round recurrence would otherwise grow the LOGICAL
+    // plan by one replace per rank (512 ranks → a 512-deep analysis
+    // chain); the checkpoint keeps every round's plan flat — the
+    // graph-loop lineage convention
     var vocab = wordCounts.select(
         concat(lit("<"), array_join(split(col("word"), ""), "><"),
           lit("><_>")).as("s"),
         col("wc"))
-      .persist()
-    vocab.count()
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -949,14 +960,13 @@ object TextAnalysis {
         val next = vocab
           .select(replace(col("s"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("s"),
             col("wc"))
-          .persist()
-        next.count()
-        vocab.unpersist(false)
+          .localCheckpoint(true)
+        graft.Frames.freeLocalCheckpoint(vocab)
         vocab = next
         rank += 1
       }
     }
-    vocab.unpersist(false)
+    graft.Frames.freeLocalCheckpoint(vocab)
     import spark.implicits._
     merges.toSeq.toDF("rank", "sym_a", "sym_b", "freq")
   }
@@ -1033,19 +1043,34 @@ object TextAnalysis {
     * collectLmLiteral / PQ-codebook serving contract: past `maxVocab`
     * distinct words a driver-side table stops being a serving
     * artifact, and training belongs to the distributed [[bpeMerges]].
+    *
+    * `minCount` is the standard frequency-floor escape hatch for
+    * noisy 100 TB-scale vocabularies (SentencePiece/HF tokenizers
+    * prune rare words the same way): words below the floor are
+    * dropped BEFORE the maxVocab check. LOUD CONTRACT: pruning
+    * changes the learned merges versus full-vocabulary training —
+    * pruned words contribute no pair counts — so a floor is a
+    * deliberate modeling choice, not a transparent optimization;
+    * callers record it next to the merge table (BpeSpec pins that a
+    * floor-pruned local train equals the distributed train over the
+    * floor-filtered corpus table).
     */
   def collectWordCounts(documents: DataFrame, textCol: String = "text",
-      maxVocab: Long = 2000000L): Seq[(String, Long)] = {
+      maxVocab: Long = 2000000L, minCount: Long = 1L): Seq[(String, Long)] = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val wc = documents
       .select(explode(words(col(textCol))).as("word"))
       .filter(bpeLegalWord(col("word")))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
       .persist()
     try {
       val n = wc.count()
       require(n <= maxVocab,
-        s"corpus has $n distinct words > maxVocab=$maxVocab: a vocabulary " +
-          "this large stops being a driver-side artifact — train with the " +
+        s"corpus has $n distinct words > maxVocab=$maxVocab" +
+          (if (minCount > 1) s" at minCount=$minCount" else "") +
+          ": a vocabulary this large stops being a driver-side artifact — " +
+          "raise the minCount frequency floor or train with the " +
           "distributed bpeMerges instead")
       wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     } finally wc.unpersist(false)

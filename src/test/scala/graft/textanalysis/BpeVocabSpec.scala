@@ -33,6 +33,40 @@ class BpeVocabSpec extends SparkSpec {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("minCount frequency floor: prunes the table, bounds the " +
+      "budget, and trains ≡ the floor-filtered corpus table") {
+    // data-derived floor: the max word count — guaranteed to prune
+    // (and keep) something as long as counts aren't all equal
+    val floor = wordCounts.map(_._2).max
+    assert(wordCounts.map(_._2).min < floor,
+      "fixture corpus needs unequal word counts for this test")
+    val pruned = TextAnalysis.collectWordCounts(docs, minCount = floor)
+    val wantPruned = wordCounts.filter(_._2 >= floor)
+    assert(pruned.toMap === wantPruned.toMap)
+    assert(pruned.nonEmpty && pruned.size < wordCounts.size)
+    // the floor can rescue an otherwise over-budget vocabulary
+    TextAnalysis.collectWordCounts(docs,
+      maxVocab = pruned.size.toLong, minCount = floor)
+    // LOUD CONTRACT: floor-pruned training is training on the pruned
+    // TABLE — identical merges to any learner fed that table
+    assert(TextAnalysis.bpeMergesLocal(pruned, 8) ===
+      TextAnalysis.bpeMergesLocal(wantPruned, 8))
+    // minCount = 1 is the identity
+    assert(TextAnalysis.collectWordCounts(docs, minCount = 1L).toMap ===
+      wordCounts.toMap)
+  }
+
+  test("distributed bpeMerges runs past the 64-rank literal bound " +
+      "and matches the local learner rank-for-rank") {
+    val local = TextAnalysis.bpeMergesLocal(wordCounts, 96)
+    assert(local.size > 64, s"only ${local.size} merges learnable")
+    val dist = TextAnalysis.bpeMerges(docs, 96)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(dist === local)
+  }
+
   test("the corpus learns past the 64-merge literal cap") {
     val full = TextAnalysis.bpeMergesLocal(wordCounts, 256)
     assert(full.size > 64, s"only ${full.size} merges learnable")
