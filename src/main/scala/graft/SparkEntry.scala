@@ -1162,7 +1162,8 @@ object SparkEntry {
     "q_curation_report" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.curation.Curation.curationReport(
-        docs.filter(col("doc_id") % 101 =!= 7),
+        docs.filter(col("doc_id") % 101 =!= 7)
+          .select(col("doc_id"), col("source"), col("text")),
         docs.filter(col("doc_id") % 101 === 7))
         .orderBy(col("source"))
     }),

@@ -78,7 +78,7 @@ object Curation {
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val (out, obs, tokens) = curateInternal(documents, benchmark,
       nllThreshold, contaminationThreshold)
-    releaseOnFirstAction(out, obs, tokens)
+    releaseOnFirstAction(out, obs, Seq(tokens))
     (out, obs)
   }
 
@@ -92,13 +92,14 @@ object Curation {
     * (the ExecutionListenerBus invokes it off the action thread).
     */
   private def releaseOnFirstAction(out: DataFrame,
-      obs: org.apache.spark.sql.Observation, tokens: DataFrame): Unit = {
+      obs: org.apache.spark.sql.Observation,
+      cached: Seq[DataFrame]): Unit = {
     val spark = out.sparkSession
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def maybeRelease(
           qe: org.apache.spark.sql.execution.QueryExecution): Unit =
         if (qe.observedMetrics.contains(obs.name)) {
-          tokens.unpersist(false)
+          cached.foreach(_.unpersist(false))
           spark.listenerManager.unregister(this)
         }
       override def onSuccess(funcName: String,
@@ -146,15 +147,25 @@ object Curation {
     val (flagged, tokens) = flaggedInternal(documents, benchmark,
       nllThreshold, contaminationThreshold)
     val passes = !col("repetitive") && !col("contaminated") && !col("unusual")
-    val gates = flagged.groupBy(col("source")).agg(
+    // the gate rollup and the kept-count read the SAME flagged frame
+    // with different aggregation keys — evaluate it once into a
+    // narrow persisted projection (16-byte digest, never the text;
+    // the honest-mode bench measured the double evaluation at +2.9 s
+    // over count-mode at sf0.1) instead of running the corpus scan +
+    // gate-metric join tree once per branch
+    val slim = flagged.select(col("doc_id"), col("source"),
+        Dedup.rowDigest(Seq("text")).as("__dk"),
+        col("repetitive"), col("contaminated"), col("unusual"))
+      .persist()
+    val gates = slim.groupBy(col("source")).agg(
       count(lit(1)).as("docs_in"),
       count(when(col("repetitive"), 1)).as("n_repetitive"),
       count(when(col("contaminated"), 1)).as("n_contaminated"),
       count(when(col("unusual"), 1)).as("n_unusual"),
       count(when(passes, 1)).as("n_passed"))
-    val survivors = flagged
+    val survivors = slim
       .filter(passes)
-      .groupBy(Dedup.rowDigest(Seq("text")).as("__dk"))
+      .groupBy(col("__dk"))
       .agg(min(struct(col("doc_id"), col("source"))).as("__w"))
       .groupBy(col("__w.source").as("source"))
       .agg(count(lit(1)).as("n_kept"))
@@ -162,7 +173,7 @@ object Curation {
     val out = gates.join(survivors, Seq("source"), "left")
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .observe(obs, count(lit(1)).as("sources_out"))
-    releaseOnFirstAction(out, obs, tokens)
+    releaseOnFirstAction(out, obs, Seq(tokens, slim))
     out
   }
 

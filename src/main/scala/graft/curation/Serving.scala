@@ -155,7 +155,7 @@ object Serving {
         TextAnalysis.repetitiveFlag(ws).as("repetitive"),
         contaminationLocalWords(benchGrams)(ws).as("contamination"),
         lmNllLocal(lm)(ws).as("lm_nll"),
-        TextAnalysis.entropyNats(ws).as("entropy"),
+        TextAnalysis.entropyNatsFor(docs)(ws).as("entropy"),
         size(ws).cast("long").as("__nw"))
       .select(col("doc_id"), col("source"), col("text"),
         col("repetitive"),

@@ -270,7 +270,16 @@ object GraftFunctions {
       arity(TextHashFunctions.QuantizeVecName, 1)(e => QuantizeVec(e(0)))),
     (TextHashFunctions.QdotName,
       "exact integer dot product of two array<int>",
-      arity(TextHashFunctions.QdotName, 2)(e => QdotLong(e(0), e(1)))))
+      arity(TextHashFunctions.QdotName, 2)(e => QdotLong(e(0), e(1)))),
+    (TextHashFunctions.TokenEntropy6Name,
+      "micro-nat token-entropy sum of array<string> in one pass",
+      arity(TextHashFunctions.TokenEntropy6Name, 1)(e =>
+        TokenEntropy6(e(0)))),
+    (TextHashFunctions.BpeEncodeName,
+      "BPE-tokenize a word array: (words, merge-table literal) -> " +
+        "array<string>",
+      arity(TextHashFunctions.BpeEncodeName, 2)(e =>
+        BpeEncodeWords(e(0), e(1)))))
 
   /** Register graft's native expressions in a session (idempotent).
     * Callers (Verify/Bench/tests) invoke this once; library code

@@ -225,6 +225,177 @@ case class QuantizeVec(child: Expression) extends QuantVecInput {
     copy(child = c)
 }
 
+/** Micro-nat token-entropy sum — the native form of the composed
+  * [[graft.textanalysis.TextAnalysis.entropyNats]] fold: sort the
+  * token array (Spark array_sort ordering — binary string compare,
+  * nulls last), then per run of equal tokens accumulate
+  * `run · round(ln(n/run)·10⁶)` as an exact long. The composed form
+  * is a higher-order `aggregate` over `array_sort` with a 3-field
+  * struct state re-built per element, interpreted — the round-10
+  * honest bench measured q_token_entropy at 33× its count-mode time
+  * on exactly this projection. The ÷(n·10⁶) + round(4) readout stays
+  * composed on top, so every downstream contract (empty-array NaN,
+  * ANSI) is inherited unchanged. EntropySpec pins bit parity.
+  */
+object TokenEntropyUtil {
+  private def term(run: Long, n: Long): Long =
+    run * java.math.BigDecimal.valueOf(Math.log(n.toDouble / run) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def entropy6(v: ArrayData): Long = {
+    val n = v.numElements()
+    if (n == 0) return 0L
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var nulls = 0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) nulls += 1
+      else arr(i - nulls) = v.getUTF8String(i)
+      i += 1
+    }
+    val m = n - nulls
+    java.util.Arrays.sort(arr, 0, m,
+      (a: org.apache.spark.unsafe.types.UTF8String,
+       b: org.apache.spark.unsafe.types.UTF8String) => a.compareTo(b))
+    var acc = 0L
+    var run = 0L
+    i = 0
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    while (i < m) {
+      val w = arr(i)
+      if (i > 0 && prev.equals(w)) run += 1
+      else { if (run > 0) acc += term(run, n); run = 1 }
+      prev = w
+      i += 1
+    }
+    if (run > 0) acc += term(run, n)
+    // the trailing null run (array_sort puts nulls last; the composed
+    // fold's null-safe <=> groups them into one run)
+    if (nulls > 0) acc += term(nulls.toLong, n)
+    acc
+  }
+}
+
+case class TokenEntropy6(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TokenEntropyUtil.entropy6(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TokenEntropyUtil.entropy6($c);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Native BPE tokenization of a word array against a bounded merge
+  * table — the fused form of
+  * [[graft.textanalysis.TextAnalysis.bpeEncode]]'s per-word
+  * bracket-encode → literal-replace chain → strip pipeline, which
+  * runs INSIDE a `transform` lambda and is therefore interpreted per
+  * word (the round-10 honest bench measured q_bpe_encode at 2.9× its
+  * count-mode cost on exactly that projection). One primitive pass:
+  * per word, split to characters + the end-of-word marker, apply
+  * each merge in rank order as a greedy leftmost non-overlapping
+  * scan (applyMergeLocal — the same recurrence the literal replace
+  * on the bracket encoding computes; BpeVocabSpec pins that
+  * equivalence), emit the symbol stream. BpeSpec in QuantSpec pins
+  * output parity word-for-word against the composed chain.
+  */
+object BpeEncodeUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def encode(ws: ArrayData, as: Array[String],
+      bs: Array[String]): ArrayData = {
+    val nw = ws.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nw * 2)
+    var i = 0
+    while (i < nw) {
+      if (ws.isNullAt(i)) {
+        // the composed transform maps a null word to a null token
+        // entry (concat of null → null)
+        out += null
+      } else {
+        val w = ws.getUTF8String(i).toString
+        // Java split("") = between code points, surrogate pairs kept
+        // — identical to Spark's split(w, "")
+        var syms: Array[String] = (w.split("") :+ "_")
+        var m = 0
+        while (m < as.length) {
+          val a = as(m); val b = bs(m)
+          // greedy leftmost non-overlapping merge pass
+          var j = 0
+          var changed = false
+          val nb = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              nb += (a + b); j += 2; changed = true
+            } else { nb += syms(j); j += 1 }
+          }
+          if (changed) syms = nb.toArray
+          m += 1
+        }
+        var k = 0
+        while (k < syms.length) {
+          out += UTF8String.fromString(syms(k)); k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+case class BpeEncodeWords(words: Expression, merges: Expression)
+    extends BinaryExpression {
+  override def left: Expression = words
+  override def right: Expression = merges
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (words.dataType != ArrayType(StringType) &&
+        words.dataType != ArrayType(StringType, containsNull = false))
+      TypeCheckResult.TypeCheckFailure(
+        s"words must be array<string>, got ${words.dataType.sql}")
+    else if (merges.dataType != ArrayType(StringType) &&
+        merges.dataType != ArrayType(StringType, containsNull = false))
+      TypeCheckResult.TypeCheckFailure(
+        s"merges must be array<string>, got ${merges.dataType.sql}")
+    else if (!merges.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "merges must be a foldable literal (the frozen merge table, " +
+          "alternating [a1, b1, a2, b2, ...])")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val table: (Array[String], Array[String]) = {
+    val ad = merges.eval(null).asInstanceOf[ArrayData]
+    require(ad != null && ad.numElements() % 2 == 0,
+      "merge literal must alternate [a1, b1, a2, b2, ...]")
+    val n = ad.numElements() / 2
+    (Array.tabulate(n)(i => ad.getUTF8String(2 * i).toString),
+      Array.tabulate(n)(i => ad.getUTF8String(2 * i + 1).toString))
+  }
+
+  override def nullSafeEval(w: Any, m: Any): Any =
+    BpeEncodeUtil.encode(w.asInstanceOf[ArrayData], table._1, table._2)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeA", table._1, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("bpeB", table._2, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, (w, _) =>
+      s"${ev.value} = graft.plans.BpeEncodeUtil.encode($w, $aRef, $bRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(words = l, merges = r)
+}
+
 /** Exact integer dot product of two array<int> quantized vectors. */
 case class QdotLong(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -534,6 +534,8 @@ object TextHashFunctions {
   val QuantStatsName = "graft_quant_stats"
   val QuantizeVecName = "graft_quantize_vec"
   val QdotName = "graft_qdot"
+  val TokenEntropy6Name = "graft_token_entropy6"
+  val BpeEncodeName = "graft_bpe_encode"
 
   private[plans] def intLitValue(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v

@@ -342,6 +342,22 @@ object TextAnalysis {
     round(ent6 / (n * lit(1e6)), 4)
   }
 
+  /** Session-aware [[entropyNats]]: the native one-pass micro-nat
+    * fold (graft.plans.TokenEntropy6 — the composed aggregate is an
+    * interpreted per-element struct rebuild over array_sort; the
+    * round-10 honest bench measured q_token_entropy 33× its
+    * count-mode time on exactly that projection) when the session
+    * carries the graft expressions, composed otherwise. The ÷(n·10⁶)
+    * + round(4) readout is shared, so empty-array and ANSI behavior
+    * cannot drift. EntropySpec pins bit parity.
+    */
+  def entropyNatsFor(df: DataFrame)(ws: Column): Column =
+    if (graft.plans.TextHashFunctions.isRegistered(df.sparkSession)) {
+      val n = size(ws).cast("long")
+      round(call_function(graft.plans.TextHashFunctions.TokenEntropy6Name,
+        ws) / (n * lit(1e6)), 4)
+    } else entropyNats(ws)
+
   def tokenEntropy(documents: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", threshold: Double = 2.0,
       minWords: Int = 20): DataFrame = {
@@ -350,7 +366,7 @@ object TextAnalysis {
       .select(col(idCol),
         size(ws).cast("long").as("n_words"),
         size(array_distinct(ws)).cast("long").as("n_types"),
-        entropyNats(ws).as("entropy"))
+        entropyNatsFor(documents)(ws).as("entropy"))
       .withColumn("low_entropy",
         col("n_words") >= minWords && col("entropy") < threshold)
       .orderBy(col(idCol))
@@ -1012,13 +1028,24 @@ object TextAnalysis {
       val t = replace(applyMerges(encoded(w)), lit("><"), lit(" "))
       t.substr(lit(2), length(t) - 2)
     }
+    // native one-pass tokenization when the session carries the graft
+    // expressions: the composed form runs the whole replace chain
+    // INSIDE a transform lambda — interpreted per word (round-10
+    // honest bench: 2.9× count-mode on exactly this projection).
+    // QuantSpec pins word-for-word parity; null/empty contracts ride
+    // the shared outer shape below either way.
+    def tokenStream(ws: Column): Column =
+      if (graft.plans.TextHashFunctions.isRegistered(documents.sparkSession))
+        array_join(call_function(graft.plans.TextHashFunctions.BpeEncodeName,
+          ws, typedlit(merges.flatMap(m => Seq(m._1, m._2)).toVector)), " ")
+      else array_join(transform(ws, w => tokensOf(w)), " ")
     documents
       .select(col(idCol).as("doc_id"),
         filter(words(col(textCol)), w =>
           w =!= "" && !w.contains("<") && !w.contains(">") &&
             !w.contains("_")).as("__ws"))
       .select(col("doc_id"),
-        array_join(transform(col("__ws"), w => tokensOf(w)), " ").as("tokens"))
+        tokenStream(col("__ws")).as("tokens"))
       .select(col("doc_id"),
         when(col("tokens") === "", lit(0L))
           .otherwise(size(split(col("tokens"), " ", -1)).cast("long"))

@@ -114,6 +114,95 @@ class QuantSpec extends SparkSpec {
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
 
+  test("native token entropy ≡ composed fold bitwise, corpus + edges") {
+    import graft.textanalysis.TextAnalysis
+    import graft.functions.TextFunctions.words
+    val docs = graft.Tables.documents(spark, sfDir).limit(60)
+      .select(words(col("text")).as("ws"))
+      // adversarial: single token, all-same, null elements,
+      // interleaved runs, unicode ordering (the n = 0 empty array is
+      // pinned separately below — the SHARED readout division throws
+      // under ANSI on both paths)
+      .unionByName(Seq(
+        Seq("only"),
+        Seq("x", "x", "x", "x"),
+        Seq("b", "a", "b", "a", "b"),
+        Seq("é", "e", "z", "é"),
+        Seq("", "", "a")).toDF("ws"))
+      .unionByName(Seq(
+        (Seq(Option("a"), None, Option("a"), None)),
+        (Seq(Option.empty[String])))
+        .toDF("ws"))
+    val rows = docs.select(
+      TextAnalysis.entropyNats(col("ws")).as("c"),
+      TextAnalysis.entropyNatsFor(docs)(col("ws")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val c = if (r.isNullAt(0)) null else r.get(0)
+      val n = if (r.isNullAt(1)) null else r.get(1)
+      assert((c == null && n == null) ||
+        (c != null && n != null &&
+          (c.asInstanceOf[Double].isNaN && n.asInstanceOf[Double].isNaN ||
+           c == n)), s"composed=$c native=$n")
+    }
+    // n = 0: the shared ÷(n·10⁶) readout throws ANSI divide-by-zero
+    // on BOTH paths — same contract, pinned
+    val empty = Seq(Seq[String]()).toDF("ws")
+    Seq(TextAnalysis.entropyNats(col("ws")),
+        TextAnalysis.entropyNatsFor(empty)(col("ws"))).foreach { e =>
+      val thrown = intercept[Exception] { empty.select(e).collect() }
+      assert(thrown.getMessage.contains("DIVIDE_BY_ZERO"),
+        thrown.getMessage.take(120))
+    }
+  }
+
+  test("native BPE encode ≡ composed replace chain, corpus + edges") {
+    import graft.textanalysis.TextAnalysis
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(40)
+      .unionByName(Seq(
+        (9001L, ""),                      // empty text
+        (9002L, "a"),                     // single char
+        (9003L, "aaaa aaa aa"),           // run-heavy (overlap rules)
+        (9004L, "x<y z>w u_v"),           // all words illegal → ""
+        (9005L, "ééé abc ééé"))           // unicode
+        .toDF("doc_id", "text"))
+    val merges = TextAnalysis.bpeMerges(docs, 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // composed reference: a registration-free session would take the
+    // transform path — emulate it by calling the private chain via a
+    // session WITHOUT the native function. Simpler: compare against
+    // the bracket-encode/replace pipeline inlined here.
+    import org.apache.spark.sql.Column
+    def encoded(w: Column): Column =
+      concat(lit("<"), array_join(split(w, ""), "><"), lit("><_>"))
+    def applyMerges(s: Column): Column =
+      merges.foldLeft(s) { case (c, (a, b)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(s"<$a><$b>"),
+          java.util.regex.Matcher.quoteReplacement(s"<$a$b>"))
+      }
+    def tokensOf(w: Column): Column = {
+      val t = org.apache.spark.sql.functions.replace(
+        applyMerges(encoded(w)), lit("><"), lit(" "))
+      t.substr(lit(2), length(t) - 2)
+    }
+    val legal = filter(graft.functions.TextFunctions.words(col("text")),
+      w => w =!= "" && !w.contains("<") && !w.contains(">") &&
+        !w.contains("_"))
+    val rows = docs.select(
+      array_join(transform(legal, w => tokensOf(w)), " ").as("c"),
+      array_join(call_function(TextHashFunctions.BpeEncodeName, legal,
+        typedlit(merges.flatMap(m => Seq(m._1, m._2)).toVector)), " ")
+        .as("n"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // and end-to-end: bpeEncode (native path — the test session is
+    // registered) against the oracle-shaped outer columns
+    val enc = TextAnalysis.bpeEncode(docs, merges).collect()
+    assert(enc.length === docs.count())
+  }
+
   test("quantizeEmbeddings native path ≡ composed projection") {
     val composed = df.select(col("id").as("vec_id"),
       Similarity.quantScale(col("v")).as("scale"),
