@@ -1445,6 +1445,13 @@ object SparkEntry {
     "q_media_real" -> ((s, d) =>
       Multimodal.realImageStats(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // REAL audio decode (javax.sound.sampled — the JDK WAV codec):
+    // deterministic PCM test tones WAV-encode → decode → exact
+    // sample reductions; the oracle replays the sample rule, so any
+    // dropped/reordered/byte-swapped sample hash-fails
+    "q_audio_real" -> ((s, d) =>
+      Multimodal.realAudioStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
     // Perceptual image near-dup: render → PNG → REAL decode → dHash,
     // then banded Hamming join over the 64-bit fingerprints; the
     // oracle replays the pixel rule + NN index map + dHash in SQL and
@@ -4599,6 +4606,29 @@ object SparkEntry {
          FROM documents d, range(0, 253) r(i)
          WHERE r.i < (16 + d.doc_id % 8) * (8 + d.doc_id % 4)
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // audio replay: the PCM test-tone rule per (doc, sample index),
+    // lag window for sign flips — a decoder that dropped, reordered,
+    // or byte-swapped any sample diverges
+    "q_audio_real" ->
+      """WITH s AS (
+           SELECT d.doc_id, r.i,
+             (d.doc_id * 31 + r.i * 7) % 65536 - 32768 AS v
+           FROM documents d, range(0, 128) r(i)
+           WHERE r.i < 64 + d.doc_id % 64),
+         c AS (SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+         SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           count(*) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(min(v) AS INT) AS min_amp,
+           CAST(max(v) AS INT) AS max_amp,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           round(sum(v) * 1.0 / count(*), 4) AS mean_amp
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     // image near-dup: replay pixel rule + NN 9×8 index map + dHash
     // bit rule in SQL, brute-force Hamming pairs (band join is
     // lossless for maxDist ≤ 3 by pigeonhole; bit 63 lands on the

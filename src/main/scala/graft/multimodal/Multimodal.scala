@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   * IMAGES decode for real: [[ImageCodec]] rides `javax.imageio`
   * (bundled in the JDK — PNG/JPEG/BMP/GIF, zero new dependencies)
   * for metadata, pixel features, and nearest-neighbor resize.
-  * AUDIO/VIDEO keep the clearly-marked DETERMINISTIC FAKE (this
-  * container has no ffmpeg-class codecs); everything around it —
-  * schemas, encoders, partitioning, per-partition batch shape,
+  * AUDIO decodes for real too: [[AudioCodec]] rides
+  * `javax.sound.sampled` (also JDK-bundled — WAV/PCM, lossless) for
+  * sample-exact decode, amplitude features, and the oracle-gated
+  * round-trip pipeline. Only VIDEO keeps the clearly-marked
+  * DETERMINISTIC FAKE (container demuxing genuinely needs an
+  * ffmpeg-class library this environment lacks); everything around
+  * it — schemas, encoders, partitioning, per-partition batch shape,
   * row-explosion for frame sampling — is real Spark plumbing and
   * tested. Swapping `FakeCodec` for a JNI/javacv decoder changes no
-  * plan shape. Payloads that claim `kind = image` but fail to decode
-  * (e.g. the synthetic text-byte assets) degrade to the fake path
-  * rather than throwing — one poison blob must not kill a 100 TB job.
+  * plan shape. Payloads that claim a decodable kind but fail to
+  * decode (e.g. the synthetic text-byte assets) degrade to the fake
+  * path rather than throwing — one poison blob must not kill a
+  * 100 TB job.
   *
   * Scale notes (100 TB of media):
   *  - Binary payloads never enter a shuffle: stages are
@@ -235,6 +240,126 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on `javax.sound.sampled` — the JDK's built-in
+    * WAV/PCM support (WaveFileReader/Writer ship with the JRE,
+    * headless-safe, zero new dependencies): the audio counterpart of
+    * [[ImageCodec]]. 16-bit signed little-endian mono PCM in a WAV
+    * container is lossless, so decode must invert encode
+    * sample-for-sample — the same round-trip contract the image path
+    * oracles. Video stays on [[FakeCodec]] (container demuxing
+    * genuinely needs an ffmpeg-class library this environment lacks).
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+    /** Encode 16-bit signed mono PCM samples as a WAV payload. */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload to (sampleRate, 16-bit mono samples);
+      * None when the bytes are not decodable audio (the degrade
+      * signal, exactly [[ImageCodec.decode]]'s contract). Only the
+      * 16-bit signed mono PCM profile this module writes is accepted
+      * — a different profile is "not ours", degrade.
+      */
+    def decode(content: Array[Byte]): Option[(Int, Array[Short])] =
+      if (content == null || content.isEmpty) None
+      else
+        try {
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(content))
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian ||
+              f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bytes = ais.readAllBytes()
+            val out = new Array[Short]((bytes.length / 2))
+            var i = 0
+            while (i < out.length) {
+              out(i) = ((bytes(2 * i) & 0xff) |
+                (bytes(2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            Some((f.getSampleRate.toInt, out))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+
+    /** Exact integer PCM features in one pass: sample count, sum,
+      * positive count, min, max, and zero crossings (sign flips
+      * between adjacent samples, negatives vs non-negatives) — each
+      * SQL-replicable from a generation rule, like grayStats.
+      */
+    def pcmStats(samples: Array[Short])
+        : (Long, Long, Long, Int, Int, Long) = {
+      var n = 0L; var s = 0L; var pos = 0L; var cross = 0L
+      var mn = Short.MaxValue.toInt; var mx = Short.MinValue.toInt
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toInt
+        n += 1; s += v; if (v > 0) pos += 1
+        if (v < mn) mn = v; if (v > mx) mx = v
+        if (i > 0 && ((samples(i - 1) < 0) != (v < 0))) cross += 1
+        i += 1
+      }
+      (n, s, pos, mn, mx, cross)
+    }
+
+    /** Normalized 16-bin amplitude histogram — the audio counterpart
+      * of [[ImageCodec.grayHistogram]] (same shape: `bins` doubles
+      * over the full signed-16-bit range).
+      */
+    def amplitudeHistogram(samples: Array[Short],
+        bins: Int = 16): Array[Double] = {
+      val hist = new Array[Double](bins)
+      var i = 0
+      while (i < samples.length) {
+        hist(((samples(i).toInt + 32768) * bins) >> 16) += 1.0
+        i += 1
+      }
+      if (samples.length > 0) {
+        var j = 0
+        while (j < bins) { hist(j) /= samples.length; j += 1 }
+      }
+      hist
+    }
+
+    /** Render the deterministic PCM test tone for doc `id`: sample i
+      * = ((id·31 + i·7) mod 65536) − 32768 — the audio analog of
+      * [[ImageCodec.renderGrayPng]]'s pure-SQL pixel rule, so a
+      * pipeline that WAV-encodes, REALLY decodes, and aggregates
+      * samples is oracle-able in DuckDB against the rule itself (PCM
+      * in WAV is lossless; decode must invert encode exactly).
+      */
+    def renderPcmWav(id: Long, sampleRate: Int,
+        nSamples: Int): Array[Byte] = {
+      val samples = new Array[Short](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        samples(i) = (((id * 31 + i * 7) % 65536) - 32768).toShort
+        i += 1
+      }
+      encodeWav(samples, sampleRate)
+    }
+  }
+
   /** Synthesize a deterministic media-asset table from documents:
     * content bytes derive from the text, metadata from the id. The
     * generation rule is SQL-replicable so metadata queries can be
@@ -273,9 +398,14 @@ object Multimodal {
     assets.mapPartitions { it =>
       // per-partition codec init would happen here (ImageIO is static)
       it.map { a =>
-        val hist = (if (a.kind == "image") ImageCodec.decode(a.content) else None)
-          .map(img => ImageCodec.grayHistogram(img))
-          .getOrElse(FakeCodec.decodeToFeatures(a.content))
+        val hist = (a.kind match {
+          case "image" =>
+            ImageCodec.decode(a.content).map(ImageCodec.grayHistogram(_))
+          case "audio" =>
+            AudioCodec.decode(a.content)
+              .map { case (_, pcm) => AudioCodec.amplitudeHistogram(pcm) }
+          case _ => None // video: container demux needs ffmpeg
+        }).getOrElse(FakeCodec.decodeToFeatures(a.content))
         MediaFeatures(a.asset_id, a.kind, a.content.length.toLong, hist)
       }
     }
@@ -350,6 +480,40 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pixels", "sum_gray",
         "n_bright", "min_gray", "max_gray")
       .withColumn("mean_gray", round(col("sum_gray") / col("n_pixels"), 4))
+  }
+
+  /** The REAL-decode AUDIO pipeline end to end, in an oracle-able
+    * shape — [[realImageStats]]'s exact analog: render the
+    * deterministic PCM test tone per document
+    * ([[AudioCodec.renderPcmWav]]: sample i = (id·31+i·7) mod 65536
+    * − 32768 at n = 64 + id%64 samples, 8 kHz), WAV-encode, decode
+    * via `javax.sound.sampled` for real, and reduce the samples to
+    * exact integer features. PCM in WAV is lossless and the sample
+    * rule is pure SQL, so DuckDB replays the whole pipeline from the
+    * rule — a decoder that dropped, reordered, or byte-swapped ANY
+    * sample would hash-mismatch the oracle.
+    *
+    * Scale shape: narrow mapPartitions (encode+decode per row, no
+    * shuffle); only fixed-width scalars leave the stage.
+    */
+  def realAudioStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 64 + (id % 64).toInt
+          val wav = AudioCodec.renderPcmWav(id, 8000, n)
+          val (rate, pcm) = AudioCodec.decode(wav).getOrElse(
+            throw new IllegalStateException(
+              s"WAV round-trip failed for doc $id"))
+          val (ns, sum, pos, mn, mx, cross) = AudioCodec.pcmStats(pcm)
+          (id, rate, ns, sum, pos, mn, mx, cross)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_amp",
+        "n_positive", "min_amp", "max_amp", "zero_crossings")
+      .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
   }
 
   /** Per-document perceptual fingerprints over the REAL codec path:

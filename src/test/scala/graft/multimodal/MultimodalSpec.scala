@@ -167,4 +167,63 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.resizeAssets(assets, 0, 180)
     }
   }
+
+  test("WAV encode→decode round-trips PCM samples losslessly") {
+    val samples = Array.tabulate(200)(i =>
+      (((7L * 31 + i * 7) % 65536) - 32768).toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(samples, 8000)
+    val (rate, back) = Multimodal.AudioCodec.decode(wav).get
+    assert(rate === 8000)
+    assert(back.toSeq === samples.toSeq)
+    // edge samples: full-scale min/max survive the container
+    val extremes = Array(Short.MinValue, Short.MaxValue, 0.toShort,
+      (-1).toShort, 1.toShort)
+    val (_, back2) = Multimodal.AudioCodec.decode(
+      Multimodal.AudioCodec.encodeWav(extremes, 16000)).get
+    assert(back2.toSeq === extremes.toSeq)
+  }
+
+  test("AudioCodec degrades on non-audio and non-matching profiles") {
+    assert(Multimodal.AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.AudioCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.AudioCodec.decode(null).isEmpty)
+    // a real PNG is not audio either
+    assert(Multimodal.AudioCodec.decode(
+      Multimodal.ImageCodec.renderGrayPng(1L, 16, 8)).isEmpty)
+  }
+
+  test("feature extraction takes the REAL sample path for decodable audio") {
+    import spark.implicits._
+    val samples = Array.tabulate(128)(i => ((i * 523) % 65536 - 32768).toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(samples, 8000)
+    val real = Multimodal.MediaAsset(1L, "audio", wav,
+      Multimodal.MediaMeta(0, 0, 8000, 16L, "wav"))
+    val fake = Multimodal.MediaAsset(4L, "audio", "just text".getBytes("UTF-8"),
+      Multimodal.MediaMeta(0, 0, 16000, 1000L, "wav"))
+    val feats = Multimodal.extractFeatures(
+      spark.createDataset(Seq(real, fake)))
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(1L).histogram.toSeq
+      === Multimodal.AudioCodec.amplitudeHistogram(samples).toSeq)
+    assert(feats(4L).histogram.toSeq
+      === Multimodal.FakeCodec.decodeToFeatures("just text".getBytes("UTF-8")).toSeq)
+  }
+
+  test("realAudioStats matches a direct sample-rule evaluation") {
+    val out = Multimodal.realAudioStats(
+      Tables.documents(spark, sfDir).limit(25)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val n = 64 + (id % 64).toInt
+      val vs = (0 until n).map(i => ((id * 31 + i * 7) % 65536 - 32768).toInt)
+      assert(r.getInt(1) === 8000)
+      assert(r.getLong(2) === n.toLong)
+      assert(r.getLong(3) === vs.map(_.toLong).sum)
+      assert(r.getLong(4) === vs.count(_ > 0).toLong)
+      assert(r.getInt(5) === vs.min && r.getInt(6) === vs.max)
+      val crossings = vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(7) === crossings.toLong, s"doc $id")
+    }
+  }
 }
