@@ -1461,6 +1461,15 @@ object SparkEntry {
         Multimodal.imageHashes(Tables.documents(s, d)),
         "doc_id", "dhash", maxDist = 1)
         .orderBy("id_a", "id_b")),
+    // Perceptual AUDIO near-dup: render → WAV → REAL decode →
+    // envelope dHash, banded Hamming join — the image near-dup story
+    // on the javax.sound codec path; the oracle replays the sample
+    // rule + NN envelope map + bit rule and brute-forces pairs
+    "q_audio_neardup" -> ((s, d) =>
+      Dedup.hammingNearDuplicates(
+        Multimodal.audioHashes(Tables.documents(s, d)),
+        "doc_id", "ahash", maxDist = 1)
+        .orderBy("id_a", "id_b")),
     // Image dedup end-to-end — the multimodal analog of the text
     // dedup capstone: dHash pairs → connected components → keep the
     // highest-resolution member per perceptual cluster (pixel count,
@@ -4612,7 +4621,7 @@ object SparkEntry {
     "q_audio_real" ->
       """WITH s AS (
            SELECT d.doc_id, r.i,
-             (d.doc_id * 31 + r.i * 7) % 65536 - 32768 AS v
+             (d.doc_id * 31 + r.i * 7919) % 65536 - 32768 AS v
            FROM documents d, range(0, 128) r(i)
            WHERE r.i < 64 + d.doc_id % 64),
          c AS (SELECT doc_id, v,
@@ -4644,6 +4653,27 @@ object SparkEntry {
                              ELSE (1::BIGINT << (y*8+x)) END)
                   ELSE 0 END AS b
            FROM d, range(0, 8) xs(x), range(0, 8) ys(y)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 1
+         ORDER BY id_a, id_b""",
+    // audio envelope-hash pair replay: sample rule + NN 65-point
+    // envelope map + gradient-sign bits, brute-force Hamming pairs
+    // (same 4-band pigeonhole losslessness argument as the image
+    // twin; bit 63 on the BIGINT sign bit)
+    "q_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + (((g+1)*n)//65)*7919) % 65536 - 32768) >
+                       ((doc_id*31 + ((g*n)//65)*7919) % 65536 - 32768)
+                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << g) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 64) gs(g)),
          fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
            FROM bits GROUP BY doc_id)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -341,8 +341,34 @@ object Multimodal {
       hist
     }
 
+    /** Envelope difference hash of a PCM stream — the audio
+      * counterpart of [[ImageCodec.dHash]]: the signal is NN-sampled
+      * onto 65 points with the same explicit index map discipline
+      * (point g = sample (g·n)/65 — no resampling filters, so the
+      * fingerprint is reproducible anywhere), and bit g of the 64-bit
+      * fingerprint is set iff the next envelope point is strictly
+      * greater. Amplitude-gradient signs survive gain changes and
+      * re-encoding, which is what makes this the cheap perceptual
+      * fingerprint; Hamming distance approximates audible difference.
+      * Sub-65-sample streams still fingerprint (the NN map just
+      * repeats samples); an empty stream fingerprints 0.
+      */
+    def envelopeHash(samples: Array[Short]): Long = {
+      val n = samples.length
+      if (n == 0) return 0L
+      var fp = 0L
+      var g = 0
+      while (g < 64) {
+        val l = samples((g * n) / 65)
+        val r = samples(((g + 1) * n) / 65)
+        if (r > l) fp |= 1L << g
+        g += 1
+      }
+      fp
+    }
+
     /** Render the deterministic PCM test tone for doc `id`: sample i
-      * = ((id·31 + i·7) mod 65536) − 32768 — the audio analog of
+      * = ((id·31 + i·7919) mod 65536) − 32768 (a wrapping sawtooth — the prime step makes envelope gradient signs id-dependent, so fingerprints discriminate) — the audio analog of
       * [[ImageCodec.renderGrayPng]]'s pure-SQL pixel rule, so a
       * pipeline that WAV-encodes, REALLY decodes, and aggregates
       * samples is oracle-able in DuckDB against the rule itself (PCM
@@ -353,7 +379,7 @@ object Multimodal {
       val samples = new Array[Short](nSamples)
       var i = 0
       while (i < nSamples) {
-        samples(i) = (((id * 31 + i * 7) % 65536) - 32768).toShort
+        samples(i) = (((id * 31 + i * 7919) % 65536) - 32768).toShort
         i += 1
       }
       encodeWav(samples, sampleRate)
@@ -539,6 +565,31 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "dhash")
+  }
+
+  /** Per-document perceptual AUDIO fingerprints over the REAL codec
+    * path — [[imageHashes]]'s exact analog: render the deterministic
+    * PCM test tone, WAV-encode, really decode (`javax.sound.sampled`),
+    * envelope-dHash the decoded samples. Only (doc_id, 64-bit
+    * fingerprint) rows flow downstream, so corpus-scale audio
+    * near-dup rides [[graft.dedup.Dedup.hammingNearDuplicates]]
+    * unchanged — fingerprints, not payload shuffles.
+    */
+  def audioHashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 64 + (id % 64).toInt
+          val wav = AudioCodec.renderPcmWav(id, 8000, n)
+          val (_, pcm) = AudioCodec.decode(wav).getOrElse(
+            throw new IllegalStateException(
+              s"WAV round-trip failed for doc $id"))
+          (id, AudioCodec.envelopeHash(pcm))
+        }
+      }
+      .toDF("doc_id", "ahash")
   }
 
   /** Metadata rollup (oracle-able: generation rule is pure SQL). */

@@ -209,6 +209,23 @@ class MultimodalSpec extends SparkSpec {
       === Multimodal.FakeCodec.decodeToFeatures("just text".getBytes("UTF-8")).toSeq)
   }
 
+  test("audio envelope hash matches the direct rule; empty stream is 0") {
+    (0L until 40L).foreach { id =>
+      val n = 64 + (id % 64).toInt
+      val vs = Array.tabulate(n)(i =>
+        ((id * 31 + i * 7919) % 65536 - 32768).toShort)
+      val want = (0 until 64).foldLeft(0L) { (fp, g) =>
+        if (vs(((g + 1) * n) / 65) > vs((g * n) / 65)) fp | (1L << g) else fp
+      }
+      val wav = Multimodal.AudioCodec.renderPcmWav(id, 8000, n)
+      val (_, pcm) = Multimodal.AudioCodec.decode(wav).get
+      assert(Multimodal.AudioCodec.envelopeHash(pcm) === want, s"doc $id")
+    }
+    assert(Multimodal.AudioCodec.envelopeHash(Array.empty[Short]) === 0L)
+    // sub-65-sample streams fingerprint without indexing errors
+    assert(Multimodal.AudioCodec.envelopeHash(Array[Short](5, -3, 7)) !== 0L)
+  }
+
   test("realAudioStats matches a direct sample-rule evaluation") {
     val out = Multimodal.realAudioStats(
       Tables.documents(spark, sfDir).limit(25)).collect()
@@ -216,7 +233,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { case (id, r) =>
       val n = 64 + (id % 64).toInt
-      val vs = (0 until n).map(i => ((id * 31 + i * 7) % 65536 - 32768).toInt)
+      val vs = (0 until n).map(i => ((id * 31 + i * 7919) % 65536 - 32768).toInt)
       assert(r.getInt(1) === 8000)
       assert(r.getLong(2) === n.toLong)
       assert(r.getLong(3) === vs.map(_.toLong).sum)
