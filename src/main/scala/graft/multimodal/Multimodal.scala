@@ -460,6 +460,39 @@ object Multimodal {
     }
   }
 
+  /** Audio resample stage — the audio analog of [[resizeAssets]]:
+    * decodable WAV payloads NN-resample to `targetRate` for REAL
+    * (explicit index map out(i) = in(i·nIn/nOut), same no-filter
+    * determinism contract as the image resize) and re-encode; the
+    * metadata records the new rate. Non-audio rows and undecodable
+    * audio payloads pass through UNTOUCHED — the poison-blob degrade
+    * (a resample stage that rewrote bytes it cannot decode would
+    * corrupt, not degrade). Narrow mapPartitions; payloads never
+    * shuffle.
+    */
+  def resampleAudio(assets: Dataset[MediaAsset],
+      targetRate: Int): Dataset[MediaAsset] = {
+    require(targetRate > 0, s"target rate must be positive, got $targetRate")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.kind != "audio") a
+        else AudioCodec.decode(a.content) match {
+          case Some((rate, pcm)) =>
+            val nOut =
+              if (pcm.isEmpty) 0
+              else math.max(1, (pcm.length.toLong * targetRate / rate).toInt)
+            val out = Array.tabulate(nOut)(i =>
+              pcm(((i.toLong * pcm.length) / nOut).toInt))
+            a.copy(content = AudioCodec.encodeWav(out, targetRate),
+              meta = a.meta.copy(sampleRate = targetRate))
+          case None => a
+        }
+      }
+    }
+  }
+
   /** Frame sampling: one row per sampled frame at `everyMs` —
     * the UDTF/flatMap shape (row multiplication, narrow).
     */

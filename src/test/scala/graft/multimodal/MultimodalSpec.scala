@@ -226,6 +226,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AudioCodec.envelopeHash(Array[Short](5, -3, 7)) !== 0L)
   }
 
+  test("resampleAudio: exact NN map down and up, degrade passthrough") {
+    import spark.implicits._
+    val pcm = Array.tabulate(200)(i => ((i * 523) % 65536 - 32768).toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(pcm, 16000)
+    val real = Multimodal.MediaAsset(1L, "audio", wav,
+      Multimodal.MediaMeta(0, 0, 16000, 12L, "wav"))
+    val poison = Multimodal.MediaAsset(2L, "audio",
+      "not audio".getBytes("UTF-8"),
+      Multimodal.MediaMeta(0, 0, 16000, 1000L, "wav"))
+    val video = Multimodal.MediaAsset(3L, "video", "vvv".getBytes("UTF-8"),
+      Multimodal.MediaMeta(640, 360, 0, 2000L, "mp4"))
+    val out = Multimodal.resampleAudio(
+      spark.createDataset(Seq(real, poison, video)), 8000)
+      .collect().map(a => a.asset_id -> a).toMap
+    // downsample halves the sample count via the explicit NN map
+    val (rate, down) = Multimodal.AudioCodec.decode(out(1L).content).get
+    assert(rate === 8000 && out(1L).meta.sampleRate === 8000)
+    assert(down.length === 100)
+    down.zipWithIndex.foreach { case (v, i) =>
+      assert(v === pcm((i.toLong * 200 / 100).toInt), s"sample $i")
+    }
+    // upsample repeats samples, still exact
+    val (_, up) = Multimodal.AudioCodec.decode(
+      Multimodal.resampleAudio(spark.createDataset(Seq(real)), 32000)
+        .head().content).get
+    assert(up.length === 400)
+    up.zipWithIndex.foreach { case (v, i) =>
+      assert(v === pcm((i.toLong * 200 / 400).toInt), s"sample $i")
+    }
+    // poison audio and non-audio rows pass through untouched
+    assert(out(2L).content.toSeq === poison.content.toSeq)
+    assert(out(2L).meta === poison.meta)
+    assert(out(3L).content.toSeq === video.content.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.resampleAudio(spark.createDataset(Seq(real)), 0)
+    }
+  }
+
   test("realAudioStats matches a direct sample-rule evaluation") {
     val out = Multimodal.realAudioStats(
       Tables.documents(spark, sfDir).limit(25)).collect()
