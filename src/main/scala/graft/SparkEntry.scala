@@ -1470,6 +1470,45 @@ object SparkEntry {
         Multimodal.audioHashes(Tables.documents(s, d)),
         "doc_id", "ahash", maxDist = 1)
         .orderBy("id_a", "id_b")),
+    // REAL video demux (hand-rolled uncompressed-AVI RIFF reader):
+    // deterministic gray test clips AVI-encode → container demux →
+    // exact whole-clip pixel reductions; the oracle replays the pixel
+    // rule, so a dropped frame, a misread stride pad, or an unflipped
+    // bottom-up raster hash-fails
+    "q_video_real" -> ((s, d) =>
+      Multimodal.realVideoStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    // REAL temporal frame sampling: every 2nd frame, timestamps from
+    // the DECODED avih microSecPerFrame (demux, not metadata trust);
+    // per-frame exact reductions replayed by the oracle
+    "q_video_frames" -> ((s, d) =>
+      Multimodal.realVideoFrames(Tables.documents(s, d), every = 2)
+        .orderBy("doc_id", "frame_idx")),
+    // Perceptual VIDEO near-dup: render → AVI → REAL demux →
+    // spatio-temporal envelope hash, banded Hamming join — the
+    // image/audio near-dup story on the RIFF demux path; the oracle
+    // replays the pixel rule + NN envelope map + bit rule and
+    // brute-forces pairs
+    "q_video_neardup" -> ((s, d) =>
+      Dedup.hammingNearDuplicates(
+        Multimodal.videoHashes(Tables.documents(s, d)),
+        "doc_id", "vhash", maxDist = 1)
+        .orderBy("id_a", "id_b")),
+    // Ingest-time MEDIA near-dup probe: the held-out eighth's video
+    // fingerprints (ids ≡ 4 mod 8 — the SAME clip geometry class as
+    // the index's ≡ 0 mod 8 docs, so cross-split collisions exist)
+    // probe the WRITTEN seven-eighths index (built once, never
+    // rebuilt — the gram-index/NB/LPA serving lifecycle) by the
+    // banded Hamming join; batch-proportional exchange volume, the
+    // incremental-dedup serving contract
+    "q_media_probe" -> ((s, d) => {
+      val probe = Multimodal.videoHashes(
+        Tables.documents(s, d).filter(col("doc_id") % 8 === 4))
+      val index = Dedup.readFingerprintIndex(s, builtVideoFpIndex(s, d))
+        .select(col("id").as("doc_id"), col("fp").as("vhash"))
+      Dedup.hammingProbe(probe, index, "doc_id", "vhash", maxDist = 1)
+        .orderBy("probe_id", "index_id")
+    }),
     // Image dedup end-to-end — the multimodal analog of the text
     // dedup capstone: dHash pairs → connected components → keep the
     // highest-resolution member per perceptual cluster (pixel count,
@@ -1708,6 +1747,18 @@ object SparkEntry {
       graft.graph.Communities.writeCommunityLabels(
         graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
           "s", "t", rounds = 4), p)
+    }
+
+  /** Build-once WRITTEN video fingerprint index over the non-probe
+    * three quarters of the corpus (same lifecycle) — the frozen
+    * perceptual-dedup artifact the media ingest probe serves from.
+    */
+  private def builtVideoFpIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_vfp", d) { p =>
+      graft.dedup.Dedup.writeFingerprintIndex(
+        Multimodal.videoHashes(
+          Tables.documents(s, d).filter(col("doc_id") % 8 =!= 4)),
+        "doc_id", "vhash", p)
     }
 
   /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
@@ -4681,6 +4732,101 @@ object SparkEntry {
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.f, b.f)) <= 1
          ORDER BY id_a, id_b""",
+    // video replay: the clip pixel rule per (doc, flat pixel index j)
+    // with j → (frame = j // (W·8), pixel = j % (W·8)) — a demuxer
+    // that dropped/duplicated a frame or misdecoded any pixel diverges
+    "q_video_real" ->
+      """SELECT d.doc_id,
+         CAST(8 + d.doc_id % 5 AS INT) AS width,
+         CAST(8 AS INT) AS height,
+         CAST(4 + d.doc_id % 4 AS INT) AS n_frames,
+         count(*) AS n_pixels,
+         CAST(sum((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
+                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256)
+              AS BIGINT) AS sum_gray,
+         CAST(sum(CASE WHEN (d.doc_id*31
+                   + (r.j // ((8 + d.doc_id % 5) * 8))*101
+                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256 >= 128
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+         CAST(min((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
+                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256)
+              AS INT) AS min_gray,
+         CAST(max((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
+                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256)
+              AS INT) AS max_gray,
+         round(sum((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
+                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256) * 1.0
+               / count(*), 4) AS mean_gray
+         FROM documents d, range(0, 672) r(j)
+         WHERE r.j < (4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // frame-sampling replay: every 2nd frame, t_ms = f·250 (the
+    // 4 fps → 250000 µs/frame avih value the demuxer must READ),
+    // per-frame pixel-rule reductions
+    "q_video_frames" ->
+      """SELECT d.doc_id, CAST(r.f AS INT) AS frame_idx,
+         CAST(r.f * 250 AS BIGINT) AS t_ms,
+         CAST(sum((d.doc_id*31 + r.f*101 + p.p*7919) % 256) AS BIGINT)
+           AS sum_gray,
+         round(sum((d.doc_id*31 + r.f*101 + p.p*7919) % 256) * 1.0
+               / count(*), 4) AS mean_gray
+         FROM documents d, range(0, 7) r(f), range(0, 96) p(p)
+         WHERE r.f < 4 + d.doc_id % 4 AND r.f % 2 = 0
+           AND p.p < (8 + d.doc_id % 5) * 8
+         GROUP BY d.doc_id, r.f ORDER BY d.doc_id, frame_idx""",
+    // video envelope-hash pair replay: clip pixel rule + NN 65-point
+    // flat-sequence map + gradient-sign bits, brute-force Hamming
+    // pairs (same 4-band pigeonhole losslessness argument as the
+    // image/audio twins; bit 63 on the BIGINT sign bit)
+    "q_video_neardup" ->
+      """WITH d AS (SELECT doc_id,
+             (8 + doc_id % 5) * 8 AS wh,
+             (4 + doc_id % 4) * (8 + doc_id % 5) * 8 AS n
+           FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + ((((g+1)*n)//65) // wh)*101
+                         + ((((g+1)*n)//65) % wh)*7919) % 256) >
+                       ((doc_id*31 + (((g*n)//65) // wh)*101
+                         + (((g*n)//65) % wh)*7919) % 256)
+                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << g) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 64) gs(g)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 1
+         ORDER BY id_a, id_b""",
+    // media ingest-probe replay: same clip fingerprint rule, pairs
+    // restricted to probe eighth (doc_id % 8 = 4) × written index
+    // (the other seven eighths) — the parquet round-trip cannot
+    // drift a fingerprint without failing this gate
+    "q_media_probe" ->
+      """WITH d AS (SELECT doc_id,
+             (8 + doc_id % 5) * 8 AS wh,
+             (4 + doc_id % 4) * (8 + doc_id % 5) * 8 AS n
+           FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + ((((g+1)*n)//65) // wh)*101
+                         + ((((g+1)*n)//65) % wh)*7919) % 256) >
+                       ((doc_id*31 + (((g*n)//65) // wh)*101
+                         + (((g*n)//65) % wh)*7919) % 256)
+                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << g) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 64) gs(g)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT p.doc_id AS probe_id, i.doc_id AS index_id,
+           CAST(bit_count(xor(p.f, i.f)) AS INT) AS hamming
+         FROM fp p JOIN fp i
+           ON p.doc_id % 8 = 4 AND i.doc_id % 8 <> 4
+         WHERE bit_count(xor(p.f, i.f)) <= 1
+         ORDER BY probe_id, index_id""",
     // dHash pair replay + component closure + keep-highest-resolution
     // survivor policy (pixel count desc, doc_id) — the image analog of
     // q_dedup_survivors_best_md5's oracle

@@ -919,6 +919,75 @@ object Dedup {
     new graft.Managed(result, Seq(base))
   }
 
+  /** Written 64-bit fingerprint index — the media-dedup serving
+    * artifact ([[graft.multimodal.Multimodal.imageHashes]] /
+    * `audioHashes` / `videoHashes` output): normalized (id, fp)
+    * parquet, the writeCommunityLabels / writeMemorizationIndex
+    * lifecycle. The probe reads it; it is never rebuilt at serve
+    * time.
+    */
+  def writeFingerprintIndex(fps: DataFrame, idCol: String,
+      fpCol: String, dir: String): Unit =
+    fps.select(col(idCol).cast("long").as("id"),
+        col(fpCol).cast("long").as("fp"))
+      .write.mode("overwrite").parquet(dir)
+
+  def readFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** Ingest-time fingerprint probe: match a BOUNDED batch of new
+    * fingerprints against a corpus-scale frozen index by the same
+    * 4×16-bit-band pigeonhole join as [[hammingNearDuplicates]] —
+    * the two-table serving form the text family has in
+    * `incrementalNearDuplicates`. Both inputs carry (`idCol`,
+    * `fpCol`); output is (probe_id, index_id, hamming), UNORDERED.
+    *
+    * Scale shape (the incremental-dedup probe contract): the batch
+    * is bounded BY CONTRACT, so its exploded band keys BROADCAST —
+    * first as a semi-join that restricts the index scan to TOUCHED
+    * buckets (per-probe exchange volume proportional to the batch,
+    * never the index), then as the build side of the candidate join.
+    * The skew cap counts only touched-bucket index occupancy; a
+    * degenerate bucket (a million identical payloads) is dropped
+    * rather than joined, same contract as the self-join form.
+    */
+  def hammingProbe(probe: DataFrame, index: DataFrame, idCol: String,
+      fpCol: String, maxDist: Int = 1,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] for 4-band pigeonhole losslessness, got $maxDist")
+    def bands(df: DataFrame, id: String, fp: String): DataFrame =
+      df.select(col(id).cast("long").as(id), col(fp).cast("long").as(fp))
+        .filter(col(fp).isNotNull)
+        .select(col(id), col(fp),
+          posexplode(array((0 until 4).map(b =>
+            shiftrightunsigned(col(fp), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+            .as(Seq("band", "value")))
+    val probeBands = bands(probe, idCol, fpCol)
+      .withColumnRenamed(idCol, "probe_id")
+      .withColumnRenamed(fpCol, "probe_fp")
+    val touched = probeBands.select(col("band"), col("value")).distinct()
+    val idxBands = bands(index, idCol, fpCol)
+      .withColumnRenamed(idCol, "index_id")
+      .withColumnRenamed(fpCol, "index_fp")
+      // touched-bucket restriction BEFORE the occupancy window: the
+      // cap aggregation shuffles batch-proportional rows, not the
+      // index (the r8 incremental-dedup lesson)
+      .join(broadcast(touched), Seq("band", "value"), "left_semi")
+      .withColumn("bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("value"))))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    idxBands
+      .join(broadcast(probeBands), Seq("band", "value"))
+      .withColumn("hamming",
+        bit_count(col("probe_fp").bitwiseXOR(col("index_fp"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("probe_id"), col("index_id"), col("hamming"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------
   // Near-duplicate clustering: pairs → components → survivors
   // ---------------------------------------------------------------

@@ -928,6 +928,91 @@ object Pipelines {
     q
   }
 
+  /** The idempotent batch core of the streaming MEDIA-DEDUP admission
+    * gate: fingerprint the batch over the real codec path
+    * (`fingerprintsOf` must return one (id, 64-bit fingerprint) row
+    * per doc — [[graft.multimodal.Multimodal.videoHashes]] shape),
+    * probe the frozen fingerprint index by banded Hamming join
+    * ([[graft.dedup.Dedup.hammingProbe]] — the index is never
+    * rebuilt), and admit only documents whose fingerprint matches
+    * nothing within `maxDist`. NULL-doc_id rows carry no payload to
+    * fingerprint and pass (anti-join keys never match null — the
+    * every-row-passes gate convention); overwrite the batch's own
+    * partition.
+    */
+  def processMediaDedupBatch(batch: DataFrame, index: DataFrame,
+      fingerprintsOf: DataFrame => DataFrame, outDir: String,
+      batchId: Long, maxDist: Int): Unit = {
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fps = fingerprintsOf(batch.filter(col("doc_id").isNotNull))
+      .toDF("doc_id", "fp")
+    val dups = graft.dedup.Dedup
+      .hammingProbe(fps, index, "doc_id", "fp", maxDist)
+      .select(col("probe_id").as("doc_id")).distinct()
+    val survivors = batch.join(dups, Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    try {
+      if (!survivors.isEmpty || fs.exists(outPath))
+        survivors.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally freeLocalCheckpoint(survivors)
+  }
+
+  /** Streaming ingest-time media near-dup gate: the frozen
+    * fingerprint index is read ONCE per stream from the written
+    * artifact and persisted (corpus-scale (id, fp) rows — the probe
+    * band-joins it per micro-batch), then each batch admits only
+    * documents that are not perceptual near-duplicates of the
+    * existing corpus. The written-index serving lifecycle of
+    * [[memorizationGateSink]] applied to the media fingerprint
+    * family — the one dedup family that had no ingest-time probe.
+    */
+  def mediaDedupSink(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, maxDist: Int = 1,
+      fingerprintsOf: DataFrame => DataFrame =
+        graft.multimodal.Multimodal.videoHashes)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val index = graft.dedup.Dedup.readFingerprintIndex(spark, indexDir)
+      .select(col("id").as("doc_id"), col("fp"))
+      .persist()
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMediaDedupBatch(batch, index, fingerprintsOf, outDir,
+          batchId, maxDist)
+      }
+      .start()
+    // the cached index must not outlive its stream (the
+    // memorizationGateSink lifecycle; isActive re-check closes the
+    // died-before-listener window)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          index.unpersist(false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      index.unpersist(false)
+      spark.streams.removeListener(listener)
+    }
+    q
+  }
+
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
     * corpus at `outDir`, exactly-once via checkpoint + the idempotent
     * batch core above.

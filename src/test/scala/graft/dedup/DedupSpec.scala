@@ -612,4 +612,64 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(const === Set(1L, 3L, 5L))
   }
+
+  test("hammingProbe matches brute force; cap + null-fp contracts hold") {
+    import spark.implicits._
+    // index: 0x00 twice (one skew pair), 0xFF, a far value; probe:
+    // hamming-1 from 0x00, hamming-1 from 0xFF, unmatched, null fp
+    val index = Seq(
+      (10L, Some(0x0000000000000000L)),
+      (11L, Some(0x0000000000000000L)),
+      (12L, Some(0x00FF00FF00FF00FFL)), // shares no band bucket with 10/11
+      (13L, Some(0x7777777777777777L)))
+      .toDF("doc_id", "fp")
+    val probe = Seq(
+      (20L, Some(0x0000000000000001L)), // 1 bit from 10/11
+      (21L, Some(0x00FF00FF00FF00FDL)), // 1 bit from 12
+      (22L, Some(0x1111111111111111L)), // matches nothing at dist 1
+      (23L, None: Option[Long]))        // no fingerprint: no evidence
+      .toDF("doc_id", "fp")
+    val got = Dedup.hammingProbe(probe, index, "doc_id", "fp", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference over the non-null pairs
+    val idx = Seq(10L -> 0L, 11L -> 0L, 12L -> 0x00FF00FF00FF00FFL,
+      13L -> 0x7777777777777777L)
+    val prb = Seq(20L -> 1L, 21L -> 0x00FF00FF00FF00FDL,
+      22L -> 0x1111111111111111L)
+    val want = (for {
+      (p, pf) <- prb; (i, ifp) <- idx
+      d = java.lang.Long.bitCount(pf ^ ifp) if d <= 1
+    } yield (p, i, d)).toSet
+    assert(got === want)
+    assert(got === Set((20L, 10L, 1), (20L, 11L, 1), (21L, 12L, 1)))
+    // skew cap: occupancy is counted per TOUCHED index bucket — at
+    // cap 1 the two identical 0x00 fingerprints overflow every band
+    // bucket they share with probe 20 and the pairs drop (loudly
+    // documented contract), while 21↔12 survives in its own buckets
+    val capped = Dedup.hammingProbe(probe, index, "doc_id", "fp",
+      maxDist = 1, maxBucketSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((21L, 12L)))
+    // maxDist 0 = exact-fingerprint lookup
+    val exact = Dedup.hammingProbe(
+      Seq((30L, Some(0L))).toDF("doc_id", "fp"), index, "doc_id", "fp",
+      maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((30L, 10L), (30L, 11L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingProbe(probe, index, "doc_id", "fp", maxDist = 4)
+    }
+  }
+
+  test("fingerprint index round-trips through the written artifact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fpidx").toString
+    val fps = Seq((1L, 42L), (2L, -1L), (3L, Long.MinValue))
+      .toDF("id0", "h0")
+    Dedup.writeFingerprintIndex(fps, "id0", "h0", s"$tmp/index")
+    val back = Dedup.readFingerprintIndex(spark, s"$tmp/index")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back === Map(1L -> 42L, 2L -> -1L, 3L -> Long.MinValue))
+  }
 }

@@ -281,4 +281,130 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(7) === crossings.toLong, s"doc $id")
     }
   }
+
+  test("AVI encode→demux round-trips frames losslessly incl. stride pads") {
+    import Multimodal.VideoCodec
+    // widths 8..12 cover stride pad 0 (8, 12) and pads 1..3 (9, 10, 11)
+    (8 to 12).foreach { w =>
+      val h = 8
+      val frames = Array.tabulate(3)(f =>
+        Array.tabulate(w * h)(p => (f * 101 + p * 7919) % 256))
+      val avi = VideoCodec.encodeAvi(frames, w, h, fps = 4)
+      val clip = VideoCodec.decode(avi).getOrElse(fail(s"w=$w no decode"))
+      assert(clip.width === w && clip.height === h)
+      assert(clip.microSecPerFrame === 250000L)
+      assert(clip.frames.length === 3)
+      clip.frames.zip(frames).foreach { case (got, want) =>
+        assert(got.toSeq === want.toSeq, s"w=$w")
+      }
+    }
+    // 1×1 single-frame extreme values survive the container
+    val tiny = VideoCodec.decode(
+      VideoCodec.encodeAvi(Array(Array(0), Array(255)), 1, 1, fps = 25)).get
+    assert(tiny.microSecPerFrame === 40000L)
+    assert(tiny.frames.map(_.head).toSeq === Seq(0, 255))
+    intercept[IllegalArgumentException] {
+      VideoCodec.encodeAvi(Array(Array(1, 2)), 3, 1, fps = 4) // wrong length
+    }
+  }
+
+  test("VideoCodec degrades on non-video payloads and truncation") {
+    import Multimodal.VideoCodec
+    assert(VideoCodec.decode("not a video".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(VideoCodec.decode(null).isEmpty)
+    // other real containers are not this profile
+    assert(VideoCodec.decode(
+      Multimodal.ImageCodec.renderGrayPng(1L, 16, 8)).isEmpty)
+    assert(VideoCodec.decode(
+      Multimodal.AudioCodec.renderPcmWav(1L, 8000, 64)).isEmpty)
+    // a truncated AVI (cut mid-frame) degrades instead of throwing
+    val avi = VideoCodec.renderGrayAvi(7L)
+    assert(VideoCodec.decode(avi.take(avi.length / 2)).isEmpty)
+    // RIFF magic with garbage inside degrades too
+    val garbage = avi.clone()
+    garbage(20) = 'X'.toByte // corrupt the avih fourcc region
+    // decode either still parses (header intact) or degrades — never throws
+    VideoCodec.decode(garbage)
+  }
+
+  test("video envelope hash matches the direct rule over the render rule") {
+    import Multimodal.VideoCodec
+    (0L until 40L).foreach { id =>
+      val w = 8 + (id % 5).toInt; val h = 8
+      val nF = 4 + (id % 4).toInt
+      val n = nF * w * h
+      val seq = (0 until n).map(j =>
+        ((id * 31 + (j / (w * h)) * 101 + (j % (w * h)) * 7919) % 256).toInt)
+      val want = (0 until 64).foldLeft(0L) { (fp, g) =>
+        if (seq(((g + 1) * n) / 65) > seq((g * n) / 65)) fp | (1L << g) else fp
+      }
+      val clip = VideoCodec.decode(VideoCodec.renderGrayAvi(id)).get
+      assert(VideoCodec.envelopeHash(clip) === want, s"doc $id")
+    }
+    // fingerprints discriminate across ids (the audio prime-step lesson)
+    val hashes = (0L until 40L).map(id =>
+      VideoCodec.envelopeHash(
+        VideoCodec.decode(VideoCodec.renderGrayAvi(id)).get))
+    assert(hashes.distinct.size > 30)
+  }
+
+  test("realVideoStats matches a direct pixel-rule evaluation") {
+    val out = Multimodal.realVideoStats(
+      Tables.documents(spark, sfDir).limit(25)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val w = 8 + (id % 5).toInt; val h = 8
+      val nF = 4 + (id % 4).toInt
+      val px = for (f <- 0 until nF; p <- 0 until w * h)
+        yield ((id * 31 + f * 101 + p * 7919) % 256).toInt
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getInt(3) === nF)
+      assert(r.getLong(4) === px.size.toLong)
+      assert(r.getLong(5) === px.map(_.toLong).sum)
+      assert(r.getLong(6) === px.count(_ >= 128).toLong)
+      assert(r.getInt(7) === px.min && r.getInt(8) === px.max, s"doc $id")
+    }
+  }
+
+  test("realVideoFrames samples by index with decoded-header timestamps") {
+    val rows = Multimodal.realVideoFrames(
+      Tables.documents(spark, sfDir).limit(10), every = 2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      assert(f % 2 === 0)
+      assert(r.getLong(2) === f * 250L) // 4 fps → 250 ms/frame, from avih
+      val w = 8 + (id % 5).toInt
+      val want = (0 until w * 8).map(p =>
+        ((id * 31 + f * 101 + p * 7919) % 256).toLong).sum
+      assert(r.getLong(3) === want, s"doc $id frame $f")
+    }
+    // every doc contributes ceil(nF/2) frames
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      val nF = 4 + (id % 4).toInt
+      assert(fs.length === (nF + 1) / 2, s"doc $id")
+    }
+  }
+
+  test("feature extraction takes the REAL demux path for decodable video") {
+    import spark.implicits._
+    import Multimodal.VideoCodec
+    val avi = VideoCodec.renderGrayAvi(3L)
+    val real = Multimodal.MediaAsset(1L, "video", avi,
+      Multimodal.MediaMeta(11, 8, 0, 1000L, "avi"))
+    val poison = Multimodal.MediaAsset(2L, "video",
+      "just text".getBytes("UTF-8"),
+      Multimodal.MediaMeta(640, 360, 0, 2000L, "mp4"))
+    val feats = Multimodal.extractFeatures(
+      spark.createDataset(Seq(real, poison)))
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(1L).histogram.toSeq ===
+      VideoCodec.grayHistogram(VideoCodec.decode(avi).get).toSeq)
+    assert(math.abs(feats(1L).histogram.sum - 1.0) < 1e-9)
+    assert(feats(2L).histogram.toSeq ===
+      Multimodal.FakeCodec.decodeToFeatures("just text".getBytes("UTF-8")).toSeq)
+  }
 }

@@ -729,6 +729,51 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === 6L)
   }
 
+  test("streaming media near-dup gate ≡ batch hammingProbe; " +
+      "replay-idempotent") {
+    import graft.dedup.Dedup
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mediagate").toString
+    // frozen world: video fingerprints of docs 0..199 (real
+    // render→AVI→demux path); pool 200..319 — 19 of them collide
+    // with the index within Hamming 1 (deterministic render rule)
+    val corpus = (0L until 200L).toDF("doc_id")
+    Dedup.writeFingerprintIndex(Multimodal.videoHashes(corpus),
+      "doc_id", "vhash", s"$tmp/index")
+    def fpOf(id: Long): Long = Multimodal.VideoCodec.envelopeHash(
+      Multimodal.VideoCodec.decode(
+        Multimodal.VideoCodec.renderGrayAvi(id)).get)
+    val idxFps = (0L until 200L).map(fpOf)
+    val poolIds = (200L until 320L)
+    val wantKept = poolIds.filter(p =>
+      !idxFps.exists(f =>
+        java.lang.Long.bitCount(f ^ fpOf(p)) <= 1)).toSet
+    assert(wantKept.size === poolIds.size - 19,
+      "the gate must actually fire on this pool")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.mediaDedupSink(mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt", maxDist = 1)
+    val rows = poolIds.map(id => (id, s"doc $id")).toSeq
+    val (b1, b2) = rows.splitAt(60)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable(); q.stop()
+
+    def surviving() = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving() === wantKept)
+    // crash-replay of batch 0 rewrites only its own partition
+    val index = Dedup.readFingerprintIndex(spark, s"$tmp/index")
+      .select(col("id").as("doc_id"), col("fp"))
+    Pipelines.processMediaDedupBatch(b1.toDF("doc_id", "text"), index,
+      Multimodal.videoHashes, s"$tmp/out", 0L, maxDist = 1)
+    assert(surviving() === wantKept)
+    assert(spark.read.parquet(s"$tmp/out").count()
+      === wantKept.size.toLong)
+  }
+
   test("streaming NB quality gate ≡ batch nbGate; replay-idempotent") {
     import graft.quality.NbClassifier
     implicit val sqlCtx = spark.sqlContext
