@@ -239,6 +239,16 @@ object SparkEntry {
     "q_search_bm25_indexed" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25Index(s, d),
         Seq("merge", "query"), 10)),
+    // Retrieval operating-point eval: MRR / precision@10 / recall@10
+    // of the BM25 ranking for 3 eval queries against a deterministic
+    // graded-relevance rule (every query term ≥3 occurrences) — the
+    // annRecall / classifier-PR convention applied to text retrieval;
+    // one corpus tokenize shared across the whole eval batch
+    "q_retrieval_eval" -> ((s, d) =>
+      SearchOps.retrievalEval(Tables.documents(s, d),
+        Seq("merge+query" -> Seq("merge", "query"),
+          "sort+window" -> Seq("sort", "window"),
+          "spark+data" -> Seq("spark", "data")), 10)),
     // Hybrid retrieval: BM25 and cosine rankings fused by reciprocal
     // rank (RRF) — integer ranks, no score normalization
     "q_hybrid_search" -> ((s, d) =>
@@ -800,6 +810,27 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d), seedCents16(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // JL random projection: every vector onto 8 deterministic md5
+    // hyperplanes (the SRP family without the sign quantization) —
+    // the dimensionality-reduction stage ahead of a 100 TB ANN scan;
+    // the oracle replays the full plane matrix + index-ordered dot
+    // fold, so the projected doubles themselves are hash-gated
+    "q_embed_project" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), 8)
+        .orderBy("vec_id", "p")),
+    // Serving scan in the projected space: top-k by cosine over the
+    // 8-double projections — the scan ranks 8 doubles instead of 64
+    // floats per candidate (~8× less volume at full corpus width)
+    "q_knn_projected" -> ((s, d) =>
+      Similarity.projectedTopK(Tables.embeddings(s, d), 0L, 10,
+        outDim = 8)),
+    // Operating-point evaluation: recall@10 of the projected-space
+    // ranking vs the full-dim exact ranking for 5 queries — the
+    // number that justifies a projection width before deployment;
+    // both rankings replay in DuckDB, so the recalls are hash-gated
+    "q_ann_projected_recall" -> ((s, d) =>
+      Similarity.projectedRecall(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, outDim = 8)),
     // Same IVF semantics served from the WRITTEN cell-partitioned
     // index — the probe predicate is a literal IN list, so the scan
     // prunes to nProbe partition directories (the 100 TB path)
@@ -1452,6 +1483,14 @@ object SparkEntry {
     "q_audio_real" -> ((s, d) =>
       Multimodal.realAudioStats(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // Loudness alignment through the real WAV codec: render → encode
+    // → REAL decode → exact-integer peak normalization to 30000 →
+    // re-encode → REAL decode → stats; the oracle replays sample rule
+    // × scale rule, so a sign-mangled scale or lossy re-encode flips
+    // the hash
+    "q_audio_normalize" -> ((s, d) =>
+      Multimodal.realAudioNormalizeStats(Tables.documents(s, d), 30000)
+        .orderBy("doc_id")),
     // Perceptual image near-dup: render → PNG → REAL decode → dHash,
     // then banded Hamming join over the 64-bit fingerprints; the
     // oracle replays the pixel rule + NN index map + dHash in SQL and
@@ -1508,6 +1547,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("fp").as("vhash"))
       Dedup.hammingProbe(probe, index, "doc_id", "vhash", maxDist = 1)
         .orderBy("probe_id", "index_id")
+    }),
+    // Audio dedup end-to-end — pairs → connected components → keep
+    // the LONGEST stream per perceptual cluster (sample count, ties
+    // min id); same machinery as the image/video capstones over the
+    // WAV codec fingerprints
+    "q_audio_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.hammingNearDuplicates(
+        Multimodal.audioHashes(docs), "doc_id", "ahash", maxDist = 1)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs.select(col("doc_id")), clusters,
+        "doc_id", lit(64) + col("doc_id") % 64)
+        .orderBy("doc_id")
+    }),
+    // Video dedup end-to-end — pairs → connected components → keep
+    // the LONGEST clip per perceptual cluster (total pixel volume,
+    // ties min id); the image capstone's machinery unchanged over the
+    // RIFF demux fingerprints
+    "q_video_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.hammingNearDuplicates(
+        Multimodal.videoHashes(docs), "doc_id", "vhash", maxDist = 1)
+      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs.select(col("doc_id")), clusters,
+        "doc_id",
+        (lit(4) + col("doc_id") % 4) * (lit(8) + col("doc_id") % 5) * lit(8))
+        .orderBy("doc_id")
     }),
     // Image dedup end-to-end — the multimodal analog of the text
     // dedup capstone: dHash pairs → connected components → keep the
@@ -2743,6 +2809,62 @@ object SparkEntry {
          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // retrieval-eval replay: the BM25 math verbatim (idf rounded to
+    // 6 before the product, score to 4) replicated per eval query via
+    // the (query, term) values frame; relevance = every query term at
+    // tf ≥ 3 from the SAME tf aggregation; MRR / P@10 / R@10 as exact
+    // rationals in DOUBLE arithmetic (CAST, not decimal literals)
+    "q_retrieval_eval" ->
+      """WITH qt(query_label, term) AS (VALUES
+           ('merge+query', 'merge'), ('merge+query', 'query'),
+           ('sort+window', 'sort'), ('sort+window', 'window'),
+           ('spark+data', 'spark'), ('spark+data', 'data')),
+         qs AS (SELECT query_label, count(*) AS n_terms FROM qt
+                GROUP BY query_label),
+         d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT qt.query_label, tf.doc_id,
+             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
+             count(*) AS n_present, min(tf.tf) AS min_tf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+             JOIN qt USING (term)
+           GROUP BY qt.query_label, tf.doc_id),
+         ranked AS (SELECT query_label, doc_id, rank FROM (
+             SELECT query_label, doc_id, row_number() OVER (
+               PARTITION BY query_label ORDER BY bm25 DESC, doc_id) AS rank
+             FROM sc) WHERE rank <= 10),
+         rel AS (SELECT sc.query_label, sc.doc_id
+                 FROM sc JOIN qs USING (query_label)
+                 WHERE n_present = n_terms AND min_tf >= 3),
+         nrel AS (SELECT query_label, count(*) AS n_relevant FROM rel
+                  GROUP BY query_label),
+         hit AS (SELECT r.query_label,
+                   CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
+                 FROM ranked r LEFT JOIN rel
+                   ON rel.query_label = r.query_label AND rel.doc_id = r.doc_id
+                 GROUP BY r.query_label)
+         SELECT q.query_label,
+           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(fr, 0) AS INT) AS first_rank,
+           coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr,
+           round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / 10, 4) AS p_at_k,
+           CASE WHEN coalesce(n_relevant, 0) > 0
+                THEN round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_relevant, 4)
+                ELSE CAST(0 AS DOUBLE) END AS r_at_k
+         FROM (SELECT DISTINCT query_label FROM qt) q
+         LEFT JOIN nrel USING (query_label)
+         LEFT JOIN hit USING (query_label)
+         ORDER BY query_label""",
     // RRF fusion: both branch rankings replayed top-50, reciprocal
     // terms as IEEE doubles (CAST, not decimal literals) in a fixed
     // addition order — engine-identical bits before the round
@@ -3259,6 +3381,78 @@ object SparkEntry {
          FROM embeddings e JOIN b ON b.vec_id = e.vec_id
          WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // JL projection replay: the md5 plane matrix + the index-ordered
+    // dot fold (list_reduce over a prepended 0.0 accumulator) —
+    // byte-identical to both the composed Spark fold and the native
+    // expression's primitive loop
+    "q_embed_project" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
+         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                        for j in range(0, nd)] for p in range(0, 8)] AS planes
+                FROM dm)
+         SELECT vec_id, CAST(ps.p AS INT) AS p,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [ve[j+1] * planes[ps.p+1][j+1] for j in range(0, len(ve))]),
+             (acc, x) -> acc + x), 6) AS comp
+         FROM v CROSS JOIN pl CROSS JOIN range(0, 8) ps(p)
+         ORDER BY vec_id, p""",
+    // projected-space serving scan replay: project every vector with
+    // the same fold, then rank by cosine over the projected lists
+    "q_knn_projected" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
+         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                        for j in range(0, nd)] for p in range(0, 8)] AS planes
+                FROM dm),
+         b AS (SELECT vec_id,
+                 [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
+                    (acc, x) -> acc + x) for p in range(0, 8)] AS pv
+               FROM v CROSS JOIN pl)
+         SELECT vec_id,
+           round(list_cosine_similarity(pv,
+             (SELECT pv FROM b WHERE vec_id = 0)), 4) AS proj_sim
+         FROM b ORDER BY proj_sim DESC, vec_id LIMIT 10""",
+    // projected-vs-exact recall replay: both rankings rebuilt in SQL
+    // (projected cosine over the replayed folds; exact cosine over
+    // the stored vectors), overlap counted per query
+    "q_ann_projected_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
+         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
+                        for j in range(0, nd)] for p in range(0, 8)] AS planes
+                FROM dm),
+         b AS (SELECT vec_id,
+                 [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
+                    (acc, x) -> acc + x) for p in range(0, 8)] AS pv
+               FROM v CROSS JOIN pl),
+         qp AS (SELECT vec_id AS query_id, pv FROM b
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         pr AS (SELECT qp.query_id, b.vec_id,
+                  round(list_cosine_similarity(b.pv, qp.pv), 4) AS s
+                FROM b CROSS JOIN qp),
+         pk AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+                  FROM pr) WHERE rn <= 10),
+         ex AS (SELECT q.vec_id AS query_id, e.vec_id,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])), 4) AS s
+                FROM embeddings e,
+                     (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id IN (0, 1, 2, 3, 4)) q),
+         ek AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+                  FROM ex) WHERE rn <= 10)
+         SELECT ek.query_id, count(*) AS n_exact,
+           CAST(coalesce(sum(CASE WHEN pk.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+           round(coalesce(sum(CASE WHEN pk.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
+         FROM ek LEFT JOIN pk
+           ON pk.query_id = ek.query_id AND pk.vec_id = ek.vec_id
+         GROUP BY ek.query_id ORDER BY ek.query_id""",
     "q_embedding_neardup_md5" ->
       """WITH corpus AS (
            SELECT vec_id, embedding FROM embeddings
@@ -4689,6 +4883,35 @@ object SparkEntry {
                          THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
            round(sum(v) * 1.0 / count(*), 4) AS mean_amp
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // peak-normalization replay: per-doc peak = max|v|, then the
+    // sign-peeled integer scale w = sign·(|v|·30000 // peak) — floor
+    // division on non-negative operands only, matching the Scala
+    // rule's truncating division exactly — and the same exact stats
+    // as q_audio_real over the scaled stream
+    "q_audio_normalize" ->
+      """WITH s AS (
+           SELECT d.doc_id, r.i,
+             (d.doc_id * 31 + r.i * 7919) % 65536 - 32768 AS v
+           FROM documents d, range(0, 128) r(i)
+           WHERE r.i < 64 + d.doc_id % 64),
+         p AS (SELECT doc_id, max(abs(v)) AS peak FROM s GROUP BY doc_id),
+         nv AS (SELECT s.doc_id, s.i, p.peak,
+             CASE WHEN v < 0 THEN -(((-v) * 30000) // p.peak)
+                  ELSE (v * 30000) // p.peak END AS w
+           FROM s JOIN p ON p.doc_id = s.doc_id),
+         c AS (SELECT doc_id, peak, w,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw FROM nv)
+         SELECT doc_id,
+           CAST(max(peak) AS INT) AS peak_before,
+           count(*) AS n_samples,
+           CAST(sum(w) AS BIGINT) AS sum_amp,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(min(w) AS INT) AS min_amp,
+           CAST(max(w) AS INT) AS max_amp,
+           CAST(sum(CASE WHEN pw IS NOT NULL AND ((pw < 0) <> (w < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     // image near-dup: replay pixel rule + NN 9×8 index map + dHash
     // bit rule in SQL, brute-force Hamming pairs (band join is
     // lossless for maxDist ≤ 3 by pigeonhole; bit 63 lands on the
@@ -4827,6 +5050,82 @@ object SparkEntry {
            ON p.doc_id % 8 = 4 AND i.doc_id % 8 <> 4
          WHERE bit_count(xor(p.f, i.f)) <= 1
          ORDER BY probe_id, index_id""",
+    // audio envelope-hash pair replay + component closure +
+    // keep-longest-stream survivor policy (sample count desc, doc_id)
+    // — the audio analog of q_image_dedup_survivors' oracle
+    "q_audio_dedup_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, 64 + doc_id % 64 AS n
+           FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + (((g+1)*n)//65)*7919) % 65536 - 32768) >
+                       ((doc_id*31 + ((g*n)//65)*7919) % 65536 - 32768)
+                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << g) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 64) gs(g)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 1),
+         sym AS (SELECT id_a AS a, id_b AS b FROM pr
+                 UNION SELECT id_b AS a, id_a AS b FROM pr),
+         reach AS (SELECT a, b FROM sym
+                   UNION
+                   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (SELECT a AS node, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         pf AS (SELECT c.doc_id, comp.component,
+                  64 + c.doc_id % 64 AS pf
+                FROM documents c JOIN comp ON comp.node = c.doc_id),
+         win AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY component
+               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
+         SELECT doc_id FROM documents
+         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = documents.doc_id)
+            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = documents.doc_id)
+         ORDER BY doc_id""",
+    // video fingerprint pair replay + component closure +
+    // keep-longest-clip survivor policy (frame·pixel volume desc,
+    // doc_id) — the video analog of q_image_dedup_survivors' oracle
+    "q_video_dedup_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+             (8 + doc_id % 5) * 8 AS wh,
+             (4 + doc_id % 4) * (8 + doc_id % 5) * 8 AS n
+           FROM documents),
+         bits AS (
+           SELECT doc_id,
+             CASE WHEN ((doc_id*31 + ((((g+1)*n)//65) // wh)*101
+                         + ((((g+1)*n)//65) % wh)*7919) % 256) >
+                       ((doc_id*31 + (((g*n)//65) // wh)*101
+                         + (((g*n)//65) % wh)*7919) % 256)
+                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << g) END)
+                  ELSE 0 END AS b
+           FROM d, range(0, 64) gs(g)),
+         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
+           FROM bits GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 1),
+         sym AS (SELECT id_a AS a, id_b AS b FROM pr
+                 UNION SELECT id_b AS a, id_a AS b FROM pr),
+         reach AS (SELECT a, b FROM sym
+                   UNION
+                   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (SELECT a AS node, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         pf AS (SELECT c.doc_id, comp.component,
+                  (4 + c.doc_id % 4) * (8 + c.doc_id % 5) * 8 AS pf
+                FROM documents c JOIN comp ON comp.node = c.doc_id),
+         win AS (SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY component
+               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
+         SELECT doc_id FROM documents
+         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = documents.doc_id)
+            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = documents.doc_id)
+         ORDER BY doc_id""",
     // dHash pair replay + component closure + keep-highest-resolution
     // survivor policy (pixel count desc, doc_id) — the image analog of
     // q_dedup_survivors_best_md5's oracle

@@ -343,6 +343,42 @@ object Multimodal {
       hist
     }
 
+    /** Peak-normalize a PCM stream to `targetPeak`: every sample
+      * scales by targetPeak/peak in EXACT integer arithmetic —
+      * sign·(|v|·targetPeak / peak) with non-negative integer
+      * division, so the rule replays verbatim in SQL (floor ==
+      * truncation on non-negative operands; Java's truncating `/` on
+      * a signed product would NOT match SQL floor division for
+      * negative samples, which is why the sign is peeled first). The
+      * loudness-alignment stage every speech/audio training corpus
+      * runs before featurization. `targetPeak ≤ 32767` can never
+      * clip (|v| ≤ peak ⇒ scaled ≤ targetPeak); silence (peak 0) has
+      * no direction and passes through unchanged.
+      */
+    def normalize(samples: Array[Short], targetPeak: Int): Array[Short] = {
+      require(targetPeak > 0 && targetPeak <= 32767,
+        s"targetPeak must be in [1, 32767], got $targetPeak")
+      var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toInt)
+        if (a > peak) peak = a
+        i += 1
+      }
+      if (peak == 0) samples
+      else {
+        val out = new Array[Short](samples.length)
+        i = 0
+        while (i < samples.length) {
+          val v = samples(i).toInt
+          val s = math.abs(v).toLong * targetPeak / peak
+          out(i) = (if (v < 0) -s else s).toShort
+          i += 1
+        }
+        out
+      }
+    }
+
     /** Envelope difference hash of a PCM stream — the audio
       * counterpart of [[ImageCodec.dHash]]: the signal is NN-sampled
       * onto 65 points with the same explicit index map discipline
@@ -666,6 +702,26 @@ object Multimodal {
       fp
     }
 
+    /** Per-frame nearest-neighbor resize + re-mux at the original
+      * frame rate — the video form of [[ImageCodec.resize]]'s
+      * explicit index map (src(x·W/w', y·H/h'), no filters), so the
+      * output bytes are reproducible anywhere.
+      */
+    def resize(clip: VideoClip, w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"target dimensions must be positive, got ${w}x$h")
+      val frames = clip.frames.map { fr =>
+        Array.tabulate(w * h) { p =>
+          val x = p % w; val y = p / w
+          fr((y * clip.height / h) * clip.width + (x * clip.width / w))
+        }
+      }
+      val fps =
+        if (clip.microSecPerFrame > 0)
+          math.max(1, (1000000L / clip.microSecPerFrame).toInt)
+        else 25
+      encodeAvi(frames, w, h, fps)
+    }
+
     /** Render the deterministic gray test clip for doc `id`:
       * F = 4+id%4 frames of (8+id%5)×8, 4 fps, pixel (f, p) =
       * (id·31 + f·101 + p·7919) mod 256 with p the top-down row-major
@@ -747,8 +803,10 @@ object Multimodal {
     * frame sampler applies per frame. Narrow mapPartitions like the
     * other codec stages: one codec context per partition, payloads
     * never shuffle. Decodable images resize for REAL (deterministic
-    * nearest-neighbor + PNG re-encode); other kinds and undecodable
-    * payloads keep the fake byte resize.
+    * nearest-neighbor + PNG re-encode); decodable AVI video resizes
+    * for real too — the SAME explicit NN index map applied per frame,
+    * then re-muxed at the original frame rate; other kinds and
+    * undecodable payloads keep the fake byte resize.
     */
   def resizeAssets(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     require(w > 0 && h > 0, s"target dimensions must be positive, got ${w}x$h")
@@ -756,10 +814,13 @@ object Multimodal {
     import spark.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val resized =
-          (if (a.kind == "image") ImageCodec.decode(a.content) else None)
-            .map(img => ImageCodec.resize(img, w, h))
-            .getOrElse(FakeCodec.resize(a.content, w, h))
+        val resized = (a.kind match {
+          case "image" =>
+            ImageCodec.decode(a.content).map(img => ImageCodec.resize(img, w, h))
+          case "video" =>
+            VideoCodec.decode(a.content).map(c => VideoCodec.resize(c, w, h))
+          case _ => None
+        }).getOrElse(FakeCodec.resize(a.content, w, h))
         a.copy(content = resized, meta = a.meta.copy(width = w, height = h))
       }
     }
@@ -792,6 +853,32 @@ object Multimodal {
               pcm(((i.toLong * pcm.length) / nOut).toInt))
             a.copy(content = AudioCodec.encodeWav(out, targetRate),
               meta = a.meta.copy(sampleRate = targetRate))
+          case None => a
+        }
+      }
+    }
+  }
+
+  /** Peak-normalize every decodable audio asset to `targetPeak`
+    * through the REAL WAV codec (decode → [[AudioCodec.normalize]] →
+    * re-encode at the source rate) — [[resampleAudio]]'s loudness
+    * sibling, same narrow shape: one codec context per partition,
+    * payloads never shuffle, non-audio kinds and undecodable
+    * payloads pass through untouched (the degrade contract).
+    */
+  def normalizeAudio(assets: Dataset[MediaAsset],
+      targetPeak: Int): Dataset[MediaAsset] = {
+    require(targetPeak > 0 && targetPeak <= 32767,
+      s"targetPeak must be in [1, 32767], got $targetPeak")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.kind != "audio") a
+        else AudioCodec.decode(a.content) match {
+          case Some((rate, pcm)) =>
+            a.copy(content = AudioCodec.encodeWav(
+              AudioCodec.normalize(pcm, targetPeak), rate))
           case None => a
         }
       }
@@ -878,6 +965,47 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_samples", "sum_amp",
         "n_positive", "min_amp", "max_amp", "zero_crossings")
       .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
+  }
+
+  /** Render → WAV → REAL decode → [[AudioCodec.normalize]] → WAV
+    * re-encode → REAL decode → exact integer stats — the
+    * normalization pipeline under the oracle gate: every output
+    * column replays in SQL from the sample rule × the integer scale
+    * rule, so a wrong peak, a sign-mangled scale, or a lossy
+    * re-encode each flips the hash. Narrow per-row codec work, zero
+    * exchanges (the scale shape of every per-doc media stage here).
+    */
+  def realAudioNormalizeStats(documents: DataFrame,
+      targetPeak: Int): DataFrame = {
+    require(targetPeak > 0 && targetPeak <= 32767,
+      s"targetPeak must be in [1, 32767], got $targetPeak")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 64 + (id % 64).toInt
+          val wav = AudioCodec.renderPcmWav(id, 8000, n)
+          val (rate, pcm) = AudioCodec.decode(wav).getOrElse(
+            throw new IllegalStateException(
+              s"WAV round-trip failed for doc $id"))
+          var peak = 0
+          var i = 0
+          while (i < pcm.length) {
+            val a = math.abs(pcm(i).toInt)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val back = AudioCodec.decode(AudioCodec.encodeWav(
+            AudioCodec.normalize(pcm, targetPeak), rate)).getOrElse(
+            throw new IllegalStateException(
+              s"normalized WAV round-trip failed for doc $id"))._2
+          val (ns, sum, pos, mn, mx, cross) = AudioCodec.pcmStats(back)
+          (id, peak, ns, sum, pos, mn, mx, cross)
+        }
+      }
+      .toDF("doc_id", "peak_before", "n_samples", "sum_amp",
+        "n_positive", "min_amp", "max_amp", "zero_crossings")
   }
 
   /** Per-document perceptual fingerprints over the REAL codec path:

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.words
@@ -275,6 +276,94 @@ object SearchOps {
       .orderBy(col("bm25").desc, col("doc_id"))
       .offset(from)
       .limit(k)
+
+  /** Retrieval operating-point evaluation — the [[searchBm25]]
+    * counterpart of annRecall / classifier PR: MRR, precision@k and
+    * recall@k of the BM25 ranking per eval query, against a
+    * deterministic graded-relevance rule (a document is relevant to
+    * a query iff EVERY query term occurs ≥ `minTf` times — the same
+    * tokenizer as the ranking, so ground truth and ranking can never
+    * disagree about what a term is). The measurement that justifies
+    * a retrieval config before a deployment trusts it; every metric
+    * is an exact integer rational (first-rank reciprocal, hit
+    * counts), so the numbers themselves hash-gate.
+    *
+    * Scale shape: ONE corpus tokenize shared across every eval query
+    * (terms ride a broadcast (query, term) frame through the same
+    * tf/df aggregation searchBm25 runs for one query); rankings are
+    * per-query window top-k over the scored subset (docs containing
+    * ≥1 query term), metrics are two bounded aggregations. Eval
+    * batches are small by definition — the corpus pass dominates and
+    * is paid once.
+    */
+  def retrievalEval(documents: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, minTf: Long = 3L): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "retrievalEval needs at least one query with at least one term")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_label", "term")
+    val qs = qt.groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_terms"))
+    val base = documents
+      .select(col("doc_id"), words(col("text")).as("__ws"))
+      .withColumn("dl", size(col("__ws")))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // per-(query, doc) BM25 + the relevance evidence in ONE pass over
+    // the query-term-replicated postings (same idf/tscore math as
+    // scoreBm25, rounded identically)
+    val sc = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qt), "term")
+      .groupBy(col("query_label"), col("doc_id"))
+      .agg(round(sum(col("tscore")), 4).as("bm25"),
+        count(lit(1)).as("n_present"), min(col("tf")).as("min_tf"))
+    val wQ = Window.partitionBy(col("query_label"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val ranked = sc
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select(col("query_label"), col("doc_id"), col("rank"))
+    val rel = sc.join(qs, "query_label")
+      .filter(col("n_present") === col("n_terms") && col("min_tf") >= minTf)
+      .select(col("query_label"), col("doc_id"), lit(1L).as("is_rel"))
+    val nrel = rel.groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = ranked
+      .join(rel, Seq("query_label", "doc_id"), "left")
+      .groupBy(col("query_label"))
+      .agg(coalesce(sum(col("is_rel")), lit(0L)).as("n_hit"),
+        min(when(col("is_rel").isNotNull, col("rank"))).as("fr"))
+    qs.select(col("query_label"))
+      .join(nrel, Seq("query_label"), "left")
+      .join(hits, Seq("query_label"), "left")
+      .select(col("query_label"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("fr"), lit(0)).as("first_rank"),
+        coalesce(round(lit(1.0) / col("fr"), 4), lit(0.0)).as("mrr"),
+        round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) / lit(k), 4)
+          .as("p_at_k"),
+        when(coalesce(col("n_relevant"), lit(0L)) > 0,
+          round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) / col("n_relevant"), 4))
+          .otherwise(lit(0.0)).as("r_at_k"))
+      .orderBy(col("query_label"))
+  }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
     * 2009) — the standard way to blend a lexical and a semantic

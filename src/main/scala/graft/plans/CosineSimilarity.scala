@@ -243,6 +243,11 @@ object GraftFunctions {
       "md5-mode SRP-LSH bucket (cross-engine): (array<double>, planes) -> long",
       arity(TextHashFunctions.Md5SrpBucketName, 2)(e => SrpBucketMd5(e(0),
         TextHashFunctions.intLitValue(e(1))))),
+    (TextHashFunctions.JlProjectName,
+      "JL random projection onto md5 hyperplanes: (array<double>, " +
+        "out-dim) -> array<double>",
+      arity(TextHashFunctions.JlProjectName, 2)(e => JlProjectMd5(e(0),
+        TextHashFunctions.intLitValue(e(1))))),
     (TextHashFunctions.RollingHashName,
       "Karp-Rabin rolling hash of a string in one pass: (string) -> long",
       arity(TextHashFunctions.RollingHashName, 1)(e => RollingHash(e(0)))),

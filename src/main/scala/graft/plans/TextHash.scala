@@ -358,6 +358,30 @@ object Md5VectorHashUtil {
     }
     bucket
   }
+
+  /** Johnson–Lindenstrauss projection onto `outDim` md5 hyperplanes —
+    * [[srpBucketMd5]] WITHOUT the sign quantization: component p is
+    * the index-ordered dot <v, plane_p> itself, so the projected
+    * doubles (not just their signs) are bit-identical to the composed
+    * fold and to a sequential list_reduce in the oracle engine. One
+    * primitive multiply-add pass per row over the memoized plane
+    * matrix.
+    */
+  def jlProject(v: ArrayData, outDim: Int): ArrayData = {
+    val dims = v.numElements()
+    val planes = md5Planes(outDim, dims)
+    val out = new Array[Any](outDim)
+    var p = 0
+    while (p < outDim) {
+      val pl = planes(p)
+      var d = 0.0
+      var j = 0
+      while (j < dims) { d += v.getDouble(j) * pl(j); j += 1 }
+      out(p) = d
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 case class SrpBucketMd5(child: Expression, nPlanes: Int)
@@ -373,6 +397,29 @@ case class SrpBucketMd5(child: Expression, nPlanes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.Md5VectorHashUtil.srpBucketMd5($c, $nPlanes);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** JL random projection to `outDim` md5-plane components — the
+  * dimensionality-reduction stage ahead of a 100 TB ANN scan (8
+  * doubles ranked instead of 64 floats ≈ 8× less scan volume per
+  * candidate); the composed `transform(sequence, p -> aggregate(...))`
+  * form evaluates an interpreted lambda per (plane, element) — the
+  * WordNgrams-class hazard this expression exists to avoid.
+  */
+case class JlProjectMd5(child: Expression, outDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argument must be array<double>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Md5VectorHashUtil.jlProject(v.asInstanceOf[ArrayData], outDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.Md5VectorHashUtil.jlProject($c, $outDim);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -524,6 +571,7 @@ object TextHashFunctions {
   val Md5MinHashName = "graft_minhash_md5"
   val Md5SimHashName = "graft_simhash_md5"
   val Md5SrpBucketName = "graft_srp_bucket_md5"
+  val JlProjectName = "graft_jl_project"
   val SimHashName = "graft_simhash"
   val SrpBucketName = "graft_srp_bucket"
   val RollingHashName = "graft_rolling_hash"

@@ -403,6 +403,107 @@ object Similarity {
       call_function(TextHashFunctions.Md5SrpBucketName, asDouble(v), lit(nPlanes))
     else srpBucketMd5(v, nPlanes)
 
+  /** Composed JL projection: component p = the index-ordered dot
+    * <v, plane_p> over the SAME md5 hyperplane family as
+    * [[srpBucketMd5]] (Achlioptas-style deterministic projection
+    * matrix — no RNG state, reproducible in any engine with md5).
+    * Johnson–Lindenstrauss: pairwise angles are approximately
+    * preserved at outDim ≪ dim, so a 100 TB ANN scan can rank 8
+    * doubles instead of 64 floats — ~8× less scan volume per
+    * candidate, with recall measured (not assumed) by
+    * [[projectedRecall]].
+    */
+  def jlProjectMd5(v: Column, outDim: Int): Column =
+    // the outer transform runs over a literal sequence, so a null
+    // vector must be peeled explicitly to keep the native
+    // expression's null-in/null-out contract (not an array of nulls)
+    when(v.isNotNull,
+      transform(sequence(lit(0), lit(outDim - 1)), p =>
+        aggregate(zip_with(asDouble(v), sequence(lit(0), size(v) - 1),
+          (x, j) => x * planeComponentMd5(p, j)),
+          lit(0.0), (acc, x) => acc + x)))
+
+  /** Session-aware JL projection: the native one-pass expression
+    * (graft.plans.JlProjectMd5 — the composed form is an interpreted
+    * lambda per (plane, element), the WordNgrams-class hazard) when
+    * registered, composed otherwise; bit parity spec'd.
+    */
+  def jlProjectFor(df: DataFrame)(v: Column, outDim: Int): Column =
+    if (TextHashFunctions.isRegistered(df.sparkSession))
+      call_function(TextHashFunctions.JlProjectName, asDouble(v), lit(outDim))
+    else jlProjectMd5(v, outDim)
+
+  /** Projected-component readout: one row per (vec_id, plane index,
+    * 6-rounded component) — the exploded form every engine can
+    * hash-compare. NARROW: projection is a per-row multiply-add
+    * pass; nothing shuffles but the generator output.
+    */
+  def randomProject(embeddings: DataFrame, outDim: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        posexplode(jlProjectFor(embeddings)(col("embedding"), outDim))
+          .as(Seq("p", "c")))
+      .select(col("vec_id"), col("p"), round(col("c"), 6).as("comp"))
+
+  /** (vec_id, pvec) projected vectors — the reusable internal form. */
+  private def projectedVectors(embeddings: DataFrame,
+      outDim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      jlProjectFor(embeddings)(col("embedding"), outDim).as("pvec"))
+
+  /** Exact top-k by cosine IN THE PROJECTED SPACE — the serving scan
+    * a JL deployment runs: same plan shape as [[bruteForceTopK]]
+    * (one broadcast query row, narrow scoring scan, TakeOrdered) but
+    * the scan ranks outDim doubles per row instead of the full
+    * vector. Unrounded projections feed the cosine (they are already
+    * bit-identical cross-engine by the index-ordered-fold argument);
+    * only the readout rounds.
+    */
+  def projectedTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      outDim: Int): DataFrame = {
+    val proj = projectedVectors(embeddings, outDim)
+    val q = proj.filter(col("vec_id") === queryId)
+      .select(col("pvec").as("q_pvec"))
+    proj.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineFor(embeddings)(col("pvec"), col("q_pvec")), 4)
+          .as("proj_sim"))
+      .orderBy(col("proj_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the projected-space ranking against the full-dim
+    * exact ranking for `queryIds` — the measurement that justifies a
+    * projection width before a deployment trusts it (the
+    * [[annRecall]] convention: both rankings replay in the oracle
+    * engine, so the recall numbers themselves are hash-gated).
+    */
+  def projectedRecall(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, outDim: Int): DataFrame = {
+    val proj = projectedVectors(embeddings, outDim)
+    val qs = proj.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("pvec").as("q_pvec"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("proj_sim").desc, col("vec_id"))
+    val approx = proj
+      .crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFor(embeddings)(col("pvec"), col("q_pvec")), 4)
+          .as("proj_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    multiQueryTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   private def bucketExprFor(df: DataFrame, hashMode: String)(
       v: Column, nPlanes: Int): Column = {
     require(hashMode == "xx" || hashMode == "md5",

@@ -264,6 +264,69 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("normalizeAudio: exact integer peak scale, silence + degrade passthrough") {
+    import spark.implicits._
+    import Multimodal.AudioCodec
+    // known stream: peak 20000, mixed signs, a small value that
+    // scales to zero — every output sample checked against the
+    // sign-peeled integer rule
+    val pcm = Array[Short](-20000, 10000, -1, 0, 1, 19999)
+    val direct = AudioCodec.normalize(pcm, 30000)
+    assert(direct.toSeq === Seq[Short](-30000, 15000, -1, 0, 1, 29998))
+    assert(direct.toSeq === pcm.toSeq.map { v =>
+      val s = math.abs(v.toInt).toLong * 30000 / 20000
+      (if (v < 0) -s else s).toShort
+    })
+    // Short.MinValue peak: |−32768| is the peak, never clips
+    val extreme = AudioCodec.normalize(Array[Short](Short.MinValue, 32767), 32767)
+    assert(extreme.toSeq === Seq[Short](-32767, 32766))
+    // silence has no direction — unchanged
+    assert(AudioCodec.normalize(Array[Short](0, 0), 30000).toSeq === Seq[Short](0, 0))
+    intercept[IllegalArgumentException] { AudioCodec.normalize(pcm, 0) }
+    intercept[IllegalArgumentException] { AudioCodec.normalize(pcm, 32768) }
+    // asset path: real audio rewrites through the codec, poison and
+    // non-audio rows pass through untouched
+    val wav = AudioCodec.encodeWav(pcm, 16000)
+    val real = Multimodal.MediaAsset(1L, "audio", wav,
+      Multimodal.MediaMeta(0, 0, 16000, 12L, "wav"))
+    val poison = Multimodal.MediaAsset(2L, "audio",
+      "not audio".getBytes("UTF-8"),
+      Multimodal.MediaMeta(0, 0, 16000, 1000L, "wav"))
+    val video = Multimodal.MediaAsset(3L, "video", "vvv".getBytes("UTF-8"),
+      Multimodal.MediaMeta(640, 360, 0, 2000L, "mp4"))
+    val out = Multimodal.normalizeAudio(
+      spark.createDataset(Seq(real, poison, video)), 30000)
+      .collect().map(a => a.asset_id -> a).toMap
+    val (rate, back) = AudioCodec.decode(out(1L).content).get
+    assert(rate === 16000)
+    assert(back.toSeq === direct.toSeq)
+    assert(out(2L).content.toSeq === poison.content.toSeq)
+    assert(out(3L).content.toSeq === video.content.toSeq)
+  }
+
+  test("realAudioNormalizeStats matches the direct scale-rule evaluation") {
+    val out = Multimodal.realAudioNormalizeStats(
+      Tables.documents(spark, sfDir).limit(25), 30000).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val n = 64 + (id % 64).toInt
+      val vs = (0 until n).map(i => ((id * 31 + i * 7919) % 65536 - 32768).toInt)
+      val peak = vs.map(math.abs).max
+      val ws = vs.map { v =>
+        val s = math.abs(v).toLong * 30000 / peak
+        (if (v < 0) -s else s).toInt
+      }
+      assert(r.getInt(1) === peak)
+      assert(r.getLong(2) === n.toLong)
+      assert(r.getLong(3) === ws.map(_.toLong).sum)
+      assert(r.getLong(4) === ws.count(_ > 0).toLong)
+      assert(r.getInt(5) === ws.min && r.getInt(6) === ws.max)
+      val crossings = ws.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(7) === crossings.toLong, s"doc $id")
+    }
+  }
+
   test("realAudioStats matches a direct sample-rule evaluation") {
     val out = Multimodal.realAudioStats(
       Tables.documents(spark, sfDir).limit(25)).collect()
@@ -387,6 +450,37 @@ class MultimodalSpec extends SparkSpec {
       val nF = 4 + (id % 4).toInt
       assert(fs.length === (nF + 1) / 2, s"doc $id")
     }
+  }
+
+  test("video resize is exact per-frame NN + re-mux at the source rate") {
+    import spark.implicits._
+    import Multimodal.VideoCodec
+    val avi = VideoCodec.renderGrayAvi(9L) // 12×8, 5 frames
+    val src = VideoCodec.decode(avi).get
+    val real = Multimodal.MediaAsset(1L, "video", avi,
+      Multimodal.MediaMeta(12, 8, 0, 1250L, "avi"))
+    val poison = Multimodal.MediaAsset(2L, "video",
+      "not avi".getBytes("UTF-8"),
+      Multimodal.MediaMeta(640, 360, 0, 2000L, "mp4"))
+    val out = Multimodal.resizeAssets(
+      spark.createDataset(Seq(real, poison)), 6, 4)
+      .collect().map(a => a.asset_id -> a).toMap
+    val back = VideoCodec.decode(out(1L).content).get
+    assert(back.width === 6 && back.height === 4)
+    assert(back.microSecPerFrame === 250000L) // source rate survives
+    assert(back.frames.length === src.frames.length)
+    back.frames.zip(src.frames).foreach { case (got, orig) =>
+      (0 until 4).foreach { y =>
+        (0 until 6).foreach { x =>
+          assert(got(y * 6 + x) ===
+            orig((y * 8 / 4) * 12 + (x * 12 / 6)), s"($x,$y)")
+        }
+      }
+    }
+    assert(out(1L).meta.width === 6 && out(1L).meta.height === 4)
+    // undecodable video payloads keep the fake byte resize
+    assert(out(2L).content.toSeq ===
+      Multimodal.FakeCodec.resize(poison.content, 6, 4).toSeq)
   }
 
   test("feature extraction takes the REAL demux path for decodable video") {

@@ -88,6 +88,47 @@ class SearchOpsSpec extends SparkSpec {
     assert(scores.sorted(Ordering[Double].reverse).toSeq === scores.toSeq)
   }
 
+  test("retrievalEval: metrics match a per-row Scala reference over the corpus") {
+    import org.apache.spark.sql.functions.col
+    val queries = Seq("merge+query" -> Seq("merge", "query"),
+      "sort+window" -> Seq("sort", "window"))
+    val out = SearchOps.retrievalEval(docs, queries, 10).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("merge+query", "sort+window"))
+    // Scala reference: whitespace tokenize, relevance = every term
+    // ≥3 times, ranking = the already-spec'd searchBm25
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    queries.foreach { case (label, terms) =>
+      val rel = texts.filter { case (_, ws) =>
+        terms.forall(t => ws.count(_ == t) >= 3)
+      }.keySet
+      val ranked = SearchOps.searchBm25(docs, terms, 10).collect()
+        .map(_.getLong(0)).toSeq
+      val hits = ranked.filter(rel)
+      val fr = ranked.zipWithIndex.collectFirst {
+        case (id, i) if rel(id) => i + 1
+      }
+      val r = out(label)
+      assert(r.getLong(1) === rel.size.toLong, s"$label n_relevant")
+      assert(r.getLong(2) === hits.size.toLong, s"$label n_hit")
+      assert(r.getInt(3) === fr.getOrElse(0), s"$label first_rank")
+      val mrr = fr.map(x => BigDecimal(1.0 / x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).getOrElse(0.0)
+      assert(r.getDouble(4) === mrr, s"$label mrr")
+      assert(r.getDouble(5) === hits.size / 10.0, s"$label p_at_k")
+      val rk = if (rel.nonEmpty) BigDecimal(hits.size.toDouble / rel.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(r.getDouble(6) === rk, s"$label r_at_k")
+    }
+    // a query whose terms never reach the tf floor: zero relevant,
+    // recall pinned to 0.0 rather than a division error
+    val none = SearchOps.retrievalEval(docs,
+      Seq("nohit" -> Seq("zzzznotaword")), 5).collect()
+    assert(none.length === 1)
+    assert(none(0).getLong(1) === 0L && none(0).getDouble(6) === 0.0)
+  }
+
   test("hybrid RRF fuses lexical and semantic ranks; single-list docs score once") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sfDir)

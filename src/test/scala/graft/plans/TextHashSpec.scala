@@ -213,4 +213,42 @@ class TextHashSpec extends SparkSpec {
       .collect()
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
+
+  test("native JL projection ≡ composed JL projection, bit for bit") {
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val both = emb.select(
+      graft.similarity.Similarity.jlProjectMd5($"embedding", 8).as("composed"),
+      call_function(TextHashFunctions.JlProjectName,
+        $"embedding".cast("array<double>"), lit(8)).as("native"))
+      .collect()
+    both.foreach { r =>
+      val c = r.getSeq[Double](0); val n = r.getSeq[Double](1)
+      assert(c.size === 8 && n.size === 8)
+      c.zip(n).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b), r.toString)
+      }
+    }
+    // the projection's sign pattern IS the SRP bucket — the two
+    // expressions share the plane matrix by construction
+    val cross = emb.select(
+      call_function(TextHashFunctions.JlProjectName,
+        $"embedding".cast("array<double>"), lit(8)).as("pv"),
+      call_function(TextHashFunctions.Md5SrpBucketName,
+        $"embedding".cast("array<double>"), lit(8)).as("bucket"))
+      .collect()
+    cross.foreach { r =>
+      val pv = r.getSeq[Double](0)
+      val expected = pv.zipWithIndex
+        .map { case (d, p) => if (d >= 0) 1L << p else 0L }.sum
+      assert(r.getLong(1) === expected)
+    }
+    // null vector → null projection on both paths
+    val nulls = Seq((1L, null: Array[Double])).toDF("id", "v")
+      .select(graft.similarity.Similarity.jlProjectMd5($"v", 4).as("c"),
+        call_function(TextHashFunctions.JlProjectName,
+          $"v".cast("array<double>"), lit(4)).as("n"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

@@ -28,6 +28,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("JL projection: exact plane-rule components, self tops projected ranking") {
+    // components match a direct Scala evaluation of the md5 plane rule
+    val rows = Similarity.randomProject(emb.limit(20), 8)
+      .orderBy("vec_id", "p").collect()
+    val vecs = emb.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def plane(p: Int, j: Int): Double = {
+      md.reset()
+      val d = md.digest(s"$p|$j".getBytes("UTF-8"))
+      val m = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (m % 1000L).toDouble / 1000.0 - 0.5
+    }
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0)); val p = r.getInt(1)
+      var dot = 0.0
+      var j = 0
+      while (j < v.length) { dot += v(j) * plane(p, j); j += 1 }
+      val expected = BigDecimal(dot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expected, s"vec ${r.getLong(0)} p $p")
+    }
+    // projected serving scan: self similarity is 1.0 and tops the list
+    val top = Similarity.projectedTopK(emb, 0L, 10, outDim = 8).collect()
+    assert(top(0).getLong(0) === 0L && top(0).getDouble(1) === 1.0)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sorted(Ordering[Double].reverse).toSeq === sims.toSeq)
+  }
+
+  test("projectedRecall: wider projections never hurt; self always hits") {
+    val r8 = Similarity.projectedRecall(emb, Seq(0L, 1L, 2L), 10, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r8.keySet === Set(0L, 1L, 2L))
+    // the query itself ranks first in BOTH spaces → recall ≥ 1/k > 0
+    r8.values.foreach(v => assert(v > 0.0 && v <= 1.0))
+    // projecting onto MORE planes preserves more geometry on average;
+    // assert the aggregate, not per-query (JL is probabilistic)
+    val r32 = Similarity.projectedRecall(emb, Seq(0L, 1L, 2L), 10, 32)
+      .collect().map(r => r.getDouble(3))
+    assert(r32.sum >= r8.values.sum - 0.2001,
+      s"32-dim ${r32.sum} vs 8-dim ${r8.values.sum}")
+  }
+
   test("SRP buckets are deterministic and bounded") {
     val b1 = emb.select(Similarity.srpBucket($"embedding", 4).as("b"))
       .agg(min("b"), max("b")).head
