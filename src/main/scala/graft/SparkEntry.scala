@@ -837,6 +837,14 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKFromIndex(s.read.parquet(builtIvfIndex(s, d)),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // Index maintenance: the same probe over an index built as
+    // base-write + batch-APPEND against frozen centroids — append ≡
+    // rebuild exactly (frozen per-row assignment, order-blind cells),
+    // gated by sharing the full-rebuild oracle; per-batch cost is
+    // O(batch), the existing inverted lists are never read
+    "q_ann_ivf_incremental" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(s.read.parquet(builtIvfIncIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // SemDeDup served from the SAME written index the ANN probe uses:
     // the cell partitioning is already on disk, dedup skips assignment
     "q_semdedup_indexed" -> ((s, d) =>
@@ -1476,7 +1484,8 @@ object SparkEntry {
     "q_media_real" -> ((s, d) =>
       Multimodal.realImageStats(Tables.documents(s, d))
         .orderBy("doc_id")),
-    // REAL audio decode (javax.sound.sampled — the JDK WAV codec):
+    // REAL audio decode (hand-rolled RIFF/WAVE PCM codec; javax
+    // interop spec'd, kept off the hot path — see AudioCodec):
     // deterministic PCM test tones WAV-encode → decode → exact
     // sample reductions; the oracle replays the sample rule, so any
     // dropped/reordered/byte-swapped sample hash-fails
@@ -1502,7 +1511,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     // Perceptual AUDIO near-dup: render → WAV → REAL decode →
     // envelope dHash, banded Hamming join — the image near-dup story
-    // on the javax.sound codec path; the oracle replays the sample
+    // on the real WAV codec path; the oracle replays the sample
     // rule + NN envelope map + bit rule and brute-forces pairs
     "q_audio_neardup" -> ((s, d) =>
       Dedup.hammingNearDuplicates(
@@ -1788,6 +1797,22 @@ object SparkEntry {
   private def builtIvfIndex(s: SparkSession, d: String): String =
     builtIndexDir("graft_ivf", d) { p =>
       Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
+    }
+
+  /** Build-once INCREMENTALLY-assembled IVF index: the seven-eighths
+    * base written, then the ids ≡ 3 mod 8 batch APPENDED against the
+    * same frozen centroids. Probing it must equal probing a full
+    * rebuild — q_ann_ivf_incremental shares q_ann_ivf_indexed's
+    * full-corpus oracle SQL, so a divergence between append and
+    * rebuild fails the hash gate itself.
+    */
+  private def builtIvfIncIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_inc", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") % 8 =!= 3), seedCents16(s, d), p)
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p)
     }
 
   /** Build-once WRITTEN DSIR model per corpus — the full artifact
@@ -3541,6 +3566,29 @@ object SparkEntry {
     // identical semantics to q_ann_ivf — the Spark side differs only
     // in serving the probe from the written partition-pruned index
     "q_ann_ivf_indexed" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // the incremental index shares the FULL-REBUILD replay verbatim:
+    // append ≡ rebuild is the operator's exactness claim, so the
+    // oracle for the appended index IS the oracle for the rebuilt one
+    "q_ann_ivf_incremental" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * IMAGES decode for real: [[ImageCodec]] rides `javax.imageio`
   * (bundled in the JDK — PNG/JPEG/BMP/GIF, zero new dependencies)
   * for metadata, pixel features, and nearest-neighbor resize.
-  * AUDIO decodes for real too: [[AudioCodec]] rides
-  * `javax.sound.sampled` (also JDK-bundled — WAV/PCM, lossless) for
-  * sample-exact decode, amplitude features, and the oracle-gated
-  * round-trip pipeline. VIDEO decodes for real as well:
+  * AUDIO decodes for real too: [[AudioCodec]] is a hand-rolled
+  * spec-conformant RIFF/WAVE PCM reader+writer (lossless,
+  * sample-exact; javax.sound interop spec'd, but kept off the hot
+  * path — AudioSystem's provider registry serializes concurrent
+  * decodes) for amplitude features and the oracle-gated round-trip
+  * pipeline. VIDEO decodes for real as well:
   * [[VideoCodec]] is a hand-rolled reader/writer for the
   * uncompressed-AVI profile (RIFF 'AVI ' container, single 'vids'
   * stream, BI_RGB 24-bit bottom-up DIB frames — a public Microsoft
@@ -243,66 +245,121 @@ object Multimodal {
     }
   }
 
-  /** REAL audio codec on `javax.sound.sampled` — the JDK's built-in
-    * WAV/PCM support (WaveFileReader/Writer ship with the JRE,
-    * headless-safe, zero new dependencies): the audio counterpart of
-    * [[ImageCodec]]. 16-bit signed little-endian mono PCM in a WAV
-    * container is lossless, so decode must invert encode
-    * sample-for-sample — the same round-trip contract the image path
-    * oracles.
+  /** REAL audio codec — a hand-rolled, spec-conformant reader and
+    * writer for the canonical WAV profile: RIFF 'WAVE' container,
+    * 'fmt ' PCM header, 'data' chunk of 16-bit signed little-endian
+    * mono samples (the [[VideoCodec]] precedent applied to audio —
+    * the RIFF layout is the same public Microsoft format family, and
+    * PCM needs no entropy decoder, so full container parsing is pure
+    * JVM). PCM in WAV is lossless, so decode must invert encode
+    * sample-for-sample — the same round-trip contract the image and
+    * video paths oracle.
+    *
+    * This codec originally rode `javax.sound.sampled.AudioSystem`;
+    * that path is CORRECT but serializes under concurrency — the
+    * provider-registry lookup inside getAudioInputStream/write is
+    * effectively a global lock, which flattened the 32-thread codec
+    * stage to single-thread throughput (measured ~0.57 ms/doc FLAT
+    * from 1× to 10× corpus while the hand-rolled AVI path moved 30×
+    * more pixel bytes in 1/30 the wall time). Same acceptance
+    * contract: only the 16-bit mono PCM profile this module writes
+    * decodes; anything else — other depths/channels/encodings,
+    * truncated chunks, non-RIFF bytes — is "not ours", degrade to
+    * None ([[ImageCodec.decode]]'s contract).
     */
   object AudioCodec {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
-    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-    /** Encode 16-bit signed mono PCM samples as a WAV payload. */
+    private def writeU32(out: Array[Byte], off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def writeU16(out: Array[Byte], off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def writeCc(out: Array[Byte], off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, out, off, 4)
+    }
+
+    /** Encode 16-bit signed mono PCM samples as a canonical 44-byte-
+      * header WAV payload (RIFF size = 36 + data bytes; PCM fmt chunk
+      * of size 16; byteRate = rate·2, blockAlign = 2).
+      */
     def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
-      val bytes = new Array[Byte](samples.length * 2)
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      writeCc(out, 0, "RIFF"); writeU32(out, 4, 36L + dataSize)
+      writeCc(out, 8, "WAVE")
+      writeCc(out, 12, "fmt "); writeU32(out, 16, 16L)
+      writeU16(out, 20, 1) // PCM
+      writeU16(out, 22, 1) // mono
+      writeU32(out, 24, sampleRate.toLong)
+      writeU32(out, 28, sampleRate.toLong * 2) // byte rate
+      writeU16(out, 32, 2) // block align
+      writeU16(out, 34, 16) // bits per sample
+      writeCc(out, 36, "data"); writeU32(out, 40, dataSize.toLong)
       var i = 0
       while (i < samples.length) {
-        bytes(2 * i) = (samples(i) & 0xff).toByte
-        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        out(44 + 2 * i) = (samples(i) & 0xff).toByte
+        out(45 + 2 * i) = ((samples(i) >> 8) & 0xff).toByte
         i += 1
       }
-      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-      val ais = new AudioInputStream(
-        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
-      val bos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      out
     }
 
     /** Decode a WAV payload to (sampleRate, 16-bit mono samples);
       * None when the bytes are not decodable audio (the degrade
-      * signal, exactly [[ImageCodec.decode]]'s contract). Only the
-      * 16-bit signed mono PCM profile this module writes is accepted
-      * — a different profile is "not ours", degrade.
+      * signal). A real chunk walk, not a fixed-offset read: unknown
+      * chunks (LIST/fact/cue…) skip with RIFF even-byte padding, the
+      * 'fmt ' header is validated before 'data' is trusted, and a
+      * declared chunk running past the payload is truncation —
+      * degrade, never a partial read.
       */
-    def decode(content: Array[Byte]): Option[(Int, Array[Short])] =
-      if (content == null || content.isEmpty) None
-      else
-        try {
-          val ais = AudioSystem.getAudioInputStream(
-            new ByteArrayInputStream(content))
-          val f = ais.getFormat
-          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-              f.isBigEndian ||
-              f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
-          else {
-            val bytes = ais.readAllBytes()
-            val out = new Array[Short]((bytes.length / 2))
-            var i = 0
-            while (i < out.length) {
-              out(i) = ((bytes(2 * i) & 0xff) |
-                (bytes(2 * i + 1) << 8)).toShort
-              i += 1
-            }
-            Some((f.getSampleRate.toInt, out))
+    def decode(content: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (content == null || content.length < 12) return None
+      def cc(o: Int): String = new String(content, o, 4, "US-ASCII")
+      def u32(o: Int): Long =
+        (content(o) & 0xffL) | ((content(o + 1) & 0xffL) << 8) |
+          ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+      def u16(o: Int): Int =
+        (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      if (cc(0) != "RIFF" || cc(8) != "WAVE") return None
+      val riffEnd = math.min(content.length.toLong, 8L + u32(4)).toInt
+      var pos = 12
+      var rate = -1
+      var fmtOk = false
+      while (pos + 8 <= riffEnd) {
+        val id = cc(pos)
+        val size = u32(pos + 4)
+        val body = pos + 8
+        if (body + size > riffEnd) return None // truncated chunk
+        if (id == "fmt ") {
+          if (size < 16) return None
+          val audioFormat = u16(body)
+          val channels = u16(body + 2)
+          val bits = u16(body + 14)
+          if (audioFormat != 1 || channels != 1 || bits != 16) return None
+          rate = u32(body + 4).toInt
+          fmtOk = true
+        } else if (id == "data") {
+          if (!fmtOk) return None // data before a valid fmt: not ours
+          val n = (size / 2).toInt
+          val outArr = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            outArr(i) = ((content(body + 2 * i) & 0xff) |
+              (content(body + 2 * i + 1) << 8)).toShort
+            i += 1
           }
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
+          return Some((rate, outArr))
         }
+        pos = body + size.toInt + (size.toInt & 1) // RIFF even padding
+      }
+      None
+    }
 
     /** Exact integer PCM features in one pass: sample count, sum,
       * positive count, min, max, and zero crossings (sign flips
@@ -913,10 +970,28 @@ object Multimodal {
     * Scale shape: narrow mapPartitions (encode+decode per row, no
     * shuffle); only fixed-width scalars leave the stage.
     */
-  def realImageStats(documents: DataFrame): DataFrame = {
+  /** The (doc_id) carrier every render→codec pipeline below maps
+    * over, spread to full core width: codec work costs milliseconds
+    * per row while the carrier is 8 bytes per row, so one narrow id
+    * exchange buys full parallelism even when the corpus scan
+    * arrives as a single small split (exactly the test-scale layout:
+    * one parquet file under the split size ⇒ ONE task doing every
+    * decode). At cluster scale the scan already splits into many
+    * tasks and the id exchange is noise against the per-row codec
+    * cost. Payload bytes still never shuffle — only ids do.
+    */
+  private def docIds(documents: DataFrame)
+      : org.apache.spark.sql.Dataset[Long] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  def realImageStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val w = 16 + (id % 8).toInt
@@ -938,7 +1013,8 @@ object Multimodal {
     * deterministic PCM test tone per document
     * ([[AudioCodec.renderPcmWav]]: sample i = (id·31+i·7) mod 65536
     * − 32768 at n = 64 + id%64 samples, 8 kHz), WAV-encode, decode
-    * via `javax.sound.sampled` for real, and reduce the samples to
+    * the container for real (the hand-rolled RIFF/WAVE chunk walk),
+    * and reduce the samples to
     * exact integer features. PCM in WAV is lossless and the sample
     * rule is pure SQL, so DuckDB replays the whole pipeline from the
     * rule — a decoder that dropped, reordered, or byte-swapped ANY
@@ -950,7 +1026,7 @@ object Multimodal {
   def realAudioStats(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val n = 64 + (id % 64).toInt
@@ -981,7 +1057,7 @@ object Multimodal {
       s"targetPeak must be in [1, 32767], got $targetPeak")
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val n = 64 + (id % 64).toInt
@@ -1019,7 +1095,7 @@ object Multimodal {
   def imageHashes(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val w = 16 + (id % 8).toInt
@@ -1035,7 +1111,7 @@ object Multimodal {
 
   /** Per-document perceptual AUDIO fingerprints over the REAL codec
     * path — [[imageHashes]]'s exact analog: render the deterministic
-    * PCM test tone, WAV-encode, really decode (`javax.sound.sampled`),
+    * PCM test tone, WAV-encode, really decode (RIFF/WAVE chunk walk),
     * envelope-dHash the decoded samples. Only (doc_id, 64-bit
     * fingerprint) rows flow downstream, so corpus-scale audio
     * near-dup rides [[graft.dedup.Dedup.hammingNearDuplicates]]
@@ -1044,7 +1120,7 @@ object Multimodal {
   def audioHashes(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val n = 64 + (id % 64).toInt
@@ -1076,7 +1152,7 @@ object Multimodal {
   def realVideoStats(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val avi = VideoCodec.renderGrayAvi(id)
@@ -1105,7 +1181,7 @@ object Multimodal {
     require(every > 0, s"every must be positive, got $every")
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.flatMap { id =>
           val clip = VideoCodec.decode(VideoCodec.renderGrayAvi(id))
@@ -1136,7 +1212,7 @@ object Multimodal {
   def videoHashes(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long]
+    docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
           val clip = VideoCodec.decode(VideoCodec.renderGrayAvi(id))

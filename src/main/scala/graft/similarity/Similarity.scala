@@ -639,8 +639,15 @@ object Similarity {
     * asserted in spec) instead of touching the corpus. Zero-norm
     * (unindexable) vectors are dropped, matching the probe scan.
     */
-  def writeIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
-      path: String): Unit = {
+  /** The (embeddings + cell) assignment frame both index writers
+    * share: narrow projection against the frozen centroid literals,
+    * zero-norm (unindexable) rows dropped, each cell co-located
+    * before the write — without the repartition every input partition
+    * opens up to nCells concurrent writers and the output is
+    * inputPartitions × nCells small files.
+    */
+  private def ivfAssignedForWrite(embeddings: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
     val centLit = typedlit(cents)
     embeddings
       .withColumn("__scores",
@@ -648,12 +655,35 @@ object Similarity {
       .withColumn("cell", cellOf(col("__scores")))
       .drop("__scores")
       .filter(col("cell").isNotNull)
-      // co-locate each cell before the write: without this every input
-      // partition opens up to nCells concurrent writers and the output
-      // is inputPartitions × nCells small files
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
+
+  def writeIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      path: String): Unit =
+    ivfAssignedForWrite(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Append a batch of NEW vectors to a written IVF index WITHOUT
+    * rebuilding it — the index-maintenance member of the frozen-
+    * serving family (gram index, NB gate, community labels, media
+    * fingerprint probe). Assignment uses the SAME frozen centroids
+    * the index was built with, so append ≡ full rebuild EXACTLY, not
+    * approximately: cell assignment is per-row against frozen
+    * literals, the probe scan is order-blind within a cell, and
+    * appended files land inside the existing `cell=N` directories —
+    * a probe's PartitionFilter prunes old and new entries through
+    * the same directory listing. Per-batch cost is O(batch), never
+    * O(index): the existing lists are not read, let alone rewritten.
+    *
+    * The caller owns id disjointness (duplicate vec_ids would serve
+    * twice — the upsert-by-key story belongs to the keyed sinks, not
+    * the ANN index); centroids must be the build's centroids, or the
+    * rebuild equivalence breaks by construction.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, cents: Seq[Seq[Double]],
+      path: String): Unit =
+    ivfAssignedForWrite(newVectors, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** IVF probe scan against caller-supplied centroids (see ivfTopK /
     * ivfBuild).

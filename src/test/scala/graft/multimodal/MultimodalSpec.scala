@@ -184,12 +184,44 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("AudioCodec degrades on non-audio and non-matching profiles") {
-    assert(Multimodal.AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
-    assert(Multimodal.AudioCodec.decode(Array.emptyByteArray).isEmpty)
-    assert(Multimodal.AudioCodec.decode(null).isEmpty)
+    import Multimodal.AudioCodec
+    assert(AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(AudioCodec.decode(null).isEmpty)
     // a real PNG is not audio either
-    assert(Multimodal.AudioCodec.decode(
+    assert(AudioCodec.decode(
       Multimodal.ImageCodec.renderGrayPng(1L, 16, 8)).isEmpty)
+    // non-matching WAV profiles are "not ours": flip the fmt fields
+    // of a valid payload and the chunk walk must refuse each
+    val good = AudioCodec.encodeWav(Array[Short](1, -2, 3), 8000)
+    assert(AudioCodec.decode(good).isDefined)
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = (v & 0xff).toByte; b
+    }
+    assert(AudioCodec.decode(mutated(20, 3)).isEmpty)  // IEEE float, not PCM
+    assert(AudioCodec.decode(mutated(22, 2)).isEmpty)  // stereo
+    assert(AudioCodec.decode(mutated(34, 8)).isEmpty)  // 8-bit
+    // a truncated data chunk is a degrade, never a partial read
+    assert(AudioCodec.decode(good.take(good.length - 2)).isEmpty)
+  }
+
+  test("hand-rolled WAV bytes decode identically under javax.sound") {
+    // the independent-decoder check: the JDK's WaveFileReader (kept
+    // OUT of the hot path — AudioSystem's provider registry
+    // serializes concurrent decodes) must read our container
+    // byte-for-byte to the same samples
+    import javax.sound.sampled.AudioSystem
+    val pcm = Array[Short](0, 32767, -32768, -1, 1, 12345, -12345)
+    val wav = Multimodal.AudioCodec.encodeWav(pcm, 16000)
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    assert(f.getSampleRate.toInt === 16000 && f.getChannels === 1 &&
+      f.getSampleSizeInBits === 16 && !f.isBigEndian)
+    val bytes = ais.readAllBytes()
+    val back = Array.tabulate(bytes.length / 2)(i =>
+      ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort)
+    assert(back.toSeq === pcm.toSeq)
   }
 
   test("feature extraction takes the REAL sample path for decodable audio") {

@@ -218,6 +218,36 @@ class SimilaritySpec extends SparkSpec {
     assert(probed(0).getLong(0) === 0L)
   }
 
+  test("appendToIvfIndex ≡ full rebuild, entry for entry, pruning intact") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    Similarity.writeIvfIndex(emb, cents, full)
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 1), cents, inc)
+    // two appended batches against the SAME frozen centroids
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 6 === 1), cents, inc)
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 6 === 4), cents, inc)
+    def entries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(entries(inc) === entries(full))
+    // appended files land INSIDE the existing cell directories, so a
+    // probe over the incremental index prunes exactly like the rebuild
+    val probeFull = Similarity.ivfTopKFromIndex(spark.read.parquet(full),
+      cents, emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+        .map(_.toDouble).toVector, 10, 2).collect().toSeq
+    val probeInc = Similarity.ivfTopKFromIndex(spark.read.parquet(inc),
+      cents, emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+        .map(_.toDouble).toVector, 10, 2).collect().toSeq
+    assert(probeInc === probeFull)
+    val pruned = spark.read.parquet(inc).filter(col("cell") === 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+  }
+
   test("IVF index written partitionBy(cell) gives partition-pruned probe scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cents = Similarity.seedCentroids(emb, 8)
