@@ -239,6 +239,14 @@ object SparkEntry {
     "q_search_bm25_indexed" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25Index(s, d),
         Seq("merge", "query"), 10)),
+    // Index maintenance for text: the same served ranking over an
+    // index built as base-write + batch-APPEND (postings land in the
+    // existing term-bucket directories; corpus scalars merge from
+    // stored exact longs) — append ≡ rebuild bit-for-bit, gated by
+    // sharing the one-shot operator's oracle
+    "q_search_bm25_incremental" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s, builtBm25IncIndex(s, d),
+        Seq("merge", "query"), 10)),
     // Retrieval operating-point eval: MRR / precision@10 / recall@10
     // of the BM25 ranking for 3 eval queries against a deterministic
     // graded-relevance rule (every query term ≥3 occurrences) — the
@@ -1894,6 +1902,20 @@ object SparkEntry {
       SearchOps.writeBm25Index(Tables.documents(s, d), p)
     }
 
+  /** Build-once INCREMENTALLY-assembled BM25 index: the seven-eighths
+    * base written, the ids ≡ 5 mod 8 batch APPENDED (postings into
+    * the existing term-bucket directories, corpus scalars merged from
+    * the stored exact longs). q_search_bm25_incremental shares the
+    * one-shot operator's oracle verbatim — append ≡ rebuild is gated
+    * by the hash itself (the builtIvfIncIndex convention).
+    */
+  private def builtBm25IncIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25_inc", d) { p =>
+      val docs = Tables.documents(s, d)
+      SearchOps.writeBm25Index(docs.filter(col("doc_id") % 8 =!= 5), p)
+      SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 8 === 5), p)
+    }
+
   /** Build-once streaming-curation replay per corpus: the corpus
     * slice (doc_id % 101 ≠ 7) arrives as THREE MemoryStream batches
     * (doc_id % 3 = 0, 1, 2 in order) through the real
@@ -2819,6 +2841,25 @@ object SparkEntry {
          count(*) AS n_docs
          FROM documents GROUP BY 1 ORDER BY split""",
     "q_search_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // the incrementally-assembled index shares the one-shot BM25
+    // replay verbatim: append ≡ rebuild is the operator's exactness
+    // claim, so the oracle for the appended index IS the corpus oracle
+    "q_search_bm25_incremental" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),

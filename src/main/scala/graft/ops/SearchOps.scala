@@ -220,18 +220,74 @@ object SearchOps {
     * One corpus tokenize pays for every subsequent query.
     */
   def writeBm25Index(documents: DataFrame, path: String): Unit = {
-    val base = documents
+    val base = bm25Base(documents)
+    // avgdl is DERIVED from exact longs (sum_dl / n_docs) and the
+    // longs are stored alongside it: document-length sums fit a
+    // double exactly (≤ 2^53), so an APPEND that merges the stored
+    // longs and re-derives the average is bit-identical to a full
+    // rebuild — the exactness appendToBm25Index's shared oracle gates
+    base.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
+          .as("avgdl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+    bm25Postings(base)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+  }
+
+  private def bm25Base(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), words(col("text")).as("__ws"))
       .withColumn("dl", size(col("__ws")).cast("long"))
-    base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(path + "/stats")
+
+  private def bm25Postings(base: DataFrame): DataFrame =
     base
       .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucketCol(col("term")))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+
+  /** Ingest a batch of NEW documents into a written BM25 index
+    * WITHOUT rebuilding it — the text-retrieval member of the
+    * index-maintenance family ([[graft.similarity.Similarity.appendToIvfIndex]],
+    * the gram/fingerprint probes). The batch's postings append inside
+    * the existing term-bucket directories (same term-hash assignment,
+    * so a query's PartitionFilter prunes old and new postings through
+    * one listing), and the corpus scalars merge EXACTLY from the
+    * stored longs: n_docs and sum_dl add, avgdl re-derives — document
+    * frequencies were never stored (df re-aggregates from the pruned
+    * postings at query time), so there is nothing else to maintain.
+    * Append ≡ full rebuild bit-for-bit; q_search_bm25_incremental
+    * shares the one-shot operator's oracle to gate exactly that.
+    *
+    * Per-batch cost is O(batch tokenize): the existing postings are
+    * never read. The caller owns doc_id disjointness (a re-ingested
+    * document would double-count — upserts belong to the keyed
+    * sinks). The one-row stats read is bounded driver metadata.
+    */
+  def appendToBm25Index(newDocuments: DataFrame, path: String): Unit = {
+    val spark = newDocuments.sparkSession
+    import spark.implicits._
+    val base = bm25Base(newDocuments)
+    val batch = base.agg(count(lit(1)).as("n_b"),
+      coalesce(sum(col("dl")), lit(0L)).as("s_b")).head()
+    val old = spark.read.parquet(path + "/stats").head()
+    require(old.schema.fieldNames.contains("sum_dl"),
+      s"BM25 index at $path predates the mergeable-stats layout " +
+        "(no sum_dl) — rebuild it with writeBm25Index before appending")
+    val nDocs = old.getAs[Long]("n_docs") + batch.getLong(0)
+    val sumDl = old.getAs[Long]("sum_dl") + batch.getLong(1)
+    // postings first, stats last: a failure between the two leaves a
+    // stale-but-consistent average, never scalars counting ghost docs
+    bm25Postings(base)
+      .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .select(col("n_docs"), col("sum_dl"),
+        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
+          .as("avgdl"))
+      .write.mode("overwrite").parquet(path + "/stats")
   }
 
   /** [[searchBm25]] served from a [[writeBm25Index]] artifact: the

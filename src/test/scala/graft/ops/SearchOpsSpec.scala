@@ -191,6 +191,35 @@ class SearchOpsSpec extends SparkSpec {
     assert(sp1 ++ sp2 === oneShot)
   }
 
+  test("appendToBm25Index ≡ full rebuild: stats, postings, served ranking") {
+    import org.apache.spark.sql.functions.col
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft-bm25-inc").toString
+    SearchOps.writeBm25Index(docs, full)
+    SearchOps.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 1), inc)
+    // two appended batches — the merged scalars must stay exact
+    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 1), inc)
+    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 4), inc)
+    val sFull = spark.read.parquet(full + "/stats").head()
+    val sInc = spark.read.parquet(inc + "/stats").head()
+    assert(sInc.getAs[Long]("n_docs") === sFull.getAs[Long]("n_docs"))
+    assert(sInc.getAs[Long]("sum_dl") === sFull.getAs[Long]("sum_dl"))
+    // bit-identical average — the exact-long merge claim
+    assert(java.lang.Double.doubleToLongBits(sInc.getAs[Double]("avgdl")) ===
+      java.lang.Double.doubleToLongBits(sFull.getAs[Double]("avgdl")))
+    def postings(dir: String) = spark.read.parquet(dir + "/postings")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        col("bucket").cast("long")) // partition columns read back INT
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(postings(inc) === postings(full))
+    val servedFull = SearchOps.searchBm25FromIndex(spark, full,
+      Seq("merge", "query"), 10).collect().toSeq
+    val servedInc = SearchOps.searchBm25FromIndex(spark, inc,
+      Seq("merge", "query"), 10).collect().toSeq
+    assert(servedInc === servedFull)
+  }
+
   test("BM25 term buckets: driver-side assignment matches the written column") {
     // the probe's literal IN-list is computed on the driver; a drift
     // from the executor-side md5 bucketing would silently prune the
