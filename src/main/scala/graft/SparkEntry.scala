@@ -247,6 +247,13 @@ object SparkEntry {
     "q_search_bm25_incremental" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25IncIndex(s, d),
         Seq("merge", "query"), 10)),
+    // Streaming ingestion into the live text index: the SAME served
+    // ranking over an index the bm25IndexSink built from three
+    // checkpointed micro-batches — stream-built ≡ one-shot rebuild,
+    // gated by sharing the corpus oracle
+    "q_search_bm25_streamed" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s, builtBm25StreamedIndex(s, d) + "/idx",
+        Seq("merge", "query"), 10)),
     // Retrieval operating-point eval: MRR / precision@10 / recall@10
     // of the BM25 ranking for 3 eval queries against a deterministic
     // graded-relevance rule (every query term ≥3 occurrences) — the
@@ -852,6 +859,14 @@ object SparkEntry {
     // O(batch), the existing inverted lists are never read
     "q_ann_ivf_incremental" -> ((s, d) =>
       Similarity.ivfTopKFromIndex(s.read.parquet(builtIvfIncIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // Streaming ingestion into the live ANN index: the same probe
+    // over an index the ivfIndexSink built from three checkpointed
+    // micro-batches against frozen centroids — stream-built ≡
+    // rebuild, gated by sharing the full-rebuild oracle
+    "q_ann_ivf_streamed" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        s.read.parquet(builtIvfStreamedIndex(s, d) + "/idx"),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // SemDeDup served from the SAME written index the ANN probe uses:
     // the cell partitioning is already on disk, dedup skips assignment
@@ -1916,6 +1931,60 @@ object SparkEntry {
       SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 8 === 5), p)
     }
 
+  /** Build-once STREAM-BUILT BM25 index per corpus: the whole corpus
+    * arrives as three MemoryStream batches (doc_id % 3 in order)
+    * through the real [[graft.streaming.Pipelines.bm25IndexSink]]
+    * (checkpointed foreachBatch, per-batch postings + stats-ledger
+    * partitions). q_search_bm25_streamed serves from it and shares
+    * the one-shot corpus oracle — stream-built ≡ rebuild is gated by
+    * the hash itself. Ids only on the stream (driver-fed by
+    * definition); text joins in from the static table.
+    */
+  private def builtBm25StreamedIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25_str", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("doc_id")
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      val q = graft.streaming.Pipelines.bm25IndexSink(
+        src, p + "/idx", p + "/ckpt")
+      try {
+        val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+        (0L until 3L).foreach { b =>
+          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
+  /** Build-once STREAM-BUILT IVF index per corpus — the ANN twin of
+    * [[builtBm25StreamedIndex]]: three MemoryStream batches through
+    * [[graft.streaming.Pipelines.ivfIndexSink]] against the frozen
+    * seed centroids; q_ann_ivf_streamed shares the full-rebuild
+    * oracle.
+    */
+  private def builtIvfStreamedIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_str", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.embeddings(s, d)
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("vec_id").join(emb, "vec_id")
+      val q = graft.streaming.Pipelines.ivfIndexSink(
+        src, seedCents16(s, d), p + "/idx", p + "/ckpt")
+      try {
+        val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+        (0L until 3L).foreach { b =>
+          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
   /** Build-once streaming-curation replay per corpus: the corpus
     * slice (doc_id % 101 ≠ 7) arrives as THREE MemoryStream batches
     * (doc_id % 3 = 0, 1, 2 in order) through the real
@@ -2875,6 +2944,24 @@ object SparkEntry {
          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // the stream-built index shares the one-shot corpus replay too:
+    // stream-built ≡ rebuild is the sink's exactness claim
+    "q_search_bm25_streamed" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
     // retrieval-eval replay: the BM25 math verbatim (idf rounded to
     // 6 before the product, score to 4) replicated per eval query via
     // the (query, term) values frame; relevance = every query term at
@@ -3630,6 +3717,28 @@ object SparkEntry {
     // append ≡ rebuild is the operator's exactness claim, so the
     // oracle for the appended index IS the oracle for the rebuilt one
     "q_ann_ivf_incremental" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // the stream-built IVF index shares the full-rebuild replay:
+    // stream-built ≡ rebuild is the sink's exactness claim
+    "q_ann_ivf_streamed" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

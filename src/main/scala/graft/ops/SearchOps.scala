@@ -221,27 +221,27 @@ object SearchOps {
     */
   def writeBm25Index(documents: DataFrame, path: String): Unit = {
     val base = bm25Base(documents)
-    // avgdl is DERIVED from exact longs (sum_dl / n_docs) and the
-    // longs are stored alongside it: document-length sums fit a
-    // double exactly (≤ 2^53), so an APPEND that merges the stored
-    // longs and re-derives the average is bit-identical to a full
-    // rebuild — the exactness appendToBm25Index's shared oracle gates
-    base.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .select(col("n_docs"), col("sum_dl"),
-        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
-          .as("avgdl"))
-      .write.mode("overwrite").parquet(path + "/stats")
+    // the corpus scalars are an append-only LEDGER of exact longs:
+    // (n_docs, sum_dl) rows that serving sums before deriving avgdl.
+    // Document-length sums fit a double exactly (≤ 2^53), so a
+    // ledger of any shape — one build row, appended batch rows, a
+    // streaming sink's per-batch partitions — derives an average
+    // bit-identical to a full rebuild's
+    bm25StatsRow(base).write.mode("overwrite").parquet(path + "/stats")
     bm25Postings(base)
       .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
   }
 
-  private def bm25Base(documents: DataFrame): DataFrame =
+  private[graft] def bm25StatsRow(base: DataFrame): DataFrame =
+    base.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  private[graft] def bm25Base(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), words(col("text")).as("__ws"))
       .withColumn("dl", size(col("__ws")).cast("long"))
 
-  private def bm25Postings(base: DataFrame): DataFrame =
+  private[graft] def bm25Postings(base: DataFrame): DataFrame =
     base
       .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -269,25 +269,18 @@ object SearchOps {
     */
   def appendToBm25Index(newDocuments: DataFrame, path: String): Unit = {
     val spark = newDocuments.sparkSession
-    import spark.implicits._
-    val base = bm25Base(newDocuments)
-    val batch = base.agg(count(lit(1)).as("n_b"),
-      coalesce(sum(col("dl")), lit(0L)).as("s_b")).head()
-    val old = spark.read.parquet(path + "/stats").head()
-    require(old.schema.fieldNames.contains("sum_dl"),
+    require(spark.read.parquet(path + "/stats")
+        .schema.fieldNames.contains("sum_dl"),
       s"BM25 index at $path predates the mergeable-stats layout " +
         "(no sum_dl) — rebuild it with writeBm25Index before appending")
-    val nDocs = old.getAs[Long]("n_docs") + batch.getLong(0)
-    val sumDl = old.getAs[Long]("sum_dl") + batch.getLong(1)
+    val base = bm25Base(newDocuments)
     // postings first, stats last: a failure between the two leaves a
     // stale-but-consistent average, never scalars counting ghost docs
     bm25Postings(base)
       .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
-    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
-      .select(col("n_docs"), col("sum_dl"),
-        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
-          .as("avgdl"))
-      .write.mode("overwrite").parquet(path + "/stats")
+    // the batch appends its own ledger row — nothing is read, merged,
+    // or rewritten; serving sums the ledger (exact long addition)
+    bm25StatsRow(base).write.mode("append").parquet(path + "/stats")
   }
 
   /** [[searchBm25]] served from a [[writeBm25Index]] artifact: the
@@ -306,7 +299,16 @@ object SearchOps {
       .filter(col("bucket").isin(buckets: _*)) // directory pruning
       .filter(col("term").isin(queryTerms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // the stats artifact is an append-only LEDGER of exact
+    // (n_docs, sum_dl) long rows — one build row, appended batch
+    // rows, or a streaming sink's per-batch partitions. Summing longs
+    // and deriving the average here is bit-identical to a full
+    // rebuild's single row (length sums are exact in a double)
     val stats = spark.read.parquet(path + "/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
+          .as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     scoreBm25(tf, dfreq, stats, k, k1, b, from)
   }

@@ -646,7 +646,7 @@ object Similarity {
     * opens up to nCells concurrent writers and the output is
     * inputPartitions × nCells small files.
     */
-  private def ivfAssignedForWrite(embeddings: DataFrame,
+  private[graft] def ivfAssignedForWrite(embeddings: DataFrame,
       cents: Seq[Seq[Double]]): DataFrame = {
     val centLit = typedlit(cents)
     embeddings

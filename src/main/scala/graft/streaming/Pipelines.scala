@@ -1013,6 +1013,91 @@ object Pipelines {
     q
   }
 
+  /** Idempotent batch core of [[bm25IndexSink]]: each micro-batch's
+    * postings land partitioned by (bucket, batch_id) and its corpus
+    * scalars as one (n_docs, sum_dl) ledger row partitioned by
+    * (batch_id) — both DYNAMIC partition overwrites, so a
+    * checkpoint-replayed batch recomputes identical rows and
+    * overwrites exactly its own partitions (the segmentDedupSink
+    * idempotence story applied to the inverted file). Serving
+    * (`SearchOps.searchBm25FromIndex`) sums the ledger — exact longs,
+    * so stream-built ≡ batch-built ≡ one-shot rebuild bit-for-bit —
+    * and prunes postings on the FIRST partition level (bucket), so
+    * every batch's postings read through one directory listing.
+    * Empty batches are a no-op (no unreadable zero-footer dirs).
+    */
+  def processBm25IngestBatch(batch: DataFrame, indexDir: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val base = graft.ops.SearchOps.bm25Base(batch).localCheckpoint(true)
+    try {
+      graft.ops.SearchOps.bm25Postings(base)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("bucket", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(indexDir + "/postings")
+      graft.ops.SearchOps.bm25StatsRow(base)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(indexDir + "/stats")
+    } finally freeLocalCheckpoint(base)
+  }
+
+  /** The streaming entry: docs (doc_id, text) continuously ingest
+    * into a servable BM25 inverted file at `indexDir`, exactly-once
+    * via checkpoint + the idempotent batch core above. The streaming
+    * counterpart of `SearchOps.appendToBm25Index` — a search can run
+    * mid-stream against whatever has been committed.
+    */
+  def bm25IndexSink(docs: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBm25IngestBatch(batch, indexDir, batchId)
+      }
+      .start()
+
+  /** Idempotent batch core of [[ivfIndexSink]]: the micro-batch
+    * assigns against the FROZEN build centroids (so stream-built ≡
+    * batch rebuild exactly — the appendToIvfIndex claim) and lands
+    * partitioned by (cell, batch_id) under dynamic overwrite: a
+    * replayed batch recomputes identical rows and overwrites its own
+    * partitions. Probes prune on the first level (cell) across all
+    * batches. Empty batches are a no-op.
+    */
+  def processIvfIngestBatch(batch: DataFrame, cents: Seq[Seq[Double]],
+      indexDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.similarity.Similarity.ivfAssignedForWrite(batch, cents)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(indexDir)
+  }
+
+  /** The streaming entry: vectors (vec_id, embedding, …) continuously
+    * ingest into a servable cell-partitioned IVF index at `indexDir`
+    * against frozen centroids, exactly-once via checkpoint + the
+    * idempotent batch core above — the streaming counterpart of
+    * `Similarity.appendToIvfIndex`.
+    */
+  def ivfIndexSink(vectors: DataFrame, cents: Seq[Seq[Double]],
+      indexDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIvfIngestBatch(batch, cents, indexDir, batchId)
+      }
+      .start()
+
   /** The streaming entry: docs (doc_id, text, …) → LM-quality-gated
     * corpus at `outDir`, exactly-once via checkpoint + the idempotent
     * batch core above.

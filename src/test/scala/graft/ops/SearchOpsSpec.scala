@@ -200,13 +200,16 @@ class SearchOpsSpec extends SparkSpec {
     // two appended batches — the merged scalars must stay exact
     SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 1), inc)
     SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 4), inc)
-    val sFull = spark.read.parquet(full + "/stats").head()
-    val sInc = spark.read.parquet(inc + "/stats").head()
-    assert(sInc.getAs[Long]("n_docs") === sFull.getAs[Long]("n_docs"))
-    assert(sInc.getAs[Long]("sum_dl") === sFull.getAs[Long]("sum_dl"))
-    // bit-identical average — the exact-long merge claim
-    assert(java.lang.Double.doubleToLongBits(sInc.getAs[Double]("avgdl")) ===
-      java.lang.Double.doubleToLongBits(sFull.getAs[Double]("avgdl")))
+    // the stats LEDGER sums to the same exact longs (full: one build
+    // row; inc: build row + two appended batch rows) — equal longs
+    // derive a bit-identical average at serving time by construction
+    def scalars(dir: String): (Long, Long) = {
+      val rows = spark.read.parquet(dir + "/stats").collect()
+      (rows.map(_.getAs[Long]("n_docs")).sum,
+        rows.map(_.getAs[Long]("sum_dl")).sum)
+    }
+    assert(spark.read.parquet(inc + "/stats").count() === 3L)
+    assert(scalars(inc) === scalars(full))
     def postings(dir: String) = spark.read.parquet(dir + "/postings")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
         col("bucket").cast("long")) // partition columns read back INT

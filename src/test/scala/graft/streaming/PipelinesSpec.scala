@@ -557,6 +557,70 @@ class PipelinesSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
+  test("streaming BM25 index ingest ≡ one-shot rebuild; replay-idempotent") {
+    import graft.ops.SearchOps
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25sink").toString
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c c d"),
+      (4L, "d d b")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.bm25IndexSink(mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/idx", s"$tmp/ckpt")
+    mem.addData(Seq((1L, "a b a"), (2L, "b c")))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, "a c c d"), (4L, "d d b")))
+    q.processAllAvailable(); q.stop()
+    val full = java.nio.file.Files.createTempDirectory("graft_bm25full").toString
+    SearchOps.writeBm25Index(docs, full)
+    def served(dir: String) = SearchOps.searchBm25FromIndex(spark, dir,
+      Seq("a", "d"), 10).collect().toSeq
+    assert(served(s"$tmp/idx") === served(full))
+    assert(served(s"$tmp/idx").nonEmpty)
+    // crash-replay of batch 0 overwrites exactly its own partitions
+    Pipelines.processBm25IngestBatch(
+      Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text"), s"$tmp/idx", 0L)
+    assert(served(s"$tmp/idx") === served(full))
+    val ledger = spark.read.parquet(s"$tmp/idx/stats").collect()
+    assert(ledger.length === 2) // one row per batch, replay added none
+    assert(ledger.map(_.getAs[Long]("n_docs")).sum === 4L)
+    // empty batches are a no-op, never an unreadable footerless dir
+    Pipelines.processBm25IngestBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$tmp/idx2", 0L)
+    assert(!new java.io.File(s"$tmp/idx2").exists())
+  }
+
+  test("streaming IVF index ingest ≡ one-shot rebuild; replay-idempotent") {
+    import graft.similarity.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfsink").toString
+    val emb = Tables.embeddings(spark, sfDir).limit(60)
+      .select("vec_id", "embedding").cache()
+    val cents = Similarity.seedCentroids(emb, 4)
+    val ids = emb.collect().map(_.getLong(0)).sorted
+    val mem = MemoryStream[Long]
+    val q = Pipelines.ivfIndexSink(
+      mem.toDS().toDF("vec_id").join(emb, "vec_id"), cents,
+      s"$tmp/idx", s"$tmp/ckpt")
+    try {
+      (0L until 2L).foreach { b =>
+        mem.addData(ids.filter(_ % 2 == b).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val full = java.nio.file.Files.createTempDirectory("graft_ivffull").toString
+    Similarity.writeIvfIndex(emb, cents, full)
+    def entries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(entries(s"$tmp/idx") === entries(full))
+    // crash-replay of batch 0 overwrites exactly its own partitions
+    Pipelines.processIvfIngestBatch(
+      emb.filter(col("vec_id") % 2 === 0), cents, s"$tmp/idx", 0L)
+    assert(entries(s"$tmp/idx") === entries(full))
+    assert(spark.read.parquet(s"$tmp/idx").count() === emb.count())
+    emb.unpersist()
+  }
+
   test("streaming LM gate filters against the frozen model; replay-idempotent") {
     import graft.textanalysis.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
