@@ -1639,6 +1639,13 @@ object SparkEntry {
       Similarity.quantizedTopKFromIndex(
         s.read.parquet(builtQuantizedIvfIndex(s, d)),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // Index maintenance for the COMPRESSED store: the same pruned
+    // int8 probe over an index built as base-write + batch-append
+    // against frozen centroids — append ≡ rebuild, shared oracle
+    "q_knn_quantized_ivf_incremental" -> ((s, d) =>
+      Similarity.quantizedTopKFromIndex(
+        s.read.parquet(builtQuantIvfIncIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // CCNet-style segment dedup: corpus-wide first-occurrence removal
     // of repeated 3-word segments + document reassembly
     "q_segment_dedup" -> ((s, d) =>
@@ -1882,6 +1889,20 @@ object SparkEntry {
     builtIndexDir("graft_qivf", d) { p =>
       Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
         seedCents16(s, d), p)
+    }
+
+  /** Incrementally-assembled compressed IVF index — the int8 twin of
+    * [[builtIvfIncIndex]]: seven-eighths base write + the ids ≡ 6
+    * mod 8 batch appended against the same frozen centroids;
+    * q_knn_quantized_ivf_incremental shares the full-rebuild oracle.
+    */
+  private def builtQuantIvfIncIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_qivf_inc", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.writeQuantizedIvfIndex(
+        emb.filter(col("vec_id") % 8 =!= 6), seedCents16(s, d), p)
+      Similarity.appendToQuantizedIvfIndex(
+        emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p)
     }
 
   /** Build-once PQ code table per corpus (encode once, query many). */
@@ -4562,6 +4583,40 @@ object SparkEntry {
     // probes from the query's float cell scores, scoring over the
     // quantized entries (as q_knn_quantized)
     "q_knn_quantized_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0
+                    ORDER BY s DESC, cid LIMIT 2),
+         sq AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM sq),
+         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
+         SELECT q.vec_id,
+           round(q.scale * qq.q_scale *
+             CAST(list_sum([q.qv[i] * qq.q_qv[i]
+                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
+             6) AS q_sim
+         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
+         WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
+    // the incrementally-assembled compressed index shares the
+    // full-rebuild replay: append ≡ rebuild is the operator's claim
+    "q_knn_quantized_ivf_incremental" ->
       """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                     FROM embeddings WHERE vec_id < 16),
          v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

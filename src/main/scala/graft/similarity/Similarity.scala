@@ -819,8 +819,10 @@ object Similarity {
     * I/O than the float index — at 100 TB this stacks directory
     * pruning (nProbe of nCells cells) on top of byte compression.
     */
-  def writeQuantizedIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
-      path: String): Unit = {
+  /** The quantized twin of [[ivfAssignedForWrite]] — same frozen
+    * assignment, int8 entries. */
+  private def quantizedAssignedForWrite(embeddings: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
     val centLit = typedlit(cents)
     embeddings
       .withColumn("__scores",
@@ -830,8 +832,24 @@ object Similarity {
       .select(col("vec_id"), quantScale(col("embedding")).as("scale"),
         quantizeVec(col("embedding")).as("qvec"), col("cell"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
+
+  def writeQuantizedIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      path: String): Unit =
+    quantizedAssignedForWrite(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Batch append into a written COMPRESSED IVF index — exactly
+    * [[appendToIvfIndex]]'s contract (frozen centroids ⇒ append ≡
+    * rebuild; O(batch); appended files inside the existing cell
+    * directories) with int8 entries: per-row quantization is
+    * index-independent, so compression changes nothing about the
+    * equivalence argument.
+    */
+  def appendToQuantizedIvfIndex(newVectors: DataFrame,
+      cents: Seq[Seq[Double]], path: String): Unit =
+    quantizedAssignedForWrite(newVectors, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Driver-side symmetric int8 quantization of one query vector —
     * the same rule as [[quantizeVec]] bit-for-bit (max|x|/127, round

@@ -246,6 +246,21 @@ class SimilaritySpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")
     assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    // the compressed twin carries the same contract: int8 entries,
+    // append ≡ rebuild entry for entry
+    val qFull = java.nio.file.Files.createTempDirectory("graft-qivf-f").toString
+    val qInc = java.nio.file.Files.createTempDirectory("graft-qivf-i").toString
+    Similarity.writeQuantizedIvfIndex(emb, cents, qFull)
+    Similarity.writeQuantizedIvfIndex(
+      emb.filter(col("vec_id") % 3 =!= 2), cents, qInc)
+    Similarity.appendToQuantizedIvfIndex(
+      emb.filter(col("vec_id") % 3 === 2), cents, qInc)
+    def qEntries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("scale"), col("qvec"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2), r.getLong(3)))
+      .toSet
+    assert(qEntries(qInc) === qEntries(qFull))
   }
 
   test("IVF index written partitionBy(cell) gives partition-pruned probe scans") {
