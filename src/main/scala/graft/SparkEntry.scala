@@ -264,6 +264,15 @@ object SparkEntry {
         Seq("merge+query" -> Seq("merge", "query"),
           "sort+window" -> Seq("sort", "window"),
           "spark+data" -> Seq("spark", "data")), 10)),
+    // The same eval SERVED from the written index: eval-term buckets
+    // prune the postings scan and the scalars come from the stats
+    // ledger — the eval batch never tokenizes (or reads) the corpus;
+    // identical output gated by sharing the corpus oracle
+    "q_retrieval_eval_indexed" -> ((s, d) =>
+      SearchOps.retrievalEvalFromIndex(s, builtBm25Index(s, d),
+        Seq("merge+query" -> Seq("merge", "query"),
+          "sort+window" -> Seq("sort", "window"),
+          "spark+data" -> Seq("spark", "data")), 10)),
     // Hybrid retrieval: BM25 and cosine rankings fused by reciprocal
     // rank (RRF) — integer ranks, no score normalization
     "q_hybrid_search" -> ((s, d) =>
@@ -2989,6 +2998,59 @@ object SparkEntry {
     // tf ≥ 3 from the SAME tf aggregation; MRR / P@10 / R@10 as exact
     // rationals in DOUBLE arithmetic (CAST, not decimal literals)
     "q_retrieval_eval" ->
+      """WITH qt(query_label, term) AS (VALUES
+           ('merge+query', 'merge'), ('merge+query', 'query'),
+           ('sort+window', 'sort'), ('sort+window', 'window'),
+           ('spark+data', 'spark'), ('spark+data', 'data')),
+         qs AS (SELECT query_label, count(*) AS n_terms FROM qt
+                GROUP BY query_label),
+         d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT qt.query_label, tf.doc_id,
+             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
+             count(*) AS n_present, min(tf.tf) AS min_tf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+             JOIN qt USING (term)
+           GROUP BY qt.query_label, tf.doc_id),
+         ranked AS (SELECT query_label, doc_id, rank FROM (
+             SELECT query_label, doc_id, row_number() OVER (
+               PARTITION BY query_label ORDER BY bm25 DESC, doc_id) AS rank
+             FROM sc) WHERE rank <= 10),
+         rel AS (SELECT sc.query_label, sc.doc_id
+                 FROM sc JOIN qs USING (query_label)
+                 WHERE n_present = n_terms AND min_tf >= 3),
+         nrel AS (SELECT query_label, count(*) AS n_relevant FROM rel
+                  GROUP BY query_label),
+         hit AS (SELECT r.query_label,
+                   CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                   min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
+                 FROM ranked r LEFT JOIN rel
+                   ON rel.query_label = r.query_label AND rel.doc_id = r.doc_id
+                 GROUP BY r.query_label)
+         SELECT q.query_label,
+           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(fr, 0) AS INT) AS first_rank,
+           coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr,
+           round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / 10, 4) AS p_at_k,
+           CASE WHEN coalesce(n_relevant, 0) > 0
+                THEN round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_relevant, 4)
+                ELSE CAST(0 AS DOUBLE) END AS r_at_k
+         FROM (SELECT DISTINCT query_label FROM qt) q
+         LEFT JOIN nrel USING (query_label)
+         LEFT JOIN hit USING (query_label)
+         ORDER BY query_label""",
+    // the index-served eval shares the corpus replay: pruned postings
+    // carry the same tf/df/scalars the one-shot pass derives
+    "q_retrieval_eval_indexed" ->
       """WITH qt(query_label, term) AS (VALUES
            ('merge+query', 'merge'), ('merge+query', 'query'),
            ('sort+window', 'sort'), ('sort+window', 'window'),

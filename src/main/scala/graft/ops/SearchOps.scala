@@ -360,12 +360,7 @@ object SearchOps {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "retrievalEval needs at least one query with at least one term")
     val spark = documents.sparkSession
-    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
-    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
-      .toDF("query_label", "term")
-    val qs = qt.groupBy(col("query_label"))
-      .agg(count(lit(1)).as("n_terms"))
     val base = documents
       .select(col("doc_id"), words(col("text")).as("__ws"))
       .withColumn("dl", size(col("__ws")))
@@ -375,6 +370,51 @@ object SearchOps {
       .filter(col("term").isin(allTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    retrievalEvalFrom(spark, tf, stats, queries, k, k1, b, minTf)
+  }
+
+  /** [[retrievalEval]] served from a written [[writeBm25Index]]
+    * artifact — the eval a 100 TB deployment actually runs: the eval
+    * terms' literal buckets PRUNE the postings scan (PartitionFilters,
+    * like the serving query itself) and the corpus scalars come from
+    * the stats ledger, so the whole eval batch touches |eval-term
+    * buckets| directories and never tokenizes — or even reads — the
+    * corpus. Identical output to the one-shot form by construction
+    * (same tf/df/scalars the index serves queries from);
+    * q_retrieval_eval_indexed shares the corpus oracle to gate it.
+    */
+  def retrievalEvalFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, minTf: Long = 3L): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "retrievalEval needs at least one query with at least one term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.map(termBucket).distinct
+    val tf = spark.read.parquet(path + "/postings")
+      .filter(col("bucket").isin(buckets: _*)) // directory pruning
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val stats = spark.read.parquet(path + "/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
+          .as("avgdl"))
+    retrievalEvalFrom(spark, tf, stats, queries, k, k1, b, minTf)
+  }
+
+  /** The shared eval tail over a (doc_id, dl, term, tf) frame +
+    * 1-row corpus scalars — document frequencies re-aggregate from
+    * the (possibly pruned) postings exactly as serving does.
+    */
+  private def retrievalEvalFrom(spark: org.apache.spark.sql.SparkSession,
+      tf: DataFrame, stats: DataFrame,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double, b: Double, minTf: Long): DataFrame = {
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_label", "term")
+    val qs = qt.groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_terms"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // per-(query, doc) BM25 + the relevance evidence in ONE pass over
     // the query-term-replicated postings (same idf/tscore math as

@@ -191,6 +191,23 @@ class SearchOpsSpec extends SparkSpec {
     assert(sp1 ++ sp2 === oneShot)
   }
 
+  test("retrievalEvalFromIndex ≡ one-shot eval, on a postings-pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ev").toString
+    SearchOps.writeBm25Index(docs, dir)
+    val queries = Seq("merge+query" -> Seq("merge", "query"),
+      "nohit" -> Seq("zzzznotaword"))
+    val oneShot = SearchOps.retrievalEval(docs, queries, 10).collect().toSeq
+    val served = SearchOps.retrievalEvalFromIndex(spark, dir, queries, 10)
+    assert(served.collect().toSeq === oneShot)
+    // the eval batch reads the postings through a bucket
+    // PartitionFilter — never the corpus
+    val plan = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+    assert(!plan.contains("documents"))
+  }
+
   test("appendToBm25Index ≡ full rebuild: stats, postings, served ranking") {
     import org.apache.spark.sql.functions.col
     val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString
