@@ -51,6 +51,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // machine-speed calibration constant: the same fixed job, timed
+    // min-of-5 AFTER one untimed spin-up run, emitted in the output
+    // record. Cross-round ratios divide by it to normalize sandbox
+    // drift mechanically (round 10 burned analysis time proving a
+    // 1.19× session drift by re-benching an old commit; this makes
+    // that a lookup). The job is scheduler+CPU bound with no I/O, so
+    // it tracks the same floor the per-query exchanges pay.
+    val calibration = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { once(); (1 to 5).map(_ => once()).min }
+      catch { case _: Throwable => -1.0 }
+    }
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       var warmFailures = 0
@@ -101,11 +117,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":$qs,"sf":"$sfDir"}""")
     // the per-query dict above can exceed the driver's tail capture —
     // repeat the headline number LAST in a short line so the round's
     // total always survives truncation
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","calibration_s":$calibration,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

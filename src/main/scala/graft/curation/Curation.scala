@@ -153,8 +153,7 @@ object Curation {
     // the honest-mode bench measured the double evaluation at +2.9 s
     // over count-mode at sf0.1) instead of running the corpus scan +
     // gate-metric join tree once per branch
-    val slim = flagged.select(col("doc_id"), col("source"),
-        Dedup.rowDigest(Seq("text")).as("__dk"),
+    val slim = flagged.select(col("doc_id"), col("source"), col("__dk"),
         col("repetitive"), col("contaminated"), col("unusual"))
       .persist()
     val gates = slim.groupBy(col("source")).agg(
@@ -163,8 +162,16 @@ object Curation {
       count(when(col("contaminated"), 1)).as("n_contaminated"),
       count(when(col("unusual"), 1)).as("n_unusual"),
       count(when(passes, 1)).as("n_passed"))
+    // the dedup rollup is the report's one corpus-wide exchange and
+    // it is CPU-dense (a sort aggregate of min(struct) per digest on
+    // ~40 B rows): pin its width to the session's shuffle parallelism
+    // so size-based AQE coalescing (tuned for byte-light shuffles)
+    // can't flatten the aggregate onto a couple of threads — the
+    // assignFromStaged width rationale
+    val width = documents.sparkSession.sessionState.conf.numShufflePartitions
     val survivors = slim
       .filter(passes)
+      .repartition(width, col("__dk"))
       .groupBy(col("__dk"))
       .agg(min(struct(col("doc_id"), col("source"))).as("__w"))
       .groupBy(col("__w.source").as("source"))
@@ -195,7 +202,7 @@ object Curation {
     // the null-safe 16-byte digest, no join-back (the gated subtree —
     // and with it the corpus scan — is evaluated exactly once)
     val out = gated
-      .groupBy(Dedup.rowDigest(Seq("text")).as("__dk"))
+      .groupBy(col("__dk"))
       .agg(min(struct(col("doc_id"), col("source"), col("lm_nll"))).as("__w"))
       .select(col("__w.doc_id").as("doc_id"), col("__w.source").as("source"),
         col("__w.lm_nll").as("lm_nll"))
@@ -218,14 +225,21 @@ object Curation {
       .withColumn("__hit", lit(1L))
 
     // corpus scan 1 of 2: the narrow per-doc pass. Deliberately NO
-    // computed columns: a gate expression materialized here would be
+    // GATE expressions: a gate expression materialized here would be
     // substituted into the post-join filter by predicate pushdown,
     // duplicating its higher-order-function subtrees ~10× per row
     // (measured 8+ s at sf0.1 vs 0.6 s without — lambda expressions
     // get no common-subexpression elimination in a filter context).
     // EVERY gate therefore arrives through the aggregation below,
-    // whose output booleans a filter cannot push into.
-    val base = documents.select(col("doc_id"), col("source"), col("text"))
+    // whose output booleans a filter cannot push into. The TEXT,
+    // however, reduces to its 16-byte dedup digest (and a nullness
+    // bit) RIGHT HERE, scan-adjacent: no consumer of `flagged` reads
+    // raw text, so the doc_id join exchanges ~40 B rows instead of
+    // full documents — and the digest is never filtered on, so the
+    // pushdown hazard above doesn't apply to it.
+    val base = documents.select(col("doc_id"), col("source"),
+      Dedup.rowDigest(Seq("text")).as("__dk"),
+      col("text").isNull.as("__text_null"))
 
     // corpus scan 2 of 2: the one tokenization pass, materialized
     // COLUMNAR (persist, not a deserialized checkpoint — compressed
@@ -258,6 +272,16 @@ object Curation {
         // extra column replaces a unigram explode of the whole corpus
         element_at(col("__ws"), -1).as("tail"),
         TextAnalysis.ngramsFor(documents)(col("__ws"), 2).as("__bg"))
+      // exchange BEFORE the explode: every (doc_id, gram) group is
+      // complete inside its document, so hash(doc_id) clustering
+      // makes the aggregation below partition-local — the shuffle
+      // moves one doc-sized row per document instead of one row per
+      // bigram occurrence with the stat columns duplicated onto each
+      // (measured 1.56 → 1.02 s at sf0.1, tools.ProfileTokens).
+      // Width pinned for the CPU-dense downstream (the
+      // assignFromStaged rationale)
+      .repartition(documents.sparkSession.sessionState.conf
+        .numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), col("n_words"), col("n_trigrams"),
         col("n_distinct_tg"), col("tail"),
         explode_outer(col("__bg")).as("gram"))
@@ -287,10 +311,18 @@ object Curation {
     // ALL per-doc gate metrics in ONE aggregation over the tokens;
     // null-gram stats rows flow through the left joins untouched.
     // nll6 keeps the integer micro-nat contract of lmScoreWith.
+    // fold the context counts into a GRAM-level stats frame first:
+    // joining mContexts at the token level would exchange the full
+    // token frame a second time (by w1) — this way the w1 join moves
+    // |distinct grams| rows and the token frame exchanges once (by
+    // gram) before coming home to doc_id. Inner join is exact: every
+    // non-null token gram is in mGrams (it was aggregated from these
+    // very tokens), and every gram's w1 is in mContexts
+    val gramStats = mGrams
+      .join(mContexts, Seq("w1"))
+      .select(col("gram"), col("c12"), col("c1"))
     val gateMetrics = tokens
-      .join(mGrams.select(col("gram"), col("c12")), Seq("gram"), "left")
-      .withColumn("w1", when(hasGram, substring_index(col("gram"), " ", 1)))
-      .join(mContexts, Seq("w1"), "left")
+      .join(gramStats, Seq("gram"), "left")
       .crossJoin(broadcast(mVocab))
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .withColumn("nll6",
@@ -330,7 +362,7 @@ object Curation {
       // explode_outer; null text stays null (and drops), as it does
       // through repetitionStats' null-propagating array math
       .withColumn("repetitive",
-        when(col("text").isNull, lit(null).cast("boolean"))
+        when(col("__text_null"), lit(null).cast("boolean"))
           .otherwise(coalesce(col("agg_repetitive"), lit(false))))
       .withColumn("lm_nll", coalesce(col("lm_nll"), lit(0.0)))
       .withColumn("contaminated",

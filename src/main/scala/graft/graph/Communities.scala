@@ -244,6 +244,88 @@ object Communities {
       .orderBy(col("node"))
   }
 
+  /** Stage an ingest batch's edges for [[assignFromStaged]]: the
+    * canonical undirected build (null/self-loop drop, least/greatest,
+    * DISTINCT) plus symmetrization happen ONCE here, at ingest-stage
+    * time, and land as a catalog table bucketed on the NEIGHBOR key
+    * `v` — the label-join key. Serving then never re-canonicalizes
+    * the batch (the round-10 probe paid that distinct shuffle on
+    * every query) and, when the labels table shares the bucket
+    * count ([[writeCommunityLabelsBucketed]]), the vote round's
+    * label join plans ZERO exchanges (the
+    * [[graft.ops.BucketedTables]] layout contract).
+    */
+  def stageAssignmentEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, table: String, buckets: Int = 32): Unit = {
+    val und = canonicalUnd(edges, srcCol, dstCol)
+    graft.ops.BucketedTables.writeBucketed(
+      und.unionByName(und.select(col("v").as("u"), col("u").as("v"))),
+      table, "v", buckets)
+  }
+
+  /** The frozen-labels artifact in the layout [[assignFromStaged]]
+    * serves from: bucketed on `node` with the SAME bucket count as
+    * the staged edges, so the vote join is co-located file-to-file.
+    */
+  def writeCommunityLabelsBucketed(labels: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    graft.ops.BucketedTables.writeBucketed(
+      labels.select(col("node"), col("community")), table, "node", buckets)
+
+  /** [[assignToCommunities]] served from STAGED layouts — same
+    * semantics (one synchronous vote round against the frozen
+    * partition: majority label, ties smallest, own id when no
+    * neighbor is labeled), different plan:
+    *
+    *  - the staged edges are already canonical AND symmetric, so the
+    *    serving plan has no filter/least-greatest/DISTINCT pass;
+    *  - edges (bucketed by `v`) join labels (bucketed by `node`)
+    *    co-located — the vote round's only wide input joins with
+    *    ZERO exchanges (`CommunitiesSpec` pins the plan shape);
+    *  - the inner label join doubles as the probe filter: a row only
+    *    survives when its NEIGHBOR carries a frozen label, so
+    *    non-probe vote groups never reach the aggregation, and the
+    *    explicit semi-join of the one-shot form is unnecessary —
+    *    votes for nodes outside `nodes` drop in the final left join.
+    *
+    * Exchange budget: two vote aggregations + the probe-nodes side
+    * of the final join + the output sort — O(votes) and O(nodes),
+    * never O(corpus edges). The one-shot [[assignToCommunities]]
+    * remains the single-pass form for callers without staged layouts
+    * (the streaming sink's per-micro-batch shape).
+    */
+  def assignFromStaged(nodes: DataFrame, edgesTable: String,
+      labelsTable: String): DataFrame = {
+    val spark = nodes.sparkSession
+    val sym = spark.table(edgesTable)
+    val lab = spark.table(labelsTable)
+      .select(col("node").as("v"), col("community").as("l"))
+    // the vote tail is CPU-dense (a sort aggregate over every vote
+    // row), not byte-dense — pin its exchange to the session's
+    // shuffle parallelism so size-based AQE coalescing (tuned for
+    // the many small byte-light shuffles elsewhere) can't flatten
+    // the sort onto a handful of threads. An explicit width makes
+    // the exchange REPARTITION_BY_NUM, which AQE leaves alone.
+    val width = nodes.sparkSession.sessionState.conf.numShufflePartitions
+    val votes = sym
+      .hint("merge") // the broadcast path would forget the buckets
+      .join(lab, Seq("v"))
+      // ONE exchange serves the whole vote tail: hash(u) satisfies
+      // the (u, l) count, the per-u majority, AND the final probe
+      // join's clustering (subset-key satisfaction) — without it the
+      // planner exchanges by (u, l) and then again by u
+      .repartition(width, col("u"))
+      .groupBy(col("u"), col("l")).agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
+      .select(col("u").as("node"), (-col("m.nl")).as("community"))
+    nodes.select(col("node")).repartition(width, col("node")).distinct()
+      .join(votes, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("community"), col("node")).as("community"))
+      .orderBy(col("node"))
+  }
+
   /** Community-size histogram of a partition: (size, n_communities)
     * — the first structural readout of a clustering (is it one blob,
     * all singletons, or a real distribution?). Output is at most

@@ -342,7 +342,12 @@ object Multimodal {
           val channels = u16(body + 2)
           val bits = u16(body + 14)
           if (audioFormat != 1 || channels != 1 || bits != 16) return None
-          rate = u32(body + 4).toInt
+          val rawRate = u32(body + 4)
+          // rate==0 would divide-by-zero in resampleAudio; >=2^31
+          // wraps negative via toInt — both are "not ours", like the
+          // format/channels/bits profile checks above.
+          if (rawRate <= 0L || rawRate > 0x7fffffffL) return None
+          rate = rawRate.toInt
           fmtOk = true
         } else if (id == "data") {
           if (!fmtOk) return None // data before a valid fmt: not ours
@@ -1011,7 +1016,7 @@ object Multimodal {
   /** The REAL-decode AUDIO pipeline end to end, in an oracle-able
     * shape — [[realImageStats]]'s exact analog: render the
     * deterministic PCM test tone per document
-    * ([[AudioCodec.renderPcmWav]]: sample i = (id·31+i·7) mod 65536
+    * ([[AudioCodec.renderPcmWav]]: sample i = (id·31+i·7919) mod 65536
     * − 32768 at n = 64 + id%64 samples, 8 kHz), WAV-encode, decode
     * the container for real (the hand-rolled RIFF/WAVE chunk walk),
     * and reduce the samples to

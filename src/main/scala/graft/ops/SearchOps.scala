@@ -226,10 +226,16 @@ object SearchOps {
     // Document-length sums fit a double exactly (≤ 2^53), so a
     // ledger of any shape — one build row, appended batch rows, a
     // streaming sink's per-batch partitions — derives an average
-    // bit-identical to a full rebuild's
-    bm25StatsRow(base).write.mode("overwrite").parquet(path + "/stats")
-    bm25Postings(base)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+    // bit-identical to a full rebuild's. Both artifacts carry a
+    // batch_id partition level (the build is batch "build") so
+    // [[appendToBm25Index]] retries can dynamic-overwrite exactly
+    // their own partitions — the streaming sink's idempotence layout.
+    bm25StatsRow(base).withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(path + "/stats")
+    bm25Postings(base).withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("bucket", "batch_id")
+      .parquet(path + "/postings")
   }
 
   private[graft] def bm25StatsRow(base: DataFrame): DataFrame =
@@ -264,10 +270,24 @@ object SearchOps {
     *
     * Per-batch cost is O(batch tokenize): the existing postings are
     * never read. The caller owns doc_id disjointness (a re-ingested
-    * document would double-count — upserts belong to the keyed
-    * sinks). The one-row stats read is bounded driver metadata.
+    * document under a NEW batchKey would double-count — upserts
+    * belong to the keyed sinks). The one-row stats read is bounded
+    * driver metadata.
+    *
+    * `batchKey` names the append: both artifacts land under their
+    * own (…, batch_id=batchKey) partitions via DYNAMIC partition
+    * overwrite, so a RETRY of the same key — including recovery from
+    * a partial failure between the postings write and the stats
+    * row — recomputes identical rows and overwrites exactly its own
+    * partitions instead of double-appending (the
+    * [[graft.streaming.Pipelines.processBm25IngestBatch]] idempotence
+    * story applied to the batch path). Distinct appends need distinct
+    * keys; "build" is reserved for [[writeBm25Index]].
     */
-  def appendToBm25Index(newDocuments: DataFrame, path: String): Unit = {
+  def appendToBm25Index(newDocuments: DataFrame, path: String,
+      batchKey: String): Unit = {
+    require(batchKey.nonEmpty && batchKey != "build",
+      "batchKey must be a non-empty name other than the reserved \"build\"")
     val spark = newDocuments.sparkSession
     require(spark.read.parquet(path + "/stats")
         .schema.fieldNames.contains("sum_dl"),
@@ -276,11 +296,19 @@ object SearchOps {
     val base = bm25Base(newDocuments)
     // postings first, stats last: a failure between the two leaves a
     // stale-but-consistent average, never scalars counting ghost docs
-    bm25Postings(base)
-      .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
-    // the batch appends its own ledger row — nothing is read, merged,
-    // or rewritten; serving sums the ledger (exact long addition)
-    bm25StatsRow(base).write.mode("append").parquet(path + "/stats")
+    bm25Postings(base).withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("bucket", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path + "/postings")
+    // the batch writes its own ledger row under its own partition —
+    // nothing is read, merged, or rewritten; serving sums the ledger
+    // (exact long addition)
+    bm25StatsRow(base).withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path + "/stats")
   }
 
   /** [[searchBm25]] served from a [[writeBm25Index]] artifact: the

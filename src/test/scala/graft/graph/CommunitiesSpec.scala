@@ -146,6 +146,70 @@ class CommunitiesSpec extends SparkSpec {
     assert(got === Map(100L -> 1L, 101L -> 1L, 102L -> 102L, 103L -> 103L))
   }
 
+  test("assignFromStaged ≡ assignToCommunities; the vote join plans " +
+      "zero exchanges and never re-canonicalizes") {
+    val frozen = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "community")
+    val edges = Seq(
+      (100L, 1L), (100L, 2L), (100L, 10L),
+      (101L, 3L), (101L, 11L),
+      (102L, 999L),
+      (1L, 100L), (100L, 1L), (100L, 100L))
+      .toDF("s", "t")
+      .unionByName(Seq((Option.empty[Long], Option(1L))).toDF("s", "t"))
+    val nodes = Seq(100L, 101L, 102L, 103L).toDF("node")
+    try {
+      Communities.stageAssignmentEdges(edges, "s", "t", "t_lpa_edges", 4)
+      Communities.writeCommunityLabelsBucketed(frozen, "t_lpa_labels", 4)
+      val served = Communities.assignFromStaged(nodes,
+        "t_lpa_edges", "t_lpa_labels")
+      val want = Communities
+        .assignToCommunities(nodes, edges, "s", "t", frozen)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === want)
+      // plan shape: the co-bucketed label join is exchange-free —
+      // walk the executed plan down from the first join and assert
+      // no Exchange below it (the BucketedTablesSpec contract
+      // applied to the serving query); the aggregations and the
+      // final probe join above it may exchange, the staged sides
+      // must not
+      // walk through AQE wrappers: collect() stops at stage
+      // boundaries, so unwrap AdaptiveSparkPlanExec/QueryStageExec
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val ex = served.queryExecution.executedPlan
+      val voteJoin = allNodes(ex).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      }
+      assert(voteJoin.nonEmpty, ex.toString)
+      voteJoin.foreach { j =>
+        assert(!allNodes(j).tail.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+          j.toString)
+      }
+      // and the serving plan has no canonicalization pass: zero
+      // least/greatest and no scan of the raw edge input
+      val p = ex.toString
+      assert(!p.contains("least("), p)
+      assert(!p.contains("greatest("), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_lpa_edges")
+      spark.sql("DROP TABLE IF EXISTS t_lpa_labels")
+    }
+  }
+
   test("modularity survives an empty graph with a NULL readout") {
     val es = Seq.empty[(Long, Long)]
     val labels = Seq.empty[(Long, Long)].toDF("node", "community")

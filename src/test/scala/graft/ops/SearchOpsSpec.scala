@@ -215,8 +215,13 @@ class SearchOpsSpec extends SparkSpec {
     SearchOps.writeBm25Index(docs, full)
     SearchOps.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 1), inc)
     // two appended batches — the merged scalars must stay exact
-    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 1), inc)
-    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 4), inc)
+    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 1), inc, "b1")
+    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 4), inc, "b2")
+    // a RETRY of an already-landed batch (the partial-failure
+    // recovery path) must be a no-op on served state: the same key
+    // dynamic-overwrites exactly its own partitions, never doubling
+    // tf/df or the stats ledger
+    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 6 === 4), inc, "b2")
     // the stats LEDGER sums to the same exact longs (full: one build
     // row; inc: build row + two appended batch rows) — equal longs
     // derive a bit-identical average at serving time by construction
