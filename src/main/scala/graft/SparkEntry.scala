@@ -1105,6 +1105,28 @@ object SparkEntry {
       TextAnalysis.memorizationProbe(
         docs.filter(col("doc_id") % 4 === 0), merged, 5, minDocs = 2L)
     }),
+    // The STAGED serving twins (round-10 verdict #5): per-(doc, gram)
+    // counts staged once as a g-bucketed catalog table, the frozen
+    // gram index bucketed to match — the probe's corpus-wide gram
+    // join plans ZERO exchanges and the query never re-tokenizes.
+    // Each twin shares its one-shot query's oracle SQL verbatim, so
+    // staged ≡ one-shot is gated by the hash itself
+    "q_memorization_indexed" -> ((s, d) =>
+      TextAnalysis.memorizationProbeStaged(
+        Tables.documents(s, d).select(col("doc_id")),
+        builtMemGramsTable(s, d), builtMemIndexTable(s, d), minDocs = 2L)),
+    "q_memorization_probe_indexed" -> ((s, d) =>
+      TextAnalysis.memorizationProbeStaged(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id")),
+        builtMemGramsTable(s, d), builtMemTrainIndexTable(s, d),
+        minDocs = 1L, docFilter = Some(col("doc_id") % 4 === 0))),
+    "q_memorization_incremental_indexed" -> ((s, d) =>
+      TextAnalysis.memorizationProbeStaged(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id")),
+        builtMemGramsTable(s, d), builtMemIndexTable(s, d),
+        minDocs = 2L, docFilter = Some(col("doc_id") % 4 === 0))),
     // Mixture analytics: per-source unigram KL from the corpus blend
     "q_domain_divergence" -> ((s, d) =>
       TextAnalysis.domainDivergence(Tables.documents(s, d))),
@@ -1567,6 +1589,14 @@ object SparkEntry {
     "q_video_real" -> ((s, d) =>
       Multimodal.realVideoStats(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // COMPRESSED container: MOTION JPEG in AVI — 'MJPG' strf, one
+    // complete JPEG per '00dc' chunk, decoded by the JDK's real JPEG
+    // reader after the RIFF demux. Constant-gray frames round-trip
+    // bit-exactly at quality 1.0 (DC-only blocks), so the oracle
+    // replays the rule like the BI_RGB path
+    "q_video_real_mjpeg" -> ((s, d) =>
+      Multimodal.realVideoStatsMjpeg(Tables.documents(s, d))
+        .orderBy("doc_id")),
     // REAL temporal frame sampling: every 2nd frame, timestamps from
     // the DECODED avih microSecPerFrame (demux, not metadata trust);
     // per-frame exact reductions replayed by the oracle
@@ -1946,6 +1976,41 @@ object SparkEntry {
       graft.graph.Communities.writeCommunityLabelsBucketed(
         graft.graph.Communities.readCommunityLabels(s,
           builtCommunityLabels(s, d)), t)
+    }
+
+  /** Stage-once per-(doc, gram) occurrence table for the whole
+    * corpus, bucketed by gram (the memorization family's ingest
+    * staging — [[graft.textanalysis.TextAnalysis.stageDocGrams]]).
+    */
+  private def builtMemGramsTable(s: SparkSession, d: String): String =
+    builtTable("graft_memdg", d) { t =>
+      TextAnalysis.stageDocGrams(Tables.documents(s, d), t, 5)
+    }
+
+  /** Build-once FULL-corpus cross-doc gram index, bucketed — built
+    * through the MERGE lifecycle (train-quarters index ⊎ held-out
+    * index), so the additivity contract stays exercised on the
+    * serving path too.
+    */
+  private def builtMemIndexTable(s: SparkSession, d: String): String =
+    builtTable("graft_memidx", d) { t =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeMemorizationIndexBucketed(
+        TextAnalysis.mergeMemorizationIndexes(
+          TextAnalysis.memorizationIndex(
+            docs.filter(col("doc_id") % 4 =!= 0), 5),
+          TextAnalysis.memorizationIndex(
+            docs.filter(col("doc_id") % 4 === 0), 5)), t)
+    }
+
+  /** Build-once train-quarters-only gram index, bucketed — the
+    * admission gate's frozen artifact.
+    */
+  private def builtMemTrainIndexTable(s: SparkSession, d: String): String =
+    builtTable("graft_memtidx", d) { t =>
+      TextAnalysis.writeMemorizationIndexBucketed(
+        TextAnalysis.memorizationIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), 5), t)
     }
 
   /** Build-once WRITTEN video fingerprint index over the non-probe
@@ -2678,7 +2743,16 @@ object SparkEntry {
         // the written classifier must serve identically to the
         // in-session one (the q_dsir_weights_indexed precedent)
         "q_quality_classifier_indexed" ->
-          staticOracleSql("q_quality_classifier_gate")) ++
+          staticOracleSql("q_quality_classifier_gate"),
+        // the staged memorization twins (g-bucketed doc-grams +
+        // bucketed frozen index) must score identically to their
+        // one-shot forms — each shares that oracle verbatim, so
+        // staged ≡ one-shot is gated by the hash itself
+        "q_memorization_indexed" -> staticOracleSql("q_memorization"),
+        "q_memorization_probe_indexed" ->
+          staticOracleSql("q_memorization_probe"),
+        "q_memorization_incremental_indexed" ->
+          staticOracleSql("q_memorization_incremental")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++
       bpeCoverageOracle ++ bpeFallbackOracle ++ kcoreOracle ++
       curationKcoreOracle
@@ -5367,6 +5441,30 @@ object SparkEntry {
                / count(*), 4) AS mean_gray
          FROM documents d, range(0, 672) r(j)
          WHERE r.j < (4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // MJPEG replay: constant-frame rule (id·31 + f·101) mod 256 —
+    // uniform JPEG frames decode bit-exactly at quality 1.0, so the
+    // whole compressed-container pipeline reduces to the rule
+    "q_video_real_mjpeg" ->
+      """SELECT d.doc_id,
+         CAST(8 + d.doc_id % 5 AS INT) AS width,
+         CAST(8 AS INT) AS height,
+         CAST(4 + d.doc_id % 4 AS INT) AS n_frames,
+         CAST((4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8 AS BIGINT)
+           AS n_pixels,
+         CAST(sum(((d.doc_id*31 + r.f*101) % 256)
+                  * (8 + d.doc_id % 5) * 8) AS BIGINT) AS sum_gray,
+         CAST(sum(CASE WHEN (d.doc_id*31 + r.f*101) % 256 >= 128
+                  THEN (8 + d.doc_id % 5) * 8 ELSE 0 END) AS BIGINT)
+           AS n_bright,
+         CAST(min((d.doc_id*31 + r.f*101) % 256) AS INT) AS min_gray,
+         CAST(max((d.doc_id*31 + r.f*101) % 256) AS INT) AS max_gray,
+         round(sum(((d.doc_id*31 + r.f*101) % 256) * 1.0
+                   * (8 + d.doc_id % 5) * 8)
+               / ((4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8), 4)
+           AS mean_gray
+         FROM documents d, range(0, 7) r(f)
+         WHERE r.f < 4 + d.doc_id % 4
          GROUP BY d.doc_id ORDER BY d.doc_id""",
     // frame-sampling replay: every 2nd frame, t_ms = f·250 (the
     // 4 fps → 250000 µs/frame avih value the demuxer must READ),

@@ -51,7 +51,7 @@ object Communities {
       rounds: Int = 4, smallGraphEdges: Long = PageRank.DefaultSmallGraphEdges,
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame =
     lpaFromUnd(canonicalUnd(edges, srcCol, dstCol), rounds,
-      smallGraphEdges, fastPathByteBudget)
+      smallGraphEdges, fastPathByteBudget, rawEdges = Some(edges))
 
   /** [[labelPropagation]] + [[modularity]] sharing ONE canonical
     * edge build (the composed q_modularity query would otherwise pay
@@ -63,7 +63,8 @@ object Communities {
       fastPathByteBudget: Long = PageRank.FastPathByteBudget): DataFrame = {
     val und = canonicalUnd(edges, srcCol, dstCol).localCheckpoint(true)
     val labels =
-      lpaFromUnd(und, rounds, smallGraphEdges, fastPathByteBudget)
+      lpaFromUnd(und, rounds, smallGraphEdges, fastPathByteBudget,
+        rawEdges = Some(edges))
     modularityFromUnd(und, labels)
   }
 
@@ -82,11 +83,17 @@ object Communities {
   }
 
   private def lpaFromUnd(und: DataFrame, rounds: Int,
-      smallGraphEdges: Long, fastPathByteBudget: Long): DataFrame = {
+      smallGraphEdges: Long, fastPathByteBudget: Long,
+      rawEdges: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val maxFastEdges =
       math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
-    if (smallGraphEdges > 0 && und.count() <= maxFastEdges)
+    // rawEdges, when the caller has the pre-canonicalization frame,
+    // lets the cheap probe skip the standalone distinct-count on
+    // clearly-large graphs (PageRank.mayFitFastPath)
+    if (smallGraphEdges > 0 &&
+        rawEdges.forall(PageRank.mayFitFastPath(_, maxFastEdges)) &&
+        und.count() <= maxFastEdges)
       return fastLpa(und, rounds)
     // both directions: one labels-join keyed by v yields, per directed
     // (u, v), neighbor v's vote for u

@@ -79,7 +79,9 @@ object KCore {
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val maxFastEdges =
       math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
-    if (smallGraphEdges > 0 && longIds && und.count() <= maxFastEdges)
+    if (smallGraphEdges > 0 && longIds &&
+        PageRank.mayFitFastPath(edges, maxFastEdges) &&
+        und.count() <= maxFastEdges)
       // fastKCore eagerly localCheckpoints its output, so und is
       // fully consumed by the time it returns (unpersist also on the
       // loud budget-exhaustion throw)

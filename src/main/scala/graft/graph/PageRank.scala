@@ -84,6 +84,52 @@ object PageRank {
     */
   val DefaultSmallGraphEdges: Long = 1500000L
 
+  /** Slack multiplier for [[mayFitFastPath]]'s raw-count band. */
+  val FastGateSlack = 2L
+
+  // raw-edge gate probes memoized by canonicalized logical plan —
+  // repeated serving of the same graph (bench passes, compositions
+  // re-deriving the same edge frame) pays the probe job once per
+  // session. Bounded LRU; a stale entry can only misroute the PATH
+  // CHOICE (both paths are parity-pinned), never change a result.
+  private val gateProbeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size > 64
+      })
+
+  /** Cheap fast-path gate probe (round-10 verdict #3): counting the
+    * RAW edge frame is a scan-only job (no exchange), while counting
+    * the canonical frame materializes the distinct — at the 10×
+    * replica that standalone job cost the triangles fast twin +1.3 s
+    * just to learn it must fall back. Canonicalization only DROPS
+    * rows (nulls, self-loops, duplicates), so the raw count upper-
+    * bounds the canonical count: when raw > [[FastGateSlack]]·gate
+    * the operator routes straight to the distributed path with no
+    * exact count (a graph would need more than half its edge rows
+    * invalid or duplicated to be misrouted — and a misroute only
+    * picks the OTHER parity-pinned path); when the probe is within
+    * the band, the caller pays the exact canonical count, which
+    * doubles as the persist materialization the in-task single-task
+    * reads rely on.
+    */
+  private[graph] def mayFitFastPath(rawEdges: org.apache.spark.sql.DataFrame,
+      maxFastEdges: Long): Boolean = {
+    if (maxFastEdges <= 0) return false
+    val key = rawEdges.queryExecution.logical.canonicalized.toString
+    val hit = gateProbeCache.get(key)
+    val raw =
+      if (hit != null) hit.longValue()
+      else {
+        val n = rawEdges.count()
+        gateProbeCache.put(key, java.lang.Long.valueOf(n))
+        n
+      }
+    raw <= FastGateSlack * maxFastEdges
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, damping: Double = 0.85,
       tol: Double = 0.0, smallGraphEdges: Long = PageRank.DefaultSmallGraphEdges,
@@ -108,7 +154,8 @@ object PageRank {
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val maxFastEdges =
       math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
-    if (longIds && smallGraphEdges > 0 && e.count() <= maxFastEdges) {
+    if (longIds && smallGraphEdges > 0 &&
+        mayFitFastPath(edges, maxFastEdges) && e.count() <= maxFastEdges) {
       val out = fastPageRank(e, iterations, damping, tol)
         .localCheckpoint(true)
       e.unpersist()
@@ -232,7 +279,8 @@ object PageRank {
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
     val maxFastEdges =
       math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
-    if (longIds && smallGraphEdges > 0 && e.count() <= maxFastEdges) {
+    if (longIds && smallGraphEdges > 0 &&
+        mayFitFastPath(edges, maxFastEdges) && e.count() <= maxFastEdges) {
       val out = fastPersonalizedPageRank(e, isSeed, iterations, damping)
         .localCheckpoint(true)
       e.unpersist()

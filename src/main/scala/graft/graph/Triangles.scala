@@ -213,7 +213,8 @@ object Triangles {
         .forall(_.dataType == org.apache.spark.sql.types.LongType)
       val maxFastEdges =
         math.min(smallGraphEdges, fastPathByteBudget / FastPathBytesPerEdge)
-      if (longIds && und.count() <= maxFastEdges)
+      if (longIds && PageRank.mayFitFastPath(edges, maxFastEdges) &&
+          und.count() <= maxFastEdges)
         // fastTriangleStats localCheckpoints eagerly — und is fully
         // consumed by the time it returns
         try return fastTriangleStats(und) finally und.unpersist()

@@ -124,6 +124,28 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** JPEG encode at an EXPLICIT quality (ImageIO.write's default
+      * is 0.75 — not a contract). At quality 1.0 the quantization
+      * tables are all ones, so a UNIFORM single-band gray frame is
+      * DC-only per block and round-trips BIT-EXACTLY (verified for
+      * all 256 values across odd widths, tools.ProfileMjpeg) — the
+      * property that makes the MJPEG-in-AVI fixtures rule-oracle-able
+      * like the lossless PNG/BI_RGB paths.
+      */
+    def encodeJpeg(img: BufferedImage, quality: Float = 1.0f): Array[Byte] = {
+      val w = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     /** Luminance (0-255) of pixel (x, y). Single-band gray rasters
       * read their sample DIRECTLY — getRGB on TYPE_BYTE_GRAY passes
       * through a linear-gray → sRGB color-space conversion that is
@@ -622,11 +644,110 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 'MJPG' biCompression as the little-endian u32 the strf
+      * carries: bytes M J P G.
+      */
+    val MjpgFourcc: Long = 0x47504A4DL
+
+    /** Encode gray frames as MOTION-JPEG-in-AVI: the same RIFF/AVI
+      * skeleton as [[encodeAvi]], but each '00dc' chunk holds a
+      * complete single-band JPEG (quality 1.0 —
+      * [[ImageCodec.encodeJpeg]]) and strf declares
+      * biCompression='MJPG'. Frame chunks are variable-size (chunks
+      * pad to even per RIFF), and idx1 carries the real offsets —
+      * the one compressed media container reachable without ffmpeg,
+      * decoded by the JDK's own JPEG reader.
+      */
+    def encodeMjpegAvi(frames: Array[Array[Int]], w: Int, h: Int,
+        fps: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0,
+        s"bad AVI geometry: ${w}x$h @ $fps fps")
+      frames.foreach(f => require(f.length == w * h,
+        s"frame length ${f.length} != ${w * h}"))
+      val jpegs = frames.map { fr =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, fr(y * w + x) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        graft.multimodal.Multimodal.ImageCodec.encodeJpeg(img)
+      }
+      val nF = frames.length
+      def padded(len: Int): Int = len + (len & 1)
+      val maxJpeg = if (nF == 0) 0 else jpegs.map(_.length).max
+      val moviSize = 4 + jpegs.map(j => 8 + padded(j.length)).sum
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+      val idx1Size = 16 * nF
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+      val bos = new ByteArrayOutputStream(12 + riffSize)
+      bos.write(fourcc("RIFF")); writeU32(bos, riffSize); bos.write(fourcc("AVI "))
+      bos.write(fourcc("LIST")); writeU32(bos, hdrlSize); bos.write(fourcc("hdrl"))
+      bos.write(fourcc("avih")); writeU32(bos, 56)
+      writeU32(bos, 1000000L / fps)         // dwMicroSecPerFrame
+      writeU32(bos, maxJpeg.toLong * fps)   // dwMaxBytesPerSec
+      writeU32(bos, 0)                      // dwPaddingGranularity
+      writeU32(bos, 0x10)                   // dwFlags: AVIF_HASINDEX
+      writeU32(bos, nF)                     // dwTotalFrames
+      writeU32(bos, 0)                      // dwInitialFrames
+      writeU32(bos, 1)                      // dwStreams
+      writeU32(bos, maxJpeg)                // dwSuggestedBufferSize
+      writeU32(bos, w); writeU32(bos, h)
+      writeU32(bos, 0); writeU32(bos, 0); writeU32(bos, 0); writeU32(bos, 0)
+      bos.write(fourcc("LIST")); writeU32(bos, strlSize); bos.write(fourcc("strl"))
+      bos.write(fourcc("strh")); writeU32(bos, 56)
+      bos.write(fourcc("vids")); bos.write(fourcc("MJPG"))
+      writeU32(bos, 0)                      // dwFlags
+      writeU16(bos, 0); writeU16(bos, 0)    // wPriority, wLanguage
+      writeU32(bos, 0)                      // dwInitialFrames
+      writeU32(bos, 1)                      // dwScale
+      writeU32(bos, fps)                    // dwRate
+      writeU32(bos, 0)                      // dwStart
+      writeU32(bos, nF)                     // dwLength (frames)
+      writeU32(bos, maxJpeg)                // dwSuggestedBufferSize
+      writeU32(bos, 0xffffffffL)            // dwQuality
+      writeU32(bos, 0)                      // dwSampleSize
+      writeU16(bos, 0); writeU16(bos, 0); writeU16(bos, w); writeU16(bos, h)
+      bos.write(fourcc("strf")); writeU32(bos, 40)
+      writeU32(bos, 40)                     // biSize
+      writeU32(bos, w); writeU32(bos, h)
+      writeU16(bos, 1); writeU16(bos, 24)   // biPlanes, biBitCount
+      writeU32(bos, MjpgFourcc)             // biCompression = 'MJPG'
+      writeU32(bos, maxJpeg)                // biSizeImage (per-frame max)
+      writeU32(bos, 0); writeU32(bos, 0); writeU32(bos, 0); writeU32(bos, 0)
+      bos.write(fourcc("LIST")); writeU32(bos, moviSize); bos.write(fourcc("movi"))
+      jpegs.foreach { j =>
+        bos.write(fourcc("00dc")); writeU32(bos, j.length)
+        bos.write(j, 0, j.length)
+        if ((j.length & 1) == 1) bos.write(0) // RIFF even padding
+      }
+      bos.write(fourcc("idx1")); writeU32(bos, idx1Size)
+      var off = 4L
+      jpegs.foreach { j =>
+        bos.write(fourcc("00dc"))
+        writeU32(bos, 0x10) // AVIIF_KEYFRAME
+        writeU32(bos, off)
+        writeU32(bos, j.length)
+        off += 8L + padded(j.length)
+      }
+      bos.toByteArray
+    }
+
     /** Demux + decode an uncompressed-AVI payload; None when the
       * bytes are not this module's profile (the degrade signal).
       * Walks the RIFF chunk tree for real: LIST recursion, even-byte
       * chunk padding, '00db'/'00dc' frame chunks under movi,
-      * bottom-up stride-padded raster inversion.
+      * bottom-up stride-padded raster inversion. The 'MJPG'
+      * biCompression profile decodes each frame chunk as a complete
+      * single-band JPEG through [[ImageCodec.decode]] (top-down, no
+      * stride) — any other compression, a color/mis-sized JPEG frame,
+      * or an undecodable payload stays "not ours".
       */
     def decode(content: Array[Byte]): Option[VideoClip] = {
       if (content == null || content.length < 12) return None
@@ -663,30 +784,56 @@ object Multimodal {
               bitCount = (u32(o + 8 + 14) & 0xffff).toInt
               compression = u32(o + 8 + 16)
             } else if (inMovi && (ck == "00db" || ck == "00dc")) {
-              if (bitCount != 24 || compression != 0L || w <= 0 || h <= 0)
-                throw new IllegalArgumentException("not the BI_RGB profile")
-              val stride = rowStride(w)
-              if (size < stride.toLong * h)
-                throw new IllegalArgumentException("short frame")
-              val fr = new Array[Int](w * h)
-              var y = 0
-              while (y < h) {
-                val rowOff = o + 8 + (h - 1 - y) * stride
-                var x = 0
-                while (x < w) {
-                  fr(y * w + x) = content(rowOff + x * 3) & 0xff // blue (b=g=r)
-                  x += 1
+              if (w <= 0 || h <= 0)
+                throw new IllegalArgumentException("frames before strf")
+              if (compression == 0L && bitCount == 24) {
+                val stride = rowStride(w)
+                if (size < stride.toLong * h)
+                  throw new IllegalArgumentException("short frame")
+                val fr = new Array[Int](w * h)
+                var y = 0
+                while (y < h) {
+                  val rowOff = o + 8 + (h - 1 - y) * stride
+                  var x = 0
+                  while (x < w) {
+                    fr(y * w + x) = content(rowOff + x * 3) & 0xff // blue (b=g=r)
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
-              }
-              frames += fr
+                frames += fr
+              } else if (compression == MjpgFourcc) {
+                // each chunk is a complete JPEG; decode through the
+                // real ImageIO path, top-down, single gray band
+                val img = ImageCodec.decode(java.util.Arrays
+                    .copyOfRange(content, o + 8, dataEnd.toInt))
+                  .getOrElse(throw new IllegalArgumentException(
+                    "undecodable MJPEG frame"))
+                if (img.getWidth != w || img.getHeight != h ||
+                    img.getRaster.getNumBands != 1)
+                  throw new IllegalArgumentException(
+                    "MJPEG frame geometry/profile mismatch")
+                val fr = new Array[Int](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    fr(y * w + x) = img.getRaster.getSample(x, y, 0)
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += fr
+              } else
+                throw new IllegalArgumentException("unsupported compression")
             }
             o = (dataEnd + (size & 1L)).toInt // chunks pad to even
           }
         }
         walk(12, riffEnd, inMovi = false)
-        if (!vids || w <= 0 || h <= 0 || bitCount != 24 || compression != 0L)
-          None
+        val profileOk = (compression == 0L && bitCount == 24) ||
+          compression == MjpgFourcc
+        if (!vids || w <= 0 || h <= 0 || !profileOk) None
         else Some(VideoClip(w, h, mspf, frames.toArray))
       } catch {
         case _: IllegalArgumentException => None
@@ -805,6 +952,25 @@ object Multimodal {
     def renderGrayAvi(id: Long): Array[Byte] = {
       val w = 8 + (id % 5).toInt
       encodeAvi(renderFrames(id), w, 8, fps = 4)
+    }
+
+    /** The MJPEG test clip rule: same geometry as [[renderFrames]]
+      * but each frame is a CONSTANT gray, value (id·31 + f·101) mod
+      * 256 — uniform frames are the JPEG profile that round-trips
+      * bit-exactly at quality 1.0 (DC-only blocks; ImageCodec.encodeJpeg),
+      * which keeps the compressed container rule-oracle-able in SQL.
+      */
+    def renderConstFrames(id: Long): Array[Array[Int]] = {
+      val w = 8 + (id % 5).toInt; val h = 8
+      val nF = 4 + (id % 4).toInt
+      Array.tabulate(nF) { f =>
+        Array.fill(w * h)(((id * 31 + f * 101) % 256).toInt)
+      }
+    }
+
+    def renderMjpegAvi(id: Long): Array[Byte] = {
+      val w = 8 + (id % 5).toInt
+      encodeMjpegAvi(renderConstFrames(id), w, 8, fps = 4)
     }
   }
 
@@ -1164,6 +1330,38 @@ object Multimodal {
           val clip = VideoCodec.decode(avi).getOrElse(
             throw new IllegalStateException(
               s"AVI round-trip failed for doc $id"))
+          val (n, s, bright, mn, mx) = VideoCodec.clipStats(clip)
+          (id, clip.width, clip.height, clip.frames.length, n, s, bright,
+            mn, mx)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_frames", "n_pixels",
+        "sum_gray", "n_bright", "min_gray", "max_gray")
+      .withColumn("mean_gray", round(col("sum_gray") / col("n_pixels"), 4))
+  }
+
+  /** The COMPRESSED-container twin of [[realVideoStats]]: render the
+    * constant-frame test clip, mux as MOTION JPEG
+    * ([[VideoCodec.renderMjpegAvi]] — 'MJPG' strf, one complete
+    * JPEG per '00dc' chunk), demux the RIFF tree and decode every
+    * frame through the JDK's real JPEG reader, then reduce to the
+    * same exact whole-clip integers. Uniform frames at quality 1.0
+    * round-trip bit-exactly (tools.ProfileMjpeg: all 256 values;
+    * 32-thread decode scales ~4× over 1 thread — parallel, unlike
+    * javax.sound's serialized provider registry), so the DuckDB
+    * oracle replays the constant rule itself: a dropped frame, a
+    * misparsed variable-size chunk, or a lossy decode hash-fails.
+    */
+  def realVideoStatsMjpeg(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    docIds(documents)
+      .mapPartitions { it =>
+        it.map { id =>
+          val avi = VideoCodec.renderMjpegAvi(id)
+          val clip = VideoCodec.decode(avi).getOrElse(
+            throw new IllegalStateException(
+              s"MJPEG round-trip failed for doc $id"))
           val (n, s, bright, mn, mx) = VideoCodec.clipStats(clip)
           (id, clip.width, clip.height, clip.frames.length, n, s, bright,
             mn, mx)

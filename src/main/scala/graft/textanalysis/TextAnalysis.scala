@@ -626,6 +626,75 @@ object TextAnalysis {
   def readMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(dir)
 
+  /** Stage the per-(doc, gram) occurrence table as a catalog table
+    * bucketed on the GRAM key — the memorization family's
+    * ingest-staging step (the [[graft.graph.Communities.stageAssignmentEdges]]
+    * pattern): a batch's grams are exploded and counted ONCE when the
+    * batch lands, and every later probe reads the staged layout
+    * instead of re-tokenizing. Bucketed to match
+    * [[writeMemorizationIndexBucketed]], so the probe's gram join
+    * plans zero exchanges.
+    */
+  def stageDocGrams(documents: DataFrame, table: String, n: Int = 5,
+      buckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Unit =
+    graft.ops.BucketedTables.writeBucketed(
+      documents
+        .select(col(idCol).as("doc_id"),
+          explode(ngramsFor(documents)(words(col(textCol)), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c")),
+      table, "g", buckets)
+
+  /** The frozen gram index in the layout [[memorizationProbeStaged]]
+    * serves from: bucketed on `g` with the same bucket count as the
+    * staged doc-grams, so probe ⋈ index is co-located file-to-file.
+    */
+  def writeMemorizationIndexBucketed(index: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    graft.ops.BucketedTables.writeBucketed(
+      index.select(col("g"), col("nd")), table, "g", buckets)
+
+  /** [[memorizationProbe]] served from STAGED layouts — identical
+    * scoring (per-doc fraction of gram occurrences present in ≥
+    * `minDocs` indexed docs, gram-less docs 0/0/NULL), different
+    * plan: no tokenize pass (zero Generate nodes), and the gram join
+    * — the probe's only corpus-wide join — runs between two
+    * co-bucketed tables with ZERO exchanges. One pinned-width
+    * exchange brings the scores home to doc_id
+    * (the assignFromStaged width rationale). `docFilter` restricts
+    * the staged grams to the probe batch (a pushed row filter —
+    * train-doc rows never reach the join).
+    *
+    * `docIds` supplies the probe's id universe for the final
+    * left join (docs with no grams still get a row).
+    */
+  def memorizationProbeStaged(docIds: DataFrame, gramsTable: String,
+      indexTable: String, minDocs: Long = 1L,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = docIds.sparkSession
+    val width = spark.sessionState.conf.numShufflePartitions
+    val dg0 = spark.table(gramsTable)
+    val dg = docFilter.map(dg0.filter).getOrElse(dg0)
+    val per = dg
+      .hint("merge") // broadcast would forget the buckets
+      .join(spark.table(indexTable), Seq("g"), "left")
+      .repartition(width, col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        coalesce(sum(when(coalesce(col("nd"), lit(0L)) >= minDocs,
+          col("c"))), lit(0L)).as("dup_grams"))
+    docIds.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        when(col("n_grams") > 0,
+          expr("(dup_grams * 20000 + n_grams) div (2 * n_grams)") /
+            lit(10000.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Ingest-time memorization gate: score candidate docs against a
     * FROZEN [[memorizationIndex]] — per doc, the fraction of its
     * n-gram occurrences already present in ≥ `minDocs` indexed

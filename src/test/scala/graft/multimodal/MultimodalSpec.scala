@@ -403,6 +403,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG-in-AVI: uniform frames round-trip bit-exactly; profile " +
+      "and corruption degrade") {
+    import Multimodal.VideoCodec
+    // uniform frames at every boundary value, odd widths (odd JPEG
+    // chunk lengths exercise the RIFF even-padding on the walk)
+    (8 to 12).foreach { w =>
+      val h = 8
+      val frames = Array.tabulate(4)(f =>
+        Array.fill(w * h)(Seq(0, 127, 128, 255)(f)))
+      val avi = VideoCodec.encodeMjpegAvi(frames, w, h, fps = 4)
+      val clip = VideoCodec.decode(avi).getOrElse(fail(s"w=$w no decode"))
+      assert(clip.width === w && clip.height === h)
+      assert(clip.microSecPerFrame === 250000L)
+      assert(clip.frames.length === 4)
+      clip.frames.zip(frames).foreach { case (got, want) =>
+        assert(got.toSeq === want.toSeq, s"w=$w")
+      }
+    }
+    // the render rule's own clips round-trip to the rule
+    val clip = VideoCodec.decode(VideoCodec.renderMjpegAvi(13L)).get
+    assert(clip.frames.zipWithIndex.forall { case (fr, f) =>
+      fr.forall(_ == ((13L * 31 + f * 101) % 256).toInt)
+    })
+    // a corrupted JPEG frame degrades the whole clip (not ours)
+    val avi = VideoCodec.renderMjpegAvi(13L)
+    val corrupt = avi.clone()
+    // find the first 00dc chunk and damage its JPEG payload
+    val movi = {
+      var i = 0
+      while (!(corrupt(i) == '0'.toByte && corrupt(i + 1) == '0'.toByte &&
+        corrupt(i + 2) == 'd'.toByte && corrupt(i + 3) == 'c'.toByte)) i += 1
+      i
+    }
+    // zero the SOI marker — decoders tolerate mid-stream damage, but
+    // a stream that doesn't start FFD8 is definitively not a JPEG
+    corrupt(movi + 8) = 0x00.toByte
+    corrupt(movi + 9) = 0x00.toByte
+    assert(VideoCodec.decode(corrupt).isEmpty)
+    // an unknown compression fourcc is not ours: flip 'MJPG' -> 'XJPG'
+    val alien = avi.clone()
+    var j = 0
+    var flipped = false
+    while (j < alien.length - 4 && !flipped) {
+      if (alien(j) == 'M'.toByte && alien(j + 1) == 'J'.toByte &&
+          alien(j + 2) == 'P'.toByte && alien(j + 3) == 'G'.toByte) {
+        alien(j) = 'X'.toByte; flipped = true // strh fccHandler first
+      }
+      j += 1
+    }
+    assert(flipped)
+    // the strf biCompression (a second MJPG occurrence) still says
+    // MJPG for `alien` — flip it too so the profile is truly unknown
+    var k = j
+    var flipped2 = false
+    while (k < alien.length - 4 && !flipped2) {
+      if (alien(k) == 'M'.toByte && alien(k + 1) == 'J'.toByte &&
+          alien(k + 2) == 'P'.toByte && alien(k + 3) == 'G'.toByte) {
+        alien(k) = 'X'.toByte; flipped2 = true
+      }
+      k += 1
+    }
+    assert(flipped2)
+    assert(VideoCodec.decode(alien).isEmpty)
+    // BI_RGB clips still decode through the same walker
+    assert(VideoCodec.decode(VideoCodec.renderGrayAvi(13L)).isDefined)
+  }
+
+  test("realVideoStatsMjpeg matches the constant-frame rule") {
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val got = Multimodal.realVideoStatsMjpeg(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % 5).toInt; val h = 8; val nF = 4 + (id % 4).toInt
+      val vals = (0 until nF).map(f => ((id * 31 + f * 101) % 256).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === nF)
+      assert(r.getLong(4) === nF.toLong * w * h)
+      assert(r.getLong(5) === vals.map(_.toLong * w * h).sum)
+      assert(r.getLong(6) === vals.filter(_ >= 128).size.toLong * w * h)
+      assert(r.getInt(7) === vals.min && r.getInt(8) === vals.max)
+    }
+  }
+
   test("VideoCodec degrades on non-video payloads and truncation") {
     import Multimodal.VideoCodec
     assert(VideoCodec.decode("not a video".getBytes("UTF-8")).isEmpty)

@@ -499,6 +499,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probed === stats)
   }
 
+  test("memorizationProbeStaged ≡ memorizationProbe; the gram join " +
+      "plans zero exchanges and the serving plan never tokenizes") {
+    val train = Seq((1L, "a b c d"), (2L, "x y z w"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c q"), (11L, "m n o"), (12L, "q"))
+      .toDF("doc_id", "text")
+    try {
+      TextAnalysis.stageDocGrams(probe, "t_mem_dg", 3, buckets = 4)
+      TextAnalysis.writeMemorizationIndexBucketed(
+        TextAnalysis.memorizationIndex(train, 3), "t_mem_idx", buckets = 4)
+      val served = TextAnalysis.memorizationProbeStaged(
+        probe.select(col("doc_id")), "t_mem_dg", "t_mem_idx")
+      val want = TextAnalysis.memorizationProbe(probe,
+          TextAnalysis.memorizationIndex(train, 3), 3)
+        .collect().map(_.toSeq).toSeq
+      assert(served.collect().map(_.toSeq).toSeq === want)
+      // plan shape: no Generate (never re-tokenizes), and no Exchange
+      // below the co-bucketed gram join (the CommunitiesSpec walker)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val ex = served.queryExecution.executedPlan
+      assert(!allNodes(ex).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+        ex.toString)
+      val gramJoin = allNodes(ex).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.map(_.toString).exists(_.contains("g#")) => j
+      }
+      assert(gramJoin.nonEmpty, ex.toString)
+      gramJoin.foreach { j =>
+        assert(!allNodes(j).tail.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+          j.toString)
+      }
+      // docFilter restricts the staged rows (the probe-subset twin)
+      val filtered = TextAnalysis.memorizationProbeStaged(
+        probe.filter(col("doc_id") === 10L).select(col("doc_id")),
+        "t_mem_dg", "t_mem_idx",
+        docFilter = Some(col("doc_id") === 10L))
+      assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(10L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_mem_dg")
+      spark.sql("DROP TABLE IF EXISTS t_mem_idx")
+    }
+  }
+
   test("memorizedTopGrams lists only cross-doc grams with exact " +
       "counts and the full tiebreak") {
     val docs = Seq(
