@@ -260,6 +260,21 @@ object SparkEntry {
     "q_search_bm25_incremental" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25IncIndex(s, d),
         Seq("merge", "query"), 10)),
+    // Index maintenance: ERASURE — docs ≡ 3 mod 7 tombstoned out of
+    // the full-corpus index (O(batch): tombstones + a pruned doclens
+    // read feeding an exact negative ledger row; postings untouched).
+    // The oracle replays BM25 on the REMAINING corpus — df, avgdl,
+    // and the ranking must all re-derive as if rebuilt
+    "q_search_bm25_deleted" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s, builtBm25DelIndex(s, d),
+        Seq("merge", "query"), 10)),
+    // ...and the same ranking after COMPACTION makes the deletions
+    // physical (postings/doclens rewritten without the tombstoned
+    // docs, ledger collapsed, tombstones dropped) — compacted ≡
+    // tombstoned is gated by sharing the deleted oracle verbatim
+    "q_search_bm25_compacted" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s, builtBm25CompactIndex(s, d),
+        Seq("merge", "query"), 10)),
     // Streaming ingestion into the live text index: the SAME served
     // ranking over an index the bm25IndexSink built from three
     // checkpointed micro-batches — stream-built ≡ one-shot rebuild,
@@ -869,6 +884,15 @@ object SparkEntry {
     // prunes to nProbe partition directories (the 100 TB path)
     "q_ann_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKFromIndex(s.read.parquet(builtIvfIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // Index maintenance: ERASURE — ids ≡ 3 mod 7 tombstoned out of
+    // the written index (O(batch); cells never read), served through
+    // the anti-joining reader. The oracle replays the rebuild on the
+    // REMAINING vectors: tombstoned ≡ rebuild-on-remaining is the
+    // operator's exactness claim
+    "q_ann_ivf_deleted" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        Similarity.readIvfIndex(s, builtIvfDelIndex(s, d)),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // Index maintenance: the same probe over an index built as
     // base-write + batch-APPEND against frozen centroids — append ≡
@@ -2096,6 +2120,41 @@ object SparkEntry {
         batchKey = "inc1")
     }
 
+  /** Build-once full index with the ids ≡ 3 mod 7 batch TOMBSTONED
+    * (logical erasure — postings untouched, exact negative ledger).
+    */
+  private def builtBm25DelIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25_del", d) { p =>
+      val docs = Tables.documents(s, d)
+      SearchOps.writeBm25Index(docs, p)
+      SearchOps.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
+        batchKey = "del1")
+    }
+
+  /** Build-once tombstoned index, then COMPACTED (physical erasure;
+    * q_search_bm25_compacted shares the deleted oracle, so
+    * compacted ≡ tombstoned is gated by the hash itself).
+    */
+  private def builtBm25CompactIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25_cmp", d) { p =>
+      val docs = Tables.documents(s, d)
+      SearchOps.writeBm25Index(docs, p)
+      SearchOps.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
+        batchKey = "del1")
+      SearchOps.compactBm25Index(s, p)
+    }
+
+  /** Build-once IVF index with the ids ≡ 3 mod 7 batch tombstoned. */
+  private def builtIvfDelIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_del", d) { p =>
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
+      Similarity.deleteFromIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id")), p, batchKey = "del1")
+    }
+
   /** Build-once STREAM-BUILT BM25 index per corpus: the whole corpus
     * arrives as three MemoryStream batches (doc_id % 3 in order)
     * through the real [[graft.streaming.Pipelines.bm25IndexSink]]
@@ -2752,7 +2811,12 @@ object SparkEntry {
         "q_memorization_probe_indexed" ->
           staticOracleSql("q_memorization_probe"),
         "q_memorization_incremental_indexed" ->
-          staticOracleSql("q_memorization_incremental")) ++
+          staticOracleSql("q_memorization_incremental"),
+        // compaction must not change a single served value — the
+        // compacted index shares the tombstoned index's oracle
+        // verbatim, so compacted ≡ tombstoned is gated by the hash
+        "q_search_bm25_compacted" ->
+          staticOracleSql("q_search_bm25_deleted")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++
       bpeCoverageOracle ++ bpeFallbackOracle ++ kcoreOracle ++
       curationKcoreOracle
@@ -3085,6 +3149,26 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY split""",
     "q_search_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // erasure replay: BM25 rebuilt on the REMAINING corpus — df,
+    // avgdl, and the ranking all re-derive as if the deleted docs
+    // were never indexed; the tombstoned index must match exactly
+    "q_search_bm25_deleted" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 7 <> 3),
          dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
          tf AS (SELECT doc_id, dl, term, count(*) AS tf
@@ -3939,6 +4023,29 @@ object SparkEntry {
          FROM embeddings e
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // erasure replay: the probe over the REMAINING vectors — frozen
+    // centroids mean removing a row cannot move any other row, so
+    // tombstoned serving must equal the rebuild-on-remaining exactly
+    "q_ann_ivf_deleted" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 7 <> 3
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     // the incremental index shares the FULL-REBUILD replay verbatim:
     // append ≡ rebuild is the operator's exactness claim, so the

@@ -219,6 +219,19 @@ object SearchOps {
     * per-term posting count IS df, already in the rows being read.
     * One corpus tokenize pays for every subsequent query.
     */
+  /** Doc-axis bucket count for the per-document length sidecar
+    * (`path/doclens`) — what lets a DELETE read only its ids'
+    * directories instead of scanning the index.
+    */
+  val DoclenBuckets = 64
+
+  private[graft] def docBucketCol(c: Column): Column =
+    pmod(xxhash64(c), lit(DoclenBuckets.toLong))
+
+  private[graft] def bm25Doclens(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("dl"))
+      .withColumn("dbucket", docBucketCol(col("doc_id")))
+
   def writeBm25Index(documents: DataFrame, path: String): Unit = {
     val base = bm25Base(documents)
     // the corpus scalars are an append-only LEDGER of exact longs:
@@ -236,6 +249,12 @@ object SearchOps {
     bm25Postings(base).withColumn("batch_id", lit("build"))
       .write.mode("overwrite").partitionBy("bucket", "batch_id")
       .parquet(path + "/postings")
+    // the doc-length sidecar, bucketed on the DOC axis: deletes read
+    // only their ids' directories to derive the exact negative
+    // (n_docs, sum_dl) ledger correction
+    bm25Doclens(base).withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("dbucket", "batch_id")
+      .parquet(path + "/doclens")
   }
 
   private[graft] def bm25StatsRow(base: DataFrame): DataFrame =
@@ -309,6 +328,133 @@ object SearchOps {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path + "/stats")
+    // keep the delete sidecar in step with the appended docs (older
+    // indexes without doclens stay append-able; only DELETE requires
+    // the sidecar and checks for it)
+    if (fsFor(spark, path).exists(hadoopPath(path + "/doclens")))
+      bm25Doclens(base).withColumn("batch_id", lit(batchKey))
+        .write.partitionBy("dbucket", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path + "/doclens")
+  }
+
+  private def hadoopPath(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, p: String) =
+    hadoopPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** DELETE documents from a written BM25 index WITHOUT rewriting it
+    * — the erasure member of the index-maintenance family (the
+    * "right to be forgotten" path a serving index needs between
+    * rebuilds). Deletion is logical: the ids land as TOMBSTONES
+    * (`path/tombstones/batch_id=K/`), serving anti-joins them
+    * (document frequencies re-aggregate from the pruned, filtered
+    * postings, so df is the REMAINING corpus's df), and the corpus
+    * scalars get an exact NEGATIVE ledger row derived from the
+    * `doclens` sidecar — tombstoned serving ≡ rebuild-on-remaining
+    * bit-for-bit (q_search_bm25_deleted shares the filtered-corpus
+    * replay to gate exactly that). [[compactBm25Index]] later makes
+    * the deletion physical.
+    *
+    * Cost is O(delete batch): the doclens read prunes to the ids'
+    * hash-bucket directories (≤ [[DoclenBuckets]]), postings are
+    * never touched. Retries of the same `batchKey` are idempotent:
+    * new ids are computed against OTHER batches' tombstones only
+    * (self-exclusion), so a replay recomputes identical rows and
+    * dynamic-overwrites exactly its own tombstone partition and its
+    * own ledger row. Ids never indexed (or already deleted by
+    * another batch) contribute nothing to the correction.
+    */
+  def deleteFromBm25Index(deleteIds: DataFrame, path: String,
+      batchKey: String): Unit = {
+    require(batchKey.nonEmpty && batchKey != "build",
+      "batchKey must be a non-empty name other than the reserved \"build\"")
+    val spark = deleteIds.sparkSession
+    require(fsFor(spark, path).exists(hadoopPath(path + "/doclens")),
+      s"BM25 index at $path predates the delete-capable layout " +
+        "(no doclens sidecar) — rebuild it with writeBm25Index first")
+    val tombDir = path + "/tombstones"
+    val ids = deleteIds.select(col("doc_id")).distinct()
+    val newIds = (if (fsFor(spark, path).exists(hadoopPath(tombDir))) {
+      val prior = spark.read.parquet(tombDir)
+        .filter(col("batch_id") =!= batchKey) // retry self-exclusion
+        .select(col("doc_id"))
+      ids.join(prior, Seq("doc_id"), "left_anti")
+    } else ids).localCheckpoint(true)
+    try {
+      // tombstones first: exclusion (ranking correctness) lands
+      // before the stats adjustment — a failure in between leaves a
+      // stale-but-consistent average, and the same-key retry
+      // overwrites both (the appendToBm25Index ordering rationale)
+      newIds.withColumn("batch_id", lit(batchKey))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(tombDir)
+      // the ids' doclens buckets only — a bounded literal IN-list
+      // (≤ DoclenBuckets values), computed with the SAME expression
+      // the build used, so bucket assignment can never drift
+      val buckets = newIds
+        .select(docBucketCol(col("doc_id")).as("b")).distinct()
+        .collect().map(_.getLong(0))
+      val dl =
+        if (buckets.isEmpty)
+          spark.read.parquet(path + "/doclens").filter(lit(false))
+        else spark.read.parquet(path + "/doclens")
+          .filter(col("dbucket").isin(buckets: _*))
+          .join(newIds, Seq("doc_id"), "left_semi")
+      dl.agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+        .withColumn("batch_id", lit("del-" + batchKey))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path + "/stats")
+    } finally graft.Frames.freeLocalCheckpoint(newIds)
+  }
+
+  /** Make the logical deletions physical: rewrite postings and
+    * doclens without the tombstoned docs (layout preserved — the
+    * same (bucket, batch_id) / (dbucket, batch_id) partitions, so
+    * later appends and prunes are unaffected), collapse the stats
+    * ledger to one exact "build" row, and clear the tombstones.
+    * Serving before and after compaction is bit-identical
+    * (q_search_bm25_compacted shares q_search_bm25_deleted's oracle
+    * to gate exactly that). Deliberately O(index) — this is the
+    * background maintenance job, not the delete path.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val tombDir = hadoopPath(path + "/tombstones")
+    if (!fs.exists(tombDir)) return
+    val tomb = spark.read.parquet(path + "/tombstones")
+      .select(col("doc_id")).distinct().localCheckpoint(true)
+    val kept = Seq(
+      (path + "/postings", Seq("bucket", "batch_id")),
+      (path + "/doclens", Seq("dbucket", "batch_id"))).map {
+      case (dir, parts) =>
+        // materialize BEFORE overwriting the directory being read
+        (dir, parts,
+          spark.read.parquet(dir)
+            .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true))
+    }
+    val stats = spark.read.parquet(path + "/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("batch_id", lit("build"))
+      .localCheckpoint(true)
+    try {
+      kept.foreach { case (dir, parts, live) =>
+        live.write.mode("overwrite").partitionBy(parts: _*).parquet(dir)
+      }
+      stats.write.mode("overwrite").partitionBy("batch_id")
+        .parquet(path + "/stats")
+      fs.delete(tombDir, true)
+    } finally {
+      (stats +: kept.map(_._3)).foreach(graft.Frames.freeLocalCheckpoint)
+      graft.Frames.freeLocalCheckpoint(tomb)
+    }
   }
 
   /** [[searchBm25]] served from a [[writeBm25Index]] artifact: the
@@ -323,10 +469,18 @@ object SearchOps {
       k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
     val buckets = queryTerms.map(termBucket).distinct
-    val tf = spark.read.parquet(path + "/postings")
+    val tf0 = spark.read.parquet(path + "/postings")
       .filter(col("bucket").isin(buckets: _*)) // directory pruning
       .filter(col("term").isin(queryTerms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // logical deletions ([[deleteFromBm25Index]]): anti-join the
+    // tombstones so df below re-aggregates as the REMAINING corpus's
+    // document frequencies — tombstoned serving ≡ rebuild-on-remaining
+    val tf =
+      if (fsFor(spark, path).exists(hadoopPath(path + "/tombstones")))
+        tf0.join(broadcast(spark.read.parquet(path + "/tombstones")
+          .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+      else tf0
     // the stats artifact is an append-only LEDGER of exact
     // (n_docs, sum_dl) long rows — one build row, appended batch
     // rows, or a streaming sink's per-batch partitions. Summing longs

@@ -663,6 +663,62 @@ object Similarity {
     ivfAssignedForWrite(embeddings, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** DELETE vectors from a written IVF (or quantized-IVF) index
+    * WITHOUT rewriting it — the erasure member of the index-
+    * maintenance family. Ids land as tombstones under
+    * `path/_tombstones/batch_id=K/` (the underscore prefix hides the
+    * directory from the cell scan's partition discovery), and
+    * [[readIvfIndex]] anti-joins them at serve time — tombstoned
+    * serving ≡ rebuild-on-remaining exactly, because cell assignment
+    * is per-row against frozen centroids (removing a row cannot move
+    * any other row). O(delete batch); cells are never read. Retries
+    * of one `batchKey` dynamic-overwrite their own partition.
+    */
+  def deleteFromIvfIndex(deleteIds: DataFrame, path: String,
+      batchKey: String): Unit = {
+    require(batchKey.nonEmpty, "batchKey must be non-empty")
+    deleteIds.select(col("vec_id")).distinct()
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path + "/_tombstones")
+  }
+
+  /** Read a written IVF index for serving: the cell-partitioned scan
+    * (PartitionFilters prune on `cell` exactly as before) minus any
+    * tombstoned ids. Indexes without deletions read unchanged — the
+    * underscore directory is invisible to partition discovery, and
+    * the anti-join only appears when it exists.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb))
+      base.join(broadcast(spark.read.parquet(path + "/_tombstones")
+        .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+    else base
+  }
+
+  /** Make IVF deletions physical: rewrite each cell without the
+    * tombstoned rows (same cell partitions — probes prune as
+    * before), then drop the tombstones. Serving before ≡ after
+    * (shared oracle). Deliberately O(index): background maintenance.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tombDir = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombDir)) return
+    val live = readIvfIndex(spark, path).localCheckpoint(true)
+    try {
+      live.write.mode("overwrite").partitionBy("cell").parquet(path)
+      fs.delete(tombDir, true)
+    } finally graft.Frames.freeLocalCheckpoint(live)
+  }
+
   /** Append a batch of NEW vectors to a written IVF index WITHOUT
     * rebuilding it — the index-maintenance member of the frozen-
     * serving family (gram index, NB gate, community labels, media

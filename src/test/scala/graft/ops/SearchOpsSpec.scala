@@ -245,6 +245,52 @@ class SearchOpsSpec extends SparkSpec {
     assert(servedInc === servedFull)
   }
 
+  test("deleteFromBm25Index: tombstoned serving ≡ rebuild-on-remaining; " +
+      "retries and overlapping batches never double-subtract; " +
+      "compaction is invisible to serving and drops the tombstones") {
+    import org.apache.spark.sql.functions.col
+    val del = java.nio.file.Files.createTempDirectory("graft-bm25-del").toString
+    val reb = java.nio.file.Files.createTempDirectory("graft-bm25-reb").toString
+    val terms = Seq("merge", "query")
+    SearchOps.writeBm25Index(docs, del)
+    SearchOps.writeBm25Index(docs.filter(col("doc_id") % 7 =!= 3), reb)
+    val ids = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    SearchOps.deleteFromBm25Index(ids, del, "d1")
+    // a RETRY of the same batch (partial-failure recovery) must be a
+    // no-op on ledger state, and a SECOND batch overlapping the first
+    // must subtract only its genuinely-new ids
+    SearchOps.deleteFromBm25Index(ids, del, "d1")
+    SearchOps.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 14 === 3).select(col("doc_id")), del, "d2")
+    def scalars(dir: String): (Long, Long) = {
+      val rows = spark.read.parquet(dir + "/stats").collect()
+      (rows.map(_.getAs[Long]("n_docs")).sum,
+        rows.map(_.getAs[Long]("sum_dl")).sum)
+    }
+    assert(scalars(del) === scalars(reb))
+    val want = SearchOps.searchBm25FromIndex(spark, reb, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(SearchOps.searchBm25FromIndex(spark, del, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+    // compaction: same served values, tombstones gone, ledger is one
+    // build row with the remaining-corpus exact longs
+    SearchOps.compactBm25Index(spark, del)
+    assert(!new java.io.File(del + "/tombstones").exists())
+    assert(spark.read.parquet(del + "/stats").count() === 1L)
+    assert(scalars(del) === scalars(reb))
+    assert(SearchOps.searchBm25FromIndex(spark, del, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want)
+    // the compacted layout still accepts appends (partition columns
+    // preserved through the rewrite)
+    SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 7 === 3), del,
+      "readd")
+    val full = SearchOps.searchBm25FromIndex(spark, del, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullWant = SearchOps.searchBm25(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === fullWant)
+  }
+
   test("BM25 term buckets: driver-side assignment matches the written column") {
     // the probe's literal IN-list is computed on the driver; a drift
     // from the executor-side md5 bucketing would silently prune the

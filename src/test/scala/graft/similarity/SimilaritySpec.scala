@@ -263,6 +263,49 @@ class SimilaritySpec extends SparkSpec {
     assert(qEntries(qInc) === qEntries(qFull))
   }
 
+  test("deleteFromIvfIndex: tombstoned serving ≡ rebuild-on-remaining; " +
+      "pruning intact; compaction invisible and drops tombstones") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val del = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    val reb = java.nio.file.Files.createTempDirectory("graft-ivf-reb").toString
+    Similarity.writeIvfIndex(emb, cents, del)
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 5 =!= 2), cents, reb)
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")), del, "d1")
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      .map(_.toDouble).toVector
+    val want = Similarity.ivfTopKFromIndex(spark.read.parquet(reb),
+      cents, q, 10, 2).collect().toSeq
+    assert(Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(spark, del),
+      cents, q, 10, 2).collect().toSeq === want)
+    // cell pruning still rides the partition layout through the reader
+    val pruned = Similarity.readIvfIndex(spark, del)
+      .filter(col("cell") === 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    // an index with NO tombstones reads through the same helper with
+    // no anti-join in the plan
+    val plain = Similarity.readIvfIndex(spark, reb)
+    assert(!plain.queryExecution.executedPlan.toString.contains("Join"))
+    // compaction: same served values, tombstones gone
+    Similarity.compactIvfIndex(spark, del)
+    assert(!new java.io.File(del + "/_tombstones").exists())
+    assert(Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(spark, del),
+      cents, q, 10, 2).collect().toSeq === want)
+    // and the compacted layout still accepts appends
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 5 === 2), cents, del)
+    val full = Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(spark, del),
+      cents, q, 10, 2).collect().toSeq
+    val fullWant = Similarity.ivfTopKFromIndex(
+      spark.read.parquet(java.nio.file.Files
+        .createTempDirectory("graft-ivf-fw").toString match {
+          case p => Similarity.writeIvfIndex(emb, cents, p); p
+        }), cents, q, 10, 2).collect().toSeq
+    assert(full === fullWant)
+  }
+
   test("IVF index written partitionBy(cell) gives partition-pruned probe scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cents = Similarity.seedCentroids(emb, 8)
