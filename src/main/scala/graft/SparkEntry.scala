@@ -260,6 +260,14 @@ object SparkEntry {
     "q_search_bm25_incremental" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25IncIndex(s, d),
         Seq("merge", "query"), 10)),
+    // SNAPSHOT read: the SAME incremental index served as of its
+    // BASE batch only — pure batch_id partition pruning; the ranking
+    // must equal a rebuild on the base documents alone, df/avgdl
+    // included, as if the append never happened. Time travel under
+    // continuous ingestion, no copy, no restore
+    "q_search_bm25_asof" -> ((s, d) =>
+      SearchOps.searchBm25FromIndexAsOf(s, builtBm25IncIndex(s, d),
+        Seq("merge", "query"), 10, Seq("build"))),
     // Index maintenance: ERASURE — docs ≡ 3 mod 7 tombstoned out of
     // the full-corpus index (O(batch): tombstones + a pruned doclens
     // read feeding an exact negative ledger row; postings untouched).
@@ -910,6 +918,17 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(
         s.read.parquet(builtIvfStreamedIndex(s, d) + "/idx"),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // SNAPSHOT of the stream-built index: the same probe served as
+    // of micro-batch 1 (ids ≡ 2 mod 3 arrived in batch 2 and must
+    // vanish) — the sink's monotonic batch clock makes the prefix
+    // THE historical state, and the oracle replays the rebuild on
+    // the prefix's vectors. Time travel = one partition-column
+    // range predicate next to the cell probes
+    "q_ann_ivf_asof" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        Similarity.readIvfIndexAsOf(s,
+          builtIvfStreamedIndex(s, d) + "/idx", 1L),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // SemDeDup served from the SAME written index the ANN probe uses:
     // the cell partitioning is already on disk, dedup skips assignment
     "q_semdedup_indexed" -> ((s, d) =>
@@ -1151,6 +1170,27 @@ object SparkEntry {
           .select(col("doc_id")),
         builtMemGramsTable(s, d), builtMemIndexTable(s, d),
         minDocs = 2L, docFilter = Some(col("doc_id") % 4 === 0))),
+    // ERASURE for the mergeable gram index: the train docs ≡ 1 mod 8
+    // erased by appending their own NEGATED counts (O(batch); the
+    // written rows never read), served through the consolidating
+    // reader — the oracle replays the admission gate against the
+    // REMAINING train set, so merged-after-delete ≡ retrain is the
+    // hash gate itself
+    "q_memorization_probe_deleted" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexMerged(s,
+          builtMemDelIndexDir(s, d)),
+        5, minDocs = 1L)),
+    // ...and the same probe after COMPACTION makes the erasure
+    // physical (base rows rewritten consolidated, _deletes dropped)
+    // — served through the PLAIN reader, no per-read aggregation;
+    // compacted ≡ tombstoned gated by sharing the deleted oracle
+    "q_memorization_probe_compacted" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndex(s, builtMemCmpIndexDir(s, d)),
+        5, minDocs = 1L)),
     // Mixture analytics: per-source unigram KL from the corpus blend
     "q_domain_divergence" -> ((s, d) =>
       TextAnalysis.domainDivergence(Tables.documents(s, d))),
@@ -1711,6 +1751,20 @@ object SparkEntry {
       Similarity.quantizedTopKFromIndex(
         s.read.parquet(builtQuantizedIvfIndex(s, d)),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // ERASURE for the compressed store: ids ≡ 3 mod 7 tombstoned
+    // (the layout-agnostic reader anti-joins on vec_id), oracled by
+    // the int8 replay on the REMAINING vectors
+    "q_knn_quantized_ivf_deleted" -> ((s, d) =>
+      Similarity.quantizedTopKFromIndex(
+        Similarity.readIvfIndex(s, builtQivfDelIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // ...and after COMPACTION rewrites the int8 cells without the
+    // tombstoned rows (layout-agnostic compactIvfIndex) — a plain
+    // cell scan serves the erased state; shares the deleted oracle
+    "q_knn_quantized_ivf_compacted" -> ((s, d) =>
+      Similarity.quantizedTopKFromIndex(
+        s.read.parquet(builtQivfCmpIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // Index maintenance for the COMPRESSED store: the same pruned
     // int8 probe over an index built as base-write + batch-append
     // against frozen centroids — append ≡ rebuild, shared oracle
@@ -2027,6 +2081,34 @@ object SparkEntry {
             docs.filter(col("doc_id") % 4 === 0), 5)), t)
     }
 
+  /** Build-once WRITTEN train gram index with the ids ≡ 1 mod 8
+    * batch ERASED by negative-count merge (the mergeable-family
+    * delete path).
+    */
+  private def builtMemDelIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memdel", d) { p =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), 5), p)
+      TextAnalysis.deleteFromMemorizationIndex(
+        docs.filter(col("doc_id") % 8 === 1), p, batchKey = "del1")
+    }
+
+  /** [[builtMemDelIndexDir]] then COMPACTED — deletions made
+    * physical; the probe reads the plain consolidated base.
+    */
+  private def builtMemCmpIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memcmp", d) { p =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), 5), p)
+      TextAnalysis.deleteFromMemorizationIndex(
+        docs.filter(col("doc_id") % 8 === 1), p, batchKey = "del1")
+      TextAnalysis.compactMemorizationIndex(s, p)
+    }
+
   /** Build-once train-quarters-only gram index, bucketed — the
     * admission gate's frozen artifact.
     */
@@ -2153,6 +2235,31 @@ object SparkEntry {
       Similarity.deleteFromIvfIndex(
         Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
           .select(col("vec_id")), p, batchKey = "del1")
+    }
+
+  /** The compressed twin of [[builtIvfDelIndex]] — same tombstone
+    * batch over the int8 store (the reader is layout-agnostic).
+    */
+  private def builtQivfDelIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_qivf_del", d) { p =>
+      Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
+        seedCents16(s, d), p)
+      Similarity.deleteFromIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id")), p, batchKey = "del1")
+    }
+
+  /** [[builtQivfDelIndex]] then COMPACTED — the int8 cells rewritten
+    * without the tombstoned rows, tombstones dropped.
+    */
+  private def builtQivfCmpIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_qivf_cmp", d) { p =>
+      Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
+        seedCents16(s, d), p)
+      Similarity.deleteFromIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id")), p, batchKey = "del1")
+      Similarity.compactIvfIndex(s, p)
     }
 
   /** Build-once STREAM-BUILT BM25 index per corpus: the whole corpus
@@ -2816,7 +2923,11 @@ object SparkEntry {
         // compacted index shares the tombstoned index's oracle
         // verbatim, so compacted ≡ tombstoned is gated by the hash
         "q_search_bm25_compacted" ->
-          staticOracleSql("q_search_bm25_deleted")) ++
+          staticOracleSql("q_search_bm25_deleted"),
+        "q_memorization_probe_compacted" ->
+          staticOracleSql("q_memorization_probe_deleted"),
+        "q_knn_quantized_ivf_compacted" ->
+          staticOracleSql("q_knn_quantized_ivf_deleted")) ++
       ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++
       bpeCoverageOracle ++ bpeFallbackOracle ++ kcoreOracle ++
       curationKcoreOracle
@@ -3188,6 +3299,27 @@ object SparkEntry {
     // claim, so the oracle for the appended index IS the corpus oracle
     "q_search_bm25_incremental" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // snapshot replay: BM25 rebuilt on the BASE batch's documents
+    // alone (doc_id % 8 <> 5 is builtBm25IncIndex's base split) —
+    // the as-of read of the appended index must reproduce the
+    // pre-append index bit-for-bit
+    "q_search_bm25_asof" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 8 <> 5),
          dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
          tf AS (SELECT doc_id, dl, term, count(*) AS tf
@@ -4092,6 +4224,30 @@ object SparkEntry {
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes)
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // snapshot replay: the probe over the PREFIX's vectors only —
+    // batches 0 and 1 of the 3-batch ingest (vec_id % 3 <> 2); the
+    // as-of read of the stream-built index must reproduce the
+    // pre-batch-2 index exactly
+    "q_ann_ivf_asof" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 3 <> 2
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -4303,6 +4459,33 @@ object SparkEntry {
                         for i in range(1, len(ws) - 3)]
                   ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
          tg AS (SELECT DISTINCT g FROM g WHERE doc_id % 4 <> 0),
+         dg AS (SELECT doc_id, g, count(*) AS c FROM g
+                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
+                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
+                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
+                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
+         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+             ((per.dup_grams * 20000 + per.n_grams)
+              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    // erasure replay: the admission gate against the train set MINUS
+    // the erased batch — the negative-count merge must serve exactly
+    // the retrained gram membership
+    "q_memorization_probe_deleted" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, len(ws) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         tg AS (SELECT DISTINCT g FROM g
+                WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 1),
          dg AS (SELECT doc_id, g, count(*) AS c FROM g
                 WHERE doc_id % 4 = 0 GROUP BY 1, 2),
          per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
@@ -4926,6 +5109,41 @@ object SparkEntry {
              6) AS q_sim
          FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
          WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
+    // erasure replay for the int8 store: the quantized ranking on
+    // the REMAINING vectors (frozen centroids + per-row quantization
+    // mean removing a row cannot change any other entry)
+    "q_knn_quantized_ivf_deleted" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0
+                    ORDER BY s DESC, cid LIMIT 2),
+         sq AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM sq),
+         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
+         SELECT q.vec_id,
+           round(q.scale * qq.q_scale *
+             CAST(list_sum([q.qv[i] * qq.q_qv[i]
+                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
+             6) AS q_sim
+         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
+         WHERE a.cell IN (SELECT cid FROM probes) AND q.vec_id % 7 <> 3
          ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
     // the incrementally-assembled compressed index shares the
     // full-rebuild replay: append ≡ rebuild is the operator's claim

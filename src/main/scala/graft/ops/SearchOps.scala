@@ -466,11 +466,51 @@ object SearchOps {
     */
   def searchBm25FromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame =
+    bm25ServeFromIndex(spark, path, queryTerms, k, k1, b, from, None)
+
+  /** SNAPSHOT read of a maintained index: [[searchBm25FromIndex]]
+    * restricted to the named ingestion/erasure batches — `"build"`
+    * for [[writeBm25Index]]'s base, append batchKeys
+    * ([[appendToBm25Index]], the streaming sink's `stream-N`), and
+    * delete batchKeys ([[deleteFromBm25Index]] — naming one makes
+    * its tombstones AND its negative ledger row visible). Because
+    * every batch lands in its own `batch_id` partitions, time travel
+    * is pure partition pruning: serving "as of batch K" reads
+    * exactly the directories that existed then, so the ranking is
+    * bit-identical to a rebuild on those batches' documents
+    * (q_search_bm25_asof gates this with the base-only replay).
+    * At 100 TB this is what lets evals and debugging replay
+    * YESTERDAY'S index under continuous ingestion — no copy, no
+    * restore, one IN-list on a partition column. Unnamed batches'
+    * files are never read. Compaction collapses history to one
+    * "build" batch; as-of reads predating it are gone by design
+    * (that is what compaction is for). Compliance note: an as-of
+    * read that omits a delete batch reproduces PRE-ERASURE history —
+    * if erasure must be irreversible even to time travel, compact
+    * after deleting (physical destruction of the erased rows).
+    */
+  def searchBm25FromIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int,
+      batches: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      from: Int = 0): DataFrame = {
+    require(batches.nonEmpty, "as-of needs at least one visible batch")
+    bm25ServeFromIndex(spark, path, queryTerms, k, k1, b, from,
+      Some(batches))
+  }
+
+  private def bm25ServeFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double, from: Int,
+      visible: Option[Seq[String]]): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    def inVisible(df: DataFrame): DataFrame = visible match {
+      case Some(bs) => df.filter(col("batch_id").isin(bs: _*))
+      case None     => df
+    }
     val buckets = queryTerms.map(termBucket).distinct
-    val tf0 = spark.read.parquet(path + "/postings")
-      .filter(col("bucket").isin(buckets: _*)) // directory pruning
+    val tf0 = inVisible(spark.read.parquet(path + "/postings")
+        .filter(col("bucket").isin(buckets: _*))) // directory pruning
       .filter(col("term").isin(queryTerms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     // logical deletions ([[deleteFromBm25Index]]): anti-join the
@@ -478,15 +518,25 @@ object SearchOps {
     // document frequencies — tombstoned serving ≡ rebuild-on-remaining
     val tf =
       if (fsFor(spark, path).exists(hadoopPath(path + "/tombstones")))
-        tf0.join(broadcast(spark.read.parquet(path + "/tombstones")
-          .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+        tf0.join(broadcast(
+          inVisible(spark.read.parquet(path + "/tombstones"))
+            .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
       else tf0
     // the stats artifact is an append-only LEDGER of exact
     // (n_docs, sum_dl) long rows — one build row, appended batch
     // rows, or a streaming sink's per-batch partitions. Summing longs
     // and deriving the average here is bit-identical to a full
-    // rebuild's single row (length sums are exact in a double)
-    val stats = spark.read.parquet(path + "/stats")
+    // rebuild's single row (length sums are exact in a double).
+    // A delete batch's correction row is "del-<key>": visible iff its
+    // delete batch is.
+    val statsVisible = visible match {
+      case Some(bs) =>
+        val all = bs ++ bs.map("del-" + _)
+        spark.read.parquet(path + "/stats")
+          .filter(col("batch_id").isin(all: _*))
+      case None => spark.read.parquet(path + "/stats")
+    }
+    val stats = statsVisible
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"),
         when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))

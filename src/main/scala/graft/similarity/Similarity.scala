@@ -702,6 +702,32 @@ object Similarity {
     else base
   }
 
+  /** SNAPSHOT read of a STREAM-BUILT IVF index
+    * ([[graft.streaming.Pipelines.ivfIndexSink]]'s (cell, batch_id)
+    * layout): the index as it stood after micro-batch `upToBatch` —
+    * the sink's batch clock is monotonic, so the prefix IS the
+    * historical state, and time travel is one range predicate on a
+    * partition column (pruned next to the cell probes; no copy, no
+    * restore). Serving the snapshot ≡ a rebuild on the prefix's
+    * vectors, exactly (per-row frozen-centroid assignment —
+    * q_ann_ivf_asof gates it with the prefix replay). Tombstones
+    * ([[deleteFromIvfIndex]]) apply RETROACTIVELY to every snapshot:
+    * an erased vector stays erased in history reads — erasure and
+    * ingestion are separate clocks, and time travel must not
+    * resurrect deleted data (physical irreversibility is
+    * [[compactIvfIndex]], which also collapses the batch history).
+    * Batch-written indexes (writeIvfIndex/appendToIvfIndex) carry no
+    * batch_id and are rejected.
+    */
+  def readIvfIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, upToBatch: Long): DataFrame = {
+    val snap = readIvfIndex(spark, path)
+    require(snap.columns.contains("batch_id"),
+      s"index at $path carries no batch_id history (batch-written " +
+        "layout) — as-of reads need the streaming sink's layout")
+    snap.filter(col("batch_id") <= upToBatch)
+  }
+
   /** Make IVF deletions physical: rewrite each cell without the
     * tombstoned rows (same cell partitions — probes prune as
     * before), then drop the tombstones. Serving before ≡ after

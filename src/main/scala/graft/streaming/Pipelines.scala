@@ -798,6 +798,54 @@ object Pipelines {
     } finally freeLocalCheckpoint(survivors)
   }
 
+  /** Idempotent batch core of [[bm25DeleteSink]]: each micro-batch
+    * of doc ids erases through
+    * [[graft.ops.SearchOps.deleteFromBm25Index]] under the key
+    * `stream-<batchId>` — a checkpoint replay re-runs the SAME
+    * batchId, and the delete path's self-excluding retry semantics
+    * (tombstones + negative ledger row dynamic-overwrite exactly
+    * their own partitions) make the replay a no-op on served state.
+    * Empty batches are skipped.
+    */
+  def processBm25DeleteBatch(batch: DataFrame, indexDir: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.ops.SearchOps.deleteFromBm25Index(
+      batch.select(col("doc_id")), indexDir, s"stream-$batchId")
+  }
+
+  /** STREAMING ERASURE for the text index: a stream of doc ids
+    * (retention sweeps, deletion requests) continuously tombstones a
+    * written BM25 index — exactly-once via checkpoint + the
+    * idempotent core above. Searches can run mid-stream; each sees
+    * the erasures committed so far.
+    */
+  def bm25DeleteSink(ids: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBm25DeleteBatch(batch, indexDir, batchId)
+      }
+      .start()
+
+  /** The IVF twin: a stream of vec ids tombstones a written IVF (or
+    * quantized-IVF) index. Same exactly-once story — the tombstone
+    * write dynamic-overwrites its own `batch_id=stream-N` partition.
+    */
+  def ivfDeleteSink(ids: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Similarity.deleteFromIvfIndex(
+            batch.select(col("vec_id")), indexDir, s"stream-$batchId")
+      }
+      .start()
+
   /** Streaming memorization admission gate: the index is read ONCE
     * per stream from the written artifact and persisted (a
     * corpus-scale gram table — the probe joins it per micro-batch on

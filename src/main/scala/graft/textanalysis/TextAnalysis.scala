@@ -626,6 +626,76 @@ object TextAnalysis {
   def readMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(dir)
 
+  /** Erase a doc batch from a WRITTEN gram index WITHOUT rebuilding
+    * it — the erasure member of the mergeable-counts family: the
+    * index is additive over doc-disjoint batches, so deletion is a
+    * merge with NEGATED counts. The batch's own (g, −nd) rows land
+    * under `dir/_deletes/batch_id=K/` (underscore-hidden from the
+    * base read; dynamic overwrite, so a retried batch overwrites
+    * exactly its own partition). O(batch tokenize); existing rows
+    * are never read. [[readMemorizationIndexMerged]] consolidates at
+    * serve time; merged-after-delete ≡ retrain-on-remaining exactly
+    * (q_memorization_probe_deleted gates it with a filtered replay).
+    * The caller owns membership: deleted docs must be in the index,
+    * each deleted at most once (the append disjointness story).
+    */
+  def deleteFromMemorizationIndex(docs: DataFrame, dir: String,
+      batchKey: String, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(batchKey.nonEmpty, "batchKey must be non-empty")
+    memorizationIndex(docs, n, idCol, textCol)
+      .select(col("g"), (-col("nd")).as("nd"))
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(dir + "/_deletes")
+  }
+
+  /** Read a written gram index with per-gram consolidation — the
+    * serve-time form once [[deleteFromMemorizationIndex]] has run
+    * (positive build rows and negative delete rows must SUM before
+    * the probe join; grams at 0 drop, matching a retrain without the
+    * deleted docs). Indexes without deletions read through the same
+    * helper with just the aggregate.
+    */
+  def readMemorizationIndexMerged(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val delPath = new org.apache.hadoop.fs.Path(dir + "/_deletes")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(dir)
+    val all =
+      if (fs.exists(delPath))
+        base.unionByName(spark.read.parquet(dir + "/_deletes")
+          .select(col("g"), col("nd")))
+      else base
+    all.groupBy(col("g")).agg(sum(col("nd")).as("nd"))
+      .filter(col("nd") =!= 0L)
+  }
+
+  /** Make gram-index deletions physical — the
+    * [[graft.ops.SearchOps.compactBm25Index]] member of this family:
+    * consolidate base rows and `_deletes` to one (g, nd) frame (zero
+    * counts drop) and rewrite the index in place, which also clears
+    * the hidden `_deletes` directory. Afterward the PLAIN
+    * [[readMemorizationIndex]] serves the erased state with no
+    * per-read aggregation (q_memorization_probe_compacted shares the
+    * tombstoned oracle to gate compacted ≡ merged ≡ retrain).
+    * Deliberately O(index): background maintenance, not the delete
+    * path. No-deletes indexes return untouched. Idempotent.
+    */
+  def compactMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val delPath = new org.apache.hadoop.fs.Path(dir + "/_deletes")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delPath)) return
+    // materialize BEFORE the overwrite truncates the directory being
+    // read (the compactBm25Index ordering)
+    val merged = readMemorizationIndexMerged(spark, dir).localCheckpoint(true)
+    try writeMemorizationIndex(merged, dir)
+    finally graft.Frames.freeLocalCheckpoint(merged)
+  }
+
   /** Stage the per-(doc, gram) occurrence table as a catalog table
     * bucketed on the GRAM key — the memorization family's
     * ingest-staging step (the [[graft.graph.Communities.stageAssignmentEdges]]

@@ -291,6 +291,45 @@ class SearchOpsSpec extends SparkSpec {
     assert(full === fullWant)
   }
 
+  test("searchBm25FromIndexAsOf: every batch-prefix snapshot ≡ the " +
+      "rebuild at that point in history; batch_id prunes partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-asof").toString
+    val terms = Seq("merge", "query")
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    val a1 = docs.filter(col("doc_id") % 4 === 1)
+    val a2 = docs.filter(col("doc_id") % 4 === 2)
+    SearchOps.writeBm25Index(base, dir)
+    SearchOps.appendToBm25Index(a1, dir, "a1")
+    SearchOps.appendToBm25Index(a2, dir, "a2")
+    SearchOps.deleteFromBm25Index(
+      base.filter(col("doc_id") % 8 === 0).select(col("doc_id")), dir, "d1")
+    def rebuildAt(df: org.apache.spark.sql.DataFrame) = {
+      val p = java.nio.file.Files.createTempDirectory("graft-bm25-rb").toString
+      SearchOps.writeBm25Index(df, p)
+      SearchOps.searchBm25FromIndex(spark, p, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    def asOf(bs: String*) =
+      SearchOps.searchBm25FromIndexAsOf(spark, dir, terms, 10, bs)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(asOf("build") === rebuildAt(base))
+    assert(asOf("build", "a1") === rebuildAt(base.unionByName(a1)))
+    assert(asOf("build", "a1", "a2") ===
+      rebuildAt(base.unionByName(a1).unionByName(a2)))
+    // naming the delete batch makes its tombstones + ledger row
+    // visible: the full history ≡ today's unrestricted serving
+    assert(asOf("build", "a1", "a2", "d1") ===
+      SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // time travel is partition pruning: batch_id rides the postings
+    // scan's PartitionFilters next to the term buckets
+    val plan = SearchOps.searchBm25FromIndexAsOf(spark, dir, terms, 10,
+        Seq("build")).queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(plan.contains("PartitionFilters") && plan.contains("batch_id"))
+  }
+
   test("BM25 term buckets: driver-side assignment matches the written column") {
     // the probe's literal IN-list is computed on the driver; a drift
     // from the executor-side md5 bucketing would silently prune the

@@ -589,6 +589,58 @@ class PipelinesSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/idx2").exists())
   }
 
+  test("streaming BM25 erasure: tombstoned via the sink ≡ rebuild on " +
+      "the remaining docs; crash-replay a no-op") {
+    import graft.ops.SearchOps
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25del").toString
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c c d"),
+      (4L, "d d b")).toDF("doc_id", "text")
+    SearchOps.writeBm25Index(docs, s"$tmp/idx")
+    val mem = MemoryStream[Long]
+    val q = Pipelines.bm25DeleteSink(mem.toDF().toDF("doc_id"),
+      s"$tmp/idx", s"$tmp/ckpt")
+    mem.addData(2L)
+    q.processAllAvailable()
+    mem.addData(4L)
+    q.processAllAvailable(); q.stop()
+    val reb = java.nio.file.Files.createTempDirectory("graft_bm25rb").toString
+    SearchOps.writeBm25Index(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id").isin(1L, 3L)),
+      reb)
+    def served(dir: String) = SearchOps.searchBm25FromIndex(spark, dir,
+      Seq("a", "d"), 10).collect().toSeq
+    assert(served(s"$tmp/idx") === served(reb))
+    // crash-replay of delete batch 0 is a no-op on served state
+    Pipelines.processBm25DeleteBatch(Seq(2L).toDF("doc_id"),
+      s"$tmp/idx", 0L)
+    assert(served(s"$tmp/idx") === served(reb))
+    // and the IVF twin erases through its sink the same way
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sfDir).limit(40)
+      .select("vec_id", "embedding").cache()
+    val cents = Similarity.seedCentroids(emb, 4)
+    Similarity.writeIvfIndex(emb, cents, s"$tmp/ivf")
+    val mem2 = MemoryStream[Long]
+    val q2 = Pipelines.ivfDeleteSink(mem2.toDF().toDF("vec_id"),
+      s"$tmp/ivf", s"$tmp/ckpt2")
+    val delIds = emb.collect().map(_.getLong(0)).sorted.take(5)
+    mem2.addData(delIds.toSeq)
+    q2.processAllAvailable(); q2.stop()
+    val rebIvf = java.nio.file.Files.createTempDirectory("graft_ivfrb").toString
+    Similarity.writeIvfIndex(
+      emb.filter(!org.apache.spark.sql.functions.col("vec_id")
+        .isin(delIds.map(Long.box).toSeq: _*)), cents, rebIvf)
+    val qv = emb.orderBy(org.apache.spark.sql.functions.col("vec_id").desc)
+      .head.getSeq[Float](1).map(_.toDouble).toVector
+    assert(Similarity.ivfTopKFromIndex(
+      Similarity.readIvfIndex(spark, s"$tmp/ivf"), cents, qv, 10, 2)
+        .collect().toSeq ===
+      Similarity.ivfTopKFromIndex(spark.read.parquet(rebIvf), cents,
+        qv, 10, 2).collect().toSeq)
+    emb.unpersist()
+  }
+
   test("streaming IVF index ingest ≡ one-shot rebuild; replay-idempotent") {
     import graft.similarity.Similarity
     implicit val sqlCtx = spark.sqlContext
@@ -618,6 +670,21 @@ class PipelinesSpec extends SparkSpec {
       emb.filter(col("vec_id") % 2 === 0), cents, s"$tmp/idx", 0L)
     assert(entries(s"$tmp/idx") === entries(full))
     assert(spark.read.parquet(s"$tmp/idx").count() === emb.count())
+    // as-of batch 0: the snapshot is exactly batch 0's vectors, and
+    // a tombstone erases retroactively — history never resurrects
+    val snap0 = Similarity.readIvfIndexAsOf(spark, s"$tmp/idx", 0L)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(snap0 === ids.filter(_ % 2 == 0).toSet)
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") === ids.head).select(col("vec_id")),
+      s"$tmp/idx", "d1")
+    assert(Similarity.readIvfIndexAsOf(spark, s"$tmp/idx", 0L)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      snap0 - ids.head)
+    // a batch-written index has no history to travel
+    intercept[IllegalArgumentException] {
+      Similarity.readIvfIndexAsOf(spark, full, 0L)
+    }
     emb.unpersist()
   }
 

@@ -499,6 +499,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(probed === stats)
   }
 
+  test("deleteFromMemorizationIndex: negative-count merge ≡ retrain; " +
+      "retries idempotent; no-deletes reads are just the aggregate") {
+    val keepA = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val gone = Seq((10L, "a b c x"), (11L, "p q r s")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-memdel").toString
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(keepA.unionByName(gone), 3), dir)
+    TextAnalysis.deleteFromMemorizationIndex(gone, dir, "d1", 3)
+    // retry of the same batch overwrites its own partition — no
+    // double subtraction
+    TextAnalysis.deleteFromMemorizationIndex(gone, dir, "d1", 3)
+    val merged = TextAnalysis.readMemorizationIndexMerged(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val retrain = TextAnalysis.memorizationIndex(keepA, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === retrain)
+    // an index with no deletions reads identically through the helper
+    val plain = java.nio.file.Files.createTempDirectory("graft-memnd").toString
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(keepA, 3), plain)
+    assert(TextAnalysis.readMemorizationIndexMerged(spark, plain)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === retrain)
+    // compaction: the PLAIN reader now serves the erased state, the
+    // hidden _deletes directory is gone, and a re-compact is a no-op
+    TextAnalysis.compactMemorizationIndex(spark, dir)
+    assert(!new java.io.File(dir + "/_deletes").exists())
+    def plainRead(p: String) = TextAnalysis.readMemorizationIndex(spark, p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plainRead(dir) === retrain)
+    TextAnalysis.compactMemorizationIndex(spark, dir)
+    assert(plainRead(dir) === retrain)
+    // ...and the merged reader still serves a compacted index
+    assert(TextAnalysis.readMemorizationIndexMerged(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === retrain)
+  }
+
   test("memorizationProbeStaged ≡ memorizationProbe; the gram join " +
       "plans zero exchanges and the serving plan never tokenizes") {
     val train = Seq((1L, "a b c d"), (2L, "x y z w"), (3L, "a b c"))
