@@ -1619,6 +1619,15 @@ object SparkEntry {
     "q_audio_real" -> ((s, d) =>
       Multimodal.realAudioStats(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // REAL COMPRESSED audio (hand-rolled IMA-ADPCM, WAVE fmt 0x11):
+    // per-block-constant tones sit in the 4-bit codec's
+    // exactly-representable class, so compress → container decode →
+    // exact reductions replays in SQL from the rule — the MJPEG
+    // quality-1.0 trick applied to audio; any quantizer mis-step,
+    // nibble-order swap, or block misalignment flips the hash
+    "q_audio_real_adpcm" -> ((s, d) =>
+      Multimodal.realAudioStatsAdpcm(Tables.documents(s, d))
+        .orderBy("doc_id")),
     // Loudness alignment through the real WAV codec: render → encode
     // → REAL decode → exact-integer peak normalization to 30000 →
     // re-encode → REAL decode → stats; the oracle replays sample rule
@@ -5653,6 +5662,31 @@ object SparkEntry {
              (d.doc_id * 31 + r.i * 7919) % 65536 - 32768 AS v
            FROM documents d, range(0, 128) r(i)
            WHERE r.i < 64 + d.doc_id % 64),
+         c AS (SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+         SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           count(*) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(min(v) AS INT) AS min_amp,
+           CAST(max(v) AS INT) AS max_amp,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           round(sum(v) * 1.0 / count(*), 4) AS mean_amp
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // compressed-audio replay: the per-block-constant rule (17
+    // samples per IMA block, block b constant = (id·31 + b·7919) mod
+    // 65536 − 32768, 2 + id%4 blocks) IS the decoded stream because
+    // the tone sits in the codec's exactly-representable class —
+    // same stat columns as q_audio_real
+    "q_audio_real_adpcm" ->
+      """WITH s AS (
+           SELECT d.doc_id, r.i,
+             (d.doc_id * 31 + (r.i // 17) * 7919) % 65536 - 32768 AS v
+           FROM documents d, range(0, 85) r(i)
+           WHERE r.i < 17 * (2 + d.doc_id % 4)),
          c AS (SELECT doc_id, v,
              lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
          SELECT doc_id,

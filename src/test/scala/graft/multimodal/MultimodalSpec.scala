@@ -377,6 +377,77 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("IMA ADPCM: per-block-constant class round-trips bit-exactly; " +
+      "arbitrary signals decode length-exact with adaptive-bounded error") {
+    import Multimodal.AudioCodec
+    val spb = AudioCodec.adpcmSamplesPerBlock(12)
+    assert(spb === 17)
+    // the exactly-representable class: block headers store sample 0
+    // verbatim, zero deltas at step index 0 reconstruct +0
+    val tone = AudioCodec.renderBlockTonePcm(7L, spb, 4)
+    val (rate, back) = AudioCodec.decode(
+      AudioCodec.encodeAdpcmWav(tone, 8000, 12)).get
+    assert(rate === 8000)
+    assert(back.toSeq === tone.toSeq)
+    // full-scale constants survive too (clamp edges)
+    val edges = Array.fill(spb)(Short.MinValue) ++
+      Array.fill(spb)(Short.MaxValue) ++ Array.fill(spb)(0.toShort)
+    assert(AudioCodec.decode(AudioCodec.encodeAdpcmWav(edges, 16000, 12))
+      .get._2.toSeq === edges.toSeq)
+    // a slow ramp is LOSSY but tracked: length exact (the fact chunk
+    // trims the padded final block — 40 is not a multiple of 17),
+    // error bounded once the step adapts
+    val ramp = Array.tabulate(40)(i => (i * 3 - 60).toShort)
+    val (_, dec) = AudioCodec.decode(
+      AudioCodec.encodeAdpcmWav(ramp, 8000, 12)).get
+    assert(dec.length === ramp.length)
+    val maxErr = ramp.indices.map(i => math.abs(dec(i) - ramp(i))).max
+    assert(maxErr <= 64, s"ramp error $maxErr")
+    // larger blockAlign profile round-trips the constant class too
+    val tone2 = AudioCodec.renderBlockTonePcm(12L,
+      AudioCodec.adpcmSamplesPerBlock(256), 2)
+    assert(AudioCodec.decode(AudioCodec.encodeAdpcmWav(tone2, 8000, 256))
+      .get._2.toSeq === tone2.toSeq)
+  }
+
+  test("ADPCM degrades on malformed geometry, alien profiles, and " +
+      "out-of-domain block headers") {
+    import Multimodal.AudioCodec
+    val good = AudioCodec.encodeAdpcmWav(
+      AudioCodec.renderBlockTonePcm(3L, 17, 2), 8000, 12)
+    assert(AudioCodec.decode(good).isDefined)
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = (v & 0xff).toByte; b
+    }
+    assert(AudioCodec.decode(mutated(22, 2)).isEmpty)  // stereo ADPCM
+    assert(AudioCodec.decode(mutated(38, 99)).isEmpty) // spb ≠ geometry
+    assert(AudioCodec.decode(mutated(62, 120)).isEmpty) // step index > 88
+    // data not a whole number of blocks: truncation, never partial
+    assert(AudioCodec.decode(good.take(good.length - 2)).isEmpty)
+    // PCM payloads still decode through the same walk (profile routing)
+    assert(AudioCodec.decode(
+      AudioCodec.encodeWav(Array[Short](1, -2, 3), 8000)).isDefined)
+  }
+
+  test("realAudioStatsAdpcm matches the block-rule evaluation") {
+    val out = Multimodal.realAudioStatsAdpcm(
+      Tables.documents(spark, sfDir).limit(25)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, r) =>
+      val n = 17 * (2 + (id % 4).toInt)
+      val vs = (0 until n).map(i =>
+        ((id * 31 + (i / 17) * 7919) % 65536 - 32768).toInt)
+      assert(r.getInt(1) === 8000)
+      assert(r.getLong(2) === n.toLong)
+      assert(r.getLong(3) === vs.map(_.toLong).sum)
+      assert(r.getLong(4) === vs.count(_ > 0).toLong)
+      assert(r.getInt(5) === vs.min && r.getInt(6) === vs.max)
+      val crossings = vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(7) === crossings.toLong, s"doc $id")
+    }
+  }
+
   test("AVI encode→demux round-trips frames losslessly incl. stride pads") {
     import Multimodal.VideoCodec
     // widths 8..12 cover stride pad 0 (8, 12) and pads 1..3 (9, 10, 11)
