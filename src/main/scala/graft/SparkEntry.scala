@@ -942,6 +942,17 @@ object SparkEntry {
     "q_ann_ivf_kmeans" -> ((s, d) =>
       Similarity.ivfTopKFrom(Tables.embeddings(s, d),
         kmeansCentroids(s, d), 0L, 10, 2)),
+    // Index maintenance: CENTROID REFRESH — the seed-built index
+    // re-clusters against the Lloyd-refined centroids into a fresh
+    // directory (old serving untouched; cutover = path swap), and
+    // the query is the churn AUDIT: the (cell_old → cell_new, n)
+    // movement matrix between the two written artifacts. Generated
+    // oracle replays BOTH assignments (seed literals + refined-
+    // centroid literals) and joins them — a drifted cell boundary,
+    // dropped row, or stale entry each flips the hash
+    "q_ann_ivf_recluster" -> ((s, d) =>
+      Similarity.reclusterChurn(s, builtIvfIndex(s, d),
+        builtIvfReclusteredIndex(s, d))),
     // Product quantization: per-subspace Lloyd codebook (cached,
     // build-once like the IVF centroids), narrow ADC scan in exact
     // integer micro-units — codebook + LUT inlined into a generated
@@ -1979,6 +1990,16 @@ object SparkEntry {
       Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
     }
 
+  /** Build-once RECLUSTERED index: the seed-built index's live
+    * entries re-assigned against the Lloyd-refined centroids into a
+    * fresh directory ([[graft.similarity.Similarity.reclusterIvfIndex]]).
+    */
+  private def builtIvfReclusteredIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_rc", d) { p =>
+      Similarity.reclusterIvfIndex(s, builtIvfIndex(s, d),
+        kmeansCentroids(s, d), p)
+    }
+
   /** Build-once INCREMENTALLY-assembled IVF index: the seven-eighths
     * base written, then the ids ≡ 3 mod 8 batch APPENDED against the
     * same frozen centroids. Probing it must equal probing a full
@@ -2423,6 +2444,43 @@ object SparkEntry {
            JOIN assign a ON a.vec_id = e.vec_id
            WHERE a.cell IN (SELECT cid FROM probes)
            ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
+    }
+  }
+
+  /** Oracle for q_ann_ivf_recluster, generated after the kmeans
+    * centroids exist (same lifecycle as [[ivfKmeansOracle]], whose
+    * literal-printing it shares): BOTH assignments replay — seed
+    * centroids from the vec_id<16 rows, refined centroids as
+    * full-precision double literals — and the movement matrix is
+    * their join. None until the centroids were built in this JVM.
+    */
+  private def ivfReclusterOracle: Option[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(ivfKmeansCents.get(d))).map { cents =>
+      val values = cents.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(", ")
+      "q_ann_ivf_recluster" ->
+        s"""WITH co AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                        FROM embeddings WHERE vec_id < 16),
+           cn AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           so AS (SELECT v.vec_id, co.cid,
+                    round(list_cosine_similarity(v.ve, co.ce), 4) AS s
+                  FROM v CROSS JOIN co),
+           ao AS (SELECT vec_id, cid AS cell_old FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM so) WHERE rn = 1),
+           sn AS (SELECT v.vec_id, cn.cid,
+                    round(list_cosine_similarity(v.ve, cn.ce), 4) AS s
+                  FROM v CROSS JOIN cn),
+           an AS (SELECT vec_id, cid AS cell_new FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM sn) WHERE rn = 1)
+           SELECT ao.cell_old, an.cell_new, count(*) AS n_vectors
+           FROM ao JOIN an USING (vec_id)
+           GROUP BY 1, 2 ORDER BY 1, 2"""
     }
   }
 
@@ -2937,7 +2995,7 @@ object SparkEntry {
           staticOracleSql("q_memorization_probe_deleted"),
         "q_knn_quantized_ivf_compacted" ->
           staticOracleSql("q_knn_quantized_ivf_deleted")) ++
-      ivfKmeansOracle ++ pqOracle ++ bpeVocabOracle ++
+      ivfKmeansOracle ++ ivfReclusterOracle ++ pqOracle ++ bpeVocabOracle ++
       bpeCoverageOracle ++ bpeFallbackOracle ++ kcoreOracle ++
       curationKcoreOracle
 

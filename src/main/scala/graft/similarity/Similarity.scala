@@ -745,6 +745,44 @@ object Similarity {
     } finally graft.Frames.freeLocalCheckpoint(live)
   }
 
+  /** Centroid REFRESH for a written float IVF index — the
+    * maintenance member append/delete/compact still lacked: as the
+    * corpus grows, the frozen build centroids drift away from the
+    * data distribution and probe recall decays, so periodically the
+    * LIVE entries (tombstones honored) re-cluster against NEW
+    * centroids into a fresh directory. The old index is never
+    * mutated — serving stays up and cutover is a path swap; the new
+    * index is a [[writeIvfIndex]] layout, so probes prune and the
+    * whole maintenance family (append/delete/compact/as-of via the
+    * streaming sink) applies to it unchanged. O(index) by design —
+    * the background job, like compaction.
+    */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, cents: Seq[Seq[Double]], newPath: String): Unit =
+    writeIvfIndex(
+      readIvfIndex(spark, oldPath).select(col("vec_id"), col("embedding")),
+      cents, newPath)
+
+  /** The audit that justifies a recluster cutover: the
+    * (cell_old → cell_new, n_vectors) movement matrix between two
+    * WRITTEN indexes over the same ids, joined on vec_id. High
+    * diagonal mass = the refresh was cosmetic; broad off-diagonal
+    * churn = the old centroids had drifted badly (and cached probe
+    * routing must be invalidated). Scale shape: both sides are
+    * cell-partitioned parquet and only (id, cell) pairs exchange —
+    * embeddings never shuffle; the report is |cells|² rows at most.
+    */
+  def reclusterChurn(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String): DataFrame =
+    readIvfIndex(spark, oldPath)
+      .select(col("vec_id"), col("cell").cast("int").as("cell_old"))
+      .join(readIvfIndex(spark, newPath)
+        .select(col("vec_id"), col("cell").cast("int").as("cell_new")),
+        Seq("vec_id"))
+      .groupBy(col("cell_old"), col("cell_new"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell_old"), col("cell_new"))
+
   /** Append a batch of NEW vectors to a written IVF index WITHOUT
     * rebuilding it — the index-maintenance member of the frozen-
     * serving family (gram index, NB gate, community labels, media

@@ -306,6 +306,44 @@ class SimilaritySpec extends SparkSpec {
     assert(full === fullWant)
   }
 
+  test("reclusterIvfIndex ≡ rebuild on live entries; churn matrix " +
+      "accounts for every live vector and honors tombstones") {
+    val sub = emb.limit(80).select("vec_id", "embedding").cache()
+    val cents0 = Similarity.seedCentroids(sub, 8)
+    val old = java.nio.file.Files.createTempDirectory("graft-ivf-rc0").toString
+    Similarity.writeIvfIndex(sub, cents0, old)
+    // tombstone a slice — recluster must NOT resurrect it
+    Similarity.deleteFromIvfIndex(
+      sub.filter(col("vec_id") % 9 === 1).select(col("vec_id")), old, "d1")
+    val live = sub.filter(col("vec_id") % 9 =!= 1)
+    val cents1 = Similarity.ivfBuild(sub, 8, 1)
+    val nw = java.nio.file.Files.createTempDirectory("graft-ivf-rc1").toString
+    Similarity.reclusterIvfIndex(spark, old, cents1, nw)
+    val reb = java.nio.file.Files.createTempDirectory("graft-ivf-rc2").toString
+    Similarity.writeIvfIndex(live, cents1, reb)
+    def entries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(entries(nw) === entries(reb))
+    // the new layout still prunes (it IS a writeIvfIndex layout)
+    val plan = spark.read.parquet(nw).filter(col("cell") === 0)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    // churn matrix: totals = live count, and each (old, new) bucket
+    // matches the direct assignment comparison
+    val churn = Similarity.reclusterChurn(spark, old, nw).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(churn.values.sum === live.count())
+    val liveIds = live.select("vec_id").collect().map(_.getLong(0)).toSet
+    val newCells = entries(nw).toMap
+    val direct = entries(old).toSeq.filter(e => liveIds(e._1))
+      .map { case (id, cOld) => (cOld.toInt, newCells(id).toInt) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(churn === direct)
+    sub.unpersist()
+  }
+
   test("IVF index written partitionBy(cell) gives partition-pruned probe scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cents = Similarity.seedCentroids(emb, 8)
