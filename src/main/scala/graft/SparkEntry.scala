@@ -268,6 +268,12 @@ object SparkEntry {
     "q_search_bm25_asof" -> ((s, d) =>
       SearchOps.searchBm25FromIndexAsOf(s, builtBm25IncIndex(s, d),
         Seq("merge", "query"), 10, Seq("build"))),
+    // The index's ingestion HISTORY read from the stats ledger — the
+    // audit behind as-of serving: one exact (n_docs, sum_dl) row per
+    // batch; the oracle re-derives each batch's contribution from
+    // its document split, so ledger drift fails the hash
+    "q_search_bm25_history" -> ((s, d) =>
+      SearchOps.bm25IndexHistory(s, builtBm25IncIndex(s, d))),
     // Index maintenance: ERASURE — docs ≡ 3 mod 7 tombstoned out of
     // the full-corpus index (O(batch): tombstones + a pruned doclens
     // read feeding an exact negative ledger row; postings untouched).
@@ -3401,6 +3407,20 @@ object SparkEntry {
          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // ledger replay: each batch's exact (n_docs, sum_dl) from its
+    // own document split — "build" = doc_id % 8 <> 5, "inc1" = the
+    // appended eighth
+    "q_search_bm25_history" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS dl FROM documents)
+         SELECT 'build' AS batch_id, count(*) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS sum_dl
+         FROM d WHERE doc_id % 8 <> 5
+         UNION ALL
+         SELECT 'inc1' AS batch_id, count(*) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS sum_dl
+         FROM d WHERE doc_id % 8 = 5
+         ORDER BY batch_id""",
     // the stream-built index shares the one-shot corpus replay too:
     // stream-built ≡ rebuild is the sink's exactness claim
     "q_search_bm25_streamed" ->

@@ -469,6 +469,23 @@ object SearchOps {
       k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame =
     bm25ServeFromIndex(spark, path, queryTerms, k, k1, b, from, None)
 
+  /** The index's ingestion/erasure HISTORY as a table — the stats
+    * ledger read out verbatim: one (batch_id, n_docs, sum_dl) row
+    * per build/append/delete batch ("del-<key>" rows carry the exact
+    * NEGATIVE correction). This is the operational audit behind
+    * [[searchBm25FromIndexAsOf]]: which batches exist, what each
+    * contributed, and what serving's summed scalars are made of —
+    * a metadata-only read (the ledger is one tiny file per batch),
+    * never postings. The oracle replays each batch's contribution
+    * from its document split, so a ledger row that drifted from its
+    * batch's true counts fails the hash.
+    */
+  def bm25IndexHistory(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path + "/stats")
+      .select(col("batch_id"), col("n_docs"), col("sum_dl"))
+      .orderBy(col("batch_id"))
+
   /** SNAPSHOT read of a maintained index: [[searchBm25FromIndex]]
     * restricted to the named ingestion/erasure batches — `"build"`
     * for [[writeBm25Index]]'s base, append batchKeys

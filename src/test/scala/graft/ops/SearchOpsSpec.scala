@@ -328,6 +328,19 @@ class SearchOpsSpec extends SparkSpec {
         Seq("build")).queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")
     assert(plan.contains("PartitionFilters") && plan.contains("batch_id"))
+    // the ledger IS the history: one exact row per batch, the delete
+    // batch as its negative correction, and the rows sum to serving's
+    // scalars
+    val hist = SearchOps.bm25IndexHistory(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist.keySet === Set("build", "a1", "a2", "del-d1"))
+    assert(hist("build")._1 === base.count())
+    assert(hist("a1")._1 === a1.count() && hist("a2")._1 === a2.count())
+    assert(hist("del-d1")._1 ===
+      -base.filter(col("doc_id") % 8 === 0).count())
+    val live = spark.read.parquet(dir + "/stats")
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs"))).head.getLong(0)
+    assert(live === hist.values.map(_._1).sum)
   }
 
   test("BM25 term buckets: driver-side assignment matches the written column") {
