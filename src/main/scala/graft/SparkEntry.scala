@@ -1208,6 +1208,27 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
         TextAnalysis.readMemorizationIndex(s, builtMemCmpIndexDir(s, d)),
         5, minDocs = 1L)),
+    // WRITTEN-APPEND ingestion for the gram index: base (train minus
+    // the ≡5 mod 8 eighth) + that eighth appended under its own
+    // batch partition — O(batch tokenize), base never read; the
+    // consolidated serve shares the FULL-train probe oracle, so
+    // append ≡ retrain-on-union is the hash gate itself
+    "q_memorization_probe_appended" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexMerged(s,
+          builtMemAppIndexDir(s, d)),
+        5, minDocs = 1L)),
+    // SNAPSHOT of the same appended index as of its BASE batch only
+    // (partition-pruned consolidation) — the probe must behave as if
+    // the append never happened; the oracle replays the gate against
+    // the base split alone
+    "q_memorization_probe_asof" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexAsOf(s,
+          builtMemAppIndexDir(s, d), Seq("build")),
+        5, minDocs = 1L)),
     // Mixture analytics: per-source unigram KL from the corpus blend
     "q_domain_divergence" -> ((s, d) =>
       TextAnalysis.domainDivergence(Tables.documents(s, d))),
@@ -2131,6 +2152,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 8 === 1), p, batchKey = "del1")
     }
 
+  /** Build-once WRITTEN-APPEND gram index: base = the train set
+    * minus its ≡5 mod 8 eighth, which then appends under batch
+    * "inc1" — base ∪ append = the FULL train set, so the probe
+    * shares q_memorization_probe's oracle verbatim.
+    */
+  private def builtMemAppIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memapp", d) { p =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0 &&
+            col("doc_id") % 8 =!= 5), 5), p)
+      TextAnalysis.appendToMemorizationIndex(
+        docs.filter(col("doc_id") % 8 === 5), p, batchKey = "inc1")
+    }
+
   /** [[builtMemDelIndexDir]] then COMPACTED — deletions made
     * physical; the probe reads the plain consolidated base.
     */
@@ -2999,6 +3036,10 @@ object SparkEntry {
           staticOracleSql("q_search_bm25_deleted"),
         "q_memorization_probe_compacted" ->
           staticOracleSql("q_memorization_probe_deleted"),
+        // written-append ≡ retrain-on-union: the appended index's
+        // probe shares the FULL-train oracle verbatim
+        "q_memorization_probe_appended" ->
+          staticOracleSql("q_memorization_probe"),
         "q_knn_quantized_ivf_compacted" ->
           staticOracleSql("q_knn_quantized_ivf_deleted")) ++
       ivfKmeansOracle ++ ivfReclusterOracle ++ pqOracle ++ bpeVocabOracle ++
@@ -4573,6 +4614,34 @@ object SparkEntry {
                   ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
          tg AS (SELECT DISTINCT g FROM g
                 WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 1),
+         dg AS (SELECT doc_id, g, count(*) AS c FROM g
+                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
+                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
+                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
+                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
+         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+             ((per.dup_grams * 20000 + per.n_grams)
+              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    // snapshot replay: the admission gate against the BASE batch's
+    // train docs only (train minus its ≡5 mod 8 eighth) — the as-of
+    // read of the appended index must behave as if the append never
+    // happened
+    "q_memorization_probe_asof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, len(ws) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         tg AS (SELECT DISTINCT g FROM g
+                WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 5),
          dg AS (SELECT doc_id, g, count(*) AS c FROM g
                 WHERE doc_id % 4 = 0 GROUP BY 1, 2),
          per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,

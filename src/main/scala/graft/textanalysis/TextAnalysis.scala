@@ -626,6 +626,33 @@ object TextAnalysis {
   def readMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(dir)
 
+  /** Append a doc batch to a WRITTEN gram index WITHOUT rebuilding
+    * it — the ingestion member of the mergeable-counts family
+    * (the [[graft.ops.SearchOps.appendToBm25Index]] analog): the
+    * batch's own (g, +nd) rows land under `dir/_appends/batch_id=K/`
+    * (dynamic overwrite → a retried batch overwrites exactly its own
+    * partition), O(batch tokenize), existing rows never read.
+    * [[readMemorizationIndexMerged]] consolidates at serve time;
+    * append ≡ retrain-on-union exactly because the index is additive
+    * over doc-disjoint batches (the caller owns disjointness —
+    * q_memorization_probe_appended shares the full-train oracle, so
+    * divergence fails the hash gate). Batch keys also give the index
+    * HISTORY: [[readMemorizationIndexAsOf]] serves any named batch
+    * subset.
+    */
+  def appendToMemorizationIndex(docs: DataFrame, dir: String,
+      batchKey: String, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(batchKey.nonEmpty && batchKey != "build",
+      "batchKey must be a non-empty name other than the reserved \"build\"")
+    memorizationIndex(docs, n, idCol, textCol)
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(dir + "/_appends")
+  }
+
   /** Erase a doc batch from a WRITTEN gram index WITHOUT rebuilding
     * it — the erasure member of the mergeable-counts family: the
     * index is additive over doc-disjoint batches, so deletion is a
@@ -653,42 +680,75 @@ object TextAnalysis {
   }
 
   /** Read a written gram index with per-gram consolidation — the
-    * serve-time form once [[deleteFromMemorizationIndex]] has run
-    * (positive build rows and negative delete rows must SUM before
-    * the probe join; grams at 0 drop, matching a retrain without the
-    * deleted docs). Indexes without deletions read through the same
-    * helper with just the aggregate.
+    * serve-time form once [[appendToMemorizationIndex]] /
+    * [[deleteFromMemorizationIndex]] have run (positive build+append
+    * rows and negative delete rows must SUM before the probe join;
+    * grams at 0 drop, matching a retrain on the surviving docs).
+    * Indexes without maintenance read through the same helper with
+    * just the aggregate.
     */
   def readMemorizationIndexMerged(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val delPath = new org.apache.hadoop.fs.Path(dir + "/_deletes")
-    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.read.parquet(dir)
-    val all =
-      if (fs.exists(delPath))
-        base.unionByName(spark.read.parquet(dir + "/_deletes")
+      dir: String): DataFrame =
+    consolidatedGramIndex(spark, dir, None)
+
+  /** SNAPSHOT read of a maintained gram index: consolidation
+    * restricted to the named batches — `"build"` for the base write,
+    * append and delete batchKeys for theirs (naming a delete batch
+    * applies its negative counts, the searchBm25FromIndexAsOf
+    * visibility rule). Appends/deletes live in their own `batch_id`
+    * partitions, so history is partition pruning; the snapshot ≡ a
+    * retrain on exactly those batches' surviving docs
+    * (q_memorization_probe_asof gates the base-only prefix).
+    */
+  def readMemorizationIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batches: Seq[String]): DataFrame = {
+    require(batches.nonEmpty, "as-of needs at least one visible batch")
+    consolidatedGramIndex(spark, dir, Some(batches))
+  }
+
+  private def consolidatedGramIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      visible: Option[Seq[String]]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def side(sub: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir + sub)
+      if (p.getFileSystem(conf).exists(p)) {
+        val df = spark.read.parquet(dir + sub)
+        Some(visible.fold(df)(bs => df.filter(col("batch_id").isin(bs: _*)))
           .select(col("g"), col("nd")))
-      else base
-    all.groupBy(col("g")).agg(sum(col("nd")).as("nd"))
+      } else None
+    }
+    val base =
+      if (visible.forall(_.contains("build"))) Some(spark.read.parquet(dir))
+      else None
+    val all = (base.toSeq ++ side("/_appends") ++ side("/_deletes"))
+    require(all.nonEmpty, s"no visible batches in gram index at $dir")
+    all.reduce(_ unionByName _)
+      .groupBy(col("g")).agg(sum(col("nd")).as("nd"))
       .filter(col("nd") =!= 0L)
   }
 
-  /** Make gram-index deletions physical — the
+  /** Make gram-index maintenance physical — the
     * [[graft.ops.SearchOps.compactBm25Index]] member of this family:
-    * consolidate base rows and `_deletes` to one (g, nd) frame (zero
-    * counts drop) and rewrite the index in place, which also clears
-    * the hidden `_deletes` directory. Afterward the PLAIN
-    * [[readMemorizationIndex]] serves the erased state with no
-    * per-read aggregation (q_memorization_probe_compacted shares the
-    * tombstoned oracle to gate compacted ≡ merged ≡ retrain).
-    * Deliberately O(index): background maintenance, not the delete
-    * path. No-deletes indexes return untouched. Idempotent.
+    * consolidate base rows, `_appends`, and `_deletes` to one (g, nd)
+    * frame (zero counts drop) and rewrite the index in place, which
+    * also clears the hidden maintenance directories. Afterward the
+    * PLAIN [[readMemorizationIndex]] serves the maintained state with
+    * no per-read aggregation (q_memorization_probe_compacted shares
+    * the tombstoned oracle to gate compacted ≡ merged ≡ retrain).
+    * Deliberately O(index): background maintenance, not the
+    * delete/append path. Unmaintained indexes return untouched.
+    * Idempotent. Collapses batch history — as-of reads predating the
+    * compaction are gone by design.
     */
   def compactMemorizationIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val delPath = new org.apache.hadoop.fs.Path(dir + "/_deletes")
-    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(delPath)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hasSide = Seq("/_deletes", "/_appends").exists { sub =>
+      val p = new org.apache.hadoop.fs.Path(dir + sub)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (!hasSide) return
     // materialize BEFORE the overwrite truncates the directory being
     // read (the compactBm25Index ordering)
     val merged = readMemorizationIndexMerged(spark, dir).localCheckpoint(true)

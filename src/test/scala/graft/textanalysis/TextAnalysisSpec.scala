@@ -535,6 +535,45 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === retrain)
   }
 
+  test("appendToMemorizationIndex: written append ≡ retrain-on-union; " +
+      "as-of prefixes replay history; compaction folds both sides") {
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.memorizationIndex(df, 3)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val add = Seq((10L, "a b c x"), (11L, "p q r s")).toDF("doc_id", "text")
+    val gone = Seq((2L, "a b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-memapp").toString
+    TextAnalysis.writeMemorizationIndex(idx(base), dir)
+    TextAnalysis.appendToMemorizationIndex(add, dir, "a1", 3)
+    // retried append overwrites its own partition — no double count
+    TextAnalysis.appendToMemorizationIndex(add, dir, "a1", 3)
+    assert(m(TextAnalysis.readMemorizationIndexMerged(spark, dir)) ===
+      m(idx(base.unionByName(add))))
+    // as-of: base-only, then base+append, then the full history with
+    // a delete batch applied (named ⇒ visible, the BM25 as-of rule)
+    assert(m(TextAnalysis.readMemorizationIndexAsOf(spark, dir,
+      Seq("build"))) === m(idx(base)))
+    assert(m(TextAnalysis.readMemorizationIndexAsOf(spark, dir,
+      Seq("build", "a1"))) === m(idx(base.unionByName(add))))
+    TextAnalysis.deleteFromMemorizationIndex(gone, dir, "d1", 3)
+    assert(m(TextAnalysis.readMemorizationIndexAsOf(spark, dir,
+      Seq("build", "a1", "d1"))) ===
+      m(idx(Seq((1L, "a b c d"), (10L, "a b c x"), (11L, "p q r s"))
+        .toDF("doc_id", "text"))))
+    // omitting the delete batch reproduces pre-erasure history
+    assert(m(TextAnalysis.readMemorizationIndexAsOf(spark, dir,
+      Seq("build", "a1"))) === m(idx(base.unionByName(add))))
+    // compaction folds appends AND deletes, clears both directories
+    TextAnalysis.compactMemorizationIndex(spark, dir)
+    assert(!new java.io.File(dir + "/_appends").exists())
+    assert(!new java.io.File(dir + "/_deletes").exists())
+    assert(m(TextAnalysis.readMemorizationIndex(spark, dir)) ===
+      m(idx(Seq((1L, "a b c d"), (10L, "a b c x"), (11L, "p q r s"))
+        .toDF("doc_id", "text"))))
+  }
+
   test("memorizationProbeStaged ≡ memorizationProbe; the gram join " +
       "plans zero exchanges and the serving plan never tokenizes") {
     val train = Seq((1L, "a b c d"), (2L, "x y z w"), (3L, "a b c"))
