@@ -1666,6 +1666,13 @@ object SparkEntry {
     "q_audio_real_adpcm" -> ((s, d) =>
       Multimodal.realAudioStatsAdpcm(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // CONTAINER-AGNOSTIC serving: even docs as lossless PCM, odd as
+    // compressed ADPCM, ONE decode walk (fmt-tag routing) — stats
+    // must be container-independent; one SQL rule oracles both
+    // branches, so a routing bug on either side flips the hash
+    "q_audio_mixed_codec" -> ((s, d) =>
+      Multimodal.realAudioStatsMixed(Tables.documents(s, d))
+        .orderBy("doc_id")),
     // Loudness alignment through the real WAV codec: render → encode
     // → REAL decode → exact-integer peak normalization to 30000 →
     // re-encode → REAL decode → stats; the oracle replays sample rule
@@ -5829,6 +5836,29 @@ object SparkEntry {
     // the tone sits in the codec's exactly-representable class —
     // same stat columns as q_audio_real
     "q_audio_real_adpcm" ->
+      """WITH s AS (
+           SELECT d.doc_id, r.i,
+             (d.doc_id * 31 + (r.i // 17) * 7919) % 65536 - 32768 AS v
+           FROM documents d, range(0, 85) r(i)
+           WHERE r.i < 17 * (2 + d.doc_id % 4)),
+         c AS (SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+         SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           count(*) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(min(v) AS INT) AS min_amp,
+           CAST(max(v) AS INT) AS max_amp,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           round(sum(v) * 1.0 / count(*), 4) AS mean_amp
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // container-agnostic replay: the SAME block rule oracles both
+    // the PCM (even docs) and ADPCM (odd docs) branches — the
+    // containers must be behaviorally indistinguishable
+    "q_audio_mixed_codec" ->
       """WITH s AS (
            SELECT d.doc_id, r.i,
              (d.doc_id * 31 + (r.i // 17) * 7919) % 65536 - 32768 AS v

@@ -1452,6 +1452,42 @@ object Multimodal {
       .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
   }
 
+  /** CONTAINER-AGNOSTIC decode under the oracle gate: a mixed-codec
+    * corpus — even docs carry the block tone as lossless PCM WAV,
+    * odd docs as compressed IMA ADPCM — flows through the ONE
+    * [[AudioCodec.decode]] chunk walk (fmt-tag routing), and the
+    * stats must be identical regardless of container (PCM is
+    * lossless; the block tone sits in ADPCM's exactly-representable
+    * class). This is the serving reality of a real media corpus:
+    * heterogeneous encodings, one decode path, no per-format
+    * branching above the codec. One SQL rule oracles both branches —
+    * a routing bug, profile leak, or codec drift on EITHER side
+    * flips the hash.
+    */
+  def realAudioStatsMixed(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val spb = AudioCodec.adpcmSamplesPerBlock(12)
+    docIds(documents)
+      .mapPartitions { it =>
+        it.map { id =>
+          val nBlocks = 2 + (id % 4).toInt
+          val pcm = AudioCodec.renderBlockTonePcm(id, spb, nBlocks)
+          val wav =
+            if (id % 2 == 0) AudioCodec.encodeWav(pcm, 8000)
+            else AudioCodec.encodeAdpcmWav(pcm, 8000, 12)
+          val (rate, dec) = AudioCodec.decode(wav).getOrElse(
+            throw new IllegalStateException(
+              s"mixed-codec round-trip failed for doc $id"))
+          val (ns, sum, pos, mn, mx, cross) = AudioCodec.pcmStats(dec)
+          (id, rate, ns, sum, pos, mn, mx, cross)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_amp",
+        "n_positive", "min_amp", "max_amp", "zero_crossings")
+      .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
+  }
+
   /** Render → WAV → REAL decode → [[AudioCodec.normalize]] → WAV
     * re-encode → REAL decode → exact integer stats — the
     * normalization pipeline under the oracle gate: every output

@@ -429,6 +429,16 @@ class MultimodalSpec extends SparkSpec {
       AudioCodec.encodeWav(Array[Short](1, -2, 3), 8000)).isDefined)
   }
 
+  test("realAudioStatsMixed: PCM and ADPCM containers are " +
+      "behaviorally indistinguishable through the shared decode walk") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val mixed = Multimodal.realAudioStatsMixed(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val adpcm = Multimodal.realAudioStatsAdpcm(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(mixed === adpcm) // same stats whichever container carried them
+  }
+
   test("realAudioStatsAdpcm matches the block-rule evaluation") {
     val out = Multimodal.realAudioStatsAdpcm(
       Tables.documents(spark, sfDir).limit(25)).collect()
