@@ -2028,11 +2028,18 @@ object SparkEntry {
     * entries re-assigned against the Lloyd-refined centroids into a
     * fresh directory ([[graft.similarity.Similarity.reclusterIvfIndex]]).
     */
-  private def builtIvfReclusteredIndex(s: SparkSession, d: String): String =
+  private def builtIvfReclusteredIndex(s: SparkSession, d: String): String = {
+    // resolve the source index and centroids BEFORE entering the
+    // build-once mapping function: builtIvfIndex uses the SAME
+    // ConcurrentHashMap, and a nested computeIfAbsent on one map is
+    // outside the CHM contract (bin-collision deadlock / recursive-
+    // update throw)
+    val src = builtIvfIndex(s, d)
+    val cents = kmeansCentroids(s, d)
     builtIndexDir("graft_ivf_rc", d) { p =>
-      Similarity.reclusterIvfIndex(s, builtIvfIndex(s, d),
-        kmeansCentroids(s, d), p)
+      Similarity.reclusterIvfIndex(s, src, cents, p)
     }
+  }
 
   /** Build-once INCREMENTALLY-assembled IVF index: the seven-eighths
     * base written, then the ids ≡ 3 mod 8 batch APPENDED against the
@@ -2113,12 +2120,17 @@ object SparkEntry {
     * the staged edges) — re-laid from the parquet artifact, so the
     * LPA partition itself is still computed exactly once.
     */
-  private def builtCommunityLabelsBucketed(s: SparkSession, d: String): String =
+  private def builtCommunityLabelsBucketed(s: SparkSession, d: String): String = {
+    // resolve the labels artifact BEFORE the build-once mapping
+    // function: both caches share one ConcurrentHashMap, and a
+    // nested computeIfAbsent is outside the CHM contract (the
+    // builtIvfReclusteredIndex rationale)
+    val labels = builtCommunityLabels(s, d)
     builtTable("graft_lpa_blabels", d) { t =>
       graft.graph.Communities.writeCommunityLabelsBucketed(
-        graft.graph.Communities.readCommunityLabels(s,
-          builtCommunityLabels(s, d)), t)
+        graft.graph.Communities.readCommunityLabels(s, labels), t)
     }
+  }
 
   /** Stage-once per-(doc, gram) occurrence table for the whole
     * corpus, bucketed by gram (the memorization family's ingest
@@ -3047,6 +3059,11 @@ object SparkEntry {
         // probe shares the FULL-train oracle verbatim
         "q_memorization_probe_appended" ->
           staticOracleSql("q_memorization_probe"),
+        // container-agnostic serving: the mixed-codec corpus must be
+        // behaviorally identical to the all-ADPCM one — sharing the
+        // block-rule oracle makes that THE gate
+        "q_audio_mixed_codec" ->
+          staticOracleSql("q_audio_real_adpcm"),
         "q_knn_quantized_ivf_compacted" ->
           staticOracleSql("q_knn_quantized_ivf_deleted")) ++
       ivfKmeansOracle ++ ivfReclusterOracle ++ pqOracle ++ bpeVocabOracle ++
@@ -5836,29 +5853,6 @@ object SparkEntry {
     // the tone sits in the codec's exactly-representable class —
     // same stat columns as q_audio_real
     "q_audio_real_adpcm" ->
-      """WITH s AS (
-           SELECT d.doc_id, r.i,
-             (d.doc_id * 31 + (r.i // 17) * 7919) % 65536 - 32768 AS v
-           FROM documents d, range(0, 85) r(i)
-           WHERE r.i < 17 * (2 + d.doc_id % 4)),
-         c AS (SELECT doc_id, v,
-             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
-         SELECT doc_id,
-           CAST(8000 AS INT) AS sample_rate,
-           count(*) AS n_samples,
-           CAST(sum(v) AS BIGINT) AS sum_amp,
-           CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_positive,
-           CAST(min(v) AS INT) AS min_amp,
-           CAST(max(v) AS INT) AS max_amp,
-           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
-           round(sum(v) * 1.0 / count(*), 4) AS mean_amp
-         FROM c GROUP BY doc_id ORDER BY doc_id""",
-    // container-agnostic replay: the SAME block rule oracles both
-    // the PCM (even docs) and ADPCM (odd docs) branches — the
-    // containers must be behaviorally indistinguishable
-    "q_audio_mixed_codec" ->
       """WITH s AS (
            SELECT d.doc_id, r.i,
              (d.doc_id * 31 + (r.i // 17) * 7919) % 65536 - 32768 AS v

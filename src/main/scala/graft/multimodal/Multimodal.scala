@@ -658,8 +658,11 @@ object Multimodal {
       if (size % blockAlign != 0) return None
       val nBlocks = size / blockAlign
       val total = nBlocks.toLong * spb
-      val keep = if (factSamples >= 0 && factSamples <= total)
-        factSamples.toInt else total.toInt
+      // a fact chunk claiming MORE samples than the blocks can hold
+      // is an internally inconsistent container — "not ours", like
+      // every other geometry mismatch (never a silent partial read)
+      if (factSamples > total) return None
+      val keep = if (factSamples >= 0) factSamples.toInt else total.toInt
       val outArr = new Array[Short](keep)
       var blk = 0
       var w = 0
@@ -1392,17 +1395,24 @@ object Multimodal {
     * Scale shape: narrow mapPartitions (encode+decode per row, no
     * shuffle); only fixed-width scalars leave the stage.
     */
-  def realAudioStats(documents: DataFrame): DataFrame = {
+  /** The shared encode→decode→exact-stats audio pipeline the three
+    * oracle-gated variants below instantiate — one body, so the
+    * stat columns, degrade-to-throw contract, and scale shape
+    * (narrow mapPartitions, fixed-width scalars out) can never
+    * drift between the PCM, ADPCM, and mixed paths whose EQUALITY
+    * is exactly what the oracles gate. `wavFor` renders doc `id`'s
+    * container bytes; everything downstream is identical.
+    */
+  private def audioStatsVia(documents: DataFrame, label: String)(
+      wavFor: Long => Array[Byte]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     docIds(documents)
       .mapPartitions { it =>
         it.map { id =>
-          val n = 64 + (id % 64).toInt
-          val wav = AudioCodec.renderPcmWav(id, 8000, n)
-          val (rate, pcm) = AudioCodec.decode(wav).getOrElse(
+          val (rate, pcm) = AudioCodec.decode(wavFor(id)).getOrElse(
             throw new IllegalStateException(
-              s"WAV round-trip failed for doc $id"))
+              s"$label round-trip failed for doc $id"))
           val (ns, sum, pos, mn, mx, cross) = AudioCodec.pcmStats(pcm)
           (id, rate, ns, sum, pos, mn, mx, cross)
         }
@@ -1411,6 +1421,11 @@ object Multimodal {
         "n_positive", "min_amp", "max_amp", "zero_crossings")
       .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
   }
+
+  def realAudioStats(documents: DataFrame): DataFrame =
+    audioStatsVia(documents, "WAV") { id =>
+      AudioCodec.renderPcmWav(id, 8000, 64 + (id % 64).toInt)
+    }
 
   /** The COMPRESSED-audio pipeline under the oracle gate —
     * [[realAudioStats]] through the IMA-ADPCM codec instead of PCM:
@@ -1431,25 +1446,12 @@ object Multimodal {
     * (the javax.sound lesson held).
     */
   def realAudioStatsAdpcm(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val spb = AudioCodec.adpcmSamplesPerBlock(12)
-    docIds(documents)
-      .mapPartitions { it =>
-        it.map { id =>
-          val nBlocks = 2 + (id % 4).toInt
-          val pcm = AudioCodec.renderBlockTonePcm(id, spb, nBlocks)
-          val wav = AudioCodec.encodeAdpcmWav(pcm, 8000, 12)
-          val (rate, dec) = AudioCodec.decode(wav).getOrElse(
-            throw new IllegalStateException(
-              s"ADPCM round-trip failed for doc $id"))
-          val (ns, sum, pos, mn, mx, cross) = AudioCodec.pcmStats(dec)
-          (id, rate, ns, sum, pos, mn, mx, cross)
-        }
-      }
-      .toDF("doc_id", "sample_rate", "n_samples", "sum_amp",
-        "n_positive", "min_amp", "max_amp", "zero_crossings")
-      .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
+    audioStatsVia(documents, "ADPCM") { id =>
+      AudioCodec.encodeAdpcmWav(
+        AudioCodec.renderBlockTonePcm(id, spb, 2 + (id % 4).toInt),
+        8000, 12)
+    }
   }
 
   /** CONTAINER-AGNOSTIC decode under the oracle gate: a mixed-codec
@@ -1465,27 +1467,12 @@ object Multimodal {
     * flips the hash.
     */
   def realAudioStatsMixed(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
     val spb = AudioCodec.adpcmSamplesPerBlock(12)
-    docIds(documents)
-      .mapPartitions { it =>
-        it.map { id =>
-          val nBlocks = 2 + (id % 4).toInt
-          val pcm = AudioCodec.renderBlockTonePcm(id, spb, nBlocks)
-          val wav =
-            if (id % 2 == 0) AudioCodec.encodeWav(pcm, 8000)
-            else AudioCodec.encodeAdpcmWav(pcm, 8000, 12)
-          val (rate, dec) = AudioCodec.decode(wav).getOrElse(
-            throw new IllegalStateException(
-              s"mixed-codec round-trip failed for doc $id"))
-          val (ns, sum, pos, mn, mx, cross) = AudioCodec.pcmStats(dec)
-          (id, rate, ns, sum, pos, mn, mx, cross)
-        }
-      }
-      .toDF("doc_id", "sample_rate", "n_samples", "sum_amp",
-        "n_positive", "min_amp", "max_amp", "zero_crossings")
-      .withColumn("mean_amp", round(col("sum_amp") / col("n_samples"), 4))
+    audioStatsVia(documents, "mixed-codec") { id =>
+      val pcm = AudioCodec.renderBlockTonePcm(id, spb, 2 + (id % 4).toInt)
+      if (id % 2 == 0) AudioCodec.encodeWav(pcm, 8000)
+      else AudioCodec.encodeAdpcmWav(pcm, 8000, 12)
+    }
   }
 
   /** Render → WAV → REAL decode → [[AudioCodec.normalize]] → WAV

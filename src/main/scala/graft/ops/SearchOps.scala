@@ -414,13 +414,18 @@ object SearchOps {
   }
 
   /** Make the logical deletions physical: rewrite postings and
-    * doclens without the tombstoned docs (layout preserved — the
-    * same (bucket, batch_id) / (dbucket, batch_id) partitions, so
-    * later appends and prunes are unaffected), collapse the stats
-    * ledger to one exact "build" row, and clear the tombstones.
-    * Serving before and after compaction is bit-identical
-    * (q_search_bm25_compacted shares q_search_bm25_deleted's oracle
-    * to gate exactly that). Deliberately O(index) — this is the
+    * doclens without the tombstoned docs (partition SCHEME preserved
+    * — the same (bucket, batch_id) / (dbucket, batch_id) columns, so
+    * later appends and prunes are unaffected — but every row's
+    * batch_id collapses to "build": compaction destroys HISTORY, and
+    * leaving stale batch names in postings while the ledger collapses
+    * would let an as-of read pair a batch's postings with the whole
+    * corpus's scalars), collapse the stats ledger to one exact
+    * "build" row, and clear the tombstones. Serving before and after
+    * compaction is bit-identical (q_search_bm25_compacted shares
+    * q_search_bm25_deleted's oracle to gate exactly that); as-of
+    * reads naming pre-compaction batches fail LOUDLY afterward (the
+    * serve-path ledger require). Deliberately O(index) — this is the
     * background maintenance job, not the delete path.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
@@ -438,6 +443,7 @@ object SearchOps {
         (dir, parts,
           spark.read.parquet(dir)
             .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+            .withColumn("batch_id", lit("build"))
             .localCheckpoint(true))
     }
     val stats = spark.read.parquet(path + "/stats")
@@ -489,9 +495,11 @@ object SearchOps {
   /** SNAPSHOT read of a maintained index: [[searchBm25FromIndex]]
     * restricted to the named ingestion/erasure batches — `"build"`
     * for [[writeBm25Index]]'s base, append batchKeys
-    * ([[appendToBm25Index]], the streaming sink's `stream-N`), and
-    * delete batchKeys ([[deleteFromBm25Index]] — naming one makes
-    * its tombstones AND its negative ledger row visible). Because
+    * ([[appendToBm25Index]]; the streaming INGEST sink's batches are
+    * its NUMERIC micro-batch ids, `"0"`, `"1"`, …), and delete
+    * batchKeys ([[deleteFromBm25Index]]; the streaming DELETE sink's
+    * are `"<keyPrefix>-N"`, default prefix "stream" — naming one
+    * makes its tombstones AND its negative ledger row visible). Because
     * every batch lands in its own `batch_id` partitions, time travel
     * is pure partition pruning: serving "as of batch K" reads
     * exactly the directories that existed then, so the ranking is
@@ -548,6 +556,20 @@ object SearchOps {
     // delete batch is.
     val statsVisible = visible match {
       case Some(bs) =>
+        // every named batch must still exist in the ledger (as its
+        // own row or its delete correction "del-<key>"): after
+        // compaction the ledger is one "build" row, and an as-of
+        // read naming a pre-compaction batch would otherwise score
+        // the batch's postings against the WHOLE corpus's scalars —
+        // plausible-looking wrong rankings instead of a loud error
+        val known = spark.read.parquet(path + "/stats")
+          .select(col("batch_id")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val missing = bs.filterNot(b => known(b) || known("del-" + b))
+        require(missing.isEmpty,
+          s"batches ${missing.mkString(", ")} have no stats-ledger row " +
+            s"in the index at $path — compaction collapses history " +
+            "(as-of reads predating it are gone by design)")
         val all = bs ++ bs.map("del-" + _)
         spark.read.parquet(path + "/stats")
           .filter(col("batch_id").isin(all: _*))

@@ -715,7 +715,9 @@ object Similarity {
     * an erased vector stays erased in history reads — erasure and
     * ingestion are separate clocks, and time travel must not
     * resurrect deleted data (physical irreversibility is
-    * [[compactIvfIndex]], which also collapses the batch history).
+    * [[compactIvfIndex]], which also collapses the batch history
+    * into batch 0 — as-of reads predating the compaction see the
+    * whole compacted state, never a stale partial one).
     * Batch-written indexes (writeIvfIndex/appendToIvfIndex) carry no
     * batch_id and are rejected.
     */
@@ -730,19 +732,29 @@ object Similarity {
 
   /** Make IVF deletions physical: rewrite each cell without the
     * tombstoned rows (same cell partitions — probes prune as
-    * before), then drop the tombstones. Serving before ≡ after
-    * (shared oracle). Deliberately O(index): background maintenance.
+    * before), then drop the tombstones. A stream-built index's batch
+    * history COLLAPSES into batch 0 (layout kept sink-compatible, so
+    * later micro-batches still land in their own partitions):
+    * compaction destroys history by contract — an as-of read
+    * predating it returns the whole compacted state, never a stale
+    * partial one. Serving before ≡ after (shared oracle).
+    * Deliberately O(index): background maintenance.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val tombDir = new org.apache.hadoop.fs.Path(path + "/_tombstones")
     val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombDir)) return
-    val live = readIvfIndex(spark, path).localCheckpoint(true)
+    val live0 = readIvfIndex(spark, path)
+    val (live, parts) =
+      if (live0.columns.contains("batch_id"))
+        (live0.withColumn("batch_id", lit(0L)), Seq("cell", "batch_id"))
+      else (live0, Seq("cell"))
+    val mat = live.localCheckpoint(true)
     try {
-      live.write.mode("overwrite").partitionBy("cell").parquet(path)
+      mat.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
       fs.delete(tombDir, true)
-    } finally graft.Frames.freeLocalCheckpoint(live)
+    } finally graft.Frames.freeLocalCheckpoint(mat)
   }
 
   /** Centroid REFRESH for a written float IVF index — the

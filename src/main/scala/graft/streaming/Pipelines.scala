@@ -801,50 +801,65 @@ object Pipelines {
   /** Idempotent batch core of [[bm25DeleteSink]]: each micro-batch
     * of doc ids erases through
     * [[graft.ops.SearchOps.deleteFromBm25Index]] under the key
-    * `stream-<batchId>` — a checkpoint replay re-runs the SAME
+    * `<keyPrefix>-<batchId>` — a checkpoint replay re-runs the SAME
     * batchId, and the delete path's self-excluding retry semantics
     * (tombstones + negative ledger row dynamic-overwrite exactly
     * their own partitions) make the replay a no-op on served state.
-    * Empty batches are skipped.
+    * Empty batches are skipped. The prefix is the STREAM's identity:
+    * batch ids restart at 0 for every fresh checkpoint, so a second
+    * delete job under the same prefix would dynamic-overwrite the
+    * first job's tombstone partitions and silently RESURRECT its
+    * erasures — each logical delete stream must own a distinct
+    * (keyPrefix, checkpoint) pair for the index's lifetime.
     */
   def processBm25DeleteBatch(batch: DataFrame, indexDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, keyPrefix: String = "stream"): Unit = {
     if (batch.isEmpty) return
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
     graft.ops.SearchOps.deleteFromBm25Index(
-      batch.select(col("doc_id")), indexDir, s"stream-$batchId")
+      batch.select(col("doc_id")), indexDir, s"$keyPrefix-$batchId")
   }
 
   /** STREAMING ERASURE for the text index: a stream of doc ids
     * (retention sweeps, deletion requests) continuously tombstones a
     * written BM25 index — exactly-once via checkpoint + the
     * idempotent core above. Searches can run mid-stream; each sees
-    * the erasures committed so far.
+    * the erasures committed so far. `keyPrefix` names THIS delete
+    * stream; see [[processBm25DeleteBatch]] for why distinct jobs
+    * need distinct prefixes.
     */
   def bm25DeleteSink(ids: DataFrame, indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, keyPrefix: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBm25DeleteBatch(batch, indexDir, batchId)
+        processBm25DeleteBatch(batch, indexDir, batchId, keyPrefix)
       }
       .start()
 
   /** The IVF twin: a stream of vec ids tombstones a written IVF (or
     * quantized-IVF) index. Same exactly-once story — the tombstone
-    * write dynamic-overwrites its own `batch_id=stream-N` partition.
+    * write dynamic-overwrites its own `batch_id=<keyPrefix>-N`
+    * partition — and the same stream-identity rule: a fresh
+    * checkpoint restarts batch ids at 0, so reusing a prefix
+    * resurrects the earlier stream's erasures.
     */
   def ivfDeleteSink(ids: DataFrame, indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, keyPrefix: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.similarity.Similarity.deleteFromIvfIndex(
-            batch.select(col("vec_id")), indexDir, s"stream-$batchId")
+            batch.select(col("vec_id")), indexDir, s"$keyPrefix-$batchId")
       }
       .start()
+  }
 
   /** Streaming memorization admission gate: the index is read ONCE
     * per stream from the written artifact and persisted (a

@@ -422,6 +422,9 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioCodec.decode(mutated(22, 2)).isEmpty)  // stereo ADPCM
     assert(AudioCodec.decode(mutated(38, 99)).isEmpty) // spb ≠ geometry
     assert(AudioCodec.decode(mutated(62, 120)).isEmpty) // step index > 88
+    // a fact chunk claiming more samples than the blocks hold is an
+    // internally inconsistent container — degrade, not partial read
+    assert(AudioCodec.decode(mutated(49, 0xff)).isEmpty)
     // data not a whole number of blocks: truncation, never partial
     assert(AudioCodec.decode(good.take(good.length - 2)).isEmpty)
     // PCM payloads still decode through the same walk (profile routing)

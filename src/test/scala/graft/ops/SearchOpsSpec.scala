@@ -341,6 +341,19 @@ class SearchOpsSpec extends SparkSpec {
     val live = spark.read.parquet(dir + "/stats")
       .agg(org.apache.spark.sql.functions.sum(col("n_docs"))).head.getLong(0)
     assert(live === hist.values.map(_._1).sum)
+    // compaction destroys history: serving is unchanged, the whole
+    // state answers as "build", and naming a pre-compaction batch
+    // fails LOUDLY instead of pairing its postings with global stats
+    val before = SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    SearchOps.compactBm25Index(spark, dir)
+    assert(SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === before)
+    assert(asOf("build") === before)
+    intercept[IllegalArgumentException] {
+      SearchOps.searchBm25FromIndexAsOf(spark, dir, terms, 10,
+        Seq("build", "a1")).collect()
+    }
   }
 
   test("BM25 term buckets: driver-side assignment matches the written column") {

@@ -615,6 +615,15 @@ class PipelinesSpec extends SparkSpec {
     Pipelines.processBm25DeleteBatch(Seq(2L).toDF("doc_id"),
       s"$tmp/idx", 0L)
     assert(served(s"$tmp/idx") === served(reb))
+    // a SECOND delete stream (fresh checkpoint ⇒ batch ids restart
+    // at 0) under its own keyPrefix must not clobber the first
+    // stream's tombstones — doc 2 stays erased, doc 1 goes too
+    Pipelines.processBm25DeleteBatch(Seq(1L).toDF("doc_id"),
+      s"$tmp/idx", 0L, keyPrefix = "sweep2")
+    val reb13 = java.nio.file.Files.createTempDirectory("graft_bm25rb2").toString
+    SearchOps.writeBm25Index(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") === 3L), reb13)
+    assert(served(s"$tmp/idx") === served(reb13))
     // and the IVF twin erases through its sink the same way
     import graft.similarity.Similarity
     val emb = Tables.embeddings(spark, sfDir).limit(40)
