@@ -114,8 +114,12 @@ object SparkEntry {
       s.conf.set(key, "false")
       try build.localCheckpoint(true)
       finally {
-        branchStateLock.synchronized { aqeOffWindows -= 1 }
+        // restore BEFORE decrementing: a concurrentBranch admitted the
+        // instant aqeOffWindows hits 0 must see AQE already back on —
+        // the reverse order leaves a gap where the branch plans with
+        // AQE still disabled
         s.conf.set(key, prev)
+        branchStateLock.synchronized { aqeOffWindows -= 1 }
       }
     }
 
@@ -208,6 +212,19 @@ object SparkEntry {
         .select(concat(col("doc_id"), lit("/content")).as("s3_key"),
           col("text").as("content"))
       graft.streaming.Pipelines.enrichWithContent(flattened, content)
+        .select(col("doc_id"), col("s3_key"), col("has_content"),
+          length(col("blob_content")).cast("long").as("content_len"))
+        .orderBy(col("doc_id"))
+    }),
+    // The STAGED J2 twin (round-11 verdict #4): both join sides
+    // co-bucketed on s3_key, so the content lookup merge-joins
+    // presorted buckets with zero exchanges — the corpus-side blob
+    // table never reshuffles. Shares q_enrich_content's oracle
+    // verbatim: staged ≡ one-shot is the hash gate itself
+    "q_enrich_content_staged" -> ((s, d) => {
+      val flat = builtEnrichFlatTable(s, d)
+      graft.streaming.Pipelines.enrichWithContentStaged(s, flat,
+        flat + "_content")
         .select(col("doc_id"), col("s3_key"), col("has_content"),
           length(col("blob_content")).cast("long").as("content_len"))
         .orderBy(col("doc_id"))
@@ -315,6 +332,17 @@ object SparkEntry {
         Seq("merge+query" -> Seq("merge", "query"),
           "sort+window" -> Seq("sort", "window"),
           "spark+data" -> Seq("spark", "data")), 10)),
+    // The eval AT A SNAPSHOT (round-11 verdict #7): the same metric
+    // batch against the incrementally-built index as of its base
+    // batch — "did last week's index serve worse?" under continuous
+    // ingestion. The oracle replays the full metric SQL on the base
+    // document split, so snapshot-eval ≡ eval-on-rebuild-at-history
+    // is the hash gate
+    "q_retrieval_eval_asof" -> ((s, d) =>
+      SearchOps.retrievalEvalFromIndexAsOf(s, builtBm25IncIndex(s, d),
+        Seq("merge+query" -> Seq("merge", "query"),
+          "sort+window" -> Seq("sort", "window"),
+          "spark+data" -> Seq("spark", "data")), 10, Seq("build"))),
     // Hybrid retrieval: BM25 and cosine rankings fused by reciprocal
     // rank (RRF) — integer ranks, no score normalization
     "q_hybrid_search" -> ((s, d) =>
@@ -872,6 +900,25 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(Tables.embeddings(s, d), seedCents16(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // The measurement that JUSTIFIES a centroid refresh (round-11
+    // verdict #8): a shifted-distribution batch (negated re-ingests)
+    // drifts the corpus away from the frozen seed centroids; recall
+    // for queries drawn from the drifted batch is measured before
+    // and after reclustering against Lloyd centroids retrained on
+    // the drifted corpus. Generated oracle replays BOTH probe
+    // rankings (seed assignment + refreshed-centroid literals) and
+    // the shared exact baseline — the recall numbers themselves are
+    // hash-gated, and the drop→recovery table lands in BUILD_NOTES
+    "q_ann_ivf_recluster_recall" -> ((s, d) => {
+      val dr = driftedEmbeddings(s, d)
+      val qs = Seq(2000000L, 2000010L, 2000020L, 2000030L, 2000040L)
+      val before = Similarity.annRecall(dr, seedCents16(s, d), qs, 10, 2)
+        .select(col("query_id"), col("n_exact"),
+          col("recall").as("recall_before"))
+      val after = Similarity.annRecall(dr, driftedCentroids(s, d), qs, 10, 2)
+        .select(col("query_id"), col("recall").as("recall_after"))
+      before.join(after, Seq("query_id")).orderBy(col("query_id"))
+    }),
     // JL random projection: every vector onto 8 deterministic md5
     // hyperplanes (the SRP family without the sign quantization) —
     // the dimensionality-reduction stage ahead of a 100 TB ANN scan;
@@ -934,6 +981,17 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(
         Similarity.readIvfIndexAsOf(s,
           builtIvfStreamedIndex(s, d) + "/idx", 1L),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // SNAPSHOT of the BATCH-MAINTAINED index by batch NAME: the probe
+    // served as of the base build only (the "inc1" append's ids ≡ 3
+    // mod 8 must vanish) — the batch-keyed append layout carries
+    // history, so time travel is the same partition pruning the
+    // streamed index gets, without a streaming sink in the picture.
+    // The oracle replays the rebuild on the base split
+    "q_ann_ivf_asof_batch" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        Similarity.readIvfIndexAsOf(s, builtIvfIncIndex(s, d),
+          Seq("build")),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // SemDeDup served from the SAME written index the ANN probe uses:
     // the cell partitioning is already on disk, dedup skips assignment
@@ -1218,6 +1276,17 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
         TextAnalysis.readMemorizationIndexMerged(s,
           builtMemAppIndexDir(s, d)),
+        5, minDocs = 1L)),
+    // STREAMING ingestion for the gram index (round-11 verdict #5):
+    // the same eighth arrives as two checkpointed micro-batches
+    // through memorizationIndexSink — mergeable counts make the sink
+    // append-only partitions, and the consolidated probe shares the
+    // FULL-train oracle, so stream-built ≡ retrain is the hash gate
+    "q_memorization_probe_streamed" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexMerged(s,
+          builtMemStrIndexDir(s, d) + "/idx"),
         5, minDocs = 1L)),
     // SNAPSHOT of the same appended index as of its BASE batch only
     // (partition-pruned consolidation) — the probe must behave as if
@@ -1826,6 +1895,28 @@ object SparkEntry {
       Similarity.quantizedTopKFromIndex(
         s.read.parquet(builtQuantIvfIncIndex(s, d)),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // ...and the SNAPSHOT of that batch-maintained compressed index
+    // as of the base build ("inc1"'s ids ≡ 6 mod 8 must vanish) —
+    // the int8 family time-travels by batch name exactly like the
+    // float one; the oracle replays the int8 ranking on the base
+    // split
+    "q_knn_quantized_ivf_asof" -> ((s, d) =>
+      Similarity.quantizedTopKFromIndex(
+        Similarity.readIvfIndexAsOf(s, builtQuantIvfIncIndex(s, d),
+          Seq("build")),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // CENTROID REFRESH for the compressed store (round-11 verdict
+    // #3): the int8 index re-quantizes its live entries FROM THE
+    // SOURCE TABLE (it carries no embeddings) against the Lloyd-
+    // refined centroids, and the query is the churn audit between
+    // the seed-built and refreshed artifacts. Per-row quantization
+    // is index-independent, so the movement matrix must equal the
+    // float family's — the generated oracle replays both
+    // assignments from the true embeddings, and a missing source
+    // row fails the build loudly
+    "q_knn_quantized_ivf_recluster" -> ((s, d) =>
+      Similarity.reclusterChurn(s, builtQuantizedIvfIndex(s, d),
+        builtQivfReclusteredIndex(s, d))),
     // CCNet-style segment dedup: corpus-wide first-occurrence removal
     // of repeated 3-word segments + document reassembly
     "q_segment_dedup" -> ((s, d) =>
@@ -1842,6 +1933,16 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, d) =>
       Dedup.substringDedup(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // The STAGED serving twin (round-11 verdict #2): the window
+    // occurrences staged once as an hh-bucketed catalog table and
+    // the tokenized corpus as a doc-bucketed one — the readout's two
+    // corpus-wide hh operations plan zero exchanges, nothing
+    // re-tokenizes, and the corpus text never shuffles. Shares
+    // q_substring_dedup's oracle verbatim: staged ≡ one-shot is the
+    // hash gate itself
+    "q_substring_dedup_indexed" -> ((s, d) =>
+      Dedup.substringDedupStaged(s, builtSubstrOccTable(s, d),
+        builtDocWordsTable(s, d)).orderBy(col("doc_id"))),
     // Corpus snapshot diff: v2 drops %13 docs, edits %17 texts, adds
     // a +1e6 slice — the per-id added/removed/changed/unchanged readout
     "q_corpus_diff" -> ((s, d) => {
@@ -2054,7 +2155,14 @@ object SparkEntry {
       Similarity.writeIvfIndex(
         emb.filter(col("vec_id") % 8 =!= 3), seedCents16(s, d), p)
       Similarity.appendToIvfIndex(
-        emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p)
+        emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p, "inc1")
+      // the batch-keyed append is retry-idempotent BY LAYOUT: a
+      // replay of the same key dynamic-overwrites its own
+      // (cell, batch_id) partitions — q_ann_ivf_incremental's shared
+      // full-rebuild oracle hashes the post-retry index, so a
+      // double-insert would fail the gate itself
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p, "inc1")
     }
 
   /** Build-once WRITTEN DSIR model per corpus — the full artifact
@@ -2141,6 +2249,39 @@ object SparkEntry {
       TextAnalysis.stageDocGrams(Tables.documents(s, d), t, 5)
     }
 
+  /** Stage-once CO-BUCKETED enrichment inputs (flattened CDC frame +
+    * blob/content table, both on s3_key) — the J2 staging
+    * ([[graft.streaming.Pipelines.stageEnrichInputs]]). One builder
+    * stages both tables; the second accessor just resolves the name.
+    */
+  private def builtEnrichFlatTable(s: SparkSession, d: String): String =
+    builtTable("graft_enrflat", d) { t =>
+      graft.streaming.Pipelines.stageEnrichInputs(
+        Cdc.pipeline(Cdc.syntheticEnvelopes(Tables.documents(s, d))),
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 3 =!= 0)
+          .select(concat(col("doc_id"), lit("/content")).as("s3_key"),
+            col("text").as("content")),
+        t, t + "_content")
+    }
+
+  /** Stage-once 8-word window-occurrence table, bucketed by window
+    * digest (the substring-dedup family's ingest staging —
+    * [[graft.dedup.Dedup.stageWindowOccurrences]]).
+    */
+  private def builtSubstrOccTable(s: SparkSession, d: String): String =
+    builtTable("graft_ssocc", d) { t =>
+      Dedup.stageWindowOccurrences(Tables.documents(s, d), t)
+    }
+
+  /** Stage-once tokenized corpus bucketed by doc id — the rebuild
+    * side of the staged substring dedup.
+    */
+  private def builtDocWordsTable(s: SparkSession, d: String): String =
+    builtTable("graft_dwords", d) { t =>
+      Dedup.stageDocWords(Tables.documents(s, d), t)
+    }
+
   /** Build-once FULL-corpus cross-doc gram index, bucketed — built
     * through the MERGE lifecycle (train-quarters index ⊎ held-out
     * index), so the additivity contract stays exercised on the
@@ -2185,6 +2326,41 @@ object SparkEntry {
             col("doc_id") % 8 =!= 5), 5), p)
       TextAnalysis.appendToMemorizationIndex(
         docs.filter(col("doc_id") % 8 === 5), p, batchKey = "inc1")
+    }
+
+  /** Build-once STREAM-FED gram index (round-11 verdict #5): base =
+    * the train set minus its ≡5 mod 8 eighth, then that eighth
+    * arrives as TWO MemoryStream micro-batches (ids ≡ 5 and ≡ 13
+    * mod 16) through the real checkpointed
+    * [[graft.streaming.Pipelines.memorizationIndexSink]] — base ∪
+    * streamed = the FULL train set, so the consolidated probe shares
+    * q_memorization_probe's oracle verbatim (stream-built ≡ retrain
+    * is the hash gate). The MemoryStream carries doc_id only; text
+    * joins in from the static table on the executors.
+    */
+  private def builtMemStrIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memstr", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0 &&
+            col("doc_id") % 8 =!= 5), 5), p + "/idx")
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+      val q = graft.streaming.Pipelines.memorizationIndexSink(
+        src, p + "/idx", p + "/ckpt")
+      try {
+        val ids = docs.filter(col("doc_id") % 8 === 5)
+          .select("doc_id").collect().map(_.getLong(0)).sorted
+        Seq(5L, 13L).foreach { m =>
+          mem.addData(ids.filter(_ % 16 == m).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
     }
 
   /** [[builtMemDelIndexDir]] then COMPACTED — deletions made
@@ -2232,6 +2408,21 @@ object SparkEntry {
         seedCents16(s, d), p)
     }
 
+  /** Build-once RECLUSTERED compressed index: the int8 twin of
+    * [[builtIvfReclusteredIndex]] — live entries re-quantized FROM
+    * THE SOURCE TABLE (the compressed store carries no embeddings)
+    * and re-assigned against the Lloyd-refined centroids into a
+    * fresh directory.
+    */
+  private def builtQivfReclusteredIndex(s: SparkSession, d: String): String = {
+    val src = builtQuantizedIvfIndex(s, d)
+    val cents = kmeansCentroids(s, d)
+    builtIndexDir("graft_qivf_rc", d) { p =>
+      Similarity.reclusterQuantizedIvfIndex(s, src,
+        Tables.embeddings(s, d), cents, p)
+    }
+  }
+
   /** Incrementally-assembled compressed IVF index — the int8 twin of
     * [[builtIvfIncIndex]]: seven-eighths base write + the ids ≡ 6
     * mod 8 batch appended against the same frozen centroids;
@@ -2243,7 +2434,11 @@ object SparkEntry {
       Similarity.writeQuantizedIvfIndex(
         emb.filter(col("vec_id") % 8 =!= 6), seedCents16(s, d), p)
       Similarity.appendToQuantizedIvfIndex(
-        emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p)
+        emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p, "inc1")
+      // retry replay — same key, own partitions overwritten, no
+      // double-insert (gated by the shared full-rebuild oracle)
+      Similarity.appendToQuantizedIvfIndex(
+        emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p, "inc1")
     }
 
   /** Build-once PQ code table per corpus (encode once, query many). */
@@ -2474,6 +2669,45 @@ object SparkEntry {
       Similarity.ivfBuild(Tables.embeddings(s, d), 16, 2))
   }
 
+  /** The DRIFTED corpus for the recluster-recall measurement
+    * (round-11 verdict #8): the corpus plus a shifted-distribution
+    * batch — every ≡0 mod 5 vector re-ingested NEGATED under
+    * vec_id + 2e6. Negation is exact in float, flips the cosine
+    * cone, and is trivially replayable in SQL — a deterministic
+    * stand-in for "this quarter's embeddings came from a new model
+    * revision".
+    */
+  private def driftedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    emb.unionByName(
+      emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+  }
+
+  /** Lloyd-refined centroids of the DRIFTED corpus — the refresh the
+    * recall measurement justifies. Same cache + oracle-literal
+    * lifecycle as [[kmeansCentroids]].
+    */
+  private val ivfDriftedCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def driftedCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    lastOracleDir = d
+    ivfDriftedCents.computeIfAbsent(d, _ => {
+      // 12 original-cone seeds + 4 seeds drawn from the drift batch
+      // (the negations of vectors 0/5/10/15): cosine-assignment
+      // Lloyd cannot move a centroid into a cone no seed points at,
+      // so a refresh seeded only from the original distribution
+      // never allocates cells to the drifted one — this is the
+      // refresh POLICY the recall table justifies, and it replays
+      // exactly (the oracle sees only the final centroid literals)
+      val s16 = seedCents16(s, d)
+      val seeds = s16.take(12) ++
+        Seq(0, 5, 10, 15).map(i => s16(i).map(x => -x))
+      Similarity.refineCentroids(driftedEmbeddings(s, d), seeds, 2)
+    })
+  }
+
   /** Oracle for q_ann_ivf_kmeans, generated AFTER the query ran (the
     * Verify main runs every query before dumping oracle SQL): the
     * refined centroids print as full-precision double literals —
@@ -2516,12 +2750,12 @@ object SparkEntry {
     * full-precision double literals — and the movement matrix is
     * their join. None until the centroids were built in this JVM.
     */
-  private def ivfReclusterOracle: Option[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(ivfKmeansCents.get(d))).map { cents =>
+  private def ivfReclusterOracle: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(ivfKmeansCents.get(d))).toSeq.flatMap { cents =>
       val values = cents.zipWithIndex
         .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
         .mkString(", ")
-      "q_ann_ivf_recluster" ->
+      val sql =
         s"""WITH co AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                         FROM embeddings WHERE vec_id < 16),
            cn AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
@@ -2543,6 +2777,95 @@ object SparkEntry {
            SELECT ao.cell_old, an.cell_new, count(*) AS n_vectors
            FROM ao JOIN an USING (vec_id)
            GROUP BY 1, 2 ORDER BY 1, 2"""
+      // the int8 refresh shares the replay VERBATIM: per-row
+      // quantization is index-independent and both families assign
+      // from the true embeddings, so the compressed index's movement
+      // matrix must be identical — one SQL, two hash gates
+      Seq("q_ann_ivf_recluster" -> sql,
+        "q_knn_quantized_ivf_recluster" -> sql)
+    }
+  }
+
+  /** Oracle for q_ann_ivf_recluster_recall (same generated lifecycle):
+    * the drifted corpus rebuilds in SQL (negated ≡0 mod 5 re-ingests
+    * under vec_id + 2e6), the refreshed centroids print as
+    * full-precision double literals, and BOTH probe rankings replay
+    * against the shared exact baseline — seed-centroid recall and
+    * refreshed-centroid recall are each hash-gated numbers.
+    */
+  private def ivfReclusterRecallOracle: Option[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(ivfDriftedCents.get(d))).map { cents =>
+      val values = cents.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(", ")
+      "q_ann_ivf_recluster_recall" ->
+        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                          FROM embeddings),
+           v AS (SELECT vec_id, ve FROM base
+                 UNION ALL
+                 SELECT vec_id + 2000000, list_transform(ve, x -> -x)
+                 FROM base WHERE vec_id % 5 = 0),
+           cb AS (SELECT vec_id AS cid, ve AS ce FROM base WHERE vec_id < 16),
+           ca AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
+           q AS (SELECT vec_id AS query_id, ve FROM v
+                 WHERE vec_id IN (2000000, 2000010, 2000020, 2000030, 2000040)),
+           scb AS (SELECT v.vec_id, cb.cid,
+                     round(list_cosine_similarity(v.ve, cb.ce), 4) AS s
+                   FROM v CROSS JOIN cb),
+           sca AS (SELECT v.vec_id, ca.cid,
+                     round(list_cosine_similarity(v.ve, ca.ce), 4) AS s
+                   FROM v CROSS JOIN ca),
+           assignb AS (SELECT vec_id, cid AS cell FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM scb) WHERE rn = 1),
+           assigna AS (SELECT vec_id, cid AS cell FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM sca) WHERE rn = 1),
+           probesb AS (SELECT vec_id AS query_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM scb WHERE vec_id IN (2000000, 2000010, 2000020, 2000030, 2000040))
+             WHERE rn <= 2),
+           probesa AS (SELECT vec_id AS query_id, cid FROM (
+               SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+               FROM sca WHERE vec_id IN (2000000, 2000010, 2000020, 2000030, 2000040))
+             WHERE rn <= 2),
+           approxb AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v
+               JOIN assignb a ON a.vec_id = v.vec_id
+               JOIN probesb p ON p.cid = a.cell
+               JOIN q ON q.query_id = p.query_id) WHERE rn <= 10),
+           approxa AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v
+               JOIN assigna a ON a.vec_id = v.vec_id
+               JOIN probesa p ON p.cid = a.cell
+               JOIN q ON q.query_id = p.query_id) WHERE rn <= 10),
+           exact AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v CROSS JOIN q) WHERE rn <= 10)
+           SELECT e.query_id, count(*) AS n_exact,
+             round(count(ab.vec_id) * 1.0 / count(*), 4) AS recall_before,
+             round(count(aa.vec_id) * 1.0 / count(*), 4) AS recall_after
+           FROM exact e
+           LEFT JOIN approxb ab
+             ON ab.query_id = e.query_id AND ab.vec_id = e.vec_id
+           LEFT JOIN approxa aa
+             ON aa.query_id = e.query_id AND aa.vec_id = e.vec_id
+           GROUP BY 1 ORDER BY 1"""
     }
   }
 
@@ -3024,7 +3347,20 @@ object SparkEntry {
     docs.unionByName(perturbed)
   }
 
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    // the snapshot eval's oracle IS the full metric replay restricted
+    // to the base batch's document split — derived from the one-shot
+    // SQL so the metric math can never drift between the two gates
+    val retrievalEvalAsOfSql = {
+      val corpusCte =
+        "d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),"
+      val full = staticOracleSql("q_retrieval_eval")
+      require(full.contains(corpusCte),
+        "q_retrieval_eval oracle drifted — update the as-of derivation")
+      full.replace(corpusCte,
+        "d AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+          "FROM documents WHERE doc_id % 8 <> 5),")
+    }
     staticOracleSql ++
       // the indexed serving path must agree with the one-shot ranking,
       // so its oracle IS the q_search_bm25 replay
@@ -3059,16 +3395,29 @@ object SparkEntry {
         // probe shares the FULL-train oracle verbatim
         "q_memorization_probe_appended" ->
           staticOracleSql("q_memorization_probe"),
+        // stream-built ≡ retrain-on-union, same additivity argument
+        // through the checkpointed sink
+        "q_memorization_probe_streamed" ->
+          staticOracleSql("q_memorization_probe"),
         // container-agnostic serving: the mixed-codec corpus must be
         // behaviorally identical to the all-ADPCM one — sharing the
         // block-rule oracle makes that THE gate
         "q_audio_mixed_codec" ->
           staticOracleSql("q_audio_real_adpcm"),
         "q_knn_quantized_ivf_compacted" ->
-          staticOracleSql("q_knn_quantized_ivf_deleted")) ++
-      ivfKmeansOracle ++ ivfReclusterOracle ++ pqOracle ++ bpeVocabOracle ++
-      bpeCoverageOracle ++ bpeFallbackOracle ++ kcoreOracle ++
-      curationKcoreOracle
+          staticOracleSql("q_knn_quantized_ivf_deleted"),
+        // the co-bucketed J2 twin must produce the one-shot join's
+        // rows exactly — same oracle, different (zero-exchange) plan
+        "q_enrich_content_staged" -> staticOracleSql("q_enrich_content"),
+        // the staged substring-dedup twin (round-11 verdict #2)
+        // shares its one-shot replay verbatim
+        "q_substring_dedup_indexed" ->
+          staticOracleSql("q_substring_dedup"),
+        "q_retrieval_eval_asof" -> retrievalEvalAsOfSql) ++
+      ivfKmeansOracle ++ ivfReclusterOracle ++ ivfReclusterRecallOracle ++
+      pqOracle ++ bpeVocabOracle ++ bpeCoverageOracle ++
+      bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
+  }
 
   /** The shared curation-gate CTE prefix (corpus slice, Gopher
     * repetition rubric, benchmark contamination, corpus-trained
@@ -4400,6 +4749,29 @@ object SparkEntry {
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 3 <> 2
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // named-batch snapshot of the BATCH-maintained index: the probe
+    // over the base build's vectors only (the "inc1" append holds
+    // ids ≡ 3 mod 8) — as-of-by-name ≡ rebuild-at-that-history
+    "q_ann_ivf_asof_batch" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 8 <> 3
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -5358,6 +5730,41 @@ object SparkEntry {
              6) AS q_sim
          FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
          WHERE a.cell IN (SELECT cid FROM probes)
+         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
+    // named-batch snapshot of the compressed batch-maintained index:
+    // the int8 ranking over the base build only (the "inc1" append
+    // holds ids ≡ 6 mod 8) — as-of-by-name ≡ rebuild-at-that-history
+    "q_knn_quantized_ivf_asof" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0
+                    ORDER BY s DESC, cid LIMIT 2),
+         sq AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM sq),
+         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
+         SELECT q.vec_id,
+           round(q.scale * qq.q_scale *
+             CAST(list_sum([q.qv[i] * qq.q_qv[i]
+                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
+             6) AS q_sim
+         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
+         WHERE a.cell IN (SELECT cid FROM probes) AND q.vec_id % 8 <> 6
          ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
     // segment dedup: 3-word windows with 0-based positions; the first
     // (doc_id, pos) occurrence of each segment survives (row_number

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.words
@@ -354,6 +354,82 @@ object Dedup {
         col("pos") === col("first")("pos")))
       .select(col(idCol), col("pos"))
     dropCoveredSpans(documents, removed, idCol, textCol, w)
+  }
+
+  /** Stage [[substringDedup]]'s window-occurrence table
+    * `(doc_id, pos, hh)` as a catalog table bucketed on the 16-byte
+    * window DIGEST — the substring family's ingest-staging step (the
+    * [[graft.textanalysis.TextAnalysis.stageDocGrams]] pattern): the
+    * corpus is tokenized and windowed ONCE when it lands, and every
+    * later dedup readout runs against the staged layout. Bucketing on
+    * `hh` makes BOTH of the readout's corpus-wide hh operations — the
+    * duplicate-window aggregation and the occurrence⋈winner self-join
+    * — plan with zero exchanges.
+    */
+  def stageWindowOccurrences(documents: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text", w: Int = 8,
+      buckets: Int = 32): Unit = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    graft.ops.BucketedTables.writeBucketed(
+      windowOccurrences(documents, idCol, textCol, w), table, "hh", buckets)
+  }
+
+  /** Stage the tokenized corpus `(doc_id, ws)` bucketed on the doc
+    * id — the rebuild side of the staged substring dedup: the final
+    * surviving-text reassembly joins the (small) dropped-position
+    * sets against this table without re-tokenizing or shuffling the
+    * corpus text.
+    */
+  def stageDocWords(documents: DataFrame, table: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 32): Unit =
+    graft.ops.BucketedTables.writeBucketed(
+      documents.select(col(idCol), words(col(textCol)).as("ws")),
+      table, idCol, buckets)
+
+  /** [[substringDedup]] served from the STAGED layouts — identical
+    * output (shares q_substring_dedup's oracle verbatim), different
+    * plan: ZERO tokenize passes (the one-shot pays three), the
+    * duplicate-window aggregation and the occurrence⋈winner join run
+    * between co-bucketed reads of the SAME hh-bucketed table with no
+    * exchange, and the only corpus-keyed exchange left is the
+    * pinned-width one that brings the (small) removed-position rows
+    * home to their documents — the words side is bucketed on the doc
+    * id, so the corpus text itself never shuffles. At 100 TB this is
+    * the difference between re-windowing the corpus per readout and
+    * reading two presorted bucketed layouts.
+    */
+  def substringDedupStaged(spark: SparkSession, occTable: String,
+      wordsTable: String, idCol: String = "doc_id",
+      w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width must be >= 2, got $w")
+    val occ = spark.table(occTable)
+    val dup = occ.groupBy(col("hh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("hh"), col("first"))
+    // merge hint: a broadcast of the duplicated-window side would
+    // forget the shared bucketing and re-scan hh as an unkeyed build
+    val removed = occ.hint("merge").join(dup, Seq("hh"))
+      .filter(!(col(idCol) === col("first")(idCol) &&
+        col("pos") === col("first")("pos")))
+      .select(col(idCol), col("pos"))
+    val width = spark.sessionState.conf.numShufflePartitions
+    val dropped = removed
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .repartition(width, col(idCol))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("p")).as("__dropped"))
+    spark.table(wordsTable).hint("merge")
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), size(col("ws")).as("n_words"),
+        coalesce(size(col("__dropped")), lit(0)).as("n_dropped"),
+        concat_ws(" ",
+          filter(col("ws"), (wd, i) =>
+            !coalesce(array_contains(col("__dropped"), i), lit(false))))
+          .as("clean_text"))
   }
 
   /** Span-level decontamination — remove every `w`-word span of the

@@ -305,8 +305,7 @@ object SearchOps {
     */
   def appendToBm25Index(newDocuments: DataFrame, path: String,
       batchKey: String): Unit = {
-    require(batchKey.nonEmpty && batchKey != "build",
-      "batchKey must be a non-empty name other than the reserved \"build\"")
+    requireBatchKey(batchKey)
     val spark = newDocuments.sparkSession
     require(spark.read.parquet(path + "/stats")
         .schema.fieldNames.contains("sum_dl"),
@@ -367,8 +366,67 @@ object SearchOps {
     */
   def deleteFromBm25Index(deleteIds: DataFrame, path: String,
       batchKey: String): Unit = {
-    require(batchKey.nonEmpty && batchKey != "build",
-      "batchKey must be a non-empty name other than the reserved \"build\"")
+    requireBatchKey(batchKey)
+    // a MANUAL batchKey shaped like a registered delete stream's
+    // generated keys ("<keyPrefix>-N") would be dynamic-overwritten
+    // by that stream's checkpoint replay of micro-batch N — silently
+    // resurrecting this erasure. Streams register their prefix under
+    // _delete_streams/ ([[registerDeleteStreamPrefix]]); reject here.
+    val sess = deleteIds.sparkSession
+    sinkShapedPrefix(sess, path, batchKey).foreach { p =>
+      throw new IllegalArgumentException(
+        s"batchKey \"$batchKey\" collides with delete stream prefix " +
+          s"\"$p\" registered on the index at $path — a checkpoint " +
+          "replay of that stream would overwrite this batch's " +
+          "tombstones; pick a key that is not \"<prefix>-<digits>\"")
+    }
+    deleteFromBm25IndexImpl(deleteIds, path, batchKey)
+  }
+
+  /** The streaming sink's entry: same idempotent delete core, but the
+    * sink OWNS its "<keyPrefix>-N" keys so the reservation check is
+    * skipped (a replay overwriting its own partitions is the design).
+    */
+  private[graft] def deleteFromBm25IndexSink(deleteIds: DataFrame,
+      path: String, batchKey: String): Unit = {
+    requireBatchKey(batchKey)
+    deleteFromBm25IndexImpl(deleteIds, path, batchKey)
+  }
+
+  /** Idempotent marker registering a delete STREAM's keyPrefix on the
+    * index, so manual batch keys can never collide with the stream's
+    * generated "<keyPrefix>-N" keys (see [[deleteFromBm25Index]]).
+    */
+  private[graft] def registerDeleteStreamPrefix(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keyPrefix: String): Unit = {
+    require(!keyPrefix.contains("/"),
+      s"keyPrefix must not contain '/': $keyPrefix")
+    val marker = hadoopPath(path + "/_delete_streams/" + keyPrefix)
+    val fs = fsFor(spark, path)
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+  }
+
+  /** If `batchKey` is "<p>-<digits>" for any registered delete stream
+    * prefix `p`, return that prefix. Every hyphen split with an
+    * all-digit suffix is a candidate ("a-b-0" checks "a-b" AND "a"
+    * would not match since "b-0" has a hyphen — only the LAST hyphen
+    * can start the digit suffix, so at most one candidate exists).
+    */
+  private def sinkShapedPrefix(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchKey: String): Option[String] = {
+    val i = batchKey.lastIndexOf('-')
+    if (i <= 0 || i == batchKey.length - 1) return None
+    val suffix = batchKey.substring(i + 1)
+    if (!suffix.forall(_.isDigit)) return None
+    val p = batchKey.substring(0, i)
+    val fs = fsFor(spark, path)
+    if (fs.exists(hadoopPath(path + "/_delete_streams/" + p))) Some(p)
+    else None
+  }
+
+  private def deleteFromBm25IndexImpl(deleteIds: DataFrame, path: String,
+      batchKey: String): Unit = {
     val spark = deleteIds.sparkSession
     require(fsFor(spark, path).exists(hadoopPath(path + "/doclens")),
       s"BM25 index at $path predates the delete-capable layout " +
@@ -524,19 +582,59 @@ object SearchOps {
       Some(batches))
   }
 
+  /** Batch-name contract shared by append and delete: "build" is the
+    * build's reserved name, and "del-" is reserved as the delete
+    * correction's ledger prefix — an APPEND named "del-x" would let
+    * [[searchBm25FromIndexAsOf]]'s `known(b) || known("del-" + b)`
+    * existence check (and its visibility union) silently pair batch
+    * "x" with an unrelated append's ledger row: plausible-looking
+    * wrong scalars instead of the loud error the check exists for.
+    */
+  private def requireBatchKey(batchKey: String): Unit = {
+    require(batchKey.nonEmpty && batchKey != "build",
+      "batchKey must be a non-empty name other than the reserved \"build\"")
+    require(!batchKey.startsWith("del-"),
+      "batchKey must not start with \"del-\" — that prefix is reserved " +
+        "for delete-correction ledger rows (deleteFromBm25Index writes " +
+        "its stats row as \"del-<key>\")")
+  }
+
   private def bm25ServeFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], k: Int,
       k1: Double, b: Double, from: Int,
       visible: Option[Seq[String]]): DataFrame = {
     require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val (tf, stats) = indexTfStats(spark, path, queryTerms, visible)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf, dfreq, stats, k, k1, b, from)
+  }
+
+  /** The (tf, corpus-scalars) pair a written index SERVES from,
+    * restricted to the `visible` batches: bucket-pruned postings
+    * minus tombstones, ledger-summed (n_docs, avgdl). Shared by
+    * ranking ([[bm25ServeFromIndex]]) and evaluation
+    * ([[retrievalEvalFromIndex]] / [[retrievalEvalFromIndexAsOf]]),
+    * so both see the IDENTICAL post-maintenance corpus — an eval
+    * over a tombstoned index scores the remaining documents exactly
+    * as serving ranks them, never a mix of live postings and
+    * corrected scalars.
+    */
+  private def indexTfStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String],
+      visible: Option[Seq[String]]): (DataFrame, DataFrame) = {
+    // batch_id is compared AS STRING throughout: a pure stream-built
+    // index's partition values are numeric micro-batch ids (0,1,2…),
+    // which Spark's partition-type inference reads back as an
+    // integer column — without the cast, string batch names would
+    // never match and the ledger collect below would ClassCastException
     def inVisible(df: DataFrame): DataFrame = visible match {
-      case Some(bs) => df.filter(col("batch_id").isin(bs: _*))
+      case Some(bs) => df.filter(col("batch_id").cast("string").isin(bs: _*))
       case None     => df
     }
-    val buckets = queryTerms.map(termBucket).distinct
+    val buckets = terms.map(termBucket).distinct
     val tf0 = inVisible(spark.read.parquet(path + "/postings")
         .filter(col("bucket").isin(buckets: _*))) // directory pruning
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     // logical deletions ([[deleteFromBm25Index]]): anti-join the
     // tombstones so df below re-aggregates as the REMAINING corpus's
@@ -563,7 +661,7 @@ object SearchOps {
         // the batch's postings against the WHOLE corpus's scalars —
         // plausible-looking wrong rankings instead of a loud error
         val known = spark.read.parquet(path + "/stats")
-          .select(col("batch_id")).distinct()
+          .select(col("batch_id").cast("string")).distinct()
           .collect().map(_.getString(0)).toSet
         val missing = bs.filterNot(b => known(b) || known("del-" + b))
         require(missing.isEmpty,
@@ -572,7 +670,7 @@ object SearchOps {
             "(as-of reads predating it are gone by design)")
         val all = bs ++ bs.map("del-" + _)
         spark.read.parquet(path + "/stats")
-          .filter(col("batch_id").isin(all: _*))
+          .filter(col("batch_id").cast("string").isin(all: _*))
       case None => spark.read.parquet(path + "/stats")
     }
     val stats = statsVisible
@@ -580,8 +678,7 @@ object SearchOps {
       .select(col("n_docs"),
         when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
           .as("avgdl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    scoreBm25(tf, dfreq, stats, k, k1, b, from)
+    (tf, stats)
   }
 
   /** The shared BM25 scoring tail over a (doc_id, dl, term, tf)
@@ -659,17 +756,34 @@ object SearchOps {
       k1: Double = 1.2, b: Double = 0.75, minTf: Long = 3L): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "retrievalEval needs at least one query with at least one term")
-    val allTerms = queries.flatMap(_._2).distinct
-    val buckets = allTerms.map(termBucket).distinct
-    val tf = spark.read.parquet(path + "/postings")
-      .filter(col("bucket").isin(buckets: _*)) // directory pruning
-      .filter(col("term").isin(allTerms: _*))
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val stats = spark.read.parquet(path + "/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        when(col("n_docs") > 0, col("sum_dl") * lit(1.0) / col("n_docs"))
-          .as("avgdl"))
+    // the SAME (tf, scalars) serving reads — tombstones excluded, so
+    // an eval over a maintained index scores exactly the corpus that
+    // serving ranks (postings of erased docs paired with corrected
+    // scalars would skew every metric)
+    val (tf, stats) = indexTfStats(spark, path,
+      queries.flatMap(_._2).distinct, None)
+    retrievalEvalFrom(spark, tf, stats, queries, k, k1, b, minTf)
+  }
+
+  /** [[retrievalEvalFromIndex]] at a SNAPSHOT — the eval-owner's real
+    * question under continuous ingestion: "did last week's index
+    * serve worse than today's?" Metrics computed against the named
+    * batch set's postings and ledger scalars
+    * ([[searchBm25FromIndexAsOf]]'s visibility rules: tombstones
+    * retroactive, missing ledger rows fail loudly) — the whole eval
+    * batch is still |eval-term buckets| pruned directories, no copy,
+    * no restore. q_retrieval_eval_asof gates it with a base-split
+    * rebuild replay of the full metric SQL.
+    */
+  def retrievalEvalFromIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: Seq[(String, Seq[String])], k: Int,
+      batches: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      minTf: Long = 3L): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "retrievalEval needs at least one query with at least one term")
+    require(batches.nonEmpty, "as-of needs at least one visible batch")
+    val (tf, stats) = indexTfStats(spark, path,
+      queries.flatMap(_._2).distinct, Some(batches))
     retrievalEvalFrom(spark, tf, stats, queries, k, k1, b, minTf)
   }
 

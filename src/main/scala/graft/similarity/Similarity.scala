@@ -602,8 +602,23 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast("int")
 
   def ivfBuild(embeddings: DataFrame, nCells: Int = 16,
-      iterations: Int = 2): Seq[Seq[Double]] = {
-    var cents = seedCentroids(embeddings, nCells)
+      iterations: Int = 2): Seq[Seq[Double]] =
+    refineCentroids(embeddings, seedCentroids(embeddings, nCells),
+      iterations)
+
+  /** The Lloyd loop with CALLER-SUPPLIED seeds — what a refresh on a
+    * drifted corpus needs: [[seedCentroids]]' lowest-vec_id rule can
+    * only seed from the original distribution (drift batches carry
+    * high ids), and cosine-assignment Lloyd cannot move a centroid
+    * into a cone no seed points at — mixing in seeds drawn from the
+    * drift batch lets the refresh actually allocate cells there.
+    * Same per-iteration shape as [[ivfBuild]]: one narrow assignment
+    * pass + one (cell, dim) partial-sum shuffle; empty cells keep
+    * their previous centroid.
+    */
+  def refineCentroids(embeddings: DataFrame, seeds: Seq[Seq[Double]],
+      iterations: Int): Seq[Seq[Double]] = {
+    var cents = seeds.map(_.toVector).toVector: Seq[Seq[Double]]
     val dims = cents.headOption.map(_.length).getOrElse(0)
     if (cents.isEmpty) return cents
     var it = 0
@@ -661,7 +676,59 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
       path: String): Unit =
     ivfAssignedForWrite(embeddings, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id").parquet(path)
+
+  /** The batch-name contract shared by [[appendToIvfIndex]] and
+    * [[appendToQuantizedIvfIndex]] — same rules as BM25's
+    * (`"build"` is the build's reserved name; distinct appends need
+    * distinct keys; a RETRY reuses its key on purpose).
+    */
+  private def requireIvfBatchKey(batchKey: String): Unit =
+    require(batchKey.nonEmpty && batchKey != "build",
+      "batchKey must be a non-empty name other than the reserved \"build\"")
+
+  /** Loud layout guard for the batch-keyed appends: an index written
+    * before the (cell, batch_id) layout has flat `cell=N` directories,
+    * and appending nested `cell=N/batch_id=K` files would poison
+    * PARTITION DISCOVERY for every later read ("conflicting directory
+    * structures") — fail at write time instead.
+    */
+  private def requireBatchLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      require(spark.read.parquet(path).columns.contains("batch_id"),
+        s"IVF index at $path predates the (cell, batch_id) layout — " +
+          "rebuild it with writeIvfIndex/writeQuantizedIvfIndex before " +
+          "batch-keyed appends")
+  }
+
+  /** Distinct batch names present in a written IVF layout, from the
+    * PARTITION DIRECTORIES alone — a driver-side listing (O(cells ×
+    * batches) names), no footer or row ever read.
+    */
+  /** Is the inferred batch_id partition column an integer family type
+    * (the streaming sink's numeric clock)? Name-keyed layouts infer
+    * string.
+    */
+  private def integralBatchIds(df: DataFrame): Boolean =
+    df.schema("batch_id").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  private def ivfKnownBatches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new org.apache.hadoop.fs.Path(path, "cell=*/batch_id=*"))
+      .map(_.getPath.getName.stripPrefix("batch_id=")).toSet
+  }
 
   /** DELETE vectors from a written IVF (or quantized-IVF) index
     * WITHOUT rewriting it — the erasure member of the index-
@@ -718,16 +785,56 @@ object Similarity {
     * [[compactIvfIndex]], which also collapses the batch history
     * into batch 0 — as-of reads predating the compaction see the
     * whole compacted state, never a stale partial one).
-    * Batch-written indexes (writeIvfIndex/appendToIvfIndex) carry no
-    * batch_id and are rejected.
+    * Name-keyed layouts (writeIvfIndex's "build" + appendToIvfIndex
+    * batchKeys) have no monotonic clock and are rejected here — use
+    * the named-batch overload below.
     */
   def readIvfIndexAsOf(spark: org.apache.spark.sql.SparkSession,
       path: String, upToBatch: Long): DataFrame = {
     val snap = readIvfIndex(spark, path)
     require(snap.columns.contains("batch_id"),
-      s"index at $path carries no batch_id history (batch-written " +
-        "layout) — as-of reads need the streaming sink's layout")
+      s"index at $path carries no batch_id history (pre-layout " +
+        "index) — rebuild it with writeIvfIndex first")
+    // the ≤ prefix read is only meaningful on the sink's MONOTONIC
+    // numeric clock; a name-keyed layout ("build", append batchKeys)
+    // has no order, and the implicit string-vs-long cast would
+    // silently null out every named batch instead of failing
+    require(integralBatchIds(snap),
+      s"index at $path carries NAMED batches, not the streaming " +
+        "sink's numeric clock — use the Seq[String] overload " +
+        "(readIvfIndexAsOf(spark, path, Seq(\"build\", ...)))")
     snap.filter(col("batch_id") <= upToBatch)
+  }
+
+  /** SNAPSHOT read of a BATCH-MAINTAINED IVF index by batch NAME —
+    * the [[graft.ops.SearchOps.searchBm25FromIndexAsOf]] semantics
+    * for the vector family: serve exactly the named batches
+    * ("build" for [[writeIvfIndex]]'s base, append batchKeys for
+    * [[appendToIvfIndex]] / [[appendToQuantizedIvfIndex]]; a
+    * stream-built index's numeric micro-batch ids work as strings
+    * too). Pure partition pruning — batch_id rides the scan's
+    * PartitionFilters next to the cell probes; no copy, no restore.
+    * Serving a batch set ≡ a rebuild on those batches' vectors
+    * exactly (per-row frozen-centroid assignment). Tombstones apply
+    * RETROACTIVELY — time travel must not resurrect erased vectors.
+    * A batch name absent from the layout fails LOUDLY (after
+    * [[compactIvfIndex]] collapses history, stale names would
+    * otherwise silently serve an empty or partial index).
+    */
+  def readIvfIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, batches: Seq[String]): DataFrame = {
+    require(batches.nonEmpty, "as-of needs at least one visible batch")
+    val snap = readIvfIndex(spark, path)
+    require(snap.columns.contains("batch_id"),
+      s"index at $path carries no batch_id history (pre-layout " +
+        "index) — rebuild it with writeIvfIndex first")
+    val known = ivfKnownBatches(spark, path)
+    val missing = batches.filterNot(known)
+    require(missing.isEmpty,
+      s"batches ${missing.mkString(", ")} have no partitions in the " +
+        s"index at $path — compaction collapses history (as-of reads " +
+        "predating it are gone by design)")
+    snap.filter(col("batch_id").cast("string").isin(batches: _*))
   }
 
   /** Make IVF deletions physical: rewrite each cell without the
@@ -746,10 +853,18 @@ object Similarity {
     val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombDir)) return
     val live0 = readIvfIndex(spark, path)
+    // the collapse value keeps each layout's as-of contract: a
+    // stream-built index (numeric clock) collapses to batch 0 so
+    // prefix reads still see the whole compacted state; a name-keyed
+    // layout collapses to "build" so stale append names fail loudly
+    // in the named as-of's existence check
     val (live, parts) =
-      if (live0.columns.contains("batch_id"))
-        (live0.withColumn("batch_id", lit(0L)), Seq("cell", "batch_id"))
-      else (live0, Seq("cell"))
+      if (live0.columns.contains("batch_id")) {
+        val collapsed =
+          if (integralBatchIds(live0)) live0.withColumn("batch_id", lit(0L))
+          else live0.withColumn("batch_id", lit("build"))
+        (collapsed, Seq("cell", "batch_id"))
+      } else (live0, Seq("cell"))
     val mat = live.localCheckpoint(true)
     try {
       mat.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
@@ -774,6 +889,40 @@ object Similarity {
     writeIvfIndex(
       readIvfIndex(spark, oldPath).select(col("vec_id"), col("embedding")),
       cents, newPath)
+
+  /** Centroid REFRESH for the COMPRESSED (int8) index — the drift-
+    * maintenance member the family still lacked, and at 100 TB the
+    * one that matters: the compressed index is the one a deployment
+    * actually serves. The int8 store holds only (vec_id, scale,
+    * qvec) — no float embeddings — so refresh re-quantizes from a
+    * caller-supplied SOURCE of the original embeddings (the upstream
+    * corpus table): cell assignment must come from the true float
+    * vectors — a dequantized approximate reassignment would let
+    * quantization error move rows across cell boundaries, breaking
+    * the recluster ≡ rebuild-on-live exactness every other
+    * maintenance member carries — and re-quantizing the same source
+    * rows reproduces the stored entries bit-for-bit (per-row
+    * symmetric quantization is deterministic and index-independent).
+    * Live ids (tombstones honored) with no source row fail LOUDLY —
+    * a refresh must never silently shrink the index. Same operating
+    * model as [[reclusterIvfIndex]]: old index untouched, cutover is
+    * a path swap, O(index) background work by design.
+    */
+  def reclusterQuantizedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, source: DataFrame, cents: Seq[Seq[Double]],
+      newPath: String): Unit = {
+    val live = readIvfIndex(spark, oldPath).select(col("vec_id"))
+    val src = source.select(col("vec_id"), col("embedding"))
+    val missing = live.join(src, Seq("vec_id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"live ids ${missing.mkString(", ")}… of the index at $oldPath " +
+        "have no row in the supplied source table — the compressed " +
+        "store carries no embeddings, so refresh needs the original " +
+        "vectors for every live entry")
+    writeQuantizedIvfIndex(
+      src.join(live, Seq("vec_id"), "left_semi"), cents, newPath)
+  }
 
   /** The audit that justifies a recluster cutover: the
     * (cell_old → cell_new, n_vectors) movement matrix between two
@@ -807,15 +956,36 @@ object Similarity {
     * the same directory listing. Per-batch cost is O(batch), never
     * O(index): the existing lists are not read, let alone rewritten.
     *
-    * The caller owns id disjointness (duplicate vec_ids would serve
-    * twice — the upsert-by-key story belongs to the keyed sinks, not
-    * the ANN index); centroids must be the build's centroids, or the
-    * rebuild equivalence breaks by construction.
+    * The caller owns id disjointness ACROSS batches (duplicate
+    * vec_ids would serve twice — the upsert-by-key story belongs to
+    * the keyed sinks, not the ANN index); centroids must be the
+    * build's centroids, or the rebuild equivalence breaks by
+    * construction.
+    *
+    * `batchKey` names the append: rows land under their own
+    * (cell=N, batch_id=batchKey) partitions via DYNAMIC partition
+    * overwrite, so a RETRY of the same key — recovery from a
+    * partially-failed append — recomputes identical rows and
+    * overwrites exactly its own partitions instead of
+    * double-inserting vectors into served top-k (the
+    * [[graft.ops.SearchOps.appendToBm25Index]] idempotence story;
+    * the streaming sink's (cell, batch_id) layout already proved
+    * it). Because every batch keeps its own partitions, the layout
+    * carries HISTORY: [[readIvfIndexAsOf]]'s named-batch overload
+    * time-travels batch-maintained indexes too. Distinct appends
+    * need distinct keys; "build" is reserved for [[writeIvfIndex]].
     */
   def appendToIvfIndex(newVectors: DataFrame, cents: Seq[Seq[Double]],
-      path: String): Unit =
+      path: String, batchKey: String): Unit = {
+    requireIvfBatchKey(batchKey)
+    requireBatchLayout(newVectors.sparkSession, path)
     ivfAssignedForWrite(newVectors, cents)
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   /** IVF probe scan against caller-supplied centroids (see ivfTopK /
     * ivfBuild).
@@ -969,19 +1139,28 @@ object Similarity {
   def writeQuantizedIvfIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
       path: String): Unit =
     quantizedAssignedForWrite(embeddings, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id").parquet(path)
 
   /** Batch append into a written COMPRESSED IVF index — exactly
     * [[appendToIvfIndex]]'s contract (frozen centroids ⇒ append ≡
     * rebuild; O(batch); appended files inside the existing cell
-    * directories) with int8 entries: per-row quantization is
-    * index-independent, so compression changes nothing about the
-    * equivalence argument.
+    * directories; `batchKey` dynamic-overwrites its own
+    * (cell, batch_id) partitions so retries never double-insert)
+    * with int8 entries: per-row quantization is index-independent,
+    * so compression changes nothing about the equivalence argument.
     */
   def appendToQuantizedIvfIndex(newVectors: DataFrame,
-      cents: Seq[Seq[Double]], path: String): Unit =
+      cents: Seq[Seq[Double]], path: String, batchKey: String): Unit = {
+    requireIvfBatchKey(batchKey)
+    requireBatchLayout(newVectors.sparkSession, path)
     quantizedAssignedForWrite(newVectors, cents)
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+  }
 
   /** Driver-side symmetric int8 quantization of one query vector —
     * the same rule as [[quantizeVec]] bit-for-bit (max|x|/127, round

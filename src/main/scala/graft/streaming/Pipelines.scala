@@ -211,6 +211,37 @@ object Pipelines {
       .drop("c_key")
       .withColumn("has_content", col("blob_content").isNotNull)
 
+  /** Stage the two sides of the S12/J2 enrichment join as catalog
+    * tables CO-BUCKETED on the blob key (round-11 verdict #4 — the
+    * [[graft.graph.Communities]] staged-edges pattern applied to the
+    * content lookup): the flattened CDC frame and the blob/content
+    * table land pre-hash-partitioned on `s3_key`, so every later
+    * enrichment readout joins them file-to-file with ZERO corpus
+    * exchanges — at 100 TB the content table is the big side, and
+    * this is what keeps it from reshuffling on every serve.
+    */
+  def stageEnrichInputs(flattened: DataFrame, content: DataFrame,
+      flatTable: String, contentTable: String, buckets: Int = 32): Unit = {
+    graft.ops.BucketedTables.writeBucketed(flattened, flatTable,
+      "s3_key", buckets)
+    graft.ops.BucketedTables.writeBucketed(
+      content.select(col("s3_key"), col("content").as("blob_content")),
+      contentTable, "s3_key", buckets)
+  }
+
+  /** [[enrichWithContent]] served from the STAGED layouts — identical
+    * output (q_enrich_content_staged shares the one-shot oracle
+    * verbatim), different plan: the s3_key join is a merge join of
+    * two co-bucketed presorted tables with no exchange on either
+    * side. The merge hint pins it — a broadcast would forget the
+    * buckets and re-ship the content side per serve.
+    */
+  def enrichWithContentStaged(spark: SparkSession, flatTable: String,
+      contentTable: String): DataFrame =
+    spark.table(flatTable).hint("merge")
+      .join(spark.table(contentTable), Seq("s3_key"), "left")
+      .withColumn("has_content", col("blob_content").isNotNull)
+
   /** S9: Kafka JSON sink projection — the record re-serialized as the
     * (key, value) pair a Kafka writer expects (reference
     * data-quality/app/main.py:217-233 value_serializer="json").
@@ -814,9 +845,18 @@ object Pipelines {
     */
   def processBm25DeleteBatch(batch: DataFrame, indexDir: String,
       batchId: Long, keyPrefix: String = "stream"): Unit = {
-    if (batch.isEmpty) return
+    // prefix validation BEFORE the empty-batch early-return: a
+    // misconfigured empty prefix must fail on batch 0, not lie in
+    // wait until the first non-empty batch
     require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
-    graft.ops.SearchOps.deleteFromBm25Index(
+    if (batch.isEmpty) return
+    // register the prefix on the index so MANUAL deleteFromBm25Index
+    // calls can no longer use a "<keyPrefix>-N" key that a later
+    // checkpoint replay of THIS stream would dynamic-overwrite
+    // (resurrecting the manual erasure). Idempotent marker create.
+    graft.ops.SearchOps.registerDeleteStreamPrefix(
+      batch.sparkSession, indexDir, keyPrefix)
+    graft.ops.SearchOps.deleteFromBm25IndexSink(
       batch.select(col("doc_id")), indexDir, s"$keyPrefix-$batchId")
   }
 
@@ -857,6 +897,57 @@ object Pipelines {
         if (!batch.isEmpty)
           graft.similarity.Similarity.deleteFromIvfIndex(
             batch.select(col("vec_id")), indexDir, s"$keyPrefix-$batchId")
+      }
+      .start()
+  }
+
+  /** Idempotent batch core of [[memorizationIndexSink]]: each
+    * micro-batch of documents appends its own (g, +nd) partition to
+    * a written gram index through
+    * [[graft.textanalysis.TextAnalysis.appendToMemorizationIndex]]
+    * under the key `<keyPrefix>-<batchId>` — a checkpoint replay
+    * re-runs the SAME batchId and dynamic-overwrites exactly its own
+    * `_appends/batch_id=` partition, so the replay is a no-op on the
+    * consolidated counts. Empty batches are skipped; keyPrefix is
+    * validated FIRST (the processBm25DeleteBatch ordering). The
+    * prefix is the stream's identity: a second append stream under
+    * the same prefix would overwrite the first's partitions
+    * (batch ids restart at 0 per checkpoint) — distinct jobs need
+    * distinct (keyPrefix, checkpoint) pairs, the delete-sink rule.
+    */
+  def processMemorizationIngestBatch(batch: DataFrame, indexDir: String,
+      batchId: Long, n: Int = 5, keyPrefix: String = "stream"): Unit = {
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    if (batch.isEmpty) return
+    graft.textanalysis.TextAnalysis.appendToMemorizationIndex(
+      batch, indexDir, s"$keyPrefix-$batchId", n)
+  }
+
+  /** STREAMING INGESTION for the memorization gram index — the
+    * maintained family an LLM-data pipeline updates most often (every
+    * new corpus batch changes what counts as memorized), now fed
+    * continuously: docs (doc_id, text) append their n-gram counts to
+    * a WRITTEN index exactly-once via checkpoint + the idempotent
+    * core above. The mergeable-counts design makes this the easy
+    * sink: appends are append-only partitions (no read-modify-write,
+    * the base is never read), and
+    * [[graft.textanalysis.TextAnalysis.readMemorizationIndexMerged]]
+    * consolidates at serve time — stream-built ≡ retrain-on-union by
+    * additivity (q_memorization_probe_streamed shares the full-train
+    * oracle). Probes can run mid-stream against whatever has been
+    * committed. The caller owns doc disjointness across batches, as
+    * with every member of the mergeable family.
+    */
+  def memorizationIndexSink(docs: DataFrame, indexDir: String,
+      checkpointDir: String, n: Int = 5, keyPrefix: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMemorizationIngestBatch(batch, indexDir, batchId, n,
+          keyPrefix)
       }
       .start()
   }

@@ -714,7 +714,11 @@ object TextAnalysis {
       val p = new org.apache.hadoop.fs.Path(dir + sub)
       if (p.getFileSystem(conf).exists(p)) {
         val df = spark.read.parquet(dir + sub)
-        Some(visible.fold(df)(bs => df.filter(col("batch_id").isin(bs: _*)))
+        // compare AS STRING: all-numeric batch names would infer an
+        // integer partition column and silently null out string
+        // comparisons (the searchBm25FromIndexAsOf lesson)
+        Some(visible.fold(df)(bs =>
+            df.filter(col("batch_id").cast("string").isin(bs: _*)))
           .select(col("g"), col("nd")))
       } else None
     }

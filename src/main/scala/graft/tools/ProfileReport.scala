@@ -36,6 +36,25 @@ object ProfileReport {
         Curation.curationReport(corp, bench).count()
       }
       spark.catalog.clearCache()
+      // the capstone the report is compared against (r11 verdict #6):
+      // if report-minus-LM ≈ capstone-minus-LM, the report sits at
+      // the shared LM-token-pass floor and there is nothing left to
+      // serve from an artifact
+      time("capstone curate honest (toRdd)") {
+        Curation.curate(corp, bench).queryExecution.toRdd.count()
+      }
+      spark.catalog.clearCache()
+      time("LM token pass alone (count)") {
+        val m = Curation.getClass.getDeclaredMethods
+          .find(_.getName == "flaggedInternal").get
+        m.setAccessible(true)
+        val (_, tokens) = m.invoke(Curation, corp, bench,
+          Double.box(10.0), Double.box(0.4))
+          .asInstanceOf[(org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.DataFrame)]
+        tokens.count()
+      }
+      spark.catalog.clearCache()
       // decomposed: rebuild the slim frame by hand
       val flagged = time("flagged eval alone (count)") {
         val m = Curation.getClass.getDeclaredMethods

@@ -50,6 +50,58 @@ class DedupSpec extends SparkSpec {
     assert(out(40L) === ((18, 8, s"$span tail1 tail2")))
   }
 
+  test("substringDedupStaged ≡ one-shot; hh ops co-bucketed with zero " +
+      "exchanges; never re-tokenizes") {
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near x1 y1 z1"),
+      (20L, "the quick brown fox jumps over the lazy dog near x2 y2 z2"),
+      (30L, "short doc under eight"),
+      (40L, s"$span $span tail1 tail2")
+    ).toDF("doc_id", "text")
+    try {
+      Dedup.stageWindowOccurrences(docs, "t_ss_occ", w = 8, buckets = 32)
+      Dedup.stageDocWords(docs, "t_ss_words", buckets = 32)
+      val served = Dedup.substringDedupStaged(spark, "t_ss_occ",
+        "t_ss_words", w = 8)
+      val want = Dedup.substringDedup(docs, "doc_id", "text", w = 8)
+        .collect().map(_.toSeq).toSet
+      assert(served.collect().map(_.toSeq).toSet === want)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val ex = served.queryExecution.executedPlan
+      // exactly ONE Generate — the covered-position expansion of the
+      // small removed frame; the corpus is NEVER re-tokenized (the
+      // one-shot pays three corpus-wide Generates)
+      assert(allNodes(ex).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) === 1,
+        ex.toString)
+      // the occurrence⋈winner join runs on the shared hh bucketing:
+      // an SMJ with zero exchanges anywhere beneath it
+      val hhJoin = allNodes(ex).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.map(_.toString).exists(_.contains("hh#")) => j
+      }
+      assert(hhJoin.nonEmpty, ex.toString)
+      hhJoin.foreach { j =>
+        assert(!allNodes(j).tail.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+          j.toString)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_ss_occ")
+      spark.sql("DROP TABLE IF EXISTS t_ss_words")
+    }
+  }
+
   test("spanDecontaminate cuts benchmark-overlapping spans, keeps the rest") {
     val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
     val docs = Seq(

@@ -195,4 +195,24 @@ class PageRankSpec extends SparkSpec {
     assert(pr.count() === 0)
     assert(pr.columns === Array("node", "rank"))
   }
+
+  test("gate probe memo invalidates when the source's file set changes") {
+    // a growing parquet dir re-reads identically (same canonical
+    // plan), so the probe memo must key on the file snapshot too —
+    // else the stale small count keeps routing a now-large graph to
+    // the exact distinct-count fallback job the gate exists to avoid
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    (1L to 4L).map(i => (i, i + 1L)).toDF("s", "t")
+      .write.mode("append").parquet(dir)
+    val small = spark.read.parquet(dir)
+    assert(PageRank.mayFitFastPath(small, 10L))
+    // grow the dir past the band: 4 + 96 = 100 raw edges > 2 * 10
+    (1L to 96L).map(i => (i + 100L, i + 101L)).toDF("s", "t")
+      .write.mode("append").parquet(dir)
+    val grown = spark.read.parquet(dir)
+    assert(!PageRank.mayFitFastPath(grown, 10L))
+    // and the explicit hook clears the memo wholesale
+    PageRank.clearGateProbeCache()
+    assert(PageRank.mayFitFastPath(spark.read.parquet(dir), 50L))
+  }
 }

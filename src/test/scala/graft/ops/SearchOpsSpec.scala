@@ -384,4 +384,66 @@ class SearchOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     assert(indexed === direct)
   }
+
+  test("as-of over a PURE stream-built index: numeric micro-batch ids " +
+      "serve as string batch names (partition-type inference)") {
+    import org.apache.spark.sql.functions.col
+    // a stream-only index's batch_id partition values are the sink's
+    // numeric micro-batch ids (0,1,…) — Spark's partition-type
+    // inference reads the column back as INTEGER, so the as-of path
+    // must compare as string or the ledger check ClassCastExceptions
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-num")
+      .toString + "/idx"
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    graft.streaming.Pipelines.processBm25IngestBatch(b0, dir, 0L)
+    graft.streaming.Pipelines.processBm25IngestBatch(b1, dir, 1L)
+    val terms = Seq("merge", "query")
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rb = java.nio.file.Files.createTempDirectory("graft-bm25-numrb").toString
+    SearchOps.writeBm25Index(b0, rb)
+    assert(ranked(SearchOps.searchBm25FromIndexAsOf(spark, dir, terms, 10,
+      Seq("0"))) === ranked(SearchOps.searchBm25FromIndex(spark, rb, terms, 10)))
+    assert(ranked(SearchOps.searchBm25FromIndexAsOf(spark, dir, terms, 10,
+      Seq("0", "1"))) ===
+      ranked(SearchOps.searchBm25FromIndex(spark, dir, terms, 10)))
+    intercept[IllegalArgumentException] {
+      SearchOps.searchBm25FromIndexAsOf(spark, dir, terms, 10, Seq("7"))
+        .collect()
+    }
+  }
+
+  test("batchKey reservations: \"del-\" prefix rejected everywhere; a " +
+      "manual key shaped like a registered delete stream's is rejected") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-res").toString
+    SearchOps.writeBm25Index(docs, dir)
+    // an append named "del-x" would pair batch "x" with this ledger
+    // row in the as-of existence check — reserved
+    intercept[IllegalArgumentException] {
+      SearchOps.appendToBm25Index(docs.limit(1), dir, "del-x")
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.deleteFromBm25Index(
+        docs.select(col("doc_id")).limit(1), dir, "del-x")
+    }
+    // the delete sink registers its prefix; a later MANUAL delete
+    // under "sweep-5" would be dynamic-overwritten by that stream's
+    // replay of micro-batch 5 — rejected loudly
+    graft.streaming.Pipelines.processBm25DeleteBatch(
+      docs.select(col("doc_id")).limit(1), dir, 0L, keyPrefix = "sweep")
+    intercept[IllegalArgumentException] {
+      SearchOps.deleteFromBm25Index(
+        docs.select(col("doc_id")).limit(2), dir, "sweep-5")
+    }
+    // a non-digit suffix is not sink-shaped — still allowed
+    SearchOps.deleteFromBm25Index(
+      docs.select(col("doc_id")).limit(2), dir, "sweep-x")
+    // a misconfigured empty prefix fails on batch 0 even when empty
+    intercept[IllegalArgumentException] {
+      graft.streaming.Pipelines.processBm25DeleteBatch(
+        docs.select(col("doc_id")).limit(0), dir, 0L, keyPrefix = "")
+    }
+  }
 }

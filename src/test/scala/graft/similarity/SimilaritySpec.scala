@@ -226,13 +226,21 @@ class SimilaritySpec extends SparkSpec {
     Similarity.writeIvfIndex(emb.filter(col("vec_id") % 3 =!= 1), cents, inc)
     // two appended batches against the SAME frozen centroids
     Similarity.appendToIvfIndex(
-      emb.filter(col("vec_id") % 6 === 1), cents, inc)
+      emb.filter(col("vec_id") % 6 === 1), cents, inc, "b1")
     Similarity.appendToIvfIndex(
-      emb.filter(col("vec_id") % 6 === 4), cents, inc)
+      emb.filter(col("vec_id") % 6 === 4), cents, inc, "b2")
+    // a RETRY of batch b2 (partial-failure recovery) overwrites its
+    // own (cell, batch_id) partitions — no double-inserted vectors
+    Similarity.appendToIvfIndex(
+      emb.filter(col("vec_id") % 6 === 4), cents, inc, "b2")
     def entries(dir: String) = spark.read.parquet(dir)
       .select(col("vec_id"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(entries(inc) === entries(full))
+    // ROW counts too — set equality alone would hide a replay's
+    // double-inserted duplicates
+    assert(spark.read.parquet(inc).count() ===
+      spark.read.parquet(full).count())
     // appended files land INSIDE the existing cell directories, so a
     // probe over the incremental index prunes exactly like the rebuild
     val probeFull = Similarity.ivfTopKFromIndex(spark.read.parquet(full),
@@ -246,6 +254,40 @@ class SimilaritySpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString("\n")
     assert(scan.contains("PartitionFilters") && scan.contains("cell"))
+    // the batch-keyed layout carries HISTORY: named as-of serves any
+    // batch subset ≡ a rebuild on those batches' vectors, and the
+    // batch_id predicate prunes partitions next to the cell probes
+    def asOfEntries(bs: String*) =
+      Similarity.readIvfIndexAsOf(spark, inc, bs)
+        .select(col("vec_id"), col("cell").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    def rebuiltEntries(df: org.apache.spark.sql.DataFrame) = {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-ao").toString
+      Similarity.writeIvfIndex(df, cents, p)
+      spark.read.parquet(p)
+        .select(col("vec_id"), col("cell").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    assert(asOfEntries("build") ===
+      rebuiltEntries(emb.filter(col("vec_id") % 3 =!= 1)))
+    assert(asOfEntries("build", "b1") === rebuiltEntries(
+      emb.filter(col("vec_id") % 3 =!= 1 || col("vec_id") % 6 === 1)))
+    assert(asOfEntries("build", "b1", "b2") === entries(full))
+    val asOfPlan = Similarity.readIvfIndexAsOf(spark, inc, Seq("build"))
+      .filter(col("cell") === 0).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(asOfPlan.contains("PartitionFilters") &&
+      asOfPlan.contains("batch_id"))
+    // a batch name with no partitions fails loudly (post-compaction
+    // stale names must not silently serve a partial index)
+    intercept[IllegalArgumentException] {
+      Similarity.readIvfIndexAsOf(spark, inc, Seq("build", "ghost"))
+    }
+    // the numeric-prefix overload rejects name-keyed layouts instead
+    // of letting the string-vs-long cast null out every batch
+    intercept[IllegalArgumentException] {
+      Similarity.readIvfIndexAsOf(spark, inc, 1L)
+    }
     // the compressed twin carries the same contract: int8 entries,
     // append ≡ rebuild entry for entry
     val qFull = java.nio.file.Files.createTempDirectory("graft-qivf-f").toString
@@ -254,13 +296,18 @@ class SimilaritySpec extends SparkSpec {
     Similarity.writeQuantizedIvfIndex(
       emb.filter(col("vec_id") % 3 =!= 2), cents, qInc)
     Similarity.appendToQuantizedIvfIndex(
-      emb.filter(col("vec_id") % 3 === 2), cents, qInc)
+      emb.filter(col("vec_id") % 3 === 2), cents, qInc, "b1")
+    // quantized retry replay: same key, same rows, no duplicates
+    Similarity.appendToQuantizedIvfIndex(
+      emb.filter(col("vec_id") % 3 === 2), cents, qInc, "b1")
     def qEntries(dir: String) = spark.read.parquet(dir)
       .select(col("vec_id"), col("scale"), col("qvec"), col("cell").cast("long"))
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2), r.getLong(3)))
       .toSet
     assert(qEntries(qInc) === qEntries(qFull))
+    assert(spark.read.parquet(qInc).count() ===
+      spark.read.parquet(qFull).count())
   }
 
   test("deleteFromIvfIndex: tombstoned serving ≡ rebuild-on-remaining; " +
@@ -295,7 +342,7 @@ class SimilaritySpec extends SparkSpec {
       cents, q, 10, 2).collect().toSeq === want)
     // and the compacted layout still accepts appends
     Similarity.appendToIvfIndex(
-      emb.filter(col("vec_id") % 5 === 2), cents, del)
+      emb.filter(col("vec_id") % 5 === 2), cents, del, "readd")
     val full = Similarity.ivfTopKFromIndex(Similarity.readIvfIndex(spark, del),
       cents, q, 10, 2).collect().toSeq
     val fullWant = Similarity.ivfTopKFromIndex(
@@ -341,6 +388,33 @@ class SimilaritySpec extends SparkSpec {
       .map { case (id, cOld) => (cOld.toInt, newCells(id).toInt) }
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(churn === direct)
+    // the COMPRESSED twin: the int8 store carries no embeddings, so
+    // refresh re-quantizes from the caller-supplied source — result
+    // ≡ a quantized rebuild on the live source rows, tombstones
+    // honored, and the churn matrix equals the float family's
+    val qOld = java.nio.file.Files.createTempDirectory("graft-qivf-rc0").toString
+    Similarity.writeQuantizedIvfIndex(sub, cents0, qOld)
+    Similarity.deleteFromIvfIndex(
+      sub.filter(col("vec_id") % 9 === 1).select(col("vec_id")), qOld, "d1")
+    val qNw = java.nio.file.Files.createTempDirectory("graft-qivf-rc1").toString
+    Similarity.reclusterQuantizedIvfIndex(spark, qOld, sub, cents1, qNw)
+    val qReb = java.nio.file.Files.createTempDirectory("graft-qivf-rc2").toString
+    Similarity.writeQuantizedIvfIndex(live, cents1, qReb)
+    def qEntries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("scale"), col("qvec"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2), r.getLong(3)))
+      .toSet
+    assert(qEntries(qNw) === qEntries(qReb))
+    assert(Similarity.reclusterChurn(spark, qOld, qNw).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap === churn)
+    // a live id with no source row fails loudly — refresh must never
+    // silently shrink the index
+    intercept[IllegalArgumentException] {
+      Similarity.reclusterQuantizedIvfIndex(spark, qOld,
+        sub.filter(col("vec_id") % 2 === 0), cents1,
+        java.nio.file.Files.createTempDirectory("graft-qivf-rc3").toString)
+    }
     sub.unpersist()
   }
 

@@ -76,6 +76,54 @@ class PipelinesSpec extends SparkSpec {
     spark.catalog.clearCache() // searchEnriched plain variant persists
   }
 
+  test("staged enrichment ≡ one-shot content join; s3_key merge join " +
+      "plans zero exchanges on co-bucketed tables") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val flat = Cdc.pipeline(Cdc.syntheticEnvelopes(docs))
+    val content = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(concat(col("doc_id"), lit("/content")).as("s3_key"),
+        col("text").as("content"))
+    try {
+      Pipelines.stageEnrichInputs(flat, content, "t_enr_flat",
+        "t_enr_content")
+      val staged = Pipelines.enrichWithContentStaged(spark, "t_enr_flat",
+        "t_enr_content")
+        .select(col("doc_id"), col("s3_key"), col("has_content"),
+          length(col("blob_content")).cast("long").as("content_len"))
+      val oneShot = Pipelines.enrichWithContent(flat, content)
+        .select(col("doc_id"), col("s3_key"), col("has_content"),
+          length(col("blob_content")).cast("long").as("content_len"))
+      assert(staged.collect().map(_.toSeq).toSet ===
+        oneShot.collect().map(_.toSeq).toSet)
+      // the content join must run bucket-to-bucket: an SMJ on s3_key
+      // with no Exchange anywhere beneath it
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(allNodes)
+      }
+      val ex = staged.queryExecution.executedPlan
+      val keyJoin = allNodes(ex).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.map(_.toString).exists(_.contains("s3_key#")) => j
+      }
+      assert(keyJoin.nonEmpty, ex.toString)
+      keyJoin.foreach { j =>
+        assert(!allNodes(j).tail.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+          j.toString)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_enr_flat")
+      spark.sql("DROP TABLE IF EXISTS t_enr_content")
+    }
+  }
+
   test("streaming dedup drops cross-batch replays; state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
@@ -690,11 +738,69 @@ class PipelinesSpec extends SparkSpec {
     assert(Similarity.readIvfIndexAsOf(spark, s"$tmp/idx", 0L)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
       snap0 - ids.head)
-    // a batch-written index has no history to travel
+    // a name-keyed (batch-written) index rejects the numeric-prefix
+    // clock — its history travels by batch NAME instead
     intercept[IllegalArgumentException] {
       Similarity.readIvfIndexAsOf(spark, full, 0L)
     }
+    assert(Similarity.readIvfIndexAsOf(spark, full, Seq("build"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      ids.toSet)
+    // and the stream-built index's numeric ids work as names too
+    assert(Similarity.readIvfIndexAsOf(spark, s"$tmp/idx", Seq("0"))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      snap0 - ids.head)
     emb.unpersist()
+  }
+
+  test("streaming gram-index ingest ≡ retrain-on-union; crash-replay " +
+      "a no-op on consolidated counts") {
+    import graft.textanalysis.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_memsink").toString
+    val all = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"),
+      (4L, "a b c d e f"), (5L, "x y z w v q"), (6L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    // base = docs 1-2 written; docs 3-6 stream in as two batches
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(all.filter(col("doc_id") <= 2), 5),
+      s"$tmp/idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.memorizationIndexSink(
+      mem.toDF().toDF("doc_id", "text"), s"$tmp/idx", s"$tmp/ckpt")
+    mem.addData(Seq((3L, "x y z w v u"), (4L, "a b c d e f")))
+    q.processAllAvailable()
+    mem.addData(Seq((5L, "x y z w v q"), (6L, "m n o p q r")))
+    q.processAllAvailable(); q.stop()
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = counts(TextAnalysis.memorizationIndex(all, 5))
+    assert(counts(
+      TextAnalysis.readMemorizationIndexMerged(spark, s"$tmp/idx")) === want)
+    // crash-replay of micro-batch 0 dynamic-overwrites its own
+    // partition — consolidated counts unchanged
+    Pipelines.processMemorizationIngestBatch(
+      Seq((3L, "x y z w v u"), (4L, "a b c d e f")).toDF("doc_id", "text"),
+      s"$tmp/idx", 0L)
+    assert(counts(
+      TextAnalysis.readMemorizationIndexMerged(spark, s"$tmp/idx")) === want)
+    // empty batches are a no-op; empty prefix fails loudly even empty
+    Pipelines.processMemorizationIngestBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$tmp/idx", 2L)
+    assert(counts(
+      TextAnalysis.readMemorizationIndexMerged(spark, s"$tmp/idx")) === want)
+    intercept[IllegalArgumentException] {
+      Pipelines.processMemorizationIngestBatch(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$tmp/idx", 2L,
+        keyPrefix = "")
+    }
+    // and the streamed batches are time-travelable like any appends:
+    // base + batch 0 only ≡ retrain on docs 1-4
+    assert(counts(TextAnalysis.readMemorizationIndexAsOf(spark,
+      s"$tmp/idx", Seq("build", "stream-0"))) ===
+      counts(TextAnalysis.memorizationIndex(
+        all.filter(col("doc_id") <= 4), 5)))
   }
 
   test("streaming LM gate filters against the frozen model; replay-idempotent") {
