@@ -744,13 +744,65 @@ object Similarity {
   def deleteFromIvfIndex(deleteIds: DataFrame, path: String,
       batchKey: String): Unit = {
     require(batchKey.nonEmpty, "batchKey must be non-empty")
+    // a MANUAL batchKey shaped like a registered delete stream's
+    // generated "<keyPrefix>-N" keys would be dynamic-overwritten by
+    // that stream's checkpoint replay of micro-batch N, silently
+    // resurrecting this erasure (the deleteFromBm25Index rule)
+    deleteStreamPrefixOf(deleteIds.sparkSession, path, batchKey).foreach { p =>
+      throw new IllegalArgumentException(
+        s"batchKey \"$batchKey\" collides with delete stream prefix " +
+          s"\"$p\" registered on the index at $path — a checkpoint " +
+          "replay of that stream would overwrite this batch's " +
+          "tombstones; pick a key that is not \"<prefix>-<digits>\"")
+    }
+    deleteFromIvfIndexImpl(deleteIds, path, batchKey)
+  }
+
+  /** The streaming delete sink's entry: the sink owns its
+    * "<keyPrefix>-N" keys, so the reservation check is skipped (a
+    * replay overwriting its own partitions is the design).
+    */
+  private[graft] def deleteFromIvfIndexSink(deleteIds: DataFrame,
+      path: String, batchKey: String): Unit = {
+    require(batchKey.nonEmpty, "batchKey must be non-empty")
+    deleteFromIvfIndexImpl(deleteIds, path, batchKey)
+  }
+
+  /** Idempotent marker registering a delete STREAM's keyPrefix on the
+    * index (see [[deleteFromIvfIndex]]).
+    */
+  private[graft] def registerIvfDeleteStreamPrefix(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keyPrefix: String): Unit = {
+    require(!keyPrefix.contains("/"),
+      s"keyPrefix must not contain '/': $keyPrefix")
+    val marker = new org.apache.hadoop.fs.Path(
+      path + "/_delete_streams/" + keyPrefix)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+  }
+
+  private def deleteStreamPrefixOf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchKey: String): Option[String] = {
+    val i = batchKey.lastIndexOf('-')
+    if (i <= 0 || i == batchKey.length - 1) return None
+    if (!batchKey.substring(i + 1).forall(_.isDigit)) return None
+    val p = batchKey.substring(0, i)
+    val marker = new org.apache.hadoop.fs.Path(
+      path + "/_delete_streams/" + p)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) Some(p) else None
+  }
+
+  private def deleteFromIvfIndexImpl(deleteIds: DataFrame, path: String,
+      batchKey: String): Unit =
     deleteIds.select(col("vec_id")).distinct()
       .withColumn("batch_id", lit(batchKey))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path + "/_tombstones")
-  }
 
   /** Read a written IVF index for serving: the cell-partitioned scan
     * (PartitionFilters prune on `cell` exactly as before) minus any
@@ -1123,7 +1175,7 @@ object Similarity {
     */
   /** The quantized twin of [[ivfAssignedForWrite]] — same frozen
     * assignment, int8 entries. */
-  private def quantizedAssignedForWrite(embeddings: DataFrame,
+  private[graft] def quantizedAssignedForWrite(embeddings: DataFrame,
       cents: Seq[Seq[Double]]): DataFrame = {
     val centLit = typedlit(cents)
     embeddings

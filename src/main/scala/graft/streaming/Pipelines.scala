@@ -894,9 +894,15 @@ object Pipelines {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.similarity.Similarity.deleteFromIvfIndex(
+        if (!batch.isEmpty) {
+          // register the prefix so manual deleteFromIvfIndex keys
+          // shaped "<keyPrefix>-N" fail loudly instead of being
+          // resurrected by this stream's replay (the BM25 rule)
+          graft.similarity.Similarity.registerIvfDeleteStreamPrefix(
+            batch.sparkSession, indexDir, keyPrefix)
+          graft.similarity.Similarity.deleteFromIvfIndexSink(
             batch.select(col("vec_id")), indexDir, s"$keyPrefix-$batchId")
+        }
       }
       .start()
   }
@@ -1249,6 +1255,45 @@ object Pipelines {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processIvfIngestBatch(batch, cents, indexDir, batchId)
+      }
+      .start()
+
+  /** Idempotent batch core of [[quantizedIvfIndexSink]] — the int8
+    * twin of [[processIvfIngestBatch]]: frozen-centroid assignment
+    * from the TRUE float vectors, per-row symmetric quantization of
+    * the stored entries, (cell, batch_id) dynamic overwrite. Same
+    * exactness argument as the batch append: assignment and
+    * quantization are both per-row and index-independent, so
+    * stream-built ≡ rebuild entry for entry.
+    */
+  def processQuantizedIvfIngestBatch(batch: DataFrame,
+      cents: Seq[Seq[Double]], indexDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.similarity.Similarity.quantizedAssignedForWrite(batch, cents)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(indexDir)
+  }
+
+  /** Streaming ingestion into the COMPRESSED ANN index — the int8
+    * twin of [[ivfIndexSink]], closing the family asymmetry: at
+    * 100 TB the compressed index is the one a deployment actually
+    * serves, so it is the one continuous ingestion must feed.
+    * Exactly-once via checkpoint + the idempotent core above; probes
+    * run mid-stream against whatever is committed, and the numeric
+    * batch clock makes the result as-of-readable like the float
+    * sink's.
+    */
+  def quantizedIvfIndexSink(vectors: DataFrame, cents: Seq[Seq[Double]],
+      indexDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQuantizedIvfIngestBatch(batch, cents, indexDir, batchId)
       }
       .start()
 

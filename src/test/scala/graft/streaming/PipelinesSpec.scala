@@ -695,6 +695,15 @@ class PipelinesSpec extends SparkSpec {
         .collect().toSeq ===
       Similarity.ivfTopKFromIndex(spark.read.parquet(rebIvf), cents,
         qv, 10, 2).collect().toSeq)
+    // the sink registered prefix "stream": a MANUAL delete under a
+    // sink-shaped key would be resurrected by a checkpoint replay —
+    // rejected loudly; non-digit suffixes stay allowed
+    intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfIndex(
+        emb.limit(1).select(col("vec_id")), s"$tmp/ivf", "stream-5")
+    }
+    Similarity.deleteFromIvfIndex(
+      emb.limit(1).select(col("vec_id")), s"$tmp/ivf", "stream-x")
     emb.unpersist()
   }
 
@@ -750,6 +759,31 @@ class PipelinesSpec extends SparkSpec {
     assert(Similarity.readIvfIndexAsOf(spark, s"$tmp/idx", Seq("0"))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
       snap0 - ids.head)
+    // the COMPRESSED twin: int8 entries stream through the quantized
+    // sink into the same (cell, batch_id) layout, stream-built ≡
+    // rebuild entry for entry, replay a no-op
+    val mem2 = MemoryStream[Long]
+    val q2 = Pipelines.quantizedIvfIndexSink(
+      mem2.toDS().toDF("vec_id").join(emb, "vec_id"), cents,
+      s"$tmp/qidx", s"$tmp/qckpt")
+    try {
+      (0L until 2L).foreach { b =>
+        mem2.addData(ids.filter(_ % 2 == b).toIndexedSeq)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val qFull = java.nio.file.Files.createTempDirectory("graft_qivffull").toString
+    Similarity.writeQuantizedIvfIndex(emb, cents, qFull)
+    def qEntries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("scale"), col("qvec"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2), r.getLong(3)))
+      .toSet
+    assert(qEntries(s"$tmp/qidx") === qEntries(qFull))
+    Pipelines.processQuantizedIvfIngestBatch(
+      emb.filter(col("vec_id") % 2 === 0), cents, s"$tmp/qidx", 0L)
+    assert(qEntries(s"$tmp/qidx") === qEntries(qFull))
+    assert(spark.read.parquet(s"$tmp/qidx").count() === emb.count())
     emb.unpersist()
   }
 
