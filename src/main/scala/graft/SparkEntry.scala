@@ -1038,6 +1038,44 @@ object SparkEntry {
       Similarity.pqTopKFromIndex(s.read.parquet(builtPqIvfIndex(s, d)),
         seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
         nProbe = 2)),
+    // The IVF-PQ maintenance matrix — the composed 100 TB serving
+    // shape gets the same five members as the other index families,
+    // each gated by the generated codebook replay (full corpus for
+    // append/stream, filtered splits for erasure/as-of):
+    // retry-idempotent batch append (built with the append run TWICE)
+    "q_knn_pq_ivf_incremental" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(s.read.parquet(builtPqIvfIncIndex(s, d)),
+        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
+        nProbe = 2)),
+    // erasure: ids ≡ 3 mod 7 tombstoned; the layout-generic reader
+    // anti-joins — tombstoned ≡ rebuild-on-remaining
+    "q_knn_pq_ivf_deleted" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(
+        Similarity.readIvfIndex(s, builtPqIvfDelIndex(s, d)),
+        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
+        nProbe = 2)),
+    // ...and compacted: erasure made physical, a plain cell scan
+    // serves the erased state (shares the deleted replay)
+    "q_knn_pq_ivf_compacted" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(
+        s.read.parquet(builtPqIvfCmpIndex(s, d)),
+        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
+        nProbe = 2)),
+    // snapshot by batch name: the probe as of the base build — the
+    // "inc1" append's ids ≡ 1 mod 8 must vanish
+    "q_knn_pq_ivf_asof" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(
+        Similarity.readIvfIndexAsOf(s, builtPqIvfIncIndex(s, d),
+          Seq("build")),
+        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
+        nProbe = 2)),
+    // streaming ingestion: three checkpointed micro-batches through
+    // pqIndexSink — stream-built ≡ rebuild
+    "q_knn_pq_ivf_streamed" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(
+        s.read.parquet(builtPqIvfStreamedIndex(s, d) + "/idx"),
+        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
+        nProbe = 2)),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -2500,6 +2538,83 @@ object SparkEntry {
         pqCodebookFor(s, d), p)
     }
 
+  /** Incrementally-assembled IVF-PQ index: base = corpus minus its
+    * ≡1 mod 8 eighth, that eighth appended (twice — the second call
+    * is the retry replay) under batch "inc1" against the same frozen
+    * centroids + codebook. Probing it shares q_knn_pq_ivf's
+    * full-corpus oracle: append ≡ rebuild is the hash gate, and the
+    * doubled append gates retry idempotence the same way.
+    */
+  private def builtPqIvfIncIndex(s: SparkSession, d: String): String = {
+    val cents = seedCents16(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pqivf_inc", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.writePqIndex(
+        emb.filter(col("vec_id") % 8 =!= 1), cents, cb, p)
+      Similarity.appendToPqIndex(
+        emb.filter(col("vec_id") % 8 === 1), cents, cb, p, "inc1")
+      Similarity.appendToPqIndex(
+        emb.filter(col("vec_id") % 8 === 1), cents, cb, p, "inc1")
+    }
+  }
+
+  /** Full IVF-PQ index with the ids ≡ 3 mod 7 batch TOMBSTONED —
+    * [[graft.similarity.Similarity.deleteFromIvfIndex]] is
+    * layout-generic, so erasure composes onto the PQ store unchanged.
+    */
+  private def builtPqIvfDelIndex(s: SparkSession, d: String): String = {
+    val cents = seedCents16(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pqivf_del", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.writePqIndex(emb, cents, cb, p)
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
+    }
+  }
+
+  /** [[builtPqIvfDelIndex]] then COMPACTED — the code cells rewritten
+    * without the tombstoned rows; a plain scan serves the erased
+    * state.
+    */
+  private def builtPqIvfCmpIndex(s: SparkSession, d: String): String = {
+    val cents = seedCents16(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pqivf_cmp", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.writePqIndex(emb, cents, cb, p)
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
+      Similarity.compactIvfIndex(s, p)
+    }
+  }
+
+  /** Build-once STREAM-BUILT IVF-PQ index: three checkpointed
+    * MemoryStream micro-batches through the real pqIndexSink.
+    */
+  private def builtPqIvfStreamedIndex(s: SparkSession, d: String): String = {
+    val cents = seedCents16(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pqivf_str", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.embeddings(s, d)
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("vec_id").join(emb, "vec_id")
+      val q = graft.streaming.Pipelines.pqIndexSink(
+        src, cents, cb, p + "/idx", p + "/ckpt")
+      try {
+        val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+        (0L until 3L).foreach { b =>
+          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+  }
+
   /** Build-once BM25 inverted-file artifact per corpus — the lexical
     * serving index ([[graft.ops.SearchOps.writeBm25Index]]).
     */
@@ -2957,12 +3072,11 @@ object SparkEntry {
                   GROUP BY 1)
            SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM s6t
            ORDER BY pq_sim DESC, vec_id LIMIT 10"""
-      Seq(
-        "q_knn_pq" -> adc(
-          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
-           pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)"""),
-        "q_knn_pq_ivf" -> adc(
-          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+      // the IVF-PQ prefix parameterized by an extra corpus predicate:
+      // "" replays the full corpus (build/append/stream twins),
+      // a filter replays the erasure / as-of splits
+      def ivfPv(extra: String) =
+        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
            cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
                   FROM embeddings WHERE vec_id < 16),
            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -2977,7 +3091,21 @@ object SparkEntry {
                       ORDER BY s DESC, ccid LIMIT 2),
            pv AS (SELECT v.vec_id, v.ve FROM v
                   JOIN assign a ON a.vec_id = v.vec_id
-                  WHERE a.cell IN (SELECT ccid FROM probes))"""))
+                  WHERE a.cell IN (SELECT ccid FROM probes)$extra)"""
+      Seq(
+        "q_knn_pq" -> adc(
+          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+           pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)"""),
+        "q_knn_pq_ivf" -> adc(ivfPv("")),
+        // append ≡ rebuild and stream-built ≡ rebuild share the
+        // full-corpus replay verbatim
+        "q_knn_pq_ivf_incremental" -> adc(ivfPv("")),
+        "q_knn_pq_ivf_streamed" -> adc(ivfPv("")),
+        // tombstoned ≡ rebuild-on-remaining; compacted shares it
+        "q_knn_pq_ivf_deleted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
+        "q_knn_pq_ivf_compacted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
+        // as-of "build" on the incremental index: base split only
+        "q_knn_pq_ivf_asof" -> adc(ivfPv(" AND v.vec_id % 8 <> 1")))
     }
   }
 

@@ -1400,7 +1400,17 @@ object Similarity {
     * standard IVF-PQ serving shape.
     */
   def writePqIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
-      cb: PqCodebook, path: String): Unit = {
+      cb: PqCodebook, path: String): Unit =
+    pqAssignedForWrite(embeddings, cents, cb)
+      .withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id").parquet(path)
+
+  /** The (codes + cell) assignment frame the PQ index writers share —
+    * cell from the true float vector against frozen coarse centroids,
+    * codes from the frozen codebook, co-located per cell.
+    */
+  private[graft] def pqAssignedForWrite(embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook): DataFrame = {
     val centLit = typedlit(cents)
     val cells = embeddings
       .withColumn("__scores",
@@ -1411,7 +1421,29 @@ object Similarity {
     pqEncode(cells, cb)
       .join(cells.select(col("vec_id"), col("cell")), "vec_id")
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Batch append into a written IVF-PQ index — the
+    * [[appendToIvfIndex]] contract for the composed 100 TB serving
+    * shape: coarse assignment and PQ encoding are both per-row
+    * against frozen literals (centroids + codebook), so append ≡
+    * rebuild exactly; `batchKey` dynamic-overwrites its own
+    * (cell, batch_id) partitions, so retries never double-insert;
+    * O(batch), existing code lists never read. The rest of the
+    * maintenance family composes for free: [[deleteFromIvfIndex]] /
+    * [[compactIvfIndex]] / [[readIvfIndex]] / [[readIvfIndexAsOf]]
+    * are layout-generic over (vec_id, …, cell, batch_id) tables.
+    */
+  def appendToPqIndex(newVectors: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, path: String, batchKey: String): Unit = {
+    requireIvfBatchKey(batchKey)
+    requireBatchLayout(newVectors.sparkSession, path)
+    pqAssignedForWrite(newVectors, cents, cb)
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
   }
 
   /** Serve top-k from a [[writePqIndex]] table: literal probe cells

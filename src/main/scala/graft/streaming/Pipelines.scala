@@ -1277,6 +1277,40 @@ object Pipelines {
       .parquet(indexDir)
   }
 
+  /** Idempotent batch core of [[pqIndexSink]] — the IVF-PQ member:
+    * frozen coarse assignment + frozen-codebook encoding per
+    * micro-batch, (cell, batch_id) dynamic overwrite.
+    */
+  def processPqIngestBatch(batch: DataFrame, cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook, indexDir: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.similarity.Similarity.pqAssignedForWrite(batch, cents, cb)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(indexDir)
+  }
+
+  /** Streaming ingestion into the IVF-PQ index — the composed
+    * 100 TB serving shape (directory pruning over 8-byte codes) fed
+    * continuously; exactly-once via checkpoint + the idempotent core
+    * above, stream-built ≡ rebuild by the same frozen-literals
+    * argument as the batch append.
+    */
+  def pqIndexSink(vectors: DataFrame, cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook, indexDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPqIngestBatch(batch, cents, cb, indexDir, batchId)
+      }
+      .start()
+
   /** Streaming ingestion into the COMPRESSED ANN index — the int8
     * twin of [[ivfIndexSink]], closing the family asymmetry: at
     * 100 TB the compressed index is the one a deployment actually

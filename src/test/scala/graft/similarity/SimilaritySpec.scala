@@ -686,6 +686,42 @@ class SimilaritySpec extends SparkSpec {
       === expected.toSeq)
   }
 
+  test("IVF-PQ maintenance: append ≡ rebuild entry for entry, retries " +
+      "never duplicate, as-of and erasure compose layout-generically") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val full = java.nio.file.Files.createTempDirectory("graft_pqm_f").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft_pqm_i").toString
+    Similarity.writePqIndex(emb, cents, cb, full)
+    Similarity.writePqIndex(emb.filter(col("vec_id") % 4 =!= 1), cents, cb, inc)
+    Similarity.appendToPqIndex(
+      emb.filter(col("vec_id") % 4 === 1), cents, cb, inc, "b1")
+    // retry replay: same key, own partitions overwritten, no dupes
+    Similarity.appendToPqIndex(
+      emb.filter(col("vec_id") % 4 === 1), cents, cb, inc, "b1")
+    def entries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    assert(entries(inc) === entries(full))
+    assert(spark.read.parquet(inc).count() === spark.read.parquet(full).count())
+    // as-of "build" ≡ the base split's rebuild
+    val rebBase = java.nio.file.Files.createTempDirectory("graft_pqm_b").toString
+    Similarity.writePqIndex(emb.filter(col("vec_id") % 4 =!= 1), cents, cb,
+      rebBase)
+    assert(Similarity.readIvfIndexAsOf(spark, inc, Seq("build"))
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .toSet === entries(rebBase))
+    // tombstones compose onto the PQ layout through the generic reader
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 4 === 1).select(col("vec_id")), inc, "d1")
+    assert(Similarity.readIvfIndex(spark, inc)
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .toSet === entries(rebBase))
+  }
+
   test("pqBuild seeds from the smallest ids, not an id<ksub filter") {
     // sparse/hashed id spaces: ids start at 5000, so a `id < ksub`
     // seed filter would select NOTHING and downstream encode would
