@@ -948,6 +948,16 @@ object Pipelines {
       checkpointDir: String, n: Int = 5, keyPrefix: String = "stream")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    // the sink APPENDS to a written index: a stream-only directory
+    // would leave the consolidating reader with nothing but hidden
+    // _appends partitions and a bare schema-inference error at serve
+    // time — fail here, at stream start, with the actual contract
+    val base = new org.apache.hadoop.fs.Path(indexDir)
+    require(base.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration).exists(base),
+      s"no gram index at $indexDir — write the base with " +
+        "writeMemorizationIndex (an empty one for stream-only " +
+        "corpora) before streaming appends into it")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
