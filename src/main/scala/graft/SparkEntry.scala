@@ -1076,6 +1076,46 @@ object SparkEntry {
         s.read.parquet(builtPqIvfStreamedIndex(s, d) + "/idx"),
         seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
         nProbe = 2)),
+    // PQ operating-point evaluation: recall@10 of the written IVF-PQ
+    // index's ADC ranking (nProbe=2 of 16 cells, 8-byte codes)
+    // against exact float brute force for 5 queries — the doubly-
+    // lossy path's q_ann_recall. Generated oracle replays encode,
+    // per-query integer LUTs, probe routing, and the exact baseline,
+    // so the recall numbers themselves are hash-gated
+    "q_pq_recall" -> ((s, d) =>
+      Similarity.pqRecall(s.read.parquet(builtPqIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // Drift maintenance for the composed index: the (cell_old →
+    // cell_new) movement matrix between the built IVF-PQ index and
+    // its reclusterPqIndex refresh — shares the float recluster's
+    // generated oracle VERBATIM (cell assignment is from true floats
+    // in every family; one SQL, three hash gates)
+    "q_knn_pq_ivf_recluster" -> ((s, d) =>
+      Similarity.reclusterChurn(s, builtPqIvfIndex(s, d),
+        builtPqIvfReclusteredIndex(s, d))),
+    // The measurement that justifies a PQ refresh: the drifted corpus
+    // (q_ann_ivf_recluster_recall's fixture) served from the STALE
+    // index (frozen seed cells + frozen corpus codebook — exactly an
+    // append-fed index, by append ≡ rebuild) vs the reclusterPqIndex
+    // REFRESH (drift-seeded Lloyd cells + drift-retrained codebook);
+    // recall@10 for drift-batch queries before and after, exact float
+    // baseline shared. Generated oracle replays BOTH full encode+ADC
+    // pipelines, so the drop→recovery numbers are hash-gated
+    "q_pq_recluster_recall" -> ((s, d) => {
+      val dr = driftedEmbeddings(s, d)
+      val qs = Seq(2000000L, 2000010L, 2000020L, 2000030L, 2000040L)
+      val before = Similarity.pqRecall(
+        s.read.parquet(builtPqDriftStaleIndex(s, d)), dr,
+        seedCents16(s, d), pqCodebookFor(s, d), qs, 10, 2)
+        .select(col("query_id"), col("n_exact"),
+          col("recall").as("recall_before"))
+      val after = Similarity.pqRecall(
+        s.read.parquet(builtPqDriftFreshIndex(s, d)), dr,
+        driftedCentroids(s, d), driftedPqCodebook(s, d), qs, 10, 2)
+        .select(col("query_id"), col("recall").as("recall_after"))
+      before.join(after, Seq("query_id")).orderBy(col("query_id"))
+    }),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -2615,6 +2655,55 @@ object SparkEntry {
     }
   }
 
+  /** Build-once RECLUSTERED IVF-PQ index — the PQ member of the
+    * [[builtIvfReclusteredIndex]] family: the full index's live
+    * entries re-encoded FROM THE SOURCE TABLE (the code store
+    * carries no embeddings) against the Lloyd-refined coarse
+    * centroids into a fresh directory; the codebook retrains on the
+    * same source (here identical to the build's — the refresh
+    * procedure, not the drift, is what the churn matrix audits).
+    */
+  private def builtPqIvfReclusteredIndex(s: SparkSession, d: String): String = {
+    val src = builtPqIvfIndex(s, d)
+    val cents = kmeansCentroids(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pqivf_rc", d) { p =>
+      Similarity.reclusterPqIndex(s, src, Tables.embeddings(s, d), cents,
+        cb, p)
+    }
+  }
+
+  /** Build-once STALE IVF-PQ index over the DRIFTED corpus: the drift
+    * batch encoded with the FROZEN build literals (seed centroids +
+    * corpus codebook) — by the append ≡ rebuild contract this is
+    * exactly the state of a served index whose drift batches arrived
+    * through [[graft.similarity.Similarity.appendToPqIndex]] with no
+    * refresh, the "before" side of the recall measurement.
+    */
+  private def builtPqDriftStaleIndex(s: SparkSession, d: String): String = {
+    val cents = seedCents16(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pqd_stale", d) { p =>
+      Similarity.writePqIndex(driftedEmbeddings(s, d), cents, cb, p)
+    }
+  }
+
+  /** The stale drift index REFRESHED through
+    * [[graft.similarity.Similarity.reclusterPqIndex]]: coarse
+    * centroids re-trained on the drifted corpus (the
+    * [[driftedCentroids]] seeding policy) AND the codebook re-trained
+    * on the drifted corpus — the "after" side.
+    */
+  private def builtPqDriftFreshIndex(s: SparkSession, d: String): String = {
+    val stale = builtPqDriftStaleIndex(s, d)
+    val cents = driftedCentroids(s, d)
+    val cb = driftedPqCodebook(s, d)
+    builtIndexDir("graft_pqd_rc", d) { p =>
+      Similarity.reclusterPqIndex(s, stale, driftedEmbeddings(s, d),
+        cents, cb, p)
+    }
+  }
+
   /** Build-once BM25 inverted-file artifact per corpus — the lexical
     * serving index ([[graft.ops.SearchOps.writeBm25Index]]).
     */
@@ -2926,12 +3015,14 @@ object SparkEntry {
            SELECT ao.cell_old, an.cell_new, count(*) AS n_vectors
            FROM ao JOIN an USING (vec_id)
            GROUP BY 1, 2 ORDER BY 1, 2"""
-      // the int8 refresh shares the replay VERBATIM: per-row
-      // quantization is index-independent and both families assign
-      // from the true embeddings, so the compressed index's movement
-      // matrix must be identical — one SQL, two hash gates
+      // the int8 AND PQ refreshes share the replay VERBATIM: per-row
+      // quantization/encoding is index-independent and every family
+      // assigns cells from the true embeddings, so each compressed
+      // index's movement matrix must be identical — one SQL, three
+      // hash gates
       Seq("q_ann_ivf_recluster" -> sql,
-        "q_knn_quantized_ivf_recluster" -> sql)
+        "q_knn_quantized_ivf_recluster" -> sql,
+        "q_knn_pq_ivf_recluster" -> sql)
     }
   }
 
@@ -3031,6 +3122,23 @@ object SparkEntry {
         iterations = 2))
   }
 
+  /** PQ codebook RE-TRAINED on the drifted corpus — the codebook half
+    * of the PQ refresh [[builtPqDriftFreshIndex]] cuts over to (the
+    * coarse-centroid half is [[driftedCentroids]]). Same training
+    * procedure as [[pqCodebookFor]]; per-subspace Lloyd adapts the
+    * code points to the drifted distribution, so re-encoded drift
+    * vectors quantize against code points that actually exist in
+    * their cone. Same cache + oracle-literal lifecycle.
+    */
+  private val pqDriftedCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
+  private def driftedPqCodebook(s: SparkSession, d: String): Similarity.PqCodebook = {
+    lastOracleDir = d
+    pqDriftedCbCache.computeIfAbsent(d, _ =>
+      Similarity.pqBuild(driftedEmbeddings(s, d), m = 8, ksub = 64,
+        iterations = 2))
+  }
+
   /** Oracles for q_knn_pq and q_knn_pq_ivf, generated after a PQ
     * query ran (empty until then → rows-only, same lifecycle as
     * [[ivfKmeansOracle]]): the codebook prints as full-precision
@@ -3043,10 +3151,7 @@ object SparkEntry {
   private def pqOracle: Seq[(String, String)] = {
     Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
       val sd = cb.subDim
-      val values = (for {
-        j <- 0 until cb.m
-        (c, ci) <- cb.centroids(j).zipWithIndex
-      } yield s"($j, $ci, [${c.mkString(",")}]::DOUBLE[])").mkString(", ")
+      val values = pqCbValuesSql(cb)
       // shared encode + ADC tail over a (vec_id, ve) CTE named pv
       def adc(select: String) =
         s"""$select,
@@ -3106,6 +3211,195 @@ object SparkEntry {
         "q_knn_pq_ivf_compacted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
         // as-of "build" on the incremental index: base split only
         "q_knn_pq_ivf_asof" -> adc(ivfPv(" AND v.vec_id % 8 <> 1")))
+    }
+  }
+
+  /** A PQ codebook as DuckDB VALUES rows (sub, cid, double-array
+    * literal) — shared by every generated PQ oracle; full-precision
+    * shortest-round-trip doubles, the centroid-literal convention.
+    */
+  private def pqCbValuesSql(cb: Similarity.PqCodebook): String =
+    (for {
+      j <- 0 until cb.m
+      (c, ci) <- cb.centroids(j).zipWithIndex
+    } yield s"($j, $ci, [${c.mkString(",")}]::DOUBLE[])").mkString(", ")
+
+  /** Oracle for q_pq_recall (generated — [[pqOracle]]'s lifecycle):
+    * the codebook prints as literals and the SQL replays the WHOLE
+    * evaluation — encode (per-subspace argmin of the rounded
+    * index-order L2 fold), per-query integer micro-unit LUTs, seed-
+    * cell probe routing, the ADC rankings, and the exact float
+    * baseline — so the recall@10 numbers themselves are hash-gated.
+    */
+  private def pqRecallOracle: Option[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).map { cb =>
+      val sd = cb.subDim
+      val values = pqCbValuesSql(cb)
+      "q_pq_recall" ->
+        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+           cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
+                  FROM embeddings WHERE vec_id < 16),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           q AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                 WHERE vec_id IN (0, 1, 2, 3, 4)),
+           sc AS (SELECT v.vec_id, cc.ccid,
+                    round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
+                  FROM v CROSS JOIN cc),
+           assign AS (SELECT vec_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sc) WHERE rn = 1),
+           probes AS (SELECT vec_id AS query_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+           dist AS (SELECT v.vec_id, c.sub, c.cid,
+               round(list_reduce(
+                 [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
+                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+             FROM v CROSS JOIN cb c),
+           codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd ASC, cid) AS rn
+               FROM dist) WHERE rn = 1),
+           lut AS (SELECT q.query_id, c.sub, c.cid,
+               CAST(round(list_reduce(
+                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+             FROM cb c CROSS JOIN q),
+           s6t AS (SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
+               FROM assign a
+               JOIN probes p ON p.cell = a.cell
+               JOIN codes k ON k.vec_id = a.vec_id
+               JOIN lut l ON l.query_id = p.query_id
+                         AND l.sub = k.sub AND l.cid = k.cid
+               GROUP BY 1, 2),
+           approx AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+               FROM s6t) WHERE rn <= 10),
+           exact AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v CROSS JOIN q) WHERE rn <= 10)
+           SELECT e.query_id, count(*) AS n_exact,
+             round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+           FROM exact e
+           LEFT JOIN approx a
+             ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+           GROUP BY 1 ORDER BY 1"""
+    }
+  }
+
+  /** Oracle for q_pq_recluster_recall (generated — needs the drifted
+    * centroids AND both codebooks from this JVM): the drifted corpus
+    * rebuilds in SQL, BOTH encode+route+ADC pipelines replay — stale
+    * (seed cells + corpus codebook) and refreshed (drift-seeded Lloyd
+    * cells + drift-retrained codebook, both printed as literals) —
+    * against the shared exact float baseline, so the drop→recovery
+    * recalls are each hash-gated numbers.
+    */
+  private def pqReclusterRecallOracle: Option[(String, String)] = {
+    for {
+      d <- Option(lastOracleDir)
+      cbStale <- Option(pqCbCache.get(d))
+      cbFresh <- Option(pqDriftedCbCache.get(d))
+      cents <- Option(ivfDriftedCents.get(d))
+    } yield {
+      val sd = cbStale.subDim
+      val vs = pqCbValuesSql(cbStale)
+      val vf = pqCbValuesSql(cbFresh)
+      val cvals = cents.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(", ")
+      val qids = "2000000, 2000010, 2000020, 2000030, 2000040"
+      // one (dist → codes → lut → s6 → approx) pipeline per config,
+      // parameterized by codebook/assignment/probe CTE names
+      def adcSide(tag: String, book: String): String =
+        s"""dist$tag AS (SELECT v.vec_id, c.sub, c.cid,
+               round(list_reduce(
+                 [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
+                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+             FROM v CROSS JOIN $book c),
+           codes$tag AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd ASC, cid) AS rn
+               FROM dist$tag) WHERE rn = 1),
+           lut$tag AS (SELECT q.query_id, c.sub, c.cid,
+               CAST(round(list_reduce(
+                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+             FROM $book c CROSS JOIN q),
+           s6$tag AS (SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
+               FROM assign$tag a
+               JOIN probes$tag p ON p.cell = a.cell
+               JOIN codes$tag k ON k.vec_id = a.vec_id
+               JOIN lut$tag l ON l.query_id = p.query_id
+                             AND l.sub = k.sub AND l.cid = k.cid
+               GROUP BY 1, 2),
+           approx$tag AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+               FROM s6$tag) WHERE rn <= 10)"""
+      "q_pq_recluster_recall" ->
+        s"""WITH cbs AS (SELECT sub, cid, ce FROM (VALUES $vs) t(sub, cid, ce)),
+           cbf AS (SELECT sub, cid, ce FROM (VALUES $vf) t(sub, cid, ce)),
+           base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings),
+           v AS (SELECT vec_id, ve FROM base
+                 UNION ALL
+                 SELECT vec_id + 2000000, list_transform(ve, x -> -x)
+                 FROM base WHERE vec_id % 5 = 0),
+           ccb AS (SELECT vec_id AS ccid, ve AS ce2 FROM base
+                   WHERE vec_id < 16),
+           cca AS (SELECT ccid, ce2 FROM (VALUES $cvals) t(ccid, ce2)),
+           q AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                 WHERE vec_id IN ($qids)),
+           scb AS (SELECT v.vec_id, ccb.ccid,
+                     round(list_cosine_similarity(v.ve, ccb.ce2), 4) AS s
+                   FROM v CROSS JOIN ccb),
+           sca AS (SELECT v.vec_id, cca.ccid,
+                     round(list_cosine_similarity(v.ve, cca.ce2), 4) AS s
+                   FROM v CROSS JOIN cca),
+           assignb AS (SELECT vec_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM scb) WHERE rn = 1),
+           assigna AS (SELECT vec_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sca) WHERE rn = 1),
+           probesb AS (SELECT vec_id AS query_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM scb WHERE vec_id IN ($qids)) WHERE rn <= 2),
+           probesa AS (SELECT vec_id AS query_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sca WHERE vec_id IN ($qids)) WHERE rn <= 2),
+           ${adcSide("b", "cbs")},
+           ${adcSide("a", "cbf")},
+           exact AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v CROSS JOIN q) WHERE rn <= 10)
+           SELECT e.query_id, count(*) AS n_exact,
+             round(count(ab.vec_id) * 1.0 / count(*), 4) AS recall_before,
+             round(count(aa.vec_id) * 1.0 / count(*), 4) AS recall_after
+           FROM exact e
+           LEFT JOIN approxb ab
+             ON ab.query_id = e.query_id AND ab.vec_id = e.vec_id
+           LEFT JOIN approxa aa
+             ON aa.query_id = e.query_id AND aa.vec_id = e.vec_id
+           GROUP BY 1 ORDER BY 1"""
     }
   }
 
@@ -3581,7 +3875,8 @@ object SparkEntry {
           staticOracleSql("q_substring_dedup"),
         "q_retrieval_eval_asof" -> retrievalEvalAsOfSql) ++
       ivfKmeansOracle ++ ivfReclusterOracle ++ ivfReclusterRecallOracle ++
-      pqOracle ++ bpeVocabOracle ++ bpeCoverageOracle ++
+      pqOracle ++ pqRecallOracle ++ pqReclusterRecallOracle ++
+      bpeVocabOracle ++ bpeCoverageOracle ++
       bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
   }
 

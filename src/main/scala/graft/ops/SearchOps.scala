@@ -597,6 +597,15 @@ object SearchOps {
       "batchKey must not start with \"del-\" — that prefix is reserved " +
         "for delete-correction ledger rows (deleteFromBm25Index writes " +
         "its stats row as \"del-<key>\")")
+    // the ingest sink ([[graft.streaming.Pipelines.bm25IndexSink]])
+    // partitions by the RAW numeric micro-batch id: a manual append
+    // named "5" on a stream-fed index would be dynamic-overwritten by
+    // a checkpoint replay of micro-batch 5, silently dropping its docs
+    require(!batchKey.forall(_.isDigit),
+      s"batchKey \"$batchKey\" is all digits — the streaming ingest " +
+        "sink keys its partitions by raw numeric micro-batch id, and a " +
+        "checkpoint replay of that micro-batch would overwrite this " +
+        "append; pick a non-numeric name")
   }
 
   private def bm25ServeFromIndex(spark: org.apache.spark.sql.SparkSession,

@@ -679,14 +679,25 @@ object Similarity {
       .withColumn("batch_id", lit("build"))
       .write.mode("overwrite").partitionBy("cell", "batch_id").parquet(path)
 
-  /** The batch-name contract shared by [[appendToIvfIndex]] and
-    * [[appendToQuantizedIvfIndex]] — same rules as BM25's
-    * (`"build"` is the build's reserved name; distinct appends need
-    * distinct keys; a RETRY reuses its key on purpose).
+  /** The batch-name contract shared by [[appendToIvfIndex]],
+    * [[appendToQuantizedIvfIndex]] and [[appendToPqIndex]] — same
+    * rules as BM25's (`"build"` is the build's reserved name;
+    * distinct appends need distinct keys; a RETRY reuses its key on
+    * purpose). All-digit keys are rejected: the streaming ingest
+    * sinks partition by the RAW numeric micro-batch id, so a manual
+    * append named "5" on a stream-fed index would be dynamic-
+    * overwritten by a checkpoint replay of micro-batch 5, silently
+    * dropping its vectors.
     */
-  private def requireIvfBatchKey(batchKey: String): Unit =
+  private def requireIvfBatchKey(batchKey: String): Unit = {
     require(batchKey.nonEmpty && batchKey != "build",
       "batchKey must be a non-empty name other than the reserved \"build\"")
+    require(!batchKey.forall(_.isDigit),
+      s"batchKey \"$batchKey\" is all digits — the streaming ingest " +
+        "sinks key their partitions by raw numeric micro-batch id, and " +
+        "a checkpoint replay of that micro-batch would overwrite this " +
+        "append; pick a non-numeric name")
+  }
 
   /** Loud layout guard for the batch-keyed appends: an index written
     * before the (cell, batch_id) layout has flat `cell=N` directories,
@@ -705,10 +716,6 @@ object Similarity {
           "batch-keyed appends")
   }
 
-  /** Distinct batch names present in a written IVF layout, from the
-    * PARTITION DIRECTORIES alone — a driver-side listing (O(cells ×
-    * batches) names), no footer or row ever read.
-    */
   /** Is the inferred batch_id partition column an integer family type
     * (the streaming sink's numeric clock)? Name-keyed layouts infer
     * string.
@@ -722,12 +729,22 @@ object Similarity {
       case _ => false
     }
 
+  /** Distinct batch names present in a written IVF layout, from the
+    * PARTITION DIRECTORIES alone — a driver-side listing (O(cells ×
+    * batches) names), no footer or row ever read. Directory names
+    * are URI-unescaped (Spark percent-encodes special characters in
+    * partition VALUES — space, ':', '%', …), so a batchKey containing
+    * one still matches its own partitions instead of falsely failing
+    * the named as-of's existence check.
+    */
   private def ivfKnownBatches(spark: org.apache.spark.sql.SparkSession,
       path: String): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.globStatus(new org.apache.hadoop.fs.Path(path, "cell=*/batch_id=*"))
-      .map(_.getPath.getName.stripPrefix("batch_id=")).toSet
+      .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.getPath.getName.stripPrefix("batch_id=")))
+      .toSet
   }
 
   /** DELETE vectors from a written IVF (or quantized-IVF) index
@@ -1458,6 +1475,84 @@ object Similarity {
       if (probes.isEmpty) index.filter(lit(false))
       else index.filter(col("cell").isin(probes: _*))
     pqTopK(filtered, cb, queryVec, k)
+  }
+
+  /** Recall@k of the IVF-PQ serving path ([[pqTopKFromIndex]] — the
+    * DOUBLY-lossy ranking: coarse cell pruning on top of 8-byte ADC
+    * codes) against the exact float ranking — the [[annRecall]]
+    * convention applied to the compressed store. PQ degrades
+    * silently: the codes always produce a plausible top-k, so
+    * without this measurement nobody knows the operating point a
+    * (nCells, nProbe, m, ksub) choice actually buys.
+    *
+    * `embeddings` supplies the query vectors and the exact baseline
+    * (the code store carries neither floats nor the full corpus
+    * ranking). Query vectors collect to the driver — |queryIds| rows,
+    * the bounded fixture the per-query LUT needs — and each probe
+    * prunes the written index to nProbe cell directories; the only
+    * corpus-wide work is the deliberate exact baseline, which is the
+    * point of the evaluation. Query ids with no embedding row (or a
+    * degenerate vector → no probes) score recall 0 rather than
+    * vanishing: an eval that silently drops queries overstates the
+    * operating point.
+    */
+  def pqRecall(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queryIds: Seq[Long],
+      k: Int, nProbe: Int): DataFrame = {
+    require(queryIds.nonEmpty, "pqRecall needs at least one query id")
+    val qvecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+      .toMap
+    val approx = queryIds.filter(qvecs.contains).map { qid =>
+      pqTopKFromIndex(index, cents, cb, qvecs(qid), k, nProbe)
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          lit(1L).as("hit"))
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(embeddings.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("vec_id"),
+          lit(1L).as("hit")).filter(lit(false)))
+    multiQueryTopK(embeddings, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"),
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Centroid + codebook REFRESH for a written IVF-PQ index — the
+    * drift-maintenance member of the composed family, and the one the
+    * 100 TB argument weighs heaviest: the PQ store is doubly lossy
+    * (coarse cells AND per-subspace codes are both frozen literals),
+    * so a drifted corpus degrades its ranking twice over — stale
+    * cells mis-route the probe AND a stale codebook has no code
+    * points in the drifted cone, so even correctly-routed vectors
+    * quantize badly. The refresh re-encodes from a caller-supplied
+    * SOURCE of the original embeddings (the code store holds only
+    * 8-byte codes — the [[reclusterQuantizedIvfIndex]] contract):
+    * per-row encoding from true floats against the NEW frozen
+    * literals keeps recluster ≡ rebuild-on-live exact. Live ids
+    * (tombstones honored) with no source row fail LOUDLY. Old index
+    * untouched; cutover is a path swap; O(index) background work by
+    * design.
+    */
+  def reclusterPqIndex(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, source: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, newPath: String): Unit = {
+    val live = readIvfIndex(spark, oldPath).select(col("vec_id"))
+    val src = source.select(col("vec_id"), col("embedding"))
+    val missing = live.join(src, Seq("vec_id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"live ids ${missing.mkString(", ")}… of the index at $oldPath " +
+        "have no row in the supplied source table — the PQ store " +
+        "carries no embeddings, so refresh needs the original vectors " +
+        "for every live entry")
+    writePqIndex(
+      src.join(live, Seq("vec_id"), "left_semi"), cents, cb, newPath)
   }
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucket join prunes

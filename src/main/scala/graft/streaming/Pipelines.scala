@@ -870,7 +870,16 @@ object Pipelines {
     */
   def bm25DeleteSink(ids: DataFrame, indexDir: String,
       checkpointDir: String, keyPrefix: String = "stream")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    // register the prefix AT SINK START, not first non-empty batch: a
+    // manual deleteFromBm25Index with a sink-shaped key ("stream-3")
+    // issued in the window before the first batch ran would otherwise
+    // pass the reservation check and still be resurrected by a later
+    // checkpoint replay (the in-batch registration stays for manual
+    // processBm25DeleteBatch callers — idempotent marker create)
+    graft.ops.SearchOps.registerDeleteStreamPrefix(
+      ids.sparkSession, indexDir, keyPrefix)
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -878,6 +887,7 @@ object Pipelines {
         processBm25DeleteBatch(batch, indexDir, batchId, keyPrefix)
       }
       .start()
+  }
 
   /** The IVF twin: a stream of vec ids tombstones a written IVF (or
     * quantized-IVF) index. Same exactly-once story — the tombstone
@@ -890,19 +900,19 @@ object Pipelines {
       checkpointDir: String, keyPrefix: String = "stream")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    // register AT SINK START (the bm25DeleteSink rationale): manual
+    // deleteFromIvfIndex keys shaped "<keyPrefix>-N" must fail loudly
+    // from the moment this stream exists, not from its first
+    // non-empty batch
+    graft.similarity.Similarity.registerIvfDeleteStreamPrefix(
+      ids.sparkSession, indexDir, keyPrefix)
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // register the prefix so manual deleteFromIvfIndex keys
-          // shaped "<keyPrefix>-N" fail loudly instead of being
-          // resurrected by this stream's replay (the BM25 rule)
-          graft.similarity.Similarity.registerIvfDeleteStreamPrefix(
-            batch.sparkSession, indexDir, keyPrefix)
+        if (!batch.isEmpty)
           graft.similarity.Similarity.deleteFromIvfIndexSink(
             batch.select(col("vec_id")), indexDir, s"$keyPrefix-$batchId")
-        }
       }
       .start()
   }

@@ -418,6 +418,62 @@ class SimilaritySpec extends SparkSpec {
     sub.unpersist()
   }
 
+  test("reclusterPqIndex ≡ PQ rebuild on live source rows; pqRecall " +
+      "measures the ADC operating point against the exact ranking") {
+    val sub = emb.limit(80).select("vec_id", "embedding").cache()
+    val cents0 = Similarity.seedCentroids(sub, 8)
+    val cb0 = Similarity.pqBuild(sub, m = 8, ksub = 16, iterations = 1)
+    val old = java.nio.file.Files.createTempDirectory("graft_pqrc0").toString
+    Similarity.writePqIndex(sub, cents0, cb0, old)
+    // tombstone a slice — the refresh must NOT resurrect it
+    Similarity.deleteFromIvfIndex(
+      sub.filter(col("vec_id") % 9 === 1).select(col("vec_id")), old, "d1")
+    val live = sub.filter(col("vec_id") % 9 =!= 1)
+    val cents1 = Similarity.ivfBuild(sub, 8, 1)
+    val cb1 = Similarity.pqBuild(live, m = 8, ksub = 16, iterations = 1)
+    val nw = java.nio.file.Files.createTempDirectory("graft_pqrc1").toString
+    Similarity.reclusterPqIndex(spark, old, sub, cents1, cb1, nw)
+    val reb = java.nio.file.Files.createTempDirectory("graft_pqrc2").toString
+    Similarity.writePqIndex(live, cents1, cb1, reb)
+    def entries(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    assert(entries(nw) === entries(reb))
+    // churn matrix is layout-generic: totals = live count
+    assert(Similarity.reclusterChurn(spark, old, nw).collect()
+      .map(_.getLong(2)).sum === live.count())
+    // a live id with no source row fails loudly — refresh must never
+    // silently shrink the index
+    intercept[IllegalArgumentException] {
+      Similarity.reclusterPqIndex(spark, old,
+        sub.filter(col("vec_id") % 2 === 0), cents1, cb1,
+        java.nio.file.Files.createTempDirectory("graft_pqrc3").toString)
+    }
+    // pqRecall with ALL cells probed isolates the pure ADC loss: per
+    // query the recall must equal an independent overlap count between
+    // the plain ADC ranking and the exact float ranking
+    val index = spark.read.parquet(reb)
+    val rec = Similarity.pqRecall(index, live, cents1, cb1,
+      Seq(0L, 2L), 5, nProbe = 8).collect()
+    assert(rec.map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    rec.foreach { r =>
+      val qid = r.getLong(0)
+      val q = live.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+      val approx = Similarity.pqTopK(Similarity.pqEncode(live, cb1), cb1,
+        q, 5).collect().map(_.getLong(0)).toSet
+      val exact = Similarity.bruteForceTopK(live, qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(r.getLong(1) === exact.size.toLong)
+      assert(r.getDouble(2) ===
+        BigDecimal(approx.intersect(exact).size.toDouble / exact.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    sub.unpersist()
+  }
+
   test("IVF index written partitionBy(cell) gives partition-pruned probe scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cents = Similarity.seedCentroids(emb, 8)

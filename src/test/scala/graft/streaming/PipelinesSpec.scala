@@ -707,6 +707,57 @@ class PipelinesSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("delete-stream prefixes register at sink START; all-digit manual " +
+      "append keys are rejected (ingest-sink collision class)") {
+    import graft.ops.SearchOps
+    import graft.similarity.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_guard").toString
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    SearchOps.writeBm25Index(docs, s"$tmp/idx")
+    val mem = MemoryStream[Long]
+    // sink started but NO batch has run yet — the prefix must already
+    // be reserved: a manual sink-shaped key accepted in this window
+    // would be silently resurrected by the stream's first replay
+    val q = Pipelines.bm25DeleteSink(mem.toDF().toDF("doc_id"),
+      s"$tmp/idx", s"$tmp/ckpt", keyPrefix = "sweeper")
+    try {
+      intercept[IllegalArgumentException] {
+        SearchOps.deleteFromBm25Index(Seq(1L).toDF("doc_id"),
+          s"$tmp/idx", "sweeper-3")
+      }
+    } finally q.stop()
+    val emb = Tables.embeddings(spark, sfDir).limit(20)
+      .select("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(emb, 4)
+    Similarity.writeIvfIndex(emb, cents, s"$tmp/ivf")
+    val mem2 = MemoryStream[Long]
+    val q2 = Pipelines.ivfDeleteSink(mem2.toDF().toDF("vec_id"),
+      s"$tmp/ivf", s"$tmp/ckpt2", keyPrefix = "sweeper")
+    try {
+      intercept[IllegalArgumentException] {
+        Similarity.deleteFromIvfIndex(emb.limit(1).select(col("vec_id")),
+          s"$tmp/ivf", "sweeper-0")
+      }
+    } finally q2.stop()
+    // all-digit manual append keys collide with the ingest sinks' raw
+    // numeric micro-batch partitions — rejected loudly in every family
+    intercept[IllegalArgumentException] {
+      SearchOps.appendToBm25Index(docs, s"$tmp/idx", "5")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(emb, cents, s"$tmp/ivf", "7")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToQuantizedIvfIndex(emb, cents, s"$tmp/qivf", "7")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(emb, cents,
+        Similarity.pqBuild(emb, m = 8, ksub = 4, iterations = 1),
+        s"$tmp/pq", "7")
+    }
+  }
+
   test("streaming IVF index ingest ≡ one-shot rebuild; replay-idempotent") {
     import graft.similarity.Similarity
     implicit val sqlCtx = spark.sqlContext
