@@ -1335,6 +1335,17 @@ object SparkEntry {
         TextAnalysis.readMemorizationIndexMerged(s,
           builtMemDelIndexDir(s, d)),
         5, minDocs = 1L)),
+    // STREAMING ERASURE for the gram index: the same batch forgotten
+    // through two checkpointed deletion-request micro-batches
+    // (memorizationDeleteSink — negated mergeable counts, O(batch));
+    // the consolidated probe shares the batch-deleted oracle, so
+    // sink-erased ≡ retrain-on-remaining is the hash gate itself
+    "q_memorization_probe_stream_deleted" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexMerged(s,
+          builtMemStrDelIndexDir(s, d) + "/idx"),
+        5, minDocs = 1L)),
     // ...and the same probe after COMPACTION makes the erasure
     // physical (base rows rewritten consolidated, _deletes dropped)
     // — served through the PLAIN reader, no per-read aggregation;
@@ -2444,6 +2455,40 @@ object SparkEntry {
         val ids = docs.filter(col("doc_id") % 8 === 5)
           .select("doc_id").collect().map(_.getLong(0)).sorted
         Seq(5L, 13L).foreach { m =>
+          mem.addData(ids.filter(_ % 16 == m).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
+  /** Build-once STREAM-ERASED gram index: the full train index, then
+    * the ids ≡ 1 mod 8 batch arrives as TWO deletion-request
+    * micro-batches (ids ≡ 1 and ≡ 9 mod 16) through the real
+    * checkpointed [[graft.streaming.Pipelines.memorizationDeleteSink]]
+    * — negated mergeable counts per batch, nothing read or rewritten.
+    * The consolidated probe shares q_memorization_probe_deleted's
+    * oracle verbatim: sink-erased ≡ retrain-on-remaining is the hash
+    * gate. The MemoryStream carries doc_id only; the text being
+    * forgotten joins in from the static table on the executors.
+    */
+  private def builtMemStrDelIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memsdel", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          docs.filter(col("doc_id") % 4 =!= 0), 5), p + "/idx")
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+      val q = graft.streaming.Pipelines.memorizationDeleteSink(
+        src, p + "/idx", p + "/ckpt")
+      try {
+        val ids = docs.filter(col("doc_id") % 8 === 1)
+          .select("doc_id").collect().map(_.getLong(0)).sorted
+        Seq(1L, 9L).foreach { m =>
           mem.addData(ids.filter(_ % 16 == m).toIndexedSeq)
           q.processAllAvailable()
         }
@@ -3855,6 +3900,10 @@ object SparkEntry {
         // through the checkpointed sink
         "q_memorization_probe_streamed" ->
           staticOracleSql("q_memorization_probe"),
+        // sink-erased ≡ retrain-on-remaining: the streaming delete
+        // sink's negated counts share the batch-deleted replay
+        "q_memorization_probe_stream_deleted" ->
+          staticOracleSql("q_memorization_probe_deleted"),
         // container-agnostic serving: the mixed-codec corpus must be
         // behaviorally identical to the all-ADPCM one — sharing the
         // block-rule oracle makes that THE gate

@@ -935,8 +935,76 @@ object Pipelines {
       batchId: Long, n: Int = 5, keyPrefix: String = "stream"): Unit = {
     require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
     if (batch.isEmpty) return
-    graft.textanalysis.TextAnalysis.appendToMemorizationIndex(
+    // register the prefix so MANUAL appendToMemorizationIndex calls
+    // can no longer use a "<keyPrefix>-N" key a later checkpoint
+    // replay of this stream would dynamic-overwrite (the sink itself
+    // registers at start; this covers manual batch-core callers)
+    graft.textanalysis.TextAnalysis.registerMemStreamPrefix(
+      batch.sparkSession, indexDir, keyPrefix, "_ingest_streams")
+    graft.textanalysis.TextAnalysis.appendToMemorizationIndexSink(
       batch, indexDir, s"$keyPrefix-$batchId", n)
+  }
+
+  /** Idempotent batch core of [[memorizationDeleteSink]]: each
+    * micro-batch of documents erases through
+    * [[graft.textanalysis.TextAnalysis.deleteFromMemorizationIndex]]'s
+    * negated mergeable counts under the key `<keyPrefix>-<batchId>` —
+    * a checkpoint replay recomputes identical (g, −nd) rows and
+    * dynamic-overwrites exactly its own `_deletes/batch_id=`
+    * partition, a no-op on the consolidated serve. Empty batches are
+    * skipped; keyPrefix validated FIRST. The prefix is the stream's
+    * identity (the [[processBm25DeleteBatch]] rule): batch ids
+    * restart at 0 per fresh checkpoint, so a second delete stream
+    * under the same prefix would overwrite the first's partitions and
+    * silently RESURRECT its erasures.
+    */
+  def processMemorizationDeleteBatch(batch: DataFrame, indexDir: String,
+      batchId: Long, n: Int = 5, keyPrefix: String = "stream"): Unit = {
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    if (batch.isEmpty) return
+    graft.textanalysis.TextAnalysis.registerMemStreamPrefix(
+      batch.sparkSession, indexDir, keyPrefix, "_delete_streams")
+    graft.textanalysis.TextAnalysis.deleteFromMemorizationIndexSink(
+      batch, indexDir, s"$keyPrefix-$batchId", n)
+  }
+
+  /** STREAMING ERASURE for the gram index — the right-to-be-forgotten
+    * sink the mergeable family was missing (BM25 and IVF got theirs
+    * in round 12): a stream of deletion requests continuously
+    * tombstones a written memorization index, exactly-once via
+    * checkpoint + the idempotent core above. The mergeable-negative-
+    * counts design makes this the easy case — each batch appends its
+    * own (g, −nd) partition; nothing is read, merged, or rewritten,
+    * and [[graft.textanalysis.TextAnalysis.readMemorizationIndexMerged]]
+    * consolidates at serve time, so sink-erased ≡ retrain-on-remaining
+    * by additivity. Requests must carry the DOCUMENT TEXT being
+    * forgotten (doc_id, text): the counts to negate are derived from
+    * content, and the index stores no corpus to look ids up in — an
+    * id-only request has nothing to negate. Probes can run mid-stream
+    * against whatever erasures are committed. `keyPrefix` names THIS
+    * delete stream; registered at sink start so manual sink-shaped
+    * batch keys fail loudly from the moment the stream exists.
+    */
+  def memorizationDeleteSink(docs: DataFrame, indexDir: String,
+      checkpointDir: String, n: Int = 5, keyPrefix: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyPrefix.nonEmpty, "keyPrefix must be non-empty")
+    // erasing from a nonexistent index is a misconfiguration, not a
+    // no-op — fail at stream start (the memorizationIndexSink rule)
+    val base = new org.apache.hadoop.fs.Path(indexDir)
+    require(base.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration).exists(base),
+      s"no gram index at $indexDir — nothing to erase from")
+    graft.textanalysis.TextAnalysis.registerMemStreamPrefix(
+      docs.sparkSession, indexDir, keyPrefix, "_delete_streams")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMemorizationDeleteBatch(batch, indexDir, batchId, n,
+          keyPrefix)
+      }
+      .start()
   }
 
   /** STREAMING INGESTION for the memorization gram index — the
@@ -968,6 +1036,11 @@ object Pipelines {
       s"no gram index at $indexDir — write the base with " +
         "writeMemorizationIndex (an empty one for stream-only " +
         "corpora) before streaming appends into it")
+    // reserve the prefix from the moment the stream exists (the
+    // bm25DeleteSink start-time rule) — manual appends shaped
+    // "<keyPrefix>-N" fail loudly instead of being overwritten later
+    graft.textanalysis.TextAnalysis.registerMemStreamPrefix(
+      docs.sparkSession, indexDir, keyPrefix, "_ingest_streams")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

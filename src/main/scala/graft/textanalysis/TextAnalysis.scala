@@ -645,12 +645,65 @@ object TextAnalysis {
       textCol: String = "text"): Unit = {
     require(batchKey.nonEmpty && batchKey != "build",
       "batchKey must be a non-empty name other than the reserved \"build\"")
+    // a MANUAL batchKey shaped like a registered ingest stream's
+    // generated "<keyPrefix>-N" keys would be dynamic-overwritten by
+    // that stream's checkpoint replay of micro-batch N, silently
+    // dropping this append's grams (the deleteFromBm25Index rule
+    // applied to the gram family's prefixed sink keys)
+    memStreamPrefixOf(docs.sparkSession, dir, batchKey,
+      "_ingest_streams").foreach { p =>
+      throw new IllegalArgumentException(
+        s"batchKey \"$batchKey\" collides with ingest stream prefix " +
+          s"\"$p\" registered on the index at $dir — a checkpoint " +
+          "replay of that stream would overwrite this batch's " +
+          "partition; pick a key that is not \"<prefix>-<digits>\"")
+    }
+    appendToMemorizationIndexSink(docs, dir, batchKey, n, idCol, textCol)
+  }
+
+  /** The streaming ingest sink's entry: the sink OWNS its
+    * "<keyPrefix>-N" keys, so the reservation check is skipped (a
+    * replay overwriting its own partition is the design).
+    */
+  private[graft] def appendToMemorizationIndexSink(docs: DataFrame,
+      dir: String, batchKey: String, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(batchKey.nonEmpty && batchKey != "build",
+      "batchKey must be a non-empty name other than the reserved \"build\"")
     memorizationIndex(docs, n, idCol, textCol)
       .withColumn("batch_id", lit(batchKey))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(dir + "/_appends")
+  }
+
+  /** Idempotent marker registering a maintenance STREAM's keyPrefix
+    * on a gram index (`sub` = "_ingest_streams" or "_delete_streams")
+    * — the [[graft.ops.SearchOps.registerDeleteStreamPrefix]] contract
+    * for the mergeable family, where BOTH maintenance directions run
+    * as prefixed-key sinks.
+    */
+  private[graft] def registerMemStreamPrefix(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyPrefix: String, sub: String): Unit = {
+    require(!keyPrefix.contains("/"),
+      s"keyPrefix must not contain '/': $keyPrefix")
+    val marker = new org.apache.hadoop.fs.Path(dir + "/" + sub + "/" + keyPrefix)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+  }
+
+  private def memStreamPrefixOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batchKey: String, sub: String): Option[String] = {
+    val i = batchKey.lastIndexOf('-')
+    if (i <= 0 || i == batchKey.length - 1) return None
+    if (!batchKey.substring(i + 1).forall(_.isDigit)) return None
+    val p = batchKey.substring(0, i)
+    val marker = new org.apache.hadoop.fs.Path(dir + "/" + sub + "/" + p)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) Some(p) else None
   }
 
   /** Erase a doc batch from a WRITTEN gram index WITHOUT rebuilding
@@ -668,6 +721,28 @@ object TextAnalysis {
     */
   def deleteFromMemorizationIndex(docs: DataFrame, dir: String,
       batchKey: String, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(batchKey.nonEmpty, "batchKey must be non-empty")
+    // the deleteFromBm25Index rule: a manual key shaped like a
+    // registered delete stream's "<keyPrefix>-N" would be dynamic-
+    // overwritten by that stream's checkpoint replay, silently
+    // RESURRECTING this erasure
+    memStreamPrefixOf(docs.sparkSession, dir, batchKey,
+      "_delete_streams").foreach { p =>
+      throw new IllegalArgumentException(
+        s"batchKey \"$batchKey\" collides with delete stream prefix " +
+          s"\"$p\" registered on the index at $dir — a checkpoint " +
+          "replay of that stream would overwrite this batch's negated " +
+          "counts; pick a key that is not \"<prefix>-<digits>\"")
+    }
+    deleteFromMemorizationIndexSink(docs, dir, batchKey, n, idCol, textCol)
+  }
+
+  /** The streaming delete sink's entry: the sink owns its
+    * "<keyPrefix>-N" keys, so the reservation check is skipped.
+    */
+  private[graft] def deleteFromMemorizationIndexSink(docs: DataFrame,
+      dir: String, batchKey: String, n: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(batchKey.nonEmpty, "batchKey must be non-empty")
     memorizationIndex(docs, n, idCol, textCol)

@@ -707,6 +707,72 @@ class PipelinesSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("streaming gram-index erasure: sink-erased ≡ retrain on the " +
+      "remaining docs; crash-replay a no-op; manual sink-shaped keys " +
+      "rejected in both maintenance directions") {
+    import graft.textanalysis.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_memdel_sink").toString
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "x y z w v u t s"), (4L, "p q r s t u v w"),
+      (5L, "a b c d e x y z")).toDF("doc_id", "text")
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(docs, 3), s"$tmp/idx")
+    val mem = MemoryStream[Long]
+    val q = Pipelines.memorizationDeleteSink(
+      mem.toDS().toDF("doc_id").join(docs, "doc_id"), s"$tmp/idx",
+      s"$tmp/ckpt", n = 3)
+    try {
+      // prefix reserved from sink START — before any batch ran
+      intercept[IllegalArgumentException] {
+        TextAnalysis.deleteFromMemorizationIndex(
+          docs.limit(1), s"$tmp/idx", "stream-7", 3)
+      }
+      mem.addData(2L)
+      q.processAllAvailable()
+      mem.addData(5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    def served(dir: String) = TextAnalysis
+      .readMemorizationIndexMerged(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val reb = Files.createTempDirectory("graft_memdel_reb").toString
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(
+        docs.filter(col("doc_id").isin(1L, 3L, 4L)), 3), reb)
+    assert(served(s"$tmp/idx") ===
+      TextAnalysis.readMemorizationIndex(spark, reb)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet)
+    // crash-replay of delete batch 0 recomputes identical negated
+    // counts and overwrites its own partition — a no-op on the serve
+    Pipelines.processMemorizationDeleteBatch(
+      docs.filter(col("doc_id") === 2L), s"$tmp/idx", 0L, n = 3)
+    assert(served(s"$tmp/idx") ===
+      TextAnalysis.readMemorizationIndex(spark, reb)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet)
+    // the INGEST sink reserves its prefix too: a manual append shaped
+    // "<prefix>-N" on a stream-fed index fails loudly
+    val mem2 = MemoryStream[Long]
+    val q2 = Pipelines.memorizationIndexSink(
+      mem2.toDS().toDF("doc_id").join(docs, "doc_id"), s"$tmp/idx",
+      s"$tmp/ckpt2", n = 3)
+    try {
+      intercept[IllegalArgumentException] {
+        TextAnalysis.appendToMemorizationIndex(
+          docs.limit(1), s"$tmp/idx", "stream-3", 3)
+      }
+    } finally q2.stop()
+    // non-sink-shaped manual keys stay allowed in both directions
+    TextAnalysis.deleteFromMemorizationIndex(
+      docs.filter(col("doc_id") === 4L), s"$tmp/idx", "manual-del", 3)
+    TextAnalysis.appendToMemorizationIndex(
+      docs.filter(col("doc_id") === 4L), s"$tmp/idx", "manual-add", 3)
+    assert(served(s"$tmp/idx") ===
+      TextAnalysis.readMemorizationIndex(spark, reb)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet)
+  }
+
   test("delete-stream prefixes register at sink START; all-digit manual " +
       "append keys are rejected (ingest-sink collision class)") {
     import graft.ops.SearchOps
