@@ -1296,6 +1296,22 @@ object Pipelines {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(indexDir + "/stats")
+      // keep the delete sidecar in step with the streamed docs (the
+      // appendToBm25Index rule): without a doclens row, a later
+      // deleteFromBm25Index of a stream-ingested doc would tombstone
+      // its postings but MISS it in the negative scalar correction —
+      // served n_docs/avgdl silently diverge from rebuild-on-remaining
+      // (caught by IndexLifecycleSpec's interleaved sequence)
+      val spark = batch.sparkSession
+      val dlDir = new org.apache.hadoop.fs.Path(indexDir + "/doclens")
+      if (dlDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(dlDir))
+        graft.ops.SearchOps.bm25Doclens(base)
+          .withColumn("batch_id", lit(batchId))
+          .write.partitionBy("dbucket", "batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(indexDir + "/doclens")
     } finally freeLocalCheckpoint(base)
   }
 
