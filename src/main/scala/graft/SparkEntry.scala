@@ -1643,6 +1643,18 @@ object SparkEntry {
     // of q_embedding_drift, same 2^44 exactness contract)
     "q_embedding_outliers" -> ((s, d) =>
       Similarity.embeddingOutliers(Tables.embeddings(s, d), 0.5)),
+    // FUSED ingest admission: the held-out quarter streamed through
+    // admissionSink — three frozen artifacts (¾-trained bigram LM,
+    // NB classifier, DSIR ratios) gate each micro-batch as ONE
+    // decision over ONE shared tokenization; survivors carry their
+    // scores as the audit trail. The static oracle replays all three
+    // trainings AND the composed decision, so stream ≡ batch-
+    // composition is the hash gate itself
+    "q_admission_pipeline" -> ((s, d) =>
+      s.read.parquet(builtAdmissionOut(s, d) + "/out")
+        .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
+          col("dsir_logw"))
+        .orderBy(col("doc_id"))),
     // Frozen-LM serving split: model trained on the ¾ corpus slice,
     // scores the held-out ¼ — unseen grams smooth through add-1
     "q_lm_score_frozen" -> ((s, d) => {
@@ -2746,6 +2758,41 @@ object SparkEntry {
     builtIndexDir("graft_pqd_rc", d) { p =>
       Similarity.reclusterPqIndex(s, stale, driftedEmbeddings(s, d),
         cents, cb, p)
+    }
+  }
+
+  /** Build-once FUSED-ADMISSION stream replay: the three frozen
+    * ¾-corpus artifacts (written bigram LM, written NB classifier,
+    * written DSIR ratios) admit the held-out quarter arriving as TWO
+    * checkpointed micro-batches through the real
+    * [[graft.streaming.Pipelines.admissionSink]] — one decision per
+    * batch over one shared tokenization. The MemoryStream carries
+    * doc_id only; text joins in from the static table.
+    */
+  private def builtAdmissionOut(s: SparkSession, d: String): String = {
+    val nbDir = builtNbModel(s, d)
+    val dsirDir = builtDsirModel(s, d)
+    builtIndexDir("graft_admit", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeLmModel(
+        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
+        p + "/lm")
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+      val q = graft.streaming.Pipelines.admissionSink(
+        src, p + "/lm", nbDir, dsirDir, p + "/out", p + "/ckpt")
+      try {
+        val ids = docs.filter(col("doc_id") % 4 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).sorted
+        Seq(0L, 4L).foreach { m =>
+          mem.addData(ids.filter(_ % 8 == m).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
     }
   }
 
@@ -6000,6 +6047,67 @@ object SparkEntry {
          ORDER BY e.vec_id""",
     // frozen-LM replay: counts from the training slice only; grams and
     // contexts the model never saw coalesce to 0 (add-1 smooths them)
+    // the FUSED admission: all three trainings replay (NB weights,
+    // DSIR ratios, ¾-trained LM), then the held-out quarter passes
+    // iff it clears ALL thresholds — the streamed sink's output must
+    // hash-match this batch composition exactly
+    "q_admission_pipeline" ->
+      (s"""WITH $nbCtes,
+         qh AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 4 = 0),
+         qhg AS (SELECT doc_id, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
+         qhb AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM qhg),
+         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
+                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
+         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
+                 FROM qhs CROSS JOIN qbias),
+         ${dsirCtes("d")},
+         dsc AS (SELECT dgb.doc_id, sum(dr.r6) AS s6
+                 FROM dgb JOIN dr ON dgb.b = dr.b
+                 WHERE dgb.doc_id % 4 = 0 GROUP BY 1),
+         lt AS (SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 4 <> 0),
+         lb0 AS (SELECT unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM lt),
+         lmc AS (SELECT bg, count(*) AS c12 FROM lb0 GROUP BY 1),
+         lcx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                 FROM lmc GROUP BY 1),
+         lv AS (SELECT count(DISTINCT term) AS v
+                FROM (SELECT unnest(ws) AS term FROM lt)),
+         lbg AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM qh),
+         lsc AS (SELECT lbg.doc_id, lbg.bg,
+                   CASE WHEN lbg.bg IS NOT NULL
+                        THEN CAST(round(ln((coalesce(lcx.c1, 0) + lv.v) * 1.0
+                                           / (coalesce(lmc.c12, 0) + 1.0))
+                                        * 1000000.0) AS BIGINT)
+                   END AS nll6
+                 FROM lbg LEFT JOIN lmc ON lbg.bg = lmc.bg
+                 LEFT JOIN lcx ON split_part(lbg.bg, ' ', 1) = lcx.w1
+                 CROSS JOIN lv),
+         lnll AS (SELECT doc_id,
+             CASE WHEN count(bg) > 0
+                  THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                  ELSE 0.0 END AS lm_nll
+           FROM lsc GROUP BY 1)
+         SELECT l.doc_id, l.lm_nll, CAST(n.d6 AS BIGINT) AS nb_d6,
+           ${micro4Sql("ds.s6")} AS dsir_logw
+         FROM lnll l
+         JOIN qhd n ON n.doc_id = l.doc_id
+         JOIN dsc ds ON ds.doc_id = l.doc_id
+         WHERE l.lm_nll < 10.0 AND n.d6 > 0
+           AND ${micro4Sql("ds.s6")} >= 0.0
+         ORDER BY l.doc_id"""),
     "q_lm_score_frozen" ->
       """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
                      WHERE doc_id % 4 <> 0),

@@ -175,4 +175,49 @@ object Serving {
   def survivors(flagged: Dataset[CuratedDoc]): Dataset[CuratedDoc] =
     flagged.filter(d =>
       !d.repetitive && !d.contaminated && !d.unusual && !d.low_entropy)
+
+  /** One document scored by every frozen-ARTIFACT admission gate —
+    * the fused ingest decision's row shape. nb_d6 stays in exact
+    * integer micro-nats (the decision the MAP rule thresholds);
+    * lm_nll and dsir_logw in their 4-decimal exact readouts.
+    */
+  final case class AdmissionScores(doc_id: Long, text: String,
+      lm_nll: Double, nb_d6: Long, dsir_logw: Double)
+
+  /** Score a batch (or micro-batch — same plan) against THREE frozen
+    * artifacts over ONE shared tokenization: the bigram-LM
+    * perplexity gate, the learned NB quality gate, and the DSIR
+    * importance gate all consume the same `__ws` attribute, so the
+    * fused admission pays one `words(text)` pass where running the
+    * three gate sinks separately would tokenize (and scan) three
+    * times. Typed boundary for the [[flagStream]] reason: an eager
+    * filter on the score columns would otherwise be pushed below the
+    * projection by alias substitution and re-inline the shared
+    * tokenization into every gate subtree.
+    */
+  def admissionScores(docs: DataFrame, lm: LmLiteral,
+      nb: graft.quality.NbClassifier.NbModel,
+      dsir: graft.selection.Dsir.DsirModel): Dataset[AdmissionScores] = {
+    import docs.sparkSession.implicits._
+    val ws = col("__ws")
+    docs
+      .select(col("doc_id"), col("text"), words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("text"),
+        lmNllLocal(lm)(ws).as("lm_nll"),
+        graft.quality.NbClassifier.decision6Local(nb)(ws).as("nb_d6"),
+        dsirLogwLocal(dsir)(ws).as("dsir_logw"))
+      .as[AdmissionScores]
+  }
+
+  /** The fused admission decision: a document enters the corpus only
+    * if it clears ALL gates — familiar perplexity (lm_nll below the
+    * threshold), learned quality (NB decision above the threshold;
+    * 0 = the MAP rule), and target-likeness (DSIR log-weight at
+    * least `minLogw`). Typed filter (see [[admissionScores]]).
+    */
+  def admit(scored: Dataset[AdmissionScores], nllThreshold: Double = 10.0,
+      nbThreshold6: Long = 0L, minLogw: Double = 0.0)
+      : Dataset[AdmissionScores] =
+    scored.filter(a => a.lm_nll < nllThreshold &&
+      a.nb_d6 > nbThreshold6 && a.dsir_logw >= minLogw)
 }

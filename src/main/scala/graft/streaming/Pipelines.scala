@@ -792,6 +792,74 @@ object Pipelines {
       .start()
   }
 
+  /** Idempotent batch core of [[admissionSink]] — ONE admission
+    * decision per micro-batch over ONE shared tokenization
+    * ([[graft.curation.Serving.admissionScores]]): where chaining
+    * [[lmGateSink]] → [[nbGateSink]] → [[dsirGateSink]] would run
+    * three streams, three scans, and three `words(text)` passes, the
+    * fused gate scores all three frozen artifacts off a single
+    * `__ws` attribute and lands survivors (with their scores — the
+    * audit trail of WHY each doc was admitted) in the batch's own
+    * dynamic-overwrite partition. Same replay story as every gate
+    * sink: scores are deterministic against frozen literals, so a
+    * checkpoint replay rewrites identical rows into its own
+    * partition only.
+    */
+  def processAdmissionBatch(batch: DataFrame,
+      lm: graft.curation.Serving.LmLiteral,
+      nb: graft.quality.NbClassifier.NbModel,
+      dsir: graft.selection.Dsir.DsirModel,
+      outDir: String, batchId: Long, nllThreshold: Double = 10.0,
+      nbThreshold6: Long = 0L, minLogw: Double = 0.0): Unit = {
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors = graft.curation.Serving.admit(
+        graft.curation.Serving.admissionScores(batch, lm, nb, dsir),
+        nllThreshold, nbThreshold6, minLogw)
+      .toDF()
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // score once: isEmpty probe + write share it
+    try {
+      if (!survivors.isEmpty || fs.exists(outPath))
+        survivors.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally freeLocalCheckpoint(survivors)
+  }
+
+  /** The FUSED ingest-admission stream: every micro-batch clears the
+    * bigram-LM perplexity gate, the learned NB quality gate, and the
+    * DSIR target-likeness gate as one decision — the composition a
+    * real training-data ingest runs, not three daisy-chained sinks.
+    * All three frozen artifacts are read ONCE per stream from their
+    * written dirs; each batch is then a single narrow zero-shuffle
+    * projection (one tokenize pass — plan-spec'd) plus the typed
+    * admission filter. Stream output ≡ the batch composition of the
+    * same three gates (shared oracle on q_admission_pipeline).
+    */
+  def admissionSink(docs: DataFrame, lmModelDir: String,
+      nbModelDir: String, dsirModelDir: String, outDir: String,
+      checkpointDir: String, nllThreshold: Double = 10.0,
+      nbThreshold6: Long = 0L, minLogw: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val lm = graft.curation.Serving.collectLmLiteral(
+      graft.textanalysis.TextAnalysis.readLmModel(spark, lmModelDir))
+    val nb = graft.quality.NbClassifier.readNbModel(spark, nbModelDir)
+    val dsir = graft.selection.Dsir.readDsirModel(spark, dsirModelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAdmissionBatch(batch, lm, nb, dsir, outDir, batchId,
+          nllThreshold, nbThreshold6, minLogw)
+      }
+      .start()
+  }
+
   /** The idempotent batch core of the streaming MEMORIZATION gate:
     * probe the batch against the frozen gram index
     * ([[graft.textanalysis.TextAnalysis.memorizationProbe]] —

@@ -707,6 +707,63 @@ class PipelinesSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("fused admissionSink ≡ the batch composition of its three gates; " +
+      "one shared tokenize pass; crash-replay a no-op") {
+    import graft.curation.Serving
+    import graft.textanalysis.TextAnalysis
+    import graft.quality.NbClassifier
+    import graft.selection.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_admit").toString
+    val docs = Tables.documents(spark, sfDir).limit(120)
+      .select("doc_id", "text", "lang", "n_chars").cache()
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val held = docs.filter(col("doc_id") % 4 === 0)
+    TextAnalysis.writeLmModel(TextAnalysis.lmTrain(train), s"$tmp/lm")
+    NbClassifier.writeNbModel(spark,
+      NbClassifier.nbTrain(train, col("n_chars") >= 300, 1024), s"$tmp/nb")
+    Dsir.writeDsirModel(spark,
+      Dsir.dsirTrainWith(docs, col("lang") === "en", 1024), s"$tmp/dsir")
+    val mem = MemoryStream[Long]
+    val q = Pipelines.admissionSink(
+      mem.toDS().toDF("doc_id").join(docs.select("doc_id", "text"), "doc_id"),
+      s"$tmp/lm", s"$tmp/nb", s"$tmp/dsir", s"$tmp/out", s"$tmp/ckpt")
+    val ids = held.select("doc_id").collect().map(_.getLong(0)).sorted
+    try Seq(0L, 4L).foreach { m =>
+      mem.addData(ids.filter(_ % 8 == m).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "lm_nll", "nb_d6", "dsir_logw")
+      .collect().map(_.toString).sorted.toSeq
+    // batch composition: the three gates applied independently to the
+    // same held-out frame, intersected — fused must equal composed
+    val lm = Serving.collectLmLiteral(
+      TextAnalysis.readLmModel(spark, s"$tmp/lm"))
+    val nb = NbClassifier.readNbModel(spark, s"$tmp/nb")
+    val dsir = Dsir.readDsirModel(spark, s"$tmp/dsir")
+    val scored = Serving.admissionScores(
+      held.select("doc_id", "text"), lm, nb, dsir)
+    val composed = Serving.admit(scored).toDF()
+      .select("doc_id", "lm_nll", "nb_d6", "dsir_logw")
+      .collect().map(_.toString).sorted.toSeq
+    assert(out === composed && out.nonEmpty)
+    // the fused projection tokenizes ONCE: exactly one split() in the
+    // optimized plan — three daisy-chained gate sinks would carry one
+    // each, and a collapsed/pushed-down plan would re-inline __ws
+    // into every gate subtree
+    val plan = scored.queryExecution.optimizedPlan.toString
+    assert("split\\(".r.findAllIn(plan).size === 1, plan)
+    // crash-replay of admission batch 0 rewrites identical rows into
+    // its own partition — served output unchanged
+    val before = out
+    Pipelines.processAdmissionBatch(
+      held.filter(col("doc_id") % 8 === 0).select("doc_id", "text"),
+      lm, nb, dsir, s"$tmp/out", 0L)
+    assert(out === before)
+    docs.unpersist()
+  }
+
   test("streaming gram-index erasure: sink-erased ≡ retrain on the " +
       "remaining docs; crash-replay a no-op; manual sink-shaped keys " +
       "rejected in both maintenance directions") {
