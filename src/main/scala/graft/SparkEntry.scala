@@ -478,6 +478,20 @@ object SparkEntry {
       Dedup.connectedComponents(edges, "id_a", "id_b", smallGraphEdges = 0L)
         .orderBy(col("node"))
     }),
+    // The bounded-graph serving path: the SAME edges through the
+    // in-task union-find fast path (default smallGraphEdges budget —
+    // one job, no propagation rounds), gated by the SAME closed-form
+    // oracle SQL, so fast ≡ distributed is the hash gate itself (the
+    // q_communities_fast / q_triangles_fast convention)
+    "q_components_fast" -> ((s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val edges = k
+        .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
+        .union(k.select((col("k") - col("k") % 4).as("id_a"),
+          (col("k") - col("k") % 16).as("id_b")))
+      Dedup.connectedComponents(edges, "id_a", "id_b")
+        .orderBy(col("node"))
+    }),
     // Same components contract through the ALTERNATING STAR-
     // CONTRACTION path — O(log n) rounds independent of diameter,
     // the variant a chain-shaped 100 TB graph needs — hash-matched
@@ -4571,6 +4585,17 @@ object SparkEntry {
          n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
          SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
     "q_components_star" ->
+      """WITH e0 AS (
+           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
+           UNION
+           SELECT o_orderkey - o_orderkey % 4 AS a,
+                  o_orderkey - o_orderkey % 16 AS b FROM orders),
+         e AS (SELECT a, b FROM e0 WHERE a <> b),
+         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
+         SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
+    // the in-task union-find fast path shares the closed-form replay
+    // verbatim — fast ≡ distributed is the hash gate itself
+    "q_components_fast" ->
       """WITH e0 AS (
            SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
            UNION
