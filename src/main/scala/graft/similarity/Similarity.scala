@@ -921,6 +921,17 @@ object Similarity {
     val tombDir = new org.apache.hadoop.fs.Path(path + "/_tombstones")
     val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombDir)) return
+    // the root overwrite below deletes EVERYTHING under the index
+    // path, including the _delete_streams reservation markers — a
+    // live delete stream's prefix would silently deregister, and a
+    // manual delete with a sink-shaped key issued after compaction
+    // would again be resurrectable by that stream's checkpoint
+    // replay. Snapshot the prefixes and re-register after the write.
+    val streamsDir = new org.apache.hadoop.fs.Path(path + "/_delete_streams")
+    val prefixes =
+      if (fs.exists(streamsDir))
+        fs.listStatus(streamsDir).map(_.getPath.getName).toSeq
+      else Seq.empty[String]
     val live0 = readIvfIndex(spark, path)
     // the collapse value keeps each layout's as-of contract: a
     // stream-built index (numeric clock) collapses to batch 0 so
@@ -938,6 +949,7 @@ object Similarity {
     try {
       mat.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
       fs.delete(tombDir, true)
+      prefixes.foreach(p => registerIvfDeleteStreamPrefix(spark, path, p))
     } finally graft.Frames.freeLocalCheckpoint(mat)
   }
 

@@ -828,11 +828,26 @@ object TextAnalysis {
       p.getFileSystem(conf).exists(p)
     }
     if (!hasSide) return
+    // the root overwrite wipes the stream-prefix reservation markers
+    // along with the maintenance partitions — snapshot and re-register
+    // them, or a live ingest/delete stream's collision guard silently
+    // disarms after every compaction (the compactIvfIndex rule)
+    val markers = Seq("_ingest_streams", "_delete_streams").flatMap { sub =>
+      val p = new org.apache.hadoop.fs.Path(dir + "/" + sub)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p))
+        fs.listStatus(p).map(s => (sub, s.getPath.getName)).toSeq
+      else Seq.empty[(String, String)]
+    }
     // materialize BEFORE the overwrite truncates the directory being
     // read (the compactBm25Index ordering)
     val merged = readMemorizationIndexMerged(spark, dir).localCheckpoint(true)
-    try writeMemorizationIndex(merged, dir)
-    finally graft.Frames.freeLocalCheckpoint(merged)
+    try {
+      writeMemorizationIndex(merged, dir)
+      markers.foreach { case (sub, k) =>
+        registerMemStreamPrefix(spark, dir, k, sub)
+      }
+    } finally graft.Frames.freeLocalCheckpoint(merged)
   }
 
   /** Stage the per-(doc, gram) occurrence table as a catalog table

@@ -137,6 +137,37 @@ class IndexLifecycleSpec extends SparkSpec {
     def asOfNamesDeletes = true
   }
 
+  /** The mergeable gram index as the fifth family: every member is a
+    * merge (appends are +nd partitions, deletes −nd partitions), and
+    * the deletion request carries the text being forgotten. Serve =
+    * the consolidated (g, nd) state itself.
+    */
+  private object GramIndex extends Family {
+    def name = "gram index"
+    def idCol = "doc_id"
+    def corpus = docs
+    def build(rows: DataFrame, path: String) =
+      graft.textanalysis.TextAnalysis.writeMemorizationIndex(
+        graft.textanalysis.TextAnalysis.memorizationIndex(rows, 3), path)
+    def append(rows: DataFrame, path: String, key: String) =
+      graft.textanalysis.TextAnalysis.appendToMemorizationIndex(
+        rows, path, key, 3)
+    def sink(src: DataFrame, path: String, ckpt: String) =
+      Pipelines.memorizationIndexSink(src, path, ckpt, n = 3)
+    def delete(rows: DataFrame, path: String, key: String) =
+      graft.textanalysis.TextAnalysis.deleteFromMemorizationIndex(
+        rows, path, key, 3)
+    def compact(path: String) =
+      graft.textanalysis.TextAnalysis.compactMemorizationIndex(spark, path)
+    def serve(path: String) = render(
+      graft.textanalysis.TextAnalysis.readMemorizationIndexMerged(
+        spark, path).orderBy("g"))
+    def serveAsOf(path: String, batches: Seq[String]) = render(
+      graft.textanalysis.TextAnalysis.readMemorizationIndexAsOf(
+        spark, path, batches).orderBy("g"))
+    def asOfNamesDeletes = true
+  }
+
   /** Fresh rebuild on `rows`, served the same way — the cross-check
     * every stage compares against. */
   private def rebuildServe(f: Family, rows: DataFrame): Seq[String] = {
@@ -224,7 +255,7 @@ class IndexLifecycleSpec extends SparkSpec {
       s"${f.name}: post-compaction as-of ≠ rebuild")
   }
 
-  Seq(Bm25, FloatIvf, Int8Ivf, IvfPq).foreach { f =>
+  Seq(Bm25, FloatIvf, Int8Ivf, IvfPq, GramIndex).foreach { f =>
     test(s"${f.name}: full maintenance lifecycle, every stage ≡ rebuild") {
       lifecycle(f)
     }

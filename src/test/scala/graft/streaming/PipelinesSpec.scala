@@ -830,6 +830,61 @@ class PipelinesSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSet)
   }
 
+  test("compaction preserves stream-prefix reservations — the collision " +
+      "guard stays armed after the root rewrite") {
+    import graft.ops.SearchOps
+    import graft.similarity.Similarity
+    import graft.textanalysis.TextAnalysis
+    val tmp = Files.createTempDirectory("graft_cmp_guard").toString
+    // IVF: compactIvfIndex overwrites the ROOT path — without the
+    // re-registration the _delete_streams marker vanishes and a
+    // manual sink-shaped key passes the guard again
+    val emb = Tables.embeddings(spark, sfDir).limit(30)
+      .select("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(emb, 4)
+    Similarity.writeIvfIndex(emb, cents, s"$tmp/ivf")
+    Similarity.registerIvfDeleteStreamPrefix(spark, s"$tmp/ivf", "sweeper")
+    Similarity.deleteFromIvfIndex(emb.limit(3).select(col("vec_id")),
+      s"$tmp/ivf", "d1")
+    Similarity.compactIvfIndex(spark, s"$tmp/ivf")
+    intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfIndex(emb.limit(1).select(col("vec_id")),
+        s"$tmp/ivf", "sweeper-5")
+    }
+    // gram index: compactMemorizationIndex also rewrites the root —
+    // BOTH maintenance-direction markers must survive
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "c d e f"))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(docs, 3), s"$tmp/gram")
+    TextAnalysis.registerMemStreamPrefix(spark, s"$tmp/gram", "ing",
+      "_ingest_streams")
+    TextAnalysis.registerMemStreamPrefix(spark, s"$tmp/gram", "del",
+      "_delete_streams")
+    TextAnalysis.deleteFromMemorizationIndex(
+      docs.filter(col("doc_id") === 2L), s"$tmp/gram", "d1", 3)
+    TextAnalysis.compactMemorizationIndex(spark, s"$tmp/gram")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToMemorizationIndex(
+        docs.limit(1), s"$tmp/gram", "ing-3", 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.deleteFromMemorizationIndex(
+        docs.limit(1), s"$tmp/gram", "del-0", 3)
+    }
+    // BM25: compactBm25Index rewrites subdirs only — the root marker
+    // survives by construction; pin it anyway
+    val bdocs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    SearchOps.writeBm25Index(bdocs, s"$tmp/bm25")
+    SearchOps.registerDeleteStreamPrefix(spark, s"$tmp/bm25", "sweeper")
+    SearchOps.deleteFromBm25Index(Seq(2L).toDF("doc_id"), s"$tmp/bm25", "d1")
+    SearchOps.compactBm25Index(spark, s"$tmp/bm25")
+    intercept[IllegalArgumentException] {
+      SearchOps.deleteFromBm25Index(Seq(1L).toDF("doc_id"),
+        s"$tmp/bm25", "sweeper-5")
+    }
+  }
+
   test("delete-stream prefixes register at sink START; all-digit manual " +
       "append keys are rejected (ingest-sink collision class)") {
     import graft.ops.SearchOps
