@@ -1100,6 +1100,23 @@ object SparkEntry {
       Similarity.pqRecall(s.read.parquet(builtPqIvfIndex(s, d)),
         Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // The OPERATING CURVE behind q_pq_recall's single point: the
+    // same ADC serving path swept over nProbe ∈ {1, 2, 4, 8} of 16
+    // cells — the knob a deployment actually turns when recall at
+    // the default probe width is not enough. Per-(n_probe, query)
+    // rows stay exact; the generated oracle replays the shared
+    // encode + LUTs once and re-ranks per probe level
+    "q_pq_recall_curve" -> ((s, d) => {
+      val idx = s.read.parquet(builtPqIvfIndex(s, d))
+      val emb = Tables.embeddings(s, d)
+      val qs = Seq(0L, 1L, 2L, 3L, 4L)
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.pqRecall(idx, emb, seedCents16(s, d),
+          pqCodebookFor(s, d), qs, 10, np)
+          .withColumn("n_probe", lit(np))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("n_probe"), col("query_id"))
+    }),
     // Drift maintenance for the composed index: the (cell_old →
     // cell_new) movement matrix between the built IVF-PQ index and
     // its reclusterPqIndex refresh — shares the float recluster's
@@ -3330,18 +3347,22 @@ object SparkEntry {
       (c, ci) <- cb.centroids(j).zipWithIndex
     } yield s"($j, $ci, [${c.mkString(",")}]::DOUBLE[])").mkString(", ")
 
-  /** Oracle for q_pq_recall (generated — [[pqOracle]]'s lifecycle):
-    * the codebook prints as literals and the SQL replays the WHOLE
-    * evaluation — encode (per-subspace argmin of the rounded
-    * index-order L2 fold), per-query integer micro-unit LUTs, seed-
-    * cell probe routing, the ADC rankings, and the exact float
-    * baseline — so the recall@10 numbers themselves are hash-gated.
+  /** Oracles for q_pq_recall and q_pq_recall_curve (generated —
+    * [[pqOracle]]'s lifecycle): the codebook prints as literals and
+    * the SQL replays the WHOLE evaluation — encode (per-subspace
+    * argmin of the rounded index-order L2 fold), per-query integer
+    * micro-unit LUTs, seed-cell probe routing, the ADC rankings, and
+    * the exact float baseline — so the recall@10 numbers themselves
+    * are hash-gated. The curve variant shares the encode/LUT CTEs
+    * and re-ranks per probe level.
     */
-  private def pqRecallOracle: Option[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).map { cb =>
+  private def pqRecallOracle: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
       val sd = cb.subDim
       val values = pqCbValuesSql(cb)
-      "q_pq_recall" ->
+      // shared prefix: corpus, seed cells, assignment, ranked probe
+      // candidates (unfiltered), codes, per-query LUTs, exact baseline
+      val shared =
         s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
            cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
                   FROM embeddings WHERE vec_id < 16),
@@ -3355,10 +3376,10 @@ object SparkEntry {
                SELECT vec_id, ccid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
                FROM sc) WHERE rn = 1),
-           probes AS (SELECT vec_id AS query_id, ccid AS cell FROM (
+           pr AS (SELECT vec_id AS query_id, ccid AS cell, rn FROM (
                SELECT vec_id, ccid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+               FROM sc WHERE vec_id IN (0, 1, 2, 3, 4))),
            dist AS (SELECT v.vec_id, c.sub, c.cid,
                round(list_reduce(
                  [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
@@ -3374,32 +3395,46 @@ object SparkEntry {
                  [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
                  (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
              FROM cb c CROSS JOIN q),
-           s6t AS (SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
-               FROM assign a
-               JOIN probes p ON p.cell = a.cell
-               JOIN codes k ON k.vec_id = a.vec_id
-               JOIN lut l ON l.query_id = p.query_id
-                         AND l.sub = k.sub AND l.cid = k.cid
-               GROUP BY 1, 2),
-           approx AS (SELECT query_id, vec_id FROM (
-               SELECT query_id, vec_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
-               FROM s6t) WHERE rn <= 10),
            exact AS (SELECT query_id, vec_id FROM (
                SELECT q.query_id, v.vec_id,
                  row_number() OVER (PARTITION BY q.query_id
                    ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
                             v.vec_id) AS rn
-               FROM v CROSS JOIN q) WHERE rn <= 10)
-           SELECT e.query_id, count(*) AS n_exact,
+               FROM v CROSS JOIN q) WHERE rn <= 10)"""
+      // one recall readout at a given probe width, over the shared CTEs
+      def level(np: Int): String =
+        s"""SELECT $np AS n_probe, e.query_id, count(*) AS n_exact,
              round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
            FROM exact e
-           LEFT JOIN approx a
+           LEFT JOIN (
+             SELECT query_id, vec_id FROM (
+               SELECT s.query_id, s.vec_id,
+                 row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY round(s.s6 / 1000000.0, 6) DESC, s.vec_id) AS rnk
+               FROM (SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
+                     FROM assign a
+                     JOIN (SELECT query_id, cell FROM pr WHERE rn <= $np) p
+                       ON p.cell = a.cell
+                     JOIN codes k ON k.vec_id = a.vec_id
+                     JOIN lut l ON l.query_id = p.query_id
+                               AND l.sub = k.sub AND l.cid = k.cid
+                     GROUP BY 1, 2) s) WHERE rnk <= 10) a
              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-           GROUP BY 1 ORDER BY 1"""
+           GROUP BY 1, 2"""
+      Seq(
+        "q_pq_recall" ->
+          s"""$shared
+             SELECT query_id, n_exact, recall FROM (${level(2)})
+             ORDER BY query_id""",
+        "q_pq_recall_curve" ->
+          s"""$shared
+             SELECT * FROM (
+               ${level(1)} UNION ALL ${level(2)}
+               UNION ALL ${level(4)} UNION ALL ${level(8)})
+             ORDER BY n_probe, query_id""")
     }
   }
+
 
   /** Oracle for q_pq_recluster_recall (generated — needs the drifted
     * centroids AND both codebooks from this JVM): the drifted corpus
