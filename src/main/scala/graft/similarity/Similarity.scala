@@ -1503,10 +1503,12 @@ object Similarity {
     * the bounded fixture the per-query LUT needs — and each probe
     * prunes the written index to nProbe cell directories; the only
     * corpus-wide work is the deliberate exact baseline, which is the
-    * point of the evaluation. Query ids with no embedding row (or a
-    * degenerate vector → no probes) score recall 0 rather than
-    * vanishing: an eval that silently drops queries overstates the
-    * operating point.
+    * point of the evaluation. A degenerate (zero-norm) query vector
+    * yields no probes and scores recall 0 rather than vanishing — an
+    * eval that silently drops failing queries overstates the
+    * operating point. A query id with no embedding row at all has no
+    * exact baseline either and is absent from the readout (callers
+    * own the eval set's existence).
     */
   def pqRecall(index: DataFrame, embeddings: DataFrame,
       cents: Seq[Seq[Double]], cb: PqCodebook, queryIds: Seq[Long],
