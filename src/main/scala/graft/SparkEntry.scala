@@ -969,6 +969,15 @@ object SparkEntry {
       Similarity.ivfTopKFromIndex(
         Similarity.readIvfIndex(s, builtIvfDelIndex(s, d)),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // ...and after COMPACTION makes the erasure physical (cells
+    // rewritten without the tombstoned rows) — the float family's
+    // compacted member under the query gate like its int8/PQ twins;
+    // shares the deleted oracle, so compacted ≡ tombstoned ≡
+    // rebuild-on-remaining is the hash itself
+    "q_ann_ivf_compacted" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        s.read.parquet(builtIvfCmpIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // Index maintenance: the same probe over an index built as
     // base-write + batch-APPEND against frozen centroids — append ≡
     // rebuild exactly (frozen per-row assignment, order-blind cells),
@@ -2885,6 +2894,18 @@ object SparkEntry {
           .select(col("vec_id")), p, batchKey = "del1")
     }
 
+  /** [[builtIvfDelIndex]] then COMPACTED — the float cells rewritten
+    * without the tombstoned rows, tombstones dropped.
+    */
+  private def builtIvfCmpIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_cmp", d) { p =>
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
+      Similarity.deleteFromIvfIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id")), p, batchKey = "del1")
+      Similarity.compactIvfIndex(s, p)
+    }
+
   /** The compressed twin of [[builtIvfDelIndex]] — same tombstone
     * batch over the int8 store (the reader is layout-agnostic).
     */
@@ -4007,6 +4028,9 @@ object SparkEntry {
           staticOracleSql("q_audio_real_adpcm"),
         "q_knn_quantized_ivf_compacted" ->
           staticOracleSql("q_knn_quantized_ivf_deleted"),
+        // the float family's compacted member shares its deleted
+        // replay the same way
+        "q_ann_ivf_compacted" -> staticOracleSql("q_ann_ivf_deleted"),
         // the stream-built compressed index shares the full-corpus
         // int8 replay: stream-built ≡ rebuild is the sink's claim
         "q_knn_quantized_ivf_streamed" ->
