@@ -299,6 +299,14 @@ object SparkEntry {
     "q_search_bm25_deleted" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25DelIndex(s, d),
         Seq("merge", "query"), 10)),
+    // STREAMING ERASURE under the query gate: the same batch
+    // forgotten through two checkpointed deletion-request
+    // micro-batches (bm25DeleteSink) — shares the deleted oracle, so
+    // sink-erased ≡ rebuild-on-remaining is the hash itself
+    "q_search_bm25_stream_deleted" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s,
+        builtBm25StrDelIndex(s, d) + "/idx",
+        Seq("merge", "query"), 10)),
     // ...and the same ranking after COMPACTION makes the deletions
     // physical (postings/doclens rewritten without the tombstoned
     // docs, ledger collapsed, tombstones dropped) — compacted ≡
@@ -968,6 +976,13 @@ object SparkEntry {
     "q_ann_ivf_deleted" -> ((s, d) =>
       Similarity.ivfTopKFromIndex(
         Similarity.readIvfIndex(s, builtIvfDelIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, 2)),
+    // STREAMING ERASURE under the query gate: the same vec batch
+    // tombstoned through two checkpointed micro-batches
+    // (ivfDeleteSink) — shares the deleted oracle verbatim
+    "q_ann_ivf_stream_deleted" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        Similarity.readIvfIndex(s, builtIvfStrDelIndex(s, d) + "/idx"),
         seedCents16(s, d), queryVec0(s, d), 10, 2)),
     // ...and after COMPACTION makes the erasure physical (cells
     // rewritten without the tombstoned rows) — the float family's
@@ -2894,6 +2909,57 @@ object SparkEntry {
           .select(col("vec_id")), p, batchKey = "del1")
     }
 
+  /** Build-once STREAM-ERASED BM25 index: the full corpus written,
+    * then the ids ≡ 3 mod 7 batch arrives as TWO deletion-request
+    * micro-batches (ids ≡ 3 and ≡ 10 mod 14) through the real
+    * checkpointed [[graft.streaming.Pipelines.bm25DeleteSink]].
+    * q_search_bm25_stream_deleted shares the batch-deleted oracle —
+    * sink-erased ≡ rebuild-on-remaining is the hash gate.
+    */
+  private def builtBm25StrDelIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25_sdel", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      SearchOps.writeBm25Index(docs, p + "/idx")
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.Pipelines.bm25DeleteSink(
+        mem.toDS().toDF("doc_id"), p + "/idx", p + "/ckpt")
+      try {
+        val ids = docs.filter(col("doc_id") % 7 === 3)
+          .select("doc_id").collect().map(_.getLong(0)).sorted
+        Seq(3L, 10L).foreach { m =>
+          mem.addData(ids.filter(_ % 14 == m).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
+  /** The float-IVF twin of [[builtBm25StrDelIndex]]: full index, the
+    * ids ≡ 3 mod 7 batch tombstoned through two checkpointed
+    * [[graft.streaming.Pipelines.ivfDeleteSink]] micro-batches.
+    */
+  private def builtIvfStrDelIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_sdel", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(emb, seedCents16(s, d), p + "/idx")
+      val mem = MemoryStream[Long]
+      val q = graft.streaming.Pipelines.ivfDeleteSink(
+        mem.toDS().toDF("vec_id"), p + "/idx", p + "/ckpt")
+      try {
+        val ids = emb.filter(col("vec_id") % 7 === 3)
+          .select("vec_id").collect().map(_.getLong(0)).sorted
+        Seq(3L, 10L).foreach { m =>
+          mem.addData(ids.filter(_ % 14 == m).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+
   /** [[builtIvfDelIndex]] then COMPACTED — the float cells rewritten
     * without the tombstoned rows, tombstones dropped.
     */
@@ -4031,6 +4097,11 @@ object SparkEntry {
         // the float family's compacted member shares its deleted
         // replay the same way
         "q_ann_ivf_compacted" -> staticOracleSql("q_ann_ivf_deleted"),
+        // streaming erasure ≡ batch erasure ≡ rebuild-on-remaining:
+        // the delete SINKS share the deleted oracles verbatim
+        "q_search_bm25_stream_deleted" ->
+          staticOracleSql("q_search_bm25_deleted"),
+        "q_ann_ivf_stream_deleted" -> staticOracleSql("q_ann_ivf_deleted"),
         // the stream-built compressed index shares the full-corpus
         // int8 replay: stream-built ≡ rebuild is the sink's claim
         "q_knn_quantized_ivf_streamed" ->
