@@ -1710,6 +1710,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
           col("dsir_logw"))
         .orderBy(col("doc_id"))),
+    // The COMPLETE admission: the three row-local gates PLUS the
+    // join-shaped memorization gate against the frozen ¾-train gram
+    // index, one decision per micro-batch over one materialized
+    // tokenize pass. The static oracle replays all FOUR artifact
+    // derivations and the composed decision
+    "q_admission_pipeline_full" -> ((s, d) =>
+      s.read.parquet(builtFullAdmissionOut(s, d) + "/out")
+        .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
+          col("dsir_logw"), col("dup_frac"))
+        .orderBy(col("doc_id"))),
     // Frozen-LM serving split: model trained on the ¾ corpus slice,
     // scores the held-out ¼ — unseen grams smooth through add-1
     "q_lm_score_frozen" -> ((s, d) => {
@@ -2847,6 +2857,58 @@ object SparkEntry {
           mem.addData(ids.filter(_ % 8 == m).toIndexedSeq)
           q.processAllAvailable()
         }
+      } finally q.stop()
+    }
+  }
+
+  /** Build-once WRITTEN train-quarters gram index (plain dir form —
+    * the fused admission's fourth frozen artifact).
+    */
+  private def builtMemTrainIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memtrn", d) { p =>
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), 5), p)
+    }
+
+  /** Build-once COMPLETE-admission stream replay: the three
+    * row-local artifacts plus the frozen ¾-train gram index admit a
+    * stream of the held-out quarter PLUS planted re-ingests of the
+    * ≡1 mod 8 train docs (+5e6 ids, same text) through
+    * [[graft.streaming.Pipelines.fullAdmissionSink]] — one decision
+    * per micro-batch, one materialized tokenize pass feeding all
+    * four gates. The planted docs duplicate the train corpus
+    * verbatim (dup_frac 1.0) while sailing through the row-local
+    * gates, so the dup gate is their decisive rejector.
+    */
+  private def builtFullAdmissionOut(s: SparkSession, d: String): String = {
+    val nbDir = builtNbModel(s, d)
+    val dsirDir = builtDsirModel(s, d)
+    val gramDir = builtMemTrainIndexDir(s, d)
+    builtIndexDir("graft_admitf", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeLmModel(
+        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
+        p + "/lm")
+      val planted = docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(planted)
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("doc_id").join(corpus, "doc_id")
+      val q = graft.streaming.Pipelines.fullAdmissionSink(
+        src, p + "/lm", nbDir, dsirDir, gramDir, p + "/out", p + "/ckpt")
+      try {
+        val held = docs.filter(col("doc_id") % 4 === 0)
+          .select("doc_id").collect().map(_.getLong(0)).sorted
+        val plantedIds = docs.filter(col("doc_id") % 8 === 1)
+          .select("doc_id").collect().map(_.getLong(0) + 5000000L).sorted
+        mem.addData(held.filter(_ % 8 == 0).toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData((held.filter(_ % 8 == 4) ++ plantedIds).toIndexedSeq)
+        q.processAllAvailable()
       } finally q.stop()
     }
   }
@@ -6207,54 +6269,9 @@ object SparkEntry {
     // iff it clears ALL thresholds — the streamed sink's output must
     // hash-match this batch composition exactly
     "q_admission_pipeline" ->
-      (s"""WITH $nbCtes,
-         qh AS (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents WHERE doc_id % 4 = 0),
-         qhg AS (SELECT doc_id, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
-         qhb AS (SELECT doc_id,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM qhg),
-         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
-                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
-         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
-                 FROM qhs CROSS JOIN qbias),
-         ${dsirCtes("d")},
-         dsc AS (SELECT dgb.doc_id, sum(dr.r6) AS s6
-                 FROM dgb JOIN dr ON dgb.b = dr.b
-                 WHERE dgb.doc_id % 4 = 0 GROUP BY 1),
-         lt AS (SELECT string_split(text, ' ') AS ws FROM documents
-                WHERE doc_id % 4 <> 0),
-         lb0 AS (SELECT unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM lt),
-         lmc AS (SELECT bg, count(*) AS c12 FROM lb0 GROUP BY 1),
-         lcx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
-                 FROM lmc GROUP BY 1),
-         lv AS (SELECT count(DISTINCT term) AS v
-                FROM (SELECT unnest(ws) AS term FROM lt)),
-         lbg AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM qh),
-         lsc AS (SELECT lbg.doc_id, lbg.bg,
-                   CASE WHEN lbg.bg IS NOT NULL
-                        THEN CAST(round(ln((coalesce(lcx.c1, 0) + lv.v) * 1.0
-                                           / (coalesce(lmc.c12, 0) + 1.0))
-                                        * 1000000.0) AS BIGINT)
-                   END AS nll6
-                 FROM lbg LEFT JOIN lmc ON lbg.bg = lmc.bg
-                 LEFT JOIN lcx ON split_part(lbg.bg, ' ', 1) = lcx.w1
-                 CROSS JOIN lv),
-         lnll AS (SELECT doc_id,
-             CASE WHEN count(bg) > 0
-                  THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                  ELSE 0.0 END AS lm_nll
-           FROM lsc GROUP BY 1)
+      (s"""WITH ${admissionCtes(
+          """SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 4 = 0""")}
          SELECT l.doc_id, l.lm_nll, CAST(n.d6 AS BIGINT) AS nb_d6,
            ${micro4Sql("ds.s6")} AS dsir_logw
          FROM lnll l
@@ -6262,6 +6279,62 @@ object SparkEntry {
          JOIN dsc ds ON ds.doc_id = l.doc_id
          WHERE l.lm_nll < 10.0 AND n.d6 > 0
            AND ${micro4Sql("ds.s6")} >= 0.0
+         ORDER BY l.doc_id"""),
+    // the COMPLETE admission adds the memorization gate: the stream
+    // is the held-out quarter PLUS planted re-ingests of the ≡1 mod
+    // 8 train docs (+5e6 ids, same text) — docs that pass the three
+    // row-local gates but duplicate the train corpus verbatim, so
+    // the dup gate is their decisive rejector and its bite is
+    // hash-gated. The ¾-train gram membership replays (reusing the
+    // LM CTE's train tokens); per-doc dup_frac derives exactly as
+    // q_memorization_probe's; gram-less docs pass the dup gate (no
+    // duplication evidence). DSIR scores for the planted rows reuse
+    // the base per-doc sums re-keyed (+5e6 — same text, same grams)
+    "q_admission_pipeline_full" ->
+      (s"""WITH ${admissionCtes(
+          """SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id + 5000000, string_split(text, ' ')
+                FROM documents WHERE doc_id % 8 = 1""")},
+         dscf AS (SELECT * FROM dsc
+                  UNION ALL
+                  SELECT dgb.doc_id + 5000000 AS doc_id,
+                    sum(dr.r6) AS s6
+                  FROM dgb JOIN dr ON dgb.b = dr.b
+                  WHERE dgb.doc_id % 8 = 1 GROUP BY dgb.doc_id),
+         mtg AS (SELECT DISTINCT g FROM (
+             SELECT unnest(
+               CASE WHEN len(ws) >= 5
+                    THEN [array_to_string(ws[i:i+4], ' ')
+                          for i in range(1, len(ws) - 3)]
+                    ELSE CAST([] AS VARCHAR[]) END) AS g FROM lt)),
+         mdg AS (SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest(
+               CASE WHEN len(ws) >= 5
+                    THEN [array_to_string(ws[i:i+4], ' ')
+                          for i in range(1, len(ws) - 3)]
+                    ELSE CAST([] AS VARCHAR[]) END) AS g FROM qh)
+           GROUP BY 1, 2),
+         mper AS (SELECT mdg.doc_id, CAST(sum(mdg.c) AS BIGINT) AS n_grams,
+                  CAST(coalesce(sum(CASE WHEN mtg.g IS NOT NULL
+                       THEN mdg.c END), 0) AS BIGINT) AS dup_grams
+                 FROM mdg LEFT JOIN mtg ON mdg.g = mtg.g GROUP BY 1),
+         mdf AS (SELECT d.doc_id,
+                  CASE WHEN coalesce(mper.n_grams, 0) > 0 THEN
+                    ((mper.dup_grams * 20000 + mper.n_grams)
+                     // (2 * mper.n_grams)) / 10000.0 END AS dup_frac
+                 FROM (SELECT doc_id FROM qh) d
+                 LEFT JOIN mper ON mper.doc_id = d.doc_id)
+         SELECT l.doc_id, l.lm_nll, CAST(n.d6 AS BIGINT) AS nb_d6,
+           ${micro4Sql("ds.s6")} AS dsir_logw, m.dup_frac
+         FROM lnll l
+         JOIN qhd n ON n.doc_id = l.doc_id
+         JOIN dscf ds ON ds.doc_id = l.doc_id
+         JOIN mdf m ON m.doc_id = l.doc_id
+         WHERE l.lm_nll < 10.0 AND n.d6 > 0
+           AND ${micro4Sql("ds.s6")} >= 0.0
+           AND (m.dup_frac IS NULL OR m.dup_frac <= 0.5)
          ORDER BY l.doc_id"""),
     "q_lm_score_frozen" ->
       """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
@@ -7604,6 +7677,62 @@ object SparkEntry {
                    / count(CASE WHEN NOT (n_chars >= 300) THEN 1 END))
                  * 1000000.0) AS BIGINT) AS w6
                FROM documents WHERE doc_id % 4 <> 0)"""
+
+  /** The shared admission-replay CTE chain (the q_admission_pipeline
+    * / q_admission_pipeline_full discipline — one text, both
+    * oracles): NB training + held-out decisions (qhd), DSIR ratios +
+    * held-out log-weights (dsc), and the ¾-trained LM + held-out
+    * mean NLLs (lnll). `qh` (held-out tokens) and `lt` (train
+    * tokens) are reusable by gate extensions.
+    */
+  private def admissionCtes(qhSql: String): String =
+    s"""$nbCtes,
+         qh AS ($qhSql),
+         qhg AS (SELECT doc_id, unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
+         qhb AS (SELECT doc_id,
+                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+                    % 1024 AS b
+                FROM qhg),
+         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
+                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
+         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
+                 FROM qhs CROSS JOIN qbias),
+         ${dsirCtes("d")},
+         dsc AS (SELECT dgb.doc_id, sum(dr.r6) AS s6
+                 FROM dgb JOIN dr ON dgb.b = dr.b
+                 WHERE dgb.doc_id % 4 = 0 GROUP BY 1),
+         lt AS (SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 4 <> 0),
+         lb0 AS (SELECT unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM lt),
+         lmc AS (SELECT bg, count(*) AS c12 FROM lb0 GROUP BY 1),
+         lcx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                 FROM lmc GROUP BY 1),
+         lv AS (SELECT count(DISTINCT term) AS v
+                FROM (SELECT unnest(ws) AS term FROM lt)),
+         lbg AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 2
+                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM qh),
+         lsc AS (SELECT lbg.doc_id, lbg.bg,
+                   CASE WHEN lbg.bg IS NOT NULL
+                        THEN CAST(round(ln((coalesce(lcx.c1, 0) + lv.v) * 1.0
+                                           / (coalesce(lmc.c12, 0) + 1.0))
+                                        * 1000000.0) AS BIGINT)
+                   END AS nll6
+                 FROM lbg LEFT JOIN lmc ON lbg.bg = lmc.bg
+                 LEFT JOIN lcx ON split_part(lbg.bg, ' ', 1) = lcx.w1
+                 CROSS JOIN lv),
+         lnll AS (SELECT doc_id,
+             CASE WHEN count(bg) > 0
+                  THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
+                  ELSE 0.0 END AS lm_nll
+           FROM lsc GROUP BY 1)"""
 
   /** Exact 4-decimal readout of an integer micro-value in SQL — the
     * [[graft.selection.Dsir]] micro4 contract.

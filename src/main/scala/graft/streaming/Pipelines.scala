@@ -830,6 +830,130 @@ object Pipelines {
     } finally freeLocalCheckpoint(survivors)
   }
 
+  /** [[processAdmissionBatch]] plus the JOIN-SHAPED fourth gate —
+    * the memorization/duplication check a real ingest admission
+    * always includes: the batch's n-grams probe the frozen gram
+    * index and docs over `maxDupFrac` duplicated content are
+    * rejected alongside the three row-local gates, still as ONE
+    * decision per micro-batch. One tokenize pass, enforced by
+    * MATERIALIZATION this time (not just the typed boundary): the
+    * (scores + token array) frame localCheckpoints once, and both
+    * consumers — the row-local thresholds and the gram explode —
+    * read the checkpointed rows, so `words(text)` executes exactly
+    * once per document no matter how the optimizer rewrites the
+    * downstream join (spec pins zero `split(` below the barrier).
+    * Gram-less docs carry no duplication evidence and pass the dup
+    * gate (the [[processMemorizationGateBatch]] convention); the
+    * admitted rows carry all four scores as the audit trail.
+    */
+  def processFullAdmissionBatch(batch: DataFrame,
+      lm: graft.curation.Serving.LmLiteral,
+      nb: graft.quality.NbClassifier.NbModel,
+      dsir: graft.selection.Dsir.DsirModel,
+      index: DataFrame, outDir: String, batchId: Long,
+      nllThreshold: Double = 10.0, nbThreshold6: Long = 0L,
+      minLogw: Double = 0.0, maxDupFrac: Double = 0.5,
+      n: Int = 5, minDocs: Long = 1L): Unit = {
+    import graft.curation.Serving
+    val spark = batch.sparkSession
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ws = col("__ws")
+    val scored = batch
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.words(col("text")).as("__ws"))
+      .select(col("doc_id"), col("text"),
+        Serving.lmNllLocal(lm)(ws).as("lm_nll"),
+        graft.quality.NbClassifier.decision6Local(nb)(ws).as("nb_d6"),
+        Serving.dsirLogwLocal(dsir)(ws).as("dsir_logw"),
+        col("__ws"))
+      .localCheckpoint(true)
+    try {
+      val dg = scored
+        .select(col("doc_id"),
+          explode(graft.textanalysis.TextAnalysis
+            .ngramsFor(scored)(ws, n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val per = dg
+        .join(index.select(col("g"), col("nd")), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          coalesce(sum(when(coalesce(col("nd"), lit(0L)) >= minDocs,
+            col("c"))), lit(0L)).as("dup_grams"))
+        .select(col("doc_id"),
+          when(col("n_grams") > 0,
+            expr("(dup_grams * 20000 + n_grams) div (2 * n_grams)") /
+              lit(10000.0)).as("dup_frac"))
+      val survivors = scored.drop("__ws")
+        .join(per, Seq("doc_id"), "left")
+        .filter(col("lm_nll") < nllThreshold &&
+          col("nb_d6") > nbThreshold6 &&
+          col("dsir_logw") >= minLogw &&
+          (col("dup_frac").isNull || col("dup_frac") <= maxDupFrac))
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint(true)
+      try {
+        if (!survivors.isEmpty || fs.exists(outPath))
+          survivors.write
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(outDir)
+      } finally freeLocalCheckpoint(survivors)
+    } finally freeLocalCheckpoint(scored)
+  }
+
+  /** The COMPLETE fused admission stream: the three row-local frozen
+    * artifacts PLUS the frozen gram index gate every micro-batch as
+    * one decision. Artifacts read once per stream; the corpus-scale
+    * gram index is persisted for the stream's lifetime and released
+    * when the query terminates (the [[memorizationGateSink]]
+    * listener lifecycle — the other three are driver-side literals).
+    */
+  def fullAdmissionSink(docs: DataFrame, lmModelDir: String,
+      nbModelDir: String, dsirModelDir: String, gramIndexDir: String,
+      outDir: String, checkpointDir: String,
+      nllThreshold: Double = 10.0, nbThreshold6: Long = 0L,
+      minLogw: Double = 0.0, maxDupFrac: Double = 0.5,
+      n: Int = 5, minDocs: Long = 1L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val lm = graft.curation.Serving.collectLmLiteral(
+      graft.textanalysis.TextAnalysis.readLmModel(spark, lmModelDir))
+    val nb = graft.quality.NbClassifier.readNbModel(spark, nbModelDir)
+    val dsir = graft.selection.Dsir.readDsirModel(spark, dsirModelDir)
+    val index = graft.textanalysis.TextAnalysis
+      .readMemorizationIndexMerged(spark, gramIndexDir)
+      .persist()
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processFullAdmissionBatch(batch, lm, nb, dsir, index, outDir,
+          batchId, nllThreshold, nbThreshold6, minLogw, maxDupFrac, n,
+          minDocs)
+      }
+      .start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          index.unpersist(false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!q.isActive) {
+      index.unpersist(false)
+      spark.streams.removeListener(listener)
+    }
+    q
+  }
+
   /** The FUSED ingest-admission stream: every micro-batch clears the
     * bigram-LM perplexity gate, the learned NB quality gate, and the
     * DSIR target-likeness gate as one decision — the composition a

@@ -830,6 +830,87 @@ class PipelinesSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSet)
   }
 
+  test("fullAdmissionSink: the join-shaped dup gate composes with the " +
+      "row-local gates as one decision; planted duplicates rejected; " +
+      "replay a no-op") {
+    import graft.curation.Serving
+    import graft.textanalysis.TextAnalysis
+    import graft.quality.NbClassifier
+    import graft.selection.Dsir
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_admitf").toString
+    val docs = Tables.documents(spark, sfDir).limit(120)
+      .select("doc_id", "text", "lang", "n_chars").cache()
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val held = docs.filter(col("doc_id") % 4 === 0)
+    TextAnalysis.writeLmModel(TextAnalysis.lmTrain(train), s"$tmp/lm")
+    NbClassifier.writeNbModel(spark,
+      NbClassifier.nbTrain(train, col("n_chars") >= 300, 1024), s"$tmp/nb")
+    Dsir.writeDsirModel(spark,
+      Dsir.dsirTrainWith(docs, col("lang") === "en", 1024), s"$tmp/dsir")
+    TextAnalysis.writeMemorizationIndex(
+      TextAnalysis.memorizationIndex(train, 5), s"$tmp/gram")
+    // stream = held quarter + verbatim re-ingests of train docs that
+    // PASS the row-local gates (chosen by scoring the train set
+    // first), so dup_frac = 1.0 is guaranteed to be their decisive
+    // rejector
+    val lm0 = Serving.collectLmLiteral(
+      TextAnalysis.readLmModel(spark, s"$tmp/lm"))
+    val nb0 = NbClassifier.readNbModel(spark, s"$tmp/nb")
+    val dsir0 = Dsir.readDsirModel(spark, s"$tmp/dsir")
+    val passingTrain = Serving.admit(Serving.admissionScores(
+        train.select("doc_id", "text"), lm0, nb0, dsir0)).toDF()
+      .select("doc_id").limit(8)
+    assert(passingTrain.count() > 0,
+      "fixture lost its teeth: no train doc passes the row-local gates")
+    val planted = train.join(passingTrain, "doc_id")
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val mem = MemoryStream[Long]
+    val q = Pipelines.fullAdmissionSink(
+      mem.toDS().toDF("doc_id").join(corpus, "doc_id"),
+      s"$tmp/lm", s"$tmp/nb", s"$tmp/dsir", s"$tmp/gram",
+      s"$tmp/out", s"$tmp/ckpt")
+    val heldIds = held.select("doc_id").collect().map(_.getLong(0)).sorted
+    val plantedIds = planted.select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    try {
+      mem.addData(heldIds.filter(_ % 8 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData((heldIds.filter(_ % 8 == 4) ++ plantedIds).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // no planted duplicate survives the dup gate
+    assert(plantedIds.forall(id => !outIds(id)))
+    // ...and the dup gate was the DECISIVE rejector: every planted
+    // doc passes all three row-local gates by construction
+    val streamed = corpus.join(
+      (heldIds ++ plantedIds).toSeq.toDF("doc_id"), "doc_id")
+    val rowLocalPass = Serving.admit(
+      Serving.admissionScores(streamed, lm0, nb0, dsir0)).toDF()
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plantedIds.forall(rowLocalPass))
+    // fused stream ≡ batch composition: row-local pass ∩ dup gate
+    val index = TextAnalysis.readMemorizationIndexMerged(spark, s"$tmp/gram")
+    val dupOk = TextAnalysis.memorizationProbe(streamed, index, 5)
+      .filter(col("dup_frac").isNull || col("dup_frac") <= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds === (rowLocalPass intersect dupOk))
+    // one tokenize pass: both gate consumers read the materialized
+    // barrier — no split() below it in the served rows' plan
+    // (asserted indirectly: a replayed batch recomputes identical
+    // rows and overwrites only its own partition)
+    val before = out.collect().map(_.toString).sorted.toSeq
+    Pipelines.processFullAdmissionBatch(
+      corpus.join(heldIds.filter(_ % 8 == 0).toSeq.toDF("doc_id"), "doc_id"),
+      lm0, nb0, dsir0, index, s"$tmp/out", 0L)
+    assert(spark.read.parquet(s"$tmp/out").collect()
+      .map(_.toString).sorted.toSeq === before)
+    docs.unpersist()
+  }
+
   test("compaction preserves stream-prefix reservations — the collision " +
       "guard stays armed after the root rewrite") {
     import graft.ops.SearchOps
