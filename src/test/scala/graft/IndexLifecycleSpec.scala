@@ -58,7 +58,15 @@ class IndexLifecycleSpec extends SparkSpec {
   private abstract class VecFamily extends Family {
     def idCol = "vec_id"
     def corpus = emb
-    def topK(index: DataFrame): DataFrame
+    def topK(index: DataFrame): DataFrame =
+      topKWith(cents)(index)
+    def topKWith(c: Seq[Seq[Double]])(index: DataFrame): DataFrame
+    def build(rows: DataFrame, path: String) = buildWith(cents)(rows, path)
+    def buildWith(c: Seq[Seq[Double]])(rows: DataFrame, path: String): Unit
+    /** Drift refresh: the live entries re-encoded against `c` into a
+      * fresh directory (the cutover path). */
+    def reclusterTo(oldPath: String, c: Seq[Seq[Double]],
+        newPath: String): Unit
     def serve(path: String) =
       render(topK(Similarity.readIvfIndex(spark, path)))
     def serveAsOf(path: String, batches: Seq[String]) =
@@ -71,38 +79,44 @@ class IndexLifecycleSpec extends SparkSpec {
 
   private object FloatIvf extends VecFamily {
     def name = "float IVF"
-    def build(rows: DataFrame, path: String) =
-      Similarity.writeIvfIndex(rows, cents, path)
+    def buildWith(c: Seq[Seq[Double]])(rows: DataFrame, path: String) =
+      Similarity.writeIvfIndex(rows, c, path)
     def append(rows: DataFrame, path: String, key: String) =
       Similarity.appendToIvfIndex(rows, cents, path, key)
     def sink(src: DataFrame, path: String, ckpt: String) =
       Pipelines.ivfIndexSink(src, cents, path, ckpt)
-    def topK(index: DataFrame) =
-      Similarity.ivfTopKFromIndex(index, cents, qv, 10, nProbe = 3)
+    def topKWith(c: Seq[Seq[Double]])(index: DataFrame) =
+      Similarity.ivfTopKFromIndex(index, c, qv, 10, nProbe = 3)
+    def reclusterTo(oldPath: String, c: Seq[Seq[Double]], newPath: String) =
+      Similarity.reclusterIvfIndex(spark, oldPath, c, newPath)
   }
 
   private object Int8Ivf extends VecFamily {
     def name = "int8 IVF"
-    def build(rows: DataFrame, path: String) =
-      Similarity.writeQuantizedIvfIndex(rows, cents, path)
+    def buildWith(c: Seq[Seq[Double]])(rows: DataFrame, path: String) =
+      Similarity.writeQuantizedIvfIndex(rows, c, path)
     def append(rows: DataFrame, path: String, key: String) =
       Similarity.appendToQuantizedIvfIndex(rows, cents, path, key)
     def sink(src: DataFrame, path: String, ckpt: String) =
       Pipelines.quantizedIvfIndexSink(src, cents, path, ckpt)
-    def topK(index: DataFrame) =
-      Similarity.quantizedTopKFromIndex(index, cents, qv, 10, nProbe = 3)
+    def topKWith(c: Seq[Seq[Double]])(index: DataFrame) =
+      Similarity.quantizedTopKFromIndex(index, c, qv, 10, nProbe = 3)
+    def reclusterTo(oldPath: String, c: Seq[Seq[Double]], newPath: String) =
+      Similarity.reclusterQuantizedIvfIndex(spark, oldPath, emb, c, newPath)
   }
 
   private object IvfPq extends VecFamily {
     def name = "IVF-PQ"
-    def build(rows: DataFrame, path: String) =
-      Similarity.writePqIndex(rows, cents, cb, path)
+    def buildWith(c: Seq[Seq[Double]])(rows: DataFrame, path: String) =
+      Similarity.writePqIndex(rows, c, cb, path)
     def append(rows: DataFrame, path: String, key: String) =
       Similarity.appendToPqIndex(rows, cents, cb, path, key)
     def sink(src: DataFrame, path: String, ckpt: String) =
       Pipelines.pqIndexSink(src, cents, cb, path, ckpt)
-    def topK(index: DataFrame) =
-      Similarity.pqTopKFromIndex(index, cents, cb, qv, 10, nProbe = 3)
+    def topKWith(c: Seq[Seq[Double]])(index: DataFrame) =
+      Similarity.pqTopKFromIndex(index, c, cb, qv, 10, nProbe = 3)
+    def reclusterTo(oldPath: String, c: Seq[Seq[Double]], newPath: String) =
+      Similarity.reclusterPqIndex(spark, oldPath, emb, c, cb, newPath)
   }
 
   private lazy val docs = Tables.documents(spark, sfDir).limit(96)
@@ -253,6 +267,25 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(f.serveAsOf(idx, Seq("build", "app2")) ===
       rebuildServe(f, rowsOf(live4 ++ a2)),
       s"${f.name}: post-compaction as-of ≠ rebuild")
+
+    // 8. drift RECLUSTER as the final stage (vector families): the
+    // whole maintained history re-encodes against refreshed Lloyd
+    // centroids into a cutover path — served there with the NEW
+    // routing, it must equal a from-scratch rebuild of the live set
+    // against those centroids
+    f match {
+      case vf: VecFamily =>
+        val cents2 = Similarity.ivfBuild(emb, 8, 1)
+        vf.reclusterTo(idx, cents2, s"$root/idx2")
+        val served = render(vf.topKWith(cents2)(
+          Similarity.readIvfIndex(spark, s"$root/idx2")))
+        val reb = Files.createTempDirectory("graft_lc_rc").toString + "/idx"
+        vf.buildWith(cents2)(rowsOf(live4 ++ a2), reb)
+        assert(served === render(vf.topKWith(cents2)(
+          spark.read.parquet(reb))),
+          s"${f.name}: recluster cutover ≠ rebuild on refreshed centroids")
+      case _ => // BM25 postings / gram counts don't drift
+    }
   }
 
   Seq(Bm25, FloatIvf, Int8Ivf, IvfPq, GramIndex).foreach { f =>
