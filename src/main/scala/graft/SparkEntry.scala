@@ -973,6 +973,24 @@ object SparkEntry {
     // the anti-joining reader. The oracle replays the rebuild on the
     // REMAINING vectors: tombstoned ≡ rebuild-on-remaining is the
     // operator's exactness claim
+    // RETENTION (bounded history): build + two appends + erasure,
+    // then compactIvfIndexKeeping(keep = w2) — the w1 window folds
+    // into the base (tombstones applied physically), w2 stays
+    // addressable. Serving is unchanged by retention, so the full
+    // serve shares the erasure replay verbatim; the as-of twin below
+    // gates the fold itself
+    "q_ann_ivf_retention" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        Similarity.readIvfIndex(s, builtIvfRetentionIndex(s, d)),
+        seedCents16(s, d), queryVec0(s, d), 10, nProbe = 2)),
+    // as-of("build") AFTER retention = base ∪ folded-w1 − erased —
+    // the rolling window's history contract, hash-gated: the folded
+    // batch is gone as a NAME but its live rows are in the base
+    "q_ann_ivf_retention_asof" -> ((s, d) =>
+      Similarity.ivfTopKFromIndex(
+        Similarity.readIvfIndexAsOf(s, builtIvfRetentionIndex(s, d),
+          Seq("build")),
+        seedCents16(s, d), queryVec0(s, d), 10, nProbe = 2)),
     "q_ann_ivf_deleted" -> ((s, d) =>
       Similarity.ivfTopKFromIndex(
         Similarity.readIvfIndex(s, builtIvfDelIndex(s, d)),
@@ -1171,6 +1189,79 @@ object SparkEntry {
         .select(col("query_id"), col("recall").as("recall_after"))
       before.join(after, Seq("query_id")).orderBy(col("query_id"))
     }),
+    // Two-stage PQ serving (Jégou §V): the ADC scan SHORTLISTS 40
+    // candidates from the probed cells, then the true float rows of
+    // only those 40 re-rank exactly (bounded id list → In-pushdown
+    // point lookups, never a corpus pass). Generated oracle replays
+    // shortlist + re-rank, so the refined ranking is hash-gated
+    "q_knn_pq_refined" -> ((s, d) =>
+      Similarity.pqTopKRefined(s.read.parquet(builtPqIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
+        queryVec0(s, d), 10, nProbe = 2, shortlist = 40)),
+    // The measurement that prices the re-rank stage: recall@10 of the
+    // two-stage path vs q_pq_recall's pure-ADC 0.52 — measured 0.88,
+    // exactly the float routing ceiling at nProbe=2 (q_ann_recall
+    // 0.90): a deep-enough shortlist recovers ALL ADC loss, and the
+    // residual gap is coarse routing, which only nProbe can buy back
+    "q_pq_refined_recall" -> ((s, d) =>
+      Similarity.pqRefinedRecall(s.read.parquet(builtPqIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, nProbe = 2, shortlist = 40)),
+    // The SHORTLIST-DEPTH operating curve behind that single point —
+    // the knob a deployment sizes the re-rank I/O budget with:
+    // recall@10 over R ∈ {10, 20, 40, 80} at nProbe=2. R=10 is the
+    // pure-ADC point by construction (re-ranking 10 of 10 reorders,
+    // never recovers); the curve saturates at the routing ceiling
+    "q_pq_refined_curve" -> ((s, d) => {
+      val idx = s.read.parquet(builtPqIvfIndex(s, d))
+      val emb = Tables.embeddings(s, d)
+      val qs = Seq(0L, 1L, 2L, 3L, 4L)
+      Seq(10, 20, 40, 80).map { r =>
+        Similarity.pqRefinedRecall(idx, emb, seedCents16(s, d),
+          pqCodebookFor(s, d), qs, 10, nProbe = 2, shortlist = r)
+          .withColumn("shortlist", lit(r))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("shortlist"), col("query_id"))
+    }),
+    // The CODE-WIDTH lever, measured: the same m=8 code count with
+    // 8-bit books (ksub 64 → 256, the full byte the "8-byte code"
+    // budget always allowed) lifts pure-ADC recall@10 0.52 → 0.66 at
+    // sf0.01 — the knob q_pq_recall_curve showed nProbe cannot turn.
+    // Own trained codebook, own written index, same generated-replay
+    // oracle shape
+    "q_pq_recall_wide" -> ((s, d) =>
+      Similarity.pqRecall(s.read.parquet(builtWidePqIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d),
+        widePqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // RESIDUAL encoding (IVFADC proper, Jégou §III): codes quantize
+    // v − c_cell instead of v; serving adds one per-cell LUT term
+    // (dot(q,v) = dot(q,c_cell) + dot(q,r) decomposes exactly).
+    // Measured HONESTLY on this corpus: no gain (0.48 vs raw 0.52 at
+    // sf0.01) — the coarse quantizer explains nothing on near-uniform
+    // synthetic embeddings (mean residual norm 0.95 on a unit-norm
+    // corpus, the diagnostic a deployment checks before enabling
+    // residual encoding). The operator is the standard shape for
+    // clustered corpora; the measurement is the when-to-use guidance
+    "q_knn_pq_residual" -> ((s, d) =>
+      Similarity.residualPqTopKFromIndex(
+        s.read.parquet(builtResidualPqIndex(s, d)), seedCents16(s, d),
+        residualPqCodebookFor(s, d), queryVec0(s, d), 10, nProbe = 2)),
+    "q_pq_residual_recall" -> ((s, d) =>
+      Similarity.residualPqRecall(
+        s.read.parquet(builtResidualPqIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d),
+        residualPqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // The int8 member of the compression/recall frontier: recall@10
+    // of the 4× store's serving path — measured ≈ the float routing
+    // ceiling (scalar quantization error is far below ranking
+    // granularity), which is WHY int8 is the default serving form and
+    // PQ the cold tier. Static oracle: quantization replay + routing
+    // + exact baseline are all corpus-derived
+    "q_int8_recall" -> ((s, d) =>
+      Similarity.quantizedRecall(
+        s.read.parquet(builtQuantizedIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -2340,6 +2431,30 @@ object SparkEntry {
         emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p, "inc1")
     }
 
+  /** Build-once RETENTION-compacted IVF index: base (ids ∉ {1,6}
+    * mod 8) + append "w1" (≡1) + append "w2" (≡6) + erasure (≡3
+    * mod 7), then `compactIvfIndexKeeping(keep = Seq("w2"))` — the
+    * w1 window folds into the base with tombstones applied
+    * physically, w2 stays addressable. q_ann_ivf_retention shares
+    * the erasure replay (serving is invariant under retention);
+    * q_ann_ivf_retention_asof gates the fold.
+    */
+  private def builtIvfRetentionIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_ivf_ret", d) { p =>
+      val emb = Tables.embeddings(s, d)
+      val cents = seedCents16(s, d)
+      Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") % 8 =!= 1 && col("vec_id") % 8 =!= 6),
+        cents, p)
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 8 === 1), cents, p, "w1")
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 8 === 6), cents, p, "w2")
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
+      Similarity.compactIvfIndexKeeping(s, p, Seq("w2"))
+    }
+
   /** Build-once WRITTEN DSIR model per corpus — the full artifact
     * lifecycle under the gate: train → parquet → read back → score
     * (the writeIvfIndex / q_bpe_encode_indexed precedent).
@@ -2698,6 +2813,24 @@ object SparkEntry {
     builtIndexDir("graft_pqivf", d) { p =>
       Similarity.writePqIndex(Tables.embeddings(s, d), seedCents16(s, d),
         pqCodebookFor(s, d), p)
+    }
+
+  /** Cell-partitioned RESIDUAL-encoded IVF-PQ index per corpus —
+    * [[builtPqIvfIndex]]'s layout with (v − c_cell) codes.
+    */
+  private def builtResidualPqIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_rpqivf", d) { p =>
+      Similarity.writeResidualPqIndex(Tables.embeddings(s, d),
+        seedCents16(s, d), residualPqCodebookFor(s, d), p)
+    }
+
+  /** Cell-partitioned WIDE-BOOK (ksub=256) IVF-PQ index per corpus —
+    * the code-width operating point's serving artifact.
+    */
+  private def builtWidePqIvfIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_wpqivf", d) { p =>
+      Similarity.writePqIndex(Tables.embeddings(s, d), seedCents16(s, d),
+        widePqCodebookFor(s, d), p)
     }
 
   /** Incrementally-assembled IVF-PQ index: base = corpus minus its
@@ -3394,6 +3527,34 @@ object SparkEntry {
         iterations = 2))
   }
 
+  /** RESIDUAL PQ codebook per corpus dir — trained on (v − c_cell)
+    * against the frozen seed cells ([[Similarity.pqBuildResidual]]);
+    * the frozen (cents, codebook) pair feeds both the Spark scan and
+    * the generated residual oracles. Same cache lifecycle as
+    * [[pqCodebookFor]].
+    */
+  private val pqResidualCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
+  private def residualPqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook = {
+    lastOracleDir = d
+    pqResidualCbCache.computeIfAbsent(d, _ =>
+      Similarity.pqBuildResidual(Tables.embeddings(s, d),
+        seedCents16(s, d), m = 8, ksub = 64, iterations = 2))
+  }
+
+  /** WIDE PQ codebook per corpus dir — the same m=8 code count with
+    * full 8-bit books (ksub=256): the code-width operating point
+    * q_pq_recall_wide prices against [[pqCodebookFor]]'s ksub=64.
+    */
+  private val pqWideCbCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
+  private def widePqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook = {
+    lastOracleDir = d
+    pqWideCbCache.computeIfAbsent(d, _ =>
+      Similarity.pqBuild(Tables.embeddings(s, d), m = 8, ksub = 256,
+        iterations = 2))
+  }
+
   /** PQ codebook RE-TRAINED on the drifted corpus — the codebook half
     * of the PQ refresh [[builtPqDriftFreshIndex]] cuts over to (the
     * coarse-centroid half is [[driftedCentroids]]). Same training
@@ -3482,7 +3643,41 @@ object SparkEntry {
         "q_knn_pq_ivf_deleted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
         "q_knn_pq_ivf_compacted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
         // as-of "build" on the incremental index: base split only
-        "q_knn_pq_ivf_asof" -> adc(ivfPv(" AND v.vec_id % 8 <> 1")))
+        "q_knn_pq_ivf_asof" -> adc(ivfPv(" AND v.vec_id % 8 <> 1")),
+        // two-stage serving: the same probed ADC pipeline SHORTLISTS
+        // 40 ids, then the true float rows of those ids re-rank
+        // exactly — replays shortlist AND re-rank
+        "q_knn_pq_refined" ->
+          s"""${ivfPv("")},
+           q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                 WHERE vec_id = 0),
+           dist AS (SELECT pv.vec_id, c.sub, c.cid,
+               round(list_reduce(
+                 [(pv.ve[c.sub * $sd + i] - c.ce[i]) * (pv.ve[c.sub * $sd + i] - c.ce[i])
+                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+             FROM pv CROSS JOIN cb c),
+           codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd ASC, cid) AS rn
+               FROM dist) WHERE rn = 1),
+           lut AS (SELECT c.sub, c.cid,
+               CAST(round(list_reduce(
+                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+             FROM cb c CROSS JOIN q),
+           s6t AS (SELECT k.vec_id, sum(l.l6) AS s6
+                  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
+                  GROUP BY 1),
+           short AS (SELECT vec_id FROM (
+               SELECT vec_id,
+                 row_number() OVER (
+                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+               FROM s6t) WHERE rn <= 40)
+           SELECT v2.vec_id,
+             round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
+           FROM v v2 JOIN short ON short.vec_id = v2.vec_id CROSS JOIN q
+           ORDER BY cos_sim DESC, v2.vec_id LIMIT 10""")
     }
   }
 
@@ -3505,14 +3700,15 @@ object SparkEntry {
     * are hash-gated. The curve variant shares the encode/LUT CTEs
     * and re-ranks per probe level.
     */
-  private def pqRecallOracle: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
-      val sd = cb.subDim
-      val values = pqCbValuesSql(cb)
-      // shared prefix: corpus, seed cells, assignment, ranked probe
-      // candidates (unfiltered), codes, per-query LUTs, exact baseline
-      val shared =
-        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+  /** The shared recall-eval CTE prefix for a given codebook: corpus,
+    * seed cells, assignment, ranked probe candidates (unfiltered),
+    * codes, per-query LUTs, exact baseline. Parameterized so the
+    * ksub=64 and ksub=256 books replay through ONE text.
+    */
+  private def pqRecallSharedSql(cb: Similarity.PqCodebook): String = {
+    val sd = cb.subDim
+    val values = pqCbValuesSql(cb)
+    s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
            cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
                   FROM embeddings WHERE vec_id < 16),
            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -3550,9 +3746,25 @@ object SparkEntry {
                    ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
                             v.vec_id) AS rn
                FROM v CROSS JOIN q) WHERE rn <= 10)"""
-      // one recall readout at a given probe width, over the shared CTEs
-      def level(np: Int): String =
-        s"""SELECT $np AS n_probe, e.query_id, count(*) AS n_exact,
+  }
+
+  /** Per-query candidate ADC scores at probe width `np`, over the
+    * shared CTEs — the inner aggregate both the plain and the
+    * refined readouts rank.
+    */
+  private def pqRecallCandSql(np: Int): String =
+    s"""SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
+        FROM assign a
+        JOIN (SELECT query_id, cell FROM pr WHERE rn <= $np) p
+          ON p.cell = a.cell
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.sub = k.sub AND l.cid = k.cid
+        GROUP BY 1, 2"""
+
+  /** One recall readout at probe width `np`, over the shared CTEs. */
+  private def pqRecallLevelSql(np: Int): String =
+    s"""SELECT $np AS n_probe, e.query_id, count(*) AS n_exact,
              round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
            FROM exact e
            LEFT JOIN (
@@ -3560,16 +3772,39 @@ object SparkEntry {
                SELECT s.query_id, s.vec_id,
                  row_number() OVER (PARTITION BY s.query_id
                    ORDER BY round(s.s6 / 1000000.0, 6) DESC, s.vec_id) AS rnk
-               FROM (SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
-                     FROM assign a
-                     JOIN (SELECT query_id, cell FROM pr WHERE rn <= $np) p
-                       ON p.cell = a.cell
-                     JOIN codes k ON k.vec_id = a.vec_id
-                     JOIN lut l ON l.query_id = p.query_id
-                               AND l.sub = k.sub AND l.cid = k.cid
-                     GROUP BY 1, 2) s) WHERE rnk <= 10) a
+               FROM (${pqRecallCandSql(np)}) s) WHERE rnk <= 10) a
              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
            GROUP BY 1, 2"""
+
+  private def pqRecallOracle: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
+      val shared = pqRecallSharedSql(cb)
+      def level(np: Int): String = pqRecallLevelSql(np)
+      // the two-stage readout at shortlist depth R: shortlist R by
+      // ADC per query, re-rank those ids by exact cosine, recall of
+      // the re-ranked top-10; `tag` prepends the shortlist column for
+      // the curve variant
+      def refinedLevel(r: Int, tag: Boolean): String =
+        s"""SELECT ${if (tag) s"$r AS shortlist, " else ""}e.query_id,
+             count(*) AS n_exact,
+             round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+           FROM exact e
+           LEFT JOIN (
+             SELECT query_id, vec_id FROM (
+               SELECT sh.query_id, sh.vec_id,
+                 row_number() OVER (PARTITION BY sh.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            sh.vec_id) AS rr
+               FROM (SELECT query_id, vec_id FROM (
+                       SELECT s.query_id, s.vec_id,
+                         row_number() OVER (PARTITION BY s.query_id
+                           ORDER BY round(s.s6 / 1000000.0, 6) DESC,
+                                    s.vec_id) AS rnk
+                       FROM (${pqRecallCandSql(2)}) s) WHERE rnk <= $r) sh
+               JOIN v ON v.vec_id = sh.vec_id
+               JOIN q ON q.query_id = sh.query_id) WHERE rr <= 10) a
+             ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+           GROUP BY ${if (tag) "1, 2" else "1"}"""
       Seq(
         "q_pq_recall" ->
           s"""$shared
@@ -3580,7 +3815,121 @@ object SparkEntry {
              SELECT * FROM (
                ${level(1)} UNION ALL ${level(2)}
                UNION ALL ${level(4)} UNION ALL ${level(8)})
-             ORDER BY n_probe, query_id""")
+             ORDER BY n_probe, query_id""",
+        "q_pq_refined_recall" ->
+          s"""$shared
+             SELECT query_id, n_exact, recall FROM (${refinedLevel(40, tag = false)})
+             ORDER BY query_id""",
+        "q_pq_refined_curve" ->
+          s"""$shared
+             SELECT * FROM (
+               ${refinedLevel(10, tag = true)} UNION ALL ${refinedLevel(20, tag = true)}
+               UNION ALL ${refinedLevel(40, tag = true)} UNION ALL ${refinedLevel(80, tag = true)})
+             ORDER BY shortlist, query_id""")
+    }
+  }
+
+  /** Oracle for q_pq_recall_wide — the ksub=256 book through the SAME
+    * shared replay text as q_pq_recall (one SQL shape, two operating
+    * points).
+    */
+  private def pqWideRecallOracle: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(pqWideCbCache.get(d))).toSeq.map { cb =>
+      "q_pq_recall_wide" ->
+        s"""${pqRecallSharedSql(cb)}
+           SELECT query_id, n_exact, recall FROM (${pqRecallLevelSql(2)})
+           ORDER BY query_id"""
+    }
+  }
+
+  /** Oracles for the RESIDUAL-encoded PQ family (generated from the
+    * residual codebook): the replay subtracts each vector's assigned
+    * coarse centroid before encoding (exact IEEE arithmetic in both
+    * engines), and the ADC score adds the per-cell integer term
+    * round(dot(q, c_cell)·1e6) — dot(q,v) = dot(q,c) + dot(q,r)
+    * decomposes exactly, so the residual serving path is hash-gated
+    * end to end, including the no-gain-on-this-corpus recall numbers.
+    */
+  private def residualPqOracles: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(d => Option(pqResidualCbCache.get(d))).toSeq.flatMap { cb =>
+      val sd = cb.subDim
+      val dim = cb.m * sd
+      val values = pqCbValuesSql(cb)
+      // the residual frame + encode + per-query LUTs, shared by both
+      // readouts (single-query topk restricts q to vec 0)
+      def shared(qids: String) =
+        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
+           cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
+                  FROM embeddings WHERE vec_id < 16),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           q AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                 WHERE vec_id IN ($qids)),
+           sc AS (SELECT v.vec_id, cc.ccid,
+                    round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
+                  FROM v CROSS JOIN cc),
+           assign AS (SELECT vec_id, ccid AS cell FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sc) WHERE rn = 1),
+           pr AS (SELECT vec_id AS query_id, ccid AS cell, rn FROM (
+               SELECT vec_id, ccid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
+               FROM sc WHERE vec_id IN ($qids))),
+           rv AS (SELECT v.vec_id, a.cell,
+                    [v.ve[i] - cc.ce2[i] for i in range(1, ${dim + 1})] AS re
+                  FROM v JOIN assign a ON a.vec_id = v.vec_id
+                         JOIN cc ON cc.ccid = a.cell),
+           dist AS (SELECT rv.vec_id, c.sub, c.cid,
+               round(list_reduce(
+                 [(rv.re[c.sub * $sd + i] - c.ce[i]) * (rv.re[c.sub * $sd + i] - c.ce[i])
+                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+             FROM rv CROSS JOIN cb c),
+           codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd ASC, cid) AS rn
+               FROM dist) WHERE rn = 1),
+           lut AS (SELECT q.query_id, c.sub, c.cid,
+               CAST(round(list_reduce(
+                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+             FROM cb c CROSS JOIN q),
+           ct AS (SELECT q.query_id, cc.ccid, CAST(round(list_reduce(
+                 [q.qe[i] * cc.ce2[i] for i in range(1, ${dim + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS c6
+             FROM cc CROSS JOIN q),
+           cand AS (SELECT p.query_id, a.vec_id, s.s6r + ct.c6 AS s6
+             FROM (SELECT l.query_id, k.vec_id, sum(l.l6) AS s6r
+                   FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
+                   GROUP BY 1, 2) s
+             JOIN assign a ON a.vec_id = s.vec_id
+             JOIN (SELECT query_id, cell FROM pr WHERE rn <= 2) p
+               ON p.query_id = s.query_id AND p.cell = a.cell
+             JOIN ct ON ct.query_id = s.query_id AND ct.ccid = a.cell)"""
+      Seq(
+        "q_knn_pq_residual" ->
+          s"""${shared("0")}
+             SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM cand
+             ORDER BY pq_sim DESC, vec_id LIMIT 10""",
+        "q_pq_residual_recall" ->
+          s"""${shared("0, 1, 2, 3, 4")},
+             exact AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, v.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                              v.vec_id) AS rn
+                 FROM v CROSS JOIN q) WHERE rn <= 10)
+             SELECT e.query_id, count(*) AS n_exact,
+               round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+             FROM exact e
+             LEFT JOIN (
+               SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rnk
+                 FROM cand) WHERE rnk <= 10) a
+               ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+             GROUP BY 1 ORDER BY 1""")
     }
   }
 
@@ -4159,6 +4508,10 @@ object SparkEntry {
         // the float family's compacted member shares its deleted
         // replay the same way
         "q_ann_ivf_compacted" -> staticOracleSql("q_ann_ivf_deleted"),
+        // retention (bounded-history compaction) leaves SERVING
+        // invariant — same erasure replay; the fold itself is gated
+        // by the separate static as-of SQL
+        "q_ann_ivf_retention" -> staticOracleSql("q_ann_ivf_deleted"),
         // streaming erasure ≡ batch erasure ≡ rebuild-on-remaining:
         // the delete SINKS share the deleted oracles verbatim
         "q_search_bm25_stream_deleted" ->
@@ -4177,7 +4530,8 @@ object SparkEntry {
           staticOracleSql("q_substring_dedup"),
         "q_retrieval_eval_asof" -> retrievalEvalAsOfSql) ++
       ivfKmeansOracle ++ ivfReclusterOracle ++ ivfReclusterRecallOracle ++
-      pqOracle ++ pqRecallOracle ++ pqReclusterRecallOracle ++
+      pqOracle ++ pqRecallOracle ++ pqWideRecallOracle ++
+      residualPqOracles ++ pqReclusterRecallOracle ++
       bpeVocabOracle ++ bpeCoverageOracle ++
       bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
   }
@@ -5454,6 +5808,30 @@ object SparkEntry {
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 7 <> 3
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // retention as-of("build"): the folded window's live rows serve
+    // from the base — everything except the KEPT w2 batch (≡6 mod 8),
+    // minus the physically-applied erasure (≡3 mod 7)
+    "q_ann_ivf_retention_asof" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
+         SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
+         FROM embeddings e
+         JOIN assign a ON a.vec_id = e.vec_id
+         WHERE a.cell IN (SELECT cid FROM probes)
+           AND e.vec_id % 8 <> 6 AND e.vec_id % 7 <> 3
+         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     // the incremental index shares the FULL-REBUILD replay verbatim:
     // append ≡ rebuild is the operator's exactness claim, so the
     // oracle for the appended index IS the oracle for the rebuilt one
@@ -6508,6 +6886,58 @@ object SparkEntry {
          FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
          WHERE a.cell IN (SELECT cid FROM probes)
          ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
+    // the int8 operating point: quantization replay + float routing
+    // + the int8 ADC rankings for 5 queries at nProbe=2, against the
+    // exact float baseline — all corpus-derived, so fully static
+    "q_int8_recall" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         pr AS (SELECT vec_id AS query_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+         sq AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         qz AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qvec
+           FROM sq),
+         approx AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round(e.scale * qu.scale *
+                   CAST(list_sum([e.qvec[i] * qu.qvec[i]
+                                  for i in range(1, len(e.qvec) + 1)]) AS BIGINT),
+                   6) DESC, e.vec_id) AS rnk
+             FROM qz e JOIN assign a ON a.vec_id = e.vec_id
+                       JOIN pr p ON p.cell = a.cell
+                       JOIN qz qu ON qu.vec_id = p.query_id)
+           WHERE rnk <= 10),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                          v.vec_id) AS rn
+             FROM v CROSS JOIN qv q) WHERE rn <= 10)
+         SELECT e.query_id, count(*) AS n_exact,
+           round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+         FROM exact e
+         LEFT JOIN approx a
+           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         GROUP BY 1 ORDER BY 1""",
     // erasure replay for the int8 store: the quantized ranking on
     // the REMAINING vectors (frozen centroids + per-row quantization
     // mean removing a row cannot change any other entry)

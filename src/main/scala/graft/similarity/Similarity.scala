@@ -953,6 +953,104 @@ object Similarity {
     } finally graft.Frames.freeLocalCheckpoint(mat)
   }
 
+  /** BOUNDED-HISTORY compaction — the rolling-window maintenance
+    * between [[compactIvfIndex]]'s two extremes: full compaction
+    * destroys ALL as-of history, no compaction grows the batch (and
+    * tombstone) inventory without bound. Retention folds every batch
+    * NOT in `keep` into the collapsed base — tombstones applied
+    * PHYSICALLY to the folded part — while the kept batches'
+    * partitions, and their as-of addressability, survive untouched.
+    * At 100 TB this is the job that actually runs on a schedule:
+    * keep the last K ingest batches time-travelable, bound everything
+    * older at one base partition per cell.
+    *
+    * Serving before ≡ after exactly: (folded − tombstones) ∪ kept −
+    * retained-tombstones = live, because the only tombstones dropped
+    * are those whose ids no longer exist anywhere (they were folded
+    * away physically); a tombstoned id that also sits in a KEPT
+    * partition keeps its tombstone, so neither serving nor as-of can
+    * resurrect it. After retention the addressable batch names are
+    * exactly {collapse-base} ∪ keep — a folded name fails the named
+    * as-of loudly, the [[compactIvfIndex]] contract. Kept partitions
+    * are never read or rewritten (O(folded + tombstones) work), and
+    * the `_delete_streams` reservation markers survive because the
+    * rewrite only dynamic-overwrites the base partitions.
+    * Layout-generic: float, int8, PQ, and residual-PQ indexes all
+    * carry (vec_id, …, cell, batch_id), so one implementation serves
+    * all four families.
+    */
+  def compactIvfIndexKeeping(spark: org.apache.spark.sql.SparkSession,
+      path: String, keep: Seq[String]): Unit = {
+    require(keep.nonEmpty,
+      "retention needs at least one kept batch — to collapse ALL " +
+        "history use compactIvfIndex")
+    val base0 = spark.read.parquet(path)
+    require(base0.columns.contains("batch_id"),
+      s"index at $path carries no batch_id history (pre-layout " +
+        "index) — rebuild it with writeIvfIndex first")
+    val known = ivfKnownBatches(spark, path)
+    val missingKeep = keep.filterNot(known)
+    require(missingKeep.isEmpty,
+      s"kept batches ${missingKeep.mkString(", ")} have no partitions " +
+        s"in the index at $path")
+    val collapse = if (integralBatchIds(base0)) "0" else "build"
+    // the base is retained implicitly AS the collapse target; naming
+    // it in `keep` would make the folded rewrite and the kept
+    // partition fight over the same directories
+    require(!keep.contains(collapse),
+      s"batch \"$collapse\" is the collapse target and always " +
+        "survives retention — name only append/stream batches in keep")
+    val folded = base0.filter(!col("batch_id").cast("string")
+      .isin(keep: _*))
+    val kept = base0.filter(col("batch_id").cast("string")
+      .isin(keep: _*))
+    val tombDir = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val fs = tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs =
+      if (fs.exists(tombDir))
+        spark.read.parquet(path + "/_tombstones")
+          .select(col("vec_id")).distinct()
+      else folded.select(col("vec_id")).filter(lit(false))
+    val foldedLive = folded
+      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      .withColumn("batch_id",
+        if (integralBatchIds(base0)) lit(0L) else lit("build"))
+    // tombstones that still shadow a kept-partition row must survive
+    // (retroactive erasure on as-of reads of kept batches); the rest
+    // were applied physically above and leave with the folded rows
+    val retained = tombs
+      .join(kept.select(col("vec_id")).distinct(), Seq("vec_id"),
+        "left_semi")
+      .withColumn("batch_id", lit("retained"))
+    val matLive = foldedLive.localCheckpoint(true)
+    val matTombs = retained.localCheckpoint(true)
+    try {
+      // drop every non-kept batch directory FIRST — including stale
+      // collapse-target partitions: a cell whose folded rows were all
+      // tombstoned writes nothing below, and its old base directory
+      // would otherwise survive and resurrect the erased rows
+      fs.globStatus(new org.apache.hadoop.fs.Path(path,
+          "cell=*/batch_id=*")).foreach { st =>
+        val name = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils
+          .unescapePathName(st.getPath.getName.stripPrefix("batch_id="))
+        if (!keep.contains(name)) fs.delete(st.getPath, true)
+      }
+      matLive.write
+        .partitionBy("cell", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+      if (fs.exists(tombDir)) fs.delete(tombDir, true)
+      if (!matTombs.isEmpty)
+        matTombs.write.partitionBy("batch_id").mode("overwrite")
+          .parquet(path + "/_tombstones")
+    } finally {
+      graft.Frames.freeLocalCheckpoint(matLive)
+      graft.Frames.freeLocalCheckpoint(matTombs)
+    }
+  }
+
   /** Centroid REFRESH for a written float IVF index — the
     * maintenance member append/delete/compact still lacked: as the
     * corpus grows, the frozen build centroids drift away from the
@@ -1311,20 +1409,26 @@ object Similarity {
       round(aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x), 6))
 
+  /** The m-length code array of one double-array vector column — the
+    * per-subspace argmin against the codebook literals, shared by
+    * [[pqEncode]] and the cell-carrying residual writer so raw and
+    * residual encoding can never disagree on rounding or tie-break.
+    */
+  private def pqCodesCol(cb: PqCodebook, v: Column): Column =
+    array((0 until cb.m).map { j =>
+      val sub = slice(v, j * cb.subDim + 1, cb.subDim)
+      val d = subDistances(sub, cb.centroids(j))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+
   /** PQ-encode: one int code per subspace, narrow projection (the
     * codebook rides as a literal; nothing shuffles). Output:
     * (vec_id, codes array<int> of length m).
     */
   def pqEncode(embeddings: DataFrame, cb: PqCodebook,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val codes = (0 until cb.m).map { j =>
-      val sub = slice(v, j * cb.subDim + 1, cb.subDim)
-      val d = subDistances(sub, cb.centroids(j))
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
-    embeddings.select(col(idCol), array(codes: _*).as("codes"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol),
+      pqCodesCol(cb, asDouble(col(vecCol))).as("codes"))
 
   /** Train a PQ codebook with per-subspace Lloyd iterations. Seeds
     * are the first `ksub` vectors' sub-slices (deterministic, like
@@ -1512,14 +1616,30 @@ object Similarity {
     */
   def pqRecall(index: DataFrame, embeddings: DataFrame,
       cents: Seq[Seq[Double]], cb: PqCodebook, queryIds: Seq[Long],
-      k: Int, nProbe: Int): DataFrame = {
-    require(queryIds.nonEmpty, "pqRecall needs at least one query id")
+      k: Int, nProbe: Int): DataFrame =
+    servingRecall(embeddings, queryIds, k)(qv =>
+      pqTopKFromIndex(index, cents, cb, qv, k, nProbe))
+
+  /** The recall@k harness every serving-path evaluation shares
+    * ([[pqRecall]], [[residualPqRecall]], [[quantizedRecall]]):
+    * collect the bounded query vectors, run the caller's serving
+    * ranking per query, left-join the exact float top-k, and read out
+    * per-query recall. A query whose serving path yields no
+    * candidates (e.g. zero-norm → no probes) scores 0 rather than
+    * vanishing — an eval that silently drops failing queries
+    * overstates the operating point. A query id with no embedding row
+    * has no exact baseline either and is absent from the readout
+    * (callers own the eval set's existence).
+    */
+  private def servingRecall(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int)(serve: Seq[Double] => DataFrame): DataFrame = {
+    require(queryIds.nonEmpty, "recall eval needs at least one query id")
     val qvecs = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
       .toMap
     val approx = queryIds.filter(qvecs.contains).map { qid =>
-      pqTopKFromIndex(index, cents, cb, qvecs(qid), k, nProbe)
+      serve(qvecs(qid))
         .select(lit(qid).as("query_id"), col("vec_id"),
           lit(1L).as("hit"))
     }.reduceOption(_.unionByName(_))
@@ -1536,6 +1656,19 @@ object Similarity {
         round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
       .orderBy(col("query_id"))
   }
+
+  /** Recall@k of the COMPRESSED (int8) IVF serving path
+    * ([[quantizedTopKFromIndex]]) against the exact float ranking —
+    * the [[pqRecall]] convention for the 4× store. Together with the
+    * float routing recall ([[annRecall]]) and the PQ evals this
+    * completes the measured compression/recall frontier a deployment
+    * sizes against: float (routing loss only) → int8 4× → PQ 32×.
+    */
+  def quantizedRecall(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], queryIds: Seq[Long], k: Int,
+      nProbe: Int): DataFrame =
+    servingRecall(embeddings, queryIds, k)(qv =>
+      quantizedTopKFromIndex(index, cents, qv, k, nProbe))
 
   /** Centroid + codebook REFRESH for a written IVF-PQ index — the
     * drift-maintenance member of the composed family, and the one the
@@ -1568,6 +1701,217 @@ object Similarity {
     writePqIndex(
       src.join(live, Seq("vec_id"), "left_semi"), cents, cb, newPath)
   }
+
+  // ---------------------------------------------------------------
+  // Residual PQ — IVFADC proper (encode v − c_cell, not v)
+  // ---------------------------------------------------------------
+
+  /** Cell-assigned RESIDUAL frame: (vec_id, embedding = v − c_cell,
+    * cell). The IVFADC observation (Jégou et al. 2011, §III): within
+    * a coarse cell the residuals span a far smaller cone than the raw
+    * vectors, so the same (m, ksub) code budget quantizes them with
+    * much less error — the codebook's points chase per-cell offsets
+    * instead of the whole corpus. Narrow projection: the centroid
+    * table rides as a literal, subtraction is per-row IEEE arithmetic
+    * (exactly replayable), nothing shuffles. Zero-norm vectors have
+    * no cell, hence no residual — excluded, as in every IVF writer.
+    */
+  private[graft] def residualAssigned(embeddings: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val centLit = typedlit(cents)
+    embeddings
+      .withColumn("__scores",
+        cellScoresFor(embeddings, centLit)(col("embedding")))
+      .withColumn("cell", cellOf(col("__scores")))
+      .filter(col("cell").isNotNull)
+      .select(col("vec_id"),
+        zip_with(asDouble(col("embedding")),
+          element_at(centLit, col("cell") + 1),
+          (x, y) => x - y).as("embedding"),
+        col("cell"))
+  }
+
+  /** Train a PQ codebook on the RESIDUAL distribution — [[pqBuild]]
+    * over the (v − c_cell) frame. The trained book is only meaningful
+    * against the same frozen `cents` it was trained with; callers
+    * freeze the pair together (exactly the coarse-centroid/codebook
+    * coupling [[reclusterPqIndex]] refreshes as a unit).
+    */
+  def pqBuildResidual(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      m: Int = 4, ksub: Int = 256, iterations: Int = 2): PqCodebook =
+    pqBuild(residualAssigned(embeddings, cents)
+      .select(col("vec_id"), col("embedding")), m, ksub, iterations)
+
+  /** The (codes + cell) frame the residual-PQ writers share — cell
+    * from the true float vector, codes from the residual against the
+    * SAME frozen centroids (assignment and encoding can never use
+    * different cells), co-located per cell. Same layout as
+    * [[pqAssignedForWrite]], so the whole maintenance family
+    * (append / delete / compact / as-of / streaming) composes through
+    * the layout-generic readers unchanged.
+    */
+  private[graft] def residualPqAssignedForWrite(embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook): DataFrame =
+    residualAssigned(embeddings, cents)
+      .select(col("vec_id"),
+        pqCodesCol(cb, asDouble(col("embedding"))).as("codes"),
+        col("cell"))
+      .repartition(col("cell"))
+
+  /** [[writePqIndex]] with residual encoding — same 8-byte rows, same
+    * (cell, batch_id) layout, strictly better codes.
+    */
+  def writeResidualPqIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, path: String): Unit =
+    residualPqAssignedForWrite(embeddings, cents, cb)
+      .withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").partitionBy("cell", "batch_id").parquet(path)
+
+  /** [[appendToPqIndex]]'s contract for the residual store: per-row
+    * assignment + residual encoding against frozen literals keeps
+    * append ≡ rebuild exact; `batchKey` dynamic-overwrites its own
+    * (cell, batch_id) partitions, so retries never double-insert.
+    */
+  def appendToResidualPqIndex(newVectors: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, path: String,
+      batchKey: String): Unit = {
+    requireIvfBatchKey(batchKey)
+    requireBatchLayout(newVectors.sparkSession, path)
+    residualPqAssignedForWrite(newVectors, cents, cb)
+      .withColumn("batch_id", lit(batchKey))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** The per-cell half of the residual ADC score in exact integer
+    * micro-units: cellLut6(c) = round(dot(q, c_cell)·1e6) as a long —
+    * dot(q, v) = dot(q, c_cell) + dot(q, r) decomposes exactly, so
+    * residual serving adds ONE table lookup per row to [[pqTopK]]'s
+    * m. Same index-order fold + HALF_UP rounding as [[pqLut6]].
+    */
+  def cellLut6(cents: Seq[Seq[Double]], query: Seq[Double]): Seq[Long] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      val n = math.min(query.length, c.length)
+      while (i < n) { s += query(i) * c(i); i += 1 }
+      BigDecimal(s * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    }
+
+  /** [[pqTopK]] over residual codes: score6 = cell term + m lookups,
+    * all exact long arithmetic. Needs the `cell` column (residual
+    * codes are meaningless without their cell), which every written
+    * index row carries.
+    */
+  def residualPqTopK(codes: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, query: Seq[Double], k: Int): DataFrame = {
+    val lut = typedlit(pqLut6(cb, query))
+    val cl = typedlit(cellLut6(cents, query).toVector)
+    val score6 = element_at(cl, col("cell").cast("int") + 1) +
+      (0 until cb.m).map(j =>
+        element_at(element_at(lut, j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    codes
+      .select(col("vec_id"), round(score6 / 1e6, 6).as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Serve top-k from a [[writeResidualPqIndex]] table — directory
+    * pruning to nProbe cells, then the residual ADC scan.
+    */
+  def residualPqTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    val probes = probeCells(cents, queryVec, nProbe)
+    val filtered =
+      if (probes.isEmpty) index.filter(lit(false))
+      else index.filter(col("cell").isin(probes: _*))
+    residualPqTopK(filtered, cents, cb, queryVec, k)
+  }
+
+  /** Drift refresh for the residual store — [[reclusterPqIndex]]'s
+    * contract (re-encode the live set from a caller-supplied float
+    * source against the new frozen pair; missing source rows fail
+    * loudly; cutover is a path swap). Residual codes are DOUBLY
+    * centroid-coupled — a new coarse centroid moves both the cell
+    * AND the residual every member of that cell encodes — which is
+    * why refresh must re-encode from source rather than remap codes.
+    */
+  def reclusterResidualPqIndex(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, source: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, newPath: String): Unit = {
+    val live = readIvfIndex(spark, oldPath).select(col("vec_id"))
+    val src = source.select(col("vec_id"), col("embedding"))
+    val missing = live.join(src, Seq("vec_id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(missing.isEmpty,
+      s"live ids ${missing.mkString(", ")}… of the index at $oldPath " +
+        "have no row in the supplied source table — the residual store " +
+        "carries no embeddings, so refresh needs the original vectors " +
+        "for every live entry")
+    writeResidualPqIndex(
+      src.join(live, Seq("vec_id"), "left_semi"), cents, cb, newPath)
+  }
+
+  /** Recall@k of the residual-PQ serving path against the exact float
+    * ranking — [[pqRecall]]'s twin for the IVFADC-proper store, the
+    * measurement that prices residual encoding against raw encoding
+    * at the same 32× code budget.
+    */
+  def residualPqRecall(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queryIds: Seq[Long],
+      k: Int, nProbe: Int): DataFrame =
+    servingRecall(embeddings, queryIds, k)(qv =>
+      residualPqTopKFromIndex(index, cents, cb, qv, k, nProbe))
+
+  // ---------------------------------------------------------------
+  // Two-stage PQ serving: ADC shortlist → exact re-rank
+  // ---------------------------------------------------------------
+
+  /** Two-stage retrieval from a written IVF-PQ index: the ADC scan
+    * shortlists `shortlist` candidates from the probed cells (8-byte
+    * rows, directory-pruned), then the TRUE float vectors of only
+    * those candidates re-rank exactly. The shortlist ids are a
+    * bounded driver-side list (like the recall evals' query vectors),
+    * so the re-fetch pushes `In(vec_id, …)` into the source scan —
+    * row-group-pruned point lookups, not a corpus pass. This is the
+    * standard production ANN shape (Jégou et al. 2011 §V: ADC
+    * shortlist + exact reordering): measured here it recovers ALL of
+    * the ADC loss — recall@10 is capped only by the coarse routing —
+    * at the cost of `shortlist` float-row lookups per query.
+    */
+  def pqTopKRefined(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queryVec: Seq[Double],
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    val ids = pqTopKFromIndex(index, cents, cb, queryVec, shortlist, nProbe)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val cand =
+      if (ids.isEmpty) embeddings.filter(lit(false))
+      else embeddings.filter(col("vec_id").isin(ids: _*))
+    cand
+      .select(col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"),
+          typedlit(queryVec.toVector)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall@k of the two-stage (shortlist + exact re-rank) serving
+    * path — the measurement that prices the re-rank stage: together
+    * with [[pqRecall]] (the pure-ADC point) it separates what the
+    * re-rank recovers (ADC loss — all of it, if `shortlist` is deep
+    * enough) from what it cannot (coarse routing loss).
+    */
+  def pqRefinedRecall(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queryIds: Seq[Long],
+      k: Int, nProbe: Int, shortlist: Int): DataFrame =
+    servingRecall(embeddings, queryIds, k)(qv =>
+      pqTopKRefined(index, embeddings, cents, cb, qv, k, nProbe,
+        shortlist))
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucket join prunes
     * candidates, exact cosine ≥ threshold verifies. The classic

@@ -1612,6 +1612,39 @@ object Pipelines {
       }
       .start()
 
+  /** Idempotent batch core of [[residualPqIndexSink]]: the same
+    * frozen (cents, codebook) pair as the batch append — assignment
+    * from true floats, codes from the residual against the SAME
+    * frozen centroids — so stream-built ≡ rebuild entry for entry.
+    */
+  def processResidualPqIngestBatch(batch: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook, indexDir: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    graft.similarity.Similarity.residualPqAssignedForWrite(batch, cents, cb)
+      .withColumn("batch_id", lit(batchId))
+      .write.partitionBy("cell", "batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(indexDir)
+  }
+
+  /** Streaming ingestion into the RESIDUAL-encoded IVF-PQ index —
+    * same layout, same exactly-once argument as [[pqIndexSink]].
+    */
+  def residualPqIndexSink(vectors: DataFrame, cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook, indexDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processResidualPqIngestBatch(batch, cents, cb, indexDir, batchId)
+      }
+      .start()
+
   /** Streaming ingestion into the COMPRESSED ANN index — the int8
     * twin of [[ivfIndexSink]], closing the family asymmetry: at
     * 100 TB the compressed index is the one a deployment actually

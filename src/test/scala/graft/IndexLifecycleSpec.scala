@@ -119,6 +119,26 @@ class IndexLifecycleSpec extends SparkSpec {
       Similarity.reclusterPqIndex(spark, oldPath, emb, c, cb, newPath)
   }
 
+  /** The residual-encoded store is the sixth family: codes are
+    * DOUBLY centroid-coupled (cell AND residual), so lifecycle
+    * coherence — especially the recluster cutover, where every
+    * surviving code must re-derive against the new centroids — is
+    * exactly where an interleaving bug would hide.
+    */
+  private object ResidualPq extends VecFamily {
+    def name = "residual IVF-PQ"
+    def buildWith(c: Seq[Seq[Double]])(rows: DataFrame, path: String) =
+      Similarity.writeResidualPqIndex(rows, c, cb, path)
+    def append(rows: DataFrame, path: String, key: String) =
+      Similarity.appendToResidualPqIndex(rows, cents, cb, path, key)
+    def sink(src: DataFrame, path: String, ckpt: String) =
+      Pipelines.residualPqIndexSink(src, cents, cb, path, ckpt)
+    def topKWith(c: Seq[Seq[Double]])(index: DataFrame) =
+      Similarity.residualPqTopKFromIndex(index, c, cb, qv, 10, nProbe = 3)
+    def reclusterTo(oldPath: String, c: Seq[Seq[Double]], newPath: String) =
+      Similarity.reclusterResidualPqIndex(spark, oldPath, emb, c, newPath = newPath, cb = cb)
+  }
+
   private lazy val docs = Tables.documents(spark, sfDir).limit(96)
     .select("doc_id", "text").cache()
   // the two most frequent long-ish words of the fixture — terms that
@@ -288,7 +308,7 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
-  Seq(Bm25, FloatIvf, Int8Ivf, IvfPq, GramIndex).foreach { f =>
+  Seq(Bm25, FloatIvf, Int8Ivf, IvfPq, ResidualPq, GramIndex).foreach { f =>
     test(s"${f.name}: full maintenance lifecycle, every stage ≡ rebuild") {
       lifecycle(f)
     }

@@ -862,4 +862,221 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= -1.0 && c <= 1.0)
     }
   }
+
+  test("residual PQ: ADC score decomposes as cell term + residual LUTs; " +
+      "append ≡ rebuild on the shared layout; probe prunes partitions") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuildResidual(emb, cents, m = 8, ksub = 16,
+      iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq").toString + "/idx"
+    Similarity.writeResidualPqIndex(emb, cents, cb, dir)
+    val index = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+
+    // all-cell probe ≡ an independent per-row Scala scoring of the
+    // residual-encoded corpus: score6 = cellLut6(cell) + Σ lut6(code)
+    val all = Similarity.residualPqTopKFromIndex(index, cents, cb, q,
+      10, nProbe = 8).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cl = Similarity.cellLut6(cents, q)
+    val lut = Similarity.pqLut6(cb, q)
+    val expected = index
+      .select($"vec_id", $"codes", $"cell".cast("int")).collect()
+      .map { r =>
+        val s6 = cl(r.getInt(2)) +
+          r.getSeq[Int](1).zipWithIndex.map { case (c, j) => lut(j)(c) }.sum
+        (r.getLong(0), BigDecimal(s6.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(all.toSeq === expected.toSeq)
+
+    // the pruned probe is a PartitionFilter (directory pruning), and
+    // its ranking ≡ the all-cell ranking restricted to probed members
+    val pruned = Similarity.residualPqTopKFromIndex(index, cents, cb, q,
+      10, nProbe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    val probes = Similarity.probeCells(cents, q, 2).toSet
+    val expectedPruned = index
+      .select($"vec_id", $"codes", $"cell".cast("int")).collect()
+      .filter(r => probes.contains(r.getInt(2)))
+      .map { r =>
+        val s6 = cl(r.getInt(2)) +
+          r.getSeq[Int](1).zipWithIndex.map { case (c, j) => lut(j)(c) }.sum
+        (r.getLong(0), BigDecimal(s6.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === expectedPruned.toSeq)
+
+    // maintenance composes: append ≡ rebuild entry for entry, and the
+    // retry replay never duplicates (dynamic partition self-overwrite)
+    val inc = java.nio.file.Files.createTempDirectory("graft_rpq_i").toString
+    Similarity.writeResidualPqIndex(
+      emb.filter(col("vec_id") % 4 =!= 1), cents, cb, inc)
+    Similarity.appendToResidualPqIndex(
+      emb.filter(col("vec_id") % 4 === 1), cents, cb, inc, "b1")
+    Similarity.appendToResidualPqIndex(
+      emb.filter(col("vec_id") % 4 === 1), cents, cb, inc, "b1")
+    def entries(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    assert(entries(inc) === entries(dir))
+  }
+
+  test("two-stage PQ serving: exact re-rank of the ADC shortlist with " +
+      "In-pushdown candidate fetch; refined recall matches the overlap") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq2s").toString + "/idx"
+    Similarity.writePqIndex(emb, cents, cb, dir)
+    val index = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+
+    val refined = Similarity.pqTopKRefined(index, emb, cents, cb, q,
+      10, nProbe = 2, shortlist = 40)
+    // the candidate re-fetch is bounded-id point lookups: the In
+    // filter reaches the parquet scan
+    val plan = refined.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(plan).isDefined,
+      plan)
+    // expected: the exact cosine ranking RESTRICTED to the ADC
+    // shortlist, computed independently in Scala
+    val short = Similarity.pqTopKFromIndex(index, cents, cb, q, 40, 2)
+      .collect().map(_.getLong(0)).toSet
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qn = math.sqrt(dot(q, q))
+    val expected = emb.filter($"vec_id".isin(short.toSeq: _*))
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        val cos = dot(v, q) / (math.sqrt(dot(v, v)) * qn)
+        (r.getLong(0), BigDecimal(cos)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(refined.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === expected.toSeq)
+
+    // a deep-enough shortlist makes the two-stage recall the routing
+    // recall: refined recall@k ≡ |exact top-k ∩ shortlist| / k when
+    // the shortlist covers the probed cells
+    val rec = Similarity.pqRefinedRecall(index, emb, cents, cb,
+      Seq(0L, 2L), 5, nProbe = 8, shortlist = 40).collect()
+    assert(rec.map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    rec.foreach { r =>
+      val qid = r.getLong(0)
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+      val sh = Similarity.pqTopKFromIndex(index, cents, cb, qv, 40, 8)
+        .collect().map(_.getLong(0)).toSet
+      val exact = Similarity.bruteForceTopK(emb, qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(r.getDouble(2) ===
+        BigDecimal(sh.intersect(exact).size.toDouble / exact.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("retention compaction bounds history: folded batches collapse " +
+      "into the base with erasure applied physically, kept batches " +
+      "stay addressable, serving is invariant") {
+    val sub = emb.limit(120).select("vec_id", "embedding").cache()
+    val cents = Similarity.seedCentroids(sub, 8)
+    val p = java.nio.file.Files.createTempDirectory("graft_ret").toString + "/idx"
+    Similarity.writeIvfIndex(
+      sub.filter(col("vec_id") % 8 =!= 1 && col("vec_id") % 8 =!= 6),
+      cents, p)
+    Similarity.appendToIvfIndex(
+      sub.filter(col("vec_id") % 8 === 1), cents, p, "w1")
+    Similarity.appendToIvfIndex(
+      sub.filter(col("vec_id") % 8 === 6), cents, p, "w2")
+    Similarity.deleteFromIvfIndex(
+      sub.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
+    val q = sub.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    def serve() = Similarity.ivfTopKFromIndex(
+      Similarity.readIvfIndex(spark, p), cents, q, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = serve()
+
+    // the base name is retained implicitly; naming it is an error
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndexKeeping(spark, p, Seq("build", "w2"))
+    }
+    // a kept name with no partitions fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndexKeeping(spark, p, Seq("w9"))
+    }
+
+    Similarity.compactIvfIndexKeeping(spark, p, Seq("w2"))
+    assert(serve() === before, "retention changed serving")
+
+    val allIds = sub.select("vec_id").collect().map(_.getLong(0)).toSet
+    val w2Ids = allIds.filter(_ % 8 == 6)
+    val tombIds = allIds.filter(_ % 7 == 3)
+    // folded tombstoned ids are PHYSICALLY gone from the raw layout;
+    // kept-partition copies survive raw but stay erased at serve time
+    val raw = spark.read.parquet(p).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(((tombIds -- w2Ids) & raw).isEmpty,
+      "folded tombstoned rows still present in the raw layout")
+    assert((tombIds & w2Ids).subsetOf(raw),
+      "retention rewrote a kept partition")
+    val served = Similarity.readIvfIndex(spark, p).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(served === allIds -- tombIds)
+
+    // as-of: the folded window's live rows are addressable as the
+    // base; the kept batch is unchanged; the folded NAME is gone
+    def asOfIds(bs: Seq[String]) =
+      Similarity.readIvfIndexAsOf(spark, p, bs).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(asOfIds(Seq("build")) === (allIds -- w2Ids) -- tombIds)
+    assert(asOfIds(Seq("w2")) === w2Ids -- tombIds)
+    intercept[IllegalArgumentException] { asOfIds(Seq("w1")) }
+
+    // maintenance keeps composing on the retained layout
+    Similarity.appendToIvfIndex(
+      sub.filter(col("vec_id") % 8 === 1), cents, p, "w3")
+    assert(Similarity.readIvfIndex(spark, p).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+      === (allIds -- tombIds) ++ allIds.filter(_ % 8 == 1))
+    sub.unpersist()
+  }
+
+  test("quantizedRecall measures the int8 serving path against the " +
+      "exact ranking") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qr").toString + "/idx"
+    Similarity.writeQuantizedIvfIndex(emb, cents, dir)
+    val index = spark.read.parquet(dir)
+    // all cells probed isolates the pure quantization loss: per query
+    // the recall must equal an independent overlap count between the
+    // full int8 ranking and the exact float ranking
+    val rec = Similarity.quantizedRecall(index, emb, cents,
+      Seq(0L, 3L), 5, nProbe = 8).collect()
+    assert(rec.map(_.getLong(0)).toSeq === Seq(0L, 3L))
+    rec.foreach { r =>
+      val qid = r.getLong(0)
+      val approx = Similarity.quantizedTopK(
+        Similarity.quantizeEmbeddings(emb), qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      val exact = Similarity.bruteForceTopK(emb, qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(r.getLong(1) === exact.size.toLong)
+      assert(r.getDouble(2) ===
+        BigDecimal(approx.intersect(exact).size.toDouble / exact.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
