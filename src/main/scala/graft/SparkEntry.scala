@@ -299,6 +299,26 @@ object SparkEntry {
     "q_search_bm25_deleted" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25DelIndex(s, d),
         Seq("merge", "query"), 10)),
+    // RETENTION for the lexical index: two append windows + an
+    // erasure spanning folded AND kept docs, then
+    // compactBm25IndexKeeping folds w1 + the erasure while w2 stays
+    // addressable. Serving is invariant (shares the erasure replay);
+    // the kept-part of the folded correction re-materializes as the
+    // "retained" tombstones + "del-retained" ledger row
+    "q_search_bm25_retention" -> ((s, d) =>
+      SearchOps.searchBm25FromIndex(s, builtBm25RetIndex(s, d),
+        Seq("merge", "query"), 10)),
+    // ...the fold, hash-gated: as-of("build") AFTER retention = the
+    // folded window's live docs against folded-only scalars
+    "q_search_bm25_retention_asof" -> ((s, d) =>
+      SearchOps.searchBm25FromIndexAsOf(s, builtBm25RetIndex(s, d),
+        Seq("merge", "query"), 10, Seq("build"))),
+    // ...and the ledger split itself: every post-retention stats row
+    // must state exactly its own partitions' contribution — the
+    // folded build total, w2's raw contribution, and the exact
+    // negative "del-retained" correction for w2's erased docs
+    "q_search_bm25_retention_history" -> ((s, d) =>
+      SearchOps.bm25IndexHistory(s, builtBm25RetIndex(s, d))),
     // STREAMING ERASURE under the query gate: the same batch
     // forgotten through two checkpointed deletion-request
     // micro-batches (bm25DeleteSink) — shares the deleted oracle, so
@@ -358,6 +378,18 @@ object SparkEntry {
       // to the one-shot tokenize, which q_search_bm25 still exercises)
       SearchOps.hybridSearchIndexed(builtBm25Index(s, d),
         Tables.embeddings(s, d), Seq("merge", "query"), 0L, 20)),
+    // The FULLY-SERVED hybrid — the complete production retrieval
+    // stack with no corpus pass on either branch: lexical top-20 from
+    // the BM25 inverted file, semantic top-20 from the IVF-PQ store
+    // via two-stage serving (pruned 8-byte ADC shortlist of 40 →
+    // exact re-rank via bounded point lookups), RRF-fused. Per-query
+    // I/O = term buckets + nProbe code cells + 40 float rows.
+    // Generated oracle replays BOTH branches AND the fusion
+    "q_hybrid_compressed" -> ((s, d) =>
+      SearchOps.hybridSearchServed(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqIvfIndex(s, d)), Tables.embeddings(s, d),
+        seedCents16(s, d), pqCodebookFor(s, d), Seq("merge", "query"),
+        queryVec0(s, d), 10)),
     // Training-data prep: PII stripped from flagged docs (narrow).
     // The synthetic corpus carries no PII, so identifiers are planted
     // deterministically (same construction in the oracle) — the
@@ -991,6 +1023,14 @@ object SparkEntry {
         Similarity.readIvfIndexAsOf(s, builtIvfRetentionIndex(s, d),
           Seq("build")),
         seedCents16(s, d), queryVec0(s, d), 10, nProbe = 2)),
+    // The vector family's batch INVENTORY audit (bm25IndexHistory's
+    // analog): one row per index batch + per tombstone batch on the
+    // retention fixture — the readout that tells an operator what
+    // as-of can address and what retention would fold. The oracle
+    // re-derives every count from the id splits, so a partition that
+    // drifted from its split fails the hash
+    "q_ann_ivf_history" -> ((s, d) =>
+      Similarity.ivfIndexHistory(s, builtIvfRetentionIndex(s, d))),
     "q_ann_ivf_deleted" -> ((s, d) =>
       Similarity.ivfTopKFromIndex(
         Similarity.readIvfIndex(s, builtIvfDelIndex(s, d)),
@@ -1500,6 +1540,27 @@ object SparkEntry {
       TextAnalysis.memorizationProbe(
         Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
         TextAnalysis.readMemorizationIndex(s, builtMemCmpIndexDir(s, d)),
+        5, minDocs = 1L)),
+    // RETENTION for the gram index: two append windows + an erasure,
+    // then compactMemorizationIndexKeeping folds w1 + the erasure
+    // into the base while w2 stays addressable. Serving is invariant
+    // (shares the batch-deleted oracle — the merged membership is
+    // identical); negative folded sums survive by design, so a
+    // folded delete keeps correcting a kept append
+    "q_memorization_probe_retained" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexMerged(s,
+          builtMemRetIndexDir(s, d)),
+        5, minDocs = 1L)),
+    // ...and the fold itself, hash-gated: as-of("build") AFTER
+    // retention = base ∪ folded-w1 − folded-erasure (train minus the
+    // kept ≡7 window minus the erased ≡1 batch)
+    "q_memorization_probe_retained_asof" -> ((s, d) =>
+      TextAnalysis.memorizationProbe(
+        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
+        TextAnalysis.readMemorizationIndexAsOf(s,
+          builtMemRetIndexDir(s, d), Seq("build")),
         5, minDocs = 1L)),
     // WRITTEN-APPEND ingestion for the gram index: base (train minus
     // the ≡5 mod 8 eighth) + that eighth appended under its own
@@ -2618,6 +2679,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % 8 === 5), p, batchKey = "inc1")
     }
 
+  /** Build-once RETENTION-compacted gram index: base = train minus
+    * its ≡5/≡7 mod 8 eighths, appends "w1" (≡5) and "w2" (≡7),
+    * erasure "d1" (≡1 mod 8), then
+    * `compactMemorizationIndexKeeping(keep = Seq("w2"))` — w1 and
+    * the erasure fold into the consolidated base, w2 stays
+    * addressable. Merged membership = train − (≡1 mod 8), exactly
+    * [[builtMemDelIndexDir]]'s final state, so the probe SHARES
+    * q_memorization_probe_deleted's oracle; the as-of twin gates the
+    * fold itself.
+    */
+  private def builtMemRetIndexDir(s: SparkSession, d: String): String =
+    builtIndexDir("graft_memret", d) { p =>
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 4 =!= 0)
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(
+          train.filter(col("doc_id") % 8 =!= 5 &&
+            col("doc_id") % 8 =!= 7), 5), p)
+      TextAnalysis.appendToMemorizationIndex(
+        train.filter(col("doc_id") % 8 === 5), p, batchKey = "w1")
+      TextAnalysis.appendToMemorizationIndex(
+        train.filter(col("doc_id") % 8 === 7), p, batchKey = "w2")
+      TextAnalysis.deleteFromMemorizationIndex(
+        train.filter(col("doc_id") % 8 === 1), p, batchKey = "d1")
+      TextAnalysis.compactMemorizationIndexKeeping(s, p, Seq("w2"))
+    }
+
   /** Build-once STREAM-FED gram index (round-11 verdict #5): base =
     * the train set minus its ≡5 mod 8 eighth, then that eighth
     * arrives as TWO MemoryStream micro-batches (ids ≡ 5 and ≡ 13
@@ -3079,6 +3167,32 @@ object SparkEntry {
       SearchOps.deleteFromBm25Index(
         docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
         batchKey = "del1")
+    }
+
+  /** Build-once RETENTION-compacted BM25 index: base (docs ∉ {5,6}
+    * mod 8) + appends "w1" (≡5) and "w2" (≡6) + erasure "del1"
+    * (≡3 mod 7 — spanning base, w1, AND w2 docs), then
+    * `compactBm25IndexKeeping(keep = Seq("w2"))`: build+w1+del1 fold
+    * (tombstones applied physically to the folded docs), w2 stays
+    * addressable, and del1's kept-part re-materializes as the
+    * "retained" tombstones + exact "del-retained" ledger row.
+    * Serving = corpus − (≡3 mod 7), so the serve query shares the
+    * erasure replay; the as-of and history twins gate the fold and
+    * the ledger split.
+    */
+  private def builtBm25RetIndex(s: SparkSession, d: String): String =
+    builtIndexDir("graft_bm25_ret", d) { p =>
+      val docs = Tables.documents(s, d)
+      SearchOps.writeBm25Index(
+        docs.filter(col("doc_id") % 8 =!= 5 && col("doc_id") % 8 =!= 6), p)
+      SearchOps.appendToBm25Index(
+        docs.filter(col("doc_id") % 8 === 5), p, batchKey = "w1")
+      SearchOps.appendToBm25Index(
+        docs.filter(col("doc_id") % 8 === 6), p, batchKey = "w2")
+      SearchOps.deleteFromBm25Index(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
+        batchKey = "del1")
+      SearchOps.compactBm25IndexKeeping(s, p, Seq("w2"))
     }
 
   /** Build-once tombstoned index, then COMPACTED (physical erasure;
@@ -3677,7 +3791,67 @@ object SparkEntry {
            SELECT v2.vec_id,
              round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
            FROM v v2 JOIN short ON short.vec_id = v2.vec_id CROSS JOIN q
-           ORDER BY cos_sim DESC, v2.vec_id LIMIT 10""")
+           ORDER BY cos_sim DESC, v2.vec_id LIMIT 10""",
+        // the fully-served hybrid: the probed ADC shortlist + exact
+        // re-rank branch AND the BM25 branch AND the RRF fusion all
+        // replay — the complete compressed retrieval stack hash-gated
+        "q_hybrid_compressed" ->
+          s"""${ivfPv("")},
+           q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+                 WHERE vec_id = 0),
+           dist AS (SELECT pv.vec_id, c.sub, c.cid,
+               round(list_reduce(
+                 [(pv.ve[c.sub * $sd + i] - c.ce[i]) * (pv.ve[c.sub * $sd + i] - c.ce[i])
+                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+             FROM pv CROSS JOIN cb c),
+           codes AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                                    ORDER BY dd ASC, cid) AS rn
+               FROM dist) WHERE rn = 1),
+           lut AS (SELECT c.sub, c.cid,
+               CAST(round(list_reduce(
+                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+             FROM cb c CROSS JOIN q),
+           s6t AS (SELECT k.vec_id, sum(l.l6) AS s6
+                  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
+                  GROUP BY 1),
+           short AS (SELECT vec_id FROM (
+               SELECT vec_id,
+                 row_number() OVER (
+                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+               FROM s6t) WHERE rn <= 40),
+           rr AS (SELECT v2.vec_id,
+               round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
+             FROM v v2 JOIN short ON short.vec_id = v2.vec_id CROSS JOIN q),
+           sem AS (SELECT vec_id AS doc_id, CAST(rk AS INTEGER) AS sem_rank
+             FROM (SELECT vec_id,
+                 row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+               FROM rr) WHERE rk <= 20),
+           bd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           bdd AS (SELECT doc_id, len(ws) AS dl, ws FROM bd),
+           bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdd),
+           btf AS (SELECT doc_id, dl, term, count(*) AS tf
+                  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bdd)
+                  WHERE term IN ('merge', 'query')
+                  GROUP BY doc_id, dl, term),
+           bdfreq AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+           bm AS (SELECT doc_id,
+               round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+             FROM btf JOIN bdfreq USING (term) CROSS JOIN bstats
+             GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+           lex AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS INTEGER) AS lex_rank FROM bm)
+           SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             lex_rank, sem_rank,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0) +
+                   coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), 0.0), 6) AS rrf
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+           ORDER BY rrf DESC, doc_id LIMIT 10""")
     }
   }
 
@@ -4484,7 +4658,18 @@ object SparkEntry {
         // verbatim, so compacted ≡ tombstoned is gated by the hash
         "q_search_bm25_compacted" ->
           staticOracleSql("q_search_bm25_deleted"),
+        // retention leaves lexical serving invariant too — the
+        // retained index shares the erasure replay; the fold and the
+        // ledger split are gated by their own static SQL below
+        "q_search_bm25_retention" ->
+          staticOracleSql("q_search_bm25_deleted"),
         "q_memorization_probe_compacted" ->
+          staticOracleSql("q_memorization_probe_deleted"),
+        // retention leaves the merged membership identical to the
+        // batch-deleted index (w1+w2 appends fold/keep to the full
+        // train set, the same ≡1 mod 8 batch erased) — serving
+        // invariance under the fold is gated by sharing that oracle
+        "q_memorization_probe_retained" ->
           staticOracleSql("q_memorization_probe_deleted"),
         // written-append ≡ retrain-on-union: the appended index's
         // probe shares the FULL-train oracle verbatim
@@ -4938,6 +5123,48 @@ object SparkEntry {
          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
          GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // retention as-of("build"): BM25 rebuilt on the FOLDED window's
+    // live docs — everything except the kept ≡6 mod 8 batch, minus
+    // the physically-applied ≡3 mod 7 erasure — against folded-only
+    // scalars (the self-consistency the correction split buys)
+    "q_search_bm25_retention_asof" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents
+                    WHERE doc_id % 8 <> 6 AND doc_id % 7 <> 3),
+         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+                WHERE term IN ('merge', 'query')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         SELECT doc_id,
+           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    // retention ledger replay: the folded build total (folded docs
+    // minus their physically-applied erasure), the kept w2 batch's
+    // raw contribution, and the exact NEGATIVE "del-retained"
+    // correction for w2's erased docs — every row must state exactly
+    // its own partitions' contribution
+    "q_search_bm25_retention_history" ->
+      """WITH d AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS dl FROM documents)
+         SELECT 'build' AS batch_id, count(*) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS sum_dl
+         FROM d WHERE doc_id % 8 <> 6 AND doc_id % 7 <> 3
+         UNION ALL
+         SELECT 'del-retained' AS batch_id, -count(*) AS n_docs,
+           CAST(-sum(dl) AS BIGINT) AS sum_dl
+         FROM d WHERE doc_id % 8 = 6 AND doc_id % 7 = 3
+         UNION ALL
+         SELECT 'w2' AS batch_id, count(*) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS sum_dl
+         FROM d WHERE doc_id % 8 = 6
+         ORDER BY batch_id""",
     // ledger replay: each batch's exact (n_docs, sum_dl) from its
     // own document split — "build" = doc_id % 8 <> 5, "inc1" = the
     // appended eighth
@@ -5808,6 +6035,19 @@ object SparkEntry {
          JOIN assign a ON a.vec_id = e.vec_id
          WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 7 <> 3
          ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // the retention index's batch inventory: every count re-derived
+    // from its id split — folded build, kept w2, retained tombstones
+    "q_ann_ivf_history" ->
+      """SELECT 'batch' AS kind, 'build' AS batch_id, count(*) AS n_rows
+         FROM embeddings WHERE vec_id % 8 <> 6 AND vec_id % 7 <> 3
+         UNION ALL
+         SELECT 'batch' AS kind, 'w2' AS batch_id, count(*) AS n_rows
+         FROM embeddings WHERE vec_id % 8 = 6
+         UNION ALL
+         SELECT 'tombstones' AS kind, 'retained' AS batch_id,
+           count(*) AS n_rows
+         FROM embeddings WHERE vec_id % 8 = 6 AND vec_id % 7 = 3
+         ORDER BY kind, batch_id""",
     // retention as-of("build"): the folded window's live rows serve
     // from the base — everything except the KEPT w2 batch (≡6 mod 8),
     // minus the physically-applied erasure (≡3 mod 7)
@@ -6162,6 +6402,34 @@ object SparkEntry {
                   ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
          tg AS (SELECT DISTINCT g FROM g
                 WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 1),
+         dg AS (SELECT doc_id, g, count(*) AS c FROM g
+                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
+         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
+                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
+                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
+                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
+         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.dup_grams, 0) AS dup_grams,
+           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+             ((per.dup_grams * 20000 + per.n_grams)
+              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    // retention as-of("build"): the folded base AFTER
+    // compactMemorizationIndexKeeping — base ∪ folded-w1 (≡5) minus
+    // the folded erasure (≡1), with only the KEPT ≡7 window absent
+    "q_memorization_probe_retained_asof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ')
+                        for i in range(1, len(ws) - 3)]
+                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+         tg AS (SELECT DISTINCT g FROM g
+                WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 7
+                  AND doc_id % 8 <> 1),
          dg AS (SELECT doc_id, g, count(*) AS c FROM g
                 WHERE doc_id % 4 = 0 GROUP BY 1, 2),
          per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,

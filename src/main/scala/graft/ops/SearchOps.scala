@@ -521,6 +521,161 @@ object SearchOps {
     }
   }
 
+  /** BOUNDED-HISTORY compaction for the BM25 index — the
+    * [[graft.similarity.Similarity.compactIvfIndexKeeping]] member of
+    * the lexical family, across all FOUR artifacts (postings, stats
+    * ledger, doclens sidecar, tombstones): every batch NOT in `keep`
+    * folds into the collapsed "build" base with folded tombstones
+    * applied physically, while kept append batches and kept delete
+    * batches survive untouched and as-of addressable.
+    *
+    * The subtle cell is a FOLDED delete whose tombstones cover a
+    * KEPT append's documents: those postings/doclens rows stay (kept
+    * partitions are never rewritten), so their erasure must stay
+    * too — the kept-part of the folded corrections re-materializes
+    * as tombstones under the reserved batch "retained" with an exact
+    * "del-retained" ledger row (re-derived from the kept doclens),
+    * and the folded "build" ledger row gets that part pulled back
+    * out, so EVERY ledger row again states exactly its own
+    * partitions' contribution. Serving (sum of everything) is
+    * invariant; as-of("build") is self-consistent (folded postings
+    * against folded-only scalars); folded batch names fail the as-of
+    * ledger check loudly. `_delete_streams` markers survive — no
+    * directory root is overwritten. O(folded + tombstones); kept
+    * partitions never read except the bounded doclens probe.
+    */
+  def compactBm25IndexKeeping(spark: org.apache.spark.sql.SparkSession,
+      path: String, keep: Seq[String]): Unit = {
+    require(keep.nonEmpty,
+      "retention needs at least one kept batch — to collapse ALL " +
+        "history use compactBm25Index")
+    require(!keep.contains("build"),
+      "batch \"build\" is the collapse target and always survives " +
+        "retention — name only append/delete batches in keep")
+    require(!keep.contains("retained"),
+      "\"retained\" is retention's reserved delete key")
+    val fs = fsFor(spark, path)
+    require(fs.exists(hadoopPath(path + "/doclens")),
+      s"BM25 index at $path predates the delete-capable layout " +
+        "(no doclens sidecar) — rebuild it with writeBm25Index first")
+    val ledgerRows = spark.read.parquet(path + "/stats")
+      .select(col("batch_id").cast("string"), col("n_docs"),
+        col("sum_dl"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val appendNames = ledgerRows.map(_._1)
+      .filterNot(_.startsWith("del-")).toSet
+    require(!appendNames.contains("retained"),
+      "an append batch named \"retained\" conflicts with retention's " +
+        "reserved delete key")
+    val tombExists = fs.exists(hadoopPath(path + "/tombstones"))
+    def batchDirs(glob: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.globStatus(hadoopPath(path + glob)))
+        .map(_.toSeq).getOrElse(Seq.empty)
+    def dirName(st: org.apache.hadoop.fs.FileStatus): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getName.stripPrefix("batch_id="))
+    val delNames: Set[String] =
+      if (tombExists) batchDirs("/tombstones/batch_id=*")
+        .map(dirName).toSet
+      else Set.empty
+    val known = appendNames ++ delNames
+    val missing = keep.filterNot(known)
+    require(missing.isEmpty,
+      s"kept batches ${missing.mkString(", ")} have no partitions in " +
+        s"the BM25 index at $path")
+    val keepSet = keep.toSet
+    val foldApps = appendNames -- keepSet
+    val foldDels = delNames -- keepSet
+    val keptApps = appendNames & keepSet
+    val keptDels = delNames & keepSet
+    def inSet(s: Set[String])(c: Column): Column =
+      if (s.isEmpty) lit(false) else c.cast("string").isin(s.toSeq: _*)
+    val foldedTombIds = (
+      if (foldDels.nonEmpty)
+        spark.read.parquet(path + "/tombstones")
+          .filter(inSet(foldDels)(col("batch_id")))
+          .select(col("doc_id")).distinct()
+      else spark.read.parquet(path + "/doclens")
+        .select(col("doc_id")).filter(lit(false))
+      ).localCheckpoint(true)
+    // the kept-part of the folded corrections, re-derived exactly
+    // from the kept batches' doclens (the deleteFromBm25Index rule:
+    // corrections always come from stored lengths, never recomputed
+    // text)
+    val retained = foldedTombIds.join(
+        spark.read.parquet(path + "/doclens")
+          .filter(inSet(keptApps)(col("batch_id")))
+          .select(col("doc_id"), col("dl")),
+        Seq("doc_id"))
+      .localCheckpoint(true)
+    val retAgg = retained
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(sum(col("dl")), lit(0L)).as("sdl")).head()
+    val (retCnt, retSdl) = (retAgg.getLong(0), retAgg.getLong(1))
+    // folded "build" ledger row = folded appends + folded delete
+    // corrections, with the kept-part pulled back out (it
+    // re-materializes as "del-retained")
+    val foldLedgerNames = foldApps ++ foldDels.map("del-" + _)
+    val foldCnt = ledgerRows.filter(r => foldLedgerNames(r._1))
+      .map(_._2).sum + retCnt
+    val foldSdl = ledgerRows.filter(r => foldLedgerNames(r._1))
+      .map(_._3).sum + retSdl
+    val postFolded = spark.read.parquet(path + "/postings")
+      .filter(inSet(foldApps)(col("batch_id")))
+      .join(broadcast(foldedTombIds), Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit("build"))
+      .localCheckpoint(true)
+    val dlFolded = spark.read.parquet(path + "/doclens")
+      .filter(inSet(foldApps)(col("batch_id")))
+      .join(broadcast(foldedTombIds), Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit("build"))
+      .localCheckpoint(true)
+    try {
+      // drop every folded batch directory FIRST — including the old
+      // "build" partitions: a bucket whose folded rows were all
+      // tombstoned writes nothing below, and a stale base directory
+      // would otherwise resurrect the erased rows
+      batchDirs("/postings/bucket=*/batch_id=*")
+        .foreach(st => if (!keepSet(dirName(st))) fs.delete(st.getPath, true))
+      batchDirs("/doclens/dbucket=*/batch_id=*")
+        .foreach(st => if (!keepSet(dirName(st))) fs.delete(st.getPath, true))
+      val statsKeep = keptApps ++ keptDels.map("del-" + _)
+      batchDirs("/stats/batch_id=*")
+        .foreach(st => if (!statsKeep(dirName(st))) fs.delete(st.getPath, true))
+      if (tombExists)
+        batchDirs("/tombstones/batch_id=*")
+          .foreach(st => if (!keptDels(dirName(st))) fs.delete(st.getPath, true))
+      postFolded.write.partitionBy("bucket", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path + "/postings")
+      dlFolded.write.partitionBy("dbucket", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path + "/doclens")
+      spark.range(1)
+        .select(lit(foldCnt).as("n_docs"), lit(foldSdl).as("sum_dl"),
+          lit("build").as("batch_id"))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path + "/stats")
+      if (retCnt > 0L) {
+        retained.select(col("doc_id")).distinct()
+          .withColumn("batch_id", lit("retained"))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(path + "/tombstones")
+        spark.range(1)
+          .select(lit(-retCnt).as("n_docs"), lit(-retSdl).as("sum_dl"),
+            lit("del-retained").as("batch_id"))
+          .write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(path + "/stats")
+      }
+    } finally {
+      Seq(foldedTombIds, retained, postFolded, dlFolded)
+        .foreach(graft.Frames.freeLocalCheckpoint)
+    }
+  }
+
   /** [[searchBm25]] served from a [[writeBm25Index]] artifact: the
     * query terms' literal buckets become PartitionFilters (directory
     * pruning), df re-aggregates from the pruned postings, and scoring
@@ -903,16 +1058,29 @@ object SearchOps {
     * ≤depth rows each.
     */
   private def hybridSearchFrom(lex0: DataFrame, embeddings: DataFrame,
-      queryVecId: Long, k: Int, depth: Int, rrfK: Int): DataFrame = {
+      queryVecId: Long, k: Int, depth: Int, rrfK: Int): DataFrame =
+    rrfFuse(lex0,
+      graft.similarity.Similarity.bruteForceTopK(embeddings, queryVecId,
+        depth),
+      k, rrfK)
+
+  /** The fusion core shared by every hybrid variant: rank the lexical
+    * (doc_id, bm25) and semantic (vec_id, cos_sim) branches, full-
+    * outer-join the two ≤depth-row frames, fuse reciprocally. Exact
+    * integer ranks + fixed-order addition keep the fused score
+    * engine-deterministic.
+    */
+  private def rrfFuse(lex0: DataFrame, sem0: DataFrame, k: Int,
+      rrfK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val simCol = sem0.columns.find(_ != "vec_id").getOrElse("cos_sim")
     val lex = lex0
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
-    val sem = graft.similarity.Similarity
-      .bruteForceTopK(embeddings, queryVecId, depth)
+    val sem = sem0
       .withColumn("sem_rank", row_number().over(
-        Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+        Window.orderBy(col(simCol).desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
@@ -921,6 +1089,31 @@ object SearchOps {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** The FULLY-SERVED hybrid — both branches from written artifacts,
+    * no corpus pass on either: the lexical top-`depth` from the BM25
+    * inverted file (bucket-pruned postings + ledger scalars), the
+    * semantic top-`depth` from the IVF-PQ store via two-stage serving
+    * ([[graft.similarity.Similarity.pqTopKRefined]]: directory-pruned
+    * 8-byte ADC shortlist, then exact re-rank of the bounded
+    * candidate ids — In-pushdown point lookups). This is the complete
+    * production retrieval stack at 100 TB: the only per-query I/O is
+    * a handful of term buckets, nProbe code cells, and `shortlist`
+    * float rows. Fused ranking via the same RRF core as
+    * [[hybridSearch]].
+    */
+  def hybridSearchServed(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, pqIndex: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook,
+      queryTerms: Seq[String], queryVec: Seq[Double], k: Int,
+      depth: Int = 20, nProbe: Int = 2, shortlist: Int = 40,
+      rrfK: Int = 60): DataFrame =
+    rrfFuse(
+      searchBm25FromIndex(spark, bm25Path, queryTerms, depth),
+      graft.similarity.Similarity.pqTopKRefined(pqIndex, embeddings,
+        cents, cb, queryVec, depth, nProbe, shortlist),
+      k, rrfK)
 
   /** F4: highlight matched terms — presentation-level, regex-free. */
   def highlight(c: Column, q: String): Column =

@@ -953,6 +953,35 @@ object Similarity {
     } finally graft.Frames.freeLocalCheckpoint(mat)
   }
 
+  /** The maintained index's batch INVENTORY as a table — the
+    * [[graft.ops.SearchOps.bm25IndexHistory]] analog for the vector
+    * families (float, int8, PQ, and residual share the layout): one
+    * (kind="batch", batch_id, n_rows) row per index batch partition
+    * plus one (kind="tombstones", batch_id, n_rows) per delete batch.
+    * The operational audit behind as-of serving and retention
+    * planning: which batches exist, what each holds, what erasure is
+    * still logical. Unlike BM25's ledger this layout stores no
+    * per-batch scalars, so the readout counts partition rows — a
+    * columnar count per partition, no vector payload read.
+    */
+  def ivfIndexHistory(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    def inventory(df: DataFrame, kind: String): DataFrame =
+      df.groupBy(col("batch_id").cast("string").as("batch_id"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(kind).as("kind"), col("batch_id"), col("n_rows"))
+    val base = inventory(spark.read.parquet(path), "batch")
+    val tombP = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(tombP))
+        base.unionByName(
+          inventory(spark.read.parquet(path + "/_tombstones"),
+            "tombstones"))
+      else base
+    all.orderBy(col("kind"), col("batch_id"))
+  }
+
   /** BOUNDED-HISTORY compaction — the rolling-window maintenance
     * between [[compactIvfIndex]]'s two extremes: full compaction
     * destroys ALL as-of history, no compaction grows the batch (and

@@ -778,7 +778,36 @@ object TextAnalysis {
   def readMemorizationIndexAsOf(spark: org.apache.spark.sql.SparkSession,
       dir: String, batches: Seq[String]): DataFrame = {
     require(batches.nonEmpty, "as-of needs at least one visible batch")
+    // a name with no partition fails LOUDLY (the readIvfIndexAsOf /
+    // searchBm25FromIndexAsOf contract): after compaction or
+    // retention collapses history, a stale name would otherwise
+    // silently serve an empty or partial index
+    val known = Set("build") ++ gramKnownBatches(spark, dir, "/_appends") ++
+      gramKnownBatches(spark, dir, "/_deletes")
+    val missing = batches.filterNot(known)
+    require(missing.isEmpty,
+      s"batches ${missing.mkString(", ")} have no partitions in the " +
+        s"gram index at $dir — compaction/retention collapses history " +
+        "(as-of reads predating it are gone by design)")
     consolidatedGramIndex(spark, dir, Some(batches))
+  }
+
+  /** Distinct batch names under one maintenance side of a gram index,
+    * from the partition directories alone (URI-unescaped — the
+    * ivfKnownBatches listing rule).
+    */
+  private def gramKnownBatches(spark: org.apache.spark.sql.SparkSession,
+      dir: String, sub: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir + sub)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Set.empty[String]
+    else fs.globStatus(new org.apache.hadoop.fs.Path(dir + sub,
+        "batch_id=*"))
+      .map(s => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils
+        .unescapePathName(s.getPath.getName.stripPrefix("batch_id=")))
+      .toSet
   }
 
   private def consolidatedGramIndex(
@@ -832,13 +861,7 @@ object TextAnalysis {
     // along with the maintenance partitions — snapshot and re-register
     // them, or a live ingest/delete stream's collision guard silently
     // disarms after every compaction (the compactIvfIndex rule)
-    val markers = Seq("_ingest_streams", "_delete_streams").flatMap { sub =>
-      val p = new org.apache.hadoop.fs.Path(dir + "/" + sub)
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p))
-        fs.listStatus(p).map(s => (sub, s.getPath.getName)).toSeq
-      else Seq.empty[(String, String)]
-    }
+    val markers = memStreamMarkers(spark, dir)
     // materialize BEFORE the overwrite truncates the directory being
     // read (the compactBm25Index ordering)
     val merged = readMemorizationIndexMerged(spark, dir).localCheckpoint(true)
@@ -848,6 +871,88 @@ object TextAnalysis {
         registerMemStreamPrefix(spark, dir, k, sub)
       }
     } finally graft.Frames.freeLocalCheckpoint(merged)
+  }
+
+  /** Stream-prefix reservation markers registered on a gram index —
+    * snapshotted around any root rewrite so the collision guards
+    * never silently disarm (the compactIvfIndex rule).
+    */
+  private def memStreamMarkers(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("_ingest_streams", "_delete_streams").flatMap { sub =>
+      val p = new org.apache.hadoop.fs.Path(dir + "/" + sub)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p))
+        fs.listStatus(p).map(s => (sub, s.getPath.getName)).toSeq
+      else Seq.empty[(String, String)]
+    }
+  }
+
+  /** BOUNDED-HISTORY compaction for the mergeable gram index — the
+    * [[graft.similarity.Similarity.compactIvfIndexKeeping]] member of
+    * this family: fold the base and every maintenance batch NOT in
+    * `keep` into one consolidated base, while the kept batches'
+    * `_appends`/`_deletes` partitions stay as-of addressable. The
+    * rolling right-to-be-forgotten window: old erasures become
+    * physical, recent ingest/erasure batches stay auditable and
+    * time-travelable, and the side-partition inventory stops growing
+    * without bound. Negative folded sums SURVIVE (a folded delete
+    * correcting a KEPT append must keep correcting it — dropping it
+    * would resurrect the erased doc's grams), which is exactly the
+    * mergeable-counts design paying off. Serving via
+    * [[readMemorizationIndexMerged]] is invariant; as-of("build")
+    * afterward serves the folded state; folded batch names stop
+    * resolving. Stream-prefix reservations survive the root rewrite.
+    */
+  def compactMemorizationIndexKeeping(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keep: Seq[String]): Unit = {
+    require(keep.nonEmpty,
+      "retention needs at least one kept batch — to collapse ALL " +
+        "history use compactMemorizationIndex")
+    require(!keep.contains("build"),
+      "batch \"build\" is the collapse target and always survives " +
+        "retention — name only append/delete batches in keep")
+    val appendB = gramKnownBatches(spark, dir, "/_appends")
+    val deleteB = gramKnownBatches(spark, dir, "/_deletes")
+    val known = appendB ++ deleteB
+    val keepSet = keep.toSet
+    val missing = keep.filterNot(known)
+    require(missing.isEmpty,
+      s"kept batches ${missing.mkString(", ")} have no partitions in " +
+        s"the gram index at $dir")
+    val foldVisible = "build" +: (known -- keepSet).toSeq.sorted
+    // materialize everything BEFORE the root overwrite truncates the
+    // directories being read (the compactMemorizationIndex ordering)
+    val folded = readMemorizationIndexAsOf(spark, dir, foldVisible)
+      .localCheckpoint(true)
+    def keptSide(sub: String, names: Set[String]): Option[DataFrame] = {
+      val present = (names & keepSet).toSeq
+      if (present.isEmpty) None
+      else Some(spark.read.parquet(dir + sub)
+        .filter(col("batch_id").cast("string").isin(present: _*))
+        .select(col("g"), col("nd"),
+          col("batch_id").cast("string").as("batch_id"))
+        .localCheckpoint(true))
+    }
+    val keptA = keptSide("/_appends", appendB)
+    val keptD = keptSide("/_deletes", deleteB)
+    val markers = memStreamMarkers(spark, dir)
+    try {
+      writeMemorizationIndex(folded, dir)
+      keptA.foreach(_.write.partitionBy("batch_id").mode("overwrite")
+        .parquet(dir + "/_appends"))
+      keptD.foreach(_.write.partitionBy("batch_id").mode("overwrite")
+        .parquet(dir + "/_deletes"))
+      markers.foreach { case (sub, k) =>
+        registerMemStreamPrefix(spark, dir, k, sub)
+      }
+    } finally {
+      graft.Frames.freeLocalCheckpoint(folded)
+      keptA.foreach(graft.Frames.freeLocalCheckpoint)
+      keptD.foreach(graft.Frames.freeLocalCheckpoint)
+    }
   }
 
   /** Stage the per-(doc, gram) occurrence table as a catalog table

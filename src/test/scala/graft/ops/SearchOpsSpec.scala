@@ -446,4 +446,94 @@ class SearchOpsSpec extends SparkSpec {
         docs.select(col("doc_id")).limit(0), dir, 0L, keyPrefix = "")
     }
   }
+
+  test("compactBm25IndexKeeping: folded window collapses with erasure " +
+      "applied physically; the kept-part correction re-materializes " +
+      "as retained tombstones + an exact ledger row") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ret").toString
+    val terms = Seq("merge", "query")
+    SearchOps.writeBm25Index(
+      docs.filter(col("doc_id") % 8 =!= 5 && col("doc_id") % 8 =!= 6), dir)
+    SearchOps.appendToBm25Index(
+      docs.filter(col("doc_id") % 8 === 5), dir, "w1")
+    SearchOps.appendToBm25Index(
+      docs.filter(col("doc_id") % 8 === 6), dir, "w2")
+    SearchOps.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), dir,
+      "del1")
+    def serve(p: String, asOf: Option[Seq[String]] = None) =
+      asOf.fold(SearchOps.searchBm25FromIndex(spark, p, terms, 10))(bs =>
+        SearchOps.searchBm25FromIndexAsOf(spark, p, terms, 10, bs))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = serve(dir)
+
+    // guards: the collapse target and the reserved delete key can't
+    // be named; unknown names fail loudly
+    intercept[IllegalArgumentException] {
+      SearchOps.compactBm25IndexKeeping(spark, dir, Seq("build", "w2"))
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.compactBm25IndexKeeping(spark, dir, Seq("retained"))
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.compactBm25IndexKeeping(spark, dir, Seq("w9"))
+    }
+
+    SearchOps.compactBm25IndexKeeping(spark, dir, Seq("w2"))
+    // serving is invariant under retention
+    assert(serve(dir) === before)
+    // the ledger now states exactly each partition set's contribution:
+    // folded build, kept w2 raw, and the exact negative kept-part
+    // correction — compare each against a fresh reference index's row
+    def refStats(sub: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val t = java.nio.file.Files.createTempDirectory("graft-bm25-ref").toString
+      SearchOps.writeBm25Index(sub, t)
+      val r = spark.read.parquet(t + "/stats").collect().head
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))
+    }
+    val ledger = spark.read.parquet(dir + "/stats").collect()
+      .map(r => r.getAs[String]("batch_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl"))).toMap
+    assert(ledger.keySet === Set("build", "w2", "del-retained"))
+    assert(ledger("build") === refStats(
+      docs.filter(col("doc_id") % 8 =!= 6 && col("doc_id") % 7 =!= 3)))
+    assert(ledger("w2") === refStats(docs.filter(col("doc_id") % 8 === 6)))
+    val (rc, rs) = refStats(
+      docs.filter(col("doc_id") % 8 === 6 && col("doc_id") % 7 === 3))
+    assert(ledger("del-retained") === (-rc, -rs))
+    // retained tombstones cover exactly the kept batch's erased docs
+    val tombs = spark.read.parquet(dir + "/tombstones")
+      .filter(col("batch_id").cast("string") === "retained")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tombs === docs
+      .filter(col("doc_id") % 8 === 6 && col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // as-of: the fold is self-consistent (folded postings against
+    // folded-only scalars ≡ a fresh rebuild); the folded name is gone
+    val reb = java.nio.file.Files.createTempDirectory("graft-bm25-rfold").toString
+    SearchOps.writeBm25Index(
+      docs.filter(col("doc_id") % 8 =!= 6 && col("doc_id") % 7 =!= 3), reb)
+    assert(serve(dir, Some(Seq("build"))) === serve(reb))
+    intercept[IllegalArgumentException] {
+      serve(dir, Some(Seq("w1")))
+    }
+    // omitting the retained delete reproduces pre-erasure history for
+    // the KEPT docs only (folded erasure is physical, the named-delete
+    // visibility rule for the rest)
+    val reb2 = java.nio.file.Files.createTempDirectory("graft-bm25-rpre").toString
+    SearchOps.writeBm25Index(
+      docs.filter(col("doc_id") % 8 === 6 || col("doc_id") % 7 =!= 3), reb2)
+    assert(serve(dir, Some(Seq("build", "w2"))) === serve(reb2))
+    // ...and naming it restores the erased view
+    assert(serve(dir, Some(Seq("build", "w2", "retained"))) === before)
+    // maintenance keeps composing after retention
+    SearchOps.appendToBm25Index(
+      docs.filter(col("doc_id") % 8 === 5 && col("doc_id") % 7 === 3),
+      dir, "w3")
+    val reb3 = java.nio.file.Files.createTempDirectory("graft-bm25-rw3").toString
+    SearchOps.writeBm25Index(docs.filter(col("doc_id") % 7 =!= 3 ||
+      (col("doc_id") % 8 === 5 && col("doc_id") % 7 === 3)), reb3)
+    assert(serve(dir) === serve(reb3))
+  }
 }

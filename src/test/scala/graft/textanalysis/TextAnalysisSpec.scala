@@ -574,6 +574,67 @@ class TextAnalysisSpec extends SparkSpec {
         .toDF("doc_id", "text"))))
   }
 
+  test("compactMemorizationIndexKeeping: folded window collapses into " +
+      "the base, kept batches stay addressable, a folded delete keeps " +
+      "correcting a kept append via surviving negative counts") {
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.memorizationIndex(df, 3)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val w1 = Seq((10L, "a b c x")).toDF("doc_id", "text")
+    val w2 = Seq((20L, "p q r s"), (21L, "a b q")).toDF("doc_id", "text")
+    // the erasure targets one base doc AND one doc of the KEPT w2
+    // append — the fold must apply the first physically and keep a
+    // NEGATIVE correction for the second
+    val gone = Seq((2L, "a b c"), (21L, "a b q")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-memret").toString
+    TextAnalysis.writeMemorizationIndex(idx(base), dir)
+    TextAnalysis.appendToMemorizationIndex(w1, dir, "w1", 3)
+    TextAnalysis.appendToMemorizationIndex(w2, dir, "w2", 3)
+    TextAnalysis.deleteFromMemorizationIndex(gone, dir, "d1", 3)
+    val surviving = Seq((1L, "a b c d"), (10L, "a b c x"),
+      (20L, "p q r s")).toDF("doc_id", "text")
+    val before = m(TextAnalysis.readMemorizationIndexMerged(spark, dir))
+    assert(before === m(idx(surviving)))
+
+    // guards: the base cannot be named; unknown names fail loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.compactMemorizationIndexKeeping(spark, dir,
+        Seq("build", "w2"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.compactMemorizationIndexKeeping(spark, dir, Seq("w9"))
+    }
+
+    TextAnalysis.compactMemorizationIndexKeeping(spark, dir, Seq("w2"))
+    // serving invariant under retention
+    assert(m(TextAnalysis.readMemorizationIndexMerged(spark, dir))
+      === before)
+    // the folded base carries the NEGATIVE correction for the kept
+    // append's erased doc — visible in the raw base rows
+    val rawBase = m(TextAnalysis.readMemorizationIndex(spark, dir))
+    assert(rawBase.values.exists(_ < 0L),
+      s"expected a surviving negative correction in the base: $rawBase")
+    // as-of: the fold is addressable as the base (w1 + base-doc
+    // erasure applied, w2-doc correction pending against w2); the
+    // kept window replays alone; the folded name is gone
+    assert(m(TextAnalysis.readMemorizationIndexAsOf(spark, dir,
+      Seq("build", "w2"))) === before)
+    assert(m(TextAnalysis.readMemorizationIndexAsOf(spark, dir,
+      Seq("w2"))) === m(idx(w2)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.readMemorizationIndexAsOf(spark, dir, Seq("w1"))
+        .collect()
+    }
+    // maintenance keeps composing after retention
+    TextAnalysis.appendToMemorizationIndex(
+      Seq((30L, "z z y")).toDF("doc_id", "text"), dir, "w3", 3)
+    assert(m(TextAnalysis.readMemorizationIndexMerged(spark, dir)) ===
+      m(idx(surviving.unionByName(
+        Seq((30L, "z z y")).toDF("doc_id", "text")))))
+  }
+
   test("memorizationProbeStaged ≡ memorizationProbe; the gram join " +
       "plans zero exchanges and the serving plan never tokenizes") {
     val train = Seq((1L, "a b c d"), (2L, "x y z w"), (3L, "a b c"))
