@@ -543,6 +543,11 @@ object SearchOps {
     * ledger check loudly. `_delete_streams` markers survive — no
     * directory root is overwritten. O(folded + tombstones); kept
     * partitions never read except the bounded doclens probe.
+    *
+    * Crash contract: an IN-PLACE rewrite like [[compactBm25Index]] —
+    * a crash mid-sequence leaves a partial layout; run in a
+    * maintenance window, recover by rebuild from source. Everything
+    * folded is materialized before any deletion.
     */
   def compactBm25IndexKeeping(spark: org.apache.spark.sql.SparkSession,
       path: String, keep: Seq[String]): Unit = {

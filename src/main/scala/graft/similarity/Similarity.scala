@@ -1007,6 +1007,15 @@ object Similarity {
     * Layout-generic: float, int8, PQ, and residual-PQ indexes all
     * carry (vec_id, …, cell, batch_id), so one implementation serves
     * all four families.
+    *
+    * Crash contract: like [[compactIvfIndex]] (and the BM25/gram
+    * compactors), this is an IN-PLACE rewrite — a crash between the
+    * directory drops and the folded write leaves a partial layout.
+    * Same operational class as every compactor here: run in a
+    * maintenance window; recovery is a rebuild from source (every
+    * artifact derives from it). The folded frame is materialized
+    * BEFORE any deletion, so the job itself never reads what it
+    * removed.
     */
   def compactIvfIndexKeeping(spark: org.apache.spark.sql.SparkSession,
       path: String, keep: Seq[String]): Unit = {

@@ -904,6 +904,12 @@ object TextAnalysis {
     * [[readMemorizationIndexMerged]] is invariant; as-of("build")
     * afterward serves the folded state; folded batch names stop
     * resolving. Stream-prefix reservations survive the root rewrite.
+    *
+    * Crash contract: an IN-PLACE rewrite like
+    * [[compactMemorizationIndex]] — a crash mid-sequence leaves a
+    * partial layout; run in a maintenance window, recover by rebuild
+    * from source. Folded and kept frames are materialized before the
+    * root overwrite.
     */
   def compactMemorizationIndexKeeping(
       spark: org.apache.spark.sql.SparkSession, dir: String,
