@@ -36,6 +36,12 @@ class IndexLifecycleSpec extends SparkSpec {
         ckpt: String): org.apache.spark.sql.streaming.StreamingQuery
     def delete(rows: DataFrame, path: String, key: String): Unit
     def compact(path: String): Unit
+    /** Bounded-history retention: fold everything not in `keep`. */
+    def retain(path: String, keep: Seq[String]): Unit
+    /** The addressable batch name of stream micro-batch `i` (the
+      * vector/BM25 sinks key by the raw numeric id; the gram sink
+      * prefixes). */
+    def streamBatch(i: Int): String
     def serve(path: String): Seq[String]
     def serveAsOf(path: String, batches: Seq[String]): Seq[String]
     /** BM25 scopes delete corrections by NAMED delete batch; the IVF
@@ -74,6 +80,9 @@ class IndexLifecycleSpec extends SparkSpec {
     def delete(rows: DataFrame, path: String, key: String) =
       Similarity.deleteFromIvfIndex(rows.select(col("vec_id")), path, key)
     def compact(path: String) = Similarity.compactIvfIndex(spark, path)
+    def retain(path: String, keep: Seq[String]) =
+      Similarity.compactIvfIndexKeeping(spark, path, keep)
+    def streamBatch(i: Int) = i.toString
     def asOfNamesDeletes = false
   }
 
@@ -163,6 +172,9 @@ class IndexLifecycleSpec extends SparkSpec {
     def delete(rows: DataFrame, path: String, key: String) =
       SearchOps.deleteFromBm25Index(rows.select(col("doc_id")), path, key)
     def compact(path: String) = SearchOps.compactBm25Index(spark, path)
+    def retain(path: String, keep: Seq[String]) =
+      SearchOps.compactBm25IndexKeeping(spark, path, keep)
+    def streamBatch(i: Int) = i.toString
     def serve(path: String) =
       render(SearchOps.searchBm25FromIndex(spark, path, terms, 10))
     def serveAsOf(path: String, batches: Seq[String]) =
@@ -193,6 +205,10 @@ class IndexLifecycleSpec extends SparkSpec {
         rows, path, key, 3)
     def compact(path: String) =
       graft.textanalysis.TextAnalysis.compactMemorizationIndex(spark, path)
+    def retain(path: String, keep: Seq[String]) =
+      graft.textanalysis.TextAnalysis
+        .compactMemorizationIndexKeeping(spark, path, keep)
+    def streamBatch(i: Int) = s"stream-$i"
     def serve(path: String) = render(
       graft.textanalysis.TextAnalysis.readMemorizationIndexMerged(
         spark, path).orderBy("g"))
@@ -270,6 +286,24 @@ class IndexLifecycleSpec extends SparkSpec {
     val mid = (base ++ a1).filterNot(del1.contains)
     assert(f.serveAsOf(idx, visible) === rebuildServe(f, rowsOf(mid)),
       s"${f.name}: as-of(mid) ≠ rebuild on the visible live set")
+
+    // 5b. RETENTION mid-history: fold everything except the SECOND
+    // stream batch — serving must be invariant, the kept batch must
+    // still replay alone (pre-erasure for the named-delete families,
+    // erased for the retroactive ones — the folded deletes' kept-part
+    // corrections survive as "retained"), and the folded append's
+    // name must fail loudly
+    f.retain(idx, Seq(f.streamBatch(1)))
+    assert(f.serve(idx) === rebuildServe(f, rowsOf(live4)),
+      s"${f.name}: retention changed serving")
+    val s1Visible = if (f.asOfNamesDeletes) s1
+      else s1.filterNot(i => i % 3 == 2)
+    assert(f.serveAsOf(idx, Seq(f.streamBatch(1))) ===
+      rebuildServe(f, rowsOf(s1Visible)),
+      s"${f.name}: kept stream batch no longer replays after retention")
+    intercept[IllegalArgumentException] {
+      f.serveAsOf(idx, Seq("app1"))
+    }
 
     // 6. compact: serving unchanged, tombstones physically gone,
     // stale pre-compaction names fail LOUDLY afterward
