@@ -640,4 +640,132 @@ class PropertySpec extends SparkSpec {
       assert(got(id) === x.toSet.intersect(y.toSet).size, s"pair $id")
     }
   }
+
+  test("IVF retention preserves the serving and as-of algebra for " +
+      "arbitrary batch/delete/keep partitions") {
+    import graft.similarity.Similarity
+    val rnd = new scala.util.Random(42)
+    val emb = Tables.embeddings(spark, sfDir).limit(40)
+      .select("vec_id", "embedding").cache()
+    val cents = Similarity.seedCentroids(emb, 4)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    def rowsOf(s: Seq[Long]) =
+      emb.filter(col("vec_id").isin(s.map(Long.box): _*))
+    def toIdDf(s: Seq[Long]) = s.toDF("vec_id")
+    for (scenario <- 1 to 4) {
+      val nApp = 1 + rnd.nextInt(3)
+      // id 0 pins the base nonempty; appends may come out empty and
+      // then simply don't exist as batches
+      val assign = allIds.map(id =>
+        id -> (if (id == allIds.head) 0 else rnd.nextInt(nApp + 1))).toMap
+      val batchIds = (0 to nApp).map(b =>
+        b -> allIds.filter(assign(_) == b).toSeq).toMap
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_retp$scenario").toString + "/idx"
+      Similarity.writeIvfIndex(rowsOf(batchIds(0)), cents, root)
+      val appNames = (1 to nApp).filter(b => batchIds(b).nonEmpty).map { b =>
+        Similarity.appendToIvfIndex(rowsOf(batchIds(b)), cents, root, s"a$b")
+        s"a$b"
+      }
+      val del1 = allIds.filter(_ => rnd.nextInt(4) == 0).toSeq
+      val del2 = allIds.filter(_ => rnd.nextInt(6) == 0).toSeq
+      if (del1.nonEmpty) Similarity.deleteFromIvfIndex(toIdDf(del1), root, "d1")
+      if (del2.nonEmpty) Similarity.deleteFromIvfIndex(toIdDf(del2), root, "d2")
+      val deleted = (del1 ++ del2).toSet
+      if (appNames.nonEmpty) {
+        val keep = rnd.shuffle(appNames).take(1 + rnd.nextInt(appNames.size))
+        Similarity.compactIvfIndexKeeping(spark, root, keep)
+        def ids(df: org.apache.spark.sql.DataFrame) =
+          df.select("vec_id").collect().map(_.getLong(0)).toSet
+        // serving invariant
+        assert(ids(Similarity.readIvfIndex(spark, root)) ===
+          allIds.toSet -- deleted, s"scenario $scenario serve")
+        // every kept batch replays alone (tombstones retroactive)
+        keep.foreach { k =>
+          val b = k.stripPrefix("a").toInt
+          assert(ids(Similarity.readIvfIndexAsOf(spark, root, Seq(k))) ===
+            batchIds(b).toSet -- deleted, s"scenario $scenario as-of $k")
+        }
+        // the folded window is the base
+        val keptIds = keep.flatMap(k =>
+          batchIds(k.stripPrefix("a").toInt)).toSet
+        assert(ids(Similarity.readIvfIndexAsOf(spark, root, Seq("build")))
+          === (allIds.toSet -- keptIds) -- deleted,
+          s"scenario $scenario as-of build")
+        // folded names fail loudly
+        appNames.filterNot(keep.contains).foreach { k =>
+          intercept[IllegalArgumentException] {
+            Similarity.readIvfIndexAsOf(spark, root, Seq(k))
+          }
+        }
+        // physical erasure outside the kept partitions
+        val raw = ids(spark.read.parquet(root))
+        assert(((deleted -- keptIds) & raw).isEmpty,
+          s"scenario $scenario physical")
+      }
+    }
+    emb.unpersist()
+  }
+
+  test("gram-index retention ≡ retrain for arbitrary batch/delete/keep " +
+      "partitions, including kept delete batches") {
+    import graft.textanalysis.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val docs = Tables.documents(spark, sfDir).limit(30)
+      .select("doc_id", "text").cache()
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    def rowsOf(s: Seq[Long]) =
+      docs.filter(col("doc_id").isin(s.map(Long.box): _*))
+    def gm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (scenario <- 1 to 3) {
+      val assign = allIds.map(id =>
+        id -> (if (id == allIds.head) 0 else rnd.nextInt(3))).toMap
+      val batchIds = (0 to 2).map(b =>
+        b -> allIds.filter(assign(_) == b).toSeq).toMap
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_gretp$scenario").toString
+      TextAnalysis.writeMemorizationIndex(
+        TextAnalysis.memorizationIndex(rowsOf(batchIds(0)), 3), root)
+      val appNames = (1 to 2).filter(b => batchIds(b).nonEmpty).map { b =>
+        TextAnalysis.appendToMemorizationIndex(rowsOf(batchIds(b)), root,
+          s"a$b", 3)
+        s"a$b"
+      }
+      // each doc deleted at most once (the membership contract)
+      val delDocs = allIds.filter(_ => rnd.nextInt(4) == 0).toSeq
+      val delNames =
+        if (delDocs.nonEmpty) {
+          TextAnalysis.deleteFromMemorizationIndex(rowsOf(delDocs), root,
+            "d1", 3)
+          Seq("d1")
+        } else Seq.empty
+      if (appNames.nonEmpty) {
+        // sometimes keep the delete batch too — its negatives must
+        // keep applying unfolded
+        val keep = rnd.shuffle(appNames).take(1 + rnd.nextInt(appNames.size)) ++
+          (if (delNames.nonEmpty && rnd.nextBoolean()) delNames else Seq.empty)
+        TextAnalysis.compactMemorizationIndexKeeping(spark, root, keep)
+        val survivors = allIds.filterNot(delDocs.contains).toSeq
+        assert(gm(TextAnalysis.readMemorizationIndexMerged(spark, root)) ===
+          gm(TextAnalysis.memorizationIndex(rowsOf(survivors), 3)),
+          s"scenario $scenario merged")
+        // a kept APPEND replays alone pre-erasure (named-delete rule)
+        keep.filter(_.startsWith("a")).foreach { k =>
+          val b = k.stripPrefix("a").toInt
+          assert(gm(TextAnalysis.readMemorizationIndexAsOf(spark, root,
+            Seq(k))) ===
+            gm(TextAnalysis.memorizationIndex(rowsOf(batchIds(b)), 3)),
+            s"scenario $scenario as-of $k")
+        }
+        // folded append names fail loudly
+        appNames.filterNot(keep.contains).foreach { k =>
+          intercept[IllegalArgumentException] {
+            TextAnalysis.readMemorizationIndexAsOf(spark, root, Seq(k))
+          }
+        }
+      }
+    }
+    docs.unpersist()
+  }
 }
