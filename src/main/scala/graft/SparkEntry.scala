@@ -1302,6 +1302,15 @@ object SparkEntry {
         s.read.parquet(builtQuantizedIvfIndex(s, d)),
         Tables.embeddings(s, d), seedCents16(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // The FOURTH compression lever: prefix truncation (Matryoshka) —
+    // recall@10 serving only the first d ∈ {8,16,32,64} components
+    // vs the full-dim exact ranking. No artifact, just a sliced
+    // scan at dim/d× less I/O; the measured decay is the
+    // un-front-loaded baseline (these embeddings are not
+    // MRL-trained). Static oracle replays every prefix ranking
+    "q_truncation_recall" -> ((s, d) =>
+      Similarity.truncationRecall(Tables.embeddings(s, d),
+        Seq(0L, 1L, 2L, 3L, 4L), 10, Seq(8, 16, 32, 64))),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -3934,6 +3943,22 @@ object SparkEntry {
         JOIN codes k ON k.vec_id = a.vec_id
         JOIN lut l ON l.query_id = p.query_id
                   AND l.sub = k.sub AND l.cid = k.cid
+        GROUP BY 1, 2"""
+
+  /** One truncation-recall readout at prefix length `d`, over the
+    * static v/qv/exact CTEs of q_truncation_recall.
+    */
+  private def truncationLevelSql(d: Int): String =
+    s"""SELECT $d AS dims, e.query_id, count(*) AS n_exact,
+          round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+        FROM exact e LEFT JOIN (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, v.vec_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(list_cosine_similarity(
+                  v.ve[1:$d], q.qe[1:$d]), 4) DESC, v.vec_id) AS rn
+            FROM v CROSS JOIN qv q) WHERE rn <= 10) a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         GROUP BY 1, 2"""
 
   /** One recall readout at probe width `np`, over the shared CTEs. */
@@ -7154,6 +7179,23 @@ object SparkEntry {
          FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
          WHERE a.cell IN (SELECT cid FROM probes)
          ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
+    // the truncation (Matryoshka) operating curve: every prefix
+    // ranking + the full-dim exact baseline replay — fully static
+    "q_truncation_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings),
+         qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+         exact AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                          v.vec_id) AS rn
+             FROM v CROSS JOIN qv q) WHERE rn <= 10)
+         SELECT * FROM (
+           ${truncationLevelSql(8)} UNION ALL ${truncationLevelSql(16)}
+           UNION ALL ${truncationLevelSql(32)} UNION ALL ${truncationLevelSql(64)})
+         ORDER BY dims, query_id""",
     // the int8 operating point: quantization replay + float routing
     // + the int8 ADC rankings for 5 queries at nProbe=2, against the
     // exact float baseline — all corpus-derived, so fully static

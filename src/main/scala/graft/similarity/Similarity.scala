@@ -1708,6 +1708,37 @@ object Similarity {
     servingRecall(embeddings, queryIds, k)(qv =>
       quantizedTopKFromIndex(index, cents, qv, k, nProbe))
 
+  /** Recall@k of PREFIX-truncated serving (the Matryoshka/MRL axis:
+    * store and rank only the first `d` components — dim/d× less scan
+    * I/O and memory with NO re-encoding artifact at all) against the
+    * full-dimension exact ranking, per prefix length. The FOURTH
+    * compression lever on the measured frontier, orthogonal to the
+    * other three: int8 narrows component WIDTH, PQ replaces
+    * components with codebook entries, the shortlist re-ranks — this
+    * one just drops tail components. Cosine needs no renormalization
+    * under truncation (both norms shrink together), so serving is a
+    * sliced scan of the same store. Note the embeddings here are NOT
+    * MRL-trained — the measured decay is the un-front-loaded
+    * baseline a deployment compares its trained curve against.
+    */
+  def truncationRecall(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "truncationRecall needs at least one prefix")
+    dims.map { d =>
+      servingRecall(embeddings, queryIds, k) { qv =>
+        val qLit = typedlit(qv.take(d).toVector)
+        embeddings
+          .select(col("vec_id"),
+            round(cosineFor(embeddings)(
+              slice(asDouble(col("embedding")), 1, d), qLit), 4)
+              .as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(k)
+      }.withColumn("dims", lit(d))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("dims"), col("query_id"))
+  }
+
   /** Centroid + codebook REFRESH for a written IVF-PQ index — the
     * drift-maintenance member of the composed family, and the one the
     * 100 TB argument weighs heaviest: the PQ store is doubly lossy

@@ -986,6 +986,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("truncationRecall: full-prefix recall is exactly 1, shorter " +
+      "prefixes match an independent truncated-ranking overlap") {
+    val rec = Similarity.truncationRecall(emb, Seq(0L, 2L), 5,
+      Seq(16, 64)).collect()
+      .map(r => (r.getInt(3), r.getLong(0)) -> r.getDouble(2)).toMap
+    // the full prefix IS the exact ranking — its recall row is the
+    // built-in sanity gate
+    assert(rec((64, 0L)) === 1.0 && rec((64, 2L)) === 1.0)
+    Seq(0L, 2L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val approx = emb
+        .select($"vec_id", $"embedding".cast("array<double>")).collect()
+        .map { r =>
+          val v = r.getSeq[Double](1).take(16)
+          val qd = q.take(16)
+          val cos = dot(v, qd) / (math.sqrt(dot(v, v)) * math.sqrt(dot(qd, qd)))
+          (r.getLong(0), BigDecimal(cos)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val exact = Similarity.bruteForceTopK(emb, qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(rec((16, qid)) ===
+        BigDecimal(approx.intersect(exact).size.toDouble / exact.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("retention compaction bounds history: folded batches collapse " +
       "into the base with erasure applied physically, kept batches " +
       "stay addressable, serving is invariant") {
