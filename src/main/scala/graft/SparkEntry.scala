@@ -1172,6 +1172,20 @@ object SparkEntry {
         s.read.parquet(builtPqIvfStreamedIndex(s, d) + "/idx"),
         seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
         nProbe = 2)),
+    // BATCHED ADC serving: 5 queries' top-10 in ONE pass over the
+    // union of their probed cells — the high-QPS economics (Q pruned
+    // scans collapse to one; per-query results identical to the
+    // single-query path, which the shared generated oracle gates)
+    "q_knn_pq_multi" -> ((s, d) => {
+      val qs = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+        .sortBy(_._1).toSeq
+      Similarity.pqMultiTopKFromIndex(
+        s.read.parquet(builtPqIvfIndex(s, d)), seedCents16(s, d),
+        pqCodebookFor(s, d), qs, 10, nProbe = 2)
+    }),
     // PQ operating-point evaluation: recall@10 of the written IVF-PQ
     // index's ADC ranking (nProbe=2 of 16 cells, 8-byte codes)
     // against exact float brute force for 5 queries — the doubly-
@@ -4005,6 +4019,17 @@ object SparkEntry {
              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
            GROUP BY ${if (tag) "1, 2" else "1"}"""
       Seq(
+        // the batched serve shares the per-query candidate replay:
+        // batched ≡ Q single-query serves is the hash gate
+        "q_knn_pq_multi" ->
+          s"""$shared
+             SELECT query_id, vec_id,
+               round(s6 / 1000000.0, 6) AS pq_sim FROM (
+               SELECT s.query_id, s.vec_id, s.s6,
+                 row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY round(s.s6 / 1000000.0, 6) DESC, s.vec_id) AS rn
+               FROM (${pqRecallCandSql(2)}) s) WHERE rn <= 10
+             ORDER BY query_id, pq_sim DESC, vec_id""",
         "q_pq_recall" ->
           s"""$shared
              SELECT query_id, n_exact, recall FROM (${level(2)})

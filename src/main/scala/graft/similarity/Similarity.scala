@@ -1631,6 +1631,51 @@ object Similarity {
     pqTopK(filtered, cb, queryVec, k)
   }
 
+  /** BATCHED ADC serving: top-k for MANY queries in ONE pass over
+    * the union of their probed cells — the high-QPS serving
+    * economics. Q queries against [[pqTopKFromIndex]] issue Q pruned
+    * scans; here the scan runs once, each scanned code row scores
+    * against every query's integer LUT (a literal array — no join),
+    * rows outside a query's own probe cells drop, and one bounded
+    * (query_id, vec_id, score) shuffle ranks per query. Per-query
+    * results are identical to the single-query path (spec-pinned);
+    * zero-norm queries have no probes and are absent. Output:
+    * (query_id, vec_id, pq_sim), k rows per servable query.
+    */
+  def pqMultiTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, queries: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int): DataFrame = {
+    require(queries.nonEmpty, "batched serving needs at least one query")
+    val perQuery = queries.map { case (qid, qv) =>
+      (qid, probeCells(cents, qv, nProbe).toSet, pqLut6(cb, qv))
+    }
+    val allCells = perQuery.flatMap(_._2).toSeq.distinct
+    val scanned =
+      if (allCells.isEmpty) index.filter(lit(false))
+      else index.filter(col("cell").isin(allCells: _*))
+    val entries = perQuery.map { case (qid, cells, lut) =>
+      val lutLit = typedlit(lut)
+      val s6 = (0 until cb.m).map(j =>
+        element_at(element_at(lutLit, j + 1),
+          element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+      val member =
+        if (cells.isEmpty) lit(false)
+        else col("cell").cast("int").isin(cells.toSeq: _*)
+      struct(lit(qid).as("query_id"), member.as("m"), s6.as("s6"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    scanned
+      .select(col("vec_id"), explode(array(entries: _*)).as("e"))
+      .filter(col("e.m"))
+      .select(col("e.query_id").as("query_id"), col("vec_id"),
+        round(col("e.s6") / 1e6, 6).as("pq_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("pq_sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("pq_sim").desc, col("vec_id"))
+  }
+
   /** Recall@k of the IVF-PQ serving path ([[pqTopKFromIndex]] — the
     * DOUBLY-lossy ranking: coarse cell pruning on top of 8-byte ADC
     * codes) against the exact float ranking — the [[annRecall]]
