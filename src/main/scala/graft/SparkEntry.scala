@@ -1325,6 +1325,16 @@ object SparkEntry {
     "q_truncation_recall" -> ((s, d) =>
       Similarity.truncationRecall(Tables.embeddings(s, d),
         Seq(0L, 1L, 2L, 3L, 4L), 10, Seq(8, 16, 32, 64))),
+    // ...and the FRONT-LOADED twin: the same prefixes after the
+    // corpus's principal rotation (PCA axes as a frozen literal
+    // artifact — Matryoshka-without-retraining). Prices exactly what
+    // variance front-loading buys back at each prefix; the full-dim
+    // level is the rotation-invariance sanity row. Generated oracle
+    // replays the projection and every prefix ranking
+    "q_truncation_recall_rotated" -> ((s, d) =>
+      Similarity.rotatedTruncationRecall(Tables.embeddings(s, d),
+        principalRotationFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
+        Seq(8, 16, 32, 64))),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -3679,6 +3689,18 @@ object SparkEntry {
         seedCents16(s, d), m = 8, ksub = 64, iterations = 2))
   }
 
+  /** Variance-front-loading rotation per corpus dir — the frozen PCA
+    * artifact q_truncation_recall_rotated serves and replays
+    * (same-JVM oracle-literal lifecycle as [[pqCodebookFor]]).
+    */
+  private val rotationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def principalRotationFor(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    lastOracleDir = d
+    rotationCache.computeIfAbsent(d, _ =>
+      Similarity.principalRotation(Tables.embeddings(s, d)))
+  }
+
   /** WIDE PQ codebook per corpus dir — the same m=8 code count with
     * full 8-bit books (ksub=256): the code-width operating point
     * q_pq_recall_wide prices against [[pqCodebookFor]]'s ksub=64.
@@ -4050,6 +4072,54 @@ object SparkEntry {
                ${refinedLevel(10, tag = true)} UNION ALL ${refinedLevel(20, tag = true)}
                UNION ALL ${refinedLevel(40, tag = true)} UNION ALL ${refinedLevel(80, tag = true)})
              ORDER BY shortlist, query_id""")
+    }
+  }
+
+  /** Oracle for q_truncation_recall_rotated (generated — the
+    * rotation prints as row literals): the replay projects every
+    * vector and query through the SAME index-order dot folds and
+    * re-ranks per prefix against the full-dim exact baseline.
+    */
+  private def rotatedTruncationOracle: Seq[(String, String)] = {
+    Option(lastOracleDir).flatMap(dd => Option(rotationCache.get(dd))).toSeq.map { rot =>
+      val dim = rot.length
+      val vals = rot.zipWithIndex.map { case (r, i) =>
+        s"($i, [${r.mkString(",")}]::DOUBLE[])" }.mkString(", ")
+      def lvl(d: Int) =
+        s"""SELECT $d AS dims, e.query_id, count(*) AS n_exact,
+              round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+            FROM exact e LEFT JOIN (
+              SELECT query_id, vec_id FROM (
+                SELECT qa.query_id, pa.vec_id,
+                  row_number() OVER (PARTITION BY qa.query_id
+                    ORDER BY round(list_cosine_similarity(
+                      pa.pv[1:$d], qa.qp[1:$d]), 4) DESC, pa.vec_id) AS rn
+                FROM pa CROSS JOIN qa) WHERE rn <= 10) a
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+            GROUP BY 1, 2"""
+      "q_truncation_recall_rotated" ->
+        s"""WITH rot AS (SELECT row, rv FROM (VALUES $vals) t(row, rv)),
+           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                  WHERE vec_id IN (0, 1, 2, 3, 4)),
+           proj AS (SELECT v.vec_id, r.row,
+               list_reduce([v.ve[i] * r.rv[i] for i in range(1, ${dim + 1})],
+                 (a, b) -> a + b) AS p
+             FROM v CROSS JOIN rot r),
+           pa AS (SELECT vec_id, list(p ORDER BY row) AS pv
+                  FROM proj GROUP BY 1),
+           qa AS (SELECT q.query_id, p.pv AS qp
+                  FROM qv q JOIN pa p ON p.vec_id = q.query_id),
+           exact AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v CROSS JOIN qv q) WHERE rn <= 10)
+           SELECT * FROM (
+             ${lvl(8)} UNION ALL ${lvl(16)} UNION ALL ${lvl(32)}
+             UNION ALL ${lvl(64)})
+           ORDER BY dims, query_id"""
     }
   }
 
@@ -4766,7 +4836,8 @@ object SparkEntry {
         "q_retrieval_eval_asof" -> retrievalEvalAsOfSql) ++
       ivfKmeansOracle ++ ivfReclusterOracle ++ ivfReclusterRecallOracle ++
       pqOracle ++ pqRecallOracle ++ pqWideRecallOracle ++
-      residualPqOracles ++ pqReclusterRecallOracle ++
+      residualPqOracles ++ rotatedTruncationOracle ++
+      pqReclusterRecallOracle ++
       bpeVocabOracle ++ bpeCoverageOracle ++
       bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
   }

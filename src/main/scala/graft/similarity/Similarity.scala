@@ -1631,6 +1631,155 @@ object Similarity {
     pqTopK(filtered, cb, queryVec, k)
   }
 
+  /** The corpus's (un-normalized) second-moment matrix E-ish[x xᵀ]
+    * — ONE exploded scan + a (dim groups × dim sums) aggregation,
+    * never a driver-side corpus pass; the dim×dim result is bounded
+    * driver state (the PCA input for [[principalRotation]]).
+    * Normalization is skipped deliberately: eigenvectors are scale-
+    * invariant, and the un-normalized sums avoid a second pass.
+    */
+  private[graft] def secondMoments(embeddings: DataFrame): Array[Array[Double]] = {
+    val first = embeddings.select(asDouble(col("embedding")).as("e"))
+      .filter(col("e").isNotNull).limit(1).collect()
+    require(first.nonEmpty, "second moments need a non-empty table")
+    val dim = first.head.getSeq[Double](0).length
+    val exprs = (0 until dim).map(j =>
+      sum(col("xi") * element_at(col("__v"), j + 1)).as(s"c$j"))
+    val rows = embeddings
+      .select(asDouble(col("embedding")).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(exprs.head, exprs.tail: _*)
+      .collect()
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      (0 until dim).foreach(j => m(i)(j) = r.getDouble(j + 1))
+    }
+    m
+  }
+
+  /** Cyclic-Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, fixed iteration budget), no
+    * external library. Returns (eigenvalues, eigenvectors as ROWS),
+    * unsorted.
+    */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var done = false
+    while (sweep < 64 && !done) {
+      var off = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { off += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      if (off < 1e-20) done = true
+      else {
+        p = 0
+        while (p < n) {
+          var q = p + 1
+          while (q < n) {
+            val apq = a(p)(q)
+            if (math.abs(apq) > 1e-16) {
+              val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+              val t =
+                if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1))
+                else -1.0 / (-theta + math.sqrt(theta * theta + 1))
+              val c = 1.0 / math.sqrt(t * t + 1)
+              val s = t * c
+              var i = 0
+              while (i < n) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq
+                a(i)(q) = s * aip + c * aiq
+                i += 1
+              }
+              i = 0
+              while (i < n) {
+                val api = a(p)(i); val aqi = a(q)(i)
+                a(p)(i) = c * api - s * aqi
+                a(q)(i) = s * api + c * aqi
+                i += 1
+              }
+              i = 0
+              while (i < n) {
+                val vip = v(i)(p); val viq = v(i)(q)
+                v(i)(p) = c * vip - s * viq
+                v(i)(q) = s * vip + c * viq
+                i += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    val eig = Array.tabulate(n)(i => a(i)(i))
+    val rows = Array.tabulate(n, n)((r, i) => v(i)(r)) // eigvec r as row
+    (eig, rows)
+  }
+
+  /** The variance-FRONT-LOADING rotation: principal axes of the
+    * corpus's second moments, rows sorted by eigenvalue descending —
+    * the frozen artifact that makes prefix truncation meaningful on
+    * encoders that were not MRL-trained. Deterministic given the
+    * aggregation's sums (same-JVM oracle-literal lifecycle, the
+    * pqBuild precedent).
+    */
+  def principalRotation(embeddings: DataFrame): Seq[Seq[Double]] = {
+    val (eig, rows) = jacobiEigen(secondMoments(embeddings))
+    eig.zipWithIndex.sortBy { case (e, i) => (-e, i) }
+      .map { case (_, i) => rows(i).toVector }.toVector
+  }
+
+  /** Recall@k of ROTATED-prefix truncation: rank by cosine over the
+    * first `d` components of R·v (R = [[principalRotation]] rows as
+    * frozen literals; components are per-row index-order folds, so
+    * an engine replay is bit-identical). The [[truncationRecall]]
+    * twin that prices what front-loading buys back: cosine is
+    * invariant under the full rotation (the d = dim level ≈ 1.0 is
+    * the sanity row), and the high-variance prefix should beat the
+    * raw prefix wherever the spectrum is skewed.
+    */
+  def rotatedTruncationRecall(embeddings: DataFrame,
+      rot: Seq[Seq[Double]], queryIds: Seq[Long], k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "rotated truncation needs at least one prefix")
+    def projCol(vc: Column, d: Int): Column =
+      array((0 until d).map(r =>
+        aggregate(zip_with(vc, typedlit(rot(r).toVector),
+          (x, y) => x * y), lit(0.0), (acc, x) => acc + x)): _*)
+    def projQ(qv: Seq[Double], d: Int): Vector[Double] =
+      (0 until d).map { r =>
+        var s = 0.0; var i = 0
+        val row = rot(r)
+        val n = math.min(row.length, qv.length)
+        while (i < n) { s += qv(i) * row(i); i += 1 }
+        s
+      }.toVector
+    dims.map { d =>
+      servingRecall(embeddings, queryIds, k) { qv =>
+        embeddings
+          .select(col("vec_id"),
+            round(cosineFor(embeddings)(
+              projCol(asDouble(col("embedding")), d),
+              typedlit(projQ(qv, d))), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(k)
+      }.withColumn("dims", lit(d))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("dims"), col("query_id"))
+  }
+
   /** BATCHED ADC serving: top-k for MANY queries in ONE pass over
     * the union of their probed cells — the high-QPS serving
     * economics. Q queries against [[pqTopKFromIndex]] issue Q pruned

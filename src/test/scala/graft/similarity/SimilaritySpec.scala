@@ -1047,6 +1047,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("principalRotation is orthonormal with a descending spectrum; " +
+      "rotated full-dim serving is rotation-invariant") {
+    val rot = Similarity.principalRotation(emb)
+    val n = rot.length
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // rows are orthonormal (R Rᵀ = I within numerical tolerance)
+    for (i <- 0 until n; j <- i until n) {
+      val d = dot(rot(i), rot(j))
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"row $i norm $d")
+      else assert(math.abs(d) < 1e-9, s"rows $i,$j dot $d")
+    }
+    // the spectrum is front-loaded: projected second moments
+    // descend along the row order (the sort contract)
+    val m = Similarity.secondMoments(emb)
+    def quad(r: Seq[Double]): Double =
+      (0 until n).map(i => (0 until n).map(j =>
+        r(i) * m(i)(j) * r(j)).sum).sum
+    val spectrum = rot.map(quad)
+    spectrum.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b - 1e-6, s"spectrum not descending: $spectrum")
+    }
+    // full-dim rotated ranking ≡ the unrotated exact ranking (cosine
+    // invariance under an orthogonal transform, modulo rounding)
+    val rec = Similarity.rotatedTruncationRecall(emb, rot, Seq(0L, 2L),
+      5, Seq(n)).collect()
+    rec.foreach(r => assert(r.getDouble(2) === 1.0, r.toString))
+  }
+
   test("retention compaction bounds history: folded batches collapse " +
       "into the base with erasure applied physically, kept batches " +
       "stay addressable, serving is invariant") {
