@@ -117,11 +117,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":$qs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":$qs,"sf":"$sfDir"}"""
+    println(fullJson)
     // the per-query dict above can exceed the driver's tail capture —
     // repeat the headline number LAST in a short line so the round's
     // total always survives truncation
     println(s"""{"metric":"total_only","value":$total,"unit":"sec","calibration_s":$calibration,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // persist the COMPLETE timing map to a file: the driver's stdout
+    // tail truncates past ~50 per-query lines, and cross-round
+    // common-line audits need every declared query's number, not a
+    // 20% sample. Default lands in the repo root for commit;
+    // override with SPARK_GRAFT_BENCH_OUT.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -390,6 +390,63 @@ object SparkEntry {
         s.read.parquet(builtPqIvfIndex(s, d)), Tables.embeddings(s, d),
         seedCents16(s, d), pqCodebookFor(s, d), Seq("merge", "query"),
         queryVec0(s, d), 10)),
+    // The hybrid stack's OPERATING POINT (round-13 verdict #1):
+    // MRR/P@10/R@10 of the fully-served fused ranking for 3 eval
+    // queries against the SAME deterministic relevance rule — and
+    // through the SAME exact-rational metric tail — as
+    // q_retrieval_eval, so the lexical eval beside it is directly
+    // comparable: what does RRF fusion do to end-to-end quality?
+    // Generated oracle replays both branches, the fusion, the
+    // relevance rule, and the metrics
+    "q_hybrid_eval" -> ((s, d) =>
+      SearchOps.hybridEval(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqIvfIndex(s, d)), Tables.embeddings(s, d),
+        seedCents16(s, d), pqCodebookFor(s, d), hybridEvalQueries, 10)),
+    // ...and the DRIFT story for the fused stack: the semantic branch
+    // serves the DRIFTED corpus (the q_pq_recluster_recall fixture)
+    // through the stale pre-drift PQ index vs the reclustered one,
+    // while the lexical branch and the relevance rule stay on the
+    // un-drifted documents — measuring whether lexical fusion masks
+    // semantic drift end-to-end, and what the recluster buys back
+    "q_hybrid_eval_drift" -> ((s, d) => {
+      val de = driftedEmbeddings(s, d)
+      val stale = SearchOps.hybridEval(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqDriftStaleIndex(s, d)), de,
+        seedCents16(s, d), pqCodebookFor(s, d), hybridEvalQueries, 10)
+      val fresh = SearchOps.hybridEval(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqDriftFreshIndex(s, d)), de,
+        driftedCentroids(s, d), driftedPqCodebook(s, d),
+        hybridEvalQueries, 10)
+      stale.withColumn("state", lit("1-stale"))
+        .unionByName(fresh.withColumn("state", lit("2-refreshed")))
+        .select(col("state"), col("query_label"), col("n_relevant"),
+          col("n_hit"), col("first_rank"), col("mrr"), col("p_at_k"),
+          col("r_at_k"))
+        .orderBy(col("state"), col("query_label"))
+    }),
+    // The measurement q_hybrid_eval_drift's lexical rule CANNOT make
+    // (its stale ≡ refreshed rows are the finding: fusion is
+    // invariant to which irrelevant candidates the semantic branch
+    // supplies): fused recall against the exact SEMANTIC baseline
+    // for DRIFTED queries — the stale branch's routing loss reaches
+    // the fused number, and the lexical branch's fixed share of the
+    // fused slots quantifies how much fusion dampens both the drop
+    // and the recluster's recovery vs the pure-semantic 0.32→0.44
+    "q_hybrid_drift_recall" -> ((s, d) => {
+      val de = driftedEmbeddings(s, d)
+      val dq = hybridEvalQueries.zip(Seq(2000000L, 2000010L, 2000020L))
+        .map { case ((l, ts, _), vid) => (l, ts, vid) }
+      val stale = SearchOps.hybridSemanticRecall(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqDriftStaleIndex(s, d)), de,
+        seedCents16(s, d), pqCodebookFor(s, d), dq, 10)
+        .select(col("query_id"), col("n_exact"),
+          col("recall").as("recall_stale"))
+      val fresh = SearchOps.hybridSemanticRecall(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqDriftFreshIndex(s, d)), de,
+        driftedCentroids(s, d), driftedPqCodebook(s, d), dq, 10)
+        .select(col("query_id"), col("recall").as("recall_refreshed"))
+      stale.join(fresh, Seq("query_id")).orderBy(col("query_id"))
+    }),
     // Training-data prep: PII stripped from flagged docs (narrow).
     // The synthetic corpus carries no PII, so identifiers are planted
     // deterministically (same construction in the oracle) — the
@@ -1176,16 +1233,28 @@ object SparkEntry {
     // union of their probed cells — the high-QPS economics (Q pruned
     // scans collapse to one; per-query results identical to the
     // single-query path, which the shared generated oracle gates)
-    "q_knn_pq_multi" -> ((s, d) => {
-      val qs = Tables.embeddings(s, d)
-        .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
-        .sortBy(_._1).toSeq
+    "q_knn_pq_multi" -> ((s, d) =>
       Similarity.pqMultiTopKFromIndex(
         s.read.parquet(builtPqIvfIndex(s, d)), seedCents16(s, d),
-        pqCodebookFor(s, d), qs, 10, nProbe = 2)
-    }),
+        pqCodebookFor(s, d), multiQueryVecs(s, d), 10, nProbe = 2)),
+    // Batched one-scan serving for the FLOAT store (round-13 verdict
+    // #2): the pqMultiTopKFromIndex trick with per-query literal
+    // query vectors instead of LUTs — 5 queries, one pass over the
+    // union of their probed cells, one bounded (query_id, vec_id,
+    // score) shuffle. Batched ≡ 5 single serves is the hash gate
+    // (the oracle replays each query's pruned ranking)
+    "q_knn_ivf_multi" -> ((s, d) =>
+      Similarity.ivfMultiTopKFromIndex(
+        s.read.parquet(builtIvfIndex(s, d)), seedCents16(s, d),
+        multiQueryVecs(s, d), 10, nProbe = 2)),
+    // ...and for the COMPRESSED (int8) store — the high-QPS hot tier
+    // where the one-scan batching pays most: exact integer dots
+    // against every query's quantized literal, dequantized by the
+    // two scales exactly as the single-query path
+    "q_knn_quantized_multi" -> ((s, d) =>
+      Similarity.quantizedMultiTopKFromIndex(
+        s.read.parquet(builtQuantizedIvfIndex(s, d)), seedCents16(s, d),
+        multiQueryVecs(s, d), 10, nProbe = 2)),
     // PQ operating-point evaluation: recall@10 of the written IVF-PQ
     // index's ADC ranking (nProbe=2 of 16 cells, 8-byte codes)
     // against exact float brute force for 5 queries — the doubly-
@@ -1335,6 +1404,29 @@ object SparkEntry {
       Similarity.rotatedTruncationRecall(Tables.embeddings(s, d),
         principalRotationFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
         Seq(8, 16, 32, 64))),
+    // ROTATION UNDER DRIFT (round-13 verdict #5, completing the
+    // fourth compression axis's maintenance story): the rotation is
+    // trained on the REFERENCE corpus, then a variance-shifted
+    // re-ingest lands (upper-half components ×4 — the negation
+    // fixture can't move second moments) and drifted-batch queries
+    // serve through rotated-prefix truncation — recall with the
+    // stale rotation vs one re-trained on the drifted corpus, per
+    // prefix. Generated oracle replays BOTH projections, both
+    // rankings, and the exact baseline over the drifted corpus
+    "q_truncation_drift" -> ((s, d) => {
+      val de = varianceDriftedEmbeddings(s, d)
+      val qids = Seq(3000000L, 3000004L, 3000008L, 3000012L, 3000016L)
+      val stale = Similarity.rotatedTruncationRecall(de,
+        principalRotationFor(s, d), qids, 10, Seq(8, 16))
+        .select(col("dims"), col("query_id"), col("n_exact"),
+          col("recall").as("recall_stale"))
+      val fresh = Similarity.rotatedTruncationRecall(de,
+        driftedRotationFor(s, d), qids, 10, Seq(8, 16))
+        .select(col("dims"), col("query_id"),
+          col("recall").as("recall_refreshed"))
+      stale.join(fresh, Seq("dims", "query_id"))
+        .orderBy(col("dims"), col("query_id"))
+    }),
     // Similarity: embedding-cosine near-dup over planted copies
     "q_embedding_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -2336,6 +2428,18 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // RETENTION for the batch-stamped CATALOG layouts (round-13
+    // verdict #4): the segment-dedup sink's accumulated corpus after
+    // three sequential micro-batches, with all but the last batch's
+    // partitions folded to the collapsed base on BOTH tables
+    // (compactBatchOutputKeeping). The oracle replays the full
+    // sequential first-occurrence semantics, so retention-invariance
+    // of the accumulated output IS the hash gate
+    "q_segment_dedup_retained" -> ((s, d) =>
+      s.read.parquet(builtSegmentRetainedOut(s, d) + "/out")
+        .select(col("doc_id"), col("text"), col("n_kept"),
+          col("n_segments"))
+        .orderBy(col("doc_id"))),
     // Deterministic global shuffle for training order: md5 shard
     // assignment + dense in-shard position
     "q_training_shards" -> ((s, d) =>
@@ -2449,6 +2553,17 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toVector)
   }
+
+  /** The shared 5-query batch every batched-serving entry uses —
+    * bounded driver collect (5 rows), sorted by id for determinism.
+    */
+  private def multiQueryVecs(s: SparkSession,
+      d: String): Seq[(Long, Seq[Double])] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
+      .sortBy(_._1).toSeq
 
   /** One build-once scratch index per (prefix, corpus path): the
     * keying scheme — md5 of the FULL path + the pid — lives here only,
@@ -2656,6 +2771,28 @@ object SparkEntry {
   private def builtSubstrOccTable(s: SparkSession, d: String): String =
     builtTable("graft_ssocc", d) { t =>
       Dedup.stageWindowOccurrences(Tables.documents(s, d), t)
+    }
+
+  /** Build-once 3-batch segment-dedup sink replay WITH retention:
+    * the corpus arrives as three sequential micro-batches
+    * (doc_id % 3 = 0, 1, 2) through the real
+    * [[graft.streaming.Pipelines.processSegmentDedupBatch]] core,
+    * then [[graft.streaming.Pipelines.compactBatchOutputKeeping]]
+    * folds all but the LAST batch's partitions on BOTH accumulated
+    * tables (digest index + rebuilt corpus) — the bounded-history
+    * maintenance for the batch-stamped catalog layouts.
+    */
+  private def builtSegmentRetainedOut(s: SparkSession, d: String): String =
+    builtIndexDir("graft_segret", d) { p =>
+      val docs = Tables.documents(s, d)
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.streaming.Pipelines.processSegmentDedupBatch(
+          docs.filter(col("doc_id") % 3 === b), p + "/idx", p + "/out", b)
+      }
+      graft.streaming.Pipelines.compactBatchOutputKeeping(s, p + "/idx",
+        Seq("2"))
+      graft.streaming.Pipelines.compactBatchOutputKeeping(s, p + "/out",
+        Seq("2"))
     }
 
   /** Stage-once tokenized corpus bucketed by doc id — the rebuild
@@ -3701,6 +3838,34 @@ object SparkEntry {
       Similarity.principalRotation(Tables.embeddings(s, d)))
   }
 
+  /** The VARIANCE-SHIFT drift fixture for the rotation axis: a
+    * re-ingest batch (ids + 3000000, every 4th base row) whose upper
+    * 32 components are amplified ×4 — unlike the negation fixture
+    * (whose xxᵀ outer products are negation-invariant, so second
+    * moments barely move), this concentrates new variance in a
+    * subspace the reference-trained rotation did not front-load.
+    * ×4 is exact in IEEE, so both engines replay it bit-identically.
+    */
+  private def varianceDriftedEmbeddings(s: SparkSession,
+      d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val boosted = e.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i >= 32, x * 4.0).otherwise(x)).as("embedding"))
+    e.unionByName(boosted)
+  }
+
+  private val rotationDriftCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def driftedRotationFor(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    lastOracleDir = d
+    rotationDriftCache.computeIfAbsent(d, _ =>
+      Similarity.principalRotation(varianceDriftedEmbeddings(s, d)))
+  }
+
   /** WIDE PQ codebook per corpus dir — the same m=8 code count with
     * full 8-bit books (ksub=256): the code-width operating point
     * q_pq_recall_wide prices against [[pqCodebookFor]]'s ksub=64.
@@ -4123,6 +4288,73 @@ object SparkEntry {
     }
   }
 
+  /** Oracle for q_truncation_drift (generated — BOTH rotations print
+    * as row literals): the drifted corpus reconstructs in SQL (×4 is
+    * IEEE-exact), each rotation projects every vector and query
+    * through the same index-order folds, and the two per-prefix
+    * rankings join against one exact full-dim baseline.
+    */
+  private def truncationDriftOracle: Seq[(String, String)] = {
+    (for {
+      dd <- Option(lastOracleDir)
+      rotS <- Option(rotationCache.get(dd))
+      rotF <- Option(rotationDriftCache.get(dd))
+    } yield {
+      val dim = rotS.length
+      def rotVals(rot: Seq[Seq[Double]]): String =
+        rot.zipWithIndex.map { case (r, i) =>
+          s"($i, [${r.mkString(",")}]::DOUBLE[])" }.mkString(", ")
+      def side(tag: String): String =
+        s"""proj$tag AS (SELECT v.vec_id, r.row,
+               list_reduce([v.ve[i] * r.rv[i] for i in range(1, ${dim + 1})],
+                 (a, b) -> a + b) AS p
+             FROM v CROSS JOIN rot$tag r),
+           pa$tag AS (SELECT vec_id, list(p ORDER BY row) AS pv
+                  FROM proj$tag GROUP BY 1),
+           qa$tag AS (SELECT q.query_id, p.pv AS qp
+                  FROM qv q JOIN pa$tag p ON p.vec_id = q.query_id)"""
+      def lvl(tag: String, d: Int) =
+        s"""SELECT $d AS dims, e.query_id, count(*) AS n_exact,
+              round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+            FROM exact e LEFT JOIN (
+              SELECT query_id, vec_id FROM (
+                SELECT qa.query_id, pa.vec_id,
+                  row_number() OVER (PARTITION BY qa.query_id
+                    ORDER BY round(list_cosine_similarity(
+                      pa.pv[1:$d], qa.qp[1:$d]), 4) DESC, pa.vec_id) AS rn
+                FROM pa$tag pa CROSS JOIN qa$tag qa) WHERE rn <= 10) a
+              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+            GROUP BY 1, 2"""
+      "q_truncation_drift" ->
+        s"""WITH rots AS (SELECT row, rv FROM (VALUES ${rotVals(rotS)}) t(row, rv)),
+           rotf AS (SELECT row, rv FROM (VALUES ${rotVals(rotF)}) t(row, rv)),
+           base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings),
+           v AS (SELECT vec_id, ve FROM base
+                 UNION ALL
+                 SELECT vec_id + 3000000,
+                   [CASE WHEN i > 32 THEN ve[i] * 4.0 ELSE ve[i] END
+                    for i in range(1, ${dim + 1})]
+                 FROM base WHERE vec_id % 4 = 0),
+           qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
+                  WHERE vec_id IN (3000000, 3000004, 3000008, 3000012, 3000016)),
+           ${side("s")},
+           ${side("f")},
+           exact AS (SELECT query_id, vec_id FROM (
+               SELECT q.query_id, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v CROSS JOIN qv q) WHERE rn <= 10)
+           SELECT st.dims, st.query_id, st.n_exact,
+             st.recall AS recall_stale, fr.recall AS recall_refreshed
+           FROM (${lvl("s", 8)} UNION ALL ${lvl("s", 16)}) st
+           JOIN (${lvl("f", 8)} UNION ALL ${lvl("f", 16)}) fr
+             USING (dims, query_id)
+           ORDER BY dims, query_id"""
+    }).toSeq
+  }
+
   /** Oracle for q_pq_recall_wide — the ksub=256 book through the SAME
     * shared replay text as q_pq_recall (one SQL shape, two operating
     * points).
@@ -4334,6 +4566,243 @@ object SparkEntry {
              ON aa.query_id = e.query_id AND aa.vec_id = e.vec_id
            GROUP BY 1 ORDER BY 1"""
     }
+  }
+
+  /** The 3-query eval batch the hybrid operating-point entries share:
+    * (label, query terms, query-vector id). The labels and terms are
+    * q_retrieval_eval's, so the lexical eval next to the fused eval
+    * is directly comparable.
+    */
+  private val hybridEvalQueries: Seq[(String, Seq[String], Long)] = Seq(
+    ("merge+query", Seq("merge", "query"), 0L),
+    ("sort+window", Seq("sort", "window"), 1L),
+    ("spark+data", Seq("spark", "data"), 2L))
+
+  /** Oracles for q_hybrid_eval and q_hybrid_eval_drift (generated —
+    * the codebooks and drifted centroids print as literals): the SQL
+    * replays, per eval query, BOTH serving branches (the bucket-
+    * pruned BM25 top-20 and the IVF-PQ two-stage shortlist→re-rank
+    * top-20), the RRF fusion, the deterministic relevance rule, and
+    * the exact-rational metric tail — q_retrieval_eval's text
+    * parameterized per fused ranking, so the fused MRR/P@k/R@k
+    * numbers themselves are hash-gated. The drift variant replays
+    * two complete semantic sides (stale book + seed routing vs
+    * re-trained book + drifted routing) over the drifted corpus
+    * against ONE shared lexical/relevance block.
+    */
+  private def hybridEvalOracle: Seq[(String, String)] = {
+    val qtVals = hybridEvalQueries
+      .flatMap { case (l, ts, _) => ts.map(t => s"('$l', '$t')") }
+      .mkString(", ")
+    val qvVals = hybridEvalQueries
+      .map { case (l, _, id) => s"('$l', $id)" }.mkString(", ")
+    // the shared lexical branch + relevance rule + label universe —
+    // q_retrieval_eval's corpus replay with the branch depth of 20
+    val lexRel =
+      s"""dcorp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         ddl AS (SELECT doc_id, len(ws) AS dl, ws FROM dcorp),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ddl),
+         tfq AS (SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM ddl)
+                WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+         scq AS (SELECT qt.query_label, tfq.doc_id,
+             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+               * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
+             count(*) AS n_present, min(tfq.tf) AS min_tf
+           FROM tfq JOIN dfreq USING (term) CROSS JOIN stats
+             JOIN qt USING (term)
+           GROUP BY qt.query_label, tfq.doc_id),
+         qs AS (SELECT query_label, count(*) AS n_terms FROM qt
+                GROUP BY query_label),
+         lex AS (SELECT query_label, doc_id,
+             CAST(rk AS INTEGER) AS lex_rank FROM (
+             SELECT query_label, doc_id, row_number() OVER (
+               PARTITION BY query_label ORDER BY bm25 DESC, doc_id) AS rk
+             FROM scq) WHERE rk <= 20),
+         rel AS (SELECT scq.query_label, scq.doc_id
+                 FROM scq JOIN qs USING (query_label)
+                 WHERE n_present = n_terms AND min_tf >= 3),
+         nrel AS (SELECT query_label, count(*) AS n_relevant FROM rel
+                  GROUP BY query_label)"""
+    // one complete semantic side + fusion + per-query ranking, CTE
+    // names suffixed by `tag`: `scCte` carries the (vec, centroid)
+    // rounded cosines of that side's routing, `book` its codebook
+    def semSide(tag: String, book: String, scCte: String,
+        sd: Int): String =
+      s"""probes$tag AS (SELECT qv.query_label, p.ccid AS cell
+           FROM qv JOIN (
+             SELECT vec_id, ccid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ccid) AS rn
+             FROM $scCte) p ON p.vec_id = qv.qvid WHERE p.rn <= 2),
+         assign$tag AS (SELECT vec_id, ccid AS cell FROM (
+             SELECT vec_id, ccid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, ccid) AS rn
+             FROM $scCte) WHERE rn = 1),
+         dist$tag AS (SELECT v.vec_id, c.sub, c.cid,
+             round(list_reduce(
+               [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
+                for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
+           FROM v CROSS JOIN $book c),
+         codes$tag AS (SELECT vec_id, sub, cid FROM (
+             SELECT vec_id, sub, cid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd ASC, cid) AS rn
+             FROM dist$tag) WHERE rn = 1),
+         lut$tag AS (SELECT q.query_label, c.sub, c.cid,
+             CAST(round(list_reduce(
+               [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
+               (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
+           FROM $book c CROSS JOIN q),
+         s6$tag AS (SELECT p.query_label, a.vec_id, sum(l.l6) AS s6
+             FROM assign$tag a
+             JOIN probes$tag p ON p.cell = a.cell
+             JOIN codes$tag k ON k.vec_id = a.vec_id
+             JOIN lut$tag l ON l.query_label = p.query_label
+                           AND l.sub = k.sub AND l.cid = k.cid
+             GROUP BY 1, 2),
+         short$tag AS (SELECT query_label, vec_id FROM (
+             SELECT query_label, vec_id,
+               row_number() OVER (PARTITION BY query_label
+                 ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+             FROM s6$tag) WHERE rn <= 40),
+         rr$tag AS (SELECT sh.query_label, v2.vec_id,
+             round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
+           FROM short$tag sh JOIN v v2 ON v2.vec_id = sh.vec_id
+           JOIN q ON q.query_label = sh.query_label),
+         sem$tag AS (SELECT query_label, vec_id AS doc_id,
+             CAST(rk AS INTEGER) AS sem_rank FROM (
+             SELECT query_label, vec_id,
+               row_number() OVER (PARTITION BY query_label
+                 ORDER BY cos_sim DESC, vec_id) AS rk
+             FROM rr$tag) WHERE rk <= 20),
+         fused$tag AS (SELECT
+             coalesce(l.query_label, s.query_label) AS query_label,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
+                   coalesce(CAST(1 AS DOUBLE) / (60 + s.sem_rank), 0.0), 6)
+               AS rrf
+           FROM lex l FULL OUTER JOIN sem$tag s
+             ON l.query_label = s.query_label AND l.doc_id = s.doc_id),
+         ranked$tag AS (SELECT query_label, doc_id, rank FROM (
+             SELECT query_label, doc_id, row_number() OVER (
+               PARTITION BY query_label ORDER BY rrf DESC, doc_id) AS rank
+             FROM fused$tag) WHERE rank <= 10),
+         hit$tag AS (SELECT r.query_label,
+             CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
+           FROM ranked$tag r LEFT JOIN rel
+             ON rel.query_label = r.query_label AND rel.doc_id = r.doc_id
+           GROUP BY r.query_label)"""
+    // q_retrieval_eval's exact metric readout over one side's hits
+    def metricSelect(tag: String): String =
+      s"""SELECT q2.query_label,
+           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(fr, 0) AS INT) AS first_rank,
+           coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr,
+           round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / 10, 4) AS p_at_k,
+           CASE WHEN coalesce(n_relevant, 0) > 0
+                THEN round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_relevant, 4)
+                ELSE CAST(0 AS DOUBLE) END AS r_at_k
+         FROM (SELECT DISTINCT query_label FROM qt) q2
+         LEFT JOIN nrel USING (query_label)
+         LEFT JOIN hit$tag USING (query_label)"""
+    val healthy = Option(lastOracleDir)
+      .flatMap(d => Option(pqCbCache.get(d))).map { cb =>
+        "q_hybrid_eval" ->
+          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cb)}) t(sub, cid, ce)),
+             qt(query_label, term) AS (VALUES $qtVals),
+             qv(query_label, qvid) AS (VALUES $qvVals),
+             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                   FROM embeddings),
+             cc AS (SELECT vec_id AS ccid, ve AS ce2 FROM v
+                    WHERE vec_id < 16),
+             q AS (SELECT qv.query_label, v.ve AS qe FROM qv
+                   JOIN v ON v.vec_id = qv.qvid),
+             sch AS (SELECT v.vec_id, cc.ccid,
+                 round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
+               FROM v CROSS JOIN cc),
+             ${semSide("h", "cb", "sch", cb.subDim)},
+             $lexRel
+             ${metricSelect("h")}
+             ORDER BY query_label"""
+      }
+    val drift = for {
+      d <- Option(lastOracleDir)
+      cbStale <- Option(pqCbCache.get(d))
+      cbFresh <- Option(pqDriftedCbCache.get(d))
+      cents <- Option(ivfDriftedCents.get(d))
+    } yield {
+      val cvals = cents.zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(", ")
+      // the shared drift-corpus prefix: both codebooks, both routing
+      // sides, the negation re-ingest, parameterized by the query-id
+      // VALUES (the eval uses base ids, the recall drifted ids)
+      def driftPrefix(qvValues: String): String =
+        s"""WITH cbs AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cbStale)}) t(sub, cid, ce)),
+           cbf AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cbFresh)}) t(sub, cid, ce)),
+           qt(query_label, term) AS (VALUES $qtVals),
+           qv(query_label, qvid) AS (VALUES $qvValues),
+           base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                    FROM embeddings),
+           v AS (SELECT vec_id, ve FROM base
+                 UNION ALL
+                 SELECT vec_id + 2000000, list_transform(ve, x -> -x)
+                 FROM base WHERE vec_id % 5 = 0),
+           ccb AS (SELECT vec_id AS ccid, ve AS ce2 FROM base
+                   WHERE vec_id < 16),
+           cca AS (SELECT ccid, ce2 FROM (VALUES $cvals) t(ccid, ce2)),
+           q AS (SELECT qv.query_label, v.ve AS qe FROM qv
+                 JOIN v ON v.vec_id = qv.qvid),
+           scb AS (SELECT v.vec_id, ccb.ccid,
+               round(list_cosine_similarity(v.ve, ccb.ce2), 4) AS s
+             FROM v CROSS JOIN ccb),
+           sca AS (SELECT v.vec_id, cca.ccid,
+               round(list_cosine_similarity(v.ve, cca.ce2), 4) AS s
+             FROM v CROSS JOIN cca),
+           ${semSide("b", "cbs", "scb", cbStale.subDim)},
+           ${semSide("a", "cbf", "sca", cbFresh.subDim)},
+           $lexRel"""
+      val evalSql =
+        s"""${driftPrefix(qvVals)}
+           SELECT * FROM (
+             SELECT '1-stale' AS state, * FROM (${metricSelect("b")})
+             UNION ALL
+             SELECT '2-refreshed' AS state, * FROM (${metricSelect("a")}))
+           ORDER BY state, query_label"""
+      val driftQv = hybridEvalQueries.map(_._1)
+        .zip(Seq(2000000L, 2000010L, 2000020L))
+        .map { case (l, id) => s"('$l', $id)" }.mkString(", ")
+      def recSide(tag: String): String =
+        s"""SELECT e.query_label, count(*) AS n_exact,
+             round(count(r.doc_id) * 1.0 / count(*), 4) AS recall
+           FROM exact e LEFT JOIN ranked$tag r
+             ON r.query_label = e.query_label AND r.doc_id = e.vec_id
+           GROUP BY 1"""
+      val recallSql =
+        s"""${driftPrefix(driftQv)},
+           exact AS (SELECT query_label, vec_id FROM (
+               SELECT q.query_label, v.vec_id,
+                 row_number() OVER (PARTITION BY q.query_label
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            v.vec_id) AS rn
+               FROM v CROSS JOIN q) WHERE rn <= 10)
+           SELECT CAST(qv.qvid AS BIGINT) AS query_id, rb.n_exact,
+             rb.recall AS recall_stale, ra.recall AS recall_refreshed
+           FROM qv JOIN (${recSide("b")}) rb USING (query_label)
+           JOIN (${recSide("a")}) ra USING (query_label)
+           ORDER BY query_id"""
+      Seq("q_hybrid_eval_drift" -> evalSql,
+        "q_hybrid_drift_recall" -> recallSql)
+    }
+    healthy.toSeq ++ drift.toSeq.flatten
   }
 
   /** Full learned BPE merge table per corpus dir — the driver-side
@@ -4837,7 +5306,8 @@ object SparkEntry {
       ivfKmeansOracle ++ ivfReclusterOracle ++ ivfReclusterRecallOracle ++
       pqOracle ++ pqRecallOracle ++ pqWideRecallOracle ++
       residualPqOracles ++ rotatedTruncationOracle ++
-      pqReclusterRecallOracle ++
+      truncationDriftOracle ++
+      pqReclusterRecallOracle ++ hybridEvalOracle ++
       bpeVocabOracle ++ bpeCoverageOracle ++
       bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
   }
@@ -7275,6 +7745,80 @@ object SparkEntry {
          FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
          WHERE a.cell IN (SELECT cid FROM probes)
          ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
+    // batched float serving: each of the 5 queries' pruned rankings
+    // replayed per query — batched ≡ 5 single serves is the gate
+    "q_knn_ivf_multi" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+         q AS (SELECT vec_id AS query_id, ve AS qe FROM v
+               WHERE vec_id IN (0, 1, 2, 3, 4))
+         SELECT query_id, vec_id, cos_sim FROM (
+           SELECT p.query_id, v.vec_id,
+             round(list_cosine_similarity(v.ve, q.qe), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                        v.vec_id) AS rn
+           FROM v JOIN assign a ON a.vec_id = v.vec_id
+           JOIN probes p ON p.cell = a.cell
+           JOIN q ON q.query_id = p.query_id) WHERE rn <= 10
+         ORDER BY query_id, cos_sim DESC, vec_id""",
+    // batched int8 serving: the quantization replay + per-query
+    // integer dots, ranked per query — batched ≡ singles
+    "q_knn_quantized_multi" ->
+      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings WHERE vec_id < 16),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         sc AS (SELECT v.vec_id, c.cid,
+                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
+                FROM v CROSS JOIN c),
+         assign AS (
+           SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
+         sq AS (SELECT vec_id, ve,
+             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
+               AS scale
+           FROM v),
+         q AS (SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+                  ELSE list_transform(ve, x -> CAST(round(x / scale)
+                                               AS INTEGER)) END AS qv
+           FROM sq),
+         qq AS (SELECT vec_id AS query_id, scale AS q_scale, qv AS q_qv
+                FROM q WHERE vec_id IN (0, 1, 2, 3, 4))
+         SELECT query_id, vec_id, q_sim FROM (
+           SELECT p.query_id, q2.vec_id,
+             round(q2.scale * qq.q_scale *
+               CAST(list_sum([q2.qv[i] * qq.q_qv[i]
+                              for i in range(1, len(q2.qv) + 1)]) AS BIGINT),
+               6) AS q_sim,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(q2.scale * qq.q_scale *
+                 CAST(list_sum([q2.qv[i] * qq.q_qv[i]
+                                for i in range(1, len(q2.qv) + 1)]) AS BIGINT),
+                 6) DESC, q2.vec_id) AS rn
+           FROM q q2 JOIN assign a ON a.vec_id = q2.vec_id
+           JOIN probes p ON p.cell = a.cell
+           JOIN qq ON qq.query_id = p.query_id) WHERE rn <= 10
+         ORDER BY query_id, q_sim DESC, vec_id""",
     // the truncation (Matryoshka) operating curve: every prefix
     // ranking + the full-dim exact baseline replay — fully static
     "q_truncation_recall" ->
@@ -7625,6 +8169,28 @@ object SparkEntry {
          tot AS (SELECT doc_id, count(*) AS n_segments FROM bseg GROUP BY 1),
          k AS (SELECT doc_id, pos, seg FROM f
                WHERE rn = 1 AND seg NOT IN (SELECT seg FROM idx)),
+         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+           FROM k GROUP BY 1)
+         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
+         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    // the 3-batch sink replay: global first-occurrence ownership in
+    // (batch order, doc, pos) — the accumulated corpus AFTER
+    // retention folded batches 0-1 must still equal this exactly
+    "q_segment_dedup_retained" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
+               AS seg
+           FROM t),
+         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
+         f AS (SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY doc_id % 3, doc_id, pos) AS rn
+           FROM seg),
+         k AS (SELECT doc_id, pos, seg FROM f WHERE rn = 1),
          r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
              count(*) AS n_kept
            FROM k GROUP BY 1)

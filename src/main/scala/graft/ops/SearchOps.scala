@@ -454,7 +454,7 @@ object SearchOps {
       // the build used, so bucket assignment can never drift
       val buckets = newIds
         .select(docBucketCol(col("doc_id")).as("b")).distinct()
-        .collect().map(_.getLong(0))
+        .collect().map(_.getLong(0)).toIndexedSeq
       val dl =
         if (buckets.isEmpty)
           spark.read.parquet(path + "/doclens").filter(lit(false))
@@ -500,7 +500,8 @@ object SearchOps {
         // materialize BEFORE overwriting the directory being read
         (dir, parts,
           spark.read.parquet(dir)
-            .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+            .join(graft.Frames.hintTombstones(tomb, path + "/tombstones"),
+              Seq("doc_id"), "left_anti")
             .withColumn("batch_id", lit("build"))
             .localCheckpoint(true))
     }
@@ -627,12 +628,14 @@ object SearchOps {
       .map(_._3).sum + retSdl
     val postFolded = spark.read.parquet(path + "/postings")
       .filter(inSet(foldApps)(col("batch_id")))
-      .join(broadcast(foldedTombIds), Seq("doc_id"), "left_anti")
+      .join(graft.Frames.hintTombstones(foldedTombIds,
+        path + "/tombstones"), Seq("doc_id"), "left_anti")
       .withColumn("batch_id", lit("build"))
       .localCheckpoint(true)
     val dlFolded = spark.read.parquet(path + "/doclens")
       .filter(inSet(foldApps)(col("batch_id")))
-      .join(broadcast(foldedTombIds), Seq("doc_id"), "left_anti")
+      .join(graft.Frames.hintTombstones(foldedTombIds,
+        path + "/tombstones"), Seq("doc_id"), "left_anti")
       .withColumn("batch_id", lit("build"))
       .localCheckpoint(true)
     try {
@@ -650,6 +653,13 @@ object SearchOps {
       if (tombExists)
         batchDirs("/tombstones/batch_id=*")
           .foreach(st => if (!keptDels(dirName(st))) fs.delete(st.getPath, true))
+      // the common retention case: every delete batch folded and no
+      // kept-part corrections — nothing is (re)written below, and a
+      // tombstones/ root with no data files would make every later
+      // indexTfStats read throw "Unable to infer schema"; drop the
+      // root wholesale (the compactBm25Index convention)
+      if (tombExists && keptDels.isEmpty && retCnt == 0L)
+        fs.delete(hadoopPath(path + "/tombstones"), true)
       postFolded.write.partitionBy("bucket", "batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(path + "/postings")
@@ -757,6 +767,13 @@ object SearchOps {
       "batchKey must not start with \"del-\" — that prefix is reserved " +
         "for delete-correction ledger rows (deleteFromBm25Index writes " +
         "its stats row as \"del-<key>\")")
+    // retention writes its kept-part corrections as tombstone batch
+    // "retained" and ledger row "del-retained"; a later append or
+    // delete under that name would dynamic-overwrite them, silently
+    // resurrecting previously erased kept-batch documents
+    require(batchKey != "retained",
+      "\"retained\" is reserved for compactBm25IndexKeeping's " +
+        "kept-part delete corrections — pick another name")
     // the ingest sink ([[graft.streaming.Pipelines.bm25IndexSink]])
     // partitions by the RAW numeric micro-batch id: a manual append
     // named "5" on a stream-fed index would be dynamic-overwritten by
@@ -810,9 +827,10 @@ object SearchOps {
     // document frequencies — tombstoned serving ≡ rebuild-on-remaining
     val tf =
       if (fsFor(spark, path).exists(hadoopPath(path + "/tombstones")))
-        tf0.join(broadcast(
+        tf0.join(graft.Frames.hintTombstones(
           inVisible(spark.read.parquet(path + "/tombstones"))
-            .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+            .select(col("doc_id")).distinct(), path + "/tombstones"),
+          Seq("doc_id"), "left_anti")
       else tf0
     // the stats artifact is an append-only LEDGER of exact
     // (n_docs, sum_dl) long rows — one build row, appended batch
@@ -969,11 +987,27 @@ object SearchOps {
       .toDF("query_label", "term")
     val qs = qt.groupBy(col("query_label"))
       .agg(count(lit(1)).as("n_terms"))
+    val sc = scoredEvidence(tf, stats, qt, k1, b)
+    val wQ = Window.partitionBy(col("query_label"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val ranked = sc
+      .withColumn("rank", row_number().over(wQ))
+      .filter(col("rank") <= k)
+      .select(col("query_label"), col("doc_id"), col("rank"))
+    evalMetricsTail(qs.select(col("query_label")), ranked,
+      relevanceFrom(sc, qs, minTf), k)
+  }
+
+  /** Per-(query, doc) BM25 + the relevance evidence in ONE pass over
+    * the query-term-replicated postings (same idf/tscore math as
+    * scoreBm25, rounded identically) — shared by the lexical eval and
+    * the hybrid eval so the scoring/relevance rule cannot drift
+    * between the two gates.
+    */
+  private def scoredEvidence(tf: DataFrame, stats: DataFrame,
+      qt: DataFrame, k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // per-(query, doc) BM25 + the relevance evidence in ONE pass over
-    // the query-term-replicated postings (same idf/tscore math as
-    // scoreBm25, rounded identically)
-    val sc = tf
+    tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -985,15 +1019,27 @@ object SearchOps {
       .groupBy(col("query_label"), col("doc_id"))
       .agg(round(sum(col("tscore")), 4).as("bm25"),
         count(lit(1)).as("n_present"), min(col("tf")).as("min_tf"))
-    val wQ = Window.partitionBy(col("query_label"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-    val ranked = sc
-      .withColumn("rank", row_number().over(wQ))
-      .filter(col("rank") <= k)
-      .select(col("query_label"), col("doc_id"), col("rank"))
-    val rel = sc.join(qs, "query_label")
+  }
+
+  /** The deterministic graded-relevance rule every retrieval eval
+    * shares: a doc is relevant to a query iff EVERY query term is
+    * present with tf ≥ `minTf`.
+    */
+  private def relevanceFrom(sc: DataFrame, qs: DataFrame,
+      minTf: Long): DataFrame =
+    sc.join(qs, "query_label")
       .filter(col("n_present") === col("n_terms") && col("min_tf") >= minTf)
       .select(col("query_label"), col("doc_id"), lit(1L).as("is_rel"))
+
+  /** The exact-rational metric tail shared by [[retrievalEval]] and
+    * [[hybridEval]]: per-query hit counts, first-rank reciprocal,
+    * precision/recall@k over a (query_label, doc_id, rank) ranking
+    * and a (query_label, doc_id, is_rel) relevance set. One text, two
+    * gates — the metric math cannot drift between the lexical and the
+    * fused evals.
+    */
+  private def evalMetricsTail(labels: DataFrame, ranked: DataFrame,
+      rel: DataFrame, k: Int): DataFrame = {
     val nrel = rel.groupBy(col("query_label"))
       .agg(count(lit(1)).as("n_relevant"))
     val hits = ranked
@@ -1001,7 +1047,7 @@ object SearchOps {
       .groupBy(col("query_label"))
       .agg(coalesce(sum(col("is_rel")), lit(0L)).as("n_hit"),
         min(when(col("is_rel").isNotNull, col("rank"))).as("fr"))
-    qs.select(col("query_label"))
+    labels
       .join(nrel, Seq("query_label"), "left")
       .join(hits, Seq("query_label"), "left")
       .select(col("query_label"),
@@ -1015,6 +1061,117 @@ object SearchOps {
           round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) / col("n_relevant"), 4))
           .otherwise(lit(0.0)).as("r_at_k"))
       .orderBy(col("query_label"))
+  }
+
+  /** Operating-point eval of the FULLY-SERVED hybrid stack — the
+    * measured quality number behind [[hybridSearchServed]], the
+    * [[retrievalEval]] convention applied to the fused ranking: each
+    * eval query serves through BOTH compressed branches (bucket-pruned
+    * BM25 + two-stage PQ) and the RRF fusion, the fused top-`k` is
+    * scored against the SAME deterministic relevance rule the lexical
+    * eval uses (every query term present with tf ≥ `minTf`, evidence
+    * from the index's pruned postings), and the metrics flow through
+    * the SAME exact-rational tail — so "what does fusion do to
+    * end-to-end retrieval quality" is a number, not a hope, and the
+    * lexical eval next to it is directly comparable. Query vectors
+    * collect from `embeddings` by id (|queries| bounded rows, the
+    * servingRecall convention); a query id with no embedding row
+    * fails loudly (an eval that silently drops queries overstates
+    * the operating point).
+    *
+    * Scale shape: per query, branch I/O is the serving stack's own —
+    * term buckets + nProbe code cells + `shortlist` float point
+    * lookups; relevance evidence re-reads only the eval terms'
+    * pruned postings. Nothing corpus-wide.
+    */
+  def hybridEval(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, pqIndex: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook,
+      queries: Seq[(String, Seq[String], Long)], k: Int,
+      depth: Int = 20, nProbe: Int = 2, shortlist: Int = 40,
+      rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+      minTf: Long = 3L): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "hybridEval needs at least one query with at least one term")
+    val qids = queries.map(_._3).distinct
+    val qvecs = embeddings.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+      .toMap
+    val missing = qids.filterNot(qvecs.contains)
+    require(missing.isEmpty,
+      s"query vector ids ${missing.mkString(", ")} have no embedding row")
+    val ranked = queries.map { case (label, terms, vid) =>
+      hybridSearchServed(spark, bm25Path, pqIndex, embeddings, cents,
+        cb, terms, qvecs(vid), k, depth, nProbe, shortlist, rrfK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .select(lit(label).as("query_label"), col("doc_id"), col("rank"))
+    }.reduce(_.unionByName(_))
+    val qt = queries
+      .flatMap { case (l, ts, _) => ts.distinct.map(t => (l, t)) }
+      .toDF("query_label", "term")
+    val qs = qt.groupBy(col("query_label"))
+      .agg(count(lit(1)).as("n_terms"))
+    val (tf, stats) = indexTfStats(spark, bm25Path,
+      queries.flatMap(_._2).distinct, None)
+    val sc = scoredEvidence(tf, stats, qt, k1, b)
+    evalMetricsTail(qs.select(col("query_label")), ranked,
+      relevanceFrom(sc, qs, minTf), k)
+  }
+
+  /** Recall@k of the FUSED ranking against the exact SEMANTIC
+    * (cosine top-k) baseline — the measurement [[hybridEval]]'s
+    * lexical relevance rule cannot make: under that rule the fused
+    * metric is INVARIANT to which (irrelevant) candidates the
+    * semantic branch supplies, so semantic drift never reaches it
+    * (measured: stale ≡ refreshed rows in q_hybrid_eval_drift).
+    * Here the ground truth is the query vector's true float top-k,
+    * so a drifted PQ branch's routing loss shows up in the fused
+    * number — and the lexical branch's fixed share of the fused
+    * slots quantifies exactly how much fusion dampens both the
+    * drop and the recluster's recovery relative to the pure
+    * semantic path (q_pq_recluster_recall's 0.32→0.44).
+    * Readout: (query_id, n_exact, recall), the servingRecall shape.
+    */
+  def hybridSemanticRecall(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, pqIndex: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook,
+      queries: Seq[(String, Seq[String], Long)], k: Int,
+      depth: Int = 20, nProbe: Int = 2, shortlist: Int = 40,
+      rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "hybridSemanticRecall needs at least one query with terms")
+    val qids = queries.map(_._3)
+    require(qids.distinct.length == qids.length,
+      "query vector ids must be distinct — each id keys one readout row")
+    val qvecs = embeddings.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+      .toMap
+    val missing = qids.filterNot(qvecs.contains)
+    require(missing.isEmpty,
+      s"query vector ids ${missing.mkString(", ")} have no embedding row")
+    val fusedHits = queries.map { case (_, terms, vid) =>
+      hybridSearchServed(spark, bm25Path, pqIndex, embeddings, cents,
+        cb, terms, qvecs(vid), k, depth, nProbe, shortlist, rrfK)
+        .select(lit(vid).as("query_id"), col("doc_id").as("vec_id"),
+          lit(1L).as("hit"))
+    }.reduce(_.unionByName(_))
+    graft.similarity.Similarity.multiQueryTopK(embeddings, qids, k)
+      .select(col("query_id"), col("vec_id"))
+      .join(fusedHits, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"),
+        round(col("n_hit") * lit(1.0) / col("n_exact"), 4).as("recall"))
+      .orderBy(col("query_id"))
   }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
@@ -1078,7 +1235,13 @@ object SearchOps {
   private def rrfFuse(lex0: DataFrame, sem0: DataFrame, k: Int,
       rrfK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val simCol = sem0.columns.find(_ != "vec_id").getOrElse("cos_sim")
+    // the semantic branch must be exactly (vec_id, <score>) — with
+    // extra or reordered columns, inferring "the first non-vec_id
+    // column" could silently rank by the wrong one
+    require(sem0.columns.length == 2 && sem0.columns.contains("vec_id"),
+      "semantic branch must have exactly two columns, vec_id and a " +
+        s"score — got (${sem0.columns.mkString(", ")})")
+    val simCol = sem0.columns.find(_ != "vec_id").get
     val lex = lex0
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))))

@@ -697,6 +697,12 @@ object Similarity {
         "sinks key their partitions by raw numeric micro-batch id, and " +
         "a checkpoint replay of that micro-batch would overwrite this " +
         "append; pick a non-numeric name")
+    // compactIvfIndexKeeping writes kept-part tombstones under batch
+    // "retained"; a later batch under that name would dynamic-
+    // overwrite them, resurrecting previously erased kept-batch rows
+    require(batchKey != "retained",
+      "\"retained\" is reserved for compactIvfIndexKeeping's " +
+        "kept-part tombstones — pick another name")
   }
 
   /** Loud layout guard for the batch-keyed appends: an index written
@@ -720,7 +726,7 @@ object Similarity {
     * (the streaming sink's numeric clock)? Name-keyed layouts infer
     * string.
     */
-  private def integralBatchIds(df: DataFrame): Boolean =
+  private[graft] def integralBatchIds(df: DataFrame): Boolean =
     df.schema("batch_id").dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
@@ -761,6 +767,12 @@ object Similarity {
   def deleteFromIvfIndex(deleteIds: DataFrame, path: String,
       batchKey: String): Unit = {
     require(batchKey.nonEmpty, "batchKey must be non-empty")
+    // same erasure-resurrection class as the stream-prefix check
+    // below: "retained" is the retention compactor's tombstone batch,
+    // and a manual delete under that name would overwrite it
+    require(batchKey != "retained",
+      "\"retained\" is reserved for compactIvfIndexKeeping's " +
+        "kept-part tombstones — pick another name")
     // a MANUAL batchKey shaped like a registered delete stream's
     // generated "<keyPrefix>-N" keys would be dynamic-overwritten by
     // that stream's checkpoint replay of micro-batch N, silently
@@ -833,8 +845,10 @@ object Similarity {
     val tomb = new org.apache.hadoop.fs.Path(path + "/_tombstones")
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tomb))
-      base.join(broadcast(spark.read.parquet(path + "/_tombstones")
-        .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      base.join(graft.Frames.hintTombstones(
+        spark.read.parquet(path + "/_tombstones")
+          .select(col("vec_id")).distinct(), path + "/_tombstones"),
+        Seq("vec_id"), "left_anti")
     else base
   }
 
@@ -970,7 +984,11 @@ object Similarity {
       df.groupBy(col("batch_id").cast("string").as("batch_id"))
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(kind).as("kind"), col("batch_id"), col("n_rows"))
-    val base = inventory(spark.read.parquet(path), "batch")
+    val base0 = spark.read.parquet(path)
+    require(base0.columns.contains("batch_id"),
+      s"index at $path carries no batch_id history (pre-layout " +
+        "index) — rebuild it with writeIvfIndex first")
+    val base = inventory(base0, "batch")
     val tombP = new org.apache.hadoop.fs.Path(path + "/_tombstones")
     val fs = tombP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all =
@@ -1050,7 +1068,8 @@ object Similarity {
           .select(col("vec_id")).distinct()
       else folded.select(col("vec_id")).filter(lit(false))
     val foldedLive = folded
-      .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+      .join(graft.Frames.hintTombstones(tombs, path + "/_tombstones"),
+        Seq("vec_id"), "left_anti")
       .withColumn("batch_id",
         if (integralBatchIds(base0)) lit(0L) else lit("build"))
     // tombstones that still shadow a kept-partition row must survive
@@ -1643,6 +1662,14 @@ object Similarity {
       .filter(col("e").isNotNull).limit(1).collect()
     require(first.nonEmpty, "second moments need a non-empty table")
     val dim = first.head.getSeq[Double](0).length
+    // dim separate sum() aggregates + an O(dim^3) driver Jacobi: fine
+    // at the corpus's dim=64, but past a few hundred dims the
+    // aggregate list risks Catalyst codegen limits and the driver
+    // sweeps stall for minutes — fail loudly instead of degrading
+    require(dim <= 256,
+      s"principalRotation is built for narrow embeddings (dim <= 256, " +
+        s"got $dim) — at higher dims train the rotation offline and " +
+        "pass it to rotatedTruncationRecall as literals")
     val exprs = (0 until dim).map(j =>
       sum(col("xi") * element_at(col("__v"), j + 1)).as(s"c$j"))
     val rows = embeddings
@@ -1670,6 +1697,18 @@ object Similarity {
     val n = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    // convergence scaled to the matrix's own magnitude: un-normalized
+    // second moments grow with corpus size, so an absolute threshold
+    // either never trips (large corpora) or trips instantly (tiny
+    // ones); relative-to-Frobenius is scale-free
+    var frob2 = 0.0
+    var fi = 0
+    while (fi < n) {
+      var fj = 0
+      while (fj < n) { frob2 += a0(fi)(fj) * a0(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val offTol = math.max(frob2 * 1e-24, java.lang.Double.MIN_NORMAL)
     var sweep = 0
     var done = false
     while (sweep < 64 && !done) {
@@ -1680,7 +1719,7 @@ object Similarity {
         while (q < n) { off += a(p)(q) * a(p)(q); q += 1 }
         p += 1
       }
-      if (off < 1e-20) done = true
+      if (off < offTol) done = true
       else {
         p = 0
         while (p < n) {
@@ -1796,33 +1835,97 @@ object Similarity {
       nProbe: Int): DataFrame = {
     require(queries.nonEmpty, "batched serving needs at least one query")
     val perQuery = queries.map { case (qid, qv) =>
-      (qid, probeCells(cents, qv, nProbe).toSet, pqLut6(cb, qv))
-    }
-    val allCells = perQuery.flatMap(_._2).toSeq.distinct
-    val scanned =
-      if (allCells.isEmpty) index.filter(lit(false))
-      else index.filter(col("cell").isin(allCells: _*))
-    val entries = perQuery.map { case (qid, cells, lut) =>
-      val lutLit = typedlit(lut)
+      val lutLit = typedlit(pqLut6(cb, qv))
       val s6 = (0 until cb.m).map(j =>
         element_at(element_at(lutLit, j + 1),
           element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
-      val member =
-        if (cells.isEmpty) lit(false)
-        else col("cell").cast("int").isin(cells.toSeq: _*)
-      struct(lit(qid).as("query_id"), member.as("m"), s6.as("s6"))
+      (qid, probeCells(cents, qv, nProbe).toSet, round(s6 / 1e6, 6))
+    }
+    multiServeOneScan(index, perQuery, "pq_sim", k)
+  }
+
+  /** The one-scan batched core shared by the THREE pruned stores
+    * (PQ via [[pqMultiTopKFromIndex]]'s LUT, float and int8 via
+    * per-query literal query vectors): scan the union of every
+    * query's probe cells ONCE, score each scanned row against every
+    * query's scoring column, drop rows outside a query's own probe
+    * cells, rank per query through one bounded (query_id, vec_id,
+    * score) shuffle. `perQuery` carries (query_id, that query's
+    * probe-cell set, its scoring column over the scanned row).
+    */
+  private def multiServeOneScan(index: DataFrame,
+      perQuery0: Seq[(Long, Set[Int], Column)], scoreName: String,
+      k: Int): DataFrame = {
+    // a query with no probes (zero-norm/degenerate) contributes no
+    // rows AND must not score: its scoring column would still
+    // evaluate inside the struct for every scanned row (an ANSI
+    // divide-by-zero for the cosine), so drop it from the scan
+    val perQuery = perQuery0.filter(_._2.nonEmpty)
+    if (perQuery.isEmpty)
+      return index.filter(lit(false))
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0.0).as(scoreName))
+    val allCells = perQuery.flatMap(_._2).toSeq.distinct
+    val scanned = index.filter(col("cell").isin(allCells: _*))
+    val entries = perQuery.map { case (qid, cells, score) =>
+      val member = col("cell").cast("int").isin(cells.toSeq: _*)
+      struct(lit(qid).as("query_id"), member.as("m"), score.as("s"))
     }
     import org.apache.spark.sql.expressions.Window
     scanned
       .select(col("vec_id"), explode(array(entries: _*)).as("e"))
       .filter(col("e.m"))
       .select(col("e.query_id").as("query_id"), col("vec_id"),
-        round(col("e.s6") / 1e6, 6).as("pq_sim"))
+        col("e.s").as(scoreName))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("pq_sim").desc, col("vec_id"))))
+          .orderBy(col(scoreName).desc, col("vec_id"))))
       .filter(col("rn") <= k).drop("rn")
-      .orderBy(col("query_id"), col("pq_sim").desc, col("vec_id"))
+      .orderBy(col("query_id"), col(scoreName).desc, col("vec_id"))
+  }
+
+  /** BATCHED serving for the FLOAT IVF store — [[pqMultiTopKFromIndex]]'s
+    * one-scan trick applied to [[ivfTopKFromIndex]]: Q queries, one
+    * pass over the union of their probed cell directories, each
+    * scanned row scored against every query's literal vector (no
+    * join), one bounded (query_id, vec_id, cos_sim) shuffle. Per-query
+    * results ≡ Q single serves (the oracle gate); zero-norm queries
+    * have no probes and are absent.
+    */
+  def ivfMultiTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
+      queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
+    require(queries.nonEmpty, "batched serving needs at least one query")
+    val perQuery = queries.map { case (qid, qv) =>
+      (qid, probeCells(cents, qv, nProbe).toSet,
+        round(cosineFor(index)(col("embedding"),
+          typedlit(qv.toVector)), 4))
+    }
+    multiServeOneScan(index, perQuery, "cos_sim", k)
+  }
+
+  /** BATCHED serving for the COMPRESSED (int8) store — the high-QPS
+    * case that pays most: the hot tier serves many queries per
+    * second, and Q probes against [[quantizedTopKFromIndex]] would
+    * rescan shared cells Q times. One pass over the union of probed
+    * cells; each row's EXACT integer dot runs against every query's
+    * quantized literal, dequantized by the two scales exactly as the
+    * single-query path. Degenerate (zero/non-finite) queries are
+    * absent, matching quantizedTopKFromIndex's empty result.
+    */
+  def quantizedMultiTopKFromIndex(index: DataFrame,
+      cents: Seq[Seq[Double]], queries: Seq[(Long, Seq[Double])], k: Int,
+      nProbe: Int): DataFrame = {
+    require(queries.nonEmpty, "batched serving needs at least one query")
+    val perQuery = queries.map { case (qid, qv) =>
+      val (qs, qq) = quantizeQuery(qv)
+      val cells =
+        if (qs == 0.0) Set.empty[Int]
+        else probeCells(cents, qv, nProbe).toSet
+      (qid, cells,
+        round(col("scale") * lit(qs) *
+          qdotFor(index)(col("qvec"), typedlit(qq.toVector)), 6))
+    }
+    multiServeOneScan(index, perQuery, "q_sim", k)
   }
 
   /** Recall@k of the IVF-PQ serving path ([[pqTopKFromIndex]] — the

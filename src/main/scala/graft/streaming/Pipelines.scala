@@ -514,6 +514,82 @@ object Pipelines {
         .mode("overwrite").parquet(dir)
   }
 
+  /** BOUNDED-HISTORY retention for the batch-stamped CATALOG/OUTPUT
+    * tables the streaming sinks accumulate forever (the near-dup
+    * signature catalog, the segment digest index and its rebuilt
+    * corpus, the gate sinks' admitted outputs) — the
+    * `compact*Keeping` analog for plain `batch_id=`-partitioned
+    * layouts with no tombstone sidecar: every partition NOT in
+    * `keep` folds into ONE collapsed partition, kept partitions are
+    * never read or rewritten, and the table's full contents are
+    * invariant (retention here bounds the PARTITION inventory, not
+    * the data — these are append-only catalogs).
+    *
+    * The collapse key is `-1` for numeric (micro-batch-stamped)
+    * layouts — strictly safer than reusing batch 0: no checkpoint
+    * replay can ever target it, and the segment sink's
+    * `batch_id =!= batchId` self-exclusion probe keeps its exact
+    * semantics AND its integral partition type (a string collapse
+    * key would flip partition-type inference to STRING and make the
+    * numeric probe comparison an ANSI cast failure). String-keyed
+    * layouts collapse to `"base"`. A prior collapse partition is
+    * itself folded again, so repeated retention stays idempotent.
+    *
+    * After retention the addressable batch names are exactly
+    * {collapse} ∪ keep — reading a folded name returns nothing, and
+    * a checkpoint replay of a FOLDED micro-batch would re-append its
+    * rows (the BM25/IVF families' documented contract: run retention
+    * only behind the stream's replay horizon).
+    *
+    * Crash contract: in-place rewrite like every compactor here —
+    * the folded frame materializes BEFORE any deletion; recover from
+    * a mid-sequence crash by rebuild from source.
+    */
+  def compactBatchOutputKeeping(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keep: Seq[String]): Unit = {
+    require(keep.nonEmpty,
+      "retention needs at least one kept batch")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no batch-stamped table at $dir")
+    val parts = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    require(parts.nonEmpty,
+      s"$dir carries no batch_id partitions — not a batch-stamped " +
+        "catalog table")
+    def dirName(st: org.apache.hadoop.fs.FileStatus): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getName.stripPrefix("batch_id="))
+    val known = parts.map(dirName).toSet
+    val base0 = spark.read.parquet(dir)
+    val collapse =
+      if (graft.similarity.Similarity.integralBatchIds(base0)) "-1"
+      else "base"
+    require(!keep.contains(collapse),
+      s"batch \"$collapse\" is the collapse target and always " +
+        "survives retention — name only real batches in keep")
+    val missing = keep.filterNot(known)
+    require(missing.isEmpty,
+      s"kept batches ${missing.mkString(", ")} have no partitions in " +
+        s"the table at $dir")
+    val keepSet = keep.toSet
+    val folded = base0
+      .filter(!col("batch_id").cast("string").isin(keep: _*))
+      .withColumn("batch_id",
+        if (collapse == "-1") lit(-1L).cast(base0.schema("batch_id").dataType)
+        else lit(collapse))
+      .localCheckpoint(true)
+    try {
+      parts.foreach(st =>
+        if (!keepSet(dirName(st))) fs.delete(st.getPath, true))
+      folded.write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+    } finally graft.Frames.freeLocalCheckpoint(folded)
+  }
+
   /** The streaming entry: docs (doc_id, text) → segment-deduped
     * corpus at `outDir` + digest index at `indexDir`, exactly-once
     * via checkpoint + the idempotent batch core above.

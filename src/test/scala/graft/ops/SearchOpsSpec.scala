@@ -536,4 +536,70 @@ class SearchOpsSpec extends SparkSpec {
       (col("doc_id") % 8 === 5 && col("doc_id") % 7 === 3)), reb3)
     assert(serve(dir) === serve(reb3))
   }
+
+  test("compactBm25IndexKeeping: the common retention case — every " +
+      "delete folded, no kept-part corrections — removes the " +
+      "tombstones root so serving keeps working") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ret0").toString
+    val terms = Seq("merge", "query")
+    SearchOps.writeBm25Index(
+      docs.filter(col("doc_id") % 8 =!= 6), dir)
+    SearchOps.appendToBm25Index(
+      docs.filter(col("doc_id") % 8 === 6), dir, "w1")
+    // delete docs that live ONLY in the folded build (doc_id%8 != 6),
+    // so after folding w1-keeping retention there is no kept-part
+    // correction and no kept delete batch
+    SearchOps.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 8 === 2).select(col("doc_id")), dir,
+      "del1")
+    def serve(p: String) =
+      SearchOps.searchBm25FromIndex(spark, p, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = serve(dir)
+    SearchOps.compactBm25IndexKeeping(spark, dir, Seq("w1"))
+    // the empty tombstones/ root is gone — a directory with no data
+    // files would fail every later read with "Unable to infer schema"
+    assert(!new java.io.File(dir + "/tombstones").exists())
+    assert(serve(dir) === before)
+    // and the whole maintenance family still composes on the index
+    SearchOps.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 8 === 6).select(col("doc_id")).limit(5),
+      dir, "del2")
+    assert(serve(dir).nonEmpty)
+  }
+
+  test("\"retained\" is reserved: appends and deletes under " +
+      "retention's tombstone key are rejected loudly") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-resv").toString
+    SearchOps.writeBm25Index(docs.filter(col("doc_id") < 100), dir)
+    intercept[IllegalArgumentException] {
+      SearchOps.appendToBm25Index(docs.limit(1), dir, "retained")
+    }
+    intercept[IllegalArgumentException] {
+      SearchOps.deleteFromBm25Index(
+        docs.select(col("doc_id")).limit(1), dir, "retained")
+    }
+  }
+
+  test("tombstone broadcast budget: past the byte budget the hint is " +
+      "dropped and serving still matches the broadcast plan's result") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-tbud").toString
+    val terms = Seq("merge", "query")
+    SearchOps.writeBm25Index(docs, dir)
+    SearchOps.deleteFromBm25Index(
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), dir,
+      "del1")
+    def serve() = SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val hinted = serve()
+    spark.conf.set("spark.graft.tombstoneBroadcastBudget", "0")
+    try {
+      // the anti-join falls back to a planner-chosen join — results
+      // are identical, no forced broadcast of an unbounded erasure set
+      assert(serve() === hinted)
+    } finally spark.conf.unset("spark.graft.tombstoneBroadcastBudget")
+  }
 }

@@ -1015,6 +1015,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfMultiTopKFromIndex: batched float serving ≡ per-query " +
+      "serves, from ONE scan of the union of probed cells") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fm").toString + "/idx"
+    Similarity.writeIvfIndex(emb, cents, dir)
+    val index = spark.read.parquet(dir)
+    val qids = Seq(0L, 1L, 2L)
+    val qs = qids.map { id =>
+      id -> (emb.filter($"vec_id" === id)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector: Seq[Double])
+    }
+    val multi = Similarity.ivfMultiTopKFromIndex(index, cents, qs,
+      5, nProbe = 2)
+    val plan = multi.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.foreach { case (id, qv) =>
+      val single = Similarity.ivfTopKFromIndex(index, cents, qv, 5,
+        nProbe = 2).collect()
+        .map(r => (id, r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(id).toSeq === single, s"query $id")
+    }
+    // a zero-norm query has no probes and is simply absent
+    val withZero = Similarity.ivfMultiTopKFromIndex(index, cents,
+      qs :+ (99L -> (Vector.fill(64)(0.0): Seq[Double])), 5, nProbe = 2)
+    assert(withZero.filter($"query_id" === 99L).count() === 0L)
+  }
+
+  test("quantizedMultiTopKFromIndex: batched int8 serving ≡ per-query " +
+      "serves, one scan, exact integer dots") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString + "/idx"
+    Similarity.writeQuantizedIvfIndex(emb, cents, dir)
+    val index = spark.read.parquet(dir)
+    val qids = Seq(0L, 3L, 5L)
+    val qs = qids.map { id =>
+      id -> (emb.filter($"vec_id" === id)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector: Seq[Double])
+    }
+    val multi = Similarity.quantizedMultiTopKFromIndex(index, cents, qs,
+      5, nProbe = 2)
+    val plan = multi.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.foreach { case (id, qv) =>
+      val single = Similarity.quantizedTopKFromIndex(index, cents, qv, 5,
+        nProbe = 2).collect()
+        .map(r => (id, r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(id).toSeq === single, s"query $id")
+    }
+    // degenerate (zero-norm) queries are absent, matching the
+    // single-query path's empty result
+    val withZero = Similarity.quantizedMultiTopKFromIndex(index, cents,
+      qs :+ (99L -> (Vector.fill(64)(0.0): Seq[Double])), 5, nProbe = 2)
+    assert(withZero.filter($"query_id" === 99L).count() === 0L)
+  }
+
   test("truncationRecall: full-prefix recall is exactly 1, shorter " +
       "prefixes match an independent truncated-ranking overlap") {
     val rec = Similarity.truncationRecall(emb, Seq(0L, 2L), 5,
@@ -1141,6 +1204,53 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.readIvfIndex(spark, p).select("vec_id")
       .collect().map(_.getLong(0)).toSet
       === (allIds -- tombIds) ++ allIds.filter(_ % 8 == 1))
+    sub.unpersist()
+  }
+
+  test("\"retained\" is reserved on the IVF layouts: appends and " +
+      "manual deletes under retention's tombstone key are rejected") {
+    val sub = emb.limit(40).select("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(sub, 4)
+    val p = java.nio.file.Files.createTempDirectory("graft_resv").toString + "/idx"
+    Similarity.writeIvfIndex(sub, cents, p)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(sub.limit(1), cents, p, "retained")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfIndex(
+        sub.select(col("vec_id")).limit(1), p, "retained")
+    }
+  }
+
+  test("tombstone broadcast budget: small erasure sets keep the " +
+      "broadcast anti-join; past the budget the hint is dropped and " +
+      "serving is unchanged") {
+    val sub = emb.limit(100).select("vec_id", "embedding").cache()
+    val cents = Similarity.seedCentroids(sub, 8)
+    val p = java.nio.file.Files.createTempDirectory("graft_tbud").toString + "/idx"
+    Similarity.writeIvfIndex(sub, cents, p)
+    Similarity.deleteFromIvfIndex(
+      sub.filter(col("vec_id") % 5 === 0).select(col("vec_id")), p, "d1")
+    val q = sub.filter($"vec_id" === 1L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    def serve() = Similarity.ivfTopKFromIndex(
+      Similarity.readIvfIndex(spark, p), cents, q, 10, nProbe = 8)
+    // under the default budget the tiny tombstone side still plans
+    // the broadcast anti-join (the hint survives the guard)
+    val planStr = serve().queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") &&
+      planStr.contains("LeftAnti"),
+      "small tombstone set lost its broadcast anti-join:\n" + planStr)
+    val hinted = serve().collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.conf.set("spark.graft.tombstoneBroadcastBudget", "0")
+    try {
+      // unbounded-erasure scenario: the forced hint would bypass
+      // Spark's size check; past the budget the planner chooses
+      assert(serve().collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq === hinted)
+    } finally spark.conf.unset("spark.graft.tombstoneBroadcastBudget")
     sub.unpersist()
   }
 

@@ -428,6 +428,58 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() === 4)
   }
 
+  test("compactBatchOutputKeeping: catalog retention folds all but the " +
+      "kept batches, full contents invariant, kept batch addressable, " +
+      "folded names gone, replay semantics intact") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_segret_spec").toString
+    val indexDir = base + "/idx"; val outDir = base + "/out"
+    (0L to 2L).foreach { b =>
+      Pipelines.processSegmentDedupBatch(
+        Seq((b * 10 + 1, s"seg$b one two three"),
+          (b * 10 + 2, s"seg$b one two alt tail $b"))
+          .toDF("doc_id", "text"),
+        indexDir, outDir, b)
+    }
+    def all(dir: String) = spark.read.parquet(dir)
+      .drop("batch_id").collect()
+      .map(_.toSeq).toSet
+    val idxBefore = all(indexDir); val outBefore = all(outDir)
+    Pipelines.compactBatchOutputKeeping(spark, indexDir, Seq("2"))
+    Pipelines.compactBatchOutputKeeping(spark, outDir, Seq("2"))
+    // full contents invariant on both tables
+    assert(all(indexDir) === idxBefore)
+    assert(all(outDir) === outBefore)
+    // kept batch still addressable by name; folded names gone; the
+    // collapse partition is the reserved -1 (never a real micro-batch)
+    val byBatch = spark.read.parquet(outDir)
+      .select("batch_id").collect().map(_.get(0).toString).toSet
+    assert(byBatch === Set("2", "-1"))
+    assert(spark.read.parquet(outDir)
+      .filter(col("batch_id").cast("string") === "2").count() > 0)
+    // integral partition type survives the fold, so the sink's
+    // numeric self-exclusion probe keeps working: a LATER batch
+    // still dedups against the folded history
+    Pipelines.processSegmentDedupBatch(
+      Seq((99L, "seg0 one two brand new end")).toDF("doc_id", "text"),
+      indexDir, outDir, 3L)
+    val d99 = spark.read.parquet(outDir)
+      .filter(col("doc_id") === 99L).select("text").head().getString(0)
+    assert(d99 === "brand new end", "folded history lost by the probe")
+    // guards: unknown kept name, the collapse key itself
+    intercept[IllegalArgumentException] {
+      Pipelines.compactBatchOutputKeeping(spark, outDir, Seq("7"))
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.compactBatchOutputKeeping(spark, outDir, Seq("-1"))
+    }
+    // repeated retention is idempotent (the old collapse partition
+    // folds again)
+    Pipelines.compactBatchOutputKeeping(spark, outDir, Seq("3"))
+    assert(all(outDir) ===
+      outBefore + Seq(99L, "brand new end", 1L, 2L))
+  }
+
   test("streaming segment dedup sink ≡ one-shot batch dedup (id order)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files
