@@ -22,106 +22,16 @@ import graft.textanalysis.TextAnalysis
   * decimal sums (or explicit rounding) so float summation order can
   * never flip a hash.
   */
-object SparkEntry {
-
-  /** The injected clock for F8 auto-touch stamps (mergeUpdates):
-    * both the Spark query and its oracle SQL derive their literal
-    * from THIS one constant, so the stamp is oracled without wall-
-    * clock nondeterminism. A production caller passes real time.
-    */
-  val mergeClock: java.time.Instant = java.time.Instant.ofEpochSecond(1700000000L)
-  private val mergeClockIso: String =
-    java.time.format.DateTimeFormatter.ISO_INSTANT.format(mergeClock)
-
-  // scratch IVF indexes already written by this JVM (keyed by path)
-  private val ivfIndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Execute a query eagerly with adaptive execution DISABLED, then
-    * restore the conf. For short sequential pipelines of tiny
-    * pre-sized stages — the bounded-increment probe, the
-    * vocabulary-round BPE trainer — AQE's per-stage re-planning is
-    * pure overhead (measured 2.0×/1.3× at sf0.1, `tools.ProfileAqe`),
-    * and its scale benefits don't apply: the batch is bounded by
-    * contract, skew is handled by the explicit bucket-size cap, and
-    * every join is an explicit broadcast. The iterative GRAPH queries
-    * keep AQE — there it coalesces the tiny per-round frames and wins
-    * (components_star 1.7× faster WITH it). The result materializes
-    * inside this call (bounded by the query's output contract), so
-    * the conf flip never leaks to LATER queries.
-    *
-    * SINGLE-THREADED-SESSION ASSUMPTION: the flip is session-global
-    * (spark.sql.adaptive.enabled is one SQLConf entry), and the
-    * synchronized block only serializes OTHER withAqeOff callers — a
-    * query planned CONCURRENTLY on the same session (a parallel test,
-    * a live streaming micro-batch) would silently plan without AQE
-    * during the window. Every caller here runs on the sequential
-    * Verify/Bench session, and the spec suites never run a stream
-    * concurrently with a wrapped query on a shared session; a caller
-    * that needs concurrent planning should clone the session
-    * (newSession shares state but has its own SQLConf) and route the
-    * wrapped build through the clone instead.
-    *
-    * The assumption is ENFORCED, not just documented: every
-    * concurrent-branch composition here routes its Future through
-    * [[concurrentBranch]], and the two sides assert mutual
-    * exclusion — a future composition mixing a branch with a wrapped
-    * build fails loudly at build time instead of silently planning
-    * the branch without AQE.
-    */
-  // Both counters mutate ONLY under this lock, so the check-and-
-  // increment on each side is atomic with respect to the other —
-  // two threads can't each pass the other's require before either
-  // increments (the interleaving a bare AtomicInteger pair allows).
-  private val branchStateLock = new Object
-  private var aqeOffWindows = 0
-  private var planningBranches = 0
-
-  /** Plan-and-materialize `body` on a second thread, concurrently with
-    * the caller's own jobs — the shared shape of the q_curation_*
-    * compositions (concurrent job submission on one session is the
-    * supported Spark pattern for independent DAG branches). Registers
-    * the branch so [[withAqeOff]] refuses to flip the session-global
-    * conf while any branch might still be planning.
-    */
-  private def concurrentBranch[T](body: => T): scala.concurrent.Future[T] = {
-    branchStateLock.synchronized {
-      require(aqeOffWindows == 0,
-        "concurrentBranch started inside a withAqeOff window — the " +
-          "branch would plan without AQE; sequence them or clone the session")
-      planningBranches += 1
-    }
-    scala.concurrent.Future {
-      try body
-      finally branchStateLock.synchronized { planningBranches -= 1 }
-    }(scala.concurrent.ExecutionContext.global)
-  }
-
-  private def withAqeOff(s: SparkSession)(build: => DataFrame): DataFrame =
-    // serialized per session: two concurrent wrapped builds could
-    // otherwise interleave get/set and restore the wrong value,
-    // leaving AQE off for every later (graph) query on the session
-    s.synchronized {
-      branchStateLock.synchronized {
-        require(planningBranches == 0,
-          "withAqeOff entered while a concurrentBranch is in flight — " +
-            "the branch would plan without AQE; await it first or route " +
-            "the wrapped build through s.newSession()")
-        aqeOffWindows += 1
-      }
-      val key = "spark.sql.adaptive.enabled"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "false")
-      try build.localCheckpoint(true)
-      finally {
-        // restore BEFORE decrementing: a concurrentBranch admitted the
-        // instant aqeOffWindows hits 0 must see AQE already back on —
-        // the reverse order leaves a gap where the branch plans with
-        // AQE still disabled
-        s.conf.set(key, prev)
-        branchStateLock.synchronized { aqeOffWindows -= 1 }
-      }
-    }
+object SparkEntry extends EntryInfra
+    with RelationalEntries
+    with SearchEntries
+    with DedupEntries
+    with GraphEntries
+    with AnnEntries
+    with PqEntries
+    with TextEntries
+    with CurationEntries
+    with MediaEntries {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The caller's session may not carry the nanos config the events
@@ -139,5071 +49,8 @@ object SparkEntry {
     else RelationalOps.pricingSummary(Tables.lineitem(spark, sf))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.10 /health/ready — the SELECT 1 readiness probe
-    "q_health" -> ((s, _) => s.sql("SELECT 1 AS ok")),
-    // §2.4 A1+A2+A3 — per-doc view counter + exact unique visitors
-    "q_view_stats" -> ((s, d) => StatsOps.viewStats(Tables.events(s, d))),
-    // §2.4 A2 — HLL approximate uniques (no oracle; error-bound spec)
-    "q_view_stats_approx" -> ((s, d) => StatsOps.viewStatsApprox(Tables.events(s, d))),
-    // §2.4 A1/A3 — event-type rollup with exact-decimal value sum
-    "q_event_rollup" -> ((s, d) => StatsOps.eventTypeRollup(Tables.events(s, d))),
-    // §2.1 S1 + §2.5 W2/W3 — newest-first listing, page 3 of 20
-    "q_list_page" -> ((s, d) => RelationalOps.listPage(Tables.orders(s, d), 40, 20)),
-    // §2.1 S2 — point lookup by PK
-    "q_point_lookup" -> ((s, d) => RelationalOps.pointLookup(Tables.orders(s, d), 42L)),
-    // §2.1 S3 — column-pruned status probe
-    "q_status_lookup" -> ((s, d) => RelationalOps.statusLookup(Tables.orders(s, d), 42L)),
-    // §2.3 J1 — semi-join existence check
-    "q_semi_join" -> ((s, d) => RelationalOps.semiJoinExists(Tables.orders(s, d), Tables.customer(s, d), "BUILDING")),
-    // §2.3 J3 — anti-join (orphans / cascade)
-    "q_anti_join" -> ((s, d) => RelationalOps.antiJoinOrphans(Tables.customer(s, d), Tables.orders(s, d))),
-    // §2.3 — the intended documents⋈signatures equi-join + aggregate
-    "q_join_agg" -> ((s, d) => RelationalOps.joinAgg(Tables.orders(s, d), Tables.customer(s, d))),
-    // §2.1 S6 — update-as-merge with version bump
-    "q_merge_update" -> ((s, d) =>
-      RelationalOps.mergeUpdates(Tables.orders(s, d), Some(mergeClock))),
-    // §2.5 W1 — top-k with deterministic tiebreak
-    "q_topk_customers" -> ((s, d) => RelationalOps.topCustomers(Tables.orders(s, d), 10)),
-    // bench headline: scan+agg (TPC-H Q1 shape)
-    "q_pricing_summary" -> ((s, d) => RelationalOps.pricingSummary(Tables.lineitem(s, d))),
-    // bench headline: multi-way join (TPC-H Q5 shape)
-    "q_revenue_by_region" -> ((s, d) => RelationalOps.revenueByRegion(
-      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
-      Tables.nation(s, d), Tables.region(s, d))),
-    // §2.9 U1 + §2.4 A4 — rule-based quality scorer
-    "q_quality_scores" -> ((s, d) =>
-      RuleBasedScorer.score(Tables.documents(s, d), "text")
-        .select("doc_id", "lang", "completeness", "consistency",
-          "pii_detection", "language_quality", "quality_score",
-          "quality_is_valid", "has_pii")
-        .orderBy("doc_id")),
-    // Curriculum binning: per-lang quality quartiles (ntile over the
-    // rule-based score, best first) — bin 1 is the slice a
-    // curriculum-ordered training run consumes first
-    "q_curriculum" -> ((s, d) =>
-      SampleOps.curriculumBins(
-        RuleBasedScorer.score(Tables.documents(s, d), "text"),
-        "lang", "doc_id", col("quality_score"), 4)
-        .select("doc_id", "lang", "quality_score", "bin")
-        .orderBy("doc_id")),
-    // §2.7 F15 — issue array construction + explode (UDTF-style)
-    "q_quality_issues" -> ((s, d) => RuleBasedScorer.issues(
-      RuleBasedScorer.score(Tables.documents(s, d), "text"), "doc_id")),
-    // §2.2 P7 — BLOCK_LOW_QUALITY gate, rolled up per language
-    "q_quality_gate" -> ((s, d) =>
-      RuleBasedScorer.qualityGate(
-        RuleBasedScorer.score(Tables.documents(s, d), "text"), block = true)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_valid"))
-        .orderBy(col("lang"))),
-    // §2.1 S7 + §2.2 P1-P4 — CDC envelope encode→decode→filter→flatten
-    "q_cdc_pipeline" -> ((s, d) =>
-      Cdc.pipeline(Cdc.syntheticEnvelopes(Tables.documents(s, d)))
-        .select("op", "doc_id", "lang", "content_size", "status",
-          "version", "s3_key", "ts_ms")
-        .orderBy("doc_id")),
-    // §2.3 J2 — stream-static enrichment join, batch twin (content
-    // table is partial so the left join's null path is exercised)
-    "q_enrich_content" -> ((s, d) => {
-      val flattened = Cdc.pipeline(Cdc.syntheticEnvelopes(Tables.documents(s, d)))
-      val content = Tables.documents(s, d)
-        .filter(col("doc_id") % 3 =!= 0)
-        .select(concat(col("doc_id"), lit("/content")).as("s3_key"),
-          col("text").as("content"))
-      graft.streaming.Pipelines.enrichWithContent(flattened, content)
-        .select(col("doc_id"), col("s3_key"), col("has_content"),
-          length(col("blob_content")).cast("long").as("content_len"))
-        .orderBy(col("doc_id"))
-    }),
-    // The STAGED J2 twin (round-11 verdict #4): both join sides
-    // co-bucketed on s3_key, so the content lookup merge-joins
-    // presorted buckets with zero exchanges — the corpus-side blob
-    // table never reshuffles. Shares q_enrich_content's oracle
-    // verbatim: staged ≡ one-shot is the hash gate itself
-    "q_enrich_content_staged" -> ((s, d) => {
-      val flat = builtEnrichFlatTable(s, d)
-      graft.streaming.Pipelines.enrichWithContentStaged(s, flat,
-        flat + "_content")
-        .select(col("doc_id"), col("s3_key"), col("has_content"),
-          length(col("blob_content")).cast("long").as("content_len"))
-        .orderBy(col("doc_id"))
-    }),
-    // §2.2 P8 + §2.7 F1/F12 — validation predicates as columns
-    "q_validation" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.isValidTitle(col("text")).as("valid_title"),
-        TextFunctions.withinSizeLimit(col("text"), 500).as("within_limit"),
-        TextFunctions.isValidEmail(concat(col("source"), lit("@example.com")))
-          .as("valid_email"))
-        .orderBy("doc_id")),
-    // §2.7 F9 — deterministic uuid7-style time-ordered ids
-    "q_uuid7" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.uuid7((col("doc_id") * 1000L + 1700000000000L),
-          col("source")).as("uid"))
-        .orderBy("doc_id")),
-    // §2.10 GET /search — scored search + filters + total + page
-    "q_search" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
-      "merge", lang = Some("en"), minChars = Some(100L), size = 10)),
-    // §2.5 W2 — the reference search API's from+size offset paging
-    // (services/search/app/main.py:79-80,114-115): page 2 of the
-    // q_search result set, total_hits unchanged
-    "q_search_page2" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
-      "merge", lang = Some("en"), minChars = Some(100L), from = 10, size = 10)),
-    // §2.7 F3 — fuzziness AUTO via per-token levenshtein
-    "q_search_fuzzy" -> ((s, d) => SearchOps.search(Tables.documents(s, d),
-      "mergee", fuzzy = true, size = 20)),
-    // §2.7 F4 — highlight
-    "q_search_highlight" -> ((s, d) =>
-      SearchOps.searchWithHighlight(Tables.documents(s, d), "window", 10)),
-    // BM25 ranking (the scoring family behind the reference's ES) —
-    // exact, reproducible, fully oracled
-    "q_search_bm25" -> ((s, d) =>
-      SearchOps.searchBm25(Tables.documents(s, d), Seq("merge", "query"), 10)),
-    // The SAME ranking served from the build-once inverted-file
-    // artifact: literal term-hash buckets prune partitions, df
-    // re-aggregates from the pruned postings — no corpus tokenize
-    "q_search_bm25_indexed" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s, builtBm25Index(s, d),
-        Seq("merge", "query"), 10)),
-    // Index maintenance for text: the same served ranking over an
-    // index built as base-write + batch-APPEND (postings land in the
-    // existing term-bucket directories; corpus scalars merge from
-    // stored exact longs) — append ≡ rebuild bit-for-bit, gated by
-    // sharing the one-shot operator's oracle
-    "q_search_bm25_incremental" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s, builtBm25IncIndex(s, d),
-        Seq("merge", "query"), 10)),
-    // SNAPSHOT read: the SAME incremental index served as of its
-    // BASE batch only — pure batch_id partition pruning; the ranking
-    // must equal a rebuild on the base documents alone, df/avgdl
-    // included, as if the append never happened. Time travel under
-    // continuous ingestion, no copy, no restore
-    "q_search_bm25_asof" -> ((s, d) =>
-      SearchOps.searchBm25FromIndexAsOf(s, builtBm25IncIndex(s, d),
-        Seq("merge", "query"), 10, Seq("build"))),
-    // The index's ingestion HISTORY read from the stats ledger — the
-    // audit behind as-of serving: one exact (n_docs, sum_dl) row per
-    // batch; the oracle re-derives each batch's contribution from
-    // its document split, so ledger drift fails the hash
-    "q_search_bm25_history" -> ((s, d) =>
-      SearchOps.bm25IndexHistory(s, builtBm25IncIndex(s, d))),
-    // Index maintenance: ERASURE — docs ≡ 3 mod 7 tombstoned out of
-    // the full-corpus index (O(batch): tombstones + a pruned doclens
-    // read feeding an exact negative ledger row; postings untouched).
-    // The oracle replays BM25 on the REMAINING corpus — df, avgdl,
-    // and the ranking must all re-derive as if rebuilt
-    "q_search_bm25_deleted" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s, builtBm25DelIndex(s, d),
-        Seq("merge", "query"), 10)),
-    // RETENTION for the lexical index: two append windows + an
-    // erasure spanning folded AND kept docs, then
-    // compactBm25IndexKeeping folds w1 + the erasure while w2 stays
-    // addressable. Serving is invariant (shares the erasure replay);
-    // the kept-part of the folded correction re-materializes as the
-    // "retained" tombstones + "del-retained" ledger row
-    "q_search_bm25_retention" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s, builtBm25RetIndex(s, d),
-        Seq("merge", "query"), 10)),
-    // ...the fold, hash-gated: as-of("build") AFTER retention = the
-    // folded window's live docs against folded-only scalars
-    "q_search_bm25_retention_asof" -> ((s, d) =>
-      SearchOps.searchBm25FromIndexAsOf(s, builtBm25RetIndex(s, d),
-        Seq("merge", "query"), 10, Seq("build"))),
-    // ...and the ledger split itself: every post-retention stats row
-    // must state exactly its own partitions' contribution — the
-    // folded build total, w2's raw contribution, and the exact
-    // negative "del-retained" correction for w2's erased docs
-    "q_search_bm25_retention_history" -> ((s, d) =>
-      SearchOps.bm25IndexHistory(s, builtBm25RetIndex(s, d))),
-    // STREAMING ERASURE under the query gate: the same batch
-    // forgotten through two checkpointed deletion-request
-    // micro-batches (bm25DeleteSink) — shares the deleted oracle, so
-    // sink-erased ≡ rebuild-on-remaining is the hash itself
-    "q_search_bm25_stream_deleted" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s,
-        builtBm25StrDelIndex(s, d) + "/idx",
-        Seq("merge", "query"), 10)),
-    // ...and the same ranking after COMPACTION makes the deletions
-    // physical (postings/doclens rewritten without the tombstoned
-    // docs, ledger collapsed, tombstones dropped) — compacted ≡
-    // tombstoned is gated by sharing the deleted oracle verbatim
-    "q_search_bm25_compacted" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s, builtBm25CompactIndex(s, d),
-        Seq("merge", "query"), 10)),
-    // Streaming ingestion into the live text index: the SAME served
-    // ranking over an index the bm25IndexSink built from three
-    // checkpointed micro-batches — stream-built ≡ one-shot rebuild,
-    // gated by sharing the corpus oracle
-    "q_search_bm25_streamed" -> ((s, d) =>
-      SearchOps.searchBm25FromIndex(s, builtBm25StreamedIndex(s, d) + "/idx",
-        Seq("merge", "query"), 10)),
-    // Retrieval operating-point eval: MRR / precision@10 / recall@10
-    // of the BM25 ranking for 3 eval queries against a deterministic
-    // graded-relevance rule (every query term ≥3 occurrences) — the
-    // annRecall / classifier-PR convention applied to text retrieval;
-    // one corpus tokenize shared across the whole eval batch
-    "q_retrieval_eval" -> ((s, d) =>
-      SearchOps.retrievalEval(Tables.documents(s, d),
-        Seq("merge+query" -> Seq("merge", "query"),
-          "sort+window" -> Seq("sort", "window"),
-          "spark+data" -> Seq("spark", "data")), 10)),
-    // The same eval SERVED from the written index: eval-term buckets
-    // prune the postings scan and the scalars come from the stats
-    // ledger — the eval batch never tokenizes (or reads) the corpus;
-    // identical output gated by sharing the corpus oracle
-    "q_retrieval_eval_indexed" -> ((s, d) =>
-      SearchOps.retrievalEvalFromIndex(s, builtBm25Index(s, d),
-        Seq("merge+query" -> Seq("merge", "query"),
-          "sort+window" -> Seq("sort", "window"),
-          "spark+data" -> Seq("spark", "data")), 10)),
-    // The eval AT A SNAPSHOT (round-11 verdict #7): the same metric
-    // batch against the incrementally-built index as of its base
-    // batch — "did last week's index serve worse?" under continuous
-    // ingestion. The oracle replays the full metric SQL on the base
-    // document split, so snapshot-eval ≡ eval-on-rebuild-at-history
-    // is the hash gate
-    "q_retrieval_eval_asof" -> ((s, d) =>
-      SearchOps.retrievalEvalFromIndexAsOf(s, builtBm25IncIndex(s, d),
-        Seq("merge+query" -> Seq("merge", "query"),
-          "sort+window" -> Seq("sort", "window"),
-          "spark+data" -> Seq("spark", "data")), 10, Seq("build"))),
-    // Hybrid retrieval: BM25 and cosine rankings fused by reciprocal
-    // rank (RRF) — integer ranks, no score normalization
-    "q_hybrid_search" -> ((s, d) =>
-      // lexical branch from the build-once BM25 index (row-identical
-      // to the one-shot tokenize, which q_search_bm25 still exercises)
-      SearchOps.hybridSearchIndexed(builtBm25Index(s, d),
-        Tables.embeddings(s, d), Seq("merge", "query"), 0L, 20)),
-    // The FULLY-SERVED hybrid — the complete production retrieval
-    // stack with no corpus pass on either branch: lexical top-20 from
-    // the BM25 inverted file, semantic top-20 from the IVF-PQ store
-    // via two-stage serving (pruned 8-byte ADC shortlist of 40 →
-    // exact re-rank via bounded point lookups), RRF-fused. Per-query
-    // I/O = term buckets + nProbe code cells + 40 float rows.
-    // Generated oracle replays BOTH branches AND the fusion
-    "q_hybrid_compressed" -> ((s, d) =>
-      SearchOps.hybridSearchServed(s, builtBm25Index(s, d),
-        s.read.parquet(builtPqIvfIndex(s, d)), Tables.embeddings(s, d),
-        seedCents16(s, d), pqCodebookFor(s, d), Seq("merge", "query"),
-        queryVec0(s, d), 10)),
-    // The hybrid stack's OPERATING POINT (round-13 verdict #1):
-    // MRR/P@10/R@10 of the fully-served fused ranking for 3 eval
-    // queries against the SAME deterministic relevance rule — and
-    // through the SAME exact-rational metric tail — as
-    // q_retrieval_eval, so the lexical eval beside it is directly
-    // comparable: what does RRF fusion do to end-to-end quality?
-    // Generated oracle replays both branches, the fusion, the
-    // relevance rule, and the metrics
-    "q_hybrid_eval" -> ((s, d) =>
-      SearchOps.hybridEval(s, builtBm25Index(s, d),
-        s.read.parquet(builtPqIvfIndex(s, d)), Tables.embeddings(s, d),
-        seedCents16(s, d), pqCodebookFor(s, d), hybridEvalQueries, 10)),
-    // ...and the DRIFT story for the fused stack: the semantic branch
-    // serves the DRIFTED corpus (the q_pq_recluster_recall fixture)
-    // through the stale pre-drift PQ index vs the reclustered one,
-    // while the lexical branch and the relevance rule stay on the
-    // un-drifted documents — measuring whether lexical fusion masks
-    // semantic drift end-to-end, and what the recluster buys back
-    "q_hybrid_eval_drift" -> ((s, d) => {
-      val de = driftedEmbeddings(s, d)
-      val stale = SearchOps.hybridEval(s, builtBm25Index(s, d),
-        s.read.parquet(builtPqDriftStaleIndex(s, d)), de,
-        seedCents16(s, d), pqCodebookFor(s, d), hybridEvalQueries, 10)
-      val fresh = SearchOps.hybridEval(s, builtBm25Index(s, d),
-        s.read.parquet(builtPqDriftFreshIndex(s, d)), de,
-        driftedCentroids(s, d), driftedPqCodebook(s, d),
-        hybridEvalQueries, 10)
-      stale.withColumn("state", lit("1-stale"))
-        .unionByName(fresh.withColumn("state", lit("2-refreshed")))
-        .select(col("state"), col("query_label"), col("n_relevant"),
-          col("n_hit"), col("first_rank"), col("mrr"), col("p_at_k"),
-          col("r_at_k"))
-        .orderBy(col("state"), col("query_label"))
-    }),
-    // The measurement q_hybrid_eval_drift's lexical rule CANNOT make
-    // (its stale ≡ refreshed rows are the finding: fusion is
-    // invariant to which irrelevant candidates the semantic branch
-    // supplies): fused recall against the exact SEMANTIC baseline
-    // for DRIFTED queries — the stale branch's routing loss reaches
-    // the fused number, and the lexical branch's fixed share of the
-    // fused slots quantifies how much fusion dampens both the drop
-    // and the recluster's recovery vs the pure-semantic 0.32→0.44
-    "q_hybrid_drift_recall" -> ((s, d) => {
-      val de = driftedEmbeddings(s, d)
-      val dq = hybridEvalQueries.zip(Seq(2000000L, 2000010L, 2000020L))
-        .map { case ((l, ts, _), vid) => (l, ts, vid) }
-      val stale = SearchOps.hybridSemanticRecall(s, builtBm25Index(s, d),
-        s.read.parquet(builtPqDriftStaleIndex(s, d)), de,
-        seedCents16(s, d), pqCodebookFor(s, d), dq, 10)
-        .select(col("query_id"), col("n_exact"),
-          col("recall").as("recall_stale"))
-      val fresh = SearchOps.hybridSemanticRecall(s, builtBm25Index(s, d),
-        s.read.parquet(builtPqDriftFreshIndex(s, d)), de,
-        driftedCentroids(s, d), driftedPqCodebook(s, d), dq, 10)
-        .select(col("query_id"), col("recall").as("recall_refreshed"))
-      stale.join(fresh, Seq("query_id")).orderBy(col("query_id"))
-    }),
-    // Training-data prep: PII stripped from flagged docs (narrow).
-    // The synthetic corpus carries no PII, so identifiers are planted
-    // deterministically (same construction in the oracle) — the
-    // redaction spans, not just the match booleans, go through the gate
-    "q_redact_pii" -> ((s, d) => {
-      import graft.functions.TextFunctions.{hasPii, redactPii}
-      val planted = Tables.documents(s, d).withColumn("text2",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" mail user"),
-            col("doc_id").cast("string"), lit("@example.com")))
-        .when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" ssn 123-45-6789 call +1 (555) 123-4567")))
-        .otherwise(col("text")))
-      planted.filter(hasPii(col("text2")))
-        .select(col("doc_id"), redactPii(col("text2")).as("redacted"))
-        .orderBy(col("doc_id"))
-    }),
-    // Training-data prep: narrow hash sample per language (no shuffle)
-    "q_sample_hash" -> ((s, d) =>
-      SampleOps.hashSample(Tables.documents(s, d), "doc_id", 0.2)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-        .orderBy(col("lang"))),
-    // Training-data prep: exact stratified sample by language
-    "q_sample_stratified" -> ((s, d) =>
-      SampleOps.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", 0.1)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
-    // Training-data prep: deterministic 80/10/10 train/val/test split
-    "q_hash_split" -> ((s, d) =>
-      SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("split"))),
-    // Training-data prep: token-budget sequence packing (block stats)
-    "q_pack_sequences" -> ((s, d) =>
-      graft.textanalysis.TextAnalysis.packSequences(
-        Tables.documents(s, d), "doc_id",
-        graft.textanalysis.TextAnalysis.tokenCount(col("text")),
-        budget = 512, nShards = 8)
-        .groupBy(col("shard"), col("block"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-        .orderBy(col("shard"), col("block"))),
-    // Packing-efficiency rollup: per-shard block fill ratio — the
-    // wasted-accelerator-time readout of the packing strategy
-    "q_packing_efficiency" -> ((s, d) =>
-      graft.textanalysis.TextAnalysis.packingEfficiency(
-        Tables.documents(s, d), "doc_id",
-        graft.textanalysis.TextAnalysis.tokenCount(col("text")),
-        budget = 512, nShards = 8)),
-    // Dedup: exact duplicate groups via 16-byte digest shuffle
-    "q_dedup_exact" -> ((s, d) =>
-      Dedup.exactDuplicateGroups(Tables.events(s, d), "event_id",
-        Seq("user_id", "event_type")).orderBy(col("dup_key"))),
-    // Dedup: deterministic drop (keep min id), rolled up per type
-    "q_dedup_drop" -> ((s, d) =>
-      Dedup.dropExactDuplicates(Tables.events(s, d), "event_id",
-        Seq("user_id", "event_type"))
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
-        .orderBy(col("event_type"))),
-    // Dedup: word-bigram Jaccard on adjacent doc pairs (exact)
-    "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-      a.join(b, col("id_b") === col("id_a") + 1)
-        .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard(
-            Dedup.shinglesFor(docs)(col("text_a"), 2),
-            Dedup.shinglesFor(docs)(col("text_b"), 2)), 4).as("jaccard"))
-        .orderBy(col("id_a"))
-    }),
-    // Dedup: directional containment (overlap coefficient ≥ 0.9) over
-    // a corpus with planted HALF-truncations — the subset/truncation
-    // case whose Jaccard is length-diluted to ~0.5; r=1 banding for
-    // containment-grade recall, exact integer-cross-multiplied gate
-    "q_containment_md5" -> ((s, d) =>
-      Dedup.containmentNearDuplicates(halfCorpus(s, d), "doc_id", "text",
-        hashMode = "md5")
-        .orderBy(col("id_kept"), col("id_dropped"))),
-    // Dedup: exact dedup on CANONICALIZED text — catches the case/
-    // punctuation/whitespace variants byte-exact dedup misses (CCNet
-    // dedups normalized text); planted: doc_id % 9 == 0 gains an
-    // upper-cased ragged-spacing +3,000,000-id copy, and the min-id
-    // winner per normalized key is always the original
-    "q_dedup_normalized" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val variants = docs.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(lit("  "), upper(col("text")), lit(" !")).as("text"))
-      val corpus = docs.unionByName(variants)
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.normalizeText(col("text")).as("norm"))
-      Dedup.dropExactDuplicates(corpus, "doc_id", Seq("norm"))
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
-    // Training prep: overlapping sliding-window chunking (32-word
-    // windows, stride 24) — the RAG/context-window splitter; fully
-    // narrow (zero exchanges), presentation sort at the edge
-    "q_chunk_docs" -> ((s, d) =>
-      graft.textanalysis.TextAnalysis.chunkDocuments(
-        Tables.documents(s, d), chunkWords = 32, strideWords = 24)
-        .orderBy(col("doc_id"), col("chunk_idx"))),
-    // Dedup: document-frequency boilerplate removal (CCNet/C4 rule:
-    // segments in ≥3 distinct docs removed from EVERY doc, including
-    // first occurrences — unlike q_segment_dedup's keep-first)
-    "q_boilerplate_removal" -> ((s, d) =>
-      Dedup.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
-        segWords = 3, minDocs = 3)
-        .orderBy(col("doc_id"))),
-    // Dedup: MinHash+LSH near-dups over a planted-perturbation corpus
-    "q_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))), // presentation sort at the edge
-    // Connected components (the dedup clustering primitive) over a
-    // deterministic star-of-stars graph: key→4-hub→16-hub, so every
-    // node's component has the closed form key − key%16 — fully
-    // oracled including the multi-hop propagation
-    "q_components" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
-        .union(k.select((col("k") - col("k") % 4).as("id_a"),
-          (col("k") - col("k") % 16).as("id_b")))
-      // smallGraphEdges=0 forces the distributed propagation path —
-      // the one a cluster-scale graph runs — through the oracle gate;
-      // the union-find fast path is pinned equal in DedupSpec
-      Dedup.connectedComponents(edges, "id_a", "id_b", smallGraphEdges = 0L)
-        .orderBy(col("node"))
-    }),
-    // The bounded-graph serving path: the SAME edges through the
-    // in-task union-find fast path (default smallGraphEdges budget —
-    // one job, no propagation rounds), gated by the SAME closed-form
-    // oracle SQL, so fast ≡ distributed is the hash gate itself (the
-    // q_communities_fast / q_triangles_fast convention)
-    "q_components_fast" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
-        .union(k.select((col("k") - col("k") % 4).as("id_a"),
-          (col("k") - col("k") % 16).as("id_b")))
-      Dedup.connectedComponents(edges, "id_a", "id_b")
-        .orderBy(col("node"))
-    }),
-    // Same components contract through the ALTERNATING STAR-
-    // CONTRACTION path — O(log n) rounds independent of diameter,
-    // the variant a chain-shaped 100 TB graph needs — hash-matched
-    // against the identical closed-form oracle
-    "q_components_star" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("id_a"), (col("k") - col("k") % 4).as("id_b"))
-        .union(k.select((col("k") - col("k") % 4).as("id_a"),
-          (col("k") - col("k") % 16).as("id_b")))
-      // smallGraphEdges = 0 keeps the UPFRONT union-find off, so the
-      // distributed contraction rounds run through the oracle; the
-      // default finishInTaskBytes budget then lets the geometric-
-      // shrink TAIL finish in-task once the contracted graph is tiny
-      // — the two-phase shape a 100 TB graph actually runs
-      Dedup.connectedComponents(edges, "id_a", "id_b",
-        smallGraphEdges = 0L, algorithm = "star")
-        .orderBy(col("node"))
-    }),
-    // Graph: PageRank over the same orders-derived link graph — the
-    // link-centrality quality prior of crawl curation; 8 exact power-
-    // iteration rounds with uniform teleport, and the 16-aligned hubs
-    // are DANGLING sinks so the mass-redistribution path is oracled
-    // too. Ranks rounded to 10 dp (fp summation-order ulps sit ~1e-18,
-    // far below the grain)
-    // Graph: degree-distribution readout — the sanity histogram every
-    // graph pipeline prints before running anything iterative on it
-    // (out-degree d → node count; dangling nodes are the d = 0 row)
-    "q_graph_degrees" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
-        .union(k.select((col("k") - col("k") % 4).as("a"),
-          (col("k") - col("k") % 16).as("b")))
-        .filter(col("a") =!= col("b")).distinct()
-      val outDeg = edges.groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("d"))
-      val nodes = edges.select(col("a").as("node"))
-        .union(edges.select(col("b").as("node"))).distinct()
-      nodes.join(outDeg, Seq("node"), "left")
-        .select(coalesce(col("d"), lit(0L)).as("out_degree"))
-        .groupBy(col("out_degree"))
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("out_degree"))
-    }),
-    // Triangle count + clustering coefficient per node over a built
-    // link graph (4-group triangles + 16-group star heads — the star
-    // exercises the degree-ordered orientation's heavy-hitter bound)
-    // smallGraphEdges=0 pins the distributed 2-path join — the
-    // 100 TB shape the oracle replays
-    "q_triangles" -> ((s, d) =>
-      graft.graph.Triangles.triangleStats(linkGraphEdges(s, d), "s", "t",
-        smallGraphEdges = 0L)),
-    // The same readout through the bounded-graph in-task path
-    // (sorted-adjacency intersect, one job) — oracled against the
-    // IDENTICAL replay, so fast ≡ distributed is hash-gated
-    "q_triangles_fast" -> ((s, d) =>
-      graft.graph.Triangles.triangleStats(linkGraphEdges(s, d), "s", "t")),
-    // Degree assortativity of the same graph: Pearson over endpoint
-    // degrees, exact integer moment sums, one division per graph
-    "q_assortativity" -> ((s, d) =>
-      graft.graph.Triangles.assortativity(linkGraphEdges(s, d), "s", "t")),
-    // One-row structure dashboard of the link graph
-    "q_graph_summary" -> ((s, d) =>
-      graft.graph.Triangles.graphSummary(linkGraphEdges(s, d), "s", "t")),
-    // 2-core of the same graph by synchronous peeling to fixpoint:
-    // the pendant-chain tails drop in round 1, their middle links in
-    // round 2, triangles and star heads survive; the recorded round
-    // count generates an exact per-round DuckDB replay (the
-    // ivfKmeansOracle lifecycle)
-    "q_kcore" -> ((s, d) => {
-      lastOracleDir = d
-      // smallGraphEdges=0 pins the distributed peel — the 100 TB
-      // shape — through the oracle gate; the in-task fast path is
-      // pinned round-and-member equal in KCoreSpec and serves the
-      // bounded-graph compositions (q_curation_kcore)
-      val r = graft.graph.KCore.kCore(linkGraphEdges(s, d), "s", "t", 2,
-        smallGraphEdges = 0L)
-      kcoreRounds.put(d, Integer.valueOf(r.rounds))
-      r.members
-    }),
-    // Community detection: 4 synchronous label-propagation rounds
-    // over the link graph, ties to the smallest label, min-member
-    // canonical community names. smallGraphEdges=0 pins the
-    // distributed per-round shape — the 100 TB plan — through the
-    // oracle gate (the q_kcore convention); the in-task fast path is
-    // pinned label-for-label equal in CommunitiesSpec
-    "q_communities" -> ((s, d) =>
-      graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
-        "s", "t", rounds = 4, smallGraphEdges = 0L)),
-    // the bounded-graph serving path, gated by the SAME oracle SQL —
-    // a divergence between the paths fails the gate itself
-    "q_communities_fast" -> ((s, d) =>
-      graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
-        "s", "t", rounds = 4)),
-    // Ingest-time community assignment: new nodes (one per order,
-    // +3e9 id offset) attach to the link graph and adopt the majority
-    // FROZEN label among their neighbors — one LPA round against the
-    // WRITTEN labels artifact (built once, never recomputed; the gram
-    // index / NB gate lifecycle). Ids ≡ 2 mod 5 link only to another
-    // NEW node, so their vote is empty and they open their own
-    // community (the LPA init convention) — the oracle replays both
-    // branches
-    // Served STAGED (the round-10 weak line): the batch's edges were
-    // canonicalized+symmetrized ONCE at ingest-stage time into a
-    // v-bucketed catalog table, the frozen labels into a node-bucketed
-    // one with the same bucket count — the vote round's label join
-    // plans ZERO exchanges and the query never re-canonicalizes.
-    // Same oracle SQL as before: staged ≡ one-shot is gated by the
-    // hash itself (CommunitiesSpec also pins row parity + plan shape)
-    "q_communities_probe" -> ((s, d) =>
-      graft.graph.Communities.assignFromStaged(
-        communityProbeNodes(s, d),
-        builtCommunityProbeEdges(s, d),
-        builtCommunityLabelsBucketed(s, d))),
-    // One-row partition-quality readout: exact integer-rational
-    // modularity of the LPA partition (Newman-Girvan), the number a
-    // curation owner reads before trusting community-level decisions
-    "q_modularity" -> ((s, d) =>
-      graft.graph.Communities.modularityOfLpa(
-        linkGraphEdges(s, d), "s", "t", rounds = 4)),
-    // Community-size histogram — one blob, all singletons, or a real
-    // distribution? |distinct sizes| rows off the same LPA partition
-    "q_community_sizes" -> ((s, d) =>
-      graft.graph.Communities.communitySizes(
-        graft.graph.Communities.labelPropagation(
-          linkGraphEdges(s, d), "s", "t", rounds = 4))),
-    // TrustRank: teleport restricted to trusted seed hubs (node ids
-    // divisible by 64 — a subset of the 16-group heads); rank flows
-    // outward from seeds, unreachable regions starve toward zero
-    "q_pagerank_personalized" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
-        .union(k.select((col("k") - col("k") % 4).as("a"),
-          (col("k") - col("k") % 16).as("b")))
-      // smallGraphEdges=0 pins the distributed rounds — the
-      // cluster-scale shape — through the oracle gate (the q_pagerank
-      // convention); the fast-path twin below serves bounded graphs
-      graft.graph.PageRank.personalizedPageRank(edges, "a", "b",
-          n => n % 64 === 0, iterations = 8, smallGraphEdges = 0L)
-        .select(col("node"), round(col("rank"), 10).as("rank"))
-        .orderBy(col("node"))
-    }),
-    // the bounded-graph serving path: identical recurrence in one
-    // in-task CSR iteration, gated by the SAME oracle SQL — a hash
-    // divergence between the paths fails the gate itself
-    "q_pagerank_personalized_fast" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
-        .union(k.select((col("k") - col("k") % 4).as("a"),
-          (col("k") - col("k") % 16).as("b")))
-      graft.graph.PageRank.personalizedPageRank(edges, "a", "b",
-          n => n % 64 === 0, iterations = 8)
-        .select(col("node"), round(col("rank"), 10).as("rank"))
-        .orderBy(col("node"))
-    }),
-    "q_pagerank" -> ((s, d) => {
-      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-      val edges = k
-        .select(col("k").as("a"), (col("k") - col("k") % 4).as("b"))
-        .union(k.select((col("k") - col("k") % 4).as("a"),
-          (col("k") - col("k") % 16).as("b")))
-      // smallGraphEdges=0 forces the distributed rounds — the shape a
-      // cluster-scale graph runs — through the oracle gate; the
-      // in-task fast path is pinned ulp-equal in PageRankSpec
-      graft.graph.PageRank.pageRank(edges, "a", "b", iterations = 8,
-          smallGraphEdges = 0L)
-        .select(col("node"), round(col("rank"), 10).as("rank"))
-        .orderBy(col("node"))
-    }),
-    // Dedup: LSH pairs closed under transitivity → clusters with a
-    // canonical min-id label (rows-only: hinges on xxhash64 minhash)
-    "q_dedup_clusters" -> ((s, d) =>
-      dedupClusters(s, d).orderBy(col("node"))),
-    // Dedup: the corpus with near-copies dropped (canonical survives).
-    // Derives from the same built cluster artifact as q_dedup_clusters
-    // — a real dedup pipeline computes pairs once and reads both views
-    "q_dedup_survivors" -> ((s, d) => {
-      val losers = dedupClusters(s, d)
-        .filter(col("node") =!= col("component"))
-        .select(col("node").as("__drop_id"))
-      plantedCorpus(s, d)
-        .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
-    // The SAME LSH pipeline in md5-signature mode: every stage —
-    // signature, banding, bucket join, Jaccard verify — hash-matched
-    // against DuckDB (md5 exists in both engines; xxhash64 doesn't),
-    // converting the near-dup family from rows-only to proven
-    "q_minhash_neardup_md5" -> ((s, d) =>
-      Dedup.minhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
-        hashMode = "md5")
-        .orderBy(col("id_a"), col("id_b"))),
-    // LSH operating-point evaluation (the q_ann_recall analog for
-    // the dedup family): of the PLANTED near-dup pairs whose exact
-    // 3-gram Jaccard clears the pipeline threshold, what fraction
-    // does the banded MinHash pipeline actually find? Banding and the
-    // skew cap both lose candidates; this measures the loss instead
-    // of guessing it — and the found set is a subset of truth by
-    // construction (the pipeline verifies with the same exact J)
-    "q_dedup_recall" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val ws = split(col("text"), " ", -1)
-      val pairs = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id_a"),
-          (col("doc_id") + 1000000L).as("id_b"),
-          Dedup.shinglesFor(docs)(col("text"), 3).as("ga"),
-          Dedup.shinglesFor(docs)(plantedPerturbedText(ws), 3).as("gb"))
-      val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
-          "doc_id", "text", hashMode = "md5")
-        .filter(col("id_b") === col("id_a") + 1000000L &&
-          col("id_a") % 5 === 0)
-        .select(col("id_a"), lit(1L).as("hit"))
-      // ONE projection computes the truth predicate, then a plain
-      // aggregate — a filter on the computed column would be alias-
-      // substituted below the projection and re-evaluate the shingle
-      // HOF subtrees per predicate (the flaggedInternal hazard;
-      // measured 5.7 → 2.6 s at sf0.1)
-      pairs.join(found, Seq("id_a"), "left")
-        .select((size(col("ga")) > 0 && size(col("gb")) > 0 &&
-            Dedup.jaccard(col("ga"), col("gb")) >= 0.5).as("ok"),
-          col("hit"))
-        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_truth"),
-          sum(when(col("ok") && col("hit").isNotNull, 1L)
-            .otherwise(0L)).as("n_found"))
-        .select(col("n_truth"), col("n_found"),
-          when(col("n_truth") > 0,
-            expr("(n_found * 20000 + n_truth) div (2 * n_truth)") /
-              lit(10000.0)).as("recall"))
-    }),
-    // Recall BY SIMILARITY BAND: the planted pairs bucketed by exact
-    // Jaccard decile (band = ⌊10·J⌋ in exact integer arithmetic),
-    // each band's pipeline-found fraction — shows WHERE the loss
-    // lives: bands under the 0.5 verify threshold read 0 by design
-    // (the cliff), bands just above it carry the banding loss
-    "q_dedup_recall_bands" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val ws = split(col("text"), " ", -1)
-      val pairs = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("id_a"),
-          Dedup.shinglesFor(docs)(col("text"), 3).as("ga"),
-          Dedup.shinglesFor(docs)(plantedPerturbedText(ws), 3).as("gb"))
-      val found = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
-          "doc_id", "text", hashMode = "md5")
-        .filter(col("id_b") === col("id_a") + 1000000L &&
-          col("id_a") % 5 === 0)
-        .select(col("id_a"), lit(1L).as("hit"))
-      // the shingle-less pairs carry a NULL group key instead of a
-      // row-level filter (which pushdown would rewrite into repeated
-      // shingle builds — the flaggedInternal hazard); their group is
-      // pruned AFTER aggregation, where nothing can re-evaluate
-      pairs.join(found, Seq("id_a"), "left")
-        .select(
-          // floor on both sides: Spark's double→long cast truncates
-          // but DuckDB's CAST rounds — floor is the one op they share
-          when(size(col("ga")) > 0 && size(col("gb")) > 0,
-            floor((lit(10) * size(array_intersect(col("ga"), col("gb")))) /
-              size(array_union(col("ga"), col("gb")))))
-            .as("band"),
-          col("hit"))
-        .groupBy(col("band"))
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(sum(col("hit")), lit(0L)).as("n_found"))
-        .filter(col("band").isNotNull)
-        .select(col("band"), col("n_pairs"), col("n_found"),
-          (expr("(n_found * 20000 + n_pairs) div (2 * n_pairs)") /
-            lit(10000.0)).as("found_frac"))
-        .orderBy(col("band"))
-    }),
-    // md5-mode pairs closed under transitivity — the oracle replays
-    // the transitive closure as a recursive CTE
-    "q_dedup_clusters_md5" -> ((s, d) =>
-      dedupClustersMd5(s, d).orderBy(col("node"))),
-    // md5-mode survivor view: anti-join of the same cluster artifact
-    "q_dedup_survivors_md5" -> ((s, d) => {
-      val losers = dedupClustersMd5(s, d)
-        .filter(col("node") =!= col("component"))
-        .select(col("node").as("__drop_id"))
-      plantedCorpus(s, d)
-        .join(losers, col("doc_id") <=> col("__drop_id"), "left_anti")
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
-    // Leakage-safe split: split keys are near-dup cluster labels, so
-    // duplicate families never straddle train/eval (same cached
-    // cluster artifact; per-doc rows so the grouping is oracled)
-    "q_leakage_safe_split" -> ((s, d) =>
-      SampleOps.leakageSafeSplit(plantedCorpus(s, d),
-        dedupClustersMd5(s, d), "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))),
-    // Cluster-size histogram over the same cached cluster artifact —
-    // the dedup-health readout ("how big do near-dup families get")
-    "q_cluster_sizes_md5" -> ((s, d) =>
-      dedupClustersMd5(s, d)
-        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-        .orderBy(col("cluster_size"))),
-    // md5-mode survivor view under the PREFERENCE policy: each
-    // cluster keeps its longest member (planted near-copies are
-    // truncated, so originals win) — same cached cluster artifact
-    "q_dedup_survivors_best_md5" -> ((s, d) =>
-      Dedup.keepBestPerCluster(plantedCorpus(s, d), dedupClustersMd5(s, d),
-        "doc_id", length(col("text")))
-        .select(col("doc_id")).orderBy(col("doc_id"))),
-    // Incremental dedup — the daily-increment production path: the
-    // existing corpus pays one signature pass (the index); the new
-    // batch (the perturbed near-copies) signs itself and probes the
-    // index. Survivors of the batch are oracled against the full
-    // md5 pipeline restricted to new-side pairs.
-    "q_dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val ws = split(col("text"), " ", -1)
-      val newBatch = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          plantedPerturbedText(ws).as("text"))
-      // the signature index is a build-once corpus artifact (same
-      // serving model as the written IVF index): built on first use,
-      // probed thereafter
-      SessionCaches.ensureHook(s)
-      val index = sigIndexCache.computeIfAbsent((s, d), kv =>
-        Dedup.minhashSignatures(Tables.documents(kv._1, kv._2)
-            .select("doc_id", "text"), "doc_id", "text", hashMode = "md5")
-          .localCheckpoint(true))
-      // smallBatchRows = 0 forces the DISTRIBUTED probe through the
-      // oracle (the q_components precedent — the 100 TB path stays
-      // hash-gated); the bounded-increment fast path serves the twin
-      // query below, against the SAME oracle
-      withAqeOff(s) {
-        Dedup.dedupIncrement(newBatch, index, "doc_id", "text",
-          hashMode = "md5", smallBatchRows = 0)
-          .select(col("doc_id")).orderBy(col("doc_id"))
-      }
-    }),
-    // The same increment through the bounded-batch fast path (batch
-    // bucket rows collect under an explicit row+byte budget, ONE
-    // in-task index pass, Scala-twin verification) — the serving
-    // shape of a daily increment; oracled against the identical full
-    // md5 replay, so fast ≡ distributed is hash-gated, not just
-    // spec'd
-    "q_dedup_incremental_fast" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val ws = split(col("text"), " ", -1)
-      val newBatch = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          plantedPerturbedText(ws).as("text"))
-      SessionCaches.ensureHook(s)
-      val index = sigIndexCache.computeIfAbsent((s, d), kv =>
-        Dedup.minhashSignatures(Tables.documents(kv._1, kv._2)
-            .select("doc_id", "text"), "doc_id", "text", hashMode = "md5")
-          .localCheckpoint(true))
-      Dedup.dedupIncrement(newBatch, index, "doc_id", "text",
-        hashMode = "md5")
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
-    // Dedup: SimHash banding near-dups over the same corpus
-    "q_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
-        .orderBy(col("id_a"), col("id_b"))),
-    // SimHash banding in md5 mode — like the minhash md5 twin, every
-    // stage (token band values, majority vote, band buckets, Hamming
-    // verify) replays byte-identically in DuckDB
-    "q_simhash_neardup_md5" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text",
-        hashMode = "md5")
-        .orderBy(col("id_a"), col("id_b"))),
-    // Similarity: exact brute-force cosine top-k (broadcast query)
-    "q_knn_brute" -> ((s, d) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
-    // Contrastive-training data prep: top-k hard negatives for vec 0
-    // over a corpus with PLANTED positives (float ×2 copies of every
-    // %7 vector — scaling preserves direction exactly, so each copy
-    // lands at its original's cosine and the query's copy at 1.0);
-    // the ≥0.98 positives drop, the hard-but-safe neighbors remain
-    "q_hard_negatives" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val planted = emb.unionByName(
-        emb.filter(col("vec_id") % 7 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
-            col("label")))
-      Similarity.hardNegatives(planted, 0L, 10)
-    }),
-    // Contrastive triplet export over the same planted corpus as
-    // q_hard_negatives: per anchor (all %7 — each has a ×2-scaled
-    // copy at cos 1.0), the best positive + 10 hardest negatives
-    "q_contrastive_pairs" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val planted = emb.unionByName(
-        emb.filter(col("vec_id") % 7 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
-            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
-            col("label")))
-      Similarity.contrastivePairs(planted, Seq(0L, 7L, 14L), 10)
-    }),
-    // Similarity: batched multi-query top-k via window ranking
-    "q_knn_multi" -> ((s, d) =>
-      Similarity.multiQueryTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), 5)),
-    // Similarity: SRP-LSH ANN top-k (bucket-pruned scan; recall spec'd)
-    "q_ann_lsh" -> ((s, d) =>
-      Similarity.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4)),
-    // SRP-LSH ANN with md5-derived hyperplanes — the bucket math
-    // (plane components, index-ordered dot fold, sign bits) replays
-    // byte-identically in DuckDB, putting the LSH probe itself under
-    // the hash gate (the xx variant stays rows-only)
-    "q_ann_lsh_md5" -> ((s, d) =>
-      Similarity.annTopK(Tables.embeddings(s, d), 0L, 10, nPlanes = 4,
-        hashMode = "md5")),
-    // Similarity: IVF ANN (inverted-file cells + nProbe probe scan)
-    "q_ann_ivf" -> ((s, d) =>
-      Similarity.ivfTopKFrom(Tables.embeddings(s, d),
-        seedCents16(s, d), 0L, 10, nProbe = 2)),
-    // ANN operating-point evaluation: recall@10 of the IVF probe
-    // (nProbe=2 of 16 cells) against exact brute force for 5 query
-    // vectors — the measurement that justifies an ANN config before
-    // a deployment trusts it. Both rankings replay in DuckDB, so the
-    // recall numbers themselves are hash-gated
-    "q_ann_recall" -> ((s, d) =>
-      Similarity.annRecall(Tables.embeddings(s, d), seedCents16(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
-    // The measurement that JUSTIFIES a centroid refresh (round-11
-    // verdict #8): a shifted-distribution batch (negated re-ingests)
-    // drifts the corpus away from the frozen seed centroids; recall
-    // for queries drawn from the drifted batch is measured before
-    // and after reclustering against Lloyd centroids retrained on
-    // the drifted corpus. Generated oracle replays BOTH probe
-    // rankings (seed assignment + refreshed-centroid literals) and
-    // the shared exact baseline — the recall numbers themselves are
-    // hash-gated, and the drop→recovery table lands in BUILD_NOTES
-    "q_ann_ivf_recluster_recall" -> ((s, d) => {
-      val dr = driftedEmbeddings(s, d)
-      val qs = Seq(2000000L, 2000010L, 2000020L, 2000030L, 2000040L)
-      val before = Similarity.annRecall(dr, seedCents16(s, d), qs, 10, 2)
-        .select(col("query_id"), col("n_exact"),
-          col("recall").as("recall_before"))
-      val after = Similarity.annRecall(dr, driftedCentroids(s, d), qs, 10, 2)
-        .select(col("query_id"), col("recall").as("recall_after"))
-      before.join(after, Seq("query_id")).orderBy(col("query_id"))
-    }),
-    // JL random projection: every vector onto 8 deterministic md5
-    // hyperplanes (the SRP family without the sign quantization) —
-    // the dimensionality-reduction stage ahead of a 100 TB ANN scan;
-    // the oracle replays the full plane matrix + index-ordered dot
-    // fold, so the projected doubles themselves are hash-gated
-    "q_embed_project" -> ((s, d) =>
-      Similarity.randomProject(Tables.embeddings(s, d), 8)
-        .orderBy("vec_id", "p")),
-    // Serving scan in the projected space: top-k by cosine over the
-    // 8-double projections — the scan ranks 8 doubles instead of 64
-    // floats per candidate (~8× less volume at full corpus width)
-    "q_knn_projected" -> ((s, d) =>
-      Similarity.projectedTopK(Tables.embeddings(s, d), 0L, 10,
-        outDim = 8)),
-    // Operating-point evaluation: recall@10 of the projected-space
-    // ranking vs the full-dim exact ranking for 5 queries — the
-    // number that justifies a projection width before deployment;
-    // both rankings replay in DuckDB, so the recalls are hash-gated
-    "q_ann_projected_recall" -> ((s, d) =>
-      Similarity.projectedRecall(Tables.embeddings(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, outDim = 8)),
-    // Same IVF semantics served from the WRITTEN cell-partitioned
-    // index — the probe predicate is a literal IN list, so the scan
-    // prunes to nProbe partition directories (the 100 TB path)
-    "q_ann_ivf_indexed" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(s.read.parquet(builtIvfIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // Index maintenance: ERASURE — ids ≡ 3 mod 7 tombstoned out of
-    // the written index (O(batch); cells never read), served through
-    // the anti-joining reader. The oracle replays the rebuild on the
-    // REMAINING vectors: tombstoned ≡ rebuild-on-remaining is the
-    // operator's exactness claim
-    // RETENTION (bounded history): build + two appends + erasure,
-    // then compactIvfIndexKeeping(keep = w2) — the w1 window folds
-    // into the base (tombstones applied physically), w2 stays
-    // addressable. Serving is unchanged by retention, so the full
-    // serve shares the erasure replay verbatim; the as-of twin below
-    // gates the fold itself
-    "q_ann_ivf_retention" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        Similarity.readIvfIndex(s, builtIvfRetentionIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, nProbe = 2)),
-    // as-of("build") AFTER retention = base ∪ folded-w1 − erased —
-    // the rolling window's history contract, hash-gated: the folded
-    // batch is gone as a NAME but its live rows are in the base
-    "q_ann_ivf_retention_asof" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        Similarity.readIvfIndexAsOf(s, builtIvfRetentionIndex(s, d),
-          Seq("build")),
-        seedCents16(s, d), queryVec0(s, d), 10, nProbe = 2)),
-    // The vector family's batch INVENTORY audit (bm25IndexHistory's
-    // analog): one row per index batch + per tombstone batch on the
-    // retention fixture — the readout that tells an operator what
-    // as-of can address and what retention would fold. The oracle
-    // re-derives every count from the id splits, so a partition that
-    // drifted from its split fails the hash
-    "q_ann_ivf_history" -> ((s, d) =>
-      Similarity.ivfIndexHistory(s, builtIvfRetentionIndex(s, d))),
-    "q_ann_ivf_deleted" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        Similarity.readIvfIndex(s, builtIvfDelIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // STREAMING ERASURE under the query gate: the same vec batch
-    // tombstoned through two checkpointed micro-batches
-    // (ivfDeleteSink) — shares the deleted oracle verbatim
-    "q_ann_ivf_stream_deleted" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        Similarity.readIvfIndex(s, builtIvfStrDelIndex(s, d) + "/idx"),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // ...and after COMPACTION makes the erasure physical (cells
-    // rewritten without the tombstoned rows) — the float family's
-    // compacted member under the query gate like its int8/PQ twins;
-    // shares the deleted oracle, so compacted ≡ tombstoned ≡
-    // rebuild-on-remaining is the hash itself
-    "q_ann_ivf_compacted" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        s.read.parquet(builtIvfCmpIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // Index maintenance: the same probe over an index built as
-    // base-write + batch-APPEND against frozen centroids — append ≡
-    // rebuild exactly (frozen per-row assignment, order-blind cells),
-    // gated by sharing the full-rebuild oracle; per-batch cost is
-    // O(batch), the existing inverted lists are never read
-    "q_ann_ivf_incremental" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(s.read.parquet(builtIvfIncIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // Streaming ingestion into the live ANN index: the same probe
-    // over an index the ivfIndexSink built from three checkpointed
-    // micro-batches against frozen centroids — stream-built ≡
-    // rebuild, gated by sharing the full-rebuild oracle
-    "q_ann_ivf_streamed" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        s.read.parquet(builtIvfStreamedIndex(s, d) + "/idx"),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // SNAPSHOT of the stream-built index: the same probe served as
-    // of micro-batch 1 (ids ≡ 2 mod 3 arrived in batch 2 and must
-    // vanish) — the sink's monotonic batch clock makes the prefix
-    // THE historical state, and the oracle replays the rebuild on
-    // the prefix's vectors. Time travel = one partition-column
-    // range predicate next to the cell probes
-    "q_ann_ivf_asof" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        Similarity.readIvfIndexAsOf(s,
-          builtIvfStreamedIndex(s, d) + "/idx", 1L),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // SNAPSHOT of the BATCH-MAINTAINED index by batch NAME: the probe
-    // served as of the base build only (the "inc1" append's ids ≡ 3
-    // mod 8 must vanish) — the batch-keyed append layout carries
-    // history, so time travel is the same partition pruning the
-    // streamed index gets, without a streaming sink in the picture.
-    // The oracle replays the rebuild on the base split
-    "q_ann_ivf_asof_batch" -> ((s, d) =>
-      Similarity.ivfTopKFromIndex(
-        Similarity.readIvfIndexAsOf(s, builtIvfIncIndex(s, d),
-          Seq("build")),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // SemDeDup served from the SAME written index the ANN probe uses:
-    // the cell partitioning is already on disk, dedup skips assignment
-    "q_semdedup_indexed" -> ((s, d) =>
-      Similarity.semanticDuplicatesFromIndex(
-        s.read.parquet(builtIvfIndex(s, d)), 0.999)
-        .orderBy(col("vec_id"))),
-    // IVF probe over LLOYD-REFINED centroids (the production build
-    // path, 2 k-means iterations): the refined centroids are inlined
-    // as literals into a generated oracle, so the probe-over-refined-
-    // cells result is hash-matched, not spec-trusted
-    "q_ann_ivf_kmeans" -> ((s, d) =>
-      Similarity.ivfTopKFrom(Tables.embeddings(s, d),
-        kmeansCentroids(s, d), 0L, 10, 2)),
-    // Index maintenance: CENTROID REFRESH — the seed-built index
-    // re-clusters against the Lloyd-refined centroids into a fresh
-    // directory (old serving untouched; cutover = path swap), and
-    // the query is the churn AUDIT: the (cell_old → cell_new, n)
-    // movement matrix between the two written artifacts. Generated
-    // oracle replays BOTH assignments (seed literals + refined-
-    // centroid literals) and joins them — a drifted cell boundary,
-    // dropped row, or stale entry each flips the hash
-    "q_ann_ivf_recluster" -> ((s, d) =>
-      Similarity.reclusterChurn(s, builtIvfIndex(s, d),
-        builtIvfReclusteredIndex(s, d))),
-    // Product quantization: per-subspace Lloyd codebook (cached,
-    // build-once like the IVF centroids), narrow ADC scan in exact
-    // integer micro-units — codebook + LUT inlined into a generated
-    // oracle, so the approximate ranking itself is hash-matched
-    "q_knn_pq" -> ((s, d) => {
-      val cb = pqCodebookFor(s, d)
-      // serve from the build-once codes table (encode once, query
-      // many — the real PQ serving economics); the oracle replays the
-      // full encode, so the persisted codes are still hash-gated
-      Similarity.pqTopK(s.read.parquet(builtPqCodes(s, d)), cb,
-        queryVec0(s, d), 10)
-    }),
-    // IVF-PQ: the full 100 TB serving shape — cell-partitioned PQ
-    // codes, literal probe cells pruning to nProbe directories, ADC
-    // scan over the probed codes only. Oracle = the generated
-    // codebook replay of q_knn_pq composed with the static seed-cell
-    // assignment/probe CTEs of q_ann_ivf.
-    "q_knn_pq_ivf" -> ((s, d) =>
-      Similarity.pqTopKFromIndex(s.read.parquet(builtPqIvfIndex(s, d)),
-        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
-        nProbe = 2)),
-    // The IVF-PQ maintenance matrix — the composed 100 TB serving
-    // shape gets the same five members as the other index families,
-    // each gated by the generated codebook replay (full corpus for
-    // append/stream, filtered splits for erasure/as-of):
-    // retry-idempotent batch append (built with the append run TWICE)
-    "q_knn_pq_ivf_incremental" -> ((s, d) =>
-      Similarity.pqTopKFromIndex(s.read.parquet(builtPqIvfIncIndex(s, d)),
-        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
-        nProbe = 2)),
-    // erasure: ids ≡ 3 mod 7 tombstoned; the layout-generic reader
-    // anti-joins — tombstoned ≡ rebuild-on-remaining
-    "q_knn_pq_ivf_deleted" -> ((s, d) =>
-      Similarity.pqTopKFromIndex(
-        Similarity.readIvfIndex(s, builtPqIvfDelIndex(s, d)),
-        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
-        nProbe = 2)),
-    // ...and compacted: erasure made physical, a plain cell scan
-    // serves the erased state (shares the deleted replay)
-    "q_knn_pq_ivf_compacted" -> ((s, d) =>
-      Similarity.pqTopKFromIndex(
-        s.read.parquet(builtPqIvfCmpIndex(s, d)),
-        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
-        nProbe = 2)),
-    // snapshot by batch name: the probe as of the base build — the
-    // "inc1" append's ids ≡ 1 mod 8 must vanish
-    "q_knn_pq_ivf_asof" -> ((s, d) =>
-      Similarity.pqTopKFromIndex(
-        Similarity.readIvfIndexAsOf(s, builtPqIvfIncIndex(s, d),
-          Seq("build")),
-        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
-        nProbe = 2)),
-    // streaming ingestion: three checkpointed micro-batches through
-    // pqIndexSink — stream-built ≡ rebuild
-    "q_knn_pq_ivf_streamed" -> ((s, d) =>
-      Similarity.pqTopKFromIndex(
-        s.read.parquet(builtPqIvfStreamedIndex(s, d) + "/idx"),
-        seedCents16(s, d), pqCodebookFor(s, d), queryVec0(s, d), 10,
-        nProbe = 2)),
-    // BATCHED ADC serving: 5 queries' top-10 in ONE pass over the
-    // union of their probed cells — the high-QPS economics (Q pruned
-    // scans collapse to one; per-query results identical to the
-    // single-query path, which the shared generated oracle gates)
-    "q_knn_pq_multi" -> ((s, d) =>
-      Similarity.pqMultiTopKFromIndex(
-        s.read.parquet(builtPqIvfIndex(s, d)), seedCents16(s, d),
-        pqCodebookFor(s, d), multiQueryVecs(s, d), 10, nProbe = 2)),
-    // Batched one-scan serving for the FLOAT store (round-13 verdict
-    // #2): the pqMultiTopKFromIndex trick with per-query literal
-    // query vectors instead of LUTs — 5 queries, one pass over the
-    // union of their probed cells, one bounded (query_id, vec_id,
-    // score) shuffle. Batched ≡ 5 single serves is the hash gate
-    // (the oracle replays each query's pruned ranking)
-    "q_knn_ivf_multi" -> ((s, d) =>
-      Similarity.ivfMultiTopKFromIndex(
-        s.read.parquet(builtIvfIndex(s, d)), seedCents16(s, d),
-        multiQueryVecs(s, d), 10, nProbe = 2)),
-    // ...and for the COMPRESSED (int8) store — the high-QPS hot tier
-    // where the one-scan batching pays most: exact integer dots
-    // against every query's quantized literal, dequantized by the
-    // two scales exactly as the single-query path
-    "q_knn_quantized_multi" -> ((s, d) =>
-      Similarity.quantizedMultiTopKFromIndex(
-        s.read.parquet(builtQuantizedIvfIndex(s, d)), seedCents16(s, d),
-        multiQueryVecs(s, d), 10, nProbe = 2)),
-    // PQ operating-point evaluation: recall@10 of the written IVF-PQ
-    // index's ADC ranking (nProbe=2 of 16 cells, 8-byte codes)
-    // against exact float brute force for 5 queries — the doubly-
-    // lossy path's q_ann_recall. Generated oracle replays encode,
-    // per-query integer LUTs, probe routing, and the exact baseline,
-    // so the recall numbers themselves are hash-gated
-    "q_pq_recall" -> ((s, d) =>
-      Similarity.pqRecall(s.read.parquet(builtPqIvfIndex(s, d)),
-        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
-    // The OPERATING CURVE behind q_pq_recall's single point: the
-    // same ADC serving path swept over nProbe ∈ {1, 2, 4, 8} of 16
-    // cells — the knob a deployment actually turns when recall at
-    // the default probe width is not enough. Per-(n_probe, query)
-    // rows stay exact; the generated oracle replays the shared
-    // encode + LUTs once and re-ranks per probe level
-    "q_pq_recall_curve" -> ((s, d) => {
-      val idx = s.read.parquet(builtPqIvfIndex(s, d))
-      val emb = Tables.embeddings(s, d)
-      val qs = Seq(0L, 1L, 2L, 3L, 4L)
-      Seq(1, 2, 4, 8).map { np =>
-        Similarity.pqRecall(idx, emb, seedCents16(s, d),
-          pqCodebookFor(s, d), qs, 10, np)
-          .withColumn("n_probe", lit(np))
-      }.reduce(_.unionByName(_))
-        .orderBy(col("n_probe"), col("query_id"))
-    }),
-    // Drift maintenance for the composed index: the (cell_old →
-    // cell_new) movement matrix between the built IVF-PQ index and
-    // its reclusterPqIndex refresh — shares the float recluster's
-    // generated oracle VERBATIM (cell assignment is from true floats
-    // in every family; one SQL, three hash gates)
-    "q_knn_pq_ivf_recluster" -> ((s, d) =>
-      Similarity.reclusterChurn(s, builtPqIvfIndex(s, d),
-        builtPqIvfReclusteredIndex(s, d))),
-    // The measurement that justifies a PQ refresh: the drifted corpus
-    // (q_ann_ivf_recluster_recall's fixture) served from the STALE
-    // index (frozen seed cells + frozen corpus codebook — exactly an
-    // append-fed index, by append ≡ rebuild) vs the reclusterPqIndex
-    // REFRESH (drift-seeded Lloyd cells + drift-retrained codebook);
-    // recall@10 for drift-batch queries before and after, exact float
-    // baseline shared. Generated oracle replays BOTH full encode+ADC
-    // pipelines, so the drop→recovery numbers are hash-gated
-    "q_pq_recluster_recall" -> ((s, d) => {
-      val dr = driftedEmbeddings(s, d)
-      val qs = Seq(2000000L, 2000010L, 2000020L, 2000030L, 2000040L)
-      val before = Similarity.pqRecall(
-        s.read.parquet(builtPqDriftStaleIndex(s, d)), dr,
-        seedCents16(s, d), pqCodebookFor(s, d), qs, 10, 2)
-        .select(col("query_id"), col("n_exact"),
-          col("recall").as("recall_before"))
-      val after = Similarity.pqRecall(
-        s.read.parquet(builtPqDriftFreshIndex(s, d)), dr,
-        driftedCentroids(s, d), driftedPqCodebook(s, d), qs, 10, 2)
-        .select(col("query_id"), col("recall").as("recall_after"))
-      before.join(after, Seq("query_id")).orderBy(col("query_id"))
-    }),
-    // Two-stage PQ serving (Jégou §V): the ADC scan SHORTLISTS 40
-    // candidates from the probed cells, then the true float rows of
-    // only those 40 re-rank exactly (bounded id list → In-pushdown
-    // point lookups, never a corpus pass). Generated oracle replays
-    // shortlist + re-rank, so the refined ranking is hash-gated
-    "q_knn_pq_refined" -> ((s, d) =>
-      Similarity.pqTopKRefined(s.read.parquet(builtPqIvfIndex(s, d)),
-        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
-        queryVec0(s, d), 10, nProbe = 2, shortlist = 40)),
-    // The measurement that prices the re-rank stage: recall@10 of the
-    // two-stage path vs q_pq_recall's pure-ADC 0.52 — measured 0.88,
-    // exactly the float routing ceiling at nProbe=2 (q_ann_recall
-    // 0.90): a deep-enough shortlist recovers ALL ADC loss, and the
-    // residual gap is coarse routing, which only nProbe can buy back
-    "q_pq_refined_recall" -> ((s, d) =>
-      Similarity.pqRefinedRecall(s.read.parquet(builtPqIvfIndex(s, d)),
-        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, nProbe = 2, shortlist = 40)),
-    // The SHORTLIST-DEPTH operating curve behind that single point —
-    // the knob a deployment sizes the re-rank I/O budget with:
-    // recall@10 over R ∈ {10, 20, 40, 80} at nProbe=2. R=10 is the
-    // pure-ADC point by construction (re-ranking 10 of 10 reorders,
-    // never recovers); the curve saturates at the routing ceiling
-    "q_pq_refined_curve" -> ((s, d) => {
-      val idx = s.read.parquet(builtPqIvfIndex(s, d))
-      val emb = Tables.embeddings(s, d)
-      val qs = Seq(0L, 1L, 2L, 3L, 4L)
-      Seq(10, 20, 40, 80).map { r =>
-        Similarity.pqRefinedRecall(idx, emb, seedCents16(s, d),
-          pqCodebookFor(s, d), qs, 10, nProbe = 2, shortlist = r)
-          .withColumn("shortlist", lit(r))
-      }.reduce(_.unionByName(_))
-        .orderBy(col("shortlist"), col("query_id"))
-    }),
-    // The CODE-WIDTH lever, measured: the same m=8 code count with
-    // 8-bit books (ksub 64 → 256, the full byte the "8-byte code"
-    // budget always allowed) lifts pure-ADC recall@10 0.52 → 0.66 at
-    // sf0.01 — the knob q_pq_recall_curve showed nProbe cannot turn.
-    // Own trained codebook, own written index, same generated-replay
-    // oracle shape
-    "q_pq_recall_wide" -> ((s, d) =>
-      Similarity.pqRecall(s.read.parquet(builtWidePqIvfIndex(s, d)),
-        Tables.embeddings(s, d), seedCents16(s, d),
-        widePqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
-    // RESIDUAL encoding (IVFADC proper, Jégou §III): codes quantize
-    // v − c_cell instead of v; serving adds one per-cell LUT term
-    // (dot(q,v) = dot(q,c_cell) + dot(q,r) decomposes exactly).
-    // Measured HONESTLY on this corpus: no gain (0.48 vs raw 0.52 at
-    // sf0.01) — the coarse quantizer explains nothing on near-uniform
-    // synthetic embeddings (mean residual norm 0.95 on a unit-norm
-    // corpus, the diagnostic a deployment checks before enabling
-    // residual encoding). The operator is the standard shape for
-    // clustered corpora; the measurement is the when-to-use guidance
-    "q_knn_pq_residual" -> ((s, d) =>
-      Similarity.residualPqTopKFromIndex(
-        s.read.parquet(builtResidualPqIndex(s, d)), seedCents16(s, d),
-        residualPqCodebookFor(s, d), queryVec0(s, d), 10, nProbe = 2)),
-    "q_pq_residual_recall" -> ((s, d) =>
-      Similarity.residualPqRecall(
-        s.read.parquet(builtResidualPqIndex(s, d)),
-        Tables.embeddings(s, d), seedCents16(s, d),
-        residualPqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
-    // The int8 member of the compression/recall frontier: recall@10
-    // of the 4× store's serving path — measured ≈ the float routing
-    // ceiling (scalar quantization error is far below ranking
-    // granularity), which is WHY int8 is the default serving form and
-    // PQ the cold tier. Static oracle: quantization replay + routing
-    // + exact baseline are all corpus-derived
-    "q_int8_recall" -> ((s, d) =>
-      Similarity.quantizedRecall(
-        s.read.parquet(builtQuantizedIvfIndex(s, d)),
-        Tables.embeddings(s, d), seedCents16(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
-    // The FOURTH compression lever: prefix truncation (Matryoshka) —
-    // recall@10 serving only the first d ∈ {8,16,32,64} components
-    // vs the full-dim exact ranking. No artifact, just a sliced
-    // scan at dim/d× less I/O; the measured decay is the
-    // un-front-loaded baseline (these embeddings are not
-    // MRL-trained). Static oracle replays every prefix ranking
-    "q_truncation_recall" -> ((s, d) =>
-      Similarity.truncationRecall(Tables.embeddings(s, d),
-        Seq(0L, 1L, 2L, 3L, 4L), 10, Seq(8, 16, 32, 64))),
-    // ...and the FRONT-LOADED twin: the same prefixes after the
-    // corpus's principal rotation (PCA axes as a frozen literal
-    // artifact — Matryoshka-without-retraining). Prices exactly what
-    // variance front-loading buys back at each prefix; the full-dim
-    // level is the rotation-invariance sanity row. Generated oracle
-    // replays the projection and every prefix ranking
-    "q_truncation_recall_rotated" -> ((s, d) =>
-      Similarity.rotatedTruncationRecall(Tables.embeddings(s, d),
-        principalRotationFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10,
-        Seq(8, 16, 32, 64))),
-    // ROTATION UNDER DRIFT (round-13 verdict #5, completing the
-    // fourth compression axis's maintenance story): the rotation is
-    // trained on the REFERENCE corpus, then a variance-shifted
-    // re-ingest lands (upper-half components ×4 — the negation
-    // fixture can't move second moments) and drifted-batch queries
-    // serve through rotated-prefix truncation — recall with the
-    // stale rotation vs one re-trained on the drifted corpus, per
-    // prefix. Generated oracle replays BOTH projections, both
-    // rankings, and the exact baseline over the drifted corpus
-    "q_truncation_drift" -> ((s, d) => {
-      val de = varianceDriftedEmbeddings(s, d)
-      val qids = Seq(3000000L, 3000004L, 3000008L, 3000012L, 3000016L)
-      val stale = Similarity.rotatedTruncationRecall(de,
-        principalRotationFor(s, d), qids, 10, Seq(8, 16))
-        .select(col("dims"), col("query_id"), col("n_exact"),
-          col("recall").as("recall_stale"))
-      val fresh = Similarity.rotatedTruncationRecall(de,
-        driftedRotationFor(s, d), qids, 10, Seq(8, 16))
-        .select(col("dims"), col("query_id"),
-          col("recall").as("recall_refreshed"))
-      stale.join(fresh, Seq("dims", "query_id"))
-        .orderBy(col("dims"), col("query_id"))
-    }),
-    // Similarity: embedding-cosine near-dup over planted copies
-    "q_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999)
-        .orderBy(col("id_a"), col("id_b")) // presentation sort at the edge
-    }),
-    // Same planted-copy recovery through md5 hyperplanes → oracled
-    "q_embedding_neardup_md5" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.embeddingNearDuplicates(e.unionByName(planted), 0.999,
-        hashMode = "md5")
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-    // Text analysis: per-doc token counts, ratios, language ID
-    "q_text_stats" -> ((s, d) => TextAnalysis.textStats(Tables.documents(s, d))),
-    // Text analysis: per-language corpus rollup
-    "q_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables.documents(s, d))),
-    // Text analysis: rolling-hash + md5 document fingerprints
-    "q_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
-    // Quality: Gopher-style repetition filters (dup-word/n-gram
-    // fractions + top-bigram share; narrow per-doc array math)
-    "q_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionStats(Tables.documents(s, d))),
-    // Quality: per-doc token-distribution Shannon entropy (nats) —
-    // the templated-garbage detector; zero-shuffle narrow fold in
-    // exact integer micro-nats (plan + exactness spec'd)
-    "q_token_entropy" -> ((s, d) =>
-      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
-    // Quality: zlib compressibility (deflated/raw bytes) — catches
-    // long-range template repeats entropy and n-gram stats miss.
-    // Engine-specific codec → rows-only (exactness spec'd against
-    // java.util.zip; the documented sketch-family pattern)
-    "q_compression_ratio" -> ((s, d) =>
-      TextAnalysis.compressionRatio(Tables.documents(s, d))),
-    // Decontamination: benchmark bigram overlap (benchmark = the
-    // doc_id % 101 == 7 slice, broadcast; corpus = the rest)
-    "q_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysis.contaminationStats(
-        docs.filter(col("doc_id") % 101 =!= 7),
-        docs.filter(col("doc_id") % 101 === 7),
-        "doc_id", "text")
-    }),
-    // The inverse contamination report: per BENCHMARK doc, how many
-    // corpus docs share its bigrams and what fraction of its grams
-    // leaked — the eval owner's "which test items are compromised"
-    "q_contamination_by_bench" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysis.contaminationByBenchmark(
-        docs.filter(col("doc_id") % 101 =!= 7),
-        docs.filter(col("doc_id") % 101 === 7),
-        "doc_id", "text")
-    }),
-    // Span-level decontamination: every 8-word span shared with the
-    // held-out slice is cut out of the corpus doc, rest kept
-    "q_decontaminate_spans" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.spanDecontaminate(
-        docs.filter(col("doc_id") % 101 =!= 7),
-        docs.filter(col("doc_id") % 101 === 7),
-        "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-    // Corpus mixing: exact per-source document quotas in md5 order
-    "q_corpus_mix" -> ((s, d) =>
-      SampleOps.quotaMix(Tables.documents(s, d), "source", "doc_id",
-        Seq("src0" -> 15L, "src1" -> 10L, "src2" -> 5L))
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
-    // Tokenizer training: the first 8 BPE merges learned from the
-    // corpus word-frequency table (Sennrich get_stats/merge loop;
-    // one corpus shuffle, then vocabulary-sized rounds)
-    "q_bpe_merges" -> ((s, d) =>
-      withAqeOff(s) {
-        graft.textanalysis.TextAnalysis.bpeMerges(Tables.documents(s, d), 8)
-          .orderBy(col("rank"))
-      }),
-    // Tokenizer serving: learn the merge table, then tokenize the
-    // corpus with it (bounded driver-side merge literal → one narrow
-    // codegen'd replace chain; the half that runs at 100 TB)
-    "q_bpe_encode" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = graft.textanalysis.TextAnalysis.bpeMerges(docs, 8)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.textanalysis.TextAnalysis.bpeEncode(docs, merges)
-        .orderBy(col("doc_id"))
-    }),
-    // Tokenizer serving PAST the 64-merge literal cap: the FULL
-    // learned merge table (this corpus exhausts at ~106 merges —
-    // past the literal-chain bound; real tokenizers ship 32k+)
-    // through the vocab-join design — merges tokenize the word
-    // VOCABULARY once (chunked ≤64-replace codegen units), the
-    // corpus tokenizes by explode + join on word: O(corpus), one
-    // bounded join, no per-merge pass over the data. Vocab table and
-    // merge table are build-once session artifacts (the PQ-codebook
-    // lifecycle).
-    "q_bpe_encode_vocab" -> ((s, d) =>
-      graft.textanalysis.TextAnalysis.bpeEncodeWithVocab(
-        Tables.documents(s, d), bpeVocabTable(s, d))
-        .orderBy(col("doc_id"))),
-    // The same tokenization served from the WRITTEN artifact (the
-    // writeIvfIndex lifecycle): the vocab-token table reads back
-    // from parquet and the corpus joins it — cross-session serving,
-    // gated by the same direct-replay oracle
-    "q_bpe_encode_indexed" -> ((s, d) =>
-      graft.textanalysis.TextAnalysis.bpeEncodeFromVocabIndex(
-        Tables.documents(s, d), builtVocabTokens(s, d))
-        .orderBy(col("doc_id"))),
-    // Tokenizer fitness on held-out text: the vocab table built from
-    // the ¾ split serves the ¼ — per-language OOV rate + fertility
-    // (the report a tokenizer owner reads before shipping; exact
-    // //-division readouts, generated merge-replay oracle)
-    "q_bpe_coverage" -> ((s, d) => {
-      lastOracleDir = d
-      val docs = Tables.documents(s, d)
-      TextAnalysis.bpeCoverage(docs.filter(col("doc_id") % 4 === 0),
-        bpeTrainVocabTable(s, d))
-    }),
-    // Serving the trained vocab against FRESH text with the real-
-    // tokenizer OOV contract: held-out words absent from the
-    // train-split vocabulary fall back to their character stream +
-    // end-of-word marker (the zero-merges base encoding) instead of
-    // dropping — a shipped tokenizer never loses input
-    "q_bpe_encode_fallback" -> ((s, d) => {
-      lastOracleDir = d
-      graft.textanalysis.TextAnalysis.bpeEncodeWithVocabFallback(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        bpeTrainVocabTable(s, d))
-        .orderBy(col("doc_id"))
-    }),
-    // The training-data last mile end-to-end: tokenize the held-out
-    // quarter with the TRAINED byte-fallback tokenizer, then pack the
-    // real token counts into 512-token blocks (the q_pack_sequences
-    // strategy over actual tokenizer output, not whitespace proxies)
-    "q_pack_bpe" -> ((s, d) => {
-      lastOracleDir = d
-      val enc = graft.textanalysis.TextAnalysis.bpeEncodeWithVocabFallback(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        bpeTrainVocabTable(s, d))
-        .select(col("doc_id"), col("n_tokens").as("bpe_tokens"))
-      graft.textanalysis.TextAnalysis.packSequences(
-        enc, "doc_id", col("bpe_tokens"), budget = 512, nShards = 8)
-        .groupBy(col("shard"), col("block"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-        .orderBy(col("shard"), col("block"))
-    }),
-    // Vocabulary heavy hitters: exact corpus top-20 bigrams
-    "q_top_ngrams" -> ((s, d) =>
-      TextAnalysis.topNgrams(Tables.documents(s, d), 2, 20)),
-    // Memorization risk (Lee et al. '22): per-doc fraction of 5-gram
-    // occurrences that also appear in at least one OTHER document —
-    // cross-doc duplicated text the model will see repeatedly
-    "q_memorization" -> ((s, d) =>
-      TextAnalysis.memorizationStats(Tables.documents(s, d), 5)),
-    // ...and the top-20 most duplicated 5-grams behind that fraction
-    "q_memorized_grams" -> ((s, d) =>
-      TextAnalysis.memorizedTopGrams(Tables.documents(s, d), 5, 20)),
-    // Ingest-time admission gate: how much of each held-out doc is
-    // text the train-quarter index has already seen (frozen gram
-    // index probed per batch — never rebuilt)
-    "q_memorization_probe" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysis.memorizationProbe(
-        docs.filter(col("doc_id") % 4 === 0),
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0), 5),
-        5, minDocs = 1L)
-    }),
-    // Mergeable-index refresh: (train index) ⊎ (held-out batch index)
-    // probed at the cross-doc threshold ≡ full-corpus retrain — the
-    // additivity is gated by the full q_memorization replay itself
-    "q_memorization_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merged = TextAnalysis.mergeMemorizationIndexes(
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0), 5),
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 === 0), 5))
-      TextAnalysis.memorizationProbe(
-        docs.filter(col("doc_id") % 4 === 0), merged, 5, minDocs = 2L)
-    }),
-    // The STAGED serving twins (round-10 verdict #5): per-(doc, gram)
-    // counts staged once as a g-bucketed catalog table, the frozen
-    // gram index bucketed to match — the probe's corpus-wide gram
-    // join plans ZERO exchanges and the query never re-tokenizes.
-    // Each twin shares its one-shot query's oracle SQL verbatim, so
-    // staged ≡ one-shot is gated by the hash itself
-    "q_memorization_indexed" -> ((s, d) =>
-      TextAnalysis.memorizationProbeStaged(
-        Tables.documents(s, d).select(col("doc_id")),
-        builtMemGramsTable(s, d), builtMemIndexTable(s, d), minDocs = 2L)),
-    "q_memorization_probe_indexed" -> ((s, d) =>
-      TextAnalysis.memorizationProbeStaged(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
-          .select(col("doc_id")),
-        builtMemGramsTable(s, d), builtMemTrainIndexTable(s, d),
-        minDocs = 1L, docFilter = Some(col("doc_id") % 4 === 0))),
-    "q_memorization_incremental_indexed" -> ((s, d) =>
-      TextAnalysis.memorizationProbeStaged(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
-          .select(col("doc_id")),
-        builtMemGramsTable(s, d), builtMemIndexTable(s, d),
-        minDocs = 2L, docFilter = Some(col("doc_id") % 4 === 0))),
-    // ERASURE for the mergeable gram index: the train docs ≡ 1 mod 8
-    // erased by appending their own NEGATED counts (O(batch); the
-    // written rows never read), served through the consolidating
-    // reader — the oracle replays the admission gate against the
-    // REMAINING train set, so merged-after-delete ≡ retrain is the
-    // hash gate itself
-    "q_memorization_probe_deleted" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexMerged(s,
-          builtMemDelIndexDir(s, d)),
-        5, minDocs = 1L)),
-    // STREAMING ERASURE for the gram index: the same batch forgotten
-    // through two checkpointed deletion-request micro-batches
-    // (memorizationDeleteSink — negated mergeable counts, O(batch));
-    // the consolidated probe shares the batch-deleted oracle, so
-    // sink-erased ≡ retrain-on-remaining is the hash gate itself
-    "q_memorization_probe_stream_deleted" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexMerged(s,
-          builtMemStrDelIndexDir(s, d) + "/idx"),
-        5, minDocs = 1L)),
-    // ...and the same probe after COMPACTION makes the erasure
-    // physical (base rows rewritten consolidated, _deletes dropped)
-    // — served through the PLAIN reader, no per-read aggregation;
-    // compacted ≡ tombstoned gated by sharing the deleted oracle
-    "q_memorization_probe_compacted" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndex(s, builtMemCmpIndexDir(s, d)),
-        5, minDocs = 1L)),
-    // RETENTION for the gram index: two append windows + an erasure,
-    // then compactMemorizationIndexKeeping folds w1 + the erasure
-    // into the base while w2 stays addressable. Serving is invariant
-    // (shares the batch-deleted oracle — the merged membership is
-    // identical); negative folded sums survive by design, so a
-    // folded delete keeps correcting a kept append
-    "q_memorization_probe_retained" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexMerged(s,
-          builtMemRetIndexDir(s, d)),
-        5, minDocs = 1L)),
-    // ...and the fold itself, hash-gated: as-of("build") AFTER
-    // retention = base ∪ folded-w1 − folded-erasure (train minus the
-    // kept ≡7 window minus the erased ≡1 batch)
-    "q_memorization_probe_retained_asof" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexAsOf(s,
-          builtMemRetIndexDir(s, d), Seq("build")),
-        5, minDocs = 1L)),
-    // WRITTEN-APPEND ingestion for the gram index: base (train minus
-    // the ≡5 mod 8 eighth) + that eighth appended under its own
-    // batch partition — O(batch tokenize), base never read; the
-    // consolidated serve shares the FULL-train probe oracle, so
-    // append ≡ retrain-on-union is the hash gate itself
-    "q_memorization_probe_appended" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexMerged(s,
-          builtMemAppIndexDir(s, d)),
-        5, minDocs = 1L)),
-    // STREAMING ingestion for the gram index (round-11 verdict #5):
-    // the same eighth arrives as two checkpointed micro-batches
-    // through memorizationIndexSink — mergeable counts make the sink
-    // append-only partitions, and the consolidated probe shares the
-    // FULL-train oracle, so stream-built ≡ retrain is the hash gate
-    "q_memorization_probe_streamed" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexMerged(s,
-          builtMemStrIndexDir(s, d) + "/idx"),
-        5, minDocs = 1L)),
-    // SNAPSHOT of the same appended index as of its BASE batch only
-    // (partition-pruned consolidation) — the probe must behave as if
-    // the append never happened; the oracle replays the gate against
-    // the base split alone
-    "q_memorization_probe_asof" -> ((s, d) =>
-      TextAnalysis.memorizationProbe(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        TextAnalysis.readMemorizationIndexAsOf(s,
-          builtMemAppIndexDir(s, d), Seq("build")),
-        5, minDocs = 1L)),
-    // Mixture analytics: per-source unigram KL from the corpus blend
-    "q_domain_divergence" -> ((s, d) =>
-      TextAnalysis.domainDivergence(Tables.documents(s, d))),
-    // Per-doc top-3 tf·idf keywords (BM25's ln-rounding contract)
-    "q_tfidf_keywords" -> ((s, d) =>
-      TextAnalysis.tfidfKeywords(Tables.documents(s, d), 3)),
-    // CCNet-style corpus-trained bigram-LM quality score
-    "q_lm_score" -> ((s, d) =>
-      TextAnalysis.lmScore(Tables.documents(s, d))),
-    // Quality-proportional deterministic sampling: keep probability
-    // scales with document length (narrow md5 filter, zero shuffle)
-    "q_sample_weighted" -> ((s, d) =>
-      SampleOps.weightedSample(Tables.documents(s, d), "doc_id",
-        col("n_chars") / lit(1000.0))
-        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
-    // The capstone composition: repetition gate → decontamination →
-    // LM-quality gate → exact dedup, one call over the raw corpus
-    "q_curation_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.curation.Curation.curate(
-        docs.filter(col("doc_id") % 101 =!= 7),
-        docs.filter(col("doc_id") % 101 === 7))
-        .orderBy(col("doc_id")) // presentation sort at the query edge
-    }),
-    // The graph-composed capstone: the SAME curate() output further
-    // gated by a PageRank prior over a deterministic hub-link graph
-    // on the corpus ids (the q_pagerank shape transplanted to
-    // documents) — bottom-decile-rank docs drop. Reuses pageRank and
-    // curate() unchanged; the (round(rank,10), node) cut edge is the
-    // oracle-pinned 10-decimal boundary, so the gate is exact
-    // cross-engine.
-    // Curation × selection composition: the curated survivors become
-    // the DSIR pool — quality gates first, then importance-resample
-    // 50 target-like docs from what passed (both stages unchanged)
-    "q_curation_dsir" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
-      val curated = graft.curation.Curation.curate(corpus,
-        docs.filter(col("doc_id") % 101 === 7))
-      val kept = corpus.join(curated.select("doc_id"), Seq("doc_id"),
-        "left_semi")
-      graft.selection.Dsir.dsirSelect(kept, dsirModelFor(s, d), 50)
-        .orderBy(col("doc_id"))
-    }),
-    // Curation × learned-classifier composition: the curated
-    // survivors further gated by the NB quality classifier (MAP
-    // rule), carrying the decision score — quality RULES first, the
-    // LEARNED gate second, both stages unchanged
-    "q_curation_classified" -> ((s, d) => sharedCorpus(s, d) {
-      (corpus, bench) =>
-      // model train (one bounded aggregation) overlaps the capstone
-      // scan on a second thread — the q_curation_ranked shape
-      val modelF = concurrentBranch { nbModelFor(s, d) }
-      val curated = graft.curation.Curation.curate(corpus, bench)
-      val m = scala.concurrent.Await.result(modelF,
-        scala.concurrent.duration.Duration.Inf)
-      val kept = corpus.join(curated.select("doc_id"), Seq("doc_id"),
-        "left_semi")
-      val scored = graft.quality.NbClassifier.nbScore(kept, m)
-        .filter(col("keep"))
-        .select(col("doc_id"), col("nb_score"))
-      curated.join(scored, Seq("doc_id")).orderBy(col("doc_id"))
-    }),
-    "q_curation_ranked" -> ((s, d) => sharedCorpus(s, d) {
-      (corpus, bench) =>
-      val e = corpus.select(col("doc_id").as("src"),
-          (col("doc_id") - col("doc_id") % 4).as("dst"))
-        .unionByName(corpus.select(
-          (col("doc_id") - col("doc_id") % 4).as("src"),
-          (col("doc_id") - col("doc_id") % 16).as("dst")))
-      // the rank prior and the capstone gates are INDEPENDENT until
-      // the final anti-join, so the PageRank materialization (eager —
-      // the fast path localCheckpoints inside the call) runs on a
-      // second thread while curate() materializes its token artifact:
-      // concurrent job submission on one session is the supported
-      // Spark shape for independent DAG branches, and at cluster
-      // scale it keeps both branches' stages in flight instead of
-      // serializing two scans of the same corpus (~0.6 s at bench
-      // scale, tools.ProfileRanked)
-      val rankF = concurrentBranch {
-        graft.graph.PageRank.pageRank(e, "src", "dst")
-      }
-      val curated = graft.curation.Curation.curate(corpus, bench)
-      val ranks = scala.concurrent.Await.result(rankF,
-        scala.concurrent.duration.Duration.Inf)
-      graft.curation.Curation.dropBottomRanked(curated, ranks, "doc_id")
-        .orderBy(col("doc_id"))
-    }),
-    // Curation × k-core composition: curated survivors that the link
-    // graph reaches only through leaf chains (in-graph, outside the
-    // 2-core) drop — the graph-prior analog of dropBottomRanked. The
-    // doc link graph plants a triangle per 8-group, a 2-hop pendant
-    // chain (ids ≡ 3,4 mod 8 — these peel in a 2-round cascade), and
-    // 64-group star heads; the recorded round count generates an
-    // exact per-round DuckDB replay (the q_kcore lifecycle)
-    "q_curation_kcore" -> ((s, d) => {
-      lastOracleDir = d
-      sharedCorpus(s, d) { (corpus, bench) =>
-        val e = docKcoreEdges(corpus)
-        // peel and capstone are independent until the final anti-join —
-        // overlap them (the q_curation_ranked shape)
-        val coreF = concurrentBranch {
-          graft.graph.KCore.kCore(e, "s", "t", 2)
-        }
-        val curated = graft.curation.Curation.curate(corpus, bench)
-        val core = scala.concurrent.Await.result(coreF,
-          scala.concurrent.duration.Duration.Inf)
-        curationKcoreRounds.put(d, Integer.valueOf(core.rounds))
-        graft.curation.Curation.dropOutsideCore(curated, e, "s", "t",
-            "doc_id", core)
-          .orderBy(col("doc_id"))
-      }
-    }),
-    // Diversity cap composition: within each LPA community of the
-    // doc link graph, keep the 2 lowest-id curation survivors —
-    // template clusters collapse to bounded exemplars; graph-absent
-    // docs untouched. LPA runs its in-task fast path concurrently
-    // with the capstone (the q_curation_kcore overlap shape); the
-    // fixed 4-round recurrence makes the oracle fully static
-    "q_curation_communities" -> ((s, d) => sharedCorpus(s, d) {
-      (corpus, bench) =>
-      val e = docKcoreEdges(corpus)
-      val labelsF = concurrentBranch {
-        graft.graph.Communities.labelPropagation(e, "s", "t", rounds = 4)
-      }
-      val curated = graft.curation.Curation.curate(corpus, bench)
-      val labels = scala.concurrent.Await.result(labelsF,
-        scala.concurrent.duration.Duration.Inf)
-      graft.curation.Curation.capPerCommunity(curated, labels, "doc_id", 2)
-        .orderBy(col("doc_id"))
-    }),
-    // The dataset-card readout: per-source gate rejections, pass
-    // count, and post-dedup kept count — |sources| rows from the same
-    // two corpus scans as the capstone
-    "q_curation_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      graft.curation.Curation.curationReport(
-        docs.filter(col("doc_id") % 101 =!= 7)
-          .select(col("doc_id"), col("source"), col("text")),
-        docs.filter(col("doc_id") % 101 === 7))
-        .orderBy(col("source"))
-    }),
-    // The STREAMING curation sink's operational readout: the corpus
-    // replays as three MemoryStream batches through the real
-    // checkpointed sink (build-once), and the per-batch gate
-    // telemetry table it persists is the result — each row the
-    // (docs_in, dropped per gate, kept) readout of one micro-batch
-    "q_curation_telemetry" -> ((s, d) =>
-      s.read.parquet(builtCurationTelemetry(s, d) + "/tele")
-        .select(col("batch_id").cast("long").as("batch_id"),
-          col("docs_in"), col("dropped_repetitive"),
-          col("dropped_contaminated"), col("dropped_unusual"), col("kept"))
-        .orderBy(col("batch_id"))),
-    // Fixed document budget: exactly-40 corpus cut in md5 order
-    "q_sample_budget" -> ((s, d) =>
-      SampleOps.takeExact(Tables.documents(s, d), "doc_id", 40)
-        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
-    // Exact-n per-stratum cut: exactly 30 docs per lang in
-    // deterministic hash order — the count-denominated mixture form
-    "q_sample_per_stratum" -> ((s, d) =>
-      SampleOps.takeExactPerStratum(Tables.documents(s, d), "lang",
-        "doc_id", 30)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
-    // Token-budget mixture cut: every lang stratum keeps its
-    // hash-order prefix while the running whitespace-token total
-    // stays within 5000 — the token-denominated quota the doc-count
-    // mixes approximate (stratified on lang, the skewed column)
-    "q_mix_token_budget" -> ((s, d) =>
-      SampleOps.tokenBudgetMix(Tables.documents(s, d), "lang", "doc_id",
-        TextAnalysis.tokenCount(col("text")), 5000L)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
-    // DSIR importance weights: hashed uni+bigram models of the
-    // English slice (target) vs the whole pool (raw); per-doc
-    // log-weight as an exact micro-nat sum (zero-shuffle scoring
-    // pass against the 1024-bucket literal ratio table)
-    "q_dsir_weights" -> ((s, d) =>
-      graft.selection.Dsir.dsirScore(Tables.documents(s, d),
-        dsirModelFor(s, d))
-        .orderBy(col("doc_id"))),
-    // DSIR selection: Gumbel top-50 of the importance weights —
-    // deterministic weighted sampling without replacement (noise
-    // from md5(doc_id), the repo's seedless-sampling convention)
-    "q_dsir_select" -> ((s, d) =>
-      graft.selection.Dsir.dsirSelect(Tables.documents(s, d),
-        dsirModelFor(s, d), 50)
-        .orderBy(col("doc_id"))),
-    // Incremental model refresh: counts are the MERGEABLE form of
-    // the DSIR model (log-ratios aren't — ln doesn't distribute), so
-    // base-corpus counts + a new batch's counts rebuild the ratio
-    // table EXACTLY as a full retrain would (count additivity) —
-    // which is why the full-corpus oracle gates the merged model
-    "q_dsir_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val base = graft.selection.Dsir.dsirCountsOf(
-        docs.filter(col("doc_id") % 3 =!= 0), col("lang") === "en", 1024)
-      val inc = graft.selection.Dsir.dsirCountsOf(
-        docs.filter(col("doc_id") % 3 === 0), col("lang") === "en", 1024)
-      graft.selection.Dsir.dsirScore(docs, base.merge(inc).toModel)
-        .orderBy(col("doc_id"))
-    }),
-    // Same weights served from the WRITTEN parquet model — the
-    // artifact lifecycle (train → write → read → score) under the
-    // same oracle as the in-session path
-    "q_dsir_weights_indexed" -> ((s, d) =>
-      graft.selection.Dsir.dsirScore(Tables.documents(s, d),
-        graft.selection.Dsir.readDsirModel(s, builtDsirModel(s, d)))
-        .orderBy(col("doc_id"))),
-    // Learned quality classifier (fastText-style linear model,
-    // closed-form Naive Bayes train): hashed uni+bigram weights
-    // trained on the ¾ split to separate substantial (n_chars ≥ 300)
-    // docs from short ones — the TRAINING itself replays
-    // relationally: every weight and the prior bias hash-match the
-    // DuckDB count-and-ln replay
-    "q_quality_classifier" -> ((s, d) =>
-      graft.quality.NbClassifier.modelFrame(s, nbModelFor(s, d))
-        .orderBy(col("b"))),
-    // The learned gate applied to the HELD-OUT quarter (the
-    // lm_score_frozen serving split): exact micro-nat decision scores
-    // + the MAP keep bit, zero-shuffle against the weight literal
-    "q_quality_classifier_gate" -> ((s, d) =>
-      graft.quality.NbClassifier.nbScore(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        nbModelFor(s, d))
-        .orderBy(col("doc_id"))),
-    // Same gate served from the WRITTEN parquet classifier — the
-    // artifact lifecycle (train → write → read → score) under the
-    // same oracle as the in-session path
-    "q_quality_classifier_indexed" -> ((s, d) =>
-      graft.quality.NbClassifier.nbScore(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        graft.quality.NbClassifier.readNbModel(s, builtNbModel(s, d)))
-        .orderBy(col("doc_id"))),
-    // Calibration readout: precision/recall of the learned gate on
-    // the held-out quarter at ±2-nat thresholds — exact integer
-    // counts, exact long-division 4-decimal ratios
-    "q_classifier_pr" -> ((s, d) =>
-      graft.quality.NbClassifier.prCurve(
-        Tables.documents(s, d).filter(col("doc_id") % 4 === 0),
-        nbModelFor(s, d), col("n_chars") >= 300,
-        Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L))),
-    // Per-language tokenizer fertility: BPE-ish tokens per word over
-    // exact long sums — the token-denominated mixture readout
-    "q_token_fertility" -> ((s, d) =>
-      TextAnalysis.tokenFertility(Tables.documents(s, d))),
-    // Embedding-space drift: per-label centroid cosine against the
-    // global centroid over 2^44 fixed-point exact sums (cosine is
-    // scale-invariant, so the integer SUM vectors stand in for the
-    // centroids — no division, no float-sum order dependence)
-    "q_embedding_drift" -> ((s, d) =>
-      Similarity.centroidDrift(Tables.embeddings(s, d))),
-    // Embedding-quality outlier gate: each vector's cosine to its
-    // own label's fixed-point centroid-sum; below-threshold vectors
-    // flag as mislabels/encoder glitches (the per-vector companion
-    // of q_embedding_drift, same 2^44 exactness contract)
-    "q_embedding_outliers" -> ((s, d) =>
-      Similarity.embeddingOutliers(Tables.embeddings(s, d), 0.5)),
-    // FUSED ingest admission: the held-out quarter streamed through
-    // admissionSink — three frozen artifacts (¾-trained bigram LM,
-    // NB classifier, DSIR ratios) gate each micro-batch as ONE
-    // decision over ONE shared tokenization; survivors carry their
-    // scores as the audit trail. The static oracle replays all three
-    // trainings AND the composed decision, so stream ≡ batch-
-    // composition is the hash gate itself
-    "q_admission_pipeline" -> ((s, d) =>
-      s.read.parquet(builtAdmissionOut(s, d) + "/out")
-        .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
-          col("dsir_logw"))
-        .orderBy(col("doc_id"))),
-    // The COMPLETE admission: the three row-local gates PLUS the
-    // join-shaped memorization gate against the frozen ¾-train gram
-    // index, one decision per micro-batch over one materialized
-    // tokenize pass. The static oracle replays all FOUR artifact
-    // derivations and the composed decision
-    "q_admission_pipeline_full" -> ((s, d) =>
-      s.read.parquet(builtFullAdmissionOut(s, d) + "/out")
-        .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
-          col("dsir_logw"), col("dup_frac"))
-        .orderBy(col("doc_id"))),
-    // Frozen-LM serving split: model trained on the ¾ corpus slice,
-    // scores the held-out ¼ — unseen grams smooth through add-1
-    "q_lm_score_frozen" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysis.lmScoreWith(
-        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
-        docs.filter(col("doc_id") % 4 === 0), nllThreshold = 10.0)
-    }),
-    // SemDeDup: k-means-cell semantic dedup over planted exact copies
-    // (IVF seed centroids; lower id survives any ≥0.999 pair)
-    "q_semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val planted = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.semanticDuplicates(e.unionByName(planted),
-        seedCents16(s, d), 0.999)
-        .orderBy(col("vec_id")) // presentation sort at the edge
-    }),
-    // §2.8 ST1 — the full quality pipeline (CDC → enrich), batch
-    // parity twin of the streaming transform (same functions)
-    "q_enrichment_pipeline" -> ((s, d) =>
-      graft.streaming.Pipelines.enrichedProjection(
-        graft.streaming.Pipelines.qualityEnrich(
-          Cdc.syntheticEnvelopes(Tables.documents(s, d))))
-        .orderBy("doc_id")),
-    // §2.10 GET /search over the enriched index: quality + PII filters
-    "q_search_enriched" -> ((s, d) =>
-      SearchOps.searchEnriched(
-        graft.streaming.Pipelines.qualityEnrich(
-          Cdc.syntheticEnvelopes(Tables.documents(s, d))),
-        "merge", minQualityScore = 50.0, excludePii = true, size = 20)),
-    // §2.4 A2 — mergeable HLL sketches (PFADD/PFMERGE parity)
-    "q_view_stats_sketch" -> ((s, d) =>
-      StatsOps.viewStatsSketched(Tables.events(s, d))),
-    // grouping sets: full CUBE with margins over status × priority
-    "q_cube" -> ((s, d) => RelationalOps.statusPriorityCube(Tables.orders(s, d))),
-    // §2.6 set operations: INTERSECT / EXCEPT with distinct semantics
-    "q_set_ops" -> ((s, d) => RelationalOps.setOps(Tables.customer(s, d), Tables.orders(s, d))),
-    // §2.5 windows: ntile quartiles + first/last_value extremes
-    "q_balance_ranks" -> ((s, d) => SessionOps.customerBalanceRanks(Tables.customer(s, d))),
-    // Clickstream: sessionization (lag + boundary cumsum), per-session stats
-    "q_sessionize" -> ((s, d) => SessionOps.sessionStats(Tables.events(s, d))),
-    // Clickstream: hourly event rollup (the canonical aggregation)
-    "q_hourly_events" -> ((s, d) => SessionOps.hourlyRollup(Tables.events(s, d))),
-    // Clickstream: view→click→purchase conversion funnel (min-ts
-    // chaining per user; strictly-after semantics)
-    "q_funnel" -> ((s, d) => SessionOps.funnel(Tables.events(s, d),
-      Seq("view", "click", "purchase"))),
-    // Funnel with a conversion window: each step within 24h of the
-    // previous step's earliest qualifying completion
-    "q_funnel_window" -> ((s, d) => SessionOps.funnel(Tables.events(s, d),
-      Seq("view", "click", "purchase"),
-      maxStepGapMicros = Some(24L * 3600 * 1000 * 1000))),
-    // Clickstream: weekly cohort retention triangle
-    "q_retention" -> ((s, d) =>
-      SessionOps.retentionCohorts(Tables.events(s, d))),
-    // Clickstream: first-order event-type transition matrix
-    "q_transitions" -> ((s, d) =>
-      SessionOps.eventTransitions(Tables.events(s, d))),
-    // Clickstream: exponentially time-decayed value by type (24 h
-    // half-life anchored at the corpus max timestamp)
-    "q_trending" -> ((s, d) =>
-      StatsOps.trendingByType(Tables.events(s, d))),
-    // §2.5 window functions: running totals, row_number, lag gaps
-    "q_running_totals" -> ((s, d) => SessionOps.runningUserTotals(Tables.events(s, d))),
-    // grouping sets: region→nation ROLLUP with subtotals + grand total
-    "q_rollup" -> ((s, d) => SessionOps.regionNationRollup(
-      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
-    // Skew mitigation: salted equi-join, row-identical to the plain
-    // join (the oracle IS the unsalted join)
-    "q_salted_join" -> ((s, d) => {
-      val fact = Tables.orders(s, d)
-        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      Skew.saltedJoin(fact, dim, "custkey", saltFactor = 8)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("total_value"))
-        .orderBy(col("c_mktsegment"))
-    }),
-    // Bounded range join: views within 10 min before each purchase
-    // (time-bucketed probe join — no per-key cross product)
-    "q_range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("tus"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("tus"))
-      // purchases carry their PK (event_id), so the no-join-back
-      // grouped path applies: one aggregation shuffle total
-      SessionOps.windowedCountJoin(purchases, views, "user_id", "tus",
-        600000000L, "n_views_10m", leftRowsDistinct = true)
-        .select(col("event_id"), col("user_id"), col("n_views_10m"))
-        .orderBy(col("event_id"))
-    }),
-    // As-of join: each purchase picks up the user's latest view ≤ ts
-    // (union + running last_value — no range-join explosion)
-    "q_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).withColumn("tus", expr("ts div 1000"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("tus"))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("tus"), col("event_id"))
-      SessionOps.asofJoin(purchases, views, "user_id", "tus",
-        "event_id", "view_event")
-        .orderBy(col("event_id"))
-    }),
-    // §2.7 scalar surface in one sweep: F6 ISO format, F7 epoch-ms,
-    // F10 UUID shape, F11 JSON in/out, F13 enum coercion, F16 coalesce
-    "q_scalar_funcs" -> ((s, d) => {
-      val t = TextFunctions.eventTs(col("ts"))
-      Tables.events(s, d).select(
-        col("event_id"),
-        TextFunctions.isoFormat(t).as("iso_ts"),
-        TextFunctions.toEpochMillis(t).as("epoch_ms"),
-        StatsOps.docKey(col("props")).as("prop_k"),
-        to_json(struct(col("event_id"), col("event_type"))).as("payload"),
-        when(col("event_type").isin("view", "click"), "engagement")
-          .when(col("event_type") === "purchase", "conversion")
-          .otherwise("other").as("event_class"),
-        coalesce(get_json_object(col("props"), "$.ip"), lit("unknown"))
-          .as("client_ip"),
-        TextFunctions.isValidUuid(concat(
-          lpad(hex(col("event_id")), 8, "0"),
-          lit("-0000-7000-8000-00000000000"),
-          when(col("event_id") % 7 === 0, lit("")).otherwise(lit("0"))))
-          .as("uuid_ok"))
-        .orderBy("event_id")
-    }),
-    // Exact per-type value percentiles (sort-based agg; approx path
-    // documented in StatsOps for sketch-mergeable scale)
-    "q_value_percentiles" -> ((s, d) =>
-      StatsOps.valuePercentiles(Tables.events(s, d))),
-    // Sketch percentiles (mergeable, fixed-size state — the 100 TB
-    // path); rows-only: sketch internals are engine-specific
-    "q_value_percentiles_approx" -> ((s, d) =>
-      StatsOps.valuePercentilesApprox(Tables.events(s, d))),
-    // Multimodal: typed-metadata rollup over the binary asset table
-    "q_media_metadata" -> ((s, d) =>
-      Multimodal.metadataStats(
-        Multimodal.syntheticAssets(Tables.documents(s, d)))),
-    // Multimodal: per-partition codec pass → byte-histogram features
-    "q_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.syntheticAssets(Tables.documents(s, d)))
-        .toDF()
-        .select(col("asset_id"), col("n_bytes"),
-          round(element_at(col("histogram"), 1), 4).as("h0"))
-        .orderBy("asset_id")),
-    // Multimodal: frame sampling (row explosion), frames per video
-    "q_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(
-        Multimodal.syntheticAssets(Tables.documents(s, d)), 1000L)
-        .toDF()
-        .groupBy(col("asset_id")).agg(count(lit(1)).as("n_frames"))
-        .orderBy("asset_id")),
-    // REAL image decode (javax.imageio): deterministic gray test
-    // cards PNG-encode → decode → exact pixel reductions; the oracle
-    // replays the pixel rule, so any decoder distortion hash-fails
-    "q_media_real" -> ((s, d) =>
-      Multimodal.realImageStats(Tables.documents(s, d))
-        .orderBy("doc_id")),
-    // REAL audio decode (hand-rolled RIFF/WAVE PCM codec; javax
-    // interop spec'd, kept off the hot path — see AudioCodec):
-    // deterministic PCM test tones WAV-encode → decode → exact
-    // sample reductions; the oracle replays the sample rule, so any
-    // dropped/reordered/byte-swapped sample hash-fails
-    "q_audio_real" -> ((s, d) =>
-      Multimodal.realAudioStats(Tables.documents(s, d))
-        .orderBy("doc_id")),
-    // REAL COMPRESSED audio (hand-rolled IMA-ADPCM, WAVE fmt 0x11):
-    // per-block-constant tones sit in the 4-bit codec's
-    // exactly-representable class, so compress → container decode →
-    // exact reductions replays in SQL from the rule — the MJPEG
-    // quality-1.0 trick applied to audio; any quantizer mis-step,
-    // nibble-order swap, or block misalignment flips the hash
-    "q_audio_real_adpcm" -> ((s, d) =>
-      Multimodal.realAudioStatsAdpcm(Tables.documents(s, d))
-        .orderBy("doc_id")),
-    // CONTAINER-AGNOSTIC serving: even docs as lossless PCM, odd as
-    // compressed ADPCM, ONE decode walk (fmt-tag routing) — stats
-    // must be container-independent; one SQL rule oracles both
-    // branches, so a routing bug on either side flips the hash
-    "q_audio_mixed_codec" -> ((s, d) =>
-      Multimodal.realAudioStatsMixed(Tables.documents(s, d))
-        .orderBy("doc_id")),
-    // Loudness alignment through the real WAV codec: render → encode
-    // → REAL decode → exact-integer peak normalization to 30000 →
-    // re-encode → REAL decode → stats; the oracle replays sample rule
-    // × scale rule, so a sign-mangled scale or lossy re-encode flips
-    // the hash
-    "q_audio_normalize" -> ((s, d) =>
-      Multimodal.realAudioNormalizeStats(Tables.documents(s, d), 30000)
-        .orderBy("doc_id")),
-    // Perceptual image near-dup: render → PNG → REAL decode → dHash,
-    // then banded Hamming join over the 64-bit fingerprints; the
-    // oracle replays the pixel rule + NN index map + dHash in SQL and
-    // brute-forces pairs (lossless vs the band join by pigeonhole)
-    "q_image_neardup" -> ((s, d) =>
-      Dedup.hammingNearDuplicates(
-        Multimodal.imageHashes(Tables.documents(s, d)),
-        "doc_id", "dhash", maxDist = 1)
-        .orderBy("id_a", "id_b")),
-    // Perceptual AUDIO near-dup: render → WAV → REAL decode →
-    // envelope dHash, banded Hamming join — the image near-dup story
-    // on the real WAV codec path; the oracle replays the sample
-    // rule + NN envelope map + bit rule and brute-forces pairs
-    "q_audio_neardup" -> ((s, d) =>
-      Dedup.hammingNearDuplicates(
-        Multimodal.audioHashes(Tables.documents(s, d)),
-        "doc_id", "ahash", maxDist = 1)
-        .orderBy("id_a", "id_b")),
-    // REAL video demux (hand-rolled uncompressed-AVI RIFF reader):
-    // deterministic gray test clips AVI-encode → container demux →
-    // exact whole-clip pixel reductions; the oracle replays the pixel
-    // rule, so a dropped frame, a misread stride pad, or an unflipped
-    // bottom-up raster hash-fails
-    "q_video_real" -> ((s, d) =>
-      Multimodal.realVideoStats(Tables.documents(s, d))
-        .orderBy("doc_id")),
-    // COMPRESSED container: MOTION JPEG in AVI — 'MJPG' strf, one
-    // complete JPEG per '00dc' chunk, decoded by the JDK's real JPEG
-    // reader after the RIFF demux. Constant-gray frames round-trip
-    // bit-exactly at quality 1.0 (DC-only blocks), so the oracle
-    // replays the rule like the BI_RGB path
-    "q_video_real_mjpeg" -> ((s, d) =>
-      Multimodal.realVideoStatsMjpeg(Tables.documents(s, d))
-        .orderBy("doc_id")),
-    // REAL temporal frame sampling: every 2nd frame, timestamps from
-    // the DECODED avih microSecPerFrame (demux, not metadata trust);
-    // per-frame exact reductions replayed by the oracle
-    "q_video_frames" -> ((s, d) =>
-      Multimodal.realVideoFrames(Tables.documents(s, d), every = 2)
-        .orderBy("doc_id", "frame_idx")),
-    // Perceptual VIDEO near-dup: render → AVI → REAL demux →
-    // spatio-temporal envelope hash, banded Hamming join — the
-    // image/audio near-dup story on the RIFF demux path; the oracle
-    // replays the pixel rule + NN envelope map + bit rule and
-    // brute-forces pairs
-    "q_video_neardup" -> ((s, d) =>
-      Dedup.hammingNearDuplicates(
-        Multimodal.videoHashes(Tables.documents(s, d)),
-        "doc_id", "vhash", maxDist = 1)
-        .orderBy("id_a", "id_b")),
-    // Ingest-time MEDIA near-dup probe: the held-out eighth's video
-    // fingerprints (ids ≡ 4 mod 8 — the SAME clip geometry class as
-    // the index's ≡ 0 mod 8 docs, so cross-split collisions exist)
-    // probe the WRITTEN seven-eighths index (built once, never
-    // rebuilt — the gram-index/NB/LPA serving lifecycle) by the
-    // banded Hamming join; batch-proportional exchange volume, the
-    // incremental-dedup serving contract
-    "q_media_probe" -> ((s, d) => {
-      val probe = Multimodal.videoHashes(
-        Tables.documents(s, d).filter(col("doc_id") % 8 === 4))
-      val index = Dedup.readFingerprintIndex(s, builtVideoFpIndex(s, d))
-        .select(col("id").as("doc_id"), col("fp").as("vhash"))
-      Dedup.hammingProbe(probe, index, "doc_id", "vhash", maxDist = 1)
-        .orderBy("probe_id", "index_id")
-    }),
-    // Audio dedup end-to-end — pairs → connected components → keep
-    // the LONGEST stream per perceptual cluster (sample count, ties
-    // min id); same machinery as the image/video capstones over the
-    // WAV codec fingerprints
-    "q_audio_dedup_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.hammingNearDuplicates(
-        Multimodal.audioHashes(docs), "doc_id", "ahash", maxDist = 1)
-      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      Dedup.keepBestPerCluster(docs.select(col("doc_id")), clusters,
-        "doc_id", lit(64) + col("doc_id") % 64)
-        .orderBy("doc_id")
-    }),
-    // Video dedup end-to-end — pairs → connected components → keep
-    // the LONGEST clip per perceptual cluster (total pixel volume,
-    // ties min id); the image capstone's machinery unchanged over the
-    // RIFF demux fingerprints
-    "q_video_dedup_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.hammingNearDuplicates(
-        Multimodal.videoHashes(docs), "doc_id", "vhash", maxDist = 1)
-      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      Dedup.keepBestPerCluster(docs.select(col("doc_id")), clusters,
-        "doc_id",
-        (lit(4) + col("doc_id") % 4) * (lit(8) + col("doc_id") % 5) * lit(8))
-        .orderBy("doc_id")
-    }),
-    // Image dedup end-to-end — the multimodal analog of the text
-    // dedup capstone: dHash pairs → connected components → keep the
-    // highest-resolution member per perceptual cluster (pixel count,
-    // ties min id). Reuses the text survivor machinery unchanged;
-    // only (id, fingerprint) rows ever shuffle.
-    "q_image_dedup_survivors" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.hammingNearDuplicates(
-        Multimodal.imageHashes(docs), "doc_id", "dhash", maxDist = 1)
-      val clusters = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      Dedup.keepBestPerCluster(docs.select(col("doc_id")), clusters,
-        "doc_id",
-        (lit(16) + col("doc_id") % 8) * (lit(8) + col("doc_id") % 4))
-        .orderBy("doc_id")
-    }),
-    // Int8 quantization: per-vector scale + exact integer reductions
-    // of the quantized entries (the arrays themselves are spec'd —
-    // the oracle gate compares scalar projections)
-    "q_embed_quantize" -> ((s, d) =>
-      Similarity.quantStatsReadout(Tables.embeddings(s, d))
-        .orderBy("vec_id")),
-    // ANN over the compressed store: integer-exact dot products,
-    // dequantized by the two scales
-    "q_knn_quantized" -> ((s, d) =>
-      Similarity.quantizedTopK(
-        Similarity.quantizeEmbeddings(Tables.embeddings(s, d)), 0L, 10)),
-    // The compressed store under IVF serving: probe cells prune to
-    // partition directories of int8 entries (pruning × compression)
-    "q_knn_quantized_ivf" -> ((s, d) =>
-      Similarity.quantizedTopKFromIndex(
-        s.read.parquet(builtQuantizedIvfIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // ERASURE for the compressed store: ids ≡ 3 mod 7 tombstoned
-    // (the layout-agnostic reader anti-joins on vec_id), oracled by
-    // the int8 replay on the REMAINING vectors
-    "q_knn_quantized_ivf_deleted" -> ((s, d) =>
-      Similarity.quantizedTopKFromIndex(
-        Similarity.readIvfIndex(s, builtQivfDelIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // ...and after COMPACTION rewrites the int8 cells without the
-    // tombstoned rows (layout-agnostic compactIvfIndex) — a plain
-    // cell scan serves the erased state; shares the deleted oracle
-    "q_knn_quantized_ivf_compacted" -> ((s, d) =>
-      Similarity.quantizedTopKFromIndex(
-        s.read.parquet(builtQivfCmpIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // Index maintenance for the COMPRESSED store: the same pruned
-    // int8 probe over an index built as base-write + batch-append
-    // against frozen centroids — append ≡ rebuild, shared oracle
-    "q_knn_quantized_ivf_incremental" -> ((s, d) =>
-      Similarity.quantizedTopKFromIndex(
-        s.read.parquet(builtQuantIvfIncIndex(s, d)),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // ...and the SNAPSHOT of that batch-maintained compressed index
-    // as of the base build ("inc1"'s ids ≡ 6 mod 8 must vanish) —
-    // the int8 family time-travels by batch name exactly like the
-    // float one; the oracle replays the int8 ranking on the base
-    // split
-    "q_knn_quantized_ivf_asof" -> ((s, d) =>
-      Similarity.quantizedTopKFromIndex(
-        Similarity.readIvfIndexAsOf(s, builtQuantIvfIncIndex(s, d),
-          Seq("build")),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // STREAMING ingestion into the compressed store — the int8 twin
-    // of q_ann_ivf_streamed, closing the last family asymmetry: the
-    // probe over an index the quantizedIvfIndexSink built from three
-    // checkpointed micro-batches; stream-built ≡ rebuild, gated by
-    // sharing the full-rebuild oracle
-    "q_knn_quantized_ivf_streamed" -> ((s, d) =>
-      Similarity.quantizedTopKFromIndex(
-        s.read.parquet(builtQivfStreamedIndex(s, d) + "/idx"),
-        seedCents16(s, d), queryVec0(s, d), 10, 2)),
-    // CENTROID REFRESH for the compressed store (round-11 verdict
-    // #3): the int8 index re-quantizes its live entries FROM THE
-    // SOURCE TABLE (it carries no embeddings) against the Lloyd-
-    // refined centroids, and the query is the churn audit between
-    // the seed-built and refreshed artifacts. Per-row quantization
-    // is index-independent, so the movement matrix must equal the
-    // float family's — the generated oracle replays both
-    // assignments from the true embeddings, and a missing source
-    // row fails the build loudly
-    "q_knn_quantized_ivf_recluster" -> ((s, d) =>
-      Similarity.reclusterChurn(s, builtQuantizedIvfIndex(s, d),
-        builtQivfReclusteredIndex(s, d))),
-    // CCNet-style segment dedup: corpus-wide first-occurrence removal
-    // of repeated 3-word segments + document reassembly
-    "q_segment_dedup" -> ((s, d) =>
-      Dedup.segmentDedup(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))),
-    // Duplication profile: per-doc fraction of distinct trigrams
-    // shared with at least one other document
-    "q_duplication_profile" -> ((s, d) =>
-      Dedup.duplicationProfile(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
-    // Substring-level exact dedup (Lee et al. ExactSubstr analog):
-    // duplicated 8-word spans dropped, first occurrence kept, text
-    // rebuilt from surviving words
-    "q_substring_dedup" -> ((s, d) =>
-      Dedup.substringDedup(Tables.documents(s, d))
-        .orderBy(col("doc_id"))),
-    // The STAGED serving twin (round-11 verdict #2): the window
-    // occurrences staged once as an hh-bucketed catalog table and
-    // the tokenized corpus as a doc-bucketed one — the readout's two
-    // corpus-wide hh operations plan zero exchanges, nothing
-    // re-tokenizes, and the corpus text never shuffles. Shares
-    // q_substring_dedup's oracle verbatim: staged ≡ one-shot is the
-    // hash gate itself
-    "q_substring_dedup_indexed" -> ((s, d) =>
-      Dedup.substringDedupStaged(s, builtSubstrOccTable(s, d),
-        builtDocWordsTable(s, d)).orderBy(col("doc_id"))),
-    // Corpus snapshot diff: v2 drops %13 docs, edits %17 texts, adds
-    // a +1e6 slice — the per-id added/removed/changed/unchanged readout
-    "q_corpus_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
-        .withColumn("text", when(col("doc_id") % 17 === 0,
-          concat(col("text"), lit(" edited"))).otherwise(col("text")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 3)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      graft.curation.Curation.corpusDiff(docs, v2, "doc_id", Seq("text"))
-        .orderBy(col("doc_id"))
-    }),
-    // Canonical normalization over planted case/punct/whitespace noise
-    "q_normalize_text" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("messy",
-          when(col("doc_id") % 2 === 0, concat(upper(col("text")), lit("!! ")))
-            .otherwise(concat(lit("  "), col("text"), lit(" ,. "))))
-        .select(col("doc_id"),
-          TextFunctions.normalizeText(col("messy")).as("normalized"))
-        .orderBy(col("doc_id"))),
-    // Incremental segment dedup: the ¼ batch slice probes the digest
-    // index built from the ¾ corpus slice (online CCNet dedup)
-    "q_segment_dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val seen = Dedup.segmentDigests(
-        docs.filter(col("doc_id") % 4 =!= 0), "text")
-      Dedup.rebuildSegmentedDocs(
-        Dedup.segmentDedupIncrement(
-          docs.filter(col("doc_id") % 4 === 0), seen, "doc_id", "text"),
-        "doc_id", "text")
-        .orderBy(col("doc_id"))
-    }),
-    // RETENTION for the batch-stamped CATALOG layouts (round-13
-    // verdict #4): the segment-dedup sink's accumulated corpus after
-    // three sequential micro-batches, with all but the last batch's
-    // partitions folded to the collapsed base on BOTH tables
-    // (compactBatchOutputKeeping). The oracle replays the full
-    // sequential first-occurrence semantics, so retention-invariance
-    // of the accumulated output IS the hash gate
-    "q_segment_dedup_retained" -> ((s, d) =>
-      s.read.parquet(builtSegmentRetainedOut(s, d) + "/out")
-        .select(col("doc_id"), col("text"), col("n_kept"),
-          col("n_segments"))
-        .orderBy(col("doc_id"))),
-    // Deterministic global shuffle for training order: md5 shard
-    // assignment + dense in-shard position
-    "q_training_shards" -> ((s, d) =>
-      SampleOps.trainingShards(
-        Tables.documents(s, d).select("doc_id", "source"), "doc_id", 8)
-        .orderBy(col("shard"), col("pos"))),
-    // Temperature-based mixture design: per-language α=0.5 target
-    // shares + downsample-only keep probabilities (lang is the
-    // skewed stratum — en dominates, so en downsamples hardest)
-    "q_mix_temperature" -> ((s, d) =>
-      SampleOps.temperatureWeights(Tables.documents(s, d), "lang", 0.5)),
-    // The mixture applied: deterministic md5-Bernoulli downsampling
-    // at each language's temperature keep probability
-    "q_mix_temperature_sample" -> ((s, d) =>
-      SampleOps.temperatureSample(Tables.documents(s, d), "lang",
-        "doc_id", 0.5)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
-  )
-
-  /** documents ∪ deterministic near-copies (every 5th doc, last two
-    * words dropped, id + 1_000_000) — gives the near-dup detectors a
-    * known planted signal to recover.
-    */
-  /** The near-dup cluster labels are a corpus ARTIFACT (like the IVF
-    * index): built once per (session, corpus), served to both the
-    * cluster view and the survivor view. minhashClusters returns an
-    * eagerly checkpointed frame, so the cached value is materialized
-    * data, not a lazy plan into released caches.
-    */
-  private val dedupClustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  SessionCaches.register(dedupClustersCache)
-  // materialized md5 signature index per corpus (see q_dedup_incremental)
-  private val sigIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  SessionCaches.register(sigIndexCache)
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    SessionCaches.ensureHook(s)
-    dedupClustersCache.computeIfAbsent((s, d), kv =>
-      Dedup.minhashClusters(plantedCorpus(kv._1, kv._2), "doc_id", "text"))
-  }
-  // same artifact under the md5 signature mode (oracled pipeline);
-  // the "::md5" key suffix can't collide with a real dir path
-  private def dedupClustersMd5(s: SparkSession, d: String): DataFrame = {
-    SessionCaches.ensureHook(s)
-    dedupClustersCache.computeIfAbsent((s, d + "::md5"), _ =>
-      Dedup.minhashClusters(plantedCorpus(s, d), "doc_id", "text",
-        hashMode = "md5"))
-  }
-
-  /** Build-once-serve-many IVF index for a corpus dir, shared by the
-    * ANN probe and indexed SemDeDup. The directory key is a
-    * collision-resistant digest of the FULL source path (a 32-bit
-    * hashCode collision would silently serve the wrong corpus's
-    * index) + the pid, so concurrent JVMs sharing a tmpdir never race
-    * one JVM's overwrite against another's probe; the build output is
-    * deterministic for a given source dir.
-    */
-  /** Session-scoped memoization of tiny driver-side artifacts that
-    * queries would otherwise re-collect on EVERY invocation — the 16
-    * seed centroids and the vec-0 query vector are one ~50 ms Spark
-    * job each, pure orchestration floor (VERDICT r4 #6). Zero plan
-    * changes: the collects just run once per (session, corpus) and
-    * evict with the session like the resolved-relation cache.
-    */
-  private val seedCentCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[Seq[Double]]]()
-  private val queryVecCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Vector[Double]]()
-  SessionCaches.register(seedCentCache)
-  SessionCaches.register(queryVecCache)
-
-  /** Build-once DSIR ratio table per (session, sfDir) — the frozen
-    * selection model is a serving artifact like the PQ codebook and
-    * IVF centroids: train once, score every batch against it.
-    */
-  private val dsirModelCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), graft.selection.Dsir.DsirModel]()
-  SessionCaches.register(dsirModelCache)
-  private def dsirModelFor(s: SparkSession, d: String): graft.selection.Dsir.DsirModel = {
-    SessionCaches.ensureHook(s)
-    dsirModelCache.computeIfAbsent((s, d), kv =>
-      graft.selection.Dsir.dsirTrainWith(Tables.documents(kv._1, kv._2),
-        col("lang") === "en", 1024))
-  }
-  /** Build-once NB quality classifier per (session, corpus): trained
-    * on the ¾ split (doc_id % 4 ≠ 0) with substantial-document
-    * (n_chars ≥ 300) positives — shared by the train-readout and
-    * gate queries so the model fits exactly once per Verify/Bench
-    * session.
-    */
-  private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), graft.quality.NbClassifier.NbModel]()
-  SessionCaches.register(nbModelCache)
-  private def nbModelFor(s: SparkSession, d: String): graft.quality.NbClassifier.NbModel = {
-    SessionCaches.ensureHook(s)
-    nbModelCache.computeIfAbsent((s, d), kv =>
-      graft.quality.NbClassifier.nbTrain(
-        Tables.documents(kv._1, kv._2).filter(col("doc_id") % 4 =!= 0),
-        col("n_chars") >= 300, 1024))
-  }
-  private def seedCents16(s: SparkSession, d: String): Seq[Seq[Double]] = {
-    SessionCaches.ensureHook(s)
-    seedCentCache.computeIfAbsent((s, d), kv =>
-      Similarity.seedCentroids(Tables.embeddings(kv._1, kv._2), 16))
-  }
-  private def queryVec0(s: SparkSession, d: String): Vector[Double] = {
-    SessionCaches.ensureHook(s)
-    queryVecCache.computeIfAbsent((s, d), kv =>
-      Tables.embeddings(kv._1, kv._2).filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toVector)
-  }
-
-  /** The shared 5-query batch every batched-serving entry uses —
-    * bounded driver collect (5 rows), sorted by id for determinism.
-    */
-  private def multiQueryVecs(s: SparkSession,
-      d: String): Seq[(Long, Seq[Double])] =
-    Tables.embeddings(s, d)
-      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
-      .sortBy(_._1).toSeq
-
-  /** One build-once scratch index per (prefix, corpus path): the
-    * keying scheme — md5 of the FULL path + the pid — lives here only,
-    * so the collision-resistance and cross-process-isolation rationale
-    * can never drift between the float and quantized index variants.
-    */
-  private def builtIndexDir(prefix: String, d: String)(
-      write: String => Unit): String = {
-    val pathDigest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${prefix}_${pathDigest}_${ProcessHandle.current().pid()}").getPath
-    ivfIndexBuilt.computeIfAbsent(dir, p => { write(p); p })
-    dir
-  }
-
-  /** [[builtIndexDir]] for CATALOG-table artifacts — the bucketed
-    * layouts ([[graft.ops.BucketedTables]]) live in the session
-    * catalog, not at a bare path, so the build-once cache keys the
-    * TABLE NAME (same digest+pid scheme; catalog names allow only
-    * word characters, which the scheme already satisfies).
-    */
-  private def builtTable(prefix: String, d: String)(
-      write: String => Unit): String = {
-    val pathDigest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val table = s"${prefix}_${pathDigest}_${ProcessHandle.current().pid()}"
-    ivfIndexBuilt.computeIfAbsent("table:" + table, _ => { write(table); table })
-    table
-  }
-
-  private def builtIvfIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf", d) { p =>
-      Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
-    }
-
-  /** Build-once RECLUSTERED index: the seed-built index's live
-    * entries re-assigned against the Lloyd-refined centroids into a
-    * fresh directory ([[graft.similarity.Similarity.reclusterIvfIndex]]).
-    */
-  private def builtIvfReclusteredIndex(s: SparkSession, d: String): String = {
-    // resolve the source index and centroids BEFORE entering the
-    // build-once mapping function: builtIvfIndex uses the SAME
-    // ConcurrentHashMap, and a nested computeIfAbsent on one map is
-    // outside the CHM contract (bin-collision deadlock / recursive-
-    // update throw)
-    val src = builtIvfIndex(s, d)
-    val cents = kmeansCentroids(s, d)
-    builtIndexDir("graft_ivf_rc", d) { p =>
-      Similarity.reclusterIvfIndex(s, src, cents, p)
-    }
-  }
-
-  /** Build-once INCREMENTALLY-assembled IVF index: the seven-eighths
-    * base written, then the ids ≡ 3 mod 8 batch APPENDED against the
-    * same frozen centroids. Probing it must equal probing a full
-    * rebuild — q_ann_ivf_incremental shares q_ann_ivf_indexed's
-    * full-corpus oracle SQL, so a divergence between append and
-    * rebuild fails the hash gate itself.
-    */
-  private def builtIvfIncIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf_inc", d) { p =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.writeIvfIndex(
-        emb.filter(col("vec_id") % 8 =!= 3), seedCents16(s, d), p)
-      Similarity.appendToIvfIndex(
-        emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p, "inc1")
-      // the batch-keyed append is retry-idempotent BY LAYOUT: a
-      // replay of the same key dynamic-overwrites its own
-      // (cell, batch_id) partitions — q_ann_ivf_incremental's shared
-      // full-rebuild oracle hashes the post-retry index, so a
-      // double-insert would fail the gate itself
-      Similarity.appendToIvfIndex(
-        emb.filter(col("vec_id") % 8 === 3), seedCents16(s, d), p, "inc1")
-    }
-
-  /** Build-once RETENTION-compacted IVF index: base (ids ∉ {1,6}
-    * mod 8) + append "w1" (≡1) + append "w2" (≡6) + erasure (≡3
-    * mod 7), then `compactIvfIndexKeeping(keep = Seq("w2"))` — the
-    * w1 window folds into the base with tombstones applied
-    * physically, w2 stays addressable. q_ann_ivf_retention shares
-    * the erasure replay (serving is invariant under retention);
-    * q_ann_ivf_retention_asof gates the fold.
-    */
-  private def builtIvfRetentionIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf_ret", d) { p =>
-      val emb = Tables.embeddings(s, d)
-      val cents = seedCents16(s, d)
-      Similarity.writeIvfIndex(
-        emb.filter(col("vec_id") % 8 =!= 1 && col("vec_id") % 8 =!= 6),
-        cents, p)
-      Similarity.appendToIvfIndex(
-        emb.filter(col("vec_id") % 8 === 1), cents, p, "w1")
-      Similarity.appendToIvfIndex(
-        emb.filter(col("vec_id") % 8 === 6), cents, p, "w2")
-      Similarity.deleteFromIvfIndex(
-        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
-      Similarity.compactIvfIndexKeeping(s, p, Seq("w2"))
-    }
-
-  /** Build-once WRITTEN DSIR model per corpus — the full artifact
-    * lifecycle under the gate: train → parquet → read back → score
-    * (the writeIvfIndex / q_bpe_encode_indexed precedent).
-    */
-  private def builtDsirModel(s: SparkSession, d: String): String =
-    builtIndexDir("graft_dsir", d) { p =>
-      graft.selection.Dsir.writeDsirModel(s, dsirModelFor(s, d), p)
-    }
-
-  /** Build-once WRITTEN NB classifier per corpus (same lifecycle). */
-  private def builtNbModel(s: SparkSession, d: String): String =
-    builtIndexDir("graft_nb", d) { p =>
-      graft.quality.NbClassifier.writeNbModel(s, nbModelFor(s, d), p)
-    }
-
-  /** Build-once WRITTEN LPA community labels of the link graph (same
-    * lifecycle) — the frozen partition the ingest probe serves from.
-    */
-  private def builtCommunityLabels(s: SparkSession, d: String): String =
-    builtIndexDir("graft_lpa", d) { p =>
-      graft.graph.Communities.writeCommunityLabels(
-        graft.graph.Communities.labelPropagation(linkGraphEdges(s, d),
-          "s", "t", rounds = 4), p)
-    }
-
-  /** The community-probe fixture batch: one NEW node per order
-    * (+3e9 id offset). Ids ≢ 2 mod 5 link to their 4-group head g
-    * and g+1 in the frozen link graph; ids ≡ 2 mod 5 link only to
-    * another NEW node (+4e9), so their vote is empty and they open
-    * their own community (the LPA init convention) — the oracle
-    * replays both branches.
-    */
-  private def communityProbeNodes(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .select((col("o_orderkey") + 3000000000L).as("node"))
-
-  private def communityProbeEdges(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
-      (col("o_orderkey") - col("o_orderkey") % 4).as("g"))
-    val attached = o.filter(col("k") % 5 =!= 2)
-    val lonely = o.filter(col("k") % 5 === 2)
-    attached
-      .select((col("k") + 3000000000L).as("s"), col("g").as("t"))
-      .unionByName(attached.select((col("k") + 3000000000L).as("s"),
-        (col("g") + 1).as("t")))
-      .unionByName(lonely.select((col("k") + 3000000000L).as("s"),
-        (col("k") + 4000000000L).as("t")))
-  }
-
-  /** Stage-once canonical probe-edge layout (v-bucketed catalog
-    * table) — the ingest-staging step of the served assignment; the
-    * canonicalization distinct is paid here, not per query.
-    */
-  private def builtCommunityProbeEdges(s: SparkSession, d: String): String =
-    builtTable("graft_lpa_pedges", d) { t =>
-      graft.graph.Communities.stageAssignmentEdges(
-        communityProbeEdges(s, d), "s", "t", t)
-    }
-
-  /** Build-once node-bucketed frozen labels (same bucket count as
-    * the staged edges) — re-laid from the parquet artifact, so the
-    * LPA partition itself is still computed exactly once.
-    */
-  private def builtCommunityLabelsBucketed(s: SparkSession, d: String): String = {
-    // resolve the labels artifact BEFORE the build-once mapping
-    // function: both caches share one ConcurrentHashMap, and a
-    // nested computeIfAbsent is outside the CHM contract (the
-    // builtIvfReclusteredIndex rationale)
-    val labels = builtCommunityLabels(s, d)
-    builtTable("graft_lpa_blabels", d) { t =>
-      graft.graph.Communities.writeCommunityLabelsBucketed(
-        graft.graph.Communities.readCommunityLabels(s, labels), t)
-    }
-  }
-
-  /** Stage-once per-(doc, gram) occurrence table for the whole
-    * corpus, bucketed by gram (the memorization family's ingest
-    * staging — [[graft.textanalysis.TextAnalysis.stageDocGrams]]).
-    */
-  private def builtMemGramsTable(s: SparkSession, d: String): String =
-    builtTable("graft_memdg", d) { t =>
-      TextAnalysis.stageDocGrams(Tables.documents(s, d), t, 5)
-    }
-
-  /** Stage-once CO-BUCKETED enrichment inputs (flattened CDC frame +
-    * blob/content table, both on s3_key) — the J2 staging
-    * ([[graft.streaming.Pipelines.stageEnrichInputs]]). One builder
-    * stages both tables; the second accessor just resolves the name.
-    */
-  private def builtEnrichFlatTable(s: SparkSession, d: String): String =
-    builtTable("graft_enrflat", d) { t =>
-      graft.streaming.Pipelines.stageEnrichInputs(
-        Cdc.pipeline(Cdc.syntheticEnvelopes(Tables.documents(s, d))),
-        Tables.documents(s, d)
-          .filter(col("doc_id") % 3 =!= 0)
-          .select(concat(col("doc_id"), lit("/content")).as("s3_key"),
-            col("text").as("content")),
-        t, t + "_content")
-    }
-
-  /** Stage-once 8-word window-occurrence table, bucketed by window
-    * digest (the substring-dedup family's ingest staging —
-    * [[graft.dedup.Dedup.stageWindowOccurrences]]).
-    */
-  private def builtSubstrOccTable(s: SparkSession, d: String): String =
-    builtTable("graft_ssocc", d) { t =>
-      Dedup.stageWindowOccurrences(Tables.documents(s, d), t)
-    }
-
-  /** Build-once 3-batch segment-dedup sink replay WITH retention:
-    * the corpus arrives as three sequential micro-batches
-    * (doc_id % 3 = 0, 1, 2) through the real
-    * [[graft.streaming.Pipelines.processSegmentDedupBatch]] core,
-    * then [[graft.streaming.Pipelines.compactBatchOutputKeeping]]
-    * folds all but the LAST batch's partitions on BOTH accumulated
-    * tables (digest index + rebuilt corpus) — the bounded-history
-    * maintenance for the batch-stamped catalog layouts.
-    */
-  private def builtSegmentRetainedOut(s: SparkSession, d: String): String =
-    builtIndexDir("graft_segret", d) { p =>
-      val docs = Tables.documents(s, d)
-      Seq(0L, 1L, 2L).foreach { b =>
-        graft.streaming.Pipelines.processSegmentDedupBatch(
-          docs.filter(col("doc_id") % 3 === b), p + "/idx", p + "/out", b)
-      }
-      graft.streaming.Pipelines.compactBatchOutputKeeping(s, p + "/idx",
-        Seq("2"))
-      graft.streaming.Pipelines.compactBatchOutputKeeping(s, p + "/out",
-        Seq("2"))
-    }
-
-  /** Stage-once tokenized corpus bucketed by doc id — the rebuild
-    * side of the staged substring dedup.
-    */
-  private def builtDocWordsTable(s: SparkSession, d: String): String =
-    builtTable("graft_dwords", d) { t =>
-      Dedup.stageDocWords(Tables.documents(s, d), t)
-    }
-
-  /** Build-once FULL-corpus cross-doc gram index, bucketed — built
-    * through the MERGE lifecycle (train-quarters index ⊎ held-out
-    * index), so the additivity contract stays exercised on the
-    * serving path too.
-    */
-  private def builtMemIndexTable(s: SparkSession, d: String): String =
-    builtTable("graft_memidx", d) { t =>
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeMemorizationIndexBucketed(
-        TextAnalysis.mergeMemorizationIndexes(
-          TextAnalysis.memorizationIndex(
-            docs.filter(col("doc_id") % 4 =!= 0), 5),
-          TextAnalysis.memorizationIndex(
-            docs.filter(col("doc_id") % 4 === 0), 5)), t)
-    }
-
-  /** Build-once WRITTEN train gram index with the ids ≡ 1 mod 8
-    * batch ERASED by negative-count merge (the mergeable-family
-    * delete path).
-    */
-  private def builtMemDelIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memdel", d) { p =>
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0), 5), p)
-      TextAnalysis.deleteFromMemorizationIndex(
-        docs.filter(col("doc_id") % 8 === 1), p, batchKey = "del1")
-    }
-
-  /** Build-once WRITTEN-APPEND gram index: base = the train set
-    * minus its ≡5 mod 8 eighth, which then appends under batch
-    * "inc1" — base ∪ append = the FULL train set, so the probe
-    * shares q_memorization_probe's oracle verbatim.
-    */
-  private def builtMemAppIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memapp", d) { p =>
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0 &&
-            col("doc_id") % 8 =!= 5), 5), p)
-      TextAnalysis.appendToMemorizationIndex(
-        docs.filter(col("doc_id") % 8 === 5), p, batchKey = "inc1")
-    }
-
-  /** Build-once RETENTION-compacted gram index: base = train minus
-    * its ≡5/≡7 mod 8 eighths, appends "w1" (≡5) and "w2" (≡7),
-    * erasure "d1" (≡1 mod 8), then
-    * `compactMemorizationIndexKeeping(keep = Seq("w2"))` — w1 and
-    * the erasure fold into the consolidated base, w2 stays
-    * addressable. Merged membership = train − (≡1 mod 8), exactly
-    * [[builtMemDelIndexDir]]'s final state, so the probe SHARES
-    * q_memorization_probe_deleted's oracle; the as-of twin gates the
-    * fold itself.
-    */
-  private def builtMemRetIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memret", d) { p =>
-      val docs = Tables.documents(s, d)
-      val train = docs.filter(col("doc_id") % 4 =!= 0)
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          train.filter(col("doc_id") % 8 =!= 5 &&
-            col("doc_id") % 8 =!= 7), 5), p)
-      TextAnalysis.appendToMemorizationIndex(
-        train.filter(col("doc_id") % 8 === 5), p, batchKey = "w1")
-      TextAnalysis.appendToMemorizationIndex(
-        train.filter(col("doc_id") % 8 === 7), p, batchKey = "w2")
-      TextAnalysis.deleteFromMemorizationIndex(
-        train.filter(col("doc_id") % 8 === 1), p, batchKey = "d1")
-      TextAnalysis.compactMemorizationIndexKeeping(s, p, Seq("w2"))
-    }
-
-  /** Build-once STREAM-FED gram index (round-11 verdict #5): base =
-    * the train set minus its ≡5 mod 8 eighth, then that eighth
-    * arrives as TWO MemoryStream micro-batches (ids ≡ 5 and ≡ 13
-    * mod 16) through the real checkpointed
-    * [[graft.streaming.Pipelines.memorizationIndexSink]] — base ∪
-    * streamed = the FULL train set, so the consolidated probe shares
-    * q_memorization_probe's oracle verbatim (stream-built ≡ retrain
-    * is the hash gate). The MemoryStream carries doc_id only; text
-    * joins in from the static table on the executors.
-    */
-  private def builtMemStrIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memstr", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0 &&
-            col("doc_id") % 8 =!= 5), 5), p + "/idx")
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-      val q = graft.streaming.Pipelines.memorizationIndexSink(
-        src, p + "/idx", p + "/ckpt")
-      try {
-        val ids = docs.filter(col("doc_id") % 8 === 5)
-          .select("doc_id").collect().map(_.getLong(0)).sorted
-        Seq(5L, 13L).foreach { m =>
-          mem.addData(ids.filter(_ % 16 == m).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** Build-once STREAM-ERASED gram index: the full train index, then
-    * the ids ≡ 1 mod 8 batch arrives as TWO deletion-request
-    * micro-batches (ids ≡ 1 and ≡ 9 mod 16) through the real
-    * checkpointed [[graft.streaming.Pipelines.memorizationDeleteSink]]
-    * — negated mergeable counts per batch, nothing read or rewritten.
-    * The consolidated probe shares q_memorization_probe_deleted's
-    * oracle verbatim: sink-erased ≡ retrain-on-remaining is the hash
-    * gate. The MemoryStream carries doc_id only; the text being
-    * forgotten joins in from the static table on the executors.
-    */
-  private def builtMemStrDelIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memsdel", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0), 5), p + "/idx")
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-      val q = graft.streaming.Pipelines.memorizationDeleteSink(
-        src, p + "/idx", p + "/ckpt")
-      try {
-        val ids = docs.filter(col("doc_id") % 8 === 1)
-          .select("doc_id").collect().map(_.getLong(0)).sorted
-        Seq(1L, 9L).foreach { m =>
-          mem.addData(ids.filter(_ % 16 == m).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** [[builtMemDelIndexDir]] then COMPACTED — deletions made
-    * physical; the probe reads the plain consolidated base.
-    */
-  private def builtMemCmpIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memcmp", d) { p =>
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          docs.filter(col("doc_id") % 4 =!= 0), 5), p)
-      TextAnalysis.deleteFromMemorizationIndex(
-        docs.filter(col("doc_id") % 8 === 1), p, batchKey = "del1")
-      TextAnalysis.compactMemorizationIndex(s, p)
-    }
-
-  /** Build-once train-quarters-only gram index, bucketed — the
-    * admission gate's frozen artifact.
-    */
-  private def builtMemTrainIndexTable(s: SparkSession, d: String): String =
-    builtTable("graft_memtidx", d) { t =>
-      TextAnalysis.writeMemorizationIndexBucketed(
-        TextAnalysis.memorizationIndex(
-          Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), 5), t)
-    }
-
-  /** Build-once WRITTEN video fingerprint index over the non-probe
-    * three quarters of the corpus (same lifecycle) — the frozen
-    * perceptual-dedup artifact the media ingest probe serves from.
-    */
-  private def builtVideoFpIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_vfp", d) { p =>
-      graft.dedup.Dedup.writeFingerprintIndex(
-        Multimodal.videoHashes(
-          Tables.documents(s, d).filter(col("doc_id") % 8 =!= 4)),
-        "doc_id", "vhash", p)
-    }
-
-  /** The compressed (int8) twin of [[builtIvfIndex]]: same build-once
-    * keying, cell-partitioned quantized entries.
-    */
-  private def builtQuantizedIvfIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_qivf", d) { p =>
-      Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
-        seedCents16(s, d), p)
-    }
-
-  /** Build-once RECLUSTERED compressed index: the int8 twin of
-    * [[builtIvfReclusteredIndex]] — live entries re-quantized FROM
-    * THE SOURCE TABLE (the compressed store carries no embeddings)
-    * and re-assigned against the Lloyd-refined centroids into a
-    * fresh directory.
-    */
-  private def builtQivfReclusteredIndex(s: SparkSession, d: String): String = {
-    val src = builtQuantizedIvfIndex(s, d)
-    val cents = kmeansCentroids(s, d)
-    builtIndexDir("graft_qivf_rc", d) { p =>
-      Similarity.reclusterQuantizedIvfIndex(s, src,
-        Tables.embeddings(s, d), cents, p)
-    }
-  }
-
-  /** Build-once STREAM-BUILT compressed IVF index — the int8 twin of
-    * [[builtIvfStreamedIndex]]: three checkpointed MemoryStream
-    * micro-batches through the real quantizedIvfIndexSink against
-    * frozen centroids; q_knn_quantized_ivf_streamed shares the
-    * full-rebuild oracle.
-    */
-  private def builtQivfStreamedIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_qivf_str", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val emb = Tables.embeddings(s, d)
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("vec_id").join(emb, "vec_id")
-      val q = graft.streaming.Pipelines.quantizedIvfIndexSink(
-        src, seedCents16(s, d), p + "/idx", p + "/ckpt")
-      try {
-        val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
-        (0L until 3L).foreach { b =>
-          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** Incrementally-assembled compressed IVF index — the int8 twin of
-    * [[builtIvfIncIndex]]: seven-eighths base write + the ids ≡ 6
-    * mod 8 batch appended against the same frozen centroids;
-    * q_knn_quantized_ivf_incremental shares the full-rebuild oracle.
-    */
-  private def builtQuantIvfIncIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_qivf_inc", d) { p =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.writeQuantizedIvfIndex(
-        emb.filter(col("vec_id") % 8 =!= 6), seedCents16(s, d), p)
-      Similarity.appendToQuantizedIvfIndex(
-        emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p, "inc1")
-      // retry replay — same key, own partitions overwritten, no
-      // double-insert (gated by the shared full-rebuild oracle)
-      Similarity.appendToQuantizedIvfIndex(
-        emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p, "inc1")
-    }
-
-  /** Build-once PQ code table per corpus (encode once, query many). */
-  private def builtPqCodes(s: SparkSession, d: String): String =
-    builtIndexDir("graft_pq", d) { p =>
-      Similarity.pqEncode(Tables.embeddings(s, d), pqCodebookFor(s, d))
-        .write.mode("overwrite").parquet(p)
-    }
-
-  /** Build-once WRITTEN vocab-tokenization table per corpus — the
-    * tokenizer's shipped artifact (full learned merge table).
-    */
-  private def builtVocabTokens(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bpevocab", d) { p =>
-      TextAnalysis.writeVocabTokens(Tables.documents(s, d),
-        bpeFullMerges(s, d), p)
-    }
-
-  /** Cell-partitioned IVF-PQ index per corpus — the composed serving
-    * artifact (directory pruning over 8-byte codes).
-    */
-  private def builtPqIvfIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_pqivf", d) { p =>
-      Similarity.writePqIndex(Tables.embeddings(s, d), seedCents16(s, d),
-        pqCodebookFor(s, d), p)
-    }
-
-  /** Cell-partitioned RESIDUAL-encoded IVF-PQ index per corpus —
-    * [[builtPqIvfIndex]]'s layout with (v − c_cell) codes.
-    */
-  private def builtResidualPqIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_rpqivf", d) { p =>
-      Similarity.writeResidualPqIndex(Tables.embeddings(s, d),
-        seedCents16(s, d), residualPqCodebookFor(s, d), p)
-    }
-
-  /** Cell-partitioned WIDE-BOOK (ksub=256) IVF-PQ index per corpus —
-    * the code-width operating point's serving artifact.
-    */
-  private def builtWidePqIvfIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_wpqivf", d) { p =>
-      Similarity.writePqIndex(Tables.embeddings(s, d), seedCents16(s, d),
-        widePqCodebookFor(s, d), p)
-    }
-
-  /** Incrementally-assembled IVF-PQ index: base = corpus minus its
-    * ≡1 mod 8 eighth, that eighth appended (twice — the second call
-    * is the retry replay) under batch "inc1" against the same frozen
-    * centroids + codebook. Probing it shares q_knn_pq_ivf's
-    * full-corpus oracle: append ≡ rebuild is the hash gate, and the
-    * doubled append gates retry idempotence the same way.
-    */
-  private def builtPqIvfIncIndex(s: SparkSession, d: String): String = {
-    val cents = seedCents16(s, d)
-    val cb = pqCodebookFor(s, d)
-    builtIndexDir("graft_pqivf_inc", d) { p =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.writePqIndex(
-        emb.filter(col("vec_id") % 8 =!= 1), cents, cb, p)
-      Similarity.appendToPqIndex(
-        emb.filter(col("vec_id") % 8 === 1), cents, cb, p, "inc1")
-      Similarity.appendToPqIndex(
-        emb.filter(col("vec_id") % 8 === 1), cents, cb, p, "inc1")
-    }
-  }
-
-  /** Full IVF-PQ index with the ids ≡ 3 mod 7 batch TOMBSTONED —
-    * [[graft.similarity.Similarity.deleteFromIvfIndex]] is
-    * layout-generic, so erasure composes onto the PQ store unchanged.
-    */
-  private def builtPqIvfDelIndex(s: SparkSession, d: String): String = {
-    val cents = seedCents16(s, d)
-    val cb = pqCodebookFor(s, d)
-    builtIndexDir("graft_pqivf_del", d) { p =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.writePqIndex(emb, cents, cb, p)
-      Similarity.deleteFromIvfIndex(
-        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
-    }
-  }
-
-  /** [[builtPqIvfDelIndex]] then COMPACTED — the code cells rewritten
-    * without the tombstoned rows; a plain scan serves the erased
-    * state.
-    */
-  private def builtPqIvfCmpIndex(s: SparkSession, d: String): String = {
-    val cents = seedCents16(s, d)
-    val cb = pqCodebookFor(s, d)
-    builtIndexDir("graft_pqivf_cmp", d) { p =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.writePqIndex(emb, cents, cb, p)
-      Similarity.deleteFromIvfIndex(
-        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")), p, "d1")
-      Similarity.compactIvfIndex(s, p)
-    }
-  }
-
-  /** Build-once STREAM-BUILT IVF-PQ index: three checkpointed
-    * MemoryStream micro-batches through the real pqIndexSink.
-    */
-  private def builtPqIvfStreamedIndex(s: SparkSession, d: String): String = {
-    val cents = seedCents16(s, d)
-    val cb = pqCodebookFor(s, d)
-    builtIndexDir("graft_pqivf_str", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val emb = Tables.embeddings(s, d)
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("vec_id").join(emb, "vec_id")
-      val q = graft.streaming.Pipelines.pqIndexSink(
-        src, cents, cb, p + "/idx", p + "/ckpt")
-      try {
-        val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
-        (0L until 3L).foreach { b =>
-          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-  }
-
-  /** Build-once RECLUSTERED IVF-PQ index — the PQ member of the
-    * [[builtIvfReclusteredIndex]] family: the full index's live
-    * entries re-encoded FROM THE SOURCE TABLE (the code store
-    * carries no embeddings) against the Lloyd-refined coarse
-    * centroids into a fresh directory; the codebook retrains on the
-    * same source (here identical to the build's — the refresh
-    * procedure, not the drift, is what the churn matrix audits).
-    */
-  private def builtPqIvfReclusteredIndex(s: SparkSession, d: String): String = {
-    val src = builtPqIvfIndex(s, d)
-    val cents = kmeansCentroids(s, d)
-    val cb = pqCodebookFor(s, d)
-    builtIndexDir("graft_pqivf_rc", d) { p =>
-      Similarity.reclusterPqIndex(s, src, Tables.embeddings(s, d), cents,
-        cb, p)
-    }
-  }
-
-  /** Build-once STALE IVF-PQ index over the DRIFTED corpus: the drift
-    * batch encoded with the FROZEN build literals (seed centroids +
-    * corpus codebook) — by the append ≡ rebuild contract this is
-    * exactly the state of a served index whose drift batches arrived
-    * through [[graft.similarity.Similarity.appendToPqIndex]] with no
-    * refresh, the "before" side of the recall measurement.
-    */
-  private def builtPqDriftStaleIndex(s: SparkSession, d: String): String = {
-    val cents = seedCents16(s, d)
-    val cb = pqCodebookFor(s, d)
-    builtIndexDir("graft_pqd_stale", d) { p =>
-      Similarity.writePqIndex(driftedEmbeddings(s, d), cents, cb, p)
-    }
-  }
-
-  /** The stale drift index REFRESHED through
-    * [[graft.similarity.Similarity.reclusterPqIndex]]: coarse
-    * centroids re-trained on the drifted corpus (the
-    * [[driftedCentroids]] seeding policy) AND the codebook re-trained
-    * on the drifted corpus — the "after" side.
-    */
-  private def builtPqDriftFreshIndex(s: SparkSession, d: String): String = {
-    val stale = builtPqDriftStaleIndex(s, d)
-    val cents = driftedCentroids(s, d)
-    val cb = driftedPqCodebook(s, d)
-    builtIndexDir("graft_pqd_rc", d) { p =>
-      Similarity.reclusterPqIndex(s, stale, driftedEmbeddings(s, d),
-        cents, cb, p)
-    }
-  }
-
-  /** Build-once FUSED-ADMISSION stream replay: the three frozen
-    * ¾-corpus artifacts (written bigram LM, written NB classifier,
-    * written DSIR ratios) admit the held-out quarter arriving as TWO
-    * checkpointed micro-batches through the real
-    * [[graft.streaming.Pipelines.admissionSink]] — one decision per
-    * batch over one shared tokenization. The MemoryStream carries
-    * doc_id only; text joins in from the static table.
-    */
-  private def builtAdmissionOut(s: SparkSession, d: String): String = {
-    val nbDir = builtNbModel(s, d)
-    val dsirDir = builtDsirModel(s, d)
-    builtIndexDir("graft_admit", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeLmModel(
-        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
-        p + "/lm")
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-      val q = graft.streaming.Pipelines.admissionSink(
-        src, p + "/lm", nbDir, dsirDir, p + "/out", p + "/ckpt")
-      try {
-        val ids = docs.filter(col("doc_id") % 4 === 0)
-          .select("doc_id").collect().map(_.getLong(0)).sorted
-        Seq(0L, 4L).foreach { m =>
-          mem.addData(ids.filter(_ % 8 == m).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-  }
-
-  /** Build-once WRITTEN train-quarters gram index (plain dir form —
-    * the fused admission's fourth frozen artifact).
-    */
-  private def builtMemTrainIndexDir(s: SparkSession, d: String): String =
-    builtIndexDir("graft_memtrn", d) { p =>
-      TextAnalysis.writeMemorizationIndex(
-        TextAnalysis.memorizationIndex(
-          Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0), 5), p)
-    }
-
-  /** Build-once COMPLETE-admission stream replay: the three
-    * row-local artifacts plus the frozen ¾-train gram index admit a
-    * stream of the held-out quarter PLUS planted re-ingests of the
-    * ≡1 mod 8 train docs (+5e6 ids, same text) through
-    * [[graft.streaming.Pipelines.fullAdmissionSink]] — one decision
-    * per micro-batch, one materialized tokenize pass feeding all
-    * four gates. The planted docs duplicate the train corpus
-    * verbatim (dup_frac 1.0) while sailing through the row-local
-    * gates, so the dup gate is their decisive rejector.
-    */
-  private def builtFullAdmissionOut(s: SparkSession, d: String): String = {
-    val nbDir = builtNbModel(s, d)
-    val dsirDir = builtDsirModel(s, d)
-    val gramDir = builtMemTrainIndexDir(s, d)
-    builtIndexDir("graft_admitf", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeLmModel(
-        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
-        p + "/lm")
-      val planted = docs.filter(col("doc_id") % 8 === 1)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
-      val corpus = docs.select("doc_id", "text").unionByName(planted)
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id").join(corpus, "doc_id")
-      val q = graft.streaming.Pipelines.fullAdmissionSink(
-        src, p + "/lm", nbDir, dsirDir, gramDir, p + "/out", p + "/ckpt")
-      try {
-        val held = docs.filter(col("doc_id") % 4 === 0)
-          .select("doc_id").collect().map(_.getLong(0)).sorted
-        val plantedIds = docs.filter(col("doc_id") % 8 === 1)
-          .select("doc_id").collect().map(_.getLong(0) + 5000000L).sorted
-        mem.addData(held.filter(_ % 8 == 0).toIndexedSeq)
-        q.processAllAvailable()
-        mem.addData((held.filter(_ % 8 == 4) ++ plantedIds).toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-  }
-
-  /** Build-once BM25 inverted-file artifact per corpus — the lexical
-    * serving index ([[graft.ops.SearchOps.writeBm25Index]]).
-    */
-  private def builtBm25Index(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25", d) { p =>
-      SearchOps.writeBm25Index(Tables.documents(s, d), p)
-    }
-
-  /** Build-once INCREMENTALLY-assembled BM25 index: the seven-eighths
-    * base written, the ids ≡ 5 mod 8 batch APPENDED (postings into
-    * the existing term-bucket directories, corpus scalars merged from
-    * the stored exact longs). q_search_bm25_incremental shares the
-    * one-shot operator's oracle verbatim — append ≡ rebuild is gated
-    * by the hash itself (the builtIvfIncIndex convention).
-    */
-  private def builtBm25IncIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25_inc", d) { p =>
-      val docs = Tables.documents(s, d)
-      SearchOps.writeBm25Index(docs.filter(col("doc_id") % 8 =!= 5), p)
-      SearchOps.appendToBm25Index(docs.filter(col("doc_id") % 8 === 5), p,
-        batchKey = "inc1")
-    }
-
-  /** Build-once full index with the ids ≡ 3 mod 7 batch TOMBSTONED
-    * (logical erasure — postings untouched, exact negative ledger).
-    */
-  private def builtBm25DelIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25_del", d) { p =>
-      val docs = Tables.documents(s, d)
-      SearchOps.writeBm25Index(docs, p)
-      SearchOps.deleteFromBm25Index(
-        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
-        batchKey = "del1")
-    }
-
-  /** Build-once RETENTION-compacted BM25 index: base (docs ∉ {5,6}
-    * mod 8) + appends "w1" (≡5) and "w2" (≡6) + erasure "del1"
-    * (≡3 mod 7 — spanning base, w1, AND w2 docs), then
-    * `compactBm25IndexKeeping(keep = Seq("w2"))`: build+w1+del1 fold
-    * (tombstones applied physically to the folded docs), w2 stays
-    * addressable, and del1's kept-part re-materializes as the
-    * "retained" tombstones + exact "del-retained" ledger row.
-    * Serving = corpus − (≡3 mod 7), so the serve query shares the
-    * erasure replay; the as-of and history twins gate the fold and
-    * the ledger split.
-    */
-  private def builtBm25RetIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25_ret", d) { p =>
-      val docs = Tables.documents(s, d)
-      SearchOps.writeBm25Index(
-        docs.filter(col("doc_id") % 8 =!= 5 && col("doc_id") % 8 =!= 6), p)
-      SearchOps.appendToBm25Index(
-        docs.filter(col("doc_id") % 8 === 5), p, batchKey = "w1")
-      SearchOps.appendToBm25Index(
-        docs.filter(col("doc_id") % 8 === 6), p, batchKey = "w2")
-      SearchOps.deleteFromBm25Index(
-        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
-        batchKey = "del1")
-      SearchOps.compactBm25IndexKeeping(s, p, Seq("w2"))
-    }
-
-  /** Build-once tombstoned index, then COMPACTED (physical erasure;
-    * q_search_bm25_compacted shares the deleted oracle, so
-    * compacted ≡ tombstoned is gated by the hash itself).
-    */
-  private def builtBm25CompactIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25_cmp", d) { p =>
-      val docs = Tables.documents(s, d)
-      SearchOps.writeBm25Index(docs, p)
-      SearchOps.deleteFromBm25Index(
-        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p,
-        batchKey = "del1")
-      SearchOps.compactBm25Index(s, p)
-    }
-
-  /** Build-once IVF index with the ids ≡ 3 mod 7 batch tombstoned. */
-  private def builtIvfDelIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf_del", d) { p =>
-      Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
-      Similarity.deleteFromIvfIndex(
-        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id")), p, batchKey = "del1")
-    }
-
-  /** Build-once STREAM-ERASED BM25 index: the full corpus written,
-    * then the ids ≡ 3 mod 7 batch arrives as TWO deletion-request
-    * micro-batches (ids ≡ 3 and ≡ 10 mod 14) through the real
-    * checkpointed [[graft.streaming.Pipelines.bm25DeleteSink]].
-    * q_search_bm25_stream_deleted shares the batch-deleted oracle —
-    * sink-erased ≡ rebuild-on-remaining is the hash gate.
-    */
-  private def builtBm25StrDelIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25_sdel", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      SearchOps.writeBm25Index(docs, p + "/idx")
-      val mem = MemoryStream[Long]
-      val q = graft.streaming.Pipelines.bm25DeleteSink(
-        mem.toDS().toDF("doc_id"), p + "/idx", p + "/ckpt")
-      try {
-        val ids = docs.filter(col("doc_id") % 7 === 3)
-          .select("doc_id").collect().map(_.getLong(0)).sorted
-        Seq(3L, 10L).foreach { m =>
-          mem.addData(ids.filter(_ % 14 == m).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** The float-IVF twin of [[builtBm25StrDelIndex]]: full index, the
-    * ids ≡ 3 mod 7 batch tombstoned through two checkpointed
-    * [[graft.streaming.Pipelines.ivfDeleteSink]] micro-batches.
-    */
-  private def builtIvfStrDelIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf_sdel", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val emb = Tables.embeddings(s, d)
-      Similarity.writeIvfIndex(emb, seedCents16(s, d), p + "/idx")
-      val mem = MemoryStream[Long]
-      val q = graft.streaming.Pipelines.ivfDeleteSink(
-        mem.toDS().toDF("vec_id"), p + "/idx", p + "/ckpt")
-      try {
-        val ids = emb.filter(col("vec_id") % 7 === 3)
-          .select("vec_id").collect().map(_.getLong(0)).sorted
-        Seq(3L, 10L).foreach { m =>
-          mem.addData(ids.filter(_ % 14 == m).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** [[builtIvfDelIndex]] then COMPACTED — the float cells rewritten
-    * without the tombstoned rows, tombstones dropped.
-    */
-  private def builtIvfCmpIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf_cmp", d) { p =>
-      Similarity.writeIvfIndex(Tables.embeddings(s, d), seedCents16(s, d), p)
-      Similarity.deleteFromIvfIndex(
-        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id")), p, batchKey = "del1")
-      Similarity.compactIvfIndex(s, p)
-    }
-
-  /** The compressed twin of [[builtIvfDelIndex]] — same tombstone
-    * batch over the int8 store (the reader is layout-agnostic).
-    */
-  private def builtQivfDelIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_qivf_del", d) { p =>
-      Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
-        seedCents16(s, d), p)
-      Similarity.deleteFromIvfIndex(
-        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id")), p, batchKey = "del1")
-    }
-
-  /** [[builtQivfDelIndex]] then COMPACTED — the int8 cells rewritten
-    * without the tombstoned rows, tombstones dropped.
-    */
-  private def builtQivfCmpIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_qivf_cmp", d) { p =>
-      Similarity.writeQuantizedIvfIndex(Tables.embeddings(s, d),
-        seedCents16(s, d), p)
-      Similarity.deleteFromIvfIndex(
-        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
-          .select(col("vec_id")), p, batchKey = "del1")
-      Similarity.compactIvfIndex(s, p)
-    }
-
-  /** Build-once STREAM-BUILT BM25 index per corpus: the whole corpus
-    * arrives as three MemoryStream batches (doc_id % 3 in order)
-    * through the real [[graft.streaming.Pipelines.bm25IndexSink]]
-    * (checkpointed foreachBatch, per-batch postings + stats-ledger
-    * partitions). q_search_bm25_streamed serves from it and shares
-    * the one-shot corpus oracle — stream-built ≡ rebuild is gated by
-    * the hash itself. Ids only on the stream (driver-fed by
-    * definition); text joins in from the static table.
-    */
-  private def builtBm25StreamedIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_bm25_str", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id")
-        .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      val q = graft.streaming.Pipelines.bm25IndexSink(
-        src, p + "/idx", p + "/ckpt")
-      try {
-        val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
-        (0L until 3L).foreach { b =>
-          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** Build-once STREAM-BUILT IVF index per corpus — the ANN twin of
-    * [[builtBm25StreamedIndex]]: three MemoryStream batches through
-    * [[graft.streaming.Pipelines.ivfIndexSink]] against the frozen
-    * seed centroids; q_ann_ivf_streamed shares the full-rebuild
-    * oracle.
-    */
-  private def builtIvfStreamedIndex(s: SparkSession, d: String): String =
-    builtIndexDir("graft_ivf_str", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val emb = Tables.embeddings(s, d)
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("vec_id").join(emb, "vec_id")
-      val q = graft.streaming.Pipelines.ivfIndexSink(
-        src, seedCents16(s, d), p + "/idx", p + "/ckpt")
-      try {
-        val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
-        (0L until 3L).foreach { b =>
-          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** Build-once streaming-curation replay per corpus: the corpus
-    * slice (doc_id % 101 ≠ 7) arrives as THREE MemoryStream batches
-    * (doc_id % 3 = 0, 1, 2 in order) through the real
-    * [[graft.streaming.Pipelines.curationSink]] — frozen corpus-
-    * trained LM, digest-index first-arrival dedup, checkpointed
-    * foreachBatch — leaving the per-batch gate-telemetry table at
-    * `<dir>/tele` for q_curation_telemetry to read.
-    *
-    * The MemoryStream carries doc_id ONLY (a streaming source is
-    * driver-fed by definition — the ids are the batch membership);
-    * text/source join in from the static documents table on the
-    * executors, so payloads never collect to the driver.
-    */
-  private def builtCurationTelemetry(s: SparkSession, d: String): String =
-    builtIndexDir("graft_curtel", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") % 101 =!= 7)
-        .select("doc_id", "text", "source")
-      val benchmark = docs.filter(col("doc_id") % 101 === 7)
-        .select("doc_id", "text", "source")
-      // the frozen model = the same corpus-trained bigram LM the
-      // one-shot capstone derives internally (identical counts), so
-      // the stream's scores replay q_curation_pipeline's exactly
-      graft.textanalysis.TextAnalysis.writeLmModel(
-        graft.textanalysis.TextAnalysis.lmTrain(corpus), p + "/model")
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id").join(corpus, "doc_id")
-      val q = graft.streaming.Pipelines.curationSink(src, benchmark,
-        p + "/model", p + "/idx", p + "/out", p + "/tele", p + "/ckpt")
-      try {
-        val ids = corpus.select("doc_id").collect().map(_.getLong(0)).sorted
-        (0L until 3L).foreach { b =>
-          mem.addData(ids.filter(_ % 3 == b).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-
-  /** Lloyd-refined centroids per corpus dir. The k-means build runs
-    * ONCE (build-once probe-many, like the written index); the cached
-    * value then feeds BOTH the Spark probe and the generated oracle
-    * below, so the hash compare can never race the (float-sum-order-
-    * sensitive) mean computation across runs.
-    */
-  private val ivfKmeansCents =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-
-  /** The corpus dir the generated oracles describe: the LAST dir a
-    * generated-oracle query ran against. `oracleSql` takes no corpus
-    * argument (driver contract), and the Verify main runs every query
-    * against ONE dir before dumping SQL — keying the generators on
-    * the most recent run (instead of `cache.values.headOption`) keeps
-    * a JVM that served two corpus dirs from emitting oracle literals
-    * for the wrong one (ADVICE r5).
-    */
-  @volatile private var lastOracleDir: String = null
-
-  private def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
-    lastOracleDir = d
-    ivfKmeansCents.computeIfAbsent(d, _ =>
-      Similarity.ivfBuild(Tables.embeddings(s, d), 16, 2))
-  }
-
-  /** The DRIFTED corpus for the recluster-recall measurement
-    * (round-11 verdict #8): the corpus plus a shifted-distribution
-    * batch — every ≡0 mod 5 vector re-ingested NEGATED under
-    * vec_id + 2e6. Negation is exact in float, flips the cosine
-    * cone, and is trivially replayable in SQL — a deterministic
-    * stand-in for "this quarter's embeddings came from a new model
-    * revision".
-    */
-  private def driftedEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    emb.unionByName(
-      emb.filter(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 2000000L).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding")))
-  }
-
-  /** Lloyd-refined centroids of the DRIFTED corpus — the refresh the
-    * recall measurement justifies. Same cache + oracle-literal
-    * lifecycle as [[kmeansCentroids]].
-    */
-  private val ivfDriftedCents =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private def driftedCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
-    lastOracleDir = d
-    ivfDriftedCents.computeIfAbsent(d, _ => {
-      // 12 original-cone seeds + 4 seeds drawn from the drift batch
-      // (the negations of vectors 0/5/10/15): cosine-assignment
-      // Lloyd cannot move a centroid into a cone no seed points at,
-      // so a refresh seeded only from the original distribution
-      // never allocates cells to the drifted one — this is the
-      // refresh POLICY the recall table justifies, and it replays
-      // exactly (the oracle sees only the final centroid literals)
-      val s16 = seedCents16(s, d)
-      val seeds = s16.take(12) ++
-        Seq(0, 5, 10, 15).map(i => s16(i).map(x => -x))
-      Similarity.refineCentroids(driftedEmbeddings(s, d), seeds, 2)
-    })
-  }
-
-  /** Oracle for q_ann_ivf_kmeans, generated AFTER the query ran (the
-    * Verify main runs every query before dumping oracle SQL): the
-    * refined centroids print as full-precision double literals —
-    * shortest-round-trip Double.toString, which DuckDB parses back to
-    * the identical IEEE value — and the SQL replays assignment +
-    * probe exactly like the (static) q_ann_ivf oracle. None until
-    * the query has run in this JVM → driver records rows-only.
-    */
-  private def ivfKmeansOracle: Option[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(ivfKmeansCents.get(d))).map { cents =>
-      val values = cents.zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(", ")
-      "q_ann_ivf_kmeans" ->
-        s"""WITH c AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           sc AS (SELECT v.vec_id, c.cid,
-                    round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                  FROM v CROSS JOIN c),
-           assign AS (
-             SELECT vec_id, cid AS cell FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM sc) WHERE rn = 1),
-           probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-           SELECT e.vec_id,
-             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-           FROM embeddings e
-           JOIN assign a ON a.vec_id = e.vec_id
-           WHERE a.cell IN (SELECT cid FROM probes)
-           ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""
-    }
-  }
-
-  /** Oracle for q_ann_ivf_recluster, generated after the kmeans
-    * centroids exist (same lifecycle as [[ivfKmeansOracle]], whose
-    * literal-printing it shares): BOTH assignments replay — seed
-    * centroids from the vec_id<16 rows, refined centroids as
-    * full-precision double literals — and the movement matrix is
-    * their join. None until the centroids were built in this JVM.
-    */
-  private def ivfReclusterOracle: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(ivfKmeansCents.get(d))).toSeq.flatMap { cents =>
-      val values = cents.zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(", ")
-      val sql =
-        s"""WITH co AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                        FROM embeddings WHERE vec_id < 16),
-           cn AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           so AS (SELECT v.vec_id, co.cid,
-                    round(list_cosine_similarity(v.ve, co.ce), 4) AS s
-                  FROM v CROSS JOIN co),
-           ao AS (SELECT vec_id, cid AS cell_old FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM so) WHERE rn = 1),
-           sn AS (SELECT v.vec_id, cn.cid,
-                    round(list_cosine_similarity(v.ve, cn.ce), 4) AS s
-                  FROM v CROSS JOIN cn),
-           an AS (SELECT vec_id, cid AS cell_new FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM sn) WHERE rn = 1)
-           SELECT ao.cell_old, an.cell_new, count(*) AS n_vectors
-           FROM ao JOIN an USING (vec_id)
-           GROUP BY 1, 2 ORDER BY 1, 2"""
-      // the int8 AND PQ refreshes share the replay VERBATIM: per-row
-      // quantization/encoding is index-independent and every family
-      // assigns cells from the true embeddings, so each compressed
-      // index's movement matrix must be identical — one SQL, three
-      // hash gates
-      Seq("q_ann_ivf_recluster" -> sql,
-        "q_knn_quantized_ivf_recluster" -> sql,
-        "q_knn_pq_ivf_recluster" -> sql)
-    }
-  }
-
-  /** Oracle for q_ann_ivf_recluster_recall (same generated lifecycle):
-    * the drifted corpus rebuilds in SQL (negated ≡0 mod 5 re-ingests
-    * under vec_id + 2e6), the refreshed centroids print as
-    * full-precision double literals, and BOTH probe rankings replay
-    * against the shared exact baseline — seed-centroid recall and
-    * refreshed-centroid recall are each hash-gated numbers.
-    */
-  private def ivfReclusterRecallOracle: Option[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(ivfDriftedCents.get(d))).map { cents =>
-      val values = cents.zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(", ")
-      "q_ann_ivf_recluster_recall" ->
-        s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                          FROM embeddings),
-           v AS (SELECT vec_id, ve FROM base
-                 UNION ALL
-                 SELECT vec_id + 2000000, list_transform(ve, x -> -x)
-                 FROM base WHERE vec_id % 5 = 0),
-           cb AS (SELECT vec_id AS cid, ve AS ce FROM base WHERE vec_id < 16),
-           ca AS (SELECT cid, ce FROM (VALUES $values) t(cid, ce)),
-           q AS (SELECT vec_id AS query_id, ve FROM v
-                 WHERE vec_id IN (2000000, 2000010, 2000020, 2000030, 2000040)),
-           scb AS (SELECT v.vec_id, cb.cid,
-                     round(list_cosine_similarity(v.ve, cb.ce), 4) AS s
-                   FROM v CROSS JOIN cb),
-           sca AS (SELECT v.vec_id, ca.cid,
-                     round(list_cosine_similarity(v.ve, ca.ce), 4) AS s
-                   FROM v CROSS JOIN ca),
-           assignb AS (SELECT vec_id, cid AS cell FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM scb) WHERE rn = 1),
-           assigna AS (SELECT vec_id, cid AS cell FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM sca) WHERE rn = 1),
-           probesb AS (SELECT vec_id AS query_id, cid FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM scb WHERE vec_id IN (2000000, 2000010, 2000020, 2000030, 2000040))
-             WHERE rn <= 2),
-           probesa AS (SELECT vec_id AS query_id, cid FROM (
-               SELECT vec_id, cid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-               FROM sca WHERE vec_id IN (2000000, 2000010, 2000020, 2000030, 2000040))
-             WHERE rn <= 2),
-           approxb AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v
-               JOIN assignb a ON a.vec_id = v.vec_id
-               JOIN probesb p ON p.cid = a.cell
-               JOIN q ON q.query_id = p.query_id) WHERE rn <= 10),
-           approxa AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v
-               JOIN assigna a ON a.vec_id = v.vec_id
-               JOIN probesa p ON p.cid = a.cell
-               JOIN q ON q.query_id = p.query_id) WHERE rn <= 10),
-           exact AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v CROSS JOIN q) WHERE rn <= 10)
-           SELECT e.query_id, count(*) AS n_exact,
-             round(count(ab.vec_id) * 1.0 / count(*), 4) AS recall_before,
-             round(count(aa.vec_id) * 1.0 / count(*), 4) AS recall_after
-           FROM exact e
-           LEFT JOIN approxb ab
-             ON ab.query_id = e.query_id AND ab.vec_id = e.vec_id
-           LEFT JOIN approxa aa
-             ON aa.query_id = e.query_id AND aa.vec_id = e.vec_id
-           GROUP BY 1 ORDER BY 1"""
-    }
-  }
-
-  /** PQ codebook per corpus dir — build-once, probe-many; the cached
-    * value feeds BOTH the Spark scan and the generated oracle below
-    * (same race-avoidance as [[kmeansCentroids]]).
-    */
-  private val pqCbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
-  private def pqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook = {
-    lastOracleDir = d
-    pqCbCache.computeIfAbsent(d, _ =>
-      Similarity.pqBuild(Tables.embeddings(s, d), m = 8, ksub = 64,
-        iterations = 2))
-  }
-
-  /** RESIDUAL PQ codebook per corpus dir — trained on (v − c_cell)
-    * against the frozen seed cells ([[Similarity.pqBuildResidual]]);
-    * the frozen (cents, codebook) pair feeds both the Spark scan and
-    * the generated residual oracles. Same cache lifecycle as
-    * [[pqCodebookFor]].
-    */
-  private val pqResidualCbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
-  private def residualPqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook = {
-    lastOracleDir = d
-    pqResidualCbCache.computeIfAbsent(d, _ =>
-      Similarity.pqBuildResidual(Tables.embeddings(s, d),
-        seedCents16(s, d), m = 8, ksub = 64, iterations = 2))
-  }
-
-  /** Variance-front-loading rotation per corpus dir — the frozen PCA
-    * artifact q_truncation_recall_rotated serves and replays
-    * (same-JVM oracle-literal lifecycle as [[pqCodebookFor]]).
-    */
-  private val rotationCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private def principalRotationFor(s: SparkSession, d: String): Seq[Seq[Double]] = {
-    lastOracleDir = d
-    rotationCache.computeIfAbsent(d, _ =>
-      Similarity.principalRotation(Tables.embeddings(s, d)))
-  }
-
-  /** The VARIANCE-SHIFT drift fixture for the rotation axis: a
-    * re-ingest batch (ids + 3000000, every 4th base row) whose upper
-    * 32 components are amplified ×4 — unlike the negation fixture
-    * (whose xxᵀ outer products are negation-invariant, so second
-    * moments barely move), this concentrates new variance in a
-    * subspace the reference-trained rotation did not front-load.
-    * ×4 is exact in IEEE, so both engines replay it bit-identically.
-    */
-  private def varianceDriftedEmbeddings(s: SparkSession,
-      d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>")
-        .as("embedding"))
-    val boosted = e.filter(col("vec_id") % 4 === 0)
-      .select((col("vec_id") + 3000000L).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i >= 32, x * 4.0).otherwise(x)).as("embedding"))
-    e.unionByName(boosted)
-  }
-
-  private val rotationDriftCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private def driftedRotationFor(s: SparkSession, d: String): Seq[Seq[Double]] = {
-    lastOracleDir = d
-    rotationDriftCache.computeIfAbsent(d, _ =>
-      Similarity.principalRotation(varianceDriftedEmbeddings(s, d)))
-  }
-
-  /** WIDE PQ codebook per corpus dir — the same m=8 code count with
-    * full 8-bit books (ksub=256): the code-width operating point
-    * q_pq_recall_wide prices against [[pqCodebookFor]]'s ksub=64.
-    */
-  private val pqWideCbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
-  private def widePqCodebookFor(s: SparkSession, d: String): Similarity.PqCodebook = {
-    lastOracleDir = d
-    pqWideCbCache.computeIfAbsent(d, _ =>
-      Similarity.pqBuild(Tables.embeddings(s, d), m = 8, ksub = 256,
-        iterations = 2))
-  }
-
-  /** PQ codebook RE-TRAINED on the drifted corpus — the codebook half
-    * of the PQ refresh [[builtPqDriftFreshIndex]] cuts over to (the
-    * coarse-centroid half is [[driftedCentroids]]). Same training
-    * procedure as [[pqCodebookFor]]; per-subspace Lloyd adapts the
-    * code points to the drifted distribution, so re-encoded drift
-    * vectors quantize against code points that actually exist in
-    * their cone. Same cache + oracle-literal lifecycle.
-    */
-  private val pqDriftedCbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.PqCodebook]()
-  private def driftedPqCodebook(s: SparkSession, d: String): Similarity.PqCodebook = {
-    lastOracleDir = d
-    pqDriftedCbCache.computeIfAbsent(d, _ =>
-      Similarity.pqBuild(driftedEmbeddings(s, d), m = 8, ksub = 64,
-        iterations = 2))
-  }
-
-  /** Oracles for q_knn_pq and q_knn_pq_ivf, generated after a PQ
-    * query ran (empty until then → rows-only, same lifecycle as
-    * [[ivfKmeansOracle]]): the codebook prints as full-precision
-    * double literals and the SQL replays encode (per-subspace argmin
-    * of the rounded index-order L2 fold) and ADC scoring (integer
-    * micro-unit LUT) exactly. The IVF-PQ variant prepends the SAME
-    * static seed-cell assignment + probe CTEs as q_ann_ivf, so the
-    * cell-pruned serving path is hash-gated end to end.
-    */
-  private def pqOracle: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
-      val sd = cb.subDim
-      val values = pqCbValuesSql(cb)
-      // shared encode + ADC tail over a (vec_id, ve) CTE named pv
-      def adc(select: String) =
-        s"""$select,
-           q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-                 WHERE vec_id = 0),
-           dist AS (SELECT pv.vec_id, c.sub, c.cid,
-               round(list_reduce(
-                 [(pv.ve[c.sub * $sd + i] - c.ce[i]) * (pv.ve[c.sub * $sd + i] - c.ce[i])
-                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM pv CROSS JOIN cb c),
-           codes AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd ASC, cid) AS rn
-               FROM dist) WHERE rn = 1),
-           lut AS (SELECT c.sub, c.cid,
-               CAST(round(list_reduce(
-                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-             FROM cb c CROSS JOIN q),
-           s6t AS (SELECT k.vec_id, sum(l.l6) AS s6
-                  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
-                  GROUP BY 1)
-           SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM s6t
-           ORDER BY pq_sim DESC, vec_id LIMIT 10"""
-      // the IVF-PQ prefix parameterized by an extra corpus predicate:
-      // "" replays the full corpus (build/append/stream twins),
-      // a filter replays the erasure / as-of splits
-      def ivfPv(extra: String) =
-        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
-           cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
-                  FROM embeddings WHERE vec_id < 16),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           sc AS (SELECT v.vec_id, cc.ccid,
-                    round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
-                  FROM v CROSS JOIN cc),
-           assign AS (SELECT vec_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sc) WHERE rn = 1),
-           probes AS (SELECT ccid FROM sc WHERE vec_id = 0
-                      ORDER BY s DESC, ccid LIMIT 2),
-           pv AS (SELECT v.vec_id, v.ve FROM v
-                  JOIN assign a ON a.vec_id = v.vec_id
-                  WHERE a.cell IN (SELECT ccid FROM probes)$extra)"""
-      Seq(
-        "q_knn_pq" -> adc(
-          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
-           pv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)"""),
-        "q_knn_pq_ivf" -> adc(ivfPv("")),
-        // append ≡ rebuild and stream-built ≡ rebuild share the
-        // full-corpus replay verbatim
-        "q_knn_pq_ivf_incremental" -> adc(ivfPv("")),
-        "q_knn_pq_ivf_streamed" -> adc(ivfPv("")),
-        // tombstoned ≡ rebuild-on-remaining; compacted shares it
-        "q_knn_pq_ivf_deleted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
-        "q_knn_pq_ivf_compacted" -> adc(ivfPv(" AND v.vec_id % 7 <> 3")),
-        // as-of "build" on the incremental index: base split only
-        "q_knn_pq_ivf_asof" -> adc(ivfPv(" AND v.vec_id % 8 <> 1")),
-        // two-stage serving: the same probed ADC pipeline SHORTLISTS
-        // 40 ids, then the true float rows of those ids re-rank
-        // exactly — replays shortlist AND re-rank
-        "q_knn_pq_refined" ->
-          s"""${ivfPv("")},
-           q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-                 WHERE vec_id = 0),
-           dist AS (SELECT pv.vec_id, c.sub, c.cid,
-               round(list_reduce(
-                 [(pv.ve[c.sub * $sd + i] - c.ce[i]) * (pv.ve[c.sub * $sd + i] - c.ce[i])
-                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM pv CROSS JOIN cb c),
-           codes AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd ASC, cid) AS rn
-               FROM dist) WHERE rn = 1),
-           lut AS (SELECT c.sub, c.cid,
-               CAST(round(list_reduce(
-                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-             FROM cb c CROSS JOIN q),
-           s6t AS (SELECT k.vec_id, sum(l.l6) AS s6
-                  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
-                  GROUP BY 1),
-           short AS (SELECT vec_id FROM (
-               SELECT vec_id,
-                 row_number() OVER (
-                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
-               FROM s6t) WHERE rn <= 40)
-           SELECT v2.vec_id,
-             round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
-           FROM v v2 JOIN short ON short.vec_id = v2.vec_id CROSS JOIN q
-           ORDER BY cos_sim DESC, v2.vec_id LIMIT 10""",
-        // the fully-served hybrid: the probed ADC shortlist + exact
-        // re-rank branch AND the BM25 branch AND the RRF fusion all
-        // replay — the complete compressed retrieval stack hash-gated
-        "q_hybrid_compressed" ->
-          s"""${ivfPv("")},
-           q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-                 WHERE vec_id = 0),
-           dist AS (SELECT pv.vec_id, c.sub, c.cid,
-               round(list_reduce(
-                 [(pv.ve[c.sub * $sd + i] - c.ce[i]) * (pv.ve[c.sub * $sd + i] - c.ce[i])
-                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM pv CROSS JOIN cb c),
-           codes AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd ASC, cid) AS rn
-               FROM dist) WHERE rn = 1),
-           lut AS (SELECT c.sub, c.cid,
-               CAST(round(list_reduce(
-                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-             FROM cb c CROSS JOIN q),
-           s6t AS (SELECT k.vec_id, sum(l.l6) AS s6
-                  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
-                  GROUP BY 1),
-           short AS (SELECT vec_id FROM (
-               SELECT vec_id,
-                 row_number() OVER (
-                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
-               FROM s6t) WHERE rn <= 40),
-           rr AS (SELECT v2.vec_id,
-               round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
-             FROM v v2 JOIN short ON short.vec_id = v2.vec_id CROSS JOIN q),
-           sem AS (SELECT vec_id AS doc_id, CAST(rk AS INTEGER) AS sem_rank
-             FROM (SELECT vec_id,
-                 row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
-               FROM rr) WHERE rk <= 20),
-           bd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           bdd AS (SELECT doc_id, len(ws) AS dl, ws FROM bd),
-           bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdd),
-           btf AS (SELECT doc_id, dl, term, count(*) AS tf
-                  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bdd)
-                  WHERE term IN ('merge', 'query')
-                  GROUP BY doc_id, dl, term),
-           bdfreq AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
-           bm AS (SELECT doc_id,
-               round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-                 * (tf * (1.2 + 1.0))
-                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-             FROM btf JOIN bdfreq USING (term) CROSS JOIN bstats
-             GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
-           lex AS (SELECT doc_id,
-               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
-                 AS INTEGER) AS lex_rank FROM bm)
-           SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-             lex_rank, sem_rank,
-             round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0) +
-                   coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), 0.0), 6) AS rrf
-           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-           ORDER BY rrf DESC, doc_id LIMIT 10""")
-    }
-  }
-
-  /** A PQ codebook as DuckDB VALUES rows (sub, cid, double-array
-    * literal) — shared by every generated PQ oracle; full-precision
-    * shortest-round-trip doubles, the centroid-literal convention.
-    */
-  private def pqCbValuesSql(cb: Similarity.PqCodebook): String =
-    (for {
-      j <- 0 until cb.m
-      (c, ci) <- cb.centroids(j).zipWithIndex
-    } yield s"($j, $ci, [${c.mkString(",")}]::DOUBLE[])").mkString(", ")
-
-  /** Oracles for q_pq_recall and q_pq_recall_curve (generated —
-    * [[pqOracle]]'s lifecycle): the codebook prints as literals and
-    * the SQL replays the WHOLE evaluation — encode (per-subspace
-    * argmin of the rounded index-order L2 fold), per-query integer
-    * micro-unit LUTs, seed-cell probe routing, the ADC rankings, and
-    * the exact float baseline — so the recall@10 numbers themselves
-    * are hash-gated. The curve variant shares the encode/LUT CTEs
-    * and re-ranks per probe level.
-    */
-  /** The shared recall-eval CTE prefix for a given codebook: corpus,
-    * seed cells, assignment, ranked probe candidates (unfiltered),
-    * codes, per-query LUTs, exact baseline. Parameterized so the
-    * ksub=64 and ksub=256 books replay through ONE text.
-    */
-  private def pqRecallSharedSql(cb: Similarity.PqCodebook): String = {
-    val sd = cb.subDim
-    val values = pqCbValuesSql(cb)
-    s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
-           cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
-                  FROM embeddings WHERE vec_id < 16),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           q AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                 WHERE vec_id IN (0, 1, 2, 3, 4)),
-           sc AS (SELECT v.vec_id, cc.ccid,
-                    round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
-                  FROM v CROSS JOIN cc),
-           assign AS (SELECT vec_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sc) WHERE rn = 1),
-           pr AS (SELECT vec_id AS query_id, ccid AS cell, rn FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sc WHERE vec_id IN (0, 1, 2, 3, 4))),
-           dist AS (SELECT v.vec_id, c.sub, c.cid,
-               round(list_reduce(
-                 [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
-                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM v CROSS JOIN cb c),
-           codes AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd ASC, cid) AS rn
-               FROM dist) WHERE rn = 1),
-           lut AS (SELECT q.query_id, c.sub, c.cid,
-               CAST(round(list_reduce(
-                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-             FROM cb c CROSS JOIN q),
-           exact AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v CROSS JOIN q) WHERE rn <= 10)"""
-  }
-
-  /** Per-query candidate ADC scores at probe width `np`, over the
-    * shared CTEs — the inner aggregate both the plain and the
-    * refined readouts rank.
-    */
-  private def pqRecallCandSql(np: Int): String =
-    s"""SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
-        FROM assign a
-        JOIN (SELECT query_id, cell FROM pr WHERE rn <= $np) p
-          ON p.cell = a.cell
-        JOIN codes k ON k.vec_id = a.vec_id
-        JOIN lut l ON l.query_id = p.query_id
-                  AND l.sub = k.sub AND l.cid = k.cid
-        GROUP BY 1, 2"""
-
-  /** One truncation-recall readout at prefix length `d`, over the
-    * static v/qv/exact CTEs of q_truncation_recall.
-    */
-  private def truncationLevelSql(d: Int): String =
-    s"""SELECT $d AS dims, e.query_id, count(*) AS n_exact,
-          round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-        FROM exact e LEFT JOIN (
-          SELECT query_id, vec_id FROM (
-            SELECT q.query_id, v.vec_id,
-              row_number() OVER (PARTITION BY q.query_id
-                ORDER BY round(list_cosine_similarity(
-                  v.ve[1:$d], q.qe[1:$d]), 4) DESC, v.vec_id) AS rn
-            FROM v CROSS JOIN qv q) WHERE rn <= 10) a
-          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-        GROUP BY 1, 2"""
-
-  /** One recall readout at probe width `np`, over the shared CTEs. */
-  private def pqRecallLevelSql(np: Int): String =
-    s"""SELECT $np AS n_probe, e.query_id, count(*) AS n_exact,
-             round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-           FROM exact e
-           LEFT JOIN (
-             SELECT query_id, vec_id FROM (
-               SELECT s.query_id, s.vec_id,
-                 row_number() OVER (PARTITION BY s.query_id
-                   ORDER BY round(s.s6 / 1000000.0, 6) DESC, s.vec_id) AS rnk
-               FROM (${pqRecallCandSql(np)}) s) WHERE rnk <= 10) a
-             ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-           GROUP BY 1, 2"""
-
-  private def pqRecallOracle: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
-      val shared = pqRecallSharedSql(cb)
-      def level(np: Int): String = pqRecallLevelSql(np)
-      // the two-stage readout at shortlist depth R: shortlist R by
-      // ADC per query, re-rank those ids by exact cosine, recall of
-      // the re-ranked top-10; `tag` prepends the shortlist column for
-      // the curve variant
-      def refinedLevel(r: Int, tag: Boolean): String =
-        s"""SELECT ${if (tag) s"$r AS shortlist, " else ""}e.query_id,
-             count(*) AS n_exact,
-             round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-           FROM exact e
-           LEFT JOIN (
-             SELECT query_id, vec_id FROM (
-               SELECT sh.query_id, sh.vec_id,
-                 row_number() OVER (PARTITION BY sh.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                            sh.vec_id) AS rr
-               FROM (SELECT query_id, vec_id FROM (
-                       SELECT s.query_id, s.vec_id,
-                         row_number() OVER (PARTITION BY s.query_id
-                           ORDER BY round(s.s6 / 1000000.0, 6) DESC,
-                                    s.vec_id) AS rnk
-                       FROM (${pqRecallCandSql(2)}) s) WHERE rnk <= $r) sh
-               JOIN v ON v.vec_id = sh.vec_id
-               JOIN q ON q.query_id = sh.query_id) WHERE rr <= 10) a
-             ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-           GROUP BY ${if (tag) "1, 2" else "1"}"""
-      Seq(
-        // the batched serve shares the per-query candidate replay:
-        // batched ≡ Q single-query serves is the hash gate
-        "q_knn_pq_multi" ->
-          s"""$shared
-             SELECT query_id, vec_id,
-               round(s6 / 1000000.0, 6) AS pq_sim FROM (
-               SELECT s.query_id, s.vec_id, s.s6,
-                 row_number() OVER (PARTITION BY s.query_id
-                   ORDER BY round(s.s6 / 1000000.0, 6) DESC, s.vec_id) AS rn
-               FROM (${pqRecallCandSql(2)}) s) WHERE rn <= 10
-             ORDER BY query_id, pq_sim DESC, vec_id""",
-        "q_pq_recall" ->
-          s"""$shared
-             SELECT query_id, n_exact, recall FROM (${level(2)})
-             ORDER BY query_id""",
-        "q_pq_recall_curve" ->
-          s"""$shared
-             SELECT * FROM (
-               ${level(1)} UNION ALL ${level(2)}
-               UNION ALL ${level(4)} UNION ALL ${level(8)})
-             ORDER BY n_probe, query_id""",
-        "q_pq_refined_recall" ->
-          s"""$shared
-             SELECT query_id, n_exact, recall FROM (${refinedLevel(40, tag = false)})
-             ORDER BY query_id""",
-        "q_pq_refined_curve" ->
-          s"""$shared
-             SELECT * FROM (
-               ${refinedLevel(10, tag = true)} UNION ALL ${refinedLevel(20, tag = true)}
-               UNION ALL ${refinedLevel(40, tag = true)} UNION ALL ${refinedLevel(80, tag = true)})
-             ORDER BY shortlist, query_id""")
-    }
-  }
-
-  /** Oracle for q_truncation_recall_rotated (generated — the
-    * rotation prints as row literals): the replay projects every
-    * vector and query through the SAME index-order dot folds and
-    * re-ranks per prefix against the full-dim exact baseline.
-    */
-  private def rotatedTruncationOracle: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(dd => Option(rotationCache.get(dd))).toSeq.map { rot =>
-      val dim = rot.length
-      val vals = rot.zipWithIndex.map { case (r, i) =>
-        s"($i, [${r.mkString(",")}]::DOUBLE[])" }.mkString(", ")
-      def lvl(d: Int) =
-        s"""SELECT $d AS dims, e.query_id, count(*) AS n_exact,
-              round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-            FROM exact e LEFT JOIN (
-              SELECT query_id, vec_id FROM (
-                SELECT qa.query_id, pa.vec_id,
-                  row_number() OVER (PARTITION BY qa.query_id
-                    ORDER BY round(list_cosine_similarity(
-                      pa.pv[1:$d], qa.qp[1:$d]), 4) DESC, pa.vec_id) AS rn
-                FROM pa CROSS JOIN qa) WHERE rn <= 10) a
-              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-            GROUP BY 1, 2"""
-      "q_truncation_recall_rotated" ->
-        s"""WITH rot AS (SELECT row, rv FROM (VALUES $vals) t(row, rv)),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                  WHERE vec_id IN (0, 1, 2, 3, 4)),
-           proj AS (SELECT v.vec_id, r.row,
-               list_reduce([v.ve[i] * r.rv[i] for i in range(1, ${dim + 1})],
-                 (a, b) -> a + b) AS p
-             FROM v CROSS JOIN rot r),
-           pa AS (SELECT vec_id, list(p ORDER BY row) AS pv
-                  FROM proj GROUP BY 1),
-           qa AS (SELECT q.query_id, p.pv AS qp
-                  FROM qv q JOIN pa p ON p.vec_id = q.query_id),
-           exact AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v CROSS JOIN qv q) WHERE rn <= 10)
-           SELECT * FROM (
-             ${lvl(8)} UNION ALL ${lvl(16)} UNION ALL ${lvl(32)}
-             UNION ALL ${lvl(64)})
-           ORDER BY dims, query_id"""
-    }
-  }
-
-  /** Oracle for q_truncation_drift (generated — BOTH rotations print
-    * as row literals): the drifted corpus reconstructs in SQL (×4 is
-    * IEEE-exact), each rotation projects every vector and query
-    * through the same index-order folds, and the two per-prefix
-    * rankings join against one exact full-dim baseline.
-    */
-  private def truncationDriftOracle: Seq[(String, String)] = {
-    (for {
-      dd <- Option(lastOracleDir)
-      rotS <- Option(rotationCache.get(dd))
-      rotF <- Option(rotationDriftCache.get(dd))
-    } yield {
-      val dim = rotS.length
-      def rotVals(rot: Seq[Seq[Double]]): String =
-        rot.zipWithIndex.map { case (r, i) =>
-          s"($i, [${r.mkString(",")}]::DOUBLE[])" }.mkString(", ")
-      def side(tag: String): String =
-        s"""proj$tag AS (SELECT v.vec_id, r.row,
-               list_reduce([v.ve[i] * r.rv[i] for i in range(1, ${dim + 1})],
-                 (a, b) -> a + b) AS p
-             FROM v CROSS JOIN rot$tag r),
-           pa$tag AS (SELECT vec_id, list(p ORDER BY row) AS pv
-                  FROM proj$tag GROUP BY 1),
-           qa$tag AS (SELECT q.query_id, p.pv AS qp
-                  FROM qv q JOIN pa$tag p ON p.vec_id = q.query_id)"""
-      def lvl(tag: String, d: Int) =
-        s"""SELECT $d AS dims, e.query_id, count(*) AS n_exact,
-              round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-            FROM exact e LEFT JOIN (
-              SELECT query_id, vec_id FROM (
-                SELECT qa.query_id, pa.vec_id,
-                  row_number() OVER (PARTITION BY qa.query_id
-                    ORDER BY round(list_cosine_similarity(
-                      pa.pv[1:$d], qa.qp[1:$d]), 4) DESC, pa.vec_id) AS rn
-                FROM pa$tag pa CROSS JOIN qa$tag qa) WHERE rn <= 10) a
-              ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-            GROUP BY 1, 2"""
-      "q_truncation_drift" ->
-        s"""WITH rots AS (SELECT row, rv FROM (VALUES ${rotVals(rotS)}) t(row, rv)),
-           rotf AS (SELECT row, rv FROM (VALUES ${rotVals(rotF)}) t(row, rv)),
-           base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                    FROM embeddings),
-           v AS (SELECT vec_id, ve FROM base
-                 UNION ALL
-                 SELECT vec_id + 3000000,
-                   [CASE WHEN i > 32 THEN ve[i] * 4.0 ELSE ve[i] END
-                    for i in range(1, ${dim + 1})]
-                 FROM base WHERE vec_id % 4 = 0),
-           qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                  WHERE vec_id IN (3000000, 3000004, 3000008, 3000012, 3000016)),
-           ${side("s")},
-           ${side("f")},
-           exact AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v CROSS JOIN qv q) WHERE rn <= 10)
-           SELECT st.dims, st.query_id, st.n_exact,
-             st.recall AS recall_stale, fr.recall AS recall_refreshed
-           FROM (${lvl("s", 8)} UNION ALL ${lvl("s", 16)}) st
-           JOIN (${lvl("f", 8)} UNION ALL ${lvl("f", 16)}) fr
-             USING (dims, query_id)
-           ORDER BY dims, query_id"""
-    }).toSeq
-  }
-
-  /** Oracle for q_pq_recall_wide — the ksub=256 book through the SAME
-    * shared replay text as q_pq_recall (one SQL shape, two operating
-    * points).
-    */
-  private def pqWideRecallOracle: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(pqWideCbCache.get(d))).toSeq.map { cb =>
-      "q_pq_recall_wide" ->
-        s"""${pqRecallSharedSql(cb)}
-           SELECT query_id, n_exact, recall FROM (${pqRecallLevelSql(2)})
-           ORDER BY query_id"""
-    }
-  }
-
-  /** Oracles for the RESIDUAL-encoded PQ family (generated from the
-    * residual codebook): the replay subtracts each vector's assigned
-    * coarse centroid before encoding (exact IEEE arithmetic in both
-    * engines), and the ADC score adds the per-cell integer term
-    * round(dot(q, c_cell)·1e6) — dot(q,v) = dot(q,c) + dot(q,r)
-    * decomposes exactly, so the residual serving path is hash-gated
-    * end to end, including the no-gain-on-this-corpus recall numbers.
-    */
-  private def residualPqOracles: Seq[(String, String)] = {
-    Option(lastOracleDir).flatMap(d => Option(pqResidualCbCache.get(d))).toSeq.flatMap { cb =>
-      val sd = cb.subDim
-      val dim = cb.m * sd
-      val values = pqCbValuesSql(cb)
-      // the residual frame + encode + per-query LUTs, shared by both
-      // readouts (single-query topk restricts q to vec 0)
-      def shared(qids: String) =
-        s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES $values) t(sub, cid, ce)),
-           cc AS (SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS ce2
-                  FROM embeddings WHERE vec_id < 16),
-           v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           q AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                 WHERE vec_id IN ($qids)),
-           sc AS (SELECT v.vec_id, cc.ccid,
-                    round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
-                  FROM v CROSS JOIN cc),
-           assign AS (SELECT vec_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sc) WHERE rn = 1),
-           pr AS (SELECT vec_id AS query_id, ccid AS cell, rn FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sc WHERE vec_id IN ($qids))),
-           rv AS (SELECT v.vec_id, a.cell,
-                    [v.ve[i] - cc.ce2[i] for i in range(1, ${dim + 1})] AS re
-                  FROM v JOIN assign a ON a.vec_id = v.vec_id
-                         JOIN cc ON cc.ccid = a.cell),
-           dist AS (SELECT rv.vec_id, c.sub, c.cid,
-               round(list_reduce(
-                 [(rv.re[c.sub * $sd + i] - c.ce[i]) * (rv.re[c.sub * $sd + i] - c.ce[i])
-                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM rv CROSS JOIN cb c),
-           codes AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd ASC, cid) AS rn
-               FROM dist) WHERE rn = 1),
-           lut AS (SELECT q.query_id, c.sub, c.cid,
-               CAST(round(list_reduce(
-                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-             FROM cb c CROSS JOIN q),
-           ct AS (SELECT q.query_id, cc.ccid, CAST(round(list_reduce(
-                 [q.qe[i] * cc.ce2[i] for i in range(1, ${dim + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS c6
-             FROM cc CROSS JOIN q),
-           cand AS (SELECT p.query_id, a.vec_id, s.s6r + ct.c6 AS s6
-             FROM (SELECT l.query_id, k.vec_id, sum(l.l6) AS s6r
-                   FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.cid
-                   GROUP BY 1, 2) s
-             JOIN assign a ON a.vec_id = s.vec_id
-             JOIN (SELECT query_id, cell FROM pr WHERE rn <= 2) p
-               ON p.query_id = s.query_id AND p.cell = a.cell
-             JOIN ct ON ct.query_id = s.query_id AND ct.ccid = a.cell)"""
-      Seq(
-        "q_knn_pq_residual" ->
-          s"""${shared("0")}
-             SELECT vec_id, round(s6 / 1000000.0, 6) AS pq_sim FROM cand
-             ORDER BY pq_sim DESC, vec_id LIMIT 10""",
-        "q_pq_residual_recall" ->
-          s"""${shared("0, 1, 2, 3, 4")},
-             exact AS (SELECT query_id, vec_id FROM (
-                 SELECT q.query_id, v.vec_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                              v.vec_id) AS rn
-                 FROM v CROSS JOIN q) WHERE rn <= 10)
-             SELECT e.query_id, count(*) AS n_exact,
-               round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-             FROM exact e
-             LEFT JOIN (
-               SELECT query_id, vec_id FROM (
-                 SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rnk
-                 FROM cand) WHERE rnk <= 10) a
-               ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-             GROUP BY 1 ORDER BY 1""")
-    }
-  }
-
-
-  /** Oracle for q_pq_recluster_recall (generated — needs the drifted
-    * centroids AND both codebooks from this JVM): the drifted corpus
-    * rebuilds in SQL, BOTH encode+route+ADC pipelines replay — stale
-    * (seed cells + corpus codebook) and refreshed (drift-seeded Lloyd
-    * cells + drift-retrained codebook, both printed as literals) —
-    * against the shared exact float baseline, so the drop→recovery
-    * recalls are each hash-gated numbers.
-    */
-  private def pqReclusterRecallOracle: Option[(String, String)] = {
-    for {
-      d <- Option(lastOracleDir)
-      cbStale <- Option(pqCbCache.get(d))
-      cbFresh <- Option(pqDriftedCbCache.get(d))
-      cents <- Option(ivfDriftedCents.get(d))
-    } yield {
-      val sd = cbStale.subDim
-      val vs = pqCbValuesSql(cbStale)
-      val vf = pqCbValuesSql(cbFresh)
-      val cvals = cents.zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(", ")
-      val qids = "2000000, 2000010, 2000020, 2000030, 2000040"
-      // one (dist → codes → lut → s6 → approx) pipeline per config,
-      // parameterized by codebook/assignment/probe CTE names
-      def adcSide(tag: String, book: String): String =
-        s"""dist$tag AS (SELECT v.vec_id, c.sub, c.cid,
-               round(list_reduce(
-                 [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
-                  for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-             FROM v CROSS JOIN $book c),
-           codes$tag AS (SELECT vec_id, sub, cid FROM (
-               SELECT vec_id, sub, cid,
-                 row_number() OVER (PARTITION BY vec_id, sub
-                                    ORDER BY dd ASC, cid) AS rn
-               FROM dist$tag) WHERE rn = 1),
-           lut$tag AS (SELECT q.query_id, c.sub, c.cid,
-               CAST(round(list_reduce(
-                 [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-                 (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-             FROM $book c CROSS JOIN q),
-           s6$tag AS (SELECT p.query_id, a.vec_id, sum(l.l6) AS s6
-               FROM assign$tag a
-               JOIN probes$tag p ON p.cell = a.cell
-               JOIN codes$tag k ON k.vec_id = a.vec_id
-               JOIN lut$tag l ON l.query_id = p.query_id
-                             AND l.sub = k.sub AND l.cid = k.cid
-               GROUP BY 1, 2),
-           approx$tag AS (SELECT query_id, vec_id FROM (
-               SELECT query_id, vec_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
-               FROM s6$tag) WHERE rn <= 10)"""
-      "q_pq_recluster_recall" ->
-        s"""WITH cbs AS (SELECT sub, cid, ce FROM (VALUES $vs) t(sub, cid, ce)),
-           cbf AS (SELECT sub, cid, ce FROM (VALUES $vf) t(sub, cid, ce)),
-           base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                    FROM embeddings),
-           v AS (SELECT vec_id, ve FROM base
-                 UNION ALL
-                 SELECT vec_id + 2000000, list_transform(ve, x -> -x)
-                 FROM base WHERE vec_id % 5 = 0),
-           ccb AS (SELECT vec_id AS ccid, ve AS ce2 FROM base
-                   WHERE vec_id < 16),
-           cca AS (SELECT ccid, ce2 FROM (VALUES $cvals) t(ccid, ce2)),
-           q AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                 WHERE vec_id IN ($qids)),
-           scb AS (SELECT v.vec_id, ccb.ccid,
-                     round(list_cosine_similarity(v.ve, ccb.ce2), 4) AS s
-                   FROM v CROSS JOIN ccb),
-           sca AS (SELECT v.vec_id, cca.ccid,
-                     round(list_cosine_similarity(v.ve, cca.ce2), 4) AS s
-                   FROM v CROSS JOIN cca),
-           assignb AS (SELECT vec_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM scb) WHERE rn = 1),
-           assigna AS (SELECT vec_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sca) WHERE rn = 1),
-           probesb AS (SELECT vec_id AS query_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM scb WHERE vec_id IN ($qids)) WHERE rn <= 2),
-           probesa AS (SELECT vec_id AS query_id, ccid AS cell FROM (
-               SELECT vec_id, ccid,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid) AS rn
-               FROM sca WHERE vec_id IN ($qids)) WHERE rn <= 2),
-           ${adcSide("b", "cbs")},
-           ${adcSide("a", "cbf")},
-           exact AS (SELECT query_id, vec_id FROM (
-               SELECT q.query_id, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v CROSS JOIN q) WHERE rn <= 10)
-           SELECT e.query_id, count(*) AS n_exact,
-             round(count(ab.vec_id) * 1.0 / count(*), 4) AS recall_before,
-             round(count(aa.vec_id) * 1.0 / count(*), 4) AS recall_after
-           FROM exact e
-           LEFT JOIN approxb ab
-             ON ab.query_id = e.query_id AND ab.vec_id = e.vec_id
-           LEFT JOIN approxa aa
-             ON aa.query_id = e.query_id AND aa.vec_id = e.vec_id
-           GROUP BY 1 ORDER BY 1"""
-    }
-  }
-
-  /** The 3-query eval batch the hybrid operating-point entries share:
-    * (label, query terms, query-vector id). The labels and terms are
-    * q_retrieval_eval's, so the lexical eval next to the fused eval
-    * is directly comparable.
-    */
-  private val hybridEvalQueries: Seq[(String, Seq[String], Long)] = Seq(
-    ("merge+query", Seq("merge", "query"), 0L),
-    ("sort+window", Seq("sort", "window"), 1L),
-    ("spark+data", Seq("spark", "data"), 2L))
-
-  /** Oracles for q_hybrid_eval and q_hybrid_eval_drift (generated —
-    * the codebooks and drifted centroids print as literals): the SQL
-    * replays, per eval query, BOTH serving branches (the bucket-
-    * pruned BM25 top-20 and the IVF-PQ two-stage shortlist→re-rank
-    * top-20), the RRF fusion, the deterministic relevance rule, and
-    * the exact-rational metric tail — q_retrieval_eval's text
-    * parameterized per fused ranking, so the fused MRR/P@k/R@k
-    * numbers themselves are hash-gated. The drift variant replays
-    * two complete semantic sides (stale book + seed routing vs
-    * re-trained book + drifted routing) over the drifted corpus
-    * against ONE shared lexical/relevance block.
-    */
-  private def hybridEvalOracle: Seq[(String, String)] = {
-    val qtVals = hybridEvalQueries
-      .flatMap { case (l, ts, _) => ts.map(t => s"('$l', '$t')") }
-      .mkString(", ")
-    val qvVals = hybridEvalQueries
-      .map { case (l, _, id) => s"('$l', $id)" }.mkString(", ")
-    // the shared lexical branch + relevance rule + label universe —
-    // q_retrieval_eval's corpus replay with the branch depth of 20
-    val lexRel =
-      s"""dcorp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         ddl AS (SELECT doc_id, len(ws) AS dl, ws FROM dcorp),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM ddl),
-         tfq AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM ddl)
-                WHERE term IN (SELECT DISTINCT term FROM qt)
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
-         scq AS (SELECT qt.query_label, tfq.doc_id,
-             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-               * (tf * (1.2 + 1.0))
-               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
-             count(*) AS n_present, min(tfq.tf) AS min_tf
-           FROM tfq JOIN dfreq USING (term) CROSS JOIN stats
-             JOIN qt USING (term)
-           GROUP BY qt.query_label, tfq.doc_id),
-         qs AS (SELECT query_label, count(*) AS n_terms FROM qt
-                GROUP BY query_label),
-         lex AS (SELECT query_label, doc_id,
-             CAST(rk AS INTEGER) AS lex_rank FROM (
-             SELECT query_label, doc_id, row_number() OVER (
-               PARTITION BY query_label ORDER BY bm25 DESC, doc_id) AS rk
-             FROM scq) WHERE rk <= 20),
-         rel AS (SELECT scq.query_label, scq.doc_id
-                 FROM scq JOIN qs USING (query_label)
-                 WHERE n_present = n_terms AND min_tf >= 3),
-         nrel AS (SELECT query_label, count(*) AS n_relevant FROM rel
-                  GROUP BY query_label)"""
-    // one complete semantic side + fusion + per-query ranking, CTE
-    // names suffixed by `tag`: `scCte` carries the (vec, centroid)
-    // rounded cosines of that side's routing, `book` its codebook
-    def semSide(tag: String, book: String, scCte: String,
-        sd: Int): String =
-      s"""probes$tag AS (SELECT qv.query_label, p.ccid AS cell
-           FROM qv JOIN (
-             SELECT vec_id, ccid,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY s DESC, ccid) AS rn
-             FROM $scCte) p ON p.vec_id = qv.qvid WHERE p.rn <= 2),
-         assign$tag AS (SELECT vec_id, ccid AS cell FROM (
-             SELECT vec_id, ccid,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY s DESC, ccid) AS rn
-             FROM $scCte) WHERE rn = 1),
-         dist$tag AS (SELECT v.vec_id, c.sub, c.cid,
-             round(list_reduce(
-               [(v.ve[c.sub * $sd + i] - c.ce[i]) * (v.ve[c.sub * $sd + i] - c.ce[i])
-                for i in range(1, ${sd + 1})], (a, b) -> a + b), 6) AS dd
-           FROM v CROSS JOIN $book c),
-         codes$tag AS (SELECT vec_id, sub, cid FROM (
-             SELECT vec_id, sub, cid,
-               row_number() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY dd ASC, cid) AS rn
-             FROM dist$tag) WHERE rn = 1),
-         lut$tag AS (SELECT q.query_label, c.sub, c.cid,
-             CAST(round(list_reduce(
-               [q.qe[c.sub * $sd + i] * c.ce[i] for i in range(1, ${sd + 1})],
-               (a, b) -> a + b) * 1000000.0, 0) AS BIGINT) AS l6
-           FROM $book c CROSS JOIN q),
-         s6$tag AS (SELECT p.query_label, a.vec_id, sum(l.l6) AS s6
-             FROM assign$tag a
-             JOIN probes$tag p ON p.cell = a.cell
-             JOIN codes$tag k ON k.vec_id = a.vec_id
-             JOIN lut$tag l ON l.query_label = p.query_label
-                           AND l.sub = k.sub AND l.cid = k.cid
-             GROUP BY 1, 2),
-         short$tag AS (SELECT query_label, vec_id FROM (
-             SELECT query_label, vec_id,
-               row_number() OVER (PARTITION BY query_label
-                 ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
-             FROM s6$tag) WHERE rn <= 40),
-         rr$tag AS (SELECT sh.query_label, v2.vec_id,
-             round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
-           FROM short$tag sh JOIN v v2 ON v2.vec_id = sh.vec_id
-           JOIN q ON q.query_label = sh.query_label),
-         sem$tag AS (SELECT query_label, vec_id AS doc_id,
-             CAST(rk AS INTEGER) AS sem_rank FROM (
-             SELECT query_label, vec_id,
-               row_number() OVER (PARTITION BY query_label
-                 ORDER BY cos_sim DESC, vec_id) AS rk
-             FROM rr$tag) WHERE rk <= 20),
-         fused$tag AS (SELECT
-             coalesce(l.query_label, s.query_label) AS query_label,
-             coalesce(l.doc_id, s.doc_id) AS doc_id,
-             round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
-                   coalesce(CAST(1 AS DOUBLE) / (60 + s.sem_rank), 0.0), 6)
-               AS rrf
-           FROM lex l FULL OUTER JOIN sem$tag s
-             ON l.query_label = s.query_label AND l.doc_id = s.doc_id),
-         ranked$tag AS (SELECT query_label, doc_id, rank FROM (
-             SELECT query_label, doc_id, row_number() OVER (
-               PARTITION BY query_label ORDER BY rrf DESC, doc_id) AS rank
-             FROM fused$tag) WHERE rank <= 10),
-         hit$tag AS (SELECT r.query_label,
-             CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_hit,
-             min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
-           FROM ranked$tag r LEFT JOIN rel
-             ON rel.query_label = r.query_label AND rel.doc_id = r.doc_id
-           GROUP BY r.query_label)"""
-    // q_retrieval_eval's exact metric readout over one side's hits
-    def metricSelect(tag: String): String =
-      s"""SELECT q2.query_label,
-           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
-           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-           CAST(coalesce(fr, 0) AS INT) AS first_rank,
-           coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr,
-           round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / 10, 4) AS p_at_k,
-           CASE WHEN coalesce(n_relevant, 0) > 0
-                THEN round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_relevant, 4)
-                ELSE CAST(0 AS DOUBLE) END AS r_at_k
-         FROM (SELECT DISTINCT query_label FROM qt) q2
-         LEFT JOIN nrel USING (query_label)
-         LEFT JOIN hit$tag USING (query_label)"""
-    val healthy = Option(lastOracleDir)
-      .flatMap(d => Option(pqCbCache.get(d))).map { cb =>
-        "q_hybrid_eval" ->
-          s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cb)}) t(sub, cid, ce)),
-             qt(query_label, term) AS (VALUES $qtVals),
-             qv(query_label, qvid) AS (VALUES $qvVals),
-             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                   FROM embeddings),
-             cc AS (SELECT vec_id AS ccid, ve AS ce2 FROM v
-                    WHERE vec_id < 16),
-             q AS (SELECT qv.query_label, v.ve AS qe FROM qv
-                   JOIN v ON v.vec_id = qv.qvid),
-             sch AS (SELECT v.vec_id, cc.ccid,
-                 round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
-               FROM v CROSS JOIN cc),
-             ${semSide("h", "cb", "sch", cb.subDim)},
-             $lexRel
-             ${metricSelect("h")}
-             ORDER BY query_label"""
-      }
-    val drift = for {
-      d <- Option(lastOracleDir)
-      cbStale <- Option(pqCbCache.get(d))
-      cbFresh <- Option(pqDriftedCbCache.get(d))
-      cents <- Option(ivfDriftedCents.get(d))
-    } yield {
-      val cvals = cents.zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(", ")
-      // the shared drift-corpus prefix: both codebooks, both routing
-      // sides, the negation re-ingest, parameterized by the query-id
-      // VALUES (the eval uses base ids, the recall drifted ids)
-      def driftPrefix(qvValues: String): String =
-        s"""WITH cbs AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cbStale)}) t(sub, cid, ce)),
-           cbf AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cbFresh)}) t(sub, cid, ce)),
-           qt(query_label, term) AS (VALUES $qtVals),
-           qv(query_label, qvid) AS (VALUES $qvValues),
-           base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                    FROM embeddings),
-           v AS (SELECT vec_id, ve FROM base
-                 UNION ALL
-                 SELECT vec_id + 2000000, list_transform(ve, x -> -x)
-                 FROM base WHERE vec_id % 5 = 0),
-           ccb AS (SELECT vec_id AS ccid, ve AS ce2 FROM base
-                   WHERE vec_id < 16),
-           cca AS (SELECT ccid, ce2 FROM (VALUES $cvals) t(ccid, ce2)),
-           q AS (SELECT qv.query_label, v.ve AS qe FROM qv
-                 JOIN v ON v.vec_id = qv.qvid),
-           scb AS (SELECT v.vec_id, ccb.ccid,
-               round(list_cosine_similarity(v.ve, ccb.ce2), 4) AS s
-             FROM v CROSS JOIN ccb),
-           sca AS (SELECT v.vec_id, cca.ccid,
-               round(list_cosine_similarity(v.ve, cca.ce2), 4) AS s
-             FROM v CROSS JOIN cca),
-           ${semSide("b", "cbs", "scb", cbStale.subDim)},
-           ${semSide("a", "cbf", "sca", cbFresh.subDim)},
-           $lexRel"""
-      val evalSql =
-        s"""${driftPrefix(qvVals)}
-           SELECT * FROM (
-             SELECT '1-stale' AS state, * FROM (${metricSelect("b")})
-             UNION ALL
-             SELECT '2-refreshed' AS state, * FROM (${metricSelect("a")}))
-           ORDER BY state, query_label"""
-      val driftQv = hybridEvalQueries.map(_._1)
-        .zip(Seq(2000000L, 2000010L, 2000020L))
-        .map { case (l, id) => s"('$l', $id)" }.mkString(", ")
-      def recSide(tag: String): String =
-        s"""SELECT e.query_label, count(*) AS n_exact,
-             round(count(r.doc_id) * 1.0 / count(*), 4) AS recall
-           FROM exact e LEFT JOIN ranked$tag r
-             ON r.query_label = e.query_label AND r.doc_id = e.vec_id
-           GROUP BY 1"""
-      val recallSql =
-        s"""${driftPrefix(driftQv)},
-           exact AS (SELECT query_label, vec_id FROM (
-               SELECT q.query_label, v.vec_id,
-                 row_number() OVER (PARTITION BY q.query_label
-                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                            v.vec_id) AS rn
-               FROM v CROSS JOIN q) WHERE rn <= 10)
-           SELECT CAST(qv.qvid AS BIGINT) AS query_id, rb.n_exact,
-             rb.recall AS recall_stale, ra.recall AS recall_refreshed
-           FROM qv JOIN (${recSide("b")}) rb USING (query_label)
-           JOIN (${recSide("a")}) ra USING (query_label)
-           ORDER BY query_id"""
-      Seq("q_hybrid_eval_drift" -> evalSql,
-        "q_hybrid_drift_recall" -> recallSql)
-    }
-    healthy.toSeq ++ drift.toSeq.flatten
-  }
-
-  /** Full learned BPE merge table per corpus dir — the driver-side
-    * bounded-vocab learner run to exhaustion (nMerges=256 requested;
-    * this corpus yields ~106). Keyed by dir alone (a tiny Seq of
-    * strings, no session resources) so the generated oracle below can
-    * read it — the pqCbCache lifecycle.
-    */
-  private val bpeMergesFullCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
-  private def bpeFullMerges(s: SparkSession, d: String): Seq[(String, String)] = {
-    lastOracleDir = d
-    bpeMergesFullCache.computeIfAbsent(d, _ =>
-      TextAnalysis.bpeMergesLocal(
-        TextAnalysis.collectWordCounts(Tables.documents(s, d)), 256)
-        .map(m => (m._2, m._3)))
-  }
-
-  /** The vocab-tokenization table under the full merge table — a
-    * MATERIALIZED build-once serving artifact per (session, corpus)
-    * (bpeVocabTokens localCheckpoints; caching prevents per-call
-    * re-builds from pinning fresh checkpoint blocks each invocation).
-    */
-  private val bpeVocabCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  SessionCaches.register(bpeVocabCache)
-  private def bpeVocabTable(s: SparkSession, d: String): DataFrame = {
-    SessionCaches.ensureHook(s)
-    bpeVocabCache.computeIfAbsent((s, d), kv =>
-      TextAnalysis.bpeVocabTokens(Tables.documents(kv._1, kv._2),
-        bpeFullMerges(kv._1, kv._2)))
-  }
-
-  /** Merge table trained on the TRAIN SPLIT ONLY (doc_id % 4 ≠ 0) —
-    * the held-out family (coverage / fallback / pack) must measure a
-    * tokenizer that has never seen the quarter it is measured on;
-    * reusing [[bpeFullMerges]] would leak held-out text into the
-    * merge rules and optimistically bias fertility.
-    */
-  private val bpeMergesTrainCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
-  private def bpeTrainMerges(s: SparkSession, d: String): Seq[(String, String)] = {
-    lastOracleDir = d
-    bpeMergesTrainCache.computeIfAbsent(d, _ =>
-      TextAnalysis.bpeMergesLocal(
-        TextAnalysis.collectWordCounts(
-          Tables.documents(s, d).filter(col("doc_id") % 4 =!= 0)), 256)
-        .map(m => (m._2, m._3)))
-  }
-
-  /** The TRAIN-SPLIT (doc_id % 4 ≠ 0) vocab table for the coverage
-    * readout — train-split WORDS under train-split MERGES
-    * ([[bpeTrainMerges]]): held-out-only words are the OOV signal
-    * under measurement, and held-out text must not have shaped the
-    * merge rules either.
-    */
-  private val bpeTrainVocabCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  SessionCaches.register(bpeTrainVocabCache)
-  private def bpeTrainVocabTable(s: SparkSession, d: String): DataFrame = {
-    SessionCaches.ensureHook(s)
-    bpeTrainVocabCache.computeIfAbsent((s, d), kv =>
-      TextAnalysis.bpeVocabTokens(
-        Tables.documents(kv._1, kv._2).filter(col("doc_id") % 4 =!= 0),
-        bpeTrainMerges(kv._1, kv._2)))
-  }
-
-  /** Shared DuckDB merge-replay construction: the bracket-encoded
-    * symbol string of word variable `v` with the merge table applied
-    * in rank order as literal replaces. ONE builder for every BPE
-    * oracle (vocab / coverage / fallback / pack), so the escaping
-    * and encoding form can never diverge between them.
-    */
-  private def bpeMergedSql(ms: Seq[(String, String)], v: String): String = {
-    def esc(x: String) = x.replace("'", "''")
-    val enc =
-      s"'<' || array_to_string(regexp_split_to_array($v, ''), '><') || '><_>'"
-    ms.foldLeft(enc) { case (sq, (a, b)) =>
-      s"replace($sq, '<${esc(a)}><${esc(b)}>', '<${esc(a)}${esc(b)}>')"
-    }
-  }
-  private val bpeLegalSql = "w -> w <> '' AND NOT contains(w, '<') " +
-    "AND NOT contains(w, '>') AND NOT contains(w, '_')"
-
-  /** Oracle for q_bpe_encode_vocab, generated after the query ran
-    * (the ivfKmeansOracle lifecycle): the learned merge table inlines
-    * as literal `replace` pairs and DuckDB replays the DIRECT
-    * per-word chain application over the corpus — so the hash gate
-    * proves the vocab-join tokenization (vocabulary chunks + explode
-    * + join + positional reassembly) equals straight-line greedy
-    * merge application of the full table.
-    */
-  private def bpeVocabOracle: Seq[(String, String)] =
-    Option(lastOracleDir).flatMap(d =>
-        Option(bpeMergesFullCache.get(d))).toSeq.flatMap { ms =>
-      val merged = bpeMergedSql(ms, "w")
-      val sql =
-        s"""WITH enc AS (
-           SELECT doc_id,
-             array_to_string(list_transform(
-               list_filter(string_split(text, ' '),
-                 w -> w <> '' AND NOT contains(w, '<')
-                  AND NOT contains(w, '>') AND NOT contains(w, '_')),
-               w -> substr(replace($merged, '><', ' '), 2,
-                           len(replace($merged, '><', ' ')) - 2)), ' ') AS tokens
-           FROM documents)
-           SELECT doc_id,
-             CAST(CASE WHEN tokens = '' THEN 0
-                  ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens,
-             tokens
-           FROM enc ORDER BY doc_id"""
-      // the written-artifact serving path must agree with the
-      // session-artifact path — one replay, two execution paths
-      Seq("q_bpe_encode_vocab" -> sql, "q_bpe_encode_indexed" -> sql)
-    }
-
-  /** Generated q_bpe_coverage oracle: train-split vocabulary
-    * membership decides OOV; known words replay the TRAIN-SPLIT
-    * merge chain directly (the [[bpeVocabOracle]] construction over
-    * [[bpeTrainMerges]] — the measured tokenizer must never have
-    * seen the held-out quarter); exact //-division ratio readouts.
-    */
-  private def bpeCoverageOracle: Seq[(String, String)] =
-    Option(lastOracleDir).flatMap(d =>
-        Option(bpeMergesTrainCache.get(d))).toSeq.map { ms =>
-      val merged = bpeMergedSql(ms, "w")
-      val legal = bpeLegalSql
-      "q_bpe_coverage" ->
-        s"""WITH trv AS (
-           SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
-             $legal)) AS w
-           FROM documents WHERE doc_id % 4 <> 0),
-         hw AS (SELECT lang, unnest(list_filter(string_split(text, ' '),
-             $legal)) AS w
-           FROM documents WHERE doc_id % 4 = 0),
-         j AS (SELECT hw.lang, hw.w, (trv.w IS NOT NULL) AS known
-               FROM hw LEFT JOIN trv ON hw.w = trv.w),
-         tok AS (SELECT lang, known,
-               CASE WHEN known THEN CAST(len(string_split(
-                 substr(replace($merged, '><', ' '), 2,
-                        len(replace($merged, '><', ' ')) - 2), ' '))
-                 AS BIGINT) END AS nt
-             FROM j)
-         SELECT lang,
-           count(*) AS words_total,
-           count(CASE WHEN NOT known THEN 1 END) AS words_oov,
-           CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_total,
-           ((count(CASE WHEN NOT known THEN 1 END) * 20000 + count(*))
-            // (2 * count(*))) / 10000.0 AS oov_rate,
-           CASE WHEN count(CASE WHEN known THEN 1 END) > 0
-                THEN ((coalesce(sum(nt), 0) * 20000
-                       + count(CASE WHEN known THEN 1 END))
-                      // (2 * count(CASE WHEN known THEN 1 END)))
-                     / 10000.0 END AS fertility
-         FROM tok GROUP BY 1 ORDER BY lang"""
-    }
-
-  /** Generated oracles for the held-out byte-fallback serving path:
-    * per held-out word occurrence, train-split membership decides the
-    * path — known words replay the full merge chain directly (the
-    * [[bpeVocabOracle]] construction), OOV words emit their character
-    * stream + marker; positional string_agg reassembles each doc and
-    * a doc-list left join restores the empty-doc (id, 0, "") rows.
-    * q_pack_bpe extends the same chain with the q_pack_sequences
-    * cumulative window, so the tokenizer under the packer is
-    * replayed, not re-derived.
-    */
-  private def bpeFallbackOracle: Seq[(String, String)] =
-    Option(lastOracleDir).flatMap(d =>
-        Option(bpeMergesTrainCache.get(d))).toSeq.flatMap { ms =>
-      val merged = bpeMergedSql(ms, "wd")
-      val legal = bpeLegalSql
-      val chain =
-        s"""WITH trv AS (
-           SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
-             $legal)) AS w
-           FROM documents WHERE doc_id % 4 <> 0),
-         hw AS (SELECT doc_id,
-             unnest(list_filter(string_split(text, ' '), $legal)) AS wd,
-             unnest(range(len(list_filter(string_split(text, ' '),
-               $legal)))) AS pos
-           FROM documents WHERE doc_id % 4 = 0),
-         tok AS (SELECT hw.doc_id, hw.pos,
-             CASE WHEN trv.w IS NOT NULL
-                  THEN substr(replace($merged, '><', ' '), 2,
-                       len(replace($merged, '><', ' ')) - 2)
-                  ELSE array_to_string(
-                       regexp_split_to_array(hw.wd, ''), ' ') || ' _'
-             END AS t
-           FROM hw LEFT JOIN trv ON hw.wd = trv.w),
-         agg AS (SELECT doc_id,
-             CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens,
-             string_agg(t, ' ' ORDER BY pos) AS tokens
-           FROM tok GROUP BY doc_id)"""
-      Seq(
-        "q_bpe_encode_fallback" ->
-          s"""$chain
-           SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-             coalesce(a.tokens, '') AS tokens
-           FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
-           LEFT JOIN agg a ON d.doc_id = a.doc_id
-           ORDER BY d.doc_id""",
-        "q_pack_bpe" ->
-          s"""$chain,
-           e AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens
-                 FROM (SELECT doc_id FROM documents
-                       WHERE doc_id % 4 = 0) d
-                 LEFT JOIN agg a ON d.doc_id = a.doc_id),
-           c AS (SELECT CAST(doc_id % 8 AS INTEGER) AS shard, n_tokens,
-                  sum(n_tokens) OVER (PARTITION BY doc_id % 8
-                    ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS cum
-                 FROM e)
-           SELECT shard,
-             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
-             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-           FROM c GROUP BY 1, 2 ORDER BY shard, block""")
-    }
-
-  /** Corpus with planted HALF-truncations: every doc_id % 7 == 0 doc
-    * gains a +2,000,000-id copy keeping only its first ⌊n/2⌋ words
-    * (min 3 so it still shingles) — Jaccard vs the original is
-    * length-diluted to ≈ 0.5 while containment is exactly 1.0, the
-    * case [[Dedup.containmentNearDuplicates]] exists to catch.
-    */
-  private def halfCorpus(s: SparkSession, d: String) = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val ws = split(col("text"), " ", -1)
-    val halves = docs
-      .filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat_ws(" ", slice(ws, lit(1),
-          greatest((size(ws) / 2).cast("int"), lit(3)))).as("text"))
-    docs.unionByName(halves)
-  }
-
-  /** The synthetic link graph shared by q_triangles / q_kcore:
-    * a triangle per 4-group of order keys plus 16-group star heads
-    * (triangles for closure structure, stars for degree skew).
-    */
-  private def linkGraphEdges(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.orders(s, d)
-      .select((col("o_orderkey") - col("o_orderkey") % 4).as("g"))
-    g.select(col("g").as("s"), (col("g") + 1).as("t"))
-      .union(g.select((col("g") + 1).as("s"), (col("g") + 2).as("t")))
-      .union(g.select(col("g").as("s"), (col("g") + 2).as("t")))
-      .union(g.select(col("g").as("s"), (col("g") - col("g") % 16).as("t")))
-      // pendant chain off each triangle: g+2 → g+10⁹ → g+2·10⁹ —
-      // gives the k-core peel a 2-round cascade (tail first, then
-      // the middle link) while adding no triangles
-      .union(g.select((col("g") + 2).as("s"),
-        (col("g") + 1000000000L).as("t")))
-      .union(g.select((col("g") + 1000000000L).as("s"),
-        (col("g") + 2000000000L).as("t")))
-  }
-
-  // recorded synchronous-peel round counts per sfDir (the generated
-  // q_kcore oracle replays exactly that many rounds)
-  private val kcoreRounds =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  /** The doc-id link graph for the k-core curation gate: a triangle
-    * per 8-group (ids ≡ 0,1,2), a pendant 2-chain off each triangle
-    * (ids ≡ 3,4 — the peel cascade), and 64-group star heads. Each
-    * edge derives from ONE document row, so the DuckDB replay states
-    * the identical derivation over corp0.
-    */
-  /** One PERSISTED capstone corpus per composition query: the
-    * curation compositions read the corpus from several independent
-    * branches (the capstone's two full-text passes, the link-graph
-    * edge build, the classifier scoring pass), each of which would
-    * otherwise re-scan documents.parquet — the dominant cost at 10×
-    * corpus (round-9 verdict #6: q_curation_kcore 8.3 s,
-    * q_curation_classified 9.9 s). The cache releases after the
-    * query's first action (Managed.autoReleased — Bench/Verify run
-    * exactly one); narrowed to the three columns every consumer
-    * shares so the cached batches stay minimal and the columnar IMR
-    * scan prunes further for doc_id-only branches.
-    */
-  private def sharedCorpus(s: SparkSession, d: String)(
-      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") % 101 =!= 7)
-      .select(col("doc_id"), col("source"), col("text"))
-      .persist()
-    val bench = docs.filter(col("doc_id") % 101 === 7)
-    new graft.Managed(build(corpus, bench), Seq(corpus)).autoReleased()
-  }
-
-  private def docKcoreEdges(corpus: DataFrame): DataFrame = {
-    val id = col("doc_id")
-    corpus.filter(id % 8 <= 3)
-      .select(id.as("s"), (id + 1).as("t"))
-      .unionByName(corpus.filter(id % 8 === 0)
-        .select(id.as("s"), (id + 2).as("t")))
-      .unionByName(corpus.filter(id % 8 === 0)
-        .select(id.as("s"), (id - id % 64).as("t")))
-  }
-
-  // recorded peel rounds of the curation-gate graph per sfDir (its
-  // cascade depth differs from q_kcore's graph)
-  private val curationKcoreRounds =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
-  /** Generated q_curation_kcore oracle: the capstone gate CTEs + the
-    * doc-graph peel chain (one MATERIALIZED CTE per recorded round,
-    * the kcoreOracle discipline) + the outside-core anti-join. Empty
-    * until the query has run in this JVM → rows-only.
-    */
-  private def curationKcoreOracle: Option[(String, String)] =
-    Option(lastOracleDir)
-      .flatMap(d => Option(curationKcoreRounds.get(d))).map { rr =>
-      val r = rr.intValue
-      val rounds = (1 to r).map { i =>
-        s""",
-         ka$i AS MATERIALIZED (
-           SELECT u AS node FROM (
-             SELECT ksym.u, count(*) AS dd FROM ksym
-             JOIN ka${i - 1} x ON ksym.u = x.node
-             JOIN ka${i - 1} y ON ksym.v = y.node
-             GROUP BY ksym.u)
-           WHERE dd >= 2)"""
-      }.mkString
-      "q_curation_kcore" -> (curationGateCtes +
-        s""", ke AS MATERIALIZED (
-           SELECT doc_id AS s, doc_id + 1 AS t FROM corp0 WHERE doc_id % 8 <= 3
-           UNION ALL
-           SELECT doc_id, doc_id + 2 FROM corp0 WHERE doc_id % 8 = 0
-           UNION ALL
-           SELECT doc_id, doc_id - doc_id % 64 FROM corp0 WHERE doc_id % 8 = 0),
-         kund AS MATERIALIZED (
-           SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ke
-           WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t),
-         ksym AS MATERIALIZED (
-           SELECT u, v FROM kund UNION ALL SELECT v, u FROM kund),
-         ka0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM ksym)$rounds,
-         kdrop AS (SELECT node FROM ka0
-                   EXCEPT SELECT node FROM ka$r),
-         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id
-           WHERE NOT rep.repetitive AND NOT con.contaminated
-             AND NOT lm.lm_nll >= 10.0),
-         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
-         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
-         JOIN keep k ON g.doc_id = k.doc_id
-         WHERE NOT EXISTS (SELECT 1 FROM kdrop WHERE kdrop.node = g.doc_id)
-         ORDER BY g.doc_id""")
-    }
-
-  /** Generated q_kcore oracle: one MATERIALIZED CTE per recorded
-    * peel round (each round is referenced twice — DuckDB's default
-    * CTE inlining would go exponential, the pageRankOracle lesson).
-    * Empty until q_kcore has run in this JVM → rows-only, the
-    * ivfKmeansOracle lifecycle.
-    */
-  private def kcoreOracle: Option[(String, String)] =
-    Option(lastOracleDir).flatMap(d => Option(kcoreRounds.get(d))).map { rr =>
-      val r = rr.intValue
-      val rounds = (1 to r).map { i =>
-        s""",
-         a$i AS MATERIALIZED (
-           SELECT u AS node FROM (
-             SELECT sym.u, count(*) AS dd FROM sym
-             JOIN a${i - 1} x ON sym.u = x.node
-             JOIN a${i - 1} y ON sym.v = y.node
-             GROUP BY sym.u)
-           WHERE dd >= 2)"""
-      }.mkString
-      "q_kcore" ->
-        s"""WITH $linkGraphCtes,
-         sym AS MATERIALIZED (
-           SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-         a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)$rounds
-         SELECT sym.u AS node, count(*) AS core_degree FROM sym
-         JOIN a$r x ON sym.u = x.node
-         JOIN a$r y ON sym.v = y.node
-         GROUP BY 1 ORDER BY 1"""
-    }
-
-  /** The planted near-dup perturbation — a doc's words minus its
-    * last two (floor one word). ONE expression shared by the corpus
-    * planting, both increment queries, and the recall truth side, so
-    * the planting rule can never drift between the pipeline under
-    * test and the ground truth measuring it.
-    */
-  private def plantedPerturbedText(ws: Column): Column =
-    concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 2, lit(1))))
-
-  private def plantedCorpus(s: SparkSession, d: String) = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
-    val ws = split(col("text"), " ", -1)
-    val perturbed = docs
-      .filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        plantedPerturbedText(ws).as("text"))
-    docs.unionByName(perturbed)
-  }
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ searchQueries ++ dedupQueries ++ graphQueries ++ annQueries ++ pqQueries ++ textQueries ++ curationQueries ++ mediaQueries
 
   def oracleSql: Map[String, String] = {
     // the snapshot eval's oracle IS the full metric replay restricted
@@ -5312,3998 +159,6 @@ object SparkEntry {
       bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
   }
 
-  /** The shared curation-gate CTE prefix (corpus slice, Gopher
-    * repetition rubric, benchmark contamination, corpus-trained
-    * bigram-LM scoring) — q_curation_pipeline appends the dedup +
-    * survivor tail, q_curation_telemetry the per-batch gate rollup.
-    * One text, two oracles: the streaming telemetry is DEFINED as the
-    * same gates the one-shot capstone applies.
-    */
-  private val curationGateCtes: String =
-    """WITH corp0 AS (SELECT * FROM documents WHERE doc_id % 101 <> 7),
-         t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp0),
-         gg AS (SELECT doc_id, ws,
-           CASE WHEN len(ws) >= 2
-                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                ELSE CAST([] AS VARCHAR[]) END AS bg,
-           CASE WHEN len(ws) >= 3
-                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                      for i in range(1, len(ws) - 1)]
-                ELSE CAST([] AS VARCHAR[]) END AS tg
-           FROM t),
-         rep AS (SELECT doc_id,
-           (CAST(len(ws) AS BIGINT) >= 20 AND
-            (CASE WHEN len(bg) > 0
-                  THEN round(list_max([len(list_filter(bg, y -> y = x)) for x in bg])
-                             * 1.0 / len(bg), 4)
-                  ELSE 0.0 END >= 0.08 OR
-             CASE WHEN len(tg) > 0
-                  THEN round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
-                  ELSE 0.0 END >= 0.05)) AS repetitive
-           FROM gg),
-         dg AS (SELECT doc_id,
-             CASE WHEN len(ws) >= 2
-                  THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
-                  ELSE CAST([] AS VARCHAR[]) END AS grams
-           FROM t),
-         bset AS (SELECT DISTINCT unnest(
-             CASE WHEN len(string_split(text, ' ')) >= 2
-                  THEN [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-                        for i in range(1, len(string_split(text, ' ')))]
-                  ELSE CAST([] AS VARCHAR[]) END) AS gr
-           FROM documents WHERE doc_id % 101 = 7),
-         cg AS (SELECT doc_id, unnest(grams) AS gr FROM dg),
-         hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(bset.gr) AS n_hits
-                  FROM cg LEFT JOIN bset ON cg.gr = bset.gr GROUP BY 1),
-         con AS (SELECT dg.doc_id,
-           (CASE WHEN coalesce(n_grams, 0) > 0
-                 THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.4)
-             AS contaminated
-           FROM dg LEFT JOIN hits ON dg.doc_id = hits.doc_id),
-         b AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM t),
-         m AS (SELECT bg, count(*) AS c12 FROM b WHERE bg IS NOT NULL GROUP BY 1),
-         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
-                 FROM m GROUP BY 1),
-         v AS (SELECT count(DISTINCT term) AS v
-               FROM (SELECT unnest(ws) AS term FROM t)),
-         sl AS (SELECT b.doc_id, b.bg,
-                 CASE WHEN b.bg IS NOT NULL
-                      THEN CAST(round(ln((ctx.c1 + v.v) * 1.0 / (m.c12 + 1.0))
-                                      * 1000000.0) AS BIGINT)
-                 END AS nll6
-               FROM b LEFT JOIN m ON b.bg = m.bg
-               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
-               CROSS JOIN v),
-         lm AS (SELECT doc_id,
-           CASE WHEN count(bg) > 0
-                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                ELSE 0.0 END AS lm_nll
-           FROM sl GROUP BY 1)"""
-
-  private def staticOracleSql: Map[String, String] = Map(
-    "q_health" -> "SELECT 1 AS ok",
-    "q_view_stats" ->
-      """SELECT CAST(props->>'$.k' AS BIGINT) AS doc_id,
-         count(*) AS total_views,
-         count(DISTINCT user_id) AS unique_views
-         FROM events WHERE event_type = 'view'
-         GROUP BY 1 ORDER BY doc_id""",
-    "q_event_rollup" ->
-      """SELECT event_type,
-         count(*) AS n_events,
-         count(DISTINCT user_id) AS n_users,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY event_type""",
-    "q_list_page" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
-         FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC
-         LIMIT 20 OFFSET 40""",
-    "q_point_lookup" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
-         FROM orders WHERE o_orderkey = 42""",
-    "q_status_lookup" ->
-      "SELECT o_orderstatus FROM orders WHERE o_orderkey = 42",
-    "q_semi_join" ->
-      """SELECT o_orderkey, o_custkey FROM orders
-         WHERE o_custkey IN (SELECT c_custkey FROM customer
-                             WHERE c_mktsegment = 'BUILDING')
-         ORDER BY o_orderkey""",
-    "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey
-                             AND o.o_orderstatus = 'F')
-         ORDER BY c_custkey""",
-    "q_join_agg" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-         count(DISTINCT o_custkey) AS n_customers,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""",
-    "q_merge_update" ->
-      s"""SELECT o_orderkey, o_custkey,
-         CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
-         CASE WHEN o_orderkey % 10 = 0
-              THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
-              ELSE o_totalprice END AS o_totalprice,
-         CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version,
-         CASE WHEN o_orderkey % 10 = 0 THEN '$mergeClockIso' ELSE NULL END AS updated_at
-         FROM orders ORDER BY o_orderkey""",
-    "q_topk_customers" ->
-      """SELECT o_custkey, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM orders GROUP BY 1
-         ORDER BY total_value DESC, o_custkey LIMIT 10""",
-    "q_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6))) AS DECIMAL(34,6)) AS VARCHAR) AS sum_disc_price,
-         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(30,8))) AS DECIMAL(38,8)) AS VARCHAR) AS sum_charge,
-         count(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
-    "q_revenue_by_region" ->
-      """SELECT r_name,
-         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,6))) AS DECIMAL(34,6)) AS VARCHAR) AS revenue,
-         count(DISTINCT o_custkey) AS n_customers
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1 ORDER BY r_name""",
-    "q_quality_scores" -> (qualityScoreCte +
-      """SELECT doc_id, lang, completeness, consistency, pii_detection,
-         language_quality,
-         (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
-         (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0 AS quality_is_valid,
-         pii_detection = 0 AS has_pii
-         FROM s ORDER BY doc_id"""),
-    "q_curriculum" -> (qualityScoreCte +
-      """SELECT doc_id, lang,
-         (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
-         ntile(4) OVER (PARTITION BY lang
-           ORDER BY (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 DESC,
-                    doc_id) AS bin
-         FROM s ORDER BY doc_id"""),
-    "q_quality_issues" -> (qualityScoreCte +
-      """SELECT * FROM (
-           SELECT doc_id, 'completeness' AS issue_type, 'medium' AS severity, 'content' AS field FROM s WHERE completeness < 50
-           UNION ALL
-           SELECT doc_id, 'consistency', 'low', 'content' FROM s WHERE consistency < 40
-           UNION ALL
-           SELECT doc_id, 'pii', 'high', 'content' FROM s WHERE pii_detection = 0
-           UNION ALL
-           SELECT doc_id, 'language_quality', 'low', 'content' FROM s WHERE language_quality < 30
-         ) ORDER BY doc_id, issue_type"""),
-    "q_quality_gate" -> (qualityScoreCte +
-      """SELECT lang, count(*) AS n_valid FROM s
-         WHERE (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0
-         GROUP BY lang ORDER BY lang"""),
-    "q_cdc_pipeline" ->
-      """WITH e AS (
-           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
-                       WHEN doc_id % 20 = 1 THEN 'r'
-                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
-                  doc_id, lang, n_chars AS content_size,
-                  'created' AS status, 1 AS version,
-                  doc_id || '/content' AS s3_key, doc_id * 1000 AS ts_ms
-           FROM documents)
-         SELECT * FROM e WHERE op NOT IN ('r', 'd') ORDER BY doc_id""",
-    "q_enrich_content" ->
-      """WITH e AS (
-           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
-                       WHEN doc_id % 20 = 1 THEN 'r'
-                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
-                  doc_id, doc_id || '/content' AS s3_key
-           FROM documents),
-         k AS (SELECT * FROM e WHERE op NOT IN ('r', 'd')),
-         c AS (SELECT doc_id || '/content' AS s3_key, text
-               FROM documents WHERE doc_id % 3 <> 0)
-         SELECT k.doc_id, k.s3_key,
-           c.text IS NOT NULL AS has_content,
-           length(c.text) AS content_len
-         FROM k LEFT JOIN c ON k.s3_key = c.s3_key
-         ORDER BY k.doc_id""",
-    "q_validation" ->
-      """SELECT doc_id,
-         length(text) BETWEEN 1 AND 255 AS valid_title,
-         strlen(text) <= 500 AS within_limit,
-         regexp_matches(source || '@example.com',
-           '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$') AS valid_email
-         FROM documents ORDER BY doc_id""",
-    "q_uuid7" ->
-      """WITH u AS (
-           SELECT doc_id,
-             lpad(hex(doc_id * 1000 + 1700000000000), 12, '0') AS ts_hex,
-             md5(concat_ws('|', doc_id * 1000 + 1700000000000, source)) AS h
-           FROM documents)
-         SELECT doc_id,
-           substring(ts_hex,1,8) || '-' || substring(ts_hex,9,4) || '-7' ||
-           substring(h,1,3) || '-' || substring(h,4,4) || '-' || substring(h,8,12) AS uid
-         FROM u ORDER BY doc_id""",
-    "q_search" ->
-      """WITH m AS (
-           SELECT doc_id, lang, n_chars,
-             2 * CAST((length(source) - length(replace(source,'merge','')))/5 AS BIGINT)
-               + CAST((length(text) - length(replace(text,'merge','')))/5 AS BIGINT) AS score
-           FROM documents WHERE lang = 'en' AND n_chars >= 100)
-         SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
-         FROM m WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 10""",
-    "q_search_page2" ->
-      """WITH m AS (
-           SELECT doc_id, lang, n_chars,
-             2 * CAST((length(source) - length(replace(source,'merge','')))/5 AS BIGINT)
-               + CAST((length(text) - length(replace(text,'merge','')))/5 AS BIGINT) AS score
-           FROM documents WHERE lang = 'en' AND n_chars >= 100)
-         SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
-         FROM m WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""",
-    "q_search_fuzzy" ->
-      """WITH m AS (
-           SELECT doc_id, lang, n_chars,
-             2 * len(list_filter(string_split(source,' '), x -> levenshtein(x,'mergee') <= 2))
-               + len(list_filter(string_split(text,' '), x -> levenshtein(x,'mergee') <= 2)) AS score
-           FROM documents)
-         SELECT doc_id, lang, n_chars, score, count(*) OVER () AS total_hits
-         FROM m WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-    "q_search_highlight" ->
-      """WITH m AS (
-           SELECT doc_id,
-             2 * CAST((length(source) - length(replace(source,'window','')))/6 AS BIGINT)
-               + CAST((length(text) - length(replace(text,'window','')))/6 AS BIGINT) AS score,
-             replace(substring(text,1,80), 'window', '<em>window</em>') AS snippet
-           FROM documents)
-         SELECT doc_id, score, snippet FROM m WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 10""",
-    "q_redact_pii" ->
-      """WITH p AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0
-                    THEN text || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                  WHEN doc_id % 11 = 0
-                    THEN text || ' ssn 123-45-6789 call +1 (555) 123-4567'
-                  ELSE text END AS text2
-           FROM documents)
-         SELECT doc_id,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text2,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
-           '\+?[0-9][0-9 ()-]{7,14}[0-9]', '[PHONE]', 'g') AS redacted
-         FROM p
-         WHERE regexp_matches(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-            OR regexp_matches(text2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
-            OR regexp_matches(text2, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
-         ORDER BY doc_id""",
-    "q_sample_hash" ->
-      """SELECT lang, count(*) AS n_sampled FROM documents
-         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
-         GROUP BY lang ORDER BY lang""",
-    "q_sample_stratified" ->
-      """WITH s AS (
-           SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-             count(*) OVER (PARTITION BY lang) AS n
-           FROM documents)
-         SELECT doc_id, lang FROM s WHERE rn <= ceil(0.1 * n)
-         ORDER BY doc_id""",
-    "q_pack_sequences" ->
-      """WITH t AS (
-           SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-           FROM documents),
-         c AS (
-           SELECT shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM t)
-         SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
-           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         FROM c GROUP BY 1, 2 ORDER BY shard, block""",
-    "q_packing_efficiency" ->
-      """WITH t AS (
-           SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-           FROM documents),
-         c AS (
-           SELECT shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM t),
-         b AS (SELECT shard,
-                 CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS block,
-                 n_tokens
-               FROM c)
-         SELECT shard, count(*) AS docs,
-           CAST(max(block) + 1 AS BIGINT) AS blocks,
-           CAST(sum(n_tokens) AS BIGINT) AS tokens,
-           ((CAST(sum(n_tokens) AS BIGINT) * 20000 + (max(block) + 1) * 512)
-            // (2 * (max(block) + 1) * 512)) / 10000.0 AS fill
-         FROM b GROUP BY 1 ORDER BY shard""",
-    "q_hash_split" ->
-      """SELECT CASE
-           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
-           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
-           ELSE 'test' END AS split,
-         count(*) AS n_docs
-         FROM documents GROUP BY 1 ORDER BY split""",
-    "q_search_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         SELECT doc_id,
-           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             * (tf * (1.2 + 1.0))
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-         GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    // erasure replay: BM25 rebuilt on the REMAINING corpus — df,
-    // avgdl, and the ranking all re-derive as if the deleted docs
-    // were never indexed; the tombstoned index must match exactly
-    "q_search_bm25_deleted" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents WHERE doc_id % 7 <> 3),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         SELECT doc_id,
-           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             * (tf * (1.2 + 1.0))
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-         GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    // the incrementally-assembled index shares the one-shot BM25
-    // replay verbatim: append ≡ rebuild is the operator's exactness
-    // claim, so the oracle for the appended index IS the corpus oracle
-    "q_search_bm25_incremental" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         SELECT doc_id,
-           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             * (tf * (1.2 + 1.0))
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-         GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    // snapshot replay: BM25 rebuilt on the BASE batch's documents
-    // alone (doc_id % 8 <> 5 is builtBm25IncIndex's base split) —
-    // the as-of read of the appended index must reproduce the
-    // pre-append index bit-for-bit
-    "q_search_bm25_asof" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents WHERE doc_id % 8 <> 5),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         SELECT doc_id,
-           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             * (tf * (1.2 + 1.0))
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-         GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    // retention as-of("build"): BM25 rebuilt on the FOLDED window's
-    // live docs — everything except the kept ≡6 mod 8 batch, minus
-    // the physically-applied ≡3 mod 7 erasure — against folded-only
-    // scalars (the self-consistency the correction split buys)
-    "q_search_bm25_retention_asof" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents
-                    WHERE doc_id % 8 <> 6 AND doc_id % 7 <> 3),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         SELECT doc_id,
-           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             * (tf * (1.2 + 1.0))
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-         GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    // retention ledger replay: the folded build total (folded docs
-    // minus their physically-applied erasure), the kept w2 batch's
-    // raw contribution, and the exact NEGATIVE "del-retained"
-    // correction for w2's erased docs — every row must state exactly
-    // its own partitions' contribution
-    "q_search_bm25_retention_history" ->
-      """WITH d AS (SELECT doc_id,
-             len(string_split(text, ' ')) AS dl FROM documents)
-         SELECT 'build' AS batch_id, count(*) AS n_docs,
-           CAST(sum(dl) AS BIGINT) AS sum_dl
-         FROM d WHERE doc_id % 8 <> 6 AND doc_id % 7 <> 3
-         UNION ALL
-         SELECT 'del-retained' AS batch_id, -count(*) AS n_docs,
-           CAST(-sum(dl) AS BIGINT) AS sum_dl
-         FROM d WHERE doc_id % 8 = 6 AND doc_id % 7 = 3
-         UNION ALL
-         SELECT 'w2' AS batch_id, count(*) AS n_docs,
-           CAST(sum(dl) AS BIGINT) AS sum_dl
-         FROM d WHERE doc_id % 8 = 6
-         ORDER BY batch_id""",
-    // ledger replay: each batch's exact (n_docs, sum_dl) from its
-    // own document split — "build" = doc_id % 8 <> 5, "inc1" = the
-    // appended eighth
-    "q_search_bm25_history" ->
-      """WITH d AS (SELECT doc_id,
-             len(string_split(text, ' ')) AS dl FROM documents)
-         SELECT 'build' AS batch_id, count(*) AS n_docs,
-           CAST(sum(dl) AS BIGINT) AS sum_dl
-         FROM d WHERE doc_id % 8 <> 5
-         UNION ALL
-         SELECT 'inc1' AS batch_id, count(*) AS n_docs,
-           CAST(sum(dl) AS BIGINT) AS sum_dl
-         FROM d WHERE doc_id % 8 = 5
-         ORDER BY batch_id""",
-    // the stream-built index shares the one-shot corpus replay too:
-    // stream-built ≡ rebuild is the sink's exactness claim
-    "q_search_bm25_streamed" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-         SELECT doc_id,
-           round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-             * (tf * (1.2 + 1.0))
-             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-         GROUP BY doc_id
-         ORDER BY bm25 DESC, doc_id LIMIT 10""",
-    // retrieval-eval replay: the BM25 math verbatim (idf rounded to
-    // 6 before the product, score to 4) replicated per eval query via
-    // the (query, term) values frame; relevance = every query term at
-    // tf ≥ 3 from the SAME tf aggregation; MRR / P@10 / R@10 as exact
-    // rationals in DOUBLE arithmetic (CAST, not decimal literals)
-    "q_retrieval_eval" ->
-      """WITH qt(query_label, term) AS (VALUES
-           ('merge+query', 'merge'), ('merge+query', 'query'),
-           ('sort+window', 'sort'), ('sort+window', 'window'),
-           ('spark+data', 'spark'), ('spark+data', 'data')),
-         qs AS (SELECT query_label, count(*) AS n_terms FROM qt
-                GROUP BY query_label),
-         d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN (SELECT DISTINCT term FROM qt)
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         sc AS (SELECT qt.query_label, tf.doc_id,
-             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-               * (tf * (1.2 + 1.0))
-               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
-             count(*) AS n_present, min(tf.tf) AS min_tf
-           FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-             JOIN qt USING (term)
-           GROUP BY qt.query_label, tf.doc_id),
-         ranked AS (SELECT query_label, doc_id, rank FROM (
-             SELECT query_label, doc_id, row_number() OVER (
-               PARTITION BY query_label ORDER BY bm25 DESC, doc_id) AS rank
-             FROM sc) WHERE rank <= 10),
-         rel AS (SELECT sc.query_label, sc.doc_id
-                 FROM sc JOIN qs USING (query_label)
-                 WHERE n_present = n_terms AND min_tf >= 3),
-         nrel AS (SELECT query_label, count(*) AS n_relevant FROM rel
-                  GROUP BY query_label),
-         hit AS (SELECT r.query_label,
-                   CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-                   min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
-                 FROM ranked r LEFT JOIN rel
-                   ON rel.query_label = r.query_label AND rel.doc_id = r.doc_id
-                 GROUP BY r.query_label)
-         SELECT q.query_label,
-           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
-           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-           CAST(coalesce(fr, 0) AS INT) AS first_rank,
-           coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr,
-           round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / 10, 4) AS p_at_k,
-           CASE WHEN coalesce(n_relevant, 0) > 0
-                THEN round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_relevant, 4)
-                ELSE CAST(0 AS DOUBLE) END AS r_at_k
-         FROM (SELECT DISTINCT query_label FROM qt) q
-         LEFT JOIN nrel USING (query_label)
-         LEFT JOIN hit USING (query_label)
-         ORDER BY query_label""",
-    // the index-served eval shares the corpus replay: pruned postings
-    // carry the same tf/df/scalars the one-shot pass derives
-    "q_retrieval_eval_indexed" ->
-      """WITH qt(query_label, term) AS (VALUES
-           ('merge+query', 'merge'), ('merge+query', 'query'),
-           ('sort+window', 'sort'), ('sort+window', 'window'),
-           ('spark+data', 'spark'), ('spark+data', 'data')),
-         qs AS (SELECT query_label, count(*) AS n_terms FROM qt
-                GROUP BY query_label),
-         d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN (SELECT DISTINCT term FROM qt)
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         sc AS (SELECT qt.query_label, tf.doc_id,
-             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-               * (tf * (1.2 + 1.0))
-               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25,
-             count(*) AS n_present, min(tf.tf) AS min_tf
-           FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-             JOIN qt USING (term)
-           GROUP BY qt.query_label, tf.doc_id),
-         ranked AS (SELECT query_label, doc_id, rank FROM (
-             SELECT query_label, doc_id, row_number() OVER (
-               PARTITION BY query_label ORDER BY bm25 DESC, doc_id) AS rank
-             FROM sc) WHERE rank <= 10),
-         rel AS (SELECT sc.query_label, sc.doc_id
-                 FROM sc JOIN qs USING (query_label)
-                 WHERE n_present = n_terms AND min_tf >= 3),
-         nrel AS (SELECT query_label, count(*) AS n_relevant FROM rel
-                  GROUP BY query_label),
-         hit AS (SELECT r.query_label,
-                   CAST(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-                   min(CASE WHEN rel.doc_id IS NOT NULL THEN r.rank END) AS fr
-                 FROM ranked r LEFT JOIN rel
-                   ON rel.query_label = r.query_label AND rel.doc_id = r.doc_id
-                 GROUP BY r.query_label)
-         SELECT q.query_label,
-           CAST(coalesce(n_relevant, 0) AS BIGINT) AS n_relevant,
-           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-           CAST(coalesce(fr, 0) AS INT) AS first_rank,
-           coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr,
-           round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / 10, 4) AS p_at_k,
-           CASE WHEN coalesce(n_relevant, 0) > 0
-                THEN round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_relevant, 4)
-                ELSE CAST(0 AS DOUBLE) END AS r_at_k
-         FROM (SELECT DISTINCT query_label FROM qt) q
-         LEFT JOIN nrel USING (query_label)
-         LEFT JOIN hit USING (query_label)
-         ORDER BY query_label""",
-    // RRF fusion: both branch rankings replayed top-50, reciprocal
-    // terms as IEEE doubles (CAST, not decimal literals) in a fixed
-    // addition order — engine-identical bits before the round
-    "q_hybrid_search" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
-         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
-         tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
-                WHERE term IN ('merge', 'query')
-                GROUP BY doc_id, dl, term),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         bm AS (SELECT doc_id,
-             round(sum(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
-               * (tf * (1.2 + 1.0))
-               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-           FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-           GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
-         lex AS (SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
-               AS INTEGER) AS lex_rank FROM bm),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-               FROM embeddings),
-         knn AS (SELECT vec_id,
-             round(list_cosine_similarity(ve,
-               (SELECT ve FROM v WHERE vec_id = 0)), 4) AS cos_sim
-           FROM v ORDER BY cos_sim DESC, vec_id LIMIT 50),
-         sem AS (SELECT vec_id AS doc_id,
-             CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
-               AS INTEGER) AS sem_rank FROM knn)
-         SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-           lex_rank, sem_rank,
-           round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0) +
-                 coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), 0.0), 6) AS rrf
-         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-         ORDER BY rrf DESC, doc_id LIMIT 20""",
-    "q_dedup_exact" ->
-      """SELECT md5(CAST(to_json(struct_pack(user_id := user_id,
-                                             event_type := event_type)) AS VARCHAR)) AS dup_key,
-         count(*) AS n_copies, min(event_id) AS keep_id
-         FROM events GROUP BY user_id, event_type
-         HAVING count(*) > 1 ORDER BY dup_key""",
-    "q_components" ->
-      """WITH e0 AS (
-           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-           UNION
-           SELECT o_orderkey - o_orderkey % 4 AS a,
-                  o_orderkey - o_orderkey % 16 AS b FROM orders),
-         e AS (SELECT a, b FROM e0 WHERE a <> b),
-         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
-         SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
-    "q_components_star" ->
-      """WITH e0 AS (
-           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-           UNION
-           SELECT o_orderkey - o_orderkey % 4 AS a,
-                  o_orderkey - o_orderkey % 16 AS b FROM orders),
-         e AS (SELECT a, b FROM e0 WHERE a <> b),
-         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
-         SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
-    // the in-task union-find fast path shares the closed-form replay
-    // verbatim — fast ≡ distributed is the hash gate itself
-    "q_components_fast" ->
-      """WITH e0 AS (
-           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-           UNION
-           SELECT o_orderkey - o_orderkey % 4 AS a,
-                  o_orderkey - o_orderkey % 16 AS b FROM orders),
-         e AS (SELECT a, b FROM e0 WHERE a <> b),
-         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e)
-         SELECT node, node - node % 16 AS component FROM n ORDER BY node""",
-    "q_pagerank" -> pageRankOracle(8),
-    "q_pagerank_personalized" -> personalizedPageRankOracle(8),
-    "q_pagerank_personalized_fast" -> personalizedPageRankOracle(8),
-    // LPA replay: one CTE per synchronous round (most-frequent
-    // neighbor label, ties to the smallest — row_number over the
-    // grouped vote counts), min-member canonical relabel; both
-    // execution paths gate on the same replay
-    "q_communities" ->
-      (s"""WITH $linkGraphCtes,
-         ${lpaChainCtes(4)}
-         SELECT node, community FROM fin ORDER BY node"""),
-    "q_communities_fast" ->
-      (s"""WITH $linkGraphCtes,
-         ${lpaChainCtes(4)}
-         SELECT node, community FROM fin ORDER BY node"""),
-    "q_community_sizes" ->
-      (s"""WITH $linkGraphCtes,
-         ${lpaChainCtes(4)}
-         SELECT size, count(*) AS n_communities FROM (
-           SELECT community, count(*) AS size FROM fin GROUP BY 1)
-         GROUP BY 1 ORDER BY size"""),
-    // ingest probe replay: ONE more LPA round for the new nodes,
-    // voting over the frozen 4-round partition; no-labeled-neighbor
-    // probes (ids ≡ 2 mod 5, linked only to another new node) fall
-    // back to their own id
-    "q_communities_probe" ->
-      (s"""WITH $linkGraphCtes,
-         ${lpaChainCtes(4)},
-         pk AS (SELECT o_orderkey AS k, o_orderkey - o_orderkey % 4 AS g
-                FROM orders),
-         pe0 AS (SELECT k + 3000000000 AS s, g AS t FROM pk
-                   WHERE k % 5 <> 2
-                 UNION ALL
-                 SELECT k + 3000000000, g + 1 FROM pk WHERE k % 5 <> 2
-                 UNION ALL
-                 SELECT k + 3000000000, k + 4000000000 FROM pk
-                   WHERE k % 5 = 2),
-         pu AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
-                FROM pe0 WHERE s <> t),
-         psym AS (SELECT u, v FROM pu UNION ALL SELECT v, u FROM pu),
-         pn AS (SELECT DISTINCT k + 3000000000 AS node FROM pk),
-         votes AS (SELECT p.u AS node, f.community, count(*) AS c
-                   FROM psym p JOIN fin f ON p.v = f.node
-                   WHERE p.u IN (SELECT node FROM pn)
-                   GROUP BY 1, 2),
-         best AS (SELECT node, community,
-                    row_number() OVER (PARTITION BY node
-                      ORDER BY c DESC, community) AS rn
-                  FROM votes)
-         SELECT pn.node, coalesce(b.community, pn.node) AS community
-         FROM pn LEFT JOIN best b ON pn.node = b.node AND b.rn = 1
-         ORDER BY pn.node"""),
-    // modularity as the exact integer rational sum(4*m*e_c - D_c^2)
-    // / 4m^2 over the replayed partition; the double readout is the
-    // house 4-decimal long division, +1-shifted so the numerator
-    // stays non-negative (integer-division semantics for negatives
-    // differ between engines)
-    "q_modularity" ->
-      (s"""WITH $linkGraphCtes,
-         ${lpaChainCtes(4)},
-         mtot AS (SELECT count(*) AS m FROM und),
-         dc AS (SELECT f.community, CAST(sum(deg.d) AS BIGINT) AS dsum
-                FROM fin f JOIN deg ON f.node = deg.node GROUP BY 1),
-         ec AS (SELECT fu.community, count(*) AS e FROM und
-                JOIN fin fu ON und.u = fu.node
-                JOIN fin fv ON und.v = fv.node
-                WHERE fu.community = fv.community GROUP BY 1),
-         nm AS (SELECT CAST(coalesce(sum(4 * mtot.m * coalesce(ec.e, 0)
-                       - dc.dsum * dc.dsum), 0) AS BIGINT) AS q_num
-                FROM dc CROSS JOIN mtot
-                LEFT JOIN ec ON dc.community = ec.community)
-         SELECT (SELECT count(*) FROM fin) AS n_nodes,
-           mtot.m AS n_edges,
-           (SELECT count(DISTINCT community) FROM fin) AS n_communities,
-           nm.q_num AS q_num,
-           4 * mtot.m * mtot.m AS q_den,
-           CASE WHEN mtot.m <> 0 THEN
-             ((CAST(nm.q_num AS HUGEINT) + 4 * mtot.m * mtot.m) * 20000
-              + 4 * mtot.m * mtot.m)
-              // (2 * CAST(4 * mtot.m * mtot.m AS HUGEINT))
-              / 10000.0 - 1.0
-           END AS modularity
-         FROM mtot, nm"""),
-    // triangle replay: canonical undirected edges, degree-ordered
-    // orientation, 2-path join closed against the oriented edges
-    "q_triangles" -> trianglesOracle,
-    // the in-task fast twin runs against the IDENTICAL replay — a
-    // divergence between the sorted-adjacency intersect and the
-    // distributed 2-path join fails the hash gate itself
-    "q_triangles_fast" -> trianglesOracle,
-    "q_graph_degrees" ->
-      """WITH e0 AS (
-           SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-           UNION
-           SELECT o_orderkey - o_orderkey % 4 AS a,
-                  o_orderkey - o_orderkey % 16 AS b FROM orders),
-         e AS (SELECT a, b FROM e0 WHERE a <> b),
-         n AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
-         deg AS (SELECT a AS node, count(*) AS d FROM e GROUP BY a)
-         SELECT coalesce(deg.d, 0) AS out_degree,
-                count(*) AS n_nodes
-         FROM n LEFT JOIN deg ON n.node = deg.node
-         GROUP BY 1 ORDER BY out_degree""",
-    "q_dedup_drop" ->
-      """SELECT event_type, count(*) AS n_kept FROM (
-           SELECT user_id, event_type, min(event_id) AS event_id
-           FROM events GROUP BY 1, 2)
-         GROUP BY 1 ORDER BY event_type""",
-    "q_minhash_neardup_md5" -> (minhashMd5Cte +
-      "SELECT id_a, id_b, round(j,4) AS jaccard FROM pr ORDER BY id_a, id_b"),
-    // whole-graph dashboard: counts + triangles + the assortativity
-    // expression, all from the shared graph CTEs
-    "q_graph_summary" ->
-      (s"""WITH $linkGraphCtes,
-         $triangleCtes,
-         sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-         j AS (SELECT du.d AS du, dv.d AS dv
-               FROM sym
-               JOIN deg du ON sym.u = du.node
-               JOIN deg dv ON sym.v = dv.node),
-         am AS (SELECT count(*) AS m,
-                 CAST(sum(du) AS BIGINT) AS sx,
-                 CAST(sum(dv) AS BIGINT) AS sy,
-                 CAST(sum(du * dv) AS BIGINT) AS sxy,
-                 CAST(sum(du * du) AS BIGINT) AS sxx,
-                 CAST(sum(dv * dv) AS BIGINT) AS syy
-               FROM j)
-         SELECT (SELECT count(*) FROM deg) AS n_nodes,
-           (SELECT count(*) FROM und) AS n_edges,
-           (SELECT count(*) FROM tr) AS n_triangles,
-           (SELECT CASE WHEN (m * sxx - sx * sx) > 0
-                         AND (m * syy - sy * sy) > 0
-                   THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
-                          sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
-                               CAST(m * syy - sy * sy AS DOUBLE)), 4)
-                   END FROM am) AS assortativity"""),
-    // assortativity replay: five exact moment sums, one guarded
-    // division; m is even (both orientations), so m/2 is exact
-    "q_assortativity" ->
-      (s"""WITH $linkGraphCtes,
-         sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-         j AS (SELECT du.d AS du, dv.d AS dv
-               FROM sym
-               JOIN deg du ON sym.u = du.node
-               JOIN deg dv ON sym.v = dv.node),
-         a AS (SELECT count(*) AS m,
-                 CAST(sum(du) AS BIGINT) AS sx,
-                 CAST(sum(dv) AS BIGINT) AS sy,
-                 CAST(sum(du * dv) AS BIGINT) AS sxy,
-                 CAST(sum(du * du) AS BIGINT) AS sxx,
-                 CAST(sum(dv * dv) AS BIGINT) AS syy
-               FROM j)
-         SELECT CAST(m / 2 AS BIGINT) AS n_edges,
-           CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
-                THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
-                       sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
-                            CAST(m * syy - sy * sy AS DOUBLE)), 4)
-           END AS assortativity
-         FROM a"""),
-    // banded replay: every planted pair with shingles lands in its
-    // exact-Jaccard decile; found joins the pipeline's verified pairs
-    "q_dedup_recall_bands" -> (minhashMd5Cte +
-      """, planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-                       FROM documents WHERE doc_id % 5 = 0),
-         tr AS (SELECT p.id_a,
-                  CAST(floor(10.0 * len(list_intersect(a.grams, b.grams)) /
-                    len(list_distinct(list_concat(a.grams, b.grams))))
-                    AS BIGINT) AS band
-                FROM planted p
-                JOIN sh a ON a.doc_id = p.id_a
-                JOIN sh b ON b.doc_id = p.id_b),
-         f AS (SELECT id_a FROM pr
-               WHERE id_b = id_a + 1000000 AND id_a % 5 = 0)
-         SELECT band, count(*) AS n_pairs,
-           count(f.id_a) AS n_found,
-           ((count(f.id_a) * 20000 + count(*)) // (2 * count(*)))
-             / 10000.0 AS found_frac
-         FROM tr LEFT JOIN f ON tr.id_a = f.id_a
-         GROUP BY band ORDER BY band"""),
-    // recall replay: truth = planted pairs with exact J >= 0.5 (both
-    // sides need shingles, the signature pass's own precondition);
-    // found = the pipeline's verified pairs restricted to planted ids
-    "q_dedup_recall" -> (minhashMd5Cte +
-      """, planted AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-                       FROM documents WHERE doc_id % 5 = 0),
-         tr AS (SELECT p.id_a,
-                  len(list_intersect(a.grams, b.grams)) * 1.0 /
-                  len(list_distinct(list_concat(a.grams, b.grams))) AS j
-                FROM planted p
-                JOIN sh a ON a.doc_id = p.id_a
-                JOIN sh b ON b.doc_id = p.id_b),
-         tt AS (SELECT id_a FROM tr WHERE j >= 0.5),
-         f AS (SELECT id_a FROM pr
-               WHERE id_b = id_a + 1000000 AND id_a % 5 = 0)
-         SELECT count(*) AS n_truth, count(f.id_a) AS n_found,
-           CASE WHEN count(*) > 0 THEN
-             ((count(f.id_a) * 20000 + count(*)) // (2 * count(*)))
-               / 10000.0
-           END AS recall
-         FROM tt LEFT JOIN f ON tt.id_a = f.id_a"""),
-    "q_simhash_neardup_md5" ->
-      """WITH RECURSIVE corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(ws[1:greatest(len(ws)-2,1)], ' ') AS text
-           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
-                 WHERE doc_id % 5 = 0)),
-         tv AS (
-           SELECT doc_id,
-             [[CAST(concat('0x', substring(m, b*4+1, 4)) AS INTEGER)
-               for m in ms] for b in [0,1,2,3]] AS tb,
-             len(ms) AS n
-           FROM (SELECT doc_id, [md5(w) for w in string_split(text,' ')] AS ms
-                 FROM corpus WHERE text IS NOT NULL)),
-         sh AS (
-           SELECT doc_id,
-             [CAST(list_sum([CASE WHEN 2*len(list_filter(tb[b+1],
-                      v -> (v >> j) & 1 = 1)) >= n
-                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
-                 for j in range(0,16)]) AS BIGINT) for b in [0,1,2,3]] AS bands
-           FROM tv WHERE n > 0),
-         bk AS (
-           SELECT doc_id, b AS band, bands[b+1] AS value
-           FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
-         capped AS (
-           SELECT doc_id, band, value FROM (
-             SELECT doc_id, band, value,
-               count(*) OVER (PARTITION BY band, value) AS bsz FROM bk)
-           WHERE bsz <= 100),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-           FROM capped l JOIN capped r
-             ON l.band = r.band AND l.value = r.value AND l.doc_id < r.doc_id),
-         ver AS (
-           SELECT id_a, id_b,
-             CAST(list_sum([bit_count(xor(a.bands[i+1], b.bands[i+1]))
-               for i in [0,1,2,3]]) AS BIGINT) AS hamming
-           FROM cand JOIN sh a ON a.doc_id = cand.id_a
-                     JOIN sh b ON b.doc_id = cand.id_b)
-         SELECT id_a, id_b, hamming FROM ver WHERE hamming <= 3
-         ORDER BY id_a, id_b""",
-    "q_dedup_clusters_md5" -> (minhashMd5Cte +
-      """SELECT a AS node, least(a, min(b)) AS component
-         FROM reach GROUP BY a ORDER BY node"""),
-    // pairs touching the new batch are exactly the full pipeline's
-    // pairs with a new-side id_b (new ids are all offset by 1e6 and
-    // the cap is computed over index ∪ batch = the planted corpus)
-    "q_dedup_incremental" -> (minhashMd5Cte +
-      """SELECT doc_id FROM corpus
-         WHERE doc_id >= 1000000
-           AND NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id)
-         ORDER BY doc_id"""),
-    // the fast path must produce the SAME survivors — one oracle
-    // text, two execution paths, both hash-gated
-    "q_dedup_incremental_fast" -> (minhashMd5Cte +
-      """SELECT doc_id FROM corpus
-         WHERE doc_id >= 1000000
-           AND NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id)
-         ORDER BY doc_id"""),
-    "q_dedup_survivors_md5" -> (minhashMd5Cte +
-      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
-                    FROM reach GROUP BY a)
-         SELECT doc_id FROM corpus
-         WHERE NOT EXISTS (SELECT 1 FROM comp
-                           WHERE comp.node = corpus.doc_id
-                             AND comp.node <> comp.component)
-         ORDER BY doc_id"""),
-    // split key = cluster component when clustered, own id otherwise;
-    // boundaries are the q_hash_split md5-prefix constants
-    "q_leakage_safe_split" -> (minhashMd5Cte +
-      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
-                    FROM reach GROUP BY a)
-         SELECT c.doc_id,
-           CASE
-             WHEN substring(md5(CAST(coalesce(comp.component, c.doc_id)
-               AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
-             WHEN substring(md5(CAST(coalesce(comp.component, c.doc_id)
-               AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
-             ELSE 'test' END AS split
-         FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
-         ORDER BY c.doc_id"""),
-    "q_cluster_sizes_md5" -> (minhashMd5Cte +
-      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
-                    FROM reach GROUP BY a),
-         cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
-         SELECT sz AS cluster_size, count(*) AS n_clusters
-         FROM cs GROUP BY 1 ORDER BY cluster_size"""),
-    // preference policy: per-cluster winner = max length, ties min id
-    "q_dedup_survivors_best_md5" -> (minhashMd5Cte +
-      """, comp AS (SELECT a AS node, least(a, min(b)) AS component
-                    FROM reach GROUP BY a),
-         pf AS (SELECT c.doc_id, comp.component, length(c.text) AS pf
-                FROM corpus c JOIN comp ON comp.node = c.doc_id),
-         win AS (SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (PARTITION BY component
-               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
-         SELECT doc_id FROM corpus
-         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = corpus.doc_id)
-            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = corpus.doc_id)
-         ORDER BY doc_id"""),
-    "q_ngram_jaccard" ->
-      """WITH g AS (
-           SELECT doc_id,
-             list_distinct([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) AS grams
-           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.grams, b.grams)) /
-                 len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
-         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
-         ORDER BY id_a""",
-    // full md5-minhash replay with r=1 banding + containment verify
-    // over the half-truncation corpus (mirrors minhashMd5Cte's shape)
-    "q_containment_md5" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 2000000 AS doc_id,
-             array_to_string(ws[1:greatest(len(ws)//2, 3)], ' ') AS text
-           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
-                 WHERE doc_id % 7 = 0)),
-         sh AS (
-           SELECT doc_id,
-             list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS grams
-           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM corpus)
-           WHERE len(ws) >= 3),
-         sig AS (
-           SELECT doc_id,
-             [list_min([md5(CAST(p AS VARCHAR) || '|' || g) for g in grams]) for p in range(0,16)] AS sg
-           FROM sh),
-         bk AS (
-           SELECT doc_id, i AS band, md5(sg[CAST(i+1 AS INT)]) AS bucket
-           FROM sig CROSS JOIN (SELECT unnest(range(0,16)) AS i)),
-         capped AS (
-           SELECT doc_id, band, bucket FROM (
-             SELECT doc_id, band, bucket,
-               count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
-           WHERE bsz <= 100),
-         cand AS (
-           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-           FROM capped l JOIN capped r
-             ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-         ver AS (
-           SELECT id_a, id_b,
-             len(list_intersect(a.grams, b.grams)) AS inter,
-             len(a.grams) AS na, len(b.grams) AS nb
-           FROM cand JOIN sh a ON a.doc_id = cand.id_a
-                     JOIN sh b ON b.doc_id = cand.id_b)
-         SELECT
-           CASE WHEN na > nb OR (na = nb AND id_a < id_b) THEN id_a ELSE id_b END AS id_kept,
-           CASE WHEN na > nb OR (na = nb AND id_a < id_b) THEN id_b ELSE id_a END AS id_dropped,
-           round(inter / least(na, nb), 4) AS containment
-         FROM ver WHERE inter * 10000 >= least(na, nb) * 9000
-         ORDER BY id_kept, id_dropped""",
-    "q_dedup_normalized" ->
-      """WITH c AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 3000000, '  ' || upper(text) || ' !'
-           FROM documents WHERE doc_id % 9 = 0),
-         n AS (
-           SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text),
-               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
-           FROM c)
-         SELECT doc_id FROM (
-           SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS keep
-           FROM n) t
-         WHERE doc_id = keep ORDER BY doc_id""",
-    "q_chunk_docs" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         k AS (SELECT doc_id, ws, len(ws) AS n,
-                 CASE WHEN len(ws) <= 32 THEN 1
-                      ELSE 1 + (len(ws) - 32 + 23) // 24 END AS nk
-               FROM w),
-         s AS (SELECT doc_id, ws, n, unnest(range(0, nk)) AS i FROM k)
-         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-           array_to_string(list_slice(ws, i*24 + 1, i*24 + 32), ' ') AS chunk_text,
-           CAST(least(32, n - i*24) AS BIGINT) AS n_words
-         FROM s ORDER BY doc_id, chunk_idx""",
-    "q_knn_brute" ->
-      """SELECT vec_id,
-         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings
-         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
-    // ×2 scaling is exponent arithmetic — exact in FLOAT and DOUBLE
-    // alike — so the planted copies' cosines replay bit-identically
-    "q_hard_negatives" ->
-      """WITH pe AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-             CAST(list_transform(embedding, x -> x * 2.0) AS DOUBLE[])
-           FROM embeddings WHERE vec_id % 7 = 0),
-         q AS (SELECT ve FROM pe WHERE vec_id = 0),
-         p AS (SELECT vec_id,
-             round(list_cosine_similarity(pe.ve, q.ve), 4) AS cos_sim
-           FROM pe CROSS JOIN q)
-         SELECT vec_id, cos_sim FROM p WHERE cos_sim < 0.98
-         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
-    "q_contrastive_pairs" ->
-      """WITH pe AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-             CAST(list_transform(embedding, x -> x * 2.0) AS DOUBLE[])
-           FROM embeddings WHERE vec_id % 7 = 0),
-         q AS (SELECT vec_id AS query_id, ve FROM pe
-               WHERE vec_id IN (0, 7, 14)),
-         p AS (SELECT q.query_id, pe.vec_id,
-                 round(list_cosine_similarity(pe.ve, q.ve), 4) AS cos_sim
-               FROM pe CROSS JOIN q WHERE pe.vec_id <> q.query_id),
-         r AS (SELECT query_id, vec_id, cos_sim,
-                 CASE WHEN cos_sim >= 0.98 THEN 'positive'
-                      ELSE 'negative' END AS role
-               FROM p),
-         k AS (SELECT query_id, role, vec_id, cos_sim,
-                 row_number() OVER (PARTITION BY query_id, role
-                   ORDER BY cos_sim DESC, vec_id) AS rank
-               FROM r)
-         SELECT query_id, role, rank, vec_id, cos_sim FROM k
-         WHERE (role = 'positive' AND rank = 1)
-            OR (role = 'negative' AND rank <= 10)
-         ORDER BY query_id, role, rank""",
-    "q_knn_multi" ->
-      """WITH p AS (
-           SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-               CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
-           FROM embeddings e,
-                (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2)) q)
-         SELECT * FROM (
-           SELECT query_id, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
-           FROM p) WHERE rank <= 5
-         ORDER BY query_id, rank""",
-    "q_ann_lsh_md5" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
-         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                        for j in range(0, nd)] for p in range(0, 4)] AS planes
-                FROM dm),
-         b AS (SELECT vec_id, ve,
-                 list_sum([CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
-                     (acc, x) -> acc + x) >= 0
-                   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
-                   for p in range(0, 4)]) AS bucket
-               FROM v CROSS JOIN pl)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e JOIN b ON b.vec_id = e.vec_id
-         WHERE b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // JL projection replay: the md5 plane matrix + the index-ordered
-    // dot fold (list_reduce over a prepended 0.0 accumulator) —
-    // byte-identical to both the composed Spark fold and the native
-    // expression's primitive loop
-    "q_embed_project" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
-         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                        for j in range(0, nd)] for p in range(0, 8)] AS planes
-                FROM dm)
-         SELECT vec_id, CAST(ps.p AS INT) AS p,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             [ve[j+1] * planes[ps.p+1][j+1] for j in range(0, len(ve))]),
-             (acc, x) -> acc + x), 6) AS comp
-         FROM v CROSS JOIN pl CROSS JOIN range(0, 8) ps(p)
-         ORDER BY vec_id, p""",
-    // projected-space serving scan replay: project every vector with
-    // the same fold, then rank by cosine over the projected lists
-    "q_knn_projected" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
-         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                        for j in range(0, nd)] for p in range(0, 8)] AS planes
-                FROM dm),
-         b AS (SELECT vec_id,
-                 [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
-                    (acc, x) -> acc + x) for p in range(0, 8)] AS pv
-               FROM v CROSS JOIN pl)
-         SELECT vec_id,
-           round(list_cosine_similarity(pv,
-             (SELECT pv FROM b WHERE vec_id = 0)), 4) AS proj_sim
-         FROM b ORDER BY proj_sim DESC, vec_id LIMIT 10""",
-    // projected-vs-exact recall replay: both rankings rebuilt in SQL
-    // (projected cosine over the replayed folds; exact cosine over
-    // the stored vectors), overlap counted per query
-    "q_ann_projected_recall" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
-         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                        for j in range(0, nd)] for p in range(0, 8)] AS planes
-                FROM dm),
-         b AS (SELECT vec_id,
-                 [list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
-                    (acc, x) -> acc + x) for p in range(0, 8)] AS pv
-               FROM v CROSS JOIN pl),
-         qp AS (SELECT vec_id AS query_id, pv FROM b
-                WHERE vec_id IN (0, 1, 2, 3, 4)),
-         pr AS (SELECT qp.query_id, b.vec_id,
-                  round(list_cosine_similarity(b.pv, qp.pv), 4) AS s
-                FROM b CROSS JOIN qp),
-         pk AS (SELECT query_id, vec_id FROM (
-                  SELECT query_id, vec_id, row_number() OVER (
-                    PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
-                  FROM pr) WHERE rn <= 10),
-         ex AS (SELECT q.vec_id AS query_id, e.vec_id,
-                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                    CAST(q.embedding AS DOUBLE[])), 4) AS s
-                FROM embeddings e,
-                     (SELECT vec_id, embedding FROM embeddings
-                      WHERE vec_id IN (0, 1, 2, 3, 4)) q),
-         ek AS (SELECT query_id, vec_id FROM (
-                  SELECT query_id, vec_id, row_number() OVER (
-                    PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
-                  FROM ex) WHERE rn <= 10)
-         SELECT ek.query_id, count(*) AS n_exact,
-           CAST(coalesce(sum(CASE WHEN pk.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
-           round(coalesce(sum(CASE WHEN pk.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
-         FROM ek LEFT JOIN pk
-           ON pk.query_id = ek.query_id AND pk.vec_id = ek.vec_id
-         GROUP BY ek.query_id ORDER BY ek.query_id""",
-    "q_embedding_neardup_md5" ->
-      """WITH corpus AS (
-           SELECT vec_id, embedding FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-           WHERE vec_id % 10 = 0),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM corpus),
-         dm AS (SELECT len(ve) AS nd FROM v LIMIT 1),
-         pl AS (SELECT [[(CAST(concat('0x', substring(md5(concat(CAST(p AS VARCHAR), '|', CAST(j AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 - 0.5
-                        for j in range(0, nd)] for p in range(0, 8)] AS planes
-                FROM dm),
-         b AS (SELECT vec_id, ve,
-                 list_sum([CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     [ve[j+1] * planes[p+1][j+1] for j in range(0, len(ve))]),
-                     (acc, x) -> acc + x) >= 0
-                   THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
-                   for p in range(0, 8)]) AS bucket
-               FROM v CROSS JOIN pl)
-         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           round(list_cosine_similarity(l.ve, r.ve), 4) AS cos_sim
-         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-         WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.999
-         ORDER BY id_a, id_b""",
-    "q_ann_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes)
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // recall replay: same assign/probes CTEs as q_ann_ivf, ranked per
-    // query; exact top-k left-joins the probed top-k and counts hits
-    "q_ann_recall" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (
-           SELECT vec_id AS query_id, cid FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
-         q AS (SELECT vec_id AS query_id, ve FROM v
-               WHERE vec_id IN (0, 1, 2, 3, 4)),
-         approx AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, v.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
-                          v.vec_id) AS rn
-             FROM v
-             JOIN assign a ON a.vec_id = v.vec_id
-             JOIN probes p ON p.cid = a.cell
-             JOIN q ON q.query_id = p.query_id) WHERE rn <= 10),
-         exact AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, v.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(v.ve, q.ve), 4) DESC,
-                          v.vec_id) AS rn
-             FROM v CROSS JOIN q) WHERE rn <= 10)
-         SELECT e.query_id, count(*) AS n_exact,
-           round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-         FROM exact e
-         LEFT JOIN approx a
-           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-         GROUP BY 1 ORDER BY 1""",
-    // identical semantics to q_ann_ivf — the Spark side differs only
-    // in serving the probe from the written partition-pruned index
-    "q_ann_ivf_indexed" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes)
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // erasure replay: the probe over the REMAINING vectors — frozen
-    // centroids mean removing a row cannot move any other row, so
-    // tombstoned serving must equal the rebuild-on-remaining exactly
-    "q_ann_ivf_deleted" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 7 <> 3
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // the retention index's batch inventory: every count re-derived
-    // from its id split — folded build, kept w2, retained tombstones
-    "q_ann_ivf_history" ->
-      """SELECT 'batch' AS kind, 'build' AS batch_id, count(*) AS n_rows
-         FROM embeddings WHERE vec_id % 8 <> 6 AND vec_id % 7 <> 3
-         UNION ALL
-         SELECT 'batch' AS kind, 'w2' AS batch_id, count(*) AS n_rows
-         FROM embeddings WHERE vec_id % 8 = 6
-         UNION ALL
-         SELECT 'tombstones' AS kind, 'retained' AS batch_id,
-           count(*) AS n_rows
-         FROM embeddings WHERE vec_id % 8 = 6 AND vec_id % 7 = 3
-         ORDER BY kind, batch_id""",
-    // retention as-of("build"): the folded window's live rows serve
-    // from the base — everything except the KEPT w2 batch (≡6 mod 8),
-    // minus the physically-applied erasure (≡3 mod 7)
-    "q_ann_ivf_retention_asof" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes)
-           AND e.vec_id % 8 <> 6 AND e.vec_id % 7 <> 3
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // the incremental index shares the FULL-REBUILD replay verbatim:
-    // append ≡ rebuild is the operator's exactness claim, so the
-    // oracle for the appended index IS the oracle for the rebuilt one
-    "q_ann_ivf_incremental" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes)
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // the stream-built IVF index shares the full-rebuild replay:
-    // stream-built ≡ rebuild is the sink's exactness claim
-    "q_ann_ivf_streamed" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes)
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // snapshot replay: the probe over the PREFIX's vectors only —
-    // batches 0 and 1 of the 3-batch ingest (vec_id % 3 <> 2); the
-    // as-of read of the stream-built index must reproduce the
-    // pre-batch-2 index exactly
-    "q_ann_ivf_asof" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 3 <> 2
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    // named-batch snapshot of the BATCH-maintained index: the probe
-    // over the base build's vectors only (the "inc1" append holds
-    // ids ≡ 3 mod 8) — as-of-by-name ≡ rebuild-at-that-history
-    "q_ann_ivf_asof_batch" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 2)
-         SELECT e.vec_id,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos_sim
-         FROM embeddings e
-         JOIN assign a ON a.vec_id = e.vec_id
-         WHERE a.cell IN (SELECT cid FROM probes) AND e.vec_id % 8 <> 3
-         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
-    "q_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""",
-    "q_range_join" ->
-      """SELECT p.event_id, p.user_id,
-         (SELECT count(*) FROM events v
-          WHERE v.event_type = 'view' AND v.user_id = p.user_id
-            AND epoch_us(v.ts) > epoch_us(p.ts) - 600000000
-            AND epoch_us(v.ts) <= epoch_us(p.ts)) AS n_views_10m
-         FROM events p WHERE p.event_type = 'purchase'
-         ORDER BY p.event_id""",
-    "q_asof_join" ->
-      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tus,
-         (SELECT v.event_id FROM events v
-          WHERE v.event_type = 'view' AND v.user_id = p.user_id
-            AND epoch_us(v.ts) <= epoch_us(p.ts)
-          ORDER BY epoch_us(v.ts) DESC, v.event_id DESC LIMIT 1) AS view_event
-         FROM events p WHERE p.event_type = 'purchase'
-         ORDER BY p.event_id""",
-    "q_scalar_funcs" ->
-      """SELECT event_id,
-         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts,
-         CAST(epoch_us(ts) // 1000 AS BIGINT) AS epoch_ms,
-         CAST(props->>'$.k' AS BIGINT) AS prop_k,
-         CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS payload,
-         CASE WHEN event_type IN ('view','click') THEN 'engagement'
-              WHEN event_type = 'purchase' THEN 'conversion'
-              ELSE 'other' END AS event_class,
-         coalesce(props->>'$.ip', 'unknown') AS client_ip,
-         regexp_matches(lpad(hex(event_id), 8, '0') || '-0000-7000-8000-00000000000' ||
-           CASE WHEN event_id % 7 = 0 THEN '' ELSE '0' END,
-           '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS uuid_ok
-         FROM events ORDER BY event_id""",
-    "q_value_percentiles" ->
-      """SELECT event_type,
-         round(quantile_cont(value, 0.5), 4) AS p50,
-         round(quantile_cont(value, 0.9), 4) AS p90,
-         round(quantile_cont(value, 0.99), 4) AS p99,
-         min(value) AS v_min, max(value) AS v_max
-         FROM events GROUP BY 1 ORDER BY event_type""",
-    "q_text_stats" ->
-      """WITH w AS (
-           SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-         sc AS (
-           SELECT doc_id, text, ws,
-             len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS s_en,
-             len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS s_fr,
-             len(list_filter(ws, x -> x IN ('el','los','las','es','y'))) AS s_es,
-             len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS s_de
-           FROM w)
-         SELECT doc_id,
-           len(ws) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
-           CAST(ceil(length(text)/4.0) AS BIGINT) AS est_llm_tokens,
-           round(length(replace(text,' ',''))/len(ws), 4) AS avg_word_len,
-           round(len(list_filter(ws, x -> x IN ('the','a')))/len(ws), 4) AS stopword_ratio,
-           CASE WHEN s_en > 0 AND s_en = greatest(s_en,s_fr,s_es,s_de) THEN 'en'
-                WHEN s_fr > 0 AND s_fr = greatest(s_en,s_fr,s_es,s_de) THEN 'fr'
-                WHEN s_es > 0 AND s_es = greatest(s_en,s_fr,s_es,s_de) THEN 'es'
-                WHEN s_de > 0 AND s_de = greatest(s_en,s_fr,s_es,s_de) THEN 'de'
-                ELSE 'und' END AS detected_lang
-         FROM sc ORDER BY doc_id""",
-    // repetition metrics replay in DuckDB via list comprehensions:
-    // range(1, len) yields bigram start indices, list_distinct gives
-    // the dup fractions, and the top-bigram count is the max of each
-    // bigram's own multiplicity (O(n²) is fine at oracle scale; the
-    // Spark side uses an O(n log n) sort + run-length fold — only the
-    // COUNT must agree, not the algorithm)
-    // relational replay of the narrow fold: group-count the tokens,
-    // rebuild Σ c·round(ln(n/c)·1e6) — exact integer terms make the
-    // summation order irrelevant, so shapes can differ across engines
-    "q_token_entropy" ->
-      """WITH wc AS (
-           SELECT doc_id, w, count(*) AS c FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS w
-             FROM documents)
-           GROUP BY doc_id, w),
-         d AS (
-           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-                  CAST(count(*) AS BIGINT) AS n_types, list(c) AS cs
-           FROM wc GROUP BY doc_id)
-         SELECT doc_id, n AS n_words, n_types,
-           round(CAST(list_sum(list_transform(cs,
-               c -> c * CAST(round(ln(n / c) * 1e6) AS BIGINT)))
-             AS BIGINT) / (n * 1e6), 4) AS entropy,
-           n >= 20 AND round(CAST(list_sum(list_transform(cs,
-               c -> c * CAST(round(ln(n / c) * 1e6) AS BIGINT)))
-             AS BIGINT) / (n * 1e6), 4) < 2.0 AS low_entropy
-         FROM d ORDER BY doc_id""",
-    "q_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         g AS (SELECT doc_id, ws,
-           CASE WHEN len(ws) >= 2
-                THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                ELSE CAST([] AS VARCHAR[]) END AS bg,
-           CASE WHEN len(ws) >= 3
-                THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                      for i in range(1, len(ws) - 1)]
-                ELSE CAST([] AS VARCHAR[]) END AS tg
-           FROM t),
-         m AS (SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS n_words,
-           round(1 - len(list_distinct(ws)) * 1.0 / len(ws), 4) AS dup_word_frac,
-           CASE WHEN len(bg) > 0
-                THEN round(1 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
-                ELSE 0.0 END AS dup_bigram_frac,
-           CASE WHEN len(tg) > 0
-                THEN round(1 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
-                ELSE 0.0 END AS dup_trigram_frac,
-           CASE WHEN len(bg) > 0
-                THEN round(list_max([len(list_filter(bg, y -> y = x)) for x in bg])
-                           * 1.0 / len(bg), 4)
-                ELSE 0.0 END AS top_bigram_frac
-           FROM g)
-         SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
-           dup_trigram_frac, top_bigram_frac,
-           (n_words >= 20 AND
-            (top_bigram_frac >= 0.08 OR dup_trigram_frac >= 0.05)) AS repetitive
-         FROM m ORDER BY doc_id""",
-    // inverse direction: per-bench-doc leak rollup over the same
-    // distinct-shingle machinery
-    "q_contamination_by_bench" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         g AS (SELECT doc_id,
-           CASE WHEN len(ws) >= 2
-                THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
-                ELSE CAST([] AS VARCHAR[]) END AS grams
-           FROM d),
-         bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gr
-                FROM g WHERE doc_id % 101 = 7),
-         cg AS (SELECT doc_id AS cid, unnest(grams) AS gr
-                FROM g WHERE doc_id % 101 <> 7),
-         leaks AS (SELECT bg.bench_id,
-                     count(DISTINCT cg.cid) AS n_leaking_docs,
-                     count(DISTINCT bg.gr) AS n_leaked_grams
-                   FROM bg JOIN cg ON bg.gr = cg.gr GROUP BY 1),
-         base AS (SELECT doc_id AS bench_id,
-                    CAST(len(grams) AS BIGINT) AS n_grams
-                  FROM g WHERE doc_id % 101 = 7)
-         SELECT base.bench_id, base.n_grams,
-           coalesce(l.n_leaking_docs, 0) AS n_leaking_docs,
-           coalesce(l.n_leaked_grams, 0) AS n_leaked_grams,
-           CASE WHEN base.n_grams > 0
-                THEN ((coalesce(l.n_leaked_grams, 0) * 20000 + base.n_grams)
-                      // (2 * base.n_grams)) / 10000.0
-                ELSE 0.0 END AS leaked_frac
-         FROM base LEFT JOIN leaks l ON base.bench_id = l.bench_id
-         ORDER BY base.bench_id""",
-    "q_decontaminate" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         g AS (SELECT doc_id,
-           CASE WHEN len(ws) >= 2
-                THEN list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
-                ELSE CAST([] AS VARCHAR[]) END AS grams
-           FROM d),
-         bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 101 = 7),
-         corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 101 <> 7),
-         cg AS (SELECT doc_id, unnest(grams) AS gr FROM corp),
-         hits AS (SELECT cg.doc_id, count(*) AS n_grams, count(bench.gr) AS n_hits
-                  FROM cg LEFT JOIN bench ON cg.gr = bench.gr GROUP BY 1)
-         SELECT corp.doc_id,
-           coalesce(n_grams, 0) AS n_grams,
-           coalesce(n_hits, 0) AS n_hits,
-           CASE WHEN coalesce(n_grams, 0) > 0
-                THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END AS contamination,
-           (CASE WHEN coalesce(n_grams, 0) > 0
-                 THEN round(n_hits * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.4)
-             AS contaminated
-         FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
-         ORDER BY corp.doc_id""",
-    "q_bpe_merges" -> bpeOracle(8),
-    "q_bpe_encode" -> bpeEncodeOracle(8),
-    "q_top_ngrams" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
-         g AS (SELECT unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t)
-         SELECT gram, count(*) AS occurrences FROM g
-         GROUP BY 1 ORDER BY occurrences DESC, gram LIMIT 20""",
-    // cross-doc duplicated 5-gram replay: per-(doc, gram) counts,
-    // per-gram distinct-doc counts, dup occurrences where the gram
-    // lives in >= 2 docs; list-slice comprehension builds the grams
-    "q_memorization" ->
-      (s"""WITH $memorizationCtes
-         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.dup_grams, 0) AS dup_grams,
-           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-             ((per.dup_grams * 20000 + per.n_grams)
-              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
-         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-         ORDER BY d.doc_id"""),
-    "q_memorized_grams" ->
-      (s"""WITH $memorizationCtes
-         SELECT dg.g AS gram, count(*) AS n_docs,
-           CAST(sum(dg.c) AS BIGINT) AS n_occurrences
-         FROM dg GROUP BY 1 HAVING count(*) >= 2
-         ORDER BY n_occurrences DESC, n_docs DESC, gram LIMIT 20"""),
-    // admission-gate replay: train-quarter gram SET membership (the
-    // nd >= 1 probe) against held-out per-(doc, gram) counts
-    "q_memorization_probe" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ')
-                        for i in range(1, len(ws) - 3)]
-                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
-         tg AS (SELECT DISTINCT g FROM g WHERE doc_id % 4 <> 0),
-         dg AS (SELECT doc_id, g, count(*) AS c FROM g
-                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
-         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
-                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
-                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
-         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.dup_grams, 0) AS dup_grams,
-           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-             ((per.dup_grams * 20000 + per.n_grams)
-              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
-         LEFT JOIN per ON d.doc_id = per.doc_id
-         ORDER BY d.doc_id""",
-    // erasure replay: the admission gate against the train set MINUS
-    // the erased batch — the negative-count merge must serve exactly
-    // the retrained gram membership
-    "q_memorization_probe_deleted" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ')
-                        for i in range(1, len(ws) - 3)]
-                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
-         tg AS (SELECT DISTINCT g FROM g
-                WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 1),
-         dg AS (SELECT doc_id, g, count(*) AS c FROM g
-                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
-         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
-                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
-                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
-         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.dup_grams, 0) AS dup_grams,
-           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-             ((per.dup_grams * 20000 + per.n_grams)
-              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
-         LEFT JOIN per ON d.doc_id = per.doc_id
-         ORDER BY d.doc_id""",
-    // retention as-of("build"): the folded base AFTER
-    // compactMemorizationIndexKeeping — base ∪ folded-w1 (≡5) minus
-    // the folded erasure (≡1), with only the KEPT ≡7 window absent
-    "q_memorization_probe_retained_asof" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ')
-                        for i in range(1, len(ws) - 3)]
-                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
-         tg AS (SELECT DISTINCT g FROM g
-                WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 7
-                  AND doc_id % 8 <> 1),
-         dg AS (SELECT doc_id, g, count(*) AS c FROM g
-                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
-         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
-                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
-                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
-         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.dup_grams, 0) AS dup_grams,
-           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-             ((per.dup_grams * 20000 + per.n_grams)
-              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
-         LEFT JOIN per ON d.doc_id = per.doc_id
-         ORDER BY d.doc_id""",
-    // snapshot replay: the admission gate against the BASE batch's
-    // train docs only (train minus its ≡5 mod 8 eighth) — the as-of
-    // read of the appended index must behave as if the append never
-    // happened
-    "q_memorization_probe_asof" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents),
-         g AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ')
-                        for i in range(1, len(ws) - 3)]
-                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
-         tg AS (SELECT DISTINCT g FROM g
-                WHERE doc_id % 4 <> 0 AND doc_id % 8 <> 5),
-         dg AS (SELECT doc_id, g, count(*) AS c FROM g
-                WHERE doc_id % 4 = 0 GROUP BY 1, 2),
-         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-                  CAST(coalesce(sum(CASE WHEN tg.g IS NOT NULL
-                       THEN dg.c END), 0) AS BIGINT) AS dup_grams
-                 FROM dg LEFT JOIN tg ON dg.g = tg.g GROUP BY 1)
-         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.dup_grams, 0) AS dup_grams,
-           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-             ((per.dup_grams * 20000 + per.n_grams)
-              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
-         LEFT JOIN per ON d.doc_id = per.doc_id
-         ORDER BY d.doc_id""",
-    // merged-index probe must equal the FULL-corpus cross-doc replay
-    // restricted to the held-out quarter — additivity is the gate
-    "q_memorization_incremental" ->
-      (s"""WITH $memorizationCtes
-         SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
-           coalesce(per.dup_grams, 0) AS dup_grams,
-           CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
-             ((per.dup_grams * 20000 + per.n_grams)
-              // (2 * per.n_grams)) / 10000.0 END AS dup_frac
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
-         LEFT JOIN per ON d.doc_id = per.doc_id
-         ORDER BY d.doc_id"""),
-    // per-term values round to integer pico-nats so the per-source
-    // sum is exact — the same order-independence contract as the LM
-    // micro-nat mean (a float sum over the vocab grid would diverge)
-    "q_domain_divergence" ->
-      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
-                    FROM documents),
-         csw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2),
-         cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY 1),
-         ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY 1),
-         tot AS (SELECT sum(c_w) AS n, count(*) AS v FROM cw),
-         grid AS (SELECT ns.source, cw.w, cw.c_w, ns.n_s, tot.n, tot.v,
-                    coalesce(csw.c_sw, 0) AS c_sw0
-                  FROM cw CROSS JOIN ns
-                  LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w
-                  CROSS JOIN tot),
-         terms AS (SELECT source, n_s,
-             CAST(round(((c_sw0 + 1) * 1.0 / (n_s + v)) *
-               ln(((c_sw0 + 1) * 1.0 * (n + v)) /
-                  ((n_s + v) * 1.0 * (c_w + 1))) * 1e12) AS BIGINT) AS t12
-           FROM grid)
-         SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
-           round(sum(t12) / 1e12, 6) AS kl_divergence
-         FROM terms GROUP BY 1 ORDER BY source""",
-    "q_tfidf_keywords" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                    FROM documents),
-         tfc AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
-         dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         s AS (SELECT doc_id, term,
-                 round(tf * round(ln(n_docs * 1.0 / df), 6), 4) AS score
-               FROM tfc JOIN dfc USING (term) CROSS JOIN n),
-         r AS (SELECT doc_id, term, score,
-                 row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, term) AS rank
-               FROM s)
-         SELECT doc_id, rank, term, score FROM r
-         WHERE rank <= 3 ORDER BY doc_id, rank""",
-    // the LM replay: model counts from the same corpus, add-1 nll per
-    // bigram rounded to 6 (ln ulp contract), doc mean to 4; docs with
-    // fewer than two words carry a NULL bigram through the left joins
-    // so they aggregate to (0, 0.0)
-    "q_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         b AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM t),
-         m AS (SELECT bg, count(*) AS c12 FROM b WHERE bg IS NOT NULL GROUP BY 1),
-         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
-                 FROM m GROUP BY 1),
-         v AS (SELECT count(DISTINCT term) AS v
-               FROM (SELECT unnest(ws) AS term FROM t)),
-         s AS (SELECT b.doc_id, b.bg,
-                 CASE WHEN b.bg IS NOT NULL
-                      THEN CAST(round(ln((ctx.c1 + v.v) * 1.0 / (m.c12 + 1.0))
-                                      * 1000000.0) AS BIGINT)
-                 END AS nll6
-               FROM b LEFT JOIN m ON b.bg = m.bg
-               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
-               CROSS JOIN v)
-         SELECT doc_id, count(bg) AS n_bigrams,
-           CASE WHEN count(bg) > 0
-                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                ELSE 0.0 END AS lm_nll,
-           (CASE WHEN count(bg) > 0
-                 THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                 ELSE 0.0 END >= 10.0) AS unusual
-         FROM s GROUP BY 1 ORDER BY doc_id""",
-    "q_sample_weighted" ->
-      """SELECT doc_id, n_chars FROM documents
-         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-           lpad(lower(to_hex(least(
-             CAST(floor(least(greatest(n_chars / 1000.0, 0.0), 1.0)
-                        * 4294967296.0) AS BIGINT),
-             4294967295))), 8, '0')
-         ORDER BY doc_id""",
-    // capstone gates + doc-graph LPA (fixed 4 rounds -> fully static
-    // replay) + the per-community cap: row_number over (community,
-    // node) > 2 drops; graph-absent docs survive by construction
-    "q_curation_communities" -> (curationGateCtes +
-      s""", ke AS MATERIALIZED (
-           SELECT doc_id AS s, doc_id + 1 AS t FROM corp0 WHERE doc_id % 8 <= 3
-           UNION ALL
-           SELECT doc_id, doc_id + 2 FROM corp0 WHERE doc_id % 8 = 0
-           UNION ALL
-           SELECT doc_id, doc_id - doc_id % 64 FROM corp0 WHERE doc_id % 8 = 0),
-         kund AS MATERIALIZED (
-           SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ke
-           WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t),
-         ${lpaChainCtes(4, "kund")},
-         capdrop AS (SELECT node FROM (
-             SELECT node, row_number() OVER (PARTITION BY community
-               ORDER BY node) AS rn FROM fin)
-           WHERE rn > 2),
-         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id
-           WHERE NOT rep.repetitive AND NOT con.contaminated
-             AND NOT lm.lm_nll >= 10.0),
-         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
-         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
-         JOIN keep k ON g.doc_id = k.doc_id
-         WHERE NOT EXISTS (SELECT 1 FROM capdrop WHERE capdrop.node = g.doc_id)
-         ORDER BY g.doc_id"""),
-    // the curation capstone replays every gate CTE over the corpus
-    // slice (benchmark = doc_id % 101 = 7 held out), then min-id
-    // exact dedup on text — same sub-oracles as q_repetition /
-    // q_decontaminate / q_lm_score, restricted to the corpus slice
-    "q_curation_pipeline" -> (curationGateCtes +
-      """, gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id
-           WHERE NOT rep.repetitive AND NOT con.contaminated
-             AND NOT lm.lm_nll >= 10.0),
-         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
-         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
-         JOIN keep k ON g.doc_id = k.doc_id
-         ORDER BY g.doc_id"""),
-    // the capstone tail + the DSIR Gumbel top-50 restricted to the
-    // kept ids (model counts from the FULL pool, matching the cached
-    // dsirModelFor artifact; dsir CTEs x-prefixed to dodge the gate
-    // CTE names)
-    "q_curation_dsir" -> (curationGateCtes +
-      s""", gated AS (SELECT c.doc_id, c.text
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id
-           WHERE NOT rep.repetitive AND NOT con.contaminated
-             AND NOT lm.lm_nll >= 10.0),
-         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
-         ${dsirCtes("x")},
-         xs AS (SELECT xgb.doc_id, sum(xr.r6) AS s6
-               FROM xgb JOIN xr ON xgb.b = xr.b
-               WHERE xgb.doc_id IN (SELECT doc_id FROM keep)
-               GROUP BY 1),
-         xk AS (SELECT doc_id, s6 + ${gumbel6Sql("doc_id")} AS key6
-               FROM xs)
-         SELECT doc_id,
-           ${micro4Sql("key6")} AS dsir_key
-         FROM (SELECT * FROM xk ORDER BY key6 DESC, doc_id LIMIT 50)
-         ORDER BY doc_id"""),
-    // the capstone tail + the NB-classifier MAP gate over the kept
-    // ids (model replay = the q_quality_classifier CTEs, trained on
-    // the FULL ¾ split exactly like the cached nbModelFor artifact)
-    "q_curation_classified" -> (curationGateCtes +
-      s""", gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id
-           WHERE NOT rep.repetitive AND NOT con.contaminated
-             AND NOT lm.lm_nll >= 10.0),
-         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
-         $nbCtes,
-         kh AS (SELECT dd.doc_id, string_split(dd.text, ' ') AS ws
-                FROM documents dd JOIN keep k ON dd.doc_id = k.doc_id),
-         khg AS (SELECT doc_id, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM kh),
-         khb AS (SELECT doc_id,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM khg),
-         khs AS (SELECT khb.doc_id, sum(qw.w6) AS s6
-                 FROM khb JOIN qw ON khb.b = qw.b GROUP BY 1),
-         khd AS (SELECT khs.doc_id, khs.s6 + qbias.w6 AS d6
-                 FROM khs CROSS JOIN qbias)
-         SELECT g.doc_id, g.source, g.lm_nll,
-           ${micro4Sql("khd.d6")} AS nb_score
-         FROM gated g
-         JOIN keep k ON g.doc_id = k.doc_id
-         JOIN khd ON khd.doc_id = g.doc_id
-         WHERE khd.d6 > 0
-         ORDER BY g.doc_id"""),
-    // the capstone tail + the PageRank bottom-decile prior over the
-    // doc-id hub graph (rank replay = the q_pagerank CTE chain over
-    // corp0's edges; the cut orders by the oracle-pinned
-    // round(rank, 10) with node tiebreak, ⌈n/10⌉ rows drop)
-    "q_curation_ranked" -> (curationGateCtes +
-      s""", e0 AS MATERIALIZED (
-           SELECT doc_id AS a, doc_id - doc_id % 4 AS b FROM corp0
-           UNION
-           SELECT doc_id - doc_id % 4 AS a,
-                  doc_id - doc_id % 16 AS b FROM corp0),
-         ${pageRankRoundCtes(8)},
-         low AS (SELECT node FROM (
-             SELECT node, row_number()
-                 OVER (ORDER BY round(rank, 10), node) AS rn,
-               count(*) OVER () AS cnt
-             FROM r8) WHERE rn <= (cnt + 9) // 10),
-         gated AS (SELECT c.doc_id, c.source, c.text, lm.lm_nll
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id
-           WHERE NOT rep.repetitive AND NOT con.contaminated
-             AND NOT lm.lm_nll >= 10.0),
-         keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
-         SELECT g.doc_id, g.source, g.lm_nll FROM gated g
-         JOIN keep k ON g.doc_id = k.doc_id
-         WHERE NOT EXISTS (SELECT 1 FROM low WHERE low.node = g.doc_id)
-         ORDER BY g.doc_id"""),
-    // per-source gate rollup + dedup-winner kept counts; count(*)
-    // FILTER keeps every column BIGINT
-    "q_curation_report" -> (curationGateCtes +
-      """, flags AS (SELECT c.doc_id, c.source, c.text,
-             rep.repetitive, con.contaminated, (lm.lm_nll >= 10.0) AS unusual
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id),
-         gates AS (SELECT source, count(*) AS docs_in,
-             count(*) FILTER (WHERE repetitive) AS n_repetitive,
-             count(*) FILTER (WHERE contaminated) AS n_contaminated,
-             count(*) FILTER (WHERE unusual) AS n_unusual,
-             count(*) FILTER (WHERE NOT repetitive AND NOT contaminated
-                                AND NOT unusual) AS n_passed
-           FROM flags GROUP BY 1),
-         surv AS (SELECT * FROM flags
-                  WHERE NOT repetitive AND NOT contaminated AND NOT unusual),
-         win AS (SELECT source FROM (
-             SELECT source, row_number() OVER (PARTITION BY text
-                                               ORDER BY doc_id) AS rn
-             FROM surv) WHERE rn = 1),
-         kept AS (SELECT source, count(*) AS n_kept FROM win GROUP BY 1)
-         SELECT g.source, g.docs_in, g.n_repetitive, g.n_contaminated,
-           g.n_unusual, g.n_passed, coalesce(k.n_kept, 0) AS n_kept
-         FROM gates g LEFT JOIN kept k ON g.source = k.source
-         ORDER BY g.source"""),
-    // the streaming sink's telemetry: same gate flags per doc, rolled
-    // up per batch (batch = doc_id % 3); kept = first-arrival dedup
-    // winners — min (batch, doc_id) per surviving text — counted in
-    // their batch. count(*) FILTER keeps every column BIGINT.
-    "q_curation_telemetry" -> (curationGateCtes +
-      """, flags AS (SELECT c.doc_id, c.doc_id % 3 AS batch_id, c.text,
-             rep.repetitive, con.contaminated, (lm.lm_nll >= 10.0) AS unusual
-           FROM corp0 c
-           JOIN rep ON rep.doc_id = c.doc_id
-           JOIN con ON con.doc_id = c.doc_id
-           JOIN lm ON lm.doc_id = c.doc_id),
-         surv AS (SELECT * FROM flags
-                  WHERE NOT repetitive AND NOT contaminated AND NOT unusual),
-         win AS (SELECT batch_id FROM (
-             SELECT batch_id,
-               row_number() OVER (PARTITION BY text
-                                  ORDER BY batch_id, doc_id) AS rn
-             FROM surv) WHERE rn = 1),
-         kept AS (SELECT batch_id, count(*) AS kept FROM win GROUP BY 1),
-         agg AS (SELECT batch_id, count(*) AS docs_in,
-             count(*) FILTER (WHERE repetitive) AS dropped_repetitive,
-             count(*) FILTER (WHERE contaminated) AS dropped_contaminated,
-             count(*) FILTER (WHERE unusual) AS dropped_unusual
-           FROM flags GROUP BY 1)
-         SELECT a.batch_id, a.docs_in, a.dropped_repetitive,
-           a.dropped_contaminated, a.dropped_unusual,
-           coalesce(k.kept, 0) AS kept
-         FROM agg a LEFT JOIN kept k ON k.batch_id = a.batch_id
-         ORDER BY a.batch_id"""),
-    "q_sample_budget" ->
-      """SELECT doc_id, n_chars FROM (
-           SELECT doc_id, n_chars FROM documents
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40)
-         ORDER BY doc_id""",
-    "q_sample_per_stratum" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-           FROM documents)
-         WHERE rn <= 30 ORDER BY doc_id""",
-    "q_mix_token_budget" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang,
-             sum(len(string_split(text, ' '))) OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM documents)
-         WHERE cum <= 5000 ORDER BY doc_id""",
-    // DSIR replay: hashed uni+bigram bucket counts for target (en)
-    // and raw (all), add-1 log-ratios rounded to integer micro-nats
-    // (the ln ulp contract), per-doc exact long sums
-    "q_dsir_weights" ->
-      (s"""WITH ${dsirCtes("")},
-         s AS (SELECT gb.doc_id, count(*) AS n_grams, sum(r.r6) AS s6
-               FROM gb JOIN r ON gb.b = r.b GROUP BY 1)
-         SELECT doc_id, n_grams,
-           ${micro4Sql("s6")} AS dsir_logw
-         FROM s ORDER BY doc_id"""),
-    "q_dsir_select" ->
-      (s"""WITH ${dsirCtes("")},
-         s AS (SELECT gb.doc_id, sum(r.r6) AS s6
-               FROM gb JOIN r ON gb.b = r.b GROUP BY 1),
-         k AS (SELECT doc_id, s6 + ${gumbel6Sql("doc_id")} AS key6
-               FROM s)
-         SELECT doc_id,
-           ${micro4Sql("key6")} AS dsir_key
-         FROM (SELECT * FROM k ORDER BY key6 DESC, doc_id LIMIT 50)
-         ORDER BY doc_id"""),
-    // NB classifier replay: the TRAIN is the oracle — per-class
-    // bucket counts, add-1 ln-ratio weights, prior bias, all in
-    // integer micro-nats (bias rides as the b = -1 row)
-    "q_quality_classifier" ->
-      (s"""WITH $nbCtes
-         SELECT b, w6 FROM qw
-         UNION ALL SELECT CAST(-1 AS BIGINT) AS b, w6 FROM qbias
-         ORDER BY b"""),
-    // the gate: held-out quarter scored against the replayed weights
-    // — exact long decision sums, MAP keep bit
-    "q_quality_classifier_gate" ->
-      (s"""WITH $nbCtes,
-         qh AS (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents WHERE doc_id % 4 = 0),
-         qhg AS (SELECT doc_id, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
-         qhb AS (SELECT doc_id,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM qhg),
-         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
-                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
-         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
-                 FROM qhs CROSS JOIN qbias)
-         SELECT doc_id, ${micro4Sql("d6")} AS nb_score, d6 > 0 AS keep
-         FROM qhd ORDER BY doc_id"""),
-    // the PR sweep re-derives the held-out decisions (same CTEs) and
-    // rolls them per threshold; exact integer //-division readouts
-    "q_classifier_pr" ->
-      (s"""WITH $nbCtes,
-         qh AS (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents WHERE doc_id % 4 = 0),
-         qhg AS (SELECT doc_id, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
-         qhb AS (SELECT doc_id,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM qhg),
-         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
-                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
-         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
-                 FROM qhs CROSS JOIN qbias),
-         lab AS (SELECT qhd.doc_id, qhd.d6, dd.n_chars >= 300 AS pos
-                 FROM qhd JOIN documents dd ON dd.doc_id = qhd.doc_id),
-         th AS (SELECT CAST(unnest([-2000000, -1000000, 0,
-                                    1000000, 2000000]) AS BIGINT) AS t6),
-         c AS (SELECT th.t6,
-                 count(CASE WHEN lab.pos AND lab.d6 > th.t6 THEN 1 END)
-                   AS tp,
-                 count(CASE WHEN NOT lab.pos AND lab.d6 > th.t6 THEN 1 END)
-                   AS fp,
-                 count(CASE WHEN lab.pos AND lab.d6 <= th.t6 THEN 1 END)
-                   AS fn
-               FROM th CROSS JOIN lab GROUP BY 1)
-         SELECT t6, tp, fp, fn,
-           CASE WHEN tp + fp > 0
-                THEN ((tp * 20000 + (tp + fp)) // (2 * (tp + fp)))
-                     / 10000.0 END AS precision,
-           CASE WHEN tp + fn > 0
-                THEN ((tp * 20000 + (tp + fn)) // (2 * (tp + fn)))
-                     / 10000.0 END AS recall
-         FROM c ORDER BY t6"""),
-    // q_dsir_weights_indexed aliases the q_dsir_weights replay in
-    // oracleSql (the q_search_bm25_indexed precedent): the written-
-    // model path must score identically to the in-session one
-    "q_token_fertility" ->
-      """SELECT lang, count(*) AS docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
-           CAST(sum(len(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
-           CASE WHEN sum(len(string_split(text, ' '))) > 0 THEN
-             ((sum(len(regexp_extract_all(text,
-                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) * 20000
-               + sum(len(string_split(text, ' '))))
-              // (sum(len(string_split(text, ' '))) * 2)) / 10000.0
-           END AS fertility
-         FROM documents GROUP BY lang ORDER BY lang""",
-    // 2^44 fixed-point per-component sums (floor of an exact IEEE
-    // product), cosine of the integer sum vectors in dim order
-    "q_embedding_drift" ->
-      """WITH c AS (SELECT label,
-               generate_subscripts(embedding, 1) - 1 AS dim,
-               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                 * 17592186044416.0) AS BIGINT) AS xi
-             FROM embeddings),
-         lb AS (SELECT label, dim, sum(xi) AS s, count(*) AS nv
-                FROM c GROUP BY 1, 2),
-         lv AS (SELECT label, max(nv) AS n_vecs,
-                  list(CAST(s AS DOUBLE) ORDER BY dim) AS lvv
-                FROM lb GROUP BY 1),
-         gv AS (SELECT list(CAST(g AS DOUBLE) ORDER BY dim) AS gvv
-                FROM (SELECT dim, sum(s) AS g FROM lb GROUP BY 1))
-         SELECT label, n_vecs,
-           round(list_cosine_similarity(lvv, gvv), 4) AS drift_cos
-         FROM lv CROSS JOIN gv ORDER BY label""",
-    // per-vector cosine to the label's 2^44 fixed-point sum vector
-    // (the q_embedding_drift machinery, scored per row)
-    "q_embedding_outliers" ->
-      """WITH c AS (SELECT label,
-               generate_subscripts(embedding, 1) - 1 AS dim,
-               CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                 * 17592186044416.0) AS BIGINT) AS xi
-             FROM embeddings),
-         lb AS (SELECT label, dim, sum(xi) AS s FROM c GROUP BY 1, 2),
-         lv AS (SELECT label,
-                  list(CAST(s AS DOUBLE) ORDER BY dim) AS lvv
-                FROM lb GROUP BY 1)
-         SELECT e.vec_id, e.label,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             lv.lvv), 4) AS centroid_cos,
-           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             lv.lvv), 4) < 0.5 AS outlier
-         FROM embeddings e JOIN lv ON e.label = lv.label
-         ORDER BY e.vec_id""",
-    // frozen-LM replay: counts from the training slice only; grams and
-    // contexts the model never saw coalesce to 0 (add-1 smooths them)
-    // the FUSED admission: all three trainings replay (NB weights,
-    // DSIR ratios, ¾-trained LM), then the held-out quarter passes
-    // iff it clears ALL thresholds — the streamed sink's output must
-    // hash-match this batch composition exactly
-    "q_admission_pipeline" ->
-      (s"""WITH ${admissionCtes(
-          """SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents WHERE doc_id % 4 = 0""")}
-         SELECT l.doc_id, l.lm_nll, CAST(n.d6 AS BIGINT) AS nb_d6,
-           ${micro4Sql("ds.s6")} AS dsir_logw
-         FROM lnll l
-         JOIN qhd n ON n.doc_id = l.doc_id
-         JOIN dsc ds ON ds.doc_id = l.doc_id
-         WHERE l.lm_nll < 10.0 AND n.d6 > 0
-           AND ${micro4Sql("ds.s6")} >= 0.0
-         ORDER BY l.doc_id"""),
-    // the COMPLETE admission adds the memorization gate: the stream
-    // is the held-out quarter PLUS planted re-ingests of the ≡1 mod
-    // 8 train docs (+5e6 ids, same text) — docs that pass the three
-    // row-local gates but duplicate the train corpus verbatim, so
-    // the dup gate is their decisive rejector and its bite is
-    // hash-gated. The ¾-train gram membership replays (reusing the
-    // LM CTE's train tokens); per-doc dup_frac derives exactly as
-    // q_memorization_probe's; gram-less docs pass the dup gate (no
-    // duplication evidence). DSIR scores for the planted rows reuse
-    // the base per-doc sums re-keyed (+5e6 — same text, same grams)
-    "q_admission_pipeline_full" ->
-      (s"""WITH ${admissionCtes(
-          """SELECT doc_id, string_split(text, ' ') AS ws
-                FROM documents WHERE doc_id % 4 = 0
-                UNION ALL
-                SELECT doc_id + 5000000, string_split(text, ' ')
-                FROM documents WHERE doc_id % 8 = 1""")},
-         dscf AS (SELECT * FROM dsc
-                  UNION ALL
-                  SELECT dgb.doc_id + 5000000 AS doc_id,
-                    sum(dr.r6) AS s6
-                  FROM dgb JOIN dr ON dgb.b = dr.b
-                  WHERE dgb.doc_id % 8 = 1 GROUP BY dgb.doc_id),
-         mtg AS (SELECT DISTINCT g FROM (
-             SELECT unnest(
-               CASE WHEN len(ws) >= 5
-                    THEN [array_to_string(ws[i:i+4], ' ')
-                          for i in range(1, len(ws) - 3)]
-                    ELSE CAST([] AS VARCHAR[]) END) AS g FROM lt)),
-         mdg AS (SELECT doc_id, g, count(*) AS c FROM (
-             SELECT doc_id, unnest(
-               CASE WHEN len(ws) >= 5
-                    THEN [array_to_string(ws[i:i+4], ' ')
-                          for i in range(1, len(ws) - 3)]
-                    ELSE CAST([] AS VARCHAR[]) END) AS g FROM qh)
-           GROUP BY 1, 2),
-         mper AS (SELECT mdg.doc_id, CAST(sum(mdg.c) AS BIGINT) AS n_grams,
-                  CAST(coalesce(sum(CASE WHEN mtg.g IS NOT NULL
-                       THEN mdg.c END), 0) AS BIGINT) AS dup_grams
-                 FROM mdg LEFT JOIN mtg ON mdg.g = mtg.g GROUP BY 1),
-         mdf AS (SELECT d.doc_id,
-                  CASE WHEN coalesce(mper.n_grams, 0) > 0 THEN
-                    ((mper.dup_grams * 20000 + mper.n_grams)
-                     // (2 * mper.n_grams)) / 10000.0 END AS dup_frac
-                 FROM (SELECT doc_id FROM qh) d
-                 LEFT JOIN mper ON mper.doc_id = d.doc_id)
-         SELECT l.doc_id, l.lm_nll, CAST(n.d6 AS BIGINT) AS nb_d6,
-           ${micro4Sql("ds.s6")} AS dsir_logw, m.dup_frac
-         FROM lnll l
-         JOIN qhd n ON n.doc_id = l.doc_id
-         JOIN dscf ds ON ds.doc_id = l.doc_id
-         JOIN mdf m ON m.doc_id = l.doc_id
-         WHERE l.lm_nll < 10.0 AND n.d6 > 0
-           AND ${micro4Sql("ds.s6")} >= 0.0
-           AND (m.dup_frac IS NULL OR m.dup_frac <= 0.5)
-         ORDER BY l.doc_id"""),
-    "q_lm_score_frozen" ->
-      """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents
-                     WHERE doc_id % 4 <> 0),
-         b0 AS (SELECT unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM tr),
-         m AS (SELECT bg, count(*) AS c12 FROM b0 GROUP BY 1),
-         ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
-                 FROM m GROUP BY 1),
-         v AS (SELECT count(DISTINCT term) AS v
-               FROM (SELECT unnest(ws) AS term FROM tr)),
-         sd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-                WHERE doc_id % 4 = 0),
-         b AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM sd),
-         s AS (SELECT b.doc_id, b.bg,
-                 CASE WHEN b.bg IS NOT NULL
-                      THEN CAST(round(ln((coalesce(ctx.c1, 0) + v.v) * 1.0
-                                         / (coalesce(m.c12, 0) + 1.0))
-                                      * 1000000.0) AS BIGINT)
-                 END AS nll6
-               FROM b LEFT JOIN m ON b.bg = m.bg
-               LEFT JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
-               CROSS JOIN v)
-         SELECT doc_id, count(bg) AS n_bigrams,
-           CASE WHEN count(bg) > 0
-                THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                ELSE 0.0 END AS lm_nll,
-           (CASE WHEN count(bg) > 0
-                 THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                 ELSE 0.0 END >= 10.0) AS unusual
-         FROM s GROUP BY 1 ORDER BY doc_id""",
-    // indexed SemDeDup replay: same assignment as the q_ann_ivf family
-    // (seed centroids = vec_id < 16), no planted copies — the result
-    // must match dedup over the written cell-partitioned index
-    "q_semdedup_indexed" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-               WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                             x -> x * x)) > 0),
-         sc AS (SELECT u.vec_id, c.cid,
-                  round(list_cosine_similarity(u.ve, c.ce), 4) AS s
-                FROM u CROSS JOIN c),
-         assign AS (SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1),
-         av AS (SELECT a.vec_id, a.cell, u.ve
-                FROM assign a JOIN u ON u.vec_id = a.vec_id),
-         dropped AS (SELECT DISTINCT r.vec_id
-                     FROM av l JOIN av r
-                       ON l.cell = r.cell AND l.vec_id < r.vec_id
-                     WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.999)
-         SELECT av.vec_id, av.cell FROM av
-         WHERE av.vec_id NOT IN (SELECT vec_id FROM dropped)
-         ORDER BY av.vec_id""",
-    // SemDeDup replay: seed centroids = vec_id < 16, union the planted
-    // copies, assign via (cos desc, cid) argmax, drop the higher id of
-    // any within-cell pair at round(cos,4) >= 0.999
-    "q_semdedup" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         u0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-                UNION ALL
-                SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])
-                FROM embeddings WHERE vec_id % 10 = 0),
-         u AS (SELECT vec_id, ve FROM u0
-               WHERE list_sum(list_transform(ve, x -> x * x)) > 0),
-         sc AS (SELECT u.vec_id, c.cid,
-                  round(list_cosine_similarity(u.ve, c.ce), 4) AS s
-                FROM u CROSS JOIN c),
-         assign AS (SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-               ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn = 1),
-         av AS (SELECT a.vec_id, a.cell, u.ve
-                FROM assign a JOIN u ON u.vec_id = a.vec_id),
-         dropped AS (SELECT DISTINCT r.vec_id
-                     FROM av l JOIN av r
-                       ON l.cell = r.cell AND l.vec_id < r.vec_id
-                     WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.999)
-         SELECT av.vec_id, av.cell FROM av
-         WHERE av.vec_id NOT IN (SELECT vec_id FROM dropped)
-         ORDER BY av.vec_id""",
-    "q_corpus_mix" ->
-      """WITH r AS (
-           SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-           FROM documents WHERE source IN ('src0', 'src1', 'src2'))
-         SELECT doc_id, source FROM r
-         WHERE rn <= CASE source WHEN 'src0' THEN 15
-                                 WHEN 'src1' THEN 10 ELSE 5 END
-         ORDER BY doc_id""",
-    // int8 quantization: scale/round are pure IEEE (no libm), so both
-    // engines produce identical entries; the emitted reductions are
-    // exact integer folds over them
-    "q_embed_quantize" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                    FROM embeddings),
-         s AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM s)
-         SELECT vec_id, round(scale, 9) AS scale,
-           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
-           list_max(qv) AS q_max, list_min(qv) AS q_min,
-           CAST(len(list_filter(qv, x -> x != 0)) AS BIGINT) AS n_nonzero
-         FROM q ORDER BY vec_id""",
-    "q_knn_quantized" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                    FROM embeddings),
-         s AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM s),
-         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0),
-         sc AS (SELECT q.vec_id,
-             round(q.scale * qq.q_scale *
-               CAST(list_sum([q.qv[i] * qq.q_qv[i]
-                              for i in range(1, len(q.qv) + 1)]) AS BIGINT),
-               6) AS q_sim
-           FROM q CROSS JOIN qq)
-         SELECT vec_id, q_sim FROM sc
-         ORDER BY q_sim DESC, vec_id LIMIT 10""",
-    // quantized IVF: cells assigned on ORIGINAL floats (as q_ann_ivf),
-    // probes from the query's float cell scores, scoring over the
-    // quantized entries (as q_knn_quantized)
-    "q_knn_quantized_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0
-                    ORDER BY s DESC, cid LIMIT 2),
-         sq AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM sq),
-         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
-         SELECT q.vec_id,
-           round(q.scale * qq.q_scale *
-             CAST(list_sum([q.qv[i] * qq.q_qv[i]
-                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
-             6) AS q_sim
-         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
-         WHERE a.cell IN (SELECT cid FROM probes)
-         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
-    // batched float serving: each of the 5 queries' pruned rankings
-    // replayed per query — batched ≡ 5 single serves is the gate
-    "q_knn_ivf_multi" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
-         q AS (SELECT vec_id AS query_id, ve AS qe FROM v
-               WHERE vec_id IN (0, 1, 2, 3, 4))
-         SELECT query_id, vec_id, cos_sim FROM (
-           SELECT p.query_id, v.vec_id,
-             round(list_cosine_similarity(v.ve, q.qe), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY p.query_id
-               ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                        v.vec_id) AS rn
-           FROM v JOIN assign a ON a.vec_id = v.vec_id
-           JOIN probes p ON p.cell = a.cell
-           JOIN q ON q.query_id = p.query_id) WHERE rn <= 10
-         ORDER BY query_id, cos_sim DESC, vec_id""",
-    // batched int8 serving: the quantization replay + per-query
-    // integer dots, ranked per query — batched ≡ singles
-    "q_knn_quantized_multi" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
-         sq AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM sq),
-         qq AS (SELECT vec_id AS query_id, scale AS q_scale, qv AS q_qv
-                FROM q WHERE vec_id IN (0, 1, 2, 3, 4))
-         SELECT query_id, vec_id, q_sim FROM (
-           SELECT p.query_id, q2.vec_id,
-             round(q2.scale * qq.q_scale *
-               CAST(list_sum([q2.qv[i] * qq.q_qv[i]
-                              for i in range(1, len(q2.qv) + 1)]) AS BIGINT),
-               6) AS q_sim,
-             row_number() OVER (PARTITION BY p.query_id
-               ORDER BY round(q2.scale * qq.q_scale *
-                 CAST(list_sum([q2.qv[i] * qq.q_qv[i]
-                                for i in range(1, len(q2.qv) + 1)]) AS BIGINT),
-                 6) DESC, q2.vec_id) AS rn
-           FROM q q2 JOIN assign a ON a.vec_id = q2.vec_id
-           JOIN probes p ON p.cell = a.cell
-           JOIN qq ON qq.query_id = p.query_id) WHERE rn <= 10
-         ORDER BY query_id, q_sim DESC, vec_id""",
-    // the truncation (Matryoshka) operating curve: every prefix
-    // ranking + the full-dim exact baseline replay — fully static
-    "q_truncation_recall" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
-                    FROM embeddings),
-         qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                WHERE vec_id IN (0, 1, 2, 3, 4)),
-         exact AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, v.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                          v.vec_id) AS rn
-             FROM v CROSS JOIN qv q) WHERE rn <= 10)
-         SELECT * FROM (
-           ${truncationLevelSql(8)} UNION ALL ${truncationLevelSql(16)}
-           UNION ALL ${truncationLevelSql(32)} UNION ALL ${truncationLevelSql(64)})
-         ORDER BY dims, query_id""",
-    // the int8 operating point: quantization replay + float routing
-    // + the int8 ADC rankings for 5 queries at nProbe=2, against the
-    // exact float baseline — all corpus-derived, so fully static
-    "q_int8_recall" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         qv AS (SELECT vec_id AS query_id, ve AS qe FROM v
-                WHERE vec_id IN (0, 1, 2, 3, 4)),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         pr AS (SELECT vec_id AS query_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 2),
-         sq AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         qz AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qvec
-           FROM sq),
-         approx AS (SELECT query_id, vec_id FROM (
-             SELECT p.query_id, e.vec_id,
-               row_number() OVER (PARTITION BY p.query_id
-                 ORDER BY round(e.scale * qu.scale *
-                   CAST(list_sum([e.qvec[i] * qu.qvec[i]
-                                  for i in range(1, len(e.qvec) + 1)]) AS BIGINT),
-                   6) DESC, e.vec_id) AS rnk
-             FROM qz e JOIN assign a ON a.vec_id = e.vec_id
-                       JOIN pr p ON p.cell = a.cell
-                       JOIN qz qu ON qu.vec_id = p.query_id)
-           WHERE rnk <= 10),
-         exact AS (SELECT query_id, vec_id FROM (
-             SELECT q.query_id, v.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
-                          v.vec_id) AS rn
-             FROM v CROSS JOIN qv q) WHERE rn <= 10)
-         SELECT e.query_id, count(*) AS n_exact,
-           round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
-         FROM exact e
-         LEFT JOIN approx a
-           ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-         GROUP BY 1 ORDER BY 1""",
-    // erasure replay for the int8 store: the quantized ranking on
-    // the REMAINING vectors (frozen centroids + per-row quantization
-    // mean removing a row cannot change any other entry)
-    "q_knn_quantized_ivf_deleted" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0
-                    ORDER BY s DESC, cid LIMIT 2),
-         sq AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM sq),
-         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
-         SELECT q.vec_id,
-           round(q.scale * qq.q_scale *
-             CAST(list_sum([q.qv[i] * qq.q_qv[i]
-                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
-             6) AS q_sim
-         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
-         WHERE a.cell IN (SELECT cid FROM probes) AND q.vec_id % 7 <> 3
-         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
-    // the incrementally-assembled compressed index shares the
-    // full-rebuild replay: append ≡ rebuild is the operator's claim
-    "q_knn_quantized_ivf_incremental" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0
-                    ORDER BY s DESC, cid LIMIT 2),
-         sq AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM sq),
-         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
-         SELECT q.vec_id,
-           round(q.scale * qq.q_scale *
-             CAST(list_sum([q.qv[i] * qq.q_qv[i]
-                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
-             6) AS q_sim
-         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
-         WHERE a.cell IN (SELECT cid FROM probes)
-         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
-    // named-batch snapshot of the compressed batch-maintained index:
-    // the int8 ranking over the base build only (the "inc1" append
-    // holds ids ≡ 6 mod 8) — as-of-by-name ≡ rebuild-at-that-history
-    "q_knn_quantized_ivf_asof" ->
-      """WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-                    FROM embeddings WHERE vec_id < 16),
-         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-         sc AS (SELECT v.vec_id, c.cid,
-                  round(list_cosine_similarity(v.ve, c.ce), 4) AS s
-                FROM v CROSS JOIN c),
-         assign AS (
-           SELECT vec_id, cid AS cell FROM (
-             SELECT vec_id, cid,
-               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-             FROM sc) WHERE rn = 1),
-         probes AS (SELECT cid FROM sc WHERE vec_id = 0
-                    ORDER BY s DESC, cid LIMIT 2),
-         sq AS (SELECT vec_id, ve,
-             coalesce(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127.0
-               AS scale
-           FROM v),
-         q AS (SELECT vec_id, scale,
-             CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
-                  ELSE list_transform(ve, x -> CAST(round(x / scale)
-                                               AS INTEGER)) END AS qv
-           FROM sq),
-         qq AS (SELECT scale AS q_scale, qv AS q_qv FROM q WHERE vec_id = 0)
-         SELECT q.vec_id,
-           round(q.scale * qq.q_scale *
-             CAST(list_sum([q.qv[i] * qq.q_qv[i]
-                            for i in range(1, len(q.qv) + 1)]) AS BIGINT),
-             6) AS q_sim
-         FROM q JOIN assign a ON a.vec_id = q.vec_id CROSS JOIN qq
-         WHERE a.cell IN (SELECT cid FROM probes) AND q.vec_id % 8 <> 6
-         ORDER BY q_sim DESC, q.vec_id LIMIT 10""",
-    // segment dedup: 3-word windows with 0-based positions; the first
-    // (doc_id, pos) occurrence of each segment survives (row_number
-    // replays Spark's min-struct), docs rebuild via ordered string_agg
-    "q_segment_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         seg AS (SELECT doc_id,
-             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
-             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
-                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
-               AS seg
-           FROM t),
-         f AS (SELECT doc_id, pos, seg,
-             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-           FROM seg),
-         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
-         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
-             count(*) AS n_kept
-           FROM f WHERE rn = 1 GROUP BY 1)
-         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
-         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
-    "q_boilerplate_removal" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         seg AS (SELECT doc_id,
-             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
-             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
-                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
-               AS seg
-           FROM t),
-         df AS (SELECT seg, count(DISTINCT doc_id) AS doc_freq
-                FROM seg GROUP BY 1),
-         keep AS (SELECT s.doc_id, s.pos, s.seg
-                  FROM seg s JOIN df ON s.seg = df.seg
-                  WHERE df.doc_freq < 3),
-         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
-         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
-             count(*) AS n_kept
-           FROM keep GROUP BY 1)
-         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
-         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
-    // snapshot diff: same null-safe JSON-struct digest as q_dedup_exact
-    "q_corpus_diff" ->
-      """WITH oldc AS (SELECT doc_id,
-             md5(CAST(to_json(struct_pack(text := text)) AS VARCHAR)) AS h
-           FROM documents),
-         n0 AS (SELECT doc_id,
-             CASE WHEN doc_id % 17 = 0 THEN text || ' edited'
-                  ELSE text END AS text
-           FROM documents WHERE doc_id % 13 <> 0
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3),
-         newc AS (SELECT doc_id,
-             md5(CAST(to_json(struct_pack(text := text)) AS VARCHAR)) AS h
-           FROM n0)
-         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.h IS NULL THEN 'added'
-                WHEN n.h IS NULL THEN 'removed'
-                WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status
-         FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
-         ORDER BY doc_id""",
-    "q_normalize_text" ->
-      """SELECT doc_id,
-         trim(regexp_replace(regexp_replace(
-           lower(CASE WHEN doc_id % 2 = 0 THEN upper(text) || '!! '
-                      ELSE '  ' || text || ' ,. ' END),
-           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS normalized
-         FROM documents ORDER BY doc_id""",
-    // duplication profile: distinct trigrams per doc, gram counted
-    // once per containing doc; shared ⇔ count > 1
-    "q_duplication_profile" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         g0 AS (SELECT doc_id,
-             CASE WHEN len(ws) >= 3
-                  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                      for i in range(1, len(ws) - 1)])
-                  ELSE CAST([] AS VARCHAR[]) END AS gs
-           FROM t),
-         g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
-         c AS (SELECT g, count(*) AS cnt FROM g GROUP BY 1),
-         agg AS (SELECT doc_id, count(*) AS n_grams,
-             CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_shared
-           FROM g JOIN c USING (g) GROUP BY 1)
-         SELECT t.doc_id,
-           coalesce(n_grams, 0) AS n_grams,
-           coalesce(n_shared, 0) AS n_shared,
-           CASE WHEN coalesce(n_grams, 0) > 0
-                THEN round(n_shared * 1.0 / n_grams, 4) ELSE 0.0 END
-             AS dup_frac,
-           (CASE WHEN coalesce(n_grams, 0) > 0
-                 THEN round(n_shared * 1.0 / n_grams, 4) ELSE 0.0 END >= 0.5)
-             AS flagged
-         FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
-    // substring dedup: 8-word sliding windows, ≥2 occurrences
-    // corpus-wide ⇒ duplicated; first (doc_id, pos) survives, other
-    // occurrences drop their covered positions; text rebuilt in order
-    "q_substring_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         occ AS (SELECT doc_id,
-             unnest(range(0, greatest(len(ws) - 8 + 1, 0))) AS pos, ws
-           FROM t),
-         h AS (SELECT doc_id, pos,
-             md5(array_to_string(ws[pos+1 : pos+8], ' ')) AS hh
-           FROM occ),
-         o2 AS (SELECT doc_id, pos,
-             row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn,
-             count(*) OVER (PARTITION BY hh) AS c
-           FROM h),
-         removed AS (SELECT doc_id, pos FROM o2 WHERE c >= 2 AND rn > 1),
-         covered AS (SELECT DISTINCT doc_id, pos + k.k AS p
-           FROM removed, (SELECT unnest(range(0, 8)) AS k) k),
-         wp AS (SELECT doc_id, unnest(ws) AS word,
-             generate_subscripts(ws, 1) - 1 AS p
-           FROM t),
-         kept AS (SELECT wp.doc_id, wp.word, wp.p
-           FROM wp LEFT JOIN covered cv
-             ON wp.doc_id = cv.doc_id AND wp.p = cv.p
-           WHERE cv.p IS NULL),
-         agg AS (SELECT doc_id, count(*) AS n_kept,
-             string_agg(word, ' ' ORDER BY p) AS clean_text
-           FROM kept GROUP BY doc_id)
-         SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_words,
-           CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS INT) AS n_dropped,
-           coalesce(agg.clean_text, '') AS clean_text
-         FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
-    // span decontamination: corpus spans ∩ benchmark spans (held-out
-    // %101 slice) cut; every matching occurrence drops, rest kept
-    "q_decontaminate_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-           FROM documents WHERE doc_id % 101 <> 7),
-         b AS (SELECT string_split(text, ' ') AS ws
-           FROM documents WHERE doc_id % 101 = 7),
-         bh AS (SELECT DISTINCT
-             md5(array_to_string(ws[pos+1 : pos+8], ' ')) AS hh
-           FROM (SELECT ws, unnest(range(0, greatest(len(ws) - 7, 0))) AS pos
-                 FROM b)),
-         occ AS (SELECT doc_id,
-             unnest(range(0, greatest(len(ws) - 7, 0))) AS pos, ws
-           FROM t),
-         h AS (SELECT doc_id, pos,
-             md5(array_to_string(ws[pos+1 : pos+8], ' ')) AS hh
-           FROM occ),
-         removed AS (SELECT doc_id, pos FROM h
-           WHERE hh IN (SELECT hh FROM bh)),
-         covered AS (SELECT DISTINCT doc_id, pos + k.k AS p
-           FROM removed, (SELECT unnest(range(0, 8)) AS k) k),
-         wp AS (SELECT doc_id, unnest(ws) AS word,
-             generate_subscripts(ws, 1) - 1 AS p
-           FROM t),
-         kept AS (SELECT wp.doc_id, wp.word, wp.p
-           FROM wp LEFT JOIN covered cv
-             ON wp.doc_id = cv.doc_id AND wp.p = cv.p
-           WHERE cv.p IS NULL),
-         agg AS (SELECT doc_id, count(*) AS n_kept,
-             string_agg(word, ' ' ORDER BY p) AS clean_text
-           FROM kept GROUP BY doc_id)
-         SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_words,
-           CAST(len(t.ws) - coalesce(agg.n_kept, 0) AS INT) AS n_dropped,
-           coalesce(agg.clean_text, '') AS clean_text
-         FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
-    // incremental replay: batch-internal first occurrence (row_number)
-    // minus any segment occurring anywhere in the index slice
-    "q_segment_dedup_incremental" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         seg AS (SELECT doc_id,
-             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
-             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
-                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
-               AS seg
-           FROM t),
-         idx AS (SELECT DISTINCT seg FROM seg WHERE doc_id % 4 <> 0),
-         bseg AS (SELECT * FROM seg WHERE doc_id % 4 = 0),
-         f AS (SELECT doc_id, pos, seg,
-             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-           FROM bseg),
-         tot AS (SELECT doc_id, count(*) AS n_segments FROM bseg GROUP BY 1),
-         k AS (SELECT doc_id, pos, seg FROM f
-               WHERE rn = 1 AND seg NOT IN (SELECT seg FROM idx)),
-         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
-             count(*) AS n_kept
-           FROM k GROUP BY 1)
-         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
-         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
-    // the 3-batch sink replay: global first-occurrence ownership in
-    // (batch order, doc, pos) — the accumulated corpus AFTER
-    // retention folded batches 0-1 must still equal this exactly
-    "q_segment_dedup_retained" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         seg AS (SELECT doc_id,
-             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
-             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
-                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
-               AS seg
-           FROM t),
-         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
-         f AS (SELECT doc_id, pos, seg,
-             row_number() OVER (PARTITION BY seg
-               ORDER BY doc_id % 3, doc_id, pos) AS rn
-           FROM seg),
-         k AS (SELECT doc_id, pos, seg FROM f WHERE rn = 1),
-         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
-             count(*) AS n_kept
-           FROM k GROUP BY 1)
-         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
-         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
-    "q_training_shards" ->
-      """WITH h AS (SELECT doc_id, source,
-             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-         s AS (SELECT doc_id, source, h,
-             CAST(CAST(concat('0x', substring(h, 1, 8)) AS BIGINT) % 8
-               AS INTEGER) AS shard
-           FROM h)
-         SELECT doc_id, source, shard,
-           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
-             AS BIGINT) - 1 AS pos
-         FROM s ORDER BY shard, pos""",
-    // pow terms round to integer nano-weights before the (exact long)
-    // sum — order-independent like the LM micro-nat contract; keep
-    // probabilities round to 6 (pow ulp contract, as ln elsewhere)
-    "q_mix_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-         t AS (SELECT sum(n_docs) AS n, min(n_docs) AS n_min,
-             sum(CAST(round(pow(n_docs, 0.5) * 1e9) AS BIGINT)) AS t_sum
-           FROM c)
-         SELECT lang, n_docs,
-           round(n_docs * 1.0 / n, 6) AS share,
-           round(CAST(round(pow(n_docs, 0.5) * 1e9) AS BIGINT) * 1.0 / t_sum, 6)
-             AS target_share,
-           round(pow(n_min * 1.0 / n_docs, 0.5), 6) AS keep_prob
-         FROM c CROSS JOIN t ORDER BY lang""",
-    "q_mix_temperature_sample" ->
-      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-         t AS (SELECT min(n_docs) AS n_min FROM c),
-         k AS (SELECT lang,
-             round(pow(n_min * 1.0 / n_docs, 0.5), 6) AS keep_prob
-           FROM c CROSS JOIN t)
-         SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
-         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
-           lpad(lower(to_hex(least(
-             CAST(floor(least(greatest(keep_prob, 0.0), 1.0)
-                        * 4294967296.0) AS BIGINT),
-             4294967295))), 8, '0')
-         ORDER BY d.doc_id""",
-    "q_corpus_stats" ->
-      """SELECT lang, count(*) AS n_docs,
-         CAST(sum(n_chars) AS BIGINT) AS total_chars,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-         min(n_chars) AS min_chars, max(n_chars) AS max_chars
-         FROM documents GROUP BY 1 ORDER BY lang""",
-    "q_fingerprints" ->
-      """SELECT doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
-           (acc, x) -> (acc*31 + x) % 1000000007) AS rolling_hash,
-         md5(text) AS content_md5
-         FROM documents ORDER BY doc_id""",
-    "q_enrichment_pipeline" ->
-      """WITH e AS (
-           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
-                       WHEN doc_id % 20 = 1 THEN 'r'
-                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
-                  doc_id, text, lang, n_chars
-           FROM documents),
-         k AS (SELECT * FROM e WHERE op NOT IN ('r','d')),
-         w AS (
-           SELECT doc_id, lang, n_chars, substring(text, 1, 1024) AS tx,
-                  string_split(substring(text, 1, 1024), ' ') AS ws
-           FROM k),
-         s AS (
-           SELECT doc_id, lang, n_chars,
-             CAST(least(100, floor(length(tx)/5)) AS BIGINT) AS completeness,
-             CAST(CASE WHEN len(ws) < 3 THEN 0
-                  ELSE floor(len(list_distinct(ws)) * 100 / len(ws)) END AS BIGINT) AS consistency,
-             CAST(CASE WHEN regexp_matches(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-                         OR regexp_matches(tx, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
-                         OR regexp_matches(tx, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
-                    THEN 0 ELSE 100 END AS BIGINT) AS pii_detection,
-             CAST(least(100, floor(len(list_filter(ws, x -> x IN ('the','a'))) * 1000 / len(ws))) AS BIGINT) AS language_quality
-           FROM w)
-         SELECT doc_id, lang, n_chars AS content_size,
-           'created' AS status, 1 AS version,
-           (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
-           (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0 AS quality_is_valid,
-           pii_detection = 0 AS has_pii,
-           completeness, consistency, pii_detection, language_quality,
-           'rule-based' AS quality_provider, 'graft-v1' AS quality_model
-         FROM s ORDER BY doc_id""",
-    "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM orders
-         GROUP BY CUBE (o_orderstatus, o_orderpriority)
-         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-    "q_set_ops" ->
-      """WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-         open AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
-         SELECT c_custkey, 'intersect' AS set_op FROM (SELECT * FROM seg INTERSECT SELECT * FROM open)
-         UNION ALL
-         SELECT c_custkey, 'except' AS set_op FROM (SELECT * FROM seg EXCEPT SELECT * FROM open)
-         ORDER BY set_op, c_custkey""",
-    "q_balance_ranks" ->
-      """SELECT c_custkey, c_nationkey,
-         CAST(ntile(4) OVER w AS INT) AS balance_quartile,
-         first_value(c_custkey) OVER wf AS richest_in_nation,
-         last_value(c_custkey) OVER wf AS poorest_in_nation
-         FROM customer
-         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
-                wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-         ORDER BY c_custkey""",
-    "q_sessionize" ->
-      """WITH o AS (
-           SELECT user_id, event_id, epoch_us(ts) AS tns, value,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-         s AS (
-           SELECT *, CAST(sum(new_session) OVER
-             (PARTITION BY user_id ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING)
-             AS BIGINT) AS session_idx
-           FROM o)
-         SELECT user_id, session_idx, count(*) AS n_events,
-           min(event_id) AS first_event,
-           CAST(floor((max(tns) - min(tns)) / 1000) AS BIGINT) AS duration_ms,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
-    "q_funnel_window" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-         s1 AS (SELECT user_id, min(t) AS t FROM e
-                WHERE event_type = 'view' GROUP BY 1),
-         s2 AS (SELECT e.user_id, min(e.t) AS t FROM e
-                JOIN s1 ON e.user_id = s1.user_id
-                WHERE e.event_type = 'click' AND e.t > s1.t
-                  AND e.t - s1.t <= 86400000000 GROUP BY 1),
-         s3 AS (SELECT e.user_id, min(e.t) AS t FROM e
-                JOIN s2 ON e.user_id = s2.user_id
-                WHERE e.event_type = 'purchase' AND e.t > s2.t
-                  AND e.t - s2.t <= 86400000000 GROUP BY 1)
-         SELECT 1 AS stage, 'view' AS step,
-                (SELECT count(*) FROM s1) AS n_users
-         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-         ORDER BY stage""",
-    "q_retention" ->
-      """WITH pu AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p
-                     FROM events),
-         f AS (SELECT user_id, min(p) AS p0 FROM pu GROUP BY 1),
-         c AS (SELECT DISTINCT pu.user_id, f.p0 AS cohort,
-                 pu.p - f.p0 AS period_offset
-               FROM pu JOIN f USING (user_id))
-         SELECT cohort, period_offset, count(*) AS n_users
-         FROM c GROUP BY 1, 2 ORDER BY cohort, period_offset""",
-    "q_transitions" ->
-      """WITH pr AS (SELECT event_type AS from_type,
-             lead(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS to_type
-           FROM events),
-         c AS (SELECT from_type, to_type, count(*) AS n FROM pr
-               WHERE to_type IS NOT NULL GROUP BY 1, 2)
-         SELECT from_type, to_type, n,
-           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4)
-             AS p
-         FROM c ORDER BY from_type, to_type""",
-    // decay terms: exponent = exact-integer-micro division (identical
-    // doubles), pow is libm so each term rounds to integer micro-value
-    // before the exact long sum — the LM micro-nat contract
-    "q_trending" ->
-      """WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
-         e AS (SELECT event_type,
-             CAST(round(value * pow(2.0,
-               (epoch_us(ts) - tmax) / CAST(86400000000 AS DOUBLE)) * 1e6)
-               AS BIGINT) AS term6
-           FROM events CROSS JOIN t)
-         SELECT event_type, count(*) AS n_events,
-           round(sum(term6) / 1e6, 4) AS decayed_value
-         FROM e GROUP BY 1 ORDER BY event_type""",
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
-         s1 AS (SELECT user_id, min(t) AS t FROM e
-                WHERE event_type = 'view' GROUP BY 1),
-         s2 AS (SELECT e.user_id, min(e.t) AS t FROM e
-                JOIN s1 ON e.user_id = s1.user_id
-                WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
-         s3 AS (SELECT e.user_id, min(e.t) AS t FROM e
-                JOIN s2 ON e.user_id = s2.user_id
-                WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
-         SELECT 1 AS stage, 'view' AS step,
-                (SELECT count(*) FROM s1) AS n_users
-         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-         ORDER BY stage""",
-    "q_hourly_events" ->
-      """SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000),
-                '%Y-%m-%d %H:00:00') AS hour,
-         event_type, count(*) AS n_events,
-         count(DISTINCT user_id) AS n_users,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
-    "q_running_totals" ->
-      """SELECT user_id, event_id,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
-           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
-         CAST(row_number() OVER
-           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS INT) AS event_seq,
-         CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER
-           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / 1000) AS BIGINT) AS gap_ms
-         FROM events ORDER BY user_id, event_seq""",
-    "q_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_customers,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
-         FROM customer
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP (r_name, n_name)
-         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
-    "q_search_enriched" ->
-      """WITH e AS (
-           SELECT CASE WHEN doc_id % 20 = 0 THEN 'd'
-                       WHEN doc_id % 20 = 1 THEN 'r'
-                       WHEN doc_id % 2 = 0 THEN 'c' ELSE 'u' END AS op,
-                  doc_id, text, source, n_chars
-           FROM documents),
-         k AS (SELECT * FROM e WHERE op NOT IN ('r','d')),
-         w AS (
-           SELECT doc_id, text, source, substring(text, 1, 1024) AS tx,
-                  string_split(substring(text, 1, 1024), ' ') AS ws
-           FROM k),
-         s AS (
-           SELECT doc_id, text, source,
-             CAST(least(100, floor(length(tx)/5)) AS BIGINT) AS completeness,
-             CAST(CASE WHEN len(ws) < 3 THEN 0
-                  ELSE floor(len(list_distinct(ws)) * 100 / len(ws)) END AS BIGINT) AS consistency,
-             CAST(CASE WHEN regexp_matches(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-                         OR regexp_matches(tx, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
-                         OR regexp_matches(tx, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
-                    THEN 0 ELSE 100 END AS BIGINT) AS pii_detection,
-             CAST(least(100, floor(len(list_filter(ws, x -> x IN ('the','a'))) * 1000 / len(ws))) AS BIGINT) AS language_quality
-           FROM w),
-         f AS (
-           SELECT doc_id,
-             (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 AS quality_score,
-             2 * CAST((length(source) - length(replace(source,'merge','')))/5 AS BIGINT)
-               + CAST((length(text) - length(replace(text,'merge','')))/5 AS BIGINT) AS score
-           FROM s
-           WHERE (3*completeness + 3*consistency + 2*pii_detection + 2*language_quality)/10.0 >= 50.0
-             AND pii_detection != 0)
-         SELECT doc_id, quality_score, score, count(*) OVER () AS total_hits
-         FROM f WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 20""",
-    "q_media_metadata" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-         count(*) AS n_assets,
-         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-         CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0
-                  ELSE 1000 + (doc_id % 60) * 1000 END) AS BIGINT) AS total_duration_ms,
-         max(CAST(640 + (doc_id % 4) * 160 AS INT)) AS max_width
-         FROM documents GROUP BY 1 ORDER BY kind""",
-    "q_media_features" ->
-      """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-         round(len(list_filter([ascii(c) % 16 for c in string_split(text, '')],
-                               x -> x = 0)) / strlen(text), 4) AS h0
-         FROM documents ORDER BY asset_id""",
-    "q_frame_sample" ->
-      """SELECT doc_id AS asset_id, 1 + doc_id % 60 AS n_frames
-         FROM documents WHERE doc_id % 3 = 2 ORDER BY asset_id""",
-    // replay of realImageStats' generation rule: pixel i of doc d is
-    // (d*31 + i*7) % 256 on a (16+d%8)×(8+d%4) gray card — the Spark
-    // side PNG-encodes and REALLY decodes via javax.imageio, so the
-    // hash gate proves the decode inverts the encode pixel-exactly
-    "q_media_real" ->
-      """SELECT d.doc_id,
-         CAST(16 + d.doc_id % 8 AS INT) AS width,
-         CAST(8 + d.doc_id % 4 AS INT) AS height,
-         count(*) AS n_pixels,
-         CAST(sum((d.doc_id * 31 + r.i * 7) % 256) AS BIGINT) AS sum_gray,
-         CAST(sum(CASE WHEN (d.doc_id * 31 + r.i * 7) % 256 >= 128
-                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
-         CAST(min((d.doc_id * 31 + r.i * 7) % 256) AS INT) AS min_gray,
-         CAST(max((d.doc_id * 31 + r.i * 7) % 256) AS INT) AS max_gray,
-         round(sum((d.doc_id * 31 + r.i * 7) % 256) * 1.0 / count(*), 4)
-           AS mean_gray
-         FROM documents d, range(0, 253) r(i)
-         WHERE r.i < (16 + d.doc_id % 8) * (8 + d.doc_id % 4)
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
-    // audio replay: the PCM test-tone rule per (doc, sample index),
-    // lag window for sign flips — a decoder that dropped, reordered,
-    // or byte-swapped any sample diverges
-    "q_audio_real" ->
-      """WITH s AS (
-           SELECT d.doc_id, r.i,
-             (d.doc_id * 31 + r.i * 7919) % 65536 - 32768 AS v
-           FROM documents d, range(0, 128) r(i)
-           WHERE r.i < 64 + d.doc_id % 64),
-         c AS (SELECT doc_id, v,
-             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
-         SELECT doc_id,
-           CAST(8000 AS INT) AS sample_rate,
-           count(*) AS n_samples,
-           CAST(sum(v) AS BIGINT) AS sum_amp,
-           CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_positive,
-           CAST(min(v) AS INT) AS min_amp,
-           CAST(max(v) AS INT) AS max_amp,
-           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
-           round(sum(v) * 1.0 / count(*), 4) AS mean_amp
-         FROM c GROUP BY doc_id ORDER BY doc_id""",
-    // compressed-audio replay: the per-block-constant rule (17
-    // samples per IMA block, block b constant = (id·31 + b·7919) mod
-    // 65536 − 32768, 2 + id%4 blocks) IS the decoded stream because
-    // the tone sits in the codec's exactly-representable class —
-    // same stat columns as q_audio_real
-    "q_audio_real_adpcm" ->
-      """WITH s AS (
-           SELECT d.doc_id, r.i,
-             (d.doc_id * 31 + (r.i // 17) * 7919) % 65536 - 32768 AS v
-           FROM documents d, range(0, 85) r(i)
-           WHERE r.i < 17 * (2 + d.doc_id % 4)),
-         c AS (SELECT doc_id, v,
-             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
-         SELECT doc_id,
-           CAST(8000 AS INT) AS sample_rate,
-           count(*) AS n_samples,
-           CAST(sum(v) AS BIGINT) AS sum_amp,
-           CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_positive,
-           CAST(min(v) AS INT) AS min_amp,
-           CAST(max(v) AS INT) AS max_amp,
-           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
-           round(sum(v) * 1.0 / count(*), 4) AS mean_amp
-         FROM c GROUP BY doc_id ORDER BY doc_id""",
-    // peak-normalization replay: per-doc peak = max|v|, then the
-    // sign-peeled integer scale w = sign·(|v|·30000 // peak) — floor
-    // division on non-negative operands only, matching the Scala
-    // rule's truncating division exactly — and the same exact stats
-    // as q_audio_real over the scaled stream
-    "q_audio_normalize" ->
-      """WITH s AS (
-           SELECT d.doc_id, r.i,
-             (d.doc_id * 31 + r.i * 7919) % 65536 - 32768 AS v
-           FROM documents d, range(0, 128) r(i)
-           WHERE r.i < 64 + d.doc_id % 64),
-         p AS (SELECT doc_id, max(abs(v)) AS peak FROM s GROUP BY doc_id),
-         nv AS (SELECT s.doc_id, s.i, p.peak,
-             CASE WHEN v < 0 THEN -(((-v) * 30000) // p.peak)
-                  ELSE (v * 30000) // p.peak END AS w
-           FROM s JOIN p ON p.doc_id = s.doc_id),
-         c AS (SELECT doc_id, peak, w,
-             lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw FROM nv)
-         SELECT doc_id,
-           CAST(max(peak) AS INT) AS peak_before,
-           count(*) AS n_samples,
-           CAST(sum(w) AS BIGINT) AS sum_amp,
-           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_positive,
-           CAST(min(w) AS INT) AS min_amp,
-           CAST(max(w) AS INT) AS max_amp,
-           CAST(sum(CASE WHEN pw IS NOT NULL AND ((pw < 0) <> (w < 0))
-                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-         FROM c GROUP BY doc_id ORDER BY doc_id""",
-    // image near-dup: replay pixel rule + NN 9×8 index map + dHash
-    // bit rule in SQL, brute-force Hamming pairs (band join is
-    // lossless for maxDist ≤ 3 by pigeonhole; bit 63 lands on the
-    // BIGINT sign bit — the CASE mirrors Long two's complement)
-    "q_image_neardup" ->
-      """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS W, 8 + doc_id % 4 AS H
-           FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + ((y*H//8)*W + ((x+1)*W//9))*7) % 256) >
-                       ((doc_id*31 + ((y*H//8)*W + (x*W//9))*7) % 256)
-                  THEN (CASE WHEN y*8+x = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << (y*8+x)) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 8) xs(x), range(0, 8) ys(y)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.f, b.f)) <= 1
-         ORDER BY id_a, id_b""",
-    // audio envelope-hash pair replay: sample rule + NN 65-point
-    // envelope map + gradient-sign bits, brute-force Hamming pairs
-    // (same 4-band pigeonhole losslessness argument as the image
-    // twin; bit 63 on the BIGINT sign bit)
-    "q_audio_neardup" ->
-      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + (((g+1)*n)//65)*7919) % 65536 - 32768) >
-                       ((doc_id*31 + ((g*n)//65)*7919) % 65536 - 32768)
-                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << g) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 64) gs(g)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.f, b.f)) <= 1
-         ORDER BY id_a, id_b""",
-    // video replay: the clip pixel rule per (doc, flat pixel index j)
-    // with j → (frame = j // (W·8), pixel = j % (W·8)) — a demuxer
-    // that dropped/duplicated a frame or misdecoded any pixel diverges
-    "q_video_real" ->
-      """SELECT d.doc_id,
-         CAST(8 + d.doc_id % 5 AS INT) AS width,
-         CAST(8 AS INT) AS height,
-         CAST(4 + d.doc_id % 4 AS INT) AS n_frames,
-         count(*) AS n_pixels,
-         CAST(sum((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
-                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256)
-              AS BIGINT) AS sum_gray,
-         CAST(sum(CASE WHEN (d.doc_id*31
-                   + (r.j // ((8 + d.doc_id % 5) * 8))*101
-                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256 >= 128
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
-         CAST(min((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
-                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256)
-              AS INT) AS min_gray,
-         CAST(max((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
-                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256)
-              AS INT) AS max_gray,
-         round(sum((d.doc_id*31 + (r.j // ((8 + d.doc_id % 5) * 8))*101
-                   + (r.j % ((8 + d.doc_id % 5) * 8))*7919) % 256) * 1.0
-               / count(*), 4) AS mean_gray
-         FROM documents d, range(0, 672) r(j)
-         WHERE r.j < (4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
-    // MJPEG replay: constant-frame rule (id·31 + f·101) mod 256 —
-    // uniform JPEG frames decode bit-exactly at quality 1.0, so the
-    // whole compressed-container pipeline reduces to the rule
-    "q_video_real_mjpeg" ->
-      """SELECT d.doc_id,
-         CAST(8 + d.doc_id % 5 AS INT) AS width,
-         CAST(8 AS INT) AS height,
-         CAST(4 + d.doc_id % 4 AS INT) AS n_frames,
-         CAST((4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8 AS BIGINT)
-           AS n_pixels,
-         CAST(sum(((d.doc_id*31 + r.f*101) % 256)
-                  * (8 + d.doc_id % 5) * 8) AS BIGINT) AS sum_gray,
-         CAST(sum(CASE WHEN (d.doc_id*31 + r.f*101) % 256 >= 128
-                  THEN (8 + d.doc_id % 5) * 8 ELSE 0 END) AS BIGINT)
-           AS n_bright,
-         CAST(min((d.doc_id*31 + r.f*101) % 256) AS INT) AS min_gray,
-         CAST(max((d.doc_id*31 + r.f*101) % 256) AS INT) AS max_gray,
-         round(sum(((d.doc_id*31 + r.f*101) % 256) * 1.0
-                   * (8 + d.doc_id % 5) * 8)
-               / ((4 + d.doc_id % 4) * (8 + d.doc_id % 5) * 8), 4)
-           AS mean_gray
-         FROM documents d, range(0, 7) r(f)
-         WHERE r.f < 4 + d.doc_id % 4
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
-    // frame-sampling replay: every 2nd frame, t_ms = f·250 (the
-    // 4 fps → 250000 µs/frame avih value the demuxer must READ),
-    // per-frame pixel-rule reductions
-    "q_video_frames" ->
-      """SELECT d.doc_id, CAST(r.f AS INT) AS frame_idx,
-         CAST(r.f * 250 AS BIGINT) AS t_ms,
-         CAST(sum((d.doc_id*31 + r.f*101 + p.p*7919) % 256) AS BIGINT)
-           AS sum_gray,
-         round(sum((d.doc_id*31 + r.f*101 + p.p*7919) % 256) * 1.0
-               / count(*), 4) AS mean_gray
-         FROM documents d, range(0, 7) r(f), range(0, 96) p(p)
-         WHERE r.f < 4 + d.doc_id % 4 AND r.f % 2 = 0
-           AND p.p < (8 + d.doc_id % 5) * 8
-         GROUP BY d.doc_id, r.f ORDER BY d.doc_id, frame_idx""",
-    // video envelope-hash pair replay: clip pixel rule + NN 65-point
-    // flat-sequence map + gradient-sign bits, brute-force Hamming
-    // pairs (same 4-band pigeonhole losslessness argument as the
-    // image/audio twins; bit 63 on the BIGINT sign bit)
-    "q_video_neardup" ->
-      """WITH d AS (SELECT doc_id,
-             (8 + doc_id % 5) * 8 AS wh,
-             (4 + doc_id % 4) * (8 + doc_id % 5) * 8 AS n
-           FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + ((((g+1)*n)//65) // wh)*101
-                         + ((((g+1)*n)//65) % wh)*7919) % 256) >
-                       ((doc_id*31 + (((g*n)//65) // wh)*101
-                         + (((g*n)//65) % wh)*7919) % 256)
-                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << g) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 64) gs(g)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.f, b.f)) <= 1
-         ORDER BY id_a, id_b""",
-    // media ingest-probe replay: same clip fingerprint rule, pairs
-    // restricted to probe eighth (doc_id % 8 = 4) × written index
-    // (the other seven eighths) — the parquet round-trip cannot
-    // drift a fingerprint without failing this gate
-    "q_media_probe" ->
-      """WITH d AS (SELECT doc_id,
-             (8 + doc_id % 5) * 8 AS wh,
-             (4 + doc_id % 4) * (8 + doc_id % 5) * 8 AS n
-           FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + ((((g+1)*n)//65) // wh)*101
-                         + ((((g+1)*n)//65) % wh)*7919) % 256) >
-                       ((doc_id*31 + (((g*n)//65) // wh)*101
-                         + (((g*n)//65) % wh)*7919) % 256)
-                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << g) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 64) gs(g)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
-         SELECT p.doc_id AS probe_id, i.doc_id AS index_id,
-           CAST(bit_count(xor(p.f, i.f)) AS INT) AS hamming
-         FROM fp p JOIN fp i
-           ON p.doc_id % 8 = 4 AND i.doc_id % 8 <> 4
-         WHERE bit_count(xor(p.f, i.f)) <= 1
-         ORDER BY probe_id, index_id""",
-    // audio envelope-hash pair replay + component closure +
-    // keep-longest-stream survivor policy (sample count desc, doc_id)
-    // — the audio analog of q_image_dedup_survivors' oracle
-    "q_audio_dedup_survivors" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, 64 + doc_id % 64 AS n
-           FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + (((g+1)*n)//65)*7919) % 65536 - 32768) >
-                       ((doc_id*31 + ((g*n)//65)*7919) % 65536 - 32768)
-                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << g) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 64) gs(g)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.f, b.f)) <= 1),
-         sym AS (SELECT id_a AS a, id_b AS b FROM pr
-                 UNION SELECT id_b AS a, id_a AS b FROM pr),
-         reach AS (SELECT a, b FROM sym
-                   UNION
-                   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-         comp AS (SELECT a AS node, least(a, min(b)) AS component
-                  FROM reach GROUP BY a),
-         pf AS (SELECT c.doc_id, comp.component,
-                  64 + c.doc_id % 64 AS pf
-                FROM documents c JOIN comp ON comp.node = c.doc_id),
-         win AS (SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (PARTITION BY component
-               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
-         SELECT doc_id FROM documents
-         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = documents.doc_id)
-            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = documents.doc_id)
-         ORDER BY doc_id""",
-    // video fingerprint pair replay + component closure +
-    // keep-longest-clip survivor policy (frame·pixel volume desc,
-    // doc_id) — the video analog of q_image_dedup_survivors' oracle
-    "q_video_dedup_survivors" ->
-      """WITH RECURSIVE d AS (SELECT doc_id,
-             (8 + doc_id % 5) * 8 AS wh,
-             (4 + doc_id % 4) * (8 + doc_id % 5) * 8 AS n
-           FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + ((((g+1)*n)//65) // wh)*101
-                         + ((((g+1)*n)//65) % wh)*7919) % 256) >
-                       ((doc_id*31 + (((g*n)//65) // wh)*101
-                         + (((g*n)//65) % wh)*7919) % 256)
-                  THEN (CASE WHEN g = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << g) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 64) gs(g)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.f, b.f)) <= 1),
-         sym AS (SELECT id_a AS a, id_b AS b FROM pr
-                 UNION SELECT id_b AS a, id_a AS b FROM pr),
-         reach AS (SELECT a, b FROM sym
-                   UNION
-                   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-         comp AS (SELECT a AS node, least(a, min(b)) AS component
-                  FROM reach GROUP BY a),
-         pf AS (SELECT c.doc_id, comp.component,
-                  (4 + c.doc_id % 4) * (8 + c.doc_id % 5) * 8 AS pf
-                FROM documents c JOIN comp ON comp.node = c.doc_id),
-         win AS (SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (PARTITION BY component
-               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
-         SELECT doc_id FROM documents
-         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = documents.doc_id)
-            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = documents.doc_id)
-         ORDER BY doc_id""",
-    // dHash pair replay + component closure + keep-highest-resolution
-    // survivor policy (pixel count desc, doc_id) — the image analog of
-    // q_dedup_survivors_best_md5's oracle
-    "q_image_dedup_survivors" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, 16 + doc_id % 8 AS W, 8 + doc_id % 4 AS H
-           FROM documents),
-         bits AS (
-           SELECT doc_id,
-             CASE WHEN ((doc_id*31 + ((y*H//8)*W + ((x+1)*W//9))*7) % 256) >
-                       ((doc_id*31 + ((y*H//8)*W + (x*W//9))*7) % 256)
-                  THEN (CASE WHEN y*8+x = 63 THEN -9223372036854775807 - 1
-                             ELSE (1::BIGINT << (y*8+x)) END)
-                  ELSE 0 END AS b
-           FROM d, range(0, 8) xs(x), range(0, 8) ys(y)),
-         fp AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS f
-           FROM bits GROUP BY doc_id),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.f, b.f)) <= 1),
-         sym AS (SELECT id_a AS a, id_b AS b FROM pr
-                 UNION SELECT id_b AS a, id_a AS b FROM pr),
-         reach AS (SELECT a, b FROM sym
-                   UNION
-                   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-         comp AS (SELECT a AS node, least(a, min(b)) AS component
-                  FROM reach GROUP BY a),
-         pf AS (SELECT c.doc_id, comp.component,
-                  (16 + c.doc_id % 8) * (8 + c.doc_id % 4) AS pf
-                FROM documents c JOIN comp ON comp.node = c.doc_id),
-         win AS (SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (PARTITION BY component
-               ORDER BY pf DESC, doc_id) AS rn FROM pf) WHERE rn = 1)
-         SELECT doc_id FROM documents
-         WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = documents.doc_id)
-            OR EXISTS (SELECT 1 FROM win WHERE win.doc_id = documents.doc_id)
-         ORDER BY doc_id""",
-  )
-
-  /** Shared CTE replaying the md5-mode MinHash-LSH pipeline in
-    * DuckDB: planted corpus → shingles → 16-permutation md5
-    * signatures → 4 band buckets → capped bucket self-join →
-    * exact-Jaccard verification (`pr`), plus the symmetrized pair
-    * closure (`reach`) the cluster views aggregate. Every stage
-    * mirrors Dedup.minhashNearDuplicatesManaged(hashMode="md5")
-    * byte-for-byte — md5 hex strings order identically in both
-    * engines, which is the whole point of the mode.
-    */
-  /** Unrolled n-round DuckDB replay of [[TextAnalysis.bpeMerges]]:
-    * word-frequency table → per round, adjacent-pair weighted counts
-    * from the bracket-encoded symbol strings, argmax with the
-    * (freq DESC, a, b) tie-break, and the single literal-replace
-    * merge application (the encoding makes leftmost non-overlapping
-    * replacement ≡ greedy BPE — see the operator's scaladoc).
-    */
-  private def bpeLearnCtes(n: Int): String = {
-    val sb = new StringBuilder(
-      """WITH w AS (
-           SELECT word, count(*) AS wc FROM (
-             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-           WHERE word <> '' AND word NOT LIKE '%<%' AND word NOT LIKE '%>%'
-             AND NOT contains(word, '_')
-           GROUP BY 1),
-         v0 AS (SELECT '<' || array_to_string(regexp_split_to_array(word, ''), '><')
-                       || '><_>' AS s, wc FROM w)""")
-    for (i <- 1 to n) {
-      val p = i - 1
-      sb.append(s""",
-         p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(wc) AS f FROM (
-             SELECT string_split(substr(s, 2, len(s)-2), '><') AS syms, wc,
-                    unnest(range(1, len(string_split(substr(s, 2, len(s)-2), '><')))) AS i
-             FROM v$p) GROUP BY 1, 2),
-         b$i AS (SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1),
-         v$i AS (SELECT replace(s, '<' || b$i.a || '><' || b$i.b || '>',
-                                '<' || b$i.a || b$i.b || '>') AS s, wc
-                 FROM v$p CROSS JOIN b$i)""")
-    }
-    sb.toString
-  }
-
-  private def bpeOracle(n: Int): String = {
-    val sel = (1 to n).map(i =>
-      s"SELECT $i AS rank, a AS sym_a, b AS sym_b, CAST(f AS BIGINT) AS freq FROM b$i")
-      .mkString(" UNION ALL ")
-    s"${bpeLearnCtes(n)}\n         SELECT * FROM ($sel) ORDER BY rank"
-  }
-
-  /** Replay of [[TextAnalysis.bpeEncode]] over the merges the learning
-    * CTE chain just derived: bracket-encode every surviving word, wrap
-    * it in the same n literal replaces in rank order (the merge pairs
-    * arrive via one cross join of the 1-row b_i CTEs), strip the
-    * brackets back to a space-joined token stream. Assumes the corpus
-    * actually yields n merges (true of the documents table) — an
-    * exhausted b_i would empty the cross join.
-    */
-  /** Unrolled power-iteration replay (the bpeLearnCtes pattern): one
-    * (dangling-mass, rank) CTE pair per round, formula shape
-    * identical to the operator's — (1−d)/n + d·(contrib + dm/n) —
-    * so both engines run the same IEEE ops and the query edge's
-    * round(…, 10) absorbs summation-order ulps. Every CTE is
-    * MATERIALIZED: each round references its predecessor twice, so
-    * DuckDB's default inlining would expand the chain 2^iters-fold
-    * (reproduced as an fd-exhausting 256-scan plan at iters = 8).
-    */
-  /** The graph-independent PageRank replay CTEs: callers prepend an
-    * `e0(a, b)` edge CTE and append their own tail over `r<iters>`.
-    */
-  private def pageRankRoundCtes(iters: Int): String = {
-    val rounds = (1 to iters).map { k =>
-      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm
-           FROM r${k - 1} p JOIN dang ON p.node = dang.node),
-         r$k AS MATERIALIZED (
-           SELECT p.node,
-             (1.0 - 0.85)/cnt.c +
-               0.85*(coalesce(w.contrib, 0.0) + d$k.dm/cnt.c) AS rank
-           FROM r${k - 1} p CROSS JOIN cnt CROSS JOIN d$k
-           LEFT JOIN (SELECT e.b AS node, sum(q.rank / deg.dout) AS contrib
-                      FROM e JOIN deg ON e.a = deg.a
-                      JOIN r${k - 1} q ON q.node = e.a
-                      GROUP BY e.b) w ON w.node = p.node)"""
-    }.mkString(",\n")
-    s"""e AS MATERIALIZED (SELECT a, b FROM e0 WHERE a <> b),
-       deg AS MATERIALIZED (SELECT a, count(*) AS dout FROM e GROUP BY a),
-       n AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
-       cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM n),
-       dang AS MATERIALIZED (
-         SELECT node FROM n WHERE node NOT IN (SELECT a FROM e)),
-       r0 AS MATERIALIZED (
-         SELECT node, 1.0/cnt.c AS rank FROM n CROSS JOIN cnt),
-       $rounds"""
-  }
-
-  /** The degree-ordered triangle-closure CTEs (orientation, 2-paths,
-    * closed triangles) over `linkGraphCtes` — shared by q_triangles
-    * and q_graph_summary.
-    */
-  private val triangleCtes: String =
-    """o AS (SELECT
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                      THEN u ELSE v END AS src,
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                      THEN v ELSE u END AS dst,
-                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
-                      THEN dv.d ELSE du.d END AS dd
-               FROM und
-               JOIN deg du ON und.u = du.node
-               JOIN deg dv ON und.v = dv.node),
-         p AS (SELECT o1.src AS s, o1.dst AS a, o1.dd AS da,
-                      o2.dst AS b, o2.dd AS db
-               FROM o o1 JOIN o o2 ON o1.src = o2.src
-               WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
-         tr AS (SELECT p.s, p.a, p.b
-                FROM p JOIN o ON o.src = p.a AND o.dst = p.b)"""
-
-  /** The link-graph oracle front (edge construction, canonical
-    * undirected edges, degrees) shared by q_triangles / q_kcore /
-    * q_assortativity — one text, three oracles.
-    */
-  private val linkGraphCtes: String =
-    """k AS (SELECT o_orderkey - o_orderkey % 4 AS g FROM orders),
-         e0 AS (SELECT g AS s, g + 1 AS t FROM k
-                UNION ALL SELECT g + 1, g + 2 FROM k
-                UNION ALL SELECT g, g + 2 FROM k
-                UNION ALL SELECT g, g - g % 16 FROM k
-                UNION ALL SELECT g + 2, g + 1000000000 FROM k
-                UNION ALL SELECT g + 1000000000, g + 2000000000 FROM k),
-         und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
-                 FROM e0 WHERE s <> t),
-         deg AS (SELECT node, count(*) AS d FROM (
-                   SELECT u AS node FROM und
-                   UNION ALL SELECT v FROM und) GROUP BY 1)"""
-
-  /** The cross-doc 5-gram CTE chain shared by q_memorization and
-    * q_memorized_grams: per-(doc, gram) occurrence counts `dg` and
-    * the per-doc rollup `per` — one text, two oracles, so the gram
-    * construction can never drift between the fraction and the list.
-    */
-  private val memorizationCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         g AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ')
-                        for i in range(1, len(ws) - 3)]
-                  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
-         dg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
-         gd AS (SELECT g, count(*) AS nd FROM dg GROUP BY 1),
-         per AS (SELECT dg.doc_id, CAST(sum(dg.c) AS BIGINT) AS n_grams,
-                  CAST(coalesce(sum(CASE WHEN gd.nd >= 2 THEN dg.c END),
-                       0) AS BIGINT) AS dup_grams
-                 FROM dg JOIN gd ON dg.g = gd.g GROUP BY 1)"""
-
-  /** The label-propagation replay chain over `und` (from
-    * [[linkGraphCtes]]): one MATERIALIZED CTE per synchronous round
-    * (each is referenced once per successor but materialization keeps
-    * the planner linear — the kcoreOracle lesson), ending in `fin`
-    * (node, community) with min-member canonical names. Shared by the
-    * q_communities pair and q_modularity so the vote semantics can
-    * never drift between the partition and its quality readout.
-    */
-  private def lpaChainCtes(rounds: Int, und: String = "und"): String = {
-    val rs = (1 to rounds).map { i =>
-      s""",
-         l$i AS MATERIALIZED (
-           SELECT node, label FROM (
-             SELECT csym.u AS node, p.label AS label,
-                    row_number() OVER (PARTITION BY csym.u
-                      ORDER BY count(*) DESC, p.label) AS rn
-             FROM csym JOIN l${i - 1} p ON csym.v = p.node
-             GROUP BY csym.u, p.label)
-           WHERE rn = 1)"""
-    }.mkString
-    s"""csym AS MATERIALIZED (
-           SELECT u, v FROM $und UNION ALL SELECT v, u FROM $und),
-         l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label
-           FROM csym)$rs,
-         fin AS MATERIALIZED (SELECT l.node, mn.community FROM l$rounds l
-           JOIN (SELECT label, min(node) AS community FROM l$rounds
-                 GROUP BY 1) mn
-           ON l.label = mn.label)"""
-  }
-
-  /** The DSIR model-replay CTE chain, shared by every DSIR oracle
-    * (weights, select, the written-model twin, and the curation
-    * composition — which x-prefixes it around the gate CTE names).
-    * One text, four oracles: a smoothing or bucket-hash change can't
-    * desynchronize them.
-    */
-  private def dsirCtes(p: String): String =
-    s"""${p}t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-                FROM documents),
-         ${p}g AS (SELECT doc_id, lang, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM ${p}t),
-         ${p}gb AS (SELECT doc_id, lang,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM ${p}g),
-         ${p}tc AS (SELECT b, count(*) AS c FROM ${p}gb WHERE lang = 'en' GROUP BY 1),
-         ${p}rc AS (SELECT b, count(*) AS c FROM ${p}gb GROUP BY 1),
-         ${p}nt AS (SELECT sum(c) AS n FROM ${p}tc),
-         ${p}nr AS (SELECT sum(c) AS n FROM ${p}rc),
-         ${p}r AS (SELECT d.range AS b,
-                 CAST(round(ln(((coalesce(${p}tc.c, 0) + 1.0) * (${p}nr.n + 1024)) /
-                               ((coalesce(${p}rc.c, 0) + 1.0) * (${p}nt.n + 1024)))
-                            * 1000000.0) AS BIGINT) AS r6
-               FROM range(1024) d
-               LEFT JOIN ${p}tc ON d.range = ${p}tc.b
-               LEFT JOIN ${p}rc ON d.range = ${p}rc.b
-               CROSS JOIN ${p}nt CROSS JOIN ${p}nr)"""
-
-  /** The NB-classifier training replay CTE chain, shared by the
-    * train-readout and gate oracles (the dsirCtes discipline — one
-    * text, both oracles): ¾-split corpus, hashed uni+bigram buckets,
-    * per-class counts, add-1 ln-ratio weights in integer micro-nats,
-    * prior bias from the doc counts.
-    */
-  private def nbCtes: String =
-    s"""qt AS (SELECT doc_id, n_chars >= 300 AS p,
-                string_split(text, ' ') AS ws
-              FROM documents WHERE doc_id % 4 <> 0),
-         qg AS (SELECT doc_id, p, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qt),
-         qb AS (SELECT p,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM qg),
-         qpc AS (SELECT b, count(*) AS c FROM qb WHERE p GROUP BY 1),
-         qnc AS (SELECT b, count(*) AS c FROM qb WHERE NOT p GROUP BY 1),
-         qnp AS (SELECT sum(c) AS n FROM qpc),
-         qnn AS (SELECT sum(c) AS n FROM qnc),
-         qw AS (SELECT d.range AS b,
-                 CAST(round(ln(((coalesce(qpc.c, 0) + 1.0) * (qnn.n + 1024)) /
-                               ((coalesce(qnc.c, 0) + 1.0) * (qnp.n + 1024)))
-                            * 1000000.0) AS BIGINT) AS w6
-               FROM range(1024) d
-               LEFT JOIN qpc ON d.range = qpc.b
-               LEFT JOIN qnc ON d.range = qnc.b
-               CROSS JOIN qnp CROSS JOIN qnn),
-         qbias AS (SELECT CAST(round(ln(
-                   CAST(count(CASE WHEN n_chars >= 300 THEN 1 END) AS DOUBLE)
-                   / count(CASE WHEN NOT (n_chars >= 300) THEN 1 END))
-                 * 1000000.0) AS BIGINT) AS w6
-               FROM documents WHERE doc_id % 4 <> 0)"""
-
-  /** The shared admission-replay CTE chain (the q_admission_pipeline
-    * / q_admission_pipeline_full discipline — one text, both
-    * oracles): NB training + held-out decisions (qhd), DSIR ratios +
-    * held-out log-weights (dsc), and the ¾-trained LM + held-out
-    * mean NLLs (lnll). `qh` (held-out tokens) and `lt` (train
-    * tokens) are reusable by gate extensions.
-    */
-  private def admissionCtes(qhSql: String): String =
-    s"""$nbCtes,
-         qh AS ($qhSql),
-         qhg AS (SELECT doc_id, unnest(list_concat(ws,
-                 CASE WHEN len(ws) >= 2
-                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                      ELSE CAST([] AS VARCHAR[]) END)) AS g FROM qh),
-         qhb AS (SELECT doc_id,
-                  CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
-                    % 1024 AS b
-                FROM qhg),
-         qhs AS (SELECT qhb.doc_id, sum(qw.w6) AS s6
-                 FROM qhb JOIN qw ON qhb.b = qw.b GROUP BY 1),
-         qhd AS (SELECT qhs.doc_id, qhs.s6 + qbias.w6 AS d6
-                 FROM qhs CROSS JOIN qbias),
-         ${dsirCtes("d")},
-         dsc AS (SELECT dgb.doc_id, sum(dr.r6) AS s6
-                 FROM dgb JOIN dr ON dgb.b = dr.b
-                 WHERE dgb.doc_id % 4 = 0 GROUP BY 1),
-         lt AS (SELECT string_split(text, ' ') AS ws FROM documents
-                WHERE doc_id % 4 <> 0),
-         lb0 AS (SELECT unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM lt),
-         lmc AS (SELECT bg, count(*) AS c12 FROM lb0 GROUP BY 1),
-         lcx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
-                 FROM lmc GROUP BY 1),
-         lv AS (SELECT count(DISTINCT term) AS v
-                FROM (SELECT unnest(ws) AS term FROM lt)),
-         lbg AS (SELECT doc_id, unnest(
-             CASE WHEN len(ws) >= 2
-                  THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
-                  ELSE CAST([NULL] AS VARCHAR[]) END) AS bg FROM qh),
-         lsc AS (SELECT lbg.doc_id, lbg.bg,
-                   CASE WHEN lbg.bg IS NOT NULL
-                        THEN CAST(round(ln((coalesce(lcx.c1, 0) + lv.v) * 1.0
-                                           / (coalesce(lmc.c12, 0) + 1.0))
-                                        * 1000000.0) AS BIGINT)
-                   END AS nll6
-                 FROM lbg LEFT JOIN lmc ON lbg.bg = lmc.bg
-                 LEFT JOIN lcx ON split_part(lbg.bg, ' ', 1) = lcx.w1
-                 CROSS JOIN lv),
-         lnll AS (SELECT doc_id,
-             CASE WHEN count(bg) > 0
-                  THEN round(sum(nll6) * 1.0 / (count(bg) * 1000000.0), 4)
-                  ELSE 0.0 END AS lm_nll
-           FROM lsc GROUP BY 1)"""
-
-  /** Exact 4-decimal readout of an integer micro-value in SQL — the
-    * [[graft.selection.Dsir]] micro4 contract.
-    */
-  private def micro4Sql(c: String): String =
-    s"""(CASE WHEN $c < 0 THEN -floor((-$c + 50) / 100.0)
-                 ELSE floor(($c + 50) / 100.0) END) / 10000.0"""
-
-  /** md5-derived Gumbel key in integer micro-nats (dsirSelect). */
-  private def gumbel6Sql(id: String): String =
-    s"""CAST(round(-ln(-ln((CAST(concat('0x',
-                     substring(md5(CAST($id AS VARCHAR)), 1, 15))
-                     AS BIGINT) + 0.5) / 1152921504606846976.0))
-                   * 1000000.0) AS BIGINT)"""
-
-  /** TrustRank replay: the [[pageRankRoundCtes]] graph CTEs with the
-    * seed-restricted teleport — r0 = s(v), each round
-    * s(v)·((1−d) + d·dm) + d·contrib, the exact expression shape the
-    * operator evaluates (IEEE determinism does the rest).
-    */
-  /** Triangle replay shared by the distributed pin and its in-task
-    * fast twin: canonical undirected edges, degree-ordered
-    * orientation, 2-path join closed against the oriented edges.
-    */
-  private def trianglesOracle: String =
-    s"""WITH $linkGraphCtes,
-       $triangleCtes,
-       tn AS (SELECT node, count(*) AS t FROM (
-                SELECT s AS node FROM tr
-                UNION ALL SELECT a FROM tr
-                UNION ALL SELECT b FROM tr) GROUP BY 1)
-       SELECT deg.node, deg.d AS degree,
-         coalesce(tn.t, 0) AS triangles,
-         CASE WHEN deg.d >= 2 THEN
-           ((2 * coalesce(tn.t, 0) * 20000 + deg.d * (deg.d - 1))
-            // (2 * deg.d * (deg.d - 1))) / 10000.0
-         ELSE 0.0 END AS clustering
-       FROM deg LEFT JOIN tn ON deg.node = tn.node
-       ORDER BY deg.node"""
-
-  private def personalizedPageRankOracle(iters: Int): String = {
-    val seed = "p.node % 64 = 0"
-    val rounds = (1 to iters).map { k =>
-      s"""d$k AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS dm
-           FROM r${k - 1} p JOIN dang ON p.node = dang.node),
-         r$k AS MATERIALIZED (
-           SELECT p.node,
-             (CASE WHEN $seed THEN 1.0/sc.c ELSE 0.0 END)
-               * ((1.0 - 0.85) + 0.85*d$k.dm)
-             + 0.85*coalesce(w.contrib, 0.0) AS rank
-           FROM r${k - 1} p CROSS JOIN sc CROSS JOIN d$k
-           LEFT JOIN (SELECT e.b AS node, sum(q.rank / deg.dout) AS contrib
-                      FROM e JOIN deg ON e.a = deg.a
-                      JOIN r${k - 1} q ON q.node = e.a
-                      GROUP BY e.b) w ON w.node = p.node)"""
-    }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
-         SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-         UNION
-         SELECT o_orderkey - o_orderkey % 4 AS a,
-                o_orderkey - o_orderkey % 16 AS b FROM orders),
-       e AS MATERIALIZED (SELECT a, b FROM e0 WHERE a <> b),
-       deg AS MATERIALIZED (SELECT a, count(*) AS dout FROM e GROUP BY a),
-       n AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
-       sc AS MATERIALIZED (
-         SELECT CAST(count(*) AS DOUBLE) AS c FROM n WHERE node % 64 = 0),
-       dang AS MATERIALIZED (
-         SELECT node FROM n WHERE node NOT IN (SELECT a FROM e)),
-       r0 AS MATERIALIZED (
-         SELECT node, CASE WHEN node % 64 = 0 THEN 1.0/sc.c ELSE 0.0 END AS rank
-         FROM n CROSS JOIN sc),
-       $rounds
-       SELECT node, round(rank, 10) AS rank FROM r$iters ORDER BY node"""
-  }
-
-  private def pageRankOracle(iters: Int): String =
-    s"""WITH e0 AS MATERIALIZED (
-         SELECT o_orderkey AS a, o_orderkey - o_orderkey % 4 AS b FROM orders
-         UNION
-         SELECT o_orderkey - o_orderkey % 4 AS a,
-                o_orderkey - o_orderkey % 16 AS b FROM orders),
-       ${pageRankRoundCtes(iters)}
-       SELECT node, round(rank, 10) AS rank FROM r$iters ORDER BY node"""
-
-  private def bpeEncodeOracle(n: Int): String = {
-    val ms = (1 to n).map(i => s"b$i.a AS a$i, b$i.b AS c$i").mkString(", ")
-    val mf = (1 to n).map(i => s"b$i").mkString(" CROSS JOIN ")
-    val enc = "'<' || array_to_string(regexp_split_to_array(w, ''), '><') || '><_>'"
-    val merged = (1 to n).foldLeft(enc) { (s, i) =>
-      s"replace($s, '<' || a$i || '><' || c$i || '>', '<' || a$i || c$i || '>')"
-    }
-    s"""${bpeLearnCtes(n)},
-         m AS (SELECT $ms FROM $mf),
-         enc AS (
-           SELECT doc_id,
-             array_to_string(list_transform(
-               list_filter(string_split(text, ' '),
-                 w -> w <> '' AND NOT contains(w, '<')
-                  AND NOT contains(w, '>') AND NOT contains(w, '_')),
-               w -> substr(replace($merged, '><', ' '), 2,
-                           len(replace($merged, '><', ' ')) - 2)), ' ') AS tokens
-           FROM documents CROSS JOIN m)
-         SELECT doc_id,
-           CAST(CASE WHEN tokens = '' THEN 0
-                ELSE len(string_split(tokens, ' ')) END AS BIGINT) AS n_tokens,
-           tokens
-         FROM enc ORDER BY doc_id"""
-  }
-
-  private val minhashMd5Cte: String =
-    """WITH RECURSIVE corpus AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(ws[1:greatest(len(ws)-2,1)], ' ') AS text
-         FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
-               WHERE doc_id % 5 = 0)),
-       sh AS (
-         SELECT doc_id,
-           list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)]) AS grams
-         FROM (SELECT doc_id, string_split(text,' ') AS ws FROM corpus)
-         WHERE len(ws) >= 3),
-       sig AS (
-         SELECT doc_id,
-           [list_min([md5(CAST(p AS VARCHAR) || '|' || g) for g in grams]) for p in range(0,16)] AS sg
-         FROM sh),
-       bk AS (
-         SELECT doc_id, b AS band, md5(array_to_string(sg[b*4+1:b*4+4],'|')) AS bucket
-         FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
-       capped AS (
-         SELECT doc_id, band, bucket FROM (
-           SELECT doc_id, band, bucket,
-             count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bk)
-         WHERE bsz <= 100),
-       cand AS (
-         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         FROM capped l JOIN capped r
-           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-       ver AS (
-         SELECT id_a, id_b,
-           len(list_intersect(a.grams, b.grams)) /
-           len(list_distinct(list_concat(a.grams, b.grams))) AS j
-         FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b),
-       pr AS (SELECT id_a, id_b, j FROM ver WHERE j >= 0.5),
-       sym AS (SELECT id_a AS a, id_b AS b FROM pr
-               UNION SELECT id_b AS a, id_a AS b FROM pr),
-       reach AS (SELECT a, b FROM sym
-                 UNION
-                 SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-    """
-
-  /** Shared CTE replicating RuleBasedScorer's integer rubric in
-    * DuckDB (sub-scores only; overall derived per query).
-    */
-  private val qualityScoreCte: String =
-    """WITH w AS (
-         SELECT doc_id, lang, substring(text, 1, 1024) AS tx,
-                string_split(substring(text, 1, 1024), ' ') AS ws
-         FROM documents),
-       s AS (
-         SELECT doc_id, lang,
-           CAST(least(100, floor(length(tx)/5)) AS BIGINT) AS completeness,
-           CAST(CASE WHEN len(ws) < 3 THEN 0
-                ELSE floor(len(list_distinct(ws)) * 100 / len(ws)) END AS BIGINT) AS consistency,
-           CAST(CASE WHEN regexp_matches(tx, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-                       OR regexp_matches(tx, '[0-9]{3}-[0-9]{2}-[0-9]{4}')
-                       OR regexp_matches(tx, '\+?[0-9][0-9 ()-]{7,14}[0-9]')
-                  THEN 0 ELSE 100 END AS BIGINT) AS pii_detection,
-           CAST(least(100, floor(len(list_filter(ws, x -> x IN ('the','a'))) * 1000 / len(ws))) AS BIGINT) AS language_quality
-         FROM w)
-    """
+  private def staticOracleSql: Map[String, String] =
+    relationalStaticOracles ++ searchStaticOracles ++ dedupStaticOracles ++ graphStaticOracles ++ annStaticOracles ++ pqStaticOracles ++ textStaticOracles ++ curationStaticOracles ++ mediaStaticOracles
 }
