@@ -150,6 +150,15 @@ private[graft] trait PqEntries extends AnnEntries {
       Similarity.pqTopKRefined(s.read.parquet(builtPqIvfIndex(s, d)),
         Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
         queryVec0(s, d), 10, nProbe = 2, shortlist = 40)),
+    // BATCHED two-stage serving (round 14 — the two high-QPS waves
+    // composed): 5 queries' shortlists from ONE code scan, every
+    // re-rank from ONE bounded fetch of the union of shortlisted
+    // float rows — two scans for the whole batch vs 2Q single-query
+    // passes. Batched ≡ 5 single refined serves is the hash gate
+    "q_knn_pq_refined_multi" -> ((s, d) =>
+      Similarity.pqMultiTopKRefined(s.read.parquet(builtPqIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
+        multiQueryVecs(s, d), 10, nProbe = 2, shortlist = 40)),
     // The measurement that prices the re-rank stage: recall@10 of the
     // two-stage path vs q_pq_recall's pure-ADC 0.52 — measured 0.88,
     // exactly the float routing ceiling at nProbe=2 (q_ann_recall
@@ -203,6 +212,27 @@ private[graft] trait PqEntries extends AnnEntries {
         s.read.parquet(builtResidualPqIndex(s, d)),
         Tables.embeddings(s, d), seedCents16(s, d),
         residualPqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // Two-stage serving over the RESIDUAL store (round 14 — the
+    // composition the IVFADC family lacked): residual-ADC shortlist
+    // of 40 from the probed cells, exact re-rank of only those float
+    // rows — the same bounded-In-pushdown tail as q_knn_pq_refined.
+    // Generated oracle replays residual encode + shortlist + re-rank
+    "q_knn_pq_residual_refined" -> ((s, d) =>
+      Similarity.residualPqTopKRefined(
+        s.read.parquet(builtResidualPqIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d),
+        residualPqCodebookFor(s, d), queryVec0(s, d), 10, nProbe = 2,
+        shortlist = 40)),
+    // ...and its measured operating point: the re-rank recovers
+    // residual-ADC loss up to the shared routing ceiling, so raw vs
+    // residual codes wash out under a deep shortlist — the store
+    // decision stays with the residual-norm diagnostic
+    "q_pq_residual_refined_recall" -> ((s, d) =>
+      Similarity.residualPqRefinedRecall(
+        s.read.parquet(builtResidualPqIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d),
+        residualPqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2,
+        40)),
     // The FOURTH compression lever: prefix truncation (Matryoshka) —
     // recall@10 serving only the first d ∈ {8,16,32,64} components
     // vs the full-dim exact ranking. No artifact, just a sliced
@@ -862,6 +892,25 @@ private[graft] trait PqEntries extends AnnEntries {
                ${level(1)} UNION ALL ${level(2)}
                UNION ALL ${level(4)} UNION ALL ${level(8)})
              ORDER BY n_probe, query_id""",
+        // the batched two-stage serve shares the per-query refined
+        // replay: batched ≡ 5 single refined serves is the hash gate
+        "q_knn_pq_refined_multi" ->
+          s"""$shared
+             SELECT query_id, vec_id, cos_sim FROM (
+               SELECT sh.query_id, sh.vec_id,
+                 round(list_cosine_similarity(v.ve, q.qe), 4) AS cos_sim,
+                 row_number() OVER (PARTITION BY sh.query_id
+                   ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                            sh.vec_id) AS rr
+               FROM (SELECT query_id, vec_id FROM (
+                       SELECT s.query_id, s.vec_id,
+                         row_number() OVER (PARTITION BY s.query_id
+                           ORDER BY round(s.s6 / 1000000.0, 6) DESC,
+                                    s.vec_id) AS rnk
+                       FROM (${pqRecallCandSql(2)}) s) WHERE rnk <= 40) sh
+               JOIN v ON v.vec_id = sh.vec_id
+               JOIN q ON q.query_id = sh.query_id) WHERE rr <= 10
+             ORDER BY query_id, cos_sim DESC, vec_id""",
         "q_pq_refined_recall" ->
           s"""$shared
              SELECT query_id, n_exact, recall FROM (${refinedLevel(40, tag = false)})
@@ -1089,6 +1138,47 @@ private[graft] trait PqEntries extends AnnEntries {
                    row_number() OVER (PARTITION BY query_id
                      ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rnk
                  FROM cand) WHERE rnk <= 10) a
+               ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+             GROUP BY 1 ORDER BY 1""",
+        // the residual two-stage: the SAME residual-ADC candidates
+        // shortlist 40, the true float rows of those ids re-rank
+        "q_knn_pq_residual_refined" ->
+          s"""${shared("0")},
+             short AS (SELECT vec_id FROM (
+                 SELECT vec_id,
+                   row_number() OVER (
+                     ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+                 FROM cand) WHERE rn <= 40)
+             SELECT v2.vec_id,
+               round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
+             FROM v v2 JOIN short ON short.vec_id = v2.vec_id CROSS JOIN q
+             ORDER BY cos_sim DESC, v2.vec_id LIMIT 10""",
+        "q_pq_residual_refined_recall" ->
+          s"""${shared("0, 1, 2, 3, 4")},
+             short AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+                 FROM cand) WHERE rn <= 40),
+             rr AS (SELECT sh.query_id, v2.vec_id,
+                 round(list_cosine_similarity(v2.ve, q.qe), 4) AS cos_sim
+               FROM short sh JOIN v v2 ON v2.vec_id = sh.vec_id
+               JOIN q ON q.query_id = sh.query_id),
+             exact AS (SELECT query_id, vec_id FROM (
+                 SELECT q.query_id, v.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(v.ve, q.qe), 4) DESC,
+                              v.vec_id) AS rn
+                 FROM v CROSS JOIN q) WHERE rn <= 10)
+             SELECT e.query_id, count(*) AS n_exact,
+               round(count(a.vec_id) * 1.0 / count(*), 4) AS recall
+             FROM exact e
+             LEFT JOIN (
+               SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, vec_id) AS rr2
+                 FROM rr) WHERE rr2 <= 10) a
                ON a.query_id = e.query_id AND a.vec_id = e.vec_id
              GROUP BY 1 ORDER BY 1""")
     }

@@ -2255,6 +2255,15 @@ object Similarity {
     require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
     val ids = pqTopKFromIndex(index, cents, cb, queryVec, shortlist, nProbe)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    exactRerank(embeddings, ids, queryVec, k)
+  }
+
+  /** The exact re-rank tail both two-stage serving paths share: the
+    * true float rows of the bounded shortlist ids (In-pushdown point
+    * lookups, never a corpus pass) re-ranked by exact cosine.
+    */
+  private def exactRerank(embeddings: DataFrame, ids: Seq[Long],
+      queryVec: Seq[Double], k: Int): DataFrame = {
     val cand =
       if (ids.isEmpty) embeddings.filter(lit(false))
       else embeddings.filter(col("vec_id").isin(ids: _*))
@@ -2265,6 +2274,87 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Two-stage serving over the RESIDUAL (IVFADC) store — the
+    * composition of the round-13 waves the residual family still
+    * lacked: the residual-ADC scan (cell term + residual LUTs)
+    * shortlists from the probed cells, the true float rows of only
+    * those ids re-rank exactly via the SAME tail as [[pqTopKRefined]].
+    * Worth enabling only where residual encoding itself pays (mean
+    * residual norm ≪ 1 — the [[residualPqRecall]] diagnostic); the
+    * re-rank recovers residual-ADC loss up to the routing ceiling
+    * exactly as it does raw-ADC loss.
+    */
+  def residualPqTopKRefined(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queryVec: Seq[Double],
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    val ids = residualPqTopKFromIndex(index, cents, cb, queryVec,
+      shortlist, nProbe)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    exactRerank(embeddings, ids, queryVec, k)
+  }
+
+  /** BATCHED two-stage serving — the composition of the two
+    * high-QPS waves: Q queries' ADC shortlists come from ONE pass
+    * over the union of their probed cells ([[pqMultiTopKFromIndex]]
+    * at depth `shortlist`), then ONE bounded fetch of the union of
+    * all shortlisted float rows re-ranks every query (each scanned
+    * candidate scores against every query's literal vector, rows
+    * outside a query's own shortlist drop). Two scans total for the
+    * whole batch — a Q-query refined workload against
+    * [[pqTopKRefined]] would issue 2Q. Per-query results ≡ Q single
+    * refined serves (the hash gate); zero-norm queries are absent.
+    */
+  def pqMultiTopKRefined(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook,
+      queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    val shortRows = pqMultiTopKFromIndex(index, cents, cb, queries,
+      shortlist, nProbe)
+      .select(col("query_id"), col("vec_id")).collect()
+    val byQ: Map[Long, Set[Long]] = shortRows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val allIds = byQ.values.flatten.toSeq.distinct
+    if (allIds.isEmpty)
+      return embeddings.filter(lit(false))
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0.0).as("cos_sim"))
+    val cand = embeddings.filter(col("vec_id").isin(allIds: _*))
+    val entries = queries.filter(q => byQ.contains(q._1))
+      .map { case (qid, qv) =>
+        struct(lit(qid).as("query_id"),
+          col("vec_id").isin(byQ(qid).toSeq: _*).as("m"),
+          round(cosineFor(embeddings)(col("embedding"),
+            typedlit(qv.toVector)), 4).as("s"))
+      }
+    import org.apache.spark.sql.expressions.Window
+    cand
+      .select(col("vec_id"), explode(array(entries: _*)).as("e"))
+      .filter(col("e.m"))
+      .select(col("e.query_id").as("query_id"), col("vec_id"),
+        col("e.s").as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** Recall@k of the residual two-stage path — prices the re-rank
+    * over the IVFADC store beside [[pqRefinedRecall]]'s raw-store
+    * number: both saturate at the shared routing ceiling, so the
+    * store choice (raw vs residual codes) washes out once a deep
+    * enough shortlist re-ranks — the decision stays with the
+    * residual-norm diagnostic, not the serving shape.
+    */
+  def residualPqRefinedRecall(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queryIds: Seq[Long],
+      k: Int, nProbe: Int, shortlist: Int): DataFrame =
+    servingRecall(embeddings, queryIds, k)(qv =>
+      residualPqTopKRefined(index, embeddings, cents, cb, qv, k, nProbe,
+        shortlist))
 
   /** Recall@k of the two-stage (shortlist + exact re-rank) serving
     * path — the measurement that prices the re-rank stage: together

@@ -1015,6 +1015,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residualPqTopKRefined: exact re-rank of the residual-ADC " +
+      "shortlist ≡ exact ranking restricted to that shortlist") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuildResidual(emb, cents, m = 8, ksub = 16,
+      iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq2s").toString + "/idx"
+    Similarity.writeResidualPqIndex(emb, cents, cb, dir)
+    val index = spark.read.parquet(dir)
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    val refined = Similarity.residualPqTopKRefined(index, emb, cents,
+      cb, q, 10, nProbe = 2, shortlist = 40)
+    val plan = refined.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(plan).isDefined,
+      plan)
+    val short = Similarity.residualPqTopKFromIndex(index, cents, cb, q,
+      40, 2).collect().map(_.getLong(0)).toSet
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qn = math.sqrt(dot(q, q))
+    val expected = emb.filter($"vec_id".isin(short.toSeq: _*))
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        val cos = dot(v, q) / (math.sqrt(dot(v, v)) * qn)
+        (r.getLong(0), BigDecimal(cos)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(refined.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === expected.toSeq)
+  }
+
+  test("pqMultiTopKRefined: batched two-stage ≡ per-query refined " +
+      "serves; one bounded float fetch re-ranks the whole batch") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqm2s").toString + "/idx"
+    Similarity.writePqIndex(emb, cents, cb, dir)
+    val index = spark.read.parquet(dir)
+    val qids = Seq(0L, 1L, 2L)
+    val qs = qids.map { id =>
+      id -> (emb.filter($"vec_id" === id)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector: Seq[Double])
+    }
+    val multi = Similarity.pqMultiTopKRefined(index, emb, cents, cb,
+      qs, 5, nProbe = 2, shortlist = 20)
+    // the re-rank pass is ONE scan with the union-In pushed down
+    val plan = multi.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(plan).isDefined,
+      plan)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.foreach { case (id, qv) =>
+      val single = Similarity.pqTopKRefined(index, emb, cents, cb, qv,
+        5, nProbe = 2, shortlist = 20).collect()
+        .map(r => (id, r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(id).toSeq === single, s"query $id")
+    }
+  }
+
   test("ivfMultiTopKFromIndex: batched float serving ≡ per-query " +
       "serves, from ONE scan of the union of probed cells") {
     val cents = Similarity.seedCentroids(emb, 8)

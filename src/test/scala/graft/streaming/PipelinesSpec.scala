@@ -428,6 +428,30 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() === 4)
   }
 
+  test("compactBatchOutputKeeping on the near-dup signature catalog: " +
+      "later batches still dedup against the folded history") {
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_ndret").toString + "/idx"
+    Pipelines.processNearDupBatch(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), indexDir, 0L)
+    Pipelines.processNearDupBatch(
+      Seq((2L, "completely different material about spark physical plans"))
+        .toDF("doc_id", "text"), indexDir, 1L)
+    val before = spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    Pipelines.compactBatchOutputKeeping(spark, indexDir, Seq("1"))
+    assert(spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet === before)
+    // a copy of the FOLDED batch's doc must still be dropped — the
+    // probe reads the whole catalog, fold included
+    Pipelines.processNearDupBatch(
+      Seq((3L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), indexDir, 2L)
+    assert(spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet === before)
+  }
+
   test("compactBatchOutputKeeping: catalog retention folds all but the " +
       "kept batches, full contents invariant, kept batch addressable, " +
       "folded names gone, replay semantics intact") {
