@@ -223,6 +223,17 @@ private[graft] trait SearchEntries extends PqEntries {
         .select(col("query_id"), col("recall").as("recall_refreshed"))
       stale.join(fresh, Seq("query_id")).orderBy(col("query_id"))
     }),
+    // BATCHED fully-served hybrid (round 14 — the batching story
+    // closed across the whole stack): 3 queries' lexical rankings
+    // from ONE pruned postings read, semantic rankings from ONE code
+    // scan + ONE bounded float fetch, RRF-fused per query — three
+    // scans for the batch where 3 single hybrids issue ~12. Batched
+    // ≡ Q single hybridSearchServed calls is the hash gate
+    "q_hybrid_multi" -> ((s, d) =>
+      SearchOps.hybridMultiSearchServed(s, builtBm25Index(s, d),
+        s.read.parquet(builtPqIvfIndex(s, d)), Tables.embeddings(s, d),
+        seedCents16(s, d), pqCodebookFor(s, d),
+        hybridEvalQueries.map { case (_, ts, vid) => (vid, ts) }, 10)),
     // §2.10 GET /search over the enriched index: quality + PII filters
     "q_search_enriched" -> ((s, d) =>
       SearchOps.searchEnriched(
@@ -845,6 +856,7 @@ private[graft] trait SearchEntries extends PqEntries {
          fused$tag AS (SELECT
              coalesce(l.query_label, s.query_label) AS query_label,
              coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.lex_rank, s.sem_rank,
              round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
                    coalesce(CAST(1 AS DOUBLE) / (60 + s.sem_rank), 0.0), 6)
                AS rrf
@@ -876,8 +888,10 @@ private[graft] trait SearchEntries extends PqEntries {
          LEFT JOIN nrel USING (query_label)
          LEFT JOIN hit$tag USING (query_label)"""
     val healthy = Option(lastOracleDir)
-      .flatMap(d => Option(pqCbCache.get(d))).map { cb =>
-        "q_hybrid_eval" ->
+      .flatMap(d => Option(pqCbCache.get(d))).toSeq.flatMap { cb =>
+        // the shared healthy prefix: codebook, query fixtures, seed
+        // routing, one full semantic side, the lexical block
+        val healthyPrefix =
           s"""WITH cb AS (SELECT sub, cid, ce FROM (VALUES ${pqCbValuesSql(cb)}) t(sub, cid, ce)),
              qt(query_label, term) AS (VALUES $qtVals),
              qv(query_label, qvid) AS (VALUES $qvVals),
@@ -891,9 +905,25 @@ private[graft] trait SearchEntries extends PqEntries {
                  round(list_cosine_similarity(v.ve, cc.ce2), 4) AS s
                FROM v CROSS JOIN cc),
              ${semSide("h", "cb", "sch", cb.subDim)},
-             $lexRel
-             ${metricSelect("h")}
-             ORDER BY query_label"""
+             $lexRel"""
+        Seq(
+          "q_hybrid_eval" ->
+            s"""$healthyPrefix
+               ${metricSelect("h")}
+               ORDER BY query_label""",
+          // the batched hybrid shares the per-query fused replay:
+          // batched ≡ Q single fully-served hybrids is the hash gate
+          "q_hybrid_multi" ->
+            s"""$healthyPrefix
+               SELECT CAST(qv.qvid AS BIGINT) AS query_id, f.doc_id,
+                 CAST(f.lex_rank AS INTEGER) AS lex_rank,
+                 CAST(f.sem_rank AS INTEGER) AS sem_rank, f.rrf
+               FROM (SELECT query_label, doc_id, lex_rank, sem_rank, rrf,
+                       row_number() OVER (PARTITION BY query_label
+                         ORDER BY rrf DESC, doc_id) AS rn
+                     FROM fusedh) f JOIN qv USING (query_label)
+               WHERE rn <= 10
+               ORDER BY query_id, rrf DESC, doc_id""")
       }
     val drift = for {
       d <- Option(lastOracleDir)
@@ -964,7 +994,7 @@ private[graft] trait SearchEntries extends PqEntries {
       Seq("q_hybrid_eval_drift" -> evalSql,
         "q_hybrid_drift_recall" -> recallSql)
     }
-    healthy.toSeq ++ drift.toSeq.flatten
+    healthy ++ drift.toSeq.flatten
   }
 
 }

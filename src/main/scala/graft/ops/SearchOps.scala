@@ -1123,6 +1123,76 @@ object SearchOps {
       relevanceFrom(sc, qs, minTf), k)
   }
 
+  /** BATCHED fully-served hybrid — the whole compressed retrieval
+    * stack at high QPS: Q queries' lexical rankings from ONE pruned
+    * postings read (the union of all eval terms' buckets, per-query
+    * BM25 via the shared [[scoredEvidence]] scoring), their semantic
+    * rankings from [[graft.similarity.Similarity.pqMultiTopKRefined]]
+    * (one code scan + one bounded float fetch), RRF-fused per query
+    * with the single-path formula. Three scans for the whole batch
+    * where Q single [[hybridSearchServed]] calls issue ~4Q. Output:
+    * (query_id, doc_id, lex_rank, sem_rank, rrf), k rows per query —
+    * per-query rows ≡ Q single serves (spec- and oracle-gated).
+    * Query vectors collect from `embeddings` by id; an id with no
+    * row fails loudly.
+    */
+  def hybridMultiSearchServed(spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, pqIndex: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook,
+      queries: Seq[(Long, Seq[String])], k: Int, depth: Int = 20,
+      nProbe: Int = 2, shortlist: Int = 40, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "batched hybrid needs at least one query with at least one term")
+    val qids = queries.map(_._1)
+    require(qids.distinct.length == qids.length,
+      "query ids must be distinct")
+    val qvecs = embeddings.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
+      .toMap
+    val missing = qids.filterNot(qvecs.contains)
+    require(missing.isEmpty,
+      s"query vector ids ${missing.mkString(", ")} have no embedding row")
+    // lexical: one pruned read of the union of all terms' buckets;
+    // per-query scoring through the SAME evidence aggregation the
+    // eval paths use (identical idf/tscore/rounding to scoreBm25)
+    val qt = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_label", "term")
+    val (tf, stats) = indexTfStats(spark, bm25Path,
+      queries.flatMap(_._2).distinct, None)
+    val lex = scoredEvidence(tf, stats, qt, k1, b)
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_label"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= depth)
+      .select(col("query_label").as("query_id"), col("doc_id"),
+        col("lex_rank"))
+    // semantic: one code scan + one bounded float fetch for ALL
+    // queries' two-stage rankings
+    val sem = graft.similarity.Similarity.pqMultiTopKRefined(pqIndex,
+        embeddings, cents, cb, queries.map(q => q._1 -> qvecs(q._1)),
+        depth, nProbe, shortlist)
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("sem_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
   /** Recall@k of the FUSED ranking against the exact SEMANTIC
     * (cosine top-k) baseline — the measurement [[hybridEval]]'s
     * lexical relevance rule cannot make: under that rule the fused

@@ -385,6 +385,35 @@ class SearchOpsSpec extends SparkSpec {
     assert(indexed === direct)
   }
 
+  test("hybridMultiSearchServed: batched fully-served hybrid ≡ " +
+      "per-query hybridSearchServed rows") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val bm25Dir = java.nio.file.Files.createTempDirectory("graft-bm25m").toString
+    SearchOps.writeBm25Index(docs, bm25Dir)
+    val Similarity = graft.similarity.Similarity
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqm").toString + "/idx"
+    Similarity.writePqIndex(emb, cents, cb, pqDir)
+    val pqIndex = spark.read.parquet(pqDir)
+    val qs = Seq(0L -> Seq("merge", "query"), 1L -> Seq("sort", "window"))
+    val multi = SearchOps.hybridMultiSearchServed(spark, bm25Dir,
+      pqIndex, emb, cents, cb, qs, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      .groupBy(_._1)
+    qs.foreach { case (vid, terms) =>
+      val qv = emb.filter(col("vec_id") === vid)
+        .selectExpr("cast(embedding as array<double>)")
+        .head().getSeq[Double](0).toVector
+      val single = SearchOps.hybridSearchServed(spark, bm25Dir, pqIndex,
+        emb, cents, cb, terms, qv, 10).collect()
+        .map(r => (vid, r.getLong(0), r.getDouble(3))).toSeq
+      assert(multi(vid).toSeq === single, s"query $vid")
+    }
+  }
+
   test("as-of over a PURE stream-built index: numeric micro-batch ids " +
       "serve as string batch names (partition-type inference)") {
     import org.apache.spark.sql.functions.col
