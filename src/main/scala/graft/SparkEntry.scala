@@ -149,6 +149,10 @@ object SparkEntry extends EntryInfra
         // shares its one-shot replay verbatim
         "q_substring_dedup_indexed" ->
           staticOracleSql("q_substring_dedup"),
+        // catalog retention on the gate sink's output leaves the
+        // admitted set invariant — shares the admission replay
+        "q_admission_retained" ->
+          staticOracleSql("q_admission_pipeline"),
         "q_retrieval_eval_asof" -> retrievalEvalAsOfSql) ++
       ivfKmeansOracle ++ ivfReclusterOracle ++ ivfReclusterRecallOracle ++
       pqOracle ++ pqRecallOracle ++ pqWideRecallOracle ++

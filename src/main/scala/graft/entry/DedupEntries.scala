@@ -336,6 +336,17 @@ private[graft] trait DedupEntries extends EntryInfra {
         .select(col("doc_id"), col("text"), col("n_kept"),
           col("n_segments"))
         .orderBy(col("doc_id"))),
+    // AS-OF over the retained catalog (round 14 — the time-travel
+    // member of the catalog family): the accumulated corpus as of
+    // micro-batch 1, AFTER retention folded batches 0-1 into the
+    // collapse partition — the fold IS that prefix exactly, so the
+    // snapshot equals the 2-batch sequential replay (the oracle)
+    "q_segment_dedup_asof" -> ((s, d) =>
+      graft.streaming.Pipelines.readBatchOutputAsOf(s,
+        builtSegmentRetainedOut(s, d) + "/out", 1L)
+        .select(col("doc_id"), col("text"), col("n_kept"),
+          col("n_segments"))
+        .orderBy(col("doc_id"))),
   )
 
   protected def dedupStaticOracles: Map[String, String] = Map(
@@ -707,6 +718,28 @@ private[graft] trait DedupEntries extends EntryInfra {
     // retention folded batches 0-1 must still equal this exactly
     "q_segment_dedup_retained" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         seg AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
+             unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')
+                     for i in range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))])
+               AS seg
+           FROM t),
+         tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY 1),
+         f AS (SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg
+               ORDER BY doc_id % 3, doc_id, pos) AS rn
+           FROM seg),
+         k AS (SELECT doc_id, pos, seg FROM f WHERE rn = 1),
+         r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+           FROM k GROUP BY 1)
+         SELECT r.doc_id, r.text, r.n_kept, tot.n_segments
+         FROM r JOIN tot USING (doc_id) ORDER BY doc_id""",
+    // the as-of prefix: the 2-batch (doc_id % 3 IN (0, 1)) sequential
+    // replay — the retention fold must BE that prefix exactly
+    "q_segment_dedup_asof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id % 3 <> 2),
          seg AS (SELECT doc_id,
              unnest(range(0, CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos,
              unnest([array_to_string(ws[i*3+1 : i*3+3], ' ')

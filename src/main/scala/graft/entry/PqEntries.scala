@@ -212,6 +212,15 @@ private[graft] trait PqEntries extends AnnEntries {
         s.read.parquet(builtResidualPqIndex(s, d)),
         Tables.embeddings(s, d), seedCents16(s, d),
         residualPqCodebookFor(s, d), Seq(0L, 1L, 2L, 3L, 4L), 10, 2)),
+    // BATCHED serving for the residual store — the last cell of the
+    // batched matrix (each query carries its LUT and its per-cell
+    // term literal; one pass over the union of probed cells).
+    // Batched ≡ 5 single residual serves is the hash gate
+    "q_knn_pq_residual_multi" -> ((s, d) =>
+      Similarity.residualPqMultiTopKFromIndex(
+        s.read.parquet(builtResidualPqIndex(s, d)), seedCents16(s, d),
+        residualPqCodebookFor(s, d), multiQueryVecs(s, d), 10,
+        nProbe = 2)),
     // Two-stage serving over the RESIDUAL store (round 14 — the
     // composition the IVFADC family lacked): residual-ADC shortlist
     // of 40 from the probed cells, exact re-rank of only those float
@@ -1140,6 +1149,17 @@ private[graft] trait PqEntries extends AnnEntries {
                  FROM cand) WHERE rnk <= 10) a
                ON a.query_id = e.query_id AND a.vec_id = e.vec_id
              GROUP BY 1 ORDER BY 1""",
+        // the batched residual serve shares the per-query candidate
+        // replay: batched ≡ 5 single serves is the hash gate
+        "q_knn_pq_residual_multi" ->
+          s"""${shared("0, 1, 2, 3, 4")}
+             SELECT query_id, vec_id,
+               round(s6 / 1000000.0, 6) AS pq_sim FROM (
+               SELECT query_id, vec_id, s6,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(s6 / 1000000.0, 6) DESC, vec_id) AS rn
+               FROM cand) WHERE rn <= 10
+             ORDER BY query_id, pq_sim DESC, vec_id""",
         // the residual two-stage: the SAME residual-ADC candidates
         // shortlist 40, the true float rows of those ids re-rank
         "q_knn_pq_residual_refined" ->

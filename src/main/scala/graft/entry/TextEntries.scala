@@ -409,6 +409,15 @@ private[graft] trait TextEntries extends EntryInfra {
         .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
           col("dsir_logw"))
         .orderBy(col("doc_id"))),
+    // RETENTION on the gate sink's admitted-output table (the third
+    // catalog family under the query gate): micro-batch 0 folded to
+    // the collapse partition, batch 1 kept — the full admitted set is
+    // invariant, gated by sharing q_admission_pipeline's oracle
+    "q_admission_retained" -> ((s, d) =>
+      s.read.parquet(builtAdmissionRetainedOut(s, d) + "/out")
+        .select(col("doc_id"), col("lm_nll"), col("nb_d6"),
+          col("dsir_logw"))
+        .orderBy(col("doc_id"))),
     // The COMPLETE admission: the three row-local gates PLUS the
     // join-shaped memorization gate against the frozen ¾-train gram
     // index, one decision per micro-batch over one materialized
@@ -1326,30 +1335,58 @@ private[graft] trait TextEntries extends EntryInfra {
     * batch over one shared tokenization. The MemoryStream carries
     * doc_id only; text joins in from the static table.
     */
+  /** The shared 2-micro-batch admission fixture: three frozen
+    * artifacts gate the held-out quarter arriving as two checkpointed
+    * batches — run by the plain and the retention builders.
+    */
+  private def runAdmissionFixture(s: SparkSession, d: String,
+      p: String, nbDir: String, dsirDir: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, d)
+    TextAnalysis.writeLmModel(
+      TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
+      p + "/lm")
+    val mem = MemoryStream[Long]
+    val src = mem.toDS().toDF("doc_id")
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val q = graft.streaming.Pipelines.admissionSink(
+      src, p + "/lm", nbDir, dsirDir, p + "/out", p + "/ckpt")
+    try {
+      val ids = docs.filter(col("doc_id") % 4 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      Seq(0L, 4L).foreach { m =>
+        mem.addData(ids.filter(_ % 8 == m).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   protected def builtAdmissionOut(s: SparkSession, d: String): String = {
+    // dependent artifacts build OUTSIDE builtIndexDir's
+    // computeIfAbsent: a nested computeIfAbsent on the same build
+    // map can hit a locked bin and throw "Recursive update"
     val nbDir = builtNbModel(s, d)
     val dsirDir = builtDsirModel(s, d)
-    builtIndexDir("graft_admit", d) { p =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val docs = Tables.documents(s, d)
-      TextAnalysis.writeLmModel(
-        TextAnalysis.lmTrain(docs.filter(col("doc_id") % 4 =!= 0)),
-        p + "/lm")
-      val mem = MemoryStream[Long]
-      val src = mem.toDS().toDF("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
-      val q = graft.streaming.Pipelines.admissionSink(
-        src, p + "/lm", nbDir, dsirDir, p + "/out", p + "/ckpt")
-      try {
-        val ids = docs.filter(col("doc_id") % 4 === 0)
-          .select("doc_id").collect().map(_.getLong(0)).sorted
-        Seq(0L, 4L).foreach { m =>
-          mem.addData(ids.filter(_ % 8 == m).toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+    builtIndexDir("graft_admit", d)(p =>
+      runAdmissionFixture(s, d, p, nbDir, dsirDir))
+  }
+
+  /** The same fixture with RETENTION applied to the gate-sink OUTPUT
+    * table — the third catalog family under the query gate: batch 0
+    * folds into the collapse partition, batch 1 stays addressable,
+    * and the full admitted set must be invariant (shares
+    * q_admission_pipeline's static oracle verbatim).
+    */
+  protected def builtAdmissionRetainedOut(s: SparkSession,
+      d: String): String = {
+    val nbDir = builtNbModel(s, d)
+    val dsirDir = builtDsirModel(s, d)
+    builtIndexDir("graft_admitret", d) { p =>
+      runAdmissionFixture(s, d, p, nbDir, dsirDir)
+      graft.streaming.Pipelines.compactBatchOutputKeeping(s, p + "/out",
+        Seq("1"))
     }
   }
 

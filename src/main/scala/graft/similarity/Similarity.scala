@@ -1928,6 +1928,29 @@ object Similarity {
     multiServeOneScan(index, perQuery, "q_sim", k)
   }
 
+  /** BATCHED serving for the RESIDUAL (IVFADC) store — the last cell
+    * of the batched matrix: each query carries its integer LUT AND
+    * its per-cell term literal (dot(q,v) = dot(q,c_cell) + dot(q,r)
+    * decomposes exactly, so the batched score is the same two-part
+    * lookup as [[residualPqTopK]]); one pass over the union of
+    * probed cells, per-query results ≡ Q single serves.
+    */
+  def residualPqMultiTopKFromIndex(index: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook,
+      queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
+    require(queries.nonEmpty, "batched serving needs at least one query")
+    val perQuery = queries.map { case (qid, qv) =>
+      val lutLit = typedlit(pqLut6(cb, qv))
+      val clLit = typedlit(cellLut6(cents, qv).toVector)
+      val s6 = element_at(clLit, col("cell").cast("int") + 1) +
+        (0 until cb.m).map(j =>
+          element_at(element_at(lutLit, j + 1),
+            element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+      (qid, probeCells(cents, qv, nProbe).toSet, round(s6 / 1e6, 6))
+    }
+    multiServeOneScan(index, perQuery, "pq_sim", k)
+  }
+
   /** Recall@k of the IVF-PQ serving path ([[pqTopKFromIndex]] — the
     * DOUBLY-lossy ranking: coarse cell pruning on top of 8-byte ADC
     * codes) against the exact float ranking — the [[annRecall]]

@@ -590,6 +590,30 @@ object Pipelines {
     } finally graft.Frames.freeLocalCheckpoint(folded)
   }
 
+  /** SNAPSHOT read of a numeric batch-stamped catalog table — the
+    * time-travel member of the catalog family: the sinks' micro-batch
+    * clock is monotonic, so the prefix `batch_id <= upToBatch` IS the
+    * table as it stood after that batch, as one partition-pruned
+    * range predicate (no copy, no restore — the
+    * [[graft.similarity.Similarity.readIvfIndexAsOf]] convention for
+    * the layouts without a ledger). The retention collapse partition
+    * (`-1`, [[compactBatchOutputKeeping]]) holds only batches strictly
+    * older than every kept batch, so it belongs to every prefix and
+    * always passes the predicate; as-of reads PREDATING the fold are
+    * gone by design — retention bounds time travel to the kept
+    * window, exactly like the index families' compaction contract.
+    */
+  def readBatchOutputAsOf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, upToBatch: Long): DataFrame = {
+    require(upToBatch >= 0L, s"upToBatch must be >= 0: $upToBatch")
+    val df = spark.read.parquet(dir)
+    require(df.columns.contains("batch_id") &&
+        graft.similarity.Similarity.integralBatchIds(df),
+      s"$dir is not a numeric batch-stamped catalog table — as-of " +
+        "needs the sinks' micro-batch-id layout")
+    df.filter(col("batch_id") <= upToBatch)
+  }
+
   /** The streaming entry: docs (doc_id, text) → segment-deduped
     * corpus at `outDir` + digest index at `indexDir`, exactly-once
     * via checkpoint + the idempotent batch core above.

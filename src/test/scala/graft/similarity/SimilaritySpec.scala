@@ -1080,6 +1080,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residualPqMultiTopKFromIndex: batched residual serving ≡ " +
+      "per-query serves, one scan, two-part lookup score") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuildResidual(emb, cents, m = 8, ksub = 16,
+      iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpqm").toString + "/idx"
+    Similarity.writeResidualPqIndex(emb, cents, cb, dir)
+    val index = spark.read.parquet(dir)
+    val qids = Seq(0L, 1L, 2L)
+    val qs = qids.map { id =>
+      id -> (emb.filter($"vec_id" === id)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector: Seq[Double])
+    }
+    val multi = Similarity.residualPqMultiTopKFromIndex(index, cents,
+      cb, qs, 5, nProbe = 2)
+    val plan = multi.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan)
+    val got = multi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    qs.foreach { case (id, qv) =>
+      val single = Similarity.residualPqTopKFromIndex(index, cents, cb,
+        qv, 5, nProbe = 2).collect()
+        .map(r => (id, r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(id).toSeq === single, s"query $id")
+    }
+  }
+
   test("ivfMultiTopKFromIndex: batched float serving ≡ per-query " +
       "serves, from ONE scan of the union of probed cells") {
     val cents = Similarity.seedCentroids(emb, 8)

@@ -497,11 +497,28 @@ class PipelinesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Pipelines.compactBatchOutputKeeping(spark, outDir, Seq("-1"))
     }
+    // as-of: the prefix up to batch 2 (which now includes the -1
+    // fold — all strictly-older history) equals the pre-retention
+    // contents; a prefix INSIDE the folded window is gone by design,
+    // and the fold always rides along (batch_id -1 <= any prefix)
+    val asOf2 = Pipelines.readBatchOutputAsOf(spark, outDir, 2L)
+      .drop("batch_id").collect().map(_.toSeq).toSet
+    assert(asOf2 === outBefore)
     // repeated retention is idempotent (the old collapse partition
     // folds again)
     Pipelines.compactBatchOutputKeeping(spark, outDir, Seq("3"))
     assert(all(outDir) ===
       outBefore + Seq(99L, "brand new end", 1L, 2L))
+    // post-second-retention as-of(2) excludes the kept batch 3 only
+    assert(Pipelines.readBatchOutputAsOf(spark, outDir, 2L)
+      .drop("batch_id").collect().map(_.toSeq).toSet === outBefore)
+    // a non-batch-stamped table is rejected loudly
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_asof_plain").toString + "/t"
+    Seq((1L, "x")).toDF("doc_id", "text").write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Pipelines.readBatchOutputAsOf(spark, plain, 1L)
+    }
   }
 
   test("streaming segment dedup sink ≡ one-shot batch dedup (id order)") {
