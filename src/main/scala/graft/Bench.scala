@@ -116,13 +116,24 @@ object Bench {
     val results = selected.keys.map(n => n -> samples(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // calibration-NORMALIZED per-query values (value / calibration):
+    // cross-round common-line audits divide out rig-day drift
+    // mechanically instead of by hand (round-14 wrong #3/#4 — the
+    // official artifact samples one arbitrary rig-day). Each value
+    // is the min over `passes` interleaved passes (min-of-N is the
+    // committed-map discipline, not a one-sample roll).
+    val qsNorm =
+      if (calibration > 0)
+        results.map { case (k, v) => s"\"" + k + "\":" + (v / calibration) }
+          .mkString("{", ",", "}")
+      else "{}"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","calibration_s":$calibration,"passes":$passes,"queries":$qs,"queries_norm":$qsNorm,"sf":"$sfDir"}"""
     println(fullJson)
     // the per-query dict above can exceed the driver's tail capture —
     // repeat the headline number LAST in a short line so the round's
     // total always survives truncation
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","calibration_s":$calibration,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","calibration_s":$calibration,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}""")
     // persist the COMPLETE timing map to a file: the driver's stdout
     // tail truncates past ~50 per-query lines, and cross-round
     // common-line audits need every declared query's number, not a

@@ -160,7 +160,18 @@ object SparkEntry extends EntryInfra
       truncationDriftOracle ++
       pqReclusterRecallOracle ++ hybridEvalOracle ++
       bpeVocabOracle ++ bpeCoverageOracle ++
-      bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle
+      bpeFallbackOracle ++ kcoreOracle ++ curationKcoreOracle ++ {
+        // the query-table batched twins (round-15 verdict #1) serve
+        // the SAME 5-query batch under the SAME batched ≡ singles
+        // contract, so each shares its literal twin's generated
+        // replay verbatim — one oracle, two plan shapes under gate
+        val gen = (pqRecallOracle ++ residualPqOracles).toMap
+        Seq("q_knn_pq_multi" -> "q_knn_pq_multi_qt",
+          "q_knn_pq_refined_multi" -> "q_knn_pq_refined_multi_qt",
+          "q_knn_pq_residual_multi" -> "q_knn_pq_residual_multi_qt")
+          .flatMap { case (from, to) => gen.get(from).map(to -> _) }
+          .toMap
+      }
   }
 
   private def staticOracleSql: Map[String, String] =

@@ -252,6 +252,21 @@ private[graft] trait AnnEntries extends EntryInfra {
       Similarity.quantizedMultiTopKFromIndex(
         s.read.parquet(builtQuantizedIvfIndex(s, d)), seedCents16(s, d),
         multiQueryVecs(s, d), 10, nProbe = 2)),
+    // QUERY-TABLE batched serving (round-15 verdict #1): the same 5
+    // queries arrive as a DataFrame — probe cells chosen in-plan,
+    // probe pairs + query vectors broadcast-joined on cell (directory
+    // pruning survives as dynamic partition pruning), O(1) plan size
+    // in Q. Same oracle as the literal twin: batched ≡ singles
+    "q_knn_ivf_multi_qt" -> ((s, d) =>
+      Similarity.ivfMultiTopKFromIndexQT(
+        s.read.parquet(builtIvfIndex(s, d)), seedCents16(s, d),
+        multiQueryFrame(s, d), 10, nProbe = 2)),
+    // ...and for the int8 store: the query side quantizes IN-PLAN
+    // through the store's own quantScale/quantizeVec rule
+    "q_knn_quantized_multi_qt" -> ((s, d) =>
+      Similarity.quantizedMultiTopKFromIndexQT(
+        s.read.parquet(builtQuantizedIvfIndex(s, d)), seedCents16(s, d),
+        multiQueryFrame(s, d), 10, nProbe = 2)),
     // The int8 member of the compression/recall frontier: recall@10
     // of the 4× store's serving path — measured ≈ the float routing
     // ceiling (scalar quantization error is far below ranking
@@ -373,7 +388,16 @@ private[graft] trait AnnEntries extends EntryInfra {
         builtQivfReclusteredIndex(s, d))),
   )
 
-  protected def annStaticOracles: Map[String, String] = Map(
+  // the query-table twins serve the SAME 5-query batch with the SAME
+  // contract (batched ≡ singles), so they share the literal twins'
+  // oracle SQL verbatim — one replay, two plans under the gate
+  protected def annStaticOracles: Map[String, String] =
+    annStaticOracles0 ++ Map(
+      "q_knn_ivf_multi_qt" -> annStaticOracles0("q_knn_ivf_multi"),
+      "q_knn_quantized_multi_qt" ->
+        annStaticOracles0("q_knn_quantized_multi"))
+
+  private lazy val annStaticOracles0: Map[String, String] = Map(
     "q_knn_brute" ->
       """SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

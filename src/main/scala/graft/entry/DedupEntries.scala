@@ -263,6 +263,29 @@ private[graft] trait DedupEntries extends EntryInfra {
         hashMode = "md5")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // RETENTION for the near-dup SIGNATURE catalog (round-15 verdict
+    // #5 — the last catalog family member under the query gate): the
+    // pair-free corpus subset accumulates through three real sink
+    // micro-batches, compactBatchOutputKeeping folds all but the
+    // last, and the planted increment probes the RETAINED catalog —
+    // survivors ≡ the one-shot replay against exactly that catalog
+    // (pr restricted to clean-base or batch-internal pairs), so the
+    // fold's content-invariance AND the sink's accumulation are both
+    // hash-gated
+    "q_neardup_catalog_retained" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ws = split(col("text"), " ", -1)
+      val newBatch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          plantedPerturbedText(ws).as("text"))
+      val catalog = s.read.parquet(builtNearDupRetainedCatalog(s, d))
+        .select("id", "text", "sig")
+      withAqeOff(s) {
+        Dedup.dedupIncrement(newBatch, catalog, "doc_id", "text",
+          hashMode = "md5", smallBatchRows = 0)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      }
+    }),
     // Dedup: SimHash banding near-dups over the same corpus
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDuplicates(plantedCorpus(s, d), "doc_id", "text")
@@ -463,6 +486,20 @@ private[graft] trait DedupEntries extends EntryInfra {
       """SELECT doc_id FROM corpus
          WHERE doc_id >= 1000000
            AND NOT EXISTS (SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id)
+         ORDER BY doc_id"""),
+    // the retained-catalog probe: a planted doc survives unless it
+    // pairs with a BATCH-internal doc (id_a >= 1e6) or with a CLEAN
+    // base doc — one that is itself in no base↔base pair and hence
+    // in the sink's accumulated (then folded) catalog
+    "q_neardup_catalog_retained" -> (minhashMd5Cte +
+      """SELECT doc_id FROM corpus
+         WHERE doc_id >= 1000000
+           AND NOT EXISTS (
+             SELECT 1 FROM pr WHERE pr.id_b = corpus.doc_id
+               AND (pr.id_a >= 1000000 OR pr.id_a NOT IN (
+                 SELECT id_a FROM pr WHERE id_b < 1000000
+                 UNION
+                 SELECT id_b FROM pr WHERE id_b < 1000000)))
          ORDER BY doc_id"""),
     "q_dedup_survivors_md5" -> (minhashMd5Cte +
       """, comp AS (SELECT a AS node, least(a, min(b)) AS component
@@ -822,6 +859,42 @@ private[graft] trait DedupEntries extends EntryInfra {
         Seq("2"))
       graft.streaming.Pipelines.compactBatchOutputKeeping(s, p + "/out",
         Seq("2"))
+    }
+
+  /** Build-once 3-batch NEAR-DUP sink replay WITH retention (round-15
+    * verdict #5 — the signature catalog under the query gate): the
+    * corpus arrives as three sequential micro-batches through the
+    * real [[graft.streaming.Pipelines.processNearDupBatch]] core
+    * (md5 signatures so the catalog is oracle-replayable), then
+    * [[graft.streaming.Pipelines.compactBatchOutputKeeping]] folds
+    * all but the LAST batch's partitions.
+    *
+    * The sink corpus is the PAIR-FREE subset of the base docs — both
+    * sides of every base↔base near-dup pair removed (pairs computed
+    * over the SAME planted corpus the oracle replays, so the bucket
+    * cap context matches `pr` exactly). Pair-free input ⇒ the sink
+    * admits every doc ⇒ the accumulated catalog is expressible in
+    * one-shot SQL — the sequential self-dedup semantics (which are
+    * chain-recursive for minhash, unlike the segment family's
+    * first-occurrence digests) never trigger. The sf0.1 corpus DOES
+    * carry an internal near-dup pair, which is what broke the naive
+    * "catalog = full corpus" sharing of q_dedup_incremental's oracle.
+    */
+  protected def builtNearDupRetainedCatalog(s: SparkSession,
+      d: String): String =
+    builtIndexDir("graft_ndret", d) { p =>
+      val dirty = Dedup.minhashNearDuplicates(plantedCorpus(s, d),
+        "doc_id", "text", hashMode = "md5")
+        .filter(col("id_b") < 1000000L)
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      val clean = Tables.documents(s, d).select("doc_id", "text")
+        .join(dirty, Seq("doc_id"), "left_anti")
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.streaming.Pipelines.processNearDupBatch(
+          clean.filter(col("doc_id") % 3 === b), p, b, hashMode = "md5")
+      }
+      graft.streaming.Pipelines.compactBatchOutputKeeping(s, p, Seq("2"))
     }
 
   /** Stage-once tokenized corpus bucketed by doc id — the rebuild

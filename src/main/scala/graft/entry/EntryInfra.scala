@@ -158,6 +158,17 @@ private[graft] trait EntryInfra {
       .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
       .sortBy(_._1).toSeq
 
+  /** The SAME 5-query batch as a query TABLE — no driver collect at
+    * all: the query-table serving paths read ids and vectors straight
+    * from the corpus frame (the 100 TB shape, where the serve batch
+    * arrives as a DataFrame).
+    */
+  protected def multiQueryFrame(s: SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
   /** One build-once scratch index per (prefix, corpus path): the
     * keying scheme — md5 of the FULL path + the pid — lives here only,
     * so the collision-resistance and cross-process-isolation rationale

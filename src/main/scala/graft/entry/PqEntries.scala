@@ -84,6 +84,15 @@ private[graft] trait PqEntries extends AnnEntries {
       Similarity.pqMultiTopKFromIndex(
         s.read.parquet(builtPqIvfIndex(s, d)), seedCents16(s, d),
         pqCodebookFor(s, d), multiQueryVecs(s, d), 10, nProbe = 2)),
+    // QUERY-TABLE batched ADC serving (round-15 verdict #1): the
+    // same 5-query batch as a DataFrame — each query's integer LUT
+    // computed IN-PLAN on the broadcast probe side, O(1) plan size
+    // in Q. Shares the literal twin's generated replay (batched ≡
+    // singles stays the hash gate)
+    "q_knn_pq_multi_qt" -> ((s, d) =>
+      Similarity.pqMultiTopKFromIndexQT(
+        s.read.parquet(builtPqIvfIndex(s, d)), seedCents16(s, d),
+        pqCodebookFor(s, d), multiQueryFrame(s, d), 10, nProbe = 2)),
     // PQ operating-point evaluation: recall@10 of the written IVF-PQ
     // index's ADC ranking (nProbe=2 of 16 cells, 8-byte codes)
     // against exact float brute force for 5 queries — the doubly-
@@ -159,6 +168,14 @@ private[graft] trait PqEntries extends AnnEntries {
       Similarity.pqMultiTopKRefined(s.read.parquet(builtPqIvfIndex(s, d)),
         Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
         multiQueryVecs(s, d), 10, nProbe = 2, shortlist = 40)),
+    // QUERY-TABLE batched two-stage (round-15 verdict #1): the
+    // shortlist stays a DataFrame and the re-rank is a semi-join —
+    // NO Q×R driver collect, no per-query isin literals. Shares the
+    // literal twin's generated refined replay
+    "q_knn_pq_refined_multi_qt" -> ((s, d) =>
+      Similarity.pqMultiTopKRefinedQT(s.read.parquet(builtPqIvfIndex(s, d)),
+        Tables.embeddings(s, d), seedCents16(s, d), pqCodebookFor(s, d),
+        multiQueryFrame(s, d), 10, nProbe = 2, shortlist = 40)),
     // The measurement that prices the re-rank stage: recall@10 of the
     // two-stage path vs q_pq_recall's pure-ADC 0.52 — measured 0.88,
     // exactly the float routing ceiling at nProbe=2 (q_ann_recall
@@ -220,6 +237,15 @@ private[graft] trait PqEntries extends AnnEntries {
       Similarity.residualPqMultiTopKFromIndex(
         s.read.parquet(builtResidualPqIndex(s, d)), seedCents16(s, d),
         residualPqCodebookFor(s, d), multiQueryVecs(s, d), 10,
+        nProbe = 2)),
+    // QUERY-TABLE batched residual serving (round-15 verdict #1):
+    // both per-query LUTs (residual codebook + per-cell term) are
+    // broadcast-side COLUMNS. Shares the literal twin's generated
+    // residual replay
+    "q_knn_pq_residual_multi_qt" -> ((s, d) =>
+      Similarity.residualPqMultiTopKFromIndexQT(
+        s.read.parquet(builtResidualPqIndex(s, d)), seedCents16(s, d),
+        residualPqCodebookFor(s, d), multiQueryFrame(s, d), 10,
         nProbe = 2)),
     // Two-stage serving over the RESIDUAL store (round 14 — the
     // composition the IVFADC family lacked): residual-ADC shortlist

@@ -1079,10 +1079,15 @@ object SearchOps {
     * fails loudly (an eval that silently drops queries overstates
     * the operating point).
     *
-    * Scale shape: per query, branch I/O is the serving stack's own —
-    * term buckets + nProbe code cells + `shortlist` float point
-    * lookups; relevance evidence re-reads only the eval terms'
-    * pruned postings. Nothing corpus-wide.
+    * Scale shape (round-15 verdict #4): ranking production goes
+    * through [[hybridMultiSearchServed]], so the WHOLE eval batch
+    * costs three scans — one pruned postings read over the union of
+    * eval-term buckets, one code scan over the union of probed
+    * cells, one bounded float fetch — where the per-query loop it
+    * replaced issued ~4·Q; relevance evidence re-reads only the eval
+    * terms' pruned postings. Nothing corpus-wide. Metric math is
+    * untouched (same ranks, same exact-rational tail — the
+    * q_hybrid_eval hash is the gate).
     */
   def hybridEval(spark: org.apache.spark.sql.SparkSession,
       bm25Path: String, pqIndex: DataFrame, embeddings: DataFrame,
@@ -1095,22 +1100,31 @@ object SearchOps {
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "hybridEval needs at least one query with at least one term")
-    val qids = queries.map(_._3).distinct
-    val qvecs = embeddings.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
-      .toMap
-    val missing = qids.filterNot(qvecs.contains)
-    require(missing.isEmpty,
-      s"query vector ids ${missing.mkString(", ")} have no embedding row")
-    val ranked = queries.map { case (label, terms, vid) =>
-      hybridSearchServed(spark, bm25Path, pqIndex, embeddings, cents,
-        cb, terms, qvecs(vid), k, depth, nProbe, shortlist, rrfK)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("rrf").desc, col("doc_id"))))
-        .select(lit(label).as("query_label"), col("doc_id"), col("rank"))
-    }.reduce(_.unionByName(_))
+    // two queries sharing a label would union their rankings and
+    // merge their relevance sets under one query_label — a single
+    // plausible-but-wrong metrics row instead of a loud error
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query labels must be distinct — each label keys one metrics row")
+    // the eval batch serves through the BATCHED hybrid path (round-15
+    // verdict #4: three scans for the whole batch instead of ~4Q),
+    // which keys queries by vector id — so ids must be distinct too
+    require(queries.map(_._3).distinct.length == queries.length,
+      "query vector ids must be distinct — the batched serve keys by id")
+    // ranking production = hybridMultiSearchServed (per-query rows ≡
+    // Q single hybridSearchServed calls, its own oracle gate), ranks
+    // recomputed per query by the same (rrf desc, doc_id) order the
+    // single-path eval used; vector lookup + loud missing-id check
+    // live inside the batched serve
+    val labelDf = queries.map(q => (q._3, q._1))
+      .toDF("query_id", "query_label")
+    val ranked = hybridMultiSearchServed(spark, bm25Path, pqIndex,
+      embeddings, cents, cb, queries.map(q => (q._3, q._2)), k, depth,
+      nProbe, shortlist, rrfK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .join(broadcast(labelDf), Seq("query_id"))
+      .select(col("query_label"), col("doc_id"), col("rank"))
     val qt = queries
       .flatMap { case (l, ts, _) => ts.distinct.map(t => (l, t)) }
       .toDF("query_label", "term")

@@ -1833,7 +1833,10 @@ object Similarity {
   def pqMultiTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
       cb: PqCodebook, queries: Seq[(Long, Seq[Double])], k: Int,
       nProbe: Int): DataFrame = {
-    require(queries.nonEmpty, "batched serving needs at least one query")
+    requireDistinctBatch(queries)
+    if (queries.length > literalMaxQ(index))
+      return pqMultiTopKFromIndexQT(index, cents, cb,
+        queriesToFrame(index.sparkSession, queries), k, nProbe)
     val perQuery = queries.map { case (qid, qv) =>
       val lutLit = typedlit(pqLut6(cb, qv))
       val s6 = (0 until cb.m).map(j =>
@@ -1853,6 +1856,19 @@ object Similarity {
     * score) shuffle. `perQuery` carries (query_id, that query's
     * probe-cell set, its scoring column over the scanned row).
     */
+  /** The batched entry points' shared batch-shape guard: non-empty
+    * and DISTINCT query ids. A repeated id would emit two identical
+    * structs per scanned row — after the explode each (query_id,
+    * vec_id) pair appears twice and row_number spends two ranks per
+    * doc, silently returning ~k/2 distinct results.
+    */
+  private def requireDistinctBatch(queries: Seq[(Long, Any)]): Unit = {
+    require(queries.nonEmpty, "batched serving needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be distinct — a repeated id would double every " +
+        "(query_id, vec_id) pair and halve the distinct top-k")
+  }
+
   private def multiServeOneScan(index: DataFrame,
       perQuery0: Seq[(Long, Set[Int], Column)], scoreName: String,
       k: Int): DataFrame = {
@@ -1884,6 +1900,254 @@ object Similarity {
       .orderBy(col("query_id"), col(scoreName).desc, col("vec_id"))
   }
 
+  // ---------------------------------------------------------------
+  // QUERY-TABLE batched serving (round 15) — the large-Q shape
+  // ---------------------------------------------------------------
+
+  /** Upper Q for the per-query-LITERAL batched plans. The literal
+    * path ([[multiServeOneScan]]) embeds every query's vector/LUT in
+    * the plan and explodes a Q-struct array per scanned row: measured
+    * fastest at the oracle-gated Q=3–5, but plan size, analysis time,
+    * and the 64 KB codegen method limit all grow O(Q·dim). Past this
+    * threshold the Seq entry points re-route to the query-TABLE path
+    * (broadcast probe join — O(1) plan size in Q). Conf-overridable
+    * for operating-point experiments.
+    */
+  private def literalMaxQ(df: DataFrame): Int =
+    df.sparkSession.conf
+      .get("spark.graft.batchedServeLiteralMaxQ", "16").toInt
+
+  private def queriesToFrame(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Seq[Double])]): DataFrame =
+    spark.createDataFrame(queries.map { case (id, v) => (id, v) })
+      .toDF("query_id", "embedding")
+
+  /** Finite positive squared norm — the in-plan twin of
+    * [[probeCells]]' degenerate-query guard (zero-norm or any
+    * non-finite entry ⇒ no cosine direction ⇒ the query is absent
+    * from batched results, matching the single-serve paths). MUST
+    * filter the query table before any cosine against centroids:
+    * under ANSI mode the native cosine THROWS on a zero-norm input
+    * rather than degrading.
+    */
+  private def servableQuery(qe: Column): Column = {
+    val n2 = aggregate(qe, lit(0.0), (acc, x) => acc + x * x)
+    n2 > 0.0 && !isnan(n2) && n2 =!= Double.PositiveInfinity
+  }
+
+  /** In-plan probe selection ≡ [[probeCells]] bit-for-bit: the same
+    * 4-place HALF_UP rounded cosine per centroid, the same
+    * (score desc, cell asc) tie-break, the same zero-norm-centroid
+    * skip (null/NaN scores drop before the sort). Evaluated once per
+    * QUERY row — Q·nCells cosines total, never per corpus row.
+    */
+  private def probeCellsCol(df: DataFrame, cents: Seq[Seq[Double]],
+      nProbe: Int)(qe: Column): Column = {
+    val centLit = typedlit(cents.map(_.toVector).toVector)
+    val scored = transform(centLit, (c, i) =>
+      struct(round(cosineFor(df)(qe, c), 4).as("s"), i.as("c")))
+    val valid = filter(scored, p =>
+      p.getField("s").isNotNull && !isnan(p.getField("s")))
+    val sorted = array_sort(valid, (l, r) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .otherwise(when(l.getField("c") < r.getField("c"), -1)
+          .when(l.getField("c") > r.getField("c"), 1).otherwise(0)))
+    transform(slice(sorted, 1, nProbe), p => p.getField("c"))
+  }
+
+  /** The exploded (query_id, cell, q_emb) probe table every
+    * query-table serve starts from: degenerate queries filtered (so
+    * they are ABSENT, the single-serve contract), probe cells chosen
+    * in-plan, one row per (query, probed cell). Bounded Q·nProbe
+    * rows — the broadcast side of the serve join.
+    */
+  private def explodedProbes(queries: DataFrame, cents: Seq[Seq[Double]],
+      nProbe: Int): DataFrame = {
+    requireQueryFrame(queries)
+    queries
+      .select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .filter(servableQuery(col("q_emb")))
+      .withColumn("cell",
+        explode(probeCellsCol(queries, cents, nProbe)(col("q_emb"))))
+  }
+
+  /** The query-table batch-shape guard: (query_id, embedding) schema
+    * and DISTINCT ids. The distinctness probe is one tiny job over
+    * the BOUNDED query table (a serve batch, thousands of rows at
+    * most — never corpus-sized), the [[requireDistinctBatch]]
+    * contract carried to the frame shape: a duplicated id would
+    * double its (query_id, vec_id) pairs and silently halve the
+    * distinct top-k.
+    */
+  private def requireQueryFrame(queries: DataFrame): Unit = {
+    require(queries.columns.contains("query_id") &&
+        queries.columns.contains("embedding"),
+      s"query table needs (query_id, embedding), got " +
+        s"(${queries.columns.mkString(", ")})")
+    val dup = queries.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"query ids must be distinct — id ${dup.headOption.map(_.get(0))
+        .getOrElse("")} appears more than once (a repeated id would " +
+        "halve the distinct top-k silently)")
+  }
+
+  /** The query-TABLE batched core — [[multiServeOneScan]] re-shaped
+    * for large Q (round-15 verdict #1): queries ride a BROADCAST
+    * probe table joined on `cell` instead of per-row Q-struct
+    * explosion over plan literals, so plan size, codegen, and driver
+    * work are O(1) in Q and the only Q-proportional costs are the
+    * broadcast (Q·nProbe rows of query artifacts) and the bounded
+    * (query_id, vec_id, score) rank shuffle. Directory pruning
+    * survives as DYNAMIC partition pruning: the scan's `cell`
+    * partition column is joined against the bounded probe side, so
+    * Spark prunes the union of probed cells at runtime — the same
+    * cells the literal path pins statically. Scoring artifacts
+    * (query vector / int8 pair / integer LUTs) are COLUMNS of the
+    * broadcast side computed once per query row, evaluated by the
+    * same expressions as the literal path — per-query results are
+    * bit-identical to Q single serves (spec- and oracle-gated).
+    */
+  private def multiServeQueryTable(index: DataFrame, probed: DataFrame,
+      score: Column, scoreName: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    index.join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), score.as(scoreName))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col(scoreName).desc, col("vec_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col(scoreName).desc, col("vec_id"))
+  }
+
+  /** Query-table batched serving for the FLOAT IVF store — the
+    * large-Q twin of [[ivfMultiTopKFromIndex]] (which re-routes here
+    * past [[literalMaxQ]]). `queries`: (query_id, embedding), ids
+    * distinct. Output ≡ Q single [[ivfTopKFromIndex]] serves.
+    */
+  def ivfMultiTopKFromIndexQT(index: DataFrame, cents: Seq[Seq[Double]],
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+    multiServeQueryTable(index,
+      explodedProbes(queries, cents, nProbe),
+      round(cosineFor(index)(col("embedding"), col("q_emb")), 4),
+      "cos_sim", k)
+
+  /** Query-table batched serving for the COMPRESSED (int8) store —
+    * the large-Q twin of [[quantizedMultiTopKFromIndex]]. The query
+    * side quantizes IN-PLAN through the same [[quantScale]]/
+    * [[quantizeVec]] rule the store itself uses (bit-identical to
+    * the driver-side [[quantizeQuery]]), so the dequantized integer
+    * dot is the single-serve score exactly.
+    */
+  def quantizedMultiTopKFromIndexQT(index: DataFrame,
+      cents: Seq[Seq[Double]], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val probed = explodedProbes(queries, cents, nProbe)
+      .withColumn("q_scale", quantScale(col("q_emb")))
+      .withColumn("q_qvec", quantizeVec(col("q_emb")))
+      .drop("q_emb")
+    multiServeQueryTable(index, probed,
+      round(col("scale") * col("q_scale") *
+        qdotFor(index)(col("qvec"), col("q_qvec")), 6),
+      "q_sim", k)
+  }
+
+  /** The in-plan ADC lookup table — [[pqLut6]] as a Column over the
+    * query-vector column: same index-order sub-dot fold (IEEE-equal
+    * to the driver loop), same ·1e6 HALF_UP long rounding, computed
+    * ONCE per query row on the broadcast side.
+    */
+  private def pqLut6Col(cb: PqCodebook)(qe: Column): Column = {
+    val cbLit = typedlit(cb.centroids.map(_.map(_.toVector).toVector).toVector)
+    transform(cbLit, (subCents, j) =>
+      transform(subCents, c =>
+        round(aggregate(zip_with(
+          slice(qe, j * cb.subDim + 1, lit(cb.subDim)), c,
+          (x, y) => x * y), lit(0.0), (acc, x) => acc + x) * 1e6, 0)
+          .cast("long")))
+  }
+
+  /** [[cellLut6]] as a Column: the per-cell query·centroid term of
+    * the residual decomposition, in the same exact micro-units.
+    */
+  private def cellLut6Col(cents: Seq[Seq[Double]])(qe: Column): Column = {
+    val centLit = typedlit(cents.map(_.toVector).toVector)
+    transform(centLit, c =>
+      round(aggregate(zip_with(qe, c, (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x) * 1e6, 0).cast("long"))
+  }
+
+  private def lutScore6(lut: Column, m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(lut, j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+
+  /** Query-table batched ADC serving — the large-Q twin of
+    * [[pqMultiTopKFromIndex]]: each query's integer LUT is a COLUMN
+    * of the broadcast probe table (computed once per query), each
+    * scanned code row pays m lookups + a long sum exactly as the
+    * single-serve scan does.
+    */
+  def pqMultiTopKFromIndexQT(index: DataFrame, cents: Seq[Seq[Double]],
+      cb: PqCodebook, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probed = explodedProbes(queries, cents, nProbe)
+      .withColumn("q_lut", pqLut6Col(cb)(col("q_emb")))
+      .drop("q_emb")
+    multiServeQueryTable(index, probed,
+      round(lutScore6(col("q_lut"), cb.m) / 1e6, 6), "pq_sim", k)
+  }
+
+  /** Query-table batched RESIDUAL (IVFADC) serving — the large-Q
+    * twin of [[residualPqMultiTopKFromIndex]]: the broadcast side
+    * carries BOTH per-query LUTs (residual codebook + per-cell
+    * term), the scan pays one extra lookup per row, exactly the
+    * single-serve decomposition.
+    */
+  def residualPqMultiTopKFromIndexQT(index: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val probed = explodedProbes(queries, cents, nProbe)
+      .withColumn("q_lut", pqLut6Col(cb)(col("q_emb")))
+      .withColumn("q_clut", cellLut6Col(cents)(col("q_emb")))
+      .drop("q_emb")
+    multiServeQueryTable(index, probed,
+      round((element_at(col("q_clut"), col("cell").cast("int") + 1) +
+        lutScore6(col("q_lut"), cb.m)) / 1e6, 6), "pq_sim", k)
+  }
+
+  /** Query-table batched TWO-STAGE serving — the large-Q twin of
+    * [[pqMultiTopKRefined]] with the driver round-trip removed
+    * (round-15 verdict #1): the ADC shortlist stays a DataFrame and
+    * re-ranking is a SEMI-JOIN shape — candidates = embeddings ⋈
+    * broadcast(shortlist pairs) ⋈ broadcast(query vectors) — so no
+    * Q×R id set ever collects or re-embeds as `isin` literals. At
+    * 100 TB the bounded pair table broadcast + Spark's runtime
+    * row-group filtering replace the literal path's static In
+    * pushdown; per-query results ≡ Q single refined serves.
+    */
+  def pqMultiTopKRefinedQT(index: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]], cb: PqCodebook, queries: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    val short = pqMultiTopKFromIndexQT(index, cents, cb, queries,
+      shortlist, nProbe).select(col("query_id"), col("vec_id"))
+    val qv = queries.select(col("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    embeddings.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** BATCHED serving for the FLOAT IVF store — [[pqMultiTopKFromIndex]]'s
     * one-scan trick applied to [[ivfTopKFromIndex]]: Q queries, one
     * pass over the union of their probed cell directories, each
@@ -1894,7 +2158,10 @@ object Similarity {
     */
   def ivfMultiTopKFromIndex(index: DataFrame, cents: Seq[Seq[Double]],
       queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
-    require(queries.nonEmpty, "batched serving needs at least one query")
+    requireDistinctBatch(queries)
+    if (queries.length > literalMaxQ(index))
+      return ivfMultiTopKFromIndexQT(index, cents,
+        queriesToFrame(index.sparkSession, queries), k, nProbe)
     val perQuery = queries.map { case (qid, qv) =>
       (qid, probeCells(cents, qv, nProbe).toSet,
         round(cosineFor(index)(col("embedding"),
@@ -1915,7 +2182,10 @@ object Similarity {
   def quantizedMultiTopKFromIndex(index: DataFrame,
       cents: Seq[Seq[Double]], queries: Seq[(Long, Seq[Double])], k: Int,
       nProbe: Int): DataFrame = {
-    require(queries.nonEmpty, "batched serving needs at least one query")
+    requireDistinctBatch(queries)
+    if (queries.length > literalMaxQ(index))
+      return quantizedMultiTopKFromIndexQT(index, cents,
+        queriesToFrame(index.sparkSession, queries), k, nProbe)
     val perQuery = queries.map { case (qid, qv) =>
       val (qs, qq) = quantizeQuery(qv)
       val cells =
@@ -1938,7 +2208,10 @@ object Similarity {
   def residualPqMultiTopKFromIndex(index: DataFrame,
       cents: Seq[Seq[Double]], cb: PqCodebook,
       queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
-    require(queries.nonEmpty, "batched serving needs at least one query")
+    requireDistinctBatch(queries)
+    if (queries.length > literalMaxQ(index))
+      return residualPqMultiTopKFromIndexQT(index, cents, cb,
+        queriesToFrame(index.sparkSession, queries), k, nProbe)
     val perQuery = queries.map { case (qid, qv) =>
       val lutLit = typedlit(pqLut6(cb, qv))
       val clLit = typedlit(cellLut6(cents, qv).toVector)
@@ -2333,7 +2606,12 @@ object Similarity {
       cents: Seq[Seq[Double]], cb: PqCodebook,
       queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
       shortlist: Int): DataFrame = {
+    requireDistinctBatch(queries)
     require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    if (queries.length > literalMaxQ(index))
+      return pqMultiTopKRefinedQT(index, embeddings, cents, cb,
+        queriesToFrame(index.sparkSession, queries), k, nProbe,
+        shortlist)
     val shortRows = pqMultiTopKFromIndex(index, cents, cb, queries,
       shortlist, nProbe)
       .select(col("query_id"), col("vec_id")).collect()

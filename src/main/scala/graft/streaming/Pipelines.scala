@@ -541,9 +541,30 @@ object Pipelines {
     * rows (the BM25/IVF families' documented contract: run retention
     * only behind the stream's replay horizon).
     *
+    * For numeric layouts `keep` must be the NEWEST batches
+    * (min(keep) > every folded id — enforced): the collapse
+    * partition passes every as-of prefix predicate, so folding a
+    * batch newer than a kept one would silently leak future rows
+    * into time-travel reads. The fold records its boundary (max
+    * folded id) in a `_graft_fold_watermark` sidecar so
+    * [[readBatchOutputAsOf]] can refuse exactly the destroyed
+    * prefixes.
+    *
     * Crash contract: in-place rewrite like every compactor here —
     * the folded frame materializes BEFORE any deletion; recover from
     * a mid-sequence crash by rebuild from source.
+    *
+    * SINGLE-MAINTAINER contract (the index families' documented
+    * assumption, stated here because the catalog tables have a live
+    * writer): retention deletes partitions and then
+    * dynamic-overwrites the fold — a sink micro-batch landing
+    * between those two steps can be deleted by the overwrite's
+    * partition claim or double-fold on a re-run. QUIESCE THE SINK
+    * FIRST (stop the stream or run retention from its own
+    * foreachBatch turn); the fold itself never reads kept
+    * partitions, so a quiesced sink's checkpoint replays land
+    * exactly as before retention, as long as retention runs behind
+    * the replay horizon.
     */
   def compactBatchOutputKeeping(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -575,6 +596,44 @@ object Pipelines {
       s"kept batches ${missing.mkString(", ")} have no partitions in " +
         s"the table at $dir")
     val keepSet = keep.toSet
+    if (collapse == "-1") {
+      // membership above checks DIRECTORY names but the fold filter
+      // below compares the cast-to-string of the partition VALUE; a
+      // non-canonical numeric dir (batch_id=03 reads as value 3)
+      // would pass the keep check yet still match the fold filter —
+      // its rows duplicated into the collapse partition. The sinks
+      // only ever write canonical ids, so a non-canonical name is a
+      // foreign table: fail loudly instead of folding it wrong.
+      val nonCanonical = known.filter(n =>
+        !scala.util.Try(n.toLong.toString == n).getOrElse(false))
+      require(nonCanonical.isEmpty,
+        s"numeric batch layout at $dir has non-canonical partition " +
+          s"names ${nonCanonical.mkString(", ")} — dir names must " +
+          "equal the canonical string of their numeric value, or " +
+          "keep-membership and the fold filter can disagree")
+      // keep must be the NEWEST window: the collapse partition (-1)
+      // passes every as-of prefix predicate, so a folded batch NEWER
+      // than a kept one would silently leak future rows into every
+      // readBatchOutputAsOf result at or above the kept batch
+      val foldedIds = (known -- keepSet - "-1").map(_.toLong)
+      if (foldedIds.nonEmpty) {
+        val keepIds = keep.map(_.toLong)
+        require(keepIds.min > foldedIds.max,
+          s"keep must be the newest batches: kept ${keepIds.min} is " +
+            s"older than folded ${foldedIds.max} — folding a newer " +
+            "batch would put its rows into the collapse partition " +
+            "and poison every subsequent as-of read")
+      }
+    }
+    // fold boundary for the as-of reader: max batch id ever folded
+    // into -1, monotone across repeated folds; written only after
+    // the rewrite lands (a crash before it leaves the old, stricter
+    // boundary in place — never a permissive one)
+    val newWatermark =
+      if (collapse != "-1") None
+      else ((known -- keepSet - "-1").map(_.toLong).toSeq ++
+        readFoldWatermark(fs, root).toSeq)
+        .reduceOption((a, b) => math.max(a, b))
     val folded = base0
       .filter(!col("batch_id").cast("string").isin(keep: _*))
       .withColumn("batch_id",
@@ -587,6 +646,7 @@ object Pipelines {
       folded.write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(dir)
+      newWatermark.foreach(writeFoldWatermark(fs, root, _))
     } finally graft.Frames.freeLocalCheckpoint(folded)
   }
 
@@ -598,10 +658,17 @@ object Pipelines {
     * [[graft.similarity.Similarity.readIvfIndexAsOf]] convention for
     * the layouts without a ledger). The retention collapse partition
     * (`-1`, [[compactBatchOutputKeeping]]) holds only batches strictly
-    * older than every kept batch, so it belongs to every prefix and
-    * always passes the predicate; as-of reads PREDATING the fold are
-    * gone by design — retention bounds time travel to the kept
-    * window, exactly like the index families' compaction contract.
+    * older than every kept batch (enforced at fold time: keep must
+    * be the newest window), so it belongs to every prefix at or
+    * above the fold boundary; as-of reads BELOW the boundary — the
+    * max folded batch id, persisted by the fold as a watermark
+    * sidecar — are REFUSED loudly rather than silently answered with
+    * the whole collapsed window. Retention bounds time travel to
+    * [boundary, ∞), exactly like the index families' compaction
+    * contract. A collapse partition with no watermark (a table
+    * folded by a pre-watermark build) falls back to the strictest
+    * safe boundary, min(kept) - 1: every folded id is provably below
+    * that, so any admitted prefix is still exact.
     */
   def readBatchOutputAsOf(spark: org.apache.spark.sql.SparkSession,
       dir: String, upToBatch: Long): DataFrame = {
@@ -611,7 +678,59 @@ object Pipelines {
         graft.similarity.Similarity.integralBatchIds(df),
       s"$dir is not a numeric batch-stamped catalog table — as-of " +
         "needs the sinks' micro-batch-id layout")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "batch_id=*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .map(st => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getName.stripPrefix("batch_id=")))
+    if (names.contains("-1")) {
+      val kept = names.filterNot(_ == "-1")
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+      val boundary = readFoldWatermark(fs, root)
+        .orElse(if (kept.nonEmpty) Some(kept.min - 1) else None)
+      require(boundary.exists(upToBatch >= _),
+        s"as-of $upToBatch predates the retention fold at $dir " +
+          s"(boundary ${boundary.fold("unknown")(_.toString)}): " +
+          "batches up to the boundary are merged into the collapse " +
+          "partition and prefixes inside it are irrecoverable — " +
+          "retention bounds time travel to the kept window")
+    }
     df.filter(col("batch_id") <= upToBatch)
+  }
+
+  /** The retention fold's boundary sidecar: one underscore-prefixed
+    * file (invisible to parquet listings) holding the max batch id
+    * ever folded into the collapse partition — what
+    * [[readBatchOutputAsOf]] needs to refuse exactly the prefixes
+    * the fold destroyed, no more (the kept window plus the fold
+    * boundary itself stay addressable).
+    */
+  private val FoldWatermarkFile = "_graft_fold_watermark"
+
+  private def readFoldWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root, FoldWatermarkFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        scala.util.Try(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+      } finally in.close()
+    }
+  }
+
+  private def writeFoldWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, boundary: Long): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, FoldWatermarkFile), true)
+    try out.write(boundary.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** The streaming entry: docs (doc_id, text) → segment-deduped

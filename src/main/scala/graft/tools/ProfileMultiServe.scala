@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Q-sweep for the batched serving paths (round-15 verdict #1's
+  * receipt): per-query cost of the LITERAL batched plans
+  * (per-query vectors/LUTs embedded in the plan, Q-struct explode
+  * per scanned row) vs the QUERY-TABLE plans (broadcast probe join,
+  * O(1) plan size) at Q ∈ {5, 50, 500}. The literal path is expected
+  * to win small Q (no join, static partition pruning) and degrade —
+  * analysis/codegen time and row expansion are O(Q) — while the
+  * query-table path should stay flat-ish per query.
+  *
+  * The conf override pins each path explicitly so the sweep measures
+  * PLANS, not the router.
+  *
+  * Usage: runMain graft.tools.ProfileMultiServe [sfDir]
+  */
+object ProfileMultiServe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = DevSession.local(32)
+    import graft.Tables
+    import graft.similarity.Similarity
+
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def minOf3(label: String)(f: => Long): Double = {
+      var best = Double.MaxValue
+      var rows = 0L
+      (1 to 3).foreach { _ =>
+        val (n, s) = time(f)
+        rows = n; best = math.min(best, s)
+      }
+      println(f"[multiserve] $label%-34s rows=$rows%-6d min $best%8.3f s")
+      best
+    }
+
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Bench's machine-speed constant, so the sweep's numbers are
+    // rig-comparable across sessions
+    val calibration = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); (1 to 5).map(_ => once()).min
+    }
+    println(f"[multiserve] calibration $calibration%7.3f s")
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_multiserve").toString
+    Similarity.writeIvfIndex(emb, cents, s"$tmp/f")
+    Similarity.writePqIndex(emb, cents, cb, s"$tmp/p")
+    val fIdx = spark.read.parquet(s"$tmp/f")
+    val pIdx = spark.read.parquet(s"$tmp/p")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+
+    def querySeq(q: Int): Seq[(Long, Seq[Double])] = {
+      require(q <= maxId + 1, s"corpus has only ${maxId + 1} vectors")
+      emb.filter(col("vec_id") < q)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
+        .sortBy(_._1).toSeq
+    }
+    def queryFrame(q: Int) = emb.filter(col("vec_id") < q)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    Seq(5, 50, 500).foreach { q =>
+      // pin the LITERAL plan regardless of Q...
+      spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "100000")
+      val qs = querySeq(q)
+      val lf = minOf3(s"float literal   Q=$q") {
+        Similarity.ivfMultiTopKFromIndex(fIdx, cents, qs, 10, 2).count()
+      }
+      val lp = minOf3(s"pq literal      Q=$q") {
+        Similarity.pqMultiTopKFromIndex(pIdx, cents, cb, qs, 10, 2).count()
+      }
+      val lr = minOf3(s"pq refined lit  Q=$q") {
+        Similarity.pqMultiTopKRefined(pIdx, emb, cents, cb, qs, 10, 2,
+          40).count()
+      }
+      // ...then the QUERY-TABLE plan
+      spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "0")
+      val tf = minOf3(s"float q-table   Q=$q") {
+        Similarity.ivfMultiTopKFromIndexQT(fIdx, cents, queryFrame(q),
+          10, 2).count()
+      }
+      val tp = minOf3(s"pq q-table      Q=$q") {
+        Similarity.pqMultiTopKFromIndexQT(pIdx, cents, cb, queryFrame(q),
+          10, 2).count()
+      }
+      val tr = minOf3(s"pq refined qt   Q=$q") {
+        Similarity.pqMultiTopKRefinedQT(pIdx, emb, cents, cb,
+          queryFrame(q), 10, 2, 40).count()
+      }
+      println(f"[multiserve] Q=$q%-4d per-query s: float lit ${lf / q}%8.5f" +
+        f" qt ${tf / q}%8.5f | pq lit ${lp / q}%8.5f qt ${tp / q}%8.5f" +
+        f" | refined lit ${lr / q}%8.5f qt ${tr / q}%8.5f")
+      spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
+    }
+
+    // ---- hybrid Q-sweep (round-15 verdict #4): does the batched
+    // hybrid's 2.3× at Q=3 widen with Q, PQ-style? Q single serves
+    // vs one hybridMultiSearchServed batch over the same queries.
+    import graft.ops.SearchOps
+    val docs = Tables.documents(spark, sfDir)
+    SearchOps.writeBm25Index(docs, s"$tmp/bm25")
+    val pool = Seq("merge", "query", "sort", "window", "spark", "data")
+    def hQueries(q: Int): Seq[(Long, Seq[String])] =
+      (0 until q).map(i => (i.toLong,
+        Seq(pool(i % pool.length), pool((i + 1) % pool.length))))
+    Seq(3, 10, 50).foreach { q =>
+      val hq = hQueries(q)
+      val qvById = emb.filter(col("vec_id") < q)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+      val singles = minOf3(s"hybrid singles  Q=$q") {
+        hq.map { case (vid, terms) =>
+          SearchOps.hybridSearchServed(spark, s"$tmp/bm25", pIdx, emb,
+            cents, cb, terms, qvById(vid), 10).count()
+        }.sum
+      }
+      val batched = minOf3(s"hybrid batched  Q=$q") {
+        SearchOps.hybridMultiSearchServed(spark, s"$tmp/bm25", pIdx,
+          emb, cents, cb, hq, 10).count()
+      }
+      println(f"[multiserve] hybrid Q=$q%-3d singles $singles%8.3f s" +
+        f" batched $batched%8.3f s speedup ${singles / batched}%5.2f x")
+    }
+    spark.stop()
+  }
+}

@@ -631,4 +631,17 @@ class SearchOpsSpec extends SparkSpec {
       assert(serve() === hinted)
     } finally spark.conf.unset("spark.graft.tombstoneBroadcastBudget")
   }
+
+  test("hybridEval refuses duplicate query labels (shared label would " +
+      "merge two queries into one plausible-but-wrong metrics row)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.similarity.Similarity.seedCentroids(emb, 4)
+    val cb = graft.similarity.Similarity.pqBuild(emb, m = 8, ksub = 4,
+      iterations = 1)
+    val e = intercept[IllegalArgumentException] {
+      SearchOps.hybridEval(spark, "/nonexistent", emb, emb, cents, cb,
+        Seq(("q", Seq("alpha"), 0L), ("q", Seq("beta"), 1L)), 5)
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
 }

@@ -1373,4 +1373,131 @@ class SimilaritySpec extends SparkSpec {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("query-table batched serving ≡ literal batched serving on all " +
+      "four stores and the refined two-stage path") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val rcb = Similarity.pqBuildResidual(emb, cents, m = 8, ksub = 16,
+      iterations = 1)
+    val base = java.nio.file.Files.createTempDirectory("graft_qt").toString
+    Similarity.writeIvfIndex(emb, cents, base + "/f")
+    Similarity.writeQuantizedIvfIndex(emb, cents, base + "/q")
+    Similarity.writePqIndex(emb, cents, cb, base + "/p")
+    Similarity.writeResidualPqIndex(emb, cents, rcb, base + "/r")
+    val fIdx = spark.read.parquet(base + "/f")
+    val qIdx = spark.read.parquet(base + "/q")
+    val pIdx = spark.read.parquet(base + "/p")
+    val rIdx = spark.read.parquet(base + "/r")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val qs: Seq[(Long, Seq[Double])] = qids.map { id =>
+      id -> emb.filter($"vec_id" === id)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+    }
+    val qframe = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Similarity.ivfMultiTopKFromIndexQT(fIdx, cents, qframe,
+      5, 2)) === rows(Similarity.ivfMultiTopKFromIndex(fIdx, cents, qs,
+      5, 2)))
+    assert(rows(Similarity.quantizedMultiTopKFromIndexQT(qIdx, cents,
+      qframe, 5, 2)) === rows(Similarity.quantizedMultiTopKFromIndex(
+      qIdx, cents, qs, 5, 2)))
+    assert(rows(Similarity.pqMultiTopKFromIndexQT(pIdx, cents, cb,
+      qframe, 5, 2)) === rows(Similarity.pqMultiTopKFromIndex(pIdx,
+      cents, cb, qs, 5, 2)))
+    assert(rows(Similarity.residualPqMultiTopKFromIndexQT(rIdx, cents,
+      rcb, qframe, 5, 2)) === rows(Similarity.residualPqMultiTopKFromIndex(
+      rIdx, cents, rcb, qs, 5, 2)))
+    assert(rows(Similarity.pqMultiTopKRefinedQT(pIdx, emb, cents, cb,
+      qframe, 5, 2, 20)) === rows(Similarity.pqMultiTopKRefined(pIdx,
+      emb, cents, cb, qs, 5, 2, 20)))
+    // a degenerate (zero-norm) query is ABSENT, the single-serve
+    // contract — and never reaches a cosine (ANSI-safe)
+    val dim = qs.head._2.length
+    val withZero = qframe.select($"query_id",
+        $"embedding".cast("array<double>").as("embedding"))
+      .unionByName(Seq((99L, Seq.fill(dim)(0.0)))
+        .toDF("query_id", "embedding"))
+    val gotZ = Similarity.ivfMultiTopKFromIndexQT(fIdx, cents, withZero,
+      5, 2)
+    assert(!gotZ.collect().map(_.getLong(0)).contains(99L))
+    // duplicate ids in the frame are refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMultiTopKFromIndexQT(fIdx, cents,
+        qframe.unionByName(qframe), 5, 2)
+    }
+  }
+
+  test("query-table batched plan: one index scan + broadcast probe " +
+      "join, no per-query literals; Seq entries re-route past the " +
+      "literal-Q threshold") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtp")
+      .toString + "/f"
+    Similarity.writeIvfIndex(emb, cents, dir)
+    val index = spark.read.parquet(dir)
+    def qframe(n: Int) = emb.filter($"vec_id" < n)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def served(n: Int) = Similarity.ivfMultiTopKFromIndexQT(index,
+      cents, qframe(n), 5, 2)
+    val plan8 = served(8).queryExecution.executedPlan.toString
+    val plan40 = served(40).queryExecution.executedPlan.toString
+    // probe side rides a broadcast hash join on cell, and directory
+    // pruning survives as DYNAMIC partition pruning on the index scan
+    assert(plan8.contains("BroadcastHashJoin"), plan8.take(2000))
+    assert(plan8.contains("dynamicpruningexpression"), plan8.take(2000))
+    // O(1) plan in Q: 5x the queries must not grow the plan (the
+    // literal path's plan embeds every query's vector)
+    assert(plan40.length <= plan8.length + 200,
+      s"plan grew with Q: ${plan8.length} -> ${plan40.length}")
+    // the Seq entry point re-routes to the query-table plan past the
+    // threshold: same rows, broadcast-join shape instead of the
+    // literal path's join-free explode-over-plan-literals
+    val qsBig: Seq[(Long, Seq[Double])] = (0L until 20L).map { id =>
+      id -> emb.filter($"vec_id" === id)
+        .select($"embedding".cast("array<double>"))
+        .head().getSeq[Double](0).toVector
+    }
+    val routed = Similarity.ivfMultiTopKFromIndex(index, cents, qsBig,
+      5, 2)
+    assert(routed.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val viaQt = Similarity.ivfMultiTopKFromIndexQT(index, cents,
+      qframe(20), 5, 2)
+    assert(routed.collect().toSeq === viaQt.collect().toSeq)
+    // under the threshold the literal plan stays (measured faster
+    // at small Q): no join anywhere in that plan
+    val lit5 = Similarity.ivfMultiTopKFromIndex(index, cents,
+      qsBig.take(5), 5, 2)
+    assert(!lit5.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("batched entry points refuse duplicate query ids (a repeated " +
+      "id would double every pair and halve the distinct top-k)") {
+    val cents = Similarity.seedCentroids(emb, 4)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 4, iterations = 1)
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    val dup: Seq[(Long, Seq[Double])] = Seq(0L -> qv, 0L -> qv)
+    intercept[IllegalArgumentException] {
+      Similarity.pqMultiTopKFromIndex(emb, cents, cb, dup, 5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMultiTopKFromIndex(emb, cents, dup, 5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.quantizedMultiTopKFromIndex(emb, cents, dup, 5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.residualPqMultiTopKFromIndex(emb, cents, cb, dup, 5, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqMultiTopKRefined(emb, emb, cents, cb, dup, 5, 2, 20)
+    }
+  }
 }

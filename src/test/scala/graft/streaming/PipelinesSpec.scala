@@ -450,6 +450,25 @@ class PipelinesSpec extends SparkSpec {
         .toDF("doc_id", "text"), indexDir, 2L)
     assert(spark.read.parquet(indexDir)
       .select("id").collect().map(_.getLong(0)).toSet === before)
+    // kept batch stays addressable by name, folded names are gone
+    // (batch 2 was fully dropped, so it wrote no partition at all)
+    assert(spark.read.parquet(indexDir)
+      .select("batch_id").collect().map(_.get(0).toString).toSet
+      === Set("-1", "1"))
+    // REFOLD: a second retention re-folds the prior collapse
+    // partition idempotently — contents invariant, and the catalog
+    // still dedups against the twice-folded history
+    Pipelines.compactBatchOutputKeeping(spark, indexDir, Seq("1"))
+    assert(spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet === before)
+    assert(spark.read.parquet(indexDir)
+      .select("batch_id").collect().map(_.get(0).toString).toSet
+      === Set("-1", "1"))
+    Pipelines.processNearDupBatch(
+      Seq((4L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), indexDir, 3L)
+    assert(spark.read.parquet(indexDir)
+      .select("id").collect().map(_.getLong(0)).toSet === before)
   }
 
   test("compactBatchOutputKeeping: catalog retention folds all but the " +
@@ -1493,5 +1512,92 @@ class PipelinesSpec extends SparkSpec {
       model, s"$tmp/out", 0L, threshold6 = 0L)
     assert(surviving() === wantKept)
     assert(spark.read.parquet(s"$tmp/out").count() === wantKept.size.toLong)
+  }
+
+  test("catalog single-maintainer contract: a KEPT micro-batch's " +
+      "checkpoint replay AFTER retention lands exactly as before " +
+      "(fold-then-replay ordering, quiesced sink)") {
+    val base = Files.createTempDirectory("graft_foldreplay").toString
+    val idx = base + "/idx"; val out = base + "/out"
+    val batches = Seq(
+      0L -> Seq((1L, "a b c d e f"), (2L, "x y z p q r")),
+      1L -> Seq((11L, "a b c n o p"), (12L, "k l m k l m")),
+      2L -> Seq((21L, "x y z fresh tail here")))
+    batches.foreach { case (b, rows) =>
+      Pipelines.processSegmentDedupBatch(rows.toDF("doc_id", "text"),
+        idx, out, b)
+    }
+    def all(dir: String) = spark.read.parquet(dir)
+      .collect().map(_.toSeq).toSet
+    // quiesce, THEN fold (the documented ordering): retention folds
+    // batches 0-1, batch 2 stays addressable
+    Pipelines.compactBatchOutputKeeping(spark, idx, Seq("2"))
+    Pipelines.compactBatchOutputKeeping(spark, out, Seq("2"))
+    val idxAfter = all(idx); val outAfter = all(out)
+    // the sink resumes and its checkpoint REPLAYS the kept batch 2:
+    // dynamic overwrite rewrites exactly its own partition and the
+    // self-exclusion probe skips it — bit-identical tables, no
+    // double-insert, no self-drop, fold untouched
+    Pipelines.processSegmentDedupBatch(
+      batches.last._2.toDF("doc_id", "text"), idx, out, 2L)
+    assert(all(idx) === idxAfter)
+    assert(all(out) === outAfter)
+  }
+
+  test("compactBatchOutputKeeping: keep must be the newest window, " +
+      "and as-of refuses exactly the prefixes the fold destroyed") {
+    val dir = Files.createTempDirectory("graft_foldwm").toString + "/t"
+    (0L to 3L).foreach { b =>
+      Seq((b * 10, s"row$b")).toDF("id", "text")
+        .withColumn("batch_id", lit(b))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+    }
+    // keeping an OLD batch while folding newer ones is refused: the
+    // newer rows would land in the collapse partition (-1), which
+    // passes EVERY as-of prefix predicate — silent future leakage
+    intercept[IllegalArgumentException] {
+      Pipelines.compactBatchOutputKeeping(spark, dir, Seq("1"))
+    }
+    Pipelines.compactBatchOutputKeeping(spark, dir, Seq("2", "3"))
+    // boundary = max folded id = 1: as-of AT the boundary is exact
+    // (the collapse partition is precisely that prefix)...
+    assert(Pipelines.readBatchOutputAsOf(spark, dir, 1L)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(0L, 10L))
+    // ...below it the prefix is irrecoverably merged — refused loudly
+    intercept[IllegalArgumentException] {
+      Pipelines.readBatchOutputAsOf(spark, dir, 0L)
+    }
+    // a repeated fold advances the boundary monotonically
+    Pipelines.compactBatchOutputKeeping(spark, dir, Seq("3"))
+    intercept[IllegalArgumentException] {
+      Pipelines.readBatchOutputAsOf(spark, dir, 1L)
+    }
+    assert(Pipelines.readBatchOutputAsOf(spark, dir, 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 10L, 20L))
+  }
+
+  test("compactBatchOutputKeeping refuses non-canonical numeric " +
+      "partition names (keep membership vs fold filter disagreement)") {
+    val dir = Files.createTempDirectory("graft_noncanon").toString + "/t"
+    Seq(2L, 3L).foreach { b =>
+      Seq((b, s"row$b")).toDF("id", "text")
+        .withColumn("batch_id", lit(b))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(dir)
+    }
+    // forge a foreign layout: batch_id=02 READS as value 2, but the
+    // directory name "02" is not the canonical string of that value
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "batch_id=2"),
+      new org.apache.hadoop.fs.Path(dir, "batch_id=02")))
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.compactBatchOutputKeeping(spark, dir, Seq("3"))
+    }
+    assert(e.getMessage.contains("non-canonical"))
   }
 }
