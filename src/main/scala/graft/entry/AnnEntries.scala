@@ -267,6 +267,14 @@ private[graft] trait AnnEntries extends EntryInfra {
       Similarity.quantizedMultiTopKFromIndexQT(
         s.read.parquet(builtQuantizedIvfIndex(s, d)), seedCents16(s, d),
         multiQueryFrame(s, d), 10, nProbe = 2)),
+    // the query-table serve composed with the MAINTAINED store: the
+    // layout-agnostic reader's tombstone anti-join under the batched
+    // broadcast-probe plan — erased ids must be absent from every
+    // query's ranking (the deleted replay per query is the oracle)
+    "q_knn_quantized_multi_qt_deleted" -> ((s, d) =>
+      Similarity.quantizedMultiTopKFromIndexQT(
+        Similarity.readIvfIndex(s, builtQivfDelIndex(s, d)),
+        seedCents16(s, d), multiQueryFrame(s, d), 10, nProbe = 2)),
     // The int8 member of the compression/recall frontier: recall@10
     // of the 4× store's serving path — measured ≈ the float routing
     // ceiling (scalar quantization error is far below ranking
@@ -395,7 +403,21 @@ private[graft] trait AnnEntries extends EntryInfra {
     annStaticOracles0 ++ Map(
       "q_knn_ivf_multi_qt" -> annStaticOracles0("q_knn_ivf_multi"),
       "q_knn_quantized_multi_qt" ->
-        annStaticOracles0("q_knn_quantized_multi"))
+        annStaticOracles0("q_knn_quantized_multi"),
+      // the maintained-store composition: the batched replay with
+      // the erased ids (≡ 3 mod 7, builtQivfDelIndex) excluded from
+      // the candidate side BEFORE ranking — derived from the batched
+      // oracle so the two texts can never drift
+      "q_knn_quantized_multi_qt_deleted" -> {
+        val anchor = "JOIN qq ON qq.query_id = p.query_id) WHERE rn <= 10"
+        val full = annStaticOracles0("q_knn_quantized_multi")
+        require(full.contains(anchor),
+          "q_knn_quantized_multi oracle drifted — update the deleted " +
+            "derivation")
+        full.replace(anchor,
+          "JOIN qq ON qq.query_id = p.query_id\n" +
+            "           WHERE q2.vec_id % 7 <> 3) WHERE rn <= 10")
+      })
 
   private lazy val annStaticOracles0: Map[String, String] = Map(
     "q_knn_brute" ->

@@ -58,8 +58,10 @@ object ProfileMultiServe {
       .createTempDirectory("graft_multiserve").toString
     Similarity.writeIvfIndex(emb, cents, s"$tmp/f")
     Similarity.writePqIndex(emb, cents, cb, s"$tmp/p")
+    Similarity.writeQuantizedIvfIndex(emb, cents, s"$tmp/q")
     val fIdx = spark.read.parquet(s"$tmp/f")
     val pIdx = spark.read.parquet(s"$tmp/p")
+    val qIdx = spark.read.parquet(s"$tmp/q")
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
 
     def querySeq(q: Int): Seq[(Long, Seq[Double])] = {
@@ -72,6 +74,30 @@ object ProfileMultiServe {
     }
     def queryFrame(q: Int) = emb.filter(col("vec_id") < q)
       .select(col("vec_id").as("query_id"), col("embedding"))
+
+    // ---- single-serve latencies per store (the latency-book row
+    // next to each batched shape; same rig, same calibration)
+    val q0 = querySeq(1).head._2
+    minOf3("float single") {
+      Similarity.ivfTopKFromIndex(fIdx, cents, q0, 10, 2).count()
+    }
+    minOf3("pq single") {
+      Similarity.pqTopKFromIndex(pIdx, cents, cb, q0, 10, 2).count()
+    }
+    minOf3("pq refined single") {
+      Similarity.pqTopKRefined(pIdx, emb, cents, cb, q0, 10, 2, 40).count()
+    }
+    minOf3("int8 single") {
+      Similarity.quantizedTopKFromIndex(qIdx, cents, q0, 10, 2).count()
+    }
+    minOf3("int8 batched lit Q=5") {
+      Similarity.quantizedMultiTopKFromIndex(qIdx, cents, querySeq(5),
+        10, 2).count()
+    }
+    minOf3("int8 q-table Q=50") {
+      Similarity.quantizedMultiTopKFromIndexQT(qIdx, cents,
+        queryFrame(50), 10, 2).count()
+    }
 
     Seq(5, 50, 500).foreach { q =>
       // pin the LITERAL plan regardless of Q...
@@ -104,6 +130,22 @@ object ProfileMultiServe {
       println(f"[multiserve] Q=$q%-4d per-query s: float lit ${lf / q}%8.5f" +
         f" qt ${tf / q}%8.5f | pq lit ${lp / q}%8.5f qt ${tp / q}%8.5f" +
         f" | refined lit ${lr / q}%8.5f qt ${tr / q}%8.5f")
+      spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
+    }
+
+    // ---- the id-dense stress ceiling: EVERY corpus vector as a
+    // query through the query-table path (sf0.1 ⇒ Q=2000) — the
+    // plan is Q-invariant, so the only Q-proportional costs left are
+    // the Q·nProbe broadcast and the (query_id, vec_id, score) rank
+    // shuffle
+    locally {
+      val qAll = (maxId + 1).toInt
+      spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "0")
+      val t = minOf3(s"float q-table   Q=$qAll (all)") {
+        Similarity.ivfMultiTopKFromIndexQT(fIdx, cents,
+          queryFrame(qAll), 10, 2).count()
+      }
+      println(f"[multiserve] Q=$qAll stress: ${t / qAll}%8.5f s/query")
       spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
     }
 
