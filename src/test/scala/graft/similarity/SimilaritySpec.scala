@@ -1476,6 +1476,29 @@ class SimilaritySpec extends SparkSpec {
       .contains("BroadcastHashJoin"))
   }
 
+  test("query-table refined plan: DPP on the code scan, In-pushdown " +
+      "on the query frames, broadcast-join re-rank fetch") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtrr")
+      .toString + "/p"
+    Similarity.writePqIndex(emb, cents, cb, dir)
+    val qframe = emb.filter($"vec_id".isin(0L, 1L, 2L, 3L, 4L))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val plan = Similarity.pqMultiTopKRefinedQT(spark.read.parquet(dir),
+      emb, cents, cb, qframe, 5, 2, 20)
+      .queryExecution.executedPlan.toString
+    // the probe join prunes code-cell directories at RUNTIME
+    assert(plan.contains("dynamicpruningexpression"), plan.take(2000))
+    // the bounded query batch reads 5 rows, never the corpus
+    assert("In\\(vec_id, \\[0,1,2,3,4\\]".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    // the re-rank fetch is a broadcast join (one float-table pass
+    // amortized over the whole batch — never a per-query scan, never
+    // a driver round-trip)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   test("batched entry points refuse duplicate query ids (a repeated " +
       "id would double every pair and halve the distinct top-k)") {
     val cents = Similarity.seedCentroids(emb, 4)
