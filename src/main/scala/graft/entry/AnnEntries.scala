@@ -275,6 +275,17 @@ private[graft] trait AnnEntries extends EntryInfra {
       Similarity.quantizedMultiTopKFromIndexQT(
         Similarity.readIvfIndex(s, builtQivfDelIndex(s, d)),
         seedCents16(s, d), multiQueryFrame(s, d), 10, nProbe = 2)),
+    // ...and with TIME TRAVEL: the batched serve over the stream-
+    // built index's as-of prefix (batch_id <= 1 — the sink's third
+    // micro-batch, ids ≡ 2 mod 3, must be absent from every query's
+    // ranking). The as-of range predicate and the probe join's
+    // dynamic cell pruning are BOTH partition filters on the same
+    // scan — time travel costs the batched plan nothing extra
+    "q_knn_ivf_multi_qt_asof" -> ((s, d) =>
+      Similarity.ivfMultiTopKFromIndexQT(
+        Similarity.readIvfIndexAsOf(s,
+          builtIvfStreamedIndex(s, d) + "/idx", 1L),
+        seedCents16(s, d), multiQueryFrame(s, d), 10, nProbe = 2)),
     // The int8 member of the compression/recall frontier: recall@10
     // of the 4× store's serving path — measured ≈ the float routing
     // ceiling (scalar quantization error is far below ranking
@@ -417,6 +428,19 @@ private[graft] trait AnnEntries extends EntryInfra {
         full.replace(anchor,
           "JOIN qq ON qq.query_id = p.query_id\n" +
             "           WHERE q2.vec_id % 7 <> 3) WHERE rn <= 10")
+      },
+      // the time-travel composition: the batched float replay with
+      // the as-of prefix applied to the candidate side (the sink's
+      // batch 2 stamped ids ≡ 2 mod 3 excluded BEFORE ranking)
+      "q_knn_ivf_multi_qt_asof" -> {
+        val anchor = "JOIN q ON q.query_id = p.query_id) WHERE rn <= 10"
+        val full = annStaticOracles0("q_knn_ivf_multi")
+        require(full.contains(anchor),
+          "q_knn_ivf_multi oracle drifted — update the as-of " +
+            "derivation")
+        full.replace(anchor,
+          "JOIN q ON q.query_id = p.query_id\n" +
+            "           WHERE v.vec_id % 3 <> 2) WHERE rn <= 10")
       })
 
   private lazy val annStaticOracles0: Map[String, String] = Map(
