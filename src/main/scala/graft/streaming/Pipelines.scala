@@ -1778,6 +1778,63 @@ object Pipelines {
       }
       .start()
 
+  /** STREAMING batched serving (round 15 — the online form of the
+    * high-QPS window): each micro-batch of queries
+    * (query_id, embedding) serves through the QUERY-TABLE batched
+    * plan against the WRITTEN float IVF index — one broadcast-probe
+    * scan per trigger regardless of the batch's Q — and the k rows
+    * per query land batch-stamped in `outDir`. Idempotent under
+    * checkpoint replay: a re-run of batch N dynamic-overwrites
+    * exactly its own `batch_id=N` partition with the identical
+    * ranking (the serve reads only the frozen index and the batch).
+    * Duplicate ids WITHIN one micro-batch fail loudly (the
+    * query-table guard); across micro-batches the same id re-serves
+    * — later answers live in later partitions, the catalog contract.
+    */
+  def knnServingSink(queries: DataFrame, cents: Seq[Seq[Double]],
+      indexPath: String, outDir: String, checkpointDir: String,
+      k: Int = 10, nProbe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processKnnServeBatch(batch, cents, indexPath, outDir, batchId,
+          k, nProbe)
+      }
+      .start()
+
+  /** Idempotent batch core of [[knnServingSink]]: the query-table
+    * serve over the written index, (batch_id) dynamic overwrite —
+    * same recovery design as every sink here. Empty micro-batches
+    * write nothing (and never create an unreadable empty dir).
+    */
+  def processKnnServeBatch(batch: DataFrame, cents: Seq[Seq[Double]],
+      indexPath: String, outDir: String, batchId: Long, k: Int,
+      nProbe: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // the serve result is k×Q bounded — checkpoint it once so the
+    // empty-result guard below doesn't re-run the serve, and so the
+    // write plan never reads outDir
+    val served = graft.similarity.Similarity.ivfMultiTopKFromIndexQT(
+        spark.read.parquet(indexPath), cents, batch, k, nProbe)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    try {
+      // an all-degenerate batch serves no rows: creating a footerless
+      // parquet dir on the FIRST batch would poison every later read
+      // (writeBatchPartition's contract)
+      val out = new org.apache.hadoop.fs.Path(outDir)
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!served.isEmpty || fs.exists(out))
+        served.write.partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+    } finally graft.Frames.freeLocalCheckpoint(served)
+  }
+
   /** Idempotent batch core of [[quantizedIvfIndexSink]] — the int8
     * twin of [[processIvfIngestBatch]]: frozen-centroid assignment
     * from the TRUE float vectors, per-row symmetric quantization of

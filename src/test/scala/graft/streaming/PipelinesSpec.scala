@@ -1514,6 +1514,47 @@ class PipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/out").count() === wantKept.size.toLong)
   }
 
+  test("streaming knn serving sink: each micro-batch ≡ the one-shot " +
+      "query-table serve, replay rewrites only its own partition") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val base = Files.createTempDirectory("graft_knnsink").toString
+    Similarity.writeIvfIndex(emb, cents, base + "/idx")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Pipelines.knnServingSink(
+      mem.toDS().toDF("query_id", "embedding"), cents, base + "/idx",
+      base + "/out", base + "/ckpt", k = 5, nProbe = 2)
+    def qvec(id: Long): Seq[Double] = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toVector
+    mem.addData(Seq(0L -> qvec(0L), 1L -> qvec(1L)))
+    q.processAllAvailable()
+    mem.addData(Seq(2L -> qvec(2L)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(base + "/out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // each micro-batch's partition ≡ the one-shot query-table serve
+    // over exactly that batch
+    val idx = spark.read.parquet(base + "/idx")
+    def oneShot(ids: Seq[Long]) = rows(Similarity.ivfMultiTopKFromIndexQT(
+      idx, cents, emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding")), 5, 2))
+    assert(rows(out.filter(col("batch_id") === 0)) === oneShot(Seq(0L, 1L)))
+    assert(rows(out.filter(col("batch_id") === 1)) === oneShot(Seq(2L)))
+    // checkpoint REPLAY of batch 1 rewrites exactly its own
+    // partition — identical rankings, no duplicates
+    val before = rows(out)
+    Pipelines.processKnnServeBatch(
+      Seq(2L -> qvec(2L)).toDF("query_id", "embedding"), cents,
+      base + "/idx", base + "/out", 1L, 5, 2)
+    assert(rows(spark.read.parquet(base + "/out")) === before)
+    assert(spark.read.parquet(base + "/out").count() === 15)
+  }
+
   test("catalog single-maintainer contract: a KEPT micro-batch's " +
       "checkpoint replay AFTER retention lands exactly as before " +
       "(fold-then-replay ordering, quiesced sink)") {
