@@ -1913,7 +1913,7 @@ object Similarity {
     * (broadcast probe join — O(1) plan size in Q). Conf-overridable
     * for operating-point experiments.
     */
-  private def literalMaxQ(df: DataFrame): Int =
+  private[graft] def literalMaxQ(df: DataFrame): Int =
     df.sparkSession.conf
       .get("spark.graft.batchedServeLiteralMaxQ", "16").toInt
 
@@ -1941,8 +1941,8 @@ object Similarity {
     * skip (null/NaN scores drop before the sort). Evaluated once per
     * QUERY row — Q·nCells cosines total, never per corpus row.
     */
-  private def probeCellsCol(df: DataFrame, cents: Seq[Seq[Double]],
-      nProbe: Int)(qe: Column): Column = {
+  private[similarity] def probeCellsCol(df: DataFrame,
+      cents: Seq[Seq[Double]], nProbe: Int)(qe: Column): Column = {
     val centLit = typedlit(cents.map(_.toVector).toVector)
     val scored = transform(centLit, (c, i) =>
       struct(round(cosineFor(df)(qe, c), 4).as("s"), i.as("c")))
@@ -1956,43 +1956,84 @@ object Similarity {
     transform(slice(sorted, 1, nProbe), p => p.getField("c"))
   }
 
-  /** The exploded (query_id, cell, q_emb) probe table every
-    * query-table serve starts from: degenerate queries filtered (so
-    * they are ABSENT, the single-serve contract), probe cells chosen
-    * in-plan, one row per (query, probed cell). Bounded Q·nProbe
-    * rows — the broadcast side of the serve join.
+  /** Broadcast-payload budget for one query-table serve (round-16
+    * verdict #4 — the [[graft.Frames.hintTombstones]] loud-ceiling
+    * convention): Q·(artifact bytes + nProbe·16) must stay under it
+    * or the serve's own action fails loudly with the documented
+    * fallback — CHUNK THE QUERY BATCH into smaller serves. Without
+    * the ceiling a caller passing a corpus-sized "query frame" gets
+    * a driver/executor OOM from the forced broadcast instead of a
+    * contract error. Override: `spark.graft.qtBroadcastBudget`
+    * (bytes; default 64 MB ≈ 260k queries of an m=8/ksub=256 LUT at
+    * nProbe=16 chunked into ~4k-query serves).
     */
-  private def explodedProbes(queries: DataFrame, cents: Seq[Seq[Double]],
-      nProbe: Int): DataFrame = {
-    requireQueryFrame(queries)
-    queries
-      .select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .filter(servableQuery(col("q_emb")))
-      .withColumn("cell",
-        explode(probeCellsCol(queries, cents, nProbe)(col("q_emb"))))
-  }
+  private def qtBroadcastBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.qtBroadcastBudget")
+      .map(_.toLong).getOrElse(64L << 20)
 
-  /** The query-table batch-shape guard: (query_id, embedding) schema
-    * and DISTINCT ids. The distinctness probe is one tiny job over
-    * the BOUNDED query table (a serve batch, thousands of rows at
-    * most — never corpus-sized), the [[requireDistinctBatch]]
-    * contract carried to the frame shape: a duplicated id would
-    * double its (query_id, vec_id) pairs and silently halve the
-    * distinct top-k.
+  /** The guarded SERVABLE query frame every query-table serve starts
+    * from: (query_id, q_emb) with degenerate (zero-norm/non-finite)
+    * queries dropped so they are ABSENT — the single-serve contract —
+    * and the batch-shape contracts folded INTO THE PLAN (round-16
+    * verdict #6): the previous eager groupBy/limit/collect
+    * distinctness probe cost one extra Spark job per serve — in
+    * [[graft.streaming.Pipelines.knnServingSink]]'s foreachBatch an
+    * extra evaluation of the (uncached) micro-batch lineage on every
+    * trigger's latency path. Now distinct-ids and the broadcast
+    * budget ride the query_id column of every servable row (two
+    * window counts over the bounded query frame — zero extra jobs),
+    * so a duplicated id or an over-budget batch fails the serve's
+    * OWN action loudly. Schema stays an eager check (metadata only,
+    * no job). `artifactBytes`: estimated per-query broadcast payload
+    * over the q_emb column (the scoring-artifact row plus nProbe
+    * 16-byte probe pairs) for the budget check.
     */
-  private def requireQueryFrame(queries: DataFrame): Unit = {
+  private[similarity] def guardedServable(queries: DataFrame,
+      nProbe: Int, artifactBytes: Column): DataFrame = {
     require(queries.columns.contains("query_id") &&
         queries.columns.contains("embedding"),
       s"query table needs (query_id, embedding), got " +
         s"(${queries.columns.mkString(", ")})")
-    val dup = queries.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"query ids must be distinct — id ${dup.headOption.map(_.get(0))
-        .getOrElse("")} appears more than once (a repeated id would " +
-        "halve the distinct top-k silently)")
+    val budget = qtBroadcastBudget(queries.sparkSession)
+    val idType = queries.schema("query_id").dataType
+    import org.apache.spark.sql.expressions.Window
+    val dupN = count(lit(1)).over(Window.partitionBy(col("query_id")))
+    val batchBytes = sum(artifactBytes.cast("long") +
+        lit(nProbe.toLong * 16L))
+      .over(Window.partitionBy())
+    queries
+      .select(col("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("query_id",
+        when(dupN > 1, raise_error(concat(
+            lit("query ids must be distinct — id "),
+            col("query_id").cast("string"),
+            lit(" appears more than once (a repeated id would halve " +
+              "the distinct top-k silently)"))).cast(idType))
+          .when(batchBytes > budget, raise_error(concat(
+            lit("query-table broadcast budget exceeded: ~"),
+            batchBytes.cast("string"),
+            lit(s" bytes of probe/artifact rows against the $budget" +
+              "-byte ceiling (spark.graft.qtBroadcastBudget) — chunk " +
+              "the query batch into smaller serves"))).cast(idType))
+          .otherwise(col("query_id")))
+      .filter(servableQuery(col("q_emb")))
   }
+
+  /** The bounded (query_id, cell) probe-PAIR table: one 16-byte row
+    * per (servable query, probed cell), Q·nProbe rows — the broadcast
+    * side of the serve's cell join. The per-query scoring artifacts
+    * ride a SECOND Q-row broadcast keyed by query_id (round-16
+    * verdict #2: the artifacts used to be columns of this exploded
+    * table, so an m×ksub LUT was computed and shipped nProbe times
+    * per query — at nProbe=16 that is 16× the bytes and 16× the
+    * per-row transform work for identical results).
+    */
+  private[similarity] def probePairs(servable: DataFrame,
+      cents: Seq[Seq[Double]], nProbe: Int): DataFrame =
+    servable.select(col("query_id"),
+      explode(probeCellsCol(servable, cents, nProbe)(col("q_emb")))
+        .as("cell"))
 
   /** The query-TABLE batched core — [[multiServeOneScan]] re-shaped
     * for large Q (round-15 verdict #1): queries ride a BROADCAST
@@ -2005,15 +2046,18 @@ object Similarity {
     * partition column is joined against the bounded probe side, so
     * Spark prunes the union of probed cells at runtime — the same
     * cells the literal path pins statically. Scoring artifacts
-    * (query vector / int8 pair / integer LUTs) are COLUMNS of the
-    * broadcast side computed once per query row, evaluated by the
-    * same expressions as the literal path — per-query results are
-    * bit-identical to Q single serves (spec- and oracle-gated).
+    * (query vector / int8 pair / integer LUTs) are a SEPARATE Q-row
+    * broadcast keyed by query_id — computed once per QUERY, not once
+    * per (query, probed cell) — evaluated by the same expressions as
+    * the literal path, so per-query results are bit-identical to Q
+    * single serves (spec- and oracle-gated).
     */
-  private def multiServeQueryTable(index: DataFrame, probed: DataFrame,
-      score: Column, scoreName: String, k: Int): DataFrame = {
+  private def multiServeQueryTable(index: DataFrame, pairs: DataFrame,
+      arts: DataFrame, score: Column, scoreName: String,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    index.join(broadcast(probed), Seq("cell"))
+    index.join(broadcast(pairs), Seq("cell"))
+      .join(broadcast(arts), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), score.as(scoreName))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -2028,11 +2072,14 @@ object Similarity {
     * distinct. Output ≡ Q single [[ivfTopKFromIndex]] serves.
     */
   def ivfMultiTopKFromIndexQT(index: DataFrame, cents: Seq[Seq[Double]],
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame =
-    multiServeQueryTable(index,
-      explodedProbes(queries, cents, nProbe),
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val sv = guardedServable(queries, nProbe,
+      size(col("q_emb")).cast("long") * 8L + 16L)
+    multiServeQueryTable(index, probePairs(sv, cents, nProbe),
+      sv.select(col("query_id"), col("q_emb")),
       round(cosineFor(index)(col("embedding"), col("q_emb")), 4),
       "cos_sim", k)
+  }
 
   /** Query-table batched serving for the COMPRESSED (int8) store —
     * the large-Q twin of [[quantizedMultiTopKFromIndex]]. The query
@@ -2044,11 +2091,11 @@ object Similarity {
   def quantizedMultiTopKFromIndexQT(index: DataFrame,
       cents: Seq[Seq[Double]], queries: DataFrame, k: Int,
       nProbe: Int): DataFrame = {
-    val probed = explodedProbes(queries, cents, nProbe)
-      .withColumn("q_scale", quantScale(col("q_emb")))
-      .withColumn("q_qvec", quantizeVec(col("q_emb")))
-      .drop("q_emb")
-    multiServeQueryTable(index, probed,
+    val sv = guardedServable(queries, nProbe,
+      size(col("q_emb")).cast("long") * 4L + 24L)
+    multiServeQueryTable(index, probePairs(sv, cents, nProbe),
+      sv.select(col("query_id"), quantScale(col("q_emb")).as("q_scale"),
+        quantizeVec(col("q_emb")).as("q_qvec")),
       round(col("scale") * col("q_scale") *
         qdotFor(index)(col("qvec"), col("q_qvec")), 6),
       "q_sim", k)
@@ -2092,10 +2139,10 @@ object Similarity {
     */
   def pqMultiTopKFromIndexQT(index: DataFrame, cents: Seq[Seq[Double]],
       cb: PqCodebook, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val probed = explodedProbes(queries, cents, nProbe)
-      .withColumn("q_lut", pqLut6Col(cb)(col("q_emb")))
-      .drop("q_emb")
-    multiServeQueryTable(index, probed,
+    val sv = guardedServable(queries, nProbe,
+      lit(cb.m.toLong * cb.centroids.head.length * 8L + 16L))
+    multiServeQueryTable(index, probePairs(sv, cents, nProbe),
+      sv.select(col("query_id"), pqLut6Col(cb)(col("q_emb")).as("q_lut")),
       round(lutScore6(col("q_lut"), cb.m) / 1e6, 6), "pq_sim", k)
   }
 
@@ -2108,11 +2155,12 @@ object Similarity {
   def residualPqMultiTopKFromIndexQT(index: DataFrame,
       cents: Seq[Seq[Double]], cb: PqCodebook, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val probed = explodedProbes(queries, cents, nProbe)
-      .withColumn("q_lut", pqLut6Col(cb)(col("q_emb")))
-      .withColumn("q_clut", cellLut6Col(cents)(col("q_emb")))
-      .drop("q_emb")
-    multiServeQueryTable(index, probed,
+    val sv = guardedServable(queries, nProbe,
+      lit(cb.m.toLong * cb.centroids.head.length * 8L +
+        cents.length.toLong * 8L + 16L))
+    multiServeQueryTable(index, probePairs(sv, cents, nProbe),
+      sv.select(col("query_id"), pqLut6Col(cb)(col("q_emb")).as("q_lut"),
+        cellLut6Col(cents)(col("q_emb")).as("q_clut")),
       round((element_at(col("q_clut"), col("cell").cast("int") + 1) +
         lutScore6(col("q_lut"), cb.m)) / 1e6, 6), "pq_sim", k)
   }
@@ -2137,6 +2185,53 @@ object Similarity {
     val qv = queries.select(col("query_id"),
       asDouble(col("embedding")).as("q_emb"))
     embeddings.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** [[pqMultiTopKRefinedQT]] with the re-rank fetch BUCKET-PRUNED
+    * (round-16 verdict #1 — the last streamed pass on the serving
+    * path): `embeddings` is a vec_id-BUCKETED catalog table
+    * ([[graft.ops.BucketedTables.writeBucketed]]); the bounded Q×R
+    * ADC shortlist collects ONCE to the driver (2 longs per row —
+    * the same bounded-artifact class as centroids and codebooks, and
+    * the only way to reach bucket pruning: Spark prunes bucket FILES
+    * from literal predicates on the bucket column, which no
+    * DPP/bloom can deliver to a broadcast-hash-join's streamed
+    * side), and the float fetch becomes `vec_id IN (shortlist)` over
+    * the bucketed scan — at a 100 TB float table the re-rank reads
+    * ~(hit buckets)/(total buckets) of the files instead of one full
+    * streamed pass per batch. Scoring, tie-breaks, and output are
+    * the [[pqMultiTopKRefinedQT]] plan verbatim (its oracle is the
+    * gate); the unbucketed path stays the fallback for plain parquet
+    * embeddings.
+    */
+  def pqMultiTopKRefinedQTBucketed(index: DataFrame,
+      embeddings: DataFrame, cents: Seq[Seq[Double]], cb: PqCodebook,
+      queries: DataFrame, k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    val spark = index.sparkSession
+    val pairs = pqMultiTopKFromIndexQT(index, cents, cb, queries,
+        shortlist, nProbe)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ids = pairs.map(_._2).distinct
+    val short = spark.createDataFrame(pairs).toDF("query_id", "vec_id")
+    val qv = queries.select(col("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val fetched =
+      if (ids.isEmpty) embeddings.filter(lit(false))
+      else embeddings.filter(col("vec_id").isin(ids: _*))
+    fetched.join(broadcast(short), Seq("vec_id"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosineFor(embeddings)(col("embedding"), col("q_emb")), 4)

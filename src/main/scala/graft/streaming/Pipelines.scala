@@ -399,6 +399,7 @@ object Pipelines {
       hashMode: String = "xx"): Unit = {
     import graft.dedup.Dedup
     val spark = batch.sparkSession
+    requireNoFoldInProgress(spark, indexDir)
     // Hadoop FS, not java.io.File: the index dir is a cluster path
     // (HDFS/S3) everywhere except the local harness
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
@@ -470,6 +471,10 @@ object Pipelines {
       outDir: String, batchId: Long, segWords: Int = 3): Unit = {
     import graft.dedup.Dedup
     val spark = batch.sparkSession
+    // checked before the index READ, not just at the writes: a
+    // half-folded digest index would admit already-seen segments
+    requireNoFoldInProgress(spark, indexDir)
+    requireNoFoldInProgress(spark, outDir)
     val indexPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = indexPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
@@ -504,6 +509,7 @@ object Pipelines {
     */
   private def writeBatchPartition(df: DataFrame, dir: String,
       batchId: Long, nonEmpty: Boolean): Unit = {
+    requireNoFoldInProgress(df.sparkSession, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
@@ -561,7 +567,13 @@ object Pipelines {
     * between those two steps can be deleted by the overwrite's
     * partition claim or double-fold on a re-run. QUIESCE THE SINK
     * FIRST (stop the stream or run retention from its own
-    * foreachBatch turn); the fold itself never reads kept
+    * foreachBatch turn); the destructive window is additionally
+    * bracketed by a `_graft_fold_inprogress` marker the sink cores
+    * and [[readBatchOutputAsOf]] check, so a racing writer fails
+    * loudly instead of silently losing its partition (and a crash
+    * inside the window refuses all later writes/as-of reads until
+    * the fold re-runs or the table is rebuilt); the fold itself
+    * never reads kept
     * partitions, so a quiesced sink's checkpoint replays land
     * exactly as before retention, as long as retention runs behind
     * the replay horizon.
@@ -626,9 +638,15 @@ object Pipelines {
       }
     }
     // fold boundary for the as-of reader: max batch id ever folded
-    // into -1, monotone across repeated folds; written only after
-    // the rewrite lands (a crash before it leaves the old, stricter
-    // boundary in place — never a permissive one)
+    // into -1, monotone across repeated folds; written BEFORE any
+    // partition delete — a crash mid-fold then leaves a boundary at
+    // or ABOVE reality, which only REFUSES as-of reads that might
+    // still be answerable (strict/safe). The reverse order would be
+    // permissive: a crash between the rewrite landing and the
+    // watermark update leaves the old, lower boundary on disk, and
+    // readBatchOutputAsOf would admit prefixes the fold just
+    // destroyed — silently answering them with the whole collapsed
+    // window.
     val newWatermark =
       if (collapse != "-1") None
       else ((known -- keepSet - "-1").map(_.toLong).toSeq ++
@@ -641,12 +659,22 @@ object Pipelines {
         else lit(collapse))
       .localCheckpoint(true)
     try {
+      newWatermark.foreach(writeFoldWatermark(fs, root, _))
+      // fold-in-progress marker: the destructive window (partition
+      // deletes → collapse overwrite) is now bracketed so a LIVE sink
+      // writing the same catalog (the SINGLE-MAINTAINER contract
+      // above) fails loudly instead of racing the deletes, and a
+      // crash inside the window leaves the marker behind — every
+      // later sink write and as-of read refuses until the table is
+      // rebuilt or the fold re-run to completion (it clears the
+      // marker)
+      writeFoldMarker(fs, root)
       parts.foreach(st =>
         if (!keepSet(dirName(st))) fs.delete(st.getPath, true))
       folded.write.partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(dir)
-      newWatermark.foreach(writeFoldWatermark(fs, root, _))
+      clearFoldMarker(fs, root)
     } finally graft.Frames.freeLocalCheckpoint(folded)
   }
 
@@ -673,6 +701,7 @@ object Pipelines {
   def readBatchOutputAsOf(spark: org.apache.spark.sql.SparkSession,
       dir: String, upToBatch: Long): DataFrame = {
     require(upToBatch >= 0L, s"upToBatch must be >= 0: $upToBatch")
+    requireNoFoldInProgress(spark, dir)
     val df = spark.read.parquet(dir)
     require(df.columns.contains("batch_id") &&
         graft.similarity.Similarity.integralBatchIds(df),
@@ -731,6 +760,45 @@ object Pipelines {
     try out.write(boundary.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Fold-in-progress marker: present exactly while
+    * [[compactBatchOutputKeeping]] is inside its destructive window
+    * (partition deletes → collapse overwrite), or forever after a
+    * crash inside it. The sinks' batch cores and
+    * [[readBatchOutputAsOf]] check it so a concurrent writer fails
+    * loudly instead of racing the deletes (its partition could be
+    * deleted or double-folded) and a reader never serves a
+    * half-folded table. Underscore-prefixed so parquet listings skip
+    * it, like the watermark sidecar.
+    */
+  private val FoldInProgressFile = "_graft_fold_inprogress"
+
+  private def writeFoldMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(root, FoldInProgressFile),
+      true).close()
+
+  private def clearFoldMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    fs.delete(new org.apache.hadoop.fs.Path(root, FoldInProgressFile),
+      false)
+
+  /** Loud single-maintainer guard for the batch-stamped catalog
+    * dirs: refuses a sink write or an as-of read while a retention
+    * fold holds (or crashed holding) the dir's destructive window.
+    * One existence probe on the dir's own FileSystem — no Spark job.
+    */
+  private[graft] def requireNoFoldInProgress(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(
+        new org.apache.hadoop.fs.Path(root, FoldInProgressFile)),
+      s"a retention fold is in progress (or crashed mid-fold) at " +
+        s"$dir — writes and as-of reads are refused until the fold " +
+        "completes (it clears the marker) or the table is rebuilt; " +
+        "quiesce retention and sinks onto one maintainer turn")
   }
 
   /** The streaming entry: docs (doc_id, text) → segment-deduped
@@ -1814,6 +1882,7 @@ object Pipelines {
       nProbe: Int): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    requireNoFoldInProgress(spark, outDir)
     // the serve result is k×Q bounded — checkpoint it once so the
     // empty-result guard below doesn't re-run the serve, and so the
     // write plan never reads outDir

@@ -1424,10 +1424,112 @@ class SimilaritySpec extends SparkSpec {
     val gotZ = Similarity.ivfMultiTopKFromIndexQT(fIdx, cents, withZero,
       5, 2)
     assert(!gotZ.collect().map(_.getLong(0)).contains(99L))
-    // duplicate ids in the frame are refused loudly
-    intercept[IllegalArgumentException] {
+    // duplicate ids in the frame are refused loudly — IN-PLAN since
+    // round 16 (the guard rides the serve's own action; constructing
+    // the plan runs zero jobs), so the error surfaces at collect
+    val dupErr = intercept[Exception] {
       Similarity.ivfMultiTopKFromIndexQT(fIdx, cents,
-        qframe.unionByName(qframe), 5, 2)
+        qframe.unionByName(qframe), 5, 2).collect()
+    }
+    assert(exceptionChain(dupErr).exists(
+      _.getMessage.contains("query ids must be distinct")))
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("query-table guards are in-plan: plan construction runs ZERO " +
+      "Spark jobs, the broadcast budget refuses an over-budget batch " +
+      "loudly, and artifacts are one row per query") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtg")
+      .toString + "/f"
+    Similarity.writeIvfIndex(emb, cents, dir)
+    val index = spark.read.parquet(dir)
+    val qframe = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // zero jobs at plan-construction time (round-16 verdict #6: the
+    // eager distinctness probe used to cost one job per serve — an
+    // extra evaluation of the micro-batch lineage per sink trigger)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val served = Similarity.ivfMultiTopKFromIndexQT(index, cents,
+        qframe, 5, 2)
+      // listener delivery is async; give the bus a beat to drain any
+      // job-start event a construction-time action would have fired
+      Thread.sleep(500)
+      assert(jobs.get() === 0,
+        s"plan construction ran ${jobs.get()} job(s) — the guards " +
+          "must be in-plan")
+      assert(served.count() === 25L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // broadcast budget: a tiny ceiling refuses the batch loudly with
+    // the chunking fallback in the message (round-16 verdict #4)
+    spark.conf.set("spark.graft.qtBroadcastBudget", "64")
+    try {
+      val budErr = intercept[Exception] {
+        Similarity.ivfMultiTopKFromIndexQT(index, cents, qframe, 5, 2)
+          .collect()
+      }
+      assert(exceptionChain(budErr).exists(_.getMessage
+        .contains("query-table broadcast budget exceeded")))
+    } finally spark.conf.unset("spark.graft.qtBroadcastBudget")
+    // the artifact side is ONE row per servable query (round-16
+    // verdict #2: the LUT/vector used to be a column of the exploded
+    // (query, cell) table — computed and broadcast nProbe times)
+    val sv = Similarity.guardedServable(qframe, 4,
+      org.apache.spark.sql.functions.lit(16L))
+    assert(sv.count() === 5L)
+    assert(sv.select($"query_id").distinct().count() === 5L)
+    // while the pair side is Q·nProbe rows of (query_id, cell) only
+    val pairs = Similarity.probePairs(sv, cents, 4)
+    assert(pairs.columns.toSeq === Seq("query_id", "cell"))
+    assert(pairs.count() === 20L)
+  }
+
+  test("probeCellsCol ≡ probeCells on random vectors, with the " +
+      "native cosine both available and absent") {
+    val dim = emb.select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).length
+    val cents = Similarity.seedCentroids(emb, 8)
+    val rnd = new scala.util.Random(461)
+    // adversarial sweep: random vectors plus scaled/negated copies of
+    // the centroids themselves (cosines pinned at ±1 and centroid-tie
+    // boundaries — where a fold-order divergence would first show)
+    val vecs: Seq[Seq[Double]] =
+      (0 until 40).map(_ => Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) ++
+        cents.map(c => c.map(_ * 3.0)) ++
+        cents.map(c => c.map(_ * -1.0))
+    // the in-plan path computes its cosine through cosineFor(df):
+    // the native registered expression on the shared session, the
+    // Column fallback on a fresh session with no graft registry —
+    // BOTH must select the same cells as the driver loop's
+    // sequential-dot + BigDecimal HALF_UP probeCells
+    val bare = spark.newSession()
+    assert(!graft.plans.GraftFunctions.isRegistered(bare))
+    assert(graft.plans.GraftFunctions.isRegistered(spark))
+    for (sess <- Seq(spark, bare)) {
+      val frame = sess.createDataFrame(
+          vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+        .toDF("query_id", "embedding")
+      for (nProbe <- Seq(1, 2, 4)) {
+        val inPlan = frame.select(frame("query_id"),
+            Similarity.probeCellsCol(frame, cents, nProbe)(
+              frame("embedding").cast("array<double>")).as("cells"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq)
+          .toMap
+        vecs.zipWithIndex.foreach { case (v, i) =>
+          assert(inPlan(i.toLong) ===
+            Similarity.probeCells(cents, v, nProbe),
+            s"nProbe=$nProbe native=${sess eq spark} vec=$i")
+        }
+      }
     }
   }
 
