@@ -168,6 +168,10 @@ object SparkEntry extends EntryInfra
         val gen = (pqRecallOracle ++ residualPqOracles).toMap
         Seq("q_knn_pq_multi" -> "q_knn_pq_multi_qt",
           "q_knn_pq_refined_multi" -> "q_knn_pq_refined_multi_qt",
+          // bucketed ≡ streamed ≡ Q singles: the bucket-pruned
+          // re-rank fetch (round-16 verdict #1) shares the same
+          // refined replay — one oracle, three plan shapes under gate
+          "q_knn_pq_refined_multi" -> "q_knn_pq_refined_multi_qt_bucketed",
           "q_knn_pq_residual_multi" -> "q_knn_pq_residual_multi_qt")
           .flatMap { case (from, to) => gen.get(from).map(to -> _) }
           .toMap

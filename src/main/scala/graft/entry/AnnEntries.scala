@@ -405,6 +405,18 @@ private[graft] trait AnnEntries extends EntryInfra {
     "q_knn_quantized_ivf_recluster" -> ((s, d) =>
       Similarity.reclusterChurn(s, builtQuantizedIvfIndex(s, d),
         builtQivfReclusteredIndex(s, d))),
+    // STREAM ≡ BATCH for the SERVING-sink family (round-16 verdict
+    // #3): the accumulated batch-stamped catalog of the hot-tier
+    // quantizedServingSink (two checkpointed micro-batches: queries
+    // {0,1,2} then {3,4}, served through the int8 query-table plan
+    // against the frozen index) re-sorted as one readout — per-batch
+    // serves must accumulate to exactly the one-shot 5-query batched
+    // serve, so the readout shares q_knn_quantized_multi's replay
+    // verbatim, the convention every other sink family already has
+    "q_knn_served_catalog" -> ((s, d) =>
+      s.read.parquet(builtQuantServedCatalog(s, d) + "/out")
+        .select(col("query_id"), col("vec_id"), col("q_sim"))
+        .orderBy(col("query_id"), col("q_sim").desc, col("vec_id"))),
   )
 
   // the query-table twins serve the SAME 5-query batch with the SAME
@@ -414,6 +426,10 @@ private[graft] trait AnnEntries extends EntryInfra {
     annStaticOracles0 ++ Map(
       "q_knn_ivf_multi_qt" -> annStaticOracles0("q_knn_ivf_multi"),
       "q_knn_quantized_multi_qt" ->
+        annStaticOracles0("q_knn_quantized_multi"),
+      // the serving sink's accumulated catalog must equal the
+      // one-shot batched serve (stream ≡ batch): same replay verbatim
+      "q_knn_served_catalog" ->
         annStaticOracles0("q_knn_quantized_multi"),
       // the maintained-store composition: the batched replay with
       // the erased ids (≡ 3 mod 7, builtQivfDelIndex) excluded from
@@ -1390,6 +1406,35 @@ private[graft] trait AnnEntries extends EntryInfra {
       Similarity.appendToQuantizedIvfIndex(
         emb.filter(col("vec_id") % 8 === 6), seedCents16(s, d), p, "inc1")
     }
+
+  /** Build-once SERVED CATALOG of the hot-tier streaming serve sink
+    * (round-16 verdict #3): two checkpointed micro-batches of query
+    * rows ({0,1,2} then {3,4}, id-joined to their embeddings) through
+    * the real [[graft.streaming.Pipelines.quantizedServingSink]]
+    * against the build-once int8 index — the accumulated
+    * batch-stamped output table q_knn_served_catalog reads.
+    */
+  protected def builtQuantServedCatalog(s: SparkSession, d: String): String = {
+    val idx = builtQuantizedIvfIndex(s, d)
+    builtIndexDir("graft_qserve", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.embeddings(s, d)
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("query_id")
+        .join(emb, col("query_id") === col("vec_id"))
+        .select(col("query_id"), col("embedding"))
+      val q = graft.streaming.Pipelines.quantizedServingSink(
+        src, seedCents16(s, d), idx, p + "/out", p + "/ckpt")
+      try {
+        mem.addData(Seq(0L, 1L, 2L))
+        q.processAllAvailable()
+        mem.addData(Seq(3L, 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+  }
 
   /** Build-once IVF index with the ids ≡ 3 mod 7 batch tombstoned. */
   protected def builtIvfDelIndex(s: SparkSession, d: String): String =

@@ -1074,10 +1074,13 @@ object SearchOps {
     * the SAME exact-rational tail — so "what does fusion do to
     * end-to-end retrieval quality" is a number, not a hope, and the
     * lexical eval next to it is directly comparable. Query vectors
-    * collect from `embeddings` by id (|queries| bounded rows, the
-    * servingRecall convention); a query id with no embedding row
-    * fails loudly (an eval that silently drops queries overstates
-    * the operating point).
+    * resolve from `embeddings` by id inside the keyed batched serve
+    * (bounded driver collect at small Q, a broadcast join past the
+    * literal threshold); a query id with no embedding row fails
+    * loudly on either path (an eval that silently drops queries
+    * overstates the operating point). Two eval labels MAY share one
+    * vector id (round 16): the batch keys by a synthetic index and
+    * the serve dedups vector ids itself.
     *
     * Scale shape (round-15 verdict #4): ranking production goes
     * through [[hybridMultiSearchServed]], so the WHOLE eval batch
@@ -1105,21 +1108,23 @@ object SearchOps {
     // plausible-but-wrong metrics row instead of a loud error
     require(queries.map(_._1).distinct.length == queries.length,
       "query labels must be distinct — each label keys one metrics row")
-    // the eval batch serves through the BATCHED hybrid path (round-15
-    // verdict #4: three scans for the whole batch instead of ~4Q),
-    // which keys queries by vector id — so ids must be distinct too
-    require(queries.map(_._3).distinct.length == queries.length,
-      "query vector ids must be distinct — the batched serve keys by id")
-    // ranking production = hybridMultiSearchServed (per-query rows ≡
-    // Q single hybridSearchServed calls, its own oracle gate), ranks
-    // recomputed per query by the same (rrf desc, doc_id) order the
-    // single-path eval used; vector lookup + loud missing-id check
-    // live inside the batched serve
-    val labelDf = queries.map(q => (q._3, q._1))
+    // ranking production = the KEYED batched serve (per-query rows ≡
+    // Q single hybridSearchServed calls, its own oracle gate), keyed
+    // by a SYNTHETIC query index carrying (label, vector id) — two
+    // eval queries may legitimately share one embedding id with
+    // different term sets (comparing term formulations against the
+    // same relevance vector), which the round-15 distinct-vector-id
+    // restriction refused; the serve now dedups vector ids itself.
+    // Ranks recomputed per query by the same (rrf desc, doc_id)
+    // order the single-path eval used; vector lookup + loud
+    // missing-id check live inside the batched serve
+    val indexed = queries.zipWithIndex
+      .map { case ((l, ts, vid), i) => (i.toLong, l, ts, vid) }
+    val labelDf = indexed.map(q => (q._1, q._2))
       .toDF("query_id", "query_label")
-    val ranked = hybridMultiSearchServed(spark, bm25Path, pqIndex,
-      embeddings, cents, cb, queries.map(q => (q._3, q._2)), k, depth,
-      nProbe, shortlist, rrfK)
+    val ranked = hybridMultiSearchServedKeyed(spark, bm25Path, pqIndex,
+      embeddings, cents, cb, indexed.map(q => (q._1, q._3, q._4)), k,
+      depth, nProbe, shortlist, rrfK)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("rrf").desc, col("doc_id"))))
@@ -1156,6 +1161,36 @@ object SearchOps {
       cb: graft.similarity.Similarity.PqCodebook,
       queries: Seq[(Long, Seq[String])], k: Int, depth: Int = 20,
       nProbe: Int = 2, shortlist: Int = 40, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    hybridMultiSearchServedKeyed(spark, bm25Path, pqIndex, embeddings,
+      cents, cb, queries.map(q => (q._1, q._2, q._1)), k, depth,
+      nProbe, shortlist, rrfK, k1, b)
+
+  /** The batched hybrid's KEYED core: queries arrive as (query_id,
+    * terms, vector id), so two queries may share one embedding id
+    * with different term sets (the eval comparison [[hybridEval]]
+    * needs) — the semantic branch serves each DISTINCT vector id once
+    * and joins the rankings back to the query keys. Past
+    * [[graft.similarity.Similarity.literalMaxQ]] the vector fetch is
+    * a JOIN against the query-id frame and the two-stage serve runs
+    * through the QUERY-TABLE plan (round-16 verdict #5: the
+    * driver-collected `isin` vector fetch was exactly the pattern
+    * the QT family retired — past the threshold the code scan was
+    * already QT-shaped while its own query vectors still collected
+    * as literals); at small Q the bounded collect + literal plan
+    * stays (measured faster, the established operating point). A
+    * vector id with no embedding row fails loudly on either path
+    * (in-plan count guard on the large-Q side — with the one edge
+    * that a batch whose ids are ALL missing yields an empty frame,
+    * no rows to carry the guard, and an empty semantic branch).
+    */
+  def hybridMultiSearchServedKeyed(
+      spark: org.apache.spark.sql.SparkSession,
+      bm25Path: String, pqIndex: DataFrame, embeddings: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook,
+      queries: Seq[(Long, Seq[String], Long)], k: Int, depth: Int = 20,
+      nProbe: Int = 2, shortlist: Int = 40, rrfK: Int = 60,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
@@ -1163,19 +1198,12 @@ object SearchOps {
     val qids = queries.map(_._1)
     require(qids.distinct.length == qids.length,
       "query ids must be distinct")
-    val qvecs = embeddings.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"))
-      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
-      .toMap
-    val missing = qids.filterNot(qvecs.contains)
-    require(missing.isEmpty,
-      s"query vector ids ${missing.mkString(", ")} have no embedding row")
+    val vids = queries.map(_._3).distinct
     // lexical: one pruned read of the union of all terms' buckets;
     // per-query scoring through the SAME evidence aggregation the
     // eval paths use (identical idf/tscore/rounding to scoreBm25)
     val qt = queries
-      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .flatMap { case (qid, ts, _) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_label", "term")
     val (tf, stats) = indexTfStats(spark, bm25Path,
       queries.flatMap(_._2).distinct, None)
@@ -1187,15 +1215,56 @@ object SearchOps {
       .select(col("query_label").as("query_id"), col("doc_id"),
         col("lex_rank"))
     // semantic: one code scan + one bounded float fetch for ALL
-    // queries' two-stage rankings
-    val sem = graft.similarity.Similarity.pqMultiTopKRefined(pqIndex,
-        embeddings, cents, cb, queries.map(q => q._1 -> qvecs(q._1)),
-        depth, nProbe, shortlist)
+    // distinct vector ids' two-stage rankings, joined back to the
+    // query keys (rankings are per-vector, so shared ids share rows)
+    val semByVid =
+      if (vids.length <= graft.similarity.Similarity
+          .literalMaxQ(embeddings)) {
+        // small batch: bounded driver collect of the vectors, the
+        // measured-fastest literal plan
+        val qvecs = embeddings.filter(col("vec_id").isin(vids: _*))
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
+          .toMap
+        val missing = vids.filterNot(qvecs.contains)
+        require(missing.isEmpty,
+          s"query vector ids ${missing.mkString(", ")} have no " +
+            "embedding row")
+        graft.similarity.Similarity.pqMultiTopKRefined(pqIndex,
+          embeddings, cents, cb, vids.map(v => v -> qvecs(v)),
+          depth, nProbe, shortlist)
+      } else {
+        // large batch: the vectors never touch the driver — the
+        // query frame is a broadcast join on vec_id, the serve the
+        // query-table plan; the missing-id contract stays loud via
+        // an in-plan count guard over the bounded joined frame
+        val vidDf = vids.toDF("vec_id")
+        val fetched = embeddings
+          .join(broadcast(vidDf), Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val guarded = fetched.withColumn("query_id",
+          when(count(lit(1)).over(Window.partitionBy())
+              === lit(vids.length.toLong), col("query_id"))
+            .otherwise(raise_error(lit(
+              s"some of the ${vids.length} query vector ids have no " +
+                "embedding row — the batched hybrid refuses to " +
+                "silently drop eval queries"))
+              .cast("long")))
+        graft.similarity.Similarity.pqMultiTopKRefinedQT(pqIndex,
+          embeddings, cents, cb, guarded, depth, nProbe, shortlist)
+      }
+    val vidMap = queries.map(q => (q._1, q._3))
+      .toDF("query_id", "q_vid")
+    val sem = semByVid
       .withColumn("sem_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
+      .select(col("query_id").as("q_vid"), col("vec_id").as("doc_id"),
         col("sem_rank"))
+      .join(broadcast(vidMap), Seq("q_vid"))
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +

@@ -1882,18 +1882,30 @@ object Pipelines {
       nProbe: Int): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // checked BEFORE the serve plan is even constructed (analysis
+    // reads the index schema): a mid-fold catalog refuses the whole
+    // trigger, not just the write
     requireNoFoldInProgress(spark, outDir)
-    // the serve result is k×Q bounded — checkpoint it once so the
-    // empty-result guard below doesn't re-run the serve, and so the
-    // write plan never reads outDir
-    val served = graft.similarity.Similarity.ivfMultiTopKFromIndexQT(
-        spark.read.parquet(indexPath), cents, batch, k, nProbe)
-      .withColumn("batch_id", lit(batchId))
+    writeServedBatch(graft.similarity.Similarity.ivfMultiTopKFromIndexQT(
+      spark.read.parquet(indexPath), cents, batch, k, nProbe),
+      outDir, batchId)
+  }
+
+  /** The serve sinks' shared batch tail: stamp, checkpoint the
+    * bounded k×Q result once (so the empty-result guard below never
+    * re-runs the serve, and the write plan never reads outDir), and
+    * dynamic-overwrite exactly this batch's partition. An
+    * all-degenerate batch serves no rows: creating a footerless
+    * parquet dir on the FIRST batch would poison every later read
+    * (writeBatchPartition's contract).
+    */
+  private def writeServedBatch(result: DataFrame, outDir: String,
+      batchId: Long): Unit = {
+    val spark = result.sparkSession
+    requireNoFoldInProgress(spark, outDir)
+    val served = result.withColumn("batch_id", lit(batchId))
       .localCheckpoint(true)
     try {
-      // an all-degenerate batch serves no rows: creating a footerless
-      // parquet dir on the FIRST batch would poison every later read
-      // (writeBatchPartition's contract)
       val out = new org.apache.hadoop.fs.Path(outDir)
       val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!served.isEmpty || fs.exists(out))
@@ -1902,6 +1914,83 @@ object Pipelines {
           .mode("overwrite")
           .parquet(outDir)
     } finally graft.Frames.freeLocalCheckpoint(served)
+  }
+
+  /** STREAMING batched serving for the HOT tier (round-16 verdict
+    * #3): [[knnServingSink]]'s exact design — query-table plan per
+    * micro-batch, batch-stamped catalog, replay-idempotent dynamic
+    * overwrite — over the COMPRESSED (int8) store, the tier the
+    * latency/recall book says a deployment actually serves hot
+    * (≈float recall at 4× less store I/O). The layout-agnostic
+    * [[graft.similarity.Similarity.readIvfIndex]] reader serves the
+    * MAINTAINED store (tombstone anti-join) through the same plan.
+    */
+  def quantizedServingSink(queries: DataFrame, cents: Seq[Seq[Double]],
+      indexPath: String, outDir: String, checkpointDir: String,
+      k: Int = 10, nProbe: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQuantizedServeBatch(batch, cents, indexPath, outDir,
+          batchId, k, nProbe)
+      }
+      .start()
+
+  /** Idempotent batch core of [[quantizedServingSink]]: the int8
+    * query-table serve (in-plan query quantization, tombstone-aware
+    * reader) over the written index, (batch_id) dynamic overwrite.
+    */
+  def processQuantizedServeBatch(batch: DataFrame,
+      cents: Seq[Seq[Double]], indexPath: String, outDir: String,
+      batchId: Long, k: Int, nProbe: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    requireNoFoldInProgress(spark, outDir)
+    writeServedBatch(
+      graft.similarity.Similarity.quantizedMultiTopKFromIndexQT(
+        graft.similarity.Similarity.readIvfIndex(spark, indexPath),
+        cents, batch, k, nProbe),
+      outDir, batchId)
+  }
+
+  /** STREAMING batched serving for the COLD tier (round-16 verdict
+    * #3): the two-stage refined query-table plan (ADC shortlist →
+    * exact float re-rank, both batched) per micro-batch over the
+    * written IVF-PQ index, same batch-stamped catalog + recovery as
+    * the other serve sinks.
+    */
+  def pqRefinedServingSink(queries: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook, indexPath: String,
+      embeddingsPath: String, outDir: String, checkpointDir: String,
+      k: Int = 10, nProbe: Int = 2, shortlist: Int = 40)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processPqRefinedServeBatch(batch, cents, cb, indexPath,
+          embeddingsPath, outDir, batchId, k, nProbe, shortlist)
+      }
+      .start()
+
+  /** Idempotent batch core of [[pqRefinedServingSink]]. */
+  def processPqRefinedServeBatch(batch: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: graft.similarity.Similarity.PqCodebook, indexPath: String,
+      embeddingsPath: String, outDir: String, batchId: Long, k: Int,
+      nProbe: Int, shortlist: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    requireNoFoldInProgress(spark, outDir)
+    writeServedBatch(
+      graft.similarity.Similarity.pqMultiTopKRefinedQT(
+        spark.read.parquet(indexPath),
+        spark.read.parquet(embeddingsPath), cents, cb, batch, k,
+        nProbe, shortlist),
+      outDir, batchId)
   }
 
   /** Idempotent batch core of [[quantizedIvfIndexSink]] — the int8

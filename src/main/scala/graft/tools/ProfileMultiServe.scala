@@ -149,6 +149,89 @@ object ProfileMultiServe {
       spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
     }
 
+    // ---- round-16 receipts --------------------------------------
+
+    // the artifact-dedup operating point (round-16 verdict #2): the
+    // int8 QT plan at nProbe=16, where the old exploded-artifact
+    // broadcast computed and shipped every query's pair 16×
+    locally {
+      spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "0")
+      Seq(50, 500).foreach { q =>
+        minOf3(s"int8 q-table Q=$q nProbe=16") {
+          Similarity.quantizedMultiTopKFromIndexQT(qIdx, cents,
+            queryFrame(q), 10, 16).count()
+        }
+        minOf3(s"pq q-table   Q=$q nProbe=16") {
+          Similarity.pqMultiTopKFromIndexQT(pIdx, cents, cb,
+            queryFrame(q), 10, 16).count()
+        }
+      }
+      spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
+    }
+
+    // bucketed vs streamed re-rank fetch (round-16 verdict #1): the
+    // two-stage QT serve with the float table as a vec_id-bucketed
+    // catalog table (bucket-file pruning from the bounded shortlist)
+    // against the plain-parquet streamed-pass fallback
+    locally {
+      graft.ops.BucketedTables.writeBucketed(
+        emb.select(col("vec_id"), col("embedding")),
+        "profile_bktemb", "vec_id", 16)
+      val bkt = graft.ops.BucketedTables.readTable(spark, "profile_bktemb")
+      spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "0")
+      Seq(5, 50, 500).foreach { q =>
+        val st = minOf3(s"refined qt streamed Q=$q") {
+          Similarity.pqMultiTopKRefinedQT(pIdx, emb, cents, cb,
+            queryFrame(q), 10, 2, 40).count()
+        }
+        val bk = minOf3(s"refined qt bucketed Q=$q") {
+          Similarity.pqMultiTopKRefinedQTBucketed(pIdx, bkt, cents, cb,
+            queryFrame(q), 10, 2, 40).count()
+        }
+        println(f"[multiserve] refined Q=$q%-4d streamed $st%8.3f s" +
+          f" bucketed $bk%8.3f s ratio ${st / bk}%5.2f x")
+      }
+      spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
+    }
+
+    // streaming-sink per-trigger latency (round-16 verdict #8): what
+    // one micro-batch of Q=50 queries costs END TO END through
+    // knnServingSink / quantizedServingSink — serve + localCheckpoint
+    // + dynamic overwrite + checkpoint commit — vs the bare QT serve
+    // the batch wraps. Three triggers each, min reported.
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val qrows = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Double](1).toVector: Seq[Double]))
+        .toSeq
+      def triggerSweep(label: String,
+          start: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        val mem = MemoryStream[(Long, Seq[Double])]
+        val q = start(mem.toDS().toDF("query_id", "embedding"))
+        try {
+          var best = Double.MaxValue
+          (1 to 3).foreach { _ =>
+            mem.addData(qrows)
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          }
+          println(f"[multiserve] $label%-34s min $best%8.3f s/trigger (Q=50)")
+        } finally q.stop()
+      }
+      triggerSweep("knn serving sink trigger", src =>
+        graft.streaming.Pipelines.knnServingSink(src, cents, s"$tmp/f",
+          s"$tmp/sinkout_f", s"$tmp/sinkckpt_f", 10, 2))
+      triggerSweep("quantized serving sink trigger", src =>
+        graft.streaming.Pipelines.quantizedServingSink(src, cents,
+          s"$tmp/q", s"$tmp/sinkout_q", s"$tmp/sinkckpt_q", 10, 2))
+    }
+
     // ---- hybrid Q-sweep (round-15 verdict #4): does the batched
     // hybrid's 2.3× at Q=3 widen with Q, PQ-style? Q single serves
     // vs one hybridMultiSearchServed batch over the same queries.
@@ -177,6 +260,24 @@ object ProfileMultiServe {
       }
       println(f"[multiserve] hybrid Q=$q%-3d singles $singles%8.3f s" +
         f" batched $batched%8.3f s speedup ${singles / batched}%5.2f x")
+    }
+
+    // ---- eval-set Q-sweep (round-16 verdict #5 / r15 missing #5):
+    // the FULL hybrid eval (batched ranking + relevance evidence +
+    // exact-rational metric tail) as the eval set grows — near-flat
+    // total time is the claim, since every stage reads the union of
+    // the batch's term buckets / probed cells once. Sweeps across
+    // the literal→QT reroute (default threshold 16): Q=50 exercises
+    // the query-table semantic stage with the join-based vector fetch
+    Seq(3, 10, 50).foreach { q =>
+      val eq = hQueries(q).map { case (vid, terms) =>
+        (s"label$vid", terms, vid) }
+      val t = minOf3(s"hybrid eval     Q=$q") {
+        SearchOps.hybridEval(spark, s"$tmp/bm25", pIdx, emb, cents, cb,
+          eq, 10).count()
+      }
+      println(f"[multiserve] eval Q=$q%-3d total $t%8.3f s" +
+        f" per-query ${t / q}%8.5f s")
     }
     spark.stop()
   }

@@ -644,4 +644,76 @@ class SearchOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct"))
   }
+
+  test("hybridEval accepts two labels sharing one vector id (term " +
+      "formulations against the same relevance vector) — each row ≡ " +
+      "its own single-query eval") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val bm25Dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25shv").toString
+    SearchOps.writeBm25Index(docs, bm25Dir)
+    val Similarity = graft.similarity.Similarity
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqshv")
+      .toString + "/idx"
+    Similarity.writePqIndex(emb, cents, cb, pqDir)
+    val pqIndex = spark.read.parquet(pqDir)
+    // two term formulations, ONE shared relevance vector (vec 0) —
+    // the round-15 batched serve refused this shape outright
+    val shared = Seq(("fa", Seq("merge", "query"), 0L),
+      ("fb", Seq("sort", "window"), 0L))
+    val both = SearchOps.hybridEval(spark, bm25Dir, pqIndex, emb,
+      cents, cb, shared, 5).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(both.keySet === Set("fa", "fb"))
+    shared.foreach { q =>
+      val single = SearchOps.hybridEval(spark, bm25Dir, pqIndex, emb,
+        cents, cb, Seq(q), 5).collect()
+        .map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(both(q._1) === single(q._1), s"label ${q._1}")
+    }
+  }
+
+  test("batched hybrid past the literal threshold: the semantic stage " +
+      "serves query-table end-to-end (vectors never collect to the " +
+      "driver) with rows ≡ the literal path; a missing vector id " +
+      "fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val bm25Dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25qt").toString
+    SearchOps.writeBm25Index(docs, bm25Dir)
+    val Similarity = graft.similarity.Similarity
+    val cents = Similarity.seedCentroids(emb, 16)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqqt")
+      .toString + "/idx"
+    Similarity.writePqIndex(emb, cents, cb, pqDir)
+    val pqIndex = spark.read.parquet(pqDir)
+    val qs = Seq(0L -> Seq("merge", "query"), 1L -> Seq("sort", "window"),
+      2L -> Seq("alpha", "merge"))
+    def run() = SearchOps.hybridMultiSearchServed(spark, bm25Dir,
+      pqIndex, emb, cents, cb, qs, 10)
+    val viaLiteral = run().collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "1")
+    try {
+      val qtServe = run()
+      // the semantic code scan rides the QT plan: DPP on the cell
+      // join is its signature (no literal path has one)
+      assert(qtServe.queryExecution.executedPlan.toString
+        .contains("dynamicpruningexpression"))
+      assert(qtServe.collect().map(_.toSeq).toSeq === viaLiteral)
+      // loud missing-id contract survives the join-based fetch
+      val bad = SearchOps.hybridMultiSearchServed(spark, bm25Dir,
+        pqIndex, emb, cents, cb,
+        qs :+ (999999999L -> Seq("merge")), 10)
+      val e = intercept[Exception] { bad.collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10).map(_.getMessage).toSeq
+      assert(msgs.exists(m => m != null &&
+        m.contains("no embedding row")), msgs.mkString(" | "))
+    } finally spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
+  }
 }

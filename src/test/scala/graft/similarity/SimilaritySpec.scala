@@ -1601,6 +1601,43 @@ class SimilaritySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("bucket-pruned two-stage re-rank: results ≡ the streamed QT " +
+      "plan, and the float fetch prunes bucket files instead of " +
+      "scanning the table") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtbkt")
+      .toString + "/p"
+    Similarity.writePqIndex(emb, cents, cb, dir)
+    val pIdx = spark.read.parquet(dir)
+    graft.ops.BucketedTables.writeBucketed(
+      emb.select($"vec_id", $"embedding"), "qtbkt_emb", "vec_id", 16)
+    val bktEmb = graft.ops.BucketedTables.readTable(spark, "qtbkt_emb")
+    val qframe = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bucketed = Similarity.pqMultiTopKRefinedQTBucketed(pIdx, bktEmb,
+      cents, cb, qframe, 5, 2, 20)
+    val streamed = Similarity.pqMultiTopKRefinedQT(pIdx, emb, cents, cb,
+      qframe, 5, 2, 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(bucketed) === rows(streamed))
+    // the re-rank fetch reads a strict subset of the bucket FILES:
+    // the shortlist In-predicate reaches the bucketed scan, which no
+    // DPP/bloom could deliver to a broadcast join's streamed side.
+    // (The 5×20 batch above legitimately hits all 16 buckets on this
+    // corpus — assert strict pruning on a 1-query, 5-id shortlist,
+    // whose ≤5 distinct ids can cover at most 5 buckets.)
+    val one = Similarity.pqMultiTopKRefinedQTBucketed(pIdx, bktEmb,
+      cents, cb, qframe.filter($"query_id" === 0L), 5, 2, 5)
+    val plan = one.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, plan.take(3000))
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"no bucket pruned: ${sel.get.matched}")
+  }
+
   test("batched entry points refuse duplicate query ids (a repeated " +
       "id would double every pair and halve the distinct top-k)") {
     val cents = Similarity.seedCentroids(emb, 4)

@@ -1641,4 +1641,109 @@ class PipelinesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-canonical"))
   }
+
+  test("serving sinks for the compressed stores: quantized + refined " +
+      "micro-batches ≡ one-shot query-table serves, replay rewrites " +
+      "only their own partition") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val cb = Similarity.pqBuild(emb, m = 8, ksub = 16, iterations = 1)
+    val base = Files.createTempDirectory("graft_srvsinks").toString
+    Similarity.writeQuantizedIvfIndex(emb, cents, base + "/qidx")
+    Similarity.writePqIndex(emb, cents, cb, base + "/pidx")
+    emb.write.parquet(base + "/emb")
+    implicit val sqlCtx = spark.sqlContext
+    def qframe(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def qrows(ids: Seq[Long]) = ids.map(id => id ->
+      (emb.filter(col("vec_id") === id)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toVector: Seq[Double]))
+    // HOT tier: int8 store through quantizedServingSink
+    val memQ = MemoryStream[(Long, Seq[Double])]
+    val sq = Pipelines.quantizedServingSink(
+      memQ.toDS().toDF("query_id", "embedding"), cents, base + "/qidx",
+      base + "/qout", base + "/qckpt", k = 5, nProbe = 2)
+    memQ.addData(qrows(Seq(0L, 1L))); sq.processAllAvailable()
+    memQ.addData(qrows(Seq(2L))); sq.processAllAvailable(); sq.stop()
+    def rs(df: org.apache.spark.sql.DataFrame, score: String) = df
+      .select(col("query_id"), col("vec_id"), col(score)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val qidx = Similarity.readIvfIndex(spark, base + "/qidx")
+    val qout = spark.read.parquet(base + "/qout")
+    assert(rs(qout.filter(col("batch_id") === 0), "q_sim") ===
+      rs(Similarity.quantizedMultiTopKFromIndexQT(qidx, cents,
+        qframe(Seq(0L, 1L)), 5, 2), "q_sim"))
+    assert(rs(qout.filter(col("batch_id") === 1), "q_sim") ===
+      rs(Similarity.quantizedMultiTopKFromIndexQT(qidx, cents,
+        qframe(Seq(2L)), 5, 2), "q_sim"))
+    // crash replay of batch 1: identical catalog, no duplicates
+    val beforeQ = rs(qout, "q_sim")
+    Pipelines.processQuantizedServeBatch(qframe(Seq(2L)), cents,
+      base + "/qidx", base + "/qout", 1L, 5, 2)
+    assert(rs(spark.read.parquet(base + "/qout"), "q_sim") === beforeQ)
+    assert(spark.read.parquet(base + "/qout").count() === 15)
+    // COLD tier: two-stage refined store through pqRefinedServingSink
+    val memP = MemoryStream[(Long, Seq[Double])]
+    val sp = Pipelines.pqRefinedServingSink(
+      memP.toDS().toDF("query_id", "embedding"), cents, cb,
+      base + "/pidx", base + "/emb", base + "/pout", base + "/pckpt",
+      k = 5, nProbe = 2, shortlist = 20)
+    memP.addData(qrows(Seq(0L, 1L))); sp.processAllAvailable()
+    memP.addData(qrows(Seq(2L))); sp.processAllAvailable(); sp.stop()
+    val pidx = spark.read.parquet(base + "/pidx")
+    val pout = spark.read.parquet(base + "/pout")
+    assert(rs(pout.filter(col("batch_id") === 0), "cos_sim") ===
+      rs(Similarity.pqMultiTopKRefinedQT(pidx, emb, cents, cb,
+        qframe(Seq(0L, 1L)), 5, 2, 20), "cos_sim"))
+    val beforeP = rs(pout, "cos_sim")
+    Pipelines.processPqRefinedServeBatch(qframe(Seq(2L)), cents, cb,
+      base + "/pidx", base + "/emb", base + "/pout", 1L, 5, 2, 20)
+    assert(rs(spark.read.parquet(base + "/pout"), "cos_sim") === beforeP)
+  }
+
+  test("fold-in-progress marker: a mid-fold sink write or as-of read " +
+      "fails loudly; a completed fold clears the marker") {
+    val base = Files.createTempDirectory("graft_foldmark").toString
+    val idx = base + "/idx"; val out = base + "/out"
+    Seq(0L, 1L, 2L).foreach { b =>
+      Pipelines.processSegmentDedupBatch(
+        Seq((b * 10 + 1, s"alpha beta gamma $b")).toDF("doc_id", "text"),
+        idx, out, b)
+    }
+    // forge a crashed/concurrent fold: the marker alone must refuse
+    // every sink write and as-of read on that dir
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(out,
+      "_graft_fold_inprogress"), true).close()
+    val e1 = intercept[IllegalArgumentException] {
+      Pipelines.processSegmentDedupBatch(
+        Seq((99L, "mid fold write")).toDF("doc_id", "text"), idx, out, 3L)
+    }
+    assert(e1.getMessage.contains("fold is in progress"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipelines.readBatchOutputAsOf(spark, out, 2L)
+    }
+    assert(e2.getMessage.contains("fold is in progress"))
+    // the serve sink checks its catalog the same way
+    val e3 = intercept[IllegalArgumentException] {
+      Pipelines.processKnnServeBatch(
+        Seq((0L, Seq(1.0, 0.0))).toDF("query_id", "embedding"),
+        Seq(Seq(1.0, 0.0)), idx, out, 3L, 5, 1)
+    }
+    assert(e3.getMessage.contains("fold is in progress"))
+    fs.delete(new org.apache.hadoop.fs.Path(out,
+      "_graft_fold_inprogress"), false)
+    // a REAL fold brackets its destructive window and clears the
+    // marker: afterwards sink writes and as-of reads work again
+    Pipelines.compactBatchOutputKeeping(spark, out, Seq("2"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out,
+      "_graft_fold_inprogress")))
+    Pipelines.processSegmentDedupBatch(
+      Seq((31L, "post fold write ok")).toDF("doc_id", "text"),
+      idx, out, 3L)
+    assert(Pipelines.readBatchOutputAsOf(spark, out, 3L).count() > 0)
+  }
 }
