@@ -286,6 +286,16 @@ private[graft] trait AnnEntries extends EntryInfra {
         Similarity.readIvfIndexAsOf(s,
           builtIvfStreamedIndex(s, d) + "/idx", 1L),
         seedCents16(s, d), multiQueryFrame(s, d), 10, nProbe = 2)),
+    // the budget fallback MADE REAL (round-16): the same 5-query
+    // batch served in 3 hash-disjoint chunks through servedInChunks —
+    // ranking is per-query so chunking is exact by construction, and
+    // each chunk's serve carries its own in-plan broadcast-budget
+    // guard. Chunked ≡ one-shot ≡ singles: same oracle verbatim
+    "q_knn_ivf_multi_qt_chunked" -> ((s, d) =>
+      Similarity.servedInChunks(multiQueryFrame(s, d), 3)(q =>
+        Similarity.ivfMultiTopKFromIndexQT(
+          s.read.parquet(builtIvfIndex(s, d)), seedCents16(s, d),
+          q, 10, nProbe = 2))),
     // The int8 member of the compression/recall frontier: recall@10
     // of the 4× store's serving path — measured ≈ the float routing
     // ceiling (scalar quantization error is far below ranking
@@ -425,6 +435,10 @@ private[graft] trait AnnEntries extends EntryInfra {
   protected def annStaticOracles: Map[String, String] =
     annStaticOracles0 ++ Map(
       "q_knn_ivf_multi_qt" -> annStaticOracles0("q_knn_ivf_multi"),
+      // chunked ≡ one-shot ≡ singles: the hash gate for the budget
+      // fallback (servedInChunks) is the same replay verbatim
+      "q_knn_ivf_multi_qt_chunked" ->
+        annStaticOracles0("q_knn_ivf_multi"),
       "q_knn_quantized_multi_qt" ->
         annStaticOracles0("q_knn_quantized_multi"),
       // the serving sink's accumulated catalog must equal the

@@ -818,9 +818,25 @@ object SearchOps {
       case None     => df
     }
     val buckets = terms.map(termBucket).distinct
-    val tf0 = inVisible(spark.read.parquet(path + "/postings")
-        .filter(col("bucket").isin(buckets: _*))) // directory pruning
-      .filter(col("term").isin(terms: _*))
+    // bucket pruning stays LITERAL at any scale (≤ the fixed bucket
+    // count of distinct values); the TERM filter is literal only up
+    // to `spark.graft.termLiteralMax` (default 128) — past it (a
+    // large eval batch's union of query terms) the plan-sized In
+    // predicate becomes a BROADCAST join against the bounded term
+    // frame, the lexical twin of the vector side's query-table
+    // re-shape: plan size stays O(1) in the term count and only the
+    // row-group term pushdown is traded away (bucket directory
+    // pruning is unaffected)
+    val pruned = inVisible(spark.read.parquet(path + "/postings")
+      .filter(col("bucket").isin(buckets: _*))) // directory pruning
+    val termLiteralMax = spark.conf
+      .get("spark.graft.termLiteralMax", "128").toInt
+    val tf0 = (if (terms.length <= termLiteralMax)
+        pruned.filter(col("term").isin(terms: _*))
+      else {
+        import spark.implicits._
+        pruned.join(broadcast(terms.distinct.toDF("term")), Seq("term"))
+      })
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     // logical deletions ([[deleteFromBm25Index]]): anti-join the
     // tombstones so df below re-aggregates as the REMAINING corpus's

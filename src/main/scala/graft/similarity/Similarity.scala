@@ -2243,6 +2243,36 @@ object Similarity {
       .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
   }
 
+  /** The [[qtBroadcastBudget]] fallback made real (round-16): serve
+    * an over-budget query frame in `nChunks` hash-disjoint chunks and
+    * union the results. Chunking is EXACT by construction — every
+    * serve ranks per query, so a query's rows are identical whichever
+    * chunk it rides in — and hash-mod on query_id partitions the
+    * frame without a driver collect or per-chunk id literals (the
+    * patterns the QT family exists to avoid). Each chunk's serve
+    * carries its own in-plan broadcast-budget guard, so nChunks ≥
+    * ceil(batch bytes / budget) turns the loud ceiling error into
+    * nChunks bounded serves. Output ordering matches the one-shot
+    * serve (global (query_id, score desc, vec_id) sort over the
+    * union).
+    */
+  def servedInChunks(queries: DataFrame, nChunks: Int)(
+      serve: DataFrame => DataFrame): DataFrame = {
+    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
+    if (nChunks == 1) serve(queries)
+    else {
+      val parts = (0 until nChunks).map { i =>
+        serve(queries.filter(
+          pmod(hash(col("query_id")), lit(nChunks)) === i))
+      }
+      // every serve emits (query_id, vec_id, <score>) — re-impose the
+      // one-shot serve's global ordering over the unioned chunks
+      val scoreName = parts.head.columns.last
+      parts.reduce(_.unionByName(_))
+        .orderBy(col("query_id"), col(scoreName).desc, col("vec_id"))
+    }
+  }
+
   /** BATCHED serving for the FLOAT IVF store — [[pqMultiTopKFromIndex]]'s
     * one-scan trick applied to [[ivfTopKFromIndex]]: Q queries, one
     * pass over the union of their probed cell directories, each

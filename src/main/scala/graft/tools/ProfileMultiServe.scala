@@ -230,6 +230,34 @@ object ProfileMultiServe {
       triggerSweep("quantized serving sink trigger", src =>
         graft.streaming.Pipelines.quantizedServingSink(src, cents,
           s"$tmp/q", s"$tmp/sinkout_q", s"$tmp/sinkckpt_q", 10, 2))
+      // the COLD tier's per-trigger price: the same wrapper around the
+      // two-stage refined QT plan, so the delta over the rows above IS
+      // the re-rank stage itself
+      emb.write.mode("overwrite").parquet(s"$tmp/embp")
+      triggerSweep("pq refined serving sink trigger", src =>
+        graft.streaming.Pipelines.pqRefinedServingSink(src, cents, cb,
+          s"$tmp/p", s"$tmp/embp", s"$tmp/sinkout_p",
+          s"$tmp/sinkckpt_p", 10, 2, 40))
+    }
+
+    // ---- chunked budget fallback (round-16 wave 3): what chunking
+    // costs when a broadcast ceiling forces it — n hash-disjoint QT
+    // serves vs the one-shot plan over the same Q=500 batch
+    locally {
+      spark.conf.set("spark.graft.batchedServeLiteralMaxQ", "0")
+      val one = minOf3("float qt one-shot Q=500") {
+        Similarity.ivfMultiTopKFromIndexQT(fIdx, cents, queryFrame(500),
+          10, 2).count()
+      }
+      Seq(2, 4).foreach { n =>
+        val ch = minOf3(s"float qt chunked  Q=500 n=$n") {
+          Similarity.servedInChunks(queryFrame(500), n)(qf =>
+            Similarity.ivfMultiTopKFromIndexQT(fIdx, cents, qf, 10, 2))
+            .count()
+        }
+        println(f"[multiserve] chunked Q=500 n=$n overhead ${ch / one}%5.2f x")
+      }
+      spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
     }
 
     // ---- hybrid Q-sweep (round-15 verdict #4): does the batched
@@ -278,6 +306,34 @@ object ProfileMultiServe {
       }
       println(f"[multiserve] eval Q=$q%-3d total $t%8.3f s" +
         f" per-query ${t / q}%8.5f s")
+    }
+
+    // ---- term-frame lexical fetch (round-16 wave 3): the postings
+    // TERM filter as a literal In vs the broadcast term-frame join,
+    // at term counts where an eval batch's union of query terms
+    // outgrows a sane plan. Rows are identical (spec-gated); this
+    // prices the trade (losing row-group term pushdown vs O(1) plan).
+    locally {
+      val vocab = spark.read.parquet(s"$tmp/bm25/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(512)
+        .collect().map(_.getString(0)).toSeq
+      Seq(16, 128, 512).foreach { n =>
+        val ts = vocab.take(n)
+        spark.conf.set("spark.graft.termLiteralMax", "100000")
+        val li = minOf3(s"bm25 literal    terms=$n") {
+          SearchOps.searchBm25FromIndex(spark, s"$tmp/bm25", ts, 10)
+            .count()
+        }
+        spark.conf.set("spark.graft.termLiteralMax", "0")
+        val jn = minOf3(s"bm25 term-frame terms=$n") {
+          SearchOps.searchBm25FromIndex(spark, s"$tmp/bm25", ts, 10)
+            .count()
+        }
+        println(f"[multiserve] terms=$n%-4d literal $li%8.3f s" +
+          f" term-frame $jn%8.3f s ratio ${li / jn}%5.2f x")
+        spark.conf.unset("spark.graft.termLiteralMax")
+      }
     }
     spark.stop()
   }

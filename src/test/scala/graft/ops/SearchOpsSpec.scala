@@ -191,6 +191,32 @@ class SearchOpsSpec extends SparkSpec {
     assert(sp1 ++ sp2 === oneShot)
   }
 
+  test("past termLiteralMax the postings term filter is a broadcast " +
+      "join (O(1) plan in the term count), rows ≡ the literal path; " +
+      "bucket directory pruning survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25tl")
+      .toString
+    SearchOps.writeBm25Index(docs, dir)
+    val terms = Seq("merge", "query", "sort", "window")
+    def run() = SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+    val literal = run().collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    spark.conf.set("spark.graft.termLiteralMax", "1")
+    try {
+      val served = run()
+      val p = served.queryExecution.executedPlan.toString
+      // the term frame rides a broadcast join, not an In literal...
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!("term#\\d+ IN \\(".r.findFirstIn(p).isDefined ||
+        p.contains("term IN (")), p.take(2000))
+      // ...while bucket directory pruning is unaffected
+      assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p)
+        .isDefined, p.take(2000))
+      assert(served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .toSeq === literal)
+    } finally spark.conf.unset("spark.graft.termLiteralMax")
+  }
+
   test("retrievalEvalFromIndex ≡ one-shot eval, on a postings-pruned scan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ev").toString

@@ -1638,6 +1638,47 @@ class SimilaritySpec extends SparkSpec {
       s"no bucket pruned: ${sel.get.matched}")
   }
 
+  test("servedInChunks: chunked serve ≡ one-shot (exact by " +
+      "construction), and it is the working fallback for an " +
+      "over-budget batch the one-shot serve loudly refuses") {
+    val cents = Similarity.seedCentroids(emb, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtchunk")
+      .toString + "/p"
+    Similarity.writeIvfIndex(emb, cents, dir)
+    val idx = spark.read.parquet(dir)
+    val qframe = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def serve(q: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfMultiTopKFromIndexQT(idx, cents, q, 5, 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val oneShot = rows(serve(qframe))
+    assert(rows(Similarity.servedInChunks(qframe, 3)(serve)) === oneShot)
+    // budget scenario: a ceiling the 8-query batch exceeds but every
+    // hash chunk of 4 fits under — the one-shot serve's own action
+    // fails with the documented chunk-the-batch message, and
+    // servedInChunks is exactly that fallback
+    val dim = emb.select($"embedding").head.getSeq[Float](0).length
+    val perQ = dim * 8L + 16L + 2L * 16L
+    spark.conf.set("spark.graft.qtBroadcastBudget", (perQ * 4).toString)
+    try {
+      val e = intercept[Exception] { serve(qframe).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10).map(_.getMessage).toSeq
+      assert(msgs.exists(m => m != null && m.contains("chunk the " +
+        "query batch")), msgs.mkString(" | "))
+      // enough chunks that every hash-mod chunk is within budget
+      val nChunks = Iterator.from(2).find { n =>
+        qframe.groupBy(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash($"query_id"),
+            org.apache.spark.sql.functions.lit(n)))
+          .count().collect().forall(_.getLong(1) <= 4)
+      }.get
+      assert(rows(Similarity.servedInChunks(qframe, nChunks)(serve))
+        === oneShot)
+    } finally spark.conf.unset("spark.graft.qtBroadcastBudget")
+  }
+
   test("batched entry points refuse duplicate query ids (a repeated " +
       "id would double every pair and halve the distinct top-k)") {
     val cents = Similarity.seedCentroids(emb, 4)
