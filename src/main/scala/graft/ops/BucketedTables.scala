@@ -32,6 +32,18 @@ object BucketedTables {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     require(buckets > 0, s"bucket count must be positive: $buckets")
+    // Overwrite replaces a CATALOGED table, but a managed location
+    // left dangling by an earlier session (metadata gone with its
+    // JVM, files still in the warehouse) fails LOCATION_ALREADY_EXISTS
+    // — drop the entry and reclaim the table's own location first so
+    // rebuilds are idempotent across sessions
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

@@ -40,6 +40,25 @@ class BucketedTablesSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed reclaims a dangling managed location (metadata " +
+      "died with an earlier session, files survived) instead of " +
+      "failing LOCATION_ALREADY_EXISTS") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    // forge the cross-session wreck: location exists, catalog entry
+    // doesn't — exactly what a killed JVM leaves in the warehouse
+    spark.sql("DROP TABLE IF EXISTS b_dangling")
+    val dir = new java.io.File(warehousePath("b_dangling"))
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "stale-file").toPath, "left by a dead run")
+    try {
+      BucketedTables.writeBucketed(docs, "b_dangling", "doc_id", 4)
+      assert(BucketedTables.readTable(spark, "b_dangling").count()
+        === docs.count())
+      assert(!new java.io.File(dir, "stale-file").exists())
+    } finally spark.sql("DROP TABLE IF EXISTS b_dangling")
+  }
+
   private def warehousePath(table: String): String = {
     val base = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
