@@ -172,6 +172,10 @@ object SparkEntry extends EntryInfra
           // re-rank fetch (round-16 verdict #1) shares the same
           // refined replay — one oracle, three plan shapes under gate
           "q_knn_pq_refined_multi" -> "q_knn_pq_refined_multi_qt_bucketed",
+          // the cold-tier serve sink's accumulated catalog: stream ≡
+          // the same one-shot refined replay (round-16, serve-catalog
+          // symmetry with q_knn_served_catalog)
+          "q_knn_pq_refined_multi" -> "q_knn_pq_served_catalog",
           "q_knn_pq_residual_multi" -> "q_knn_pq_residual_multi_qt")
           .flatMap { case (from, to) => gen.get(from).map(to -> _) }
           .toMap

@@ -183,6 +183,15 @@ private[graft] trait PqEntries extends AnnEntries {
     // IN-predicate — at 100 TB the re-rank reads hit buckets, never
     // a full streamed pass per batch. Shares the refined replay
     // verbatim: bucketed ≡ streamed ≡ Q singles is the hash gate
+    // STREAM ≡ BATCH for the COLD-tier serve sink: the accumulated
+    // batch-stamped catalog of pqRefinedServingSink (two checkpointed
+    // micro-batches {0,1,2}+{3,4} through the two-stage refined plan)
+    // re-sorted as one readout must equal the one-shot 5-query
+    // refined serve — shares q_knn_pq_refined_multi's replay verbatim
+    "q_knn_pq_served_catalog" -> ((s, d) =>
+      s.read.parquet(builtRefinedServedCatalog(s, d) + "/out")
+        .select(col("query_id"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))),
     "q_knn_pq_refined_multi_qt_bucketed" -> ((s, d) =>
       Similarity.pqMultiTopKRefinedQTBucketed(
         s.read.parquet(builtPqIvfIndex(s, d)),
@@ -360,6 +369,40 @@ private[graft] trait PqEntries extends AnnEntries {
       Similarity.writePqIndex(Tables.embeddings(s, d), seedCents16(s, d),
         pqCodebookFor(s, d), p)
     }
+
+  /** Build-once SERVED CATALOG of the COLD-tier streaming serve sink
+    * — [[builtQuantServedCatalog]]'s twin for
+    * [[graft.streaming.Pipelines.pqRefinedServingSink]]: the same two
+    * checkpointed micro-batches ({0,1,2} then {3,4}) through the real
+    * two-stage refined sink against the build-once IVF-PQ index, so
+    * the accumulated catalog must equal the one-shot 5-query refined
+    * serve (q_knn_pq_refined_multi's replay).
+    */
+  protected def builtRefinedServedCatalog(s: SparkSession,
+      d: String): String = {
+    val idx = builtPqIvfIndex(s, d)
+    val cb = pqCodebookFor(s, d)
+    builtIndexDir("graft_pserve", d) { p =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val emb = Tables.embeddings(s, d)
+      emb.write.parquet(p + "/emb")
+      val mem = MemoryStream[Long]
+      val src = mem.toDS().toDF("query_id")
+        .join(emb, col("query_id") === col("vec_id"))
+        .select(col("query_id"), col("embedding"))
+      val q = graft.streaming.Pipelines.pqRefinedServingSink(
+        src, seedCents16(s, d), cb, idx, p + "/emb", p + "/out",
+        p + "/ckpt", k = 10, nProbe = 2, shortlist = 40)
+      try {
+        mem.addData(Seq(0L, 1L, 2L))
+        q.processAllAvailable()
+        mem.addData(Seq(3L, 4L))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+  }
 
   /** Build-once vec_id-BUCKETED embeddings catalog table — the float
     * side of the bucket-pruned two-stage re-rank (round-16 verdict

@@ -1195,10 +1195,12 @@ object SearchOps {
     * already QT-shaped while its own query vectors still collected
     * as literals); at small Q the bounded collect + literal plan
     * stays (measured faster, the established operating point). A
-    * vector id with no embedding row fails loudly on either path
-    * (in-plan count guard on the large-Q side — with the one edge
-    * that a batch whose ids are ALL missing yields an empty frame,
-    * no rows to carry the guard, and an empty semantic branch).
+    * vector id with no embedding row fails loudly on either path:
+    * the large-Q side carries the partial-missing check in-plan
+    * (count guard riding the joined rows) and closes the all-missing
+    * shape — where zero joined rows carry zero guards — with one
+    * bounded limit-1 action (round-16; previously a documented edge
+    * that degraded to a silently empty semantic branch).
     */
   def hybridMultiSearchServedKeyed(
       spark: org.apache.spark.sql.SparkSession,
@@ -1260,6 +1262,14 @@ object SearchOps {
         val fetched = embeddings
           .join(broadcast(vidDf), Seq("vec_id"))
           .select(col("vec_id").as("query_id"), col("embedding"))
+        // the row-carried guard below cannot fire when the join finds
+        // NOTHING (zero rows carry zero guards) — the one shape that
+        // previously degraded to a silently empty semantic branch.
+        // One bounded limit-1 action on this rare path closes it
+        require(!fetched.isEmpty,
+          s"none of the ${vids.length} query vector ids have an " +
+            "embedding row — the batched hybrid refuses to serve a " +
+            "lexical-only ranking as if it were fused")
         val guarded = fetched.withColumn("query_id",
           when(count(lit(1)).over(Window.partitionBy())
               === lit(vids.length.toLong), col("query_id"))

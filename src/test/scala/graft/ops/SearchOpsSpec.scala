@@ -740,6 +740,14 @@ class SearchOpsSpec extends SparkSpec {
         .takeWhile(_ != null).take(10).map(_.getMessage).toSeq
       assert(msgs.exists(m => m != null &&
         m.contains("no embedding row")), msgs.mkString(" | "))
+      // ALL ids missing: zero joined rows carry zero in-plan guards —
+      // the bounded eager check must refuse, not serve lexical-only
+      val eAll = intercept[IllegalArgumentException] {
+        SearchOps.hybridMultiSearchServed(spark, bm25Dir, pqIndex, emb,
+          cents, cb, Seq(888888881L -> Seq("merge"),
+            888888882L -> Seq("sort")), 10)
+      }
+      assert(eAll.getMessage.contains("none of the"), eAll.getMessage)
     } finally spark.conf.unset("spark.graft.batchedServeLiteralMaxQ")
   }
 }
