@@ -70,6 +70,9 @@ object SparkEntry extends EntryInfra
       // the indexed serving path must agree with the one-shot ranking,
       // so its oracle IS the q_search_bm25 replay
       Map("q_search_bm25_indexed" -> staticOracleSql("q_search_bm25"),
+        // the TERM-bucketed postings layout must rank identically to
+        // the path layout — same one-shot replay gates both (round 16)
+        "q_search_bm25_bucketed" -> staticOracleSql("q_search_bm25"),
         // written-model DSIR must score identically to the in-session
         // path, so its oracle IS the q_dsir_weights replay
         "q_dsir_weights_indexed" -> staticOracleSql("q_dsir_weights"),

@@ -42,6 +42,15 @@ private[graft] trait SearchEntries extends PqEntries {
     // The SAME ranking served from the build-once inverted-file
     // artifact: literal term-hash buckets prune partitions, df
     // re-aggregates from the pruned postings — no corpus tokenize
+    // ...and from the TERM-BUCKETED postings layout (round 16 — the
+    // lexical twin of the bucketed re-rank fetch: the df
+    // re-aggregation rides the write-time bucket layout with ZERO
+    // exchange and the term predicate prunes bucket FILES, surviving
+    // term counts that defeat directory pruning). Bucketed ≡ path ≡
+    // one-shot: shares q_search_bm25's replay verbatim
+    "q_search_bm25_bucketed" -> ((s, d) =>
+      SearchOps.searchBm25FromBucketedPostings(s, builtBm25Index(s, d),
+        builtBm25BucketedPostings(s, d), Seq("merge", "query"), 10)),
     "q_search_bm25_indexed" -> ((s, d) =>
       SearchOps.searchBm25FromIndex(s, builtBm25Index(s, d),
         Seq("merge", "query"), 10)),
@@ -616,6 +625,16 @@ private[graft] trait SearchEntries extends PqEntries {
   protected def builtBm25Index(s: SparkSession, d: String): String =
     builtIndexDir("graft_bm25", d) { p =>
       SearchOps.writeBm25Index(Tables.documents(s, d), p)
+    }
+
+  /** Build-once TERM-bucketed postings catalog table over
+    * [[builtBm25Index]] — the serving layout q_search_bm25_bucketed
+    * reads (round 16).
+    */
+  protected def builtBm25BucketedPostings(s: SparkSession,
+      d: String): String =
+    builtTable("graft_bm25bkt", d) { t =>
+      SearchOps.writeBm25BucketedPostings(s, builtBm25Index(s, d), t, 8)
     }
 
   /** Build-once INCREMENTALLY-assembled BM25 index: the seven-eighths

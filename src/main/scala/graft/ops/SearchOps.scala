@@ -703,6 +703,47 @@ object SearchOps {
       k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame =
     bm25ServeFromIndex(spark, path, queryTerms, k, k1, b, from, None)
 
+  /** Re-lay the index's postings out as a TERM-bucketed catalog table
+    * — the lexical twin of the vec_id-bucketed embeddings behind
+    * [[graft.similarity.Similarity.pqMultiTopKRefinedQTBucketed]]:
+    * at 100 TB the postings table is the corpus-sized artifact, and
+    * bucketing it on `term` means (a) a query's term predicate prunes
+    * bucket FILES (the same mechanism directory pruning gives the
+    * path layout, but surviving arbitrary term counts), and (b) the
+    * document-frequency re-aggregation `groupBy(term)` plans ZERO
+    * exchange — the one corpus-sized shuffle left on the serve path
+    * rides the write-time layout instead. Tombstones, stats, and
+    * doclens stay in the PATH index (bounded maintenance artifacts);
+    * only the corpus-sized postings move.
+    */
+  def writeBm25BucketedPostings(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, table: String, buckets: Int = 16): Unit =
+    graft.ops.BucketedTables.writeBucketed(
+      spark.read.parquet(indexPath + "/postings")
+        .select(col("doc_id"), col("dl"), col("term"), col("tf")),
+      table, "term", buckets)
+
+  /** [[searchBm25FromIndex]] served from a
+    * [[writeBm25BucketedPostings]] layout: identical ranking (the
+    * path serve's oracle is the gate), with the df re-aggregation
+    * riding the bucket layout exchange-free and the term restriction
+    * pruning bucket files. The opt-in 100 TB twin, pin-and-twin like
+    * the bucketed re-rank: the path layout stays the default (its
+    * per-batch partition dirs carry the maintenance story), this
+    * layout serves the frozen hot corpus.
+    */
+  def searchBm25FromBucketedPostings(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, from: Int = 0): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val posts = graft.ops.BucketedTables.readTable(spark, table)
+    val (tf, stats) = tfStatsTail(spark, path,
+      termFiltered(spark, posts, queryTerms.distinct), None)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf, dfreq, stats, k, k1, b, from)
+  }
+
   /** The index's ingestion/erasure HISTORY as a table — the stats
     * ledger read out verbatim: one (batch_id, n_docs, sum_dl) row
     * per build/append/delete batch ("del-<key>" rows carry the exact
@@ -829,15 +870,41 @@ object SearchOps {
     // pruning is unaffected)
     val pruned = inVisible(spark.read.parquet(path + "/postings")
       .filter(col("bucket").isin(buckets: _*))) // directory pruning
+    tfStatsTail(spark, path, termFiltered(spark, pruned, terms), visible)
+  }
+
+  /** The literal-or-join TERM restriction every lexical serve path
+    * shares: a plan-bounded In below `spark.graft.termLiteralMax`
+    * (row-group pushdown), a broadcast term-frame join above it.
+    */
+  private def termFiltered(spark: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, terms: Seq[String]): DataFrame = {
     val termLiteralMax = spark.conf
       .get("spark.graft.termLiteralMax", "128").toInt
-    val tf0 = (if (terms.length <= termLiteralMax)
-        pruned.filter(col("term").isin(terms: _*))
+    (if (terms.length <= termLiteralMax)
+        postings.filter(col("term").isin(terms: _*))
       else {
         import spark.implicits._
-        pruned.join(broadcast(terms.distinct.toDF("term")), Seq("term"))
+        postings.join(broadcast(terms.distinct.toDF("term")),
+          Seq("term"))
       })
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+  }
+
+  /** The (tombstone anti-join, stats-ledger) tail shared by the
+    * path-layout and bucketed-postings serves: `tf0` is the
+    * term-restricted (doc_id, dl, term, tf) frame, whatever layout
+    * it was read from; tombstones and scalars always come from the
+    * PATH index (they are bounded maintenance artifacts — the
+    * bucketed twin re-lays out only the corpus-sized postings).
+    */
+  private def tfStatsTail(spark: org.apache.spark.sql.SparkSession,
+      path: String, tf0: DataFrame,
+      visible: Option[Seq[String]]): (DataFrame, DataFrame) = {
+    def inVisible(df: DataFrame): DataFrame = visible match {
+      case Some(bs) => df.filter(col("batch_id").cast("string").isin(bs: _*))
+      case None     => df
+    }
     // logical deletions ([[deleteFromBm25Index]]): anti-join the
     // tombstones so df below re-aggregates as the REMAINING corpus's
     // document frequencies — tombstoned serving ≡ rebuild-on-remaining

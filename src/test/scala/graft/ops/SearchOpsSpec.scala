@@ -217,6 +217,39 @@ class SearchOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.termLiteralMax")
   }
 
+  test("term-bucketed postings serve ≡ path-layout serve; the df " +
+      "re-aggregation rides the bucket layout exchange-free and the " +
+      "term predicate prunes bucket files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25bkt")
+      .toString
+    SearchOps.writeBm25Index(docs, dir)
+    SearchOps.writeBm25BucketedPostings(spark, dir, "b_postings", 8)
+    try {
+      val terms = Seq("merge", "query")
+      val path = SearchOps.searchBm25FromIndex(spark, dir, terms, 10)
+      val bkt = SearchOps.searchBm25FromBucketedPostings(spark, dir,
+        "b_postings", terms, 10)
+      assert(bkt.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        === path.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      val pPlan = path.queryExecution.executedPlan.toString
+      val bPlan = bkt.queryExecution.executedPlan.toString
+      // path layout: the df groupBy(term) re-aggregation shuffles on
+      // term; bucketed: term grouping rides the write-time layout —
+      // no term exchange anywhere in the plan (the doc-score agg's
+      // doc_id exchange remains in both, it is not on the bucket key)
+      assert("hashpartitioning\\(term".r.findFirstIn(pPlan).isDefined,
+        pPlan.take(1500))
+      assert("hashpartitioning\\(term".r.findFirstIn(bPlan).isEmpty,
+        bPlan.take(1500))
+      // the term predicate reaches the bucketed scan as FILE pruning
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(bPlan)
+      assert(sel.isDefined, bPlan.take(1500))
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        sel.get.matched)
+    } finally spark.sql("DROP TABLE IF EXISTS b_postings")
+  }
+
   test("retrievalEvalFromIndex ≡ one-shot eval, on a postings-pruned scan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ev").toString
