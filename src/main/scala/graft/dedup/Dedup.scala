@@ -1242,8 +1242,18 @@ object Dedup {
     if (nNodes == 0) { sym.unpersist(); return (labels, 0) }
     val hintSmall: DataFrame => DataFrame =
       if (nNodes <= 2000000L) broadcast(_) else identity
+    // ONE layout exchange for the whole propagation (round-16, guide
+    // §2.4): symSelf hash-partitions on the label key a here; each
+    // round's label join broadcasts (labels are O(nodes), hinted
+    // below while they fit) and preserves the stream side's
+    // clustering, so the per-round min-label aggregation runs
+    // partition-local — zero per-round exchanges. Past the broadcast
+    // limit the join re-shuffles by b exactly as before — no plan
+    // regression at cluster scale.
     val symSelf = sym
       .union(nodes.select(col("node").as("a"), col("node").as("b")))
+      .repartition(sym.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a"))
       .persist()
     var prevSum = obs0.get("label_sum").asInstanceOf[java.math.BigDecimal]
     val debug = sys.env.contains("GRAFT_CC_DEBUG")

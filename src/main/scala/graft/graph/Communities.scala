@@ -96,10 +96,30 @@ object Communities {
         und.count() <= maxFastEdges)
       return fastLpa(und, rounds)
     // both directions: one labels-join keyed by v yields, per directed
-    // (u, v), neighbor v's vote for u
+    // (u, v), neighbor v's vote for u.
+    // ONE layout exchange for the whole propagation (round-16, guide
+    // §2.4 "establish the partitioning once"): sym is hash-partitioned
+    // on the vote key u here, and every round's label join broadcasts
+    // (labels are O(nodes), Catalyst picks BHJ by size) — a BHJ
+    // preserves the stream side's clustering, so BOTH vote
+    // aggregations and the init distinct below run partition-local:
+    // zero per-round exchanges instead of two (hash(u) satisfies the
+    // (u, label) clustering by the subset rule). Past broadcastability
+    // the label join re-shuffles by v exactly as before — no plan
+    // regression at cluster scale. Width pinned for the CPU-dense
+    // vote tail (the assignFromStaged rationale).
+    // persist, NOT localCheckpoint: under AQE a checkpoint captures
+    // UnknownPartitioning (AdaptiveSparkPlanExec is a leaf to the
+    // capture), while an InMemoryRelation preserves its cached plan's
+    // hash(u) layout (canChangeCachedPlanOutputPartitioning default
+    // false) — measured: the checkpointed variant kept both per-round
+    // exchanges. Released after the last round; the returned frame
+    // reads only the final checkpointed label frame.
+    val width = und.sparkSession.sessionState.conf.numShufflePartitions
     val sym = und.unionByName(
       und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .repartition(width, col("u"))
+      .persist()
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -116,6 +136,9 @@ object Communities {
       graft.Frames.freeLocalCheckpoint(labels)
       labels = next
     }
+    // the final label frame is checkpointed (self-contained) — the
+    // edge cache has no consumer left
+    sym.unpersist()
     val canon = labels.groupBy(col("label"))
       .agg(min(col("node")).as("community"))
     labels.join(canon, Seq("label"))

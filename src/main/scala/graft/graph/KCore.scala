@@ -87,25 +87,47 @@ object KCore {
       // loud budget-exhaustion throw)
       try return fastKCore(und, k, maxRounds)
       finally und.unpersist()
-    // both directions, so degree is one groupBy on the first column
+    // both directions, so degree is one groupBy on the first column.
+    // ONE layout exchange for the whole peel (round-16, guide §2.4):
+    // sym hash-partitions on the degree key u here; each round's two
+    // alive joins broadcast (alive is O(nodes)) and preserve the
+    // stream side's clustering, so the per-round degree aggregation —
+    // and the init distinct — run partition-local: zero per-round
+    // exchanges. Past broadcastability the v join re-shuffles as
+    // before (the u join stays co-partitioned: alive inherits hash(u)
+    // from the init distinct). Width pinned for the CPU-dense peel
+    // (the assignFromStaged rationale).
+    // persist, NOT localCheckpoint: under AQE a checkpoint captures
+    // UnknownPartitioning, while the InMemoryRelation preserves the
+    // hash(u) layout (the lpaFromUnd rationale). Released by the
+    // returned members frame's first action (Managed.autoReleased).
+    val width = und.sparkSession.sessionState.conf.numShufflePartitions
     val sym = und.unionByName(
       und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .repartition(width, col("u"))
+      .persist()
     if (smallGraphEdges > 0) und.unpersist()
+    // alive count rides the checkpoint materialization as an
+    // observation — no standalone count() job per frame (round-16;
+    // the minLabelComponents certificate pattern)
+    val obs0 = org.apache.spark.sql.Observation()
     var alive = sym.select(col("u").as("node")).distinct()
+      .observe(obs0, count(lit(1)).as("n_alive"))
       .localCheckpoint(true)
-    var aliveCount = alive.count()
+    var aliveCount = obs0.get("n_alive").asInstanceOf[Long]
     var rounds = 0
     var done = aliveCount == 0
     while (!done) {
+      val obs = org.apache.spark.sql.Observation()
       val next = sym
         .join(alive.select(col("node").as("u")), Seq("u"))
         .join(alive.select(col("node").as("v")), Seq("v"))
         .groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("u").as("node"))
+        .observe(obs, count(lit(1)).as("n_alive"))
         .localCheckpoint(true)
-      val nextCount = next.count()
+      val nextCount = obs.get("n_alive").asInstanceOf[Long]
       if (nextCount == aliveCount) {
         // fixpoint confirmed — the budget only limits SHRINK rounds,
         // so reaching it on the confirming pass is success
@@ -115,6 +137,7 @@ object KCore {
         // a silent early stop would return a SUPERSET of the k-core;
         // fail loudly instead — the caller raises the budget
         graft.Frames.freeLocalCheckpoint(next)
+        sym.unpersist()
         throw new IllegalStateException(
           s"k-core did not reach a fixpoint in $maxRounds rounds " +
             s"($aliveCount nodes still alive) — raise maxRounds")
@@ -136,7 +159,10 @@ object KCore {
       .groupBy(col("u")).agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("node"), col("core_degree"))
       .orderBy(col("node"))
-    KCoreResult(members, rounds)
+    // the readout still scans the edge cache — release it after the
+    // caller's first action (one-shot; a second action re-derives the
+    // canonical edges from lineage, the repo's autoReleased contract)
+    KCoreResult(new graft.Managed(members, Seq(sym)).autoReleased(), rounds)
   }
 
   /** In-task synchronous peel over the canonical edge array — the

@@ -181,12 +181,6 @@ object PageRank {
       return (out, 0)
     }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dout"))
-    // the per-round join reuses this layout: partitioned by the join
-    // key once, scanned from cache every round
-    val adj = e.join(deg, "src")
-      .select(col("src"), col("dst"), col("dout"))
-      .repartition(col("src"))
-      .persist()
     // (node, dangling) — dangling flagged ONCE so each round's mass
     // readout is a plain conditional sum riding the checkpoint
     val obs0 = Observation()
@@ -200,7 +194,7 @@ object PageRank {
       .persist()
     val nNodes = nodes.count()
     if (nNodes == 0) {
-      Seq(e, adj, nodes).foreach(_.unpersist())
+      Seq(e, nodes).foreach(_.unpersist())
       // derive the empty frame from the input so the node column
       // keeps the caller's id type — a hardcoded (Long, Double)
       // schema would make an empty non-Long-id graph yield a
@@ -208,13 +202,25 @@ object PageRank {
       return (e.select(col("src").as("node"), lit(0.0).as("rank"))
         .limit(0).localCheckpoint(true), 0)
     }
-    // NO broadcast hint, deliberately: Catalyst already broadcasts
-    // the rank side BY SIZE while it fits (measured: forcing the hint
-    // was ~0.1 s/round SLOWER at bench scale), and at cluster scale
-    // the rank frame outgrows broadcast and falls back to a join that
-    // exchanges only the O(nodes) rank rows — the adjacency cache is
-    // scanned in place either way (PlanSpec pins that no exchange
-    // ever sits on the edge side).
+    // Adaptive adjacency layout (round-16, guide §2.4): WHILE the
+    // rank frame is broadcastable every round's contribution join is
+    // a BHJ whose stream side is this cache, so partitioning it by
+    // DST makes the per-dst contribution sum partition-local — the
+    // round's one remaining exchange disappears. The broadcast is
+    // HINTED in that regime so the layout choice and the join
+    // strategy cannot diverge. Past broadcastability the join must
+    // co-partition on src, so the cache keeps the src layout and
+    // rounds exchange only the O(nodes) rank rows, exactly as before
+    // (PlanSpec pins that no exchange ever sits on the edge side).
+    // ~48 B per rank row in the built hash relation; threshold from
+    // the session's own autoBroadcastJoinThreshold.
+    val bcastLimit = edges.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold
+    val broadcastRanks = bcastLimit > 0 && nNodes * 48L <= bcastLimit
+    val adj = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("dout"))
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .persist()
     val n = nNodes.toDouble
     val danglingSum = sum(when(col("dangling"), col("rank"))
       .otherwise(lit(0.0))).as("dangling_mass")
@@ -228,7 +234,7 @@ object PageRank {
     var delta = Double.MaxValue
     while (it < iterations && delta > tol) {
       val obs = Observation()
-      val next = rankRound(adj, ranks, n, damping, dm)
+      val next = rankRound(adj, ranks, n, damping, dm, broadcastRanks)
         .observe(obs, danglingSum,
           sum(abs(col("rank") - col("prev"))).as("l1_delta"))
         .localCheckpoint(true)
@@ -306,10 +312,6 @@ object PageRank {
       return (out, 0)
     }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dout"))
-    val adj = e.join(deg, "src")
-      .select(col("src"), col("dst"), col("dout"))
-      .repartition(col("src"))
-      .persist()
     val nodesBase = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -320,11 +322,21 @@ object PageRank {
       .repartition(col("node"))
       .persist()
     val nSeeds = nodesBase.filter(col("seed")).count()
-    if (nodesBase.count() == 0) {
-      Seq(e, adj, nodesBase).foreach(_.unpersist())
+    val nNodes = nodesBase.count()
+    if (nNodes == 0) {
+      Seq(e, nodesBase).foreach(_.unpersist())
       return (e.select(col("src").as("node"), lit(0.0).as("rank"))
         .limit(0).localCheckpoint(true), 0)
     }
+    // adaptive adjacency layout + hinted rank broadcast while the
+    // rank frame fits — the pageRank rationale above
+    val bcastLimit = edges.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold
+    val broadcastRanks = bcastLimit > 0 && nNodes * 48L <= bcastLimit
+    val adj = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("dout"))
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .persist()
     // normalized teleport value, materialized once per node
     val sv = when(col("seed") && lit(nSeeds > 0),
       lit(1.0) / lit(nSeeds.toDouble)).otherwise(lit(0.0))
@@ -344,8 +356,9 @@ object PageRank {
       // sv·((1−d) + d·dm) + d·contrib — the factor is one scalar per
       // round, computed the same way the oracle's SQL computes it
       val sFactor = (1.0 - damping) + damping * dm
+      val rankSide = ranks.select(col("node"), col("rank"))
       val contribs = adj
-        .join(ranks.select(col("node"), col("rank")),
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide,
           col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("dout")).as("c"))
         .groupBy(col("node"))
@@ -469,9 +482,11 @@ object PageRank {
     * from the very same join via `prev`.
     */
   private[graft] def rankRound(adj: DataFrame, ranks: DataFrame,
-      n: Double, damping: Double, dm: Double): DataFrame = {
+      n: Double, damping: Double, dm: Double,
+      broadcastRanks: Boolean = false): DataFrame = {
+    val rankSide = ranks.select(col("node"), col("rank"))
     val contribs = adj
-      .join(ranks.select(col("node"), col("rank")),
+      .join(if (broadcastRanks) broadcast(rankSide) else rankSide,
         col("src") === col("node"))
       .select(col("dst").as("node"), (col("rank") / col("dout")).as("c"))
       .groupBy(col("node"))
