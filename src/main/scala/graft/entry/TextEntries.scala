@@ -346,10 +346,12 @@ private[graft] trait TextEntries extends EntryInfra {
     // which is why the full-corpus oracle gates the merged model
     "q_dsir_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = graft.selection.Dsir.dsirCountsOf(
-        docs.filter(col("doc_id") % 3 =!= 0), col("lang") === "en", 1024)
-      val inc = graft.selection.Dsir.dsirCountsOf(
-        docs.filter(col("doc_id") % 3 === 0), col("lang") === "en", 1024)
+      // base + batch counts from ONE tokenization pass (round-16):
+      // grouped by (bucket, split) the integer counts are exactly the
+      // two dsirCountsOf calls this replaced, and the merge → ratio
+      // path (what the query demonstrates) is unchanged
+      val (base, inc) = graft.selection.Dsir.dsirCountsSplit(docs,
+        col("doc_id") % 3 =!= 0, col("lang") === "en", 1024)
       graft.selection.Dsir.dsirScore(docs, base.merge(inc).toModel)
         .orderBy(col("doc_id"))
     }),

@@ -79,8 +79,14 @@ object Triangles {
     */
   def assortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val (und, deg) = undAndDeg(edges, srcCol, dstCol)
-    assortativityFrom(und, deg)
+    // persist the canonicalization: the moment aggregation reads it
+    // from the stream side AND both degree-broadcast builds re-derive
+    // it otherwise (exchange reuse dedupes the distinct's shuffle but
+    // not the aggregates above it) — the triangleStats rationale,
+    // released after the caller's first action (round-16)
+    val (und0, deg) = undAndDeg(edges, srcCol, dstCol)
+    val und = und0.persist()
+    new graft.Managed(assortativityFrom(und, deg), Seq(und)).autoReleased()
   }
 
   /** [[assortativity]] over an already-built (und, deg) pair — the
@@ -88,27 +94,33 @@ object Triangles {
     * branches scan ONE cached canonicalization instead of three.
     */
   private def assortativityFrom(und: DataFrame, deg: DataFrame): DataFrame = {
-    val sym = und.unionByName(
-      und.select(col("v").as("u"), col("u").as("v")))
-    val joined = sym
+    // Symmetric-form moments from ONE orientation (round-16, guide
+    // §2.3 shuffle/scan fewer rows): over the both-orientations frame
+    // the moments collapse by symmetry — m = 2·|und|,
+    // sx = sy = Σ(du+dv), sxy = 2·Σ du·dv, sxx = syy = Σ(du²+dv²) —
+    // all EXACT integer identities, so this computes the same longs
+    // the old und ∪ swap double-join aggregated over twice the rows,
+    // and the one readout division keeps the identical expression
+    // shape (sqrt of the same two equal factors). Halves the joined
+    // rows and drops the union branch + its two extra degree joins.
+    val joined = und
       .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
     joined
-      .agg(count(lit(1)).as("m"),
-        sum(col("du")).as("sx"),
-        sum(col("dv")).as("sy"),
-        sum(col("du") * col("dv")).as("sxy"),
-        sum(col("du") * col("du")).as("sxx"),
-        sum(col("dv") * col("dv")).as("syy"))
-      .select((col("m") / 2).cast("long").as("n_edges"),
+      .agg(count(lit(1)).as("e"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("dv")).as("hxy"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"))
+      .select(col("e"), col("sx"), col("sxx"),
+        (lit(2L) * col("e")).as("m"), (lit(2L) * col("hxy")).as("sxy"))
+      .select(col("e").as("n_edges"),
         when(
-          (col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
-            (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("m") * col("sxx") - col("sx") * col("sx")) > 0,
           round(
-            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
               sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
                 .cast("double") *
-                (col("m") * col("syy") - col("sy") * col("sy"))
+                (col("m") * col("sxx") - col("sx") * col("sx"))
                   .cast("double")), 4))
           .as("assortativity"))
   }
@@ -128,14 +140,21 @@ object Triangles {
     val (und0, deg0) = undAndDeg(edges, srcCol, dstCol)
     val und = und0.persist()
     val deg = deg0.persist()
-    (deg, trianglesFromUndDeg(und, deg), Seq(und, deg))
+    val (tri, oriented) = trianglesFromUndDeg(und, deg)
+    (deg, tri, Seq(und, deg, oriented))
   }
 
   /** The oriented 2-path enumeration over an (und, deg) pair the
-    * caller already owns (and has persisted).
+    * caller already owns (and has persisted). Returns the closed
+    * triangles AND the persisted oriented-edge cache the caller must
+    * release (round-16): `oriented` is read by THREE consumers (both
+    * 2-path legs and the closure probe), each of which re-derived
+    * the two degree joins; caching it hash-partitioned on `src`
+    * additionally makes the 2-path self-join exchange-free (both
+    * legs arrive clustered on the join key — guide §2.4).
     */
   private def trianglesFromUndDeg(und: DataFrame, deg: DataFrame)
-      : DataFrame = {
+      : (DataFrame, DataFrame) = {
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
@@ -146,14 +165,17 @@ object Triangles {
       when(uLower, col("u")).otherwise(col("v")).as("src"),
       when(uLower, col("v")).otherwise(col("u")).as("dst"),
       when(uLower, col("dv")).otherwise(col("du")).as("dd"))
+      .repartition(und.sparkSession.sessionState.conf.numShufflePartitions,
+        col("src"))
+      .persist()
     val o1 = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
     val o2 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
     val paths = o1.join(o2, Seq("src"))
       .filter(rankLt(col("da"), col("a"), col("db"), col("b")))
       .select(col("src").as("s"), col("a"), col("b"))
-    paths.join(oriented,
+    (paths.join(oriented,
       paths("a") === oriented("src") && paths("b") === oriented("dst"))
-      .select(col("s"), col("a"), col("b"))
+      .select(col("s"), col("a"), col("b")), oriented)
   }
 
   /** The shared (node, degree, triangles) → clustering readout: the
@@ -220,14 +242,15 @@ object Triangles {
         try return fastTriangleStats(und) finally und.unpersist()
       // distributed fallback reusing the already-persisted und
       val deg = deg0.persist()
-      val triPerNode = trianglesFromUndDeg(und, deg)
+      val (tri, oriented) = trianglesFromUndDeg(und, deg)
+      val triPerNode = tri
         .select(explode(array(col("s"), col("a"), col("b"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       val stats = clusteringReadout(
         deg.join(triPerNode, Seq("node"), "left")
           .select(col("node"), col("degree"),
             coalesce(col("triangles"), lit(0L)).as("triangles")))
-      new graft.Managed(stats, Seq(und, deg)).autoReleased()
+      new graft.Managed(stats, Seq(und, deg, oriented)).autoReleased()
     } else triangleStatsManaged(edges, srcCol, dstCol).autoReleased()
   }
 

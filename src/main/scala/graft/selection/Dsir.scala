@@ -192,6 +192,39 @@ object Dsir {
       (0 until buckets).map(b => tc.getOrElse(b.toLong, 0L)))
   }
 
+  /** TWO count-form models from ONE corpus scan, split by
+    * `splitPred`: returns (counts over rows where the predicate
+    * holds, counts over the rest). Bucket counts are plain integer
+    * counts grouped by (bucket, split), so each side is EXACTLY what
+    * [[dsirCountsOf]] computes over the corresponding filter — the
+    * incremental-refresh demo (base counts + batch counts →
+    * merge → toModel) keeps its semantics while paying one
+    * tokenization pass instead of two (round-16, guide §1.2: don't
+    * compute things twice).
+    */
+  def dsirCountsSplit(pool: DataFrame, splitPred: Column,
+      targetPred: Column, buckets: Int = 1024,
+      textCol: String = "text"): (DsirCounts, DsirCounts) = {
+    require(buckets > 0 && buckets <= MaxBuckets,
+      s"buckets must be in (0, $MaxBuckets]: $buckets")
+    val rows = pool
+      .select(splitPred.as("__p"), targetPred.as("__t"),
+        explode(featureGrams(words(col(textCol)))).as("g"))
+      .groupBy(bucketOf(col("g"), buckets).as("b"), col("__p"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("__t"), lit(1))).as("ct"))
+      .collect()
+    def side(p: Boolean): DsirCounts = {
+      val sel = rows.filter(r => !r.isNullAt(1) && r.getBoolean(1) == p)
+      val rc = sel.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val tc = sel.map(r => r.getLong(0) -> r.getLong(3)).toMap
+      DsirCounts(
+        (0 until buckets).map(b => rc.getOrElse(b.toLong, 0L)),
+        (0 until buckets).map(b => tc.getOrElse(b.toLong, 0L)))
+    }
+    (side(true), side(false))
+  }
+
   /** Persist the count-form model — (b, cr, ct) parquet, the artifact
     * an incremental refresh reads, merges, and rewrites.
     */

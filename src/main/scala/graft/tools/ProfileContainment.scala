@@ -51,12 +51,15 @@ object ProfileContainment {
             .partitionBy(col("band"), col("bucket"))))
         .filter(col("bsz") <= 100)
         .drop("bsz")
-      val candidates = small.as("l")
+      time("  sub: buckets rows")(small.count())
+      val prePairs = small.as("l")
         .join(small.as("r"),
           col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      time("  sub: pre-distinct pairs")(prePairs.count())
+      val candidates = prePairs
         .distinct()
         .persist()
       time("candidates (bucket join + distinct)")(candidates.count())
